@@ -1,0 +1,57 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders + oracle-stable numeric helpers.
+  *
+  * The driver compares each query's parquet output against DuckDB running
+  * the paired `oracleSql` on the same tables, hashing values. Raw
+  * double aggregation is order-dependent (parallel sums), so every sum
+  * over a double column is routed through an exact DECIMAL cast:
+  * a binary double is never exactly on a 10^-6 rounding boundary
+  * (5/10^7 has a factor 5^7 in the denominator, unrepresentable in
+  * binary), so double->DECIMAL(_,6) rounds identically in Spark and
+  * DuckDB regardless of rounding mode, and decimal sums are exact in
+  * both engines. Final results are cast back to DOUBLE (deterministic
+  * nearest-double) so output schemas stay simple.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact-rounding decimal view of a double column (6 digits int part headroom handled by p=12). */
+  def d6(c: Column): Column = c.cast(DecimalType(12, 6))
+
+  /** Wider variant for columns with large magnitudes (events.value, totals). */
+  def d6w(c: Column): Column = c.cast(DecimalType(25, 6))
+
+  def dbl(c: Column): Column = c.cast(DoubleType)
+
+  /** (1 - disc) as DECIMAL(7,6): disc in [0,1) so the result fits exactly.
+    * Keeping factor precision tight keeps triple products under the
+    * 38-digit cap in BOTH engines => no precision-loss rounding anywhere. */
+  def oneMinus(c: Column): Column =
+    (lit(1).cast(DecimalType(7, 6)) - d6(c)).cast(DecimalType(7, 6))
+
+  def onePlus(c: Column): Column =
+    (lit(1).cast(DecimalType(7, 6)) + d6(c)).cast(DecimalType(7, 6))
+
+  /** Matching DuckDB SQL fragments, so both sides do the identical arithmetic. */
+  object sql {
+    def d6(col: String): String = s"CAST($col AS DECIMAL(12,6))"
+    def d6w(col: String): String = s"CAST($col AS DECIMAL(25,6))"
+    def sumD6(col: String, as: String): String =
+      s"CAST(sum(${d6(col)}) AS DOUBLE) AS $as"
+    def sumD6w(col: String, as: String): String =
+      s"CAST(sum(${d6w(col)}) AS DOUBLE) AS $as"
+    def oneMinus(col: String): String =
+      s"CAST(1 - ${d6(col)} AS DECIMAL(7,6))"
+    def onePlus(col: String): String =
+      s"CAST(1 + ${d6(col)} AS DECIMAL(7,6))"
+    /** revenue term: extendedprice * (1 - discount), exact decimals. */
+    val revenueTerm: String =
+      s"${d6("l_extendedprice")} * ${oneMinus("l_discount")}"
+  }
+}
