@@ -1,0 +1,484 @@
+package graft.fls
+
+import java.util.Arrays
+
+/** Decoded physical column data for one row group. */
+sealed trait ColData { def n: Int }
+/** bool/int/date/timestamp/decimal(<=18) physical values. */
+final case class LongData(v: Array[Long]) extends ColData { def n: Int = v.length }
+final case class DoubleData(v: Array[Double]) extends ColData { def n: Int = v.length }
+/** Variable-length values: `offsets` has n+1 entries into `bytes`. */
+final case class BytesData(offsets: Array[Int], bytes: Array[Byte]) extends ColData {
+  def n: Int = offsets.length - 1
+}
+
+/** Encode/decode kernels (SURVEY.md §2.A′ re-expressed for the JVM).
+  * All operate on whole-row-group primitive arrays; FFOR/ALP use
+  * 1024-value blocks internally (≙ fastlanes::CFG::VEC_SZ — the kernels
+  * in /root/reference/src/include/reader/materializer/kernels/ decode
+  * one 1024-vector at a time; we decode all blocks of a row group in one
+  * tight loop, which JIT-vectorizes and amortizes dispatch). */
+object Codecs {
+  import Format.{Enc, VecSize}
+
+  // ---------- bit packing ----------
+
+  /** Bits needed for the largest unsigned delta. */
+  def bitWidth(maxDeltaUnsigned: Long): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(maxDeltaUnsigned) match {
+      case 0 => 0
+      case w => w
+    }
+
+  /** Pack `len` unsigned values of `bw` bits each into longs. */
+  def pack(vs: Array[Long], off: Int, len: Int, bw: Int, out: ByteWriter): Unit = {
+    if (bw == 0) return
+    val nWords = ((len.toLong * bw + 63) / 64).toInt
+    val words = new Array[Long](nWords)
+    val mask = if (bw == 64) -1L else (1L << bw) - 1
+    var i = 0
+    while (i < len) {
+      val v = vs(off + i) & mask
+      val bitPos = i.toLong * bw
+      val w = (bitPos >>> 6).toInt
+      val shift = (bitPos & 63).toInt
+      words(w) |= v << shift
+      if (shift + bw > 64) words(w + 1) |= v >>> (64 - shift)
+      i += 1
+    }
+    out.writeLongs(words, 0, nWords)
+  }
+
+  def unpack(in: ByteReader, len: Int, bw: Int, out: Array[Long], off: Int): Unit = {
+    if (bw == 0) { Arrays.fill(out, off, off + len, 0L); return }
+    val nWords = ((len.toLong * bw + 63) / 64).toInt
+    val words = in.readLongs(nWords)
+    val mask = if (bw == 64) -1L else (1L << bw) - 1
+    var i = 0
+    while (i < len) {
+      val bitPos = i.toLong * bw
+      val w = (bitPos >>> 6).toInt
+      val shift = (bitPos & 63).toInt
+      var v = words(w) >>> shift
+      if (shift + bw > 64) v |= words(w + 1) << (64 - shift)
+      out(off + i) = v & mask
+      i += 1
+    }
+  }
+
+  // ---------- FFOR (K3): per-1024-block frame-of-reference + bit-pack ----------
+
+  def encodeFFOR(vs: Array[Long], out: ByteWriter): Unit = {
+    val n = vs.length
+    out.writeInt(n)
+    var start = 0
+    while (start < n) {
+      val len = math.min(VecSize, n - start)
+      var ref = vs(start)
+      var i = start + 1
+      while (i < start + len) { if (vs(i) < ref) ref = vs(i); i += 1 }
+      var maxDelta = 0L
+      i = start
+      while (i < start + len) {
+        val d = vs(i) - ref
+        if (java.lang.Long.compareUnsigned(d, maxDelta) > 0) maxDelta = d
+        i += 1
+      }
+      val bw = bitWidth(maxDelta)
+      out.writeLong(ref)
+      out.writeByte(bw)
+      if (bw > 0) {
+        val deltas = new Array[Long](len)
+        i = 0
+        while (i < len) { deltas(i) = vs(start + i) - ref; i += 1 }
+        pack(deltas, 0, len, bw, out)
+      }
+      start += len
+    }
+  }
+
+  def decodeFFOR(in: ByteReader): Array[Long] = {
+    val n = in.readInt()
+    val out = new Array[Long](n)
+    var start = 0
+    while (start < n) {
+      val len = math.min(VecSize, n - start)
+      val ref = in.readLong()
+      val bw = in.readByte() & 0xff
+      if (bw == 0) Arrays.fill(out, start, start + len, ref)
+      else {
+        unpack(in, len, bw, out, start)
+        var i = start
+        while (i < start + len) { out(i) += ref; i += 1 }
+      }
+      start += len
+    }
+    out
+  }
+
+  // ---------- PLAIN (K1) ----------
+
+  def encodePlainLong(vs: Array[Long], out: ByteWriter): Unit = {
+    out.writeInt(vs.length); out.writeLongs(vs, 0, vs.length)
+  }
+
+  def encodePlainDouble(vs: Array[Double], out: ByteWriter): Unit = {
+    out.writeInt(vs.length)
+    var i = 0
+    while (i < vs.length) { out.writeDouble(vs(i)); i += 1 }
+  }
+
+  def encodePlainBytes(d: BytesData, out: ByteWriter): Unit = {
+    val n = d.n
+    out.writeInt(n)
+    val lens = new Array[Long](n)
+    var i = 0
+    while (i < n) { lens(i) = (d.offsets(i + 1) - d.offsets(i)).toLong; i += 1 }
+    encodeFFOR(lens, out)
+    val total = d.offsets(n)
+    out.writeInt(total)
+    out.writeBytes(d.bytes, 0, total)
+  }
+
+  def decodePlainLong(in: ByteReader): Array[Long] = {
+    val n = in.readInt(); in.readLongs(n)
+  }
+
+  def decodePlainDouble(in: ByteReader): Array[Double] = {
+    val n = in.readInt()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = in.readDouble(); i += 1 }
+    out
+  }
+
+  def decodePlainBytes(in: ByteReader): BytesData = {
+    val n = in.readInt()
+    val lens = decodeFFOR(in)
+    val total = in.readInt()
+    val bytes = in.readBytes(total)
+    val offsets = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { offsets(i + 1) = offsets(i) + lens(i).toInt; i += 1 }
+    BytesData(offsets, bytes)
+  }
+
+  // ---------- CONSTANT (K2) ----------
+
+  def encodeConstLong(n: Int, v: Long, out: ByteWriter): Unit = { out.writeInt(n); out.writeLong(v) }
+  def encodeConstDouble(n: Int, v: Double, out: ByteWriter): Unit = { out.writeInt(n); out.writeDouble(v) }
+  def encodeConstBytes(n: Int, v: Array[Byte], out: ByteWriter): Unit = {
+    out.writeInt(n); out.writeInt(v.length); out.writeBytes(v)
+  }
+
+  def decodeConstLong(in: ByteReader): Array[Long] = {
+    val n = in.readInt(); val v = in.readLong()
+    val out = new Array[Long](n); Arrays.fill(out, v); out
+  }
+
+  def decodeConstDouble(in: ByteReader): Array[Double] = {
+    val n = in.readInt(); val v = in.readDouble()
+    val out = new Array[Double](n); Arrays.fill(out, v); out
+  }
+
+  def decodeConstBytes(in: ByteReader): BytesData = {
+    val n = in.readInt(); val len = in.readInt()
+    val v = in.readBytes(len)
+    val bytes = new Array[Byte](len * n)
+    val offsets = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) {
+      System.arraycopy(v, 0, bytes, i * len, len)
+      offsets(i + 1) = (i + 1) * len
+      i += 1
+    }
+    BytesData(offsets, bytes)
+  }
+
+  // ---------- DICT (K7/K8): dictionary values + FFOR-packed codes ----------
+
+  def encodeDictLong(vs: Array[Long], dict: Array[Long], codes: Array[Long], out: ByteWriter): Unit = {
+    out.writeInt(vs.length)
+    out.writeInt(dict.length)
+    out.writeLongs(dict, 0, dict.length)
+    encodeFFOR(codes, out)
+  }
+
+  def decodeDictLong(in: ByteReader): Array[Long] = {
+    val n = in.readInt()
+    val dictSize = in.readInt()
+    val dict = in.readLongs(dictSize)
+    val codes = decodeFFOR(in)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }
+    out
+  }
+
+  def encodeDictDouble(n: Int, dict: Array[Double], codes: Array[Long], out: ByteWriter): Unit = {
+    out.writeInt(n)
+    out.writeInt(dict.length)
+    var i = 0
+    while (i < dict.length) { out.writeDouble(dict(i)); i += 1 }
+    encodeFFOR(codes, out)
+  }
+
+  def decodeDictDouble(in: ByteReader): Array[Double] = {
+    val n = in.readInt()
+    val dictSize = in.readInt()
+    val dict = new Array[Double](dictSize)
+    var i = 0
+    while (i < dictSize) { dict(i) = in.readDouble(); i += 1 }
+    val codes = decodeFFOR(in)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }
+    out
+  }
+
+  def encodeDictBytes(n: Int, dict: BytesData, codes: Array[Long], out: ByteWriter): Unit = {
+    out.writeInt(n)
+    out.writeInt(dict.n)
+    encodePlainBytes(dict, out)
+    encodeFFOR(codes, out)
+  }
+
+  /** Returns (dictionary, codes) — the scan keeps the dictionary around
+    * and serves codes, the zero-copy trick of the reference's string
+    * dict kernel (/root/reference/.../kernels/dictionary_kernel.hpp:93-99). */
+  def decodeDictBytesRaw(in: ByteReader): (BytesData, Array[Long]) = {
+    val n = in.readInt()
+    val _ = in.readInt() // dict size (redundant with dict payload)
+    val dict = decodePlainBytes(in)
+    val codes = decodeFFOR(in)
+    require(codes.length == n)
+    (dict, codes)
+  }
+
+  def decodeDictBytes(in: ByteReader): BytesData = {
+    val (dict, codes) = decodeDictBytesRaw(in)
+    val n = codes.length
+    val offsets = new Array[Int](n + 1)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val c = codes(i).toInt
+      total += dict.offsets(c + 1) - dict.offsets(c)
+      offsets(i + 1) = total
+      i += 1
+    }
+    val bytes = new Array[Byte](total)
+    i = 0
+    while (i < n) {
+      val c = codes(i).toInt
+      val start = dict.offsets(c)
+      System.arraycopy(dict.bytes, start, bytes, offsets(i), dict.offsets(c + 1) - start)
+      i += 1
+    }
+    BytesData(offsets, bytes)
+  }
+
+  // ---------- RLE (K13/K14): run values + FFOR-packed run lengths ----------
+
+  def encodeRleLong(n: Int, runVals: Array[Long], runLens: Array[Long], out: ByteWriter): Unit = {
+    out.writeInt(n)
+    out.writeInt(runVals.length)
+    out.writeLongs(runVals, 0, runVals.length)
+    encodeFFOR(runLens, out)
+  }
+
+  def decodeRleLong(in: ByteReader): Array[Long] = {
+    val n = in.readInt()
+    val nRuns = in.readInt()
+    val vals = in.readLongs(nRuns)
+    val lens = decodeFFOR(in)
+    val out = new Array[Long](n)
+    var pos = 0
+    var r = 0
+    while (r < nRuns) {
+      val end = pos + lens(r).toInt
+      Arrays.fill(out, pos, end, vals(r))
+      pos = end
+      r += 1
+    }
+    out
+  }
+
+  def encodeRleDouble(n: Int, runVals: Array[Double], runLens: Array[Long], out: ByteWriter): Unit = {
+    out.writeInt(n)
+    out.writeInt(runVals.length)
+    var i = 0
+    while (i < runVals.length) { out.writeDouble(runVals(i)); i += 1 }
+    encodeFFOR(runLens, out)
+  }
+
+  def decodeRleDouble(in: ByteReader): Array[Double] = {
+    val n = in.readInt()
+    val nRuns = in.readInt()
+    val vals = new Array[Double](nRuns)
+    var i = 0
+    while (i < nRuns) { vals(i) = in.readDouble(); i += 1 }
+    val lens = decodeFFOR(in)
+    val out = new Array[Double](n)
+    var pos = 0
+    var r = 0
+    while (r < nRuns) {
+      val end = pos + lens(r).toInt
+      Arrays.fill(out, pos, end, vals(r))
+      pos = end
+      r += 1
+    }
+    out
+  }
+
+  def encodeRleBytes(n: Int, runVals: BytesData, runLens: Array[Long], out: ByteWriter): Unit = {
+    out.writeInt(n)
+    out.writeInt(runVals.n)
+    encodePlainBytes(runVals, out)
+    encodeFFOR(runLens, out)
+  }
+
+  def decodeRleBytes(in: ByteReader): BytesData = {
+    val n = in.readInt()
+    val nRuns = in.readInt()
+    val vals = decodePlainBytes(in)
+    val lens = decodeFFOR(in)
+    val offsets = new Array[Int](n + 1)
+    var total = 0
+    var pos = 0
+    var r = 0
+    while (r < nRuns) {
+      val vLen = vals.offsets(r + 1) - vals.offsets(r)
+      var k = 0
+      val rl = lens(r).toInt
+      while (k < rl) { total += vLen; offsets(pos + k + 1) = total; k += 1 }
+      pos += rl
+      r += 1
+    }
+    val bytes = new Array[Byte](total)
+    pos = 0
+    r = 0
+    while (r < nRuns) {
+      val vStart = vals.offsets(r)
+      val vLen = vals.offsets(r + 1) - vStart
+      var k = 0
+      val rl = lens(r).toInt
+      while (k < rl) {
+        System.arraycopy(vals.bytes, vStart, bytes, offsets(pos + k), vLen)
+        k += 1
+      }
+      pos += rl
+      r += 1
+    }
+    BytesData(offsets, bytes)
+  }
+
+  // ---------- ALP (K5): doubles as 10^e-scaled ints + patched exceptions ----------
+
+  private val Pow10: Array[Double] = (0 to 18).map(e => math.pow(10, e)).toArray
+
+  /** Max |scaled int| we allow: stays exactly representable as double. */
+  private val MaxDigits = 1L << 51
+
+  /** Is v exactly digits/10^e for digits = rint(v*10^e)? Verified with the
+    * same division the decoder performs, so round-trip is bitwise exact. */
+  @inline def alpExact(v: Double, e: Int): Boolean = {
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) false
+    else {
+      val scaled = Math.rint(v * Pow10(e))
+      if (Math.abs(scaled) >= MaxDigits) false
+      else (scaled / Pow10(e)) == v &&
+        !(v == 0.0 && java.lang.Double.doubleToRawLongBits(v) != 0L) // -0.0 → exception
+    }
+  }
+
+  /** Pick the smallest exponent maximizing exact hits on a 1024-sample;
+    * returns (exponent, exactFractionOnSample). */
+  def alpChooseExponent(vs: Array[Double]): (Int, Double) = {
+    val n = vs.length
+    val step = math.max(1, n / VecSize)
+    var bestE = -1
+    var bestHits = -1
+    var sampleN = 0
+    var e = 0
+    while (e <= 14) {
+      var hits = 0
+      var i = 0
+      sampleN = 0
+      while (i < n) { if (alpExact(vs(i), e)) hits += 1; sampleN += 1; i += step }
+      if (hits > bestHits) { bestHits = hits; bestE = e }
+      e += 1
+    }
+    (bestE, if (sampleN == 0) 0.0 else bestHits.toDouble / sampleN)
+  }
+
+  def encodeAlp(vs: Array[Double], e: Int, out: ByteWriter): Unit = {
+    val n = vs.length
+    out.writeInt(n)
+    out.writeByte(e)
+    val ints = new Array[Long](n)
+    var nEx = 0
+    var i = 0
+    while (i < n) {
+      if (alpExact(vs(i), e)) ints(i) = Math.rint(vs(i) * Pow10(e)).toLong
+      else { ints(i) = 0L; nEx += 1 }
+      i += 1
+    }
+    encodeFFOR(ints, out)
+    out.writeInt(nEx)
+    if (nEx > 0) {
+      val exPos = new Array[Long](nEx)
+      val exVal = new Array[Double](nEx)
+      var k = 0
+      i = 0
+      while (i < n) {
+        if (!alpExact(vs(i), e)) { exPos(k) = i.toLong; exVal(k) = vs(i); k += 1 }
+        i += 1
+      }
+      encodeFFOR(exPos, out)
+      var j = 0
+      while (j < nEx) { out.writeDouble(exVal(j)); j += 1 }
+    }
+  }
+
+  def decodeAlp(in: ByteReader): Array[Double] = {
+    val n = in.readInt()
+    val e = in.readByte() & 0xff
+    val ints = decodeFFOR(in)
+    val inv = Pow10(e)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = ints(i) / inv; i += 1 }
+    val nEx = in.readInt()
+    if (nEx > 0) {
+      val exPos = decodeFFOR(in)
+      var k = 0
+      while (k < nEx) { out(exPos(k).toInt) = in.readDouble(); k += 1 }
+    }
+    out
+  }
+
+  // ---------- dispatch ----------
+
+  def decode(bytes: Array[Byte], enc: Int, phys: Int): ColData = {
+    val in = new ByteReader(bytes)
+    (enc, phys) match {
+      case (Enc.PLAIN, Format.Phys.LONG) => LongData(decodePlainLong(in))
+      case (Enc.PLAIN, Format.Phys.DOUBLE) => DoubleData(decodePlainDouble(in))
+      case (Enc.PLAIN, Format.Phys.BYTES) => decodePlainBytes(in)
+      case (Enc.CONSTANT, Format.Phys.LONG) => LongData(decodeConstLong(in))
+      case (Enc.CONSTANT, Format.Phys.DOUBLE) => DoubleData(decodeConstDouble(in))
+      case (Enc.CONSTANT, Format.Phys.BYTES) => decodeConstBytes(in)
+      case (Enc.FFOR, Format.Phys.LONG) => LongData(decodeFFOR(in))
+      case (Enc.DICT, Format.Phys.LONG) => LongData(decodeDictLong(in))
+      case (Enc.DICT, Format.Phys.DOUBLE) => DoubleData(decodeDictDouble(in))
+      case (Enc.DICT, Format.Phys.BYTES) => decodeDictBytes(in)
+      case (Enc.RLE, Format.Phys.LONG) => LongData(decodeRleLong(in))
+      case (Enc.RLE, Format.Phys.DOUBLE) => DoubleData(decodeRleDouble(in))
+      case (Enc.RLE, Format.Phys.BYTES) => decodeRleBytes(in)
+      case (Enc.ALP, Format.Phys.DOUBLE) => DoubleData(decodeAlp(in))
+      case other =>
+        throw new IllegalStateException(s"fls: bad (encoding, phys) pair $other")
+    }
+  }
+}

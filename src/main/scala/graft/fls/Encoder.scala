@@ -1,0 +1,253 @@
+package graft.fls
+
+import scala.collection.mutable
+
+import Format._
+
+/** Writer-side encoding selection: per column, per row group, sample the
+  * data and pick the cheapest encoding by an explicit size model — the
+  * role the external fls library's cascade selection plays for the
+  * reference's writer (/root/reference/src/writer/fls_writer.cpp:33-34,
+  * where `WriteColumn` delegates the choice; SURVEY.md §4 "Encoding
+  * selection at write" marks this as custom work). Deterministic: same
+  * data → same encoding. */
+object Encoder {
+
+  /** Encodes `col` into `out`, returning the SegmentDesc (offset filled
+    * by caller). */
+  def encodeColumn(col: ColData, out: ByteWriter): (Int, SegmentDesc) = {
+    val start = out.size
+    val enc = col match {
+      case LongData(vs) => encodeLong(vs, out)
+      case DoubleData(vs) => encodeDouble(vs, out)
+      case b: BytesData => encodeBytes(b, out)
+    }
+    val stats = statsOf(col)
+    (enc, stats.copy(encoding = enc, offset = start.toLong, length = (out.size - start).toLong))
+  }
+
+  private def statsOf(col: ColData): SegmentDesc = col match {
+    case LongData(vs) if vs.nonEmpty =>
+      var mn = vs(0); var mx = vs(0)
+      var i = 1
+      while (i < vs.length) {
+        val v = vs(i)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      SegmentDesc(0, 0, 0, hasStats = true, mn, mx, 0, 0)
+    case DoubleData(vs) if vs.nonEmpty =>
+      var mn = vs(0); var mx = vs(0)
+      var hasNaN = java.lang.Double.isNaN(vs(0))
+      var i = 1
+      while (i < vs.length) {
+        val v = vs(i)
+        if (java.lang.Double.isNaN(v)) hasNaN = true
+        else { if (v < mn) mn = v; if (v > mx) mx = v }
+        i += 1
+      }
+      // NaN poisons ordering — drop stats rather than emit a wrong zone map.
+      SegmentDesc(0, 0, 0, hasStats = !hasNaN, 0, 0, mn, mx)
+    case _ => SegmentDesc(0, 0, 0, hasStats = false, 0, 0, 0, 0)
+  }
+
+  // ---- long columns ----
+
+  private def encodeLong(vs: Array[Long], out: ByteWriter): Int = {
+    val n = vs.length
+    if (n == 0) { Codecs.encodePlainLong(vs, out); return Enc.PLAIN }
+    var mn = vs(0); var mx = vs(0); var runs = 1
+    var i = 1
+    while (i < n) {
+      val v = vs(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      if (v != vs(i - 1)) runs += 1
+      i += 1
+    }
+    if (mn == mx) { Codecs.encodeConstLong(n, mn, out); return Enc.CONSTANT }
+
+    // distinct scan, capped: dictionary only pays off for small dicts
+    val dictCap = math.min(n / 2, 1 << 16)
+    val seen = new mutable.HashMap[Long, Int]()
+    i = 0
+    while (i < n && seen.size <= dictCap) {
+      val v = vs(i)
+      if (!seen.contains(v)) seen(v) = seen.size
+      i += 1
+    }
+    val nDistinct = if (seen.size > dictCap) Int.MaxValue else seen.size
+
+    val range = mx - mn
+    val rangeBw = // unsigned width of the full range (overflow-safe)
+      if (range < 0) 64 else Codecs.bitWidth(range)
+    val fforCost = n.toLong * rangeBw / 8 + (n / VecSize + 1) * 9L
+    val dictCost =
+      if (nDistinct == Int.MaxValue) Long.MaxValue
+      else nDistinct.toLong * 8 + n.toLong * Codecs.bitWidth(math.max(0, nDistinct - 1).toLong) / 8
+    val rleCost = runs.toLong * 10
+    val minCost = math.min(fforCost, math.min(dictCost, rleCost))
+
+    if (minCost == rleCost) {
+      val runVals = new Array[Long](runs)
+      val runLens = new Array[Long](runs)
+      var r = -1
+      i = 0
+      while (i < n) {
+        if (r < 0 || vs(i) != runVals(r)) { r += 1; runVals(r) = vs(i); runLens(r) = 1 }
+        else runLens(r) += 1
+        i += 1
+      }
+      Codecs.encodeRleLong(n, runVals, runLens, out)
+      Enc.RLE
+    } else if (minCost == dictCost) {
+      val dict = new Array[Long](nDistinct)
+      seen.foreach { case (v, idx) => dict(idx) = v }
+      val codes = new Array[Long](n)
+      i = 0
+      while (i < n) { codes(i) = seen(vs(i)).toLong; i += 1 }
+      Codecs.encodeDictLong(vs, dict, codes, out)
+      Enc.DICT
+    } else {
+      Codecs.encodeFFOR(vs, out)
+      Enc.FFOR
+    }
+  }
+
+  // ---- double columns ----
+
+  private def encodeDouble(vs: Array[Double], out: ByteWriter): Int = {
+    val n = vs.length
+    if (n == 0) { Codecs.encodePlainDouble(vs, out); return Enc.PLAIN }
+    val firstBits = java.lang.Double.doubleToRawLongBits(vs(0))
+    var allSame = true
+    var i = 1
+    while (i < n && allSame) {
+      if (java.lang.Double.doubleToRawLongBits(vs(i)) != firstBits) allSame = false
+      i += 1
+    }
+    if (allSame) { Codecs.encodeConstDouble(n, vs(0), out); return Enc.CONSTANT }
+
+    val (e, exactFrac) = Codecs.alpChooseExponent(vs)
+    if (exactFrac >= 0.8) { Codecs.encodeAlp(vs, e, out); return Enc.ALP }
+
+    // low-cardinality doubles → dictionary (keys by raw bits)
+    val dictCap = math.min(n / 4, 1 << 16)
+    val seen = new mutable.HashMap[Long, Int]()
+    i = 0
+    while (i < n && seen.size <= dictCap) {
+      val b = java.lang.Double.doubleToRawLongBits(vs(i))
+      if (!seen.contains(b)) seen(b) = seen.size
+      i += 1
+    }
+    if (seen.size <= dictCap) {
+      val dict = new Array[Double](seen.size)
+      seen.foreach { case (bits, idx) => dict(idx) = java.lang.Double.longBitsToDouble(bits) }
+      val codes = new Array[Long](n)
+      i = 0
+      while (i < n) { codes(i) = seen(java.lang.Double.doubleToRawLongBits(vs(i))).toLong; i += 1 }
+      Codecs.encodeDictDouble(n, dict, codes, out)
+      Enc.DICT
+    } else {
+      Codecs.encodePlainDouble(vs, out)
+      Enc.PLAIN
+    }
+  }
+
+  // ---- bytes columns ----
+
+  private final class BytesKey(val bytes: Array[Byte], val start: Int, val end: Int) {
+    override val hashCode: Int = {
+      var h = 1
+      var i = start
+      while (i < end) { h = 31 * h + bytes(i); i += 1 }
+      h
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: BytesKey =>
+        (end - start) == (k.end - k.start) && {
+          var i = start; var j = k.start
+          var eq = true
+          while (eq && i < end) { eq = bytes(i) == k.bytes(j); i += 1; j += 1 }
+          eq
+        }
+      case _ => false
+    }
+  }
+
+  private def encodeBytes(d: BytesData, out: ByteWriter): Int = {
+    val n = d.n
+    if (n == 0) { Codecs.encodePlainBytes(d, out); return Enc.PLAIN }
+
+    def key(i: Int) = new BytesKey(d.bytes, d.offsets(i), d.offsets(i + 1))
+
+    var runs = 1
+    var i = 1
+    while (i < n) { if (key(i) != key(i - 1)) runs += 1; i += 1 }
+
+    val dictCap = math.min(math.max(16, n / 2), 1 << 16)
+    val seen = new mutable.HashMap[BytesKey, Int]()
+    i = 0
+    while (i < n && seen.size <= dictCap) {
+      val k = key(i)
+      if (!seen.contains(k)) seen(k) = seen.size
+      i += 1
+    }
+    val nDistinct = if (seen.size > dictCap) Int.MaxValue else seen.size
+
+    if (nDistinct == 1) {
+      val v = java.util.Arrays.copyOfRange(d.bytes, d.offsets(0), d.offsets(1))
+      Codecs.encodeConstBytes(n, v, out)
+      Enc.CONSTANT
+    } else if (nDistinct != Int.MaxValue && runs <= n / 4 && runs <= nDistinct * 4) {
+      val runVals = mutable.ArrayBuilder.make[Byte]
+      val runOffsets = mutable.ArrayBuilder.make[Int]
+      val runLens = mutable.ArrayBuilder.make[Long]
+      runOffsets += 0
+      var total = 0
+      var curStart = 0
+      i = 1
+      while (i <= n) {
+        if (i == n || key(i) != key(i - 1)) {
+          val s = d.offsets(curStart); val e2 = d.offsets(curStart + 1)
+          var j = s
+          while (j < e2) { runVals += d.bytes(j); j += 1 }
+          total += e2 - s
+          runOffsets += total
+          runLens += (i - curStart).toLong
+          curStart = i
+        }
+        i += 1
+      }
+      Codecs.encodeRleBytes(n, BytesData(runOffsets.result(), runVals.result()), runLens.result(), out)
+      Enc.RLE
+    } else if (nDistinct != Int.MaxValue && nDistinct <= n / 2) {
+      val dictOffsets = new Array[Int](nDistinct + 1)
+      val ordered = new Array[BytesKey](nDistinct)
+      seen.foreach { case (k, idx) => ordered(idx) = k }
+      var total = 0
+      i = 0
+      while (i < nDistinct) {
+        total += ordered(i).end - ordered(i).start
+        dictOffsets(i + 1) = total
+        i += 1
+      }
+      val dictBytes = new Array[Byte](total)
+      i = 0
+      while (i < nDistinct) {
+        val k = ordered(i)
+        System.arraycopy(k.bytes, k.start, dictBytes, dictOffsets(i), k.end - k.start)
+        i += 1
+      }
+      val codes = new Array[Long](n)
+      i = 0
+      while (i < n) { codes(i) = seen(key(i)).toLong; i += 1 }
+      Codecs.encodeDictBytes(n, BytesData(dictOffsets, dictBytes), codes, out)
+      Enc.DICT
+    } else {
+      Codecs.encodePlainBytes(d, out)
+      Enc.PLAIN
+    }
+  }
+}

@@ -1,0 +1,105 @@
+package graft.fls
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
+
+import Format._
+
+/** File-level writer: header, streamed row groups, inline footer.
+  * One file holds one table (SURVEY.md §1.1). All IO goes through the
+  * Hadoop FileSystem API so paths work identically on local disk, HDFS,
+  * or object stores on a real cluster. */
+final class FlsFileWriter(path: Path, conf: Configuration, schema: Array[ColumnDesc]) {
+  private val fs = path.getFileSystem(conf)
+  private val out = fs.create(path, true)
+  private var pos: Long = 0L
+  private val rowGroups = scala.collection.mutable.ArrayBuffer[RowGroupDesc]()
+
+  out.write(Magic); out.write(Version.toInt); pos += 5
+
+  def writeRowGroup(cols: Array[ColData]): Unit = {
+    require(cols.length == schema.length, "column count mismatch")
+    val n = if (cols.isEmpty) 0 else cols(0).n
+    val segs = new Array[SegmentDesc](cols.length)
+    var c = 0
+    while (c < cols.length) {
+      require(cols(c).n == n, "ragged row group")
+      val w = new ByteWriter()
+      val (_, desc) = Encoder.encodeColumn(cols(c), w)
+      val bytes = w.toArray
+      out.write(bytes)
+      segs(c) = desc.copy(offset = pos, length = bytes.length.toLong)
+      pos += bytes.length
+      c += 1
+    }
+    rowGroups += RowGroupDesc(n, segs)
+  }
+
+  def numRowGroups: Int = rowGroups.length
+
+  def close(): Unit = {
+    val fw = new ByteWriter()
+    Format.writeFooter(fw, TableDesc(schema, rowGroups.toArray))
+    val footer = fw.toArray
+    out.write(footer)
+    val tail = new ByteWriter()
+    tail.writeLong(footer.length.toLong)
+    out.write(tail.toArray)
+    out.write(Magic)
+    out.close()
+  }
+
+  def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    try fs.delete(path, false) catch { case _: Throwable => () }
+  }
+}
+
+/** File-level reader: footer parse on open; segment reads are
+  * positioned (seek + read exactly the projected column's byte range),
+  * so projection pushdown prunes IO, not just decode (≙ reference
+  * projection plan, /root/reference/src/reader/fls_reader.cpp:560-613). */
+final class FlsFileReader(val path: Path, conf: Configuration) extends AutoCloseable {
+  private val fs = path.getFileSystem(conf)
+  val fileSize: Long = fs.getFileStatus(path).getLen
+  private var in: FSDataInputStream = fs.open(path)
+
+  val table: TableDesc = {
+    val tailLen = 12
+    val tail = new Array[Byte](tailLen)
+    in.readFully(fileSize - tailLen, tail)
+    require(tail(8) == 'F' && tail(9) == 'L' && tail(10) == 'S' && tail(11) == '1',
+      s"not an fls file: $path")
+    val footerLen = new ByteReader(tail).readLong().toInt
+    val footer = new Array[Byte](footerLen)
+    in.readFully(fileSize - tailLen - footerLen, footer)
+    Format.readFooter(new ByteReader(footer))
+  }
+
+  def readSegmentBytes(seg: SegmentDesc): Array[Byte] = {
+    val bytes = new Array[Byte](seg.length.toInt)
+    in.readFully(seg.offset, bytes)
+    bytes
+  }
+
+  def decodeSegment(rgIdx: Int, colIdx: Int): ColData = {
+    val seg = table.rowGroups(rgIdx).segments(colIdx)
+    val phys = Format.physOf(table.columns(colIdx).colType.tag)
+    Codecs.decode(readSegmentBytes(seg), seg.encoding, phys)
+  }
+
+  override def close(): Unit = if (in != null) { in.close(); in = null }
+}
+
+object FlsFile {
+  /** List the .fls data files under a path (a file or a directory). */
+  def listDataFiles(path: Path, conf: Configuration): Seq[Path] = {
+    val fs = path.getFileSystem(conf)
+    val st = fs.getFileStatus(path)
+    if (st.isFile) Seq(path)
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".fls"))
+      .sortBy(_.getPath.getName)
+      .map(_.getPath)
+  }
+}

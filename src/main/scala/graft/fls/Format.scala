@@ -1,0 +1,188 @@
+package graft.fls
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.types._
+
+/** On-disk spec of the `.fls`-analog columnar format.
+  *
+  * Brand-new binary layout (NOT the reference's FlatBuffers layout — we
+  * only read what we write, mirroring the reference's self-describing
+  * footer idea, /root/reference/src/reader/fls_reader.cpp:106-143):
+  *
+  * {{{
+  * file   := MAGIC(4) version(u8) rowGroup* footer footerLen(i64) MAGIC(4)
+  * footer := schema rowGroupDescriptor*
+  * }}}
+  *
+  * A file holds one table; a table is a list of row groups; each row
+  * group holds per-column encoded segments (SURVEY.md §1.1). Vector size
+  * is 1024 (the FFOR/ALP block unit, ≙ fastlanes::CFG::VEC_SZ); default
+  * row-group size is 64 * 1024 = 65,536 tuples, matching the reference
+  * writer default (/root/reference/src/include/writer/fls_writer.hpp:14).
+  *
+  * NULLs are not supported by the format (reference parity:
+  * /root/reference/src/reader/fls_reader.cpp:200-210); the writer
+  * rejects null input and the reader declares nullable=false.
+  */
+object Format {
+  val Magic: Array[Byte] = "FLS1".getBytes(StandardCharsets.US_ASCII)
+  val Version: Byte = 1
+  val VecSize: Int = 1024
+  val DefaultVecsPerRowGroup: Int = 64
+  val DefaultRowGroupSize: Int = VecSize * DefaultVecsPerRowGroup
+  /** Scan emits 2 vectors per batch like the reference
+    * (/root/reference/src/reader/fls_reader.cpp:430). */
+  val BatchSize: Int = VecSize * 2
+
+  /** Logical type tags persisted in the footer. */
+  object TypeTag {
+    val BOOLEAN = 0; val INT8 = 1; val INT16 = 2; val INT32 = 3
+    val INT64 = 4; val FLOAT = 5; val DOUBLE = 6; val STRING = 7
+    val BINARY = 8; val DATE = 9; val TIMESTAMP = 10; val DECIMAL = 11
+    val TIMESTAMP_NTZ = 12; val BIG_DECIMAL = 13
+  }
+
+  /** Encoding tokens. Each column segment in each row group carries one;
+    * the chain semantics (dict codes / ALP ints are themselves
+    * FFOR-packed) live inside the codec (SURVEY.md §2.A'). */
+  object Enc {
+    val PLAIN = 0        // K1: verbatim values
+    val CONSTANT = 1     // K2: whole-row-group single value
+    val FFOR = 2         // K3: per-1024-block frame-of-reference + bit-pack
+    val DICT = 3         // K7/K8: dictionary + FFOR-packed codes
+    val RLE = 4          // K13/K14: run values + FFOR-packed run lengths
+    val ALP = 5          // K5: doubles as scaled ints + exceptions
+  }
+
+  /** Physical representation a logical type decodes through. */
+  object Phys {
+    val LONG = 0   // bool/int8..64/date/ts/decimal(<=18)
+    val DOUBLE = 1 // float/double
+    val BYTES = 2  // string/binary/decimal(>18)
+  }
+
+  def physOf(tag: Int): Int = tag match {
+    case TypeTag.FLOAT | TypeTag.DOUBLE => Phys.DOUBLE
+    case TypeTag.STRING | TypeTag.BINARY | TypeTag.BIG_DECIMAL => Phys.BYTES
+    case _ => Phys.LONG
+  }
+
+  final case class ColumnType(tag: Int, precision: Int = 0, scale: Int = 0) {
+    def toSpark: DataType = tag match {
+      case TypeTag.BOOLEAN => BooleanType
+      case TypeTag.INT8 => ByteType
+      case TypeTag.INT16 => ShortType
+      case TypeTag.INT32 => IntegerType
+      case TypeTag.INT64 => LongType
+      case TypeTag.FLOAT => FloatType
+      case TypeTag.DOUBLE => DoubleType
+      case TypeTag.STRING => StringType
+      case TypeTag.BINARY => BinaryType
+      case TypeTag.DATE => DateType
+      case TypeTag.TIMESTAMP => TimestampType
+      case TypeTag.TIMESTAMP_NTZ => TimestampNTZType
+      case TypeTag.DECIMAL | TypeTag.BIG_DECIMAL => DecimalType(precision, scale)
+    }
+  }
+
+  object ColumnType {
+    /** Spark → format mapping (SURVEY.md §1.2 / §1.3). Unsupported types
+      * (nested, interval…) are rejected like the reference writer
+      * (/root/reference/src/writer/fls_view_writer.cpp:92). */
+    def fromSpark(dt: DataType): ColumnType = dt match {
+      case BooleanType => ColumnType(TypeTag.BOOLEAN)
+      case ByteType => ColumnType(TypeTag.INT8)
+      case ShortType => ColumnType(TypeTag.INT16)
+      case IntegerType => ColumnType(TypeTag.INT32)
+      case LongType => ColumnType(TypeTag.INT64)
+      case FloatType => ColumnType(TypeTag.FLOAT)
+      case DoubleType => ColumnType(TypeTag.DOUBLE)
+      case StringType => ColumnType(TypeTag.STRING)
+      case BinaryType => ColumnType(TypeTag.BINARY)
+      case DateType => ColumnType(TypeTag.DATE)
+      case TimestampType => ColumnType(TypeTag.TIMESTAMP)
+      case TimestampNTZType => ColumnType(TypeTag.TIMESTAMP_NTZ)
+      case d: DecimalType if d.precision <= 18 =>
+        ColumnType(TypeTag.DECIMAL, d.precision, d.scale)
+      case d: DecimalType =>
+        ColumnType(TypeTag.BIG_DECIMAL, d.precision, d.scale)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"fls: unsupported column type $other")
+    }
+  }
+
+  /** Per-column, per-row-group segment descriptor: where the bytes live
+    * and how they decode, plus min/max zone-map stats for LONG/DOUBLE
+    * physical columns (strings are stats-less, like the reference —
+    * /root/reference/src/reader/row_group_statistics.cpp:60-152). */
+  final case class SegmentDesc(
+      encoding: Int,
+      offset: Long,
+      length: Long,
+      hasStats: Boolean,
+      minLong: Long, maxLong: Long,
+      minDouble: Double, maxDouble: Double)
+
+  final case class RowGroupDesc(nTuples: Int, segments: Array[SegmentDesc])
+
+  final case class ColumnDesc(name: String, colType: ColumnType)
+
+  final case class TableDesc(
+      columns: Array[ColumnDesc],
+      rowGroups: Array[RowGroupDesc]) {
+    def numRows: Long = rowGroups.map(_.nTuples.toLong).sum
+    def sparkSchema: StructType =
+      StructType(columns.map(c =>
+        StructField(c.name, c.colType.toSpark, nullable = false)))
+  }
+
+  // ---- footer serialization (little-endian, via ByteIO) ----
+
+  def writeFooter(out: ByteWriter, t: TableDesc): Unit = {
+    out.writeInt(t.columns.length)
+    t.columns.foreach { c =>
+      out.writeString(c.name)
+      out.writeInt(c.colType.tag)
+      out.writeInt(c.colType.precision)
+      out.writeInt(c.colType.scale)
+    }
+    out.writeInt(t.rowGroups.length)
+    t.rowGroups.foreach { rg =>
+      out.writeInt(rg.nTuples)
+      require(rg.segments.length == t.columns.length)
+      rg.segments.foreach { s =>
+        out.writeByte(s.encoding)
+        out.writeLong(s.offset)
+        out.writeLong(s.length)
+        out.writeByte(if (s.hasStats) 1 else 0)
+        out.writeLong(s.minLong); out.writeLong(s.maxLong)
+        out.writeDouble(s.minDouble); out.writeDouble(s.maxDouble)
+      }
+    }
+  }
+
+  def readFooter(in: ByteReader): TableDesc = {
+    val nCols = in.readInt()
+    val cols = Array.fill(nCols) {
+      val name = in.readString()
+      val tag = in.readInt(); val p = in.readInt(); val s = in.readInt()
+      ColumnDesc(name, ColumnType(tag, p, s))
+    }
+    val nRg = in.readInt()
+    val rgs = Array.fill(nRg) {
+      val n = in.readInt()
+      val segs = Array.fill(nCols) {
+        val enc = in.readByte().toInt
+        val off = in.readLong(); val len = in.readLong()
+        val hs = in.readByte() == 1
+        val mnL = in.readLong(); val mxL = in.readLong()
+        val mnD = in.readDouble(); val mxD = in.readDouble()
+        SegmentDesc(enc, off, len, hs, mnL, mxL, mnD, mxD)
+      }
+      RowGroupDesc(n, segs)
+    }
+    TableDesc(cols, rgs)
+  }
+}

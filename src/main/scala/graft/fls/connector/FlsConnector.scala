@@ -1,0 +1,290 @@
+package graft.fls.connector
+
+import java.util.{OptionalLong, UUID}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.fls._
+import graft.fls.Format._
+
+/** DataSource V2 connector for the `.fls`-analog columnar format —
+  * the Spark-native re-expression of the reference's two entry points
+  * (SURVEY.md §0): the `read_fls` table function
+  * (/root/reference/src/read_fls.cpp:32-46) becomes this provider's
+  * scan; `COPY TO (FORMAT fls)` (/root/reference/src/write_fls.cpp:8-29)
+  * becomes its write.
+  *
+  * Usage:
+  * {{{
+  *   df.write.format("fls").mode("overwrite")
+  *     .option("row_group_size", 65536).save(dir)
+  *   spark.read.format("fls").load(dir)
+  * }}}
+  *
+  * Scale model: one InputPartition per (file, row group) — the same
+  * parallelism unit the reference uses one thread per row group for
+  * (/root/reference/src/reader/fls_multi_file_info.cpp:99-110) — so a
+  * 1000-executor cluster schedules row groups exactly like any parquet
+  * scan. Row-group descriptors are serialized INTO the partition, so
+  * executors never re-read footers (SURVEY.md §7.4).
+  */
+class FlsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fls"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val paths = FlsDataSource.parsePaths(options)
+    require(paths.nonEmpty, "fls: no path specified")
+    val files = FlsFile.listDataFiles(new Path(paths.head), hadoopConf)
+    require(files.nonEmpty, s"fls: no .fls files under ${paths.head}")
+    val r = new FlsFileReader(files.head, hadoopConf)
+    val base = try r.table.sparkSchema finally r.close()
+    // Virtual columns opt in via reader options, like the reference's
+    // read_fls named parameters (/root/reference/src/read_fls.cpp:32-46).
+    var s = base
+    if (options.getBoolean(FlsVirtual.RowNumber, false))
+      s = StructType(s.fields :+ StructField(FlsVirtual.RowNumber, LongType, nullable = false))
+    if (options.getBoolean(FlsVirtual.FileIndex, false))
+      s = StructType(s.fields :+ StructField(FlsVirtual.FileIndex, LongType, nullable = false))
+    s
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new FlsTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object FlsDataSource {
+  /** Spark passes one path as "path", several as a JSON array "paths". */
+  def parsePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val multi = Option(options.get("paths")).map(parseJsonStringArray).getOrElse(Nil)
+    val single = Option(options.get("path")).toSeq
+    (single ++ multi).distinct
+  }
+
+  private def parseJsonStringArray(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (s(i) != '"') {
+          if (s(i) == '\\') { i += 1; sb.append(s(i) match {
+            case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+            case 'u' => val c = Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar; i += 4; c
+            case c => c })
+          } else sb.append(s(i))
+          i += 1
+        }
+        out += sb.toString
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+}
+
+class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"fls:${FlsDataSource.parsePaths(options).mkString(",")}"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(readOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new FlsScanBuilder(schema, readOptions)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FlsWriteBuilder(info)
+}
+
+// ---------------------------------------------------------------- read
+
+class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit = { requiredSchema = required }
+
+  /** Accept every filter for zone-map skipping but return ALL as
+    * residual so Catalyst re-applies them row-level — mirroring the
+    * reference which keeps engine-side pruning on
+    * (/root/reference/src/read_fls.cpp:41-42) while the scan also
+    * filters (SURVEY.md §2.A5). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(FlsZoneMap.usable)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new FlsScan(tableSchema, requiredSchema, pushed, options)
+}
+
+class FlsScan(
+    tableSchema: StructType,
+    requiredSchema: StructType,
+    filters: Array[Filter],
+    options: CaseInsensitiveStringMap)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"fls scan, pushed=[${filters.mkString(", ")}], cols=[${requiredSchema.fieldNames.mkString(",")}]"
+
+  private def hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  private lazy val files: Seq[(Path, TableDesc, Long)] = {
+    val conf = hadoopConf
+    FlsDataSource.parsePaths(options).flatMap { p =>
+      FlsFile.listDataFiles(new Path(p), conf)
+    }.distinct.map { f =>
+      val r = new FlsFileReader(f, conf)
+      try (f, r.table, r.fileSize) finally r.close()
+    }
+  }
+
+  /** Zone-map row-group pruning happens HERE, once, on the driver —
+    * the planner-side equivalent of the reference's lazily-built skip
+    * list (/root/reference/src/reader/row_group_filter.cpp:62-73;
+    * SURVEY.md §3.1 step 4). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = mutable.ArrayBuffer[InputPartition]()
+    files.zipWithIndex.foreach { case ((file, table, _), fileIdx) =>
+      val nameToIdx = table.columns.map(_.name).zipWithIndex.toMap
+      var rowStart = 0L
+      table.rowGroups.foreach { rg =>
+        if (FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, filters, rowStart)) {
+          parts += FlsInputPartition(file.toString, rg, table.columns, rowStart, fileIdx)
+        }
+        rowStart += rg.nTuples
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FlsReaderFactory(readSchema(), new SerializableConfiguration(hadoopConf))
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = files.map(_._2.numRows).sum
+    private val bytes = {
+      val raw = files.map(_._3).sum
+      val frac =
+        if (tableSchema.fields.isEmpty) 1.0
+        else requiredSchema.fields.length.toDouble / tableSchema.fields.length
+      math.max(1L, (raw * frac).toLong)
+    }
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+    override def numRows(): OptionalLong = OptionalLong.of(rows)
+  }
+}
+
+/** Fully self-contained scan unit: one row group of one file, with its
+  * descriptor and the file's column list serialized in (no executor-side
+  * footer read). `fileRowStart` seeds the `file_row_number` virtual
+  * column (≙ reference A10,
+  * /root/reference/src/reader/fls_reader.cpp:474-495). */
+case class FlsInputPartition(
+    file: String,
+    rowGroup: RowGroupDesc,
+    fileColumns: Array[ColumnDesc],
+    fileRowStart: Long,
+    fileIndex: Int) extends InputPartition
+
+class FlsReaderFactory(readSchema: StructType, conf: SerializableConfiguration)
+  extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    throw new UnsupportedOperationException("fls scan is columnar-only")
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new FlsPartitionReader(partition.asInstanceOf[FlsInputPartition], readSchema, conf.value)
+}
+
+// --------------------------------------------------------------- write
+
+class FlsWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new FlsBatchWrite(info, doTruncate)
+  }
+}
+
+class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWrite {
+  private val options = info.options()
+  private val path = FlsDataSource.parsePaths(options).headOption
+    .getOrElse(throw new IllegalArgumentException("fls write: no path"))
+  private val rowGroupSize = options.getInt("row_group_size", DefaultRowGroupSize)
+  private val rowGroupsPerFile = options.getInt("row_groups_per_file", 0)
+
+  require(rowGroupSize > 0 && rowGroupSize % VecSize == 0,
+    // reference writer requires a multiple of the vector size
+    // (/root/reference/src/include/writer/fls_writer.hpp:13)
+    s"fls: row_group_size must be a positive multiple of $VecSize, got $rowGroupSize")
+
+  override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (doTruncate && fs.exists(dir)) {
+      fs.listStatus(dir).foreach { s =>
+        if (s.isFile && s.getPath.getName.endsWith(".fls")) fs.delete(s.getPath, false)
+      }
+    }
+    fs.mkdirs(dir)
+    FlsWriterFactory(path, info.schema(), rowGroupSize, rowGroupsPerFile,
+      new SerializableConfiguration(conf), UUID.randomUUID().toString)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class FlsWriterFactory(
+    dir: String,
+    schema: StructType,
+    rowGroupSize: Int,
+    rowGroupsPerFile: Int,
+    conf: SerializableConfiguration,
+    writeId: String) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new FlsDataWriter(dir, schema, rowGroupSize, rowGroupsPerFile,
+      conf.value, f"part-$partitionId%05d-$writeId")
+}

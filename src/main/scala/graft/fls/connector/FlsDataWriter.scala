@@ -1,0 +1,149 @@
+package graft.fls.connector
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
+import org.apache.spark.sql.types._
+
+import graft.fls._
+import graft.fls.Format._
+
+/** Per-task writer: buffers rows into columnar builders, flushes a row
+  * group at exactly `rowGroupSize` rows, rotates files after
+  * `rowGroupsPerFile` row groups (≙ reference Sink + RotateFiles,
+  * /root/reference/src/writer/fls_writer.cpp:46-102,189-211). Task
+  * leftovers flush as a final short row group — Spark has no cross-task
+  * Combine; SURVEY.md §2.A16 documents this divergence. NULL input is
+  * rejected (format stores no NULLs, SURVEY.md §1.1). */
+class FlsDataWriter(
+    dir: String,
+    schema: StructType,
+    rowGroupSize: Int,
+    rowGroupsPerFile: Int,
+    conf: Configuration,
+    baseName: String)
+  extends DataWriter[InternalRow] {
+
+  private val colTypes: Array[ColumnType] =
+    schema.fields.map(f => ColumnType.fromSpark(f.dataType))
+  private val colDescs: Array[ColumnDesc] =
+    schema.fields.zip(colTypes).map { case (f, t) => ColumnDesc(f.name, t) }
+
+  private sealed trait Builder {
+    def add(row: InternalRow, ord: Int): Unit
+    def result(): ColData
+    def clear(): Unit
+  }
+
+  private final class LongBuilder(get: (InternalRow, Int) => Long) extends Builder {
+    private var arr = new Array[Long](rowGroupSize)
+    private var n = 0
+    def add(row: InternalRow, ord: Int): Unit = { arr(n) = get(row, ord); n += 1 }
+    def result(): ColData = LongData(java.util.Arrays.copyOf(arr, n))
+    def clear(): Unit = n = 0
+  }
+
+  private final class DoubleBuilder(get: (InternalRow, Int) => Double) extends Builder {
+    private var arr = new Array[Double](rowGroupSize)
+    private var n = 0
+    def add(row: InternalRow, ord: Int): Unit = { arr(n) = get(row, ord); n += 1 }
+    def result(): ColData = DoubleData(java.util.Arrays.copyOf(arr, n))
+    def clear(): Unit = n = 0
+  }
+
+  private final class BytesBuilder(get: (InternalRow, Int) => Array[Byte]) extends Builder {
+    private var offsets = new Array[Int](rowGroupSize + 1)
+    private var bytes = new Array[Byte](rowGroupSize * 8)
+    private var n = 0
+    def add(row: InternalRow, ord: Int): Unit = {
+      val b = get(row, ord)
+      val end = offsets(n) + b.length
+      if (end > bytes.length) {
+        var cap = bytes.length
+        while (cap < end) cap <<= 1
+        bytes = java.util.Arrays.copyOf(bytes, cap)
+      }
+      System.arraycopy(b, 0, bytes, offsets(n), b.length)
+      offsets(n + 1) = end
+      n += 1
+    }
+    def result(): ColData =
+      BytesData(java.util.Arrays.copyOf(offsets, n + 1),
+        java.util.Arrays.copyOf(bytes, offsets(n)))
+    def clear(): Unit = n = 0
+  }
+
+  private def mkBuilder(f: StructField): Builder = f.dataType match {
+    case BooleanType => new LongBuilder((r, i) => if (r.getBoolean(i)) 1L else 0L)
+    case ByteType => new LongBuilder((r, i) => r.getByte(i).toLong)
+    case ShortType => new LongBuilder((r, i) => r.getShort(i).toLong)
+    case IntegerType | DateType => new LongBuilder((r, i) => r.getInt(i).toLong)
+    case LongType | TimestampType | TimestampNTZType => new LongBuilder((r, i) => r.getLong(i))
+    case FloatType => new DoubleBuilder((r, i) => r.getFloat(i).toDouble)
+    case DoubleType => new DoubleBuilder((r, i) => r.getDouble(i))
+    case StringType => new BytesBuilder((r, i) => r.getUTF8String(i).getBytes)
+    case BinaryType => new BytesBuilder((r, i) => r.getBinary(i))
+    case d: DecimalType if d.precision <= 18 =>
+      new LongBuilder((r, i) => r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+    case d: DecimalType =>
+      new BytesBuilder((r, i) =>
+        r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+          .unscaledValue().toByteArray)
+    case other =>
+      throw new UnsupportedOperationException(s"fls write: unsupported type $other")
+  }
+
+  private val builders: Array[Builder] = schema.fields.map(mkBuilder)
+  private var rowsInGroup = 0
+  private var fileSeq = 0
+  private var writer: FlsFileWriter = _
+  private val written = scala.collection.mutable.ArrayBuffer[String]()
+
+  override def write(row: InternalRow): Unit = {
+    var c = 0
+    while (c < builders.length) {
+      if (row.isNullAt(c))
+        throw new UnsupportedOperationException(
+          s"fls: NULL in column '${schema.fields(c).name}' — the format stores no NULLs " +
+            "(reference parity); coalesce() nulls away before writing")
+      builders(c).add(row, c)
+      c += 1
+    }
+    rowsInGroup += 1
+    if (rowsInGroup == rowGroupSize) flushRowGroup()
+  }
+
+  private def ensureWriter(): Unit =
+    if (writer == null) {
+      val p = new Path(dir, f"$baseName-$fileSeq%04d.fls")
+      written += p.toString
+      fileSeq += 1
+      writer = new FlsFileWriter(p, conf, colDescs)
+    }
+
+  private def flushRowGroup(): Unit = {
+    if (rowsInGroup > 0) {
+      ensureWriter()
+      writer.writeRowGroup(builders.map(_.result()))
+      builders.foreach(_.clear())
+      rowsInGroup = 0
+      if (rowGroupsPerFile > 0 && writer.numRowGroups >= rowGroupsPerFile) {
+        writer.close()
+        writer = null
+      }
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushRowGroup()
+    if (writer != null) { writer.close(); writer = null }
+    FlsCommitMessage(written.toArray)
+  }
+
+  override def abort(): Unit = if (writer != null) { writer.abort(); writer = null }
+
+  override def close(): Unit = ()
+}
+
+case class FlsCommitMessage(files: Array[String]) extends WriterCommitMessage

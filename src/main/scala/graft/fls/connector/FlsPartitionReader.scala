@@ -1,0 +1,144 @@
+package graft.fls.connector
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.PartitionReader
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+import graft.fls._
+import graft.fls.Format._
+
+/** Executor-side scan of ONE row group: positioned reads of exactly the
+  * projected segments, full-row-group decode, then 2048-row ColumnarBatch
+  * slices (reference scan granule, /root/reference/src/reader/
+  * fls_reader.cpp:430,516-547). Virtual columns `file_row_number` /
+  * `file_index` are synthesized here (≙ PopulateVirtualColumns,
+  * fls_reader.cpp:474-495). */
+class FlsPartitionReader(
+    part: FlsInputPartition,
+    readSchema: StructType,
+    conf: Configuration)
+  extends PartitionReader[ColumnarBatch] {
+
+  private val nTuples = part.rowGroup.nTuples
+  private var rowPos = 0
+  private var decoded: Array[ColData] = _ // null slots = virtual columns
+  private val vectors: Array[OnHeapColumnVector] =
+    readSchema.fields.map(f => new OnHeapColumnVector(BatchSize, f.dataType))
+  private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+
+  private def init(): Unit = {
+    val path = new Path(part.file)
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    try {
+      decoded = readSchema.fields.map { f =>
+        val idx = part.fileColumns.indexWhere(_.name == f.name)
+        if (idx < 0) {
+          if (f.name == FlsVirtual.RowNumber || f.name == FlsVirtual.FileIndex) null
+          else throw new IllegalArgumentException(
+            s"fls: column ${f.name} not present in ${part.file}")
+        } else {
+          val seg = part.rowGroup.segments(idx)
+          val bytes = new Array[Byte](seg.length.toInt)
+          in.readFully(seg.offset, bytes)
+          Codecs.decode(bytes, seg.encoding, physOf(part.fileColumns(idx).colType.tag))
+        }
+      }
+    } finally in.close()
+  }
+
+  override def next(): Boolean = {
+    if (decoded == null) init()
+    if (rowPos >= nTuples) return false
+    val len = math.min(BatchSize, nTuples - rowPos)
+    var c = 0
+    while (c < vectors.length) {
+      vectors(c).reset()
+      fill(vectors(c), readSchema.fields(c), decoded(c), rowPos, len)
+      c += 1
+    }
+    batch.setNumRows(len)
+    rowPos += len
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = ()
+
+  private def fill(
+      vec: OnHeapColumnVector,
+      field: StructField,
+      data: ColData,
+      start: Int,
+      len: Int): Unit = {
+    (data, field.dataType) match {
+      case (null, LongType) =>
+        // virtual columns
+        val base =
+          if (field.name == FlsVirtual.FileIndex) -1L else part.fileRowStart + start
+        var i = 0
+        if (field.name == FlsVirtual.FileIndex) {
+          while (i < len) { vec.putLong(i, part.fileIndex.toLong); i += 1 }
+        } else {
+          while (i < len) { vec.putLong(i, base + i); i += 1 }
+        }
+      case (LongData(vs), LongType | TimestampType | TimestampNTZType) =>
+        vec.putLongs(0, len, vs, start)
+      case (LongData(vs), IntegerType | DateType) =>
+        var i = 0
+        while (i < len) { vec.putInt(i, vs(start + i).toInt); i += 1 }
+      case (LongData(vs), ShortType) =>
+        var i = 0
+        while (i < len) { vec.putShort(i, vs(start + i).toShort); i += 1 }
+      case (LongData(vs), ByteType) =>
+        var i = 0
+        while (i < len) { vec.putByte(i, vs(start + i).toByte); i += 1 }
+      case (LongData(vs), BooleanType) =>
+        var i = 0
+        while (i < len) { vec.putBoolean(i, vs(start + i) != 0L); i += 1 }
+      case (LongData(vs), d: DecimalType) if d.precision <= 9 =>
+        var i = 0
+        while (i < len) { vec.putInt(i, vs(start + i).toInt); i += 1 }
+      case (LongData(vs), d: DecimalType) if d.precision <= 18 =>
+        vec.putLongs(0, len, vs, start)
+      case (DoubleData(vs), DoubleType) =>
+        vec.putDoubles(0, len, vs, start)
+      case (DoubleData(vs), FloatType) =>
+        var i = 0
+        while (i < len) { vec.putFloat(i, vs(start + i).toFloat); i += 1 }
+      case (b: BytesData, StringType | BinaryType) =>
+        var i = 0
+        while (i < len) {
+          val s = b.offsets(start + i)
+          vec.putByteArray(i, b.bytes, s, b.offsets(start + i + 1) - s)
+          i += 1
+        }
+      case (b: BytesData, d: DecimalType) =>
+        var i = 0
+        while (i < len) {
+          val s = b.offsets(start + i)
+          val unscaled = new java.math.BigInteger(
+            java.util.Arrays.copyOfRange(b.bytes, s, b.offsets(start + i + 1)))
+          vec.putDecimal(i,
+            org.apache.spark.sql.types.Decimal(
+              new java.math.BigDecimal(unscaled, d.scale), d.precision, d.scale),
+            d.precision)
+          i += 1
+        }
+      case (d, t) =>
+        throw new IllegalStateException(s"fls: cannot fill $t from ${d.getClass.getSimpleName}")
+    }
+  }
+}
+
+object FlsVirtual {
+  /** Virtual column names (≙ reference's read_fls named columns,
+    * /root/reference/src/read_fls.cpp:13-18). Enabled per-read via
+    * options of the same name. */
+  val RowNumber = "file_row_number"
+  val FileIndex = "file_index"
+}

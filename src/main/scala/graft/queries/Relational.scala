@@ -23,8 +23,11 @@ object Relational {
 
   /** TPC-H Q1 (reference's canonical benchmark query,
     * /root/reference/test/sql/simple.test:40). */
-  def q01TpchQ1(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir, "lineitem")
+  def q01TpchQ1(spark: SparkSession, dir: String): DataFrame =
+    q01From(t(spark, dir, "lineitem"))
+
+  /** Q1 body over any lineitem-shaped source (parquet or fls). */
+  def q01From(li: DataFrame): DataFrame = {
     li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -59,8 +62,10 @@ object Relational {
   /** Filter with timestamp cast + projection — exercises parquet
     * predicate pushdown + column pruning (scan must show PushedFilters). */
   def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+    q02From(t(spark, dir, "lineitem"))
+
+  def q02From(li: DataFrame): DataFrame =
+    li.filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
               col("l_shipdate") <  lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
               col("l_discount") < lit(0.05) && col("l_quantity") > lit(30.0))
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")

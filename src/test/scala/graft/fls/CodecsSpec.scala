@@ -1,0 +1,167 @@
+package graft.fls
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** encode ∘ decode = id for every kernel (SURVEY.md §5 port strategy:
+  * per-codec property tests the reference lacks). Seeded fuzz loops
+  * stand in for scalacheck properties (no scalatest-scalacheck bridge
+  * in the offline cache). */
+class CodecsSpec extends AnyFunSuite {
+
+  private def fuzzLongs(seed: Int)(body: Array[Long] => Unit): Unit = {
+    val rng = new scala.util.Random(seed)
+    (0 until 200).foreach { _ =>
+      val n = rng.nextInt(3000)
+      val vs = Array.fill(n) {
+        rng.nextInt(4) match {
+          case 0 => rng.nextLong()
+          case 1 => rng.nextInt(200).toLong - 100
+          case 2 => Long.MinValue + rng.nextInt(3)
+          case _ => Long.MaxValue - rng.nextInt(3)
+        }
+      }
+      body(vs)
+    }
+  }
+
+  private def viaFFOR(vs: Array[Long]): Array[Long] = {
+    val w = new ByteWriter()
+    Codecs.encodeFFOR(vs, w)
+    Codecs.decodeFFOR(new ByteReader(w.toArray))
+  }
+
+  test("FFOR round-trips arbitrary longs incl. extremes") {
+    fuzzLongs(1) { vs => assert(viaFFOR(vs).sameElements(vs)) }
+    val edge = Array(Long.MinValue, Long.MaxValue, 0L, -1L, 1L)
+    assert(viaFFOR(edge).sameElements(edge))
+  }
+
+  test("FFOR round-trips multi-block (crosses 1024 boundary)") {
+    val vs = Array.tabulate(3000)(i => (i * 7 - 1000).toLong)
+    assert(viaFFOR(vs).sameElements(vs))
+  }
+
+  test("bit widths: constant block packs to zero payload") {
+    val vs = Array.fill(2048)(42L)
+    val w = new ByteWriter()
+    Codecs.encodeFFOR(vs, w)
+    // 4 (n) + 2 blocks * (8 ref + 1 bw) = 22 bytes
+    assert(w.size == 22)
+  }
+
+  test("ALP round-trips decimal-ish doubles and exceptions") {
+    val vs = Array(1.25, 3.14, 100.0, -2.5, 0.001, Double.NaN,
+      Double.PositiveInfinity, 1.0 / 3.0, -0.0, 1e300)
+    val (e, _) = Codecs.alpChooseExponent(vs)
+    val w = new ByteWriter()
+    Codecs.encodeAlp(vs, e, w)
+    val out = Codecs.decodeAlp(new ByteReader(w.toArray))
+    vs.indices.foreach { i =>
+      assert(java.lang.Double.doubleToRawLongBits(out(i)) ==
+        java.lang.Double.doubleToRawLongBits(vs(i)), s"index $i")
+    }
+  }
+
+  test("ALP round-trips arbitrary doubles bitwise") {
+    val rng = new scala.util.Random(2)
+    (0 until 200).foreach { _ =>
+      val n = rng.nextInt(3000)
+      val vs = Array.fill(n) {
+        rng.nextInt(3) match {
+          case 0 => math.rint(rng.nextDouble() * 2e8 - 1e8) / 100
+          case 1 => java.lang.Double.longBitsToDouble(rng.nextLong())
+          case _ => rng.nextDouble()
+        }
+      }
+      val (e, _) = Codecs.alpChooseExponent(vs)
+      val w = new ByteWriter()
+      Codecs.encodeAlp(vs, e, w)
+      val out = Codecs.decodeAlp(new ByteReader(w.toArray))
+      vs.indices.foreach { i =>
+        assert(java.lang.Double.doubleToRawLongBits(out(i)) ==
+          java.lang.Double.doubleToRawLongBits(vs(i)))
+      }
+    }
+  }
+
+  test("RLE long round-trip") {
+    val vs = Array.fill(100)(7L) ++ Array.fill(50)(-3L) ++ Array(9L)
+    val runVals = Array(7L, -3L, 9L)
+    val runLens = Array(100L, 50L, 1L)
+    val w = new ByteWriter()
+    Codecs.encodeRleLong(vs.length, runVals, runLens, w)
+    assert(Codecs.decodeRleLong(new ByteReader(w.toArray)).sameElements(vs))
+  }
+
+  private def mkBytes(strs: Seq[String]): BytesData = {
+    val bytes = strs.flatMap(_.getBytes("UTF-8")).toArray
+    val offsets = strs.scanLeft(0)(_ + _.getBytes("UTF-8").length).toArray
+    BytesData(offsets, bytes)
+  }
+
+  private def strsOf(d: BytesData): Seq[String] =
+    (0 until d.n).map(i => new String(d.bytes, d.offsets(i), d.offsets(i + 1) - d.offsets(i), "UTF-8"))
+
+  test("plain/const/dict/rle bytes round-trip") {
+    val strs = Seq("alpha", "beta", "alpha", "", "日本語", "alpha", "beta")
+    val d = mkBytes(strs)
+
+    val w1 = new ByteWriter()
+    Codecs.encodePlainBytes(d, w1)
+    assert(strsOf(Codecs.decodePlainBytes(new ByteReader(w1.toArray))) == strs)
+
+    val w2 = new ByteWriter()
+    Codecs.encodeConstBytes(4, "xy".getBytes, w2)
+    assert(strsOf(Codecs.decodeConstBytes(new ByteReader(w2.toArray))) == Seq("xy", "xy", "xy", "xy"))
+
+    val dict = mkBytes(Seq("alpha", "beta", "", "日本語"))
+    val codes = Array(0L, 1L, 0L, 2L, 3L, 0L, 1L)
+    val w3 = new ByteWriter()
+    Codecs.encodeDictBytes(strs.length, dict, codes, w3)
+    assert(strsOf(Codecs.decodeDictBytes(new ByteReader(w3.toArray))) == strs)
+
+    val runs = Seq("aa", "aa", "bb", "bb", "bb", "c")
+    val w4 = new ByteWriter()
+    Codecs.encodeRleBytes(6, mkBytes(Seq("aa", "bb", "c")), Array(2L, 3L, 1L), w4)
+    assert(strsOf(Codecs.decodeRleBytes(new ByteReader(w4.toArray))) == runs)
+  }
+
+  test("Encoder picks sane encodings and round-trips through decode") {
+    def roundTrip(col: ColData): ColData = {
+      val w = new ByteWriter()
+      val (enc, _) = Encoder.encodeColumn(col, w)
+      val phys = col match {
+        case _: LongData => Format.Phys.LONG
+        case _: DoubleData => Format.Phys.DOUBLE
+        case _: BytesData => Format.Phys.BYTES
+      }
+      Codecs.decode(w.toArray, enc, phys)
+    }
+
+    // constant
+    val c = roundTrip(LongData(Array.fill(500)(5L)))
+    assert(c.asInstanceOf[LongData].v.forall(_ == 5L))
+    // sequential ints → FFOR
+    val seq0 = Array.tabulate(5000)(_.toLong * 3)
+    assert(roundTrip(LongData(seq0)).asInstanceOf[LongData].v.sameElements(seq0))
+    // low-cardinality strings → dict or rle
+    val strs = (0 until 4000).map(i => s"val${i % 7}")
+    assert(strsOf(roundTrip(mkBytes(strs)).asInstanceOf[BytesData]) == strs)
+    // prices → ALP
+    val prices = Array.tabulate(4000)(i => (i * 17 % 10000) / 100.0)
+    assert(roundTrip(DoubleData(prices)).asInstanceOf[DoubleData].v.sameElements(prices))
+    // random doubles → plain (still exact)
+    val rng = new scala.util.Random(42)
+    val rnd = Array.fill(3000)(rng.nextDouble() * 1e18)
+    assert(roundTrip(DoubleData(rnd)).asInstanceOf[DoubleData].v.sameElements(rnd))
+  }
+
+  test("fuzz: Encoder round-trips arbitrary long columns") {
+    fuzzLongs(3) { vs =>
+      val w = new ByteWriter()
+      val (enc, _) = Encoder.encodeColumn(LongData(vs), w)
+      val out = Codecs.decode(w.toArray, enc, Format.Phys.LONG).asInstanceOf[LongData].v
+      assert(out.sameElements(vs))
+    }
+  }
+}

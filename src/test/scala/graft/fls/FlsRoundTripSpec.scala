@@ -1,0 +1,179 @@
+package graft.fls
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write→read round-trip through the real `format("fls")` surface —
+  * the ScalaTest analog of the reference's per-type sqllogictest
+  * (/root/reference/test/all_types_single_threaded.test:36-352): 1,024
+  * rows of (id, col) per type, written and read back, diff must be
+  * empty; repeated with multi-partition input (≙ the threads=1 vs
+  * threads=2 twin files). */
+class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val tmp = Files.createTempDirectory("fls-spec").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("fls-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def roundTrip(df: DataFrame, dir: String, parts: Int = 1): DataFrame = {
+    df.repartition(parts).write.format("fls").mode("overwrite").save(dir)
+    spark.read.format("fls").load(dir)
+  }
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.schema.map(f => (f.name, f.dataType)) == b.schema.map(f => (f.name, f.dataType)),
+      s"schema: ${a.schema} vs ${b.schema}")
+    val diff1 = a.exceptAll(b).count()
+    val diff2 = b.exceptAll(a).count()
+    assert(diff1 == 0 && diff2 == 0, s"diff: $diff1 rows only-left, $diff2 only-right")
+  }
+
+  private def typed(expr: String): DataFrame =
+    spark.range(1, 1025).toDF("id").selectExpr("id", s"$expr AS col")
+
+  // one case per reference round-trip type (bool..blob); date/ts included
+  // even though the reference's own are broken (SURVEY.md §7.4 — we do better)
+  private val cases: Seq[(String, String)] = Seq(
+    "boolean" -> "id % 2 = 0",
+    "tinyint" -> "CAST(id % 128 AS TINYINT)",
+    "smallint" -> "CAST(id * 13 % 32768 AS SMALLINT)",
+    "int" -> "CAST(id * 1027 AS INT)",
+    "bigint" -> "id * 1000000007",
+    "float" -> "CAST(id AS FLOAT) / 4",
+    "double" -> "CAST(id AS DOUBLE) / 100",
+    "decimal_10_2" -> "CAST(id AS DECIMAL(10,2)) / 4",
+    "decimal_30_4" -> "CAST(id AS DECIMAL(30,4)) * 12345678901234",
+    "varchar" -> "concat('value_', CAST(id AS STRING))",
+    "blob" -> "CAST(concat('bin', CAST(id AS STRING)) AS BINARY)",
+    "date" -> "date_add(DATE '1990-01-01', CAST(id AS INT))",
+    "timestamp" -> "timestampadd(SECOND, CAST(id AS INT), TIMESTAMP '2020-01-01 00:00:00')",
+    "low_card_str" -> "concat('cat_', CAST(id % 5 AS STRING))",
+    "constant_str" -> "'same'",
+    "constant_int" -> "CAST(7 AS BIGINT)")
+
+  for ((name, expr) <- cases; parts <- Seq(1, 3)) {
+    test(s"round-trip $name (parts=$parts)") {
+      val df = typed(expr)
+      val back = roundTrip(df, s"$tmp/rt_${name}_$parts", parts)
+      assertSame(df, back)
+    }
+  }
+
+  test("multi-row-group file + short tail row group") {
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("v", col("id") * 3 + 1)
+    val dir = s"$tmp/rg"
+    df.coalesce(1).write.format("fls")
+      .option("row_group_size", 2048).mode("overwrite").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    assertSame(df, back)
+    // 10000 rows / 2048 → 5 row groups → 5 input partitions
+    assert(back.rdd.getNumPartitions == 5)
+  }
+
+  test("row_groups_per_file rotation") {
+    val df = spark.range(0, 8192).toDF("id")
+    val dir = s"$tmp/rot"
+    df.coalesce(1).write.format("fls")
+      .option("row_group_size", 1024).option("row_groups_per_file", 2)
+      .mode("overwrite").save(dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".fls"))
+    assert(files.length == 4, s"expected 4 files, got ${files.length}")
+    assertSame(df, spark.read.format("fls").load(dir))
+  }
+
+  test("zone-map pruning skips row groups (partition count shrinks)") {
+    val df = spark.range(0, 16384).toDF("id") // sorted → tight per-rowgroup ranges
+    val dir = s"$tmp/prune"
+    df.coalesce(1).write.format("fls")
+      .option("row_group_size", 1024).mode("overwrite").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    assert(back.rdd.getNumPartitions == 16)
+    val filtered = back.filter(col("id") >= 15000)
+    // only row groups [14336,15360) and [15360,16384) can match
+    assert(filtered.rdd.getNumPartitions == 2)
+    assert(filtered.count() == 1384)
+    val eq = back.filter(col("id") === 5)
+    assert(eq.rdd.getNumPartitions == 1)
+    assert(eq.count() == 1)
+  }
+
+  test("projection pushdown prunes columns at the scan") {
+    val df = spark.range(0, 4096).toDF("id")
+      .withColumn("a", col("id") * 2)
+      .withColumn("b", concat(lit("s"), col("id")))
+    val dir = s"$tmp/proj"
+    df.write.format("fls").mode("overwrite").save(dir)
+    val back = spark.read.format("fls").load(dir).select("b")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[b]"), s"projection not pushed:\n$plan")
+    assert(back.count() == 4096)
+  }
+
+  test("NULL input is rejected (format stores no NULLs)") {
+    val df = spark.range(0, 10).toDF("id")
+      .withColumn("s", when(col("id") === 5, lit(null)).otherwise(lit("x")))
+    val e = intercept[Exception] {
+      df.write.format("fls").mode("overwrite").save(s"$tmp/nulls")
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("NULL"))
+  }
+
+  test("read schema is non-nullable") {
+    val dir = s"$tmp/nn"
+    spark.range(0, 10).toDF("id").write.format("fls").mode("overwrite").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    assert(back.schema.fields.forall(!_.nullable))
+  }
+
+  test("virtual columns file_row_number / file_index") {
+    val dir = s"$tmp/virt"
+    spark.range(0, 5000).toDF("id").coalesce(1)
+      .write.format("fls").option("row_group_size", 1024).mode("overwrite").save(dir)
+    val back = spark.read.format("fls")
+      .option("file_row_number", "true").option("file_index", "true").load(dir)
+    assert(back.columns.toSeq == Seq("id", "file_row_number", "file_index"))
+    val rows = back.select("id", "file_row_number", "file_index")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.forall { case (id, rn, fi) => id == rn && fi == 0 })
+  }
+
+  test("append mode adds files") {
+    val dir = s"$tmp/append"
+    spark.range(0, 100).toDF("id").write.format("fls").mode("overwrite").save(dir)
+    spark.range(100, 200).toDF("id").write.format("fls").mode("append").save(dir)
+    assert(spark.read.format("fls").load(dir).count() == 200)
+  }
+
+  test("sql over fls view: TPC-H-Q1-shaped aggregate matches parquet source") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val dir = s"$tmp/lineitem_fls"
+    li.write.format("fls").mode("overwrite").save(dir)
+    val fls = spark.read.format("fls").load(dir)
+    def q1(df: DataFrame): DataFrame =
+      df.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast(DecimalType(12, 6))).as("sq"),
+          count(lit(1)).as("n"))
+    assertSame(q1(li), q1(fls))
+  }
+}
