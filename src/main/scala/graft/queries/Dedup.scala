@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Deduplication operators over the `documents` table — the
+  * training-data-pipeline surface (north-star extras beyond reference
+  * parity, SURVEY.md §7.1 step 5). Every operator is exact-verifiable:
+  * approximate stages (LSH banding, simhash bands) only GENERATE
+  * candidates; the emitted result is always re-verified with the exact
+  * measure, so the DuckDB oracle is plain brute force.
+  *
+  * Scale design: no operator does an unblocked O(n²) self-join — each
+  * uses a sound blocking key (size bucket / LSH band / simhash band)
+  * that shuffles candidates to the same partition, which is what holds
+  * at 100 TB where brute force cannot.
+  */
+object Dedup {
+
+  /** Word 3-gram shingle set, Spark SQL dialect. */
+  val ShinglesSpark: String =
+    """CASE WHEN size(split(text, ' ')) >= 3 THEN
+         array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+           i -> concat(element_at(split(text, ' '), i), ' ',
+                       element_at(split(text, ' '), i + 1), ' ',
+                       element_at(split(text, ' '), i + 2))))
+       ELSE CAST(array() AS ARRAY<STRING>) END"""
+
+  /** Same shingle set, DuckDB dialect (for oracles). */
+  val ShinglesDuck: String =
+    """list_distinct(list_transform(
+         generate_series(1, greatest(len(str_split(text, ' ')) - 2, 0)),
+         i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
+              || ' ' || str_split(text, ' ')[i+2]))"""
+
+  /** Brute-force truth for near-dup pairs at jaccard >= 0.8 — the shared
+    * oracle of q21 (blocked exact) and q22 (MinHash-LSH). */
+  val NearDupOracleSql: String =
+    s"""WITH sh AS (SELECT doc_id, $ShinglesDuck AS gr FROM documents)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.gr, b.gr))::DOUBLE
+           / len(list_distinct(list_concat(a.gr, b.gr))) AS jaccard
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE len(list_intersect(a.gr, b.gr))::DOUBLE
+           / len(list_distinct(list_concat(a.gr, b.gr))) >= 0.8
+       ORDER BY doc_a, doc_b"""
+
+  /** q20: exact dedup — content-hash groupBy, keep lowest doc_id.
+    * The one-shuffle pattern that holds at any scale. */
+  def q20ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  val q20Sql: String =
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY doc_id"""
+
+  /** Shingle the corpus, spread over all cores first: the parquet input
+    * is one small file → one partition, but the per-row HOF work is the
+    * cost center (same at 100 TB: compute-heavy narrow transforms want
+    * max parallelism, and a pre-shuffle of raw text is cheap relative
+    * to shingling). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), expr(ShinglesSpark).as("gr"))
+      .withColumn("nsh", size(col("gr")))
+
+  private val exactJaccard =
+    expr("CAST(size(array_intersect(gr_a, gr_b)) AS DOUBLE) / size(array_union(gr_a, gr_b))")
+
+  /** Finish candidate (doc_a, doc_b) id pairs: re-attach shingle sets
+    * (ids-only travel through the candidate shuffle — the arrays join
+    * back against the small shingled relation), apply the sound
+    * size-ratio prefilter (j >= 0.8 forces min/max >= 0.8), then the
+    * exact jaccard check. */
+  private def verifyPairs(candIds: DataFrame, sh: DataFrame): DataFrame = {
+    val a = sh.select(col("doc_id").as("doc_a"), col("gr").as("gr_a"), col("nsh").as("nsh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("gr").as("gr_b"), col("nsh").as("nsh_b"))
+    candIds
+      .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .filter(least(col("nsh_a"), col("nsh_b")).cast("double") /
+        greatest(col("nsh_a"), col("nsh_b")) >= 0.8)
+      .withColumn("jaccard", exactJaccard)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q21: exact set-similarity join via AllPairs prefix filtering: sort
+    * each shingle set by a global order (hash, then string); if
+    * J(A,B) >= t, the first |x|-⌈t|x|⌉+1 tokens of both sides must
+    * intersect, so an equi-join on prefix tokens is sound AND complete
+    * — the standard exact near-dup join that scales where size-bucket
+    * blocking degenerates (all docs similar length). */
+  def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val prefixes = sh.select(col("doc_id"),
+      explode(expr(
+        """slice(array_sort(transform(gr, s -> struct(xxhash64(s) AS h, s)), (x, y) ->
+             CASE WHEN x.h < y.h THEN -1 WHEN x.h > y.h THEN 1
+                  WHEN x.s < y.s THEN -1 WHEN x.s > y.s THEN 1 ELSE 0 END),
+           1, CAST(size(gr) - ceil(0.8 * size(gr)) + 1 AS INT))""")).as("tok"))
+    val cand = prefixes.select(col("doc_id").as("doc_a"), col("tok"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    verifyPairs(cand, sh)
+  }
+
+  /** q22: MinHash-LSH near-dup: 16 min-hashes per doc, each a bucket key
+    * (b=16, r=1 → recall at j=0.8 is 1-(1-0.8)^16 ≈ 1-6.6e-12);
+    * bucket-join candidate ids, then exact-jaccard verification. The
+    * 100 TB path: candidates shuffle by (hash-slot, value) — never the
+    * shingle payloads. */
+  def q22MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    // Explode hashes once, then 16 codegen'd min-aggregates — NOT a
+    // nested HOF lambda (interpreted, and it would re-hash each shingle
+    // per slot: measured 50× slower). h < 2^31, so h*33+k < 2^36 stays
+    // ANSI-safe.
+    val hashed = sh.select(col("doc_id"),
+      explode(expr("transform(gr, s -> pmod(xxhash64(s), 2147483647))")).as("h"))
+    val minAggs = (0 until 16).map { k =>
+      min(pmod(col("h") * lit(2 * k + 1) + lit(k), lit(2147483647L))).as(s"m$k")
+    }
+    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val buckets = sig.select(col("doc_id"),
+      posexplode(array((0 until 16).map(k => col(s"m$k")): _*)).as(Seq("slot", "mh")))
+    val cand = buckets.select(col("doc_id").as("doc_a"), col("slot"), col("mh"))
+      .join(buckets.select(col("doc_id").as("doc_b"), col("slot"), col("mh")), Seq("slot", "mh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    verifyPairs(cand, sh)
+  }
+
+  /** Portable 32-bit word hash, identical in Spark SQL and DuckDB SQL:
+    * first 8 hex chars of md5(word) as an integer. Spark evaluates this
+    * fully codegen'd (md5+conv); the DuckDB oracle folds the hex chars
+    * with list_reduce. */
+  val WordHashSpark: String =
+    "CAST(conv(substr(md5(CAST(w AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+
+  val WordHashDuck: String =
+    """list_reduce(list_prepend(0::BIGINT,
+         list_transform(string_split(substr(md5(w), 1, 8), ''),
+           c -> (CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
+                      ELSE unicode(c) - 48 END)::BIGINT)),
+       (a, d) -> a * 16 + d)"""
+
+  /** q23: SimHash near-dup. 32-bit simhash over word-hash features; the
+    * 4×8-bit band join is sound-complete for hamming<=3 (pigeonhole: 3
+    * flipped bits can't touch all 4 bands). Output is exact: hamming
+    * distance re-checked on the full fingerprint. Bit sums run as 32
+    * codegen'd aggregates over exploded words (not nested HOF lambdas). */
+  def q23Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val words = t(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+      .withColumn("h", expr(WordHashSpark))
+    val bitAggs = (0 until 32).map { j =>
+      sum(expr(s"(shiftright(h, $j) & 1) * 2 - 1")).as(s"b$j")
+    }
+    val d = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+    val banded = d.select(col("doc_id"), col("sim"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sim, b*8) & 255 AS bv))")).as("bb"))
+      .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.bv"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"), col("band"), col("bv"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      // hamming first (cheap long xor), THEN pair-dedup: only true
+      // near-dup pairs reach the distinct shuffle
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
+      .filter(col("hamming") <= 3)
+      .dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q23Sql: String = {
+    val bitSums = (0 until 32)
+      .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(", ")
+    val simExpr = (0 until 32)
+      .map(j => s"CASE WHEN b$j >= 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""WITH w AS (
+         SELECT doc_id, unnest(list_filter(str_split(text, ' '), w -> w != '')) AS w
+         FROM documents),
+       h AS (SELECT doc_id, $WordHashDuck AS h FROM w),
+       bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       f AS (SELECT doc_id, $simExpr AS sim FROM bits)
+       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+       FROM f a JOIN f b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.sim, b.sim)) <= 3
+       ORDER BY doc_a, doc_b"""
+  }
+
+  /** q24: embedding-cosine near-dup pairs (threshold 0.45; the synthetic
+    * embeddings top out ≈0.51). Exact doubles: vectors cast to double,
+    * sequential dot products. At sf scale this is a managed cartesian;
+    * the ANN path for real scale is Similarity.q26. */
+  def q24EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nr", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("v_a"), col("nr").as("nr_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("v_b"), col("nr").as("nr_b"))
+    // left stays spread over all cores; the right side broadcasts, so
+    // the O(n²) compare parallelizes with no shuffle of pair payloads
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(v_a, v_b, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)") /
+          (col("nr_a") * col("nr_b")))
+      .filter(col("cos") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val q24Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nr FROM e)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_dot_product(a.v, b.v) / (a.nr * b.nr), 6) AS cos_sim
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nr * b.nr) >= 0.45
+      ORDER BY vec_a, vec_b"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact" -> (q20ExactDedup _),
+    "q21_dedup_ngram_jaccard" -> (q21NgramJaccard _),
+    "q22_dedup_minhash_lsh" -> (q22MinhashLsh _),
+    "q23_dedup_simhash" -> (q23Simhash _),
+    "q24_dedup_embedding" -> (q24EmbeddingNearDup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_dedup_exact" -> q20Sql,
+    "q21_dedup_ngram_jaccard" -> NearDupOracleSql,
+    "q22_dedup_minhash_lsh" -> NearDupOracleSql,
+    "q23_dedup_simhash" -> q23Sql,
+    "q24_dedup_embedding" -> q24Sql,
+  )
+}

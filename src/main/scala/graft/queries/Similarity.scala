@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exactness baseline, and an
+  * IVF-bucketed variant as the 100 TB path (probe one coarse cell
+  * instead of the whole corpus). */
+object Similarity {
+
+  /** embeddings as double vectors with precomputed norms. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nr", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"))
+
+  private val cosExpr =
+    expr("aggregate(zip_with(v_q, v_c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+
+  /** q25: brute-force cosine top-10 for 8 query vectors (vec_id < 8).
+    * The query side is tiny → broadcast; candidates never shuffle.
+    * Deterministic rank: ties broken by vec_id (cosines are continuous
+    * — exact ties don't occur). */
+  def q25BruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nr").as("nr_q"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"), col("nr").as("nr_c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosExpr / (col("nr_q") * col("nr_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  val q25Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nr FROM e),
+        q AS (SELECT vec_id AS query_id, v AS vq, nr AS nrq FROM n WHERE vec_id < 8),
+        s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(vq, c.v) / (nrq * c.nr) AS cos,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY list_dot_product(vq, c.v) / (nrq * c.nr) DESC, c.vec_id) AS rank
+              FROM q JOIN n c ON query_id <> c.vec_id)
+      SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(cos, 6) AS cos_sim
+      FROM s WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  /** q26: IVF-style ANN. Coarse quantizer = the 8 vectors vec_id < 8
+    * (deterministic "centroids"); every vector is assigned to its
+    * nearest centroid (one broadcast pass — the scale path: the corpus
+    * shuffles once by cell id, queries probe a single cell). Top-5
+    * within the query's own cell, self excluded. */
+  def q26IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"))
+    // assign: argmax cosine over the 8 centroids, tie-break centroid id
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val assigned = e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosExpr / (col("nr_q") * col("nr_c")))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("v_c"), col("nr_c"), col("cent_id").as("cell"))
+    // queries probe their own cell (a centroid's nearest centroid is itself)
+    val probes = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v_c").as("v_q"),
+        col("nr_c").as("nr_q"), col("cell"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned
+      .select(col("vec_id").as("neighbor_id"), col("v_c"), col("nr_c"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosExpr / (col("nr_q") * col("nr_c")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val q26Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nr FROM e),
+        cent AS (SELECT vec_id AS cent_id, v AS vq, nr AS nrq FROM n WHERE vec_id < 8),
+        assign AS (
+          SELECT vec_id, v, nr, cent_id AS cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY list_dot_product(vq, v) / (nrq * nr) DESC, cent_id) AS ar
+          FROM n CROSS JOIN cent),
+        cells AS (SELECT vec_id, v, nr, cell FROM assign WHERE ar = 1),
+        probes AS (SELECT vec_id AS query_id, v AS vq, nr AS nrq, cell
+                   FROM cells WHERE vec_id < 8),
+        s AS (SELECT query_id, c.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY list_dot_product(vq, c.v) / (nrq * c.nr) DESC, c.vec_id) AS rank
+              FROM probes p JOIN cells c ON p.cell = c.cell AND p.query_id <> c.vec_id)
+      SELECT query_id, rank::BIGINT AS rank, neighbor_id
+      FROM s WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_sim_brute_topk" -> (q25BruteTopK _),
+    "q26_sim_ivf_ann" -> (q26IvfAnn _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q25_sim_brute_topk" -> q25Sql,
+    "q26_sim_ivf_ann" -> q26Sql,
+  )
+}
