@@ -9,11 +9,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.FlsQueries.queries ++
       graft.queries.Dedup.queries ++ graft.queries.Similarity.queries ++
-      graft.queries.TextAnalysis.queries ++ graft.queries.Multimodal.queries
+      graft.queries.TextAnalysis.queries ++ graft.queries.Multimodal.queries ++
+      graft.queries.Streaming.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.FlsQueries.oracles ++
       graft.queries.Dedup.oracles ++ graft.queries.Similarity.oracles ++
-      graft.queries.TextAnalysis.oracles ++ graft.queries.Multimodal.oracles
+      graft.queries.TextAnalysis.oracles ++ graft.queries.Multimodal.oracles ++
+      graft.queries.Streaming.oracles
 }

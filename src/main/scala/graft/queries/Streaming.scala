@@ -1,0 +1,124 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.util.Tables._
+
+/** Structured Streaming + typed-Dataset surface over the `events`
+  * table. The reference is batch-only (SURVEY.md §1.1 "no streams"),
+  * so this is engine capability beyond parity: streams declared with
+  * `readStream` → windowed agg → `writeStream`, and stateful typed
+  * sessionization — both with exact batch-SQL oracles, since
+  * Trigger.AvailableNow drains the full input deterministically. */
+object Streaming {
+
+  private val memSeq = new AtomicInteger(0)
+
+  /** q32: file-stream → event-time hourly window aggregate → memory
+    * sink, drained with Trigger.AvailableNow. At scale this is the same
+    * plan kafka/files feed continuously; the memory sink stands in for
+    * the serving store. */
+  def q32StreamingHourly(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream sources ingest directories; expose the single events
+    // file through a symlinked stream dir (read-only testdata)
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val agg = stream
+      .withColumn("ts_us", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts_us", "1 hour")
+      .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dbl(sum(d6w(col("value")))).as("sum_value"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val name = s"q32mem${memSeq.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("hour_ts", "event_type")
+  }
+
+  val q32Sql: String = {
+    import graft.util.Tables.{sql => S}
+    s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts, event_type,
+        count(*) AS n_events, ${S.sumD6w("value", "sum_value")}
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
+  case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  case class Session(user_id: Long, session_idx: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** q33: typed sessionization via KeyValueGroupedDataset.flatMapGroups
+    * — 30-minute inactivity gap. The shuffle is one hash partition by
+    * user; per-group state fits memory at any corpus scale (events per
+    * user, not per corpus). Streaming twin: flatMapGroupsWithState with
+    * a session timeout — same grouping, same state shape. */
+  def q33Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapUs = 30L * 60 * 1000 * 1000
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+        val out = scala.collection.mutable.ArrayBuffer[Session]()
+        var idx = 0L
+        var start = 0L
+        var last = Long.MinValue
+        var n = 0L
+        def flush(): Unit = if (n > 0) out += Session(uid, idx, n, start, last)
+        evs.foreach { e =>
+          if (n == 0 || e.ts_us - last > gapUs) {
+            flush(); idx += 1; start = e.ts_us; n = 0
+          }
+          last = e.ts_us; n += 1
+        }
+        flush()
+        out.iterator
+      }
+      .toDF()
+      .orderBy("user_id", "session_idx")
+  }
+
+  val q33Sql: String =
+    """WITH e AS (
+        SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+      marked AS (
+        SELECT user_id, event_id, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                 OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      sess AS (
+        SELECT user_id, ts_us,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM marked)
+      SELECT user_id, session_idx::BIGINT AS session_idx,
+             count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us
+      FROM sess GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_streaming_hourly" -> (q32StreamingHourly _),
+    "q33_sessionize_typed" -> (q33Sessionize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q32_streaming_hourly" -> q32Sql,
+    "q33_sessionize_typed" -> q33Sql,
+  )
+}
