@@ -458,6 +458,190 @@ object Codecs {
     out
   }
 
+  // ---------- FSST (K9) & FSST-dict (K10) ----------
+
+  def encodeFsst(d: BytesData, table: Fsst.SymbolTable, out: ByteWriter): Unit = {
+    val n = d.n
+    out.writeInt(n)
+    Fsst.writeTable(table, out)
+    val encLens = new Array[Long](n)
+    val enc = scala.collection.mutable.ArrayBuilder.make[Byte]
+    enc.sizeHint(d.bytes.length)
+    var i = 0
+    while (i < n) {
+      encLens(i) = Fsst.encode(table, d.bytes, d.offsets(i), d.offsets(i + 1), enc).toLong
+      i += 1
+    }
+    encodeFFOR(encLens, out)
+    val encBytes = enc.result()
+    out.writeInt(encBytes.length)
+    out.writeBytes(encBytes)
+  }
+
+  def decodeFsst(in: ByteReader): BytesData = {
+    val n = in.readInt()
+    val table = Fsst.readTable(in)
+    val encLens = decodeFFOR(in)
+    val total = in.readInt()
+    val encBytes = in.readBytes(total)
+    val out = scala.collection.mutable.ArrayBuilder.make[Byte]
+    out.sizeHint(total * 3)
+    val offsets = new Array[Int](n + 1)
+    var pos = 0
+    var i = 0
+    while (i < n) {
+      offsets(i + 1) = offsets(i) +
+        Fsst.decode(table, encBytes, pos, encLens(i).toInt, out)
+      pos += encLens(i).toInt
+      i += 1
+    }
+    BytesData(offsets, out.result())
+  }
+
+  def encodeFsstDict(n: Int, dict: BytesData, codes: Array[Long],
+      table: Fsst.SymbolTable, out: ByteWriter): Unit = {
+    out.writeInt(n)
+    encodeFsst(dict, table, out)
+    encodeFFOR(codes, out)
+  }
+
+  def decodeFsstDict(in: ByteReader): BytesData = {
+    val n = in.readInt()
+    val dict = decodeFsst(in)
+    val codes = decodeFFOR(in)
+    require(codes.length == n)
+    gatherDict(dict, codes)
+  }
+
+  private def gatherDict(dict: BytesData, codes: Array[Long]): BytesData = {
+    val n = codes.length
+    val offsets = new Array[Int](n + 1)
+    var total = 0
+    var i = 0
+    while (i < n) {
+      val c = codes(i).toInt
+      total += dict.offsets(c + 1) - dict.offsets(c)
+      offsets(i + 1) = total
+      i += 1
+    }
+    val bytes = new Array[Byte](total)
+    i = 0
+    while (i < n) {
+      val c = codes(i).toInt
+      val s = dict.offsets(c)
+      System.arraycopy(dict.bytes, s, bytes, offsets(i), dict.offsets(c + 1) - s)
+      i += 1
+    }
+    BytesData(offsets, bytes)
+  }
+
+  // ---------- FREQ (K15): frequent value + patched exceptions ----------
+
+  def encodeFreqLong(vs: Array[Long], freqVal: Long, out: ByteWriter): Unit = {
+    val n = vs.length
+    out.writeInt(n)
+    out.writeLong(freqVal)
+    var nEx = 0
+    var i = 0
+    while (i < n) { if (vs(i) != freqVal) nEx += 1; i += 1 }
+    out.writeInt(nEx)
+    if (nEx > 0) {
+      val exPos = new Array[Long](nEx)
+      val exVal = new Array[Long](nEx)
+      var k = 0
+      i = 0
+      while (i < n) {
+        if (vs(i) != freqVal) { exPos(k) = i.toLong; exVal(k) = vs(i); k += 1 }
+        i += 1
+      }
+      encodeFFOR(exPos, out)
+      encodeFFOR(exVal, out)
+    }
+  }
+
+  def decodeFreqLong(in: ByteReader): Array[Long] = {
+    val n = in.readInt()
+    val freqVal = in.readLong()
+    val out = new Array[Long](n)
+    Arrays.fill(out, freqVal)
+    val nEx = in.readInt()
+    if (nEx > 0) {
+      val exPos = decodeFFOR(in)
+      val exVal = decodeFFOR(in)
+      var k = 0
+      while (k < nEx) { out(exPos(k).toInt) = exVal(k); k += 1 }
+    }
+    out
+  }
+
+  // ---------- ALP-RD (K6): front-bits dictionary + raw right bits ----------
+
+  def encodeAlpRd(vs: Array[Double], rightBits: Int, dict: Array[Long],
+      out: ByteWriter): Unit = {
+    val n = vs.length
+    out.writeInt(n)
+    out.writeByte(rightBits)
+    out.writeByte(dict.length)
+    var d = 0
+    while (d < dict.length) { out.writeLong(dict(d)); d += 1 }
+    val dictIdx = dict.zipWithIndex.toMap
+    val leftBw = bitWidth(math.max(0, dict.length - 1).toLong)
+    out.writeByte(leftBw)
+    val rightMask = if (rightBits == 64) -1L else (1L << rightBits) - 1
+    val leftCodes = new Array[Long](n)
+    val rights = new Array[Long](n)
+    val exPosB = scala.collection.mutable.ArrayBuilder.make[Long]
+    val exLeftB = scala.collection.mutable.ArrayBuilder.make[Long]
+    var i = 0
+    while (i < n) {
+      val bits = java.lang.Double.doubleToRawLongBits(vs(i))
+      val left = bits >>> rightBits
+      rights(i) = bits & rightMask
+      dictIdx.get(left) match {
+        case Some(c) => leftCodes(i) = c.toLong
+        case None =>
+          leftCodes(i) = 0L
+          exPosB += i.toLong
+          exLeftB += left
+      }
+      i += 1
+    }
+    pack(leftCodes, 0, n, leftBw, out)
+    pack(rights, 0, n, rightBits, out)
+    val exPos = exPosB.result(); val exLeft = exLeftB.result()
+    out.writeInt(exPos.length)
+    if (exPos.nonEmpty) { encodeFFOR(exPos, out); encodeFFOR(exLeft, out) }
+  }
+
+  def decodeAlpRd(in: ByteReader): Array[Double] = {
+    val n = in.readInt()
+    val rightBits = in.readByte() & 0xff
+    val dictN = in.readByte() & 0xff
+    val dict = in.readLongs(dictN)
+    val leftBw = in.readByte() & 0xff
+    val leftCodes = new Array[Long](n)
+    unpack(in, n, leftBw, leftCodes, 0)
+    val rights = new Array[Long](n)
+    unpack(in, n, rightBits, rights, 0)
+    val lefts = new Array[Long](n)
+    var i = 0
+    while (i < n) { lefts(i) = dict(leftCodes(i).toInt); i += 1 }
+    val nEx = in.readInt()
+    if (nEx > 0) {
+      val exPos = decodeFFOR(in)
+      val exLeft = decodeFFOR(in)
+      var k = 0
+      while (k < nEx) { lefts(exPos(k).toInt) = exLeft(k); k += 1 }
+    }
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) = java.lang.Double.longBitsToDouble((lefts(i) << rightBits) | rights(i))
+      i += 1
+    }
+    out
+  }
+
   // ---------- dispatch ----------
 
   def decode(bytes: Array[Byte], enc: Int, phys: Int): ColData = {
@@ -477,6 +661,10 @@ object Codecs {
       case (Enc.RLE, Format.Phys.DOUBLE) => DoubleData(decodeRleDouble(in))
       case (Enc.RLE, Format.Phys.BYTES) => decodeRleBytes(in)
       case (Enc.ALP, Format.Phys.DOUBLE) => DoubleData(decodeAlp(in))
+      case (Enc.FSST, Format.Phys.BYTES) => decodeFsst(in)
+      case (Enc.FSST_DICT, Format.Phys.BYTES) => decodeFsstDict(in)
+      case (Enc.FREQ, Format.Phys.LONG) => LongData(decodeFreqLong(in))
+      case (Enc.ALP_RD, Format.Phys.DOUBLE) => DoubleData(decodeAlpRd(in))
       case other =>
         throw new IllegalStateException(s"fls: bad (encoding, phys) pair $other")
     }

@@ -87,9 +87,24 @@ object Encoder {
       if (nDistinct == Int.MaxValue) Long.MaxValue
       else nDistinct.toLong * 8 + n.toLong * Codecs.bitWidth(math.max(0, nDistinct - 1).toLong) / 8
     val rleCost = runs.toLong * 10
-    val minCost = math.min(fforCost, math.min(dictCost, rleCost))
+    // K15 frequency: pays off when one value dominates
+    val (freqVal, freqCount) =
+      if (nDistinct == Int.MaxValue) (0L, 0)
+      else {
+        val counts = new mutable.HashMap[Long, Int]()
+        var j = 0
+        while (j < n) { counts.updateWith(vs(j))(c => Some(c.getOrElse(0) + 1)); j += 1 }
+        counts.maxBy { case (v, c) => (c, -v) } // deterministic tie-break
+      }
+    val freqCost = // only competitive with >=90% dominance
+      if (freqCount.toLong * 10 < n.toLong * 9) Long.MaxValue
+      else 16L + (n - freqCount).toLong * 10
+    val minCost = math.min(math.min(fforCost, freqCost), math.min(dictCost, rleCost))
 
-    if (minCost == rleCost) {
+    if (minCost == freqCost) {
+      Codecs.encodeFreqLong(vs, freqVal, out)
+      Enc.FREQ
+    } else if (minCost == rleCost) {
       val runVals = new Array[Long](runs)
       val runLens = new Array[Long](runs)
       var r = -1
@@ -150,9 +165,54 @@ object Encoder {
       Codecs.encodeDictDouble(n, dict, codes, out)
       Enc.DICT
     } else {
-      Codecs.encodePlainDouble(vs, out)
-      Enc.PLAIN
+      // K6 ALP-RD for "real doubles": pick a right-bits split whose
+      // front-bits dictionary (≤8 entries) covers most values
+      alpRdPlan(vs) match {
+        case Some((rbits, dict)) =>
+          Codecs.encodeAlpRd(vs, rbits, dict, out)
+          Enc.ALP_RD
+        case None =>
+          Codecs.encodePlainDouble(vs, out)
+          Enc.PLAIN
+      }
     }
+  }
+
+  /** Try right-bit widths; accept the cheapest plan that beats PLAIN by
+    * >=10%. Dictionary = the up-to-8 most frequent front-bit patterns
+    * over the full column (deterministic tie-break on value). */
+  private def alpRdPlan(vs: Array[Double]): Option[(Int, Array[Long])] = {
+    val n = vs.length
+    var best: Option[(Long, Int, Array[Long])] = None // (cost, rbits, dict)
+    var rbits = 40
+    while (rbits <= 56) {
+      val counts = new mutable.HashMap[Long, Int]()
+      var i = 0
+      var tooMany = false
+      while (i < n && !tooMany) {
+        val left = java.lang.Double.doubleToRawLongBits(vs(i)) >>> rbits
+        counts.updateWith(left)(c => Some(c.getOrElse(0) + 1))
+        if (counts.size > 4096) tooMany = true
+        i += 1
+      }
+      if (!tooMany && counts.nonEmpty) {
+        val dict = counts.toArray
+          .sortBy { case (v, c) => (-c, v) }
+          .take(8).map(_._1)
+        val dictSet = dict.toSet
+        var nEx = 0
+        i = 0
+        while (i < n) {
+          if (!dictSet.contains(java.lang.Double.doubleToRawLongBits(vs(i)) >>> rbits)) nEx += 1
+          i += 1
+        }
+        val bw = Codecs.bitWidth(math.max(0, dict.length - 1).toLong)
+        val cost = n.toLong * (rbits + bw) / 8 + dict.length * 8L + nEx * 12L
+        if (best.forall(_._1 > cost)) best = Some((cost, rbits, dict))
+      }
+      rbits += 4
+    }
+    best.collect { case (cost, r, dict) if cost < n.toLong * 8 * 9 / 10 => (r, dict) }
   }
 
   // ---- bytes columns ----
@@ -243,11 +303,43 @@ object Encoder {
       val codes = new Array[Long](n)
       i = 0
       while (i < n) { codes(i) = seen(key(i)).toLong; i += 1 }
-      Codecs.encodeDictBytes(n, BytesData(dictOffsets, dictBytes), codes, out)
+      val dict = BytesData(dictOffsets, dictBytes)
+      // K10: large dictionaries earn FSST compression of the values
+      if (total >= 4096) {
+        fsstIfWorthIt(dict) match {
+          case Some(table) =>
+            Codecs.encodeFsstDict(n, dict, codes, table, out)
+            return Enc.FSST_DICT
+          case None => ()
+        }
+      }
+      Codecs.encodeDictBytes(n, dict, codes, out)
       Enc.DICT
     } else {
-      Codecs.encodePlainBytes(d, out)
-      Enc.PLAIN
+      // K9: high-cardinality strings → FSST when the sample compresses
+      fsstIfWorthIt(d) match {
+        case Some(table) =>
+          Codecs.encodeFsst(d, table, out)
+          Enc.FSST
+        case None =>
+          Codecs.encodePlainBytes(d, out)
+          Enc.PLAIN
+      }
     }
+  }
+
+  /** Train FSST on a bounded sample; keep it only if the sample
+    * compresses below 90% (escape-heavy tables would inflate). */
+  private def fsstIfWorthIt(d: BytesData): Option[Fsst.SymbolTable] = {
+    val total = d.offsets(d.n)
+    if (total < 1024) return None
+    val sampleLen = math.min(total, 1 << 16)
+    val sample = java.util.Arrays.copyOfRange(d.bytes, 0, sampleLen)
+    val table = Fsst.train(sample)
+    if (table.nSymbols == 0) return None
+    val probe = scala.collection.mutable.ArrayBuilder.make[Byte]
+    val probeLen = math.min(total, 1 << 14)
+    val encLen = Fsst.encode(table, d.bytes, 0, probeLen, probe)
+    if (encLen.toLong * 10 < probeLen.toLong * 9) Some(table) else None
   }
 }

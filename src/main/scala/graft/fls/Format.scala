@@ -52,7 +52,14 @@ object Format {
     val FFOR = 2         // K3: per-1024-block frame-of-reference + bit-pack
     val DICT = 3         // K7/K8: dictionary + FFOR-packed codes
     val RLE = 4          // K13/K14: run values + FFOR-packed run lengths
-    val ALP = 5          // K5: doubles as scaled ints + exceptions
+                         //   (runs span the whole row group = cross_rle)
+    val ALP = 5          // K5: doubles as scaled ints + slpatch-style
+                         //   patched exceptions (K4)
+    val FSST = 6         // K9: FSST-compressed strings
+    val FSST_DICT = 7    // K10: dictionary whose values are FSST-compressed
+    val FREQ = 8         // K15: frequent value + exception (pos, value) lists
+    val ALP_RD = 9       // K6: ALP-RD "real doubles": front-bits dict +
+                         //   raw right bits
   }
 
   /** Physical representation a logical type decodes through. */

@@ -164,4 +164,68 @@ class CodecsSpec extends AnyFunSuite {
       assert(out.sameElements(vs))
     }
   }
+
+  test("FSST round-trips text and compresses a wordy corpus") {
+    val rng = new scala.util.Random(7)
+    val vocab = Array("table", "query", "spark", "filter", "window", "batch",
+      "merge", "hash", "value", "column")
+    val strs = (0 until 2000).map(_ =>
+      (0 until 10).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    val d = mkBytes(strs)
+    val sample = java.util.Arrays.copyOfRange(d.bytes, 0, math.min(d.bytes.length, 1 << 16))
+    val table = Fsst.train(sample)
+    val w = new ByteWriter()
+    Codecs.encodeFsst(d, table, w)
+    assert(strsOf(Codecs.decodeFsst(new ByteReader(w.toArray))) == strs)
+    assert(w.size < d.bytes.length / 2, s"fsst ${w.size} vs raw ${d.bytes.length}")
+  }
+
+  test("FSST round-trips adversarial bytes (escapes, empty, binary)") {
+    val rng = new scala.util.Random(11)
+    val strs = Seq("", "\u0000\u00ff", new String(Array.fill(300)(rng.nextInt(256).toByte).map(_.toChar))) ++
+      (0 until 50).map(_ => new String(Array.fill(rng.nextInt(40))((rng.nextInt(90) + 32).toChar)))
+    val bytes = strs.flatMap(_.toCharArray.map(_.toByte)).toArray
+    val offsets = strs.scanLeft(0)(_ + _.length).toArray
+    val d = BytesData(offsets, bytes)
+    val table = Fsst.train(java.util.Arrays.copyOf(bytes, bytes.length))
+    val w = new ByteWriter()
+    Codecs.encodeFsst(d, table, w)
+    val back = Codecs.decodeFsst(new ByteReader(w.toArray))
+    assert(back.offsets.sameElements(d.offsets))
+    assert(back.bytes.sameElements(d.bytes))
+  }
+
+  test("FREQ round-trips dominated columns") {
+    val vs = Array.fill(5000)(42L)
+    vs(17) = -1L; vs(900) = 7L; vs(4999) = Long.MaxValue
+    val w = new ByteWriter()
+    Codecs.encodeFreqLong(vs, 42L, w)
+    assert(Codecs.decodeFreqLong(new ByteReader(w.toArray)).sameElements(vs))
+  }
+
+  test("ALP-RD round-trips real doubles bitwise and compresses") {
+    val rng = new scala.util.Random(5)
+    val vs = Array.fill(8000)(rng.nextDouble() * 1e17 + 1e16)
+    val w = new ByteWriter()
+    val (enc, _) = Encoder.encodeColumn(DoubleData(vs), w)
+    assert(enc == Format.Enc.ALP_RD, s"expected ALP_RD, got $enc")
+    val out = Codecs.decode(w.toArray, enc, Format.Phys.DOUBLE).asInstanceOf[DoubleData].v
+    vs.indices.foreach { i =>
+      assert(java.lang.Double.doubleToRawLongBits(out(i)) ==
+        java.lang.Double.doubleToRawLongBits(vs(i)))
+    }
+    assert(w.size < vs.length * 8, s"alp-rd ${w.size} vs raw ${vs.length * 8}")
+  }
+
+  test("Encoder picks FSST for high-cardinality wordy strings") {
+    val rng = new scala.util.Random(9)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon")
+    val strs = (0 until 3000).map(i =>
+      s"doc$i " + (0 until 8).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    val d = mkBytes(strs)
+    val w = new ByteWriter()
+    val (enc, _) = Encoder.encodeColumn(d, w)
+    assert(enc == Format.Enc.FSST, s"expected FSST, got $enc")
+    assert(strsOf(Codecs.decode(w.toArray, enc, Format.Phys.BYTES).asInstanceOf[BytesData]) == strs)
+  }
 }
