@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graftexprs.GraftFunctions
 import graft.util.Tables._
 
 /** Similarity search over the `embeddings` table (64-dim float vectors):
@@ -18,10 +19,9 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nr", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x * x))"))
+      .withColumn("nr", sqrt(GraftFunctions.arrayDot(col("v"), col("v"))))
 
-  private val cosExpr =
-    expr("aggregate(zip_with(v_q, v_c, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)")
+  private val cosExpr = GraftFunctions.arrayDot(col("v_q"), col("v_c"))
 
   /** q25: brute-force cosine top-10 for 8 query vectors (vec_id < 8).
     * The query side is tiny → broadcast; candidates never shuffle.
