@@ -120,6 +120,29 @@ object Format {
     }
   }
 
+  /** Pairwise type promotion across row groups / files (≙ reference
+    * SchemaBuilder::PromoteType, /root/reference/src/reader/
+    * schema_builder.cpp:132-172): widest signed integer, FLOAT∪DOUBLE →
+    * DOUBLE, decimals widen to cover both; incompatible pairs throw
+    * (schema_builder.cpp:230-236). */
+  def promote(a: ColumnType, b: ColumnType): ColumnType = {
+    import TypeTag._
+    if (a == b) return a
+    val intRank = Map(INT8 -> 0, INT16 -> 1, INT32 -> 2, INT64 -> 3)
+    (a.tag, b.tag) match {
+      case (x, y) if intRank.contains(x) && intRank.contains(y) =>
+        if (intRank(x) >= intRank(y)) a else b
+      case (FLOAT, DOUBLE) | (DOUBLE, FLOAT) => ColumnType(DOUBLE)
+      case (x, y) if (x == DECIMAL || x == BIG_DECIMAL) && (y == DECIMAL || y == BIG_DECIMAL) =>
+        val s = math.max(a.scale, b.scale)
+        val p = math.min(38, math.max(a.precision - a.scale, b.precision - b.scale) + s)
+        ColumnType(if (p <= 18) DECIMAL else BIG_DECIMAL, p, s)
+      case _ =>
+        throw new IllegalArgumentException(
+          s"fls: incompatible types for schema merge: $a vs $b")
+    }
+  }
+
   /** Per-column, per-row-group segment descriptor: where the bytes live
     * and how they decode, plus min/max zone-map stats for LONG/DOUBLE
     * physical columns (strings are stats-less, like the reference —

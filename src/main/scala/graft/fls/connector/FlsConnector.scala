@@ -51,10 +51,34 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val paths = FlsDataSource.parsePaths(options)
     require(paths.nonEmpty, "fls: no path specified")
-    val files = FlsFile.listDataFiles(new Path(paths.head), hadoopConf)
-    require(files.nonEmpty, s"fls: no .fls files under ${paths.head}")
-    val r = new FlsFileReader(files.head, hadoopConf)
-    val base = try r.table.sparkSchema finally r.close()
+    val conf = hadoopConf
+    val files = paths.flatMap(p => FlsFile.listDataFiles(new Path(p), conf))
+    require(files.nonEmpty, s"fls: no .fls files under ${paths.mkString(",")}")
+    val base =
+      if (!options.getBoolean("union_by_name", false)) {
+        val r = new FlsFileReader(files.head, conf)
+        try r.table.sparkSchema finally r.close()
+      } else {
+        // ≙ reference union_by_name multi-file bind (BindUnionReader,
+        // /root/reference/src/reader/fls_multi_file_info.cpp:75-81):
+        // union columns by name in first-seen order, promote types,
+        // mark columns absent from some file nullable.
+        val perFile = files.map { f =>
+          val r = new FlsFileReader(f, conf)
+          try r.table.columns.toSeq finally r.close()
+        }
+        val order = scala.collection.mutable.LinkedHashMap[String, ColumnType]()
+        perFile.foreach(_.foreach { c =>
+          order.get(c.name) match {
+            case None => order(c.name) = c.colType
+            case Some(t) => order(c.name) = Format.promote(t, c.colType)
+          }
+        })
+        StructType(order.map { case (name, t) =>
+          val everywhere = perFile.forall(_.exists(_.name == name))
+          StructField(name, t.toSpark, nullable = !everywhere)
+        }.toArray)
+      }
     // Virtual columns opt in via reader options, like the reference's
     // read_fls named parameters (/root/reference/src/read_fls.cpp:32-46).
     var s = base
@@ -206,6 +230,49 @@ class FlsScan(
     }
     override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
     override def numRows(): OptionalLong = OptionalLong.of(rows)
+
+    /** Per-column min/max + no-null merged across row groups from
+      * footer stats, served to Catalyst CBO (≙ reference
+      * GetStatistics + CANNOT_HAVE_NULL_VALUES,
+      * /root/reference/src/reader/fls_reader.cpp:190-292; SURVEY §2.A7). */
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+      requiredSchema.fields.foreach { f =>
+        files.headOption.foreach { case (_, table0, _) =>
+          val idx = table0.columns.indexWhere(_.name == f.name)
+          if (idx >= 0) {
+            val phys = physOf(table0.columns(idx).colType.tag)
+            val segs = files.flatMap(_._2.rowGroups.map(_.segments(idx)))
+            val mm: Option[(AnyRef, AnyRef)] =
+              if (segs.isEmpty || !segs.forall(_.hasStats)) None
+              else phys match {
+                case Phys.LONG =>
+                  Some((java.lang.Long.valueOf(segs.map(_.minLong).min),
+                    java.lang.Long.valueOf(segs.map(_.maxLong).max)))
+                case Phys.DOUBLE =>
+                  Some((java.lang.Double.valueOf(segs.map(_.minDouble).min),
+                    java.lang.Double.valueOf(segs.map(_.maxDouble).max)))
+                case _ => None
+              }
+            out.put(Expressions.column(f.name), new ColumnStatistics {
+              override def nullCount(): OptionalLong = OptionalLong.of(0L)
+              override def min(): java.util.Optional[Object] =
+                mm.map(p => java.util.Optional.of(p._1: Object))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                mm.map(p => java.util.Optional.of(p._2: Object))
+                  .getOrElse(java.util.Optional.empty[Object]())
+            })
+          }
+        }
+      }
+      out
+    }
   }
 }
 

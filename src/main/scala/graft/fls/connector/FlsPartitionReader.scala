@@ -24,7 +24,13 @@ class FlsPartitionReader(
 
   private val nTuples = part.rowGroup.nTuples
   private var rowPos = 0
-  private var decoded: Array[ColData] = _ // null slots = virtual columns
+  private var decoded: Array[ColData] = _ // null slots = virtual/absent columns
+  /** File-side type per projected field (None = virtual or absent in
+    * this file — absent happens under union_by_name). */
+  private val fileTypes: Array[Option[ColumnType]] =
+    readSchema.fields.map { f =>
+      part.fileColumns.find(_.name == f.name).map(_.colType)
+    }
   private val vectors: Array[OnHeapColumnVector] =
     readSchema.fields.map(f => new OnHeapColumnVector(BatchSize, f.dataType))
   private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
@@ -37,7 +43,8 @@ class FlsPartitionReader(
       decoded = readSchema.fields.map { f =>
         val idx = part.fileColumns.indexWhere(_.name == f.name)
         if (idx < 0) {
-          if (f.name == FlsVirtual.RowNumber || f.name == FlsVirtual.FileIndex) null
+          if (f.name == FlsVirtual.RowNumber || f.name == FlsVirtual.FileIndex ||
+            f.nullable) null // nullable+absent: union_by_name missing column
           else throw new IllegalArgumentException(
             s"fls: column ${f.name} not present in ${part.file}")
         } else {
@@ -69,6 +76,9 @@ class FlsPartitionReader(
 
   override def close(): Unit = ()
 
+  private def fieldIdx(field: StructField): Int =
+    readSchema.fieldIndex(field.name)
+
   private def fill(
       vec: OnHeapColumnVector,
       field: StructField,
@@ -76,15 +86,40 @@ class FlsPartitionReader(
       start: Int,
       len: Int): Unit = {
     (data, field.dataType) match {
-      case (null, LongType) =>
-        // virtual columns
-        val base =
-          if (field.name == FlsVirtual.FileIndex) -1L else part.fileRowStart + start
+      case (null, LongType) if field.name == FlsVirtual.FileIndex =>
         var i = 0
-        if (field.name == FlsVirtual.FileIndex) {
-          while (i < len) { vec.putLong(i, part.fileIndex.toLong); i += 1 }
+        while (i < len) { vec.putLong(i, part.fileIndex.toLong); i += 1 }
+      case (null, LongType) if field.name == FlsVirtual.RowNumber =>
+        val base = part.fileRowStart + start
+        var i = 0
+        while (i < len) { vec.putLong(i, base + i); i += 1 }
+      case (null, _) =>
+        // column absent from this file (union_by_name) → NULLs
+        vec.putNulls(0, len)
+      case (LongData(vs), d: DecimalType)
+          if fileTypes(fieldIdx(field)).exists(ft => ft.scale != d.scale) =>
+        // cross-file decimal promotion: rescale unscaled values
+        val ft = fileTypes(fieldIdx(field)).get
+        var factor = 1L
+        var k = ft.scale
+        while (k < d.scale) { factor *= 10; k += 1 }
+        if (d.precision <= 18) {
+          var i = 0
+          while (i < len) {
+            val unscaled = vs(start + i) * factor
+            if (d.precision <= 9) vec.putInt(i, unscaled.toInt)
+            else vec.putLong(i, unscaled)
+            i += 1
+          }
         } else {
-          while (i < len) { vec.putLong(i, base + i); i += 1 }
+          var i = 0
+          while (i < len) {
+            vec.putDecimal(i, org.apache.spark.sql.types.Decimal(
+              new java.math.BigDecimal(
+                java.math.BigInteger.valueOf(vs(start + i)), ft.scale)
+                .setScale(d.scale), d.precision, d.scale), d.precision)
+            i += 1
+          }
         }
       case (LongData(vs), LongType | TimestampType | TimestampNTZType) =>
         vec.putLongs(0, len, vs, start)
@@ -118,6 +153,9 @@ class FlsPartitionReader(
           i += 1
         }
       case (b: BytesData, d: DecimalType) =>
+        // bytes-backed decimals carry the FILE's scale; rescale if the
+        // merged schema promoted it
+        val fileScale = fileTypes(fieldIdx(field)).map(_.scale).getOrElse(d.scale)
         var i = 0
         while (i < len) {
           val s = b.offsets(start + i)
@@ -125,7 +163,8 @@ class FlsPartitionReader(
             java.util.Arrays.copyOfRange(b.bytes, s, b.offsets(start + i + 1)))
           vec.putDecimal(i,
             org.apache.spark.sql.types.Decimal(
-              new java.math.BigDecimal(unscaled, d.scale), d.precision, d.scale),
+              new java.math.BigDecimal(unscaled, fileScale).setScale(d.scale),
+              d.precision, d.scale),
             d.precision)
           i += 1
         }

@@ -176,4 +176,38 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
           count(lit(1)).as("n"))
     assertSame(q1(li), q1(fls))
   }
+
+  test("union_by_name merges schemas, promotes types, nulls missing columns") {
+    val d1 = s"$tmp/union_a"
+    val d2 = s"$tmp/union_b"
+    spark.range(0, 100).toDF("id")
+      .selectExpr("CAST(id AS INT) AS id", "CAST(id * 2 AS INT) AS a")
+      .write.format("fls").mode("overwrite").save(d1)
+    spark.range(100, 200).toDF("id")
+      .selectExpr("id", "concat('x', id) AS b") // id is BIGINT here
+      .write.format("fls").mode("overwrite").save(d2)
+    val back = spark.read.format("fls")
+      .option("union_by_name", "true").load(d1, d2)
+    val sch = back.schema.fields.map(f => (f.name, f.dataType.simpleString, f.nullable)).toSeq
+    assert(sch == Seq(("id", "bigint", false), ("a", "int", true), ("b", "string", true)))
+    assert(back.count() == 200)
+    assert(back.filter(col("a").isNull).count() == 100)
+    assert(back.filter(col("b").isNull).count() == 100)
+    assert(back.filter(col("id") === 150).select("b").collect()(0).getString(0) == "x150")
+  }
+
+  test("union_by_name rejects incompatible column types") {
+    val d1 = s"$tmp/bad_a"
+    val d2 = s"$tmp/bad_b"
+    spark.range(0, 5).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .write.format("fls").mode("overwrite").save(d1)
+    spark.range(0, 5).selectExpr("id", "concat('s', id) AS v")
+      .write.format("fls").mode("overwrite").save(d2)
+    val e = intercept[Exception] {
+      spark.read.format("fls").option("union_by_name", "true").load(d1, d2).count()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("incompatible"))
+  }
 }
