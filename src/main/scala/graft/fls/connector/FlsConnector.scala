@@ -170,6 +170,12 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
   override def build(): Scan = new FlsScan(tableSchema, requiredSchema, pushed, options)
 }
 
+class FlsSumMetric(n: String, d: String)
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = n
+  override def description(): String = d
+}
+
 class FlsScan(
     tableSchema: StructType,
     requiredSchema: StructType,
@@ -219,8 +225,21 @@ class FlsScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new FlsReaderFactory(readSchema(), new SerializableConfiguration(hadoopConf))
 
+  /** Scan progress metrics (≙ reference GetProgressInFile,
+    * /root/reference/src/reader/fls_reader.cpp:556-558 — Spark surfaces
+    * these in the UI/listener instead of a polled percentage). */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new FlsSumMetric("rowGroupsRead", "row groups read"),
+      new FlsSumMetric("flsRowsRead", "rows read"))
+
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = files.map(_._2.numRows).sum
+    // explicit_cardinality named option overrides the footer count
+    // (≙ reference read_fls named parameter, /root/reference/src/
+    // reader/fls_multi_file_info.cpp:152-164)
+    private val rows = {
+      val explicit = options.getLong("explicit_cardinality", -1L)
+      if (explicit >= 0) explicit else files.map(_._2.numRows).sum
+    }
     private val bytes = {
       val raw = files.map(_._3).sum
       val frac =

@@ -74,6 +74,17 @@ class FlsPartitionReader(
 
   override def get(): ColumnarBatch = batch
 
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = "rowGroupsRead"
+        override def value(): Long = if (decoded != null) 1L else 0L
+      },
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = "flsRowsRead"
+        override def value(): Long = rowPos.toLong
+      })
+
   override def close(): Unit = ()
 
   private def fieldIdx(field: StructField): Int =
