@@ -7,14 +7,16 @@ object SparkEntry {
     graft.queries.Relational.q01TpchQ1(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.FlsQueries.queries ++
+    graft.queries.Relational.queries ++ graft.queries.Relational2.queries ++
+      graft.queries.FlsQueries.queries ++
       graft.queries.Dedup.queries ++ graft.queries.Similarity.queries ++
       graft.queries.TextAnalysis.queries ++ graft.queries.Multimodal.queries ++
       graft.queries.Streaming.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.FlsQueries.oracles ++
+    graft.queries.Relational.oracles ++ graft.queries.Relational2.oracles ++
+      graft.queries.FlsQueries.oracles ++
       graft.queries.Dedup.oracles ++ graft.queries.Similarity.oracles ++
       graft.queries.TextAnalysis.oracles ++ graft.queries.Multimodal.oracles ++
       graft.queries.Streaming.oracles

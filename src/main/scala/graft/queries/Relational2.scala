@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Additional host-engine surface: multi-level aggregation and set
+  * operations — Catalyst built-ins (SURVEY.md §2.B policy: declare, do
+  * not re-implement). */
+object Relational2 {
+
+  /** q19: ROLLUP over orders — (status, priority), (status), (): three
+    * aggregation levels in one pass (partial aggregation + single
+    * shuffle; Spark expands grouping sets map-side). */
+  def q19Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  val q19Sql: String = {
+    import graft.util.Tables.{sql => S}
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n, ${S.sumD6w("o_totalprice", "total")}
+       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+       ORDER BY status, priority"""
+  }
+
+  /** q34: set operations — customers with orders INTERSECT customers
+    * with high-value orders, EXCEPT customers from nation 0, UNION a
+    * fixed probe set. Spark plans these as aggregates/joins. */
+  def q34SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val withOrders = o.select(col("o_custkey").as("custkey")).distinct()
+    val highValue = o.filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val nation0 = c.filter(col("c_nationkey") === 0)
+      .select(col("c_custkey").as("custkey"))
+    val probes = spark.range(1, 6).toDF("custkey")
+    withOrders.intersect(highValue)
+      .except(nation0)
+      .union(probes)
+      .distinct()
+      .orderBy("custkey")
+  }
+
+  val q34Sql: String =
+    """SELECT DISTINCT custkey FROM (
+        (SELECT DISTINCT o_custkey AS custkey FROM orders
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000.0
+         EXCEPT
+         SELECT c_custkey FROM customer WHERE c_nationkey = 0)
+        UNION
+        SELECT range AS custkey FROM range(1, 6))
+      ORDER BY custkey"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_rollup" -> (q19Rollup _),
+    "q34_set_ops" -> (q34SetOps _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q19_rollup" -> q19Sql,
+    "q34_set_ops" -> q34Sql,
+  )
+}

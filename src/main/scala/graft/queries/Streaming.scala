@@ -112,13 +112,70 @@ object Streaming {
       FROM sess GROUP BY user_id, session_idx
       ORDER BY user_id, session_idx"""
 
+  case class UserAgg(user_id: Long, n_events: Long, sum_value_micros: Long)
+
+  /** q35: stateful streaming with mapGroupsWithState — per-user running
+    * totals. With Trigger.AvailableNow the stream drains and each
+    * group's final state is emitted once (update mode), so the batch
+    * GROUP BY oracle is exact. `value` sums as exact micros (×1e6
+    * round) to stay order-independent. */
+  def q35StreamState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val updates = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .selectExpr("user_id", "CAST(round(value * 1000000) AS BIGINT) AS vmic")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0L))
+          var n = prev.n_events
+          var s = prev.sum_value_micros
+          it.foreach { case (_, v) => n += 1; s += v }
+          val cur = UserAgg(uid, n, s)
+          state.update(cur)
+          cur
+      }
+    val name = s"q35mem${memSeq.incrementAndGet()}"
+    val q = updates.writeStream.format("memory").queryName(name)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // AvailableNow may run several micro-batches; the LAST update per
+    // user is the final state
+    // n_events strictly grows per update → lexicographic struct max
+    // selects the final state even if sums could decrease
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_value_micros"))).as("fin"))
+      .select(col("user_id"), col("fin.n_events").as("n_events"),
+        col("fin.sum_value_micros").as("sum_value_micros"))
+      .orderBy("user_id")
+  }
+
+  val q35Sql: String =
+    """SELECT user_id, count(*) AS n_events,
+        CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
+      FROM events GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_streaming_hourly" -> (q32StreamingHourly _),
     "q33_sessionize_typed" -> (q33Sessionize _),
+    "q35_stream_state" -> (q35StreamState _),
   )
 
   val oracles: Map[String, String] = Map(
     "q32_streaming_hourly" -> q32Sql,
     "q33_sessionize_typed" -> q33Sql,
+    "q35_stream_state" -> q35Sql,
   )
 }
