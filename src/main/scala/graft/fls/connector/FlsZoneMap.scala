@@ -11,6 +11,9 @@ import graft.fls.Format._
   * §2.A6). Conservative: any conversion doubt keeps the row group. */
 object FlsZoneMap {
 
+  /** Long magnitudes at/past 2^52 round when stored as double. */
+  @inline def inexact(v: Double): Boolean = math.abs(v) >= 4.503599627370496E15
+
   /** Filters we can use for skipping (reported as PushedFilters). */
   def usable(f: Filter): Boolean = f match {
     case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
@@ -43,12 +46,16 @@ object FlsZoneMap {
     case IsNull(col) if nameToIdx.contains(col) || col == FlsVirtual.RowNumber => false
     case IsNotNull(_) => true
     case EqualTo(col, v) => cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, mx, x) => x >= mn && x <= mx }
-    // Strict compares get a 1-ulp margin: double rounding is monotonic,
-    // so >=/<=/= can never mis-prune, but > / < could collapse at values
-    // past 2^53 — widen the bound instead of risking a wrong skip.
-    case GreaterThan(col, v) => cmp(rg, nameToIdx, columns, col, v, rowStart) { (_, mx, x) => Math.nextUp(mx) > x }
+    // Strict compares: double rounding is monotonic, so >=/<=/= can
+    // never mis-prune; > / < could collapse at longs past 2^52 where
+    // doubles lose exactness — only there, widen by 1 ulp instead of
+    // risking a wrong skip. Below 2^52 the compare is exact and the
+    // boundary row group prunes.
+    case GreaterThan(col, v) => cmp(rg, nameToIdx, columns, col, v, rowStart) { (_, mx, x) =>
+      (if (FlsZoneMap.inexact(mx)) Math.nextUp(mx) else mx) > x }
     case GreaterThanOrEqual(col, v) => cmp(rg, nameToIdx, columns, col, v, rowStart) { (_, mx, x) => mx >= x }
-    case LessThan(col, v) => cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, _, x) => Math.nextDown(mn) < x }
+    case LessThan(col, v) => cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, _, x) =>
+      (if (FlsZoneMap.inexact(mn)) Math.nextDown(mn) else mn) < x }
     case LessThanOrEqual(col, v) => cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, _, x) => mn <= x }
     case In(col, vs) =>
       vs.isEmpty || vs.exists(v => cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, mx, x) => x >= mn && x <= mx })

@@ -112,12 +112,16 @@ object Dedup {
     * blocking degenerates (all docs similar length). */
   def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
+    // prefix length n - ceil(0.8n) + 1 in INTEGER arithmetic:
+    // ceil(4n/5) = (4n+4) div 5 — a float ceil(0.8*n) can round up
+    // (0.8 is inexact in binary) and silently shorten the prefix,
+    // breaking completeness exactly at the threshold boundary
     val prefixes = sh.select(col("doc_id"),
       explode(expr(
         """slice(array_sort(transform(gr, s -> struct(xxhash64(s) AS h, s)), (x, y) ->
              CASE WHEN x.h < y.h THEN -1 WHEN x.h > y.h THEN 1
                   WHEN x.s < y.s THEN -1 WHEN x.s > y.s THEN 1 ELSE 0 END),
-           1, CAST(size(gr) - ceil(0.8 * size(gr)) + 1 AS INT))""")).as("tok"))
+           1, CAST(size(gr) - ((4 * size(gr) + 4) DIV 5) + 1 AS INT))""")).as("tok"))
     val cand = prefixes.select(col("doc_id").as("doc_a"), col("tok"))
       .join(prefixes.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
       .filter(col("doc_a") < col("doc_b"))
@@ -145,11 +149,17 @@ object Dedup {
     val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val buckets = sig.select(col("doc_id"),
       posexplode(array((0 until 16).map(k => col(s"m$k")): _*)).as(Seq("slot", "mh")))
+    // Require >= 2 colliding slots: at j=0.8, P(a slot collides) = 0.8,
+    // so P(<2 of 16) = 0.2^16 + 16*0.8*0.2^15 ≈ 4e-10 — recall still
+    // ~certain, while single-slot false candidates (the bulk) drop
+    // before the expensive jaccard verify.
     val cand = buckets.select(col("doc_id").as("doc_a"), col("slot"), col("mh"))
       .join(buckets.select(col("doc_id").as("doc_b"), col("slot"), col("mh")), Seq("slot", "mh"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_slots"))
+      .filter(col("n_slots") >= 2)
       .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
     verifyPairs(cand, sh)
   }
 

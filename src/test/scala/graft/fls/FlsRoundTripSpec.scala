@@ -210,4 +210,32 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
     assert(msgs(e).contains("incompatible"))
   }
+
+  test("union_by_name promotes decimal scales and rescales values") {
+    val d1 = s"$tmp/dec_a"
+    val d2 = s"$tmp/dec_b"
+    spark.range(0, 50).selectExpr("id", "CAST(CAST(id AS DECIMAL(10,2)) / 4 AS DECIMAL(10,2)) AS v")
+      .write.format("fls").mode("overwrite").save(d1)
+    spark.range(50, 100).selectExpr("id", "CAST(CAST(id AS DECIMAL(12,4)) / 8 AS DECIMAL(12,4)) AS v")
+      .write.format("fls").mode("overwrite").save(d2)
+    val back = spark.read.format("fls").option("union_by_name", "true").load(d1, d2)
+    val vType = back.schema("v").dataType.simpleString
+    assert(vType == "decimal(12,4)", vType)
+    // values from file 1 (scale 2) must rescale: 10/4 = 2.50 -> 2.5000
+    val r10 = back.filter(col("id") === 10).select("v").collect()(0).getDecimal(0)
+    assert(r10.toPlainString == "2.5000", r10.toPlainString)
+    val r60 = back.filter(col("id") === 60).select("v").collect()(0).getDecimal(0)
+    assert(r60.toPlainString == "7.5000", r60.toPlainString)
+    assert(back.count() == 100)
+  }
+
+  test("explicit_cardinality overrides reported row count") {
+    val dir = s"$tmp/card"
+    spark.range(0, 1000).toDF("id").write.format("fls").mode("overwrite").save(dir)
+    val back = spark.read.format("fls")
+      .option("explicit_cardinality", "5").load(dir)
+    val stats = back.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(5)), stats)
+    assert(back.count() == 1000) // stats hint only, data unchanged
+  }
 }
