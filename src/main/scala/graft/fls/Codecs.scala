@@ -535,6 +535,61 @@ object Codecs {
     BytesData(offsets, bytes)
   }
 
+  // ---------- FSST12 (K11) & FSST12-dict (K12) ----------
+
+  def encodeFsst12(d: BytesData, table: Fsst.SymbolTable, out: ByteWriter): Unit = {
+    val n = d.n
+    out.writeInt(n)
+    Fsst12.writeTable(table, out)
+    val codeCounts = new Array[Long](n)
+    val codes = new scala.collection.mutable.ArrayBuilder.ofInt
+    codes.sizeHint(d.bytes.length / 2)
+    var i = 0
+    while (i < n) {
+      codeCounts(i) = Fsst12.encode(table, d.bytes, d.offsets(i), d.offsets(i + 1), codes).toLong
+      i += 1
+    }
+    encodeFFOR(codeCounts, out)
+    val packed = Fsst12.packCodes(codes.result())
+    out.writeInt(packed.length)
+    out.writeBytes(packed)
+  }
+
+  def decodeFsst12(in: ByteReader): BytesData = {
+    val n = in.readInt()
+    val table = Fsst12.readTable(in)
+    val codeCounts = decodeFFOR(in)
+    val packedLen = in.readInt()
+    val packed = in.readBytes(packedLen)
+    val out = scala.collection.mutable.ArrayBuilder.make[Byte]
+    out.sizeHint(packedLen * 4)
+    val offsets = new Array[Int](n + 1)
+    var codePos = 0
+    var i = 0
+    while (i < n) {
+      offsets(i + 1) = offsets(i) +
+        Fsst12.decode(table, packed, codePos, codeCounts(i).toInt, out)
+      codePos += codeCounts(i).toInt
+      i += 1
+    }
+    BytesData(offsets, out.result())
+  }
+
+  def encodeFsst12Dict(n: Int, dict: BytesData, codes: Array[Long],
+      table: Fsst.SymbolTable, out: ByteWriter): Unit = {
+    out.writeInt(n)
+    encodeFsst12(dict, table, out)
+    encodeFFOR(codes, out)
+  }
+
+  def decodeFsst12Dict(in: ByteReader): BytesData = {
+    val n = in.readInt()
+    val dict = decodeFsst12(in)
+    val codes = decodeFFOR(in)
+    require(codes.length == n)
+    gatherDict(dict, codes)
+  }
+
   // ---------- FREQ (K15): frequent value + patched exceptions ----------
 
   def encodeFreqLong(vs: Array[Long], freqVal: Long, out: ByteWriter): Unit = {
@@ -663,6 +718,8 @@ object Codecs {
       case (Enc.ALP, Format.Phys.DOUBLE) => DoubleData(decodeAlp(in))
       case (Enc.FSST, Format.Phys.BYTES) => decodeFsst(in)
       case (Enc.FSST_DICT, Format.Phys.BYTES) => decodeFsstDict(in)
+      case (Enc.FSST12, Format.Phys.BYTES) => decodeFsst12(in)
+      case (Enc.FSST12_DICT, Format.Phys.BYTES) => decodeFsst12Dict(in)
       case (Enc.FREQ, Format.Phys.LONG) => LongData(decodeFreqLong(in))
       case (Enc.ALP_RD, Format.Phys.DOUBLE) => DoubleData(decodeAlpRd(in))
       case other =>

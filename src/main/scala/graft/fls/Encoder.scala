@@ -304,42 +304,64 @@ object Encoder {
       i = 0
       while (i < n) { codes(i) = seen(key(i)).toLong; i += 1 }
       val dict = BytesData(dictOffsets, dictBytes)
-      // K10: large dictionaries earn FSST compression of the values
+      // K10/K12: large dictionaries earn FSST compression of the values
       if (total >= 4096) {
-        fsstIfWorthIt(dict) match {
-          case Some(table) =>
+        fsstPlan(dict) match {
+          case Some((Enc.FSST, table)) =>
             Codecs.encodeFsstDict(n, dict, codes, table, out)
             return Enc.FSST_DICT
-          case None => ()
+          case Some((Enc.FSST12, table)) =>
+            Codecs.encodeFsst12Dict(n, dict, codes, table, out)
+            return Enc.FSST12_DICT
+          case _ => ()
         }
       }
       Codecs.encodeDictBytes(n, dict, codes, out)
       Enc.DICT
     } else {
-      // K9: high-cardinality strings → FSST when the sample compresses
-      fsstIfWorthIt(d) match {
-        case Some(table) =>
+      // K9/K11: high-cardinality strings → FSST when the sample compresses
+      fsstPlan(d) match {
+        case Some((Enc.FSST, table)) =>
           Codecs.encodeFsst(d, table, out)
           Enc.FSST
-        case None =>
+        case Some((Enc.FSST12, table)) =>
+          Codecs.encodeFsst12(d, table, out)
+          Enc.FSST12
+        case _ =>
           Codecs.encodePlainBytes(d, out)
           Enc.PLAIN
       }
     }
   }
 
-  /** Train FSST on a bounded sample; keep it only if the sample
-    * compresses below 90% (escape-heavy tables would inflate). */
-  private def fsstIfWorthIt(d: BytesData): Option[Fsst.SymbolTable] = {
+  /** Train 8-bit and 12-bit FSST on a bounded sample; pick whichever
+    * probe-encodes smaller, and only if below 90% of raw (escape-heavy
+    * tables would inflate). Returns (Enc tag, table). */
+  private def fsstPlan(d: BytesData): Option[(Int, Fsst.SymbolTable)] = {
     val total = d.offsets(d.n)
     if (total < 1024) return None
     val sampleLen = math.min(total, 1 << 16)
     val sample = java.util.Arrays.copyOfRange(d.bytes, 0, sampleLen)
-    val table = Fsst.train(sample)
-    if (table.nSymbols == 0) return None
-    val probe = scala.collection.mutable.ArrayBuilder.make[Byte]
     val probeLen = math.min(total, 1 << 14)
-    val encLen = Fsst.encode(table, d.bytes, 0, probeLen, probe)
-    if (encLen.toLong * 10 < probeLen.toLong * 9) Some(table) else None
+
+    val t8 = Fsst.train(sample)
+    val cost8 =
+      if (t8.nSymbols == 0) Long.MaxValue
+      else {
+        val probe = scala.collection.mutable.ArrayBuilder.make[Byte]
+        Fsst.encode(t8, d.bytes, 0, probeLen, probe).toLong
+      }
+    val t12 = Fsst12.train(sample)
+    val cost12 =
+      if (t12.nSymbols == 0) Long.MaxValue
+      else {
+        val codes = new scala.collection.mutable.ArrayBuilder.ofInt
+        val nCodes = Fsst12.encode(t12, d.bytes, 0, probeLen, codes)
+        nCodes.toLong * 12 / 8 + t12.nSymbols * 9L * probeLen / math.max(1, total)
+      }
+    val best = math.min(cost8, cost12)
+    if (best * 10 >= probeLen.toLong * 9) None
+    else if (cost8 <= cost12) Some((Format.Enc.FSST, t8))
+    else Some((Format.Enc.FSST12, t12))
   }
 }

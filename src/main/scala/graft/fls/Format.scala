@@ -60,6 +60,8 @@ object Format {
     val FREQ = 8         // K15: frequent value + exception (pos, value) lists
     val ALP_RD = 9       // K6: ALP-RD "real doubles": front-bits dict +
                          //   raw right bits
+    val FSST12 = 10      // K11: FSST with 12-bit codes
+    val FSST12_DICT = 11 // K12: dictionary with FSST12-compressed values
   }
 
   /** Physical representation a logical type decodes through. */

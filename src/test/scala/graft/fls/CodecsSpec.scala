@@ -228,4 +228,42 @@ class CodecsSpec extends AnyFunSuite {
     assert(enc == Format.Enc.FSST, s"expected FSST, got $enc")
     assert(strsOf(Codecs.decode(w.toArray, enc, Format.Phys.BYTES).asInstanceOf[BytesData]) == strs)
   }
+
+  test("FSST12 round-trips and wins on high-symbol-count corpora") {
+    val rng = new scala.util.Random(13)
+    // ~600 distinct frequent words -> more symbols than 8-bit FSST holds
+    val vocab = Array.tabulate(600)(i => s"token${i}word")
+    val strs = (0 until 3000).map(_ =>
+      (0 until 12).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    val d = mkBytes(strs)
+    val table = Fsst12.train(java.util.Arrays.copyOfRange(d.bytes, 0, math.min(d.bytes.length, 1 << 16)))
+    val w = new ByteWriter()
+    Codecs.encodeFsst12(d, table, w)
+    assert(strsOf(Codecs.decodeFsst12(new ByteReader(w.toArray))) == strs)
+    assert(w.size < d.bytes.length, s"fsst12 ${w.size} vs raw ${d.bytes.length}")
+  }
+
+  test("FSST12 12-bit packing round-trips all code values") {
+    val rng = new scala.util.Random(17)
+    val codes = Array.fill(5000)(rng.nextInt(4096))
+    val packed = Fsst12.packCodes(codes)
+    codes.indices.foreach { i =>
+      assert(Fsst12.readCode(packed, i) == codes(i), s"idx $i")
+    }
+  }
+
+  test("FSST12 adversarial bytes round-trip") {
+    val rng = new scala.util.Random(19)
+    val strs = Seq("", "\u0000") ++ (0 until 60).map(_ =>
+      new String(Array.fill(rng.nextInt(50))((rng.nextInt(256)).toChar)))
+    val bytes = strs.flatMap(_.toCharArray.map(_.toByte)).toArray
+    val offsets = strs.scanLeft(0)(_ + _.length).toArray
+    val d = BytesData(offsets, bytes)
+    val table = Fsst12.train(java.util.Arrays.copyOf(bytes, bytes.length))
+    val w = new ByteWriter()
+    Codecs.encodeFsst12(d, table, w)
+    val back = Codecs.decodeFsst12(new ByteReader(w.toArray))
+    assert(back.offsets.sameElements(d.offsets))
+    assert(back.bytes.sameElements(d.bytes))
+  }
 }
