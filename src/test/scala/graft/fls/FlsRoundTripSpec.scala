@@ -48,22 +48,27 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def typed(expr: String): DataFrame =
     spark.range(1, 1025).toDF("id").selectExpr("id", s"$expr AS col")
 
-  // one case per reference round-trip type (bool..blob); date/ts included
-  // even though the reference's own are broken (SURVEY.md §7.4 — we do better)
+  // one case per reference round-trip fixture (FIXTURES.md §1, from
+  // /root/reference/test/all_types_single_threaded.test:36-160), using
+  // the reference's own generators; date/ts included even though the
+  // reference's are broken (SURVEY.md §7.4 — we do better). ubigint →
+  // DECIMAL(20,0), hugeint/uhugeint → DECIMAL(38,0) per SURVEY §1.3.
   private val cases: Seq[(String, String)] = Seq(
     "boolean" -> "id % 2 = 0",
-    "tinyint" -> "CAST(id % 128 AS TINYINT)",
-    "smallint" -> "CAST(id * 13 % 32768 AS SMALLINT)",
-    "int" -> "CAST(id * 1027 AS INT)",
-    "bigint" -> "id * 1000000007",
-    "float" -> "CAST(id AS FLOAT) / 4",
-    "double" -> "CAST(id AS DOUBLE) / 100",
-    "decimal_10_2" -> "CAST(id AS DECIMAL(10,2)) / 4",
-    "decimal_30_4" -> "CAST(id AS DECIMAL(30,4)) * 12345678901234",
-    "varchar" -> "concat('value_', CAST(id AS STRING))",
-    "blob" -> "CAST(concat('bin', CAST(id AS STRING)) AS BINARY)",
-    "date" -> "date_add(DATE '1990-01-01', CAST(id AS INT))",
-    "timestamp" -> "timestampadd(SECOND, CAST(id AS INT), TIMESTAMP '2020-01-01 00:00:00')",
+    "tinyint" -> "CAST((id % 256) - 128 AS TINYINT)",
+    "smallint" -> "CAST((id % 65536) - 32768 AS SMALLINT)",
+    "int" -> "CAST(id AS INT)",
+    "bigint" -> "id * 10",
+    "ubigint" -> "CAST(id AS DECIMAL(20,0)) * 10",
+    "hugeint" -> "CAST(id AS DECIMAL(38,0)) * -469231731687303715884105728",
+    "uhugeint" -> "CAST(id AS DECIMAL(38,0)) * 469231731687303715884105728",
+    "float" -> "CAST(id / 100.0 AS FLOAT)",
+    "double" -> "CAST(id / 1000.0 AS DOUBLE)",
+    "decimal_10_2" -> "CAST(CAST(id AS DECIMAL(10,2)) / 10.0 AS DECIMAL(10,2))",
+    "varchar" -> "concat('Value ', CAST(id AS STRING))",
+    "blob" -> "CAST(md5(CAST(CAST(id AS STRING) AS BINARY)) AS BINARY)",
+    "date" -> "date_add(DATE '1992-03-22', CAST(id AS INT))",
+    "timestamp" -> "timestampadd(SECOND, CAST(id AS INT), TIMESTAMP '2025-01-01 00:00:00')",
     "low_card_str" -> "concat('cat_', CAST(id % 5 AS STRING))",
     "constant_str" -> "'same'",
     "constant_int" -> "CAST(7 AS BIGINT)")
