@@ -75,10 +75,23 @@ object Dedup {
           .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), expr(ShinglesSpark).as("gr"))
           .withColumn("nsh", size(col("gr")))
-          // consumed by 3 plan branches (candidates + both verify join
-          // sides) — cache instead of re-shingling per branch
+          // canonical set fingerprint: identical shingle SETS collapse
+          // into one similarity-join row (crawl corpora are dominated
+          // by exact copies — the stress probe showed 16x duplication
+          // turning AllPairs quadratic without this)
+          .withColumn("ghash",
+            // 128-bit md5 over the \u0001-joined sorted set: separator
+            // cannot occur in words (unambiguous); 128-bit collisions
+            // ~1e-29 — exactness holds in practice
+            expr("md5(CAST(array_join(array_sort(gr), '\u0001') AS BINARY))"))
+          // consumed by several plan branches — cache instead of
+          // re-shingling per branch
           .persist())
     }
+
+  /** One representative row per distinct shingle set. */
+  private def groupsOf(sh: DataFrame): DataFrame =
+    sh.groupBy("ghash").agg(first(col("gr")).as("gr"), first(col("nsh")).as("nsh"))
 
   // Builtin array_intersect/array_union beat a sorted-merge Expression
   // here (measured 1.7s vs 6.3s at sf0.1): UTF8String accessor churn in
@@ -86,81 +99,103 @@ object Dedup {
   private val exactJaccard =
     expr("CAST(size(array_intersect(gr_a, gr_b)) AS DOUBLE) / size(array_union(gr_a, gr_b))")
 
-  /** Finish candidate (doc_a, doc_b) id pairs: re-attach shingle sets
-    * (ids-only travel through the candidate shuffle — the arrays join
-    * back against the small shingled relation), apply the sound
-    * size-ratio prefilter (j >= 0.8 forces min/max >= 0.8), then the
-    * exact jaccard check. */
-  private def verifyPairs(candIds: DataFrame, sh: DataFrame): DataFrame = {
-    val a = sh.select(col("doc_id").as("doc_a"), col("gr").as("gr_a"), col("nsh").as("nsh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("gr").as("gr_b"), col("nsh").as("nsh_b"))
-    candIds
-      .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+  /** Finish candidate GROUP pairs (gh_a, gh_b): verify exact jaccard on
+    * the distinct-set representatives (after the sound size-ratio
+    * prefilter: j >= 0.8 forces min/max >= 0.8), then expand to member
+    * doc pairs — inter-group matches cross-join member lists; identical
+    * sets (jaccard computed once per GROUP, gr vs gr) expand to all
+    * within-group pairs. Output == naive per-doc join, at the cost of a
+    * similarity join over distinct sets only. */
+  private def verifyAndExpand(candGroups: DataFrame, sh: DataFrame): DataFrame = {
+    val groups = groupsOf(sh)
+    val ga = groups.select(col("ghash").as("gh_a"), col("gr").as("gr_a"), col("nsh").as("nsh_a"))
+    val gb = groups.select(col("ghash").as("gh_b"), col("gr").as("gr_b"), col("nsh").as("nsh_b"))
+    val verified = candGroups
+      .join(ga, Seq("gh_a")).join(gb, Seq("gh_b"))
       .filter(least(col("nsh_a"), col("nsh_b")).cast("double") /
         greatest(col("nsh_a"), col("nsh_b")) >= 0.8)
       .withColumn("jaccard", exactJaccard)
       .filter(col("jaccard") >= 0.8)
+      .select("gh_a", "gh_b", "jaccard")
+    val docs = sh.select(col("ghash"), col("doc_id"))
+    val inter = verified
+      .join(docs.select(col("ghash").as("gh_a"), col("doc_id").as("id_a")), Seq("gh_a"))
+      .join(docs.select(col("ghash").as("gh_b"), col("doc_id").as("id_b")), Seq("gh_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
+    // within-group pairs: jaccard(gr, gr) evaluated once per group (1.0,
+    // or NaN for empty sets — matching what the naive join would emit)
+    val selfJ = groups
+      .select(col("ghash"), col("gr").as("gr_a"), col("gr").as("gr_b"))
+      .withColumn("jaccard", exactJaccard)
+      .filter(col("jaccard") >= 0.8)
+      .select("ghash", "jaccard")
+    val intra = selfJ
+      .join(docs.select(col("ghash"), col("doc_id").as("doc_a")), Seq("ghash"))
+      .join(docs.select(col("ghash"), col("doc_id").as("doc_b")), Seq("ghash"))
+      .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    inter.union(intra).orderBy("doc_a", "doc_b")
   }
 
-  /** q21: exact set-similarity join via AllPairs prefix filtering: sort
-    * each shingle set by a global order (hash, then string); if
-    * J(A,B) >= t, the first |x|-⌈t|x|⌉+1 tokens of both sides must
-    * intersect, so an equi-join on prefix tokens is sound AND complete
-    * — the standard exact near-dup join that scales where size-bucket
-    * blocking degenerates (all docs similar length). */
+  /** q21: exact set-similarity join via AllPairs prefix filtering over
+    * DISTINCT shingle sets: sort each set by a global order (hash, then
+    * string); if J(A,B) >= t, the first |x|-⌈t|x|⌉+1 tokens of both
+    * sides must intersect, so an equi-join on prefix tokens is sound
+    * AND complete — the standard exact near-dup join that scales where
+    * size-bucket blocking degenerates (all docs similar length). */
   def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
+    val groups = groupsOf(shingled(spark, dir))
     // prefix length n - ceil(0.8n) + 1 in INTEGER arithmetic:
     // ceil(4n/5) = (4n+4) div 5 — a float ceil(0.8*n) can round up
     // (0.8 is inexact in binary) and silently shorten the prefix,
     // breaking completeness exactly at the threshold boundary
-    val prefixes = sh.select(col("doc_id"),
+    val prefixes = groups.select(col("ghash"),
       explode(expr(
         """slice(array_sort(transform(gr, s -> struct(xxhash64(s) AS h, s)), (x, y) ->
              CASE WHEN x.h < y.h THEN -1 WHEN x.h > y.h THEN 1
                   WHEN x.s < y.s THEN -1 WHEN x.s > y.s THEN 1 ELSE 0 END),
            1, CAST(size(gr) - ((4 * size(gr) + 4) DIV 5) + 1 AS INT))""")).as("tok"))
-    val cand = prefixes.select(col("doc_id").as("doc_a"), col("tok"))
-      .join(prefixes.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-    verifyPairs(cand, sh)
+    val cand = prefixes.select(col("ghash").as("gh_a"), col("tok"))
+      .join(prefixes.select(col("ghash").as("gh_b"), col("tok")), Seq("tok"))
+      .filter(col("gh_a") < col("gh_b"))
+      .select("gh_a", "gh_b")
+      .dropDuplicates("gh_a", "gh_b")
+    verifyAndExpand(cand, shingled(spark, dir))
   }
 
-  /** q22: MinHash-LSH near-dup: 16 min-hashes per doc, each a bucket key
-    * (b=16, r=1 → recall at j=0.8 is 1-(1-0.8)^16 ≈ 1-6.6e-12);
-    * bucket-join candidate ids, then exact-jaccard verification. The
-    * 100 TB path: candidates shuffle by (hash-slot, value) — never the
-    * shingle payloads. */
+  /** q22: MinHash-LSH near-dup over DISTINCT shingle sets: 16
+    * min-hashes per set, each a bucket key (b=16, r=1 with a >=2-slot
+    * vote → recall at j=0.8 is 1 - 4e-10); bucket-join candidates, then
+    * exact-jaccard verification + member expansion. The 100 TB path:
+    * candidates shuffle by (hash-slot, value) — never the shingle
+    * payloads. */
   def q22MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-    // Explode hashes once, then 16 codegen'd min-aggregates — NOT a
-    // nested HOF lambda (interpreted, and it would re-hash each shingle
-    // per slot: measured 50× slower). h < 2^31, so h*33+k < 2^36 stays
-    // ANSI-safe.
-    val hashed = sh.select(col("doc_id"),
-      explode(expr("transform(gr, s -> pmod(xxhash64(s), 2147483647))")).as("h"))
+    val groups = groupsOf(shingled(spark, dir))
+    // Explode shingles once, then 16 codegen'd min-aggregates — NOT a
+    // nested HOF lambda (interpreted: measured 50× slower). Each slot
+    // re-hashes the string with a distinct salt: affine remixes of ONE
+    // base hash correlate slot minima (observed: a true pair missed at
+    // 80k-doc scale), salted xxhash64 slots are independent.
+    val hashed = groups.select(col("ghash"), explode(col("gr")).as("s"))
     val minAggs = (0 until 16).map { k =>
-      min(pmod(col("h") * lit(2 * k + 1) + lit(k), lit(2147483647L))).as(s"m$k")
+      min(pmod(xxhash64(concat(col("s"), lit("" + k))), lit(2147483647L))).as(s"m$k")
     }
-    val sig = hashed.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    val buckets = sig.select(col("doc_id"),
+    val sig = hashed.groupBy("ghash").agg(minAggs.head, minAggs.tail: _*)
+    val buckets = sig.select(col("ghash"),
       posexplode(array((0 until 16).map(k => col(s"m$k")): _*)).as(Seq("slot", "mh")))
     // Require >= 2 colliding slots: at j=0.8, P(a slot collides) = 0.8,
     // so P(<2 of 16) = 0.2^16 + 16*0.8*0.2^15 ≈ 4e-10 — recall still
     // ~certain, while single-slot false candidates (the bulk) drop
     // before the expensive jaccard verify.
-    val cand = buckets.select(col("doc_id").as("doc_a"), col("slot"), col("mh"))
-      .join(buckets.select(col("doc_id").as("doc_b"), col("slot"), col("mh")), Seq("slot", "mh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    val cand = buckets.select(col("ghash").as("gh_a"), col("slot"), col("mh"))
+      .join(buckets.select(col("ghash").as("gh_b"), col("slot"), col("mh")), Seq("slot", "mh"))
+      .filter(col("gh_a") < col("gh_b"))
+      .groupBy("gh_a", "gh_b")
       .agg(count(lit(1)).as("n_slots"))
       .filter(col("n_slots") >= 2)
-      .select("doc_a", "doc_b")
-    verifyPairs(cand, sh)
+      .select("gh_a", "gh_b")
+    verifyAndExpand(cand, shingled(spark, dir))
   }
 
   /** Portable 32-bit word hash, identical in Spark SQL and DuckDB SQL:

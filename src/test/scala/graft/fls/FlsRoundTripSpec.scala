@@ -243,4 +243,21 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats.rowCount.contains(BigInt(5)), stats)
     assert(back.count() == 1000) // stats hint only, data unchanged
   }
+
+  test("reference compare_roundtrip macro shape: view + row_number full-outer IS DISTINCT FROM") {
+    // ≙ /root/reference/test/all_types_single_threaded.test:8-34 —
+    // CREATE VIEW over the scan, ROW_NUMBER-aligned FULL OUTER JOIN,
+    // diff rows where any column IS DISTINCT FROM its counterpart.
+    val dir = s"$tmp/macro"
+    val src = typed("concat('Value ', CAST(id AS STRING))")
+    src.write.format("fls").mode("overwrite").save(dir)
+    src.createOrReplaceTempView("macro_src")
+    spark.read.format("fls").load(dir).createOrReplaceTempView("macro_fls")
+    val diff = spark.sql(
+      """WITH w1 AS (SELECT id, col, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM macro_src),
+            w2 AS (SELECT id, col, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM macro_fls)
+        SELECT * FROM w1 FULL OUTER JOIN w2 USING (rn)
+        WHERE w1.id IS DISTINCT FROM w2.id OR w1.col IS DISTINCT FROM w2.col""")
+    assert(diff.count() == 0)
+  }
 }
