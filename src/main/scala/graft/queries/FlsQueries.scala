@@ -86,11 +86,42 @@ object FlsQueries {
     """SELECT p_partkey, CAST(ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS BIGINT) AS file_row_number
       FROM part QUALIFY file_row_number < 100 ORDER BY p_partkey"""
 
+  /** CSV interop (≙ reference read_csv sketches,
+    * /root/reference/test/sql/simple.test:16-31): region written out as
+    * CSV, read back through Spark's csv source with explicit schema,
+    * joined to fls nation. */
+  def q36CsvInterop(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val out = s"/tmp/graft_csv_cache/${key}_region"
+    synchronized {
+      val marker = new java.io.File(s"$out/_done")
+      if (!done.contains(out) && !marker.exists()) {
+        t(spark, dir, "region").coalesce(1)
+          .write.mode("overwrite").option("header", "true").csv(out)
+        marker.createNewFile()
+      }
+      done += out
+    }
+    val region = spark.read.option("header", "true")
+      .schema("r_regionkey BIGINT, r_name STRING").csv(out)
+    val nation = flsTable(spark, dir, "nation")
+    nation.join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
+  val q36Sql: String =
+    """SELECT r_name, count(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_fls_tpch_q1" -> (q15FlsTpchQ1 _),
     "q16_fls_filter_prune" -> (q16FlsFilterPrune _),
     "q17_fls_interop_join" -> (q17FlsInteropJoin _),
     "q18_fls_row_number" -> (q18FlsRowNumber _),
+    "q36_csv_interop" -> (q36CsvInterop _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -98,5 +129,6 @@ object FlsQueries {
     "q16_fls_filter_prune" -> Relational.q02Sql,
     "q17_fls_interop_join" -> q17Sql,
     "q18_fls_row_number" -> q18Sql,
+    "q36_csv_interop" -> q36Sql,
   )
 }
