@@ -167,15 +167,69 @@ object Streaming {
         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
       FROM events GROUP BY user_id ORDER BY user_id"""
 
+  /** q37: streaming sessionization via flatMapGroupsWithState — the
+    * stateful-stream twin of q33. The single-file AvailableNow source
+    * delivers each user's full history in one micro-batch, so sessions
+    * close deterministically at batch end (in production the same code
+    * closes them on GroupStateTimeout instead). */
+  def q37StreamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val sessions = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev],
+         state: org.apache.spark.sql.streaming.GroupState[List[Ev]]) =>
+          // state would carry the open session across micro-batches; the
+          // AvailableNow single batch closes everything immediately
+          val evs = (state.getOption.getOrElse(Nil) ++ it.toList)
+            .sortBy(e => (e.ts_us, e.event_id))
+          state.remove()
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          var idx = 0L
+          var start = 0L
+          var last = Long.MinValue
+          var n = 0L
+          def flush(): Unit = if (n > 0) out += Session(uid, idx, n, start, last)
+          evs.foreach { e =>
+            if (n == 0 || e.ts_us - last > gapUs) {
+              flush(); idx += 1; start = e.ts_us; n = 0
+            }
+            last = e.ts_us; n += 1
+          }
+          flush()
+          out.iterator
+      }
+    val name = s"q37mem${memSeq.incrementAndGet()}"
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "session_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_streaming_hourly" -> (q32StreamingHourly _),
     "q33_sessionize_typed" -> (q33Sessionize _),
     "q35_stream_state" -> (q35StreamState _),
+    "q37_stream_sessionize" -> (q37StreamSessionize _),
   )
 
   val oracles: Map[String, String] = Map(
     "q32_streaming_hourly" -> q32Sql,
     "q33_sessionize_typed" -> q33Sql,
     "q35_stream_state" -> q35Sql,
+    "q37_stream_sessionize" -> q33Sql, // same truth as the batch twin
   )
 }
