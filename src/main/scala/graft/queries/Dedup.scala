@@ -13,10 +13,12 @@ import graft.util.Tables._
   * candidates; the emitted result is always re-verified with the exact
   * measure, so the DuckDB oracle is plain brute force.
   *
-  * Scale design: no operator does an unblocked O(n²) self-join — each
-  * uses a sound blocking key (size bucket / LSH band / simhash band)
-  * that shuffles candidates to the same partition, which is what holds
-  * at 100 TB where brute force cannot.
+  * Scale design: the near-dup joins never run an unblocked O(n²)
+  * self-join — identical shingle sets collapse to one representative,
+  * then a sound blocking key (AllPairs prefix token / LSH bucket /
+  * simhash band) shuffles candidate ids to the same partition, which is
+  * what holds at 100 TB where brute force cannot. q24's embedding pass
+  * is the deliberate brute-force baseline; q26 is its ANN scale path.
   */
 object Dedup {
 
