@@ -148,6 +148,12 @@ object Dedup {
     * size-bucket blocking degenerates (all docs similar length). */
   def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val groups = groupsOf(shingled(spark, dir))
+    // Token order = (xxhash64, string): a fixed pseudo-random global
+    // order. (The textbook ascending-document-frequency order was
+    // implemented and MEASURED SLOWER here at both sf0.1 and a 16x
+    // stress corpus — its extra shuffle + per-group sort outweigh the
+    // candidate reduction once identical sets are collapsed; revisit
+    // only if candidate counts dominate at larger corpora.)
     // prefix length n - ceil(0.8n) + 1 in INTEGER arithmetic:
     // ceil(4n/5) = (4n+4) div 5 — a float ceil(0.8*n) can round up
     // (0.8 is inexact in binary) and silently shorten the prefix,
