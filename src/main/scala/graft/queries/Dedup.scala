@@ -206,24 +206,24 @@ object Dedup {
     verifyAndExpand(cand, shingled(spark, dir))
   }
 
-  /** Portable 32-bit word hash, identical in Spark SQL and DuckDB SQL:
-    * first 8 hex chars of md5(word) as an integer. Spark evaluates this
+  /** Portable 60-bit word hash, identical in Spark SQL and DuckDB SQL:
+    * first 15 hex chars of md5(word) as an integer. Spark evaluates this
     * fully codegen'd (md5+conv); the DuckDB oracle folds the hex chars
     * with list_reduce. */
   val WordHashSpark: String =
-    "CAST(conv(substr(md5(CAST(w AS BINARY)), 1, 8), 16, 10) AS BIGINT)"
+    "CAST(conv(substr(md5(CAST(w AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
 
   val WordHashDuck: String =
     """list_reduce(list_prepend(0::BIGINT,
-         list_transform(string_split(substr(md5(w), 1, 8), ''),
+         list_transform(string_split(substr(md5(w), 1, 15), ''),
            c -> (CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
                       ELSE unicode(c) - 48 END)::BIGINT)),
        (a, d) -> a * 16 + d)"""
 
-  /** q23: SimHash near-dup. 32-bit simhash over word-hash features; the
-    * 4×8-bit band join is sound-complete for hamming<=3 (pigeonhole: 3
+  /** q23: SimHash near-dup. 60-bit simhash over word-hash features; the
+    * 4×15-bit band join is sound-complete for hamming<=3 (pigeonhole: 3
     * flipped bits can't touch all 4 bands). Output is exact: hamming
-    * distance re-checked on the full fingerprint. Bit sums run as 32
+    * distance re-checked on the full fingerprint. Bit sums run as 60
     * codegen'd aggregates over exploded words (not nested HOF lambdas). */
   def q23Simhash(spark: SparkSession, dir: String): DataFrame = {
     val words = t(spark, dir, "documents")
@@ -231,15 +231,15 @@ object Dedup {
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
       .withColumn("h", expr(WordHashSpark))
-    val bitAggs = (0 until 32).map { j =>
+    val bitAggs = (0 until 60).map { j =>
       sum(expr(s"(shiftright(h, $j) & 1) * 2 - 1")).as(s"b$j")
     }
     val d = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
-        (0 until 32).map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        (0 until 60).map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("sim"))
     val banded = d.select(col("doc_id"), col("sim"),
-      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sim, b*8) & 255 AS bv))")).as("bb"))
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sim, b*15) & 32767 AS bv))")).as("bb"))
       .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.bv"))
     val a = banded.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("band"), col("bv"))
     val b = banded.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"), col("band"), col("bv"))
@@ -255,9 +255,9 @@ object Dedup {
   }
 
   val q23Sql: String = {
-    val bitSums = (0 until 32)
+    val bitSums = (0 until 60)
       .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(", ")
-    val simExpr = (0 until 32)
+    val simExpr = (0 until 60)
       .map(j => s"CASE WHEN b$j >= 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END")
       .mkString(" + ")
     s"""WITH w AS (
