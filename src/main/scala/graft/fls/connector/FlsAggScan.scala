@@ -1,0 +1,103 @@
+package graft.fls.connector
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.fls._
+import graft.fls.Format._
+
+/** Metadata-only aggregate scan: COUNT(*)/MIN/MAX computed on the
+  * driver from footer row counts and zone-map stats (≙ serving the
+  * reference's statistics to the engine, SURVEY §2.A7 — taken one step
+  * further: the whole aggregate is answered without touching data).
+  * Emits exactly one row from one partition; complete pushdown, so
+  * Catalyst performs no further aggregation. */
+class FlsAggScan(
+    tableSchema: StructType,
+    specs: Seq[FlsAggSpec],
+    options: CaseInsensitiveStringMap)
+  extends Scan with Batch {
+
+  private def hadoopConf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  private lazy val tables: Seq[TableDesc] = {
+    val conf = hadoopConf
+    FlsDataSource.parsePaths(options)
+      .flatMap(p => FlsFile.listDataFiles(new Path(p), conf)).distinct
+      .map { f =>
+        val r = new FlsFileReader(f, conf)
+        try r.table finally r.close()
+      }
+  }
+
+  override def readSchema(): StructType =
+    StructType(specs.map {
+      case FlsAggSpec(FlsAggSpec.Count, _) => StructField("count(*)", LongType, nullable = false)
+      case FlsAggSpec(FlsAggSpec.MinCol, c) =>
+        StructField(s"min($c)", tableSchema(c).dataType, nullable = false)
+      case FlsAggSpec(FlsAggSpec.MaxCol, c) =>
+        StructField(s"max($c)", tableSchema(c).dataType, nullable = false)
+    }.toArray)
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"fls metadata-aggregate scan: ${specs.map(s => (s.kind, s.col)).mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // compute on the driver; ship the finished values
+    val values: Array[Long] = specs.map {
+      case FlsAggSpec(FlsAggSpec.Count, _) =>
+        tables.map(_.numRows).sum
+      case FlsAggSpec(kind, c) =>
+        val segs = tables.flatMap { t =>
+          val idx = t.columns.indexWhere(_.name == c)
+          require(idx >= 0, s"fls agg: column $c missing")
+          t.rowGroups.map(_.segments(idx))
+        }
+        require(segs.nonEmpty && segs.forall(_.hasStats),
+          s"fls agg: stats unavailable for $c")
+        if (kind == FlsAggSpec.MinCol) segs.map(_.minLong).min else segs.map(_.maxLong).max
+    }.toArray
+    Array(FlsAggPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    private val schema = readSchema()
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val vals = partition.asInstanceOf[FlsAggPartition].values
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = !emitted && { emitted = true; true }
+        override def get(): InternalRow = {
+          val out = new Array[Any](vals.length)
+          var i = 0
+          while (i < vals.length) {
+            out(i) = schema.fields(i).dataType match {
+              case LongType | TimestampType | TimestampNTZType => vals(i)
+              case IntegerType | DateType => vals(i).toInt
+              case ShortType => vals(i).toShort
+              case ByteType => vals(i).toByte
+              case BooleanType => vals(i) != 0L
+              case d: DecimalType => Decimal.createUnsafe(vals(i), d.precision, d.scale)
+              case other => throw new IllegalStateException(s"fls agg: bad type $other")
+            }
+            i += 1
+          }
+          new GenericInternalRow(out)
+        }
+        override def close(): Unit = ()
+      }
+    }
+    override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+      throw new UnsupportedOperationException("agg scan is row-based")
+    override def supportColumnarReads(p: InputPartition): Boolean = false
+  }
+}
+
+case class FlsAggPartition(values: Array[Long]) extends InputPartition

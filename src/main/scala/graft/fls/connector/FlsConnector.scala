@@ -148,10 +148,15 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
 class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters
+  with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
 
   private var requiredSchema: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggSpecs: Option[Seq[FlsAggSpec]] = None
 
   override def pruneColumns(required: StructType): Unit = { requiredSchema = required }
 
@@ -167,8 +172,52 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new FlsScan(tableSchema, requiredSchema, pushed, options)
+  /** COUNT(*)/MIN/MAX answered from footer metadata — no data scan.
+    * Only for unfiltered, ungrouped aggregates over long-physical
+    * columns (doubles can drop stats on NaN; strings are stats-less,
+    * like the reference). Complete pushdown: the single emitted row IS
+    * the result. */
+  private def planAgg(agg: Aggregation): Option[Seq[FlsAggSpec]] = {
+    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    val specs = agg.aggregateExpressions().map {
+      case _: CountStar => Some(FlsAggSpec(FlsAggSpec.Count, ""))
+      case m: Min => m.column() match {
+        case f: NamedReference if f.fieldNames().length == 1 &&
+          longPhys(f.fieldNames()(0)) => Some(FlsAggSpec(FlsAggSpec.MinCol, f.fieldNames()(0)))
+        case _ => None
+      }
+      case m: Max => m.column() match {
+        case f: NamedReference if f.fieldNames().length == 1 &&
+          longPhys(f.fieldNames()(0)) => Some(FlsAggSpec(FlsAggSpec.MaxCol, f.fieldNames()(0)))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (specs.forall(_.isDefined)) Some(specs.flatten.toSeq) else None
+  }
+
+  private def longPhys(name: String): Boolean =
+    tableSchema.fields.find(_.name == name).exists { f =>
+      physOf(ColumnType.fromSpark(f.dataType).tag) == Phys.LONG
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = planAgg(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    planAgg(agg) match {
+      case Some(specs) => aggSpecs = Some(specs); true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = aggSpecs match {
+    case Some(specs) => new FlsAggScan(tableSchema, specs, options)
+    case None => new FlsScan(tableSchema, requiredSchema, pushed, options)
+  }
 }
+
+case class FlsAggSpec(kind: Int, col: String)
+object FlsAggSpec { val Count = 0; val MinCol = 1; val MaxCol = 2 }
 
 class FlsSumMetric(n: String, d: String)
   extends org.apache.spark.sql.connector.metric.CustomSumMetric {

@@ -260,4 +260,37 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
         WHERE w1.id IS DISTINCT FROM w2.id OR w1.col IS DISTINCT FROM w2.col""")
     assert(diff.count() == 0)
   }
+
+  test("aggregate pushdown: COUNT/MIN/MAX answered from metadata") {
+    val dir = s"$tmp/aggpush"
+    spark.range(0, 20000).toDF("id")
+      .withColumn("ts", expr("timestamp_micros(id * 1000000)"))
+      .withColumn("d", expr("CAST(CAST(id AS DECIMAL(10,2)) / 4 AS DECIMAL(10,2))"))
+      .withColumn("s", concat(lit("x"), col("id")))
+      .coalesce(2)
+      .write.format("fls").option("row_group_size", 4096).mode("overwrite").save(dir)
+    val fls = spark.read.format("fls").load(dir)
+
+    val agg = fls.agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"),
+      min("ts").as("mnts"), max("d").as("mxd"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata-aggregate"), s"not pushed:\n$plan")
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 20000)
+    assert(r.getLong(1) == 0 && r.getLong(2) == 19999)
+    assert(r.getTimestamp(3).toInstant.getEpochSecond == 0)
+    assert(r.getDecimal(4).toPlainString == "4999.75")
+
+    // string min/max and filtered aggregates must NOT push (fall back)
+    val agg2 = fls.agg(min("s"))
+    assert(!agg2.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(agg2.collect()(0).getString(0) == "x0")
+    val agg3 = fls.filter(col("id") > 10).agg(count(lit(1)))
+    assert(!agg3.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(agg3.collect()(0).getLong(0) == 19989)
+    // grouped aggregates must not push either
+    val agg4 = fls.groupBy(expr("id % 2")).agg(max("id"))
+    assert(!agg4.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(agg4.count() == 2)
+  }
 }
