@@ -230,9 +230,25 @@ class FlsScan(
     requiredSchema: StructType,
     filters: Array[Filter],
     options: CaseInsensitiveStringMap)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = requiredSchema
+
+  /** Runtime (AQE/DPP-style) filters: Spark may inject join-derived
+    * In/EqualTo filters after planning — they feed the same zone-map
+    * pruning as static filters, skipping row groups a broadcast-side
+    * key set can't touch. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    tableSchema.fields
+      .filter(f => scala.util.Try(ColumnType.fromSpark(f.dataType)).toOption
+        .exists(ct => physOf(ct.tag) != Phys.BYTES))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(newFilters: Array[Filter]): Unit = {
+    runtimeFilters = newFilters.filter(FlsZoneMap.usable)
+  }
 
   override def toBatch: Batch = this
 
@@ -260,9 +276,10 @@ class FlsScan(
     val parts = mutable.ArrayBuffer[InputPartition]()
     files.zipWithIndex.foreach { case ((file, table, _), fileIdx) =>
       val nameToIdx = table.columns.map(_.name).zipWithIndex.toMap
+      val allFilters = filters ++ runtimeFilters
       var rowStart = 0L
       table.rowGroups.foreach { rg =>
-        if (FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, filters, rowStart)) {
+        if (FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, allFilters, rowStart)) {
           parts += FlsInputPartition(file.toString, rg, table.columns, rowStart, fileIdx)
         }
         rowStart += rg.nTuples

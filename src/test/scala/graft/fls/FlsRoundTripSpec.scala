@@ -293,4 +293,23 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!agg4.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
     assert(agg4.count() == 2)
   }
+
+  test("runtime filtering contract: injected In-filter prunes row groups") {
+    val dir = s"$tmp/runtime"
+    spark.range(0, 8192).toDF("id").coalesce(1)
+      .write.format("fls").option("row_group_size", 1024).mode("overwrite").save(dir)
+    val df = spark.read.format("fls").load(dir)
+    // drive the DSv2 contract directly: Spark calls filter() on the
+    // scan with join-derived filters before planInputPartitions
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scanExec = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    val scan = scanExec.scan.asInstanceOf[graft.fls.connector.FlsScan]
+    assert(scan.filterAttributes().map(_.fieldNames()(0)).contains("id"))
+    assert(scan.planInputPartitions().length == 8)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(5L, 2000L))))
+    assert(scan.planInputPartitions().length == 2)
+  }
 }
