@@ -241,7 +241,10 @@ class FlsScan(
   private var runtimeFilters: Array[Filter] = Array.empty
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    tableSchema.fields
+    // MUST be a subset of the scan OUTPUT (requiredSchema): Spark
+    // resolves these against the pruned relation — advertising pruned
+    // columns breaks analysis ("Unable to resolve ... given [...]")
+    requiredSchema.fields
       .filter(f => scala.util.Try(ColumnType.fromSpark(f.dataType)).toOption
         .exists(ct => physOf(ct.tag) != Phys.BYTES))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))

@@ -312,4 +312,17 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.sources.In("id", Array(5L, 2000L))))
     assert(scan.planInputPartitions().length == 2)
   }
+
+  test("runtime filtering coexists with column pruning (join on pruned scan)") {
+    val dir = s"$tmp/runtime_join"
+    spark.range(0, 1000).toDF("k")
+      .withColumn("v", col("k") * 2)
+      .withColumn("unused", concat(lit("u"), col("k")))
+      .write.format("fls").mode("overwrite").save(dir)
+    val fls = spark.read.format("fls").load(dir)
+    val dim = spark.range(0, 10).toDF("k")
+    // prunes `unused`; filterAttributes must track the pruned schema
+    val joined = fls.select("k", "v").join(dim, Seq("k"))
+    assert(joined.count() == 10)
+  }
 }
