@@ -149,7 +149,8 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with SupportsPushDownLimit {
 
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -210,9 +211,21 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     }
   }
 
+  /** LIMIT n without residual filters: plan just enough row groups to
+    * cover n rows (partial pushdown — Spark still applies the exact
+    * limit on top). With filters the row yield per group is unknown, so
+    * no truncation. */
+  private var limit: Int = -1
+
+  override def pushLimit(l: Int): Boolean = {
+    if (pushed.isEmpty) { limit = l; true } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan = aggSpecs match {
     case Some(specs) => new FlsAggScan(tableSchema, specs, options)
-    case None => new FlsScan(tableSchema, requiredSchema, pushed, options)
+    case None => new FlsScan(tableSchema, requiredSchema, pushed, options, limit)
   }
 }
 
@@ -229,7 +242,8 @@ class FlsScan(
     tableSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    limit: Int = -1)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = requiredSchema
@@ -256,7 +270,8 @@ class FlsScan(
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"fls scan, pushed=[${filters.mkString(", ")}], cols=[${requiredSchema.fieldNames.mkString(",")}]"
+    s"fls scan, pushed=[${filters.mkString(", ")}], cols=[${requiredSchema.fieldNames.mkString(",")}]" +
+      (if (limit >= 0) s", limit=$limit" else "")
 
   private def hadoopConf: Configuration =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
@@ -287,6 +302,18 @@ class FlsScan(
         }
         rowStart += rg.nTuples
       }
+    }
+    // limit pushdown (no filters): keep just enough row groups
+    if (limit >= 0 && filters.isEmpty && runtimeFilters.isEmpty) {
+      val out = mutable.ArrayBuffer[InputPartition]()
+      var covered = 0L
+      val it = parts.iterator
+      while (covered < limit && it.hasNext) {
+        val p = it.next()
+        out += p
+        covered += p.asInstanceOf[FlsInputPartition].rowGroup.nTuples
+      }
+      return out.toArray
     }
     parts.toArray
   }

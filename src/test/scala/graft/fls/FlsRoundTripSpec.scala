@@ -325,4 +325,18 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     val joined = fls.select("k", "v").join(dim, Seq("k"))
     assert(joined.count() == 10)
   }
+
+  test("limit pushdown plans only enough row groups") {
+    val dir = s"$tmp/limit"
+    spark.range(0, 16384).toDF("id").coalesce(1)
+      .write.format("fls").option("row_group_size", 1024).mode("overwrite").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    val limited = back.limit(1500)
+    assert(limited.count() == 1500)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=1500"), s"limit not pushed:\n$plan")
+    // filtered limit must NOT truncate row groups (rows could be anywhere)
+    val f = back.filter(col("id") >= 16000).limit(5)
+    assert(f.count() == 5)
+  }
 }
