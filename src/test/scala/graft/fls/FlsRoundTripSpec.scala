@@ -339,4 +339,12 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     val f = back.filter(col("id") >= 16000).limit(5)
     assert(f.count() == 5)
   }
+
+  test("real events table round-trips through fls (nanos, json strings, doubles)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val dir = s"$tmp/events_fls"
+    ev.write.format("fls").mode("overwrite").save(dir)
+    assertSame(ev, spark.read.format("fls").load(dir))
+  }
 }
