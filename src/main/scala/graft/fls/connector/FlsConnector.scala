@@ -150,7 +150,8 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
   with SupportsPushDownAggregates
-  with SupportsPushDownLimit {
+  with SupportsPushDownLimit
+  with SupportsPushDownTopN {
 
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -216,18 +217,43 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     * limit on top). With filters the row yield per group is unknown, so
     * no truncation. */
   private var limit: Int = -1
+  private var topN: Option[FlsTopNSpec] = None
 
   override def pushLimit(l: Int): Boolean = {
     if (pushed.isEmpty) { limit = l; true } else false
+  }
+
+  /** ORDER BY col LIMIT n over a stats-bearing column: sound zone-map
+    * TopN pruning (partial — Spark still sorts/limits the survivors).
+    * Greedily cover n rows by the groups with the best MINIMUM (for
+    * DESC; maximum for ASC): those rows are all >= bound B, so the
+    * true n-th value >= B and any group whose max < B cannot
+    * contribute. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (pushed.nonEmpty || orders.isEmpty) return false
+    orders.head.expression() match {
+      case f: NamedReference if f.fieldNames().length == 1 &&
+        tableSchema.fields.find(_.name == f.fieldNames()(0)).exists(fld =>
+          scala.util.Try(ColumnType.fromSpark(fld.dataType)).toOption
+            .exists(ct => physOf(ct.tag) == Phys.LONG)) =>
+        topN = Some(FlsTopNSpec(f.fieldNames()(0),
+          orders.head.direction() == SortDirection.DESCENDING, l))
+        true
+      case _ => false
+    }
   }
 
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan = aggSpecs match {
     case Some(specs) => new FlsAggScan(tableSchema, specs, options)
-    case None => new FlsScan(tableSchema, requiredSchema, pushed, options, limit)
+    case None => new FlsScan(tableSchema, requiredSchema, pushed, options, limit, topN)
   }
 }
+
+case class FlsTopNSpec(col: String, desc: Boolean, n: Int)
 
 case class FlsAggSpec(kind: Int, col: String)
 object FlsAggSpec { val Count = 0; val MinCol = 1; val MaxCol = 2 }
@@ -243,7 +269,8 @@ class FlsScan(
     requiredSchema: StructType,
     filters: Array[Filter],
     options: CaseInsensitiveStringMap,
-    limit: Int = -1)
+    limit: Int = -1,
+    topN: Option[FlsTopNSpec] = None)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = requiredSchema
@@ -271,7 +298,8 @@ class FlsScan(
 
   override def description(): String =
     s"fls scan, pushed=[${filters.mkString(", ")}], cols=[${requiredSchema.fieldNames.mkString(",")}]" +
-      (if (limit >= 0) s", limit=$limit" else "")
+      (if (limit >= 0) s", limit=$limit" else "") +
+      topN.map(t => s", topN=(${t.col},${if (t.desc) "DESC" else "ASC"},${t.n})").getOrElse("")
 
   private def hadoopConf: Configuration =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
@@ -302,6 +330,45 @@ class FlsScan(
         }
         rowStart += rg.nTuples
       }
+    }
+    // TopN pruning (no filters): greedily cover n rows by best
+    // boundary stat, drop groups that cannot reach the bound
+    topN match {
+      case Some(FlsTopNSpec(colName, desc, n))
+          if filters.isEmpty && runtimeFilters.isEmpty =>
+        val withStats = parts.toSeq.map(_.asInstanceOf[FlsInputPartition]).flatMap { p =>
+          val idx = p.fileColumns.indexWhere(_.name == colName)
+          if (idx < 0) None
+          else {
+            val seg = p.rowGroup.segments(idx)
+            if (seg.hasStats) Some((p, seg.minLong, seg.maxLong)) else None
+          }
+        }
+        if (withStats.length == parts.length) {
+          // boundary = min for DESC (all rows of the group >= min),
+          // max for ASC
+          val byBoundary = withStats.sortBy { case (_, mn, mx) =>
+            if (desc) -mn else mx
+          }
+          var covered = 0L
+          var bound = 0L
+          var haveBound = false
+          val it = byBoundary.iterator
+          while (covered < n && it.hasNext) {
+            val (p, mn, mx) = it.next()
+            covered += p.rowGroup.nTuples
+            bound = if (desc) mn else mx
+            haveBound = true
+          }
+          if (haveBound && covered >= n) {
+            val kept = withStats.collect {
+              case (p, _, mx) if desc && mx >= bound => p
+              case (p, mn, _) if !desc && mn <= bound => p
+            }
+            return kept.toArray[InputPartition]
+          }
+        }
+      case _ => ()
     }
     // limit pushdown (no filters): keep just enough row groups
     if (limit >= 0 && filters.isEmpty && runtimeFilters.isEmpty) {

@@ -116,7 +116,21 @@ object FlsQueries {
       FROM nation JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name"""
 
+  /** Top-k over fls: exercises the connector's zone-map TopN pruning
+    * (ORDER BY o_orderkey DESC LIMIT 100 — orderkey correlates with
+    * write order, so most row groups prune). */
+  def q38FlsTopK(spark: SparkSession, dir: String): DataFrame =
+    flsTable(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+      .orderBy(col("o_orderkey").desc)
+      .limit(100)
+
+  val q38Sql: String =
+    """SELECT o_orderkey, o_custkey FROM orders
+      ORDER BY o_orderkey DESC LIMIT 100"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_fls_topk" -> (q38FlsTopK _),
     "q15_fls_tpch_q1" -> (q15FlsTpchQ1 _),
     "q16_fls_filter_prune" -> (q16FlsFilterPrune _),
     "q17_fls_interop_join" -> (q17FlsInteropJoin _),
@@ -125,6 +139,7 @@ object FlsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q38_fls_topk" -> q38Sql,
     "q15_fls_tpch_q1" -> Relational.q01Sql,
     "q16_fls_filter_prune" -> Relational.q02Sql,
     "q17_fls_interop_join" -> q17Sql,

@@ -347,4 +347,23 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     ev.write.format("fls").mode("overwrite").save(dir)
     assertSame(ev, spark.read.format("fls").load(dir))
   }
+
+  test("topN pushdown prunes row groups soundly (asc and desc)") {
+    val dir = s"$tmp/topn"
+    spark.range(0, 16384).toDF("id").coalesce(1)
+      .write.format("fls").option("row_group_size", 1024).mode("overwrite").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    val top = back.orderBy(col("id").desc).limit(10)
+    assert(top.queryExecution.executedPlan.toString.contains("topN=(id,DESC,10)"))
+    assert(top.collect().map(_.getLong(0)).toSeq == (16374L to 16383L).reverse)
+    assert(top.rdd.getNumPartitions == 1) // only the last row group survives
+    val bottom = back.orderBy(col("id").asc).limit(2000)
+    assert(bottom.collect().map(_.getLong(0)).toSeq == (0L until 2000L))
+    // inspect the scan directly (rdd partition counts can be AQE-coalesced)
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scan = bottom.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[graft.fls.connector.FlsScan]
+    }.get
+    assert(scan.planInputPartitions().length == 2)
+  }
 }
