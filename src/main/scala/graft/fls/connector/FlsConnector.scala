@@ -495,34 +495,77 @@ class FlsWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with Supports
   }
 }
 
+/** Job-level write coordination. Tasks stage files under
+  * `_temporary/<writeId>/<attempt>/` and rename to final names on task
+  * commit (see [[FlsDataWriter]]); job `commit` then finalizes EXACTLY
+  * the file set named in the commit messages — deleting any stale
+  * same-writeId file a crashed-mid-commit attempt left behind — and only
+  * then, for truncate mode, deletes the files of previous jobs (so old
+  * data survives until the new data is fully committed). `abort` rolls
+  * back every renamed file plus the staging dir. */
 class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWrite {
   private val options = info.options()
   private val path = FlsDataSource.parsePaths(options).headOption
     .getOrElse(throw new IllegalArgumentException("fls write: no path"))
   private val rowGroupSize = options.getInt("row_group_size", DefaultRowGroupSize)
   private val rowGroupsPerFile = options.getInt("row_groups_per_file", 0)
+  private val writeId = UUID.randomUUID().toString
 
   require(rowGroupSize > 0 && rowGroupSize % VecSize == 0,
     // reference writer requires a multiple of the vector size
     // (/root/reference/src/include/writer/fls_writer.hpp:13)
     s"fls: row_group_size must be a positive multiple of $VecSize, got $rowGroupSize")
 
+  private def hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
   override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
-    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val conf = hadoopConf
     val dir = new Path(path)
-    val fs = dir.getFileSystem(conf)
-    if (doTruncate && fs.exists(dir)) {
-      fs.listStatus(dir).foreach { s =>
-        if (s.isFile && s.getPath.getName.endsWith(".fls")) fs.delete(s.getPath, false)
-      }
-    }
-    fs.mkdirs(dir)
+    dir.getFileSystem(conf).mkdirs(dir)
     FlsWriterFactory(path, info.schema(), rowGroupSize, rowGroupsPerFile,
-      new SerializableConfiguration(conf), UUID.randomUUID().toString)
+      new SerializableConfiguration(conf), writeId)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = hadoopConf
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val committed = messages.flatMap {
+      case FlsCommitMessage(files) => files.map(f => new Path(f).getName)
+      case _ => Array.empty[String]
+    }.toSet
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).foreach { s =>
+        val name = s.getPath.getName
+        if (s.isFile && name.endsWith(".fls") && !committed.contains(name)) {
+          val thisJobs = name.contains(s"-$writeId-")
+          if (thisJobs || doTruncate) fs.delete(s.getPath, false)
+        }
+      }
+    }
+    fs.delete(new Path(dir, FlsCommit.TempDirName), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = hadoopConf
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    messages.foreach {
+      case FlsCommitMessage(files) =>
+        files.foreach(f => try fs.delete(new Path(f), false) catch { case _: Throwable => () })
+      case _ => ()
+    }
+    // Any file of this writeId outside the commit messages (crashed
+    // mid-commit) plus the whole staging tree.
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).foreach { s =>
+        if (s.isFile && s.getPath.getName.contains(s"-$writeId-"))
+          try fs.delete(s.getPath, false) catch { case _: Throwable => () }
+      }
+    }
+    try fs.delete(new Path(dir, FlsCommit.TempDirName), true) catch { case _: Throwable => () }
+  }
 }
 
 case class FlsWriterFactory(
@@ -534,6 +577,8 @@ case class FlsWriterFactory(
     writeId: String) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    // taskId is unique per task ATTEMPT, so speculative twins stage to
+    // disjoint temp dirs and the commit coordinator picks one winner.
     new FlsDataWriter(dir, schema, rowGroupSize, rowGroupsPerFile,
-      conf.value, f"part-$partitionId%05d-$writeId")
+      conf.value, f"part-$partitionId%05d-$writeId", s"attempt-$partitionId-$taskId")
 }

@@ -15,14 +15,24 @@ import graft.fls.Format._
   * /root/reference/src/writer/fls_writer.cpp:46-102,189-211). Task
   * leftovers flush as a final short row group — Spark has no cross-task
   * Combine; SURVEY.md §2.A16 documents this divergence. NULL input is
-  * rejected (format stores no NULLs, SURVEY.md §1.1). */
+  * rejected (format stores no NULLs, SURVEY.md §1.1).
+  *
+  * Commit protocol (the Spark-cluster analog of the reference writer's
+  * finalize/abort pair, /root/reference/src/writer/fls_writer.cpp:332-347):
+  * every file is created under `dir/_temporary/<writeId>/<taskUid>/` —
+  * a path unique to this task ATTEMPT, so a speculative duplicate never
+  * writes the same bytes stream. On task commit (authorized once per
+  * partition by Spark's OutputCommitCoordinator) the temp files are
+  * renamed to their deterministic final names; `abort` deletes every
+  * temp file this attempt produced, not just the open one. */
 class FlsDataWriter(
     dir: String,
     schema: StructType,
     rowGroupSize: Int,
     rowGroupsPerFile: Int,
     conf: Configuration,
-    baseName: String)
+    baseName: String,
+    taskUid: String)
   extends DataWriter[InternalRow] {
 
   private val colTypes: Array[ColumnType] =
@@ -98,7 +108,9 @@ class FlsDataWriter(
   private var rowsInGroup = 0
   private var fileSeq = 0
   private var writer: FlsFileWriter = _
-  private val written = scala.collection.mutable.ArrayBuffer[String]()
+  private val tempDir = new Path(new Path(dir, FlsCommit.TempDirName), taskUid)
+  /** (temp path written, final name it renames to on task commit). */
+  private val written = scala.collection.mutable.ArrayBuffer[(Path, String)]()
 
   override def write(row: InternalRow): Unit = {
     var c = 0
@@ -116,8 +128,9 @@ class FlsDataWriter(
 
   private def ensureWriter(): Unit =
     if (writer == null) {
-      val p = new Path(dir, f"$baseName-$fileSeq%04d.fls")
-      written += p.toString
+      val finalName = f"$baseName-$fileSeq%04d.fls"
+      val p = new Path(tempDir, finalName)
+      written += ((p, finalName))
       fileSeq += 1
       writer = new FlsFileWriter(p, conf, colDescs)
     }
@@ -135,15 +148,39 @@ class FlsDataWriter(
     }
   }
 
+  /** Rename temp files to final names. Spark's commit coordinator
+    * guarantees exactly one attempt per partition reaches here, so the
+    * deterministic final names cannot be raced; a leftover final from a
+    * crashed-mid-commit prior attempt of the SAME partition is replaced. */
   override def commit(): WriterCommitMessage = {
     flushRowGroup()
     if (writer != null) { writer.close(); writer = null }
-    FlsCommitMessage(written.toArray)
+    val fs = tempDir.getFileSystem(conf)
+    val finals = written.map { case (tmp, finalName) =>
+      val dst = new Path(dir, finalName)
+      if (fs.exists(dst)) fs.delete(dst, false)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"fls commit: rename $tmp -> $dst failed")
+      dst.toString
+    }
+    try fs.delete(tempDir, true) catch { case _: Throwable => () }
+    FlsCommitMessage(finals.toArray)
   }
 
-  override def abort(): Unit = if (writer != null) { writer.abort(); writer = null }
+  /** Delete EVERY file this attempt wrote (rotated ones included), then
+    * the attempt's temp dir — a failed attempt leaves nothing behind. */
+  override def abort(): Unit = {
+    if (writer != null) { writer.abort(); writer = null }
+    val fs = tempDir.getFileSystem(conf)
+    written.foreach { case (tmp, _) =>
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+    }
+    try fs.delete(tempDir, true) catch { case _: Throwable => () }
+  }
 
   override def close(): Unit = ()
 }
+
+object FlsCommit { val TempDirName = "_temporary" }
 
 case class FlsCommitMessage(files: Array[String]) extends WriterCommitMessage
