@@ -93,13 +93,17 @@ final class FlsFileReader(val path: Path, conf: Configuration) extends AutoClose
 
 object FlsFile {
   /** List the .fls data files under a path (a file or a directory). */
-  def listDataFiles(path: Path, conf: Configuration): Seq[Path] = {
+  def listDataFiles(path: Path, conf: Configuration): Seq[Path] =
+    listDataStatuses(path, conf).map(_.getPath)
+
+  /** Same listing with the FileStatus kept — one RPC serves both the
+    * file list and the (mtime, length) footer-cache key. */
+  def listDataStatuses(path: Path, conf: Configuration): Seq[org.apache.hadoop.fs.FileStatus] = {
     val fs = path.getFileSystem(conf)
     val st = fs.getFileStatus(path)
-    if (st.isFile) Seq(path)
+    if (st.isFile) Seq(st)
     else fs.listStatus(path).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".fls"))
       .sortBy(_.getPath.getName)
-      .map(_.getPath)
   }
 }

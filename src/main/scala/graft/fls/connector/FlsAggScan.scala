@@ -25,15 +25,8 @@ class FlsAggScan(
 
   private def hadoopConf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
-  private lazy val tables: Seq[TableDesc] = {
-    val conf = hadoopConf
-    FlsDataSource.parsePaths(options)
-      .flatMap(p => FlsFile.listDataFiles(new Path(p), conf)).distinct
-      .map { f =>
-        val r = new FlsFileReader(f, conf)
-        try r.table finally r.close()
-      }
-  }
+  private lazy val tables: Seq[TableDesc] =
+    FlsFooters.list(FlsDataSource.parsePaths(options), hadoopConf).map(_.table)
 
   override def readSchema(): StructType =
     StructType(specs.map {

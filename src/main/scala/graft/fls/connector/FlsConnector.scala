@@ -52,21 +52,17 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
     val paths = FlsDataSource.parsePaths(options)
     require(paths.nonEmpty, "fls: no path specified")
     val conf = hadoopConf
-    val files = paths.flatMap(p => FlsFile.listDataFiles(new Path(p), conf))
+    val files = FlsFooters.list(paths, conf)
     require(files.nonEmpty, s"fls: no .fls files under ${paths.mkString(",")}")
     val base =
       if (!options.getBoolean("union_by_name", false)) {
-        val r = new FlsFileReader(files.head, conf)
-        try r.table.sparkSchema finally r.close()
+        files.head.table.sparkSchema
       } else {
         // ≙ reference union_by_name multi-file bind (BindUnionReader,
         // /root/reference/src/reader/fls_multi_file_info.cpp:75-81):
         // union columns by name in first-seen order, promote types,
         // mark columns absent from some file nullable.
-        val perFile = files.map { f =>
-          val r = new FlsFileReader(f, conf)
-          try r.table.columns.toSeq finally r.close()
-        }
+        val perFile = files.map(_.table.columns.toSeq)
         val order = scala.collection.mutable.LinkedHashMap[String, ColumnType]()
         perFile.foreach(_.foreach { c =>
           order.get(c.name) match {
@@ -185,12 +181,12 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
       case _: CountStar => Some(FlsAggSpec(FlsAggSpec.Count, ""))
       case m: Min => m.column() match {
         case f: NamedReference if f.fieldNames().length == 1 &&
-          longPhys(f.fieldNames()(0)) => Some(FlsAggSpec(FlsAggSpec.MinCol, f.fieldNames()(0)))
+          minMaxPushable(f.fieldNames()(0)) => Some(FlsAggSpec(FlsAggSpec.MinCol, f.fieldNames()(0)))
         case _ => None
       }
       case m: Max => m.column() match {
         case f: NamedReference if f.fieldNames().length == 1 &&
-          longPhys(f.fieldNames()(0)) => Some(FlsAggSpec(FlsAggSpec.MaxCol, f.fieldNames()(0)))
+          minMaxPushable(f.fieldNames()(0)) => Some(FlsAggSpec(FlsAggSpec.MaxCol, f.fieldNames()(0)))
         case _ => None
       }
       case _ => None
@@ -198,9 +194,27 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     if (specs.forall(_.isDefined)) Some(specs.flatten.toSeq) else None
   }
 
-  private def longPhys(name: String): Boolean =
+  private lazy val footers: Seq[graft.fls.FlsFooters.Entry] =
+    FlsFooters.list(FlsDataSource.parsePaths(options),
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  /** Footer minLong/maxLong are PHYSICAL values (e.g. unscaled decimal
+    * digits), so comparing them across files is only sound when every
+    * file stores the column with the SAME ColumnType (scale included) —
+    * a union_by_name read can legally mix scales. Checked here, before
+    * supportCompletePushDown commits us; a miss falls back to a normal
+    * scan instead of failing at runtime. */
+  private def minMaxPushable(name: String): Boolean =
     tableSchema.fields.find(_.name == name).exists { f =>
-      physOf(ColumnType.fromSpark(f.dataType).tag) == Phys.LONG
+      scala.util.Try(ColumnType.fromSpark(f.dataType)).toOption
+        .exists(ct => physOf(ct.tag) == Phys.LONG)
+    } && footers.nonEmpty && {
+      val types = footers.map(_.table.columns.find(_.name == name).map(_.colType))
+      types.forall(_.isDefined) && types.distinct.length == 1 &&
+        footers.forall { e =>
+          val idx = e.table.columns.indexWhere(_.name == name)
+          e.table.rowGroups.forall(_.segments(idx).hasStats)
+        }
     }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = planAgg(agg).isDefined
@@ -304,15 +318,9 @@ class FlsScan(
   private def hadoopConf: Configuration =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
-  private lazy val files: Seq[(Path, TableDesc, Long)] = {
-    val conf = hadoopConf
-    FlsDataSource.parsePaths(options).flatMap { p =>
-      FlsFile.listDataFiles(new Path(p), conf)
-    }.distinct.map { f =>
-      val r = new FlsFileReader(f, conf)
-      try (f, r.table, r.fileSize) finally r.close()
-    }
-  }
+  private lazy val files: Seq[(Path, TableDesc, Long)] =
+    FlsFooters.list(FlsDataSource.parsePaths(options), hadoopConf)
+      .map(e => (e.file, e.table, e.fileSize))
 
   /** Zone-map row-group pruning happens HERE, once, on the driver —
     * the planner-side equivalent of the reference's lazily-built skip
@@ -336,7 +344,14 @@ class FlsScan(
     topN match {
       case Some(FlsTopNSpec(colName, desc, n))
           if filters.isEmpty && runtimeFilters.isEmpty =>
-        val withStats = parts.toSeq.map(_.asInstanceOf[FlsInputPartition]).flatMap { p =>
+        // Stats are PHYSICAL (unscaled) values — only comparable across
+        // files when every file stores the column with one ColumnType
+        // (union_by_name may mix decimal scales); otherwise skip pruning.
+        val colTypes = files.map(_._2.columns.find(_.name == colName).map(_.colType))
+        val uniform = colTypes.nonEmpty && colTypes.forall(_.isDefined) &&
+          colTypes.distinct.length == 1
+        val withStats = if (!uniform) Nil
+        else parts.toSeq.map(_.asInstanceOf[FlsInputPartition]).flatMap { p =>
           val idx = p.fileColumns.indexWhere(_.name == colName)
           if (idx < 0) None
           else {
@@ -344,7 +359,7 @@ class FlsScan(
             if (seg.hasStats) Some((p, seg.minLong, seg.maxLong)) else None
           }
         }
-        if (withStats.length == parts.length) {
+        if (uniform && withStats.length == parts.length) {
           // boundary = min for DESC (all rows of the group >= min),
           // max for ASC
           val byBoundary = withStats.sortBy { case (_, mn, mx) =>
@@ -425,32 +440,52 @@ class FlsScan(
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
       requiredSchema.fields.foreach { f =>
-        files.headOption.foreach { case (_, table0, _) =>
-          val idx = table0.columns.indexWhere(_.name == f.name)
-          if (idx >= 0) {
-            val phys = physOf(table0.columns(idx).colType.tag)
-            val segs = files.flatMap(_._2.rowGroups.map(_.segments(idx)))
-            val mm: Option[(AnyRef, AnyRef)] =
-              if (segs.isEmpty || !segs.forall(_.hasStats)) None
-              else phys match {
-                case Phys.LONG =>
-                  Some((java.lang.Long.valueOf(segs.map(_.minLong).min),
-                    java.lang.Long.valueOf(segs.map(_.maxLong).max)))
-                case Phys.DOUBLE =>
-                  Some((java.lang.Double.valueOf(segs.map(_.minDouble).min),
-                    java.lang.Double.valueOf(segs.map(_.maxDouble).max)))
-                case _ => None
-              }
-            out.put(Expressions.column(f.name), new ColumnStatistics {
-              override def nullCount(): OptionalLong = OptionalLong.of(0L)
-              override def min(): java.util.Optional[Object] =
-                mm.map(p => java.util.Optional.of(p._1: Object))
-                  .getOrElse(java.util.Optional.empty[Object]())
-              override def max(): java.util.Optional[Object] =
-                mm.map(p => java.util.Optional.of(p._2: Object))
-                  .getOrElse(java.util.Optional.empty[Object]())
-            })
+        // Resolve the column index PER FILE (column order/count may
+        // differ under union_by_name) and require one uniform
+        // ColumnType so physical stats are comparable; files lacking
+        // the column or stats drop the min/max (nullCount=0 still holds:
+        // the format stores no NULLs).
+        val perFile = files.map { case (_, t, _) => (t, t.columns.indexWhere(_.name == f.name)) }
+        val present = perFile.filter(_._2 >= 0)
+        if (present.nonEmpty) {
+          val types = present.map { case (t, i) => t.columns(i).colType }
+          val uniform = types.distinct.length == 1 && present.length == perFile.length
+          val phys = physOf(types.head.tag)
+          val segs = present.flatMap { case (t, i) => t.rowGroups.map(_.segments(i)) }
+          // Serve min/max in the column's LOGICAL type (unscaled longs
+          // rescale to BigDecimal; ints narrow) — CBO compares them to
+          // query literals of that type.
+          def longObj(v: Long): Option[AnyRef] = f.dataType match {
+            case LongType | TimestampType | TimestampNTZType => Some(java.lang.Long.valueOf(v))
+            case IntegerType | DateType => Some(java.lang.Integer.valueOf(v.toInt))
+            case ShortType => Some(java.lang.Short.valueOf(v.toShort))
+            case ByteType => Some(java.lang.Byte.valueOf(v.toByte))
+            case d: DecimalType =>
+              Some(new java.math.BigDecimal(java.math.BigInteger.valueOf(v), d.scale))
+            case _ => None
           }
+          val mm: Option[(AnyRef, AnyRef)] =
+            if (!uniform || segs.isEmpty || !segs.forall(_.hasStats)) None
+            else phys match {
+              case Phys.LONG =>
+                longObj(segs.map(_.minLong).min).zip(longObj(segs.map(_.maxLong).max)).headOption
+              case Phys.DOUBLE if f.dataType == DoubleType =>
+                Some((java.lang.Double.valueOf(segs.map(_.minDouble).min),
+                  java.lang.Double.valueOf(segs.map(_.maxDouble).max)))
+              case Phys.DOUBLE if f.dataType == FloatType =>
+                Some((java.lang.Float.valueOf(segs.map(_.minDouble).min.toFloat),
+                  java.lang.Float.valueOf(segs.map(_.maxDouble).max.toFloat)))
+              case _ => None
+            }
+          out.put(Expressions.column(f.name), new ColumnStatistics {
+            override def nullCount(): OptionalLong = OptionalLong.of(0L)
+            override def min(): java.util.Optional[Object] =
+              mm.map(p => java.util.Optional.of(p._1: Object))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              mm.map(p => java.util.Optional.of(p._2: Object))
+                .getOrElse(java.util.Optional.empty[Object]())
+          })
         }
       }
       out

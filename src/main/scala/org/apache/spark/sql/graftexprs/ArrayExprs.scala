@@ -17,11 +17,15 @@ import org.apache.spark.sql.types._
   * evaluates an interpreted lambda per element; these compile to a
   * tight scalar loop inside whole-stage codegen). */
 
-/** Dot product of two ArrayType(DoubleType) columns. */
+/** Dot product of two ArrayType(DoubleType) columns. NULL on length
+  * mismatch — matching the zip_with+aggregate HOF pipeline it replaces
+  * (null padding poisons the sum to NULL there), so a bad embedding row
+  * surfaces as a detectable null, never a plausible partial product. */
 case class ArrayDotProduct(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
 
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
@@ -30,7 +34,8 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -42,12 +47,16 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}Acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}Acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double ${ev.value}Acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${ev.value}Acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = ${ev.value}Acc;
          |}
-         |${ev.value} = ${ev.value}Acc;
        """.stripMargin
     })
 

@@ -30,6 +30,17 @@ class ArrayExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(col("dot") =!= col("want")).count() == 0)
   }
 
+  test("ArrayDotProduct is NULL on length mismatch, like the HOF it replaces") {
+    val df = spark.range(0, 10).toDF("id")
+      .withColumn("a", expr("transform(sequence(0, 7), i -> CAST(id + i AS DOUBLE))"))
+      .withColumn("b", expr(
+        "CASE WHEN id % 3 = 0 THEN transform(sequence(0, 5), i -> CAST(i AS DOUBLE)) " +
+          "ELSE transform(sequence(0, 7), i -> CAST(i AS DOUBLE)) END"))
+      .withColumn("dot", GraftFunctions.arrayDot(col("a"), col("b")))
+    assert(df.filter(col("dot").isNull).count() == 4)   // ids 0,3,6,9
+    assert(df.filter(col("dot").isNotNull).count() == 6)
+  }
+
   test("SortedIntersectCount matches array_intersect size on sorted inputs") {
     val df = spark.range(0, 300).toDF("id")
       .withColumn("a", expr(

@@ -1,0 +1,111 @@
+package graft.fls
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-side planning: the footer cache (parallel reads, mtime
+  * invalidation) and the union_by_name guards that keep metadata
+  * shortcuts (MIN/MAX pushdown, TopN pruning, CBO stats) from comparing
+  * physical stats across files that store a column at different scales. */
+class FlsPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val tmp = Files.createTempDirectory("fls-plan").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("fls-planning-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("footer cache: second scan of an unchanged table re-reads no footers") {
+    val dir = s"$tmp/cache"
+    spark.range(0, 64 * 1024).selectExpr("id AS v").repartition(64)
+      .write.format("fls").mode("overwrite").save(dir)
+    FlsFooters.clear()
+    assert(spark.read.format("fls").load(dir).count() == 64 * 1024)
+    val after1 = FlsFooters.cachedCount
+    assert(after1 >= 64, s"expected >=64 cached footers, got $after1")
+    assert(spark.read.format("fls").load(dir).agg(sum("v")).collect()(0).getLong(0) ==
+      (64L * 1024 - 1) * (64L * 1024) / 2)
+    assert(FlsFooters.cachedCount == after1, "unchanged files must stay cached, not re-enter")
+  }
+
+  test("footer cache: rewritten files invalidate via (mtime, length)") {
+    val dir = s"$tmp/invalidate"
+    spark.range(0, 100).selectExpr("id AS v")
+      .write.format("fls").mode("overwrite").save(dir)
+    assert(spark.read.format("fls").load(dir).count() == 100)
+    // overwrite with different contents — cache must not serve stale descriptors
+    spark.range(1000, 1250).selectExpr("id AS v")
+      .write.format("fls").mode("overwrite").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    assert(back.count() == 250)
+    assert(back.agg(min("v"), max("v")).collect()(0).toSeq == Seq(1000L, 1249L))
+  }
+
+  private def mixedScaleDirs(): (String, String) = {
+    val d1 = s"$tmp/scale_a"
+    val d2 = s"$tmp/scale_b"
+    // same column name, DIFFERENT decimal scale per file: physical
+    // (unscaled) stats are incomparable across the two
+    spark.range(0, 50).selectExpr("id", "CAST(id + 0.25 AS DECIMAL(10,2)) AS v")
+      .write.format("fls").mode("overwrite").save(d1)
+    spark.range(50, 100).selectExpr("id", "CAST(id + 0.1234 AS DECIMAL(12,4)) AS v")
+      .write.format("fls").mode("overwrite").save(d2)
+    (d1, d2)
+  }
+
+  test("MIN/MAX aggregate over mixed-scale decimal union falls back and stays exact") {
+    val (d1, d2) = mixedScaleDirs()
+    val df = spark.read.format("fls").option("union_by_name", "true").load(d1, d2)
+    val r = df.agg(min("v"), max("v")).collect()(0)
+    // raw unscaled comparison would pick file-2 values for BOTH ends
+    // (25..9925 at scale 2 vs 501234..991234 at scale 4)
+    assert(r.getDecimal(0).compareTo(new java.math.BigDecimal("0.25")) == 0, s"min=${r.getDecimal(0)}")
+    assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("99.1234")) == 0, s"max=${r.getDecimal(1)}")
+  }
+
+  test("ORDER BY ... LIMIT over mixed-scale decimal union prunes nothing unsound") {
+    val (d1, d2) = mixedScaleDirs()
+    val df = spark.read.format("fls").option("union_by_name", "true").load(d1, d2)
+    val top = df.orderBy(desc("v")).limit(3).select("id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(99L, 98L, 97L), s"got $top")
+    val bottom = df.orderBy(asc("v")).limit(3).select("id").collect().map(_.getLong(0)).toSeq
+    assert(bottom == Seq(0L, 1L, 2L), s"got $bottom")
+  }
+
+  test("uniform-scale MIN/MAX still answers from metadata (pushdown preserved)") {
+    val dir = s"$tmp/uniform"
+    spark.range(0, 1000).selectExpr("CAST(id + 0.5 AS DECIMAL(10,2)) AS v")
+      .write.format("fls").mode("overwrite").save(dir)
+    val df = spark.read.format("fls").load(dir)
+    val plan = df.agg(min("v"), max("v")).queryExecution.executedPlan.toString
+    assert(plan.contains("metadata-aggregate"), s"pushdown lost:\n$plan")
+    val r = df.agg(min("v"), max("v")).collect()(0)
+    assert(r.getDecimal(0).compareTo(new java.math.BigDecimal("0.50")) == 0)
+    assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("999.50")) == 0)
+  }
+
+  test("aggregate over a column absent from one file falls back, no runtime failure") {
+    val d1 = s"$tmp/missing_a"
+    val d2 = s"$tmp/missing_b"
+    spark.range(0, 50).selectExpr("id", "id * 10 AS v")
+      .write.format("fls").mode("overwrite").save(d1)
+    spark.range(50, 100).selectExpr("id")
+      .write.format("fls").mode("overwrite").save(d2)
+    val df = spark.read.format("fls").option("union_by_name", "true").load(d1, d2)
+    val r = df.agg(min("v"), max("v"), count(lit(1))).collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 490L && r.getLong(2) == 100L)
+  }
+}
