@@ -129,6 +129,40 @@ object FlsQueries {
     """SELECT o_orderkey, o_custkey FROM orders
       ORDER BY o_orderkey DESC LIMIT 100"""
 
+  /** SQL surface over the fls scan: CREATE TEMP VIEW + WITH (CTE) +
+    * IS DISTINCT FROM — the reference's own test macro shape
+    * (/root/reference/test/all_types_single_threaded.test:8-34), run
+    * through `spark.sql` instead of the DataFrame API. The CTE caps
+    * suppliers at nationkey < 20, so nations 20+ carry NULL n_sup and
+    * only null-safe comparison keeps them. */
+  def q39SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    flsTable(spark, dir, "nation").createOrReplaceTempView("graft_fls_nation")
+    t(spark, dir, "supplier").createOrReplaceTempView("graft_supplier")
+    spark.sql("""
+      WITH sup AS (
+        SELECT s_nationkey, count(*) AS n_sup
+        FROM graft_supplier
+        WHERE s_nationkey < 20
+        GROUP BY s_nationkey
+      )
+      SELECT n.n_name, s.n_sup
+      FROM graft_fls_nation n LEFT JOIN sup s ON n.n_nationkey = s.s_nationkey
+      WHERE s.n_sup IS DISTINCT FROM CAST(4 AS BIGINT)
+      ORDER BY n.n_name""")
+  }
+
+  val q39Sql: String =
+    """WITH sup AS (
+        SELECT s_nationkey, count(*) AS n_sup
+        FROM supplier
+        WHERE s_nationkey < 20
+        GROUP BY s_nationkey
+      )
+      SELECT n.n_name, s.n_sup
+      FROM nation n LEFT JOIN sup s ON n.n_nationkey = s.s_nationkey
+      WHERE s.n_sup IS DISTINCT FROM CAST(4 AS BIGINT)
+      ORDER BY n.n_name"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_fls_topk" -> (q38FlsTopK _),
     "q15_fls_tpch_q1" -> (q15FlsTpchQ1 _),
@@ -136,6 +170,7 @@ object FlsQueries {
     "q17_fls_interop_join" -> (q17FlsInteropJoin _),
     "q18_fls_row_number" -> (q18FlsRowNumber _),
     "q36_csv_interop" -> (q36CsvInterop _),
+    "q39_sql_cte_view" -> (q39SqlSurface _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -145,5 +180,6 @@ object FlsQueries {
     "q17_fls_interop_join" -> q17Sql,
     "q18_fls_row_number" -> q18Sql,
     "q36_csv_interop" -> q36Sql,
+    "q39_sql_cte_view" -> q39Sql,
   )
 }
