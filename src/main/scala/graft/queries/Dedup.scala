@@ -206,48 +206,65 @@ object Dedup {
     verifyAndExpand(cand, shingled(spark, dir))
   }
 
-  /** Portable 60-bit word hash, identical in Spark SQL and DuckDB SQL:
-    * first 15 hex chars of md5(word) as an integer. Spark evaluates this
-    * fully codegen'd (md5+conv); the DuckDB oracle folds the hex chars
-    * with list_reduce. */
-  val WordHashSpark: String =
-    "CAST(conv(substr(md5(CAST(w AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+  /** Portable 60-bit word hashes, identical in Spark SQL and DuckDB SQL:
+    * 15 hex chars of md5(word) starting at `pos` as an integer. Spark
+    * evaluates this fully codegen'd (md5+conv); the DuckDB oracle folds
+    * the hex chars with list_reduce. Positions 1 and 17 yield two
+    * independent 60-bit halves of a 120-bit feature hash. */
+  def wordHashSpark(pos: Int): String =
+    s"CAST(conv(substr(md5(CAST(w AS BINARY)), $pos, 15), 16, 10) AS BIGINT)"
 
-  val WordHashDuck: String =
-    """list_reduce(list_prepend(0::BIGINT,
-         list_transform(string_split(substr(md5(w), 1, 15), ''),
+  def wordHashDuck(pos: Int): String =
+    s"""list_reduce(list_prepend(0::BIGINT,
+         list_transform(string_split(substr(md5(w), $pos, 15), ''),
            c -> (CASE WHEN unicode(c) >= 97 THEN unicode(c) - 87
                       ELSE unicode(c) - 48 END)::BIGINT)),
        (a, d) -> a * 16 + d)"""
 
-  /** q23: SimHash near-dup. 60-bit simhash over word-hash features; the
-    * 4×15-bit band join is sound-complete for hamming<=3 (pigeonhole: 3
-    * flipped bits can't touch all 4 bands). Output is exact: hamming
-    * distance re-checked on the full fingerprint. Bit sums run as 60
-    * codegen'd aggregates over exploded words (not nested HOF lambdas). */
+  /** q23: SimHash near-dup. 120-bit simhash (two 60-bit halves) over
+    * word-hash features; the 4×30-bit band join is sound-complete for
+    * hamming<=3 (pigeonhole: 3 flipped bits can't touch all 4 bands).
+    * Band values live in a 2^30 key space, so bucket sizes keep
+    * SHRINKING as the corpus grows — the 60-bit/15-bit-band variant
+    * saturated at ~10^10 docs (76k docs per bucket → quadratic
+    * candidates); at 2^30 the same corpus puts ~9 docs per bucket.
+    * Output is exact: hamming re-checked on the full fingerprint. Bit
+    * sums run as 120 codegen'd aggregates over exploded words (not
+    * nested HOF lambdas — measured 50× slower interpreted). */
   def q23Simhash(spark: SparkSession, dir: String): DataFrame = {
     val words = t(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
-      .withColumn("h", expr(WordHashSpark))
-    val bitAggs = (0 until 60).map { j =>
-      sum(expr(s"(shiftright(h, $j) & 1) * 2 - 1")).as(s"b$j")
-    }
+      .withColumn("h1", expr(wordHashSpark(1)))
+      .withColumn("h2", expr(wordHashSpark(17)))
+    val bitAggs =
+      (0 until 60).map(j => sum(expr(s"(shiftright(h1, $j) & 1) * 2 - 1")).as(s"p$j")) ++
+        (0 until 60).map(j => sum(expr(s"(shiftright(h2, $j) & 1) * 2 - 1")).as(s"q$j"))
     val d = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
-        (0 until 60).map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sim"))
-    val banded = d.select(col("doc_id"), col("sim"),
-      explode(expr("transform(sequence(0, 3), b -> struct(b AS band, shiftright(sim, b*15) & 32767 AS bv))")).as("bb"))
-      .select(col("doc_id"), col("sim"), col("bb.band"), col("bb.bv"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("band"), col("bv"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"), col("band"), col("bv"))
+        (0 until 60).map(j => when(col(s"p$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim_lo"),
+        (0 until 60).map(j => when(col(s"q$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim_hi"))
+    val banded = d.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+      explode(expr(
+        """transform(sequence(0, 3), b -> struct(b AS band,
+             CASE WHEN b = 0 THEN sim_lo & 1073741823
+                  WHEN b = 1 THEN shiftright(sim_lo, 30)
+                  WHEN b = 2 THEN sim_hi & 1073741823
+                  ELSE shiftright(sim_hi, 30) END AS bv))""")).as("bb"))
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"), col("bb.band"), col("bb.bv"))
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("sim_lo").as("lo_a"), col("sim_hi").as("hi_a"), col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("sim_lo").as("lo_b"), col("sim_hi").as("hi_b"), col("band"), col("bv"))
     a.join(b, Seq("band", "bv"))
       .filter(col("doc_a") < col("doc_b"))
-      // hamming first (cheap long xor), THEN pair-dedup: only true
+      // hamming first (two long xors), THEN pair-dedup: only true
       // near-dup pairs reach the distinct shuffle
-      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
+      .withColumn("hamming",
+        expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)").cast("long"))
       .filter(col("hamming") <= 3)
       .dropDuplicates("doc_a", "doc_b")
       .select("doc_a", "doc_b", "hamming")
@@ -255,21 +272,25 @@ object Dedup {
   }
 
   val q23Sql: String = {
-    val bitSums = (0 until 60)
-      .map(j => s"sum(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(", ")
-    val simExpr = (0 until 60)
-      .map(j => s"CASE WHEN b$j >= 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END")
+    val bitSums = ((0 until 60).map(j => s"sum(((h1 >> $j) & 1) * 2 - 1) AS p$j") ++
+      (0 until 60).map(j => s"sum(((h2 >> $j) & 1) * 2 - 1) AS q$j")).mkString(", ")
+    val loExpr = (0 until 60)
+      .map(j => s"CASE WHEN p$j >= 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END")
+      .mkString(" + ")
+    val hiExpr = (0 until 60)
+      .map(j => s"CASE WHEN q$j >= 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END")
       .mkString(" + ")
     s"""WITH w AS (
          SELECT doc_id, unnest(list_filter(str_split(text, ' '), w -> w != '')) AS w
          FROM documents),
-       h AS (SELECT doc_id, $WordHashDuck AS h FROM w),
+       h AS (SELECT doc_id, ${wordHashDuck(1)} AS h1, ${wordHashDuck(17)} AS h2 FROM w),
        bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
-       f AS (SELECT doc_id, $simExpr AS sim FROM bits)
+       f AS (SELECT doc_id, $loExpr AS sim_lo, $hiExpr AS sim_hi FROM bits)
        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-              bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+              (bit_count(xor(a.sim_lo, b.sim_lo))
+               + bit_count(xor(a.sim_hi, b.sim_hi)))::BIGINT AS hamming
        FROM f a JOIN f b ON a.doc_id < b.doc_id
-       WHERE bit_count(xor(a.sim, b.sim)) <= 3
+       WHERE bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
        ORDER BY doc_a, doc_b"""
   }
 
