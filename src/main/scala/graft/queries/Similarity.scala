@@ -57,38 +57,47 @@ object Similarity {
       SELECT query_id, rank::BIGINT AS rank, neighbor_id, round(cos, 6) AS cos_sim
       FROM s WHERE rank <= 10 ORDER BY query_id, rank"""
 
-  /** q26: IVF-style ANN. Coarse quantizer = the 8 vectors vec_id < 8
-    * (deterministic "centroids"); every vector is assigned to its
-    * nearest centroid (one broadcast pass — the scale path: the corpus
-    * shuffles once by cell id, queries probe a single cell). Top-5
-    * within the query's own cell, self excluded. */
+  /** q26: IVF-style ANN, shaped for 100 TB. Coarse quantizer = the
+    * first ⌈√n⌉ vectors (centroid count scales with corpus size, so
+    * cells hold ~√n vectors — the standard IVF balance point); every
+    * vector is assigned to its nearest centroid with a codegen'd
+    * max_by aggregate (one broadcast pass, no window sort — the corpus
+    * shuffles once by cell id). Per-cell top-5 runs through the
+    * k-bounded [[graft.functions.TopKByScore]] aggregator: map-side
+    * partials ship <= 5 candidates per (query, partition) instead of
+    * WindowExec fully sorting each cell. Self excluded. */
   def q26IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = vecs(spark, dir)
-    val cents = e.filter(col("vec_id") < 8)
+    val nCent = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    val cents = e.filter(col("vec_id") < nCent)
       .select(col("vec_id").as("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"))
-    // assign: argmax cosine over the 8 centroids, tie-break centroid id
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
+    // assign: argmax cosine over centroids — max_by(cent, (cos, -cent))
+    // aggregates with partial combine; ties break to the lowest cent_id
     val assigned = e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
       .crossJoin(broadcast(cents))
       .withColumn("ccos", cosExpr / (col("nr_q") * col("nr_c")))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("v_c"), col("nr_c"), col("cent_id").as("cell"))
-    // queries probe their own cell (a centroid's nearest centroid is itself)
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("neg"))).as("cell"),
+        first(col("v_c")).as("v_c"), first(col("nr_c")).as("nr_c"))
+    // queries probe their own cell (a centroid's nearest centroid is
+    // itself; queries are centroids since 8 <= ceil(sqrt(n)))
     val probes = assigned.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("v_c").as("v_q"),
         col("nr_c").as("nr_q"), col("cell"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    assigned
+    val cand = assigned
       .select(col("vec_id").as("neighbor_id"), col("v_c"), col("nr_c"), col("cell"))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosExpr / (col("nr_q") * col("nr_c")))
-      .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)]
+    val topk = new graft.functions.TopKByScore(5)
+    cand.groupByKey(_._1).agg(topk.toColumn.name("top")).toDF("query_id", "top")
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as("neighbor_id"))
       .orderBy("query_id", "rank")
   }
 
@@ -96,7 +105,8 @@ object Similarity {
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                   FROM embeddings),
         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nr FROM e),
-        cent AS (SELECT vec_id AS cent_id, v AS vq, nr AS nrq FROM n WHERE vec_id < 8),
+        cent AS (SELECT vec_id AS cent_id, v AS vq, nr AS nrq FROM n
+                 WHERE vec_id < CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)),
         assign AS (
           SELECT vec_id, v, nr, cent_id AS cell,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
