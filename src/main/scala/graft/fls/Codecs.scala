@@ -629,6 +629,99 @@ object Codecs {
     out
   }
 
+  /** frequency_str (K15 string variant, ≙ reference
+    * /root/reference/src/include/reader/materializer/kernels/frequency_kernel.hpp:8-69):
+    * one dominant byte value stored once + FFOR-packed exception
+    * positions + plainly-encoded exception values. */
+  def encodeFreqBytes(d: BytesData, freqStart: Int, freqEnd: Int, out: ByteWriter): Unit = {
+    val n = d.n
+    out.writeInt(n)
+    out.writeInt(freqEnd - freqStart)
+    out.writeBytes(d.bytes, freqStart, freqEnd - freqStart)
+    def isFreq(i: Int): Boolean = {
+      val s = d.offsets(i); val e = d.offsets(i + 1)
+      (e - s) == (freqEnd - freqStart) && {
+        var j = s; var k = freqStart; var eq = true
+        while (eq && j < e) { eq = d.bytes(j) == d.bytes(k); j += 1; k += 1 }
+        eq
+      }
+    }
+    var nEx = 0
+    var i = 0
+    while (i < n) { if (!isFreq(i)) nEx += 1; i += 1 }
+    out.writeInt(nEx)
+    if (nEx > 0) {
+      val exPos = new Array[Long](nEx)
+      val exOffsets = new Array[Int](nEx + 1)
+      var k = 0
+      var total = 0
+      i = 0
+      while (i < n) {
+        if (!isFreq(i)) {
+          exPos(k) = i.toLong
+          total += d.offsets(i + 1) - d.offsets(i)
+          exOffsets(k + 1) = total
+          k += 1
+        }
+        i += 1
+      }
+      val exBytes = new Array[Byte](total)
+      k = 0
+      i = 0
+      while (i < n) {
+        if (!isFreq(i)) {
+          System.arraycopy(d.bytes, d.offsets(i), exBytes, exOffsets(k),
+            d.offsets(i + 1) - d.offsets(i))
+          k += 1
+        }
+        i += 1
+      }
+      encodeFFOR(exPos, out)
+      encodePlainBytes(BytesData(exOffsets, exBytes), out)
+    }
+  }
+
+  def decodeFreqBytes(in: ByteReader): BytesData = {
+    val n = in.readInt()
+    val freqLen = in.readInt()
+    val freqVal = in.readBytes(freqLen)
+    val nEx = in.readInt()
+    if (nEx == 0) {
+      val offsets = new Array[Int](n + 1)
+      val bytes = new Array[Byte](n * freqLen)
+      var i = 0
+      while (i < n) {
+        System.arraycopy(freqVal, 0, bytes, i * freqLen, freqLen)
+        offsets(i + 1) = (i + 1) * freqLen
+        i += 1
+      }
+      BytesData(offsets, bytes)
+    } else {
+      val exPos = decodeFFOR(in)
+      val ex = decodePlainBytes(in)
+      val exTotal = ex.offsets(ex.n)
+      val offsets = new Array[Int](n + 1)
+      val bytes = new Array[Byte]((n - nEx) * freqLen + exTotal)
+      var i = 0
+      var k = 0
+      var pos = 0
+      while (i < n) {
+        if (k < nEx && exPos(k) == i.toLong) {
+          val s = ex.offsets(k); val e = ex.offsets(k + 1)
+          System.arraycopy(ex.bytes, s, bytes, pos, e - s)
+          pos += e - s
+          k += 1
+        } else {
+          System.arraycopy(freqVal, 0, bytes, pos, freqLen)
+          pos += freqLen
+        }
+        offsets(i + 1) = pos
+        i += 1
+      }
+      BytesData(offsets, bytes)
+    }
+  }
+
   // ---------- ALP-RD (K6): front-bits dictionary + raw right bits ----------
 
   def encodeAlpRd(vs: Array[Double], rightBits: Int, dict: Array[Long],
@@ -721,6 +814,7 @@ object Codecs {
       case (Enc.FSST12, Format.Phys.BYTES) => decodeFsst12(in)
       case (Enc.FSST12_DICT, Format.Phys.BYTES) => decodeFsst12Dict(in)
       case (Enc.FREQ, Format.Phys.LONG) => LongData(decodeFreqLong(in))
+      case (Enc.FREQ, Format.Phys.BYTES) => decodeFreqBytes(in)
       case (Enc.ALP_RD, Format.Phys.DOUBLE) => DoubleData(decodeAlpRd(in))
       case other =>
         throw new IllegalStateException(s"fls: bad (encoding, phys) pair $other")

@@ -256,10 +256,39 @@ object Encoder {
     }
     val nDistinct = if (seen.size > dictCap) Int.MaxValue else seen.size
 
+    // frequency_str (K15 string variant): dominant value + exceptions.
+    // Wins over DICT when one value dominates so hard that per-exception
+    // costs beat paying code bits on every row, and over RLE when the
+    // exceptions are scattered (runs ~ 2·nEx).
+    val (freqKey, freqCount) =
+      if (nDistinct == Int.MaxValue) (null: BytesKey, 0)
+      else {
+        val counts = new mutable.HashMap[BytesKey, Int]()
+        i = 0
+        while (i < n) { counts.updateWith(key(i))(c => Some(c.getOrElse(0) + 1)); i += 1 }
+        counts.maxBy { case (k, c) => (c, -seen(k)) } // deterministic: first-seen breaks ties
+      }
+    val totalBytes = d.offsets(n)
+    val freqCost =
+      if (freqKey == null || freqCount * 2 < n) Long.MaxValue
+      else {
+        val freqLen = freqKey.end - freqKey.start
+        16L + freqLen + (n - freqCount).toLong * 10 +
+          (totalBytes - freqCount.toLong * freqLen)
+      }
+    val dictCostB =
+      if (nDistinct == Int.MaxValue) Long.MaxValue
+      else seen.keysIterator.map(k => (k.end - k.start).toLong).sum +
+        n.toLong * Codecs.bitWidth(math.max(0, nDistinct - 1).toLong) / 8
+    val rleCostB = runs.toLong * (totalBytes / n + 10)
+
     if (nDistinct == 1) {
       val v = java.util.Arrays.copyOfRange(d.bytes, d.offsets(0), d.offsets(1))
       Codecs.encodeConstBytes(n, v, out)
       Enc.CONSTANT
+    } else if (freqCost < math.min(dictCostB, rleCostB)) {
+      Codecs.encodeFreqBytes(d, freqKey.start, freqKey.end, out)
+      Enc.FREQ
     } else if (nDistinct != Int.MaxValue && runs <= n / 4 && runs <= nDistinct * 4) {
       val runVals = mutable.ArrayBuilder.make[Byte]
       val runOffsets = mutable.ArrayBuilder.make[Int]

@@ -203,6 +203,72 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.decodeFreqLong(new ByteReader(w.toArray)).sameElements(vs))
   }
 
+  test("FREQ bytes round-trips dominated string columns (incl. edge shapes)") {
+    // scattered exceptions
+    val strs = (0 until 4000).map { i =>
+      if (i % 97 == 0) s"outlier-$i" else "the-dominant-value"
+    }
+    val d = mkBytes(strs)
+    val w = new ByteWriter()
+    val dom = strs.indexOf("the-dominant-value")
+    Codecs.encodeFreqBytes(d, d.offsets(dom), d.offsets(dom + 1), w)
+    assert(strsOf(Codecs.decodeFreqBytes(new ByteReader(w.toArray))) == strs)
+    // no exceptions at all
+    val pure = mkBytes(Seq.fill(100)("same"))
+    val w2 = new ByteWriter()
+    Codecs.encodeFreqBytes(pure, 0, 4, w2)
+    assert(strsOf(Codecs.decodeFreqBytes(new ByteReader(w2.toArray))) == Seq.fill(100)("same"))
+    // exceptions at both ends, empty strings among exceptions
+    val edge = Seq("", "x", "x", "x", "") ++ Seq.fill(50)("x") :+ ""
+    val de = mkBytes(edge)
+    val w3 = new ByteWriter()
+    Codecs.encodeFreqBytes(de, de.offsets(1), de.offsets(2), w3)
+    assert(strsOf(Codecs.decodeFreqBytes(new ByteReader(w3.toArray))) == edge)
+  }
+
+  test("Encoder picks FREQ for a scattered-dominant string column and compresses") {
+    val rng = new scala.util.Random(31)
+    // 99% one long value, 1% unique long outliers scattered randomly:
+    // RLE degenerates (runs ~ 2*nEx), DICT pays code bits on every row
+    val strs = (0 until 20000).map { i =>
+      if (rng.nextInt(100) == 0) s"unique-outlier-value-$i-${rng.nextInt()}"
+      else "the-overwhelmingly-dominant-string-value-of-this-column"
+    }
+    val d = mkBytes(strs)
+    val w = new ByteWriter()
+    val (enc, _) = Encoder.encodeColumn(d, w)
+    assert(enc == Format.Enc.FREQ, s"expected FREQ, got $enc")
+    assert(strsOf(Codecs.decode(w.toArray, enc, Format.Phys.BYTES).asInstanceOf[BytesData]) == strs)
+    val dictSize = {
+      val w2 = new ByteWriter()
+      val distinct = strs.distinct
+      val codeOf = distinct.zipWithIndex.toMap
+      Codecs.encodeDictBytes(strs.length, mkBytes(distinct),
+        strs.map(s => codeOf(s).toLong).toArray, w2)
+      w2.size
+    }
+    assert(w.size < dictSize, s"FREQ ${w.size} should beat DICT $dictSize here")
+  }
+
+  test("fuzz: FREQ bytes round-trips random dominated columns") {
+    val rng = new scala.util.Random(77)
+    (0 until 20).foreach { trial =>
+      val domLen = rng.nextInt(30)
+      val dom = Array.fill(domLen)(rng.nextInt(256).toByte)
+      val domStr = new String(dom.map(b => ('a' + (b & 15)).toChar))
+      val n = 200 + rng.nextInt(2000)
+      val strs = (0 until n).map { _ =>
+        if (rng.nextInt(10) == 0) new String(Array.fill(rng.nextInt(20))(('a' + rng.nextInt(26)).toChar))
+        else domStr
+      }
+      val d = mkBytes(strs)
+      val di = strs.indexOf(domStr)
+      val w = new ByteWriter()
+      Codecs.encodeFreqBytes(d, d.offsets(di), d.offsets(di + 1), w)
+      assert(strsOf(Codecs.decodeFreqBytes(new ByteReader(w.toArray))) == strs, s"trial $trial")
+    }
+  }
+
   test("ALP-RD round-trips real doubles bitwise and compresses") {
     val rng = new scala.util.Random(5)
     val vs = Array.fill(8000)(rng.nextDouble() * 1e17 + 1e16)
