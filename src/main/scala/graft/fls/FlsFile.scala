@@ -5,11 +5,17 @@ import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
 
 import Format._
 
-/** File-level writer: header, streamed row groups, inline footer.
+/** File-level writer: header, streamed row groups, inline footer — or,
+  * with `inlineFooter=false`, the footer in a `<name>.footer` sidecar
+  * (≙ reference `inline_footer` writer option,
+  * /root/reference/src/include/writer/fls_writer.hpp:17-18; the sidecar
+  * lets a catalog fetch all footers without touching data files). The
+  * data file's 12-byte tail then stores footerLen = -1 as the sentinel.
   * One file holds one table (SURVEY.md §1.1). All IO goes through the
   * Hadoop FileSystem API so paths work identically on local disk, HDFS,
   * or object stores on a real cluster. */
-final class FlsFileWriter(path: Path, conf: Configuration, schema: Array[ColumnDesc]) {
+final class FlsFileWriter(path: Path, conf: Configuration, schema: Array[ColumnDesc],
+    inlineFooter: Boolean = true) {
   private val fs = path.getFileSystem(conf)
   private val out = fs.create(path, true)
   private var pos: Long = 0L
@@ -41,9 +47,16 @@ final class FlsFileWriter(path: Path, conf: Configuration, schema: Array[ColumnD
     val fw = new ByteWriter()
     Format.writeFooter(fw, TableDesc(schema, rowGroups.toArray))
     val footer = fw.toArray
-    out.write(footer)
     val tail = new ByteWriter()
-    tail.writeLong(footer.length.toLong)
+    if (inlineFooter) {
+      out.write(footer)
+      tail.writeLong(footer.length.toLong)
+    } else {
+      val side = fs.create(FlsFile.footerPath(path), true)
+      side.write(footer)
+      side.close()
+      tail.writeLong(-1L)
+    }
     out.write(tail.toArray)
     out.write(Magic)
     out.close()
@@ -52,6 +65,8 @@ final class FlsFileWriter(path: Path, conf: Configuration, schema: Array[ColumnD
   def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }
     try fs.delete(path, false) catch { case _: Throwable => () }
+    if (!inlineFooter)
+      try fs.delete(FlsFile.footerPath(path), false) catch { case _: Throwable => () }
   }
 }
 
@@ -70,9 +85,21 @@ final class FlsFileReader(val path: Path, conf: Configuration) extends AutoClose
     in.readFully(fileSize - tailLen, tail)
     require(tail(8) == 'F' && tail(9) == 'L' && tail(10) == 'S' && tail(11) == '1',
       s"not an fls file: $path")
-    val footerLen = new ByteReader(tail).readLong().toInt
-    val footer = new Array[Byte](footerLen)
-    in.readFully(fileSize - tailLen - footerLen, footer)
+    val footerLen = new ByteReader(tail).readLong()
+    val footer =
+      if (footerLen == -1L) {
+        // separate-footer mode: sentinel tail, footer lives in a sidecar
+        val side = FlsFile.footerPath(path)
+        val st = fs.getFileStatus(side)
+        val buf = new Array[Byte](st.getLen.toInt)
+        val sin = fs.open(side)
+        try sin.readFully(0, buf) finally sin.close()
+        buf
+      } else {
+        val buf = new Array[Byte](footerLen.toInt)
+        in.readFully(fileSize - tailLen - footerLen, buf)
+        buf
+      }
     Format.readFooter(new ByteReader(footer))
   }
 
@@ -92,6 +119,9 @@ final class FlsFileReader(val path: Path, conf: Configuration) extends AutoClose
 }
 
 object FlsFile {
+  /** Sidecar footer path for separate-footer mode. */
+  def footerPath(data: Path): Path = new Path(data.getParent, data.getName + ".footer")
+
   /** List the .fls data files under a path (a file or a directory). */
   def listDataFiles(path: Path, conf: Configuration): Seq[Path] =
     listDataStatuses(path, conf).map(_.getPath)

@@ -544,6 +544,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     .getOrElse(throw new IllegalArgumentException("fls write: no path"))
   private val rowGroupSize = options.getInt("row_group_size", DefaultRowGroupSize)
   private val rowGroupsPerFile = options.getInt("row_groups_per_file", 0)
+  private val inlineFooter = options.getBoolean("inline_footer", true)
   private val writeId = UUID.randomUUID().toString
 
   require(rowGroupSize > 0 && rowGroupSize % VecSize == 0,
@@ -559,7 +560,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     val dir = new Path(path)
     dir.getFileSystem(conf).mkdirs(dir)
     FlsWriterFactory(path, info.schema(), rowGroupSize, rowGroupsPerFile,
-      new SerializableConfiguration(conf), writeId)
+      new SerializableConfiguration(conf), writeId, inlineFooter)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -573,7 +574,8 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     if (fs.exists(dir)) {
       fs.listStatus(dir).foreach { s =>
         val name = s.getPath.getName
-        if (s.isFile && name.endsWith(".fls") && !committed.contains(name)) {
+        val managed = name.endsWith(".fls") || name.endsWith(".fls.footer")
+        if (s.isFile && managed && !committed.contains(name)) {
           val thisJobs = name.contains(s"-$writeId-")
           if (thisJobs || doTruncate) fs.delete(s.getPath, false)
         }
@@ -609,11 +611,13 @@ case class FlsWriterFactory(
     rowGroupSize: Int,
     rowGroupsPerFile: Int,
     conf: SerializableConfiguration,
-    writeId: String) extends DataWriterFactory {
+    writeId: String,
+    inlineFooter: Boolean = true) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // taskId is unique per task ATTEMPT, so speculative twins stage to
     // disjoint temp dirs and the commit coordinator picks one winner.
     new FlsDataWriter(dir, schema, rowGroupSize, rowGroupsPerFile,
-      conf.value, f"part-$partitionId%05d-$writeId", s"attempt-$partitionId-$taskId")
+      conf.value, f"part-$partitionId%05d-$writeId", s"attempt-$partitionId-$taskId",
+      inlineFooter)
 }

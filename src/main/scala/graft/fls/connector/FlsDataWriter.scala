@@ -32,7 +32,8 @@ class FlsDataWriter(
     rowGroupsPerFile: Int,
     conf: Configuration,
     baseName: String,
-    taskUid: String)
+    taskUid: String,
+    inlineFooter: Boolean = true)
   extends DataWriter[InternalRow] {
 
   private val colTypes: Array[ColumnType] =
@@ -131,8 +132,10 @@ class FlsDataWriter(
       val finalName = f"$baseName-$fileSeq%04d.fls"
       val p = new Path(tempDir, finalName)
       written += ((p, finalName))
+      if (!inlineFooter) // sidecar footer renames alongside its data file
+        written += ((graft.fls.FlsFile.footerPath(p), finalName + ".footer"))
       fileSeq += 1
-      writer = new FlsFileWriter(p, conf, colDescs)
+      writer = new FlsFileWriter(p, conf, colDescs, inlineFooter)
     }
 
   private def flushRowGroup(): Unit = {

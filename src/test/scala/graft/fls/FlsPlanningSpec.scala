@@ -97,6 +97,29 @@ class FlsPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("999.50")) == 0)
   }
 
+  test("separate-footer mode round-trips; sidecar renamed by the commit protocol") {
+    val dir = s"$tmp/sidecar"
+    val df = spark.range(0, 5000)
+      .selectExpr("id", "CAST(id % 7 AS DOUBLE) AS d", "concat('s', id % 11) AS s")
+    df.repartition(3).write.format("fls").mode("overwrite")
+      .option("inline_footer", "false").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    val dataFiles = files.filter(_.endsWith(".fls"))
+    val sidecars = files.filter(_.endsWith(".fls.footer"))
+    assert(dataFiles.nonEmpty && sidecars.length == dataFiles.length,
+      s"one sidecar per data file expected: ${files.toSeq}")
+    assert(sidecars.toSeq == dataFiles.map(_ + ".footer").toSeq)
+    val back = spark.read.format("fls").load(dir)
+    assert(back.count() == 5000)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    // overwrite in inline mode: sidecars of the old job must be swept
+    spark.range(0, 10).selectExpr("id", "CAST(0 AS DOUBLE) AS d", "'x' AS s")
+      .write.format("fls").mode("overwrite").save(dir)
+    val after = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!after.exists(_.endsWith(".fls.footer")), s"stale sidecars: ${after.toSeq}")
+    assert(spark.read.format("fls").load(dir).count() == 10)
+  }
+
   test("aggregate over a column absent from one file falls back, no runtime failure") {
     val d1 = s"$tmp/missing_a"
     val d2 = s"$tmp/missing_b"
