@@ -8,6 +8,13 @@ sealed trait ColData { def n: Int }
 final case class LongData(v: Array[Long]) extends ColData { def n: Int = v.length }
 final case class DoubleData(v: Array[Double]) extends ColData { def n: Int = v.length }
 /** Variable-length values: `offsets` has n+1 entries into `bytes`. */
+/** Dictionary-coded bytes kept un-gathered: `dict(codes(i))` is row i.
+  * The scan serves these through a Spark dictionary vector (zero-copy
+  * gather, ≙ reference dictionary_kernel.hpp:79-101). */
+final case class DictBytes(values: Array[Array[Byte]], codes: Array[Long]) extends ColData {
+  def n: Int = codes.length
+}
+
 final case class BytesData(offsets: Array[Int], bytes: Array[Byte]) extends ColData {
   def n: Int = offsets.length - 1
 }
@@ -253,6 +260,29 @@ object Codecs {
     val codes = decodeFFOR(in)
     require(codes.length == n)
     (dict, codes)
+  }
+
+  /** (dictionary, codes) for any dictionary-family bytes encoding, or
+    * None — lets the scan serve codes through a shared dictionary
+    * vector instead of gathering every value eagerly. */
+  def decodeDictParts(bytes: Array[Byte], enc: Int): Option[(BytesData, Array[Long])] = {
+    val in = new ByteReader(bytes)
+    enc match {
+      case Enc.DICT => Some(decodeDictBytesRaw(in))
+      case Enc.FSST_DICT =>
+        val n = in.readInt()
+        val dict = decodeFsst(in)
+        val codes = decodeFFOR(in)
+        require(codes.length == n)
+        Some((dict, codes))
+      case Enc.FSST12_DICT =>
+        val n = in.readInt()
+        val dict = decodeFsst12(in)
+        val codes = decodeFFOR(in)
+        require(codes.length == n)
+        Some((dict, codes))
+      case _ => None
+    }
   }
 
   def decodeDictBytes(in: ByteReader): BytesData = {

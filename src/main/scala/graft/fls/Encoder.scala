@@ -21,6 +21,8 @@ object Encoder {
       case LongData(vs) => encodeLong(vs, out)
       case DoubleData(vs) => encodeDouble(vs, out)
       case b: BytesData => encodeBytes(b, out)
+      case _: DictBytes =>
+        throw new IllegalArgumentException("DictBytes is a scan-side representation")
     }
     val stats = statsOf(col)
     (enc, stats.copy(encoding = enc, offset = start.toLong, length = (out.size - start).toLong))

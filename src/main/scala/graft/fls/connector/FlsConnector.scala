@@ -401,7 +401,8 @@ class FlsScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FlsReaderFactory(readSchema(), new SerializableConfiguration(hadoopConf))
+    new FlsReaderFactory(readSchema(), new SerializableConfiguration(hadoopConf),
+      options.getBoolean("string_dictionary", false))
 
   /** Scan progress metrics (≙ reference GetProgressInFile,
     * /root/reference/src/reader/fls_reader.cpp:556-558 — Spark surfaces
@@ -505,7 +506,8 @@ case class FlsInputPartition(
     fileRowStart: Long,
     fileIndex: Int) extends InputPartition
 
-class FlsReaderFactory(readSchema: StructType, conf: SerializableConfiguration)
+class FlsReaderFactory(readSchema: StructType, conf: SerializableConfiguration,
+    stringDictionary: Boolean = false)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -515,7 +517,8 @@ class FlsReaderFactory(readSchema: StructType, conf: SerializableConfiguration)
 
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new FlsPartitionReader(partition.asInstanceOf[FlsInputPartition], readSchema, conf.value)
+    new FlsPartitionReader(partition.asInstanceOf[FlsInputPartition], readSchema, conf.value,
+      stringDictionary)
 }
 
 // --------------------------------------------------------------- write

@@ -19,7 +19,8 @@ import graft.fls.Format._
 class FlsPartitionReader(
     part: FlsInputPartition,
     readSchema: StructType,
-    conf: Configuration)
+    conf: Configuration,
+    stringDictionary: Boolean = false)
   extends PartitionReader[ColumnarBatch] {
 
   private val nTuples = part.rowGroup.nTuples
@@ -35,12 +36,19 @@ class FlsPartitionReader(
     readSchema.fields.map(f => new OnHeapColumnVector(BatchSize, f.dataType))
   private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
 
+  /** Per-column dictionary (zero-copy string path); parallel to
+    * `decoded`, non-null only for DictBytes columns. */
+  private var colDicts: Array[org.apache.spark.sql.execution.vectorized.Dictionary] = _
+  private var colDictIds: Array[Array[Int]] = _
+
   private def init(): Unit = {
     val path = new Path(part.file)
     val fs = path.getFileSystem(conf)
     val in = fs.open(path)
+    colDicts = new Array(readSchema.fields.length)
+    colDictIds = new Array(readSchema.fields.length)
     try {
-      decoded = readSchema.fields.map { f =>
+      decoded = readSchema.fields.zipWithIndex.map { case (f, fi) =>
         val idx = part.fileColumns.indexWhere(_.name == f.name)
         if (idx < 0) {
           if (f.name == FlsVirtual.RowNumber || f.name == FlsVirtual.FileIndex ||
@@ -51,7 +59,40 @@ class FlsPartitionReader(
           val seg = part.rowGroup.segments(idx)
           val bytes = new Array[Byte](seg.length.toInt)
           in.readFully(seg.offset, bytes)
-          Codecs.decode(bytes, seg.encoding, physOf(part.fileColumns(idx).colType.tag))
+          val phys = physOf(part.fileColumns(idx).colType.tag)
+          // Zero-copy string-dictionary path (≙ reference
+          // dictionary_kernel.hpp:79-101): keep (dict, codes); the
+          // vector serves values through a shared dictionary — no
+          // per-row gather copy, and repeated values share one array.
+          // OFF by default: measured SLOWER than the eager gather on
+          // this JVM (ScanProfile, sf0.1: strings-only 0.136 vs 0.114 s,
+          // wide dict strings 0.178 vs 0.152 s) — downstream operators
+          // re-fetch each value through the dictionary indirection and
+          // re-wrap a UTF8String per access, costing more than one bulk
+          // gather copy. Kept as an option: on real clusters with
+          // memory-bandwidth-bound scans of long repeated strings the
+          // trade can flip; measure before enabling.
+          val dictable = stringDictionary && phys == Phys.BYTES &&
+            (f.dataType == StringType || f.dataType == BinaryType)
+          val parts = if (dictable) Codecs.decodeDictParts(bytes, seg.encoding) else None
+          parts match {
+            case Some((dict, codes)) =>
+              val values = new Array[Array[Byte]](dict.n)
+              var i = 0
+              while (i < dict.n) {
+                values(i) = java.util.Arrays.copyOfRange(
+                  dict.bytes, dict.offsets(i), dict.offsets(i + 1))
+                i += 1
+              }
+              colDicts(fi) = new FlsBytesDictionary(values)
+              val ids = new Array[Int](codes.length)
+              i = 0
+              while (i < codes.length) { ids(i) = codes(i).toInt; i += 1 }
+              colDictIds(fi) = ids
+              DictBytes(values, codes)
+            case None =>
+              Codecs.decode(bytes, seg.encoding, phys)
+          }
         }
       }
     } finally in.close()
@@ -163,6 +204,11 @@ class FlsPartitionReader(
           vec.putByteArray(i, b.bytes, s, b.offsets(start + i + 1) - s)
           i += 1
         }
+      case (_: DictBytes, StringType | BinaryType) =>
+        val fi = fieldIdx(field)
+        vec.setDictionary(colDicts(fi))
+        val ids = vec.reserveDictionaryIds(len)
+        ids.putInts(0, len, colDictIds(fi), start)
       case (b: BytesData, d: DecimalType) =>
         // bytes-backed decimals carry the FILE's scale; rescale if the
         // merged schema promoted it
@@ -183,6 +229,23 @@ class FlsPartitionReader(
         throw new IllegalStateException(s"fls: cannot fill $t from ${d.getClass.getSimpleName}")
     }
   }
+}
+
+/** Bytes dictionary served to Spark's vectorized reader: decode returns
+  * the pre-split value array DIRECTLY (UTF8String.fromBytes wraps it
+  * without copying), so a scan of a dict-encoded string column does no
+  * per-row byte copying at all. */
+private[connector] final class FlsBytesDictionary(values: Array[Array[Byte]])
+  extends org.apache.spark.sql.execution.vectorized.Dictionary {
+  override def decodeToBinary(id: Int): Array[Byte] = values(id)
+  override def decodeToInt(id: Int): Int =
+    throw new UnsupportedOperationException("bytes dictionary")
+  override def decodeToLong(id: Int): Long =
+    throw new UnsupportedOperationException("bytes dictionary")
+  override def decodeToFloat(id: Int): Float =
+    throw new UnsupportedOperationException("bytes dictionary")
+  override def decodeToDouble(id: Int): Double =
+    throw new UnsupportedOperationException("bytes dictionary")
 }
 
 object FlsVirtual {

@@ -120,6 +120,27 @@ class FlsPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("fls").load(dir).count() == 10)
   }
 
+  test("string_dictionary read option serves identical results through the dict vector") {
+    val dir = s"$tmp/strdict"
+    val rng = new scala.util.Random(13)
+    // low-cardinality wide strings (DICT), high-cardinality (FSST/PLAIN),
+    // empty strings, unicode — all through the dictionary-vector path
+    val vals = Seq("the quick brown fox", "", "日本語テキスト", "zzz", "mid-size-value")
+    val df = spark.range(0, 20000).selectExpr("id")
+      .withColumn("lowcard", element_at(
+        typedLit(vals), (col("id") % vals.length + 1).cast("int")))
+      .withColumn("highcard", concat(lit("u-"), col("id"), lit("-"),
+        (col("id") * 2654435761L % 1000003L)))
+    df.repartition(2).write.format("fls").mode("overwrite").save(dir)
+    val eager = spark.read.format("fls").load(dir)
+    val dict = spark.read.format("fls").option("string_dictionary", "true").load(dir)
+    assert(dict.exceptAll(eager).count() == 0 && eager.exceptAll(dict).count() == 0)
+    val g1 = dict.groupBy("lowcard").count().orderBy("lowcard").collect().toSeq
+    val g2 = eager.groupBy("lowcard").count().orderBy("lowcard").collect().toSeq
+    assert(g1 == g2)
+    assert(dict.filter(col("lowcard") === "zzz").count() === 4000)
+  }
+
   test("aggregate over a column absent from one file falls back, no runtime failure") {
     val d1 = s"$tmp/missing_a"
     val d2 = s"$tmp/missing_b"
