@@ -262,6 +262,34 @@ object Codecs {
     (dict, codes)
   }
 
+  // ---------- EQUAL (MCC EXP_EQUAL): cross-column reference ----------
+
+  /** Payload of an EQUAL segment: just the source column's index. */
+  def encodeEqual(target: Int, out: ByteWriter): Unit = out.writeInt(target)
+
+  def decodeEqualTarget(bytes: Array[Byte]): Int = new ByteReader(bytes).readInt()
+
+  /** Exact physical-content equality (the writer-side MCC detector). */
+  def contentEquals(a: ColData, b: ColData): Boolean = (a, b) match {
+    case (LongData(x), LongData(y)) => java.util.Arrays.equals(x, y)
+    case (DoubleData(x), DoubleData(y)) =>
+      // bitwise: NaN payloads and -0.0 must survive the indirection
+      x.length == y.length && {
+        var i = 0
+        var eq = true
+        while (eq && i < x.length) {
+          eq = java.lang.Double.doubleToRawLongBits(x(i)) ==
+            java.lang.Double.doubleToRawLongBits(y(i))
+          i += 1
+        }
+        eq
+      }
+    case (BytesData(xo, xb), BytesData(yo, yb)) =>
+      java.util.Arrays.equals(xo, yo) &&
+        java.util.Arrays.equals(xb, 0, xo(xo.length - 1), yb, 0, yo(yo.length - 1))
+    case _ => false
+  }
+
   /** (dictionary, codes) for any dictionary-family bytes encoding, or
     * None — lets the scan serve codes through a shared dictionary
     * vector instead of gathering every value eagerly. */

@@ -28,7 +28,10 @@ object Encoder {
     (enc, stats.copy(encoding = enc, offset = start.toLong, length = (out.size - start).toLong))
   }
 
-  private def statsOf(col: ColData): SegmentDesc = col match {
+  /** Zone-map stats for a column's data, independent of its encoding —
+    * EQUAL (MCC) segments carry the stats of the duplicated content so
+    * pruning and metadata aggregates work unchanged. */
+  def statsOf(col: ColData): SegmentDesc = col match {
     case LongData(vs) if vs.nonEmpty =>
       var mn = vs(0); var mx = vs(0)
       var i = 1

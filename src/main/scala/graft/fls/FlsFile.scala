@@ -30,8 +30,26 @@ final class FlsFileWriter(path: Path, conf: Configuration, schema: Array[ColumnD
     var c = 0
     while (c < cols.length) {
       require(cols(c).n == n, "ragged row group")
+      // MCC EXP_EQUAL (≙ reference cross-column encodings,
+      // /root/reference/src/reader/fls_reader.cpp:43-82): a column whose
+      // row-group content exactly duplicates an earlier column stores a
+      // 4-byte reference instead of re-encoded data. Only non-EQUAL
+      // sources are referenced, so chains are one hop. contentEquals
+      // fails on the first differing element, so non-duplicate columns
+      // cost O(1) per candidate pair.
+      val dup = (0 until c).find { p =>
+        segs(p).encoding != Enc.EQUAL &&
+          physOf(schema(p).colType.tag) == physOf(schema(c).colType.tag) &&
+          Codecs.contentEquals(cols(p), cols(c))
+      }
       val w = new ByteWriter()
-      val (_, desc) = Encoder.encodeColumn(cols(c), w)
+      val desc = dup match {
+        case Some(p) =>
+          Codecs.encodeEqual(p, w)
+          Encoder.statsOf(cols(c)).copy(encoding = Enc.EQUAL)
+        case None =>
+          Encoder.encodeColumn(cols(c), w)._2
+      }
       val bytes = w.toArray
       out.write(bytes)
       segs(c) = desc.copy(offset = pos, length = bytes.length.toLong)
@@ -111,8 +129,12 @@ final class FlsFileReader(val path: Path, conf: Configuration) extends AutoClose
 
   def decodeSegment(rgIdx: Int, colIdx: Int): ColData = {
     val seg = table.rowGroups(rgIdx).segments(colIdx)
-    val phys = Format.physOf(table.columns(colIdx).colType.tag)
-    Codecs.decode(readSegmentBytes(seg), seg.encoding, phys)
+    val bytes = readSegmentBytes(seg)
+    if (seg.encoding == Format.Enc.EQUAL)
+      // MCC: resolve the cross-column reference (one hop by construction)
+      decodeSegment(rgIdx, Codecs.decodeEqualTarget(bytes))
+    else
+      Codecs.decode(bytes, seg.encoding, Format.physOf(table.columns(colIdx).colType.tag))
   }
 
   override def close(): Unit = if (in != null) { in.close(); in = null }

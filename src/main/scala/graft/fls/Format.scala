@@ -62,6 +62,11 @@ object Format {
                          //   raw right bits
     val FSST12 = 10      // K11: FSST with 12-bit codes
     val FSST12_DICT = 11 // K12: dictionary with FSST12-compressed values
+    val EQUAL = 12       // MCC EXP_EQUAL: payload is the source column
+                         //   index; this column's row-group values equal
+                         //   that column's (≙ reference cross-column
+                         //   encoding, fls_reader.cpp:43-82 — the reader
+                         //   widens its reads to cover the dependency)
   }
 
   /** Physical representation a logical type decodes through. */

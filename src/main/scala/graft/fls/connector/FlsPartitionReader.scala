@@ -47,6 +47,25 @@ class FlsPartitionReader(
     val in = fs.open(path)
     colDicts = new Array(readSchema.fields.length)
     colDictIds = new Array(readSchema.fields.length)
+    // MCC resolution: an EQUAL segment widens this reader's reads to its
+    // source column (≙ reference fls_reader.cpp:583-590, which widens to
+    // the full row group; the dependency is explicit here, so only the
+    // referenced segment is read). Memoized — N duplicates of one source
+    // decode it once.
+    val memo = scala.collection.mutable.HashMap[Int, ColData]()
+    def decodeAt(idx: Int): ColData = memo.get(idx) match {
+      case Some(d) => d
+      case None =>
+        val seg = part.rowGroup.segments(idx)
+        val segBytes = new Array[Byte](seg.length.toInt)
+        in.readFully(seg.offset, segBytes)
+        val d =
+          if (seg.encoding == Enc.EQUAL) decodeAt(Codecs.decodeEqualTarget(segBytes))
+          else Codecs.decode(segBytes, seg.encoding,
+            physOf(part.fileColumns(idx).colType.tag))
+        memo(idx) = d
+        d
+    }
     try {
       decoded = readSchema.fields.zipWithIndex.map { case (f, fi) =>
         val idx = part.fileColumns.indexWhere(_.name == f.name)
@@ -57,8 +76,6 @@ class FlsPartitionReader(
             s"fls: column ${f.name} not present in ${part.file}")
         } else {
           val seg = part.rowGroup.segments(idx)
-          val bytes = new Array[Byte](seg.length.toInt)
-          in.readFully(seg.offset, bytes)
           val phys = physOf(part.fileColumns(idx).colType.tag)
           // Zero-copy string-dictionary path (≙ reference
           // dictionary_kernel.hpp:79-101): keep (dict, codes); the
@@ -73,8 +90,14 @@ class FlsPartitionReader(
           // memory-bandwidth-bound scans of long repeated strings the
           // trade can flip; measure before enabling.
           val dictable = stringDictionary && phys == Phys.BYTES &&
+            seg.encoding != Enc.EQUAL &&
             (f.dataType == StringType || f.dataType == BinaryType)
-          val parts = if (dictable) Codecs.decodeDictParts(bytes, seg.encoding) else None
+          val parts =
+            if (dictable) {
+              val segBytes = new Array[Byte](seg.length.toInt)
+              in.readFully(seg.offset, segBytes)
+              Codecs.decodeDictParts(segBytes, seg.encoding)
+            } else None
           parts match {
             case Some((dict, codes)) =>
               val values = new Array[Array[Byte]](dict.n)
@@ -91,7 +114,7 @@ class FlsPartitionReader(
               colDictIds(fi) = ids
               DictBytes(values, codes)
             case None =>
-              Codecs.decode(bytes, seg.encoding, phys)
+              decodeAt(idx)
           }
         }
       }

@@ -141,6 +141,48 @@ class FlsPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dict.filter(col("lowcard") === "zzz").count() === 4000)
   }
 
+  test("MCC EQUAL: duplicate columns store a reference, read back through the dependency") {
+    val dir = s"$tmp/mcc"
+    val df = spark.range(0, 8000)
+      .selectExpr("id", "id AS id_dup", "CAST(id % 13 AS DOUBLE) AS d",
+        "concat('v', id % 23) AS s", "concat('v', id % 23) AS s_dup",
+        "CAST(id % 13 AS DOUBLE) AS d_dup", "id AS id_dup2")
+    df.coalesce(1).write.format("fls").mode("overwrite").save(dir)
+    // footer: every *_dup column must be an EQUAL segment pointing at
+    // its source, and the file must be much smaller than without MCC
+    val conf = spark.sessionState.newHadoopConf()
+    val file = FlsFile.listDataFiles(new org.apache.hadoop.fs.Path(dir), conf).head
+    val r = new FlsFileReader(file, conf)
+    try {
+      val names = r.table.columns.map(_.name)
+      val encs = r.table.rowGroups.head.segments.map(_.encoding)
+      Seq("id_dup", "s_dup", "d_dup", "id_dup2").foreach { c =>
+        val i = names.indexOf(c)
+        assert(encs(i) == Format.Enc.EQUAL, s"$c: expected EQUAL, got ${encs(i)}")
+      }
+      // numeric EQUAL segments keep the duplicated content's stats
+      // (strings are stats-less by design, like their direct encodings)
+      Seq("id_dup", "id_dup2", "d_dup").foreach { c =>
+        val i = names.indexOf(c)
+        assert(r.table.rowGroups.head.segments(i).hasStats, s"$c should keep stats")
+      }
+      assert(encs(names.indexOf("id")) != Format.Enc.EQUAL)
+      // decodeSegment resolves the reference
+      val idCol = r.decodeSegment(0, names.indexOf("id")).asInstanceOf[LongData].v
+      val dupCol = r.decodeSegment(0, names.indexOf("id_dup")).asInstanceOf[LongData].v
+      assert(idCol.sameElements(dupCol))
+    } finally r.close()
+    // full round-trip equality
+    val back = spark.read.format("fls").load(dir)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    // projecting ONLY a dup column reads through the dependency
+    assert(spark.read.format("fls").load(dir).select("s_dup")
+      .distinct().count() == 23)
+    // zone-map pruning on a dup column still works (stats are copied)
+    assert(spark.read.format("fls").load(dir)
+      .filter(col("id_dup") === 7777L).count() == 1)
+  }
+
   test("aggregate over a column absent from one file falls back, no runtime failure") {
     val d1 = s"$tmp/missing_a"
     val d2 = s"$tmp/missing_b"
