@@ -69,7 +69,10 @@ object Similarity {
   def q26IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = vecs(spark, dir)
-    val nCent = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    // count the raw table (parquet answers from metadata) — counting
+    // `e` would run the whole vector-transform pipeline just to size
+    // the centroid set
+    val nCent = math.ceil(math.sqrt(t(spark, dir, "embeddings").count().toDouble)).toLong
     val cents = e.filter(col("vec_id") < nCent)
       .select(col("vec_id").as("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"))
     // assign: argmax cosine over centroids — max_by(cent, (cos, -cent))
