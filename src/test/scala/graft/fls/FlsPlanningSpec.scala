@@ -183,6 +183,37 @@ class FlsPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("id_dup") === 7777L).count() == 1)
   }
 
+  test("scan progress metrics report row groups and rows actually read") {
+    import graft.fls.connector._
+    val dir = s"$tmp/metrics"
+    spark.range(0, 3000).selectExpr("id AS v")
+      .coalesce(1).write.format("fls").mode("overwrite")
+      .option("row_group_size", "1024").save(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val file = FlsFile.listDataFiles(new org.apache.hadoop.fs.Path(dir), conf).head
+    val r = new FlsFileReader(file, conf)
+    val (table, cols) = try (r.table, r.table.columns) finally r.close()
+    assert(table.rowGroups.length == 3)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val reader = new FlsPartitionReader(
+      FlsInputPartition(file.toString, table.rowGroups.head, cols, 0L, 0), schema, conf)
+    assert(reader.currentMetricsValues().map(m => (m.name(), m.value())).toSeq ==
+      Seq(("rowGroupsRead", 0L), ("flsRowsRead", 0L)))
+    var rows = 0L
+    while (reader.next()) rows += reader.get().numRows()
+    assert(rows == 1024)
+    val after = reader.currentMetricsValues().map(m => (m.name(), m.value())).toMap
+    assert(after == Map("rowGroupsRead" -> 1L, "flsRowsRead" -> 1024L), after.toString)
+    // scan-level metric declarations match what tasks report
+    val scan = new FlsScan(schema, schema, Array.empty,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir)))
+    assert(scan.supportedCustomMetrics().map(_.name()).toSeq ==
+      Seq("rowGroupsRead", "flsRowsRead"))
+  }
+
   test("aggregate over a column absent from one file falls back, no runtime failure") {
     val d1 = s"$tmp/missing_a"
     val d2 = s"$tmp/missing_b"
