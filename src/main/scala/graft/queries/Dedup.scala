@@ -296,8 +296,12 @@ object Dedup {
 
   /** q24: embedding-cosine near-dup pairs (threshold 0.45; the synthetic
     * embeddings top out ≈0.51). Exact doubles: vectors cast to double,
-    * sequential dot products. At sf scale this is a managed cartesian;
-    * the ANN path for real scale is Similarity.q26. */
+    * sequential dot products. DELIBERATE brute-force exactness baseline:
+    * `broadcast(b)` ships the whole table to every executor, so this
+    * caps out where the table no longer fits in executor memory
+    * (~10M 64-dim vectors at 5 GiB); past that ceiling use the IVF path
+    * (Similarity.q26 — corpus shuffles once by cell, cells stay
+    * bounded), which this query exists to validate against. */
   def q24EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
