@@ -75,15 +75,24 @@ object Similarity {
     val nCent = math.ceil(math.sqrt(t(spark, dir, "embeddings").count().toDouble)).toLong
     val cents = e.filter(col("vec_id") < nCent)
       .select(col("vec_id").as("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"))
-    // assign: argmax cosine over centroids — max_by(cent, (cos, -cent))
-    // aggregates with partial combine; ties break to the lowest cent_id
-    val assigned = e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
+    // assign: argmax cosine over centroids. The dots are computed ONCE
+    // into a NARROW (vec_id, cent_id, ccos) frame — the argmax sort
+    // then moves 24-byte triples, not 550-byte vector rows (carrying
+    // the vector through the aggregate forced SortAggregate over the
+    // full n×k cross rows); the winning cell joins back to the vectors
+    // on vec_id, co-partitioned with e's partitioning — no extra
+    // exchange. Ties break to the lowest cent_id.
+    val scored = e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
       .crossJoin(broadcast(cents))
-      .withColumn("ccos", cosExpr / (col("nr_q") * col("nr_c")))
-      .groupBy("vec_id")
-      .agg(
-        max_by(col("cent_id"), struct(col("ccos"), (-col("cent_id")).as("neg"))).as("cell"),
-        first(col("v_c")).as("v_c"), first(col("nr_c")).as("nr_c"))
+      .select(col("vec_id"), col("cent_id"),
+        (cosExpr / (col("nr_q") * col("nr_c"))).as("ccos"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val cells = scored.withColumn("ar", row_number().over(wAssign))
+      .filter(col("ar") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val assigned = e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
+      .join(cells, Seq("vec_id"))
     // queries probe their own cell (a centroid's nearest centroid is
     // itself; queries are centroids since 8 <= ceil(sqrt(n)))
     val probes = assigned.filter(col("vec_id") < 8)
