@@ -70,6 +70,20 @@ object Dedup {
     * to shingling). */
   private val shCache = scala.collection.mutable.HashMap[String, DataFrame]()
 
+  /** Storage level for the shingled-corpus cache. Default spills to
+    * disk; set `-Dgraft.dedup.storage=DISK_ONLY` on a cluster where a
+    * memory bet on the shingled corpus is unwanted (it is ~the corpus
+    * size again). `unpersistAll()` releases everything — long-lived
+    * sessions should call it when the dedup pass is done. */
+  private def storageLevel: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))
+
+  def unpersistAll(): Unit = shCache.synchronized {
+    shCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    shCache.clear()
+  }
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     shCache.synchronized {
       shCache.getOrElseUpdate(dir,
@@ -88,7 +102,7 @@ object Dedup {
             expr("md5(CAST(array_join(array_sort(gr), '\u0001') AS BINARY))"))
           // consumed by several plan branches — cache instead of
           // re-shingling per branch
-          .persist())
+          .persist(storageLevel))
     }
 
   /** One representative row per distinct shingle set. */
