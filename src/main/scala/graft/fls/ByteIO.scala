@@ -19,6 +19,13 @@ final class ByteWriter(initial: Int = 1 << 16) {
 
   def writeByte(v: Int): Unit = { ensure(1); buf(pos) = v.toByte; pos += 1 }
 
+  /** Overwrite an already-written byte (wrapper encodings patch their
+    * inner tag after the inner encoder has run). */
+  def patchByte(at: Int, v: Int): Unit = {
+    require(at >= 0 && at < pos, s"patchByte($at) out of range 0..$pos")
+    buf(at) = v.toByte
+  }
+
   def writeInt(v: Int): Unit = {
     ensure(4)
     buf(pos) = v.toByte; buf(pos + 1) = (v >>> 8).toByte

@@ -850,9 +850,85 @@ object Codecs {
 
   // ---------- dispatch ----------
 
-  def decode(bytes: Array[Byte], enc: Int, phys: Int): ColData = {
-    val in = new ByteReader(bytes)
+  // ---------- TRANSPOSED (K16): FastLanes interleaved vector layout ----------
+
+  /** Per-1024-value permutation of the FastLanes unified transposed
+    * layout (FastLanes paper §4: 8 tiles of 128 in 0,4,2,6,1,5,3,7
+    * order, 16-lane interleave within each tile). `TransposePerm(i)` is
+    * the ORIGINAL index of the i-th stored value. Tail blocks shorter
+    * than 1024 stay in sequential order (permutation is block-local). */
+  val TransposePerm: Array[Int] = {
+    val tiles = Array(0, 4, 2, 6, 1, 5, 3, 7)
+    val perm = new Array[Int](VecSize)
+    var p = 0
+    var t = 0
+    while (t < 8) {
+      val base = tiles(t) * 128
+      var j = 0
+      while (j < 128) {
+        perm(p) = base + (j % 8) * 16 + j / 8
+        j += 1
+        p += 1
+      }
+      t += 1
+    }
+    perm
+  }
+
+  private val TransposeInv: Array[Int] = {
+    val inv = new Array[Int](VecSize)
+    var i = 0
+    while (i < VecSize) { inv(TransposePerm(i)) = i; i += 1 }
+    inv
+  }
+
+  private def permuteBlocks[T](n: Int, get: Int => T, set: (Int, T) => Unit,
+      perm: Array[Int]): Unit = {
+    var blk = 0
+    while (blk + VecSize <= n) {
+      var i = 0
+      while (i < VecSize) { set(blk + i, get(blk + perm(i))); i += 1 }
+      blk += VecSize
+    } // tail < VecSize: untouched (sequential)
+  }
+
+  def transposeLongs(vs: Array[Long]): Array[Long] = {
+    val out = java.util.Arrays.copyOf(vs, vs.length)
+    permuteBlocks[Long](vs.length, vs(_), out(_) = _, TransposePerm)
+    out
+  }
+
+  def untransposeLongs(vs: Array[Long]): Array[Long] = {
+    val out = java.util.Arrays.copyOf(vs, vs.length)
+    permuteBlocks[Long](vs.length, vs(_), out(_) = _, TransposeInv)
+    out
+  }
+
+  def transposeDoubles(vs: Array[Double]): Array[Double] = {
+    val out = java.util.Arrays.copyOf(vs, vs.length)
+    permuteBlocks[Double](vs.length, vs(_), out(_) = _, TransposePerm)
+    out
+  }
+
+  def untransposeDoubles(vs: Array[Double]): Array[Double] = {
+    val out = java.util.Arrays.copyOf(vs, vs.length)
+    permuteBlocks[Double](vs.length, vs(_), out(_) = _, TransposeInv)
+    out
+  }
+
+  def decode(bytes: Array[Byte], enc: Int, phys: Int): ColData =
+    decodeFrom(new ByteReader(bytes), enc, phys)
+
+  private def decodeFrom(in: ByteReader, enc: Int, phys: Int): ColData = {
     (enc, phys) match {
+      case (Enc.TRANSPOSED, _) =>
+        val inner = in.readByte() & 0xff
+        decodeFrom(in, inner, phys) match {
+          case LongData(vs) => LongData(untransposeLongs(vs))
+          case DoubleData(vs) => DoubleData(untransposeDoubles(vs))
+          case other =>
+            throw new IllegalStateException(s"fls: TRANSPOSED over non-numeric $other")
+        }
       case (Enc.PLAIN, Format.Phys.LONG) => LongData(decodePlainLong(in))
       case (Enc.PLAIN, Format.Phys.DOUBLE) => DoubleData(decodePlainDouble(in))
       case (Enc.PLAIN, Format.Phys.BYTES) => decodePlainBytes(in)

@@ -14,10 +14,28 @@ import Format._
 object Encoder {
 
   /** Encodes `col` into `out`, returning the SegmentDesc (offset filled
-    * by caller). */
-  def encodeColumn(col: ColData, out: ByteWriter): (Int, SegmentDesc) = {
+    * by caller). With `transpose=true`, numeric columns are stored in
+    * the FastLanes interleaved layout (K16): the inner encoding runs
+    * over the permuted values, wrapped as Enc.TRANSPOSED; stats stay
+    * those of the ORIGINAL order (min/max are order-invariant). Note
+    * RLE degrades under transpose (runs break) — the option exists for
+    * layout parity, not compression. */
+  def encodeColumn(col: ColData, out: ByteWriter,
+      transpose: Boolean = false): (Int, SegmentDesc) = {
     val start = out.size
     val enc = col match {
+      case LongData(vs) if transpose =>
+        out.writeByte(0) // placeholder patched below
+        val innerStart = out.size
+        val inner = encodeLong(Codecs.transposeLongs(vs), out)
+        out.patchByte(innerStart - 1, inner)
+        Enc.TRANSPOSED
+      case DoubleData(vs) if transpose =>
+        out.writeByte(0)
+        val innerStart = out.size
+        val inner = encodeDouble(Codecs.transposeDoubles(vs), out)
+        out.patchByte(innerStart - 1, inner)
+        Enc.TRANSPOSED
       case LongData(vs) => encodeLong(vs, out)
       case DoubleData(vs) => encodeDouble(vs, out)
       case b: BytesData => encodeBytes(b, out)

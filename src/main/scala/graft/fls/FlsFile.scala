@@ -15,7 +15,7 @@ import Format._
   * Hadoop FileSystem API so paths work identically on local disk, HDFS,
   * or object stores on a real cluster. */
 final class FlsFileWriter(path: Path, conf: Configuration, schema: Array[ColumnDesc],
-    inlineFooter: Boolean = true) {
+    inlineFooter: Boolean = true, transpose: Boolean = false) {
   private val fs = path.getFileSystem(conf)
   private val out = fs.create(path, true)
   private var pos: Long = 0L
@@ -48,7 +48,7 @@ final class FlsFileWriter(path: Path, conf: Configuration, schema: Array[ColumnD
           Codecs.encodeEqual(p, w)
           Encoder.statsOf(cols(c)).copy(encoding = Enc.EQUAL)
         case None =>
-          Encoder.encodeColumn(cols(c), w)._2
+          Encoder.encodeColumn(cols(c), w, transpose)._2
       }
       val bytes = w.toArray
       out.write(bytes)

@@ -67,6 +67,13 @@ object Format {
                          //   that column's (≙ reference cross-column
                          //   encoding, fls_reader.cpp:43-82 — the reader
                          //   widens its reads to cover the dependency)
+    val TRANSPOSED = 13  // K16: FastLanes interleaved ("transposed")
+                         //   1024-value layout around an inner numeric
+                         //   encoding; payload = inner tag byte + inner
+                         //   payload. Opt-in via writer option
+                         //   `transpose` — default off, matching the
+                         //   reference's FLS_NO_TRANSPOSE=ON build
+                         //   (/root/reference/CMakeLists.txt:3-7)
   }
 
   /** Physical representation a logical type decodes through. */

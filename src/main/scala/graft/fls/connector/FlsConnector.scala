@@ -548,6 +548,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
   private val rowGroupSize = options.getInt("row_group_size", DefaultRowGroupSize)
   private val rowGroupsPerFile = options.getInt("row_groups_per_file", 0)
   private val inlineFooter = options.getBoolean("inline_footer", true)
+  private val transpose = options.getBoolean("transpose", false)
   private val writeId = UUID.randomUUID().toString
 
   require(rowGroupSize > 0 && rowGroupSize % VecSize == 0,
@@ -563,7 +564,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     val dir = new Path(path)
     dir.getFileSystem(conf).mkdirs(dir)
     FlsWriterFactory(path, info.schema(), rowGroupSize, rowGroupsPerFile,
-      new SerializableConfiguration(conf), writeId, inlineFooter)
+      new SerializableConfiguration(conf), writeId, inlineFooter, transpose)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -615,12 +616,13 @@ case class FlsWriterFactory(
     rowGroupsPerFile: Int,
     conf: SerializableConfiguration,
     writeId: String,
-    inlineFooter: Boolean = true) extends DataWriterFactory {
+    inlineFooter: Boolean = true,
+    transpose: Boolean = false) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // taskId is unique per task ATTEMPT, so speculative twins stage to
     // disjoint temp dirs and the commit coordinator picks one winner.
     new FlsDataWriter(dir, schema, rowGroupSize, rowGroupsPerFile,
       conf.value, f"part-$partitionId%05d-$writeId", s"attempt-$partitionId-$taskId",
-      inlineFooter)
+      inlineFooter, transpose)
 }

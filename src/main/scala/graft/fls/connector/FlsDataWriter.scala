@@ -33,7 +33,8 @@ class FlsDataWriter(
     conf: Configuration,
     baseName: String,
     taskUid: String,
-    inlineFooter: Boolean = true)
+    inlineFooter: Boolean = true,
+    transpose: Boolean = false)
   extends DataWriter[InternalRow] {
 
   private val colTypes: Array[ColumnType] =
@@ -135,7 +136,7 @@ class FlsDataWriter(
       if (!inlineFooter) // sidecar footer renames alongside its data file
         written += ((graft.fls.FlsFile.footerPath(p), finalName + ".footer"))
       fileSeq += 1
-      writer = new FlsFileWriter(p, conf, colDescs, inlineFooter)
+      writer = new FlsFileWriter(p, conf, colDescs, inlineFooter, transpose)
     }
 
   private def flushRowGroup(): Unit = {

@@ -109,6 +109,10 @@ object Dedup {
   private def groupsOf(sh: DataFrame): DataFrame =
     sh.groupBy("ghash").agg(first(col("gr")).as("gr"), first(col("nsh")).as("nsh"))
 
+  /** Dev probe hook (Q21Probe): the distinct-set groups frame. */
+  def probeGroups(spark: SparkSession, dir: String): DataFrame =
+    groupsOf(shingled(spark, dir))
+
   // Builtin array_intersect/array_union beat a sorted-merge Expression
   // here (measured 1.7s vs 6.3s at sf0.1): UTF8String accessor churn in
   // the merge loop costs more than one hash set per row.
@@ -167,7 +171,11 @@ object Dedup {
     // implemented and MEASURED SLOWER here at both sf0.1 and a 16x
     // stress corpus — its extra shuffle + per-group sort outweigh the
     // candidate reduction once identical sets are collapsed; revisit
-    // only if candidate counts dominate at larger corpora.)
+    // only if candidate counts dominate at larger corpora. The
+    // interpreted array_sort comparator below was also measured against
+    // an explode + codegen'd window-rank rewrite (Q21Probe): identical
+    // at 0.18-0.19 s — post-collapse groups are too few for the lambda
+    // to matter, so the shuffle-free HOF form stays.)
     // prefix length n - ceil(0.8n) + 1 in INTEGER arithmetic:
     // ceil(4n/5) = (4n+4) div 5 — a float ceil(0.8*n) can round up
     // (0.8 is inexact in binary) and silently shorten the prefix,

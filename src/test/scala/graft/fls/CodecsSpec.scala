@@ -269,6 +269,38 @@ class CodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("K16 transpose: permutation is a bijection; inverse restores order") {
+    assert(Codecs.TransposePerm.sorted.sameElements(0 until Format.VecSize))
+    val rng = new scala.util.Random(41)
+    // full blocks + a short tail (tail stays sequential)
+    val vs = Array.fill(3 * Format.VecSize + 137)(rng.nextLong())
+    val t = Codecs.transposeLongs(vs)
+    assert(!t.sameElements(vs)) // permutation actually moves values
+    assert(Codecs.untransposeLongs(t).sameElements(vs))
+    assert(t.takeRight(137).sameElements(vs.takeRight(137))) // tail untouched
+    val ds = Array.fill(2 * Format.VecSize + 5)(rng.nextDouble())
+    assert(Codecs.untransposeDoubles(Codecs.transposeDoubles(ds)).sameElements(ds))
+  }
+
+  test("K16 transpose: TRANSPOSED wrapper round-trips through encode/decode") {
+    val rng = new scala.util.Random(43)
+    val vs = Array.fill(4096)(rng.nextInt(100000).toLong)
+    val w = new ByteWriter()
+    val (enc, desc) = Encoder.encodeColumn(LongData(vs), w, transpose = true)
+    assert(enc == Format.Enc.TRANSPOSED)
+    assert(desc.hasStats && desc.minLong == vs.min && desc.maxLong == vs.max)
+    val back = Codecs.decode(w.toArray, enc, Format.Phys.LONG).asInstanceOf[LongData].v
+    assert(back.sameElements(vs))
+    val dvs = Array.fill(2048)(rng.nextDouble() * 1000)
+    val w2 = new ByteWriter()
+    val (enc2, _) = Encoder.encodeColumn(DoubleData(dvs), w2, transpose = true)
+    assert(enc2 == Format.Enc.TRANSPOSED)
+    val back2 = Codecs.decode(w2.toArray, enc2, Format.Phys.DOUBLE).asInstanceOf[DoubleData].v
+    dvs.indices.foreach(i => assert(
+      java.lang.Double.doubleToRawLongBits(back2(i)) ==
+        java.lang.Double.doubleToRawLongBits(dvs(i))))
+  }
+
   test("ALP-RD round-trips real doubles bitwise and compresses") {
     val rng = new scala.util.Random(5)
     val vs = Array.fill(8000)(rng.nextDouble() * 1e17 + 1e16)

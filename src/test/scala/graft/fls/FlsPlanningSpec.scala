@@ -214,6 +214,28 @@ class FlsPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("rowGroupsRead", "flsRowsRead"))
   }
 
+  test("transpose writer option round-trips and keeps zone-map pruning exact") {
+    val dir = s"$tmp/transpose"
+    val df = spark.range(0, 70000)
+      .selectExpr("id", "CAST(id AS DOUBLE) / 7 AS d", "concat('s', id % 9) AS s")
+    df.coalesce(1).write.format("fls").mode("overwrite")
+      .option("transpose", "true").save(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val file = FlsFile.listDataFiles(new org.apache.hadoop.fs.Path(dir), conf).head
+    val r = new FlsFileReader(file, conf)
+    try {
+      val encs = r.table.rowGroups.head.segments.map(_.encoding)
+      val names = r.table.columns.map(_.name)
+      assert(encs(names.indexOf("id")) == Format.Enc.TRANSPOSED)
+      assert(encs(names.indexOf("d")) == Format.Enc.TRANSPOSED)
+      assert(encs(names.indexOf("s")) != Format.Enc.TRANSPOSED) // strings never transpose
+    } finally r.close()
+    val back = spark.read.format("fls").load(dir)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    assert(back.filter(col("id") === 69999L).select("d").collect()(0).getDouble(0)
+      == 69999.0 / 7)
+  }
+
   test("aggregate over a column absent from one file falls back, no runtime failure") {
     val d1 = s"$tmp/missing_a"
     val d2 = s"$tmp/missing_b"
