@@ -208,7 +208,10 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     tableSchema.fields.find(_.name == name).exists { f =>
       scala.util.Try(ColumnType.fromSpark(f.dataType)).toOption
         .exists(ct => physOf(ct.tag) == Phys.LONG)
-    } && footers.nonEmpty && {
+    } && footers.nonEmpty &&
+      // an all-empty table has no stats to answer from: MIN/MAX over
+      // zero rows must fall back to the scan (which yields NULL)
+      footers.exists(_.table.rowGroups.nonEmpty) && {
       val types = footers.map(_.table.columns.find(_.name == name).map(_.colType))
       types.forall(_.isDefined) && types.distinct.length == 1 &&
         footers.forall { e =>
@@ -571,10 +574,22 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     val conf = hadoopConf
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    val committed = messages.flatMap {
+    var committed = messages.flatMap {
       case FlsCommitMessage(files) => files.map(f => new Path(f).getName)
       case _ => Array.empty[String]
     }.toSet
+    if (committed.isEmpty) {
+      // empty result set: write one schema-only (zero row group) file so
+      // a later read sees the schema instead of "no .fls files" —
+      // the DSv2 analog of parquet's empty-write behavior
+      val name = f"part-${0}%05d-$writeId-${0}%04d.fls"
+      val w = new FlsFileWriter(new Path(dir, name), conf,
+        info.schema().fields.map(f =>
+          ColumnDesc(f.name, ColumnType.fromSpark(f.dataType))),
+        inlineFooter)
+      w.close()
+      committed = Set(name) ++ (if (inlineFooter) Set.empty else Set(name + ".footer"))
+    }
     if (fs.exists(dir)) {
       fs.listStatus(dir).foreach { s =>
         val name = s.getPath.getName

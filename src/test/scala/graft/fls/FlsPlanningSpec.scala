@@ -236,6 +236,24 @@ class FlsPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       == 69999.0 / 7)
   }
 
+  test("empty write leaves a readable schema-only file") {
+    val dir = s"$tmp/empty"
+    val df = spark.range(0, 100).selectExpr("id", "CAST(id AS DOUBLE) AS d")
+      .filter(col("id") < 0) // empty, schema preserved
+    df.write.format("fls").mode("overwrite").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "d"))
+    // aggregates over the empty table: COUNT pushes down to 0 from
+    // metadata; MIN falls back and yields NULL
+    val r = back.agg(count(lit(1)), min("id")).collect()(0)
+    assert(r.getLong(0) == 0L && r.isNullAt(1))
+    // overwriting the empty result with real data still works
+    spark.range(5, 8).selectExpr("id", "CAST(id AS DOUBLE) AS d")
+      .write.format("fls").mode("overwrite").save(dir)
+    assert(spark.read.format("fls").load(dir).count() == 3)
+  }
+
   test("aggregate over a column absent from one file falls back, no runtime failure") {
     val d1 = s"$tmp/missing_a"
     val d2 = s"$tmp/missing_b"
