@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression net: the properties that make the engine fast
+  * at scale, asserted on the actual physical plans at sf0.001 so a
+  * future change that silently drops a pushdown or introduces an
+  * unbounded cartesian fails CI, not the benchmark. */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-shape-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("fls scans push filters and prune columns (q16)") {
+    val p = plan("q16_fls_filter_prune")
+    assert(p.contains("fls scan"), p)
+    assert(p.contains("pushed=[GreaterThanOrEqual(l_shipdate") ||
+      p.contains("pushed=[LessThan"), s"filters not pushed:\n$p")
+    // 6 of 11 lineitem columns projected — pruned scan, not SELECT *
+    val cols = "cols=\\[([^\\]]*)\\]".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(cols.split(",").length <= 6, s"column pruning lost: $cols")
+  }
+
+  test("unfiltered MIN/MAX/COUNT answers from metadata (fls aggregate scan)") {
+    import org.apache.spark.sql.functions._
+    val fls = graft.queries.FlsQueries.flsTable(spark, dir, "orders")
+    val p = fls.agg(count(lit(1)), min("o_orderkey"), max("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("metadata-aggregate"), s"aggregate pushdown lost:\n$p")
+  }
+
+  test("fls TopN prunes row groups (q38)") {
+    val p = plan("q38_fls_topk")
+    assert(p.contains("topN=(o_orderkey,DESC,100)"), s"TopN pushdown lost:\n$p")
+  }
+
+  test("IVF ANN uses rank-limited windows and bounded top-k aggregation (q26)") {
+    val p = plan("q26_sim_ivf_ann")
+    assert(p.contains("WindowGroupLimit"), s"assignment window not rank-limited:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"bounded top-k aggregator missing:\n$p")
+  }
+
+  test("no unbounded cartesian products anywhere in the batch query surface") {
+    // BroadcastNestedLoopJoin is legitimate ONLY over a broadcast small
+    // side (queries/centroids/full-table-by-design in q24); a
+    // CartesianProduct node means both sides were big — never OK.
+    val streaming = Set("q32_streaming_hourly", "q35_stream_state", "q37_stream_sessionize")
+    SparkEntry.queries.keys.filterNot(streaming).toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name has an unbounded cartesian:\n$p")
+    }
+  }
+
+  test("dedup joins are equi-joins on blocking keys, not theta joins") {
+    Seq("q21_dedup_ngram_jaccard", "q22_dedup_minhash_lsh", "q23_dedup_simhash")
+      .foreach { name =>
+        val p = plan(name)
+        // every join with a big build side must be hash-based on a key
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+          p.contains("BroadcastHashJoin"), s"$name lost its equi-join:\n$p")
+        assert(!p.contains("CartesianProduct"), name)
+      }
+  }
+}
