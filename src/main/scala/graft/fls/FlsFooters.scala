@@ -57,7 +57,19 @@ object FlsFooters {
         }.foreach(_.get())
       } finally pool.shutdown()
     }
-    statuses.map(st => Entry(st.getPath, cache.get(st.getPath.toString).table, st.getLen))
+    statuses.map { st =>
+      // re-validate instead of assuming our puts survived: a concurrent
+      // list() may have purged the cache (MaxEntries) or clear() ran —
+      // fall back to a direct footer read rather than NPE mid-planning
+      val c = cache.get(st.getPath.toString)
+      val table =
+        if (c != null && c.mtime == st.getModificationTime && c.len == st.getLen) c.table
+        else {
+          val r = new FlsFileReader(st.getPath, conf)
+          try r.table finally r.close()
+        }
+      Entry(st.getPath, table, st.getLen)
+    }
   }
 
   /** Test hook: observe/clear cache state. */

@@ -173,6 +173,18 @@ object Format {
 
   final case class ColumnDesc(name: String, colType: ColumnType)
 
+  /** The single ColumnType `name` carries across ALL tables, or None
+    * when absent somewhere or stored at differing types/scales — the
+    * shared soundness predicate for every shortcut that compares
+    * PHYSICAL footer stats across files (MIN/MAX pushdown, TopN
+    * pruning, CBO column stats): unscaled values at mixed scales are
+    * incomparable. */
+  def uniformColType(tables: Seq[TableDesc], name: String): Option[ColumnType] = {
+    val types = tables.map(_.columns.find(_.name == name).map(_.colType))
+    if (tables.nonEmpty && types.forall(_.isDefined) && types.distinct.length == 1) types.head
+    else None
+  }
+
   final case class TableDesc(
       columns: Array[ColumnDesc],
       rowGroups: Array[RowGroupDesc]) {

@@ -211,14 +211,12 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     } && footers.nonEmpty &&
       // an all-empty table has no stats to answer from: MIN/MAX over
       // zero rows must fall back to the scan (which yields NULL)
-      footers.exists(_.table.rowGroups.nonEmpty) && {
-      val types = footers.map(_.table.columns.find(_.name == name).map(_.colType))
-      types.forall(_.isDefined) && types.distinct.length == 1 &&
-        footers.forall { e =>
-          val idx = e.table.columns.indexWhere(_.name == name)
-          e.table.rowGroups.forall(_.segments(idx).hasStats)
-        }
-    }
+      footers.exists(_.table.rowGroups.nonEmpty) &&
+      Format.uniformColType(footers.map(_.table), name).isDefined &&
+      footers.forall { e =>
+        val idx = e.table.columns.indexWhere(_.name == name)
+        e.table.rowGroups.forall(_.segments(idx).hasStats)
+      }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = planAgg(agg).isDefined
 
@@ -350,9 +348,7 @@ class FlsScan(
         // Stats are PHYSICAL (unscaled) values — only comparable across
         // files when every file stores the column with one ColumnType
         // (union_by_name may mix decimal scales); otherwise skip pruning.
-        val colTypes = files.map(_._2.columns.find(_.name == colName).map(_.colType))
-        val uniform = colTypes.nonEmpty && colTypes.forall(_.isDefined) &&
-          colTypes.distinct.length == 1
+        val uniform = Format.uniformColType(files.map(_._2), colName).isDefined
         val withStats = if (!uniform) Nil
         else parts.toSeq.map(_.asInstanceOf[FlsInputPartition]).flatMap { p =>
           val idx = p.fileColumns.indexWhere(_.name == colName)
@@ -446,15 +442,15 @@ class FlsScan(
       requiredSchema.fields.foreach { f =>
         // Resolve the column index PER FILE (column order/count may
         // differ under union_by_name) and require one uniform
-        // ColumnType so physical stats are comparable; files lacking
-        // the column or stats drop the min/max (nullCount=0 still holds:
-        // the format stores no NULLs).
+        // ColumnType so physical stats are comparable. Files lacking
+        // the column surface its rows as NULL, so nullCount is their
+        // row total (exact: the format itself stores no NULLs).
         val perFile = files.map { case (_, t, _) => (t, t.columns.indexWhere(_.name == f.name)) }
         val present = perFile.filter(_._2 >= 0)
         if (present.nonEmpty) {
-          val types = present.map { case (t, i) => t.columns(i).colType }
-          val uniform = types.distinct.length == 1 && present.length == perFile.length
-          val phys = physOf(types.head.tag)
+          val uniform = Format.uniformColType(files.map(_._2), f.name).isDefined
+          val absentRows = perFile.collect { case (t, i) if i < 0 => t.numRows }.sum
+          val phys = physOf(present.head._1.columns(present.head._2).colType.tag)
           val segs = present.flatMap { case (t, i) => t.rowGroups.map(_.segments(i)) }
           // Serve min/max in the column's LOGICAL type (unscaled longs
           // rescale to BigDecimal; ints narrow) — CBO compares them to
@@ -482,7 +478,7 @@ class FlsScan(
               case _ => None
             }
           out.put(Expressions.column(f.name), new ColumnStatistics {
-            override def nullCount(): OptionalLong = OptionalLong.of(0L)
+            override def nullCount(): OptionalLong = OptionalLong.of(absentRows)
             override def min(): java.util.Optional[Object] =
               mm.map(p => java.util.Optional.of(p._1: Object))
                 .getOrElse(java.util.Optional.empty[Object]())
@@ -580,15 +576,27 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     }.toSet
     if (committed.isEmpty) {
       // empty result set: write one schema-only (zero row group) file so
-      // a later read sees the schema instead of "no .fls files" —
-      // the DSv2 analog of parquet's empty-write behavior
+      // a later read sees the schema instead of "no .fls files" — the
+      // DSv2 analog of parquet's empty-write behavior. Staged and
+      // renamed like every other file: a driver killed mid-write must
+      // not leave a truncated final-named file.
       val name = f"part-${0}%05d-$writeId-${0}%04d.fls"
-      val w = new FlsFileWriter(new Path(dir, name), conf,
+      val stage = new Path(new Path(new Path(dir, FlsCommit.TempDirName), writeId), "driver")
+      val tmp = new Path(stage, name)
+      val w = new FlsFileWriter(tmp, conf,
         info.schema().fields.map(f =>
           ColumnDesc(f.name, ColumnType.fromSpark(f.dataType))),
         inlineFooter)
       w.close()
-      committed = Set(name) ++ (if (inlineFooter) Set.empty else Set(name + ".footer"))
+      val renames = Seq(tmp -> name) ++
+        (if (inlineFooter) Nil else Seq(graft.fls.FlsFile.footerPath(tmp) -> (name + ".footer")))
+      renames.foreach { case (src, dstName) =>
+        val dst = new Path(dir, dstName)
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"fls commit: rename $src -> $dst failed")
+      }
+      committed = renames.map(_._2).toSet
     }
     if (fs.exists(dir)) {
       fs.listStatus(dir).foreach { s =>
@@ -600,7 +608,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
         }
       }
     }
-    fs.delete(new Path(dir, FlsCommit.TempDirName), true)
+    FlsCommit.removeStaging(fs, dir, writeId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -620,7 +628,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
           try fs.delete(s.getPath, false) catch { case _: Throwable => () }
       }
     }
-    try fs.delete(new Path(dir, FlsCommit.TempDirName), true) catch { case _: Throwable => () }
+    try FlsCommit.removeStaging(fs, dir, writeId) catch { case _: Throwable => () }
   }
 }
 
@@ -636,8 +644,10 @@ case class FlsWriterFactory(
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // taskId is unique per task ATTEMPT, so speculative twins stage to
-    // disjoint temp dirs and the commit coordinator picks one winner.
+    // disjoint temp dirs and the commit coordinator picks one winner;
+    // the writeId level keeps CONCURRENT JOBS' staging trees disjoint
+    // (commit/abort only ever delete their own writeId subtree).
     new FlsDataWriter(dir, schema, rowGroupSize, rowGroupsPerFile,
-      conf.value, f"part-$partitionId%05d-$writeId", s"attempt-$partitionId-$taskId",
-      inlineFooter, transpose)
+      conf.value, f"part-$partitionId%05d-$writeId",
+      s"$writeId/attempt-$partitionId-$taskId", inlineFooter, transpose)
 }

@@ -185,6 +185,16 @@ class FlsDataWriter(
   override def close(): Unit = ()
 }
 
-object FlsCommit { val TempDirName = "_temporary" }
+object FlsCommit {
+  val TempDirName = "_temporary"
+
+  /** Remove ONE job's staging subtree (`_temporary/<writeId>`), then the
+    * shared `_temporary` root only if now empty — concurrent jobs'
+    * staged files are never touched. */
+  def removeStaging(fs: org.apache.hadoop.fs.FileSystem, dir: Path, writeId: String): Unit = {
+    fs.delete(new Path(new Path(dir, TempDirName), writeId), true)
+    try fs.delete(new Path(dir, TempDirName), false) catch { case _: Throwable => () }
+  }
+}
 
 case class FlsCommitMessage(files: Array[String]) extends WriterCommitMessage

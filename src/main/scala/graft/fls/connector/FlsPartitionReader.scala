@@ -92,30 +92,33 @@ class FlsPartitionReader(
           val dictable = stringDictionary && phys == Phys.BYTES &&
             seg.encoding != Enc.EQUAL &&
             (f.dataType == StringType || f.dataType == BinaryType)
-          val parts =
-            if (dictable) {
-              val segBytes = new Array[Byte](seg.length.toInt)
-              in.readFully(seg.offset, segBytes)
-              Codecs.decodeDictParts(segBytes, seg.encoding)
-            } else None
-          parts match {
-            case Some((dict, codes)) =>
-              val values = new Array[Array[Byte]](dict.n)
-              var i = 0
-              while (i < dict.n) {
-                values(i) = java.util.Arrays.copyOfRange(
-                  dict.bytes, dict.offsets(i), dict.offsets(i + 1))
-                i += 1
-              }
-              colDicts(fi) = new FlsBytesDictionary(values)
-              val ids = new Array[Int](codes.length)
-              i = 0
-              while (i < codes.length) { ids(i) = codes(i).toInt; i += 1 }
-              colDictIds(fi) = ids
-              DictBytes(values, codes)
-            case None =>
-              decodeAt(idx)
-          }
+          if (dictable) {
+            val segBytes = new Array[Byte](seg.length.toInt)
+            in.readFully(seg.offset, segBytes)
+            Codecs.decodeDictParts(segBytes, seg.encoding) match {
+              case Some((dict, codes)) =>
+                val values = new Array[Array[Byte]](dict.n)
+                var i = 0
+                while (i < dict.n) {
+                  values(i) = java.util.Arrays.copyOfRange(
+                    dict.bytes, dict.offsets(i), dict.offsets(i + 1))
+                  i += 1
+                }
+                colDicts(fi) = new FlsBytesDictionary(values)
+                val ids = new Array[Int](codes.length)
+                i = 0
+                while (i < codes.length) { ids(i) = codes(i).toInt; i += 1 }
+                colDictIds(fi) = ids
+                DictBytes(values, codes)
+              case None =>
+                // non-dictionary encoding: decode the bytes ALREADY read
+                // (a decodeAt here would re-read the same segment) and
+                // share via the memo for any EQUAL reference to it
+                val d = Codecs.decode(segBytes, seg.encoding, phys)
+                memo(idx) = d
+                d
+            }
+          } else decodeAt(idx)
         }
       }
     } finally in.close()

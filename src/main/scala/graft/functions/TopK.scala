@@ -15,9 +15,15 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKByScore(k: Int)
   extends Aggregator[(Long, Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
 
-  // (id, score); ordered best-first
-  private def lt(a: (Long, Double), b: (Long, Double)): Boolean =
-    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+  // (id, score); ordered best-first. Double.compare, NOT >: Spark's
+  // sort order (and the window top-k this replaces) ranks NaN above
+  // every double and -0.0 below 0.0 — strict > would silently demote
+  // NaN scores (e.g. 0/0 cosines of zero-norm vectors) to the bottom
+  // and diverge from the oracle.
+  private def lt(a: (Long, Double), b: (Long, Double)): Boolean = {
+    val c = java.lang.Double.compare(a._2, b._2)
+    c > 0 || (c == 0 && a._1 < b._1)
+  }
 
   override def zero: Seq[(Long, Double)] = Vector.empty
 

@@ -60,9 +60,10 @@ object Similarity {
   /** q26: IVF-style ANN, shaped for 100 TB. Coarse quantizer = the
     * first ⌈√n⌉ vectors (centroid count scales with corpus size, so
     * cells hold ~√n vectors — the standard IVF balance point); every
-    * vector is assigned to its nearest centroid with a codegen'd
-    * max_by aggregate (one broadcast pass, no window sort — the corpus
-    * shuffles once by cell id). Per-cell top-5 runs through the
+    * vector is assigned to its nearest centroid by a rank-limited
+    * window (WindowGroupLimit: streaming top-1) over NARROW
+    * (vec_id, cent_id, ccos) triples from one broadcast pass — the
+    * corpus shuffles once by cell id. Per-cell top-5 runs through the
     * k-bounded [[graft.functions.TopKByScore]] aggregator: map-side
     * partials ship <= 5 candidates per (query, partition) instead of
     * WindowExec fully sorting each cell. Self excluded. */

@@ -130,7 +130,7 @@ object TextAnalysis {
        ELSE CAST(array() AS ARRAY<STRING>) END"""
 
   /** Rolling hash of a shingle string s (same h*31+code chain as
-    * Dedup.WordHashSpark, 2^32 modulus). */
+    * Dedup.wordHashSpark, 2^32 modulus). */
   private val ShingleHashSpark: String =
     "aggregate(split(s, ''), CAST(7 AS BIGINT), (a, c) -> pmod(a * 31 + ascii(c), 4294967296))"
 

@@ -33,6 +33,18 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(agg.merge(agg.zero, fed) == fed)
   }
 
+  test("NaN scores rank first, matching Spark's window sort and the SQL oracle") {
+    val agg = new TopKByScore(3)
+    val fed = Seq((1L, 10L, 0.9), (1L, 11L, Double.NaN), (1L, 12L, 0.5),
+      (1L, 13L, Double.PositiveInfinity), (1L, 14L, Double.NaN))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(fed.map(_._1) == Vector(11L, 14L, 13L)) // NaNs, then +inf
+    assert(agg.merge(agg.zero, fed) == fed)
+    // -0.0 orders below 0.0, like Spark's sort
+    val z = Seq((1L, 20L, 0.0), (1L, 21L, -0.0)).foldLeft(agg.zero)(agg.reduce)
+    assert(z.map(_._1) == Vector(20L, 21L))
+  }
+
   test("matches row_number window top-k across many groups and partitions") {
     val sp = spark
     import sp.implicits._
