@@ -155,6 +155,26 @@ class FlsCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLongs(dir) == (1L to 5L))
   }
 
+  test("concurrent jobs appending to one directory never touch each other's staging") {
+    val dir = Files.createTempDirectory("fls-spec-conc").toString
+    val batchA = new FlsBatchWrite(writeInfo(dir), doTruncate = false)
+    val batchB = new FlsBatchWrite(writeInfo(dir), doTruncate = false)
+    val fa = batchA.createBatchWriterFactory(null)
+    val fb = batchB.createBatchWriterFactory(null)
+    // interleave: A stages and commits its job while B is still staging
+    val wb = fb.createWriter(0, 7L)
+    (1L to 30L).foreach(i => wb.write(row(i + 500)))
+    val wa = fa.createWriter(0, 7L) // same (partitionId, taskId) as B's
+    (1L to 20L).foreach(i => wa.write(row(i)))
+    val msgA = wa.commit()
+    batchA.commit(Array(msgA)) // must NOT delete B's staged files
+    val msgB = wb.commit()
+    batchB.commit(Array(msgB))
+    assert(readLongs(dir) == ((1L to 20L) ++ (501L to 530L)).sorted,
+      "one job's commit destroyed the other's staged or committed files")
+    assert(!new java.io.File(dir, FlsCommit.TempDirName).exists())
+  }
+
   test("overwrite-mode end-to-end through the DataFrame API stays atomic") {
     val dir = Files.createTempDirectory("fls-spec-e2e").toString
     spark.range(1, 101).selectExpr("id AS v").write.format("fls").mode("append").save(dir)
