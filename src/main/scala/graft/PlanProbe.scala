@@ -1,0 +1,56 @@
+package graft
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Planning-cost probe over a many-small-files table: the shape where
+  * serial driver footer IO dominates at cluster scale (tens of
+  * thousands of files on object storage). Measures cold (parallel
+  * fetch) vs warm (cached) footer listing and end-to-end planning. */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/tmp/fls_plan_probe"
+    val nFiles = 512
+    // 512 files of one 1024-row row group each
+    spark.range(0, nFiles.toLong * graft.fls.Format.VecSize)
+      .selectExpr("id", "CAST(id % 1000 AS DOUBLE) AS d", "concat('s', id % 37) AS s")
+      .repartition(nFiles)
+      .write.format("fls").mode("overwrite")
+      .option("row_group_size", graft.fls.Format.VecSize.toString)
+      .save(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[plan-probe] $name%-34s ${(System.nanoTime() - t0) / 1e3}%.0f us")
+    }
+    graft.fls.FlsFooters.clear()
+    timed(s"cold footer list ($nFiles files)") {
+      assert(graft.fls.FlsFooters.list(Seq(dir), conf).length == nFiles)
+    }
+    timed("warm footer list (cached)") {
+      assert(graft.fls.FlsFooters.list(Seq(dir), conf).length == nFiles)
+    }
+    // serial baseline for comparison: one footer at a time
+    graft.fls.FlsFooters.clear()
+    timed("serial footer reads (baseline)") {
+      graft.fls.FlsFile.listDataFiles(new Path(dir), conf).foreach { f =>
+        val r = new graft.fls.FlsFileReader(f, conf)
+        try r.table finally r.close()
+      }
+    }
+    // end-to-end: planning + a metadata-only count over 512 files
+    timed("count() over 512 files") {
+      assert(spark.read.format("fls").load(dir).count() ==
+        nFiles.toLong * graft.fls.Format.VecSize)
+    }
+    timed("filtered scan over 512 files") {
+      assert(spark.read.format("fls").load(dir)
+        .filter(col("id") < 2048).count() == 2048)
+    }
+    spark.stop()
+  }
+}
