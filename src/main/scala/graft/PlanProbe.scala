@@ -18,7 +18,11 @@ object PlanProbe {
     // 512 files of one 1024-row row group each
     spark.range(0, nFiles.toLong * graft.fls.Format.VecSize)
       .selectExpr("id", "CAST(id % 1000 AS DOUBLE) AS d", "concat('s', id % 37) AS s")
-      .repartition(nFiles)
+      // range-partitioned on id: files hold disjoint id ranges, so the
+      // filtered scan demonstrates zone-map pruning across 512 files
+      // (round-robin repartition would smear ids over every file and
+      // legitimately defeat pruning)
+      .repartitionByRange(nFiles, col("id"))
       .write.format("fls").mode("overwrite")
       .option("row_group_size", graft.fls.Format.VecSize.toString)
       .save(dir)
