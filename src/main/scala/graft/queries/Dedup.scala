@@ -128,12 +128,21 @@ object Dedup {
     * similarity join over distinct sets only. */
   private def verifyAndExpand(candGroups: DataFrame, sh: DataFrame): DataFrame = {
     val groups = groupsOf(sh)
-    val ga = groups.select(col("ghash").as("gh_a"), col("gr").as("gr_a"), col("nsh").as("nsh_a"))
-    val gb = groups.select(col("ghash").as("gh_b"), col("gr").as("gr_b"), col("nsh").as("nsh_b"))
-    val verified = candGroups
-      .join(ga, Seq("gh_a")).join(gb, Seq("gh_b"))
+    // Size-ratio prefilter FIRST, over (ghash, nsh) only: j >= 0.8
+    // forces min/max size >= 0.8, and pruning on the narrow sizes means
+    // the full shingle arrays are only shuffled for pairs that survive
+    // — at crawl scale the arrays are the payload, the sizes are free.
+    val sizes = groups.select(col("ghash"), col("nsh"))
+    val candSized = candGroups
+      .join(sizes.select(col("ghash").as("gh_a"), col("nsh").as("nsh_a")), Seq("gh_a"))
+      .join(sizes.select(col("ghash").as("gh_b"), col("nsh").as("nsh_b")), Seq("gh_b"))
       .filter(least(col("nsh_a"), col("nsh_b")).cast("double") /
         greatest(col("nsh_a"), col("nsh_b")) >= 0.8)
+      .select("gh_a", "gh_b")
+    val ga = groups.select(col("ghash").as("gh_a"), col("gr").as("gr_a"))
+    val gb = groups.select(col("ghash").as("gh_b"), col("gr").as("gr_b"))
+    val verified = candSized
+      .join(ga, Seq("gh_a")).join(gb, Seq("gh_b"))
       .withColumn("jaccard", exactJaccard)
       .filter(col("jaccard") >= 0.8)
       .select("gh_a", "gh_b", "jaccard")
