@@ -80,8 +80,10 @@ object Dedup {
       sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))
 
   def unpersistAll(): Unit = shCache.synchronized {
-    shCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    (shCache.values ++ grCache.values)
+      .foreach(df => try df.unpersist() catch { case _: Throwable => () })
     shCache.clear()
+    grCache.clear()
   }
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =
@@ -105,13 +107,24 @@ object Dedup {
           .persist(storageLevel))
     }
 
-  /** One representative row per distinct shingle set. */
-  private def groupsOf(sh: DataFrame): DataFrame =
-    sh.groupBy("ghash").agg(first(col("gr")).as("gr"), first(col("nsh")).as("nsh"))
+  /** One representative row per distinct shingle set. Persisted like
+    * the shingled frame: verifyAndExpand alone references it four
+    * times (sizes, both verify sides, self-join), and without caching
+    * each reference re-runs the full distinct-set aggregation over the
+    * whole corpus. Released by [[unpersistAll]]. */
+  private val grCache = scala.collection.mutable.HashMap[String, DataFrame]()
+
+  private def groupsOf(spark: SparkSession, dir: String): DataFrame =
+    shCache.synchronized {
+      grCache.getOrElseUpdate(dir,
+        shingled(spark, dir)
+          .groupBy("ghash").agg(first(col("gr")).as("gr"), first(col("nsh")).as("nsh"))
+          .persist(storageLevel))
+    }
 
   /** Dev probe hook (Q21Probe): the distinct-set groups frame. */
   def probeGroups(spark: SparkSession, dir: String): DataFrame =
-    groupsOf(shingled(spark, dir))
+    groupsOf(spark, dir)
 
   // Builtin array_intersect/array_union beat a sorted-merge Expression
   // here (measured 1.7s vs 6.3s at sf0.1): UTF8String accessor churn in
@@ -126,8 +139,10 @@ object Dedup {
     * sets (jaccard computed once per GROUP, gr vs gr) expand to all
     * within-group pairs. Output == naive per-doc join, at the cost of a
     * similarity join over distinct sets only. */
-  private def verifyAndExpand(candGroups: DataFrame, sh: DataFrame): DataFrame = {
-    val groups = groupsOf(sh)
+  private def verifyAndExpand(candGroups: DataFrame, spark: SparkSession,
+      dir: String): DataFrame = {
+    val sh = shingled(spark, dir)
+    val groups = groupsOf(spark, dir)
     // Size-ratio prefilter FIRST, over (ghash, nsh) only: j >= 0.8
     // forces min/max size >= 0.8, and pruning on the narrow sizes means
     // the full shingle arrays are only shuffled for pairs that survive
@@ -174,7 +189,7 @@ object Dedup {
     * AND complete — the standard exact near-dup join that scales where
     * size-bucket blocking degenerates (all docs similar length). */
   def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val groups = groupsOf(shingled(spark, dir))
+    val groups = groupsOf(spark, dir)
     // Token order = (xxhash64, string): a fixed pseudo-random global
     // order. (The textbook ascending-document-frequency order was
     // implemented and MEASURED SLOWER here at both sf0.1 and a 16x
@@ -200,7 +215,7 @@ object Dedup {
       .filter(col("gh_a") < col("gh_b"))
       .select("gh_a", "gh_b")
       .dropDuplicates("gh_a", "gh_b")
-    verifyAndExpand(cand, shingled(spark, dir))
+    verifyAndExpand(cand, spark, dir)
   }
 
   /** q22: MinHash-LSH near-dup over DISTINCT shingle sets: 16
@@ -210,7 +225,7 @@ object Dedup {
     * candidates shuffle by (hash-slot, value) — never the shingle
     * payloads. */
   def q22MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val groups = groupsOf(shingled(spark, dir))
+    val groups = groupsOf(spark, dir)
     // Explode shingles once, then 16 codegen'd min-aggregates — NOT a
     // nested HOF lambda (interpreted: measured 50× slower). Each slot
     // re-hashes the string with a distinct salt: affine remixes of ONE
@@ -234,7 +249,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_slots"))
       .filter(col("n_slots") >= 2)
       .select("gh_a", "gh_b")
-    verifyAndExpand(cand, shingled(spark, dir))
+    verifyAndExpand(cand, spark, dir)
   }
 
   /** Portable 60-bit word hashes, identical in Spark SQL and DuckDB SQL:
