@@ -80,10 +80,11 @@ object Dedup {
       sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))
 
   def unpersistAll(): Unit = shCache.synchronized {
-    (shCache.values ++ grCache.values)
+    (shCache.values ++ grCache.values ++ simCache.values)
       .foreach(df => try df.unpersist() catch { case _: Throwable => () })
     shCache.clear()
     grCache.clear()
+    simCache.clear()
   }
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =
@@ -277,22 +278,37 @@ object Dedup {
     * Output is exact: hamming re-checked on the full fingerprint. Bit
     * sums run as 120 codegen'd aggregates over exploded words (not
     * nested HOF lambdas — measured 50× slower interpreted). */
+  /** Per-doc 120-bit fingerprints, persisted per dir: the band
+    * self-join references this frame on BOTH sides and Catalyst does
+    * not reuse the exchange across the differing projections, so an
+    * uncached frame pays the 120-aggregate sweep twice. 16 bytes/doc —
+    * cacheable at any corpus size. Released by [[unpersistAll]]. */
+  private val simCache = scala.collection.mutable.HashMap[String, DataFrame]()
+
+  private def simFingerprints(spark: SparkSession, dir: String): DataFrame =
+    shCache.synchronized {
+      simCache.getOrElseUpdate(dir, {
+        val words = t(spark, dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"),
+            explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
+          .withColumn("h1", expr(wordHashSpark(1)))
+          .withColumn("h2", expr(wordHashSpark(17)))
+        val bitAggs =
+          (0 until 60).map(j => sum(expr(s"(shiftright(h1, $j) & 1) * 2 - 1")).as(s"p$j")) ++
+            (0 until 60).map(j => sum(expr(s"(shiftright(h2, $j) & 1) * 2 - 1")).as(s"q$j"))
+        words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+          .select(col("doc_id"),
+            (0 until 60).map(j => when(col(s"p$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+              .reduce(_ + _).as("sim_lo"),
+            (0 until 60).map(j => when(col(s"q$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+              .reduce(_ + _).as("sim_hi"))
+          .persist(storageLevel)
+      })
+    }
+
   def q23Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val words = t(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"),
-        explode(expr("filter(split(text, ' '), w -> w != '')")).as("w"))
-      .withColumn("h1", expr(wordHashSpark(1)))
-      .withColumn("h2", expr(wordHashSpark(17)))
-    val bitAggs =
-      (0 until 60).map(j => sum(expr(s"(shiftright(h1, $j) & 1) * 2 - 1")).as(s"p$j")) ++
-        (0 until 60).map(j => sum(expr(s"(shiftright(h2, $j) & 1) * 2 - 1")).as(s"q$j"))
-    val d = words.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 60).map(j => when(col(s"p$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sim_lo"),
-        (0 until 60).map(j => when(col(s"q$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sim_hi"))
+    val d = simFingerprints(spark, dir)
     val banded = d.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
       explode(expr(
         """transform(sequence(0, 3), b -> struct(b AS band,
