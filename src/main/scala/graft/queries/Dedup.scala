@@ -79,12 +79,15 @@ object Dedup {
     org.apache.spark.storage.StorageLevel.fromString(
       sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))
 
+  private val sigCache = scala.collection.mutable.HashMap[String, DataFrame]()
+
   def unpersistAll(): Unit = shCache.synchronized {
-    (shCache.values ++ grCache.values ++ simCache.values)
+    (shCache.values ++ grCache.values ++ simCache.values ++ sigCache.values)
       .foreach(df => try df.unpersist() catch { case _: Throwable => () })
     shCache.clear()
     grCache.clear()
     simCache.clear()
+    sigCache.clear()
   }
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =
@@ -236,7 +239,13 @@ object Dedup {
     val minAggs = (0 until 16).map { k =>
       min(pmod(xxhash64(concat(col("s"), lit("" + k))), lit(2147483647L))).as(s"m$k")
     }
-    val sig = hashed.groupBy("ghash").agg(minAggs.head, minAggs.tail: _*)
+    // persisted (17 narrow columns per distinct set): the bucket
+    // self-join references this on both sides, and without the cache
+    // each side re-runs the shingle explode + 16 min-aggregates
+    val sig = shCache.synchronized {
+      sigCache.getOrElseUpdate(dir,
+        hashed.groupBy("ghash").agg(minAggs.head, minAggs.tail: _*).persist(storageLevel))
+    }
     val buckets = sig.select(col("ghash"),
       posexplode(array((0 until 16).map(k => col(s"m$k")): _*)).as(Seq("slot", "mh")))
     // Require >= 2 colliding slots: at j=0.8, P(a slot collides) = 0.8,
