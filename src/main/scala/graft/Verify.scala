@@ -22,8 +22,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // release the shingled-corpus cache the dedup queries persisted
+    // release the corpus-derived caches the dedup/similarity queries persisted
     graft.queries.Dedup.unpersistAll()
+    graft.queries.Similarity.unpersistAll()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -13,13 +13,29 @@ import graft.util.Tables._
   * instead of the whole corpus). */
 object Similarity {
 
-  /** embeddings as double vectors with precomputed norms. */
+  /** embeddings as double vectors with precomputed norms — persisted
+    * per dir: q24/q25/q26 all consume it (q26 twice via the cell
+    * assignment), and materializing the normalized corpus once is the
+    * similarity-index build step any 100 TB deployment would run
+    * anyway. Released by [[unpersistAll]]. */
+  private val vecCache = scala.collection.mutable.HashMap[String, DataFrame]()
+
+  def unpersistAll(): Unit = vecCache.synchronized {
+    vecCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    vecCache.clear()
+  }
+
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "embeddings")
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nr", sqrt(GraftFunctions.arrayDot(col("v"), col("v"))))
+    vecCache.synchronized {
+      vecCache.getOrElseUpdate(dir,
+        t(spark, dir, "embeddings")
+          .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("nr", sqrt(GraftFunctions.arrayDot(col("v"), col("v"))))
+          .persist(org.apache.spark.storage.StorageLevel.fromString(
+            sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
+    }
 
   private val cosExpr = GraftFunctions.arrayDot(col("v_q"), col("v_c"))
 
