@@ -149,13 +149,28 @@ object FlsFile {
     listDataStatuses(path, conf).map(_.getPath)
 
   /** Same listing with the FileStatus kept — one RPC serves both the
-    * file list and the (mtime, length) footer-cache key. */
+    * file list and the (mtime, length) footer-cache key. Recurses into
+    * subdirectories (hive-partitioned layouts, `dt=.../part-*.fls`),
+    * skipping hidden/`_`-prefixed entries (`_temporary` staging,
+    * `_done` markers, dotfiles) — the same convention Spark's file
+    * sources use. Sorted by full path so multi-level layouts keep a
+    * deterministic planning order. */
   def listDataStatuses(path: Path, conf: Configuration): Seq[org.apache.hadoop.fs.FileStatus] = {
     val fs = path.getFileSystem(conf)
     val st = fs.getFileStatus(path)
     if (st.isFile) Seq(st)
-    else fs.listStatus(path).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".fls"))
-      .sortBy(_.getPath.getName)
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+      def walk(d: Path): Unit =
+        fs.listStatus(d).foreach { s =>
+          val name = s.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) {
+            if (s.isDirectory) walk(s.getPath)
+            else if (name.endsWith(".fls")) out += s
+          }
+        }
+      walk(path)
+      out.sortBy(_.getPath.toString).toSeq
+    }
   }
 }

@@ -20,13 +20,15 @@ import graft.fls.Format._
 class FlsAggScan(
     tableSchema: StructType,
     specs: Seq[FlsAggSpec],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    validatedFooters: Seq[FlsFooters.Entry])
   extends Scan with Batch {
 
-  private def hadoopConf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
-
-  private lazy val tables: Seq[TableDesc] =
-    FlsFooters.list(FlsDataSource.parsePaths(options), hadoopConf).map(_.table)
+  /** The footer set the ScanBuilder VALIDATED at pushdown time (uniform
+    * ColumnType + stats present) — not re-listed here, so files changing
+    * under a concurrent write between pushdown and execution cannot feed
+    * incomparable unscaled stats into the aggregate. */
+  private val tables: Seq[TableDesc] = validatedFooters.map(_.table)
 
   override def readSchema(): StructType =
     StructType(specs.map {

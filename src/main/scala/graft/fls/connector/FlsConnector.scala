@@ -75,9 +75,24 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
           StructField(name, t.toSpark, nullable = !everywhere)
         }.toArray)
       }
+    // Hive-partitioned layout: surface `k=v` path segments as typed
+    // partition columns after the data columns, exactly like Spark's
+    // parquet source (the reference has no partitioned-read support;
+    // see FlsPartitioning).
+    val disc = FlsPartitioning.discover(paths, files.map(_.file), conf)
+    val withParts =
+      if (disc.keys.isEmpty) base
+      else {
+        disc.keys.foreach { k =>
+          require(!base.fieldNames.contains(k),
+            s"fls: partition column '$k' collides with a data column")
+        }
+        StructType(base.fields ++ disc.keys.map(k =>
+          StructField(k, disc.inferredTypes(k), nullable = disc.nullableKeys.contains(k))))
+      }
     // Virtual columns opt in via reader options, like the reference's
     // read_fls named parameters (/root/reference/src/read_fls.cpp:32-46).
-    var s = base
+    var s = withParts
     if (options.getBoolean(FlsVirtual.RowNumber, false))
       s = StructType(s.fields :+ StructField(FlsVirtual.RowNumber, LongType, nullable = false))
     if (options.getBoolean(FlsVirtual.FileIndex, false))
@@ -162,9 +177,15 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     * residual so Catalyst re-applies them row-level — mirroring the
     * reference which keeps engine-side pruning on
     * (/root/reference/src/read_fls.cpp:41-42) while the scan also
-    * filters (SURVEY.md §2.A5). */
+    * filters (SURVEY.md §2.A5). Filters over partition columns are also
+    * accepted (any shape whose references are all partition keys) — they
+    * prune whole files/directories in planInputPartitions. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(FlsZoneMap.usable)
+    lazy val partKeys: Set[String] = FlsPartitioning.discover(
+      FlsDataSource.parsePaths(options), footers.map(_.file),
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()).keys.toSet
+    pushed = filters.filter(f => FlsZoneMap.usable(f) ||
+      (f.references.nonEmpty && f.references.forall(partKeys.contains)))
     filters
   }
 
@@ -263,7 +284,12 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan = aggSpecs match {
-    case Some(specs) => new FlsAggScan(tableSchema, specs, options)
+    // the VALIDATED footer list is captured into the agg scan: the
+    // files minMaxPushable vetted (uniform ColumnType, stats present)
+    // are exactly the files the aggregate computes over, so a file
+    // appearing between pushdown acceptance and execution can't slip
+    // incomparable stats into the result
+    case Some(specs) => new FlsAggScan(tableSchema, specs, options, footers)
     case None => new FlsScan(tableSchema, requiredSchema, pushed, options, limit, topN)
   }
 }
@@ -301,8 +327,9 @@ class FlsScan(
     // resolves these against the pruned relation — advertising pruned
     // columns breaks analysis ("Unable to resolve ... given [...]")
     requiredSchema.fields
-      .filter(f => scala.util.Try(ColumnType.fromSpark(f.dataType)).toOption
-        .exists(ct => physOf(ct.tag) != Phys.BYTES))
+      .filter(f => partTypes.contains(f.name) || // partition cols prune whole files
+        scala.util.Try(ColumnType.fromSpark(f.dataType)).toOption
+          .exists(ct => physOf(ct.tag) != Phys.BYTES))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
   override def filter(newFilters: Array[Filter]): Unit = {
@@ -323,21 +350,51 @@ class FlsScan(
     FlsFooters.list(FlsDataSource.parsePaths(options), hadoopConf)
       .map(e => (e.file, e.table, e.fileSize))
 
+  /** Hive-partition layout of the listed files (empty keys = flat dir).
+    * Partition column types resolve against the TABLE schema (which
+    * carries the user/inferred type), falling back to path inference. */
+  private lazy val partDisc: FlsPartitioning.Discovery =
+    FlsPartitioning.discover(FlsDataSource.parsePaths(options), files.map(_._1), hadoopConf)
+  private lazy val partTypes: Map[String, DataType] =
+    partDisc.keys.map { k =>
+      k -> tableSchema.fields.find(_.name == k).map(_.dataType)
+        .getOrElse(partDisc.inferredTypes(k))
+    }.toMap
+
+  /** Files surviving partition pruning under `fs` (sound: a file is only
+    * dropped when some pushed filter is provably false on its partition
+    * values). At 100 TB this is the difference between touching one
+    * `dt=` directory and touching all of them. */
+  private def pruneFiles(fs: Array[Filter]): Seq[(Path, TableDesc, Long)] =
+    if (partDisc.keys.isEmpty || fs.isEmpty) files
+    else files.filter { case (p, _, _) =>
+      partDisc.byFile.get(p.toString).forall(raw =>
+        FlsPartitioning.mayMatch(fs, partTypes, partDisc.keys, raw))
+    }
+
   /** Zone-map row-group pruning happens HERE, once, on the driver —
     * the planner-side equivalent of the reference's lazily-built skip
     * list (/root/reference/src/reader/row_group_filter.cpp:62-73;
     * SURVEY.md §3.1 step 4). */
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = mutable.ArrayBuffer[InputPartition]()
+    val allFilters = filters ++ runtimeFilters
+    val survivors = pruneFiles(allFilters).map(_._1.toString).toSet
     files.zipWithIndex.foreach { case ((file, table, _), fileIdx) =>
-      val nameToIdx = table.columns.map(_.name).zipWithIndex.toMap
-      val allFilters = filters ++ runtimeFilters
-      var rowStart = 0L
-      table.rowGroups.foreach { rg =>
-        if (FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, allFilters, rowStart)) {
-          parts += FlsInputPartition(file.toString, rg, table.columns, rowStart, fileIdx)
+      if (survivors.contains(file.toString)) {
+        val nameToIdx = table.columns.map(_.name).zipWithIndex.toMap
+        val pvals: Map[String, String] =
+          partDisc.byFile.get(file.toString) match {
+            case Some(raw) => partDisc.keys.zip(raw).toMap
+            case None => Map.empty
+          }
+        var rowStart = 0L
+        table.rowGroups.foreach { rg =>
+          if (FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, allFilters, rowStart)) {
+            parts += FlsInputPartition(file.toString, rg, table.columns, rowStart, fileIdx, pvals)
+          }
+          rowStart += rg.nTuples
         }
-        rowStart += rg.nTuples
       }
     }
     // TopN pruning (no filters): greedily cover n rows by best
@@ -414,12 +471,16 @@ class FlsScan(
     // explicit_cardinality named option overrides the footer count
     // (≙ reference read_fls named parameter, /root/reference/src/
     // reader/fls_multi_file_info.cpp:152-164)
+    // partition-pruned with the static pushed filters, so CBO sees the
+    // post-pruning cardinality (a dt= filter on a 1000-partition table
+    // should make the scan broadcast-able)
+    private val statFiles = pruneFiles(filters)
     private val rows = {
       val explicit = options.getLong("explicit_cardinality", -1L)
-      if (explicit >= 0) explicit else files.map(_._2.numRows).sum
+      if (explicit >= 0) explicit else statFiles.map(_._2.numRows).sum
     }
     private val bytes = {
-      val raw = files.map(_._3).sum
+      val raw = statFiles.map(_._3).sum
       val frac =
         if (tableSchema.fields.isEmpty) 1.0
         else requiredSchema.fields.length.toDouble / tableSchema.fields.length
@@ -503,7 +564,8 @@ case class FlsInputPartition(
     rowGroup: RowGroupDesc,
     fileColumns: Array[ColumnDesc],
     fileRowStart: Long,
-    fileIndex: Int) extends InputPartition
+    fileIndex: Int,
+    partitionValues: Map[String, String] = Map.empty) extends InputPartition
 
 class FlsReaderFactory(readSchema: StructType, conf: SerializableConfiguration,
     stringDictionary: Boolean = false)
@@ -548,7 +610,21 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
   private val rowGroupsPerFile = options.getInt("row_groups_per_file", 0)
   private val inlineFooter = options.getBoolean("inline_footer", true)
   private val transpose = options.getBoolean("transpose", false)
+  /** Hive-style partitioned write: `partition_by=dt,country` routes rows
+    * into `dt=.../country=.../` subdirectories (values live in the path,
+    * not the data files — see FlsPartitioning). */
+  private val partitionBy: Seq[String] =
+    Option(options.get("partition_by")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+  private val maxOpenPartitions = options.getInt("max_open_partitions", 1000)
+  private val stagingTtlMs =
+    options.getLong("staging_ttl_hours", 24L) * 3600L * 1000L
   private val writeId = UUID.randomUUID().toString
+
+  partitionBy.foreach { c =>
+    require(info.schema().fieldNames.contains(c),
+      s"fls: partition_by column '$c' not in the written schema")
+  }
 
   require(rowGroupSize > 0 && rowGroupSize % VecSize == 0,
     // reference writer requires a multiple of the vector size
@@ -563,7 +639,25 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     val dir = new Path(path)
     dir.getFileSystem(conf).mkdirs(dir)
     FlsWriterFactory(path, info.schema(), rowGroupSize, rowGroupsPerFile,
-      new SerializableConfiguration(conf), writeId, inlineFooter, transpose)
+      new SerializableConfiguration(conf), writeId, inlineFooter, transpose,
+      partitionBy, maxOpenPartitions)
+  }
+
+  /** Recursively visit managed (.fls/.fls.footer) files under `dir`
+    * with their dir-relative paths, skipping `_`/`.`-prefixed entries
+    * (the `_temporary` staging tree above all). */
+  private def walkManaged(fs: org.apache.hadoop.fs.FileSystem, dir: Path)(
+      visit: (org.apache.hadoop.fs.FileStatus, String) => Unit): Unit = {
+    def walk(d: Path, rel: String): Unit =
+      fs.listStatus(d).foreach { s =>
+        val name = s.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (s.isDirectory) walk(s.getPath, rel + name + "/")
+          else if (name.endsWith(".fls") || name.endsWith(".fls.footer"))
+            visit(s, rel + name)
+        }
+      }
+    if (fs.exists(dir)) walk(dir, "")
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -571,7 +665,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     var committed = messages.flatMap {
-      case FlsCommitMessage(files) => files.map(f => new Path(f).getName)
+      case FlsCommitMessage(files) => files // dir-relative paths
       case _ => Array.empty[String]
     }.toSet
     if (committed.isEmpty) {
@@ -579,12 +673,14 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
       // a later read sees the schema instead of "no .fls files" — the
       // DSv2 analog of parquet's empty-write behavior. Staged and
       // renamed like every other file: a driver killed mid-write must
-      // not leave a truncated final-named file.
+      // not leave a truncated final-named file. (A partitioned empty
+      // write keeps only the DATA schema — there are no paths to carry
+      // the partition values of zero rows.)
       val name = f"part-${0}%05d-$writeId-${0}%04d.fls"
       val stage = new Path(new Path(new Path(dir, FlsCommit.TempDirName), writeId), "driver")
       val tmp = new Path(stage, name)
       val w = new FlsFileWriter(tmp, conf,
-        info.schema().fields.map(f =>
+        info.schema().fields.filterNot(f => partitionBy.contains(f.name)).map(f =>
           ColumnDesc(f.name, ColumnType.fromSpark(f.dataType))),
         inlineFooter)
       w.close()
@@ -598,17 +694,14 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
       }
       committed = renames.map(_._2).toSet
     }
-    if (fs.exists(dir)) {
-      fs.listStatus(dir).foreach { s =>
-        val name = s.getPath.getName
-        val managed = name.endsWith(".fls") || name.endsWith(".fls.footer")
-        if (s.isFile && managed && !committed.contains(name)) {
-          val thisJobs = name.contains(s"-$writeId-")
-          if (thisJobs || doTruncate) fs.delete(s.getPath, false)
-        }
+    walkManaged(fs, dir) { (s, rel) =>
+      if (!committed.contains(rel)) {
+        val thisJobs = s.getPath.getName.contains(s"-$writeId-")
+        if (thisJobs || doTruncate) fs.delete(s.getPath, false)
       }
     }
     FlsCommit.removeStaging(fs, dir, writeId)
+    FlsCommit.sweepOrphans(fs, dir, writeId, stagingTtlMs)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -617,16 +710,15 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     val fs = dir.getFileSystem(conf)
     messages.foreach {
       case FlsCommitMessage(files) =>
-        files.foreach(f => try fs.delete(new Path(f), false) catch { case _: Throwable => () })
+        files.foreach(f =>
+          try fs.delete(new Path(dir, f), false) catch { case _: Throwable => () })
       case _ => ()
     }
     // Any file of this writeId outside the commit messages (crashed
     // mid-commit) plus the whole staging tree.
-    if (fs.exists(dir)) {
-      fs.listStatus(dir).foreach { s =>
-        if (s.isFile && s.getPath.getName.contains(s"-$writeId-"))
-          try fs.delete(s.getPath, false) catch { case _: Throwable => () }
-      }
+    walkManaged(fs, dir) { (s, _) =>
+      if (s.getPath.getName.contains(s"-$writeId-"))
+        try fs.delete(s.getPath, false) catch { case _: Throwable => () }
     }
     try FlsCommit.removeStaging(fs, dir, writeId) catch { case _: Throwable => () }
   }
@@ -640,7 +732,9 @@ case class FlsWriterFactory(
     conf: SerializableConfiguration,
     writeId: String,
     inlineFooter: Boolean = true,
-    transpose: Boolean = false) extends DataWriterFactory {
+    transpose: Boolean = false,
+    partitionBy: Seq[String] = Nil,
+    maxOpenPartitions: Int = 1000) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // taskId is unique per task ATTEMPT, so speculative twins stage to
@@ -649,5 +743,6 @@ case class FlsWriterFactory(
     // (commit/abort only ever delete their own writeId subtree).
     new FlsDataWriter(dir, schema, rowGroupSize, rowGroupsPerFile,
       conf.value, f"part-$partitionId%05d-$writeId",
-      s"$writeId/attempt-$partitionId-$taskId", inlineFooter, transpose)
+      s"$writeId/attempt-$partitionId-$taskId", inlineFooter, transpose,
+      partitionBy, maxOpenPartitions)
 }

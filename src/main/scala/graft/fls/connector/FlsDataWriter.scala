@@ -17,14 +17,25 @@ import graft.fls.Format._
   * Combine; SURVEY.md §2.A16 documents this divergence. NULL input is
   * rejected (format stores no NULLs, SURVEY.md §1.1).
   *
+  * With `partitionBy` non-empty the writer is hive-partitioned: each row
+  * routes to a bucket keyed by its partition values, buckets write under
+  * `k1=v1/k2=v2/` subdirectories, and the partition columns are NOT
+  * stored in the data files (the path is their storage, exactly like
+  * Spark's parquet writer). Each open bucket holds one row group of
+  * builder memory, so callers writing high-cardinality partitions should
+  * `df.repartition(partCols)` first; the `max_open_partitions` guard
+  * fails loudly instead of OOMing.
+  *
   * Commit protocol (the Spark-cluster analog of the reference writer's
   * finalize/abort pair, /root/reference/src/writer/fls_writer.cpp:332-347):
-  * every file is created under `dir/_temporary/<writeId>/<taskUid>/` —
-  * a path unique to this task ATTEMPT, so a speculative duplicate never
+  * every file is created under `dir/_temporary/<writeId>/<taskUid>/<rel>`
+  * — a path unique to this task ATTEMPT, so a speculative duplicate never
   * writes the same bytes stream. On task commit (authorized once per
   * partition by Spark's OutputCommitCoordinator) the temp files are
   * renamed to their deterministic final names; `abort` deletes every
-  * temp file this attempt produced, not just the open one. */
+  * temp file this attempt produced, not just the open one. Commit
+  * messages carry dir-RELATIVE paths so the job commit's exact-set
+  * reconciliation works through partition subdirectories. */
 class FlsDataWriter(
     dir: String,
     schema: StructType,
@@ -34,13 +45,21 @@ class FlsDataWriter(
     baseName: String,
     taskUid: String,
     inlineFooter: Boolean = true,
-    transpose: Boolean = false)
+    transpose: Boolean = false,
+    partitionBy: Seq[String] = Nil,
+    maxOpenPartitions: Int = 1000)
   extends DataWriter[InternalRow] {
 
+  private val partIdx: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
+  private val dataIdx: Array[Int] =
+    schema.fields.indices.filterNot(partIdx.contains).toArray
+  require(dataIdx.nonEmpty, "fls: cannot partition by every column")
+  private val dataFields: Array[StructField] = dataIdx.map(schema.fields)
+
   private val colTypes: Array[ColumnType] =
-    schema.fields.map(f => ColumnType.fromSpark(f.dataType))
+    dataFields.map(f => ColumnType.fromSpark(f.dataType))
   private val colDescs: Array[ColumnDesc] =
-    schema.fields.zip(colTypes).map { case (f, t) => ColumnDesc(f.name, t) }
+    dataFields.zip(colTypes).map { case (f, t) => ColumnDesc(f.name, t) }
 
   private sealed trait Builder {
     def add(row: InternalRow, ord: Int): Unit
@@ -106,50 +125,101 @@ class FlsDataWriter(
       throw new UnsupportedOperationException(s"fls write: unsupported type $other")
   }
 
-  private val builders: Array[Builder] = schema.fields.map(mkBuilder)
-  private var rowsInGroup = 0
-  private var fileSeq = 0
-  private var writer: FlsFileWriter = _
   private val tempDir = new Path(new Path(dir, FlsCommit.TempDirName), taskUid)
-  /** (temp path written, final name it renames to on task commit). */
+  /** (temp path written, dir-relative final path it renames to). */
   private val written = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+
+  /** All writer state for one partition-value combination ("" = flat). */
+  private final class Bucket(relDir: String) {
+    val builders: Array[Builder] = dataFields.map(mkBuilder)
+    var rowsInGroup = 0
+    private var fileSeq = 0
+    private var writer: FlsFileWriter = _
+
+    def add(row: InternalRow): Unit = {
+      var c = 0
+      while (c < builders.length) {
+        builders(c).add(row, dataIdx(c))
+        c += 1
+      }
+      rowsInGroup += 1
+      if (rowsInGroup == rowGroupSize) flushRowGroup()
+    }
+
+    private def ensureWriter(): Unit =
+      if (writer == null) {
+        val finalRel =
+          (if (relDir.isEmpty) "" else relDir + "/") + f"$baseName-$fileSeq%04d.fls"
+        val p = new Path(tempDir, finalRel)
+        written += ((p, finalRel))
+        if (!inlineFooter) // sidecar footer renames alongside its data file
+          written += ((graft.fls.FlsFile.footerPath(p), finalRel + ".footer"))
+        fileSeq += 1
+        writer = new FlsFileWriter(p, conf, colDescs, inlineFooter, transpose)
+      }
+
+    def flushRowGroup(): Unit =
+      if (rowsInGroup > 0) {
+        ensureWriter()
+        writer.writeRowGroup(builders.map(_.result()))
+        builders.foreach(_.clear())
+        rowsInGroup = 0
+        if (rowGroupsPerFile > 0 && writer.numRowGroups >= rowGroupsPerFile) {
+          writer.close()
+          writer = null
+        }
+      }
+
+    def finish(): Unit = {
+      flushRowGroup()
+      if (writer != null) { writer.close(); writer = null }
+    }
+
+    def abortOpen(): Unit =
+      if (writer != null) { writer.abort(); writer = null }
+  }
+
+  private val buckets = scala.collection.mutable.LinkedHashMap[String, Bucket]()
+
+  private def bucketFor(row: InternalRow): Bucket = {
+    val relDir =
+      if (partIdx.isEmpty) ""
+      else {
+        val sb = new StringBuilder
+        var i = 0
+        while (i < partIdx.length) {
+          if (row.isNullAt(partIdx(i)))
+            throw new UnsupportedOperationException(
+              s"fls: NULL in partition column '${partitionBy(i)}' — the format " +
+                "stores no NULLs (reference parity); coalesce() nulls away before writing")
+          if (i > 0) sb.append('/')
+          sb.append(FlsPartitioning.escape(partitionBy(i))).append('=')
+            .append(FlsPartitioning.escape(
+              FlsPartitioning.pathString(schema.fields(partIdx(i)).dataType, row, partIdx(i))))
+          i += 1
+        }
+        sb.toString
+      }
+    buckets.getOrElseUpdate(relDir, {
+      if (buckets.size >= maxOpenPartitions)
+        throw new IllegalStateException(
+          s"fls: task opened more than $maxOpenPartitions partitions — " +
+            "repartition the dataframe by the partition columns before writing, " +
+            "or raise the max_open_partitions writer option")
+      new Bucket(relDir)
+    })
+  }
 
   override def write(row: InternalRow): Unit = {
     var c = 0
-    while (c < builders.length) {
-      if (row.isNullAt(c))
+    while (c < dataIdx.length) {
+      if (row.isNullAt(dataIdx(c)))
         throw new UnsupportedOperationException(
-          s"fls: NULL in column '${schema.fields(c).name}' — the format stores no NULLs " +
+          s"fls: NULL in column '${dataFields(c).name}' — the format stores no NULLs " +
             "(reference parity); coalesce() nulls away before writing")
-      builders(c).add(row, c)
       c += 1
     }
-    rowsInGroup += 1
-    if (rowsInGroup == rowGroupSize) flushRowGroup()
-  }
-
-  private def ensureWriter(): Unit =
-    if (writer == null) {
-      val finalName = f"$baseName-$fileSeq%04d.fls"
-      val p = new Path(tempDir, finalName)
-      written += ((p, finalName))
-      if (!inlineFooter) // sidecar footer renames alongside its data file
-        written += ((graft.fls.FlsFile.footerPath(p), finalName + ".footer"))
-      fileSeq += 1
-      writer = new FlsFileWriter(p, conf, colDescs, inlineFooter, transpose)
-    }
-
-  private def flushRowGroup(): Unit = {
-    if (rowsInGroup > 0) {
-      ensureWriter()
-      writer.writeRowGroup(builders.map(_.result()))
-      builders.foreach(_.clear())
-      rowsInGroup = 0
-      if (rowGroupsPerFile > 0 && writer.numRowGroups >= rowGroupsPerFile) {
-        writer.close()
-        writer = null
-      }
-    }
+    bucketFor(row).add(row)
   }
 
   /** Rename temp files to final names. Spark's commit coordinator
@@ -157,15 +227,15 @@ class FlsDataWriter(
     * deterministic final names cannot be raced; a leftover final from a
     * crashed-mid-commit prior attempt of the SAME partition is replaced. */
   override def commit(): WriterCommitMessage = {
-    flushRowGroup()
-    if (writer != null) { writer.close(); writer = null }
+    buckets.valuesIterator.foreach(_.finish())
     val fs = tempDir.getFileSystem(conf)
-    val finals = written.map { case (tmp, finalName) =>
-      val dst = new Path(dir, finalName)
+    val finals = written.map { case (tmp, finalRel) =>
+      val dst = new Path(dir, finalRel)
       if (fs.exists(dst)) fs.delete(dst, false)
+      else fs.mkdirs(dst.getParent) // first file of a new partition dir
       if (!fs.rename(tmp, dst))
         throw new java.io.IOException(s"fls commit: rename $tmp -> $dst failed")
-      dst.toString
+      finalRel
     }
     try fs.delete(tempDir, true) catch { case _: Throwable => () }
     FlsCommitMessage(finals.toArray)
@@ -174,7 +244,7 @@ class FlsDataWriter(
   /** Delete EVERY file this attempt wrote (rotated ones included), then
     * the attempt's temp dir — a failed attempt leaves nothing behind. */
   override def abort(): Unit = {
-    if (writer != null) { writer.abort(); writer = null }
+    buckets.valuesIterator.foreach(_.abortOpen())
     val fs = tempDir.getFileSystem(conf)
     written.foreach { case (tmp, _) =>
       try fs.delete(tmp, false) catch { case _: Throwable => () }
@@ -195,6 +265,26 @@ object FlsCommit {
     fs.delete(new Path(new Path(dir, TempDirName), writeId), true)
     try fs.delete(new Path(dir, TempDirName), false) catch { case _: Throwable => () }
   }
+
+  /** GC staging subtrees orphaned by drivers that crashed before
+    * commit/abort: any `_temporary/<otherWriteId>` older than `ttlMs`
+    * is assumed dead and removed (a live job older than the TTL would
+    * break — the TTL is a writer option, default 24 h, for exactly that
+    * reason). Called from job commit, so the sweep rides an existing
+    * driver-side RPC window rather than adding one to the read path. */
+  def sweepOrphans(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      ownWriteId: String, ttlMs: Long): Unit = {
+    val root = new Path(dir, TempDirName)
+    try {
+      if (!fs.exists(root)) return
+      val cutoff = System.currentTimeMillis() - ttlMs
+      fs.listStatus(root).foreach { s =>
+        if (s.getPath.getName != ownWriteId && s.getModificationTime < cutoff)
+          try fs.delete(s.getPath, true) catch { case _: Throwable => () }
+      }
+    } catch { case _: Throwable => () }
+  }
 }
 
+/** `files` are dir-RELATIVE final paths (partition subdirs included). */
 case class FlsCommitMessage(files: Array[String]) extends WriterCommitMessage

@@ -71,6 +71,7 @@ class FlsPartitionReader(
         val idx = part.fileColumns.indexWhere(_.name == f.name)
         if (idx < 0) {
           if (f.name == FlsVirtual.RowNumber || f.name == FlsVirtual.FileIndex ||
+            part.partitionValues.contains(f.name) || // constant from the path
             f.nullable) null // nullable+absent: union_by_name missing column
           else throw new IllegalArgumentException(
             s"fls: column ${f.name} not present in ${part.file}")
@@ -164,6 +165,36 @@ class FlsPartitionReader(
       start: Int,
       len: Int): Unit = {
     (data, field.dataType) match {
+      case (null, dt) if part.partitionValues.contains(field.name) =>
+        // hive partition column: one value per file, parsed from the
+        // path by FlsPartitioning and filled as a constant vector
+        val raw = part.partitionValues(field.name)
+        if (raw == null) vec.putNulls(0, len)
+        else dt match {
+          case IntegerType | DateType =>
+            val v = graft.fls.connector.FlsPartitioning.castRaw(raw, dt)
+              .asInstanceOf[Int]
+            var i = 0
+            while (i < len) { vec.putInt(i, v); i += 1 }
+          case LongType =>
+            val v = raw.trim.toLong
+            var i = 0
+            while (i < len) { vec.putLong(i, v); i += 1 }
+          case ShortType =>
+            val v = raw.trim.toShort
+            var i = 0
+            while (i < len) { vec.putShort(i, v); i += 1 }
+          case ByteType =>
+            val v = raw.trim.toByte
+            var i = 0
+            while (i < len) { vec.putByte(i, v); i += 1 }
+          case StringType =>
+            val b = raw.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var i = 0
+            while (i < len) { vec.putByteArray(i, b, 0, b.length); i += 1 }
+          case other =>
+            throw new IllegalStateException(s"fls: partition column type $other")
+        }
       case (null, LongType) if field.name == FlsVirtual.FileIndex =>
         var i = 0
         while (i < len) { vec.putLong(i, part.fileIndex.toLong); i += 1 }

@@ -1,0 +1,180 @@
+package graft.fls
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fls.connector._
+
+/** Hive-partitioned fls tables: partitioned write (`partition_by`),
+  * recursive discovery, typed partition columns, and — the scale
+  * property — whole-file pruning at planning time (a partition filter
+  * must plan ZERO input partitions for non-matching directories, and
+  * never footer-read... the footers are read for listing, but the data
+  * files of pruned partitions contribute no scan tasks). */
+class FlsPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val tmp = Files.createTempDirectory("fls-part-spec").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("fls-part-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  import org.apache.spark.sql.connector.read.InputPartition
+
+  /** Plan a scan over `dir` with `filters` pushed, return its input
+    * partitions (what a cluster would actually schedule). */
+  private def planParts(
+      dir: String,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[InputPartition] = {
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+    val schema = new FlsDataSource().inferSchema(opts)
+    val builder = new FlsScanBuilder(schema, opts)
+    builder.pushFilters(filters)
+    builder.build().toBatch.planInputPartitions()
+  }
+
+  private def sample(): DataFrame = {
+    val sp = spark; import sp.implicits._
+    (1 to 300).map { i =>
+      val country = (i % 3) match { case 0 => "nl"; case 1 => "us"; case _ => "de" }
+      val day = 10 + ((i / 3) % 3) // decorrelated from country: all 9 combos occur
+      (i.toLong, s"doc-$i", country, java.sql.Date.valueOf(f"2026-08-$day%02d"))
+    }.toDF("id", "body", "country", "dt")
+  }
+
+  test("partitioned write + read round-trips with typed partition columns") {
+    val dir = s"$tmp/two_level"
+    // repartition by the partition cols so each combo writes ONE file —
+    // the layout a real pipeline produces
+    sample().repartition(col("dt"), col("country"))
+      .write.format("fls").mode("overwrite")
+      .option("partition_by", "dt,country").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    // partition columns come back AFTER data columns, typed
+    assert(back.schema.fieldNames.toSeq == Seq("id", "body", "dt", "country"))
+    assert(back.schema("dt").dataType == DateType)
+    assert(back.schema("country").dataType == StringType)
+    val a = sample().select("id", "body", "dt", "country")
+    assert(back.exceptAll(a).count() == 0 && a.exceptAll(back).count() == 0)
+    // values live in the path, not the files: 3 dt dirs × 3 countries
+    val dtDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_"))
+    assert(dtDirs.toSet == Set("dt=2026-08-10", "dt=2026-08-11", "dt=2026-08-12"))
+  }
+
+  test("partition filter plans zero input partitions for non-matching dirs") {
+    import org.apache.spark.sql.sources._
+    val dir = s"$tmp/two_level"
+    val all = planParts(dir, Array.empty)
+    assert(all.length == 9, s"expected 9 files (3 dt × 3 country), got ${all.length}")
+    // equality on the string partition col: 3 of 9 files survive
+    val us = planParts(dir, Array(EqualTo("country", "us")))
+    assert(us.length == 3, s"country=us should plan 3 partitions, got ${us.length}")
+    // date range on dt: 2 of 3 dt dirs survive (6 files)
+    val dt = planParts(dir,
+      Array(GreaterThanOrEqual("dt", java.sql.Date.valueOf("2026-08-11"))))
+    assert(dt.length == 6, s"dt>= should plan 6 partitions, got ${dt.length}")
+    // conjunction prunes to exactly one file's worth
+    val both = planParts(dir, Array(EqualTo("country", "nl"),
+      EqualTo("dt", java.sql.Date.valueOf("2026-08-12"))))
+    assert(both.length == 1, s"expected 1 partition, got ${both.length}")
+    // no-match prunes everything
+    val none = planParts(dir, Array(EqualTo("country", "jp")))
+    assert(none.isEmpty, s"country=jp should plan 0 partitions, got ${none.length}")
+  }
+
+  test("partition-filtered query returns the same rows as a post-filter") {
+    val dir = s"$tmp/two_level"
+    val back = spark.read.format("fls").load(dir)
+    val filtered = back.filter(col("country") === "nl" && col("dt") >= "2026-08-11")
+    val expected = sample().select("id", "body", "dt", "country")
+      .filter(col("country") === "nl" && col("dt") >= "2026-08-11")
+    assert(filtered.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(filtered).count() == 0)
+    // and the physical plan only schedules the matching files
+    val parts = filtered.rdd.getNumPartitions
+    assert(parts <= 2, s"expected <=2 scheduled partitions, got $parts")
+  }
+
+  test("integer partition values infer IntegerType and prune on ranges") {
+    import org.apache.spark.sql.sources._
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/int_part"
+    (1 to 100).map(i => (i.toLong, i % 5)).toDF("id", "bucket")
+      .repartition(col("bucket"))
+      .write.format("fls").mode("overwrite").option("partition_by", "bucket").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    assert(back.schema("bucket").dataType == IntegerType)
+    assert(back.filter($"bucket" > 2).count() == 40)
+    assert(planParts(dir, Array(GreaterThan("bucket", 2))).length == 2)
+    assert(planParts(dir, Array(In("bucket", Array[Any](0, 4)))).length == 2)
+  }
+
+  test("special characters in partition values escape and round-trip") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/escaped"
+    val odd = Seq((1L, "a/b"), (2L, "c:d=e"), (3L, "plain"), (4L, "x%20y"))
+    odd.toDF("id", "k").write.format("fls").mode("overwrite")
+      .option("partition_by", "k").save(dir)
+    val back = spark.read.format("fls").load(dir)
+      .select("id", "k").as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq == odd)
+  }
+
+  test("partition pruning composes with zone maps and virtual columns") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/zm_combo"
+    (1 to 4096).map(i => (i.toLong, if (i <= 2048) "a" else "b"))
+      .toDF("id", "g")
+      .repartition(1).sortWithinPartitions("g", "id")
+      .write.format("fls").mode("overwrite")
+      .option("partition_by", "g").option("row_group_size", 1024).save(dir)
+    import org.apache.spark.sql.sources._
+    // g=b kills 2 files... 1 dir; id<=1024 zone-prunes 1 of g=a's 2 row groups
+    val parts = planParts(dir, Array(EqualTo("g", "a"), LessThanOrEqual("id", 1024L)))
+    assert(parts.length == 1, s"expected 1 row group after both prunings, got ${parts.length}")
+    val got = spark.read.format("fls").load(dir)
+      .filter($"g" === "a" && $"id" <= 1024).count()
+    assert(got == 1024)
+  }
+
+  test("truncate-mode overwrite of a partitioned table removes stale partitions") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/overwrite"
+    Seq((1L, "old")).toDF("id", "p").write.format("fls")
+      .mode("overwrite").option("partition_by", "p").save(dir)
+    Seq((2L, "new")).toDF("id", "p").write.format("fls")
+      .mode("overwrite").option("partition_by", "p").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    assert(back.select("id", "p").as[(Long, String)].collect().toSeq == Seq((2L, "new")))
+  }
+
+  test("mixed flat+partitioned layout disables discovery instead of failing") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/mixed"
+    Seq((1L, 1L)).toDF("id", "v").write.format("fls").mode("overwrite").save(dir)
+    Seq((2L, 2L)).toDF("id", "v").write.format("fls").mode("append")
+      .option("partition_by", "v").save(s"$dir")
+    // second write stored v in the path for its own file; the table now
+    // mixes flat and partitioned files → no partition columns, flat read
+    // of the common data columns still works
+    val back = spark.read.format("fls").load(dir)
+    assert(back.columns.contains("id"))
+  }
+}
