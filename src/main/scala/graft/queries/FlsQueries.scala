@@ -163,6 +163,46 @@ object FlsQueries {
       WHERE s.n_sup IS DISTINCT FROM CAST(4 AS BIGINT)
       ORDER BY n.n_name"""
 
+  /** Hive-partitioned fls table (the 100 TB layout): orders written
+    * under `dt=<month>/part-*.fls` via the `partition_by` writer option,
+    * read back with a partition filter that prunes whole directories at
+    * planning time (FlsPartitioning; beyond the reference, which has no
+    * partitioned-read support — its multi-file path expansion,
+    * /root/reference/src/reader/fls_multi_file_info.cpp:57-82, never
+    * surfaces path segments as columns). The oracle recomputes the same
+    * month bucket from raw o_orderdate, so the hash match proves the
+    * path round-trip preserved the values exactly. */
+  def q40FlsPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val out = s"/tmp/graft_fls_cache/${key}_orders_by_month"
+    synchronized {
+      val marker = new java.io.File(s"$out/_done")
+      if (!done.contains(out) && !marker.exists()) {
+        t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+            to_date(date_trunc("month", col("o_orderdate"))).as("dt"))
+          .repartition(col("dt")) // one writer bucket per month per task
+          .write.format("fls").mode("overwrite")
+          .option("partition_by", "dt").save(out)
+        marker.createNewFile()
+      }
+      done += out
+    }
+    spark.read.format("fls").load(out)
+      .filter(col("dt") >= to_date(lit("1997-01-01")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q40Sql: String = {
+    import graft.util.Tables.{sql => S}
+    s"""SELECT o_orderpriority, count(*) AS n, ${S.sumD6w("o_totalprice", "total")}
+      FROM orders
+      WHERE CAST(date_trunc('month', o_orderdate) AS DATE) >= DATE '1997-01-01'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_fls_topk" -> (q38FlsTopK _),
     "q15_fls_tpch_q1" -> (q15FlsTpchQ1 _),
@@ -171,6 +211,7 @@ object FlsQueries {
     "q18_fls_row_number" -> (q18FlsRowNumber _),
     "q36_csv_interop" -> (q36CsvInterop _),
     "q39_sql_cte_view" -> (q39SqlSurface _),
+    "q40_fls_partitioned" -> (q40FlsPartitioned _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -181,5 +222,6 @@ object FlsQueries {
     "q18_fls_row_number" -> q18Sql,
     "q36_csv_interop" -> q36Sql,
     "q39_sql_cte_view" -> q39Sql,
+    "q40_fls_partitioned" -> q40Sql,
   )
 }
