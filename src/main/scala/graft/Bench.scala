@@ -35,7 +35,14 @@ object Bench {
     // etc.) otherwise interleave with the JSON and break the driver's
     // line parser — the result must be the final, uninterrupted line
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sbt prefixes stdout with "[info] ", which has broken the driver's
+    // JSON-line parser two rounds running — so ALSO write the JSON to a
+    // well-known file the driver can read directly.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     System.out.flush()
   }
 }

@@ -1,6 +1,6 @@
 package graft.fls
 
-import java.util.concurrent.{Callable, ConcurrentHashMap, Executors}
+import java.util.concurrent.{Callable, Executors}
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.Path
 import graft.fls.Format._
 
 /** Driver-side footer planning: parallel footer reads + a per-session
-  * cache keyed by (path, mtime, length).
+  * LRU cache keyed by (path, mtime, length).
   *
   * The reference opens footers one by one at bind time
   * (/root/reference/src/reader/fls_multi_file_info.cpp:99-110) — fine in
@@ -17,15 +17,38 @@ import graft.fls.Format._
   * scan would dominate planning. So: uncached footers are fetched on a
   * bounded thread pool (the same trick Spark's parquet footer reader
   * uses), and results are reused across scans of the same table within
-  * the session; a rewritten file invalidates itself via mtime/length. */
+  * the session; a rewritten file invalidates itself via mtime/length.
+  *
+  * Eviction is access-ordered LRU: overflowing `MaxEntries` drops only
+  * the coldest entries, so the hot table's footers survive — a clear-all
+  * evict would re-read every footer on the next planning pass exactly
+  * when the table count is largest (thundering herd).
+  *
+  * Caveat (documented, not defended): the (mtime, length) key cannot see
+  * an in-place overwrite that preserves length within the store's mtime
+  * granularity. Connector-managed writes always create unique
+  * writeId-derived names, so this only affects externally rewritten
+  * files; for those tables set the JVM property
+  * `graft.fls.footerCache=false` to bypass the cache entirely. */
 object FlsFooters {
 
   final case class Entry(file: Path, table: TableDesc, fileSize: Long)
 
   private final case class Cached(mtime: Long, len: Long, table: TableDesc)
-  private val cache = new ConcurrentHashMap[String, Cached]()
-  private val MaxEntries = 100000
+
+  /** Test hook: eviction bound (access-ordered LRU above this size). */
+  private[fls] var MaxEntries = 100000
   private val IoThreads = 16
+
+  private val cache: java.util.Map[String, Cached] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Cached](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Cached]): Boolean = size() > MaxEntries
+      })
+
+  private def cacheEnabled: Boolean =
+    !sys.props.get("graft.fls.footerCache").contains("false")
 
   /** All .fls footers under `paths`, in deterministic (path-order,
     * name-sorted) order — the order planInputPartitions depends on. */
@@ -37,37 +60,49 @@ object FlsFooters {
       }
     }
     val statuses = seen.values.toSeq
+    val useCache = cacheEnabled
     val need = statuses.filter { st =>
-      val c = cache.get(st.getPath.toString)
+      val c = if (useCache) cache.get(st.getPath.toString) else null
       c == null || c.mtime != st.getModificationTime || c.len != st.getLen
     }
+    val fetched = new java.util.concurrent.ConcurrentHashMap[String, TableDesc]()
     if (need.nonEmpty) {
-      if (cache.size() > MaxEntries) cache.clear()
       val pool = Executors.newFixedThreadPool(math.min(need.length, IoThreads))
       try {
-        need.map { st =>
+        val futures = need.map { st =>
           pool.submit(new Callable[Unit] {
             override def call(): Unit = {
               val r = new FlsFileReader(st.getPath, conf)
               val t = try r.table finally r.close()
-              cache.put(st.getPath.toString,
-                Cached(st.getModificationTime, st.getLen, t))
+              fetched.put(st.getPath.toString, t)
+              if (useCache)
+                cache.put(st.getPath.toString,
+                  Cached(st.getModificationTime, st.getLen, t))
             }
           })
-        }.foreach(_.get())
+        }
+        // surface the ORIGINAL failure ("not an fls file", IO message),
+        // not an opaque ExecutionException wrapper
+        try futures.foreach(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException if e.getCause != null =>
+            throw e.getCause
+        }
       } finally pool.shutdown()
     }
     statuses.map { st =>
-      // re-validate instead of assuming our puts survived: a concurrent
-      // list() may have purged the cache (MaxEntries) or clear() ran —
-      // fall back to a direct footer read rather than NPE mid-planning
-      val c = cache.get(st.getPath.toString)
-      val table =
+      val key = st.getPath.toString
+      val table = Option(fetched.get(key)).getOrElse {
+        // not fetched this call: serve the cache, re-validated — or, if
+        // LRU eviction raced it out between put and here, re-read rather
+        // than NPE mid-planning
+        val c = if (useCache) cache.get(key) else null
         if (c != null && c.mtime == st.getModificationTime && c.len == st.getLen) c.table
         else {
           val r = new FlsFileReader(st.getPath, conf)
           try r.table finally r.close()
         }
+      }
       Entry(st.getPath, table, st.getLen)
     }
   }
@@ -75,4 +110,8 @@ object FlsFooters {
   /** Test hook: observe/clear cache state. */
   def cachedCount: Int = cache.size()
   def clear(): Unit = cache.clear()
+  private[fls] def cachedKeys: Set[String] = cache.synchronized {
+    import scala.jdk.CollectionConverters._
+    cache.keySet().asScala.toSet
+  }
 }

@@ -41,6 +41,47 @@ class FlsPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FlsFooters.cachedCount == after1, "unchanged files must stay cached, not re-enter")
   }
 
+  test("footer cache: LRU eviction keeps recently-used entries on overflow") {
+    val conf = spark.sessionState.newHadoopConf()
+    val dirA = s"$tmp/lru_a"
+    val dirB = s"$tmp/lru_b"
+    spark.range(0, 600).selectExpr("id AS v").repartition(6)
+      .write.format("fls").mode("overwrite").save(dirA)
+    spark.range(0, 800).selectExpr("id AS v").repartition(8)
+      .write.format("fls").mode("overwrite").save(dirB)
+    val saved = FlsFooters.MaxEntries
+    try {
+      FlsFooters.clear()
+      FlsFooters.MaxEntries = 10
+      FlsFooters.list(Seq(dirA), conf) // 6 cached
+      FlsFooters.list(Seq(dirA), conf) // refresh access order
+      val bEntries = FlsFooters.list(Seq(dirB), conf) // 14 > 10: evict 4 coldest
+      assert(FlsFooters.cachedCount == 10,
+        s"expected LRU trim to 10 entries, got ${FlsFooters.cachedCount}")
+      // the just-read table must fully survive — a clear-all evict would
+      // have dumped it and forced a re-read on the next planning pass
+      val bPaths = bEntries.map(_.file.toString).toSet
+      assert(bPaths.subsetOf(FlsFooters.cachedKeys),
+        "hot (just-accessed) footers must survive eviction")
+    } finally {
+      FlsFooters.MaxEntries = saved
+      FlsFooters.clear()
+    }
+  }
+
+  test("footer cache: footer read failures surface the original cause") {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new java.io.File(s"$tmp/bad_footer")
+    dir.mkdirs()
+    val bad = new java.io.File(dir, "junk.fls")
+    java.nio.file.Files.write(bad.toPath, "not an fls file at all".getBytes)
+    val e = intercept[Exception] {
+      FlsFooters.list(Seq(dir.toString), conf)
+    }
+    assert(!e.isInstanceOf[java.util.concurrent.ExecutionException],
+      s"cause must be unwrapped, got ${e.getClass}")
+  }
+
   test("footer cache: rewritten files invalidate via (mtime, length)") {
     val dir = s"$tmp/invalidate"
     spark.range(0, 100).selectExpr("id AS v")
