@@ -72,8 +72,59 @@ object Encoder {
       }
       // NaN poisons ordering — drop stats rather than emit a wrong zone map.
       SegmentDesc(0, 0, 0, hasStats = !hasNaN, 0, 0, mn, mx)
+    case b: BytesData if b.n > 0 =>
+      // Byte-prefix zone maps (beyond the reference): min/max under
+      // unsigned-lexicographic order, truncated to StatPrefixLen bytes.
+      // A truncated MIN stays a lower bound for free; a truncated MAX
+      // increments its last non-0xFF byte to stay an upper bound
+      // (parquet's truncate semantics) — if every prefix byte is 0xFF
+      // the stats are dropped rather than emitted unsound.
+      var mnI = 0; var mxI = 0
+      var i = 1
+      while (i < b.n) {
+        if (cmpSlice(b, i, mnI) < 0) mnI = i
+        if (cmpSlice(b, i, mxI) > 0) mxI = i
+        i += 1
+      }
+      val mn = truncatePrefix(slice(b, mnI))
+      truncateUpper(slice(b, mxI)) match {
+        case Some(mx) => SegmentDesc(0, 0, 0, hasStats = false, 0, 0, 0, 0, mn, mx)
+        case None => SegmentDesc(0, 0, 0, hasStats = false, 0, 0, 0, 0)
+      }
     case _ => SegmentDesc(0, 0, 0, hasStats = false, 0, 0, 0, 0)
   }
+
+  /** Bound on stored string-stat prefixes: long document bodies must not
+    * bloat the footer. */
+  val StatPrefixLen = 16
+
+  private def cmpSlice(b: BytesData, x: Int, y: Int): Int = {
+    val xs = b.offsets(x); val xe = b.offsets(x + 1)
+    val ys = b.offsets(y); val ye = b.offsets(y + 1)
+    var i = xs; var j = ys
+    while (i < xe && j < ye) {
+      val c = (b.bytes(i) & 0xFF) - (b.bytes(j) & 0xFF)
+      if (c != 0) return c
+      i += 1; j += 1
+    }
+    (xe - xs) - (ye - ys)
+  }
+
+  private def slice(b: BytesData, i: Int): Array[Byte] =
+    java.util.Arrays.copyOfRange(b.bytes, b.offsets(i), b.offsets(i + 1))
+
+  private def truncatePrefix(v: Array[Byte]): Array[Byte] =
+    if (v.length <= StatPrefixLen) v else java.util.Arrays.copyOf(v, StatPrefixLen)
+
+  private def truncateUpper(v: Array[Byte]): Option[Array[Byte]] =
+    if (v.length <= StatPrefixLen) Some(v)
+    else {
+      val p = java.util.Arrays.copyOf(v, StatPrefixLen)
+      var i = StatPrefixLen - 1
+      while (i >= 0 && p(i) == -1) i -= 1 // 0xFF cannot increment
+      if (i < 0) None
+      else Some({ p(i) = (p(i) + 1).toByte; java.util.Arrays.copyOf(p, i + 1) })
+    }
 
   // ---- long columns ----
 

@@ -159,15 +159,26 @@ object Format {
 
   /** Per-column, per-row-group segment descriptor: where the bytes live
     * and how they decode, plus min/max zone-map stats for LONG/DOUBLE
-    * physical columns (strings are stats-less, like the reference —
-    * /root/reference/src/reader/row_group_statistics.cpp:60-152). */
+    * physical columns, and — beyond the reference, which is stats-less
+    * on strings (/root/reference/src/reader/row_group_statistics.cpp:
+    * 60-152) — bounded min/max byte PREFIXES for BYTES columns:
+    * `minBytes` lower-bounds and `maxBytes` upper-bounds every value
+    * under unsigned-lexicographic order (truncated maxima increment
+    * their last byte, parquet-style, to stay an upper bound). LLM
+    * corpora filter on string keys constantly; these make those filters
+    * prune row groups. `hasStats` stays a NUMERIC-only flag — the CBO /
+    * metadata-aggregate / TopN paths that read minLong/minDouble key off
+    * it and must never see a string segment as "has stats". */
   final case class SegmentDesc(
       encoding: Int,
       offset: Long,
       length: Long,
       hasStats: Boolean,
       minLong: Long, maxLong: Long,
-      minDouble: Double, maxDouble: Double)
+      minDouble: Double, maxDouble: Double,
+      minBytes: Array[Byte] = null, maxBytes: Array[Byte] = null) {
+    def hasByteStats: Boolean = minBytes != null && maxBytes != null
+  }
 
   final case class RowGroupDesc(nTuples: Int, segments: Array[SegmentDesc])
 
@@ -212,9 +223,14 @@ object Format {
         out.writeByte(s.encoding)
         out.writeLong(s.offset)
         out.writeLong(s.length)
-        out.writeByte(if (s.hasStats) 1 else 0)
+        // flags: bit0 = numeric stats valid, bit1 = byte-prefix stats follow
+        out.writeByte((if (s.hasStats) 1 else 0) | (if (s.hasByteStats) 2 else 0))
         out.writeLong(s.minLong); out.writeLong(s.maxLong)
         out.writeDouble(s.minDouble); out.writeDouble(s.maxDouble)
+        if (s.hasByteStats) {
+          out.writeInt(s.minBytes.length); out.writeBytes(s.minBytes)
+          out.writeInt(s.maxBytes.length); out.writeBytes(s.maxBytes)
+        }
       }
     }
   }
@@ -232,10 +248,14 @@ object Format {
       val segs = Array.fill(nCols) {
         val enc = in.readByte().toInt
         val off = in.readLong(); val len = in.readLong()
-        val hs = in.readByte() == 1
+        val flags = in.readByte().toInt
         val mnL = in.readLong(); val mxL = in.readLong()
         val mnD = in.readDouble(); val mxD = in.readDouble()
-        SegmentDesc(enc, off, len, hs, mnL, mxL, mnD, mxD)
+        val (mnB, mxB) =
+          if ((flags & 2) != 0)
+            (in.readBytes(in.readInt()), in.readBytes(in.readInt()))
+          else (null, null)
+        SegmentDesc(enc, off, len, (flags & 1) != 0, mnL, mxL, mnD, mxD, mnB, mxB)
       }
       RowGroupDesc(n, segs)
     }

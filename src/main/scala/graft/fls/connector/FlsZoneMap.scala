@@ -18,7 +18,7 @@ object FlsZoneMap {
   def usable(f: Filter): Boolean = f match {
     case EqualTo(_, _) | GreaterThan(_, _) | GreaterThanOrEqual(_, _) |
          LessThan(_, _) | LessThanOrEqual(_, _) | In(_, _) |
-         IsNull(_) | IsNotNull(_) => true
+         IsNull(_) | IsNotNull(_) | StringStartsWith(_, _) => true
     case And(l, r) => usable(l) && usable(r)
     case Or(l, r) => usable(l) && usable(r)
     case _ => false
@@ -45,22 +45,109 @@ object FlsZoneMap {
     // The format stores no NULLs (/root/reference/src/reader/fls_reader.cpp:200-210):
     case IsNull(col) if nameToIdx.contains(col) || col == FlsVirtual.RowNumber => false
     case IsNotNull(_) => true
-    case EqualTo(col, v) => cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, mx, x) => x >= mn && x <= mx }
+    case EqualTo(col, v) =>
+      strCmp(rg, nameToIdx, columns, col, v)((cMin, cMax) => cMin >= 0 && cMax <= 0)
+        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, mx, x) => x >= mn && x <= mx })
     // Strict compares: double rounding is monotonic, so >=/<=/= can
     // never mis-prune; > / < could collapse at longs past 2^52 where
     // doubles lose exactness — only there, widen by 1 ulp instead of
     // risking a wrong skip. Below 2^52 the compare is exact and the
     // boundary row group prunes.
-    case GreaterThan(col, v) => cmp(rg, nameToIdx, columns, col, v, rowStart) { (_, mx, x) =>
-      (if (FlsZoneMap.inexact(mx)) Math.nextUp(mx) else mx) > x }
-    case GreaterThanOrEqual(col, v) => cmp(rg, nameToIdx, columns, col, v, rowStart) { (_, mx, x) => mx >= x }
-    case LessThan(col, v) => cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, _, x) =>
-      (if (FlsZoneMap.inexact(mn)) Math.nextDown(mn) else mn) < x }
-    case LessThanOrEqual(col, v) => cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, _, x) => mn <= x }
+    case GreaterThan(col, v) =>
+      // keep iff some value can exceed v: maxBytes ≥ true max, so
+      // maxBytes ≤ v proves none does (cMax = cmp(v, maxBytes))
+      strCmp(rg, nameToIdx, columns, col, v)((_, cMax) => cMax < 0)
+        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart) { (_, mx, x) =>
+          (if (FlsZoneMap.inexact(mx)) Math.nextUp(mx) else mx) > x })
+    case GreaterThanOrEqual(col, v) =>
+      strCmp(rg, nameToIdx, columns, col, v)((_, cMax) => cMax <= 0)
+        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart) { (_, mx, x) => mx >= x })
+    case LessThan(col, v) =>
+      strCmp(rg, nameToIdx, columns, col, v)((cMin, _) => cMin > 0)
+        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, _, x) =>
+          (if (FlsZoneMap.inexact(mn)) Math.nextDown(mn) else mn) < x })
+    case LessThanOrEqual(col, v) =>
+      strCmp(rg, nameToIdx, columns, col, v)((cMin, _) => cMin >= 0)
+        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, _, x) => mn <= x })
     case In(col, vs) =>
-      vs.isEmpty || vs.exists(v => cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, mx, x) => x >= mn && x <= mx })
+      vs.isEmpty || vs.exists { v =>
+        strCmp(rg, nameToIdx, columns, col, v)((cMin, cMax) => cMin >= 0 && cMax <= 0)
+          .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, mx, x) => x >= mn && x <= mx })
+      }
+    case StringStartsWith(col, p) if p != null =>
+      // values with prefix p live in [p, increment(p)): prune when the
+      // whole zone sits below p or at/above increment(p)
+      strCmp(rg, nameToIdx, columns, col, p) { (_, cMax) => cMax <= 0 } match {
+        case Some(false) => false // maxBytes < p: nothing reaches the prefix
+        case _ =>
+          incrementBytes(p.getBytes(java.nio.charset.StandardCharsets.UTF_8)) match {
+            case Some(upper) =>
+              strCmpBytes(rg, nameToIdx, columns, col, upper)((cMin, _) => cMin > 0)
+                .getOrElse(true)
+            case None => true
+          }
+      }
     case _ => true
   }
+
+  /** Unsigned-lexicographic compare (the order Spark's UTF8String and
+    * DuckDB both use for strings). */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Smallest byte string greater than every string with prefix `p`
+    * (increment the last non-0xFF byte); None when p is all 0xFF. */
+  private def incrementBytes(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
+  /** String zone-map test: Some(keep?) when `col` is a STRING column
+    * with byte-prefix stats and `value` is a string — `test` receives
+    * (cmp(value, minBytes), cmp(value, maxBytes)); None = not applicable,
+    * fall through to the numeric path. */
+  private def strCmp(
+      rg: RowGroupDesc,
+      nameToIdx: Map[String, Int],
+      columns: Array[ColumnDesc],
+      col: String,
+      value: Any)(test: (Int, Int) => Boolean): Option[Boolean] =
+    value match {
+      case s: String =>
+        strCmpBytes(rg, nameToIdx, columns, col,
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8))(test)
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        strCmpBytes(rg, nameToIdx, columns, col, s.getBytes)(test)
+      case _ => None
+    }
+
+  private def strCmpBytes(
+      rg: RowGroupDesc,
+      nameToIdx: Map[String, Int],
+      columns: Array[ColumnDesc],
+      col: String,
+      v: Array[Byte])(test: (Int, Int) => Boolean): Option[Boolean] =
+    nameToIdx.get(col) match {
+      case Some(idx) if columns(idx).colType.tag == TypeTag.STRING =>
+        val seg = rg.segments(idx)
+        if (!seg.hasByteStats) None
+        else Some(test(cmpBytes(v, seg.minBytes), cmpBytes(v, seg.maxBytes)))
+      case _ => None
+    }
 
   /** Run `test(min, max, value)` in double space (exact for longs up to
     * 2^53 — beyond that the compare is approximate but still

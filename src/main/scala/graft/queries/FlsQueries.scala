@@ -20,7 +20,7 @@ object FlsQueries {
 
   def flsTable(spark: SparkSession, dir: String, table: String): DataFrame = {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val out = s"/tmp/graft_fls_cache/${key}_$table"
+    val out = s"/tmp/graft_fls_cache_v2/${key}_$table"
     synchronized {
       val marker = new java.io.File(s"$out/_done")
       if (!done.contains(out) && !marker.exists()) {
@@ -66,7 +66,7 @@ object FlsQueries {
     * which is the insertion order of the generator). */
   def q18FlsRowNumber(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val out = s"/tmp/graft_fls_cache/${key}_part_sorted"
+    val out = s"/tmp/graft_fls_cache_v2/${key}_part_sorted"
     synchronized {
       val marker = new java.io.File(s"$out/_done")
       if (!done.contains(out) && !marker.exists()) {
@@ -174,7 +174,7 @@ object FlsQueries {
     * path round-trip preserved the values exactly. */
   def q40FlsPartitioned(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val out = s"/tmp/graft_fls_cache/${key}_orders_by_month"
+    val out = s"/tmp/graft_fls_cache_v2/${key}_orders_by_month"
     synchronized {
       val marker = new java.io.File(s"$out/_done")
       if (!done.contains(out) && !marker.exists()) {
@@ -203,6 +203,28 @@ object FlsQueries {
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   }
 
+  /** String-key filtering over the fls scan: equality + prefix (LIKE
+    * 'p%') predicates on string columns, served by the byte-prefix
+    * string zone maps (beyond the reference, which keeps strings
+    * stats-less — /root/reference/src/reader/row_group_statistics.cpp:
+    * 60-152). LLM corpora filter on string keys constantly; this is the
+    * query-surface proof the pruning stays exact. */
+  def q41FlsStringFilter(spark: SparkSession, dir: String): DataFrame =
+    flsTable(spark, dir, "orders")
+      .filter(col("o_orderpriority").startsWith("1") &&
+        col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
+      .orderBy("o_orderpriority")
+
+  val q41Sql: String = {
+    import graft.util.Tables.{sql => S}
+    s"""SELECT o_orderpriority, count(*) AS n, ${S.sumD6w("o_totalprice", "total")}
+      FROM orders
+      WHERE o_orderpriority LIKE '1%' AND o_orderstatus = 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_fls_topk" -> (q38FlsTopK _),
     "q15_fls_tpch_q1" -> (q15FlsTpchQ1 _),
@@ -212,6 +234,7 @@ object FlsQueries {
     "q36_csv_interop" -> (q36CsvInterop _),
     "q39_sql_cte_view" -> (q39SqlSurface _),
     "q40_fls_partitioned" -> (q40FlsPartitioned _),
+    "q41_fls_string_filter" -> (q41FlsStringFilter _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -223,5 +246,6 @@ object FlsQueries {
     "q36_csv_interop" -> q36Sql,
     "q39_sql_cte_view" -> q39Sql,
     "q40_fls_partitioned" -> q40Sql,
+    "q41_fls_string_filter" -> q41Sql,
   )
 }

@@ -255,6 +255,36 @@ class FlsPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("rowGroupsRead", "flsRowsRead"))
   }
 
+  test("string zone maps prune row groups for equality, range, and prefix filters") {
+    import org.apache.spark.sql.sources._
+    import graft.fls.connector._
+    val dir = s"$tmp/strzm"
+    // 4 row groups, string key sorted so each group covers a disjoint range
+    spark.range(0, 4096)
+      .selectExpr("id", "concat('k', lpad(CAST(id AS STRING), 6, '0')) AS k")
+      .coalesce(1).sortWithinPartitions("k")
+      .write.format("fls").mode("overwrite").option("row_group_size", "1024").save(dir)
+    def plan(fs: Filter*): Int = {
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir))
+      val schema = new FlsDataSource().inferSchema(opts)
+      val b = new FlsScanBuilder(schema, opts)
+      b.pushFilters(fs.toArray)
+      b.build().toBatch.planInputPartitions().length
+    }
+    assert(plan() == 4)
+    assert(plan(EqualTo("k", "k000100")) == 1)
+    assert(plan(EqualTo("k", "zzz")) == 0)
+    assert(plan(GreaterThan("k", "k003071")) == 1)
+    assert(plan(LessThanOrEqual("k", "k001023")) == 1)
+    assert(plan(StringStartsWith("k", "k000")) == 1)
+    assert(plan(StringStartsWith("k", "x")) == 0)
+    // results stay exact through the pruned scan
+    val got = spark.read.format("fls").load(dir)
+      .filter(col("k") >= "k000100" && col("k") < "k000200").count()
+    assert(got == 100)
+  }
+
   test("transpose writer option round-trips and keeps zone-map pruning exact") {
     val dir = s"$tmp/transpose"
     val df = spark.range(0, 70000)
