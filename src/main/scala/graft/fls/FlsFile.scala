@@ -61,6 +61,10 @@ final class FlsFileWriter(path: Path, conf: Configuration, schema: Array[ColumnD
 
   def numRowGroups: Int = rowGroups.length
 
+  /** Total bytes of the closed data file (valid after close) — lets the
+    * manifest commit record lengths without a getFileStatus round-trip. */
+  def fileLength: Long = pos
+
   def close(): Unit = {
     val fw = new ByteWriter()
     Format.writeFooter(fw, TableDesc(schema, rowGroups.toArray))
@@ -68,15 +72,16 @@ final class FlsFileWriter(path: Path, conf: Configuration, schema: Array[ColumnD
     val tail = new ByteWriter()
     if (inlineFooter) {
       out.write(footer)
-      tail.writeLong(footer.length.toLong)
+      pos += footer.length
     } else {
       val side = fs.create(FlsFile.footerPath(path), true)
       side.write(footer)
       side.close()
-      tail.writeLong(-1L)
     }
+    tail.writeLong(if (inlineFooter) footer.length.toLong else -1L)
     out.write(tail.toArray)
     out.write(Magic)
+    pos += 12
     out.close()
   }
 
@@ -159,18 +164,24 @@ object FlsFile {
     val fs = path.getFileSystem(conf)
     val st = fs.getFileStatus(path)
     if (st.isFile) Seq(st)
-    else {
-      val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
-      def walk(d: Path): Unit =
-        fs.listStatus(d).foreach { s =>
-          val name = s.getPath.getName
-          if (!name.startsWith("_") && !name.startsWith(".")) {
-            if (s.isDirectory) walk(s.getPath)
-            else if (name.endsWith(".fls")) out += s
+    else FlsManifest.read(fs, path) match {
+      // manifest table: the manifest IS the file list — no listing RPC,
+      // and on-disk files outside it (losing speculative attempts,
+      // crashed jobs, junk) are invisible by design
+      case Some(entries) =>
+        FlsManifest.statuses(fs, path, entries).sortBy(_.getPath.toString)
+      case None =>
+        val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+        def walk(d: Path): Unit =
+          fs.listStatus(d).foreach { s =>
+            val name = s.getPath.getName
+            if (!name.startsWith("_") && !name.startsWith(".")) {
+              if (s.isDirectory) walk(s.getPath)
+              else if (name.endsWith(".fls")) out += s
+            }
           }
-        }
-      walk(path)
-      out.sortBy(_.getPath.toString).toSeq
+        walk(path)
+        out.sortBy(_.getPath.toString).toSeq
     }
   }
 }

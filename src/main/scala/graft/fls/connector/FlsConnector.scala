@@ -619,6 +619,18 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
   private val maxOpenPartitions = options.getInt("max_open_partitions", 1000)
   private val stagingTtlMs =
     options.getLong("staging_ttl_hours", 24L) * 3600L * 1000L
+  /** `rename` (default): staged temp files rename on task commit —
+    * atomic on HDFS/local. `manifest`: tasks write attempt-unique final
+    * names directly and job commit atomically publishes `_fls_manifest`
+    * naming the exact table contents — the object-store-safe mode (see
+    * [[graft.fls.FlsManifest]]). */
+  private val commitMode = {
+    val m = Option(options.get("commit_mode")).getOrElse("rename")
+    require(m == "rename" || m == "manifest",
+      s"fls: commit_mode must be 'rename' or 'manifest', got '$m'")
+    m
+  }
+  private val manifestMode = commitMode == "manifest"
   private val writeId = UUID.randomUUID().toString
 
   partitionBy.foreach { c =>
@@ -640,7 +652,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     dir.getFileSystem(conf).mkdirs(dir)
     FlsWriterFactory(path, info.schema(), rowGroupSize, rowGroupsPerFile,
       new SerializableConfiguration(conf), writeId, inlineFooter, transpose,
-      partitionBy, maxOpenPartitions)
+      partitionBy, maxOpenPartitions, manifestMode)
   }
 
   /** Recursively visit managed (.fls/.fls.footer) files under `dir`
@@ -664,11 +676,11 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     val conf = hadoopConf
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    var committed = messages.flatMap {
-      case FlsCommitMessage(files) => files // dir-relative paths
-      case _ => Array.empty[String]
-    }.toSet
-    if (committed.isEmpty) {
+    var committedLen = messages.flatMap {
+      case FlsCommitMessage(files, lengths) => files.zip(lengths) // dir-relative paths
+      case _ => Array.empty[(String, Long)]
+    }.toMap
+    if (committedLen.isEmpty) {
       // empty result set: write one schema-only (zero row group) file so
       // a later read sees the schema instead of "no .fls files" — the
       // DSv2 analog of parquet's empty-write behavior. Staged and
@@ -692,7 +704,32 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
         if (!fs.rename(src, dst))
           throw new java.io.IOException(s"fls commit: rename $src -> $dst failed")
       }
-      committed = renames.map(_._2).toSet
+      committedLen = renames.map { case (_, dstName) =>
+        dstName -> (if (dstName.endsWith(".fls")) w.fileLength else -1L)
+      }.toMap
+    }
+    val committed = committedLen.keySet
+    if (manifestMode) {
+      // publish the manifest FIRST: from this point readers see exactly
+      // the new table; physical cleanup below is invisible to them
+      val newEntries = committedLen.collect {
+        case (rel, len) if rel.endsWith(".fls") => graft.fls.FlsManifest.Entry(rel, len, 0L)
+      }.toSeq
+      val keptOld =
+        if (doTruncate) Nil
+        else graft.fls.FlsManifest.read(fs, dir) match {
+          case Some(old) => old.filterNot(e => committed.contains(e.rel))
+          case None =>
+            // appending onto a pre-manifest (listing-mode) table: seed
+            // the manifest from one last recursive listing
+            val seeded = scala.collection.mutable.ArrayBuffer[graft.fls.FlsManifest.Entry]()
+            walkManaged(fs, dir) { (s, rel) =>
+              if (rel.endsWith(".fls") && !committed.contains(rel))
+                seeded += graft.fls.FlsManifest.Entry(rel, s.getLen, s.getModificationTime)
+            }
+            seeded.toSeq
+        }
+      graft.fls.FlsManifest.write(fs, dir, writeId, keptOld ++ newEntries)
     }
     walkManaged(fs, dir) { (s, rel) =>
       if (!committed.contains(rel)) {
@@ -700,6 +737,10 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
         if (thisJobs || doTruncate) fs.delete(s.getPath, false)
       }
     }
+    if (!manifestMode)
+      // a rename-mode write over a former manifest table reverts it to
+      // listing mode — a stale manifest must not shadow the new files
+      graft.fls.FlsManifest.delete(fs, dir)
     FlsCommit.removeStaging(fs, dir, writeId)
     FlsCommit.sweepOrphans(fs, dir, writeId, stagingTtlMs)
   }
@@ -709,7 +750,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     messages.foreach {
-      case FlsCommitMessage(files) =>
+      case FlsCommitMessage(files, _) =>
         files.foreach(f =>
           try fs.delete(new Path(dir, f), false) catch { case _: Throwable => () })
       case _ => ()
@@ -734,15 +775,21 @@ case class FlsWriterFactory(
     inlineFooter: Boolean = true,
     transpose: Boolean = false,
     partitionBy: Seq[String] = Nil,
-    maxOpenPartitions: Int = 1000) extends DataWriterFactory {
+    maxOpenPartitions: Int = 1000,
+    directWrite: Boolean = false) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // taskId is unique per task ATTEMPT, so speculative twins stage to
     // disjoint temp dirs and the commit coordinator picks one winner;
     // the writeId level keeps CONCURRENT JOBS' staging trees disjoint
-    // (commit/abort only ever delete their own writeId subtree).
+    // (commit/abort only ever delete their own writeId subtree). In
+    // direct (manifest) mode the taskId goes INTO the final file name,
+    // so twins write disjoint final files and only the committed
+    // attempt's names enter the manifest.
     new FlsDataWriter(dir, schema, rowGroupSize, rowGroupsPerFile,
-      conf.value, f"part-$partitionId%05d-$writeId",
+      conf.value,
+      if (directWrite) f"part-$partitionId%05d-$writeId-$taskId"
+      else f"part-$partitionId%05d-$writeId",
       s"$writeId/attempt-$partitionId-$taskId", inlineFooter, transpose,
-      partitionBy, maxOpenPartitions)
+      partitionBy, maxOpenPartitions, directWrite)
 }

@@ -47,7 +47,8 @@ class FlsDataWriter(
     inlineFooter: Boolean = true,
     transpose: Boolean = false,
     partitionBy: Seq[String] = Nil,
-    maxOpenPartitions: Int = 1000)
+    maxOpenPartitions: Int = 1000,
+    directWrite: Boolean = false)
   extends DataWriter[InternalRow] {
 
   private val partIdx: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
@@ -126,8 +127,13 @@ class FlsDataWriter(
   }
 
   private val tempDir = new Path(new Path(dir, FlsCommit.TempDirName), taskUid)
-  /** (temp path written, dir-relative final path it renames to). */
+  /** (path written, dir-relative final path). In staged (rename) mode
+    * the written path lives under `_temporary/`; in direct (manifest)
+    * mode it IS the final path — the attempt-unique name makes staging
+    * unnecessary and the manifest makes uncommitted files invisible. */
   private val written = scala.collection.mutable.ArrayBuffer[(Path, String)]()
+  /** Closed data-file lengths by rel path (for the manifest). */
+  private val lengths = scala.collection.mutable.HashMap[String, Long]()
 
   /** All writer state for one partition-value combination ("" = flat). */
   private final class Bucket(relDir: String) {
@@ -135,6 +141,7 @@ class FlsDataWriter(
     var rowsInGroup = 0
     private var fileSeq = 0
     private var writer: FlsFileWriter = _
+    private var currentRel: String = _
 
     def add(row: InternalRow): Unit = {
       var c = 0
@@ -150,12 +157,21 @@ class FlsDataWriter(
       if (writer == null) {
         val finalRel =
           (if (relDir.isEmpty) "" else relDir + "/") + f"$baseName-$fileSeq%04d.fls"
-        val p = new Path(tempDir, finalRel)
+        val p =
+          if (directWrite) new Path(dir, finalRel) else new Path(tempDir, finalRel)
         written += ((p, finalRel))
-        if (!inlineFooter) // sidecar footer renames alongside its data file
+        if (!inlineFooter) // sidecar footer travels alongside its data file
           written += ((graft.fls.FlsFile.footerPath(p), finalRel + ".footer"))
         fileSeq += 1
+        currentRel = finalRel
         writer = new FlsFileWriter(p, conf, colDescs, inlineFooter, transpose)
+      }
+
+    private def closeWriter(): Unit =
+      if (writer != null) {
+        writer.close()
+        lengths(currentRel) = writer.fileLength
+        writer = null
       }
 
     def flushRowGroup(): Unit =
@@ -164,15 +180,13 @@ class FlsDataWriter(
         writer.writeRowGroup(builders.map(_.result()))
         builders.foreach(_.clear())
         rowsInGroup = 0
-        if (rowGroupsPerFile > 0 && writer.numRowGroups >= rowGroupsPerFile) {
-          writer.close()
-          writer = null
-        }
+        if (rowGroupsPerFile > 0 && writer.numRowGroups >= rowGroupsPerFile)
+          closeWriter()
       }
 
     def finish(): Unit = {
       flushRowGroup()
-      if (writer != null) { writer.close(); writer = null }
+      closeWriter()
     }
 
     def abortOpen(): Unit =
@@ -228,17 +242,22 @@ class FlsDataWriter(
     * crashed-mid-commit prior attempt of the SAME partition is replaced. */
   override def commit(): WriterCommitMessage = {
     buckets.valuesIterator.foreach(_.finish())
-    val fs = tempDir.getFileSystem(conf)
-    val finals = written.map { case (tmp, finalRel) =>
-      val dst = new Path(dir, finalRel)
-      if (fs.exists(dst)) fs.delete(dst, false)
-      else fs.mkdirs(dst.getParent) // first file of a new partition dir
-      if (!fs.rename(tmp, dst))
-        throw new java.io.IOException(s"fls commit: rename $tmp -> $dst failed")
-      finalRel
-    }
-    try fs.delete(tempDir, true) catch { case _: Throwable => () }
-    FlsCommitMessage(finals.toArray)
+    val finals =
+      if (directWrite) written.map(_._2) // already at final names
+      else {
+        val fs = tempDir.getFileSystem(conf)
+        val out = written.map { case (tmp, finalRel) =>
+          val dst = new Path(dir, finalRel)
+          if (fs.exists(dst)) fs.delete(dst, false)
+          else fs.mkdirs(dst.getParent) // first file of a new partition dir
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"fls commit: rename $tmp -> $dst failed")
+          finalRel
+        }
+        try fs.delete(tempDir, true) catch { case _: Throwable => () }
+        out
+      }
+    FlsCommitMessage(finals.toArray, finals.map(lengths.getOrElse(_, -1L)).toArray)
   }
 
   /** Delete EVERY file this attempt wrote (rotated ones included), then
@@ -286,5 +305,8 @@ object FlsCommit {
   }
 }
 
-/** `files` are dir-RELATIVE final paths (partition subdirs included). */
-case class FlsCommitMessage(files: Array[String]) extends WriterCommitMessage
+/** `files` are dir-RELATIVE final paths (partition subdirs included);
+  * `lengths` align with `files` (data-file byte sizes for the manifest;
+  * -1 for sidecar footer entries). */
+case class FlsCommitMessage(files: Array[String], lengths: Array[Long])
+  extends WriterCommitMessage
