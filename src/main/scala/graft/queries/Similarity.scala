@@ -75,46 +75,76 @@ object Similarity {
 
   /** q26: IVF-style ANN, shaped for 100 TB. Coarse quantizer = the
     * first ⌈√n⌉ vectors (centroid count scales with corpus size, so
-    * cells hold ~√n vectors — the standard IVF balance point); every
-    * vector is assigned to its nearest centroid by a rank-limited
-    * window (WindowGroupLimit: streaming top-1) over NARROW
+    * cells hold ~√n vectors — the standard IVF balance point), refined
+    * by ONE Lloyd pass (per-dimension cell means); every vector is
+    * assigned to its nearest centroid by a rank-limited window
+    * (WindowGroupLimit: streaming top-k) over NARROW
     * (vec_id, cent_id, ccos) triples from one broadcast pass — the
-    * corpus shuffles once by cell id. Per-cell top-5 runs through the
-    * k-bounded [[graft.functions.TopKByScore]] aggregator: map-side
-    * partials ship <= 5 candidates per (query, partition) instead of
-    * WindowExec fully sorting each cell. Self excluded. */
-  def q26IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    * corpus shuffles once by cell id. Queries probe their `nprobe`
+    * nearest cells (the recall knob; candidate sets stay disjoint
+    * because each corpus vector lives in exactly one cell). Per-query
+    * top-5 runs through the k-bounded [[graft.functions.TopKByScore]]
+    * aggregator: map-side partials ship <= 5 candidates per
+    * (query, partition) instead of WindowExec fully sorting each cell.
+    *
+    * The Lloyd mean is computed in EXACT arithmetic (per-component
+    * decimal sums, then one double division) so the DuckDB oracle
+    * reproduces it bit-for-bit — parallel double summation would be
+    * order-dependent and break the hash match. */
+  def ivfAnn(spark: SparkSession, dir: String, nprobe: Int, lloyd: Boolean): DataFrame = {
     import spark.implicits._
     val e = vecs(spark, dir)
     // count the raw table (parquet answers from metadata) — counting
     // `e` would run the whole vector-transform pipeline just to size
     // the centroid set
     val nCent = math.ceil(math.sqrt(t(spark, dir, "embeddings").count().toDouble)).toLong
-    val cents = e.filter(col("vec_id") < nCent)
+    val cents0 = e.filter(col("vec_id") < nCent)
       .select(col("vec_id").as("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"))
-    // assign: argmax cosine over centroids. The dots are computed ONCE
-    // into a NARROW (vec_id, cent_id, ccos) frame — the argmax sort
-    // then moves 24-byte triples, not 550-byte vector rows (carrying
-    // the vector through the aggregate forced SortAggregate over the
-    // full n×k cross rows); the winning cell joins back to the vectors
-    // on vec_id, co-partitioned with e's partitioning — no extra
-    // exchange. Ties break to the lowest cent_id.
-    val scored = e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-        (cosExpr / (col("nr_q") * col("nr_c"))).as("ccos"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    val cells = scored.withColumn("ar", row_number().over(wAssign))
-      .filter(col("ar") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+
+    // assign: rank centroids per vector by cosine. The dots are computed
+    // ONCE into a NARROW (vec_id, cent_id, ccos) frame — the rank sort
+    // then moves 24-byte triples, not 550-byte vector rows; the winning
+    // cells join back to the vectors on vec_id, co-partitioned with e's
+    // partitioning. Ties break to the lowest cent_id.
+    def ranked(cents: DataFrame, upTo: Int): DataFrame = {
+      val scored = e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+          (cosExpr / (col("nr_q") * col("nr_c"))).as("ccos"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cent_id").asc)
+      scored.withColumn("ar", row_number().over(w)).filter(col("ar") <= upTo)
+    }
+
+    val cents =
+      if (!lloyd) cents0
+      else {
+        // one Lloyd refinement: new centroid = per-dimension mean of the
+        // cell's members. Decimal sums are exact (order-independent);
+        // the single double division afterwards is IEEE-deterministic.
+        val cells0 = ranked(cents0, 1).select(col("vec_id"), col("cent_id").as("cell"))
+        val members = e.select(col("vec_id"), col("v")).join(cells0, Seq("vec_id"))
+        val comp = members.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        val means = comp.groupBy(col("cell"), col("pos"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 28))).as("s"))
+          .select(col("cell"), col("pos"), (col("s").cast("double") / col("cnt")).as("m"))
+        means.groupBy(col("cell"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), z -> z.m)").as("v_q"))
+          .withColumn("nr_q", sqrt(GraftFunctions.arrayDot(col("v_q"), col("v_q"))))
+          .select(col("cell").as("cent_id"), col("v_q"), col("nr_q"))
+      }
+
+    val r = ranked(cents, math.max(nprobe, 1))
+    val cells = r.filter(col("ar") === 1).select(col("vec_id"), col("cent_id").as("cell"))
     val assigned = e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
       .join(cells, Seq("vec_id"))
-    // queries probe their own cell (a centroid's nearest centroid is
-    // itself; queries are centroids since 8 <= ceil(sqrt(n)))
-    val probes = assigned.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("v_c").as("v_q"),
-        col("nr_c").as("nr_q"), col("cell"))
+    // queries probe their nprobe nearest cells
+    val probeCells = r.filter(col("vec_id") < 8 && col("ar") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nr").as("nr_q"))
+      .join(probeCells, Seq("query_id"))
     val cand = assigned
       .select(col("vec_id").as("neighbor_id"), col("v_c"), col("nr_c"), col("cell"))
       .join(broadcast(probes), Seq("cell"))
@@ -130,20 +160,37 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  def q26IvfAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfAnn(spark, dir, nprobe = 2, lloyd = true)
+
   val q26Sql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                   FROM embeddings),
         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nr FROM e),
-        cent AS (SELECT vec_id AS cent_id, v AS vq, nr AS nrq FROM n
-                 WHERE vec_id < CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)),
-        assign AS (
-          SELECT vec_id, v, nr, cent_id AS cell,
+        cent0 AS (SELECT vec_id AS cent_id, v AS vq, nr AS nrq FROM n
+                  WHERE vec_id < CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)),
+        r0 AS (SELECT vec_id, cent_id,
                  ROW_NUMBER() OVER (PARTITION BY vec_id
                    ORDER BY list_dot_product(vq, v) / (nrq * nr) DESC, cent_id) AS ar
-          FROM n CROSS JOIN cent),
-        cells AS (SELECT vec_id, v, nr, cell FROM assign WHERE ar = 1),
-        probes AS (SELECT vec_id AS query_id, v AS vq, nr AS nrq, cell
-                   FROM cells WHERE vec_id < 8),
+               FROM n CROSS JOIN cent0),
+        cells0 AS (SELECT vec_id, cent_id AS cell FROM r0 WHERE ar = 1),
+        comp AS (SELECT c.cell, unnest(list_zip(m.v, generate_series(1, len(m.v)))) AS z
+                 FROM n m JOIN cells0 c ON m.vec_id = c.vec_id),
+        sums AS (SELECT cell, z[2] AS pos, count(*) AS cnt,
+                        sum(CAST(z[1] AS DECIMAL(38,28))) AS s
+                 FROM comp GROUP BY cell, pos),
+        means AS (SELECT cell, pos, CAST(s AS DOUBLE) / cnt AS m FROM sums),
+        centn AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS vq FROM means GROUP BY cell),
+        cent AS (SELECT cent_id, vq, sqrt(list_dot_product(vq, vq)) AS nrq FROM centn),
+        r AS (SELECT vec_id, cent_id,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                  ORDER BY list_dot_product(vq, v) / (nrq * nr) DESC, cent_id) AS ar
+              FROM n CROSS JOIN cent),
+        cells AS (SELECT r.vec_id, r.cent_id AS cell, m.v, m.nr
+                  FROM r JOIN n m ON r.vec_id = m.vec_id WHERE r.ar = 1),
+        probes AS (SELECT r.vec_id AS query_id, r.cent_id AS cell, m.v AS vq, m.nr AS nrq
+                   FROM r JOIN n m ON r.vec_id = m.vec_id
+                   WHERE r.vec_id < 8 AND r.ar <= 2),
         s AS (SELECT query_id, c.vec_id AS neighbor_id,
                      ROW_NUMBER() OVER (PARTITION BY query_id
                        ORDER BY list_dot_product(vq, c.v) / (nrq * c.nr) DESC, c.vec_id) AS rank
