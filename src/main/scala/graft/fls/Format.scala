@@ -35,12 +35,26 @@ object Format {
     * (/root/reference/src/reader/fls_reader.cpp:430). */
   val BatchSize: Int = VecSize * 2
 
-  /** Logical type tags persisted in the footer. */
+  /** Logical type tags persisted in the footer.
+    *
+    * LIST/STRUCT/MAP are DECLARED placeholder tokens that no code path
+    * materializes — parity with the reference, which declares the same
+    * tokens and equally never produces them
+    * (/root/reference/src/reader/translation_utils.cpp:33-40). Writing
+    * or reading a column at one of these tags fails with an explicit
+    * "declared but not materialized" error instead of an unknown-tag
+    * crash. */
   object TypeTag {
     val BOOLEAN = 0; val INT8 = 1; val INT16 = 2; val INT32 = 3
     val INT64 = 4; val FLOAT = 5; val DOUBLE = 6; val STRING = 7
     val BINARY = 8; val DATE = 9; val TIMESTAMP = 10; val DECIMAL = 11
     val TIMESTAMP_NTZ = 12; val BIG_DECIMAL = 13
+    val LIST = 14; val STRUCT = 15; val MAP = 16
+    def isNestedPlaceholder(tag: Int): Boolean = tag >= LIST && tag <= MAP
+    def name(tag: Int): String = tag match {
+      case LIST => "LIST"; case STRUCT => "STRUCT"; case MAP => "MAP"
+      case other => other.toString
+    }
   }
 
   /** Encoding tokens. Each column segment in each row group carries one;
@@ -91,6 +105,10 @@ object Format {
 
   final case class ColumnType(tag: Int, precision: Int = 0, scale: Int = 0) {
     def toSpark: DataType = tag match {
+      case t if TypeTag.isNestedPlaceholder(t) =>
+        throw new UnsupportedOperationException(
+          s"fls: type token ${TypeTag.name(t)} is declared but not materialized " +
+            "(reference parity: /root/reference/src/reader/translation_utils.cpp:33-40)")
       case TypeTag.BOOLEAN => BooleanType
       case TypeTag.INT8 => ByteType
       case TypeTag.INT16 => ShortType
@@ -128,6 +146,13 @@ object Format {
         ColumnType(TypeTag.DECIMAL, d.precision, d.scale)
       case d: DecimalType =>
         ColumnType(TypeTag.BIG_DECIMAL, d.precision, d.scale)
+      case _: ArrayType | _: StructType | _: MapType =>
+        // the nested tokens exist (TypeTag.LIST/STRUCT/MAP) but are
+        // placeholders — fail at the writer boundary like the reference
+        // (/root/reference/src/writer/fls_view_writer.cpp:92)
+        throw new UnsupportedOperationException(
+          s"fls: nested type $dt is declared but not materialized — " +
+            "flatten or serialize the column before writing")
       case other =>
         throw new UnsupportedOperationException(
           s"fls: unsupported column type $other")

@@ -51,6 +51,36 @@ class FormatSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Format.promote(ColumnType(INT64), ColumnType(DOUBLE)))
   }
 
+  test("nested placeholder tokens round-trip in footers but never materialize") {
+    import TypeTag._
+    // the tags serialize like any other (a catalog can carry them)...
+    val cols = Array(
+      ColumnDesc("l", ColumnType(LIST)),
+      ColumnDesc("s", ColumnType(STRUCT)),
+      ColumnDesc("m", ColumnType(MAP)))
+    val t = TableDesc(cols, Array.empty)
+    val w = new ByteWriter()
+    Format.writeFooter(w, t)
+    val back = Format.readFooter(new ByteReader(w.toArray))
+    assert(back.columns.toSeq == cols.toSeq)
+    // ...but resolving them to a Spark type fails with the explicit
+    // declared-but-not-materialized error, not an unknown-tag crash
+    Seq(LIST, STRUCT, MAP).foreach { tag =>
+      val e = intercept[UnsupportedOperationException](ColumnType(tag).toSpark)
+      assert(e.getMessage.contains("not materialized"), e.getMessage)
+    }
+    assert(isNestedPlaceholder(LIST) && isNestedPlaceholder(MAP) && !isNestedPlaceholder(STRING))
+  }
+
+  test("writer rejects nested Spark types with the placeholder error") {
+    import org.apache.spark.sql.types._
+    Seq(ArrayType(LongType), new StructType().add("x", LongType),
+        MapType(StringType, LongType)).foreach { dt =>
+      val e = intercept[UnsupportedOperationException](ColumnType.fromSpark(dt))
+      assert(e.getMessage.contains("not materialized"), e.getMessage)
+    }
+  }
+
   test("writer abort removes the partial file") {
     val dir = java.nio.file.Files.createTempDirectory("fls-abort")
     val p = new org.apache.hadoop.fs.Path(dir.toString, "x.fls")
