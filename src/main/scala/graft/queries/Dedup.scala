@@ -68,7 +68,7 @@ object Dedup {
     * cost center (same at 100 TB: compute-heavy narrow transforms want
     * max parallelism, and a pre-shuffle of raw text is cheap relative
     * to shingling). */
-  private val shCache = scala.collection.mutable.HashMap[String, DataFrame]()
+  private val shCache = new graft.util.SessionCache
 
   /** Storage level for the shingled-corpus cache. Default spills to
     * disk; set `-Dgraft.dedup.storage=DISK_ONLY` on a cluster where a
@@ -79,20 +79,17 @@ object Dedup {
     org.apache.spark.storage.StorageLevel.fromString(
       sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))
 
-  private val sigCache = scala.collection.mutable.HashMap[String, DataFrame]()
+  private val sigCache = new graft.util.SessionCache
 
-  def unpersistAll(): Unit = shCache.synchronized {
-    (shCache.values ++ grCache.values ++ simCache.values ++ sigCache.values)
-      .foreach(df => try df.unpersist() catch { case _: Throwable => () })
-    shCache.clear()
-    grCache.clear()
-    simCache.clear()
-    sigCache.clear()
+  def unpersistAll(): Unit = {
+    shCache.clearAll()
+    grCache.clearAll()
+    simCache.clearAll()
+    sigCache.clearAll()
   }
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    shCache.synchronized {
-      shCache.getOrElseUpdate(dir,
+    shCache.getOrBuild(spark, dir)(
         t(spark, dir, "documents")
           .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), expr(ShinglesSpark).as("gr"))
@@ -109,22 +106,19 @@ object Dedup {
           // consumed by several plan branches — cache instead of
           // re-shingling per branch
           .persist(storageLevel))
-    }
 
   /** One representative row per distinct shingle set. Persisted like
     * the shingled frame: verifyAndExpand alone references it four
     * times (sizes, both verify sides, self-join), and without caching
     * each reference re-runs the full distinct-set aggregation over the
     * whole corpus. Released by [[unpersistAll]]. */
-  private val grCache = scala.collection.mutable.HashMap[String, DataFrame]()
+  private val grCache = new graft.util.SessionCache
 
   private def groupsOf(spark: SparkSession, dir: String): DataFrame =
-    shCache.synchronized {
-      grCache.getOrElseUpdate(dir,
+    grCache.getOrBuild(spark, dir)(
         shingled(spark, dir)
           .groupBy("ghash").agg(first(col("gr")).as("gr"), first(col("nsh")).as("nsh"))
           .persist(storageLevel))
-    }
 
   /** Dev probe hook (Q21Probe): the distinct-set groups frame. */
   def probeGroups(spark: SparkSession, dir: String): DataFrame =
@@ -242,10 +236,8 @@ object Dedup {
     // persisted (17 narrow columns per distinct set): the bucket
     // self-join references this on both sides, and without the cache
     // each side re-runs the shingle explode + 16 min-aggregates
-    val sig = shCache.synchronized {
-      sigCache.getOrElseUpdate(dir,
-        hashed.groupBy("ghash").agg(minAggs.head, minAggs.tail: _*).persist(storageLevel))
-    }
+    val sig = sigCache.getOrBuild(spark, dir)(
+      hashed.groupBy("ghash").agg(minAggs.head, minAggs.tail: _*).persist(storageLevel))
     val buckets = sig.select(col("ghash"),
       posexplode(array((0 until 16).map(k => col(s"m$k")): _*)).as(Seq("slot", "mh")))
     // Require >= 2 colliding slots: at j=0.8, P(a slot collides) = 0.8,
@@ -292,11 +284,10 @@ object Dedup {
     * not reuse the exchange across the differing projections, so an
     * uncached frame pays the 120-aggregate sweep twice. 16 bytes/doc —
     * cacheable at any corpus size. Released by [[unpersistAll]]. */
-  private val simCache = scala.collection.mutable.HashMap[String, DataFrame]()
+  private val simCache = new graft.util.SessionCache
 
   private def simFingerprints(spark: SparkSession, dir: String): DataFrame =
-    shCache.synchronized {
-      simCache.getOrElseUpdate(dir, {
+    simCache.getOrBuild(spark, dir)({
         val words = t(spark, dir, "documents")
           .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
@@ -314,7 +305,6 @@ object Dedup {
               .reduce(_ + _).as("sim_hi"))
           .persist(storageLevel)
       })
-    }
 
   def q23Simhash(spark: SparkSession, dir: String): DataFrame = {
     val d = simFingerprints(spark, dir)

@@ -18,16 +18,12 @@ object Similarity {
     * assignment), and materializing the normalized corpus once is the
     * similarity-index build step any 100 TB deployment would run
     * anyway. Released by [[unpersistAll]]. */
-  private val vecCache = scala.collection.mutable.HashMap[String, DataFrame]()
+  private val vecCache = new graft.util.SessionCache
 
-  def unpersistAll(): Unit = vecCache.synchronized {
-    vecCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
-    vecCache.clear()
-  }
+  def unpersistAll(): Unit = vecCache.clearAll()
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
-    vecCache.synchronized {
-      vecCache.getOrElseUpdate(dir,
+    vecCache.getOrBuild(spark, dir)(
         t(spark, dir, "embeddings")
           .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
           .select(col("vec_id"), col("label"),
@@ -35,7 +31,6 @@ object Similarity {
           .withColumn("nr", sqrt(GraftFunctions.arrayDot(col("v"), col("v"))))
           .persist(org.apache.spark.storage.StorageLevel.fromString(
             sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
-    }
 
   private val cosExpr = GraftFunctions.arrayDot(col("v_q"), col("v_c"))
 
