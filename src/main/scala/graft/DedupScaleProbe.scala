@@ -1,29 +1,51 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-/** Stress the near-dup operators on a 16x-duplicated corpus (80k docs):
-  * clusters grow 16x so candidate pairs grow ~256x — the adversarial
-  * shape of web-crawl dedup. */
+/** Stress the near-dup operators on an Nx-duplicated corpus (args(0) =
+  * multiplier, default 16 → 80k docs): clusters grow Nx so candidate
+  * pairs grow ~N² — the adversarial shape of web-crawl dedup. Run at
+  * two multipliers (e.g. 4 and 16) to measure a scaling CURVE, not one
+  * point. args(1) = "events" additionally stresses the events-table
+  * operators (hourly aggregation, stateful sessionization) on an
+  * Nx-duplicated user population. */
 object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(16)
+    val withEvents = args.length > 1 && args(1) == "events"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val big = (0 until 16).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
-      .reduce(_ union _)
-    val dir = "/tmp/scale_docs"
-    big.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    println(s"[dedup-scale] corpus rows=${spark.read.parquet(s"$dir/documents.parquet").count()}")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
-      println(f"[dedup-scale] $name%-24s out=$n%-9d ${(System.nanoTime()-t0)/1e9}%.1f s")
+      println(f"[dedup-scale] x$mult%-3d $name%-24s out=$n%-9d ${(System.nanoTime()-t0)/1e9}%.1f s")
     }
+
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val big = (0 until mult).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ union _)
+    val dir = s"/tmp/scale_docs_x$mult"
+    big.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    println(s"[dedup-scale] corpus rows=${spark.read.parquet(s"$dir/documents.parquet").count()}")
     time("q20 exact")(graft.queries.Dedup.q20ExactDedup(spark, dir).count())
     time("q22 minhash-lsh")(graft.queries.Dedup.q22MinhashLsh(spark, dir).count())
     time("q23 simhash")(graft.queries.Dedup.q23Simhash(spark, dir).count())
     time("q21 ngram-jaccard")(graft.queries.Dedup.q21NgramJaccard(spark, dir).count())
+
+    if (withEvents) {
+      // events.ts is parquet TIMESTAMP(NANOS): read as long (the scaled
+      // copy then stores plain INT64 nanos, which the queries handle)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val bigEv = (0 until mult).map(i =>
+        ev.withColumn("user_id", col("user_id") + lit(i * 10000000L))).reduce(_ union _)
+      val evDir = s"/tmp/scale_events_x$mult"
+      bigEv.write.mode("overwrite").parquet(s"$evDir/events.parquet")
+      println(s"[dedup-scale] events rows=${spark.read.parquet(s"$evDir/events.parquet").count()}")
+      time("q12 events-hourly")(graft.queries.Relational.q12EventsHourly(spark, evDir).count())
+      time("q33 sessionize-typed")(graft.queries.Streaming.q33Sessionize(spark, evDir).count())
+    }
+    graft.queries.Dedup.unpersistAll()
     spark.stop()
   }
 }
