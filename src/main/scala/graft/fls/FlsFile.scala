@@ -172,16 +172,27 @@ object FlsFile {
         FlsManifest.statuses(fs, path, entries).sortBy(_.getPath.toString)
       case None =>
         val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
-        def walk(d: Path): Unit =
-          fs.listStatus(d).foreach { s =>
-            val name = s.getPath.getName
-            if (!name.startsWith("_") && !name.startsWith(".")) {
-              if (s.isDirectory) walk(s.getPath)
-              else if (name.endsWith(".fls")) out += s
-            }
-          }
-        walk(path)
+        walkFiles(fs, path, Seq(".fls"))((s, _) => out += s)
         out.sortBy(_.getPath.toString).toSeq
     }
+  }
+
+  /** THE recursive directory walk: visits non-hidden files matching one
+    * of `suffixes` with their dir-relative paths, skipping `_`/`.`
+    * prefixed entries (`_temporary` staging, `_fls_manifest`, `_done`
+    * markers, dotfiles) at every level — the single definition of the
+    * hidden-entry convention, shared by read-side listing and
+    * commit-side cleanup so their visibility can never diverge. */
+  def walkFiles(fs: org.apache.hadoop.fs.FileSystem, dir: Path, suffixes: Seq[String])(
+      visit: (org.apache.hadoop.fs.FileStatus, String) => Unit): Unit = {
+    def walk(d: Path, rel: String): Unit =
+      fs.listStatus(d).foreach { s =>
+        val name = s.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) {
+          if (s.isDirectory) walk(s.getPath, rel + name + "/")
+          else if (suffixes.exists(name.endsWith)) visit(s, rel + name)
+        }
+      }
+    if (fs.exists(dir)) walk(dir, "")
   }
 }

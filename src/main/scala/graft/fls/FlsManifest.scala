@@ -2,7 +2,7 @@ package graft.fls
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path, UnsupportedFileSystemException}
 
 /** Manifest commit for object stores. Rename-based task commit is atomic
   * on HDFS/local but copy+delete on S3-like stores — a visible
@@ -53,9 +53,14 @@ object FlsManifest {
   }
 
   /** Write the manifest atomically: stage under `_temporary/<writeId>`
-    * and rename into place (the manifest is one small file, so even on
-    * stores with copy+delete rename the window is a single PUT). */
-  def write(fs: FileSystem, dir: Path, writeId: String, entries: Seq[Entry]): Unit = {
+    * and rename into place with OVERWRITE semantics (FileContext.rename
+    * is a single atomic replace on local/HDFS — no delete-then-rename
+    * window in which readers see no manifest and fall back to listing a
+    * mid-commit directory; a crash can never leave the table
+    * manifest-less). Stores without FileContext support fall back to
+    * delete+rename, accepting that window. */
+  def write(fs: FileSystem, dir: Path, writeId: String,
+      entries: Seq[Entry], conf: org.apache.hadoop.conf.Configuration): Unit = {
     val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId), FileName)
     val out = fs.create(tmp, true)
     try {
@@ -67,10 +72,16 @@ object FlsManifest {
       }
       out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
-    val dst = manifestPath(dir)
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"fls commit: rename $tmp -> $dst failed")
+    val dst = fs.makeQualified(manifestPath(dir))
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      fc.rename(fs.makeQualified(tmp), dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: UnsupportedFileSystemException =>
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"fls commit: rename $tmp -> $dst failed")
+    }
   }
 
   /** The FileStatus view of the manifest — what listing would have

@@ -290,7 +290,11 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     // appearing between pushdown acceptance and execution can't slip
     // incomparable stats into the result
     case Some(specs) => new FlsAggScan(tableSchema, specs, options, footers)
-    case None => new FlsScan(tableSchema, requiredSchema, pushed, options, limit, topN)
+    // the builder's footer list rides into the scan too: planning reuses
+    // one listing + one partition discovery per query instead of
+    // re-walking the table (at 100k files that re-walk is real driver
+    // time), and pushdown decisions and execution see the same file set
+    case None => new FlsScan(tableSchema, requiredSchema, pushed, options, limit, topN, footers)
   }
 }
 
@@ -311,7 +315,8 @@ class FlsScan(
     filters: Array[Filter],
     options: CaseInsensitiveStringMap,
     limit: Int = -1,
-    topN: Option[FlsTopNSpec] = None)
+    topN: Option[FlsTopNSpec] = None,
+    preFooters: Seq[graft.fls.FlsFooters.Entry] = null)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = requiredSchema
@@ -347,7 +352,8 @@ class FlsScan(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
   private lazy val files: Seq[(Path, TableDesc, Long)] =
-    FlsFooters.list(FlsDataSource.parsePaths(options), hadoopConf)
+    (if (preFooters != null) preFooters
+     else FlsFooters.list(FlsDataSource.parsePaths(options), hadoopConf))
       .map(e => (e.file, e.table, e.fileSize))
 
   /** Hive-partition layout of the listed files (empty keys = flat dir).
@@ -650,27 +656,33 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     val conf = hadoopConf
     val dir = new Path(path)
     dir.getFileSystem(conf).mkdirs(dir)
+    if (!doTruncate) {
+      // appending with a partition layout different from the table's
+      // would silently produce a mixed layout (discovery turns off and
+      // the partition columns vanish, then rows fail to materialize at
+      // read time) — fail here, before any task runs
+      val existing =
+        try graft.fls.FlsFile.listDataStatuses(dir, conf)
+        catch { case _: java.io.FileNotFoundException => Nil }
+      if (existing.nonEmpty) {
+        val disc = FlsPartitioning.discover(Seq(path), existing.map(_.getPath), conf)
+        require(disc.keys == partitionBy,
+          s"fls: append with partition_by=[${partitionBy.mkString(",")}] does not match " +
+            s"the existing table's partition layout [${disc.keys.mkString(",")}] — " +
+            "use the table's own partition columns or overwrite the table")
+      }
+    }
     FlsWriterFactory(path, info.schema(), rowGroupSize, rowGroupsPerFile,
       new SerializableConfiguration(conf), writeId, inlineFooter, transpose,
       partitionBy, maxOpenPartitions, manifestMode)
   }
 
   /** Recursively visit managed (.fls/.fls.footer) files under `dir`
-    * with their dir-relative paths, skipping `_`/`.`-prefixed entries
-    * (the `_temporary` staging tree above all). */
+    * with their dir-relative paths — the same walk (and hidden-entry
+    * convention) the read-side listing uses. */
   private def walkManaged(fs: org.apache.hadoop.fs.FileSystem, dir: Path)(
-      visit: (org.apache.hadoop.fs.FileStatus, String) => Unit): Unit = {
-    def walk(d: Path, rel: String): Unit =
-      fs.listStatus(d).foreach { s =>
-        val name = s.getPath.getName
-        if (!name.startsWith("_") && !name.startsWith(".")) {
-          if (s.isDirectory) walk(s.getPath, rel + name + "/")
-          else if (name.endsWith(".fls") || name.endsWith(".fls.footer"))
-            visit(s, rel + name)
-        }
-      }
-    if (fs.exists(dir)) walk(dir, "")
-  }
+      visit: (org.apache.hadoop.fs.FileStatus, String) => Unit): Unit =
+    graft.fls.FlsFile.walkFiles(fs, dir, Seq(".fls", ".fls.footer"))(visit)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = hadoopConf
@@ -729,7 +741,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
             }
             seeded.toSeq
         }
-      graft.fls.FlsManifest.write(fs, dir, writeId, keptOld ++ newEntries)
+      graft.fls.FlsManifest.write(fs, dir, writeId, keptOld ++ newEntries, conf)
     }
     walkManaged(fs, dir) { (s, rel) =>
       if (!committed.contains(rel)) {

@@ -188,6 +188,10 @@ class FlsPartitionReader(
             val v = raw.trim.toByte
             var i = 0
             while (i < len) { vec.putByte(i, v); i += 1 }
+          case BooleanType =>
+            val v = raw.trim.toBoolean
+            var i = 0
+            while (i < len) { vec.putBoolean(i, v); i += 1 }
           case StringType =>
             val b = raw.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             var i = 0

@@ -114,8 +114,9 @@ object FlsPartitioning {
   private val DateRe = """\d{4}-\d{2}-\d{2}""".r
   private val IntRe = """-?\d{1,19}""".r
 
-  /** Conservative type inference (int → long → date → string); doubles
-    * deliberately stay strings — "1.10" vs "1.1" would not round-trip. */
+  /** Conservative type inference (int → long → date → boolean →
+    * string); doubles deliberately stay strings — "1.10" vs "1.1"
+    * would not round-trip. */
   def inferType(values: Seq[String]): DataType = {
     if (values.isEmpty) return StringType
     if (values.forall(v => IntRe.pattern.matcher(v).matches() &&
@@ -125,6 +126,8 @@ object FlsPartitioning {
     } else if (values.forall(v => DateRe.pattern.matcher(v).matches() &&
         scala.util.Try(java.time.LocalDate.parse(v)).isSuccess)) {
       DateType
+    } else if (values.forall(v => v == "true" || v == "false")) {
+      BooleanType
     } else StringType
   }
 
@@ -139,6 +142,7 @@ object FlsPartitioning {
       case ShortType => raw.trim.toShort
       case ByteType => raw.trim.toByte
       case DateType => java.time.LocalDate.parse(raw.trim).toEpochDay.toInt
+      case BooleanType => raw.trim.toBoolean
       case StringType => raw
       case other =>
         throw new UnsupportedOperationException(s"fls: partition column type $other")
@@ -208,6 +212,7 @@ object FlsPartitioning {
       if (v == null) return Some(false)
       (v, lit) match {
         case (pv: String, _) => litToString(lit).map(_ == pv)
+        case (pv: java.lang.Boolean, l: java.lang.Boolean) => Some(pv == l)
         case _ => cmp(col, lit)(_ == _)
       }
     }
@@ -263,9 +268,14 @@ object FlsPartitioning {
       keys: Seq[String],
       raw: Array[String]): Boolean = {
     if (keys.isEmpty) return true
-    val values: Map[String, Any] = keys.zipWithIndex.map { case (k, i) =>
-      k -> castRaw(raw(i), types.getOrElse(k, StringType))
-    }.toMap
+    // a raw value that doesn't parse at the (possibly user-supplied)
+    // column type makes the file unprunable, never a planning failure —
+    // "can't tell" is always safe
+    val values: Map[String, Any] =
+      try keys.zipWithIndex.map { case (k, i) =>
+        k -> castRaw(raw(i), types.getOrElse(k, StringType))
+      }.toMap
+      catch { case _: Exception => return true }
     filters.forall(f => evalFilter(f, types, values) != Some(false))
   }
 }

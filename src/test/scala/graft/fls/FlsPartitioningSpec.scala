@@ -165,16 +165,56 @@ class FlsPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.select("id", "p").as[(Long, String)].collect().toSeq == Seq((2L, "new")))
   }
 
-  test("mixed flat+partitioned layout disables discovery instead of failing") {
+  test("append with a different partition layout fails loudly, not mixed") {
     val sp = spark; import sp.implicits._
     val dir = s"$tmp/mixed"
     Seq((1L, 1L)).toDF("id", "v").write.format("fls").mode("overwrite").save(dir)
-    Seq((2L, 2L)).toDF("id", "v").write.format("fls").mode("append")
-      .option("partition_by", "v").save(s"$dir")
-    // second write stored v in the path for its own file; the table now
-    // mixes flat and partitioned files → no partition columns, flat read
-    // of the common data columns still works
+    // appending a PARTITIONED write onto a flat table would silently
+    // produce a mixed layout (discovery off, partition values lost) —
+    // the writer must reject it before any task runs
+    val e1 = intercept[Exception] {
+      Seq((2L, 2L)).toDF("id", "v").write.format("fls").mode("append")
+        .option("partition_by", "v").save(dir)
+    }
+    assert(e1.getMessage.contains("partition layout"), e1.getMessage)
+    // ...and the reverse: flat append onto a partitioned table
+    val pdir = s"$tmp/mixed_p"
+    Seq((1L, 1L)).toDF("id", "v").write.format("fls").mode("overwrite")
+      .option("partition_by", "v").save(pdir)
+    val e2 = intercept[Exception] {
+      Seq((2L, 2L)).toDF("id", "v").write.format("fls").mode("append").save(pdir)
+    }
+    assert(e2.getMessage.contains("partition layout"), e2.getMessage)
+    // matching layout still appends fine
+    Seq((3L, 1L)).toDF("id", "v").write.format("fls").mode("append")
+      .option("partition_by", "v").save(pdir)
+    assert(spark.read.format("fls").load(pdir).count() == 2)
+    // original flat table unharmed
+    assert(spark.read.format("fls").load(dir).count() == 1)
+  }
+
+  test("boolean partition values infer BooleanType and round-trip") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/bool_part"
+    Seq((1L, true), (2L, false), (3L, true)).toDF("id", "flag")
+      .repartition(col("flag"))
+      .write.format("fls").mode("overwrite").option("partition_by", "flag").save(dir)
     val back = spark.read.format("fls").load(dir)
-    assert(back.columns.contains("id"))
+    assert(back.schema("flag").dataType == org.apache.spark.sql.types.BooleanType)
+    assert(back.filter(col("flag")).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    import org.apache.spark.sql.sources._
+    assert(planParts(dir, Array(EqualTo("flag", true))).length == 1)
+  }
+
+  test("unparseable partition value under a user schema keeps the file (no planning crash)") {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    // external layout: k=abc, but the user schema types k as INT —
+    // pruning must treat the file as unprunable, not throw
+    assert(FlsPartitioning.mayMatch(Array(EqualTo("k", 1)),
+      Map("k" -> IntegerType), Seq("k"), Array("abc")))
+    // and a type castRaw doesn't support at all
+    assert(FlsPartitioning.mayMatch(Array(EqualTo("k", new java.sql.Timestamp(0))),
+      Map("k" -> TimestampType), Seq("k"), Array("2026-08-12 00:00:00")))
   }
 }
