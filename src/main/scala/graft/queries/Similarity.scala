@@ -20,7 +20,14 @@ object Similarity {
     * anyway. Released by [[unpersistAll]]. */
   private val vecCache = new graft.util.SessionCache
 
-  def unpersistAll(): Unit = vecCache.clearAll()
+  /** Ranked (vec_id, cent_id, ccos, ar) assignment triples per
+    * (dir, nprobe, lloyd): referenced by BOTH the cell materialization
+    * and the probe selection, and Catalyst does not reuse the exchange
+    * across the two differently-filtered references — uncached, the
+    * whole Lloyd subtree (means + two broadcast sweeps) runs twice. */
+  private val rankCache = new graft.util.SessionCache
+
+  def unpersistAll(): Unit = { vecCache.clearAll(); rankCache.clearAll() }
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     vecCache.getOrBuild(spark, dir)(
@@ -130,7 +137,10 @@ object Similarity {
           .select(col("cell").as("cent_id"), col("v_q"), col("nr_q"))
       }
 
-    val r = ranked(cents, math.max(nprobe, 1))
+    val r = rankCache.getOrBuild(spark, s"$dir#$nprobe#$lloyd")(
+      ranked(cents, math.max(nprobe, 1))
+        .persist(org.apache.spark.storage.StorageLevel.fromString(
+          sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
     val cells = r.filter(col("ar") === 1).select(col("vec_id"), col("cent_id").as("cell"))
     val assigned = e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
       .join(cells, Seq("vec_id"))
