@@ -58,6 +58,22 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("ObjectHashAggregate"), s"bounded top-k aggregator missing:\n$p")
   }
 
+  test("partition filter reaches the fls scan (q40)") {
+    val p = plan("q40_fls_partitioned")
+    // the dt filter must be in the scan's pushed set (it prunes whole
+    // directories in planInputPartitions — FlsPartitioningSpec asserts
+    // the zero-partitions-planned property; this guards the pushdown)
+    assert(p.contains("fls scan"), p)
+    assert(p.contains("pushed=[") && p.contains("dt"), s"partition filter not pushed:\n$p")
+  }
+
+  test("string filters reach the fls scan (q41)") {
+    val p = plan("q41_fls_string_filter")
+    assert(p.contains("StringStartsWith(o_orderpriority"),
+      s"prefix filter not pushed:\n$p")
+    assert(p.contains("EqualTo(o_orderstatus"), s"string equality not pushed:\n$p")
+  }
+
   test("no unbounded cartesian products anywhere in the batch query surface") {
     // BroadcastNestedLoopJoin is legitimate ONLY over a broadcast small
     // side (queries/centroids/full-table-by-design in q24); a
