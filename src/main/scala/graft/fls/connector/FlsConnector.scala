@@ -145,7 +145,7 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(readOptions: CaseInsensitiveStringMap): ScanBuilder =
     new FlsScanBuilder(schema, readOptions)
@@ -342,6 +342,13 @@ class FlsScan(
   }
 
   override def toBatch: Batch = this
+
+  /** Streaming read: tail the table directory as a micro-batch stream
+    * (see [[FlsMicroBatchStream]]); pushed filters ride along for
+    * per-batch partition + zone-map pruning. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FlsMicroBatchStream(tableSchema, requiredSchema, filters, options, checkpointLocation)
 
   override def description(): String =
     s"fls scan, pushed=[${filters.mkString(", ")}], cols=[${requiredSchema.fieldNames.mkString(",")}]" +

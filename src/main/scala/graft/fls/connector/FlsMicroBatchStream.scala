@@ -1,0 +1,156 @@
+package graft.fls.connector
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.read.InputPartition
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+import graft.fls._
+
+/** Streaming offset = the id of the last discovered file batch. */
+case class FlsOffset(batchId: Long) extends Offset {
+  override def json(): String = batchId.toString
+}
+
+/** Micro-batch streaming source over an fls table directory — the
+  * continuous-ingestion path a training-data pipeline needs (land
+  * `.fls` files with any fls writer, tail them as a stream). The
+  * reference has no streaming surface at all; this is Spark-native
+  * machinery layered on the same scan internals as the batch path.
+  *
+  * Protocol (the same file-log idea as Spark's FileStreamSource):
+  * `latestOffset` lists the table (manifest-aware — a manifest table
+  * streams without any listing RPC), diffs against every file already
+  * logged, and durably logs the new files as batch `n` under
+  * `<checkpoint>/fls-batches/n` BEFORE returning offset `n` — so a
+  * restarted query can replay any (start, end] range deterministically
+  * from the log (exactly-once), even if discovery raced new files.
+  * Files must be immutable once visible, which both commit modes
+  * guarantee (staged rename / manifest publish).
+  *
+  * Each logged file plans like the batch path: one InputPartition per
+  * row group, descriptors serialized into the partition, partition
+  * columns parsed from the path, pushed filters applied as zone-map +
+  * partition pruning. */
+class FlsMicroBatchStream(
+    tableSchema: StructType,
+    requiredSchema: StructType,
+    filters: Array[Filter],
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+    checkpointLocation: String)
+  extends MicroBatchStream {
+
+  private def hadoopConf: Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+
+  private val paths = FlsDataSource.parsePaths(options)
+  private val logDir = new Path(checkpointLocation, "fls-batches")
+
+  /** (path string of every file in any logged batch, last batch id) —
+    * rebuilt from the durable log at construction, so restarts resume
+    * where the checkpoint left off. */
+  private val seen = mutable.HashSet[String]()
+  private var lastBatch: Long = -1L
+  locally {
+    val fs = logDir.getFileSystem(hadoopConf)
+    if (fs.exists(logDir)) {
+      fs.listStatus(logDir).foreach { st =>
+        scala.util.Try(st.getPath.getName.toLong).toOption.foreach { id =>
+          seen ++= readLog(id)
+          if (id > lastBatch) lastBatch = id
+        }
+      }
+    }
+  }
+
+  private def readLog(id: Long): Seq[String] = {
+    val fs = logDir.getFileSystem(hadoopConf)
+    val p = new Path(logDir, id.toString)
+    val st = fs.getFileStatus(p)
+    val buf = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').filter(_.nonEmpty).toSeq
+  }
+
+  private def writeLog(id: Long, files: Seq[String]): Unit = {
+    val fs = logDir.getFileSystem(hadoopConf)
+    val tmp = new Path(logDir, s".${id}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(logDir, id.toString)))
+      throw new java.io.IOException(s"fls stream: cannot commit batch log $id")
+  }
+
+  override def initialOffset(): Offset = FlsOffset(-1L)
+
+  override def deserializeOffset(json: String): Offset = FlsOffset(json.trim.toLong)
+
+  override def latestOffset(): Offset = {
+    val conf = hadoopConf
+    val current = paths.flatMap(p =>
+      FlsFile.listDataStatuses(new Path(p), conf).map(_.getPath.toString))
+    val fresh = current.filterNot(seen).sorted
+    if (fresh.nonEmpty) {
+      lastBatch += 1
+      writeLog(lastBatch, fresh)
+      seen ++= fresh
+    }
+    FlsOffset(lastBatch)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FlsOffset].batchId
+    val e = end.asInstanceOf[FlsOffset].batchId
+    if (e <= s) return Array.empty
+    val conf = hadoopConf
+    val files = ((s + 1) to e).flatMap(readLog)
+    val footers = FlsFooters.list(files, conf)
+    val bases = paths.map { p =>
+      val hp = new Path(p)
+      hp.getFileSystem(conf).makeQualified(hp)
+    }
+    // partition-column types come from the TABLE schema (fixed at
+    // stream start); values parse per file from its path
+    val partTypes: Map[String, DataType] =
+      tableSchema.fields.map(f => f.name -> f.dataType).toMap
+    val parts = mutable.ArrayBuffer[InputPartition]()
+    footers.zipWithIndex.foreach { case (entry, fileIdx) =>
+      val kvs = FlsPartitioning.valuesFor(bases, entry.file)
+      val pvals = kvs.toMap
+      val keys = kvs.map(_._1)
+      val raw = kvs.map(_._2).toArray
+      val keep = keys.isEmpty || FlsPartitioning.mayMatch(filters,
+        partTypes.filter { case (k, _) => keys.contains(k) }, keys, raw)
+      if (keep) {
+        val table = entry.table
+        val nameToIdx = table.columns.map(_.name).zipWithIndex.toMap
+        var rowStart = 0L
+        table.rowGroups.foreach { rg =>
+          if (FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, filters, rowStart)) {
+            parts += FlsInputPartition(entry.file.toString, rg, table.columns,
+              rowStart, fileIdx, pvals)
+          }
+          rowStart += rg.nTuples
+        }
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new FlsReaderFactory(requiredSchema,
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf),
+      options.getBoolean("string_dictionary", false))
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

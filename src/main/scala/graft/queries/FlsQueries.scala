@@ -225,6 +225,34 @@ object FlsQueries {
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   }
 
+  /** Streaming read of the fls format itself (`readStream.format("fls")`
+    * → FlsMicroBatchStream): tail the table's files as micro-batches
+    * and aggregate — the continuous-ingestion path of a training-data
+    * pipeline, beyond the batch-only reference. Trigger.AvailableNow
+    * drains the full table deterministically, so the batch SQL oracle
+    * is exact. */
+  def q42FlsStream(spark: SparkSession, dir: String): DataFrame = {
+    flsTable(spark, dir, "orders") // materialize the fls copy
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val out = s"/tmp/graft_fls_cache_v2/${key}_orders"
+    val schema = spark.read.format("fls").load(out).schema
+    val agg = spark.readStream.format("fls").schema(schema).load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
+    val name = s"q42mem${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("o_orderstatus")
+  }
+
+  val q42Sql: String = {
+    import graft.util.Tables.{sql => S}
+    s"""SELECT o_orderstatus, count(*) AS n, ${S.sumD6w("o_totalprice", "total")}
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_fls_topk" -> (q38FlsTopK _),
     "q15_fls_tpch_q1" -> (q15FlsTpchQ1 _),
@@ -235,6 +263,7 @@ object FlsQueries {
     "q39_sql_cte_view" -> (q39SqlSurface _),
     "q40_fls_partitioned" -> (q40FlsPartitioned _),
     "q41_fls_string_filter" -> (q41FlsStringFilter _),
+    "q42_fls_stream" -> (q42FlsStream _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -247,5 +276,6 @@ object FlsQueries {
     "q39_sql_cte_view" -> q39Sql,
     "q40_fls_partitioned" -> q40Sql,
     "q41_fls_string_filter" -> q41Sql,
+    "q42_fls_stream" -> q42Sql,
   )
 }
