@@ -55,6 +55,30 @@ object PlanProbe {
       assert(spark.read.format("fls").load(dir)
         .filter(col("id") < 2048).count() == 2048)
     }
+    // manifest mode: the same 512-file table published through
+    // _fls_manifest — file discovery becomes ONE small read instead of
+    // a recursive listing (the object-store planning win)
+    val mdir = "/tmp/fls_plan_probe_manifest"
+    spark.range(0, nFiles.toLong * graft.fls.Format.VecSize)
+      .selectExpr("id", "CAST(id % 1000 AS DOUBLE) AS d", "concat('s', id % 37) AS s")
+      .repartitionByRange(nFiles, col("id"))
+      .write.format("fls").mode("overwrite")
+      .option("row_group_size", graft.fls.Format.VecSize.toString)
+      .option("commit_mode", "manifest")
+      .save(mdir)
+    graft.fls.FlsFooters.clear()
+    timed(s"cold footer list, manifest ($nFiles files)") {
+      assert(graft.fls.FlsFooters.list(Seq(mdir), conf).length == nFiles)
+    }
+    timed("warm footer list, manifest (cached)") {
+      assert(graft.fls.FlsFooters.list(Seq(mdir), conf).length == nFiles)
+    }
+    timed("file discovery only, listing") {
+      assert(graft.fls.FlsFile.listDataFiles(new Path(dir), conf).length == nFiles)
+    }
+    timed("file discovery only, manifest") {
+      assert(graft.fls.FlsFile.listDataFiles(new Path(mdir), conf).length == nFiles)
+    }
     spark.stop()
   }
 }
