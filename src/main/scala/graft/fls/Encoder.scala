@@ -86,9 +86,14 @@ object Encoder {
         if (cmpSlice(b, i, mxI) > 0) mxI = i
         i += 1
       }
-      val mn = truncatePrefix(slice(b, mnI))
-      truncateUpper(slice(b, mxI)) match {
-        case Some(mx) => SegmentDesc(0, 0, 0, hasStats = false, 0, 0, 0, 0, mn, mx)
+      val mnFull = slice(b, mnI); val mxFull = slice(b, mxI)
+      val mn = truncatePrefix(mnFull)
+      truncateUpper(mxFull) match {
+        case Some(mx) => SegmentDesc(0, 0, 0, hasStats = false, 0, 0, 0, 0, mn, mx,
+          // exact = nothing truncated: the stored bounds ARE the true
+          // min/max values, so MIN/MAX aggregates can answer from them
+          byteStatsExact =
+            mnFull.length <= StatPrefixLen && mxFull.length <= StatPrefixLen)
         case None => SegmentDesc(0, 0, 0, hasStats = false, 0, 0, 0, 0)
       }
     case _ => SegmentDesc(0, 0, 0, hasStats = false, 0, 0, 0, 0)

@@ -201,7 +201,8 @@ object Format {
       hasStats: Boolean,
       minLong: Long, maxLong: Long,
       minDouble: Double, maxDouble: Double,
-      minBytes: Array[Byte] = null, maxBytes: Array[Byte] = null) {
+      minBytes: Array[Byte] = null, maxBytes: Array[Byte] = null,
+      byteStatsExact: Boolean = false) {
     def hasByteStats: Boolean = minBytes != null && maxBytes != null
   }
 
@@ -248,8 +249,11 @@ object Format {
         out.writeByte(s.encoding)
         out.writeLong(s.offset)
         out.writeLong(s.length)
-        // flags: bit0 = numeric stats valid, bit1 = byte-prefix stats follow
-        out.writeByte((if (s.hasStats) 1 else 0) | (if (s.hasByteStats) 2 else 0))
+        // flags: bit0 = numeric stats valid, bit1 = byte-prefix stats
+        // follow, bit2 = byte stats are EXACT (untruncated min/max —
+        // usable as aggregate answers, not just pruning bounds)
+        out.writeByte((if (s.hasStats) 1 else 0) | (if (s.hasByteStats) 2 else 0) |
+          (if (s.byteStatsExact) 4 else 0))
         out.writeLong(s.minLong); out.writeLong(s.maxLong)
         out.writeDouble(s.minDouble); out.writeDouble(s.maxDouble)
         if (s.hasByteStats) {
@@ -280,7 +284,8 @@ object Format {
           if ((flags & 2) != 0)
             (in.readBytes(in.readInt()), in.readBytes(in.readInt()))
           else (null, null)
-        SegmentDesc(enc, off, len, (flags & 1) != 0, mnL, mxL, mnD, mxD, mnB, mxB)
+        SegmentDesc(enc, off, len, (flags & 1) != 0, mnL, mxL, mnD, mxD, mnB, mxB,
+          (flags & 4) != 0)
       }
       RowGroupDesc(n, segs)
     }

@@ -44,28 +44,53 @@ class FlsAggScan(
   override def description(): String =
     s"fls metadata-aggregate scan: ${specs.map(s => (s.kind, s.col)).mkString(",")}"
 
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    // compute on the driver; ship the finished values
-    val values: Array[Long] = specs.map {
-      case FlsAggSpec(FlsAggSpec.Count, _) =>
-        tables.map(_.numRows).sum
-      case FlsAggSpec(kind, c) =>
+    // compute on the driver; ship the finished values (longs for the
+    // numeric physical types, bytes for exact string stats)
+    val longs = new Array[Long](specs.length)
+    val bytes = new Array[Array[Byte]](specs.length)
+    specs.zipWithIndex.foreach {
+      case (FlsAggSpec(FlsAggSpec.Count, _), i) =>
+        longs(i) = tables.map(_.numRows).sum
+      case (FlsAggSpec(kind, c), i) =>
         val segs = tables.flatMap { t =>
           val idx = t.columns.indexWhere(_.name == c)
           require(idx >= 0, s"fls agg: column $c missing")
           t.rowGroups.map(_.segments(idx))
         }
-        require(segs.nonEmpty && segs.forall(_.hasStats),
-          s"fls agg: stats unavailable for $c")
-        if (kind == FlsAggSpec.MinCol) segs.map(_.minLong).min else segs.map(_.maxLong).max
-    }.toArray
-    Array(FlsAggPartition(values))
+        val isStr = tableSchema(c).dataType == StringType
+        if (isStr) {
+          require(segs.nonEmpty && segs.forall(s => s.hasByteStats && s.byteStatsExact),
+            s"fls agg: exact string stats unavailable for $c")
+          bytes(i) =
+            if (kind == FlsAggSpec.MinCol) segs.map(_.minBytes).reduce((a, b) => if (cmpBytes(a, b) <= 0) a else b)
+            else segs.map(_.maxBytes).reduce((a, b) => if (cmpBytes(a, b) >= 0) a else b)
+        } else {
+          require(segs.nonEmpty && segs.forall(_.hasStats),
+            s"fls agg: stats unavailable for $c")
+          longs(i) =
+            if (kind == FlsAggSpec.MinCol) segs.map(_.minLong).min else segs.map(_.maxLong).max
+        }
+    }
+    Array(FlsAggPartition(longs, bytes))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
     private val schema = readSchema()
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val vals = partition.asInstanceOf[FlsAggPartition].values
+      val part = partition.asInstanceOf[FlsAggPartition]
+      val vals = part.values
       new PartitionReader[InternalRow] {
         private var emitted = false
         override def next(): Boolean = !emitted && { emitted = true; true }
@@ -79,6 +104,8 @@ class FlsAggScan(
               case ShortType => vals(i).toShort
               case ByteType => vals(i).toByte
               case BooleanType => vals(i) != 0L
+              case StringType =>
+                org.apache.spark.unsafe.types.UTF8String.fromBytes(part.byteValues(i))
               case d: DecimalType => Decimal.createUnsafe(vals(i), d.precision, d.scale)
               case other => throw new IllegalStateException(s"fls agg: bad type $other")
             }
@@ -95,4 +122,5 @@ class FlsAggScan(
   }
 }
 
-case class FlsAggPartition(values: Array[Long]) extends InputPartition
+case class FlsAggPartition(values: Array[Long],
+    byteValues: Array[Array[Byte]]) extends InputPartition

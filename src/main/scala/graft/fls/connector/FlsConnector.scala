@@ -193,9 +193,10 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
 
   /** COUNT(*)/MIN/MAX answered from footer metadata — no data scan.
     * Only for unfiltered, ungrouped aggregates over long-physical
-    * columns (doubles can drop stats on NaN; strings are stats-less,
-    * like the reference). Complete pushdown: the single emitted row IS
-    * the result. */
+    * columns (doubles can drop stats on NaN) and strings with EXACT
+    * byte stats (beyond the reference, which is stats-less on
+    * strings). Complete pushdown: the single emitted row IS the
+    * result. */
   private def planAgg(agg: Aggregation): Option[Seq[FlsAggSpec]] = {
     if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
     val specs = agg.aggregateExpressions().map {
@@ -224,19 +225,28 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     * file stores the column with the SAME ColumnType (scale included) —
     * a union_by_name read can legally mix scales. Checked here, before
     * supportCompletePushDown commits us; a miss falls back to a normal
-    * scan instead of failing at runtime. */
+    * scan instead of failing at runtime.
+    *
+    * Strings push too, when every segment's byte stats are EXACT
+    * (untruncated min/max — a truncated prefix is only a pruning bound,
+    * never an aggregate answer). */
   private def minMaxPushable(name: String): Boolean =
     tableSchema.fields.find(_.name == name).exists { f =>
       scala.util.Try(ColumnType.fromSpark(f.dataType)).toOption
-        .exists(ct => physOf(ct.tag) == Phys.LONG)
+        .exists(ct => physOf(ct.tag) == Phys.LONG || ct.tag == TypeTag.STRING)
     } && footers.nonEmpty &&
       // an all-empty table has no stats to answer from: MIN/MAX over
       // zero rows must fall back to the scan (which yields NULL)
       footers.exists(_.table.rowGroups.nonEmpty) &&
-      Format.uniformColType(footers.map(_.table), name).isDefined &&
-      footers.forall { e =>
-        val idx = e.table.columns.indexWhere(_.name == name)
-        e.table.rowGroups.forall(_.segments(idx).hasStats)
+      Format.uniformColType(footers.map(_.table), name).exists { ct =>
+        val isStr = ct.tag == TypeTag.STRING
+        footers.forall { e =>
+          val idx = e.table.columns.indexWhere(_.name == name)
+          e.table.rowGroups.forall { rg =>
+            val s = rg.segments(idx)
+            if (isStr) s.hasByteStats && s.byteStatsExact else s.hasStats
+          }
+        }
       }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = planAgg(agg).isDefined

@@ -138,6 +138,34 @@ class FlsPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("999.50")) == 0)
   }
 
+  test("string MIN/MAX answers from metadata when byte stats are exact") {
+    val dir = s"$tmp/str_agg"
+    spark.range(0, 5000)
+      .selectExpr("id", "concat('k', lpad(CAST(id AS STRING), 6, '0')) AS k")
+      .repartition(3)
+      .write.format("fls").mode("overwrite").save(dir)
+    val df = spark.read.format("fls").load(dir)
+    val q = df.agg(min("k"), max("k"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata-aggregate"), s"string MIN/MAX pushdown lost:\n$plan")
+    val r = q.collect()(0)
+    assert(r.getString(0) == "k000000" && r.getString(1) == "k004999", r.toString)
+  }
+
+  test("string MIN/MAX falls back when stats are truncated (values > 16 bytes)") {
+    val dir = s"$tmp/str_agg_long"
+    spark.range(0, 500)
+      .selectExpr("id", "concat('long-prefix-value-', lpad(CAST(id AS STRING), 6, '0')) AS k")
+      .write.format("fls").mode("overwrite").save(dir)
+    val df = spark.read.format("fls").load(dir)
+    val q = df.agg(min("k"), max("k"))
+    assert(!q.queryExecution.executedPlan.toString.contains("metadata-aggregate"),
+      "truncated byte stats must NOT answer aggregates")
+    val r = q.collect()(0)
+    assert(r.getString(0) == "long-prefix-value-000000" &&
+      r.getString(1) == "long-prefix-value-000499")
+  }
+
   test("separate-footer mode round-trips; sidecar renamed by the commit protocol") {
     val dir = s"$tmp/sidecar"
     val df = spark.range(0, 5000)

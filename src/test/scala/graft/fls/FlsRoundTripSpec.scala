@@ -281,9 +281,10 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getTimestamp(3).toInstant.getEpochSecond == 0)
     assert(r.getDecimal(4).toPlainString == "4999.75")
 
-    // string min/max and filtered aggregates must NOT push (fall back)
+    // string min/max pushes when byte stats are exact (short values);
+    // the value must still be right either way
     val agg2 = fls.agg(min("s"))
-    assert(!agg2.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(agg2.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
     assert(agg2.collect()(0).getString(0) == "x0")
     val agg3 = fls.filter(col("id") > 10).agg(count(lit(1)))
     assert(!agg3.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
