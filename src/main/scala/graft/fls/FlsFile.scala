@@ -162,7 +162,12 @@ object FlsFile {
     * deterministic planning order. */
   def listDataStatuses(path: Path, conf: Configuration): Seq[org.apache.hadoop.fs.FileStatus] = {
     val fs = path.getFileSystem(conf)
-    val st = fs.getFileStatus(path)
+    // a not-yet-created table lists as empty (a tailing stream started
+    // before its writer is the normal pipeline order); batch reads
+    // still fail clearly via inferSchema's "no .fls files" require
+    val st =
+      try fs.getFileStatus(path)
+      catch { case _: java.io.FileNotFoundException => return Nil }
     if (st.isFile) Seq(st)
     else FlsManifest.read(fs, path) match {
       // manifest table: the manifest IS the file list — no listing RPC,

@@ -677,16 +677,27 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
       // appending with a partition layout different from the table's
       // would silently produce a mixed layout (discovery turns off and
       // the partition columns vanish, then rows fail to materialize at
-      // read time) — fail here, before any task runs
-      val existing =
-        try graft.fls.FlsFile.listDataStatuses(dir, conf)
+      // read time) — fail here, before any task runs. Cost-bounded: one
+      // TOP-LEVEL listStatus decides; the full recursive discovery only
+      // runs when this write or the existing table is partitioned (a
+      // flat append onto a flat 100k-file table must not pay a
+      // recursive walk per write).
+      val fs = dir.getFileSystem(conf)
+      val top =
+        try fs.listStatus(dir).toSeq
         catch { case _: java.io.FileNotFoundException => Nil }
-      if (existing.nonEmpty) {
-        val disc = FlsPartitioning.discover(Seq(path), existing.map(_.getPath), conf)
-        require(disc.keys == partitionBy,
-          s"fls: append with partition_by=[${partitionBy.mkString(",")}] does not match " +
-            s"the existing table's partition layout [${disc.keys.mkString(",")}] — " +
-            "use the table's own partition columns or overwrite the table")
+      val existingPartitioned = top.exists(s =>
+        s.isDirectory && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".") && s.getPath.getName.contains('='))
+      if (partitionBy.nonEmpty || existingPartitioned) {
+        val existing = graft.fls.FlsFile.listDataStatuses(dir, conf)
+        if (existing.nonEmpty) {
+          val disc = FlsPartitioning.discover(Seq(path), existing.map(_.getPath), conf)
+          require(disc.keys == partitionBy,
+            s"fls: append with partition_by=[${partitionBy.mkString(",")}] does not match " +
+              s"the existing table's partition layout [${disc.keys.mkString(",")}] — " +
+              "use the table's own partition columns or overwrite the table")
+        }
       }
     }
     FlsWriterFactory(path, info.schema(), rowGroupSize, rowGroupsPerFile,

@@ -29,8 +29,11 @@ case class FlsOffset(batchId: Long) extends Offset {
   * `<checkpoint>/fls-batches/n` BEFORE returning offset `n` — so a
   * restarted query can replay any (start, end] range deterministically
   * from the log (exactly-once), even if discovery raced new files.
-  * Files must be immutable once visible, which both commit modes
-  * guarantee (staged rename / manifest publish).
+  * Stability: manifest tables only ever list published (immutable)
+  * files; for rename-mode tables, files of a job whose staging tree is
+  * still present are deferred to a later trigger, and a logged file
+  * that a job rollback deleted anyway is skipped with a warning (its
+  * data was never committed).
   *
   * Each logged file plans like the batch path: one InputPartition per
   * row group, descriptors serialized into the partition, partition
@@ -97,7 +100,22 @@ class FlsMicroBatchStream(
     val conf = hadoopConf
     val current = paths.flatMap(p =>
       FlsFile.listDataStatuses(new Path(p), conf).map(_.getPath.toString))
-    val fresh = current.filterNot(seen).sorted
+    // rename-mode caveat: a file is visible at its final name from TASK
+    // commit but deletable until JOB commit (abort rollback, stale-
+    // attempt sweep). While the writing job's staging tree exists, its
+    // files are not yet stable — defer them to a later trigger instead
+    // of durably logging something that may vanish. (Manifest tables
+    // never hit this: only published files list at all.)
+    val inFlight: Set[String] = paths.flatMap { p =>
+      val td = new Path(new Path(p), FlsCommit.TempDirName)
+      try {
+        val fs = td.getFileSystem(conf)
+        fs.listStatus(td).filter(_.isDirectory).map(_.getPath.getName).toSeq
+      } catch { case _: java.io.FileNotFoundException => Nil }
+    }.toSet
+    val fresh = current.filterNot(seen)
+      .filterNot(f => inFlight.exists(w => f.contains(s"-$w-")))
+      .sorted
     if (fresh.nonEmpty) {
       lastBatch += 1
       writeLog(lastBatch, fresh)
@@ -113,6 +131,15 @@ class FlsMicroBatchStream(
     val conf = hadoopConf
     val files = ((s + 1) to e).flatMap(readLog)
     val footers = FlsFooters.list(files, conf)
+    if (footers.length != files.length) {
+      // a logged file vanished: its writing job rolled back after we
+      // listed it (rename-mode window) — its data was never committed,
+      // so skipping it is correct; say so rather than fail the batch
+      val present = footers.map(_.file.toString).toSet
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"fls stream: skipping rolled-back files: " +
+          files.filterNot(present).mkString(", "))
+    }
     val bases = paths.map { p =>
       val hp = new Path(p)
       hp.getFileSystem(conf).makeQualified(hp)

@@ -18,9 +18,15 @@ object FlsQueries {
     * same JVM run (Verify/Bench call queries sequentially). */
   private val done = scala.collection.mutable.HashSet[String]()
 
-  def flsTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+  /** The one definition of the fls cache path scheme — q42 streams the
+    * same directory flsTable materializes. */
+  def flsTablePath(dir: String, table: String): String = {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val out = s"/tmp/graft_fls_cache_v2/${key}_$table"
+    s"/tmp/graft_fls_cache_v2/${key}_$table"
+  }
+
+  def flsTable(spark: SparkSession, dir: String, table: String): DataFrame = {
+    val out = flsTablePath(dir, table)
     synchronized {
       val marker = new java.io.File(s"$out/_done")
       if (!done.contains(out) && !marker.exists()) {
@@ -233,8 +239,7 @@ object FlsQueries {
     * is exact. */
   def q42FlsStream(spark: SparkSession, dir: String): DataFrame = {
     flsTable(spark, dir, "orders") // materialize the fls copy
-    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val out = s"/tmp/graft_fls_cache_v2/${key}_orders"
+    val out = flsTablePath(dir, "orders")
     val schema = spark.read.format("fls").load(out).schema
     val agg = spark.readStream.format("fls").schema(schema).load(out)
       .groupBy(col("o_orderstatus"))
@@ -244,7 +249,13 @@ object FlsQueries {
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name).orderBy("o_orderstatus")
+    // detach the result from the memory-sink view so repeated
+    // invocations (bench passes) don't accumulate catalog entries
+    val res = spark.table(name).orderBy("o_orderstatus")
+    val rows = res.collect()
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      .orderBy("o_orderstatus")
   }
 
   val q42Sql: String = {
