@@ -154,6 +154,23 @@ class FlsPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == 1024)
   }
 
+  test("runtime (DPP-style) filters prune partition files after planning") {
+    import org.apache.spark.sql.sources._
+    val dir = s"$tmp/two_level"
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+    val schema = new FlsDataSource().inferSchema(opts)
+    val builder = new FlsScanBuilder(schema, opts)
+    builder.pushFilters(Array.empty)
+    val scan = builder.build().asInstanceOf[FlsScan]
+    assert(scan.toBatch.planInputPartitions().length == 9)
+    // Spark injects join-derived filters via SupportsRuntimeFiltering
+    // AFTER planning — partition columns must be advertised and prune
+    assert(scan.filterAttributes().map(_.describe()).contains("country"))
+    scan.filter(Array[Filter](In("country", Array[Any]("us"))))
+    assert(scan.toBatch.planInputPartitions().length == 3,
+      "runtime In-filter on a partition column must prune whole files")
+  }
+
   test("truncate-mode overwrite of a partitioned table removes stale partitions") {
     val sp = spark; import sp.implicits._
     val dir = s"$tmp/overwrite"

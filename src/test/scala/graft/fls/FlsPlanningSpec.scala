@@ -353,6 +353,20 @@ class FlsPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("fls").load(dir).count() == 3)
   }
 
+  test("schema evolution: appended files with a new column read via union_by_name") {
+    val dir = s"$tmp/evolve"
+    spark.range(0, 50).selectExpr("id")
+      .write.format("fls").mode("overwrite").save(dir)
+    spark.range(50, 100).selectExpr("id", "id * 2 AS score")
+      .write.format("fls").mode("append").save(dir)
+    val back = spark.read.format("fls").option("union_by_name", "true").load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "score"))
+    assert(back.schema("score").nullable, "column absent from old files must be nullable")
+    assert(back.count() == 100)
+    val r = back.agg(count(col("score")), sum("score")).collect()(0)
+    assert(r.getLong(0) == 50 && r.getLong(1) == (50L until 100L).map(_ * 2).sum)
+  }
+
   test("aggregate over a column absent from one file falls back, no runtime failure") {
     val d1 = s"$tmp/missing_a"
     val d2 = s"$tmp/missing_b"
