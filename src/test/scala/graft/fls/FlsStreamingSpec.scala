@@ -81,6 +81,32 @@ class FlsStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, "a"), (2L, "b"), (3L, "a")))
   }
 
+  test("files of an in-flight rename-mode job are deferred, not logged") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/inflight"
+    val ckpt = s"$tmp/inflight_ckpt"
+    (1L to 20L).toDF("v").coalesce(1).write.format("fls").mode("append").save(dir)
+    // simulate a job mid-commit: one of its files is already renamed to
+    // its final name, but its staging tree still exists (the job could
+    // yet abort and delete that file)
+    val writeId = "dead00d-0000-0000-0000-00000000beef"
+    val src = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".fls")).head
+    val pending = new java.io.File(dir, s"part-00009-$writeId-7-0000.fls")
+    java.nio.file.Files.copy(src.toPath, pending.toPath)
+    val staging = new java.io.File(dir, s"_temporary/$writeId")
+    staging.mkdirs()
+    val schema = spark.read.format("fls").load(dir).schema
+    val r1 = runAvailableNow(dir, ckpt, schema)
+    assert(r1.map(_.getLong(0)).sorted == (1L to 20L),
+      "in-flight job's file must be deferred while its staging tree exists")
+    // job commits: staging tree removed — the file becomes streamable
+    staging.delete()
+    new java.io.File(dir, "_temporary").delete()
+    val r2 = runAvailableNow(dir, ckpt, schema)
+    assert(r2.map(_.getLong(0)).sorted == (1L to 20L),
+      "the file must flow once its job's staging tree is gone")
+  }
+
   test("streaming read of a manifest table sees only published files") {
     val sp = spark; import sp.implicits._
     val dir = s"$tmp/man"
