@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.InputPartition
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
 
@@ -45,7 +45,15 @@ class FlsMicroBatchStream(
     filters: Array[Filter],
     options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
     checkpointLocation: String)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  /** Admission control: cap files per micro-batch so a 100k-file
+    * backfill drains as bounded batches instead of one giant one
+    * (0 = unlimited). Trigger.AvailableNow respects the cap too — it
+    * freezes the file set at prepare time and loops batches until that
+    * set is drained. */
+  private val maxFilesPerTrigger = options.getInt("max_files_per_trigger", 0)
+  private var availableNowTarget: Set[String] = null
 
   private def hadoopConf: Configuration =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
@@ -96,16 +104,17 @@ class FlsMicroBatchStream(
 
   override def deserializeOffset(json: String): Offset = FlsOffset(json.trim.toLong)
 
-  override def latestOffset(): Offset = {
+  /** All currently STABLE files: listed (manifest-aware), excluding
+    * files of rename-mode jobs whose staging tree still exists — a file
+    * is visible at its final name from TASK commit but deletable until
+    * JOB commit (abort rollback, stale-attempt sweep), so it is
+    * deferred to a later trigger instead of durably logged while it may
+    * yet vanish. (Manifest tables never hit this: only published files
+    * list at all.) */
+  private def stableFiles(): Seq[String] = {
     val conf = hadoopConf
     val current = paths.flatMap(p =>
       FlsFile.listDataStatuses(new Path(p), conf).map(_.getPath.toString))
-    // rename-mode caveat: a file is visible at its final name from TASK
-    // commit but deletable until JOB commit (abort rollback, stale-
-    // attempt sweep). While the writing job's staging tree exists, its
-    // files are not yet stable — defer them to a later trigger instead
-    // of durably logging something that may vanish. (Manifest tables
-    // never hit this: only published files list at all.)
     val inFlight: Set[String] = paths.flatMap { p =>
       val td = new Path(new Path(p), FlsCommit.TempDirName)
       try {
@@ -113,9 +122,30 @@ class FlsMicroBatchStream(
         fs.listStatus(td).filter(_.isDirectory).map(_.getPath.getName).toSeq
       } catch { case _: java.io.FileNotFoundException => Nil }
     }.toSet
-    val fresh = current.filterNot(seen)
-      .filterNot(f => inFlight.exists(w => f.contains(s"-$w-")))
-      .sorted
+    current.filterNot(f => inFlight.exists(w => f.contains(s"-$w-")))
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFilesPerTrigger > 0) ReadLimit.maxFiles(maxFilesPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowTarget = stableFiles().toSet
+  }
+
+  override def latestOffset(): Offset = latestOffset(null, ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val current = stableFiles()
+    // AvailableNow drains the file set frozen at prepare time — files
+    // landing mid-drain wait for the next query run
+    val bounded =
+      if (availableNowTarget != null) current.filter(availableNowTarget) else current
+    var fresh = bounded.filterNot(seen).sorted
+    limit match {
+      case m: ReadMaxFiles => fresh = fresh.take(m.maxFiles())
+      case _ => ()
+    }
     if (fresh.nonEmpty) {
       lastBatch += 1
       writeLog(lastBatch, fresh)

@@ -107,6 +107,30 @@ class FlsStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the file must flow once its job's staging tree is gone")
   }
 
+  test("max_files_per_trigger bounds each micro-batch; AvailableNow still drains all") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/ratelimit"
+    val ckpt = s"$tmp/ratelimit_ckpt"
+    (1L to 600L).toDF("v").repartition(6).write.format("fls").mode("append").save(dir)
+    val schema = spark.read.format("fls").load(dir).schema
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("fls").schema(schema)
+      .option("max_files_per_trigger", "2").load(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) batches.incrementAndGet()
+        batch.collect().foreach(r => got.add(r.getLong(0)))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    assert(got.iterator().asScala.toSeq.sorted == (1L to 600L),
+      "every file must drain despite the cap")
+    assert(batches.get() == 3, s"6 files at 2/trigger should take 3 batches, got ${batches.get()}")
+  }
+
   test("streaming read of a manifest table sees only published files") {
     val sp = spark; import sp.implicits._
     val dir = s"$tmp/man"
