@@ -173,21 +173,47 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
 
   override def pruneColumns(required: StructType): Unit = { requiredSchema = required }
 
-  /** Accept every filter for zone-map skipping but return ALL as
+  /** Accept every filter for zone-map skipping and return them as
     * residual so Catalyst re-applies them row-level — mirroring the
     * reference which keeps engine-side pruning on
     * (/root/reference/src/read_fls.cpp:41-42) while the scan also
-    * filters (SURVEY.md §2.A5). Filters over partition columns are also
-    * accepted (any shape whose references are all partition keys) — they
-    * prune whole files/directories in planInputPartitions. */
+    * filters (SURVEY.md §2.A5). Filters over partition columns are
+    * accepted too (any shape whose references are all partition keys) —
+    * they prune whole files/directories in planInputPartitions.
+    *
+    * A partition filter that every file DECIDES (evaluates to a definite
+    * true/false on its path values — partition columns are constant per
+    * file, so a decided-true file satisfies it on every row) is fully
+    * CONSUMED: no residual FilterExec, and — the point — aggregate
+    * pushdown stays available, so `COUNT(*) WHERE dt = ...` answers
+    * from footer metadata over the pruned file set. Any file that
+    * cannot decide (unparseable value, unsupported shape) keeps the
+    * filter residual instead. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    lazy val partKeys: Set[String] = FlsPartitioning.discover(
-      FlsDataSource.parsePaths(options), footers.map(_.file),
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()).keys.toSet
+    lazy val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    lazy val disc = FlsPartitioning.discover(
+      FlsDataSource.parsePaths(options), footers.map(_.file), conf)
+    lazy val partKeys: Set[String] = disc.keys.toSet
     pushed = filters.filter(f => FlsZoneMap.usable(f) ||
       (f.references.nonEmpty && f.references.forall(partKeys.contains)))
-    filters
+    consumedPartFilters = filters.filter { f =>
+      f.references.nonEmpty && f.references.forall(partKeys.contains) &&
+        footers.forall { e =>
+          disc.byFile.get(e.file.toString).exists { raw =>
+            FlsPartitioning.decides(f, partTypesOf(disc), disc.keys, raw)
+          }
+        }
+    }.toSet
+    filters.filterNot(consumedPartFilters)
   }
+
+  private var consumedPartFilters: Set[Filter] = Set.empty
+
+  private def partTypesOf(disc: FlsPartitioning.Discovery): Map[String, DataType] =
+    disc.keys.map { k =>
+      k -> tableSchema.fields.find(_.name == k).map(_.dataType)
+        .getOrElse(disc.inferredTypes(k))
+    }.toMap
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -198,7 +224,10 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     * strings). Complete pushdown: the single emitted row IS the
     * result. */
   private def planAgg(agg: Aggregation): Option[Seq[FlsAggSpec]] = {
-    if (pushed.nonEmpty || agg.groupByExpressions().nonEmpty) return None
+    // fully-consumed partition filters keep metadata aggregates legal:
+    // the agg then runs over exactly the decided-true file subset
+    if (!pushed.forall(consumedPartFilters.contains) ||
+      agg.groupByExpressions().nonEmpty) return None
     val specs = agg.aggregateExpressions().map {
       case _: CountStar => Some(FlsAggSpec(FlsAggSpec.Count, ""))
       case m: Min => m.column() match {
@@ -213,12 +242,35 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
       }
       case _ => None
     }
-    if (specs.forall(_.isDefined)) Some(specs.flatten.toSeq) else None
+    if (!specs.forall(_.isDefined)) return None
+    val flat = specs.flatten.toSeq
+    // MIN/MAX over a fully-pruned (or all-empty) file subset must yield
+    // NULL — only the real scan can produce it (readSchema here is
+    // non-nullable); COUNT over the empty subset is a plain 0 and fine
+    if (flat.exists(_.kind != FlsAggSpec.Count) &&
+      !aggFooters.exists(_.table.rowGroups.nonEmpty)) return None
+    Some(flat)
   }
 
   private lazy val footers: Seq[graft.fls.FlsFooters.Entry] =
     FlsFooters.list(FlsDataSource.parsePaths(options),
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  /** Footer subset a metadata aggregate runs over: the files every
+    * consumed partition filter decided TRUE for. */
+  private def aggFooters: Seq[graft.fls.FlsFooters.Entry] =
+    if (consumedPartFilters.isEmpty) footers
+    else {
+      val disc = FlsPartitioning.discover(
+        FlsDataSource.parsePaths(options), footers.map(_.file),
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      val types = partTypesOf(disc)
+      footers.filter { e =>
+        disc.byFile.get(e.file.toString).exists(raw =>
+          consumedPartFilters.forall(f =>
+            FlsPartitioning.evaluates(f, types, disc.keys, raw) == Some(true)))
+      }
+    }
 
   /** Footer minLong/maxLong are PHYSICAL values (e.g. unscaled decimal
     * digits), so comparing them across files is only sound when every
@@ -299,7 +351,7 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     // are exactly the files the aggregate computes over, so a file
     // appearing between pushdown acceptance and execution can't slip
     // incomparable stats into the result
-    case Some(specs) => new FlsAggScan(tableSchema, specs, options, footers)
+    case Some(specs) => new FlsAggScan(tableSchema, specs, options, aggFooters)
     // the builder's footer list rides into the scan too: planning reuses
     // one listing + one partition discovery per query instead of
     // re-walking the table (at 100k files that re-walk is real driver

@@ -260,6 +260,33 @@ object FlsPartitioning {
     }
   }
 
+  /** Evaluate `f` on one file's partition values: Some(true) = every
+    * row of the file satisfies it (partition values are file-constant),
+    * Some(false) = none does, None = cannot tell. */
+  def evaluates(
+      f: Filter,
+      types: Map[String, DataType],
+      keys: Seq[String],
+      raw: Array[String]): Option[Boolean] = {
+    if (keys.isEmpty) return None
+    val values: Map[String, Any] =
+      try keys.zipWithIndex.map { case (k, i) =>
+        k -> castRaw(raw(i), types.getOrElse(k, StringType))
+      }.toMap
+      catch { case _: Exception => return None }
+    evalFilter(f, types, values)
+  }
+
+  /** True iff the file gives a DEFINITE answer for `f` — the predicate
+    * that lets the scan builder consume a partition filter entirely
+    * (no residual row-level re-check needed). */
+  def decides(
+      f: Filter,
+      types: Map[String, DataType],
+      keys: Seq[String],
+      raw: Array[String]): Boolean =
+    evaluates(f, types, keys, raw).isDefined
+
   /** File survives unless some filter is provably false on its
     * partition values. */
   def mayMatch(

@@ -171,6 +171,40 @@ class FlsPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
       "runtime In-filter on a partition column must prune whole files")
   }
 
+  test("aggregates with decided partition filters answer from metadata") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/two_level"
+    def load = spark.read.format("fls").load(dir)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    // COUNT with an equality partition filter: pure metadata
+    val c1 = load.filter($"country" === "us").agg(count(lit(1)))
+    assert(planOf(c1).contains("metadata-aggregate"), planOf(c1))
+    assert(c1.collect()(0).getLong(0) == sample().filter($"country" === "us").count())
+    // date-range partition filter too
+    val c2 = load.filter($"dt" >= "2026-08-11").agg(count(lit(1)))
+    assert(planOf(c2).contains("metadata-aggregate"), planOf(c2))
+    assert(c2.collect()(0).getLong(0) == sample().filter($"dt" >= "2026-08-11").count())
+    // no-match partition filter: metadata COUNT of zero
+    val c3 = load.filter($"country" === "jp").agg(count(lit(1)))
+    assert(planOf(c3).contains("metadata-aggregate"), planOf(c3))
+    assert(c3.collect()(0).getLong(0) == 0L)
+    // MIN/MAX over the decided-true subset
+    val m1 = load.filter($"country" === "us").agg(min("id"), max("id"))
+    assert(planOf(m1).contains("metadata-aggregate"), planOf(m1))
+    assert(m1.collect()(0).toSeq == Seq(1L, 298L))
+    // MIN over a fully-pruned subset must fall back and yield NULL
+    val m2 = load.filter($"country" === "jp").agg(min("id"))
+    assert(!planOf(m2).contains("metadata-aggregate"), planOf(m2))
+    assert(m2.collect()(0).isNullAt(0))
+    // a data-column filter alongside keeps the aggregate off metadata
+    val c4 = load.filter($"country" === "us" && $"id" > 100).agg(count(lit(1)))
+    assert(!planOf(c4).contains("metadata-aggregate"), planOf(c4))
+    assert(c4.collect()(0).getLong(0) ==
+      sample().filter($"country" === "us" && $"id" > 100).count())
+  }
+
   test("truncate-mode overwrite of a partitioned table removes stale partitions") {
     val sp = spark; import sp.implicits._
     val dir = s"$tmp/overwrite"
