@@ -190,17 +190,15 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     * cannot decide (unparseable value, unsupported shape) keeps the
     * filter residual instead. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    lazy val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
-    lazy val disc = FlsPartitioning.discover(
-      FlsDataSource.parsePaths(options), footers.map(_.file), conf)
-    lazy val partKeys: Set[String] = disc.keys.toSet
+    val partKeys: Set[String] = builderDisc.keys.toSet
     pushed = filters.filter(f => FlsZoneMap.usable(f) ||
       (f.references.nonEmpty && f.references.forall(partKeys.contains)))
+    val types = builderPartTypes
     consumedPartFilters = filters.filter { f =>
       f.references.nonEmpty && f.references.forall(partKeys.contains) &&
         footers.forall { e =>
-          disc.byFile.get(e.file.toString).exists { raw =>
-            FlsPartitioning.decides(f, partTypesOf(disc), disc.keys, raw)
+          builderDisc.byFile.get(e.file.toString).exists { raw =>
+            FlsPartitioning.decides(f, types, builderDisc.keys, raw)
           }
         }
     }.toSet
@@ -209,11 +207,11 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
 
   private var consumedPartFilters: Set[Filter] = Set.empty
 
-  private def partTypesOf(disc: FlsPartitioning.Discovery): Map[String, DataType] =
-    disc.keys.map { k =>
-      k -> tableSchema.fields.find(_.name == k).map(_.dataType)
-        .getOrElse(disc.inferredTypes(k))
-    }.toMap
+  private lazy val builderDisc: FlsPartitioning.Discovery =
+    FlsPartitioning.discover(FlsDataSource.parsePaths(options), footers.map(_.file),
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  private lazy val builderPartTypes: Map[String, DataType] =
+    builderDisc.partTypes(tableSchema)
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -260,16 +258,10 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     * consumed partition filter decided TRUE for. */
   private def aggFooters: Seq[graft.fls.FlsFooters.Entry] =
     if (consumedPartFilters.isEmpty) footers
-    else {
-      val disc = FlsPartitioning.discover(
-        FlsDataSource.parsePaths(options), footers.map(_.file),
-        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-      val types = partTypesOf(disc)
-      footers.filter { e =>
-        disc.byFile.get(e.file.toString).exists(raw =>
-          consumedPartFilters.forall(f =>
-            FlsPartitioning.evaluates(f, types, disc.keys, raw) == Some(true)))
-      }
+    else footers.filter { e =>
+      builderDisc.byFile.get(e.file.toString).exists(raw =>
+        consumedPartFilters.forall(f =>
+          FlsPartitioning.evaluates(f, builderPartTypes, builderDisc.keys, raw) == Some(true)))
     }
 
   /** Footer minLong/maxLong are PHYSICAL values (e.g. unscaled decimal
@@ -356,7 +348,8 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     // one listing + one partition discovery per query instead of
     // re-walking the table (at 100k files that re-walk is real driver
     // time), and pushdown decisions and execution see the same file set
-    case None => new FlsScan(tableSchema, requiredSchema, pushed, options, limit, topN, footers)
+    case None => new FlsScan(tableSchema, requiredSchema, pushed, options, limit, topN,
+      footers, consumedPartFilters.toArray)
   }
 }
 
@@ -378,7 +371,8 @@ class FlsScan(
     options: CaseInsensitiveStringMap,
     limit: Int = -1,
     topN: Option[FlsTopNSpec] = None,
-    preFooters: Seq[graft.fls.FlsFooters.Entry] = null)
+    preFooters: Seq[graft.fls.FlsFooters.Entry] = null,
+    consumedFilters: Array[Filter] = Array.empty)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = requiredSchema
@@ -410,7 +404,8 @@ class FlsScan(
     * per-batch partition + zone-map pruning. */
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FlsMicroBatchStream(tableSchema, requiredSchema, filters, options, checkpointLocation)
+    new FlsMicroBatchStream(tableSchema, requiredSchema, filters, consumedFilters,
+      options, checkpointLocation)
 
   override def description(): String =
     s"fls scan, pushed=[${filters.mkString(", ")}], cols=[${requiredSchema.fieldNames.mkString(",")}]" +
@@ -430,11 +425,7 @@ class FlsScan(
     * carries the user/inferred type), falling back to path inference. */
   private lazy val partDisc: FlsPartitioning.Discovery =
     FlsPartitioning.discover(FlsDataSource.parsePaths(options), files.map(_._1), hadoopConf)
-  private lazy val partTypes: Map[String, DataType] =
-    partDisc.keys.map { k =>
-      k -> tableSchema.fields.find(_.name == k).map(_.dataType)
-        .getOrElse(partDisc.inferredTypes(k))
-    }.toMap
+  private lazy val partTypes: Map[String, DataType] = partDisc.partTypes(tableSchema)
 
   /** Files surviving partition pruning under `fs` (sound: a file is only
     * dropped when some pushed filter is provably false on its partition

@@ -43,6 +43,7 @@ class FlsMicroBatchStream(
     tableSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter],
+    consumedFilters: Array[Filter],
     options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
     checkpointLocation: String)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
@@ -184,8 +185,19 @@ class FlsMicroBatchStream(
       val pvals = kvs.toMap
       val keys = kvs.map(_._1)
       val raw = kvs.map(_._2).toArray
+      val fileTypes = partTypes.filter { case (k, _) => keys.contains(k) }
+      // CONSUMED partition filters have no residual FilterExec behind
+      // them: the batch planner proved every file decides them, but a
+      // file landing mid-stream may not — such a file cannot be
+      // processed correctly at all, so fail loudly instead of emitting
+      // unfiltered rows
+      consumedFilters.foreach { f =>
+        require(FlsPartitioning.evaluates(f, fileTypes, keys, raw).isDefined,
+          s"fls stream: file ${entry.file} cannot decide the consumed partition " +
+            s"filter $f (layout changed mid-stream?) — restart the query or fix the layout")
+      }
       val keep = keys.isEmpty || FlsPartitioning.mayMatch(filters,
-        partTypes.filter { case (k, _) => keys.contains(k) }, keys, raw)
+        fileTypes, keys, raw)
       if (keep) {
         val table = entry.table
         val nameToIdx = table.columns.map(_.name).zipWithIndex.toMap

@@ -83,7 +83,17 @@ object FlsPartitioning {
       keys: Seq[String],
       inferredTypes: Map[String, DataType],
       nullableKeys: Set[String],
-      byFile: Map[String, Array[String]])
+      byFile: Map[String, Array[String]]) {
+    /** THE partition-column type resolution (table schema wins — it
+      * carries the user/inferred type — falling back to path
+      * inference); one definition so builder-side consumption and
+      * scan-side pruning can never disagree. */
+    def partTypes(tableSchema: StructType): Map[String, DataType] =
+      keys.map { k =>
+        k -> tableSchema.fields.find(_.name == k).map(_.dataType)
+          .getOrElse(inferredTypes(k))
+      }.toMap
+  }
 
   /** Parse every file's partition values. All files must agree on the
     * key sequence; any disagreement (or any unpartitioned file) turns
@@ -186,95 +196,121 @@ object FlsPartitioning {
     case _ => None
   }
 
-  /** Evaluate one pushed Filter against a single file's partition
-    * values. Some(false) = provably no row matches (file prunes);
-    * None = can't tell (filter mentions data columns / unsupported
-    * shape) — always safe. */
-  def evalFilter(
+  /** Truth-SET evaluation under SQL three-valued logic. A predicate on
+    * a file's (constant) partition values takes one of the 3VL values
+    * TRUE / FALSE / NULL; when we cannot tell (unsupported shape, data
+    * column, unparseable value) the result is the full set. Tracking
+    * the SET — not a collapsed boolean — is what keeps `Not` sound:
+    * NULL comparisons must stay NULL through negation (Not(NULL) =
+    * NULL, not TRUE), or a consumed `dt != x` filter over a
+    * __HIVE_DEFAULT_PARTITION__ file would return rows SQL excludes. */
+  private final val T = 1
+  private final val F = 2
+  private final val N = 4
+  private final val Any3 = T | F | N
+
+  private def not3(m: Int): Int =
+    (if ((m & T) != 0) F else 0) | (if ((m & F) != 0) T else 0) | (m & N)
+
+  private def and3(a: Int, b: Int): Int = {
+    var out = 0
+    if ((a & F) != 0 || (b & F) != 0) out |= F
+    if ((a & T) != 0 && (b & T) != 0) out |= T
+    if (((a & N) != 0 && (b & (T | N)) != 0) ||
+        ((b & N) != 0 && (a & (T | N)) != 0)) out |= N
+    out
+  }
+
+  private def or3(a: Int, b: Int): Int = {
+    var out = 0
+    if ((a & T) != 0 || (b & T) != 0) out |= T
+    if ((a & F) != 0 && (b & F) != 0) out |= F
+    if (((a & N) != 0 && (b & (F | N)) != 0) ||
+        ((b & N) != 0 && (a & (F | N)) != 0)) out |= N
+    out
+  }
+
+  /** Possible 3VL values of `f` on one file (bitmask of T/F/N). */
+  def evalMask(
       f: Filter,
       types: Map[String, DataType],
-      values: Map[String, Any]): Option[Boolean] = {
+      values: Map[String, Any]): Int = {
 
     def part(col: String): Boolean = types.contains(col)
 
-    def cmp(col: String, lit: Any)(longTest: (Long, Long) => Boolean): Option[Boolean] = {
+    def cmp(col: String, lit: Any)(longTest: (Long, Long) => Boolean): Int = {
       val v = values(col)
-      if (v == null) return Some(false) // SQL comparison with NULL is never true
+      if (v == null || lit == null) return N // SQL comparison with NULL is NULL
       (v, litToLong(lit)) match {
-        case (pv: java.lang.Long, Some(l)) => Some(longTest(pv, l))
-        case (pv: java.lang.Integer, Some(l)) => Some(longTest(pv.longValue(), l))
-        case _ => None
+        case (pv: java.lang.Long, Some(l)) => if (longTest(pv, l)) T else F
+        case (pv: java.lang.Integer, Some(l)) => if (longTest(pv.longValue(), l)) T else F
+        case _ => Any3
       }
     }
 
-    def eq(col: String, lit: Any): Option[Boolean] = {
+    def eq(col: String, lit: Any): Int = {
       val v = values(col)
-      if (v == null) return Some(false)
+      if (v == null || lit == null) return N
       (v, lit) match {
-        case (pv: String, _) => litToString(lit).map(_ == pv)
-        case (pv: java.lang.Boolean, l: java.lang.Boolean) => Some(pv == l)
+        case (pv: String, _) =>
+          litToString(lit).map(l => if (l == pv) T else F).getOrElse(Any3)
+        case (pv: java.lang.Boolean, l: java.lang.Boolean) => if (pv == l) T else F
         case _ => cmp(col, lit)(_ == _)
       }
     }
 
     f match {
-      case And(l, r) =>
-        (evalFilter(l, types, values), evalFilter(r, types, values)) match {
-          case (Some(false), _) | (_, Some(false)) => Some(false)
-          case (Some(true), Some(true)) => Some(true)
-          case _ => None
-        }
-      case Or(l, r) =>
-        (evalFilter(l, types, values), evalFilter(r, types, values)) match {
-          case (Some(true), _) | (_, Some(true)) => Some(true)
-          case (Some(false), Some(false)) => Some(false)
-          case _ => None
-        }
-      case Not(x) => evalFilter(x, types, values).map(!_)
+      case And(l, r) => and3(evalMask(l, types, values), evalMask(r, types, values))
+      case Or(l, r) => or3(evalMask(l, types, values), evalMask(r, types, values))
+      case Not(x) => not3(evalMask(x, types, values))
       case EqualTo(c, v) if part(c) => eq(c, v)
       case EqualNullSafe(c, v) if part(c) =>
-        if (values(c) == null) Some(v == null)
-        else if (v == null) Some(false)
-        else eq(c, v)
+        // null-safe: never NULL-valued
+        if (values(c) == null) { if (v == null) T else F }
+        else if (v == null) F
+        else eq(c, v) match { case N => Any3; case m => m }
       case In(c, vs) if part(c) =>
-        if (vs.isEmpty) Some(false)
-        else {
-          val per = vs.toSeq.map(v => eq(c, v))
-          if (per.exists(_ == Some(true))) Some(true)
-          else if (per.forall(_ == Some(false))) Some(false)
-          else None
-        }
+        // v IN (a, b, ...) == (v = a) OR (v = b) OR ...; empty list is FALSE
+        if (vs.isEmpty) F else vs.map(v => eq(c, v)).reduce(or3)
       case GreaterThan(c, v) if part(c) => cmp(c, v)(_ > _)
       case GreaterThanOrEqual(c, v) if part(c) => cmp(c, v)(_ >= _)
       case LessThan(c, v) if part(c) => cmp(c, v)(_ < _)
       case LessThanOrEqual(c, v) if part(c) => cmp(c, v)(_ <= _)
-      case IsNull(c) if part(c) => Some(values(c) == null)
-      case IsNotNull(c) if part(c) => Some(values(c) != null)
+      case IsNull(c) if part(c) => if (values(c) == null) T else F
+      case IsNotNull(c) if part(c) => if (values(c) != null) T else F
       case StringStartsWith(c, p) if part(c) =>
         values(c) match {
-          case s: String => Some(s.startsWith(p))
-          case null => Some(false)
-          case _ => None
+          case null => N
+          case _ if p == null => N
+          case s: String => if (s.startsWith(p)) T else F
+          case _ => Any3
         }
-      case _ => None
+      case _ => Any3
     }
   }
 
-  /** Evaluate `f` on one file's partition values: Some(true) = every
-    * row of the file satisfies it (partition values are file-constant),
-    * Some(false) = none does, None = cannot tell. */
+  /** Evaluate `f` on one file's partition values. Some(true) = every
+    * row of the file satisfies it; Some(false) = no row does (the
+    * predicate is FALSE or NULL on the file — SQL excludes both);
+    * None = cannot tell. */
   def evaluates(
       f: Filter,
       types: Map[String, DataType],
       keys: Seq[String],
       raw: Array[String]): Option[Boolean] = {
     if (keys.isEmpty) return None
+    // a raw value that doesn't parse at the (possibly user-supplied)
+    // column type is "can't tell", never a planning failure
     val values: Map[String, Any] =
       try keys.zipWithIndex.map { case (k, i) =>
         k -> castRaw(raw(i), types.getOrElse(k, StringType))
       }.toMap
       catch { case _: Exception => return None }
-    evalFilter(f, types, values)
+    evalMask(f, types, values) match {
+      case m if m == T => Some(true)
+      case m if (m & T) == 0 => Some(false)
+      case _ => None
+    }
   }
 
   /** True iff the file gives a DEFINITE answer for `f` — the predicate
@@ -287,22 +323,11 @@ object FlsPartitioning {
       raw: Array[String]): Boolean =
     evaluates(f, types, keys, raw).isDefined
 
-  /** File survives unless some filter is provably false on its
-    * partition values. */
+  /** File survives unless some filter provably excludes every row. */
   def mayMatch(
       filters: Array[Filter],
       types: Map[String, DataType],
       keys: Seq[String],
-      raw: Array[String]): Boolean = {
-    if (keys.isEmpty) return true
-    // a raw value that doesn't parse at the (possibly user-supplied)
-    // column type makes the file unprunable, never a planning failure —
-    // "can't tell" is always safe
-    val values: Map[String, Any] =
-      try keys.zipWithIndex.map { case (k, i) =>
-        k -> castRaw(raw(i), types.getOrElse(k, StringType))
-      }.toMap
-      catch { case _: Exception => return true }
-    filters.forall(f => evalFilter(f, types, values) != Some(false))
-  }
+      raw: Array[String]): Boolean =
+    filters.forall(f => evaluates(f, types, keys, raw) != Some(false))
 }

@@ -205,6 +205,58 @@ class FlsPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
       sample().filter($"country" === "us" && $"id" > 100).count())
   }
 
+  test("three-valued logic: Not over null partition values stays excluded") {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    val t1 = Map[String, DataType]("dt" -> StringType)
+    // NOT(dt = 'x') on a null-dt file: SQL NULL -> row excluded (a
+    // boolean-collapsing evaluator would wrongly invert to true)
+    assert(FlsPartitioning.evaluates(Not(EqualTo("dt", "x")), t1,
+      Seq("dt"), Array[String](null)) == Some(false))
+    // ...but decided-true on a plain mismatch
+    assert(FlsPartitioning.evaluates(Not(EqualTo("dt", "x")), t1,
+      Seq("dt"), Array("y")) == Some(true))
+    // UNKNOWN OR FALSE = UNKNOWN -> still excluded
+    val t2 = Map[String, DataType]("dt" -> StringType, "country" -> StringType)
+    assert(FlsPartitioning.evaluates(
+      Or(Not(EqualTo("dt", "x")), EqualTo("country", "jp")),
+      t2, Seq("dt", "country"), Array[String](null, "us")) == Some(false))
+    // filters over unknown/data columns stay undecided through Not
+    assert(FlsPartitioning.evaluates(Not(EqualTo("body", "z")), t1,
+      Seq("dt"), Array("y")).isEmpty)
+    // IS NULL / null-safe equality decide on the default partition
+    assert(FlsPartitioning.evaluates(IsNull("dt"), t1,
+      Seq("dt"), Array[String](null)) == Some(true))
+    assert(FlsPartitioning.evaluates(EqualNullSafe("dt", null), t1,
+      Seq("dt"), Array[String](null)) == Some(true))
+    assert(FlsPartitioning.evaluates(In("dt", Array[Any]("x", "y")), t1,
+      Seq("dt"), Array[String](null)) == Some(false))
+  }
+
+  test("externally-written default partition: negated filters exclude null rows") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/defpart"
+    // build a hive layout by hand (our writer rejects NULL partition
+    // values; external tools emit __HIVE_DEFAULT_PARTITION__)
+    Seq((1L, 10L)).toDF("id", "v").coalesce(1)
+      .write.format("fls").mode("overwrite").save(s"$dir/k=a")
+    Seq((2L, 20L)).toDF("id", "v").coalesce(1)
+      .write.format("fls").mode("overwrite").save(s"$dir/k=b")
+    Seq((3L, 30L)).toDF("id", "v").coalesce(1)
+      .write.format("fls").mode("overwrite")
+      .save(s"$dir/k=${FlsPartitioning.DefaultPartitionName}")
+    val back = spark.read.format("fls").load(dir)
+    assert(back.schema("k").nullable)
+    // SQL: NOT(k = 'a') excludes the NULL partition too
+    assert(back.filter(!(col("k") === "a")).select("id").as[Long].collect().toSeq
+      == Seq(2L))
+    assert(back.filter(col("k").isNull).select("id").as[Long].collect().toSeq
+      == Seq(3L))
+    // metadata COUNT with a decided filter stays exact across the nulls
+    val c = back.filter(col("k") === "b").agg(count(lit(1)))
+    assert(c.collect()(0).getLong(0) == 1L)
+  }
+
   test("truncate-mode overwrite of a partitioned table removes stale partitions") {
     val sp = spark; import sp.implicits._
     val dir = s"$tmp/overwrite"
