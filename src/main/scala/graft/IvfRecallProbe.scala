@@ -9,11 +9,27 @@ import org.apache.spark.sql.functions._
   * centroids). */
 object IvfRecallProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional multiplier: duplicate the corpus Nx (shifted ids) to
+    // measure the IVF scaling curve — cells grow as √n, so cost per
+    // query should grow sublinearly
+    val mult = args.drop(1).headOption.map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val dir =
+      if (mult <= 1) base
+      else {
+        val e = spark.read.parquet(s"$base/embeddings.parquet")
+        val big = (0 until mult).map(i =>
+          e.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))).reduce(_ union _)
+        val d = s"/tmp/scale_emb_x$mult"
+        big.write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+        println(s"[ivf-recall] corpus x$mult rows=" +
+          spark.read.parquet(s"$d/embeddings.parquet").count())
+        d
+      }
 
     val exact = graft.queries.Similarity.q25BruteTopK(spark, dir)
       .filter(col("rank") <= 5)
