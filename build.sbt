@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `runMain` output is normally routed through sbt's logger,
+// which prefixes every line with "[info] " — that prefix has broken
+// the driver's last-line JSON parse of Bench output three rounds
+// running. StdoutOutput passes the child's stdout through verbatim,
+// and showSuccess drops the trailing "[success] Total time" line, so
+// the bare JSON really is the final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
