@@ -822,8 +822,25 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     }
     if (!manifestMode)
       // a rename-mode write over a former manifest table reverts it to
-      // listing mode — a stale manifest must not shadow the new files
-      graft.fls.FlsManifest.delete(fs, dir)
+      // listing mode — a stale manifest must not shadow the new files.
+      // But files a crashed manifest-mode job left behind at final names
+      // were only invisible BECAUSE the manifest did not vouch for them
+      // (partial files would fail footer parsing; complete-but-
+      // uncommitted files would silently add rows once listing becomes
+      // the source of truth) — so sweep everything the old manifest
+      // doesn't name before deleting it. Sidecar footers are vouched
+      // for by their data file (the manifest names only `.fls`).
+      graft.fls.FlsManifest.read(fs, dir).foreach { old =>
+        val named = old.map(_.rel).toSet
+        def vouched(rel: String): Boolean =
+          named.contains(rel) ||
+            (rel.endsWith(".footer") && named.contains(rel.stripSuffix(".footer")))
+        walkManaged(fs, dir) { (s, rel) =>
+          if (!vouched(rel) && !committed.contains(rel))
+            try fs.delete(s.getPath, false) catch { case _: Throwable => () }
+        }
+        graft.fls.FlsManifest.delete(fs, dir)
+      }
     FlsCommit.removeStaging(fs, dir, writeId)
     FlsCommit.sweepOrphans(fs, dir, writeId, stagingTtlMs)
   }

@@ -180,6 +180,7 @@ class FlsDataWriter(
         writer.writeRowGroup(builders.map(_.result()))
         builders.foreach(_.clear())
         rowsInGroup = 0
+        maybeHeartbeat()
         if (rowGroupsPerFile > 0 && writer.numRowGroups >= rowGroupsPerFile)
           closeWriter()
       }
@@ -192,6 +193,27 @@ class FlsDataWriter(
     def abortOpen(): Unit =
       if (writer != null) { writer.abort(); writer = null }
   }
+
+  /** Orphan-sweep liveness: a long-running task (> staging TTL) must not
+    * have its staging tree GC'd out from under it by another job's
+    * commit, so the writer touches a `.heartbeat` file in its attempt
+    * dir (throttled) as it flushes row groups — `sweepOrphans` only
+    * deletes trees whose NEWEST subtree mtime is past the TTL. Direct
+    * (manifest) mode writes no staged files, so it needs no heartbeat. */
+  private val hbIntervalMs =
+    conf.getLong("graft.fls.heartbeat.interval.ms", 5 * 60 * 1000L)
+  private var lastHb = 0L
+  private def maybeHeartbeat(): Unit =
+    if (!directWrite) {
+      val now = System.currentTimeMillis()
+      if (now - lastHb >= hbIntervalMs) {
+        lastHb = now
+        try {
+          val fs = tempDir.getFileSystem(conf)
+          fs.create(new Path(tempDir, ".heartbeat"), true).close()
+        } catch { case _: Throwable => () }
+      }
+    }
 
   private val buckets = scala.collection.mutable.LinkedHashMap[String, Bucket]()
 
@@ -286,10 +308,14 @@ object FlsCommit {
   }
 
   /** GC staging subtrees orphaned by drivers that crashed before
-    * commit/abort: any `_temporary/<otherWriteId>` older than `ttlMs`
-    * is assumed dead and removed (a live job older than the TTL would
-    * break — the TTL is a writer option, default 24 h, for exactly that
-    * reason). Called from job commit, so the sweep rides an existing
+    * commit/abort: any `_temporary/<otherWriteId>` with no write
+    * activity for `ttlMs` is assumed dead and removed. "No activity"
+    * means the NEWEST mtime anywhere in the subtree is past the TTL —
+    * writers touch a throttled `.heartbeat` file as they flush
+    * (`FlsDataWriter.maybeHeartbeat`), so a legitimately long-running
+    * job (> TTL wall-clock) keeps its tree fresh and is never swept,
+    * unlike a pure top-level-mtime check. Swept trees are logged
+    * loudly. Called from job commit, so the sweep rides an existing
     * driver-side RPC window rather than adding one to the read path. */
   def sweepOrphans(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
       ownWriteId: String, ttlMs: Long): Unit = {
@@ -298,10 +324,31 @@ object FlsCommit {
       if (!fs.exists(root)) return
       val cutoff = System.currentTimeMillis() - ttlMs
       fs.listStatus(root).foreach { s =>
-        if (s.getPath.getName != ownWriteId && s.getModificationTime < cutoff)
-          try fs.delete(s.getPath, true) catch { case _: Throwable => () }
+        if (s.getPath.getName != ownWriteId && s.getModificationTime < cutoff &&
+            newestMtime(fs, s.getPath) < cutoff) {
+          try {
+            fs.delete(s.getPath, true)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"fls: swept orphaned staging tree ${s.getPath} — no write " +
+                s"activity (incl. heartbeats) for over $ttlMs ms; if that job " +
+                "was alive, raise the staging_ttl_hours writer option")
+          } catch { case _: Throwable => () }
+        }
       }
     } catch { case _: Throwable => () }
+  }
+
+  /** Newest modification time anywhere under `p`; Long.MaxValue when the
+    * subtree cannot be inspected (never sweep what we cannot see). */
+  private def newestMtime(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long = {
+    var mx = 0L
+    try {
+      fs.listStatus(p).foreach { s =>
+        mx = math.max(mx, s.getModificationTime)
+        if (s.isDirectory) mx = math.max(mx, newestMtime(fs, s.getPath))
+      }
+    } catch { case _: Throwable => mx = Long.MaxValue }
+    mx
   }
 }
 

@@ -62,21 +62,64 @@ class FlsMicroBatchStream(
   private val paths = FlsDataSource.parsePaths(options)
   private val logDir = new Path(checkpointLocation, "fls-batches")
 
-  /** (path string of every file in any logged batch, last batch id) —
-    * rebuilt from the durable log at construction, so restarts resume
-    * where the checkpoint left off. */
-  private val seen = mutable.HashSet[String]()
+  /** Every `log_compact_interval` committed batches the per-batch log
+    * files ≤ the committed watermark collapse into one `<id>.compact`
+    * file (Spark never replans a committed batch, so per-batch replay
+    * granularity is only needed ABOVE the watermark) — without this,
+    * restart latency and log-file count grow with every batch ever run.
+    * At the same time, `seen` entries whose files are BOTH gone from
+    * the table AND older than `log_expire_ms` age out, bounding driver
+    * memory by (current table files + recent churn) instead of every
+    * file ever ingested. Safe because fls writer file names are
+    * attempt-unique — a deleted file's name cannot legitimately recur
+    * (an external writer that reuses a deleted file's exact name within
+    * the expire window is the documented exclusion). */
+  private val compactInterval = options.getInt("log_compact_interval", 10)
+  private val expireMs = options.getLong("log_expire_ms", 7L * 24 * 3600 * 1000)
+  private val CompactSuffix = ".compact"
+
+  /** path → first-seen ms, for every file in any logged batch; rebuilt
+    * from the latest compact file + the per-batch logs above it at
+    * construction, so restarts resume where the checkpoint left off. */
+  private val seen = mutable.HashMap[String, Long]()
   private var lastBatch: Long = -1L
+  private var lastCompact: Long = -1L
   locally {
     val fs = logDir.getFileSystem(hadoopConf)
     if (fs.exists(logDir)) {
-      fs.listStatus(logDir).foreach { st =>
+      val (compacts, logs) = fs.listStatus(logDir).partition(
+        _.getPath.getName.endsWith(CompactSuffix))
+      compacts.foreach { st =>
+        val n = st.getPath.getName.stripSuffix(CompactSuffix)
+        scala.util.Try(n.toLong).toOption.foreach { id =>
+          if (id > lastCompact) lastCompact = id
+          if (id > lastBatch) lastBatch = id
+          readCompact(st.getPath).foreach { case (p, ts) =>
+            if (!seen.contains(p)) seen(p) = ts
+          }
+        }
+      }
+      logs.foreach { st =>
         scala.util.Try(st.getPath.getName.toLong).toOption.foreach { id =>
-          seen ++= readLog(id)
+          val ts = st.getModificationTime
+          readLog(id).foreach(p => if (!seen.contains(p)) seen(p) = ts)
           if (id > lastBatch) lastBatch = id
         }
       }
     }
+  }
+
+  private def readCompact(p: Path): Seq[(String, Long)] = {
+    val fs = p.getFileSystem(hadoopConf)
+    val st = fs.getFileStatus(p)
+    val buf = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').filter(_.nonEmpty).toSeq.map { l =>
+        val tab = l.indexOf('\t')
+        (l.substring(tab + 1), l.substring(0, tab).toLong)
+      }
   }
 
   private def readLog(id: Long): Seq[String] = {
@@ -142,7 +185,7 @@ class FlsMicroBatchStream(
     // landing mid-drain wait for the next query run
     val bounded =
       if (availableNowTarget != null) current.filter(availableNowTarget) else current
-    var fresh = bounded.filterNot(seen).sorted
+    var fresh = bounded.filterNot(seen.contains).sorted
     limit match {
       case m: ReadMaxFiles => fresh = fresh.take(m.maxFiles())
       case _ => ()
@@ -150,7 +193,8 @@ class FlsMicroBatchStream(
     if (fresh.nonEmpty) {
       lastBatch += 1
       writeLog(lastBatch, fresh)
-      seen ++= fresh
+      val now = System.currentTimeMillis()
+      fresh.foreach(f => seen(f) = now)
     }
     FlsOffset(lastBatch)
   }
@@ -219,7 +263,54 @@ class FlsMicroBatchStream(
       new org.apache.spark.util.SerializableConfiguration(hadoopConf),
       options.getBoolean("string_dictionary", false))
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[FlsOffset].batchId
+    if (e >= 0 && compactInterval > 0 && e - lastCompact >= compactInterval)
+      compact(e)
+  }
+
+  /** Collapse batch logs ≤ the committed watermark `end` into one
+    * `<end>.compact` file and age out dead `seen` entries. Crash-safe
+    * at every prefix: the compact publishes by atomic rename BEFORE any
+    * log is deleted, so a crash mid-compaction only leaves redundant
+    * files the next compaction removes. */
+  private def compact(end: Long): Unit = {
+    val conf = hadoopConf
+    val fs = logDir.getFileSystem(conf)
+    val now = System.currentTimeMillis()
+    // retention: every file still present in the table MUST stay (or it
+    // would be re-ingested as fresh); entries of files no longer listed
+    // stay only within the expire window (robustness to listing blips),
+    // then age out. An unlistable table keeps everything — never trade
+    // exactly-once for memory on an error.
+    val listed: Set[String] =
+      try paths.flatMap(p =>
+        FlsFile.listDataStatuses(new Path(p), conf).map(_.getPath.toString)).toSet
+      catch { case _: Throwable => null }
+    val retained = seen.toSeq.filter { case (p, ts) =>
+      listed == null || listed.contains(p) || now - ts < expireMs
+    }
+    val tmp = new Path(logDir, s".$end$CompactSuffix.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(retained.map { case (p, ts) => s"$ts\t$p" }
+      .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(logDir, s"$end$CompactSuffix")))
+      throw new java.io.IOException(s"fls stream: cannot publish compact log $end")
+    // committed batches never replan — their per-batch logs (and any
+    // superseded compact) can go
+    fs.listStatus(logDir).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        scala.util.Try(n.toLong).toOption.exists(_ <= end) ||
+          (n.endsWith(CompactSuffix) &&
+            scala.util.Try(n.stripSuffix(CompactSuffix).toLong).toOption.exists(_ < end))
+      if (stale) try fs.delete(st.getPath, false) catch { case _: Throwable => () }
+    }
+    lastCompact = end
+    seen.clear()
+    retained.foreach { case (p, ts) => seen(p) = ts }
+  }
 
   override def stop(): Unit = ()
 }

@@ -183,6 +183,52 @@ class FlsCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLongs(dir) == (201L to 220L))
     assert(!new java.io.File(dir, FlsCommit.TempDirName).exists())
   }
+
+  test("writer touches a staging heartbeat as it flushes row groups") {
+    val dir = Files.createTempDirectory("fls-spec-hb").toString
+    val conf = spark.sessionState.newHadoopConf()
+    conf.setLong("graft.fls.heartbeat.interval.ms", 0L) // every flush
+    val w = new FlsDataWriter(dir, schema, rowGroupSize = 64,
+      rowGroupsPerFile = 0, conf, "part-00000-hbjob", "hbjob/attempt-0-1")
+    (1L to 64L).foreach(i => w.write(row(i))) // exactly one flushed group
+    val hb = new java.io.File(
+      s"$dir/${FlsCommit.TempDirName}/hbjob/attempt-0-1/.heartbeat")
+    assert(hb.exists(), "no heartbeat after a row-group flush")
+    w.abort()
+  }
+
+  test("orphan sweep spares trees with fresh activity; sweeps truly dead ones") {
+    val dir = Files.createTempDirectory("fls-spec-sweep").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val old = System.currentTimeMillis() - 10 * 60 * 1000L
+    def mk(writeId: String): Path = {
+      val attempt = new Path(new Path(new Path(root, FlsCommit.TempDirName), writeId), "attempt-0-1")
+      fs.mkdirs(attempt)
+      fs.create(new Path(attempt, "data.fls"), true).close()
+      attempt
+    }
+    def ageTree(p: Path): Unit = { // make every mtime past the TTL
+      fs.listStatus(p).foreach { s =>
+        if (s.isDirectory) ageTree(s.getPath)
+        fs.setTimes(s.getPath, old, -1)
+      }
+      fs.setTimes(p, old, -1)
+    }
+    val liveAttempt = mk("livejob")
+    val deadAttempt = mk("deadjob")
+    ageTree(new Path(new Path(root, FlsCommit.TempDirName), "livejob"))
+    ageTree(new Path(new Path(root, FlsCommit.TempDirName), "deadjob"))
+    // the live job's writer heartbeats while it runs — only that file is fresh
+    fs.create(new Path(liveAttempt, ".heartbeat"), true).close()
+
+    FlsCommit.sweepOrphans(fs, root, "ownjob", ttlMs = 60 * 1000L)
+    assert(fs.exists(liveAttempt),
+      "a >TTL-old tree with a fresh heartbeat was swept — long-running job lost")
+    assert(!fs.exists(deadAttempt.getParent),
+      "a tree with no activity past the TTL must be swept")
+  }
 }
 
 /** Test-only handle that drives a real writer for (partitionId, taskId)

@@ -156,6 +156,37 @@ class FlsManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLongs(dir) == (21L to 30L))
   }
 
+  test("rename-mode append over a manifest table sweeps manifest-shadowed junk") {
+    val dir = Files.createTempDirectory("fls-man-revert-junk").toString
+    val sp = spark; import sp.implicits._
+    (1L to 10L).toDF("v").coalesce(1).write.format("fls")
+      .mode("overwrite").option("commit_mode", "manifest").save(dir)
+    // a crashed manifest-mode job's leftovers, invisible ONLY because
+    // the manifest doesn't name them: a complete-but-uncommitted data
+    // file (valid fls bytes) and a partial file (garbage bytes)
+    val side = Files.createTempDirectory("fls-man-junk-src").toString
+    (991L to 999L).toDF("v").coalesce(1).write.format("fls").mode("append").save(side)
+    val src = new java.io.File(side).listFiles().filter(_.getName.endsWith(".fls")).head
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(dir, "part-00000-crashedjob-77.fls").toPath)
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00001-crashedjob-77.fls").toPath,
+      Array.fill[Byte](100)(0x42))
+    assert(readLongs(dir) == (1L to 10L), "manifest must hide the junk")
+
+    // rename-mode APPEND reverts to listing mode: the junk must be
+    // swept, or listing readers would crash on the partial file and
+    // silently count the uncommitted rows
+    (11L to 20L).toDF("v").write.format("fls").mode("append").save(dir)
+    val p = new Path(dir)
+    assert(FlsManifest.read(p.getFileSystem(spark.sessionState.newHadoopConf()), p).isEmpty)
+    assert(!new java.io.File(dir, "part-00000-crashedjob-77.fls").exists(),
+      "uncommitted complete file survived the revert to listing mode")
+    assert(!new java.io.File(dir, "part-00001-crashedjob-77.fls").exists(),
+      "partial file survived the revert to listing mode")
+    assert(readLongs(dir) == (1L to 20L))
+  }
+
   test("manifest composes with hive partitioning and partition pruning") {
     val dir = Files.createTempDirectory("fls-man-part").toString
     val sp = spark; import sp.implicits._

@@ -32,9 +32,10 @@ class FlsStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Run to completion with AvailableNow, collecting every emitted row
     * (foreachBatch — the memory sink cannot recover from a checkpoint). */
   private def runAvailableNow(dir: String, ckpt: String,
-      schema: org.apache.spark.sql.types.StructType): Seq[org.apache.spark.sql.Row] = {
+      schema: org.apache.spark.sql.types.StructType,
+      opts: Map[String, String] = Map.empty): Seq[org.apache.spark.sql.Row] = {
     val got = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    val q = spark.readStream.format("fls").schema(schema).load(dir)
+    val q = spark.readStream.format("fls").schema(schema).options(opts).load(dir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         batch.collect().foreach(got.add)
@@ -143,5 +144,79 @@ class FlsStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val schema = spark.read.format("fls").load(dir).schema
     val got = runAvailableNow(dir, ckpt, schema)
     assert(got.map(_.getLong(0)).sorted == (1L to 50L))
+  }
+
+  private def logFiles(ckpt: String): Seq[String] = {
+    val d = new java.io.File(s"$ckpt/sources/0/fls-batches")
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .map(_.getName).filterNot(_.startsWith(".")).sorted
+  }
+
+  test("batch log compacts at the committed watermark; restarts resume from the compact") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/compact"
+    val ckpt = s"$tmp/compact_ckpt"
+    (1L to 90L).toDF("v").repartition(3).write.format("fls").mode("append").save(dir)
+    val schema = spark.read.format("fls").load(dir).schema
+    val opts = Map("max_files_per_trigger" -> "1", "log_compact_interval" -> "1")
+    val r1 = runAvailableNow(dir, ckpt, schema, opts)
+    assert(r1.map(_.getLong(0)).sorted == (1L to 90L))
+    // 3 batches ran; Spark commits batch n at the start of batch n+1,
+    // so batches 0 and 1 compacted (interval 1) and only the LAST
+    // batch's log can remain uncompacted — the log never grows with
+    // batch count, which is the point
+    def checkBounded(): Unit = {
+      val names = logFiles(ckpt)
+      val (compacts, numerics) = names.partition(_.endsWith(".compact"))
+      assert(compacts.size == 1, s"exactly one compact must survive, got $names")
+      val cid = compacts.head.stripSuffix(".compact").toLong
+      assert(numerics.forall(_.toLong > cid),
+        s"logs at or below the compact watermark must be deleted, got $names")
+      assert(numerics.size <= 1,
+        s"only the last (uncommitted-to-source) batch log may remain, got $names")
+    }
+    checkBounded()
+
+    // a restart on the compacted checkpoint must NOT re-ingest anything…
+    val r2 = runAvailableNow(dir, ckpt, schema, opts)
+    assert(r2.isEmpty, "compacted checkpoint re-ingested already-processed files")
+    // …and must still pick up genuinely new files
+    (91L to 120L).toDF("v").coalesce(1).write.format("fls").mode("append").save(dir)
+    val r3 = runAvailableNow(dir, ckpt, schema, opts)
+    assert(r3.map(_.getLong(0)).sorted == (91L to 120L))
+    checkBounded()
+  }
+
+  test("seen entries of deleted files age out at compaction; live files never do") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/expire"
+    val ckpt = s"$tmp/expire_ckpt"
+    (1L to 40L).toDF("v").repartition(2).write.format("fls").mode("append").save(dir)
+    val schema = spark.read.format("fls").load(dir).schema
+    // expire 0: only "still listed in the table" keeps an entry alive
+    val opts = Map("log_compact_interval" -> "1", "log_expire_ms" -> "0")
+    assert(runAvailableNow(dir, ckpt, schema, opts).size == 40)
+    val Array(victim, survivor) =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".fls")).take(2)
+    assert(victim.delete())
+    (41L to 60L).toDF("v").coalesce(1).write.format("fls").mode("append").save(dir)
+    // the run's first new batch triggers the deferred commit of batch 0,
+    // which compacts: the deleted file's entry must age out (expire 0,
+    // not listed), the surviving live file's must stay (listed)
+    val r2 = runAvailableNow(dir, ckpt, schema, opts)
+    assert(r2.map(_.getLong(0)).sorted == (41L to 60L),
+      "surviving live file was re-ingested or new file missed")
+    val compactEntries = {
+      val f = new java.io.File(s"$ckpt/sources/0/fls-batches")
+        .listFiles().filter(_.getName.endsWith(".compact")).head
+      new String(java.nio.file.Files.readAllBytes(f.toPath))
+        .split('\n').filter(_.nonEmpty).toSeq.map(_.split('\t')(1))
+    }
+    assert(!compactEntries.exists(_.endsWith(victim.getName)),
+      "deleted file's seen entry survived compaction with expire=0")
+    assert(compactEntries.exists(_.endsWith(survivor.getName)),
+      "live file's seen entry must survive compaction")
+    // and the survivor really is not re-ingested on a further run
+    assert(runAvailableNow(dir, ckpt, schema, opts).isEmpty)
   }
 }

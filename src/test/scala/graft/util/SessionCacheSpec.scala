@@ -34,4 +34,21 @@ class SessionCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a different session must rebuild, not receive a foreign frame")
     cache.clearAll()
   }
+
+  test("two live sessions over the same dir do not evict each other") {
+    val cache = new SessionCache
+    var builds = 0
+    def build(s: SparkSession) = { builds += 1; s.range(3).toDF("v") }
+    val other = spark.newSession()
+    val a = cache.getOrBuild(spark, "/d")(build(spark))
+    val b = cache.getOrBuild(other, "/d")(build(other))
+    // alternate lookups: each session must keep hitting ITS frame —
+    // no rebuild, no unpersist thrash of the other session's frame
+    val a2 = cache.getOrBuild(spark, "/d")(build(spark))
+    val b2 = cache.getOrBuild(other, "/d")(build(other))
+    val a3 = cache.getOrBuild(spark, "/d")(build(spark))
+    assert((a eq a2) && (a eq a3) && (b eq b2) && builds == 2,
+      "concurrently live sessions must each keep their own cached frame")
+    cache.clearAll()
+  }
 }
