@@ -86,6 +86,7 @@ object Dedup {
     grCache.clearAll()
     simCache.clearAll()
     sigCache.clearAll()
+    blkCache.clearAll()
   }
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =
@@ -390,12 +391,76 @@ object Dedup {
       WHERE list_dot_product(a.v, b.v) / (a.nr * b.nr) >= 0.45
       ORDER BY vec_a, vec_b"""
 
+  /** Normalized vectors with a grid-block id, persisted per dir (the
+    * a/b sides of the grid join are differently-projected reads of this
+    * frame — the exchange-reuse lesson from q21–q23 applies). The block
+    * id only steers DISTRIBUTION; results are block-count-invariant. */
+  private val blkCache = new graft.util.SessionCache
+
+  /** Blocks sized ~64 Ki vectors (64-dim doubles ≈ 32 MiB — two blocks
+    * per task stay far inside executor memory); the floor of 8 keeps
+    * small corpora parallel across cores. */
+  private def blockCount(n: Long): Int =
+    math.max(8L, (n + 65535L) / 65536L).toInt
+
+  /** q43: the SCALE form of exact embedding near-dup — identical
+    * semantics and oracle as q24, different physical shape. Instead of
+    * broadcasting the whole table (q24's documented ~10M-vector
+    * ceiling), the corpus splits into B blocks and every unordered
+    * block pair (i ≤ j) becomes a grid cell: the a-side replicates each
+    * vector to cells (blk, j ≥ blk), the b-side to cells (i ≤ blk, blk),
+    * and ONE shuffle-hash join on the cell key co-locates exactly the
+    * two blocks each task compares. Per-task memory is two blocks
+    * (~64 MiB) at ANY corpus size; shuffle volume is n·(B+1) vectors —
+    * at 10M vectors/1000 executors that is ~150× replication vs
+    * broadcast's 1000×, with no single-executor table copy. The O(n²)
+    * dot products are inherent to EXACT all-pairs (this is the exactness
+    * baseline; q26's IVF is the sub-quadratic approximate path).
+    *
+    * Each unordered pair lands in exactly one cell (cross-block pairs
+    * in (blk_a, blk_b); same-block pairs in (c, c) where the vec_id
+    * order filter drops the mirrored orientation), so no distinct is
+    * needed and the oracle is plain brute force. */
+  def q43EmbeddingBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val blocked = blkCache.getOrBuild(spark, dir)({
+      val base = t(spark, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val b = blockCount(base.count())
+      base
+        .withColumn("nr", sqrt(GraftFunctions.arrayDot(col("v"), col("v"))))
+        .withColumn("blk", pmod(hash(col("vec_id")), lit(b)))
+        .withColumn("nblk", lit(b))
+        .persist(storageLevel)
+    })
+    val a = blocked.withColumn("cell",
+        explode(expr("transform(sequence(blk, nblk - 1), j -> blk * nblk + j)")))
+      .select(col("cell"), col("blk").as("blk_a"),
+        col("vec_id").as("vec_a"), col("v").as("v_a"), col("nr").as("nr_a"))
+    val b = blocked.withColumn("cell",
+        explode(expr("transform(sequence(0, blk), i -> i * nblk + blk)")))
+      .select(col("cell"), col("blk").as("blk_b"),
+        col("vec_id").as("vec_b"), col("v").as("v_b"), col("nr").as("nr_b"))
+    a.join(b.hint("shuffle_hash"), Seq("cell"))
+      // cross-block: one orientation exists (blk_a < blk_b by grid
+      // construction); same-block: both do, keep vec_a < vec_b
+      .filter(col("blk_a") < col("blk_b") ||
+        (col("blk_a") === col("blk_b") && col("vec_a") < col("vec_b")))
+      .withColumn("cos",
+        GraftFunctions.arrayDot(col("v_a"), col("v_b")) / (col("nr_a") * col("nr_b")))
+      .filter(col("cos") >= 0.45)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> (q20ExactDedup _),
     "q21_dedup_ngram_jaccard" -> (q21NgramJaccard _),
     "q22_dedup_minhash_lsh" -> (q22MinhashLsh _),
     "q23_dedup_simhash" -> (q23Simhash _),
     "q24_dedup_embedding" -> (q24EmbeddingNearDup _),
+    "q43_dedup_embedding_blocked" -> (q43EmbeddingBlocked _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -404,5 +469,6 @@ object Dedup {
     "q22_dedup_minhash_lsh" -> NearDupOracleSql,
     "q23_dedup_simhash" -> q23Sql,
     "q24_dedup_embedding" -> q24Sql,
+    "q43_dedup_embedding_blocked" -> q24Sql,
   )
 }

@@ -95,4 +95,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(!p.contains("CartesianProduct"), name)
       }
   }
+
+  test("blocked embedding all-pairs shuffles by grid cell, never broadcasts (q43)") {
+    val p = plan("q43_dedup_embedding_blocked")
+    assert(p.contains("ShuffledHashJoin"), s"grid join must be a shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q43 exists to REMOVE the broadcast ceiling — a broadcast crept back:\n$p")
+    // identical results to the broadcast baseline (grid = physical change only)
+    val grid = SparkEntry.queries("q43_dedup_embedding_blocked")(spark, dir).collect()
+    val brute = SparkEntry.queries("q24_dedup_embedding")(spark, dir).collect()
+    assert(grid.toSeq == brute.toSeq,
+      "block-grid all-pairs diverged from the brute-force baseline")
+  }
 }
