@@ -264,6 +264,39 @@ object FlsQueries {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   }
 
+  /** q44: small-file compaction end-to-end — land customer as many
+    * tiny appends (streaming-ingest shape), `FlsMaintenance.compact`
+    * them, query the compacted table. The oracle is the raw parquet
+    * SQL, so the gate proves compaction is invisible to results; the
+    * spec (FlsMaintenanceSpec) proves the file count actually drops. */
+  def q44FlsCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val out = flsTablePath(dir, "customer_compacted")
+    synchronized {
+      val marker = new java.io.File(s"$out/_done")
+      if (!done.contains(out) && !marker.exists()) {
+        val c = t(spark, dir, "customer")
+        c.withColumn("b", pmod(col("c_custkey"), lit(8)))
+          .repartition(col("b")) // 8 separate small appends
+          .drop("b")
+          .write.format("fls").mode("overwrite").save(out)
+        graft.fls.FlsMaintenance.compact(spark, out,
+          targetRowsPerFile = 1 << 20)
+        marker.createNewFile()
+      }
+      done += out
+    }
+    spark.read.format("fls").load(out)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("c_acctbal")))).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q44Sql: String = {
+    import graft.util.Tables.{sql => S}
+    s"""SELECT c_mktsegment, count(*) AS n, ${S.sumD6w("c_acctbal", "total")}
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_fls_topk" -> (q38FlsTopK _),
     "q15_fls_tpch_q1" -> (q15FlsTpchQ1 _),
@@ -275,6 +308,7 @@ object FlsQueries {
     "q40_fls_partitioned" -> (q40FlsPartitioned _),
     "q41_fls_string_filter" -> (q41FlsStringFilter _),
     "q42_fls_stream" -> (q42FlsStream _),
+    "q44_fls_compacted" -> (q44FlsCompacted _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -288,5 +322,6 @@ object FlsQueries {
     "q40_fls_partitioned" -> q40Sql,
     "q41_fls_string_filter" -> q41Sql,
     "q42_fls_stream" -> q42Sql,
+    "q44_fls_compacted" -> q44Sql,
   )
 }

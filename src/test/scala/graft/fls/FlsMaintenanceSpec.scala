@@ -1,0 +1,122 @@
+package graft.fls
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Small-file compaction: rewrite a table (or one partition subdir)
+  * into target-sized files through the normal commit protocol, with
+  * layout and commit mode preserved. */
+class FlsMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("fls-maintenance-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def flsCount(dir: String): Int = {
+    val p = new Path(dir)
+    FlsFile.listDataStatuses(p, spark.sessionState.newHadoopConf()).length
+  }
+
+  private def readLongs(dir: String): Seq[Long] =
+    spark.read.format("fls").load(dir).select("v").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("flat table: many small files compact into few, data identical") {
+    val dir = Files.createTempDirectory("fls-compact-flat").toString
+    val sp = spark; import sp.implicits._
+    (0 until 10).foreach { i =>
+      (i * 100L + 1 to i * 100L + 100).toDF("v").coalesce(1)
+        .write.format("fls").mode("append").save(dir)
+    }
+    assert(flsCount(dir) == 10)
+    val stats = FlsMaintenance.compact(spark, dir, targetRowsPerFile = 1000)
+    assert(stats.filesBefore == 10 && stats.rows == 1000)
+    assert(stats.filesAfter == 1, s"expected 1 compacted file, got ${stats.filesAfter}")
+    assert(readLongs(dir) == (1L to 1000L))
+  }
+
+  test("partitioned table compacts per partition and keeps the hive layout") {
+    val dir = Files.createTempDirectory("fls-compact-part").toString
+    val sp = spark; import sp.implicits._
+    (0 until 6).foreach { i =>
+      Seq((i * 10L + 1, "a"), (i * 10L + 2, "b")).toDF("v", "p")
+        .repartition(col("p"))
+        .write.format("fls").mode("append").option("partition_by", "p").save(dir)
+    }
+    val before = flsCount(dir)
+    assert(before >= 12, s"setup should leave many small files, got $before")
+    val stats = FlsMaintenance.compact(spark, dir, targetRowsPerFile = 1000)
+    assert(stats.filesAfter < before)
+    assert(new java.io.File(dir, "p=a").isDirectory && new java.io.File(dir, "p=b").isDirectory,
+      "compaction must preserve the k=v layout")
+    val got = spark.read.format("fls").load(dir)
+      .select("v", "p").collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val want = (0 until 6).flatMap(i =>
+      Seq((i * 10L + 1, "a"), (i * 10L + 2, "b"))).sortBy(_._1)
+    assert(got == want)
+    // partition pruning still works on the compacted table
+    val pruned = spark.read.format("fls").load(dir).filter(col("p") === "a").count()
+    assert(pruned == 6)
+  }
+
+  test("one partition subdirectory compacts in place; the rest untouched") {
+    val dir = Files.createTempDirectory("fls-compact-sub").toString
+    val sp = spark; import sp.implicits._
+    (0 until 5).foreach { i =>
+      Seq((i + 1L, "hot"), (i + 100L, "cold")).toDF("v", "p")
+        .repartition(col("p"))
+        .write.format("fls").mode("append").option("partition_by", "p").save(dir)
+    }
+    val coldBefore = flsCount(s"$dir/p=cold")
+    val stats = FlsMaintenance.compact(spark, s"$dir/p=hot", targetRowsPerFile = 1000)
+    assert(stats.filesBefore == 5 && stats.filesAfter == 1)
+    assert(flsCount(s"$dir/p=cold") == coldBefore, "untargeted partition was touched")
+    val got = spark.read.format("fls").load(dir)
+      .select("v", "p").collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got == ((1L to 5L).map((_, "hot")) ++ (100L to 104L).map((_, "cold"))).sorted)
+  }
+
+  test("manifest table compacts atomically and stays in manifest mode") {
+    val dir = Files.createTempDirectory("fls-compact-man").toString
+    val sp = spark; import sp.implicits._
+    (0 until 8).foreach { i =>
+      (i * 10L + 1 to i * 10L + 10).toDF("v").coalesce(1)
+        .write.format("fls").mode("append").option("commit_mode", "manifest").save(dir)
+    }
+    assert(flsCount(dir) == 8)
+    val stats = FlsMaintenance.compact(spark, dir, targetRowsPerFile = 1000)
+    assert(stats.filesAfter == 1)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = FlsManifest.read(fs, p)
+    assert(entries.isDefined && entries.get.length == 1,
+      "compaction of a manifest table must republish a manifest")
+    assert(readLongs(dir) == (1L to 80L))
+  }
+
+  test("compacting a subdir of a manifest table is refused") {
+    val dir = Files.createTempDirectory("fls-compact-man-sub").toString
+    val sp = spark; import sp.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("v", "p").repartition(col("p"))
+      .write.format("fls").mode("overwrite")
+      .option("commit_mode", "manifest").option("partition_by", "p").save(dir)
+    val e = intercept[IllegalArgumentException] {
+      FlsMaintenance.compact(spark, s"$dir/p=a")
+    }
+    assert(e.getMessage.contains("manifest"))
+  }
+}
