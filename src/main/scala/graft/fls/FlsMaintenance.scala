@@ -38,10 +38,20 @@ object FlsMaintenance {
     * Preserves hive partition layout (partition columns re-routed
     * through `partition_by`) and commit mode (a manifest table
     * republishes its manifest atomically). `extraOptions` pass through
-    * to the writer (`row_group_size`, `transpose`, ...). */
+    * to the writer (`row_group_size`, `transpose`, ...).
+    *
+    * `sortBy` clusters the rewrite: the table range-partitions on the
+    * given columns and sorts within each output task, so every file
+    * (and row group) covers a narrow, near-disjoint value range — zone
+    * maps then prune range/equality filters on those columns to a
+    * handful of row groups instead of all of them. This is the linear
+    * form of OPTIMIZE…ZORDER: at 100 TB, clustering the sealed
+    * partitions on the hot filter key is what turns full-partition
+    * scans into single-row-group reads. */
   def compact(spark: SparkSession, dir: String,
       targetRowsPerFile: Long = Format.DefaultRowGroupSize.toLong * 16,
-      extraOptions: Map[String, String] = Map.empty): CompactStats = {
+      extraOptions: Map[String, String] = Map.empty,
+      sortBy: Seq[String] = Nil): CompactStats = {
     require(targetRowsPerFile > 0, "fls compact: targetRowsPerFile must be positive")
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
@@ -70,9 +80,16 @@ object FlsMaintenance {
     val nOut = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val keys = discovery.keys
     // partitioned: cluster rows by partition key so each task holds few
-    // open buckets; flat: round-robin into exactly nOut writer tasks
+    // open buckets (then cluster within by sortBy); flat: range-cluster
+    // on sortBy, or round-robin into exactly nOut writer tasks
     val repart =
-      if (keys.nonEmpty) df.repartition(nOut, keys.map(col): _*)
+      if (keys.nonEmpty) {
+        val base = df.repartition(nOut, keys.map(col): _*)
+        if (sortBy.nonEmpty) base.sortWithinPartitions((keys ++ sortBy).map(col): _*)
+        else base
+      } else if (sortBy.nonEmpty)
+        df.repartitionByRange(nOut, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
       else df.repartition(nOut)
     var w = repart.write.format("fls").mode("overwrite")
     if (keys.nonEmpty) w = w.option("partition_by", keys.mkString(","))

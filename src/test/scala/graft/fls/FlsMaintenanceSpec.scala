@@ -108,6 +108,34 @@ class FlsMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLongs(dir) == (1L to 80L))
   }
 
+  test("sortBy clustering makes zone maps prune range filters after compaction") {
+    val dir = Files.createTempDirectory("fls-compact-sort").toString
+    val sp = spark; import sp.implicits._
+    // 8 appends, each spanning the WHOLE value domain (v ≡ k mod 8) —
+    // the worst case for zone maps: every file may contain any range
+    (0 until 8).foreach { k =>
+      (0 until 500).map(i => i * 8L + k).toDF("v").coalesce(1)
+        .write.format("fls").mode("append").save(dir)
+    }
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.fls.connector.{FlsDataSource, FlsScanBuilder}
+    def planned(filter: org.apache.spark.sql.sources.Filter): Int = {
+      val opts = new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+      val schema = new FlsDataSource().inferSchema(opts)
+      val builder = new FlsScanBuilder(schema, opts)
+      builder.pushFilters(Array(filter))
+      builder.build().toBatch.planInputPartitions().length
+    }
+    val f = org.apache.spark.sql.sources.LessThan("v", 500L)
+    assert(planned(f) == 8, "before clustering, every file spans the full domain")
+    val stats = FlsMaintenance.compact(spark, dir,
+      targetRowsPerFile = 500, sortBy = Seq("v"))
+    assert(stats.filesAfter >= 4, s"range repartition should spread files, got $stats")
+    assert(planned(f) <= 2,
+      s"clustered zone maps must prune the range filter, still planning ${planned(f)}")
+    assert(readLongs(dir) == (0L until 4000L))
+  }
+
   test("compacting a subdir of a manifest table is refused") {
     val dir = Files.createTempDirectory("fls-compact-man-sub").toString
     val sp = spark; import sp.implicits._
