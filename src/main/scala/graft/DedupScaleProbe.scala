@@ -28,6 +28,11 @@ object DedupScaleProbe {
     big.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     println(s"[dedup-scale] corpus rows=${spark.read.parquet(s"$dir/documents.parquet").count()}")
     time("q20 exact")(graft.queries.Dedup.q20ExactDedup(spark, dir).count())
+    // materialize the shared shingle/groups caches SEPARATELY, so the
+    // per-query timings below are marginal costs (previously q22, the
+    // first cache toucher, absorbed the whole shingling pass and looked
+    // 9× slower than its plan actually is)
+    time("shingle+groups (shared)")(graft.queries.Dedup.probeGroups(spark, dir).count())
     time("q22 minhash-lsh")(graft.queries.Dedup.q22MinhashLsh(spark, dir).count())
     time("q23 simhash")(graft.queries.Dedup.q23Simhash(spark, dir).count())
     time("q21 ngram-jaccard")(graft.queries.Dedup.q21NgramJaccard(spark, dir).count())
