@@ -145,7 +145,8 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(readOptions: CaseInsensitiveStringMap): ScanBuilder =
     new FlsScanBuilder(schema, readOptions)
@@ -657,7 +658,59 @@ class FlsWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with Supports
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new FlsBatchWrite(info, doTruncate)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!doTruncate,
+        "fls streaming sink supports Append output mode only (complete/update " +
+          "would truncate the table every trigger)")
+      new FlsStreamingWrite(info)
+    }
   }
+}
+
+/** `writeStream.format("fls")` — the continuous-ingestion sink. Each
+  * micro-batch epoch runs as one append job through the SAME commit
+  * protocol as batch writes (staged rename or manifest publish), with
+  * one addition: the epoch's writeId is DETERMINISTIC
+  * (`<queryId>-e<epoch>`), so a retried epoch (driver crash between the
+  * sink commit and Spark's commit log) converges instead of
+  * duplicating — task commit replaces prior-attempt final names, job
+  * commit reconciles the exact committed set and deletes any other
+  * file of the same writeId, and a manifest republish drops the
+  * crashed attempt's entries. Idle triggers on a populated table
+  * commit nothing (no schema-only file per empty epoch). Composes with
+  * `partition_by`, `commit_mode=manifest`, and the fls STREAMING READ —
+  * an fls-to-fls pipeline is readStream → transform → writeStream. */
+class FlsStreamingWrite(info: LogicalWriteInfo)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def epochWriteId(epochId: Long): String = s"${info.queryId()}-e$epochId"
+
+  private def forEpoch(epochId: Long): FlsBatchWrite =
+    new FlsBatchWrite(info, doTruncate = false,
+      writeIdOverride = Some(epochWriteId(epochId)), skipEmptyCommit = true)
+
+  override def createStreamingWriterFactory(
+      pInfo: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    // epoch 0's factory carries all resolved options and runs the
+    // layout guard + mkdirs once at stream start; per-epoch writers
+    // just swap in the epoch's writeId
+    val base = forEpoch(0L).createBatchWriterFactory(pInfo).asInstanceOf[FlsWriterFactory]
+    FlsStreamingWriterFactory(base, info.queryId())
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    forEpoch(epochId).commit(messages)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    forEpoch(epochId).abort(messages)
+}
+
+case class FlsStreamingWriterFactory(base: FlsWriterFactory, queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    base.copy(writeId = s"$queryId-e$epochId").createWriter(partitionId, taskId)
 }
 
 /** Job-level write coordination. Tasks stage files under
@@ -668,7 +721,16 @@ class FlsWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with Supports
   * then, for truncate mode, deletes the files of previous jobs (so old
   * data survives until the new data is fully committed). `abort` rolls
   * back every renamed file plus the staging dir. */
-class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWrite {
+class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
+    /** Streaming epochs pass a DETERMINISTIC id (queryId + epoch) so an
+      * epoch retry converges: task commit replaces prior-attempt final
+      * names, job commit reconciles the exact set, and the manifest
+      * drops prior-attempt entries of the same writeId. Batch writes
+      * keep the random default. */
+    writeIdOverride: Option[String] = None,
+    /** Streaming epochs with zero rows must not add a schema-only file
+      * per trigger to an already-populated table. */
+    skipEmptyCommit: Boolean = false) extends BatchWrite {
   private val options = info.options()
   private val path = FlsDataSource.parsePaths(options).headOption
     .getOrElse(throw new IllegalArgumentException("fls write: no path"))
@@ -697,7 +759,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
     m
   }
   private val manifestMode = commitMode == "manifest"
-  private val writeId = UUID.randomUUID().toString
+  private val writeId = writeIdOverride.getOrElse(UUID.randomUUID().toString)
 
   partitionBy.foreach { c =>
     require(info.schema().fieldNames.contains(c),
@@ -763,6 +825,17 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
       case FlsCommitMessage(files, lengths) => files.zip(lengths) // dir-relative paths
       case _ => Array.empty[(String, Long)]
     }.toMap
+    if (committedLen.isEmpty && skipEmptyCommit &&
+        graft.fls.FlsFile.listDataStatuses(dir, conf).nonEmpty) {
+      // an idle trigger on a populated table: clean our staging (a prior
+      // attempt of this epoch may have staged files) and do nothing
+      walkManaged(fs, dir) { (s, _) =>
+        if (s.getPath.getName.contains(s"-$writeId-"))
+          try fs.delete(s.getPath, false) catch { case _: Throwable => () }
+      }
+      FlsCommit.removeStaging(fs, dir, writeId)
+      return
+    }
     if (committedLen.isEmpty) {
       // empty result set: write one schema-only (zero row group) file so
       // a later read sees the schema instead of "no .fls files" — the
@@ -801,7 +874,12 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean) extends BatchWr
       val keptOld =
         if (doTruncate) Nil
         else graft.fls.FlsManifest.read(fs, dir) match {
-          case Some(old) => old.filterNot(e => committed.contains(e.rel))
+          // drop prior-attempt entries of THIS writeId too: a retried
+          // streaming epoch re-publishes its own files (attempt-unique
+          // names differ), and keeping the crashed attempt's entries
+          // would double the epoch's rows
+          case Some(old) => old.filterNot(e =>
+            committed.contains(e.rel) || e.rel.contains(s"-$writeId-"))
           case None =>
             // appending onto a pre-manifest (listing-mode) table: seed
             // the manifest from one last recursive listing

@@ -297,6 +297,43 @@ object FlsQueries {
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   }
 
+  /** q45: the full fls streaming PIPELINE — readStream from the fls
+    * orders table, transform, writeStream back into a second fls table
+    * (the continuous-ingestion sink, FlsStreamingWrite), then query the
+    * sink table. Trigger.AvailableNow drains deterministically, so the
+    * raw-parquet oracle proves rows survive source → stream → sink →
+    * scan byte-exactly. */
+  def q45FlsStreamSink(spark: SparkSession, dir: String): DataFrame = {
+    flsTable(spark, dir, "orders") // materialize the fls source
+    val src = flsTablePath(dir, "orders")
+    val out = flsTablePath(dir, "orders_stream_sink")
+    synchronized {
+      val marker = new java.io.File(s"$out/_done")
+      if (!done.contains(out) && !marker.exists()) {
+        val schema = spark.read.format("fls").load(src).schema
+        val q = spark.readStream.format("fls").schema(schema).load(src)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .writeStream.format("fls")
+          .option("path", out)
+          .option("checkpointLocation", s"$out/_checkpoint")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        marker.createNewFile()
+      }
+      done += out
+    }
+    spark.read.format("fls").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q45Sql: String = {
+    import graft.util.Tables.{sql => S}
+    s"""SELECT o_orderstatus, count(*) AS n, ${S.sumD6w("o_totalprice", "total")}
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_fls_topk" -> (q38FlsTopK _),
     "q15_fls_tpch_q1" -> (q15FlsTpchQ1 _),
@@ -309,6 +346,7 @@ object FlsQueries {
     "q41_fls_string_filter" -> (q41FlsStringFilter _),
     "q42_fls_stream" -> (q42FlsStream _),
     "q44_fls_compacted" -> (q44FlsCompacted _),
+    "q45_fls_stream_sink" -> (q45FlsStreamSink _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,5 +361,6 @@ object FlsQueries {
     "q41_fls_string_filter" -> q41Sql,
     "q42_fls_stream" -> q42Sql,
     "q44_fls_compacted" -> q44Sql,
+    "q45_fls_stream_sink" -> q45Sql,
   )
 }
