@@ -37,6 +37,15 @@ object DedupScaleProbe {
     time("q23 simhash")(graft.queries.Dedup.q23Simhash(spark, dir).count())
     time("q21 ngram-jaccard")(graft.queries.Dedup.q21NgramJaccard(spark, dir).count())
 
+    // embedding near-dup: the broadcast baseline (q24) vs the block-grid
+    // scale shape (q43) on an Nx corpus — same output by construction
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val bigEmb = (0 until mult).map(i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))).reduce(_ union _)
+    bigEmb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    time("q24 embed broadcast")(graft.queries.Dedup.q24EmbeddingNearDup(spark, dir).count())
+    time("q43 embed block-grid")(graft.queries.Dedup.q43EmbeddingBlocked(spark, dir).count())
+
     if (withEvents) {
       // events.ts is parquet TIMESTAMP(NANOS): read as long (the scaled
       // copy then stores plain INT64 nanos, which the queries handle)
