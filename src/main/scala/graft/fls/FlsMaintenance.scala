@@ -56,6 +56,19 @@ object FlsMaintenance {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
+    // Compaction is read-then-overwrite: rows appended AFTER the input
+    // file list freezes would be deleted by the overwrite's job commit.
+    // Refuse when a writer is in flight (live staging tree) — and the
+    // operational contract is the same as every rewrite-based OPTIMIZE:
+    // run it on SEALED tables/partitions, not ones still being ingested
+    // (a writer that starts mid-compaction is not detectable here).
+    val staging = new Path(root, connector.FlsCommit.TempDirName)
+    val inFlight =
+      try fs.listStatus(staging).exists(_.isDirectory)
+      catch { case _: java.io.FileNotFoundException => false }
+    require(!inFlight,
+      s"fls compact: a write job is in flight under $dir (staging tree present) — " +
+        "compact sealed tables/partitions only, or wait for the writer to finish")
     val before = FlsFile.listDataStatuses(root, conf)
     require(before.nonEmpty, s"fls compact: no data files under $dir")
     val manifestMode = FlsManifest.read(fs, root).isDefined
@@ -94,6 +107,15 @@ object FlsMaintenance {
     var w = repart.write.format("fls").mode("overwrite")
     if (keys.nonEmpty) w = w.option("partition_by", keys.mkString(","))
     if (manifestMode) w = w.option("commit_mode", "manifest")
+    // rotate files at ~targetRowsPerFile INSIDE each writer task too:
+    // a partitioned rewrite routes a whole partition value to one task
+    // (and flat rewrites can skew), so without rotation a hot partition
+    // would collapse into one unbounded file — the opposite of the
+    // contract
+    val rowGroupSize = extraOptions.get("row_group_size")
+      .map(_.toLong).getOrElse(Format.DefaultRowGroupSize.toLong)
+    w = w.option("row_groups_per_file",
+      math.max(1L, targetRowsPerFile / rowGroupSize).toString)
     extraOptions.foreach { case (k, v) => w = w.option(k, v) }
     w.save(dir)
     CompactStats(before.length, FlsFile.listDataStatuses(root, conf).length, rows)

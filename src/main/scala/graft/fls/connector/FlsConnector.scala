@@ -908,16 +908,37 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       // the source of truth) — so sweep everything the old manifest
       // doesn't name before deleting it. Sidecar footers are vouched
       // for by their data file (the manifest names only `.fls`).
-      graft.fls.FlsManifest.read(fs, dir).foreach { old =>
-        val named = old.map(_.rel).toSet
-        def vouched(rel: String): Boolean =
-          named.contains(rel) ||
-            (rel.endsWith(".footer") && named.contains(rel.stripSuffix(".footer")))
-        walkManaged(fs, dir) { (s, rel) =>
-          if (!vouched(rel) && !committed.contains(rel))
-            try fs.delete(s.getPath, false) catch { case _: Throwable => () }
-        }
-        graft.fls.FlsManifest.delete(fs, dir)
+      scala.util.Try(graft.fls.FlsManifest.read(fs, dir)) match {
+        case scala.util.Success(Some(old)) =>
+          val named = old.map(_.rel).toSet
+          // a concurrent rename-mode job's task-committed files are not
+          // vouched by the old manifest either — files of any writeId
+          // with a LIVE staging tree are that job's, not crashed junk
+          val inFlight: Set[String] = {
+            val td = new Path(dir, FlsCommit.TempDirName)
+            try fs.listStatus(td).filter(_.isDirectory).map(_.getPath.getName).toSet
+            catch { case _: java.io.FileNotFoundException => Set.empty }
+          }
+          def vouched(rel: String): Boolean =
+            named.contains(rel) ||
+              (rel.endsWith(".footer") && named.contains(rel.stripSuffix(".footer")))
+          walkManaged(fs, dir) { (s, rel) =>
+            val live = inFlight.exists(w => s.getPath.getName.contains(s"-$w-"))
+            if (!vouched(rel) && !committed.contains(rel) && !live)
+              try fs.delete(s.getPath, false) catch { case _: Throwable => () }
+          }
+          graft.fls.FlsManifest.delete(fs, dir)
+        case scala.util.Success(None) => ()
+        case scala.util.Failure(_) =>
+          // corrupt manifest: we cannot know what it vouched for, so
+          // sweep nothing — but DO delete it (self-heal to listing mode,
+          // the pre-existing behavior) and say loudly that uncommitted
+          // junk it may have been hiding can now surface
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"fls: deleting CORRUPT manifest at $dir during rename-mode commit — " +
+              "files it may have been hiding (crashed manifest-job leftovers) " +
+              "are now visible to listing readers; validate the table")
+          graft.fls.FlsManifest.delete(fs, dir)
       }
     FlsCommit.removeStaging(fs, dir, writeId)
     FlsCommit.sweepOrphans(fs, dir, writeId, stagingTtlMs)
@@ -927,6 +948,18 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
     val conf = hadoopConf
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
+    if (writeIdOverride.isDefined) {
+      // STREAMING epoch abort must never delete final-named files: in
+      // rename mode the deterministic names may BE a prior attempt's
+      // data that a published manifest still names or a listing reader
+      // already sees (deleting them strands manifest entries / loses
+      // visible rows); in manifest mode uncommitted files are invisible
+      // anyway. The epoch's next attempt replaces the names on task
+      // commit and its job commit reconciles the exact set — leftover
+      // junk is bounded by one epoch and converges on the next success.
+      try FlsCommit.removeStaging(fs, dir, writeId) catch { case _: Throwable => () }
+      return
+    }
     messages.foreach {
       case FlsCommitMessage(files, _) =>
         files.foreach(f =>

@@ -197,12 +197,18 @@ class FlsDataWriter(
   /** Orphan-sweep liveness: a long-running task (> staging TTL) must not
     * have its staging tree GC'd out from under it by another job's
     * commit, so the writer touches a `.heartbeat` file in its attempt
-    * dir (throttled) as it flushes row groups — `sweepOrphans` only
-    * deletes trees whose NEWEST subtree mtime is past the TTL. Direct
-    * (manifest) mode writes no staged files, so it needs no heartbeat. */
+    * dir (throttled) as rows ARRIVE — checked every [[HbCheckRows]] rows
+    * and on every row-group flush, so a trickle-input task that never
+    * fills a row group still heartbeats (a task receiving ZERO rows for
+    * longer than the TTL remains exposed; size staging_ttl_hours for
+    * that). `sweepOrphans` only deletes trees whose NEWEST subtree
+    * mtime is past the TTL. Direct (manifest) mode writes no staged
+    * files, so it needs no heartbeat. */
   private val hbIntervalMs =
     conf.getLong("graft.fls.heartbeat.interval.ms", 5 * 60 * 1000L)
+  private val HbCheckRows = 4096
   private var lastHb = 0L
+  private var rowsSinceHbCheck = 0
   private def maybeHeartbeat(): Unit =
     if (!directWrite) {
       val now = System.currentTimeMillis()
@@ -254,6 +260,11 @@ class FlsDataWriter(
           s"fls: NULL in column '${dataFields(c).name}' — the format stores no NULLs " +
             "(reference parity); coalesce() nulls away before writing")
       c += 1
+    }
+    rowsSinceHbCheck += 1
+    if (rowsSinceHbCheck >= HbCheckRows) { // amortized clock check, off the hot path
+      rowsSinceHbCheck = 0
+      maybeHeartbeat()
     }
     bucketFor(row).add(row)
   }

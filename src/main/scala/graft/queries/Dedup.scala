@@ -432,12 +432,16 @@ object Dedup {
         .withColumn("nblk", lit(b))
         .persist(storageLevel)
     })
+    // cell id in LONG: blk*nblk overflows Int past ~46341 blocks
+    // (~3e9 vectors) — exactly the scale this query exists for
     val a = blocked.withColumn("cell",
-        explode(expr("transform(sequence(blk, nblk - 1), j -> blk * nblk + j)")))
+        explode(expr(
+          "transform(sequence(blk, nblk - 1), j -> CAST(blk AS BIGINT) * nblk + j)")))
       .select(col("cell"), col("blk").as("blk_a"),
         col("vec_id").as("vec_a"), col("v").as("v_a"), col("nr").as("nr_a"))
     val b = blocked.withColumn("cell",
-        explode(expr("transform(sequence(0, blk), i -> i * nblk + blk)")))
+        explode(expr(
+          "transform(sequence(0, blk), i -> CAST(i AS BIGINT) * nblk + blk)")))
       .select(col("cell"), col("blk").as("blk_b"),
         col("vec_id").as("vec_b"), col("v").as("v_b"), col("nr").as("nr_b"))
     a.join(b.hint("shuffle_hash"), Seq("cell"))

@@ -8,41 +8,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * them — and two concurrently live sessions over the same dir must
   * each keep their own frame (evicting the other session's entry on
   * every cross-session lookup would repeatedly unpersist a frame that
-  * session may be using mid-job). Sessions are held weakly: when a
-  * session is GC'd its entries drop out of the map; a session that is
-  * merely STOPPED is purged (and its frames unpersisted) on the next
-  * lookup. */
+  * session may be using mid-job). Entries of STOPPED sessions are
+  * purged (and their frames unpersisted) on every lookup — a plain
+  * map with an explicit liveness check, not a WeakHashMap: the cached
+  * DataFrames strongly reference their owning session, so weak keys
+  * could never be collected anyway. The residual is a session
+  * abandoned without `stop()` whose entries live until the next lookup
+  * or `clearAll()`; Spark sessions hold executors and UIs, so an
+  * un-stopped session leaks far more than this map. */
 final class SessionCache {
   private val bySession =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.HashMap[String, DataFrame]]()
+    scala.collection.mutable.HashMap[SparkSession, scala.collection.mutable.HashMap[String, DataFrame]]()
 
   def getOrBuild(spark: SparkSession, dir: String)(build: => DataFrame): DataFrame =
     synchronized {
       // purge entries of stopped sessions (their cached blocks are gone
       // with the context anyway; unpersist is best-effort)
-      val it = bySession.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val s = e.getKey
-        if (s != null && s.sparkContext.isStopped) {
-          e.getValue.values.foreach(df =>
-            try df.unpersist() catch { case _: Throwable => () })
-          it.remove()
-        }
+      bySession.filterInPlace { (s, frames) =>
+        val live = !s.sparkContext.isStopped
+        if (!live) frames.values.foreach(df =>
+          try df.unpersist() catch { case _: Throwable => () })
+        live
       }
-      val m = bySession.get(spark) match {
-        case null =>
-          val fresh = scala.collection.mutable.HashMap[String, DataFrame]()
-          bySession.put(spark, fresh)
-          fresh
-        case existing => existing
-      }
-      m.getOrElseUpdate(dir, build)
+      bySession
+        .getOrElseUpdate(spark, scala.collection.mutable.HashMap[String, DataFrame]())
+        .getOrElseUpdate(dir, build)
     }
 
   def clearAll(): Unit = synchronized {
-    bySession.values().forEach(m =>
-      m.values.foreach(df => try df.unpersist() catch { case _: Throwable => () }))
+    bySession.values.foreach(_.values.foreach(df =>
+      try df.unpersist() catch { case _: Throwable => () }))
     bySession.clear()
   }
 }

@@ -136,6 +136,22 @@ class FlsMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLongs(dir) == (0L until 4000L))
   }
 
+  test("compaction refuses while a write job is in flight") {
+    val dir = Files.createTempDirectory("fls-compact-inflight").toString
+    val sp = spark; import sp.implicits._
+    (1L to 100L).toDF("v").coalesce(1).write.format("fls").mode("append").save(dir)
+    // simulate an in-flight writer: a live staging tree
+    val staging = new java.io.File(dir, "_temporary/some-live-job")
+    assert(staging.mkdirs())
+    val e = intercept[IllegalArgumentException] {
+      FlsMaintenance.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("in flight"))
+    // once the writer finishes (staging gone), compaction proceeds
+    assert(staging.delete() && staging.getParentFile.delete())
+    assert(FlsMaintenance.compact(spark, dir).rows == 100L)
+  }
+
   test("compacting a subdir of a manifest table is refused") {
     val dir = Files.createTempDirectory("fls-compact-man-sub").toString
     val sp = spark; import sp.implicits._

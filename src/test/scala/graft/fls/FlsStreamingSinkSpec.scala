@@ -161,6 +161,51 @@ class FlsStreamingSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLongs(dir) == ((201L to 220L) ++ (301L to 310L)).sorted)
   }
 
+  test("epoch abort never deletes a prior attempt's published files") {
+    val dir = Files.createTempDirectory("fls-sink-abort").toString
+    val vSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def options() = {
+        val m = new java.util.HashMap[String, String]()
+        m.put("path", dir)
+        m.put("commit_mode", "manifest")
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)
+      }
+      override def queryId(): String = "q-abort-test"
+      override def schema() = vSchema
+    }
+    def row(v: Long) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](v))
+
+    import graft.fls.connector._
+    val sw = new FlsStreamingWrite(info)
+    val factory = sw.createStreamingWriterFactory(null)
+
+    // epoch 5, attempt 1: commits AND publishes the manifest; the
+    // driver dies before Spark's commit log records the batch
+    val a1 = factory.createWriter(0, 1L, 5L)
+    (1L to 30L).foreach(i => a1.write(row(i)))
+    sw.commit(5L, Array(a1.commit()))
+    assert(readLongs(dir) == (1L to 30L))
+
+    // epoch 5 re-executes and FAILS mid-flight → Spark aborts the epoch.
+    // The deterministic writeId must not take attempt 1's manifest-named
+    // files down with it — the table must stay fully readable.
+    val a2 = factory.createWriter(0, 2L, 5L)
+    (101L to 130L).foreach(i => a2.write(row(i)))
+    val orphanMsg = a2.commit() // task committed; job will abort
+    sw.abort(5L, Array(orphanMsg))
+    assert(readLongs(dir) == (1L to 30L),
+      "abort of a retried epoch destroyed the published attempt's data")
+
+    // and a subsequent SUCCESSFUL retry still converges
+    val a3 = factory.createWriter(0, 3L, 5L)
+    (201L to 230L).foreach(i => a3.write(row(i)))
+    sw.commit(5L, Array(a3.commit()))
+    assert(readLongs(dir) == (201L to 230L))
+  }
+
   test("streaming writes compose with hive partitioning") {
     val sp = spark
     import sp.implicits._
