@@ -19,6 +19,15 @@ final case class BytesData(offsets: Array[Int], bytes: Array[Byte]) extends ColD
   def n: Int = offsets.length - 1
 }
 
+/** LIST column: `offsets` has n+1 entries into the flattened element
+  * stream `values` (a scalar ColData — LongData for integral/temporal
+  * AND float elements, which ride as raw 32-bit patterns per
+  * [[Format.elemPhysOf]]; DoubleData for double; BytesData for
+  * string/binary). */
+final case class ArrayColData(offsets: Array[Int], values: ColData) extends ColData {
+  def n: Int = offsets.length - 1
+}
+
 /** Encode/decode kernels (SURVEY.md §2.A′ re-expressed for the JVM).
   * All operate on whole-row-group primitive arrays; FFOR/ALP use
   * 1024-value blocks internally (≙ fastlanes::CFG::VEC_SZ — the kernels
@@ -287,6 +296,8 @@ object Codecs {
     case (BytesData(xo, xb), BytesData(yo, yb)) =>
       java.util.Arrays.equals(xo, yo) &&
         java.util.Arrays.equals(xb, 0, xo(xo.length - 1), yb, 0, yo(yo.length - 1))
+    case (ArrayColData(xo, xv), ArrayColData(yo, yv)) =>
+      java.util.Arrays.equals(xo, yo) && contentEquals(xv, yv)
     case _ => false
   }
 
@@ -916,11 +927,33 @@ object Codecs {
     out
   }
 
-  def decode(bytes: Array[Byte], enc: Int, phys: Int): ColData =
-    decodeFrom(new ByteReader(bytes), enc, phys)
+  /** `elemPhys` is the element stream's physical kind, used only when
+    * `phys == Phys.ARRAY` (-1 otherwise). Scan-side callers compute it
+    * as `Format.elemPhysOf(colType.elem.tag)`. */
+  def decode(bytes: Array[Byte], enc: Int, phys: Int, elemPhys: Int = -1): ColData =
+    decodeFrom(new ByteReader(bytes), enc, phys, elemPhys)
 
-  private def decodeFrom(in: ByteReader, enc: Int, phys: Int): ColData = {
+  /** Convenience: decode by the column's footer type. */
+  def decode(bytes: Array[Byte], enc: Int, ct: Format.ColumnType): ColData =
+    decode(bytes, enc, Format.physOf(ct.tag),
+      if (ct.tag == Format.TypeTag.LIST) Format.elemPhysOf(ct.elem.tag) else -1)
+
+  private def decodeFrom(in: ByteReader, enc: Int, phys: Int, elemPhys: Int = -1): ColData = {
     (enc, phys) match {
+      case (Enc.ARRAY, Format.Phys.ARRAY) =>
+        val n = in.readInt()
+        val lEnc = in.readByte() & 0xff
+        val lengths = decodeFrom(in, lEnc, Format.Phys.LONG) match {
+          case LongData(vs) => vs
+          case other =>
+            throw new IllegalStateException(s"fls: ARRAY lengths decoded to $other")
+        }
+        require(lengths.length == n, s"fls: ARRAY lengths count ${lengths.length} != $n")
+        val offsets = new Array[Int](n + 1)
+        var i = 0
+        while (i < n) { offsets(i + 1) = offsets(i) + lengths(i).toInt; i += 1 }
+        val vEnc = in.readByte() & 0xff
+        ArrayColData(offsets, decodeFrom(in, vEnc, elemPhys))
       case (Enc.TRANSPOSED, _) =>
         val inner = in.readByte() & 0xff
         decodeFrom(in, inner, phys) match {

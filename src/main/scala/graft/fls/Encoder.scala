@@ -39,6 +39,32 @@ object Encoder {
       case LongData(vs) => encodeLong(vs, out)
       case DoubleData(vs) => encodeDouble(vs, out)
       case b: BytesData => encodeBytes(b, out)
+      case ArrayColData(offsets, values) =>
+        // LIST: per-row lengths then the flattened element stream, each
+        // a nested scalar segment (tag byte patched after the inner
+        // encoder runs, like TRANSPOSED). Constant-length vectors
+        // (embeddings) pay a CONSTANT lengths sub-segment; elements get
+        // the full scalar cascade. Transpose never applies (the element
+        // stream is not row-aligned to 1024-vectors).
+        val n = offsets.length - 1
+        out.writeInt(n)
+        val lengths = new Array[Long](n)
+        var i = 0
+        while (i < n) { lengths(i) = (offsets(i + 1) - offsets(i)).toLong; i += 1 }
+        out.writeByte(0)
+        val lStart = out.size
+        out.patchByte(lStart - 1, encodeLong(lengths, out))
+        out.writeByte(0)
+        val vStart = out.size
+        val vEnc = values match {
+          case LongData(vs) => encodeLong(vs, out)
+          case DoubleData(vs) => encodeDouble(vs, out)
+          case b: BytesData => encodeBytes(b, out)
+          case other =>
+            throw new IllegalArgumentException(s"fls: array of ${other.getClass.getSimpleName}")
+        }
+        out.patchByte(vStart - 1, vEnc)
+        Enc.ARRAY
       case _: DictBytes =>
         throw new IllegalArgumentException("DictBytes is a scan-side representation")
     }

@@ -139,7 +139,7 @@ final class FlsFileReader(val path: Path, conf: Configuration) extends AutoClose
       // MCC: resolve the cross-column reference (one hop by construction)
       decodeSegment(rgIdx, Codecs.decodeEqualTarget(bytes))
     else
-      Codecs.decode(bytes, seg.encoding, Format.physOf(table.columns(colIdx).colType.tag))
+      Codecs.decode(bytes, seg.encoding, table.columns(colIdx).colType)
   }
 
   override def close(): Unit = if (in != null) { in.close(); in = null }

@@ -37,20 +37,23 @@ object Format {
 
   /** Logical type tags persisted in the footer.
     *
-    * LIST/STRUCT/MAP are DECLARED placeholder tokens that no code path
-    * materializes — parity with the reference, which declares the same
-    * tokens and equally never produces them
-    * (/root/reference/src/reader/translation_utils.cpp:33-40). Writing
-    * or reading a column at one of these tags fails with an explicit
-    * "declared but not materialized" error instead of an unknown-tag
-    * crash. */
+    * LIST is MATERIALIZED (beyond the reference, which only declares the
+    * token, /root/reference/src/reader/translation_utils.cpp:33-40): a
+    * LIST column stores per-row lengths plus the flattened element
+    * stream, each through the normal scalar codecs — the layout an
+    * embedding column (`ARRAY<FLOAT>`) needs to live in the format. The
+    * element's scalar tag rides in the ColumnType's `precision` field
+    * (the footer already persists it), so the footer byte layout is
+    * unchanged. STRUCT/MAP remain declared placeholders like the
+    * reference; writing or reading one fails with an explicit "declared
+    * but not materialized" error instead of an unknown-tag crash. */
   object TypeTag {
     val BOOLEAN = 0; val INT8 = 1; val INT16 = 2; val INT32 = 3
     val INT64 = 4; val FLOAT = 5; val DOUBLE = 6; val STRING = 7
     val BINARY = 8; val DATE = 9; val TIMESTAMP = 10; val DECIMAL = 11
     val TIMESTAMP_NTZ = 12; val BIG_DECIMAL = 13
     val LIST = 14; val STRUCT = 15; val MAP = 16
-    def isNestedPlaceholder(tag: Int): Boolean = tag >= LIST && tag <= MAP
+    def isNestedPlaceholder(tag: Int): Boolean = tag == STRUCT || tag == MAP
     def name(tag: Int): String = tag match {
       case LIST => "LIST"; case STRUCT => "STRUCT"; case MAP => "MAP"
       case other => other.toString
@@ -88,6 +91,13 @@ object Format {
                          //   `transpose` — default off, matching the
                          //   reference's FLS_NO_TRANSPOSE=ON build
                          //   (/root/reference/CMakeLists.txt:3-7)
+    val ARRAY = 14       // LIST columns: per-row lengths + flattened
+                         //   element values, EACH a nested scalar
+                         //   segment (tag byte + payload) chosen by the
+                         //   normal encoder — so constant-length
+                         //   embeddings pay one CONSTANT lengths
+                         //   sub-segment and the element stream gets
+                         //   FFOR/ALP/dict like any scalar column
   }
 
   /** Physical representation a logical type decodes through. */
@@ -95,20 +105,42 @@ object Format {
     val LONG = 0   // bool/int8..64/date/ts/decimal(<=18)
     val DOUBLE = 1 // float/double
     val BYTES = 2  // string/binary/decimal(>18)
+    val ARRAY = 3  // list: offsets + one nested physical stream
   }
 
   def physOf(tag: Int): Int = tag match {
     case TypeTag.FLOAT | TypeTag.DOUBLE => Phys.DOUBLE
     case TypeTag.STRING | TypeTag.BINARY | TypeTag.BIG_DECIMAL => Phys.BYTES
+    case TypeTag.LIST => Phys.ARRAY
     case _ => Phys.LONG
   }
 
+  /** Array ELEMENT physical stream. Differs from [[physOf]] on one tag:
+    * FLOAT elements store their raw 32-bit patterns as longs instead of
+    * widening to doubles — embeddings are high-entropy reals where ALP
+    * rarely applies, and FFOR over u32 bit patterns caps the cost at
+    * 4 bytes/element (the scalar double path would pay 8 on PLAIN
+    * fallback) while CONSTANT/DICT/RLE still fire on low-entropy data. */
+  def elemPhysOf(tag: Int): Int =
+    if (tag == TypeTag.FLOAT) Phys.LONG else physOf(tag)
+
+  /** For LIST, `precision` carries the ELEMENT's scalar tag (elements
+    * with their own precision/scale — decimals — are not supported, so
+    * the field is free); `scale` stays 0. */
   final case class ColumnType(tag: Int, precision: Int = 0, scale: Int = 0) {
+    /** Element type of a LIST column. */
+    def elem: ColumnType = {
+      require(tag == TypeTag.LIST, s"fls: elem of non-LIST tag $tag")
+      ColumnType(precision)
+    }
     def toSpark: DataType = tag match {
       case t if TypeTag.isNestedPlaceholder(t) =>
         throw new UnsupportedOperationException(
           s"fls: type token ${TypeTag.name(t)} is declared but not materialized " +
             "(reference parity: /root/reference/src/reader/translation_utils.cpp:33-40)")
+      case TypeTag.LIST =>
+        // the format stores no NULLs, elements included
+        ArrayType(elem.toSpark, containsNull = false)
       case TypeTag.BOOLEAN => BooleanType
       case TypeTag.INT8 => ByteType
       case TypeTag.INT16 => ShortType
@@ -146,8 +178,23 @@ object Format {
         ColumnType(TypeTag.DECIMAL, d.precision, d.scale)
       case d: DecimalType =>
         ColumnType(TypeTag.BIG_DECIMAL, d.precision, d.scale)
-      case _: ArrayType | _: StructType | _: MapType =>
-        // the nested tokens exist (TypeTag.LIST/STRUCT/MAP) but are
+      case ArrayType(et, _) =>
+        // LIST of any scalar element (beyond the reference, which only
+        // declares the token). containsNull on the INPUT schema is
+        // accepted — the writer rejects actual null elements at runtime,
+        // like it rejects null scalars; decimal elements would need
+        // their own precision/scale slot and stay unsupported.
+        val e = fromSpark(et)
+        if (e.tag == TypeTag.LIST || TypeTag.isNestedPlaceholder(e.tag))
+          throw new UnsupportedOperationException(
+            s"fls: nested element type $et — only arrays of scalars are materialized")
+        if (e.precision != 0 || e.scale != 0)
+          throw new UnsupportedOperationException(
+            s"fls: array of decimal ($et) is not supported — cast the elements " +
+              "to DOUBLE or store unscaled longs")
+        ColumnType(TypeTag.LIST, e.tag, 0)
+      case _: StructType | _: MapType =>
+        // the nested tokens exist (TypeTag.STRUCT/MAP) but are
         // placeholders — fail at the writer boundary like the reference
         // (/root/reference/src/writer/fls_view_writer.cpp:92)
         throw new UnsupportedOperationException(

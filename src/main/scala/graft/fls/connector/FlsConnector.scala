@@ -391,7 +391,7 @@ class FlsScan(
     requiredSchema.fields
       .filter(f => partTypes.contains(f.name) || // partition cols prune whole files
         scala.util.Try(ColumnType.fromSpark(f.dataType)).toOption
-          .exists(ct => physOf(ct.tag) != Phys.BYTES))
+          .exists(ct => physOf(ct.tag) == Phys.LONG || physOf(ct.tag) == Phys.DOUBLE))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
   override def filter(newFilters: Array[Filter]): Unit = {

@@ -106,6 +106,92 @@ class FlsDataWriter(
     def clear(): Unit = n = 0
   }
 
+  /** LIST columns: per-row offsets + a growable flattened element store.
+    * Float elements keep their raw 32-bit patterns as longs (see
+    * [[graft.fls.Format.elemPhysOf]]); null ELEMENTS are rejected like
+    * null scalars (the format stores no NULLs at any nesting level). */
+  private final class ArrayColBuilder(name: String, et: DataType) extends Builder {
+    private var offsets = new Array[Int](rowGroupSize + 1)
+    private var n = 0
+
+    private sealed trait ElemStore {
+      def append(a: org.apache.spark.sql.catalyst.util.ArrayData, j: Int): Unit
+      def result(total: Int): ColData
+    }
+    private final class LongStore(get: (org.apache.spark.sql.catalyst.util.ArrayData, Int) => Long)
+      extends ElemStore {
+      var arr = new Array[Long](math.max(16, rowGroupSize))
+      def append(a: org.apache.spark.sql.catalyst.util.ArrayData, j: Int): Unit = {
+        if (offsets(n) + j >= arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+        arr(offsets(n) + j) = get(a, j)
+      }
+      def result(total: Int): ColData = LongData(java.util.Arrays.copyOf(arr, total))
+    }
+    private final class DoubleStore extends ElemStore {
+      var arr = new Array[Double](math.max(16, rowGroupSize))
+      def append(a: org.apache.spark.sql.catalyst.util.ArrayData, j: Int): Unit = {
+        if (offsets(n) + j >= arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+        arr(offsets(n) + j) = a.getDouble(j)
+      }
+      def result(total: Int): ColData = DoubleData(java.util.Arrays.copyOf(arr, total))
+    }
+    private final class BytesStore(get: (org.apache.spark.sql.catalyst.util.ArrayData, Int) => Array[Byte])
+      extends ElemStore {
+      var eOffsets = new Array[Int](math.max(16, rowGroupSize) + 1)
+      var bytes = new Array[Byte](rowGroupSize * 8)
+      def append(a: org.apache.spark.sql.catalyst.util.ArrayData, j: Int): Unit = {
+        val e = offsets(n) + j
+        if (e + 1 >= eOffsets.length) eOffsets = java.util.Arrays.copyOf(eOffsets, eOffsets.length * 2)
+        val b = get(a, j)
+        val end = eOffsets(e) + b.length
+        if (end > bytes.length) {
+          var cap = bytes.length
+          while (cap < end) cap <<= 1
+          bytes = java.util.Arrays.copyOf(bytes, cap)
+        }
+        System.arraycopy(b, 0, bytes, eOffsets(e), b.length)
+        eOffsets(e + 1) = end
+      }
+      def result(total: Int): ColData =
+        BytesData(java.util.Arrays.copyOf(eOffsets, total + 1),
+          java.util.Arrays.copyOf(bytes, eOffsets(total)))
+    }
+
+    private val store: ElemStore = et match {
+      case FloatType => new LongStore((a, j) =>
+        java.lang.Float.floatToRawIntBits(a.getFloat(j)).toLong & 0xFFFFFFFFL)
+      case DoubleType => new DoubleStore
+      case BooleanType => new LongStore((a, j) => if (a.getBoolean(j)) 1L else 0L)
+      case ByteType => new LongStore((a, j) => a.getByte(j).toLong)
+      case ShortType => new LongStore((a, j) => a.getShort(j).toLong)
+      case IntegerType | DateType => new LongStore((a, j) => a.getInt(j).toLong)
+      case LongType | TimestampType | TimestampNTZType => new LongStore((a, j) => a.getLong(j))
+      case StringType => new BytesStore((a, j) => a.getUTF8String(j).getBytes)
+      case BinaryType => new BytesStore((a, j) => a.getBinary(j))
+      case other =>
+        throw new UnsupportedOperationException(s"fls write: unsupported array element $other")
+    }
+
+    def add(row: InternalRow, ord: Int): Unit = {
+      val a = row.getArray(ord)
+      val len = a.numElements()
+      var j = 0
+      while (j < len) {
+        if (a.isNullAt(j))
+          throw new UnsupportedOperationException(
+            s"fls: NULL element in array column '$name' — the format stores no NULLs " +
+              "(reference parity); filter or fill null elements before writing")
+        store.append(a, j)
+        j += 1
+      }
+      offsets(n + 1) = offsets(n) + len
+      n += 1
+    }
+    def result(): ColData =
+      ArrayColData(java.util.Arrays.copyOf(offsets, n + 1), store.result(offsets(n)))
+    def clear(): Unit = n = 0
+  }
+
   private def mkBuilder(f: StructField): Builder = f.dataType match {
     case BooleanType => new LongBuilder((r, i) => if (r.getBoolean(i)) 1L else 0L)
     case ByteType => new LongBuilder((r, i) => r.getByte(i).toLong)
@@ -122,6 +208,7 @@ class FlsDataWriter(
       new BytesBuilder((r, i) =>
         r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
           .unscaledValue().toByteArray)
+    case ArrayType(et, _) => new ArrayColBuilder(f.name, et)
     case other =>
       throw new UnsupportedOperationException(s"fls write: unsupported type $other")
   }

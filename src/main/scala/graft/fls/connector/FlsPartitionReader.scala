@@ -61,8 +61,7 @@ class FlsPartitionReader(
         in.readFully(seg.offset, segBytes)
         val d =
           if (seg.encoding == Enc.EQUAL) decodeAt(Codecs.decodeEqualTarget(segBytes))
-          else Codecs.decode(segBytes, seg.encoding,
-            physOf(part.fileColumns(idx).colType.tag))
+          else Codecs.decode(segBytes, seg.encoding, part.fileColumns(idx).colType)
         memo(idx) = d
         d
     }
@@ -270,6 +269,55 @@ class FlsPartitionReader(
         vec.setDictionary(colDicts(fi))
         val ids = vec.reserveDictionaryIds(len)
         ids.putInts(0, len, colDictIds(fi), start)
+      case (a: ArrayColData, ArrayType(et, _)) =>
+        // batch slice [start, start+len): ship the slice's element range
+        // into the vector's child and record per-row (offset, length)
+        // pairs relative to the child's origin
+        val base = a.offsets(start)
+        val total = a.offsets(start + len) - base
+        val child = vec.arrayData() // reset by vec.reset() already
+        child.reserve(total)
+        (a.values, et) match {
+          case (LongData(bits), FloatType) =>
+            // float elements ride as raw 32-bit patterns (Format.elemPhysOf)
+            var m = 0
+            while (m < total) {
+              child.putFloat(m, java.lang.Float.intBitsToFloat(bits(base + m).toInt))
+              m += 1
+            }
+          case (DoubleData(vs), DoubleType) =>
+            child.putDoubles(0, total, vs, base)
+          case (LongData(vs), LongType | TimestampType | TimestampNTZType) =>
+            child.putLongs(0, total, vs, base)
+          case (LongData(vs), IntegerType | DateType) =>
+            var m = 0
+            while (m < total) { child.putInt(m, vs(base + m).toInt); m += 1 }
+          case (LongData(vs), ShortType) =>
+            var m = 0
+            while (m < total) { child.putShort(m, vs(base + m).toShort); m += 1 }
+          case (LongData(vs), ByteType) =>
+            var m = 0
+            while (m < total) { child.putByte(m, vs(base + m).toByte); m += 1 }
+          case (LongData(vs), BooleanType) =>
+            var m = 0
+            while (m < total) { child.putBoolean(m, vs(base + m) != 0L); m += 1 }
+          case (b: BytesData, StringType | BinaryType) =>
+            var m = 0
+            while (m < total) {
+              val s = b.offsets(base + m)
+              child.putByteArray(m, b.bytes, s, b.offsets(base + m + 1) - s)
+              m += 1
+            }
+          case (d, t) =>
+            throw new IllegalStateException(
+              s"fls: cannot fill array<$t> from ${d.getClass.getSimpleName}")
+        }
+        var i = 0
+        while (i < len) {
+          vec.putArray(i, a.offsets(start + i) - base,
+            a.offsets(start + i + 1) - a.offsets(start + i))
+          i += 1
+        }
       case (b: BytesData, d: DecimalType) =>
         // bytes-backed decimals carry the FILE's scale; rescale if the
         // merged schema promoted it

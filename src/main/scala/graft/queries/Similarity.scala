@@ -45,8 +45,10 @@ object Similarity {
     * The query side is tiny → broadcast; candidates never shuffle.
     * Deterministic rank: ties broken by vec_id (cosines are continuous
     * — exact ties don't occur). */
-  def q25BruteTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
+  def q25BruteTopK(spark: SparkSession, dir: String): DataFrame =
+    bruteTopK(vecs(spark, dir))
+
+  private def bruteTopK(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nr").as("nr_q"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"), col("nr").as("nr_c"))
@@ -60,6 +62,27 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("query_id", "rank")
+  }
+
+  /** q46: q25's exact brute-force top-k with the corpus read from the
+    * embeddings table STORED IN FLS — `ARRAY<FLOAT>` materialized by the
+    * format itself (lengths + flattened element stream,
+    * graft.fls.Format TypeTag.LIST), not parquet. Proves the pipeline's
+    * headline column type lives in the format and the fls scan feeds the
+    * similarity operators unchanged: the oracle is the same SQL over the
+    * parquet table, so the hash match IS the round-trip claim. The
+    * fls-sourced vector frame caches under its own key — float→double
+    * casts happen AFTER the scan, identically to the parquet path. */
+  def q46FlsBruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val src = FlsQueries.flsTable(spark, dir, "embeddings")
+    val e = vecCache.getOrBuild(spark, s"$dir#fls")(
+      src.repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nr", sqrt(GraftFunctions.arrayDot(col("v"), col("v"))))
+        .persist(org.apache.spark.storage.StorageLevel.fromString(
+          sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
+    bruteTopK(e)
   }
 
   val q25Sql: String =
@@ -206,10 +229,13 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_sim_brute_topk" -> (q25BruteTopK _),
     "q26_sim_ivf_ann" -> (q26IvfAnn _),
+    "q46_fls_embeddings_topk" -> (q46FlsBruteTopK _),
   )
 
   val oracles: Map[String, String] = Map(
     "q25_sim_brute_topk" -> q25Sql,
     "q26_sim_ivf_ann" -> q26Sql,
+    // same SQL as q25: the fls round-trip must be invisible to results
+    "q46_fls_embeddings_topk" -> q25Sql,
   )
 }

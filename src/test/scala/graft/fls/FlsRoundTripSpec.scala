@@ -37,8 +37,16 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.read.format("fls").load(dir)
   }
 
+  // fls reads back non-nullable (containsNull=false for arrays) while
+  // the source frame may be nullable-typed — compare modulo nullability
+  private def norm(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => ArrayType(norm(et), containsNull = true)
+    case other => other
+  }
+
   private def assertSame(a: DataFrame, b: DataFrame): Unit = {
-    assert(a.schema.map(f => (f.name, f.dataType)) == b.schema.map(f => (f.name, f.dataType)),
+    assert(a.schema.map(f => (f.name, norm(f.dataType))) ==
+      b.schema.map(f => (f.name, norm(f.dataType))),
       s"schema: ${a.schema} vs ${b.schema}")
     val diff1 = a.exceptAll(b).count()
     val diff2 = b.exceptAll(a).count()
@@ -79,6 +87,78 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
       val back = roundTrip(df, s"$tmp/rt_${name}_$parts", parts)
       assertSame(df, back)
     }
+  }
+
+  // LIST columns (beyond the reference, which declares but never
+  // materializes the token): varied lengths, empties, every scalar
+  // element family, float specials
+  private val arrayCases: Seq[(String, String)] = Seq(
+    "arr_float" ->
+      "transform(sequence(0, CAST(id % 7 AS INT)), j -> CAST(sin(id * 13 + j) AS FLOAT))",
+    "arr_float_special" ->
+      ("array(CAST(id AS FLOAT), CAST('NaN' AS FLOAT), CAST(-0.0 AS FLOAT), " +
+        "CAST('Infinity' AS FLOAT), CAST('-Infinity' AS FLOAT))"),
+    "arr_double" -> "transform(sequence(0, CAST(id % 5 AS INT)), j -> sin(id * 7 + j))",
+    "arr_bigint" -> "sequence(id, id + id % 4)",
+    "arr_int" -> "transform(sequence(0, CAST(id % 3 AS INT)), j -> CAST(id + j AS INT))",
+    "arr_string" ->
+      "transform(sequence(0, CAST(id % 3 AS INT)), j -> concat('v', id, '_', j))",
+    "arr_const_len" -> "array(CAST(id AS FLOAT), CAST(id + 1 AS FLOAT), CAST(-id AS FLOAT))",
+    "arr_empty_mixed" -> "CASE WHEN id % 3 = 0 THEN array() ELSE array(id, id * 2) END")
+
+  for ((name, expr) <- arrayCases; parts <- Seq(1, 3)) {
+    test(s"round-trip $name (parts=$parts)") {
+      val df = typed(expr)
+      val back = roundTrip(df, s"$tmp/rt_${name}_$parts", parts)
+      assertSame(df, back)
+    }
+  }
+
+  test("array column spans row groups with a short tail") {
+    val df = spark.range(0, 10000).toDF("id")
+      .selectExpr("id", "transform(sequence(0, CAST(id % 6 AS INT)), j -> CAST(id * 3 + j AS FLOAT)) AS v")
+    val dir = s"$tmp/rg_arr"
+    df.coalesce(1).write.format("fls")
+      .option("row_group_size", 2048).mode("overwrite").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    assertSame(df, back)
+    assert(back.rdd.getNumPartitions == 5)
+  }
+
+  test("NULL array element is rejected (format stores no NULLs)") {
+    val df = spark.range(0, 10).toDF("id")
+      .selectExpr("id", "array(id, CASE WHEN id = 5 THEN NULL ELSE id END) AS v")
+    val e = intercept[Exception] {
+      df.write.format("fls").mode("overwrite").save(s"$tmp/arr_nulls")
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("NULL element"))
+  }
+
+  test("MCC EQUAL fires across duplicated array columns") {
+    val dir = s"$tmp/arr_mcc"
+    val df = spark.range(0, 2048).toDF("id")
+      .selectExpr("id", "array(CAST(id AS FLOAT), CAST(id + 1 AS FLOAT)) AS a",
+        "array(CAST(id AS FLOAT), CAST(id + 1 AS FLOAT)) AS b")
+    df.coalesce(1).write.format("fls").mode("overwrite").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    assertSame(df, back)
+    // the duplicate column must have stored an EQUAL reference
+    val conf = spark.sessionState.newHadoopConf()
+    val file = graft.fls.FlsFile.listDataFiles(new org.apache.hadoop.fs.Path(dir), conf).head
+    val r = new FlsFileReader(file, conf)
+    try {
+      val bIdx = r.table.columns.indexWhere(_.name == "b")
+      assert(r.table.rowGroups.head.segments(bIdx).encoding == Format.Enc.EQUAL)
+    } finally r.close()
+  }
+
+  test("real embeddings table round-trips through fls (array<float>)") {
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = s"$tmp/emb_fls"
+    em.write.format("fls").mode("overwrite").save(dir)
+    assertSame(em, spark.read.format("fls").load(dir))
   }
 
   test("multi-row-group file + short tail row group") {
