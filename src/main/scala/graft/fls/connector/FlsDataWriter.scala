@@ -175,6 +175,12 @@ class FlsDataWriter(
     def add(row: InternalRow, ord: Int): Unit = {
       val a = row.getArray(ord)
       val len = a.numElements()
+      // Flattened offsets are Int: a row group whose total element count
+      // crosses 2^31 must fail with a clear message, not wrap negative.
+      if (len > Int.MaxValue - offsets(n))
+        throw new UnsupportedOperationException(
+          s"fls: row group exceeds ${Int.MaxValue} flattened elements in array " +
+            s"column '$name' — lower row_group_size")
       var j = 0
       while (j < len) {
         if (a.isNullAt(j))

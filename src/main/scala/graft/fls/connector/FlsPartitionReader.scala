@@ -287,6 +287,18 @@ class FlsPartitionReader(
             }
           case (DoubleData(vs), DoubleType) =>
             child.putDoubles(0, total, vs, base)
+          case (LongData(bits), DoubleType)
+              if fileTypes(fieldIdx(field)).exists(ft =>
+                ft.tag == TypeTag.LIST && ft.elem.tag == TypeTag.FLOAT) =>
+            // file stored array<float> (raw 32-bit patterns); the read
+            // schema widened elements to double — mirror the scalar
+            // float-as-DoubleData transparency
+            var m = 0
+            while (m < total) {
+              child.putDouble(m,
+                java.lang.Float.intBitsToFloat(bits(base + m).toInt).toDouble)
+              m += 1
+            }
           case (LongData(vs), LongType | TimestampType | TimestampNTZType) =>
             child.putLongs(0, total, vs, base)
           case (LongData(vs), IntegerType | DateType) =>

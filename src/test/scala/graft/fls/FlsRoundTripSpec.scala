@@ -37,16 +37,24 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.read.format("fls").load(dir)
   }
 
-  // fls reads back non-nullable (containsNull=false for arrays) while
-  // the source frame may be nullable-typed — compare modulo nullability
+  // fls guarantees no null elements and must read back
+  // ArrayType(_, containsNull = false); the SOURCE frame may be
+  // nullable-typed, so normalize only the source side (`a`) down to
+  // containsNull=false and assert the fls-read side (`b`) verbatim —
+  // a regression where fls reads back containsNull=true now fails here
   private def norm(dt: DataType): DataType = dt match {
-    case ArrayType(et, _) => ArrayType(norm(et), containsNull = true)
+    case ArrayType(et, _) => ArrayType(norm(et), containsNull = false)
     case other => other
   }
 
   private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    b.schema.fields.foreach {
+      case StructField(n, ArrayType(_, cn), _, _) =>
+        assert(!cn, s"fls-read column '$n' must report containsNull=false")
+      case _ =>
+    }
     assert(a.schema.map(f => (f.name, norm(f.dataType))) ==
-      b.schema.map(f => (f.name, norm(f.dataType))),
+      b.schema.map(f => (f.name, f.dataType)),
       s"schema: ${a.schema} vs ${b.schema}")
     val diff1 = a.exceptAll(b).count()
     val diff2 = b.exceptAll(a).count()
@@ -152,6 +160,21 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
       val bIdx = r.table.columns.indexWhere(_.name == "b")
       assert(r.table.rowGroups.head.segments(bIdx).encoding == Format.Enc.EQUAL)
     } finally r.close()
+  }
+
+  test("array<float> file reads under a user-supplied array<double> schema") {
+    val df = spark.range(0, 3000).toDF("id")
+      .selectExpr("id", "array(CAST(id AS FLOAT), CAST(id AS FLOAT) / 3.0F) AS v")
+    val dir = s"$tmp/arr_widen"
+    df.coalesce(1).write.format("fls")
+      .option("row_group_size", 1024).mode("overwrite").save(dir)
+    val widened = spark.read.format("fls")
+      .schema(StructType(Seq(
+        StructField("id", LongType),
+        StructField("v", ArrayType(DoubleType, containsNull = false)))))
+      .load(dir)
+    // element-wise float→double widening must match Spark's own cast
+    assertSame(df.selectExpr("id", "CAST(v AS ARRAY<DOUBLE>) AS v"), widened)
   }
 
   test("real embeddings table round-trips through fls (array<float>)") {

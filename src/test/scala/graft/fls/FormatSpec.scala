@@ -63,22 +63,30 @@ class FormatSpec extends AnyFunSuite {
     Format.writeFooter(w, t)
     val back = Format.readFooter(new ByteReader(w.toArray))
     assert(back.columns.toSeq == cols.toSeq)
-    // ...but resolving them to a Spark type fails with the explicit
-    // declared-but-not-materialized error, not an unknown-tag crash
-    Seq(LIST, STRUCT, MAP).foreach { tag =>
+    // LIST is materialized (arrays of scalars); STRUCT/MAP resolve to the
+    // explicit declared-but-not-materialized error, not an unknown-tag crash
+    assert(ColumnType(LIST, FLOAT).toSpark ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))
+    Seq(STRUCT, MAP).foreach { tag =>
       val e = intercept[UnsupportedOperationException](ColumnType(tag).toSpark)
       assert(e.getMessage.contains("not materialized"), e.getMessage)
     }
-    assert(isNestedPlaceholder(LIST) && isNestedPlaceholder(MAP) && !isNestedPlaceholder(STRING))
+    assert(!isNestedPlaceholder(LIST) && isNestedPlaceholder(MAP) && !isNestedPlaceholder(STRING))
   }
 
-  test("writer rejects nested Spark types with the placeholder error") {
+  test("writer accepts arrays of scalars, rejects struct/map and nested arrays") {
     import org.apache.spark.sql.types._
-    Seq(ArrayType(LongType), new StructType().add("x", LongType),
+    assert(ColumnType.fromSpark(ArrayType(LongType)) ==
+      ColumnType(TypeTag.LIST, TypeTag.INT64, 0))
+    Seq(new StructType().add("x", LongType),
         MapType(StringType, LongType)).foreach { dt =>
       val e = intercept[UnsupportedOperationException](ColumnType.fromSpark(dt))
       assert(e.getMessage.contains("not materialized"), e.getMessage)
     }
+    val e = intercept[UnsupportedOperationException](
+      ColumnType.fromSpark(ArrayType(ArrayType(LongType))))
+    assert(e.getMessage.contains("arrays of scalars"), e.getMessage)
   }
 
   test("writer abort removes the partial file") {
