@@ -153,6 +153,9 @@ object FlsFile {
   def listDataFiles(path: Path, conf: Configuration): Seq[Path] =
     listDataStatuses(path, conf).map(_.getPath)
 
+  def listDataStatuses(path: Path, conf: Configuration): Seq[org.apache.hadoop.fs.FileStatus] =
+    listDataStatuses(path, conf, None)
+
   /** Same listing with the FileStatus kept — one RPC serves both the
     * file list and the (mtime, length) footer-cache key. Recurses into
     * subdirectories (hive-partitioned layouts, `dt=.../part-*.fls`),
@@ -160,7 +163,12 @@ object FlsFile {
     * `_done` markers, dotfiles) — the same convention Spark's file
     * sources use. Sorted by full path so multi-level layouts keep a
     * deterministic planning order. */
-  def listDataStatuses(path: Path, conf: Configuration): Seq[org.apache.hadoop.fs.FileStatus] = {
+  /** `pinnedManifestVersion`: plan from exactly that (immutable)
+    * manifest version instead of the newest — a consistent snapshot
+    * regardless of concurrent commits (the `manifest_version` reader
+    * option; compaction pins its frozen input set this way). */
+  def listDataStatuses(path: Path, conf: Configuration,
+      pinnedManifestVersion: Option[Long]): Seq[org.apache.hadoop.fs.FileStatus] = {
     val fs = path.getFileSystem(conf)
     // a not-yet-created table lists as empty (a tailing stream started
     // before its writer is the normal pipeline order); batch reads
@@ -169,16 +177,21 @@ object FlsFile {
       try fs.getFileStatus(path)
       catch { case _: java.io.FileNotFoundException => return Nil }
     if (st.isFile) Seq(st)
-    else FlsManifest.read(fs, path) match {
-      // manifest table: the manifest IS the file list — no listing RPC,
-      // and on-disk files outside it (losing speculative attempts,
-      // crashed jobs, junk) are invisible by design
-      case Some(entries) =>
-        FlsManifest.statuses(fs, path, entries).sortBy(_.getPath.toString)
-      case None =>
-        val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
-        walkFiles(fs, path, Seq(".fls"))((s, _) => out += s)
-        out.sortBy(_.getPath.toString).toSeq
+    else pinnedManifestVersion match {
+      case Some(v) =>
+        FlsManifest.statuses(fs, path, FlsManifest.readVersion(fs, path, v))
+          .sortBy(_.getPath.toString)
+      case None => FlsManifest.read(fs, path) match {
+        // manifest table: the manifest IS the file list — no recursive
+        // listing RPC, and on-disk files outside it (losing speculative
+        // attempts, crashed jobs, junk) are invisible by design
+        case Some(entries) =>
+          FlsManifest.statuses(fs, path, entries).sortBy(_.getPath.toString)
+        case None =>
+          val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+          walkFiles(fs, path, Seq(".fls"))((s, _) => out += s)
+          out.sortBy(_.getPath.toString).toSeq
+      }
     }
   }
 

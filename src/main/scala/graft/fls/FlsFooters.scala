@@ -51,11 +51,14 @@ object FlsFooters {
     !sys.props.get("graft.fls.footerCache").contains("false")
 
   /** All .fls footers under `paths`, in deterministic (path-order,
-    * name-sorted) order — the order planInputPartitions depends on. */
-  def list(paths: Seq[String], conf: Configuration): Seq[Entry] = {
+    * name-sorted) order — the order planInputPartitions depends on.
+    * `pinnedManifestVersion` plans from exactly that manifest version
+    * (see [[FlsFile.listDataStatuses]]). */
+  def list(paths: Seq[String], conf: Configuration,
+      pinnedManifestVersion: Option[Long] = None): Seq[Entry] = {
     val seen = scala.collection.mutable.LinkedHashMap[String, org.apache.hadoop.fs.FileStatus]()
     paths.foreach { p =>
-      FlsFile.listDataStatuses(new Path(p), conf).foreach { st =>
+      FlsFile.listDataStatuses(new Path(p), conf, pinnedManifestVersion).foreach { st =>
         seen.getOrElseUpdate(st.getPath.toString, st)
       }
     }

@@ -1,7 +1,7 @@
 package graft.fls
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Table maintenance for fls directories. The one that matters at
@@ -10,35 +10,36 @@ import org.apache.spark.sql.functions.col
   * planning cost, footer-cache pressure, and per-file scheduling
   * overhead all scale with file COUNT, not byte size. `compact`
   * rewrites a table (or one partition subdirectory) into
-  * `targetRowsPerFile`-sized files through the normal write path, so
-  * the staged-rename / manifest commit protocol keeps readers
-  * consistent throughout — a reader planned before the compaction
-  * commit reads the old files (deleted only at job commit, after every
-  * rewrite task finished), one planned after reads the new.
+  * `targetRowsPerFile`-sized files.
+  *
+  * MANIFEST tables compact CONCURRENTLY-SAFELY: the rewrite reads a
+  * pinned manifest version (immutable snapshot), writes its outputs
+  * invisibly, and swaps them in via the versioned-manifest CAS commit —
+  * replacing exactly the frozen input files and keeping any rows that
+  * concurrent appenders published mid-rewrite. If a concurrent commit
+  * REMOVED an input file (another compact, an overwrite), the swap
+  * aborts loudly and rolls the outputs back; appends never conflict.
+  *
+  * LISTING-mode tables compact via read-then-overwrite, which cannot
+  * distinguish concurrent rows — so that path still refuses a live
+  * staging tree and carries the sealed-partitions contract: run it on
+  * partitions the ingest has finished, `compact(spark, s"$dir/dt=...")`
+  * (a partition subdirectory of a listing-mode table is itself a valid
+  * flat fls table, and rewriting it in place preserves the hive
+  * layout).
   *
   * The reference's writer has file rotation but no rewrite/maintenance
   * surface at all (/root/reference/src/writer/fls_writer.cpp:189-211);
   * this is Spark-cluster machinery for the formats the reference
-  * leaves single-process.
-  *
-  * Scale notes: a whole-table compact of a 100 TB table is one job
-  * that reads and rewrites everything — correct, but usually the wrong
-  * granularity. The intended pattern is incremental: call
-  * `compact(spark, s"$dir/dt=2026-08-01")` on the partitions the
-  * ingest just sealed (a partition subdirectory of a listing-mode
-  * table is itself a valid flat fls table, and rewriting it in place
-  * preserves the hive layout). Manifest-mode tables must compact whole
-  * (the manifest is table-scoped; rewriting a subtree under it would
-  * desync the published file list — detected and refused). */
+  * leaves single-process. */
 object FlsMaintenance {
 
   final case class CompactStats(filesBefore: Int, filesAfter: Int, rows: Long)
 
   /** Rewrite the fls table at `dir` into ~`targetRowsPerFile`-row files.
     * Preserves hive partition layout (partition columns re-routed
-    * through `partition_by`) and commit mode (a manifest table
-    * republishes its manifest atomically). `extraOptions` pass through
-    * to the writer (`row_group_size`, `transpose`, ...).
+    * through `partition_by`) and commit mode. `extraOptions` pass
+    * through to the writer (`row_group_size`, `transpose`, ...).
     *
     * `sortBy` clusters the rewrite: the table range-partitions on the
     * given columns and sorts within each output task, so every file
@@ -56,12 +57,27 @@ object FlsMaintenance {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    // Compaction is read-then-overwrite: rows appended AFTER the input
-    // file list freezes would be deleted by the overwrite's job commit.
-    // Refuse when a writer is in flight (live staging tree) — and the
-    // operational contract is the same as every rewrite-based OPTIMIZE:
-    // run it on SEALED tables/partitions, not ones still being ingested
-    // (a writer that starts mid-compaction is not detectable here).
+    FlsManifest.readVersioned(fs, root) match {
+      case Some(frozen) =>
+        compactManifest(spark, dir, frozen, targetRowsPerFile, extraOptions, sortBy)
+      case None =>
+        compactListing(spark, dir, targetRowsPerFile, extraOptions, sortBy)
+    }
+  }
+
+  /** Listing-mode compaction: read-then-overwrite. Rows appended AFTER
+    * the input file list freezes would be deleted by the overwrite's
+    * job commit, so refuse when a writer is in flight (live staging
+    * tree) — and the operational contract is the same as every
+    * rewrite-based OPTIMIZE: run it on SEALED tables/partitions (a
+    * writer that starts mid-compaction is not detectable here; manifest
+    * tables don't have this caveat — their swap is conflict-checked). */
+  private def compactListing(spark: SparkSession, dir: String,
+      targetRowsPerFile: Long, extraOptions: Map[String, String],
+      sortBy: Seq[String]): CompactStats = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
     val staging = new Path(root, connector.FlsCommit.TempDirName)
     val inFlight =
       try fs.listStatus(staging).exists(_.isDirectory)
@@ -71,53 +87,161 @@ object FlsMaintenance {
         "compact sealed tables/partitions only, or wait for the writer to finish")
     val before = FlsFile.listDataStatuses(root, conf)
     require(before.nonEmpty, s"fls compact: no data files under $dir")
-    val manifestMode = FlsManifest.read(fs, root).isDefined
-    if (!manifestMode) {
-      // compacting a partition SUBDIR of a manifest table in place would
-      // leave the parent manifest pointing at deleted files — refuse
-      var p = root.getParent
-      var hops = 0
-      while (p != null && hops < 64) {
-        if (FlsManifest.read(fs, p).isDefined)
-          throw new IllegalArgumentException(
-            s"fls compact: $dir sits under the manifest table at $p — compact " +
-              "the manifest table whole (its manifest is table-scoped)")
-        p = p.getParent
-        hops += 1
-      }
+    // compacting a partition SUBDIR of a manifest table in place would
+    // leave the parent manifest pointing at deleted files — refuse
+    var p = root.getParent
+    var hops = 0
+    while (p != null && hops < 64) {
+      if (FlsManifest.read(fs, p).isDefined)
+        throw new IllegalArgumentException(
+          s"fls compact: $dir sits under the manifest table at $p — compact " +
+            "the manifest table whole (its manifest is table-scoped)")
+      p = p.getParent
+      hops += 1
     }
     val discovery = connector.FlsPartitioning.discover(
       Seq(dir), before.map(_.getPath), conf)
     val df = spark.read.format("fls").load(dir)
     val rows = df.count() // footer-served via the metadata-aggregate scan
-    val nOut = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     val keys = discovery.keys
-    // partitioned: cluster rows by partition key so each task holds few
-    // open buckets (then cluster within by sortBy); flat: range-cluster
-    // on sortBy, or round-robin into exactly nOut writer tasks
-    val repart =
-      if (keys.nonEmpty) {
-        val base = df.repartition(nOut, keys.map(col): _*)
-        if (sortBy.nonEmpty) base.sortWithinPartitions((keys ++ sortBy).map(col): _*)
-        else base
-      } else if (sortBy.nonEmpty)
-        df.repartitionByRange(nOut, sortBy.map(col): _*)
-          .sortWithinPartitions(sortBy.map(col): _*)
-      else df.repartition(nOut)
-    var w = repart.write.format("fls").mode("overwrite")
+    var w = clustered(df, rows, keys, sortBy, targetRowsPerFile)
+      .write.format("fls").mode("overwrite")
     if (keys.nonEmpty) w = w.option("partition_by", keys.mkString(","))
-    if (manifestMode) w = w.option("commit_mode", "manifest")
-    // rotate files at ~targetRowsPerFile INSIDE each writer task too:
-    // a partitioned rewrite routes a whole partition value to one task
-    // (and flat rewrites can skew), so without rotation a hot partition
-    // would collapse into one unbounded file — the opposite of the
-    // contract
-    val rowGroupSize = extraOptions.get("row_group_size")
-      .map(_.toLong).getOrElse(Format.DefaultRowGroupSize.toLong)
-    w = w.option("row_groups_per_file",
-      math.max(1L, targetRowsPerFile / rowGroupSize).toString)
-    extraOptions.foreach { case (k, v) => w = w.option(k, v) }
+    w = rotation(w, targetRowsPerFile, extraOptions)
     w.save(dir)
     CompactStats(before.length, FlsFile.listDataStatuses(root, conf).length, rows)
+  }
+
+  /** Manifest-table compaction: pin → rewrite invisibly → CAS swap.
+    *
+    *  1. Freeze manifest version V (immutable snapshot).
+    *  2. Rewrite the pinned snapshot into a hidden `_compact_<id>`
+    *     subdir through the normal write path.
+    *  3. Move the outputs to their final table-relative names — still
+    *     invisible (the manifest doesn't vouch for them yet).
+    *  4. Swap via the versioned-manifest CAS commit: replace exactly
+    *     V's entries, KEEP entries concurrent appends published since V
+    *     (their rows were not in the rewrite input). Abort loudly if a
+    *     concurrent commit removed any input file.
+    *  5. Only after the swap published: delete V's physical files. */
+  private def compactManifest(spark: SparkSession, dir: String,
+      frozen: (Long, Seq[FlsManifest.Entry]), targetRowsPerFile: Long,
+      extraOptions: Map[String, String], sortBy: Seq[String]): CompactStats = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    var (frozenV, frozenEntries) = frozen
+    if (frozenV == 0L) {
+      // legacy single-file manifest: the first versioned commit RETIRES
+      // that file, so pinning "version 0" could break mid-rewrite if a
+      // concurrent append upgrades the table — mint an identical v1
+      // (identity merge) and freeze that instead
+      FlsManifest.commit(fs, root, java.util.UUID.randomUUID().toString, conf) {
+        (_, cur) => cur.getOrElse(throw new IllegalStateException(
+          s"fls compact: manifest at $dir vanished before compaction started"))
+      }
+      val again = FlsManifest.readVersioned(fs, root).getOrElse(
+        throw new IllegalStateException(s"fls compact: manifest at $dir vanished"))
+      frozenV = again._1
+      frozenEntries = again._2
+    }
+    require(frozenEntries.nonEmpty, s"fls compact: no data files under $dir")
+    val frozenRels = frozenEntries.map(_.rel).toSet
+    val discovery = connector.FlsPartitioning.discover(
+      Seq(dir), FlsManifest.statuses(fs, root, frozenEntries).map(_.getPath), conf)
+    val keys = discovery.keys
+    // the pinned read makes the input set exact even while appends land
+    val df = spark.read.format("fls")
+      .option("manifest_version", frozenV.toString).load(dir)
+    val rows = df.count()
+    val compactId = java.util.UUID.randomUUID().toString
+    val tmpDir = new Path(root, s"_compact_$compactId") // _-prefixed: invisible
+    var w = clustered(df, rows, keys, sortBy, targetRowsPerFile)
+      .write.format("fls").mode("overwrite")
+    if (keys.nonEmpty) w = w.option("partition_by", keys.mkString(","))
+    w = rotation(w, targetRowsPerFile, extraOptions)
+    val moved = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    try {
+      w.save(tmpDir.toString)
+      // move outputs to final table-relative names (attempt-unique file
+      // names can't collide); invisible until the swap below publishes
+      val outputs = scala.collection.mutable.ArrayBuffer[(Path, String, Long)]()
+      FlsFile.walkFiles(fs, tmpDir, Seq(".fls", ".fls.footer")) { (s, rel) =>
+        outputs += ((s.getPath, rel, s.getLen))
+      }
+      outputs.foreach { case (src, rel, len) =>
+        val dst = new Path(root, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"fls compact: rename $src -> $dst failed")
+        moved += ((rel, len))
+      }
+      val outEntries = moved.collect {
+        case (rel, len) if rel.endsWith(".fls") => FlsManifest.Entry(rel, len, 0L)
+      }.toSeq
+      FlsManifest.commit(fs, root, compactId, conf) { (_, current) =>
+        val cur = current.getOrElse(throw new IllegalStateException(
+          s"fls compact: $dir lost its manifest mid-compaction (concurrent " +
+            "rename-mode overwrite?) — aborting"))
+        val curRels = cur.map(_.rel).toSet
+        val gone = frozenRels.diff(curRels)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"fls compact: a concurrent commit removed ${gone.size} compaction input " +
+              s"file(s) under $dir (another compact or an overwrite) — aborting; " +
+              "re-run compact on the new table state")
+        // entries since V (concurrent appends) survive; V's are replaced
+        cur.filterNot(e => frozenRels(e.rel)) ++ outEntries
+      }
+    } catch {
+      case t: Throwable =>
+        // nothing published: roll the invisible outputs back
+        moved.foreach { case (rel, _) =>
+          try fs.delete(new Path(root, rel), false) catch { case _: Throwable => () }
+        }
+        try fs.delete(tmpDir, true) catch { case _: Throwable => () }
+        throw t
+    }
+    // the swap is live — physical cleanup is invisible to readers
+    frozenEntries.foreach { e =>
+      try fs.delete(new Path(root, e.rel), false) catch { case _: Throwable => () }
+      try fs.delete(new Path(root, e.rel + ".footer"), false) catch { case _: Throwable => () }
+    }
+    try fs.delete(tmpDir, true) catch { case _: Throwable => () }
+    CompactStats(frozenEntries.length,
+      FlsManifest.read(fs, root).map(_.length).getOrElse(0), rows)
+  }
+
+  /** Cluster the rewrite: partitioned tables group by partition key so
+    * each task holds few open buckets (then cluster within by sortBy);
+    * flat tables range-cluster on sortBy, or round-robin into exactly
+    * nOut writer tasks. */
+  private def clustered(df: DataFrame, rows: Long, keys: Seq[String],
+      sortBy: Seq[String], targetRowsPerFile: Long): DataFrame = {
+    val nOut = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    if (keys.nonEmpty) {
+      val base = df.repartition(nOut, keys.map(col): _*)
+      if (sortBy.nonEmpty) base.sortWithinPartitions((keys ++ sortBy).map(col): _*)
+      else base
+    } else if (sortBy.nonEmpty)
+      df.repartitionByRange(nOut, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
+    else df.repartition(nOut)
+  }
+
+  /** Rotate files at ~targetRowsPerFile INSIDE each writer task too: a
+    * partitioned rewrite routes a whole partition value to one task
+    * (and flat rewrites can skew), so without rotation a hot partition
+    * would collapse into one unbounded file — the opposite of the
+    * contract. */
+  private def rotation(w0: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      targetRowsPerFile: Long,
+      extraOptions: Map[String, String]): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val rowGroupSize = extraOptions.get("row_group_size")
+      .map(_.toLong).getOrElse(Format.DefaultRowGroupSize.toLong)
+    var w = w0.option("row_groups_per_file",
+      math.max(1L, targetRowsPerFile / rowGroupSize).toString)
+    extraOptions.foreach { case (k, v) => w = w.option(k, v) }
+    w
   }
 }

@@ -4,16 +4,29 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path, UnsupportedFileSystemException}
 
-/** Manifest commit for object stores. Rename-based task commit is atomic
-  * on HDFS/local but copy+delete on S3-like stores — a visible
+/** Versioned manifest commit for object stores. Rename-based task commit
+  * is atomic on HDFS/local but copy+delete on S3-like stores — a visible
   * non-atomic window per file. In `commit_mode=manifest` the table's
-  * contents are defined by ONE small file, `_fls_manifest`, written
-  * atomically at job commit: tasks write data files directly under
+  * contents are defined by ONE small immutable file per table version,
+  * `_fls_manifest_log/v<N>`: tasks write data files directly under
   * attempt-unique final names (no renames at all), and readers trust the
-  * manifest instead of directory listing — which also removes the
-  * recursive-listing RPC from planning entirely (a 100k-file table plans
-  * from one manifest read). Files on disk but not in the manifest
-  * (losing speculative attempts, crashed jobs, junk) are invisible.
+  * newest manifest version instead of directory listing — which also
+  * removes the recursive-listing RPC from planning (a 100k-file table
+  * plans from one tiny-directory listing + one manifest read). Files on
+  * disk but not in the manifest (losing speculative attempts, crashed
+  * jobs, junk) are invisible.
+  *
+  * CONCURRENCY: versions are published with optimistic concurrency —
+  * each committer merges onto the newest version and claims `v<N+1>`
+  * with a create-exclusive primitive (hard link on local filesystems,
+  * no-overwrite rename on HDFS-likes); the loser of a race re-reads the
+  * winner's version and retries its merge, which is metadata-only
+  * because data files are attempt-unique. Two concurrent appenders both
+  * land; compact-vs-append is resolved by [[FlsMaintenance]] verifying
+  * its frozen inputs are still present at swap time. Concurrent
+  * OVERWRITES remain last-writer-wins (an overwrite semantically deletes
+  * everything committed before it — the usual contract for catalogless
+  * table formats).
   *
   * The reference has no cluster commit story at all (single-process
   * writer, /root/reference/src/writer/fls_writer.cpp:332-347); this and
@@ -23,46 +36,116 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path, UnsupportedFileSystem
   * per data file: `<length>\t<mtime>\t<relativePath>`. mtime 0 means
   * "immutable" (manifest-mode files are never rewritten in place);
   * lengths ride along so readers can build FileStatus without a
-  * per-file stat. Concurrent APPENDING jobs to the same manifest table
-  * race the read-modify-write and are not supported (single-writer per
-  * table, like most manifest-based formats without a catalog lock). */
+  * per-file stat. A pre-versioned `_fls_manifest` single file (same
+  * format) is read as version 0 and retired on the first versioned
+  * commit. */
 object FlsManifest {
+  /** Legacy (pre-versioned) manifest name, still read as version 0. */
   val FileName = "_fls_manifest"
+  /** Directory of immutable versioned manifests, `v<20-digit-N>`. */
+  val LogDirName = "_fls_manifest_log"
   private val Header = "#fls-manifest v1"
+  /** Versions retained behind the newest — headroom for pinned
+    * (`manifest_version`) readers planned just before a burst of
+    * commits; older versions are GC'd best-effort at each commit. */
+  private val KeepVersions = 8
+  private val MaxCasAttempts = 100
 
   final case class Entry(rel: String, length: Long, mtime: Long)
 
   def manifestPath(dir: Path): Path = new Path(dir, FileName)
+  def logDir(dir: Path): Path = new Path(dir, LogDirName)
+  def versionPath(dir: Path, v: Long): Path = new Path(logDir(dir), f"v$v%020d")
+
+  /** Newest (version, entries), or None when the table has no manifest
+    * (listing mode). The legacy single-file manifest reads as version 0;
+    * any versioned log entry outranks it. */
+  def readVersioned(fs: FileSystem, dir: Path): Option[(Long, Seq[Entry])] = {
+    val versions =
+      try fs.listStatus(logDir(dir)).iterator
+        .flatMap(s => parseVersionName(s.getPath.getName))
+        .toSeq
+      catch { case _: java.io.FileNotFoundException => Nil }
+    if (versions.nonEmpty) {
+      val v = versions.max
+      Some((v, readFile(fs, versionPath(dir, v))))
+    } else {
+      val legacy = manifestPath(dir)
+      val exists = try fs.exists(legacy) catch { case _: java.io.IOException => false }
+      if (exists) Some((0L, readFile(fs, legacy))) else None
+    }
+  }
 
   /** Entries, or None when the table has no manifest (listing mode). */
-  def read(fs: FileSystem, dir: Path): Option[Seq[Entry]] = {
-    val p = manifestPath(dir)
-    val st =
-      try fs.getFileStatus(p)
-      catch { case _: java.io.FileNotFoundException => return None }
+  def read(fs: FileSystem, dir: Path): Option[Seq[Entry]] =
+    readVersioned(fs, dir).map(_._2)
+
+  /** Entries of one PINNED version — versions are immutable, so this is
+    * a consistent snapshot regardless of concurrent commits (used by
+    * the `manifest_version` reader option and compaction). Fails loudly
+    * if the version was GC'd (more than [[KeepVersions]] commits behind). */
+  def readVersion(fs: FileSystem, dir: Path, v: Long): Seq[Entry] =
+    if (v == 0L) readFile(fs, manifestPath(dir))
+    else readFile(fs, versionPath(dir, v))
+
+  private def parseVersionName(name: String): Option[Long] =
+    if (name.startsWith("v") && name.length > 1 && name.drop(1).forall(_.isDigit))
+      scala.util.Try(name.drop(1).toLong).toOption
+    else None
+
+  private def readFile(fs: FileSystem, p: Path): Seq[Entry] = {
+    val st = fs.getFileStatus(p)
     val buf = new Array[Byte](st.getLen.toInt)
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()
     val lines = new String(buf, StandardCharsets.UTF_8).split('\n').filter(_.nonEmpty)
     require(lines.nonEmpty && lines(0) == Header, s"fls: corrupt manifest at $p")
-    Some(lines.drop(1).toSeq.map { l =>
+    lines.drop(1).toSeq.map { l =>
       val a = l.split('\t')
       require(a.length == 3, s"fls: corrupt manifest line '$l' in $p")
       Entry(a(2), a(0).toLong, a(1).toLong)
-    })
+    }
   }
 
-  /** Write the manifest atomically: stage under `_temporary/<writeId>`
-    * and rename into place with OVERWRITE semantics (FileContext.rename
-    * is a single atomic replace on local/HDFS — no delete-then-rename
-    * window in which readers see no manifest and fall back to listing a
-    * mid-commit directory; a crash can never leave the table
-    * manifest-less). Stores without FileContext support fall back to
-    * delete+rename, accepting that window. */
-  def write(fs: FileSystem, dir: Path, writeId: String,
-      entries: Seq[Entry], conf: org.apache.hadoop.conf.Configuration): Unit = {
-    val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId), FileName)
-    val out = fs.create(tmp, true)
+  /** Publish a new table version with optimistic concurrency: read the
+    * newest version, apply `merge(currentVersion, currentEntries)`, and
+    * claim `v<N+1>` exclusively; on a lost race, re-read and retry the
+    * merge (callers keep data files attempt-unique, so retries are
+    * metadata-only). `merge` may throw to abort (e.g. compaction
+    * detecting its inputs were removed by a concurrent commit) — the
+    * exception propagates with nothing published. Returns the published
+    * version. */
+  def commit(fs: FileSystem, dir: Path, writeId: String,
+      conf: org.apache.hadoop.conf.Configuration)(
+      merge: (Long, Option[Seq[Entry]]) => Seq[Entry]): Long = {
+    var attempt = 0
+    while (attempt < MaxCasAttempts) {
+      val cur = readVersioned(fs, dir)
+      val curV = cur.map(_._1).getOrElse(0L)
+      val merged = merge(curV, cur.map(_._2))
+      val next = curV + 1
+      fs.mkdirs(logDir(dir))
+      val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId), f"manifest_v$next%020d")
+      writeContent(fs, tmp, merged)
+      val won =
+        try publishExclusive(fs, tmp, versionPath(dir, next), conf)
+        finally { try fs.delete(tmp, false) catch { case _: Throwable => () } }
+      if (won) {
+        // retire the legacy single-file manifest (best effort — if this
+        // crashes, versioned entries outrank it on every future read)
+        if (curV == 0L && cur.isDefined)
+          try fs.delete(manifestPath(dir), false) catch { case _: Throwable => () }
+        gcOldVersions(fs, dir, next)
+        return next
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"fls manifest commit: lost the publish race $MaxCasAttempts times at $dir — giving up")
+  }
+
+  private def writeContent(fs: FileSystem, p: Path, entries: Seq[Entry]): Unit = {
+    val out = fs.create(p, true)
     try {
       val sb = new StringBuilder(Header).append('\n')
       entries.sortBy(_.rel).foreach { e =>
@@ -72,16 +155,52 @@ object FlsManifest {
       }
       out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
-    val dst = fs.makeQualified(manifestPath(dir))
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-      fc.rename(fs.makeQualified(tmp), dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: UnsupportedOperationException | _: UnsupportedFileSystemException =>
-        if (fs.exists(dst)) fs.delete(dst, false)
-        if (!fs.rename(tmp, dst))
-          throw new java.io.IOException(s"fls commit: rename $tmp -> $dst failed")
+  }
+
+  /** Atomically expose fully-written `tmp` at `dst` iff `dst` does not
+    * exist yet. Local filesystems use a hard link (the one local
+    * primitive that is both create-exclusive and atomic — a plain
+    * create-exclusive open would expose a partially-written newest
+    * version to readers); HDFS-likes use no-overwrite rename (atomic
+    * server-side, fails on an existing destination). Returns false on a
+    * lost race. */
+  private def publishExclusive(fs: FileSystem, tmp: Path, dst: Path,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val qTmp = fs.makeQualified(tmp)
+    val qDst = fs.makeQualified(dst)
+    if ("file" == Option(qDst.toUri.getScheme).getOrElse("file")) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(qDst.toUri.getPath),
+          java.nio.file.Paths.get(qTmp.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(qDst.toUri, conf)
+        fc.rename(qTmp, qDst) // Rename.NONE: atomic, fails if dst exists
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException | _: UnsupportedFileSystemException =>
+          // stores without FileContext: exists-check + rename — the
+          // strongest primitive available there (same caveat as every
+          // catalogless format on such stores)
+          if (fs.exists(qDst)) false else fs.rename(qTmp, qDst)
+      }
     }
+  }
+
+  /** Best-effort retention: keep the newest [[KeepVersions]] versions. */
+  private def gcOldVersions(fs: FileSystem, dir: Path, newest: Long): Unit = {
+    val cutoff = newest - KeepVersions + 1
+    if (cutoff <= 0) return
+    try fs.listStatus(logDir(dir)).foreach { s =>
+      parseVersionName(s.getPath.getName).foreach { v =>
+        if (v < cutoff)
+          try fs.delete(s.getPath, false) catch { case _: Throwable => () }
+      }
+    } catch { case _: Throwable => () }
   }
 
   /** The FileStatus view of the manifest — what listing would have
@@ -94,7 +213,10 @@ object FlsManifest {
     }
   }
 
+  /** Drop every manifest artifact (legacy file + versioned log) —
+    * reverts the table to listing mode. */
   def delete(fs: FileSystem, dir: Path): Unit = {
     try fs.delete(manifestPath(dir), false) catch { case _: Throwable => () }
+    try fs.delete(logDir(dir), true) catch { case _: Throwable => () }
   }
 }

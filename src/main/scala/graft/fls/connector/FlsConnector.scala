@@ -52,7 +52,7 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
     val paths = FlsDataSource.parsePaths(options)
     require(paths.nonEmpty, "fls: no path specified")
     val conf = hadoopConf
-    val files = FlsFooters.list(paths, conf)
+    val files = FlsFooters.list(paths, conf, FlsDataSource.manifestVersion(options))
     require(files.nonEmpty, s"fls: no .fls files under ${paths.mkString(",")}")
     val base =
       if (!options.getBoolean("union_by_name", false)) {
@@ -108,6 +108,13 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
 }
 
 object FlsDataSource {
+  /** Pinned-snapshot read of a manifest table: `manifest_version=N`
+    * plans from exactly that (immutable) version regardless of
+    * concurrent commits. Versions are retained a few commits back;
+    * compaction uses this to freeze its input set. */
+  def manifestVersion(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("manifest_version")).map(_.toLong)
+
   /** Spark passes one path as "path", several as a JSON array "paths". */
   def parsePaths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).map(parseJsonStringArray).getOrElse(Nil)
@@ -253,7 +260,8 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
 
   private lazy val footers: Seq[graft.fls.FlsFooters.Entry] =
     FlsFooters.list(FlsDataSource.parsePaths(options),
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
+      FlsDataSource.manifestVersion(options))
 
   /** Footer subset a metadata aggregate runs over: the files every
     * consumed partition filter decided TRUE for. */
@@ -418,7 +426,8 @@ class FlsScan(
 
   private lazy val files: Seq[(Path, TableDesc, Long)] =
     (if (preFooters != null) preFooters
-     else FlsFooters.list(FlsDataSource.parsePaths(options), hadoopConf))
+     else FlsFooters.list(FlsDataSource.parsePaths(options), hadoopConf,
+       FlsDataSource.manifestVersion(options)))
       .map(e => (e.file, e.table, e.fileSize))
 
   /** Hive-partition layout of the listed files (empty keys = flat dir).
@@ -867,30 +876,36 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
     val committed = committedLen.keySet
     if (manifestMode) {
       // publish the manifest FIRST: from this point readers see exactly
-      // the new table; physical cleanup below is invisible to them
+      // the new table; physical cleanup below is invisible to them.
+      // The publish is a CAS retry loop (FlsManifest.commit): this job
+      // merges onto whatever version is newest AT PUBLISH TIME, so two
+      // concurrent appenders both land — the loser re-merges and
+      // retries, metadata-only (data files are attempt-unique).
       val newEntries = committedLen.collect {
         case (rel, len) if rel.endsWith(".fls") => graft.fls.FlsManifest.Entry(rel, len, 0L)
       }.toSeq
-      val keptOld =
-        if (doTruncate) Nil
-        else graft.fls.FlsManifest.read(fs, dir) match {
-          // drop prior-attempt entries of THIS writeId too: a retried
-          // streaming epoch re-publishes its own files (attempt-unique
-          // names differ), and keeping the crashed attempt's entries
-          // would double the epoch's rows
-          case Some(old) => old.filterNot(e =>
-            committed.contains(e.rel) || e.rel.contains(s"-$writeId-"))
-          case None =>
-            // appending onto a pre-manifest (listing-mode) table: seed
-            // the manifest from one last recursive listing
-            val seeded = scala.collection.mutable.ArrayBuffer[graft.fls.FlsManifest.Entry]()
-            walkManaged(fs, dir) { (s, rel) =>
-              if (rel.endsWith(".fls") && !committed.contains(rel))
-                seeded += graft.fls.FlsManifest.Entry(rel, s.getLen, s.getModificationTime)
-            }
-            seeded.toSeq
-        }
-      graft.fls.FlsManifest.write(fs, dir, writeId, keptOld ++ newEntries, conf)
+      graft.fls.FlsManifest.commit(fs, dir, writeId, conf) { (_, current) =>
+        val keptOld =
+          if (doTruncate) Nil
+          else current match {
+            // drop prior-attempt entries of THIS writeId too: a retried
+            // streaming epoch re-publishes its own files (attempt-unique
+            // names differ), and keeping the crashed attempt's entries
+            // would double the epoch's rows
+            case Some(old) => old.filterNot(e =>
+              committed.contains(e.rel) || e.rel.contains(s"-$writeId-"))
+            case None =>
+              // appending onto a pre-manifest (listing-mode) table: seed
+              // the manifest from one last recursive listing
+              val seeded = scala.collection.mutable.ArrayBuffer[graft.fls.FlsManifest.Entry]()
+              walkManaged(fs, dir) { (s, rel) =>
+                if (rel.endsWith(".fls") && !committed.contains(rel))
+                  seeded += graft.fls.FlsManifest.Entry(rel, s.getLen, s.getModificationTime)
+              }
+              seeded.toSeq
+          }
+        keptOld ++ newEntries
+      }
     }
     walkManaged(fs, dir) { (s, rel) =>
       if (!committed.contains(rel)) {

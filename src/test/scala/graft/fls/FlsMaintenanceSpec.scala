@@ -152,6 +152,57 @@ class FlsMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FlsMaintenance.compact(spark, dir).rows == 100L)
   }
 
+  test("appends landing DURING manifest compaction survive the swap") {
+    val dir = Files.createTempDirectory("fls-compact-race").toString
+    val sp = spark; import sp.implicits._
+    (0 until 8).foreach { i =>
+      (i * 100L + 1 to i * 100L + 100).toDF("v").coalesce(1)
+        .write.format("fls").mode("append").option("commit_mode", "manifest").save(dir)
+    }
+    // compact on one thread while appends keep landing on another: the
+    // invariant must hold under ANY interleaving — every appended row
+    // survives, whether it beat the freeze (rewritten) or landed
+    // mid-rewrite (kept by the CAS swap merge)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val compactT = new Thread(() =>
+      try FlsMaintenance.compact(spark, dir, targetRowsPerFile = 10000)
+      catch { case t: Throwable => errs.add(t) })
+    val appendT = new Thread(() =>
+      try (0 until 4).foreach { i =>
+        (9000L + i * 10 + 1 to 9000L + i * 10 + 10).toDF("v").coalesce(1)
+          .write.format("fls").mode("append").option("commit_mode", "manifest").save(dir)
+      } catch { case t: Throwable => errs.add(t) })
+    compactT.start(); appendT.start()
+    compactT.join(); appendT.join()
+    assert(errs.isEmpty, s"neither job may fail: ${errs.toArray.toSeq}")
+    assert(readLongs(dir) == ((1L to 800L) ++ (9001L to 9040L)),
+      "rows appended during compaction were lost")
+  }
+
+  test("two concurrent compacts: no data loss; a stale swap aborts loudly") {
+    val dir = Files.createTempDirectory("fls-compact-dup").toString
+    val sp = spark; import sp.implicits._
+    (0 until 6).foreach { i =>
+      (i * 10L + 1 to i * 10L + 10).toDF("v").coalesce(1)
+        .write.format("fls").mode("append").option("commit_mode", "manifest").save(dir)
+    }
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ts = (0 until 2).map { _ =>
+      new Thread(() =>
+        try { FlsMaintenance.compact(spark, dir, targetRowsPerFile = 1000); outcomes.add("ok") }
+        catch {
+          case _: java.util.ConcurrentModificationException => outcomes.add("conflict")
+          case t: Throwable => outcomes.add(s"unexpected: $t")
+        })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val os = outcomes.toArray.map(_.toString).toSeq.sorted
+    assert(os.count(_ == "ok") >= 1, s"at least one compact must win: $os")
+    assert(os.forall(o => o == "ok" || o == "conflict"),
+      s"the loser must abort with the documented conflict, got: $os")
+    assert(readLongs(dir) == (1L to 60L), "concurrent compacts must never lose rows")
+  }
+
   test("compacting a subdir of a manifest table is refused") {
     val dir = Files.createTempDirectory("fls-compact-man-sub").toString
     val sp = spark; import sp.implicits._

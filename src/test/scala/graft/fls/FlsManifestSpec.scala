@@ -206,6 +206,110 @@ class FlsManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.build().toBatch.planInputPartitions().isEmpty)
   }
 
+  test("versioned log: every commit bumps the version; retention keeps a bounded window") {
+    val dir = Files.createTempDirectory("fls-man-vlog").toString
+    val sp = spark; import sp.implicits._
+    (1 to 12).foreach { i =>
+      Seq(i.toLong).toDF("v").coalesce(1)
+        .write.format("fls").mode("append").option("commit_mode", "manifest").save(dir)
+    }
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = fs.listStatus(FlsManifest.logDir(p)).map(_.getPath.getName).sorted
+    assert(versions.last == f"v${12L}%020d", s"newest version must be 12, got $versions")
+    assert(versions.length <= 8, s"old versions must GC, ${versions.length} kept")
+    assert(readLongs(dir) == (1L to 12L))
+  }
+
+  test("CAS publish: the loser of a concurrent-commit race re-merges and retries") {
+    val dir = Files.createTempDirectory("fls-man-cas").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p)
+    FlsManifest.commit(fs, p, "seed", conf)((_, _) => Seq(FlsManifest.Entry("a.fls", 1, 0)))
+    var merges = 0
+    val v = FlsManifest.commit(fs, p, "loser", conf) { (_, cur) =>
+      merges += 1
+      if (merges == 1)
+        // a competing committer lands BETWEEN our read and our publish —
+        // the exact window the old read-modify-write silently lost
+        FlsManifest.commit(fs, p, "winner", conf)((_, c) =>
+          c.get :+ FlsManifest.Entry("b.fls", 2, 0))
+      cur.get :+ FlsManifest.Entry("c.fls", 3, 0)
+    }
+    assert(merges == 2, "the loser must re-run its merge on the winner's version")
+    assert(v == 3L)
+    assert(FlsManifest.read(fs, p).get.map(_.rel).sorted == Seq("a.fls", "b.fls", "c.fls"),
+      "no committer's entries may be dropped")
+  }
+
+  test("two concurrent appender jobs: both file sets publish (no silent drop)") {
+    val dir = Files.createTempDirectory("fls-man-conc").toString
+    val sp = spark; import sp.implicits._
+    (1L to 10L).toDF("v").write.format("fls")
+      .mode("overwrite").option("commit_mode", "manifest").save(dir)
+    val batchA = new FlsBatchWrite(writeInfo(dir), doTruncate = false)
+    val batchB = new FlsBatchWrite(writeInfo(dir), doTruncate = false)
+    val wA = batchA.createBatchWriterFactory(null).createWriter(0, 1L)
+    val wB = batchB.createBatchWriterFactory(null).createWriter(0, 2L)
+    (101L to 150L).foreach(i => wA.write(row(i)))
+    (201L to 250L).foreach(i => wB.write(row(i)))
+    val mA = wA.commit()
+    val mB = wB.commit()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(
+      new Thread(() => try batchA.commit(Array(mA)) catch { case t: Throwable => errs.add(t) }),
+      new Thread(() => try batchB.commit(Array(mB)) catch { case t: Throwable => errs.add(t) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent commits must both succeed: ${errs.toArray.toSeq}")
+    assert(readLongs(dir) == ((1L to 10L) ++ (101L to 150L) ++ (201L to 250L)),
+      "a concurrent appender's files were silently dropped from the manifest")
+  }
+
+  test("manifest_version option reads an immutable pinned snapshot") {
+    val dir = Files.createTempDirectory("fls-man-pin").toString
+    val sp = spark; import sp.implicits._
+    (1L to 10L).toDF("v").write.format("fls")
+      .mode("overwrite").option("commit_mode", "manifest").save(dir)
+    (11L to 20L).toDF("v").write.format("fls")
+      .mode("append").option("commit_mode", "manifest").save(dir)
+    assert(readLongs(dir) == (1L to 20L))
+    val pinned = spark.read.format("fls").option("manifest_version", "1").load(dir)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(pinned == (1L to 10L), "pinned version must see the version-1 snapshot only")
+  }
+
+  test("legacy single-file manifest reads as v0 and upgrades on the next commit") {
+    val dir = Files.createTempDirectory("fls-man-legacy").toString
+    val sp = spark; import sp.implicits._
+    (1L to 10L).toDF("v").write.format("fls")
+      .mode("overwrite").option("commit_mode", "manifest").save(dir)
+    val p = new Path(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    // demote the table to the pre-versioned layout: copy the newest
+    // version's bytes to `_fls_manifest` and drop the log dir
+    val (v, entries) = FlsManifest.readVersioned(fs, p).get
+    val src = FlsManifest.versionPath(p, v)
+    val bytes = new Array[Byte](fs.getFileStatus(src).getLen.toInt)
+    val in = fs.open(src); try in.readFully(0, bytes) finally in.close()
+    val out = fs.create(FlsManifest.manifestPath(p), true)
+    try out.write(bytes) finally out.close()
+    fs.delete(FlsManifest.logDir(p), true)
+    assert(FlsManifest.readVersioned(fs, p).get._1 == 0L, "legacy file must read as v0")
+    assert(readLongs(dir) == (1L to 10L))
+    // next commit upgrades: versioned log appears, legacy file retires
+    (11L to 20L).toDF("v").write.format("fls")
+      .mode("append").option("commit_mode", "manifest").save(dir)
+    assert(FlsManifest.readVersioned(fs, p).get._1 == 1L)
+    assert(!fs.exists(FlsManifest.manifestPath(p)), "legacy manifest must retire")
+    assert(readLongs(dir) == (1L to 20L))
+    // the v0 entries all survived the upgrade merge
+    val upgraded = FlsManifest.read(fs, p).get.map(_.rel).toSet
+    assert(entries.map(_.rel).toSet.subsetOf(upgraded))
+  }
+
   test("empty manifest write leaves a readable schema-only table") {
     val dir = Files.createTempDirectory("fls-man-empty").toString
     val sp = spark; import sp.implicits._
