@@ -115,11 +115,14 @@ object FlsDataSource {
   def manifestVersion(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("manifest_version")).map(_.toLong)
 
-  /** Spark passes one path as "path", several as a JSON array "paths". */
+  /** Spark passes one path as "path", several as a JSON array "paths";
+    * session-catalog tables (`CREATE TABLE ... USING fls LOCATION ...`)
+    * carry the table root as "location" instead. */
   def parsePaths(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).map(parseJsonStringArray).getOrElse(Nil)
     val single = Option(options.get("path")).toSeq
-    (single ++ multi).distinct
+    val location = Option(options.get("location")).toSeq
+    (single ++ multi ++ location).distinct
   }
 
   private def parseJsonStringArray(s: String): Seq[String] = {
@@ -155,11 +158,25 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
 
-  override def newScanBuilder(readOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new FlsScanBuilder(schema, readOptions)
+  /** SQL reads of a catalog table (`SELECT ... FROM t` after
+    * `CREATE TABLE t USING fls LOCATION ...`) arrive with EMPTY read
+    * options — path and reader options must fall back to the table's
+    * own (read-time options still win). A missing merge here silently
+    * plans ZERO files, not an error, so it is load-bearing. */
+  override def newScanBuilder(readOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged =
+      if (readOptions.isEmpty) options
+      else if (options.isEmpty) readOptions
+      else {
+        val m = new java.util.HashMap[String, String](options)
+        m.putAll(readOptions)
+        new CaseInsensitiveStringMap(m)
+      }
+    new FlsScanBuilder(schema, merged)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new FlsWriteBuilder(info)
+    new FlsWriteBuilder(info, options)
 }
 
 // ---------------------------------------------------------------- read
@@ -660,18 +677,37 @@ class FlsReaderFactory(readSchema: StructType, conf: SerializableConfiguration,
 
 // --------------------------------------------------------------- write
 
-class FlsWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder with SupportsTruncate {
+class FlsWriteBuilder(info: LogicalWriteInfo,
+    /** The owning table's options — SQL `INSERT INTO` arrives with EMPTY
+      * write options, so path/commit_mode/etc. must fall back to what
+      * `CREATE TABLE ... USING fls OPTIONS (...) LOCATION ...` declared.
+      * Write-time options (DataFrame API `.option(...)`) still win. */
+    tableOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+  extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  private val merged: LogicalWriteInfo =
+    if (tableOptions == null || tableOptions.isEmpty) info
+    else {
+      val m = new java.util.HashMap[String, String](tableOptions)
+      m.putAll(info.options())
+      val o = new CaseInsensitiveStringMap(m)
+      new LogicalWriteInfo {
+        override def options(): CaseInsensitiveStringMap = o
+        override def queryId(): String = info.queryId()
+        override def schema(): StructType = info.schema()
+      }
+    }
+
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new FlsBatchWrite(info, doTruncate)
+    override def toBatch: BatchWrite = new FlsBatchWrite(merged, doTruncate)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!doTruncate,
         "fls streaming sink supports Append output mode only (complete/update " +
           "would truncate the table every trigger)")
-      new FlsStreamingWrite(info)
+      new FlsStreamingWrite(merged)
     }
   }
 }

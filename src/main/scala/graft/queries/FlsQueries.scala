@@ -334,6 +334,88 @@ object FlsQueries {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   }
 
+  /** q48: the streaming sink COMPOSED with hive partitioning and the
+    * manifest commit protocol — readStream from the fls orders table,
+    * writeStream into a table partitioned by o_orderstatus with
+    * `commit_mode=manifest` (per-epoch versioned-manifest CAS publish),
+    * then read back WITH a partition filter. The oracle recomputes from
+    * raw parquet, so the hash match proves rows survive
+    * stream → partitioned manifest sink → pruned scan exactly, and
+    * that partition values round-trip through the directory layout. */
+  def q48FlsStreamSinkPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    flsTable(spark, dir, "orders") // materialize the fls source
+    val src = flsTablePath(dir, "orders")
+    val out = flsTablePath(dir, "orders_stream_sink_part")
+    synchronized {
+      val marker = new java.io.File(s"$out/_done_stream")
+      if (!done.contains(out) && !marker.exists()) {
+        val schema = spark.read.format("fls").load(src).schema
+        val q = spark.readStream.format("fls").schema(schema).load(src)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .writeStream.format("fls")
+          .option("path", out)
+          .option("partition_by", "o_orderstatus")
+          .option("commit_mode", "manifest")
+          .option("checkpointLocation", s"$out/_checkpoint")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        marker.createNewFile()
+      }
+      done += out
+    }
+    spark.read.format("fls").load(out)
+      .filter(col("o_orderstatus") =!= "X") // partition filter in the plan
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q48Sql: String = {
+    import graft.util.Tables.{sql => S}
+    s"""SELECT o_orderstatus, count(*) AS n, ${S.sumD6w("o_totalprice", "total")}
+      FROM orders WHERE o_orderstatus <> 'X'
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  }
+
+  /** q47: the pure-SQL DDL surface — CREATE TABLE ... USING fls
+    * LOCATION, INSERT INTO ... SELECT, then aggregate with spark.sql,
+    * never touching the DataFrame read/write API. Proves the session
+    * catalog resolves fls through DataSourceRegister and routes
+    * INSERT/SELECT through the same DSv2 write/scan paths (commit
+    * protocol, zone maps, pushdown unchanged). The oracle is the same
+    * aggregate over the raw parquet supplier. */
+  def q47FlsSqlDdl(spark: SparkSession, dir: String): DataFrame = {
+    val out = flsTablePath(dir, "supplier_sql_ddl")
+    spark.sql("DROP TABLE IF EXISTS graft_fls_supplier")
+    spark.sql(
+      s"""CREATE TABLE graft_fls_supplier
+         (s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE)
+         USING fls LOCATION '$out'""")
+    synchronized {
+      val marker = new java.io.File(s"$out/_done")
+      if (!done.contains(out) && !marker.exists()) {
+        t(spark, dir, "supplier").createOrReplaceTempView("graft_supplier_src")
+        spark.sql(
+          """INSERT OVERWRITE graft_fls_supplier
+             SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DOUBLE)
+             FROM graft_supplier_src""")
+        marker.createNewFile()
+      }
+      done += out
+    }
+    spark.sql(
+      """SELECT s_nationkey, count(*) AS n,
+           CAST(sum(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total
+         FROM graft_fls_supplier
+         GROUP BY s_nationkey ORDER BY s_nationkey""")
+  }
+
+  val q47Sql: String = {
+    import graft.util.Tables.{sql => S}
+    s"""SELECT s_nationkey, count(*) AS n, ${S.sumD6w("s_acctbal", "total")}
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_fls_topk" -> (q38FlsTopK _),
     "q15_fls_tpch_q1" -> (q15FlsTpchQ1 _),
@@ -347,6 +429,8 @@ object FlsQueries {
     "q42_fls_stream" -> (q42FlsStream _),
     "q44_fls_compacted" -> (q44FlsCompacted _),
     "q45_fls_stream_sink" -> (q45FlsStreamSink _),
+    "q47_fls_sql_ddl" -> (q47FlsSqlDdl _),
+    "q48_fls_stream_sink_partitioned" -> (q48FlsStreamSinkPartitioned _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -362,5 +446,7 @@ object FlsQueries {
     "q42_fls_stream" -> q42Sql,
     "q44_fls_compacted" -> q44Sql,
     "q45_fls_stream_sink" -> q45Sql,
+    "q47_fls_sql_ddl" -> q47Sql,
+    "q48_fls_stream_sink_partitioned" -> q48Sql,
   )
 }
