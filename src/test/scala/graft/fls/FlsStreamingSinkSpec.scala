@@ -206,6 +206,65 @@ class FlsStreamingSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLongs(dir) == (201L to 230L))
   }
 
+  /** The real crash-restart: the driver dies AFTER the sink committed
+    * epoch N but BEFORE Spark wrote `commits/N` to the checkpoint —
+    * simulated exactly by deleting the newest commit-log entry after a
+    * clean stop. On restart Spark replays epoch N (same epochId, same
+    * offsets); the sink's deterministic writeId must converge to
+    * exactly-once instead of doubling the epoch's rows. */
+  private def crashRestartCase(label: String, extra: Map[String, String]): Unit =
+    test(s"crash between sink commit and commit log converges on restart ($label)") {
+      val sp = spark
+      import sp.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val dir = s"$tmp/crash_$label"
+      val ckpt = s"$tmp/crash_${label}_ckpt"
+      val in = MemoryStream[Long]
+      def start() = {
+        var w = in.toDF().withColumnRenamed("value", "v")
+          .withColumn("p", (col("v") % 3).cast("string"))
+          .writeStream.format("fls")
+          .option("path", dir).option("checkpointLocation", ckpt)
+        extra.foreach { case (k, v) => w = w.option(k, v) }
+        w.start()
+      }
+      val q1 = start()
+      in.addData(1L to 25L: _*)
+      q1.processAllAvailable()
+      in.addData(26L to 40L: _*)
+      q1.processAllAvailable()
+      q1.stop()
+      assert(readLongs(dir) == (1L to 40L))
+
+      // the sink committed the newest epoch, but "the driver crashed"
+      // before the commit log recorded it
+      val commits = new java.io.File(ckpt, "commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      assert(commits.nonEmpty)
+      val dropped = commits.last
+      assert(dropped.delete(), s"could not drop commit-log entry $dropped")
+      // the local checksum fs leaves a CRC sidecar that would make the
+      // re-written entry fail verification — a real crash leaves neither
+      new java.io.File(dropped.getParentFile, s".${dropped.getName}.crc").delete()
+
+      // restart: Spark re-executes the epoch with the same epochId; the
+      // deterministic writeId replaces the prior attempt's files
+      val q2 = start()
+      q2.processAllAvailable()
+      assert(readLongs(dir) == (1L to 40L),
+        "re-executed epoch must converge to exactly-once, not double its rows")
+      // and the stream keeps ingesting normally afterwards
+      in.addData(41L to 50L: _*)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(readLongs(dir) == (1L to 50L))
+    }
+
+  crashRestartCase("rename", Map.empty)
+  crashRestartCase("manifest", Map("commit_mode" -> "manifest"))
+  crashRestartCase("manifest_partitioned",
+    Map("commit_mode" -> "manifest", "partition_by" -> "p"))
+
   test("streaming writes compose with hive partitioning") {
     val sp = spark
     import sp.implicits._
