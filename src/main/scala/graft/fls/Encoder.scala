@@ -122,6 +122,21 @@ object Encoder {
             mnFull.length <= StatPrefixLen && mxFull.length <= StatPrefixLen)
         case None => SegmentDesc(0, 0, 0, hasStats = false, 0, 0, 0, 0)
       }
+    case a: ArrayColData if a.offsets.length > 1 =>
+      // LIST: element-count bounds (the elements themselves have no
+      // usable ordering). Equal bounds also tell the reader the column
+      // is fixed-width — the dominant embeddings case.
+      var mn = Int.MaxValue; var mx = Int.MinValue
+      var i = 0
+      val n = a.offsets.length - 1
+      while (i < n) {
+        val len = a.offsets(i + 1) - a.offsets(i)
+        if (len < mn) mn = len
+        if (len > mx) mx = len
+        i += 1
+      }
+      SegmentDesc(0, 0, 0, hasStats = false, mn.toLong, mx.toLong, 0, 0,
+        elemCountStats = true)
     case _ => SegmentDesc(0, 0, 0, hasStats = false, 0, 0, 0, 0)
   }
 

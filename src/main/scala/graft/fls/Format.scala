@@ -249,7 +249,11 @@ object Format {
       minLong: Long, maxLong: Long,
       minDouble: Double, maxDouble: Double,
       minBytes: Array[Byte] = null, maxBytes: Array[Byte] = null,
-      byteStatsExact: Boolean = false) {
+      byteStatsExact: Boolean = false,
+      /** LIST segments only: minLong/maxLong carry the row group's
+        * min/max ELEMENT COUNT (the values themselves have no order).
+        * Powers virtual `<col>_size` zone-map pruning. */
+      elemCountStats: Boolean = false) {
     def hasByteStats: Boolean = minBytes != null && maxBytes != null
   }
 
@@ -298,9 +302,10 @@ object Format {
         out.writeLong(s.length)
         // flags: bit0 = numeric stats valid, bit1 = byte-prefix stats
         // follow, bit2 = byte stats are EXACT (untruncated min/max —
-        // usable as aggregate answers, not just pruning bounds)
+        // usable as aggregate answers, not just pruning bounds), bit3 =
+        // minLong/maxLong are LIST element-count bounds
         out.writeByte((if (s.hasStats) 1 else 0) | (if (s.hasByteStats) 2 else 0) |
-          (if (s.byteStatsExact) 4 else 0))
+          (if (s.byteStatsExact) 4 else 0) | (if (s.elemCountStats) 8 else 0))
         out.writeLong(s.minLong); out.writeLong(s.maxLong)
         out.writeDouble(s.minDouble); out.writeDouble(s.maxDouble)
         if (s.hasByteStats) {
@@ -332,7 +337,7 @@ object Format {
             (in.readBytes(in.readInt()), in.readBytes(in.readInt()))
           else (null, null)
         SegmentDesc(enc, off, len, (flags & 1) != 0, mnL, mxL, mnD, mxD, mnB, mxB,
-          (flags & 4) != 0)
+          (flags & 4) != 0, (flags & 8) != 0)
       }
       RowGroupDesc(n, segs)
     }

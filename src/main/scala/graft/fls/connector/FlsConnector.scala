@@ -93,6 +93,16 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
     // Virtual columns opt in via reader options, like the reference's
     // read_fls named parameters (/root/reference/src/read_fls.cpp:32-46).
     var s = withParts
+    FlsVirtual.sizeVirtuals(options).toSeq.sortBy(_._1).foreach { case (virt, baseName) =>
+      val baseField = withParts.fields.find(_.name == baseName).getOrElse(
+        throw new IllegalArgumentException(
+          s"fls: array_size column '$baseName' not in the table schema"))
+      require(baseField.dataType.isInstanceOf[ArrayType],
+        s"fls: array_size column '$baseName' is ${baseField.dataType.simpleString}, not an array")
+      require(!withParts.fieldNames.contains(virt),
+        s"fls: virtual column '$virt' collides with a data column")
+      s = StructType(s.fields :+ StructField(virt, LongType, nullable = false))
+    }
     if (options.getBoolean(FlsVirtual.RowNumber, false))
       s = StructType(s.fields :+ StructField(FlsVirtual.RowNumber, LongType, nullable = false))
     if (options.getBoolean(FlsVirtual.FileIndex, false))
@@ -483,7 +493,8 @@ class FlsScan(
           }
         var rowStart = 0L
         table.rowGroups.foreach { rg =>
-          if (FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, allFilters, rowStart)) {
+          if (FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, allFilters, rowStart,
+              FlsVirtual.sizeVirtuals(options))) {
             parts += FlsInputPartition(file.toString, rg, table.columns, rowStart, fileIdx, pvals)
           }
           rowStart += rg.nTuples
@@ -551,7 +562,8 @@ class FlsScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FlsReaderFactory(readSchema(), new SerializableConfiguration(hadoopConf),
-      options.getBoolean("string_dictionary", false))
+      options.getBoolean("string_dictionary", false),
+      FlsVirtual.sizeVirtuals(options))
 
   /** Scan progress metrics (≙ reference GetProgressInFile,
     * /root/reference/src/reader/fls_reader.cpp:556-558 — Spark surfaces
@@ -661,7 +673,8 @@ case class FlsInputPartition(
     partitionValues: Map[String, String] = Map.empty) extends InputPartition
 
 class FlsReaderFactory(readSchema: StructType, conf: SerializableConfiguration,
-    stringDictionary: Boolean = false)
+    stringDictionary: Boolean = false,
+    sizeBase: Map[String, String] = Map.empty)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -672,7 +685,7 @@ class FlsReaderFactory(readSchema: StructType, conf: SerializableConfiguration,
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new FlsPartitionReader(partition.asInstanceOf[FlsInputPartition], readSchema, conf.value,
-      stringDictionary)
+      stringDictionary, sizeBase)
 }
 
 // --------------------------------------------------------------- write

@@ -20,7 +20,9 @@ class FlsPartitionReader(
     part: FlsInputPartition,
     readSchema: StructType,
     conf: Configuration,
-    stringDictionary: Boolean = false)
+    stringDictionary: Boolean = false,
+    /** virtual `<col>_size` name → base LIST column (see FlsVirtual). */
+    sizeBase: Map[String, String] = Map.empty)
   extends PartitionReader[ColumnarBatch] {
 
   private val nTuples = part.rowGroup.nTuples
@@ -69,11 +71,28 @@ class FlsPartitionReader(
       decoded = readSchema.fields.zipWithIndex.map { case (f, fi) =>
         val idx = part.fileColumns.indexWhere(_.name == f.name)
         if (idx < 0) {
-          if (f.name == FlsVirtual.RowNumber || f.name == FlsVirtual.FileIndex ||
-            part.partitionValues.contains(f.name) || // constant from the path
-            f.nullable) null // nullable+absent: union_by_name missing column
-          else throw new IllegalArgumentException(
-            s"fls: column ${f.name} not present in ${part.file}")
+          sizeBase.get(f.name).map(b => part.fileColumns.indexWhere(_.name == b)) match {
+            case Some(baseIdx) if baseIdx >= 0 =>
+              // virtual `<col>_size`: per-row element counts, derived
+              // from the base LIST column's offsets (decode shared via
+              // the memo when the values are also projected)
+              decodeAt(baseIdx) match {
+                case a: ArrayColData =>
+                  val n = a.offsets.length - 1
+                  val counts = new Array[Long](n)
+                  var i = 0
+                  while (i < n) { counts(i) = (a.offsets(i + 1) - a.offsets(i)).toLong; i += 1 }
+                  LongData(counts)
+                case other => throw new IllegalStateException(
+                  s"fls: ${f.name} base column decoded to ${other.getClass.getSimpleName}")
+              }
+            case _ =>
+              if (f.name == FlsVirtual.RowNumber || f.name == FlsVirtual.FileIndex ||
+                part.partitionValues.contains(f.name) || // constant from the path
+                f.nullable) null // nullable+absent: union_by_name missing column
+              else throw new IllegalArgumentException(
+                s"fls: column ${f.name} not present in ${part.file}")
+          }
         } else {
           val seg = part.rowGroup.segments(idx)
           val phys = physOf(part.fileColumns(idx).colType.tag)
@@ -375,4 +394,22 @@ object FlsVirtual {
     * options of the same name. */
   val RowNumber = "file_row_number"
   val FileIndex = "file_index"
+
+  /** `array_size=v,w` surfaces virtual `v_size`/`w_size` BIGINT columns
+    * carrying each row's element count. Spark cannot push `size(col)`
+    * predicates to a source (not in the V2 predicate vocabulary), but a
+    * filter on `v_size` is an ordinary column filter — it pushes, and
+    * the LIST segments' element-count footer stats zone-map-prune row
+    * groups WITHOUT touching data (degenerate/odd-dimension screening
+    * over an embedding corpus becomes footer-only). */
+  val ArraySizeOption = "array_size"
+  val SizeSuffix = "_size"
+
+  /** virtual name → base array column name, from the read options. */
+  def sizeVirtuals(options: org.apache.spark.sql.util.CaseInsensitiveStringMap): Map[String, String] =
+    Option(options.get(ArraySizeOption)) match {
+      case None => Map.empty
+      case Some(s) =>
+        s.split(",").map(_.trim).filter(_.nonEmpty).map(c => (c + SizeSuffix, c)).toMap
+    }
 }

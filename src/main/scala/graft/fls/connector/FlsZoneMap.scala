@@ -29,25 +29,32 @@ object FlsZoneMap {
       nameToIdx: Map[String, Int],
       columns: Array[ColumnDesc],
       filters: Array[Filter],
-      rowStart: Long): Boolean =
-    filters.forall(f => mayMatchOne(rg, nameToIdx, columns, f, rowStart))
+      rowStart: Long,
+      /** virtual `<col>_size` name → base LIST column name: filters on
+        * these compare against the segment's element-count bounds. */
+      sizeBase: Map[String, String] = Map.empty): Boolean =
+    filters.forall(f => mayMatchOne(rg, nameToIdx, columns, f, rowStart, sizeBase))
 
   private def mayMatchOne(
       rg: RowGroupDesc,
       nameToIdx: Map[String, Int],
       columns: Array[ColumnDesc],
       f: Filter,
-      rowStart: Long): Boolean = f match {
+      rowStart: Long,
+      sizeBase: Map[String, String]): Boolean = f match {
     case And(l, r) =>
-      mayMatchOne(rg, nameToIdx, columns, l, rowStart) && mayMatchOne(rg, nameToIdx, columns, r, rowStart)
+      mayMatchOne(rg, nameToIdx, columns, l, rowStart, sizeBase) &&
+        mayMatchOne(rg, nameToIdx, columns, r, rowStart, sizeBase)
     case Or(l, r) =>
-      mayMatchOne(rg, nameToIdx, columns, l, rowStart) || mayMatchOne(rg, nameToIdx, columns, r, rowStart)
+      mayMatchOne(rg, nameToIdx, columns, l, rowStart, sizeBase) ||
+        mayMatchOne(rg, nameToIdx, columns, r, rowStart, sizeBase)
     // The format stores no NULLs (/root/reference/src/reader/fls_reader.cpp:200-210):
-    case IsNull(col) if nameToIdx.contains(col) || col == FlsVirtual.RowNumber => false
+    case IsNull(col) if nameToIdx.contains(col) || col == FlsVirtual.RowNumber ||
+      sizeBase.contains(col) => false
     case IsNotNull(_) => true
     case EqualTo(col, v) =>
       strCmp(rg, nameToIdx, columns, col, v)((cMin, cMax) => cMin >= 0 && cMax <= 0)
-        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, mx, x) => x >= mn && x <= mx })
+        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart, sizeBase) { (mn, mx, x) => x >= mn && x <= mx })
     // Strict compares: double rounding is monotonic, so >=/<=/= can
     // never mis-prune; > / < could collapse at longs past 2^52 where
     // doubles lose exactness — only there, widen by 1 ulp instead of
@@ -57,22 +64,22 @@ object FlsZoneMap {
       // keep iff some value can exceed v: maxBytes ≥ true max, so
       // maxBytes ≤ v proves none does (cMax = cmp(v, maxBytes))
       strCmp(rg, nameToIdx, columns, col, v)((_, cMax) => cMax < 0)
-        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart) { (_, mx, x) =>
+        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart, sizeBase) { (_, mx, x) =>
           (if (FlsZoneMap.inexact(mx)) Math.nextUp(mx) else mx) > x })
     case GreaterThanOrEqual(col, v) =>
       strCmp(rg, nameToIdx, columns, col, v)((_, cMax) => cMax <= 0)
-        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart) { (_, mx, x) => mx >= x })
+        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart, sizeBase) { (_, mx, x) => mx >= x })
     case LessThan(col, v) =>
       strCmp(rg, nameToIdx, columns, col, v)((cMin, _) => cMin > 0)
-        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, _, x) =>
+        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart, sizeBase) { (mn, _, x) =>
           (if (FlsZoneMap.inexact(mn)) Math.nextDown(mn) else mn) < x })
     case LessThanOrEqual(col, v) =>
       strCmp(rg, nameToIdx, columns, col, v)((cMin, _) => cMin >= 0)
-        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, _, x) => mn <= x })
+        .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart, sizeBase) { (mn, _, x) => mn <= x })
     case In(col, vs) =>
       vs.isEmpty || vs.exists { v =>
         strCmp(rg, nameToIdx, columns, col, v)((cMin, cMax) => cMin >= 0 && cMax <= 0)
-          .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart) { (mn, mx, x) => x >= mn && x <= mx })
+          .getOrElse(cmp(rg, nameToIdx, columns, col, v, rowStart, sizeBase) { (mn, mx, x) => x >= mn && x <= mx })
       }
     case StringStartsWith(col, p) if p != null =>
       // values with prefix p live in [p, increment(p)): prune when the
@@ -159,7 +166,9 @@ object FlsZoneMap {
       columns: Array[ColumnDesc],
       col: String,
       value: Any,
-      rowStart: Long)(test: (Double, Double, Double) => Boolean): Boolean = {
+      rowStart: Long,
+      sizeBase: Map[String, String] = Map.empty)(
+      test: (Double, Double, Double) => Boolean): Boolean = {
     // Virtual row-number filters skip by row range, the reference's
     // rowid special path (/root/reference/src/reader/row_group_filter.cpp:136-153).
     if (col == FlsVirtual.RowNumber && !nameToIdx.contains(col)) {
@@ -168,6 +177,18 @@ object FlsZoneMap {
           test(rowStart.toDouble, (rowStart + rg.nTuples - 1).toDouble, n.longValue().toDouble)
         case _ => true
       }
+    }
+    // Virtual `<col>_size` filters compare against the LIST segment's
+    // element-count bounds — footer-only pruning for size screening.
+    sizeBase.get(col).flatMap(nameToIdx.get) match {
+      case Some(baseIdx) =>
+        val seg = rg.segments(baseIdx)
+        return !seg.elemCountStats || (value match {
+          case n: Number =>
+            test(seg.minLong.toDouble, seg.maxLong.toDouble, n.longValue().toDouble)
+          case _ => true
+        })
+      case None => ()
     }
     nameToIdx.get(col) match {
       case None => true

@@ -334,6 +334,31 @@ object FlsQueries {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   }
 
+  /** q49: array-aware zone maps — the virtual `<col>_size` column
+    * (`array_size` reader option) over the fls embeddings table. Spark
+    * cannot push `size(col)` to a source, but `embedding_size` is an
+    * ordinary pushable column whose filters prune row groups from the
+    * LIST segments' element-count footer stats; the histogram proves
+    * the surfaced counts are exact (oracle recomputes len(embedding)
+    * from raw parquet). On this fixed-64-dim corpus the degenerate
+    * screen (`size <> 64`) is answered footer-only — FlsArraySizeSpec
+    * asserts the planned-partition counts. */
+  def q49FlsArraySize(spark: SparkSession, dir: String): DataFrame = {
+    flsTable(spark, dir, "embeddings") // materialize the fls copy
+    val src = flsTablePath(dir, "embeddings")
+    spark.read.format("fls").option("array_size", "embedding").load(src)
+      .filter(col("embedding_size") > 0L)
+      .groupBy(col("embedding_size"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("label")).as("labels"))
+      .orderBy("embedding_size")
+  }
+
+  val q49Sql: String =
+    """SELECT len(embedding)::BIGINT AS embedding_size, count(*) AS n,
+        count(DISTINCT label) AS labels
+      FROM embeddings WHERE len(embedding) > 0
+      GROUP BY 1 ORDER BY 1"""
+
   /** q48: the streaming sink COMPOSED with hive partitioning and the
     * manifest commit protocol — readStream from the fls orders table,
     * writeStream into a table partitioned by o_orderstatus with
@@ -431,6 +456,7 @@ object FlsQueries {
     "q45_fls_stream_sink" -> (q45FlsStreamSink _),
     "q47_fls_sql_ddl" -> (q47FlsSqlDdl _),
     "q48_fls_stream_sink_partitioned" -> (q48FlsStreamSinkPartitioned _),
+    "q49_fls_array_size" -> (q49FlsArraySize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -448,5 +474,6 @@ object FlsQueries {
     "q45_fls_stream_sink" -> q45Sql,
     "q47_fls_sql_ddl" -> q47Sql,
     "q48_fls_stream_sink_partitioned" -> q48Sql,
+    "q49_fls_array_size" -> q49Sql,
   )
 }
