@@ -13,8 +13,8 @@ object PlanProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/tmp/fls_plan_probe"
-    val nFiles = 512
+    val nFiles = args.headOption.map(_.toInt).getOrElse(512)
+    val dir = s"/tmp/fls_plan_probe_$nFiles"
     // 512 files of one 1024-row row group each
     spark.range(0, nFiles.toLong * graft.fls.Format.VecSize)
       .selectExpr("id", "CAST(id % 1000 AS DOUBLE) AS d", "concat('s', id % 37) AS s")
@@ -46,19 +46,20 @@ object PlanProbe {
         try r.table finally r.close()
       }
     }
-    // end-to-end: planning + a metadata-only count over 512 files
-    timed("count() over 512 files") {
+    // end-to-end: planning + a metadata-only count over the table
+    timed(s"count() over $nFiles files") {
       assert(spark.read.format("fls").load(dir).count() ==
         nFiles.toLong * graft.fls.Format.VecSize)
     }
-    timed("filtered scan over 512 files") {
+    timed(s"filtered scan over $nFiles files") {
       assert(spark.read.format("fls").load(dir)
         .filter(col("id") < 2048).count() == 2048)
     }
-    // manifest mode: the same 512-file table published through
-    // _fls_manifest — file discovery becomes ONE small read instead of
-    // a recursive listing (the object-store planning win)
-    val mdir = "/tmp/fls_plan_probe_manifest"
+    // manifest mode: the same table published through the versioned
+    // manifest — file discovery becomes one tiny-dir listing + one
+    // manifest read instead of a recursive listing (the object-store
+    // planning win)
+    val mdir = s"/tmp/fls_plan_probe_${nFiles}_manifest"
     spark.range(0, nFiles.toLong * graft.fls.Format.VecSize)
       .selectExpr("id", "CAST(id % 1000 AS DOUBLE) AS d", "concat('s', id % 37) AS s")
       .repartitionByRange(nFiles, col("id"))

@@ -223,7 +223,7 @@ class FlsMicroBatchStream(
     // stream start); values parse per file from its path
     val partTypes: Map[String, DataType] =
       tableSchema.fields.map(f => f.name -> f.dataType).toMap
-    val parts = mutable.ArrayBuffer[InputPartition]()
+    val parts = mutable.ArrayBuffer[FlsRgUnit]()
     footers.zipWithIndex.foreach { case (entry, fileIdx) =>
       val kvs = FlsPartitioning.valuesFor(bases, entry.file)
       val pvals = kvs.toMap
@@ -248,14 +248,14 @@ class FlsMicroBatchStream(
         var rowStart = 0L
         table.rowGroups.foreach { rg =>
           if (FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, filters, rowStart)) {
-            parts += FlsInputPartition(entry.file.toString, rg, table.columns,
-              rowStart, fileIdx, pvals)
+            parts += FlsRgUnit(entry.file.toString, rg, rowStart, fileIdx, pvals,
+              table.columns)
           }
           rowStart += rg.nTuples
         }
       }
     }
-    parts.toArray
+    FlsSplitPacking.pack(parts.toSeq)
   }
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =

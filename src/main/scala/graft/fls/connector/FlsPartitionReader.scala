@@ -25,14 +25,29 @@ class FlsPartitionReader(
     sizeBase: Map[String, String] = Map.empty)
   extends PartitionReader[ColumnarBatch] {
 
-  private val nTuples = part.rowGroup.nTuples
+  /** Multi-chunk, multi-row-group split state: `cIdx` is the current
+    * file chunk, `gIdx` the current group within it; decode is per
+    * group (eager within a group, lazy across groups), with ONE file
+    * handle per chunk and ONE set of output vectors for the whole
+    * split. */
+  private var cIdx = 0
+  private var gIdx = -1
+  private var chunk: FlsFileChunk = part.chunks.headOption.orNull
+  private var nTuples = 0
+  private var groupRowStart = 0L
   private var rowPos = 0
+  private var rowsReadTotal = 0L
+  private var groupsRead = 0L
+  private var in: org.apache.hadoop.fs.FSDataInputStream = _
   private var decoded: Array[ColData] = _ // null slots = virtual/absent columns
   /** File-side type per projected field (None = virtual or absent in
-    * this file — absent happens under union_by_name). */
-  private val fileTypes: Array[Option[ColumnType]] =
+    * this file — absent happens under union_by_name). Per chunk. */
+  private var fileTypes: Array[Option[ColumnType]] =
+    if (chunk == null) Array.empty else mkFileTypes(chunk)
+
+  private def mkFileTypes(c: FlsFileChunk): Array[Option[ColumnType]] =
     readSchema.fields.map { f =>
-      part.fileColumns.find(_.name == f.name).map(_.colType)
+      c.fileColumns.find(_.name == f.name).map(_.colType)
     }
   private val vectors: Array[OnHeapColumnVector] =
     readSchema.fields.map(f => new OnHeapColumnVector(BatchSize, f.dataType))
@@ -43,10 +58,16 @@ class FlsPartitionReader(
   private var colDicts: Array[org.apache.spark.sql.execution.vectorized.Dictionary] = _
   private var colDictIds: Array[Array[Int]] = _
 
-  private def init(): Unit = {
-    val path = new Path(part.file)
-    val fs = path.getFileSystem(conf)
-    val in = fs.open(path)
+  /** Decode row group `g` of the current chunk eagerly. The file handle
+    * opens once per CHUNK (not per row group — that per-task open was
+    * part of why single-rg tasks were too fine) and closes when the
+    * chunk is exhausted or the reader closes. */
+  private def decodeGroup(g: Int): Unit = {
+    if (in == null) {
+      val path = new Path(chunk.file)
+      in = path.getFileSystem(conf).open(path)
+    }
+    val rowGroup = chunk.rowGroups(g)
     colDicts = new Array(readSchema.fields.length)
     colDictIds = new Array(readSchema.fields.length)
     // MCC resolution: an EQUAL segment widens this reader's reads to its
@@ -58,20 +79,20 @@ class FlsPartitionReader(
     def decodeAt(idx: Int): ColData = memo.get(idx) match {
       case Some(d) => d
       case None =>
-        val seg = part.rowGroup.segments(idx)
+        val seg = rowGroup.segments(idx)
         val segBytes = new Array[Byte](seg.length.toInt)
         in.readFully(seg.offset, segBytes)
         val d =
           if (seg.encoding == Enc.EQUAL) decodeAt(Codecs.decodeEqualTarget(segBytes))
-          else Codecs.decode(segBytes, seg.encoding, part.fileColumns(idx).colType)
+          else Codecs.decode(segBytes, seg.encoding, chunk.fileColumns(idx).colType)
         memo(idx) = d
         d
     }
-    try {
+    {
       decoded = readSchema.fields.zipWithIndex.map { case (f, fi) =>
-        val idx = part.fileColumns.indexWhere(_.name == f.name)
+        val idx = chunk.fileColumns.indexWhere(_.name == f.name)
         if (idx < 0) {
-          sizeBase.get(f.name).map(b => part.fileColumns.indexWhere(_.name == b)) match {
+          sizeBase.get(f.name).map(b => chunk.fileColumns.indexWhere(_.name == b)) match {
             case Some(baseIdx) if baseIdx >= 0 =>
               // virtual `<col>_size`: per-row element counts, derived
               // from the base LIST column's offsets (decode shared via
@@ -88,14 +109,14 @@ class FlsPartitionReader(
               }
             case _ =>
               if (f.name == FlsVirtual.RowNumber || f.name == FlsVirtual.FileIndex ||
-                part.partitionValues.contains(f.name) || // constant from the path
+                chunk.partitionValues.contains(f.name) || // constant from the path
                 f.nullable) null // nullable+absent: union_by_name missing column
               else throw new IllegalArgumentException(
-                s"fls: column ${f.name} not present in ${part.file}")
+                s"fls: column ${f.name} not present in ${chunk.file}")
           }
         } else {
-          val seg = part.rowGroup.segments(idx)
-          val phys = physOf(part.fileColumns(idx).colType.tag)
+          val seg = rowGroup.segments(idx)
+          val phys = physOf(chunk.fileColumns(idx).colType.tag)
           // Zero-copy string-dictionary path (≙ reference
           // dictionary_kernel.hpp:79-101): keep (dict, codes); the
           // vector serves values through a shared dictionary — no
@@ -140,12 +161,30 @@ class FlsPartitionReader(
           } else decodeAt(idx)
         }
       }
-    } finally in.close()
+    }
+    nTuples = rowGroup.nTuples
+    groupRowStart = chunk.rowStarts(g)
+    rowPos = 0
+    groupsRead += 1
   }
 
   override def next(): Boolean = {
-    if (decoded == null) init()
-    if (rowPos >= nTuples) return false
+    while (decoded == null || rowPos >= nTuples) {
+      if (chunk == null) return false
+      if (gIdx + 1 >= chunk.rowGroups.length) {
+        // chunk exhausted: close its handle, move to the next file chunk
+        if (in != null) { in.close(); in = null }
+        cIdx += 1
+        if (cIdx >= part.chunks.length) { chunk = null; return false }
+        chunk = part.chunks(cIdx)
+        fileTypes = mkFileTypes(chunk)
+        gIdx = -1
+        decoded = null
+      } else {
+        gIdx += 1
+        decodeGroup(gIdx)
+      }
+    }
     val len = math.min(BatchSize, nTuples - rowPos)
     var c = 0
     while (c < vectors.length) {
@@ -155,6 +194,7 @@ class FlsPartitionReader(
     }
     batch.setNumRows(len)
     rowPos += len
+    rowsReadTotal += len
     true
   }
 
@@ -164,14 +204,14 @@ class FlsPartitionReader(
     Array(
       new org.apache.spark.sql.connector.metric.CustomTaskMetric {
         override def name(): String = "rowGroupsRead"
-        override def value(): Long = if (decoded != null) 1L else 0L
+        override def value(): Long = groupsRead
       },
       new org.apache.spark.sql.connector.metric.CustomTaskMetric {
         override def name(): String = "flsRowsRead"
-        override def value(): Long = rowPos.toLong
+        override def value(): Long = rowsReadTotal
       })
 
-  override def close(): Unit = ()
+  override def close(): Unit = if (in != null) { in.close(); in = null }
 
   private def fieldIdx(field: StructField): Int =
     readSchema.fieldIndex(field.name)
@@ -183,10 +223,10 @@ class FlsPartitionReader(
       start: Int,
       len: Int): Unit = {
     (data, field.dataType) match {
-      case (null, dt) if part.partitionValues.contains(field.name) =>
+      case (null, dt) if chunk.partitionValues.contains(field.name) =>
         // hive partition column: one value per file, parsed from the
         // path by FlsPartitioning and filled as a constant vector
-        val raw = part.partitionValues(field.name)
+        val raw = chunk.partitionValues(field.name)
         if (raw == null) vec.putNulls(0, len)
         else dt match {
           case IntegerType | DateType =>
@@ -219,9 +259,9 @@ class FlsPartitionReader(
         }
       case (null, LongType) if field.name == FlsVirtual.FileIndex =>
         var i = 0
-        while (i < len) { vec.putLong(i, part.fileIndex.toLong); i += 1 }
+        while (i < len) { vec.putLong(i, chunk.fileIndex.toLong); i += 1 }
       case (null, LongType) if field.name == FlsVirtual.RowNumber =>
-        val base = part.fileRowStart + start
+        val base = groupRowStart + start
         var i = 0
         while (i < len) { vec.putLong(i, base + i); i += 1 }
       case (null, _) =>

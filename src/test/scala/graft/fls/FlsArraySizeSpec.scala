@@ -50,7 +50,10 @@ class FlsArraySizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val schema = new FlsDataSource().inferSchema(opts)
     val b = new FlsScanBuilder(schema, opts)
     b.pushFilters(filters.toArray)
-    b.build().toBatch.planInputPartitions().length
+    // pin one row group per split so the count measures PRUNING
+    spark.conf.set("spark.sql.files.openCostInBytes", "134217728")
+    try b.build().toBatch.planInputPartitions().length
+    finally spark.conf.unset("spark.sql.files.openCostInBytes")
   }
 
   test("virtual <col>_size values equal size(col)") {

@@ -124,7 +124,10 @@ class FlsMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val schema = new FlsDataSource().inferSchema(opts)
       val builder = new FlsScanBuilder(schema, opts)
       builder.pushFilters(Array(filter))
-      builder.build().toBatch.planInputPartitions().length
+      // pin 1 row group per split so the count measures pruning
+      spark.conf.set("spark.sql.files.openCostInBytes", "134217728")
+      try builder.build().toBatch.planInputPartitions().length
+      finally spark.conf.unset("spark.sql.files.openCostInBytes")
     }
     val f = org.apache.spark.sql.sources.LessThan("v", 500L)
     assert(planned(f) == 8, "before clustering, every file spans the full domain")

@@ -46,7 +46,11 @@ class FlsPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
     val schema = new FlsDataSource().inferSchema(opts)
     val builder = new FlsScanBuilder(schema, opts)
     builder.pushFilters(filters)
-    builder.build().toBatch.planInputPartitions()
+    // pin split packing to one row group per task so partition counts
+    // measure PRUNING, not packing
+    spark.conf.set("spark.sql.files.openCostInBytes", "134217728")
+    try builder.build().toBatch.planInputPartitions()
+    finally spark.conf.unset("spark.sql.files.openCostInBytes")
   }
 
   private def sample(): DataFrame = {
@@ -162,13 +166,16 @@ class FlsPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
     val builder = new FlsScanBuilder(schema, opts)
     builder.pushFilters(Array.empty)
     val scan = builder.build().asInstanceOf[FlsScan]
-    assert(scan.toBatch.planInputPartitions().length == 9)
-    // Spark injects join-derived filters via SupportsRuntimeFiltering
-    // AFTER planning — partition columns must be advertised and prune
-    assert(scan.filterAttributes().map(_.describe()).contains("country"))
-    scan.filter(Array[Filter](In("country", Array[Any]("us"))))
-    assert(scan.toBatch.planInputPartitions().length == 3,
-      "runtime In-filter on a partition column must prune whole files")
+    spark.conf.set("spark.sql.files.openCostInBytes", "134217728") // 1 rg/split
+    try {
+      assert(scan.toBatch.planInputPartitions().length == 9)
+      // Spark injects join-derived filters via SupportsRuntimeFiltering
+      // AFTER planning — partition columns must be advertised and prune
+      assert(scan.filterAttributes().map(_.describe()).contains("country"))
+      scan.filter(Array[Filter](In("country", Array[Any]("us"))))
+      assert(scan.toBatch.planInputPartitions().length == 3,
+        "runtime In-filter on a partition column must prune whole files")
+    } finally spark.conf.unset("spark.sql.files.openCostInBytes")
   }
 
   test("aggregates with decided partition filters answer from metadata") {

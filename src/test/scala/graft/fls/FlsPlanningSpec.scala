@@ -267,7 +267,7 @@ class FlsPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.types.StructField("v",
         org.apache.spark.sql.types.LongType, nullable = false)))
     val reader = new FlsPartitionReader(
-      FlsInputPartition(file.toString, table.rowGroups.head, cols, 0L, 0), schema, conf)
+      FlsInputPartition.single(file.toString, table.rowGroups.head, cols, 0L, 0), schema, conf)
     assert(reader.currentMetricsValues().map(m => (m.name(), m.value())).toSeq ==
       Seq(("rowGroupsRead", 0L), ("flsRowsRead", 0L)))
     var rows = 0L

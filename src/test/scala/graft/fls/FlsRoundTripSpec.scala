@@ -212,15 +212,34 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = s"$tmp/prune"
     df.coalesce(1).write.format("fls")
       .option("row_group_size", 1024).mode("overwrite").save(dir)
+    // pin split packing to one row group per task (openCost ≥ split
+    // target), so partition counts measure PRUNING, not packing
+    spark.conf.set("spark.sql.files.openCostInBytes", "134217728")
+    try {
+      val back = spark.read.format("fls").load(dir)
+      assert(back.rdd.getNumPartitions == 16)
+      val filtered = back.filter(col("id") >= 15000)
+      // only row groups [14336,15360) and [15360,16384) can match
+      assert(filtered.rdd.getNumPartitions == 2)
+      assert(filtered.count() == 1384)
+      val eq = back.filter(col("id") === 5)
+      assert(eq.rdd.getNumPartitions == 1)
+      assert(eq.count() == 1)
+    } finally spark.conf.unset("spark.sql.files.openCostInBytes")
+  }
+
+  test("split packing coalesces row groups toward core-count tasks") {
+    val dir = s"$tmp/prune" // 16 × 1024-row row groups from the test above
+    spark.range(0, 16384).toDF("id").coalesce(1).write.format("fls")
+      .option("row_group_size", 1024).mode("overwrite").save(dir)
     val back = spark.read.format("fls").load(dir)
-    assert(back.rdd.getNumPartitions == 16)
-    val filtered = back.filter(col("id") >= 15000)
-    // only row groups [14336,15360) and [15360,16384) can match
-    assert(filtered.rdd.getNumPartitions == 2)
-    assert(filtered.count() == 1384)
-    val eq = back.filter(col("id") === 5)
-    assert(eq.rdd.getNumPartitions == 1)
-    assert(eq.count() == 1)
+    val n = back.rdd.getNumPartitions
+    // parquet-style: target = total/parallelism (4 here), clamped to
+    // [openCost, maxPartitionBytes] — fewer tasks than row groups, at
+    // least parallelism-many, and no rows lost
+    assert(n < 16 && n >= 1, s"expected packed splits, got $n")
+    assert(back.count() == 16384)
+    assert(back.agg(sum("id")).collect()(0).getLong(0) == 16383L * 16384 / 2)
   }
 
   test("projection pushdown prunes columns at the scan") {
@@ -411,10 +430,13 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.get
     val scan = scanExec.scan.asInstanceOf[graft.fls.connector.FlsScan]
     assert(scan.filterAttributes().map(_.fieldNames()(0)).contains("id"))
-    assert(scan.planInputPartitions().length == 8)
-    scan.filter(Array[org.apache.spark.sql.sources.Filter](
-      org.apache.spark.sql.sources.In("id", Array(5L, 2000L))))
-    assert(scan.planInputPartitions().length == 2)
+    spark.conf.set("spark.sql.files.openCostInBytes", "134217728") // 1 rg per split
+    try {
+      assert(scan.planInputPartitions().length == 8)
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("id", Array(5L, 2000L))))
+      assert(scan.planInputPartitions().length == 2)
+    } finally spark.conf.unset("spark.sql.files.openCostInBytes")
   }
 
   test("runtime filtering coexists with column pruning (join on pruned scan)") {
