@@ -11,7 +11,8 @@ object SparkEntry {
       graft.queries.FlsQueries.queries ++
       graft.queries.Dedup.queries ++ graft.queries.Similarity.queries ++
       graft.queries.TextAnalysis.queries ++ graft.queries.Multimodal.queries ++
-      graft.queries.Streaming.queries ++ graft.queries.AsofJoin.queries
+      graft.queries.Streaming.queries ++ graft.queries.AsofJoin.queries ++
+      graft.queries.Sampling.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +20,6 @@ object SparkEntry {
       graft.queries.FlsQueries.oracles ++
       graft.queries.Dedup.oracles ++ graft.queries.Similarity.oracles ++
       graft.queries.TextAnalysis.oracles ++ graft.queries.Multimodal.oracles ++
-      graft.queries.Streaming.oracles ++ graft.queries.AsofJoin.oracles
+      graft.queries.Streaming.oracles ++ graft.queries.AsofJoin.oracles ++
+      graft.queries.Sampling.oracles
 }
