@@ -28,6 +28,18 @@ final case class ArrayColData(offsets: Array[Int], values: ColData) extends ColD
   def n: Int = offsets.length - 1
 }
 
+/** STRUCT parent column: carries no data of its own — the struct's
+  * fields are ordinary dotted child columns in the footer (so stats,
+  * zone maps, and MCC apply to them unchanged); the parent's segment is
+  * zero bytes. Write-side only (readers fill struct vectors from the
+  * child columns and never decode the parent). */
+final case class StructMarker(n: Int) extends ColData
+
+/** Scan-side struct assembly: the decoded child streams of the
+  * REQUESTED struct fields (nested column pruning — unrequested
+  * children are never decoded), aligned with the read StructType. */
+final case class StructData(children: Array[ColData], n: Int) extends ColData
+
 /** Encode/decode kernels (SURVEY.md §2.A′ re-expressed for the JVM).
   * All operate on whole-row-group primitive arrays; FFOR/ALP use
   * 1024-value blocks internally (≙ fastlanes::CFG::VEC_SZ — the kernels
@@ -935,7 +947,8 @@ object Codecs {
 
   /** Convenience: decode by the column's footer type. */
   def decode(bytes: Array[Byte], enc: Int, ct: Format.ColumnType): ColData =
-    decode(bytes, enc, Format.physOf(ct.tag),
+    if (ct.tag == Format.TypeTag.STRUCT) StructMarker(0) // parents carry no data
+    else decode(bytes, enc, Format.physOf(ct.tag),
       if (ct.tag == Format.TypeTag.LIST) Format.elemPhysOf(ct.elem.tag) else -1)
 
   private def decodeFrom(in: ByteReader, enc: Int, phys: Int, elemPhys: Int = -1): ColData = {

@@ -24,6 +24,10 @@ object Encoder {
       transpose: Boolean = false): (Int, SegmentDesc) = {
     val start = out.size
     val enc = col match {
+      case _: StructMarker =>
+        // STRUCT parent: zero-byte segment — the fields live in their
+        // own dotted child columns
+        Enc.PLAIN
       case LongData(vs) if transpose =>
         out.writeByte(0) // placeholder patched below
         val innerStart = out.size

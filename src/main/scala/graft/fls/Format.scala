@@ -53,7 +53,7 @@ object Format {
     val BINARY = 8; val DATE = 9; val TIMESTAMP = 10; val DECIMAL = 11
     val TIMESTAMP_NTZ = 12; val BIG_DECIMAL = 13
     val LIST = 14; val STRUCT = 15; val MAP = 16
-    def isNestedPlaceholder(tag: Int): Boolean = tag == STRUCT || tag == MAP
+    def isNestedPlaceholder(tag: Int): Boolean = tag == MAP
     def name(tag: Int): String = tag match {
       case LIST => "LIST"; case STRUCT => "STRUCT"; case MAP => "MAP"
       case other => other.toString
@@ -106,12 +106,14 @@ object Format {
     val DOUBLE = 1 // float/double
     val BYTES = 2  // string/binary/decimal(>18)
     val ARRAY = 3  // list: offsets + one nested physical stream
+    val STRUCT = 4 // struct parent marker: zero bytes of its own
   }
 
   def physOf(tag: Int): Int = tag match {
     case TypeTag.FLOAT | TypeTag.DOUBLE => Phys.DOUBLE
     case TypeTag.STRING | TypeTag.BINARY | TypeTag.BIG_DECIMAL => Phys.BYTES
     case TypeTag.LIST => Phys.ARRAY
+    case TypeTag.STRUCT => Phys.STRUCT
     case _ => Phys.LONG
   }
 
@@ -126,7 +128,13 @@ object Format {
 
   /** For LIST, `precision` carries the ELEMENT's scalar tag (elements
     * with their own precision/scale — decimals — are not supported, so
-    * the field is free); `scale` stays 0. */
+    * the field is free); `scale` stays 0.
+    *
+    * For STRUCT, `precision` carries the CHILD COUNT: the struct's
+    * fields are the next `precision` columns of the footer, named
+    * `<parent>.<field>` — ordinary columns with their own segments, so
+    * encodings, stats, zone maps, and MCC apply to them unchanged. The
+    * footer byte layout is unchanged for both. */
   final case class ColumnType(tag: Int, precision: Int = 0, scale: Int = 0) {
     /** Element type of a LIST column. */
     def elem: ColumnType = {
@@ -138,6 +146,10 @@ object Format {
         throw new UnsupportedOperationException(
           s"fls: type token ${TypeTag.name(t)} is declared but not materialized " +
             "(reference parity: /root/reference/src/reader/translation_utils.cpp:33-40)")
+      case TypeTag.STRUCT =>
+        throw new UnsupportedOperationException(
+          "fls: a STRUCT ColumnType resolves only in footer context " +
+            "(its fields are the following columns) — use TableDesc.sparkSchema")
       case TypeTag.LIST =>
         // the format stores no NULLs, elements included
         ArrayType(elem.toSpark, containsNull = false)
@@ -193,9 +205,16 @@ object Format {
             s"fls: array of decimal ($et) is not supported — cast the elements " +
               "to DOUBLE or store unscaled longs")
         ColumnType(TypeTag.LIST, e.tag, 0)
-      case _: StructType | _: MapType =>
-        // the nested tokens exist (TypeTag.STRUCT/MAP) but are
-        // placeholders — fail at the writer boundary like the reference
+      case _: StructType =>
+        // STRUCT materializes via flattening (physicalColumns), not as
+        // a single scalar ColumnType — reaching here means a struct in
+        // a position that can't flatten (array element, struct field)
+        throw new UnsupportedOperationException(
+          s"fls: struct type $dt materializes only as a TOP-LEVEL column " +
+            "(Format.physicalColumns) — flatten or serialize nested placements")
+      case _: MapType =>
+        // the MAP token exists (TypeTag.MAP) but is a placeholder —
+        // fail at the writer boundary like the reference
         // (/root/reference/src/writer/fls_view_writer.cpp:92)
         throw new UnsupportedOperationException(
           s"fls: nested type $dt is declared but not materialized — " +
@@ -277,9 +296,71 @@ object Format {
       columns: Array[ColumnDesc],
       rowGroups: Array[RowGroupDesc]) {
     def numRows: Long = rowGroups.map(_.nTuples.toLong).sum
-    def sparkSchema: StructType =
-      StructType(columns.map(c =>
-        StructField(c.name, c.colType.toSpark, nullable = false)))
+    /** Logical schema: a STRUCT parent column (precision = k) absorbs
+      * the next k dotted child columns back into one StructField. */
+    def sparkSchema: StructType = {
+      val fields = scala.collection.mutable.ArrayBuffer[StructField]()
+      var i = 0
+      while (i < columns.length) {
+        val c = columns(i)
+        if (c.colType.tag == TypeTag.STRUCT) {
+          val k = c.colType.precision
+          require(i + k < columns.length,
+            s"fls: corrupt footer — struct '${c.name}' declares $k fields past the column list")
+          val children = (1 to k).map { j =>
+            val ch = columns(i + j)
+            require(ch.name.startsWith(c.name + "."),
+              s"fls: corrupt footer — '${ch.name}' is not a field of struct '${c.name}'")
+            StructField(ch.name.substring(c.name.length + 1),
+              ch.colType.toSpark, nullable = false)
+          }
+          fields += StructField(c.name, StructType(children), nullable = false)
+          i += k + 1
+        } else {
+          fields += StructField(c.name, c.colType.toSpark, nullable = false)
+          i += 1
+        }
+      }
+      StructType(fields.toArray)
+    }
+  }
+
+  /** Physical (footer) descriptors for a logical row schema: a
+    * `STRUCT<scalar, ...>` field flattens into a parent marker column
+    * (tag STRUCT, precision = #fields, zero-byte segments) followed by
+    * `<parent>.<field>` child columns. Children are restricted to the
+    * non-decimal scalar set (like array elements); nesting deeper than
+    * one struct level is not materialized. */
+  def physicalColumns(fields: Seq[StructField]): Array[ColumnDesc] = {
+    val out = scala.collection.mutable.ArrayBuffer[ColumnDesc]()
+    fields.foreach { f =>
+      f.dataType match {
+        case st: StructType =>
+          require(st.fields.nonEmpty, s"fls: empty struct '${f.name}'")
+          require(!f.name.contains('.'),
+            s"fls: struct column name '${f.name}' must not contain '.'")
+          val children = st.fields.map { ch =>
+            val ct = ch.dataType match {
+              case _: StructType | _: ArrayType | _: MapType =>
+                throw new UnsupportedOperationException(
+                  s"fls: struct field '${f.name}.${ch.name}' of type " +
+                    s"${ch.dataType.simpleString} — only one level of struct " +
+                    "over scalars is materialized")
+              case _: DecimalType =>
+                throw new UnsupportedOperationException(
+                  s"fls: struct field '${f.name}.${ch.name}' is a decimal — " +
+                    "cast to DOUBLE or store unscaled longs")
+              case other => ColumnType.fromSpark(other)
+            }
+            ColumnDesc(s"${f.name}.${ch.name}", ct)
+          }
+          out += ColumnDesc(f.name, ColumnType(TypeTag.STRUCT, st.fields.length, 0))
+          out ++= children
+        case other =>
+          out += ColumnDesc(f.name, ColumnType.fromSpark(other))
+      }
+    }
+    out.toArray
   }
 
   // ---- footer serialization (little-endian, via ByteIO) ----

@@ -63,6 +63,9 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
         // union columns by name in first-seen order, promote types,
         // mark columns absent from some file nullable.
         val perFile = files.map(_.table.columns.toSeq)
+        require(perFile.forall(_.forall(_.colType.tag != TypeTag.STRUCT)),
+          "fls: union_by_name does not support STRUCT columns — read the " +
+            "tables separately or align their schemas")
         val order = scala.collection.mutable.LinkedHashMap[String, ColumnType]()
         perFile.foreach(_.foreach { c =>
           order.get(c.name) match {
@@ -988,8 +991,8 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       val stage = new Path(new Path(new Path(dir, FlsCommit.TempDirName), writeId), "driver")
       val tmp = new Path(stage, name)
       val w = new FlsFileWriter(tmp, conf,
-        info.schema().fields.filterNot(f => partitionBy.contains(f.name)).map(f =>
-          ColumnDesc(f.name, ColumnType.fromSpark(f.dataType))),
+        Format.physicalColumns(
+          info.schema().fields.filterNot(f => partitionBy.contains(f.name)).toSeq),
         inlineFooter)
       w.close()
       val renames = Seq(tmp -> name) ++

@@ -57,10 +57,17 @@ class FlsDataWriter(
   require(dataIdx.nonEmpty, "fls: cannot partition by every column")
   private val dataFields: Array[StructField] = dataIdx.map(schema.fields)
 
-  private val colTypes: Array[ColumnType] =
-    dataFields.map(f => ColumnType.fromSpark(f.dataType))
-  private val colDescs: Array[ColumnDesc] =
-    dataFields.zip(colTypes).map { case (f, t) => ColumnDesc(f.name, t) }
+  /** Physical footer columns: STRUCT fields flatten into a parent
+    * marker plus dotted children (see [[Format.physicalColumns]]). */
+  private val colDescs: Array[ColumnDesc] = Format.physicalColumns(dataFields.toSeq)
+  /** Top-level field ordinal each PHYSICAL builder reads (a struct's
+    * marker and children all read the parent ordinal). */
+  private val physOrds: Array[Int] = dataFields.zipWithIndex.flatMap { case (f, li) =>
+    f.dataType match {
+      case st: StructType => Seq.fill(1 + st.fields.length)(dataIdx(li))
+      case _ => Seq(dataIdx(li))
+    }
+  }.toArray
 
   private sealed trait Builder {
     def add(row: InternalRow, ord: Int): Unit
@@ -198,6 +205,54 @@ class FlsDataWriter(
     def clear(): Unit = n = 0
   }
 
+  /** STRUCT parent: counts rows, encodes to a zero-byte segment. */
+  private final class MarkerBuilder extends Builder {
+    private var n = 0
+    def add(row: InternalRow, ord: Int): Unit = n += 1
+    def result(): ColData = StructMarker(n)
+    def clear(): Unit = n = 0
+  }
+
+  /** Builder for struct field j (of k): navigates into the struct value
+    * at the PARENT ordinal and rejects null fields like null scalars. */
+  private def childBuilder(parent: String, k: Int, j: Int, ch: StructField): Builder = {
+    def nn[T](f: (InternalRow, Int) => T): (InternalRow, Int) => T = (r, i) => {
+      val s = r.getStruct(i, k)
+      if (s.isNullAt(j))
+        throw new UnsupportedOperationException(
+          s"fls: NULL in struct field '$parent.${ch.name}' — the format stores no " +
+            "NULLs (reference parity); coalesce() nulls away before writing")
+      f(s, j)
+    }
+    ch.dataType match {
+      case BooleanType => new LongBuilder(nn((r, i) => if (r.getBoolean(i)) 1L else 0L))
+      case ByteType => new LongBuilder(nn((r, i) => r.getByte(i).toLong))
+      case ShortType => new LongBuilder(nn((r, i) => r.getShort(i).toLong))
+      case IntegerType | DateType => new LongBuilder(nn((r, i) => r.getInt(i).toLong))
+      case LongType | TimestampType | TimestampNTZType =>
+        new LongBuilder(nn((r, i) => r.getLong(i)))
+      case FloatType => new DoubleBuilder(nn((r, i) => r.getFloat(i).toDouble))
+      case DoubleType => new DoubleBuilder(nn((r, i) => r.getDouble(i)))
+      case StringType => new BytesBuilder(nn((r, i) => r.getUTF8String(i).getBytes))
+      case BinaryType => new BytesBuilder(nn((r, i) => r.getBinary(i)))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"fls write: unsupported struct field type $other")
+    }
+  }
+
+  /** One builder per PHYSICAL column, aligned with [[colDescs]]. */
+  private def mkPhysBuilders(): Array[Builder] =
+    dataFields.flatMap { f =>
+      f.dataType match {
+        case st: StructType =>
+          new MarkerBuilder +: st.fields.zipWithIndex.map { case (ch, j) =>
+            childBuilder(f.name, st.fields.length, j, ch)
+          }.toSeq
+        case _ => Seq(mkBuilder(f))
+      }
+    }
+
   private def mkBuilder(f: StructField): Builder = f.dataType match {
     case BooleanType => new LongBuilder((r, i) => if (r.getBoolean(i)) 1L else 0L)
     case ByteType => new LongBuilder((r, i) => r.getByte(i).toLong)
@@ -230,7 +285,7 @@ class FlsDataWriter(
 
   /** All writer state for one partition-value combination ("" = flat). */
   private final class Bucket(relDir: String) {
-    val builders: Array[Builder] = dataFields.map(mkBuilder)
+    val builders: Array[Builder] = mkPhysBuilders()
     var rowsInGroup = 0
     private var fileSeq = 0
     private var writer: FlsFileWriter = _
@@ -239,7 +294,7 @@ class FlsDataWriter(
     def add(row: InternalRow): Unit = {
       var c = 0
       while (c < builders.length) {
-        builders(c).add(row, dataIdx(c))
+        builders(c).add(row, physOrds(c))
         c += 1
       }
       rowsInGroup += 1

@@ -114,6 +114,22 @@ class FlsPartitionReader(
               else throw new IllegalArgumentException(
                 s"fls: column ${f.name} not present in ${chunk.file}")
           }
+        } else if (chunk.fileColumns(idx).colType.tag == TypeTag.STRUCT) {
+          // struct parent: assemble from its dotted child columns,
+          // decoding only the REQUESTED children (nested column pruning
+          // — an unprojected field's segment is never read)
+          val st = f.dataType match {
+            case s: StructType => s
+            case other => throw new IllegalArgumentException(
+              s"fls: column ${f.name} is a STRUCT in ${chunk.file}, read as $other")
+          }
+          val children = st.fields.map { ch =>
+            val chIdx = chunk.fileColumns.indexWhere(_.name == s"${f.name}.${ch.name}")
+            if (chIdx < 0) throw new IllegalArgumentException(
+              s"fls: struct field ${f.name}.${ch.name} not present in ${chunk.file}")
+            decodeAt(chIdx)
+          }
+          StructData(children, rowGroup.nTuples)
         } else {
           val seg = rowGroup.segments(idx)
           val phys = physOf(chunk.fileColumns(idx).colType.tag)
@@ -291,6 +307,15 @@ class FlsPartitionReader(
                 .setScale(d.scale), d.precision, d.scale), d.precision)
             i += 1
           }
+        }
+      case (sd: StructData, st: StructType) =>
+        // parent vector reports no nulls (format stores none); children
+        // fill recursively — vec.reset() already reset them
+        var ci = 0
+        while (ci < st.fields.length) {
+          fill(vec.getChild(ci).asInstanceOf[OnHeapColumnVector],
+            st.fields(ci), sd.children(ci), start, len)
+          ci += 1
         }
       case (LongData(vs), LongType | TimestampType | TimestampNTZType) =>
         vec.putLongs(0, len, vs, start)

@@ -359,6 +359,40 @@ object FlsQueries {
       FROM embeddings WHERE len(embedding) > 0
       GROUP BY 1 ORDER BY 1"""
 
+  /** q53: STRUCT columns materialized by the format — the typed-
+    * metadata shape a multimodal/training corpus carries next to its
+    * payload. Documents write with a `meta STRUCT<lang, len, source>`
+    * column (flattened to a parent marker + dotted child columns in
+    * the footer, so the children keep ordinary encodings and zone-map
+    * stats); the query reads back, filters on one struct field and
+    * groups by another. The oracle recomputes from the raw flat
+    * parquet, so the hash match proves struct values survive the
+    * format round-trip exactly. */
+  def q53FlsStructMeta(spark: SparkSession, dir: String): DataFrame = {
+    val out = flsTablePath(dir, "documents_struct")
+    synchronized {
+      val marker = new java.io.File(s"$out/_done")
+      if (!done.contains(out) && !marker.exists()) {
+        t(spark, dir, "documents")
+          .select(col("doc_id"),
+            struct(col("lang"), col("n_chars").as("len"), col("source")).as("meta"))
+          .write.format("fls").mode("overwrite").save(out)
+        marker.createNewFile()
+      }
+      done += out
+    }
+    spark.read.format("fls").load(out)
+      .filter(col("meta.len") > 400)
+      .groupBy(col("meta.lang").as("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("meta.len")).as("total_len"))
+      .orderBy("lang")
+  }
+
+  val q53Sql: String =
+    """SELECT lang, count(*) AS n, sum(n_chars) AS total_len
+      FROM documents WHERE n_chars > 400
+      GROUP BY lang ORDER BY lang"""
+
   /** q48: the streaming sink COMPOSED with hive partitioning and the
     * manifest commit protocol — readStream from the fls orders table,
     * writeStream into a table partitioned by o_orderstatus with
@@ -457,6 +491,7 @@ object FlsQueries {
     "q47_fls_sql_ddl" -> (q47FlsSqlDdl _),
     "q48_fls_stream_sink_partitioned" -> (q48FlsStreamSinkPartitioned _),
     "q49_fls_array_size" -> (q49FlsArraySize _),
+    "q53_fls_struct_meta" -> (q53FlsStructMeta _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -475,5 +510,6 @@ object FlsQueries {
     "q47_fls_sql_ddl" -> q47Sql,
     "q48_fls_stream_sink_partitioned" -> q48Sql,
     "q49_fls_array_size" -> q49Sql,
+    "q53_fls_struct_meta" -> q53Sql,
   )
 }

@@ -1,0 +1,165 @@
+package graft.fls
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** STRUCT<scalars> materialization: a struct field flattens into a
+  * zero-byte parent marker plus dotted child columns in the footer —
+  * children are ordinary columns, so encodings, stats, zone maps, and
+  * MCC apply to them unchanged — and reassembles into one StructField
+  * on read, with nested column pruning (unrequested children never
+  * decode). */
+class FlsStructSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val tmp = Files.createTempDirectory("fls-struct-spec").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("fls-struct-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sample(n: Int): DataFrame =
+    spark.range(0, n).toDF("id").selectExpr(
+      "id",
+      """named_struct(
+           'width', CAST(id % 7 AS INT),
+           'score', CAST(id AS DOUBLE) / 3.0,
+           'kind', concat('k', id % 5),
+           'flag', id % 2 = 0,
+           'at', timestamp_micros(id * 1000000)
+         ) AS meta""",
+      "concat('body-', id) AS body")
+
+  private def assertSame(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      s"datasets differ")
+  }
+
+  test("struct of mixed scalars round-trips across row groups") {
+    val df = sample(10000)
+    val dir = s"$tmp/rt"
+    df.coalesce(1).write.format("fls")
+      .option("row_group_size", 2048).mode("overwrite").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    // read schema reassembles the struct with non-null fields
+    val meta = back.schema("meta").dataType.asInstanceOf[StructType]
+    assert(meta.fieldNames.toSeq == Seq("width", "score", "kind", "flag", "at"))
+    assert(meta.fields.forall(!_.nullable))
+    assertSame(df, back)
+    assert(back.rdd.getNumPartitions == 5) // 5 row groups, tiny → 1 rg/split
+  }
+
+  test("footer carries the parent marker + dotted children; children keep stats") {
+    val dir = s"$tmp/rt"
+    sample(10000).coalesce(1).write.format("fls")
+      .option("row_group_size", 2048).mode("overwrite").save(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val file = FlsFile.listDataFiles(new org.apache.hadoop.fs.Path(dir), conf).head
+    val r = new FlsFileReader(file, conf)
+    try {
+      val names = r.table.columns.map(_.name).toSeq
+      assert(names == Seq("id", "meta", "meta.width", "meta.score", "meta.kind",
+        "meta.flag", "meta.at", "body"))
+      val metaIdx = names.indexOf("meta")
+      assert(r.table.columns(metaIdx).colType ==
+        Format.ColumnType(Format.TypeTag.STRUCT, 5, 0))
+      r.table.rowGroups.foreach { rg =>
+        assert(rg.segments(metaIdx).length == 0, "parent segment must be zero bytes")
+        // numeric child carries ordinary zone-map stats
+        assert(rg.segments(names.indexOf("meta.width")).hasStats)
+      }
+    } finally r.close()
+  }
+
+  test("projecting one struct field decodes only that child (plus parent plumbing)") {
+    val dir = s"$tmp/rt"
+    sample(10000).coalesce(1).write.format("fls")
+      .option("row_group_size", 2048).mode("overwrite").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    val got = back.select(col("meta.width")).agg(sum("width")).collect()(0).getLong(0)
+    assert(got == (0 until 10000).map(_ % 7).sum)
+    // whole-struct predicates work too
+    assert(back.filter(col("meta.kind") === "k3").count() == 2000)
+    assert(back.filter(col("meta.flag")).count() == 5000)
+  }
+
+  test("NULL struct and NULL struct field are rejected") {
+    val sp = spark; import sp.implicits._
+    val nullStruct = spark.range(0, 10).toDF("id")
+      .selectExpr("id", "IF(id = 5, NULL, named_struct('a', id)) AS s")
+    val e1 = intercept[Exception] {
+      nullStruct.write.format("fls").mode("overwrite").save(s"$tmp/ns")
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e1).contains("NULL"))
+    val nullField = spark.range(0, 10).toDF("id")
+      .selectExpr("id", "named_struct('a', IF(id = 5, NULL, id)) AS s")
+    val e2 = intercept[Exception] {
+      nullField.write.format("fls").mode("overwrite").save(s"$tmp/nf")
+    }
+    assert(msgs(e2).contains("struct field"))
+  }
+
+  test("nested struct / struct-of-decimal are rejected with clear errors") {
+    val inner = spark.range(0, 5).toDF("id")
+      .selectExpr("id", "named_struct('x', named_struct('y', id)) AS s")
+    val e1 = intercept[Exception] {
+      inner.write.format("fls").mode("overwrite").save(s"$tmp/nested")
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e1).contains("one level"))
+    val dec = spark.range(0, 5).toDF("id")
+      .selectExpr("id", "named_struct('d', CAST(id AS DECIMAL(10,2))) AS s")
+    val e2 = intercept[Exception] {
+      dec.write.format("fls").mode("overwrite").save(s"$tmp/dec")
+    }
+    assert(msgs(e2).contains("decimal"))
+  }
+
+  test("struct composes with partitioned writes and the manifest commit") {
+    val dir = s"$tmp/part_man"
+    sample(300)
+      .withColumn("p", (col("id") % 3).cast("string"))
+      .repartition(col("p"))
+      .write.format("fls").mode("overwrite")
+      .option("partition_by", "p").option("commit_mode", "manifest").save(dir)
+    val back = spark.read.format("fls").load(dir)
+    assert(back.count() == 300)
+    assert(back.filter(col("p") === "1")
+      .agg(sum(col("meta.width"))).collect()(0).getLong(0) ==
+      (0 until 300).filter(_ % 3 == 1).map(_ % 7).sum)
+  }
+
+  test("MCC EQUAL fires on duplicated struct children") {
+    val dir = s"$tmp/mcc"
+    spark.range(0, 2048).toDF("id")
+      .selectExpr("id", "named_struct('a', id, 'b', id) AS s")
+      .coalesce(1).write.format("fls").mode("overwrite").save(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val file = FlsFile.listDataFiles(new org.apache.hadoop.fs.Path(dir), conf).head
+    val r = new FlsFileReader(file, conf)
+    try {
+      val names = r.table.columns.map(_.name).toSeq
+      val bIdx = names.indexOf("s.b")
+      assert(r.table.rowGroups.head.segments(bIdx).encoding == Format.Enc.EQUAL,
+        "duplicate struct children must share one encoded segment")
+    } finally r.close()
+    val back = spark.read.format("fls").load(dir)
+    assert(back.agg(sum(col("s.b"))).collect()(0).getLong(0) == 2047L * 2048 / 2)
+  }
+}

@@ -63,30 +63,41 @@ class FormatSpec extends AnyFunSuite {
     Format.writeFooter(w, t)
     val back = Format.readFooter(new ByteReader(w.toArray))
     assert(back.columns.toSeq == cols.toSeq)
-    // LIST is materialized (arrays of scalars); STRUCT/MAP resolve to the
-    // explicit declared-but-not-materialized error, not an unknown-tag crash
+    // LIST and STRUCT are materialized; MAP resolves to the explicit
+    // declared-but-not-materialized error, not an unknown-tag crash
     assert(ColumnType(LIST, FLOAT).toSpark ==
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, containsNull = false))
-    Seq(STRUCT, MAP).foreach { tag =>
-      val e = intercept[UnsupportedOperationException](ColumnType(tag).toSpark)
-      assert(e.getMessage.contains("not materialized"), e.getMessage)
-    }
-    assert(!isNestedPlaceholder(LIST) && isNestedPlaceholder(MAP) && !isNestedPlaceholder(STRING))
+    // a STRUCT ColumnType resolves only in footer context (its fields
+    // are the following columns)
+    val eS = intercept[UnsupportedOperationException](ColumnType(STRUCT).toSpark)
+    assert(eS.getMessage.contains("footer context"), eS.getMessage)
+    val eM = intercept[UnsupportedOperationException](ColumnType(MAP).toSpark)
+    assert(eM.getMessage.contains("not materialized"), eM.getMessage)
+    assert(!isNestedPlaceholder(LIST) && !isNestedPlaceholder(STRUCT) &&
+      isNestedPlaceholder(MAP) && !isNestedPlaceholder(STRING))
   }
 
-  test("writer accepts arrays of scalars, rejects struct/map and nested arrays") {
+  test("writer accepts arrays of scalars and flattens structs; rejects map and deep nesting") {
     import org.apache.spark.sql.types._
     assert(ColumnType.fromSpark(ArrayType(LongType)) ==
       ColumnType(TypeTag.LIST, TypeTag.INT64, 0))
-    Seq(new StructType().add("x", LongType),
-        MapType(StringType, LongType)).foreach { dt =>
-      val e = intercept[UnsupportedOperationException](ColumnType.fromSpark(dt))
-      assert(e.getMessage.contains("not materialized"), e.getMessage)
-    }
-    val e = intercept[UnsupportedOperationException](
+    // top-level struct flattens into a parent marker + dotted children
+    val cols = Format.physicalColumns(Seq(
+      StructField("id", LongType),
+      StructField("m", new StructType().add("x", LongType).add("s", StringType))))
+    assert(cols.map(_.name).toSeq == Seq("id", "m", "m.x", "m.s"))
+    assert(cols(1).colType == ColumnType(TypeTag.STRUCT, 2, 0))
+    // ...but a struct outside a flattenable position still fails loudly
+    val e1 = intercept[UnsupportedOperationException](
+      ColumnType.fromSpark(new StructType().add("x", LongType)))
+    assert(e1.getMessage.contains("TOP-LEVEL"), e1.getMessage)
+    val e2 = intercept[UnsupportedOperationException](
+      ColumnType.fromSpark(MapType(StringType, LongType)))
+    assert(e2.getMessage.contains("not materialized"), e2.getMessage)
+    val e3 = intercept[UnsupportedOperationException](
       ColumnType.fromSpark(ArrayType(ArrayType(LongType))))
-    assert(e.getMessage.contains("arrays of scalars"), e.getMessage)
+    assert(e3.getMessage.contains("arrays of scalars"), e3.getMessage)
   }
 
   test("writer abort removes the partial file") {
