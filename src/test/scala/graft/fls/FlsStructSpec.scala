@@ -145,6 +145,49 @@ class FlsStructSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0 until 300).filter(_ % 3 == 1).map(_ % 7).sum)
   }
 
+  test("zone maps prune on dotted struct-child filters") {
+    val dir = s"$tmp/prune"
+    // meta.width ascends with id → tight per-row-group child stats
+    spark.range(0, 8192).toDF("id")
+      .selectExpr("id", "named_struct('width', id, 'kind', concat('k', id % 5)) AS meta")
+      .orderBy("id").coalesce(1)
+      .write.format("fls").option("row_group_size", 1024).mode("overwrite").save(dir)
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.fls.connector.{FlsDataSource, FlsScanBuilder}
+    def planned(filters: org.apache.spark.sql.sources.Filter*): Int = {
+      val opts = new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+      val schema = new FlsDataSource().inferSchema(opts)
+      val b = new FlsScanBuilder(schema, opts)
+      b.pushFilters(filters.toArray)
+      spark.conf.set("spark.sql.files.openCostInBytes", "134217728") // 1 rg/split
+      try b.build().toBatch.planInputPartitions().length
+      finally spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+    assert(planned() == 8)
+    // struct children are ordinary footer columns: a filter addressed
+    // by the dotted name prunes from their stats
+    assert(planned(org.apache.spark.sql.sources.LessThan("meta.width", 1024L)) == 1)
+    assert(planned(org.apache.spark.sql.sources.EqualTo("meta.width", 5000L)) == 1)
+  }
+
+  test("struct columns work through pure-SQL DDL") {
+    val dir = s"$tmp/sql_ddl"
+    spark.sql("DROP TABLE IF EXISTS fls_struct_t")
+    spark.sql(
+      s"""CREATE TABLE fls_struct_t
+         (id BIGINT, meta STRUCT<width: BIGINT, kind: STRING>)
+         USING fls LOCATION '$dir'""")
+    spark.sql(
+      """INSERT INTO fls_struct_t
+         SELECT id, named_struct('width', id * 2, 'kind', concat('k', id % 3))
+         FROM range(0, 100)""")
+    assert(spark.sql("SELECT sum(meta.width) FROM fls_struct_t")
+      .collect()(0).getLong(0) == (0L until 100L).map(_ * 2).sum)
+    assert(spark.sql("SELECT count(*) FROM fls_struct_t WHERE meta.kind = 'k1'")
+      .collect()(0).getLong(0) == 33)
+    spark.sql("DROP TABLE fls_struct_t")
+  }
+
   test("MCC EQUAL fires on duplicated struct children") {
     val dir = s"$tmp/mcc"
     spark.range(0, 2048).toDF("id")
