@@ -48,10 +48,28 @@ class FlsFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     "str_runs" -> "concat('run', id DIV 100)",
     "bin_c" -> "CAST(concat('b', id % 13) AS BINARY)",
     "date_c" -> "date_add(DATE'2020-01-01', CAST(id % 1000 AS INT))",
-    "ts_c" -> "timestamp_micros(id * 1000000)")
+    "ts_c" -> "timestamp_micros(id * 1000000)",
+    "arr_c" -> "array(CAST(id AS FLOAT), CAST(id % 5 AS FLOAT))",
+    "arr_var" -> "array_repeat(id * 7, CAST(id % 4 AS INT))",
+    "struct_c" ->
+      "named_struct('a', id % 31, 'b', concat('s', id % 9), 'c', CAST(id AS DOUBLE) / 7)")
+
+  // fls reads back non-null struct fields / array elements; the source
+  // frame's are nullable-typed — normalize nullability inside nested
+  // types only (top-level dataTypes must still match exactly)
+  private def norm(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        org.apache.spark.sql.types.ArrayType(norm(et), containsNull = false)
+      case org.apache.spark.sql.types.StructType(fs) =>
+        org.apache.spark.sql.types.StructType(
+          fs.map(f => f.copy(dataType = norm(f.dataType), nullable = false)))
+      case other => other
+    }
 
   private def assertSame(a: DataFrame, b: DataFrame, ctx: String): Unit = {
-    assert(a.schema.map(f => (f.name, f.dataType)) == b.schema.map(f => (f.name, f.dataType)),
+    assert(a.schema.map(f => (f.name, norm(f.dataType))) ==
+      b.schema.map(f => (f.name, norm(f.dataType))),
       s"$ctx schema: ${a.schema.simpleString} vs ${b.schema.simpleString}")
     val d1 = a.exceptAll(b).count()
     val d2 = b.exceptAll(a).count()
