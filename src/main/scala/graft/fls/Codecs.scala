@@ -40,6 +40,13 @@ final case class StructMarker(n: Int) extends ColData
   * children are never decoded), aligned with the read StructType. */
 final case class StructData(children: Array[ColData], n: Int) extends ColData
 
+/** MAP column: `offsets` has n+1 entries into the flattened `keys` and
+  * `values` streams (scalar ColData each; float keys/values ride as
+  * raw 32-bit patterns like array elements). */
+final case class MapColData(offsets: Array[Int], keys: ColData, values: ColData) extends ColData {
+  def n: Int = offsets.length - 1
+}
+
 /** Encode/decode kernels (SURVEY.md §2.A′ re-expressed for the JVM).
   * All operate on whole-row-group primitive arrays; FFOR/ALP use
   * 1024-value blocks internally (≙ fastlanes::CFG::VEC_SZ — the kernels
@@ -310,6 +317,8 @@ object Codecs {
         java.util.Arrays.equals(xb, 0, xo(xo.length - 1), yb, 0, yo(yo.length - 1))
     case (ArrayColData(xo, xv), ArrayColData(yo, yv)) =>
       java.util.Arrays.equals(xo, yo) && contentEquals(xv, yv)
+    case (MapColData(xo, xk, xv), MapColData(yo, yk, yv)) =>
+      java.util.Arrays.equals(xo, yo) && contentEquals(xk, yk) && contentEquals(xv, yv)
     case _ => false
   }
 
@@ -942,17 +951,38 @@ object Codecs {
   /** `elemPhys` is the element stream's physical kind, used only when
     * `phys == Phys.ARRAY` (-1 otherwise). Scan-side callers compute it
     * as `Format.elemPhysOf(colType.elem.tag)`. */
-  def decode(bytes: Array[Byte], enc: Int, phys: Int, elemPhys: Int = -1): ColData =
-    decodeFrom(new ByteReader(bytes), enc, phys, elemPhys)
+  def decode(bytes: Array[Byte], enc: Int, phys: Int, elemPhys: Int = -1,
+      elemPhys2: Int = -1): ColData =
+    decodeFrom(new ByteReader(bytes), enc, phys, elemPhys, elemPhys2)
 
   /** Convenience: decode by the column's footer type. */
   def decode(bytes: Array[Byte], enc: Int, ct: Format.ColumnType): ColData =
     if (ct.tag == Format.TypeTag.STRUCT) StructMarker(0) // parents carry no data
+    else if (ct.tag == Format.TypeTag.MAP)
+      decode(bytes, enc, Format.Phys.MAP,
+        Format.elemPhysOf(ct.mapKey.tag), Format.elemPhysOf(ct.mapValue.tag))
     else decode(bytes, enc, Format.physOf(ct.tag),
       if (ct.tag == Format.TypeTag.LIST) Format.elemPhysOf(ct.elem.tag) else -1)
 
-  private def decodeFrom(in: ByteReader, enc: Int, phys: Int, elemPhys: Int = -1): ColData = {
+  private def decodeFrom(in: ByteReader, enc: Int, phys: Int, elemPhys: Int = -1,
+      elemPhys2: Int = -1): ColData = {
     (enc, phys) match {
+      case (Enc.MAP, Format.Phys.MAP) =>
+        val n = in.readInt()
+        val lEnc = in.readByte() & 0xff
+        val lengths = decodeFrom(in, lEnc, Format.Phys.LONG) match {
+          case LongData(vs) => vs
+          case other =>
+            throw new IllegalStateException(s"fls: MAP lengths decoded to $other")
+        }
+        val offsets = new Array[Int](n + 1)
+        var i = 0
+        while (i < n) { offsets(i + 1) = offsets(i) + lengths(i).toInt; i += 1 }
+        val kEnc = in.readByte() & 0xff
+        val keys = decodeFrom(in, kEnc, elemPhys)
+        val vEnc = in.readByte() & 0xff
+        val values = decodeFrom(in, vEnc, elemPhys2)
+        MapColData(offsets, keys, values)
       case (Enc.ARRAY, Format.Phys.ARRAY) =>
         val n = in.readInt()
         val lEnc = in.readByte() & 0xff

@@ -69,6 +69,32 @@ object Encoder {
         }
         out.patchByte(vStart - 1, vEnc)
         Enc.ARRAY
+      case MapColData(offsets, keys, values) =>
+        // MAP: per-row entry counts, then the flattened key and value
+        // streams, each a nested scalar segment like ARRAY
+        val n = offsets.length - 1
+        out.writeInt(n)
+        val lengths = new Array[Long](n)
+        var i = 0
+        while (i < n) { lengths(i) = (offsets(i + 1) - offsets(i)).toLong; i += 1 }
+        out.writeByte(0)
+        val lStart = out.size
+        out.patchByte(lStart - 1, encodeLong(lengths, out))
+        def sub(d: ColData): Unit = {
+          out.writeByte(0)
+          val sStart = out.size
+          val e = d match {
+            case LongData(vs) => encodeLong(vs, out)
+            case DoubleData(vs) => encodeDouble(vs, out)
+            case b: BytesData => encodeBytes(b, out)
+            case other =>
+              throw new IllegalArgumentException(s"fls: map stream of ${other.getClass.getSimpleName}")
+          }
+          out.patchByte(sStart - 1, e)
+        }
+        sub(keys)
+        sub(values)
+        Enc.MAP
       case _: DictBytes =>
         throw new IllegalArgumentException("DictBytes is a scan-side representation")
     }
@@ -130,18 +156,25 @@ object Encoder {
       // LIST: element-count bounds (the elements themselves have no
       // usable ordering). Equal bounds also tell the reader the column
       // is fixed-width — the dominant embeddings case.
-      var mn = Int.MaxValue; var mx = Int.MinValue
-      var i = 0
-      val n = a.offsets.length - 1
-      while (i < n) {
-        val len = a.offsets(i + 1) - a.offsets(i)
-        if (len < mn) mn = len
-        if (len > mx) mx = len
-        i += 1
-      }
-      SegmentDesc(0, 0, 0, hasStats = false, mn.toLong, mx.toLong, 0, 0,
-        elemCountStats = true)
+      elemCountStatsOf(a.offsets)
+    case m: MapColData if m.offsets.length > 1 =>
+      // MAP: entry-count bounds, same shape as LIST
+      elemCountStatsOf(m.offsets)
     case _ => SegmentDesc(0, 0, 0, hasStats = false, 0, 0, 0, 0)
+  }
+
+  private def elemCountStatsOf(offsets: Array[Int]): SegmentDesc = {
+    var mn = Int.MaxValue; var mx = Int.MinValue
+    var i = 0
+    val n = offsets.length - 1
+    while (i < n) {
+      val len = offsets(i + 1) - offsets(i)
+      if (len < mn) mn = len
+      if (len > mx) mx = len
+      i += 1
+    }
+    SegmentDesc(0, 0, 0, hasStats = false, mn.toLong, mx.toLong, 0, 0,
+      elemCountStats = true)
   }
 
   /** Bound on stored string-stat prefixes: long document bodies must not

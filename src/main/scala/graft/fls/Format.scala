@@ -53,7 +53,9 @@ object Format {
     val BINARY = 8; val DATE = 9; val TIMESTAMP = 10; val DECIMAL = 11
     val TIMESTAMP_NTZ = 12; val BIG_DECIMAL = 13
     val LIST = 14; val STRUCT = 15; val MAP = 16
-    def isNestedPlaceholder(tag: Int): Boolean = tag == MAP
+    /** All three nested tokens are now materialized; kept for the
+      * nested-in-nested rejection checks. */
+    def isNestedTag(tag: Int): Boolean = tag == LIST || tag == STRUCT || tag == MAP
     def name(tag: Int): String = tag match {
       case LIST => "LIST"; case STRUCT => "STRUCT"; case MAP => "MAP"
       case other => other.toString
@@ -98,6 +100,9 @@ object Format {
                          //   embeddings pay one CONSTANT lengths
                          //   sub-segment and the element stream gets
                          //   FFOR/ALP/dict like any scalar column
+    val MAP = 15         // MAP columns: per-row entry counts + the
+                         //   flattened key stream + value stream, each
+                         //   a nested scalar segment like ARRAY
   }
 
   /** Physical representation a logical type decodes through. */
@@ -107,6 +112,7 @@ object Format {
     val BYTES = 2  // string/binary/decimal(>18)
     val ARRAY = 3  // list: offsets + one nested physical stream
     val STRUCT = 4 // struct parent marker: zero bytes of its own
+    val MAP = 5    // map: offsets + key stream + value stream
   }
 
   def physOf(tag: Int): Int = tag match {
@@ -114,6 +120,7 @@ object Format {
     case TypeTag.STRING | TypeTag.BINARY | TypeTag.BIG_DECIMAL => Phys.BYTES
     case TypeTag.LIST => Phys.ARRAY
     case TypeTag.STRUCT => Phys.STRUCT
+    case TypeTag.MAP => Phys.MAP
     case _ => Phys.LONG
   }
 
@@ -133,19 +140,30 @@ object Format {
     * For STRUCT, `precision` carries the CHILD COUNT: the struct's
     * fields are the next `precision` columns of the footer, named
     * `<parent>.<field>` — ordinary columns with their own segments, so
-    * encodings, stats, zone maps, and MCC apply to them unchanged. The
-    * footer byte layout is unchanged for both. */
+    * encodings, stats, zone maps, and MCC apply to them unchanged.
+    *
+    * For MAP, `precision` carries the KEY scalar tag and `scale` the
+    * VALUE scalar tag (decimal keys/values unsupported, so both fields
+    * are free). The footer byte layout is unchanged for all three. */
   final case class ColumnType(tag: Int, precision: Int = 0, scale: Int = 0) {
     /** Element type of a LIST column. */
     def elem: ColumnType = {
       require(tag == TypeTag.LIST, s"fls: elem of non-LIST tag $tag")
       ColumnType(precision)
     }
+    /** Key / value types of a MAP column. */
+    def mapKey: ColumnType = {
+      require(tag == TypeTag.MAP, s"fls: mapKey of non-MAP tag $tag")
+      ColumnType(precision)
+    }
+    def mapValue: ColumnType = {
+      require(tag == TypeTag.MAP, s"fls: mapValue of non-MAP tag $tag")
+      ColumnType(scale)
+    }
     def toSpark: DataType = tag match {
-      case t if TypeTag.isNestedPlaceholder(t) =>
-        throw new UnsupportedOperationException(
-          s"fls: type token ${TypeTag.name(t)} is declared but not materialized " +
-            "(reference parity: /root/reference/src/reader/translation_utils.cpp:33-40)")
+      case TypeTag.MAP =>
+        // the format stores no NULLs, map values included
+        MapType(mapKey.toSpark, mapValue.toSpark, valueContainsNull = false)
       case TypeTag.STRUCT =>
         throw new UnsupportedOperationException(
           "fls: a STRUCT ColumnType resolves only in footer context " +
@@ -197,7 +215,7 @@ object Format {
         // like it rejects null scalars; decimal elements would need
         // their own precision/scale slot and stay unsupported.
         val e = fromSpark(et)
-        if (e.tag == TypeTag.LIST || TypeTag.isNestedPlaceholder(e.tag))
+        if (TypeTag.isNestedTag(e.tag))
           throw new UnsupportedOperationException(
             s"fls: nested element type $et — only arrays of scalars are materialized")
         if (e.precision != 0 || e.scale != 0)
@@ -212,13 +230,22 @@ object Format {
         throw new UnsupportedOperationException(
           s"fls: struct type $dt materializes only as a TOP-LEVEL column " +
             "(Format.physicalColumns) — flatten or serialize nested placements")
-      case _: MapType =>
-        // the MAP token exists (TypeTag.MAP) but is a placeholder —
-        // fail at the writer boundary like the reference
-        // (/root/reference/src/writer/fls_view_writer.cpp:92)
-        throw new UnsupportedOperationException(
-          s"fls: nested type $dt is declared but not materialized — " +
-            "flatten or serialize the column before writing")
+      case MapType(kt, vt, _) =>
+        // MAP of scalar keys/values (beyond the reference, which only
+        // declares the token): offsets + key stream + value stream.
+        // valueContainsNull on the INPUT schema is accepted — actual
+        // null values are rejected at runtime like null scalars.
+        val k = fromSpark(kt)
+        val v = fromSpark(vt)
+        if (TypeTag.isNestedTag(k.tag) || TypeTag.isNestedTag(v.tag))
+          throw new UnsupportedOperationException(
+            s"fls: nested map key/value type in $dt — only maps of scalars " +
+              "are materialized")
+        if (k.precision != 0 || k.scale != 0 || v.precision != 0 || v.scale != 0)
+          throw new UnsupportedOperationException(
+            s"fls: map of decimal ($dt) is not supported — cast to DOUBLE " +
+              "or store unscaled longs")
+        ColumnType(TypeTag.MAP, k.tag, v.tag)
       case other =>
         throw new UnsupportedOperationException(
           s"fls: unsupported column type $other")

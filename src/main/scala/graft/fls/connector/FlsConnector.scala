@@ -100,8 +100,10 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
       val baseField = withParts.fields.find(_.name == baseName).getOrElse(
         throw new IllegalArgumentException(
           s"fls: array_size column '$baseName' not in the table schema"))
-      require(baseField.dataType.isInstanceOf[ArrayType],
-        s"fls: array_size column '$baseName' is ${baseField.dataType.simpleString}, not an array")
+      require(baseField.dataType.isInstanceOf[ArrayType] ||
+          baseField.dataType.isInstanceOf[MapType],
+        s"fls: array_size column '$baseName' is ${baseField.dataType.simpleString}, " +
+          "not an array or map")
       require(!withParts.fieldNames.contains(virt),
         s"fls: virtual column '$virt' collides with a data column")
       s = StructType(s.fields :+ StructField(virt, LongType, nullable = false))

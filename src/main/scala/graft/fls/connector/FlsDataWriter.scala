@@ -205,6 +205,109 @@ class FlsDataWriter(
     def clear(): Unit = n = 0
   }
 
+  /** MAP columns: per-row entry counts + growable flattened key/value
+    * stores (same physical streams as array elements — float keys or
+    * values ride as raw 32-bit patterns). NULL map VALUES are rejected
+    * like null scalars; Spark map keys cannot be null by contract. */
+  private final class MapColBuilder(name: String, kt: DataType, vt: DataType) extends Builder {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    private var offsets = new Array[Int](rowGroupSize + 1)
+    private var n = 0
+
+    private sealed trait Store {
+      def append(a: ArrayData, j: Int): Unit
+      def result(): ColData
+      def reset(): Unit
+    }
+    private final class LongS(get: (ArrayData, Int) => Long) extends Store {
+      private var arr = new Array[Long](math.max(16, rowGroupSize))
+      private var m = 0
+      def append(a: ArrayData, j: Int): Unit = {
+        if (m >= arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+        arr(m) = get(a, j); m += 1
+      }
+      def result(): ColData = LongData(java.util.Arrays.copyOf(arr, m))
+      def reset(): Unit = m = 0
+    }
+    private final class DoubleS extends Store {
+      private var arr = new Array[Double](math.max(16, rowGroupSize))
+      private var m = 0
+      def append(a: ArrayData, j: Int): Unit = {
+        if (m >= arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+        arr(m) = a.getDouble(j); m += 1
+      }
+      def result(): ColData = DoubleData(java.util.Arrays.copyOf(arr, m))
+      def reset(): Unit = m = 0
+    }
+    private final class BytesS(get: (ArrayData, Int) => Array[Byte]) extends Store {
+      private var eOffsets = new Array[Int](math.max(16, rowGroupSize) + 1)
+      private var bytes = new Array[Byte](rowGroupSize * 8)
+      private var m = 0
+      def append(a: ArrayData, j: Int): Unit = {
+        if (m + 1 >= eOffsets.length)
+          eOffsets = java.util.Arrays.copyOf(eOffsets, eOffsets.length * 2)
+        val b = get(a, j)
+        val end = eOffsets(m) + b.length
+        if (end > bytes.length) {
+          var cap = bytes.length
+          while (cap < end) cap <<= 1
+          bytes = java.util.Arrays.copyOf(bytes, cap)
+        }
+        System.arraycopy(b, 0, bytes, eOffsets(m), b.length)
+        eOffsets(m + 1) = end
+        m += 1
+      }
+      def result(): ColData =
+        BytesData(java.util.Arrays.copyOf(eOffsets, m + 1),
+          java.util.Arrays.copyOf(bytes, eOffsets(m)))
+      def reset(): Unit = m = 0
+    }
+
+    private def mkStore(dt: DataType): Store = dt match {
+      case FloatType => new LongS((a, j) =>
+        java.lang.Float.floatToRawIntBits(a.getFloat(j)).toLong & 0xFFFFFFFFL)
+      case DoubleType => new DoubleS
+      case BooleanType => new LongS((a, j) => if (a.getBoolean(j)) 1L else 0L)
+      case ByteType => new LongS((a, j) => a.getByte(j).toLong)
+      case ShortType => new LongS((a, j) => a.getShort(j).toLong)
+      case IntegerType | DateType => new LongS((a, j) => a.getInt(j).toLong)
+      case LongType | TimestampType | TimestampNTZType => new LongS((a, j) => a.getLong(j))
+      case StringType => new BytesS((a, j) => a.getUTF8String(j).getBytes)
+      case BinaryType => new BytesS((a, j) => a.getBinary(j))
+      case other =>
+        throw new UnsupportedOperationException(s"fls write: unsupported map key/value $other")
+    }
+
+    private val kStore = mkStore(kt)
+    private val vStore = mkStore(vt)
+
+    def add(row: InternalRow, ord: Int): Unit = {
+      val m = row.getMap(ord)
+      val len = m.numElements()
+      if (len > Int.MaxValue - offsets(n))
+        throw new UnsupportedOperationException(
+          s"fls: row group exceeds ${Int.MaxValue} flattened entries in map " +
+            s"column '$name' — lower row_group_size")
+      val ka = m.keyArray()
+      val va = m.valueArray()
+      var j = 0
+      while (j < len) {
+        if (va.isNullAt(j))
+          throw new UnsupportedOperationException(
+            s"fls: NULL value in map column '$name' — the format stores no NULLs " +
+              "(reference parity); filter or fill null values before writing")
+        kStore.append(ka, j)
+        vStore.append(va, j)
+        j += 1
+      }
+      offsets(n + 1) = offsets(n) + len
+      n += 1
+    }
+    def result(): ColData =
+      MapColData(java.util.Arrays.copyOf(offsets, n + 1), kStore.result(), vStore.result())
+    def clear(): Unit = { n = 0; kStore.reset(); vStore.reset() }
+  }
+
   /** STRUCT parent: counts rows, encodes to a zero-byte segment. */
   private final class MarkerBuilder extends Builder {
     private var n = 0
@@ -270,6 +373,7 @@ class FlsDataWriter(
         r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
           .unscaledValue().toByteArray)
     case ArrayType(et, _) => new ArrayColBuilder(f.name, et)
+    case MapType(kt, vt, _) => new MapColBuilder(f.name, kt, vt)
     case other =>
       throw new UnsupportedOperationException(s"fls write: unsupported type $other")
   }

@@ -97,13 +97,16 @@ class FlsPartitionReader(
               // virtual `<col>_size`: per-row element counts, derived
               // from the base LIST column's offsets (decode shared via
               // the memo when the values are also projected)
+              def counts(offsets: Array[Int]): LongData = {
+                val n = offsets.length - 1
+                val out = new Array[Long](n)
+                var i = 0
+                while (i < n) { out(i) = (offsets(i + 1) - offsets(i)).toLong; i += 1 }
+                LongData(out)
+              }
               decodeAt(baseIdx) match {
-                case a: ArrayColData =>
-                  val n = a.offsets.length - 1
-                  val counts = new Array[Long](n)
-                  var i = 0
-                  while (i < n) { counts(i) = (a.offsets(i + 1) - a.offsets(i)).toLong; i += 1 }
-                  LongData(counts)
+                case a: ArrayColData => counts(a.offsets)
+                case m: MapColData => counts(m.offsets)
                 case other => throw new IllegalStateException(
                   s"fls: ${f.name} base column decoded to ${other.getClass.getSimpleName}")
               }
@@ -231,6 +234,65 @@ class FlsPartitionReader(
 
   private def fieldIdx(field: StructField): Int =
     readSchema.fieldIndex(field.name)
+
+  /** Fill a flattened element/entry stream [base, base+total) into an
+    * array/map child vector — shared by LIST values and MAP keys and
+    * values (all three store the same physical scalar streams). */
+  private def fillElems(
+      child: org.apache.spark.sql.execution.vectorized.WritableColumnVector,
+      data: ColData,
+      et: DataType,
+      base: Int,
+      total: Int,
+      widenFloat: Boolean): Unit = (data, et) match {
+    case (LongData(bits), FloatType) =>
+      // float elements ride as raw 32-bit patterns (Format.elemPhysOf)
+      var m = 0
+      while (m < total) {
+        child.putFloat(m, java.lang.Float.intBitsToFloat(bits(base + m).toInt))
+        m += 1
+      }
+    case (DoubleData(vs), DoubleType) =>
+      child.putDoubles(0, total, vs, base)
+    case (LongData(bits), DoubleType) if widenFloat =>
+      var m = 0
+      while (m < total) {
+        child.putDouble(m,
+          java.lang.Float.intBitsToFloat(bits(base + m).toInt).toDouble)
+        m += 1
+      }
+    case (LongData(vs), LongType | TimestampType | TimestampNTZType) =>
+      child.putLongs(0, total, vs, base)
+    case (LongData(vs), IntegerType | DateType) =>
+      var m = 0
+      while (m < total) { child.putInt(m, vs(base + m).toInt); m += 1 }
+    case (LongData(vs), ShortType) =>
+      var m = 0
+      while (m < total) { child.putShort(m, vs(base + m).toShort); m += 1 }
+    case (LongData(vs), ByteType) =>
+      var m = 0
+      while (m < total) { child.putByte(m, vs(base + m).toByte); m += 1 }
+    case (LongData(vs), BooleanType) =>
+      var m = 0
+      while (m < total) { child.putBoolean(m, vs(base + m) != 0L); m += 1 }
+    case (b: BytesData, StringType | BinaryType) =>
+      if (total > 0) {
+        val s0 = b.offsets(base)
+        val byteTotal = b.offsets(base + total) - s0
+        val grandChild = child.arrayData()
+        grandChild.reserve(byteTotal)
+        grandChild.putBytes(0, byteTotal, b.bytes, s0)
+        var m = 0
+        while (m < total) {
+          child.putArray(m, b.offsets(base + m) - s0,
+            b.offsets(base + m + 1) - b.offsets(base + m))
+          m += 1
+        }
+      }
+    case (d, t) =>
+      throw new IllegalStateException(
+        s"fls: cannot fill element stream <$t> from ${d.getClass.getSimpleName}")
+  }
 
   private def fill(
       vec: OnHeapColumnVector,
@@ -370,57 +432,34 @@ class FlsPartitionReader(
         val total = a.offsets(start + len) - base
         val child = vec.arrayData() // reset by vec.reset() already
         child.reserve(total)
-        (a.values, et) match {
-          case (LongData(bits), FloatType) =>
-            // float elements ride as raw 32-bit patterns (Format.elemPhysOf)
-            var m = 0
-            while (m < total) {
-              child.putFloat(m, java.lang.Float.intBitsToFloat(bits(base + m).toInt))
-              m += 1
-            }
-          case (DoubleData(vs), DoubleType) =>
-            child.putDoubles(0, total, vs, base)
-          case (LongData(bits), DoubleType)
-              if fileTypes(fieldIdx(field)).exists(ft =>
-                ft.tag == TypeTag.LIST && ft.elem.tag == TypeTag.FLOAT) =>
-            // file stored array<float> (raw 32-bit patterns); the read
-            // schema widened elements to double — mirror the scalar
-            // float-as-DoubleData transparency
-            var m = 0
-            while (m < total) {
-              child.putDouble(m,
-                java.lang.Float.intBitsToFloat(bits(base + m).toInt).toDouble)
-              m += 1
-            }
-          case (LongData(vs), LongType | TimestampType | TimestampNTZType) =>
-            child.putLongs(0, total, vs, base)
-          case (LongData(vs), IntegerType | DateType) =>
-            var m = 0
-            while (m < total) { child.putInt(m, vs(base + m).toInt); m += 1 }
-          case (LongData(vs), ShortType) =>
-            var m = 0
-            while (m < total) { child.putShort(m, vs(base + m).toShort); m += 1 }
-          case (LongData(vs), ByteType) =>
-            var m = 0
-            while (m < total) { child.putByte(m, vs(base + m).toByte); m += 1 }
-          case (LongData(vs), BooleanType) =>
-            var m = 0
-            while (m < total) { child.putBoolean(m, vs(base + m) != 0L); m += 1 }
-          case (b: BytesData, StringType | BinaryType) =>
-            var m = 0
-            while (m < total) {
-              val s = b.offsets(base + m)
-              child.putByteArray(m, b.bytes, s, b.offsets(base + m + 1) - s)
-              m += 1
-            }
-          case (d, t) =>
-            throw new IllegalStateException(
-              s"fls: cannot fill array<$t> from ${d.getClass.getSimpleName}")
-        }
+        // file stored array<float> (raw 32-bit patterns) but the read
+        // schema widened elements to double — mirror the scalar
+        // float-as-DoubleData transparency
+        val widenFloat = et == DoubleType &&
+          fileTypes(fieldIdx(field)).exists(ft =>
+            ft.tag == TypeTag.LIST && ft.elem.tag == TypeTag.FLOAT)
+        fillElems(child, a.values, et, base, total, widenFloat)
         var i = 0
         while (i < len) {
           vec.putArray(i, a.offsets(start + i) - base,
             a.offsets(start + i + 1) - a.offsets(start + i))
+          i += 1
+        }
+      case (m: MapColData, MapType(kt, vt, _)) =>
+        // maps use the same offsets mechanism with TWO children:
+        // getChild(0) = keys, getChild(1) = values
+        val base = m.offsets(start)
+        val total = m.offsets(start + len) - base
+        val keys = vec.getChild(0)
+        val values = vec.getChild(1)
+        keys.reserve(total)
+        values.reserve(total)
+        fillElems(keys, m.keys, kt, base, total, widenFloat = false)
+        fillElems(values, m.values, vt, base, total, widenFloat = false)
+        var i = 0
+        while (i < len) {
+          vec.putArray(i, m.offsets(start + i) - base,
+            m.offsets(start + i + 1) - m.offsets(start + i))
           i += 1
         }
       case (b: BytesData, d: DecimalType) =>

@@ -393,6 +393,45 @@ object FlsQueries {
       FROM documents WHERE n_chars > 400
       GROUP BY lang ORDER BY lang"""
 
+  /** q54: MAP columns materialized by the format — the semi-structured
+    * properties shape (tags, counters) an event/training corpus carries.
+    * The events table's JSON `props` parses into MAP<STRING,BIGINT>,
+    * writes to fls (offsets + key stream + value stream through the
+    * normal codecs), reads back, and aggregates a map access. The
+    * oracle recomputes from the raw JSON in DuckDB, so the hash match
+    * proves map entries survive the format round-trip exactly. */
+  def q54FlsMapProps(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val out = flsTablePath(dir, "events_map")
+    synchronized {
+      val marker = new java.io.File(s"$out/_done")
+      if (!done.contains(out) && !marker.exists()) {
+        t(spark, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            from_json(col("props"),
+              org.apache.spark.sql.types.MapType(
+                org.apache.spark.sql.types.StringType,
+                org.apache.spark.sql.types.LongType)).as("props"))
+          .write.format("fls").mode("overwrite").save(out)
+        marker.createNewFile()
+      }
+      done += out
+    }
+    spark.read.format("fls").load(out)
+      .select(col("event_type"), element_at(col("props"), "k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy("event_type")
+  }
+
+  val q54Sql: String =
+    """SELECT event_type, count(*) AS n,
+        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+      FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** q48: the streaming sink COMPOSED with hive partitioning and the
     * manifest commit protocol — readStream from the fls orders table,
     * writeStream into a table partitioned by o_orderstatus with
@@ -492,6 +531,7 @@ object FlsQueries {
     "q48_fls_stream_sink_partitioned" -> (q48FlsStreamSinkPartitioned _),
     "q49_fls_array_size" -> (q49FlsArraySize _),
     "q53_fls_struct_meta" -> (q53FlsStructMeta _),
+    "q54_fls_map_props" -> (q54FlsMapProps _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -511,5 +551,6 @@ object FlsQueries {
     "q48_fls_stream_sink_partitioned" -> q48Sql,
     "q49_fls_array_size" -> q49Sql,
     "q53_fls_struct_meta" -> q53Sql,
+    "q54_fls_map_props" -> q54Sql,
   )
 }

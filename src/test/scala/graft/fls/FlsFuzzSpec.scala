@@ -52,7 +52,8 @@ class FlsFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     "arr_c" -> "array(CAST(id AS FLOAT), CAST(id % 5 AS FLOAT))",
     "arr_var" -> "array_repeat(id * 7, CAST(id % 4 AS INT))",
     "struct_c" ->
-      "named_struct('a', id % 31, 'b', concat('s', id % 9), 'c', CAST(id AS DOUBLE) / 7)")
+      "named_struct('a', id % 31, 'b', concat('s', id % 9), 'c', CAST(id AS DOUBLE) / 7)",
+    "map_c" -> "map(concat('k', id % 3), id * 2, 'fixed', id % 17)")
 
   // fls reads back non-null struct fields / array elements; the source
   // frame's are nullable-typed — normalize nullability inside nested
@@ -61,18 +62,33 @@ class FlsFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     dt match {
       case org.apache.spark.sql.types.ArrayType(et, _) =>
         org.apache.spark.sql.types.ArrayType(norm(et), containsNull = false)
+      case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+        org.apache.spark.sql.types.MapType(norm(kt), norm(vt), valueContainsNull = false)
       case org.apache.spark.sql.types.StructType(fs) =>
         org.apache.spark.sql.types.StructType(
           fs.map(f => f.copy(dataType = norm(f.dataType), nullable = false)))
       case other => other
     }
 
+  /** Spark set operations cannot compare MapType columns — swap maps
+    * for their sorted entry arrays (order-insensitive, value-exact). */
+  private def comparable(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType =>
+          sort_array(map_entries(col(f.name))).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+
   private def assertSame(a: DataFrame, b: DataFrame, ctx: String): Unit = {
     assert(a.schema.map(f => (f.name, norm(f.dataType))) ==
       b.schema.map(f => (f.name, norm(f.dataType))),
       s"$ctx schema: ${a.schema.simpleString} vs ${b.schema.simpleString}")
-    val d1 = a.exceptAll(b).count()
-    val d2 = b.exceptAll(a).count()
+    val ca = comparable(a)
+    val cb = comparable(b)
+    val d1 = ca.exceptAll(cb).count()
+    val d2 = cb.exceptAll(ca).count()
     assert(d1 == 0 && d2 == 0, s"$ctx diff: $d1 only-left, $d2 only-right")
   }
 

@@ -44,6 +44,7 @@ class FlsRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
   // a regression where fls reads back containsNull=true now fails here
   private def norm(dt: DataType): DataType = dt match {
     case ArrayType(et, _) => ArrayType(norm(et), containsNull = false)
+    case MapType(kt, vt, _) => MapType(norm(kt), norm(vt), valueContainsNull = false)
     case StructType(fields) =>
       StructType(fields.map(f => f.copy(dataType = norm(f.dataType), nullable = false)))
     case other => other

@@ -51,7 +51,7 @@ class FormatSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Format.promote(ColumnType(INT64), ColumnType(DOUBLE)))
   }
 
-  test("nested placeholder tokens round-trip in footers but never materialize") {
+  test("nested type tokens round-trip in footers and materialize") {
     import TypeTag._
     // the tags serialize like any other (a catalog can carry them)...
     val cols = Array(
@@ -63,25 +63,28 @@ class FormatSpec extends AnyFunSuite {
     Format.writeFooter(w, t)
     val back = Format.readFooter(new ByteReader(w.toArray))
     assert(back.columns.toSeq == cols.toSeq)
-    // LIST and STRUCT are materialized; MAP resolves to the explicit
-    // declared-but-not-materialized error, not an unknown-tag crash
+    // LIST, STRUCT, and MAP are ALL materialized now
     assert(ColumnType(LIST, FLOAT).toSpark ==
       org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, containsNull = false))
+    assert(ColumnType(MAP, STRING, INT64).toSpark ==
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType, valueContainsNull = false))
     // a STRUCT ColumnType resolves only in footer context (its fields
     // are the following columns)
     val eS = intercept[UnsupportedOperationException](ColumnType(STRUCT).toSpark)
     assert(eS.getMessage.contains("footer context"), eS.getMessage)
-    val eM = intercept[UnsupportedOperationException](ColumnType(MAP).toSpark)
-    assert(eM.getMessage.contains("not materialized"), eM.getMessage)
-    assert(!isNestedPlaceholder(LIST) && !isNestedPlaceholder(STRUCT) &&
-      isNestedPlaceholder(MAP) && !isNestedPlaceholder(STRING))
+    assert(isNestedTag(LIST) && isNestedTag(STRUCT) && isNestedTag(MAP) &&
+      !isNestedTag(STRING))
   }
 
-  test("writer accepts arrays of scalars and flattens structs; rejects map and deep nesting") {
+  test("writer accepts arrays/maps of scalars and flattens structs; rejects deep nesting") {
     import org.apache.spark.sql.types._
     assert(ColumnType.fromSpark(ArrayType(LongType)) ==
       ColumnType(TypeTag.LIST, TypeTag.INT64, 0))
+    assert(ColumnType.fromSpark(MapType(StringType, LongType)) ==
+      ColumnType(TypeTag.MAP, TypeTag.STRING, TypeTag.INT64))
     // top-level struct flattens into a parent marker + dotted children
     val cols = Format.physicalColumns(Seq(
       StructField("id", LongType),
@@ -93,8 +96,8 @@ class FormatSpec extends AnyFunSuite {
       ColumnType.fromSpark(new StructType().add("x", LongType)))
     assert(e1.getMessage.contains("TOP-LEVEL"), e1.getMessage)
     val e2 = intercept[UnsupportedOperationException](
-      ColumnType.fromSpark(MapType(StringType, LongType)))
-    assert(e2.getMessage.contains("not materialized"), e2.getMessage)
+      ColumnType.fromSpark(MapType(StringType, ArrayType(LongType))))
+    assert(e2.getMessage.contains("maps of scalars"), e2.getMessage)
     val e3 = intercept[UnsupportedOperationException](
       ColumnType.fromSpark(ArrayType(ArrayType(LongType))))
     assert(e3.getMessage.contains("arrays of scalars"), e3.getMessage)
