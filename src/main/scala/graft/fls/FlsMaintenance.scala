@@ -212,6 +212,46 @@ object FlsMaintenance {
       FlsManifest.read(fs, root).map(_.length).getOrElse(0), rows)
   }
 
+  final case class VacuumStats(deleted: Int, bytes: Long)
+
+  /** Physically remove files a MANIFEST table does not vouch for —
+    * losing speculative attempts and crashed manifest-mode jobs write
+    * directly to attempt-unique final names, so their leftovers are
+    * invisible to readers but accumulate on disk forever (nothing
+    * sweeps them until a rename-mode write reverts the table). The
+    * standard VACUUM contract: only files older than `olderThanHours`
+    * are deleted, so an IN-FLIGHT writer's not-yet-published files
+    * (always recent) are never touched; size the horizon beyond your
+    * longest-running job. Also GCs orphaned `_temporary` staging trees
+    * past the same horizon. Refuses listing-mode tables (every file on
+    * disk is live there). */
+  def vacuum(spark: SparkSession, dir: String,
+      olderThanHours: Long = 24): VacuumStats = {
+    require(olderThanHours >= 0, "fls vacuum: olderThanHours must be >= 0")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val entries = FlsManifest.read(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"fls vacuum: $dir is a listing-mode table — every file on disk is " +
+          "live; vacuum applies to manifest tables only"))
+    val vouched = entries.map(_.rel).toSet
+    val cutoff = System.currentTimeMillis() - olderThanHours * 3600L * 1000L
+    var deleted = 0
+    var bytes = 0L
+    FlsFile.walkFiles(fs, root, Seq(".fls", ".fls.footer")) { (s, rel) =>
+      val dataRel = if (rel.endsWith(".footer")) rel.stripSuffix(".footer") else rel
+      if (!vouched.contains(dataRel) && s.getModificationTime < cutoff) {
+        try {
+          if (fs.delete(s.getPath, false)) { deleted += 1; bytes += s.getLen }
+        } catch { case _: Throwable => () }
+      }
+    }
+    connector.FlsCommit.sweepOrphans(fs, root, ownWriteId = "",
+      ttlMs = olderThanHours * 3600L * 1000L)
+    VacuumStats(deleted, bytes)
+  }
+
   /** Cluster the rewrite: partitioned tables group by partition key so
     * each task holds few open buckets (then cluster within by sortBy);
     * flat tables range-cluster on sortBy, or round-robin into exactly

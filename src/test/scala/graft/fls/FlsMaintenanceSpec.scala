@@ -206,6 +206,44 @@ class FlsMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLongs(dir) == (1L to 60L), "concurrent compacts must never lose rows")
   }
 
+  test("vacuum removes old unvouched junk from manifest tables, keeps recent and vouched") {
+    val dir = Files.createTempDirectory("fls-vacuum").toString
+    val sp = spark; import sp.implicits._
+    (1L to 100L).toDF("v").coalesce(1)
+      .write.format("fls").mode("overwrite").option("commit_mode", "manifest").save(dir)
+    // crashed-job leftovers: an OLD complete-but-uncommitted file and an
+    // OLD partial file — invisible to readers, but disk-resident
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00000-crashed-a-77.fls").toPath,
+      Array.fill[Byte](200)(0x41))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00001-crashed-a-77.fls").toPath,
+      Array.fill[Byte](100)(0x42))
+    Seq("part-00000-crashed-a-77.fls", "part-00001-crashed-a-77.fls").foreach { n =>
+      new java.io.File(dir, n).setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+    }
+    // a RECENT unvouched file: a live writer's not-yet-published output
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part-00000-live-b-1.fls").toPath,
+      Array.fill[Byte](50)(0x43))
+    val v = FlsMaintenance.vacuum(spark, dir, olderThanHours = 24)
+    assert(v.deleted == 2 && v.bytes == 300, s"got $v")
+    assert(!new java.io.File(dir, "part-00000-crashed-a-77.fls").exists())
+    assert(new java.io.File(dir, "part-00000-live-b-1.fls").exists(),
+      "recent unvouched files belong to in-flight writers — never vacuum them")
+    assert(readLongs(dir) == (1L to 100L), "vacuum must not change query results")
+  }
+
+  test("vacuum refuses listing-mode tables") {
+    val dir = Files.createTempDirectory("fls-vacuum-listing").toString
+    val sp = spark; import sp.implicits._
+    (1L to 10L).toDF("v").write.format("fls").mode("overwrite").save(dir)
+    val e = intercept[IllegalArgumentException] {
+      FlsMaintenance.vacuum(spark, dir)
+    }
+    assert(e.getMessage.contains("listing-mode"))
+  }
+
   test("compacting a subdir of a manifest table is refused") {
     val dir = Files.createTempDirectory("fls-compact-man-sub").toString
     val sp = spark; import sp.implicits._
