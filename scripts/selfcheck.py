@@ -9,6 +9,11 @@ import duckdb
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+def type_names(con, rel_sql):
+    """Column name -> duckdb type name for an arbitrary SELECT."""
+    r = con.sql(rel_sql)
+    return dict(zip(r.columns, [str(t) for t in r.types]))
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
@@ -44,6 +49,21 @@ def main(sfdir, outdir):
         o_canon, o_c = canon(o_rows, o_cols)
         if s_c != o_c:
             print(f"FAIL {name}: columns {s_c} vs {o_c}"); n_bad += 1; continue
+        # Type gate (round 7): the driver's hash is TYPE-SENSITIVE. A bare
+        # DuckDB sum(BIGINT) in an oracle final SELECT surfaces as HUGEINT
+        # (int128) and fails the driver even when every value matches the
+        # Spark BIGINT output. Require the oracle's duckdb types to equal
+        # the types duckdb assigns to the Spark result parquet, per column.
+        try:
+            s_types = type_names(con, f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            o_types = type_names(con, sql)
+            t_bad = [(c, s_types[c], o_types[c]) for c in s_types
+                     if s_types[c] != o_types[c]]
+            if t_bad:
+                print(f"FAIL {name}: TYPE mismatch (spark,oracle): {t_bad}")
+                n_bad += 1; continue
+        except Exception as e:
+            print(f"FAIL {name}: type-gate error {e}"); n_bad += 1; continue
         if len(s_canon) != len(o_canon):
             print(f"FAIL {name}: rows {len(s_canon)} vs {len(o_canon)}"); n_bad += 1; continue
         if s_canon != o_canon:

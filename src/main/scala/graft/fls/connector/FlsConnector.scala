@@ -399,10 +399,19 @@ case class FlsTopNSpec(col: String, desc: Boolean, n: Int)
 case class FlsAggSpec(kind: Int, col: String)
 object FlsAggSpec { val Count = 0; val MinCol = 1; val MaxCol = 2 }
 
-class FlsSumMetric(n: String, d: String)
+// Spark re-instantiates CustomMetric classes reflectively on the driver
+// (zero-arg constructor required) to aggregate task values; a parameterized
+// class makes every query log a SparkException and silently drops the
+// metric, so each metric is its own concrete zero-arg class.
+class FlsRowGroupsMetric
   extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-  override def name(): String = n
-  override def description(): String = d
+  override def name(): String = "rowGroupsRead"
+  override def description(): String = "row groups read"
+}
+class FlsRowsMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "flsRowsRead"
+  override def description(): String = "rows read"
 }
 
 class FlsScan(
@@ -574,8 +583,7 @@ class FlsScan(
     * /root/reference/src/reader/fls_reader.cpp:556-558 — Spark surfaces
     * these in the UI/listener instead of a polled percentage). */
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new FlsSumMetric("rowGroupsRead", "row groups read"),
-      new FlsSumMetric("flsRowsRead", "rows read"))
+    Array(new FlsRowGroupsMetric, new FlsRowsMetric)
 
   override def estimateStatistics(): Statistics = new Statistics {
     // explicit_cardinality named option overrides the footer count

@@ -389,7 +389,7 @@ object FlsQueries {
   }
 
   val q53Sql: String =
-    """SELECT lang, count(*) AS n, sum(n_chars) AS total_len
+    """SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS total_len
       FROM documents WHERE n_chars > 400
       GROUP BY lang ORDER BY lang"""
 
@@ -427,7 +427,7 @@ object FlsQueries {
 
   val q54Sql: String =
     """SELECT event_type, count(*) AS n,
-        sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+        sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_sum,
         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
       FROM events GROUP BY event_type ORDER BY event_type"""
@@ -510,7 +510,8 @@ object FlsQueries {
 
   val q47Sql: String = {
     import graft.util.Tables.{sql => S}
-    s"""SELECT s_nationkey, count(*) AS n, ${S.sumD6w("s_acctbal", "total")}
+    s"""SELECT s_nationkey::BIGINT AS s_nationkey, count(*) AS n,
+        ${S.sumD6w("s_acctbal", "total")}
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
   }
 

@@ -44,7 +44,7 @@ object Sampling {
       .orderBy("source")
 
   val q51Sql: String =
-    s"""SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+    s"""SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS chars_kept
       FROM (SELECT source, n_chars, $bucketDuck AS bucket,
               5 * (CAST(substr(source, 4, 10) AS INT) + 1) AS rate
             FROM documents)
@@ -70,7 +70,7 @@ object Sampling {
   }
 
   val q52Sql: String =
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    """SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
       FROM documents
       WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
       GROUP BY lang ORDER BY lang"""
