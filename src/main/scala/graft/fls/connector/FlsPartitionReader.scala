@@ -404,6 +404,12 @@ class FlsPartitionReader(
         var i = 0
         while (i < len) { vec.putFloat(i, vs(start + i).toFloat); i += 1 }
       case (b: BytesData, StringType | BinaryType) =>
+        // A packed split reuses this vector across row groups, and
+        // WritableColumnVector.reset() does NOT clear an installed
+        // dictionary — a dict-decoded group followed by a plain-bytes
+        // group for the same column would otherwise serve stale
+        // dictionary values. Drop it before the plain fill.
+        vec.setDictionary(null)
         // BytesData is contiguous: ship the batch slice's whole byte
         // range into the vector's child with ONE copy, then write only
         // per-row (offset, length) pairs — putByteArray would memcpy
