@@ -52,14 +52,16 @@ object FlsMaintenance {
   def compact(spark: SparkSession, dir: String,
       targetRowsPerFile: Long = Format.DefaultRowGroupSize.toLong * 16,
       extraOptions: Map[String, String] = Map.empty,
-      sortBy: Seq[String] = Nil): CompactStats = {
+      sortBy: Seq[String] = Nil,
+      eagerDeleteInputs: Boolean = false): CompactStats = {
     require(targetRowsPerFile > 0, "fls compact: targetRowsPerFile must be positive")
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     FlsManifest.readVersioned(fs, root) match {
       case Some(frozen) =>
-        compactManifest(spark, dir, frozen, targetRowsPerFile, extraOptions, sortBy)
+        compactManifest(spark, dir, frozen, targetRowsPerFile, extraOptions,
+          sortBy, eagerDeleteInputs)
       case None =>
         compactListing(spark, dir, targetRowsPerFile, extraOptions, sortBy)
     }
@@ -123,10 +125,18 @@ object FlsMaintenance {
     *     V's entries, KEEP entries concurrent appends published since V
     *     (their rows were not in the rewrite input). Abort loudly if a
     *     concurrent commit removed any input file.
-    *  5. Only after the swap published: delete V's physical files. */
+    *  5. After the swap published, V's files are no longer vouched for.
+    *     By default they stay on disk for `vacuum` to reclaim past its
+    *     age horizon: the manifest retains a few versions for pinned
+    *     `manifest_version` readers, and an in-flight scan planned
+    *     before the swap still reads the replaced files — eager
+    *     deletion would fail both mid-scan. `eagerDeleteInputs=true`
+    *     restores immediate cleanup for sealed tables with no pinned
+    *     readers (accepting that it invalidates retained versions). */
   private def compactManifest(spark: SparkSession, dir: String,
       frozen: (Long, Seq[FlsManifest.Entry]), targetRowsPerFile: Long,
-      extraOptions: Map[String, String], sortBy: Seq[String]): CompactStats = {
+      extraOptions: Map[String, String], sortBy: Seq[String],
+      eagerDeleteInputs: Boolean): CompactStats = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
@@ -202,8 +212,11 @@ object FlsMaintenance {
         try fs.delete(tmpDir, true) catch { case _: Throwable => () }
         throw t
     }
-    // the swap is live — physical cleanup is invisible to readers
-    frozenEntries.foreach { e =>
+    // The swap is live. Replaced inputs are un-vouched now, but pinned
+    // manifest_version readers and scans planned before the swap still
+    // reference them physically — deleting here would FileNotFound those
+    // readers. Default: leave them for vacuum's horizon-gated sweep.
+    if (eagerDeleteInputs) frozenEntries.foreach { e =>
       try fs.delete(new Path(root, e.rel), false) catch { case _: Throwable => () }
       try fs.delete(new Path(root, e.rel + ".footer"), false) catch { case _: Throwable => () }
     }

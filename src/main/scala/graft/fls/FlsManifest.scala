@@ -61,18 +61,32 @@ object FlsManifest {
     * (listing mode). The legacy single-file manifest reads as version 0;
     * any versioned log entry outranks it. */
   def readVersioned(fs: FileSystem, dir: Path): Option[(Long, Seq[Entry])] = {
-    val versions =
+    def listLog(): Seq[Long] =
       try fs.listStatus(logDir(dir)).iterator
         .flatMap(s => parseVersionName(s.getPath.getName))
         .toSeq
       catch { case _: java.io.FileNotFoundException => Nil }
+    val versions = listLog()
     if (versions.nonEmpty) {
       val v = versions.max
       Some((v, readFile(fs, versionPath(dir, v))))
     } else {
       val legacy = manifestPath(dir)
       val exists = try fs.exists(legacy) catch { case _: java.io.IOException => false }
-      if (exists) Some((0L, readFile(fs, legacy))) else None
+      if (exists) Some((0L, readFile(fs, legacy)))
+      else {
+        // One-time migration race: the first versioned commit publishes
+        // v1 THEN deletes the legacy file. A reader that listed an empty
+        // log just before the publish and found the legacy file missing
+        // just after the delete would silently fall back to listing mode
+        // (exposing uncommitted files). Log-empty-then-legacy-missing is
+        // that exact window — re-check the log before concluding None.
+        val again = listLog()
+        if (again.nonEmpty) {
+          val v = again.max
+          Some((v, readFile(fs, versionPath(dir, v))))
+        } else None
+      }
     }
   }
 

@@ -108,6 +108,51 @@ class FlsMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLongs(dir) == (1L to 80L))
   }
 
+  test("compaction defers input deletion: pinned readers survive, vacuum reclaims") {
+    val dir = Files.createTempDirectory("fls-compact-defer").toString
+    val sp = spark; import sp.implicits._
+    (0 until 4).foreach { i =>
+      (i * 10L + 1 to i * 10L + 10).toDF("v").coalesce(1)
+        .write.format("fls").mode("append").option("commit_mode", "manifest").save(dir)
+    }
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val (preV, preEntries) = FlsManifest.readVersioned(fs, p).get
+    FlsMaintenance.compact(spark, dir, targetRowsPerFile = 1000)
+    // inputs stay on disk (un-vouched) so a reader pinned to the
+    // pre-compaction version still plans and reads its exact files
+    preEntries.foreach(e => assert(fs.exists(new Path(p, e.rel)),
+      s"compaction must not eagerly delete input ${e.rel}"))
+    val pinned = spark.read.format("fls")
+      .option("manifest_version", preV.toString).load(dir)
+      .select("v").collect().map(_.getLong(0)).toSeq.sorted
+    assert(pinned == (1L to 40L))
+    assert(readLongs(dir) == (1L to 40L)) // current version identical
+    // vacuum with a zero horizon reclaims the replaced inputs
+    val vs = FlsMaintenance.vacuum(spark, dir, olderThanHours = 0)
+    assert(vs.deleted >= preEntries.length,
+      s"vacuum should reclaim the ${preEntries.length} replaced inputs, deleted ${vs.deleted}")
+    preEntries.foreach(e => assert(!fs.exists(new Path(p, e.rel))))
+    assert(readLongs(dir) == (1L to 40L)) // table intact after vacuum
+  }
+
+  test("eagerDeleteInputs=true restores immediate cleanup") {
+    val dir = Files.createTempDirectory("fls-compact-eager").toString
+    val sp = spark; import sp.implicits._
+    (0 until 3).foreach { i =>
+      (i * 10L + 1 to i * 10L + 10).toDF("v").coalesce(1)
+        .write.format("fls").mode("append").option("commit_mode", "manifest").save(dir)
+    }
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val (_, preEntries) = FlsManifest.readVersioned(fs, p).get
+    FlsMaintenance.compact(spark, dir, targetRowsPerFile = 1000,
+      eagerDeleteInputs = true)
+    preEntries.foreach(e => assert(!fs.exists(new Path(p, e.rel)),
+      s"eager mode must delete input ${e.rel}"))
+    assert(readLongs(dir) == (1L to 30L))
+  }
+
   test("sortBy clustering makes zone maps prune range filters after compaction") {
     val dir = Files.createTempDirectory("fls-compact-sort").toString
     val sp = spark; import sp.implicits._
