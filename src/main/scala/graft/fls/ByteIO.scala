@@ -81,17 +81,17 @@ final class ByteReader(buf: Array[Byte], private var pos: Int, val limit: Int) {
   def readByte(): Byte = { val v = buf(pos); pos += 1; v }
 
   def readInt(): Int = {
-    val v = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8) |
-      ((buf(pos + 2) & 0xff) << 16) | ((buf(pos + 3) & 0xff) << 24)
-    pos += 4; v
+    val v = BitsLE.getInt(buf, pos); pos += 4; v
   }
 
   def readLong(): Long = {
-    var v = 0L
-    var i = 0
-    while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
-    pos += 8; v
+    val v = BitsLE.getLong(buf, pos); pos += 8; v
   }
+
+  /** Raw buffer + cursor access for the bit-unpack fast path, which
+    * reads unaligned longs straight off the segment bytes. */
+  private[fls] def buffer: Array[Byte] = buf
+  private[fls] def skip(n: Int): Unit = pos += n
 
   def readDouble(): Double = java.lang.Double.longBitsToDouble(readLong())
 
@@ -107,16 +107,7 @@ final class ByteReader(buf: Array[Byte], private var pos: Int, val limit: Int) {
   def readLongs(n: Int): Array[Long] = {
     val out = new Array[Long](n)
     var i = 0
-    while (i < n) {
-      var v = 0L
-      val p = pos + i * 8
-      v = (buf(p) & 0xffL) | ((buf(p + 1) & 0xffL) << 8) |
-        ((buf(p + 2) & 0xffL) << 16) | ((buf(p + 3) & 0xffL) << 24) |
-        ((buf(p + 4) & 0xffL) << 32) | ((buf(p + 5) & 0xffL) << 40) |
-        ((buf(p + 6) & 0xffL) << 48) | ((buf(p + 7) & 0xffL) << 56)
-      out(i) = v
-      i += 1
-    }
+    while (i < n) { out(i) = BitsLE.getLong(buf, pos + i * 8); i += 1 }
     pos += n * 8
     out
   }

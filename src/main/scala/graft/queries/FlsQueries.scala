@@ -22,7 +22,7 @@ object FlsQueries {
     * same directory flsTable materializes. */
   def flsTablePath(dir: String, table: String): String = {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    s"/tmp/graft_fls_cache_v2/${key}_$table"
+    s"/tmp/graft_fls_cache_v4/${key}_$table"
   }
 
   def flsTable(spark: SparkSession, dir: String, table: String): DataFrame = {
@@ -72,7 +72,7 @@ object FlsQueries {
     * which is the insertion order of the generator). */
   def q18FlsRowNumber(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val out = s"/tmp/graft_fls_cache_v2/${key}_part_sorted"
+    val out = s"/tmp/graft_fls_cache_v4/${key}_part_sorted"
     synchronized {
       val marker = new java.io.File(s"$out/_done")
       if (!done.contains(out) && !marker.exists()) {
@@ -180,7 +180,7 @@ object FlsQueries {
     * path round-trip preserved the values exactly. */
   def q40FlsPartitioned(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val out = s"/tmp/graft_fls_cache_v2/${key}_orders_by_month"
+    val out = s"/tmp/graft_fls_cache_v4/${key}_orders_by_month"
     synchronized {
       val marker = new java.io.File(s"$out/_done")
       if (!done.contains(out) && !marker.exists()) {

@@ -364,4 +364,25 @@ class CodecsSpec extends AnyFunSuite {
     assert(back.offsets.sameElements(d.offsets))
     assert(back.bytes.sameElements(d.bytes))
   }
+
+  test("ALP Markstein decode is bitwise identical to IEEE division") {
+    // decodeAlp divides digits by 10^e via the reciprocal-multiply +
+    // two-FMA correction; the encoder's exactness check uses the plain
+    // divide — the two must agree on EVERY representable digit, or a
+    // value the encoder kept as "exact" decodes differently
+    val rng = new scala.util.Random(23)
+    (0 to 14).foreach { e =>
+      val d = math.pow(10, e)
+      val rcp = 1.0 / d
+      (0 until 200000).foreach { _ =>
+        val digits = rng.nextLong() % (1L << 51)
+        val x = digits.toDouble
+        val q = x * rcp
+        val fma = Math.fma(Math.fma(-d, q, x), rcp, q)
+        assert(java.lang.Double.doubleToRawLongBits(fma) ==
+          java.lang.Double.doubleToRawLongBits(x / d),
+          s"digits=$digits e=$e: fma=$fma div=${x / d}")
+      }
+    }
+  }
 }
