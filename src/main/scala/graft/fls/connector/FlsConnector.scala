@@ -577,7 +577,10 @@ class FlsScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new FlsReaderFactory(readSchema(), new SerializableConfiguration(hadoopConf),
       options.getBoolean("string_dictionary", false),
-      FlsVirtual.sizeVirtuals(options))
+      FlsVirtual.sizeVirtuals(options),
+      // executor-side selection vectors: static + runtime (DPP) conjuncts
+      filters ++ runtimeFilters,
+      options.getDouble("filter_keep_ratio", 0.0))
 
   /** Scan progress metrics (≙ reference GetProgressInFile,
     * /root/reference/src/reader/fls_reader.cpp:556-558 — Spark surfaces
@@ -769,7 +772,9 @@ object FlsSplitPacking {
 
 class FlsReaderFactory(readSchema: StructType, conf: SerializableConfiguration,
     stringDictionary: Boolean = false,
-    sizeBase: Map[String, String] = Map.empty)
+    sizeBase: Map[String, String] = Map.empty,
+    rowFilters: Array[Filter] = Array.empty,
+    filterKeepRatio: Double = 0.9)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -780,7 +785,7 @@ class FlsReaderFactory(readSchema: StructType, conf: SerializableConfiguration,
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new FlsPartitionReader(partition.asInstanceOf[FlsInputPartition], readSchema, conf.value,
-      stringDictionary, sizeBase)
+      stringDictionary, sizeBase, rowFilters, filterKeepRatio)
 }
 
 // --------------------------------------------------------------- write

@@ -261,7 +261,9 @@ class FlsMicroBatchStream(
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
     new FlsReaderFactory(requiredSchema,
       new org.apache.spark.util.SerializableConfiguration(hadoopConf),
-      options.getBoolean("string_dictionary", false))
+      options.getBoolean("string_dictionary", false),
+      rowFilters = filters, // executor-side selection vectors (FlsRowFilter)
+      filterKeepRatio = options.getDouble("filter_keep_ratio", 0.0))
 
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[FlsOffset].batchId

@@ -22,7 +22,21 @@ class FlsPartitionReader(
     conf: Configuration,
     stringDictionary: Boolean = false,
     /** virtual `<col>_size` name → base LIST column (see FlsVirtual). */
-    sizeBase: Map[String, String] = Map.empty)
+    sizeBase: Map[String, String] = Map.empty,
+    /** Pushed conjuncts for executor-side selection-vector filtering
+      * (see [[FlsRowFilter]]); Catalyst still re-checks them. */
+    rowFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    /** Compact a group only when at most this fraction survives.
+      * DEFAULT 0 = never compact: measured at 64× on local[32], the
+      * gather pass loses to codegen's filter over full batches at every
+      * selectivity tried (10% keep, 2-col: 0.24 vs 0.17 s; 7-col: 0.27
+      * vs 0.24 s) — a memory-bandwidth-rich single node refilters 2048-row
+      * batches faster than it gathers them. The EMPTY-group skip below
+      * stays on regardless (an all-false group skips decoding every
+      * non-filter column). On storage-bound clusters or with expensive
+      * downstream operators the trade can flip: set filter_keep_ratio
+      * (e.g. 0.5) to enable compaction. */
+    filterKeepRatio: Double = 0.0)
   extends PartitionReader[ColumnarBatch] {
 
   /** Multi-chunk, multi-row-group split state: `cIdx` is the current
@@ -49,6 +63,12 @@ class FlsPartitionReader(
     readSchema.fields.map { f =>
       c.fileColumns.find(_.name == f.name).map(_.colType)
     }
+  /** Row-level predicates compiled against the CURRENT chunk's column
+    * types (recompiled on chunk advance — union_by_name lets types
+    * drift across files). */
+  private var preds: Array[FlsRowFilter.Pred] =
+    if (chunk == null) Array.empty
+    else FlsRowFilter.compile(rowFilters, readSchema, fileTypes, sizeBase)
   private val vectors: Array[OnHeapColumnVector] =
     readSchema.fields.map(f => new OnHeapColumnVector(BatchSize, f.dataType))
   private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
@@ -57,6 +77,9 @@ class FlsPartitionReader(
     * `decoded`, non-null only for DictBytes columns. */
   private var colDicts: Array[org.apache.spark.sql.execution.vectorized.Dictionary] = _
   private var colDictIds: Array[Array[Int]] = _
+  /** Reused selection scratch (one per reader, sized to the largest row
+    * group seen) — a fresh 64Ki-int array per group is pure churn. */
+  private var selScratch: Array[Int] = _
 
   /** Decode row group `g` of the current chunk eagerly. The file handle
     * opens once per CHUNK (not per row group — that per-task open was
@@ -88,8 +111,7 @@ class FlsPartitionReader(
         memo(idx) = d
         d
     }
-    {
-      decoded = readSchema.fields.zipWithIndex.map { case (f, fi) =>
+    def decodeCol(f: StructField, fi: Int): ColData = {
         val idx = chunk.fileColumns.indexWhere(_.name == f.name)
         if (idx < 0) {
           sizeBase.get(f.name).map(b => chunk.fileColumns.indexWhere(_.name == b)) match {
@@ -179,9 +201,88 @@ class FlsPartitionReader(
             }
           } else decodeAt(idx)
         }
+    }
+    val nFields = readSchema.fields.length
+    val rgTuples = rowGroup.nTuples
+    decoded = new Array[ColData](nFields)
+    val done = new Array[Boolean](nFields)
+    def ensure(fi: Int): ColData = {
+      if (!done(fi)) {
+        decoded(fi) = decodeCol(readSchema.fields(fi), fi)
+        done(fi) = true
+      }
+      decoded(fi)
+    }
+    // Selection-vector filtering (FlsRowFilter): decode the FILTER
+    // columns first and narrow the selection conjunct by conjunct; an
+    // all-false group skips decoding every other column entirely.
+    // selCount == -1 means "no selection yet" (all rows) — the first
+    // evaluable conjunct writes kept indices directly (filterAll),
+    // avoiding the identity-array init and its indirection.
+    var selCount = -1
+    var sel: Array[Int] = null
+    if (preds.nonEmpty) {
+      if (selScratch == null || selScratch.length < rgTuples)
+        selScratch = new Array[Int](rgTuples)
+      sel = selScratch
+      var p = 0
+      while (p < preds.length && selCount != 0) {
+        val data = ensure(preds(p).colIdx)
+        if (data != null) {
+          if (selCount < 0) {
+            val k = preds(p).filterAll(data, rgTuples, sel)
+            if (k >= 0) selCount = k
+          } else selCount = preds(p).filter(data, sel, selCount)
+        }
+        p += 1
       }
     }
-    nTuples = rowGroup.nTuples
+    if (selCount < 0) selCount = rgTuples
+    var effTuples = rgTuples
+    if (selCount == 0) {
+      effTuples = 0
+    } else {
+      var fi = 0
+      while (fi < nFields) { ensure(fi); fi += 1 }
+      if (selCount < rgTuples && selCount <= rgTuples * filterKeepRatio) {
+        // compact the decoded arrays to the survivors so every batch
+        // fill (and everything downstream) touches only kept rows;
+        // nested shapes have no gather path yet — serve those full
+        val compactable = decoded.forall {
+          case null | _: LongData | _: DoubleData | _: BytesData | _: DictBytes => true
+          case _ => false
+        }
+        if (compactable) {
+          var fj = 0
+          while (fj < nFields) {
+            val f = readSchema.fields(fj)
+            if (decoded(fj) == null && f.name == FlsVirtual.RowNumber) {
+              // virtual row numbers must carry ORIGINAL positions; the
+              // batch-time synthesis assumes dense rows, so materialize
+              val base = chunk.rowStarts(g)
+              val out = new Array[Long](selCount)
+              var i = 0
+              while (i < selCount) { out(i) = base + sel(i); i += 1 }
+              decoded(fj) = LongData(out)
+            } else if (decoded(fj) != null) {
+              decoded(fj) = FlsRowFilter.compact(decoded(fj), sel, selCount)
+              decoded(fj) match {
+                case DictBytes(_, codes) if colDicts(fj) != null =>
+                  // the dict-id sidecar must track the compacted codes
+                  val ids = new Array[Int](codes.length)
+                  var i = 0
+                  while (i < codes.length) { ids(i) = codes(i).toInt; i += 1 }
+                  colDictIds(fj) = ids
+                case _ => ()
+              }
+            }
+            fj += 1
+          }
+          effTuples = selCount
+        }
+      }
+    }
+    nTuples = effTuples
     groupRowStart = chunk.rowStarts(g)
     rowPos = 0
     groupsRead += 1
@@ -197,6 +298,7 @@ class FlsPartitionReader(
         if (cIdx >= part.chunks.length) { chunk = null; return false }
         chunk = part.chunks(cIdx)
         fileTypes = mkFileTypes(chunk)
+        preds = FlsRowFilter.compile(rowFilters, readSchema, fileTypes, sizeBase)
         gIdx = -1
         decoded = null
       } else {

@@ -1,0 +1,423 @@
+package graft.fls.connector
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import graft.fls._
+import graft.fls.Format._
+
+/** Executor-side selection-vector filtering: evaluate the pushed
+  * conjuncts over the DECODED row-group arrays and compact the group to
+  * the surviving rows before any batch is materialized — the Spark
+  * re-expression of the reference's scan-side FilterExecutor
+  * (/root/reference/src/reader/filter_executor.cpp:19-60), which
+  * filters each vector before handing rows to the engine.
+  *
+  * Division of labor: zone maps prune whole row groups on the driver;
+  * this prunes ROWS inside surviving groups on the executor; Catalyst's
+  * residual FilterExec re-checks whatever remains (the scan stays
+  * conservative — an unsupported conjunct is simply not applied here).
+  * Column-at-a-time: each conjunct runs one tight loop over the current
+  * selection, so a 1% filter touches the other columns' bytes only for
+  * the 1%.
+  *
+  * Exactness contract: every comparison happens in the column's own
+  * physical domain (long / double with Spark's NaN-safe ordering /
+  * unsigned bytes — the same orders Catalyst uses), and any literal
+  * that cannot be converted EXACTLY drops the conjunct rather than risk
+  * a wrong row-level drop. */
+object FlsRowFilter {
+
+  private val EQ = 0; private val GT = 1; private val GE = 2
+  private val LT = 3; private val LE = 4
+
+  /** One compiled conjunct bound to a read-schema column ordinal.
+    * `filter` narrows the selection in place and returns the new count;
+    * a data shape it cannot evaluate keeps all current rows. */
+  sealed abstract class Pred(val colIdx: Int) {
+    def filter(data: ColData, sel: Array[Int], m: Int): Int
+    /** First-conjunct fast path: scan rows [0, n) directly and write
+      * kept indices into `sel`, skipping the identity-array init and
+      * its indirection (measured: the init alone costs as much as one
+      * column fill at 64×). Returns -1 when the data shape cannot be
+      * evaluated (caller treats the conjunct as pass-through). */
+    def filterAll(data: ColData, n: Int, sel: Array[Int]): Int = {
+      var i = 0
+      while (i < n) { sel(i) = i; i += 1 }
+      filter(data, sel, n)
+    }
+  }
+
+  /** Comparison / IN / prefix over the long physical domain. */
+  private final class LongPred(ci: Int, op: Int, v: Long) extends Pred(ci) {
+    @inline private def keep(x: Long): Boolean = op match {
+      case EQ => x == v
+      case GT => x > v
+      case GE => x >= v
+      case LT => x < v
+      case LE => x <= v
+    }
+    def filter(data: ColData, sel: Array[Int], m: Int): Int =
+      data match {
+        case LongData(vs) =>
+          var k = 0; var i = 0
+          while (i < m) {
+            if (keep(vs(sel(i)))) { sel(k) = sel(i); k += 1 }
+            i += 1
+          }
+          k
+        case _ => m
+      }
+    override def filterAll(data: ColData, n: Int, sel: Array[Int]): Int =
+      data match {
+        case LongData(vs) =>
+          var k = 0; var i = 0
+          while (i < n) {
+            if (keep(vs(i))) { sel(k) = i; k += 1 }
+            i += 1
+          }
+          k
+        case _ => -1
+      }
+  }
+
+  private final class LongInPred(ci: Int, sorted: Array[Long]) extends Pred(ci) {
+    def filter(data: ColData, sel: Array[Int], m: Int): Int =
+      data match {
+        case LongData(vs) =>
+          var k = 0; var i = 0
+          while (i < m) {
+            if (java.util.Arrays.binarySearch(sorted, vs(sel(i))) >= 0) {
+              sel(k) = sel(i); k += 1
+            }
+            i += 1
+          }
+          k
+        case _ => m
+      }
+  }
+
+  /** Spark's NaN-safe double ordering (nanSafeCompareDoubles): == first
+    * so -0.0 equals 0.0, NaN equals NaN and sorts above everything. */
+  @inline private def cmpD(x: Double, v: Double): Int =
+    if (x == v) 0
+    else if (java.lang.Double.isNaN(x)) { if (java.lang.Double.isNaN(v)) 0 else 1 }
+    else if (java.lang.Double.isNaN(v)) -1
+    else if (x < v) -1 else 1
+
+  private final class DoublePred(ci: Int, op: Int, v: Double) extends Pred(ci) {
+    @inline private def keep(x: Double): Boolean = {
+      val c = cmpD(x, v)
+      op match {
+        case EQ => c == 0
+        case GT => c > 0
+        case GE => c >= 0
+        case LT => c < 0
+        case LE => c <= 0
+      }
+    }
+    def filter(data: ColData, sel: Array[Int], m: Int): Int =
+      data match {
+        case DoubleData(vs) =>
+          var k = 0; var i = 0
+          while (i < m) {
+            if (keep(vs(sel(i)))) { sel(k) = sel(i); k += 1 }
+            i += 1
+          }
+          k
+        case _ => m
+      }
+    override def filterAll(data: ColData, n: Int, sel: Array[Int]): Int =
+      data match {
+        case DoubleData(vs) =>
+          var k = 0; var i = 0
+          while (i < n) {
+            if (keep(vs(i))) { sel(k) = i; k += 1 }
+            i += 1
+          }
+          k
+        case _ => -1
+      }
+  }
+
+  private final class DoubleInPred(ci: Int, vals: Array[Double]) extends Pred(ci) {
+    def filter(data: ColData, sel: Array[Int], m: Int): Int =
+      data match {
+        case DoubleData(vs) =>
+          var k = 0; var i = 0
+          while (i < m) {
+            val x = vs(sel(i))
+            var keep = false
+            var j = 0
+            while (!keep && j < vals.length) { keep = cmpD(x, vals(j)) == 0; j += 1 }
+            if (keep) { sel(k) = sel(i); k += 1 }
+            i += 1
+          }
+          k
+        case _ => m
+      }
+  }
+
+  /** String/binary compare, IN, and prefix over unsigned bytes (the
+    * UTF8String order). For a dictionary-decoded group the predicate
+    * evaluates once per DICT ENTRY, then the row loop is a table
+    * lookup. */
+  private final class BytesPred(ci: Int, op: Int, v: Array[Byte],
+      inSet: Array[Array[Byte]] = null, prefix: Boolean = false) extends Pred(ci) {
+
+    @inline private def keepBytes(b: Array[Byte], s: Int, e: Int): Boolean = {
+      if (prefix) {
+        val n = v.length
+        e - s >= n && java.util.Arrays.equals(b, s, s + n, v, 0, n)
+      } else if (inSet != null) {
+        var j = 0
+        while (j < inSet.length) {
+          val w = inSet(j)
+          if (java.util.Arrays.equals(b, s, e, w, 0, w.length)) return true
+          j += 1
+        }
+        false
+      } else {
+        val c = java.util.Arrays.compareUnsigned(b, s, e, v, 0, v.length)
+        op match {
+          case EQ => c == 0
+          case GT => c > 0
+          case GE => c >= 0
+          case LT => c < 0
+          case LE => c <= 0
+        }
+      }
+    }
+
+    def filter(data: ColData, sel: Array[Int], m: Int): Int =
+      data match {
+        case BytesData(offsets, bytes) =>
+          var k = 0; var i = 0
+          while (i < m) {
+            val r = sel(i)
+            if (keepBytes(bytes, offsets(r), offsets(r + 1))) { sel(k) = sel(i); k += 1 }
+            i += 1
+          }
+          k
+        case DictBytes(values, codes) =>
+          val keep = new Array[Boolean](values.length)
+          var j = 0
+          while (j < values.length) {
+            keep(j) = keepBytes(values(j), 0, values(j).length); j += 1
+          }
+          var k = 0; var i = 0
+          while (i < m) {
+            if (keep(codes(sel(i)).toInt)) { sel(k) = sel(i); k += 1 }
+            i += 1
+          }
+          k
+        case _ => m
+      }
+    override def filterAll(data: ColData, n: Int, sel: Array[Int]): Int =
+      data match {
+        case BytesData(offsets, bytes) =>
+          var k = 0; var i = 0
+          while (i < n) {
+            if (keepBytes(bytes, offsets(i), offsets(i + 1))) { sel(k) = i; k += 1 }
+            i += 1
+          }
+          k
+        case DictBytes(values, codes) =>
+          val keep = new Array[Boolean](values.length)
+          var j = 0
+          while (j < values.length) {
+            keep(j) = keepBytes(values(j), 0, values(j).length); j += 1
+          }
+          var k = 0; var i = 0
+          while (i < n) {
+            if (keep(codes(i).toInt)) { sel(k) = i; k += 1 }
+            i += 1
+          }
+          k
+        case _ => -1
+      }
+  }
+
+  /** IsNull on a stored column: the format has no NULLs → empty. */
+  private final class NeverPred(ci: Int) extends Pred(ci) {
+    def filter(data: ColData, sel: Array[Int], m: Int): Int = 0
+  }
+
+  /** Compile the pushed conjuncts against this chunk's column types.
+    * Unsupported shapes/conversions are silently dropped (Catalyst's
+    * residual filter still enforces them). */
+  def compile(filters: Array[Filter], schema: StructType,
+      fileTypes: Array[Option[ColumnType]],
+      sizeVirtuals: Map[String, String]): Array[Pred] = {
+    val out = scala.collection.mutable.ArrayBuffer[Pred]()
+    def walk(f: Filter): Unit = f match {
+      case And(l, r) => walk(l); walk(r)
+      case leaf => compileLeaf(leaf, schema, fileTypes, sizeVirtuals).foreach(out += _)
+    }
+    filters.foreach(walk)
+    out.toArray
+  }
+
+  private def colOf(schema: StructType, name: String): Int =
+    schema.fieldNames.indexOf(name)
+
+  /** Exact literal → long-domain conversion for the column's stored
+    * type; None = cannot convert exactly, drop the conjunct. */
+  private def toLongExact(value: Any, ct: ColumnType): Option[Long] = {
+    import TypeTag._
+    try {
+      (ct.tag, value) match {
+        case (_, null) => None
+        case (BOOLEAN, b: java.lang.Boolean) => Some(if (b) 1L else 0L)
+        case (DATE, d: java.sql.Date) =>
+          Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+        case (DATE, d: java.time.LocalDate) => Some(d.toEpochDay)
+        case (TIMESTAMP | TIMESTAMP_NTZ, t: java.sql.Timestamp) =>
+          Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+        case (TIMESTAMP | TIMESTAMP_NTZ, t: java.time.Instant) =>
+          Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t))
+        case (TIMESTAMP | TIMESTAMP_NTZ, t: java.time.LocalDateTime) =>
+          Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t))
+        case (DECIMAL, d: java.math.BigDecimal) =>
+          Some(d.setScale(ct.scale).unscaledValue().longValueExact())
+        case (DECIMAL, d: BigDecimal) =>
+          Some(d.setScale(ct.scale).underlying().unscaledValue().longValueExact())
+        case (INT8 | INT16 | INT32 | INT64, n: java.lang.Byte) => Some(n.longValue())
+        case (INT8 | INT16 | INT32 | INT64, n: java.lang.Short) => Some(n.longValue())
+        case (INT8 | INT16 | INT32 | INT64, n: java.lang.Integer) => Some(n.longValue())
+        case (INT8 | INT16 | INT32 | INT64, n: java.lang.Long) => Some(n.longValue())
+        case _ => None
+      }
+    } catch { case _: ArithmeticException => None } // inexact scale/overflow
+  }
+
+  private def toDoubleExact(value: Any, ct: ColumnType): Option[Double] = {
+    import TypeTag._
+    (ct.tag, value) match {
+      case (_, null) => None
+      // float literals widen to double exactly; comparisons agree
+      case (FLOAT | DOUBLE, n: java.lang.Float) => Some(n.doubleValue())
+      case (FLOAT | DOUBLE, n: java.lang.Double) => Some(n.doubleValue())
+      case _ => None
+    }
+  }
+
+  private def toBytes(value: Any): Option[Array[Byte]] = value match {
+    case s: String => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.getBytes)
+    case b: Array[Byte] => Some(b)
+    case _ => None
+  }
+
+  private def compileLeaf(f: Filter, schema: StructType,
+      fileTypes: Array[Option[ColumnType]],
+      sizeVirtuals: Map[String, String]): Option[Pred] = {
+
+    def typed(name: String): Option[(Int, ColumnType)] = {
+      val ci = colOf(schema, name)
+      if (ci < 0) None
+      else fileTypes(ci) match {
+        case Some(ct) => Some((ci, ct))
+        // virtual `<col>_size` decodes to a LongData slot: long domain
+        case None if sizeVirtuals.contains(name) =>
+          Some((ci, ColumnType(TypeTag.INT64)))
+        case None => None // partition/virtual/absent: planner's job
+      }
+    }
+
+    def cmpPred(name: String, v: Any, op: Int): Option[Pred] =
+      typed(name).flatMap { case (ci, ct) =>
+        physOf(ct.tag) match {
+          case Phys.LONG => toLongExact(v, ct).map(new LongPred(ci, op, _))
+          case Phys.DOUBLE => toDoubleExact(v, ct).map(new DoublePred(ci, op, _))
+          case Phys.BYTES => toBytes(v).map(new BytesPred(ci, op, _))
+          case _ => None
+        }
+      }
+
+    f match {
+      case EqualTo(c, v) => cmpPred(c, v, EQ)
+      case EqualNullSafe(c, null) =>
+        typed(c).map { case (ci, _) => new NeverPred(ci) }
+      case EqualNullSafe(c, v) => cmpPred(c, v, EQ)
+      case GreaterThan(c, v) => cmpPred(c, v, GT)
+      case GreaterThanOrEqual(c, v) => cmpPred(c, v, GE)
+      case LessThan(c, v) => cmpPred(c, v, LT)
+      case LessThanOrEqual(c, v) => cmpPred(c, v, LE)
+      case IsNull(c) => typed(c).map { case (ci, _) => new NeverPred(ci) }
+      case IsNotNull(_) => None // no NULLs: always true, nothing to do
+      case In(c, vs) =>
+        typed(c).flatMap { case (ci, ct) =>
+          if (vs.contains(null)) None // null in set: leave to Catalyst
+          else physOf(ct.tag) match {
+            case Phys.LONG =>
+              val conv = vs.map(toLongExact(_, ct))
+              if (conv.exists(_.isEmpty)) None
+              else {
+                val arr = conv.map(_.get).distinct.sorted
+                Some(new LongInPred(ci, arr))
+              }
+            case Phys.DOUBLE =>
+              val conv = vs.map(toDoubleExact(_, ct))
+              if (conv.exists(_.isEmpty)) None
+              else Some(new DoubleInPred(ci, conv.map(_.get)))
+            case Phys.BYTES =>
+              val conv = vs.map(toBytes)
+              if (conv.exists(_.isEmpty)) None
+              else Some(new BytesPred(ci, EQ, null, inSet = conv.map(_.get)))
+            case _ => None
+          }
+        }
+      case StringStartsWith(c, p) if p != null =>
+        typed(c).flatMap { case (ci, ct) =>
+          if (physOf(ct.tag) == Phys.BYTES)
+            Some(new BytesPred(ci, EQ,
+              p.getBytes(java.nio.charset.StandardCharsets.UTF_8), prefix = true))
+          else None
+        }
+      case _ => None // Or/Not/unsupported: residual FilterExec handles it
+    }
+  }
+
+  // ------------------------------------------------------- compaction
+
+  /** Gather `data` down to the selected rows. Only scalar shapes — the
+    * caller skips compaction when any projected column is nested. */
+  def compact(data: ColData, sel: Array[Int], m: Int): ColData = data match {
+    case LongData(vs) =>
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) { out(i) = vs(sel(i)); i += 1 }
+      LongData(out)
+    case DoubleData(vs) =>
+      val out = new Array[Double](m)
+      var i = 0
+      while (i < m) { out(i) = vs(sel(i)); i += 1 }
+      DoubleData(out)
+    case BytesData(offsets, bytes) =>
+      val outOff = new Array[Int](m + 1)
+      var total = 0
+      var i = 0
+      while (i < m) {
+        val r = sel(i)
+        total += offsets(r + 1) - offsets(r)
+        outOff(i + 1) = total
+        i += 1
+      }
+      val outBytes = new Array[Byte](total)
+      i = 0
+      while (i < m) {
+        val r = sel(i)
+        System.arraycopy(bytes, offsets(r), outBytes, outOff(i),
+          offsets(r + 1) - offsets(r))
+        i += 1
+      }
+      BytesData(outOff, outBytes)
+    case DictBytes(values, codes) =>
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) { out(i) = codes(sel(i)); i += 1 }
+      DictBytes(values, out)
+    case other => other
+  }
+}

@@ -1,0 +1,141 @@
+package graft.fls
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executor-side selection-vector filtering (FlsRowFilter): every
+  * pushed-filter shape over every physical domain must return EXACTLY
+  * what Spark computes over the same data read from parquet-less
+  * memory — including dict-encoded strings, timestamps, decimals,
+  * NaN/-0.0 doubles, virtual row numbers, and multi-row-group packed
+  * splits where compaction changes batch geometry mid-split. */
+class FlsRowFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val tmp = Files.createTempDirectory("fls-rowfilter").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("fls-rowfilter-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.files.minPartitionNum", "1") // pack into one split
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** 8 row groups of 1024 rows, mixed types; written once. */
+  private lazy val dir: String = {
+    val d = s"$tmp/t"
+    src.write.format("fls").mode("overwrite")
+      .option("row_group_size", 1024).save(d)
+    d
+  }
+
+  private lazy val src: DataFrame =
+    spark.range(0, 8192, 1, 1).selectExpr(
+      "id",
+      "CAST(id % 97 AS INT) AS i32",
+      "CAST(id AS DOUBLE) / 4 AS d",
+      "CASE WHEN id % 1000 = 7 THEN CAST('NaN' AS DOUBLE) " +
+        "WHEN id % 1000 = 8 THEN -0.0 ELSE sin(CAST(id AS DOUBLE)) END AS dx",
+      "concat('s', lpad(CAST(id % 50 AS STRING), 3, '0')) AS s_low", // dict-able
+      "concat('u', id) AS s_high",
+      "CAST(id AS DECIMAL(12,2)) / 3 AS dec",
+      "timestamp_micros(id * 1000000) AS ts",
+      "date_add(DATE'2020-01-01', CAST(id % 900 AS INT)) AS dt")
+
+  /** Boxed-Double == is primitive == in Scala, so NaN != NaN and NaN
+    * rows can never set-match — compare doubles by bit pattern
+    * (canonical NaN equal, -0.0 still distinct from 0.0). */
+  private def norm(row: org.apache.spark.sql.Row): Seq[Any] =
+    row.toSeq.map {
+      case d: java.lang.Double => java.lang.Double.doubleToLongBits(d)
+      case f: java.lang.Float => java.lang.Float.floatToIntBits(f)
+      case v => v
+    }
+
+  /** Most checks force compaction on (filter_keep_ratio=0.9) — the
+    * default is 0 (evaluate-and-skip-empty only), covered separately. */
+  private def check(cond: String, opts0: Map[String, String] = Map.empty): Unit = {
+    val opts = Map("filter_keep_ratio" -> "0.9") ++ opts0
+    var r = spark.read.format("fls")
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    val got = r.load(dir).filter(cond).collect().map(norm).toSet
+    val exp = src.filter(cond).collect().map(norm).toSet
+    assert(got == exp,
+      s"filter [$cond] opts=$opts: got ${got.size} rows, expected ${exp.size}; " +
+        s"missing=${(exp -- got).take(2)} extra=${(got -- exp).take(2)}")
+    assert(exp.nonEmpty || src.filter(cond).isEmpty, s"degenerate test [$cond]")
+    // default path (no compaction, empty-group skip only) must agree too
+    var r2 = spark.read.format("fls")
+    opts0.foreach { case (k, v) => r2 = r2.option(k, v) }
+    assert(r2.load(dir).filter(cond).collect().map(norm).toSet == exp,
+      s"filter [$cond] default-path mismatch")
+  }
+
+  test("long comparisons and In compact exactly") {
+    check("id < 100")
+    check("id >= 8100")
+    check("id = 4000")
+    check("i32 IN (3, 5, 96)")
+    check("id > 2000 AND id <= 2100 AND i32 < 50")
+  }
+
+  test("double comparisons honor Spark NaN/-0.0 ordering") {
+    check("d <= 10.0")
+    check("dx > 0.99")
+    check("dx = 0.0")  // must match the -0.0 rows like Spark does
+    check("dx >= cast('NaN' as double)") // NaN sorts largest; only NaN rows
+  }
+
+  test("string compare, In, prefix — plain and dict-encoded groups") {
+    check("s_low = 's007'")
+    check("s_low < 's010'")
+    check("s_low IN ('s001', 's049')")
+    check("s_high = 'u4567'")
+    check("s_low LIKE 's00%'")
+    check("s_low = 's007'", Map("string_dictionary" -> "true"))
+    check("s_low IN ('s001', 's049')", Map("string_dictionary" -> "true"))
+    check("s_low LIKE 's04%'", Map("string_dictionary" -> "true"))
+  }
+
+  test("timestamp, date, and decimal literals convert exactly") {
+    check("ts < TIMESTAMP'1970-01-01 00:20:00'")
+    check("dt = DATE'2020-03-01'")
+    check("dec < 10.00")
+    check("dec = 33.33")
+  }
+
+  test("selective filter over a packed multi-group split stays exact") {
+    // ~1.2% selectivity: most groups compact, some empty out entirely
+    check("id % 1 = 0 AND id > 8090") // tail groups only
+    check("s_high IN ('u1', 'u5000', 'u8191')")
+  }
+
+  test("virtual file_row_number survives compaction with original positions") {
+    val got = spark.read.format("fls").option("file_row_number", "true")
+      .option("filter_keep_ratio", "0.9")
+      .load(dir)
+      .filter("i32 = 13") // pushed; compacts groups
+      .select("id", "file_row_number")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // single-partition write: file_row_number == id
+    val exp = (0L until 8192L).filter(_ % 97 == 13).map(i => (i, i)).toSet
+    assert(got == exp, s"row numbers drifted: missing=${(exp -- got).take(3)}")
+  }
+
+  test("filter_keep_ratio=0 disables compaction; results unchanged") {
+    val got = spark.read.format("fls").option("filter_keep_ratio", "0.0")
+      .load(dir).filter("id < 50").collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 50L).toSet)
+  }
+}
