@@ -317,6 +317,62 @@ object Codecs {
 
   def decodeEqualTarget(bytes: Array[Byte]): Int = new ByteReader(bytes).readInt()
 
+  // ---- EXP_DICT (MCC external dictionary): codes into another column ----
+
+  /** Payload of an EXP_DICT segment: the dependency column's index plus
+    * FFOR-packed codes — row i of this column is
+    * `source.values(codes(i))`. Read-side reference parity (our writer
+    * never emits it); see [[Format.Enc.EXP_DICT]]. */
+  def encodeExpDict(source: Int, codes: Array[Long], out: ByteWriter): Unit = {
+    out.writeInt(source)
+    encodeFFOR(codes, out)
+  }
+
+  def decodeExpDictParts(bytes: Array[Byte]): (Int, Array[Long]) = {
+    val in = new ByteReader(bytes)
+    val source = in.readInt()
+    (source, decodeFFOR(in))
+  }
+
+  /** Gather `source` through `codes` (the EXP_DICT materialization). */
+  def gatherExpDict(source: ColData, codes: Array[Long]): ColData = {
+    val n = codes.length
+    source match {
+      case LongData(vs) =>
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) { out(i) = vs(codes(i).toInt); i += 1 }
+        LongData(out)
+      case DoubleData(vs) =>
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) { out(i) = vs(codes(i).toInt); i += 1 }
+        DoubleData(out)
+      case BytesData(offsets, bytes) =>
+        val outOff = new Array[Int](n + 1)
+        var total = 0
+        var i = 0
+        while (i < n) {
+          val r = codes(i).toInt
+          total += offsets(r + 1) - offsets(r)
+          outOff(i + 1) = total
+          i += 1
+        }
+        val outBytes = new Array[Byte](total)
+        i = 0
+        while (i < n) {
+          val r = codes(i).toInt
+          System.arraycopy(bytes, offsets(r), outBytes, outOff(i),
+            offsets(r + 1) - offsets(r))
+          i += 1
+        }
+        BytesData(outOff, outBytes)
+      case other => throw new UnsupportedOperationException(
+        s"fls: EXP_DICT source decoded to ${other.getClass.getSimpleName} — " +
+          "external dictionaries over nested columns are not supported")
+    }
+  }
+
   /** Exact physical-content equality (the writer-side MCC detector). */
   def contentEquals(a: ColData, b: ColData): Boolean = (a, b) match {
     case (LongData(x), LongData(y)) => java.util.Arrays.equals(x, y)

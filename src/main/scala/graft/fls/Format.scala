@@ -103,6 +103,17 @@ object Format {
     val MAP = 15         // MAP columns: per-row entry counts + the
                          //   flattened key stream + value stream, each
                          //   a nested scalar segment like ARRAY
+    val EXP_DICT = 16    // MCC external dictionary (≙ reference
+                         //   EXP_DICT_* operator tokens with a
+                         //   dependency column, fls_reader.cpp:43-82,
+                         //   583-590): payload = source column index +
+                         //   FFOR codes; row i = source.values(codes(i)).
+                         //   READ-SIDE ONLY — our writer never emits it
+                         //   (it always materializes the cheaper EQUAL
+                         //   or an in-segment DICT), but externally
+                         //   written files carrying it must not
+                         //   misread; the reader widens its reads to
+                         //   the dependency column like EQUAL.
   }
 
   /** Physical representation a logical type decodes through. */

@@ -107,7 +107,13 @@ class FlsPartitionReader(
         in.readFully(seg.offset, segBytes)
         val d =
           if (seg.encoding == Enc.EQUAL) decodeAt(Codecs.decodeEqualTarget(segBytes))
-          else Codecs.decode(segBytes, seg.encoding, chunk.fileColumns(idx).colType)
+          else if (seg.encoding == Enc.EXP_DICT) {
+            // MCC external dictionary: widen the read to the dependency
+            // column (full-row-group projection of it, like EQUAL) and
+            // gather its values through this column's codes
+            val (src, codes) = Codecs.decodeExpDictParts(segBytes)
+            Codecs.gatherExpDict(decodeAt(src), codes)
+          } else Codecs.decode(segBytes, seg.encoding, chunk.fileColumns(idx).colType)
         memo(idx) = d
         d
     }
@@ -171,7 +177,7 @@ class FlsPartitionReader(
           // memory-bandwidth-bound scans of long repeated strings the
           // trade can flip; measure before enabling.
           val dictable = stringDictionary && phys == Phys.BYTES &&
-            seg.encoding != Enc.EQUAL &&
+            seg.encoding != Enc.EQUAL && seg.encoding != Enc.EXP_DICT &&
             (f.dataType == StringType || f.dataType == BinaryType)
           if (dictable) {
             val segBytes = new Array[Byte](seg.length.toInt)

@@ -364,6 +364,36 @@ object Dedup {
     * (~10M 64-dim vectors at 5 GiB); past that ceiling use the IVF path
     * (Similarity.q26 — corpus shuffles once by cell, cells stay
     * bounded), which this query exists to validate against. */
+  /** The ONE exact embedding near-dup entry point: picks the physical
+    * shape from the corpus' estimated broadcast footprint. Below
+    * `maxBroadcastBytes` the q24 broadcast plan wins (zero shuffle of
+    * pair payloads, measured fastest up to at least 320k vectors /
+    * ~82 MB broadcast at 64×); past it the q43 block-grid engages —
+    * bounded per-task memory at any corpus size. Both shapes remain
+    * individually reachable (mode = "broadcast" | "grid") for probes
+    * and plan tests; results are identical by construction, and the
+    * dispatch threshold only changes WHERE the O(n²) compare runs.
+    *
+    * Sizing: a row costs ~dim doubles + array headers; the measured
+    * curve (82 MB at 320k × 64-dim) gives ~256 B/vector ≈ dim × 4.
+    * The 512 MiB default ceiling = ~2M 64-dim vectors, far inside the
+    * ~5 GiB executor budget the broadcast would die at. */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+      mode: String = "auto",
+      maxBroadcastBytes: Long = 512L << 20): DataFrame = mode match {
+    case "broadcast" => q24EmbeddingNearDup(spark, dir)
+    case "grid" => q43EmbeddingBlocked(spark, dir)
+    case "auto" =>
+      val base = t(spark, dir, "embeddings")
+      val n = base.count()
+      val dim = base.selectExpr("size(embedding)").head.getInt(0).toLong
+      val estBytes = n * math.max(1L, dim * 4)
+      if (estBytes <= maxBroadcastBytes) q24EmbeddingNearDup(spark, dir)
+      else q43EmbeddingBlocked(spark, dir)
+    case other => throw new IllegalArgumentException(
+      s"embeddingNearDup: unknown mode '$other' (auto | broadcast | grid)")
+  }
+
   def q24EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "embeddings")
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
@@ -463,8 +493,10 @@ object Dedup {
     "q21_dedup_ngram_jaccard" -> (q21NgramJaccard _),
     "q22_dedup_minhash_lsh" -> (q22MinhashLsh _),
     "q23_dedup_simhash" -> (q23Simhash _),
-    "q24_dedup_embedding" -> (q24EmbeddingNearDup _),
-    "q43_dedup_embedding_blocked" -> (q43EmbeddingBlocked _),
+    // q24 routes through the auto-dispatcher (picks broadcast at bench
+    // scale); q43 pins the grid shape so the scale path stays exercised
+    "q24_dedup_embedding" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
+    "q43_dedup_embedding_blocked" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d, mode = "grid")),
   )
 
   val oracles: Map[String, String] = Map(

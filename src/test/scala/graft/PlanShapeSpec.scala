@@ -107,4 +107,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grid.toSeq == brute.toSeq,
       "block-grid all-pairs diverged from the brute-force baseline")
   }
+
+  test("embeddingNearDup auto-dispatch: broadcast under the ceiling, grid past it") {
+    import graft.queries.Dedup
+    // the test corpus is tiny: auto must pick the broadcast shape
+    val auto = Dedup.embeddingNearDup(spark, dir)
+    val pAuto = auto.queryExecution.executedPlan.toString
+    assert(pAuto.contains("BroadcastHashJoin") || pAuto.contains("BroadcastNestedLoopJoin"),
+      s"auto under the ceiling must broadcast: $pAuto")
+    // a 1-byte ceiling forces the grid shape through the same entry point
+    val forced = Dedup.embeddingNearDup(spark, dir, maxBroadcastBytes = 1L)
+    val pForced = forced.queryExecution.executedPlan.toString
+    assert(pForced.contains("ShuffledHashJoin") && !pForced.contains("BroadcastHashJoin"),
+      s"auto past the ceiling must take the grid: $pForced")
+    // identical results either way — dispatch is physical-only
+    assert(auto.collect().toSeq == forced.collect().toSeq,
+      "dispatcher modes diverged")
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(spark, dir, mode = "nope")
+    }
+  }
 }
