@@ -53,6 +53,13 @@ object Format {
     val BINARY = 8; val DATE = 9; val TIMESTAMP = 10; val DECIMAL = 11
     val TIMESTAMP_NTZ = 12; val BIG_DECIMAL = 13
     val LIST = 14; val STRUCT = 15; val MAP = 16
+    /** Unsigned tokens — READ-SIDE ONLY (≙ reference UINT8–64, which it
+      * widens wholesale to UBIGINT, translation_utils.cpp:19-24). Spark
+      * has no unsigned types, so each widens to the smallest LOSSLESS
+      * signed/decimal type: u8→SHORT, u16→INT, u32→BIGINT,
+      * u64→DECIMAL(20,0) (the SURVEY §1 mapping). Our writer never
+      * emits them (fromSpark has no unsigned source). */
+    val UINT8 = 17; val UINT16 = 18; val UINT32 = 19; val UINT64 = 20
     /** All three nested tokens are now materialized; kept for the
       * nested-in-nested rejection checks. */
     def isNestedTag(tag: Int): Boolean = tag == LIST || tag == STRUCT || tag == MAP
@@ -195,6 +202,10 @@ object Format {
       case TypeTag.TIMESTAMP => TimestampType
       case TypeTag.TIMESTAMP_NTZ => TimestampNTZType
       case TypeTag.DECIMAL | TypeTag.BIG_DECIMAL => DecimalType(precision, scale)
+      case TypeTag.UINT8 => ShortType
+      case TypeTag.UINT16 => IntegerType
+      case TypeTag.UINT32 => LongType
+      case TypeTag.UINT64 => DecimalType(20, 0)
     }
   }
 

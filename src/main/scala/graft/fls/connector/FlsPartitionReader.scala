@@ -454,6 +454,21 @@ class FlsPartitionReader(
         // column absent from this file (union_by_name) → NULLs
         vec.putNulls(0, len)
       case (LongData(vs), d: DecimalType)
+          if fileTypes(fieldIdx(field)).exists(_.tag == TypeTag.UINT64) =>
+        // u64 read fallback: the stored long is the RAW 64-bit pattern;
+        // reinterpret unsigned into DECIMAL(20,0)
+        val two64 = java.math.BigInteger.ONE.shiftLeft(64)
+        var i = 0
+        while (i < len) {
+          val v = vs(start + i)
+          val bd = new java.math.BigDecimal(
+            if (v >= 0) java.math.BigInteger.valueOf(v)
+            else java.math.BigInteger.valueOf(v).add(two64))
+          vec.putDecimal(i,
+            org.apache.spark.sql.types.Decimal(bd, d.precision, d.scale), d.precision)
+          i += 1
+        }
+      case (LongData(vs), d: DecimalType)
           if fileTypes(fieldIdx(field)).exists(ft => ft.scale != d.scale) =>
         // cross-file decimal promotion: rescale unscaled values
         val ft = fileTypes(fieldIdx(field)).get

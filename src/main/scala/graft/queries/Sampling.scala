@@ -75,11 +75,37 @@ object Sampling {
       WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
       GROUP BY lang ORDER BY lang"""
 
+  /** q55: corpus-wide global ranking through the RANGE-PARTITIONED
+    * two-pass shape ([[graft.functions.DistributedRank]]) instead of a
+    * single-partition window sort — the form that still scales when the
+    * corpus is 100 TB (sampled range bounds, per-partition offsets, no
+    * global funnel). The (n_chars, doc_id) order is unique, so the
+    * numbering is deterministic and the plain-window oracle matches
+    * exactly. Keeps only every 17th rank so the result stays small
+    * while still spanning the whole range (any off-by-one in the offset
+    * arithmetic shifts some kept rank). */
+  def q55DistributedRank(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    graft.functions.DistributedRank
+      .withRowNumber(d, Seq(col("n_chars"), col("doc_id")), "rn")
+      .filter(pmod(col("rn"), lit(17)) === 1)
+      .orderBy("rn")
+  }
+
+  val q55Sql: String =
+    """SELECT doc_id, n_chars, rn FROM (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+        FROM documents)
+      WHERE rn % 17 = 1 ORDER BY rn"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_sample_stratified" -> (q51SampleStratified _),
-    "q52_dedup_apply" -> (q52DedupApply _))
+    "q52_dedup_apply" -> (q52DedupApply _),
+    "q55_distributed_rank" -> (q55DistributedRank _))
 
   val oracles: Map[String, String] = Map(
     "q51_sample_stratified" -> q51Sql,
-    "q52_dedup_apply" -> q52Sql)
+    "q52_dedup_apply" -> q52Sql,
+    "q55_distributed_rank" -> q55Sql)
 }
