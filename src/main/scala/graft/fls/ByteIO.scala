@@ -106,9 +106,13 @@ final class ByteReader(buf: Array[Byte], private var pos: Int, val limit: Int) {
 
   def readLongs(n: Int): Array[Long] = {
     val out = new Array[Long](n)
+    readLongsInto(out, n)
+    out
+  }
+
+  def readLongsInto(out: Array[Long], n: Int): Unit = {
     var i = 0
     while (i < n) { out(i) = BitsLE.getLong(buf, pos + i * 8); i += 1 }
     pos += n * 8
-    out
   }
 }

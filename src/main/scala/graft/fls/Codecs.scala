@@ -157,9 +157,15 @@ object Codecs {
     }
   }
 
-  def decodeFFOR(in: ByteReader): Array[Long] = {
+  def decodeFFOR(in: ByteReader): Array[Long] = decodeFFORReuse(in, null)
+
+  /** As decodeFFOR, writing into `reuse` when its length matches —
+    * recycling row-group output arrays saves the JVM's mandatory
+    * zeroing of a fresh 512 KB allocation (~2 ns/value measured, ~20%
+    * of the whole ALP decode). */
+  def decodeFFORReuse(in: ByteReader, reuse: Array[Long]): Array[Long] = {
     val n = in.readInt()
-    val out = new Array[Long](n)
+    val out = if (reuse != null && reuse.length == n) reuse else new Array[Long](n)
     var start = 0
     while (start < n) {
       val len = math.min(VecSize, n - start)
@@ -195,13 +201,22 @@ object Codecs {
     out.writeBytes(d.bytes, 0, total)
   }
 
-  def decodePlainLong(in: ByteReader): Array[Long] = {
-    val n = in.readInt(); in.readLongs(n)
+  def decodePlainLong(in: ByteReader): Array[Long] =
+    decodePlainLongReuse(in, null)
+
+  def decodePlainLongReuse(in: ByteReader, reuse: Array[Long]): Array[Long] = {
+    val n = in.readInt()
+    val out = if (reuse != null && reuse.length == n) reuse else new Array[Long](n)
+    in.readLongsInto(out, n)
+    out
   }
 
-  def decodePlainDouble(in: ByteReader): Array[Double] = {
+  def decodePlainDouble(in: ByteReader): Array[Double] =
+    decodePlainDoubleReuse(in, null)
+
+  def decodePlainDoubleReuse(in: ByteReader, reuse: Array[Double]): Array[Double] = {
     val n = in.readInt()
-    val out = new Array[Double](n)
+    val out = if (reuse != null && reuse.length == n) reuse else new Array[Double](n)
     var i = 0
     while (i < n) { out(i) = in.readDouble(); i += 1 }
     out
@@ -613,13 +628,19 @@ object Codecs {
     }
   }
 
-  def decodeAlp(in: ByteReader): Array[Double] = {
+  def decodeAlp(in: ByteReader): Array[Double] = decodeAlpReuse(in, null, null)
+
+  /** As decodeAlp with donated buffers: `reuse` becomes the output when
+    * sized right; `intScratch` recycles the FFOR digits array (free
+    * again once this returns). */
+  def decodeAlpReuse(in: ByteReader, reuse: Array[Double],
+      intScratch: Array[Long]): Array[Double] = {
     val n = in.readInt()
     val e = in.readByte() & 0xff
-    val ints = decodeFFOR(in)
+    val ints = decodeFFORReuse(in, intScratch)
     val div = Pow10(e)
     val rcp = 1.0 / div
-    val out = new Array[Double](n)
+    val out = if (reuse != null && reuse.length == n) reuse else new Array[Double](n)
     // Markstein division-by-constant: q=x*rcp corrected by two FMAs is
     // the correctly-rounded x/div (verified bitwise against divsd over
     // 60M random (digits, e) samples), with ~15% less loop time than
@@ -1046,6 +1067,51 @@ object Codecs {
   def decode(bytes: Array[Byte], enc: Int, phys: Int, elemPhys: Int = -1,
       elemPhys2: Int = -1): ColData =
     decodeFrom(new ByteReader(bytes), enc, phys, elemPhys, elemPhys2)
+
+  /** Per-segment recycled buffers for [[decodeReuse]] — the codec
+    * adopts/replaces the arrays as sizes demand, the caller just keeps
+    * one holder per segment alive across row groups. */
+  final class ReuseBufs {
+    var longs: Array[Long] = null
+    var doubles: Array[Double] = null
+    private[Codecs] def fitLongs(n: Int): Array[Long] = {
+      if (longs == null || longs.length != n) longs = new Array[Long](n)
+      longs
+    }
+    private[Codecs] def fitDoubles(n: Int): Array[Double] = {
+      if (doubles == null || doubles.length != n) doubles = new Array[Double](n)
+      doubles
+    }
+  }
+
+  /** As `decode(bytes, enc, ct)` recycling the holder's arrays for the
+    * hot NUMERIC paths (FFOR/ALP/PLAIN over long/double) — reused
+    * row-group arrays skip the JVM's zeroing of each fresh 512 KB
+    * allocation (~2 ns/value measured, ~20% of the ALP decode). Every
+    * other (encoding, type) pair falls through to the allocating path.
+    * The returned ColData may alias the holder's arrays; they stay
+    * valid until the next decodeReuse with the same holder. */
+  def decodeReuse(bytes: Array[Byte], enc: Int, ct: Format.ColumnType,
+      bufs: ReuseBufs): ColData = {
+    import Format.{Phys, TypeTag}
+    if (bufs == null || TypeTag.isNestedTag(ct.tag)) decode(bytes, enc, ct)
+    else (enc, Format.physOf(ct.tag)) match {
+      case (Enc.FFOR, Phys.LONG) =>
+        val n = BitsLE.getInt(bytes, 0)
+        LongData(decodeFFORReuse(new ByteReader(bytes), bufs.fitLongs(n)))
+      case (Enc.ALP, Phys.DOUBLE) =>
+        val n = BitsLE.getInt(bytes, 0)
+        DoubleData(decodeAlpReuse(new ByteReader(bytes),
+          bufs.fitDoubles(n), bufs.fitLongs(n)))
+      case (Enc.PLAIN, Phys.LONG) =>
+        val n = BitsLE.getInt(bytes, 0)
+        LongData(decodePlainLongReuse(new ByteReader(bytes), bufs.fitLongs(n)))
+      case (Enc.PLAIN, Phys.DOUBLE) =>
+        val n = BitsLE.getInt(bytes, 0)
+        DoubleData(decodePlainDoubleReuse(new ByteReader(bytes), bufs.fitDoubles(n)))
+      case _ => decode(bytes, enc, ct)
+    }
+  }
 
   /** Convenience: decode by the column's footer type. */
   def decode(bytes: Array[Byte], enc: Int, ct: Format.ColumnType): ColData =

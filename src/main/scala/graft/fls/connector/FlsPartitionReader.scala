@@ -81,6 +81,17 @@ class FlsPartitionReader(
     * group seen) — a fresh 64Ki-int array per group is pure churn. */
   private var selScratch: Array[Int] = _
 
+  /** Per-SEGMENT recycled decode buffers (see Codecs.decodeReuse): a
+    * row group's numeric output arrays get reused by the next group of
+    * the same column instead of re-allocating+zeroing 512 KB each time.
+    * Safe because a group's decoded data is consumed (filled into
+    * vectors) strictly before the next decodeGroup, and each segment
+    * index owns its own slot. Reset on chunk advance (column count and
+    * sizes can change across files). */
+  private var segBufs: Array[Codecs.ReuseBufs] =
+    if (chunk == null) Array.empty
+    else Array.fill(chunk.fileColumns.length)(new Codecs.ReuseBufs)
+
   /** Decode row group `g` of the current chunk eagerly. The file handle
     * opens once per CHUNK (not per row group — that per-task open was
     * part of why single-rg tasks were too fine) and closes when the
@@ -113,7 +124,8 @@ class FlsPartitionReader(
             // gather its values through this column's codes
             val (src, codes) = Codecs.decodeExpDictParts(segBytes)
             Codecs.gatherExpDict(decodeAt(src), codes)
-          } else Codecs.decode(segBytes, seg.encoding, chunk.fileColumns(idx).colType)
+          } else Codecs.decodeReuse(segBytes, seg.encoding,
+            chunk.fileColumns(idx).colType, segBufs(idx))
         memo(idx) = d
         d
     }
@@ -305,6 +317,7 @@ class FlsPartitionReader(
         chunk = part.chunks(cIdx)
         fileTypes = mkFileTypes(chunk)
         preds = FlsRowFilter.compile(rowFilters, readSchema, fileTypes, sizeBase)
+        segBufs = Array.fill(chunk.fileColumns.length)(new Codecs.ReuseBufs)
         gIdx = -1
         decoded = null
       } else {
