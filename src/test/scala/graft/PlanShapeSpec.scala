@@ -127,4 +127,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       Dedup.embeddingNearDup(spark, dir, mode = "nope")
     }
   }
+
+  test("heavy hitters: partial aggregation + TopK, never a global vocabulary sort (q56)") {
+    val p = plan("q56_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be per-partition top-k + 20-row merge, not a global sort: $p")
+    assert(p.contains("partial"), s"explode output must combine map-side: $p")
+  }
 }
