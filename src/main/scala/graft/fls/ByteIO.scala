@@ -99,6 +99,10 @@ final class ByteReader(buf: Array[Byte], private var pos: Int, val limit: Int) {
     val out = Arrays.copyOfRange(buf, pos, pos + len); pos += len; out
   }
 
+  def readBytesInto(out: Array[Byte], len: Int): Unit = {
+    System.arraycopy(buf, pos, out, 0, len); pos += len
+  }
+
   def readString(): String = {
     val len = readInt()
     val s = new String(buf, pos, len, StandardCharsets.UTF_8); pos += len; s

@@ -222,12 +222,18 @@ object Codecs {
     out
   }
 
-  def decodePlainBytes(in: ByteReader): BytesData = {
+  def decodePlainBytes(in: ByteReader): BytesData =
+    decodePlainBytesReuse(in, null)
+
+  def decodePlainBytesReuse(in: ByteReader, bufs: ReuseBufs): BytesData = {
     val n = in.readInt()
-    val lens = decodeFFOR(in)
+    val lens = decodeFFORReuse(in, if (bufs == null) null else bufs.fitLongs(n))
     val total = in.readInt()
-    val bytes = in.readBytes(total)
-    val offsets = new Array[Int](n + 1)
+    val bytes =
+      if (bufs == null) in.readBytes(total)
+      else { val b = bufs.fitBytesCap(total); in.readBytesInto(b, total); b }
+    val offsets = if (bufs == null) new Array[Int](n + 1) else bufs.fitInts(n + 1)
+    offsets(0) = 0 // reused arrays carry junk; the loop fills 1..n
     var i = 0
     while (i < n) { offsets(i + 1) = offsets(i) + lens(i).toInt; i += 1 }
     BytesData(offsets, bytes)
@@ -274,12 +280,15 @@ object Codecs {
     encodeFFOR(codes, out)
   }
 
-  def decodeDictLong(in: ByteReader): Array[Long] = {
+  def decodeDictLong(in: ByteReader): Array[Long] =
+    decodeDictLongReuse(in, null)
+
+  def decodeDictLongReuse(in: ByteReader, bufs: ReuseBufs): Array[Long] = {
     val n = in.readInt()
     val dictSize = in.readInt()
     val dict = in.readLongs(dictSize)
-    val codes = decodeFFOR(in)
-    val out = new Array[Long](n)
+    val codes = decodeFFORReuse(in, if (bufs == null) null else bufs.fitLongs2(n))
+    val out = if (bufs == null) new Array[Long](n) else bufs.fitLongs(n)
     var i = 0
     while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }
     out
@@ -293,14 +302,17 @@ object Codecs {
     encodeFFOR(codes, out)
   }
 
-  def decodeDictDouble(in: ByteReader): Array[Double] = {
+  def decodeDictDouble(in: ByteReader): Array[Double] =
+    decodeDictDoubleReuse(in, null)
+
+  def decodeDictDoubleReuse(in: ByteReader, bufs: ReuseBufs): Array[Double] = {
     val n = in.readInt()
     val dictSize = in.readInt()
     val dict = new Array[Double](dictSize)
     var i = 0
     while (i < dictSize) { dict(i) = in.readDouble(); i += 1 }
-    val codes = decodeFFOR(in)
-    val out = new Array[Double](n)
+    val codes = decodeFFORReuse(in, if (bufs == null) null else bufs.fitLongs(n))
+    val out = if (bufs == null) new Array[Double](n) else bufs.fitDoubles(n)
     i = 0
     while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }
     out
@@ -436,10 +448,18 @@ object Codecs {
     }
   }
 
-  def decodeDictBytes(in: ByteReader): BytesData = {
-    val (dict, codes) = decodeDictBytesRaw(in)
+  def decodeDictBytes(in: ByteReader): BytesData =
+    decodeDictBytesReuse(in, null)
+
+  def decodeDictBytesReuse(in: ByteReader, bufs: ReuseBufs): BytesData = {
+    val n0 = in.readInt()
+    val _ = in.readInt() // dict size (redundant with dict payload)
+    val dict = decodePlainBytes(in) // small; not worth recycling
+    val codes = decodeFFORReuse(in, if (bufs == null) null else bufs.fitLongs(n0))
+    require(codes.length == n0)
     val n = codes.length
-    val offsets = new Array[Int](n + 1)
+    val offsets = if (bufs == null) new Array[Int](n + 1) else bufs.fitInts(n + 1)
+    offsets(0) = 0
     var total = 0
     var i = 0
     while (i < n) {
@@ -448,7 +468,7 @@ object Codecs {
       offsets(i + 1) = total
       i += 1
     }
-    val bytes = new Array[Byte](total)
+    val bytes = if (bufs == null) new Array[Byte](total) else bufs.fitBytesCap(total)
     i = 0
     while (i < n) {
       val c = codes(i).toInt
@@ -1073,14 +1093,33 @@ object Codecs {
     * one holder per segment alive across row groups. */
   final class ReuseBufs {
     var longs: Array[Long] = null
+    /** Second long slot: dict decodes need codes AND output at once. */
+    var longs2: Array[Long] = null
     var doubles: Array[Double] = null
+    var ints: Array[Int] = null
+    var bytes: Array[Byte] = null
     private[Codecs] def fitLongs(n: Int): Array[Long] = {
       if (longs == null || longs.length != n) longs = new Array[Long](n)
       longs
     }
+    private[Codecs] def fitLongs2(n: Int): Array[Long] = {
+      if (longs2 == null || longs2.length != n) longs2 = new Array[Long](n)
+      longs2
+    }
     private[Codecs] def fitDoubles(n: Int): Array[Double] = {
       if (doubles == null || doubles.length != n) doubles = new Array[Double](n)
       doubles
+    }
+    /** Exact length (ColData.n derives from offsets.length). */
+    private[Codecs] def fitInts(n: Int): Array[Int] = {
+      if (ints == null || ints.length != n) ints = new Array[Int](n)
+      ints
+    }
+    /** Capacity-based: BytesData consumers only read ranges the offsets
+      * describe, so slop past the payload is never observed. */
+    private[Codecs] def fitBytesCap(n: Int): Array[Byte] = {
+      if (bytes == null || bytes.length < n) bytes = new Array[Byte](n)
+      bytes
     }
   }
 
@@ -1109,6 +1148,14 @@ object Codecs {
       case (Enc.PLAIN, Phys.DOUBLE) =>
         val n = BitsLE.getInt(bytes, 0)
         DoubleData(decodePlainDoubleReuse(new ByteReader(bytes), bufs.fitDoubles(n)))
+      case (Enc.DICT, Phys.LONG) =>
+        LongData(decodeDictLongReuse(new ByteReader(bytes), bufs))
+      case (Enc.DICT, Phys.DOUBLE) =>
+        DoubleData(decodeDictDoubleReuse(new ByteReader(bytes), bufs))
+      case (Enc.DICT, Phys.BYTES) =>
+        decodeDictBytesReuse(new ByteReader(bytes), bufs)
+      case (Enc.PLAIN, Phys.BYTES) =>
+        decodePlainBytesReuse(new ByteReader(bytes), bufs)
       case _ => decode(bytes, enc, ct)
     }
   }

@@ -32,7 +32,9 @@ object Format {
   val DefaultVecsPerRowGroup: Int = 64
   val DefaultRowGroupSize: Int = VecSize * DefaultVecsPerRowGroup
   /** Scan emits 2 vectors per batch like the reference
-    * (/root/reference/src/reader/fls_reader.cpp:430). */
+    * (/root/reference/src/reader/fls_reader.cpp:430). 4096 (Spark's
+    * parquet granularity) was tried at 64× and measured no better —
+    * the dict-scan gap is not per-batch overhead. */
   val BatchSize: Int = VecSize * 2
 
   /** Logical type tags persisted in the footer.
