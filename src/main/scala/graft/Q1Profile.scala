@@ -11,6 +11,8 @@ object Q1Profile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fls = spark.read.format("fls").load("/tmp/fls_scale/lineitem64x")
+    val flsDict = spark.read.format("fls").option("string_dictionary", "true")
+      .load("/tmp/fls_scale/lineitem64x")
     val pq = spark.read.parquet("/tmp/fls_scale/lineitem64x_parquet")
     def time(name: String, reps: Int = 5)(f: => Unit): Unit = {
       f
@@ -18,7 +20,7 @@ object Q1Profile {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
       println(f"[q1p] $name%-40s min=${ts.min}%.3f s")
     }
-    for ((nm, df) <- Seq(("fls", fls), ("pq", pq))) {
+    for ((nm, df) <- Seq(("fls", fls), ("fls-dict", flsDict), ("pq", pq))) {
       time(s"$nm ts-filter count only")(
         df.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
           .count())

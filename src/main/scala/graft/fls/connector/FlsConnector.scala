@@ -576,11 +576,14 @@ class FlsScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FlsReaderFactory(readSchema(), new SerializableConfiguration(hadoopConf),
-      options.getBoolean("string_dictionary", false),
+      // tri-state: explicit true/false wins; absent = size-adaptive
+      if (options.containsKey("string_dictionary"))
+        Some(options.getBoolean("string_dictionary", false)) else None,
       FlsVirtual.sizeVirtuals(options),
       // executor-side selection vectors: static + runtime (DPP) conjuncts
       filters ++ runtimeFilters,
-      options.getDouble("filter_keep_ratio", 0.0))
+      options.getDouble("filter_keep_ratio", 0.0),
+      options.getLong("string_dictionary_auto_rows", 512L * 1024))
 
   /** Scan progress metrics (≙ reference GetProgressInFile,
     * /root/reference/src/reader/fls_reader.cpp:556-558 — Spark surfaces
@@ -771,10 +774,11 @@ object FlsSplitPacking {
 }
 
 class FlsReaderFactory(readSchema: StructType, conf: SerializableConfiguration,
-    stringDictionary: Boolean = false,
+    stringDictionary: Option[Boolean] = None,
     sizeBase: Map[String, String] = Map.empty,
     rowFilters: Array[Filter] = Array.empty,
-    filterKeepRatio: Double = 0.9)
+    filterKeepRatio: Double = 0.9,
+    stringDictAutoRows: Long = 512L * 1024)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = true
@@ -785,7 +789,7 @@ class FlsReaderFactory(readSchema: StructType, conf: SerializableConfiguration,
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new FlsPartitionReader(partition.asInstanceOf[FlsInputPartition], readSchema, conf.value,
-      stringDictionary, sizeBase, rowFilters, filterKeepRatio)
+      stringDictionary, sizeBase, rowFilters, filterKeepRatio, stringDictAutoRows)
 }
 
 // --------------------------------------------------------------- write

@@ -261,9 +261,11 @@ class FlsMicroBatchStream(
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
     new FlsReaderFactory(requiredSchema,
       new org.apache.spark.util.SerializableConfiguration(hadoopConf),
-      options.getBoolean("string_dictionary", false),
+      if (options.containsKey("string_dictionary"))
+        Some(options.getBoolean("string_dictionary", false)) else None,
       rowFilters = filters, // executor-side selection vectors (FlsRowFilter)
-      filterKeepRatio = options.getDouble("filter_keep_ratio", 0.0))
+      filterKeepRatio = options.getDouble("filter_keep_ratio", 0.0),
+      stringDictAutoRows = options.getLong("string_dictionary_auto_rows", 512L * 1024))
 
   override def commit(end: Offset): Unit = {
     val e = end.asInstanceOf[FlsOffset].batchId

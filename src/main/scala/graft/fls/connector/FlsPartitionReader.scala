@@ -20,7 +20,16 @@ class FlsPartitionReader(
     part: FlsInputPartition,
     readSchema: StructType,
     conf: Configuration,
-    stringDictionary: Boolean = false,
+    /** Zero-copy dictionary string vectors: Some(x) = forced by the
+      * `string_dictionary` option; None = SIZE-ADAPTIVE — measured at
+      * sf0.1 the eager gather wins (~19%: cache-resident data
+      * re-fetched through the dict indirection costs more than one bulk
+      * copy) while at 64× the dictionary path wins ~23% (memory-
+      * bandwidth-bound scans stop materializing n strings per split).
+      * The auto rule keys on the SPLIT'S ROW COUNT — the quantity that
+      * decides whether the scan streams past cache — and serves
+      * dictionary vectors once it exceeds `stringDictAutoRows`. */
+    stringDictionary: Option[Boolean] = None,
     /** virtual `<col>_size` name → base LIST column (see FlsVirtual). */
     sizeBase: Map[String, String] = Map.empty,
     /** Pushed conjuncts for executor-side selection-vector filtering
@@ -36,8 +45,18 @@ class FlsPartitionReader(
       * non-filter column). On storage-bound clusters or with expensive
       * downstream operators the trade can flip: set filter_keep_ratio
       * (e.g. 0.5) to enable compaction. */
-    filterKeepRatio: Double = 0.0)
+    filterKeepRatio: Double = 0.0,
+    stringDictAutoRows: Long = 512L * 1024)
   extends PartitionReader[ColumnarBatch] {
+
+  /** Dictionary-string decision: forced by option, or auto by this
+    * split's total row count (applies to BYTES columns only, at the
+    * `dictable` check). */
+  private val useDictStrings: Boolean = stringDictionary.getOrElse {
+    var rows = 0L
+    part.chunks.foreach(c => c.rowGroups.foreach(rg => rows += rg.nTuples))
+    rows >= stringDictAutoRows
+  }
 
   /** Multi-chunk, multi-row-group split state: `cIdx` is the current
     * file chunk, `gIdx` the current group within it; decode is per
@@ -188,7 +207,7 @@ class FlsPartitionReader(
           // gather copy. Kept as an option: on real clusters with
           // memory-bandwidth-bound scans of long repeated strings the
           // trade can flip; measure before enabling.
-          val dictable = stringDictionary && phys == Phys.BYTES &&
+          val dictable = useDictStrings && phys == Phys.BYTES &&
             seg.encoding != Enc.EQUAL && seg.encoding != Enc.EXP_DICT &&
             (f.dataType == StringType || f.dataType == BinaryType)
           if (dictable) {
