@@ -103,4 +103,23 @@ class FlsDictMixedGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bad = exp.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
     assert(bad.isEmpty, s"mismatch on ${bad.size} rows, first: ${bad.take(3)}")
   }
+
+  test("size-adaptive auto mode (threshold crossed) equals both forced modes") {
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    val n = 1024
+    val dir = s"$tmp/auto"
+    val df = mixedFrame(n)
+    df.write.format("fls").mode("overwrite")
+      .option("row_group_size", n).save(dir)
+    val exp = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // auto with a lowered threshold => the 2n-row split serves the
+    // dictionary path; auto with a huge threshold => eager; both exact
+    for (thr <- Seq("128", s"${10 * n}")) {
+      val got = spark.read.format("fls")
+        .option("string_dictionary_auto_rows", thr).load(dir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val bad = exp.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
+      assert(bad.isEmpty, s"auto(thr=$thr) mismatch: ${bad.take(3)}")
+    }
+  }
 }
