@@ -37,6 +37,8 @@ class FlsAggScan(
         StructField(s"min($c)", tableSchema(c).dataType, nullable = false)
       case FlsAggSpec(FlsAggSpec.MaxCol, c) =>
         StructField(s"max($c)", tableSchema(c).dataType, nullable = false)
+      case FlsAggSpec(k, c) =>
+        throw new IllegalStateException(s"fls: unknown aggregate kind $k on $c")
     }.toArray)
 
   override def toBatch: Batch = this

@@ -252,6 +252,9 @@ object FlsQueries {
     // detach the result from the memory-sink view so repeated
     // invocations (bench passes) don't accumulate catalog entries
     val res = spark.table(name).orderBy("o_orderstatus")
+    // driver-side copy is bounded: `res` is the per-status grouped
+    // aggregate of the memory sink (single-digit rows at any sf) and
+    // must detach from the temp view before the stream's table drops
     val rows = res.collect()
     spark.catalog.dropTempView(name)
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
