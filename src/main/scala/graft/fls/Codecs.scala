@@ -581,20 +581,31 @@ object Codecs {
   /** Max |scaled int| we allow: stays exactly representable as double. */
   private val MaxDigits = 1L << 51
 
-  /** Is v exactly digits/10^e for digits = rint(v*10^e)? Verified with the
-    * same division the decoder performs, so round-trip is bitwise exact.
-    * Division (not reciprocal multiply, the ALP paper's shape): IEEE
-    * divide is correctly rounded, so k/10^e-style decimal data — exactly
-    * TPC-H prices — hits ZERO exceptions, where `digits * (1/10^e)`
+  private val Recip10: Array[Double] = Pow10.map(1.0 / _)
+
+  /** Correctly-rounded x/div via Markstein reciprocal-multiply + two-FMA
+    * correction. This is THE decode arithmetic: `alpExact` and
+    * `decodeAlpReuse` both call it, so encoder exactness and decoder
+    * output agree bitwise by construction (and the expression itself is
+    * verified bitwise against divsd over 60M random (digits, e)
+    * samples). Plain reciprocal multiply — the ALP paper's shape —
     * mis-rounds ~13% of a 10M-value k/100 sweep into exceptions
-    * (measured), bloating the segment ~40% and adding patch work that
-    * costs more than the divide's extra latency. */
+    * (measured), bloating the segment ~40%; the FMA correction keeps
+    * multiply speed with divide bits. */
+  @inline private def marksteinDiv(x: Double, div: Double, rcp: Double): Double = {
+    val q = x * rcp
+    Math.fma(Math.fma(-div, q, x), rcp, q)
+  }
+
+  /** Is v exactly digits/10^e for digits = rint(v*10^e)? Verified with
+    * the identical Markstein-FMA expression the decoder runs
+    * (`marksteinDiv`), so round-trip is bitwise exact by construction. */
   @inline def alpExact(v: Double, e: Int): Boolean = {
     if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) false
     else {
       val scaled = Math.rint(v * Pow10(e))
       if (Math.abs(scaled) >= MaxDigits) false
-      else (scaled / Pow10(e)) == v &&
+      else marksteinDiv(scaled, Pow10(e), Recip10(e)) == v &&
         !(v == 0.0 && java.lang.Double.doubleToRawLongBits(v) != 0L) // -0.0 → exception
     }
   }
@@ -661,15 +672,13 @@ object Codecs {
     val div = Pow10(e)
     val rcp = 1.0 / div
     val out = if (reuse != null && reuse.length == n) reuse else new Array[Double](n)
-    // Markstein division-by-constant: q=x*rcp corrected by two FMAs is
-    // the correctly-rounded x/div (verified bitwise against divsd over
-    // 60M random (digits, e) samples), with ~15% less loop time than
-    // the hardware divide on the measured long→double path.
+    // marksteinDiv = correctly-rounded x/div with ~15% less loop time
+    // than the hardware divide on the measured long→double path; the
+    // SAME helper gates encoder exactness (alpExact), so round-trip is
+    // bitwise by construction.
     var i = 0
     while (i < n) {
-      val x = ints(i).toDouble
-      val q = x * rcp
-      out(i) = Math.fma(Math.fma(-div, q, x), rcp, q)
+      out(i) = marksteinDiv(ints(i).toDouble, div, rcp)
       i += 1
     }
     val nEx = in.readInt()

@@ -777,7 +777,7 @@ class FlsReaderFactory(readSchema: StructType, conf: SerializableConfiguration,
     stringDictionary: Option[Boolean] = None,
     sizeBase: Map[String, String] = Map.empty,
     rowFilters: Array[Filter] = Array.empty,
-    filterKeepRatio: Double = 0.9,
+    filterKeepRatio: Double = 0.0,
     stringDictAutoRows: Long = 512L * 1024)
   extends PartitionReaderFactory {
 

@@ -1,7 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graftplans.GlobalRowNumber
 
 /** Scale-shaped global row numbering. A plain
   * `row_number() OVER (ORDER BY …)` (q04's oracle semantics) funnels
@@ -12,9 +12,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *  1. `repartitionByRange` on the order keys (sampled range bounds —
   *     one pass) + `sortWithinPartitions`: globally sorted across
   *     partitions, each partition sorted within, no global funnel.
-  *  2. `zipWithIndex`: one small count job over partition sizes to
-  *     compute offsets, then each partition numbers its rows locally
-  *     with its offset added — no shuffle, no driver data movement.
+  *  2. A per-partition count job over the SAME materialized shuffle,
+  *     prefix-summed into offsets on the driver; each partition then
+  *     numbers its rows locally with its offset added — no second
+  *     shuffle, no driver data movement, no GenericRow boxing (the
+  *     numbering pass appends the rank with a codegen'd
+  *     UnsafeProjection inside [[GlobalRowNumber]]'s physical plan).
+  *
+  * Both passes observing ONE sampled range partitioning is the
+  * correctness linchpin — see [[org.apache.spark.sql.graftplans.GlobalRowNumber]]
+  * for why two DataFrame branches cannot guarantee it.
   *
   * Ties on the order keys get an arbitrary-but-valid order, exactly
   * like the window form. Opt-in next to the plain window: the window
@@ -26,17 +33,6 @@ object DistributedRank {
   /** Append `outputCol` = 1-based global row number under `orderBy`.
     * `numPartitions` defaults to the session's shuffle parallelism. */
   def withRowNumber(df: DataFrame, orderBy: Seq[Column], outputCol: String,
-      numPartitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(n, orderBy: _*)
-      .sortWithinPartitions(orderBy: _*)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(outputCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + 1L))
-    }
-    spark.createDataFrame(rdd, schema)
-  }
+      numPartitions: Int = 0): DataFrame =
+    GlobalRowNumber.withRowNumber(df, orderBy, outputCol, numPartitions)
 }

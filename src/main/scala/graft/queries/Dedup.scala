@@ -375,7 +375,13 @@ object Dedup {
     * dispatch threshold only changes WHERE the O(n²) compare runs.
     *
     * Sizing: a row costs ~dim doubles + array headers; the measured
-    * curve (82 MB at 320k × 64-dim) gives ~256 B/vector ≈ dim × 4.
+    * curve (82 MB at 320k × 64-dim) gives ~256 B/vector ≈ dim × 4 —
+    * i.e. ≈ the raw float payload, which is also what Catalyst's
+    * `stats.sizeInBytes` estimates for the scan. So the dispatch reads
+    * the optimizer statistic (one Catalyst call, NO Spark job — at
+    * 100 TB a `count()` here would be a full scan just to pick a mode)
+    * and compares it to the same measured ceiling. An empty or missing
+    * corpus estimates ~0 → broadcast path, which degrades gracefully.
     * The 512 MiB default ceiling = ~2M 64-dim vectors, far inside the
     * ~5 GiB executor budget the broadcast would die at. */
   def embeddingNearDup(spark: SparkSession, dir: String,
@@ -385,10 +391,8 @@ object Dedup {
     case "grid" => q43EmbeddingBlocked(spark, dir)
     case "auto" =>
       val base = t(spark, dir, "embeddings")
-      val n = base.count()
-      val dim = base.selectExpr("size(embedding)").head.getInt(0).toLong
-      val estBytes = n * math.max(1L, dim * 4)
-      if (estBytes <= maxBroadcastBytes) q24EmbeddingNearDup(spark, dir)
+      val estBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (estBytes <= BigInt(maxBroadcastBytes)) q24EmbeddingNearDup(spark, dir)
       else q43EmbeddingBlocked(spark, dir)
     case other => throw new IllegalArgumentException(
       s"embeddingNearDup: unknown mode '$other' (auto | broadcast | grid)")

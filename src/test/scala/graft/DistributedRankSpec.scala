@@ -52,6 +52,22 @@ class DistributedRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     ranked.unpersist()
   }
 
+  test("stays inside Tungsten: no RDD round-trip, range exchange sampled once") {
+    val df = spark.range(0, 2000, 1, 4).selectExpr("id % 97 AS k", "id AS payload")
+    val ranked = DistributedRank.withRowNumber(df, Seq(col("k")), "rn")
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("Scan ExistingRDD"),
+      s"numbering must not leave Tungsten via an RDD round-trip:\n$plan")
+    assert(plan.contains("GlobalRowNumber"),
+      s"expected the whole-operator physical node:\n$plan")
+    // Both passes must observe ONE sampled range partitioning: exactly
+    // one range exchange may exist, and nothing above it may reshuffle
+    // (a second exchange would mean independently sampled bounds — the
+    // corruption the custom operator exists to prevent).
+    val exchanges = "rangepartitioning".r.findAllIn(plan.toLowerCase).size
+    assert(exchanges == 1, s"expected exactly one range exchange, got $exchanges:\n$plan")
+  }
+
   test("multi-column order and custom partition count") {
     val df = spark.range(0, 3000, 1, 6)
       .selectExpr("id % 10 AS a", "pmod(id * 7, 3001) AS b")
