@@ -15,6 +15,20 @@ final case class DictBytes(values: Array[Array[Byte]], codes: Array[Long]) exten
   def n: Int = codes.length
 }
 
+/** Dictionary-coded longs kept un-gathered (the numeric/timestamp
+  * analog of [[DictBytes]]): `dict(codes(i).toInt)` is row i. Served
+  * through a Spark dictionary vector — no per-row gather copy; the
+  * reference's dictionary kernel materializes the same way
+  * (dictionary_kernel.hpp:11-50). */
+final case class DictLongs(dict: Array[Long], codes: Array[Long]) extends ColData {
+  def n: Int = codes.length
+}
+
+/** Dictionary-coded doubles kept un-gathered; see [[DictLongs]]. */
+final case class DictDoubles(dict: Array[Double], codes: Array[Long]) extends ColData {
+  def n: Int = codes.length
+}
+
 final case class BytesData(offsets: Array[Int], bytes: Array[Byte]) extends ColData {
   def n: Int = offsets.length - 1
 }
@@ -316,6 +330,29 @@ object Codecs {
     i = 0
     while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }
     out
+  }
+
+  /** Returns (dictionary, codes) un-gathered — the numeric analog of
+    * [[decodeDictBytesRaw]] for the zero-copy dictionary-vector scan. */
+  def decodeDictLongRaw(in: ByteReader): (Array[Long], Array[Long]) = {
+    val n = in.readInt()
+    val dictSize = in.readInt()
+    val dict = in.readLongs(dictSize)
+    val codes = decodeFFOR(in)
+    require(codes.length == n)
+    (dict, codes)
+  }
+
+  /** See [[decodeDictLongRaw]]. */
+  def decodeDictDoubleRaw(in: ByteReader): (Array[Double], Array[Long]) = {
+    val n = in.readInt()
+    val dictSize = in.readInt()
+    val dict = new Array[Double](dictSize)
+    var i = 0
+    while (i < dictSize) { dict(i) = in.readDouble(); i += 1 }
+    val codes = decodeFFOR(in)
+    require(codes.length == n)
+    (dict, codes)
   }
 
   def encodeDictBytes(n: Int, dict: BytesData, codes: Array[Long], out: ByteWriter): Unit = {

@@ -20,15 +20,16 @@ class FlsPartitionReader(
     part: FlsInputPartition,
     readSchema: StructType,
     conf: Configuration,
-    /** Zero-copy dictionary string vectors: Some(x) = forced by the
-      * `string_dictionary` option; None = SIZE-ADAPTIVE — measured at
-      * sf0.1 the eager gather wins (~19%: cache-resident data
-      * re-fetched through the dict indirection costs more than one bulk
-      * copy) while at 64× the dictionary path wins ~23% (memory-
-      * bandwidth-bound scans stop materializing n strings per split).
-      * The auto rule keys on the SPLIT'S ROW COUNT — the quantity that
-      * decides whether the scan streams past cache — and serves
-      * dictionary vectors once it exceeds `stringDictAutoRows`. */
+    /** Zero-copy dictionary vectors (string AND numeric/timestamp dict
+      * groups): Some(x) = forced by the `string_dictionary` option;
+      * None = SIZE-ADAPTIVE — measured at sf0.1 the eager gather wins
+      * (~19%: cache-resident data re-fetched through the dict
+      * indirection costs more than one bulk copy) while at 64× the
+      * dictionary path wins ~23% (memory-bandwidth-bound scans stop
+      * materializing n values per split). The auto rule keys on the
+      * SPLIT'S ROW COUNT — the quantity that decides whether the scan
+      * streams past cache — and serves dictionary vectors once it
+      * exceeds `stringDictAutoRows`. */
     stringDictionary: Option[Boolean] = None,
     /** virtual `<col>_size` name → base LIST column (see FlsVirtual). */
     sizeBase: Map[String, String] = Map.empty,
@@ -49,10 +50,10 @@ class FlsPartitionReader(
     stringDictAutoRows: Long = 512L * 1024)
   extends PartitionReader[ColumnarBatch] {
 
-  /** Dictionary-string decision: forced by option, or auto by this
-    * split's total row count (applies to BYTES columns only, at the
-    * `dictable` check). */
-  private val useDictStrings: Boolean = stringDictionary.getOrElse {
+  /** Dictionary-vector decision: forced by option, or auto by this
+    * split's total row count (which columns/encodings qualify is the
+    * `dictable` check per column). */
+  private val useDictVectors: Boolean = stringDictionary.getOrElse {
     var rows = 0L
     part.chunks.foreach(c => c.rowGroups.foreach(rg => rows += rg.nTuples))
     rows >= stringDictAutoRows
@@ -88,6 +89,10 @@ class FlsPartitionReader(
   private var preds: Array[FlsRowFilter.Pred] =
     if (chunk == null) Array.empty
     else FlsRowFilter.compile(rowFilters, readSchema, fileTypes, sizeBase)
+  /** Adaptive conjunct order (reset with `preds` on chunk advance —
+    * compile can drop different conjuncts per file under
+    * union_by_name, so positions don't transfer). */
+  private var adaptOrder = new FlsRowFilter.AdaptiveOrder(preds.length)
   private val vectors: Array[OnHeapColumnVector] =
     readSchema.fields.map(f => new OnHeapColumnVector(BatchSize, f.dataType))
   private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
@@ -195,22 +200,38 @@ class FlsPartitionReader(
         } else {
           val seg = rowGroup.segments(idx)
           val phys = physOf(chunk.fileColumns(idx).colType.tag)
-          // Zero-copy string-dictionary path (≙ reference
-          // dictionary_kernel.hpp:79-101): keep (dict, codes); the
+          // Zero-copy dictionary-vector path (≙ reference
+          // dictionary_kernel.hpp:11-101): keep (dict, codes); the
           // vector serves values through a shared dictionary — no
-          // per-row gather copy, and repeated values share one array.
-          // OFF by default: measured SLOWER than the eager gather on
-          // this JVM (ScanProfile, sf0.1: strings-only 0.136 vs 0.114 s,
-          // wide dict strings 0.178 vs 0.152 s) — downstream operators
-          // re-fetch each value through the dictionary indirection and
-          // re-wrap a UTF8String per access, costing more than one bulk
-          // gather copy. Kept as an option: on real clusters with
-          // memory-bandwidth-bound scans of long repeated strings the
-          // trade can flip; measure before enabling.
-          val dictable = useDictStrings && phys == Phys.BYTES &&
+          // per-row gather copy, and repeated values share one slot.
+          // Strings AND numeric/timestamp domains (the parquet reader's
+          // own lazy-dictionary trick via setDictionary). Size-adaptive:
+          // below the auto threshold the eager gather wins (~19% at
+          // sf0.1 — cache-resident data re-fetched through the dict
+          // indirection costs more than one bulk copy); past it the
+          // dictionary path wins (~23% at 64×, memory-bandwidth-bound).
+          val dictableBytes = useDictVectors && phys == Phys.BYTES &&
             seg.encoding != Enc.EQUAL && seg.encoding != Enc.EXP_DICT &&
             (f.dataType == StringType || f.dataType == BinaryType)
-          if (dictable) {
+          val dictableNum = useDictVectors && seg.encoding == Enc.DICT &&
+            ((phys == Phys.LONG && longDictServable(f, fi)) ||
+              (phys == Phys.DOUBLE &&
+                (f.dataType == DoubleType || f.dataType == FloatType)))
+          if (dictableNum) {
+            val segBytes = new Array[Byte](seg.length.toInt)
+            in.readFully(seg.offset, segBytes)
+            if (phys == Phys.LONG) {
+              val (dict, codes) = Codecs.decodeDictLongRaw(new ByteReader(segBytes))
+              colDicts(fi) = new FlsLongDictionary(dict)
+              colDictIds(fi) = toIntIds(codes)
+              DictLongs(dict, codes)
+            } else {
+              val (dict, codes) = Codecs.decodeDictDoubleRaw(new ByteReader(segBytes))
+              colDicts(fi) = new FlsDoubleDictionary(dict)
+              colDictIds(fi) = toIntIds(codes)
+              DictDoubles(dict, codes)
+            }
+          } else if (dictableBytes) {
             val segBytes = new Array[Byte](seg.length.toInt)
             in.readFully(seg.offset, segBytes)
             Codecs.decodeDictParts(segBytes, seg.encoding) match {
@@ -223,10 +244,7 @@ class FlsPartitionReader(
                   i += 1
                 }
                 colDicts(fi) = new FlsBytesDictionary(values)
-                val ids = new Array[Int](codes.length)
-                i = 0
-                while (i < codes.length) { ids(i) = codes(i).toInt; i += 1 }
-                colDictIds(fi) = ids
+                colDictIds(fi) = toIntIds(codes)
                 DictBytes(values, codes)
               case None =>
                 // non-dictionary encoding: decode the bytes ALREADY read
@@ -262,17 +280,29 @@ class FlsPartitionReader(
       if (selScratch == null || selScratch.length < rgTuples)
         selScratch = new Array[Int](rgTuples)
       sel = selScratch
+      // conjuncts run in adaptOrder.perm order (adaptive reordering by
+      // observed cost × selectivity; exact under any order — each
+      // conjunct only narrows the selection)
       var p = 0
       while (p < preds.length && selCount != 0) {
-        val data = ensure(preds(p).colIdx)
+        val pi = adaptOrder.perm(p)
+        val t0 = System.nanoTime()
+        // decode cost charged to the conjunct that triggers it: an
+        // early all-false exit skips later filter columns entirely, so
+        // decode IS part of a conjunct's marginal cost in a position
+        val data = ensure(preds(pi).colIdx)
         if (data != null) {
+          val in = if (selCount < 0) rgTuples else selCount
           if (selCount < 0) {
-            val k = preds(p).filterAll(data, rgTuples, sel)
+            val k = preds(pi).filterAll(data, rgTuples, sel)
             if (k >= 0) selCount = k
-          } else selCount = preds(p).filter(data, sel, selCount)
+          } else selCount = preds(pi).filter(data, sel, selCount)
+          val out = if (selCount < 0) in else selCount
+          adaptOrder.record(pi, System.nanoTime() - t0, in, out)
         }
         p += 1
       }
+      adaptOrder.groupDone()
     }
     if (selCount < 0) selCount = rgTuples
     var effTuples = rgTuples
@@ -286,7 +316,8 @@ class FlsPartitionReader(
         // fill (and everything downstream) touches only kept rows;
         // nested shapes have no gather path yet — serve those full
         val compactable = decoded.forall {
-          case null | _: LongData | _: DoubleData | _: BytesData | _: DictBytes => true
+          case null | _: LongData | _: DoubleData | _: BytesData |
+               _: DictBytes | _: DictLongs | _: DictDoubles => true
           case _ => false
         }
         if (compactable) {
@@ -303,13 +334,14 @@ class FlsPartitionReader(
               decoded(fj) = LongData(out)
             } else if (decoded(fj) != null) {
               decoded(fj) = FlsRowFilter.compact(decoded(fj), sel, selCount)
+              // the dict-id sidecar must track the compacted codes
               decoded(fj) match {
                 case DictBytes(_, codes) if colDicts(fj) != null =>
-                  // the dict-id sidecar must track the compacted codes
-                  val ids = new Array[Int](codes.length)
-                  var i = 0
-                  while (i < codes.length) { ids(i) = codes(i).toInt; i += 1 }
-                  colDictIds(fj) = ids
+                  colDictIds(fj) = toIntIds(codes)
+                case DictLongs(_, codes) if colDicts(fj) != null =>
+                  colDictIds(fj) = toIntIds(codes)
+                case DictDoubles(_, codes) if colDicts(fj) != null =>
+                  colDictIds(fj) = toIntIds(codes)
                 case _ => ()
               }
             }
@@ -336,6 +368,7 @@ class FlsPartitionReader(
         chunk = part.chunks(cIdx)
         fileTypes = mkFileTypes(chunk)
         preds = FlsRowFilter.compile(rowFilters, readSchema, fileTypes, sizeBase)
+        adaptOrder = new FlsRowFilter.AdaptiveOrder(preds.length)
         segBufs = Array.fill(chunk.fileColumns.length)(new Codecs.ReuseBufs)
         gIdx = -1
         decoded = null
@@ -348,6 +381,13 @@ class FlsPartitionReader(
     var c = 0
     while (c < vectors.length) {
       vectors(c).reset()
+      // A packed split reuses this vector across row groups, and
+      // WritableColumnVector.reset() does NOT clear an installed
+      // dictionary — a dict-decoded group followed by a plain group for
+      // the same column would otherwise serve stale dictionary values
+      // (FlsDictMixedGroupSpec locks this). Cleared HERE, for every
+      // column shape, so no fill case can forget it.
+      vectors(c).setDictionary(null)
       fill(vectors(c), readSchema.fields(c), decoded(c), rowPos, len)
       c += 1
     }
@@ -374,6 +414,29 @@ class FlsPartitionReader(
 
   private def fieldIdx(field: StructField): Int =
     readSchema.fieldIndex(field.name)
+
+  private def toIntIds(codes: Array[Long]): Array[Int] = {
+    val ids = new Array[Int](codes.length)
+    var i = 0
+    while (i < codes.length) { ids(i) = codes(i).toInt; i += 1 }
+    ids
+  }
+
+  /** Can a LONG-domain dict group be served through a dictionary vector
+    * for this read type? Mirrors the eager `fill` cases that are pure
+    * per-value casts (OnHeapColumnVector routes byte/short/int through
+    * decodeToInt and long/timestamp through decodeToLong). Excluded:
+    * BooleanType (getBoolean is not dictionary-aware), u64→DECIMAL(20,0)
+    * reinterpretation and cross-file decimal rescale (both transform
+    * values, not just cast them). */
+  private def longDictServable(f: StructField, fi: Int): Boolean = f.dataType match {
+    case LongType | TimestampType | TimestampNTZType | IntegerType | DateType |
+         ShortType | ByteType => true
+    case d: DecimalType =>
+      d.precision <= 18 &&
+        fileTypes(fi).forall(ft => ft.tag != TypeTag.UINT64 && ft.scale == d.scale)
+    case _ => false
+  }
 
   /** Fill a flattened element/entry stream [base, base+total) into an
     * array/map child vector — shared by LIST values and MAP keys and
@@ -559,12 +622,6 @@ class FlsPartitionReader(
         var i = 0
         while (i < len) { vec.putFloat(i, vs(start + i).toFloat); i += 1 }
       case (b: BytesData, StringType | BinaryType) =>
-        // A packed split reuses this vector across row groups, and
-        // WritableColumnVector.reset() does NOT clear an installed
-        // dictionary — a dict-decoded group followed by a plain-bytes
-        // group for the same column would otherwise serve stale
-        // dictionary values. Drop it before the plain fill.
-        vec.setDictionary(null)
         // BytesData is contiguous: ship the batch slice's whole byte
         // range into the vector's child with ONE copy, then write only
         // per-row (offset, length) pairs — putByteArray would memcpy
@@ -580,7 +637,9 @@ class FlsPartitionReader(
             b.offsets(start + i + 1) - b.offsets(start + i))
           i += 1
         }
-      case (_: DictBytes, StringType | BinaryType) =>
+      case (_: DictBytes | _: DictLongs | _: DictDoubles, _) =>
+        // serve through the shared dictionary built at decode time
+        // (decodeCol gates which (physical, read-type) pairs qualify)
         val fi = fieldIdx(field)
         vec.setDictionary(colDicts(fi))
         val ids = vec.reserveDictionaryIds(len)
@@ -660,6 +719,33 @@ private[connector] final class FlsBytesDictionary(values: Array[Array[Byte]])
     throw new UnsupportedOperationException("bytes dictionary")
   override def decodeToDouble(id: Int): Double =
     throw new UnsupportedOperationException("bytes dictionary")
+}
+
+/** Long-domain dictionary (bigint/timestamp/int/date/short/byte and
+  * unscaled decimals ≤18 digits): byte/short/int vectors route through
+  * decodeToInt, long-backed ones through decodeToLong. */
+private[connector] final class FlsLongDictionary(values: Array[Long])
+  extends org.apache.spark.sql.execution.vectorized.Dictionary {
+  override def decodeToInt(id: Int): Int = values(id).toInt
+  override def decodeToLong(id: Int): Long = values(id)
+  override def decodeToBinary(id: Int): Array[Byte] =
+    throw new UnsupportedOperationException("long dictionary")
+  override def decodeToFloat(id: Int): Float =
+    throw new UnsupportedOperationException("long dictionary")
+  override def decodeToDouble(id: Int): Double =
+    throw new UnsupportedOperationException("long dictionary")
+}
+
+private[connector] final class FlsDoubleDictionary(values: Array[Double])
+  extends org.apache.spark.sql.execution.vectorized.Dictionary {
+  override def decodeToDouble(id: Int): Double = values(id)
+  override def decodeToFloat(id: Int): Float = values(id).toFloat
+  override def decodeToBinary(id: Int): Array[Byte] =
+    throw new UnsupportedOperationException("double dictionary")
+  override def decodeToInt(id: Int): Int =
+    throw new UnsupportedOperationException("double dictionary")
+  override def decodeToLong(id: Int): Long =
+    throw new UnsupportedOperationException("double dictionary")
 }
 
 object FlsVirtual {

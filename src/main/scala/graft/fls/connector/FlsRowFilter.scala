@@ -66,6 +66,14 @@ object FlsRowFilter {
             i += 1
           }
           k
+        case DictLongs(dict, codes) =>
+          val keepD = dictTable(dict)
+          var k = 0; var i = 0
+          while (i < m) {
+            if (keepD(codes(sel(i)).toInt)) { sel(k) = sel(i); k += 1 }
+            i += 1
+          }
+          k
         case _ => m
       }
     override def filterAll(data: ColData, n: Int, sel: Array[Int]): Int =
@@ -77,8 +85,23 @@ object FlsRowFilter {
             i += 1
           }
           k
+        case DictLongs(dict, codes) =>
+          val keepD = dictTable(dict)
+          var k = 0; var i = 0
+          while (i < n) {
+            if (keepD(codes(i).toInt)) { sel(k) = i; k += 1 }
+            i += 1
+          }
+          k
         case _ => -1
       }
+    /** Evaluate once per DICT ENTRY; the row loop is a table lookup. */
+    private def dictTable(dict: Array[Long]): Array[Boolean] = {
+      val t = new Array[Boolean](dict.length)
+      var j = 0
+      while (j < dict.length) { t(j) = keep(dict(j)); j += 1 }
+      t
+    }
   }
 
   private final class LongInPred(ci: Int, sorted: Array[Long]) extends Pred(ci) {
@@ -90,6 +113,18 @@ object FlsRowFilter {
             if (java.util.Arrays.binarySearch(sorted, vs(sel(i))) >= 0) {
               sel(k) = sel(i); k += 1
             }
+            i += 1
+          }
+          k
+        case DictLongs(dict, codes) =>
+          val keep = new Array[Boolean](dict.length)
+          var j = 0
+          while (j < dict.length) {
+            keep(j) = java.util.Arrays.binarySearch(sorted, dict(j)) >= 0; j += 1
+          }
+          var k = 0; var i = 0
+          while (i < m) {
+            if (keep(codes(sel(i)).toInt)) { sel(k) = sel(i); k += 1 }
             i += 1
           }
           k
@@ -125,6 +160,14 @@ object FlsRowFilter {
             i += 1
           }
           k
+        case DictDoubles(dict, codes) =>
+          val keepD = dictTable(dict)
+          var k = 0; var i = 0
+          while (i < m) {
+            if (keepD(codes(sel(i)).toInt)) { sel(k) = sel(i); k += 1 }
+            i += 1
+          }
+          k
         case _ => m
       }
     override def filterAll(data: ColData, n: Int, sel: Array[Int]): Int =
@@ -136,21 +179,47 @@ object FlsRowFilter {
             i += 1
           }
           k
+        case DictDoubles(dict, codes) =>
+          val keepD = dictTable(dict)
+          var k = 0; var i = 0
+          while (i < n) {
+            if (keepD(codes(i).toInt)) { sel(k) = i; k += 1 }
+            i += 1
+          }
+          k
         case _ => -1
       }
+    /** Evaluate once per DICT ENTRY; the row loop is a table lookup. */
+    private def dictTable(dict: Array[Double]): Array[Boolean] = {
+      val t = new Array[Boolean](dict.length)
+      var j = 0
+      while (j < dict.length) { t(j) = keep(dict(j)); j += 1 }
+      t
+    }
   }
 
   private final class DoubleInPred(ci: Int, vals: Array[Double]) extends Pred(ci) {
+    @inline private def hit(x: Double): Boolean = {
+      var j = 0
+      while (j < vals.length) { if (cmpD(x, vals(j)) == 0) return true; j += 1 }
+      false
+    }
     def filter(data: ColData, sel: Array[Int], m: Int): Int =
       data match {
         case DoubleData(vs) =>
           var k = 0; var i = 0
           while (i < m) {
-            val x = vs(sel(i))
-            var keep = false
-            var j = 0
-            while (!keep && j < vals.length) { keep = cmpD(x, vals(j)) == 0; j += 1 }
-            if (keep) { sel(k) = sel(i); k += 1 }
+            if (hit(vs(sel(i)))) { sel(k) = sel(i); k += 1 }
+            i += 1
+          }
+          k
+        case DictDoubles(dict, codes) =>
+          val keep = new Array[Boolean](dict.length)
+          var j = 0
+          while (j < dict.length) { keep(j) = hit(dict(j)); j += 1 }
+          var k = 0; var i = 0
+          while (i < m) {
+            if (keep(codes(sel(i)).toInt)) { sel(k) = sel(i); k += 1 }
             i += 1
           }
           k
@@ -241,6 +310,54 @@ object FlsRowFilter {
   /** IsNull on a stored column: the format has no NULLs → empty. */
   private final class NeverPred(ci: Int) extends Pred(ci) {
     def filter(data: ColData, sel: Array[Int], m: Int): Int = 0
+  }
+
+  /** Adaptive conjunct ordering (≙ reference AdaptiveFilter wiring,
+    * /root/reference/src/reader/filter_executor.cpp:38-55 and
+    * fls_reader.cpp:357-380, which permutes conjuncts by runtime
+    * feedback). Spark-first re-expression: instead of DuckDB's
+    * random-adjacent-swap hill climb, keep running per-conjunct cost
+    * (nanos, including the column decode it triggers) and selectivity
+    * (rows out / rows in), and every [[everyGroups]] row groups re-sort
+    * the permutation by Hellerstein's predicate-ordering rank
+    * `(selectivity − 1) / costPerRow` ascending — biggest drop per
+    * nanosecond first. Deterministic given the observations, O(k²) on
+    * a handful of conjuncts, and exact under ANY permutation because
+    * conjuncts commute over the selection vector (each only narrows). */
+  final class AdaptiveOrder(n: Int, everyGroups: Int = 8) {
+    /** Application order: `perm(0)` runs first. Starts in pushed order. */
+    val perm: Array[Int] = Array.tabulate(n)(identity)
+    private val nanos = new Array[Long](n)
+    private val rowsIn = new Array[Long](n)
+    private val rowsOut = new Array[Long](n)
+    private var groups = 0
+
+    def record(pred: Int, dNanos: Long, in: Long, out: Long): Unit = {
+      nanos(pred) += dNanos; rowsIn(pred) += in; rowsOut(pred) += out
+    }
+
+    /** Call once per filtered row group; reorders every `everyGroups`. */
+    def groupDone(): Unit = { groups += 1; if (groups % everyGroups == 0) reorder() }
+
+    def rank(pred: Int): Double =
+      if (rowsIn(pred) <= 0) 0.0 // unmeasured (earlier conjunct emptied the group) = neutral
+      else {
+        val sel = rowsOut(pred).toDouble / rowsIn(pred).toDouble
+        val costPerRow = math.max(nanos(pred).toDouble / rowsIn(pred).toDouble, 1e-3)
+        (sel - 1.0) / costPerRow
+      }
+
+    /** Stable insertion sort by rank ascending: ties (unmeasured or
+      * pass-through conjuncts, rank 0) keep their pushed order. */
+    def reorder(): Unit = {
+      var a = 1
+      while (a < perm.length) {
+        val v = perm(a); val rv = rank(v); var b = a - 1
+        while (b >= 0 && rank(perm(b)) > rv) { perm(b + 1) = perm(b); b -= 1 }
+        perm(b + 1) = v
+        a += 1
+      }
+    }
   }
 
   /** Compile the pushed conjuncts against this chunk's column types.
@@ -418,6 +535,16 @@ object FlsRowFilter {
       var i = 0
       while (i < m) { out(i) = codes(sel(i)); i += 1 }
       DictBytes(values, out)
+    case DictLongs(dict, codes) =>
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) { out(i) = codes(sel(i)); i += 1 }
+      DictLongs(dict, out)
+    case DictDoubles(dict, codes) =>
+      val out = new Array[Long](m)
+      var i = 0
+      while (i < m) { out(i) = codes(sel(i)); i += 1 }
+      DictDoubles(dict, out)
     case other => other
   }
 }

@@ -122,4 +122,82 @@ class FlsDictMixedGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(bad.isEmpty, s"auto(thr=$thr) mismatch: ${bad.take(3)}")
     }
   }
+
+  /** The long/timestamp/double analog: dict-encoded numeric groups are
+    * served through zero-copy dictionary vectors (FlsLongDictionary /
+    * FlsDoubleDictionary), and a dict group followed by a plain group
+    * for the same column in one packed split must not serve the stale
+    * dictionary — same bug class as the string tests above. */
+  test("numeric/timestamp dict→plain transitions in one packed split are exact") {
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    val n = 1024
+    val dir = s"$tmp/mixed-num"
+    // group 0: 5 distinct SPREAD values (dict beats FFOR's wide bit
+    // range); group 1: unique spread values (FFOR/plain beats an
+    // n-entry dict)
+    val df = spark.range(0, 2L * n, 1, 1).selectExpr(
+      "id",
+      s"CASE WHEN id < $n THEN (id % 5) * 1234567890123 ELSE id * 2654435761 END AS l",
+      s"""CASE WHEN id < $n THEN timestamp_micros((id % 5) * 31557600000000)
+          ELSE timestamp_micros(id * 987654321) END AS ts""",
+      s"CASE WHEN id < $n THEN (id % 5) * 1.5e30 ELSE id * 1.11e30 END AS d")
+    df.write.format("fls").mode("overwrite")
+      .option("row_group_size", n).save(dir)
+
+    // non-vacuous: the writer must have picked DICT for group 0 and
+    // something else for group 1 on each column
+    val conf = spark.sessionState.newHadoopConf()
+    val file = graft.fls.FlsFile.listDataFiles(new org.apache.hadoop.fs.Path(dir), conf).head
+    val r = new FlsFileReader(file, conf)
+    try {
+      assert(r.table.rowGroups.length == 2)
+      for (c <- Seq("l", "ts", "d")) {
+        val ci = r.table.columns.indexWhere(_.name == c)
+        assert(r.table.rowGroups(0).segments(ci).encoding == Format.Enc.DICT,
+          s"$c group 0 should dict-encode, got ${r.table.rowGroups(0).segments(ci).encoding}")
+        assert(r.table.rowGroups(1).segments(ci).encoding != Format.Enc.DICT,
+          s"$c group 1 must NOT dict-encode or the transition isn't exercised")
+      }
+    } finally r.close()
+
+    val key = (row: org.apache.spark.sql.Row) =>
+      (row.getLong(0), (row.getLong(1), row.getTimestamp(2).getTime, row.getDouble(3)))
+    val exp = df.collect().map(key).toMap
+    for (mode <- Seq("true", "false")) {
+      val got = spark.read.format("fls")
+        .option("string_dictionary", mode).load(dir)
+        .collect().map(key).toMap
+      assert(got.size == 2 * n)
+      val bad = exp.collect { case (k, v) if got(k) != v => (k, v, got(k)) }
+      assert(bad.isEmpty,
+        s"dict_vectors=$mode: stale-dictionary corruption on ${bad.size} rows, " +
+          s"first: ${bad.take(3)}")
+    }
+  }
+
+  test("pushed filters evaluate correctly over numeric dictionary vectors") {
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    val n = 1024
+    val dir = s"$tmp/mixed-num-filter"
+    val df = spark.range(0, 2L * n, 1, 1).selectExpr(
+      "id",
+      s"CASE WHEN id < $n THEN (id % 5) * 1234567890123 ELSE id * 2654435761 END AS l",
+      s"CASE WHEN id < $n THEN (id % 5) * 1.5e30 ELSE id * 1.11e30 END AS d")
+    df.write.format("fls").mode("overwrite")
+      .option("row_group_size", n).save(dir)
+    val back = spark.read.format("fls")
+      .option("string_dictionary", "true").load(dir)
+    // equality, range, and IN over the dict-coded long domain; range
+    // over the dict-coded double domain — each against the DataFrame
+    for (cond <- Seq(
+        s"l = ${2L * 1234567890123L}",
+        s"l >= ${3L * 1234567890123L}",
+        s"l IN (0, ${1234567890123L}, ${4L * 1234567890123L})",
+        "d > 2.9e30",
+        "d = 0.0")) {
+      val expIds = df.filter(cond).select("id").collect().map(_.getLong(0)).sorted
+      val gotIds = back.filter(cond).select("id").collect().map(_.getLong(0)).sorted
+      assert(gotIds.toSeq == expIds.toSeq, s"filter [$cond] diverged")
+    }
+  }
 }
