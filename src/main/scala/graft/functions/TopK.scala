@@ -12,8 +12,8 @@ import org.apache.spark.sql.expressions.Aggregator
   * O(k). That is the plan shape that survives cells of millions of
   * vectors. Deterministic: ties break on ascending id (and exact
   * duplicates of (score, id) are kept bounded, not deduped). */
-class TopKByScore(k: Int)
-  extends Aggregator[(Long, Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+class TopKByScore[I](k: Int, idScore: I => (Long, Double))
+  extends Aggregator[I, Seq[(Long, Double)], Seq[(Long, Double)]] {
 
   // (id, score); ordered best-first. Double.compare, NOT >: Spark's
   // sort order (and the window top-k this replaces) ranks NaN above
@@ -27,8 +27,8 @@ class TopKByScore(k: Int)
 
   override def zero: Seq[(Long, Double)] = Vector.empty
 
-  override def reduce(buf: Seq[(Long, Double)], in: (Long, Long, Double)): Seq[(Long, Double)] = {
-    val x = (in._2, in._3)
+  override def reduce(buf: Seq[(Long, Double)], in: I): Seq[(Long, Double)] = {
+    val x = idScore(in)
     if (buf.length >= k && !lt(x, buf.last)) buf
     else {
       val i = buf.indexWhere(e => lt(x, e))

@@ -96,13 +96,124 @@ object Corpus {
             (SELECT md5(substr(text, 1, 120)) FROM documents WHERE doc_id % 10 <> 0)
       GROUP BY lang ORDER BY lang"""
 
+  /** q59: per-group top-k — the 3 longest documents per language. The
+    * scale shape is the k-bounded [[graft.functions.TopKByScore]]
+    * aggregator, NOT a window: a window top-k sorts every group in full
+    * and shuffles all rows; the aggregator's map-side partials ship at
+    * most k rows per group per partition, so a skewed giant group
+    * (English at corpus scale) costs O(rows) scan + O(k) merge instead
+    * of an O(m log m) sort. Ties break on ascending doc_id — the same
+    * total order as the oracle's ROW_NUMBER. */
+  def q59TopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topk = new graft.functions.TopKByScore[(String, Long, Long)](
+      3, r => (r._2, r._3.toDouble))
+    t(spark, dir, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1).agg(topk.toColumn.name("top")).toDF("lang", "top")
+      .select(col("lang"), explode(col("top")).as("e"))
+      .select(col("lang"), col("e._1").as("doc_id"),
+        col("e._2").cast("long").as("n_chars"))
+      .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
+  }
+
+  val q59Sql: String =
+    """SELECT lang, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents) WHERE rn <= 3
+      ORDER BY lang, n_chars DESC, doc_id"""
+
+  /** q60: repetition-ratio quality screen (the Gopher-style "fraction
+    * of duplicate tokens" rule): ratio = 1 − distinct/total tokens per
+    * doc; a doc is flagged past 0.5. Per-row map work plus one hash
+    * aggregate. The per-language ratio is derived from EXACT integer
+    * token sums at the end — never an avg() of per-doc doubles, whose
+    * parallel summation order would diverge from the oracle. */
+  def q60RepetitionRatio(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tot"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("dst"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dst") * 2 < col("tot"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("tot")).as("sum_tokens"),
+        sum(col("dst")).as("sum_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("sum_distinct").cast("double") / col("sum_tokens"), 6))
+      .orderBy("lang")
+
+  val q60Sql: String =
+    """WITH d AS (SELECT lang,
+                    len(string_split(text, ' '))::BIGINT AS tot,
+                    len(list_distinct(string_split(text, ' ')))::BIGINT AS dst
+                  FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             sum(CASE WHEN dst * 2 < tot THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+             sum(tot)::BIGINT AS sum_tokens, sum(dst)::BIGINT AS sum_distinct,
+             round(1.0 - sum(dst)::DOUBLE / sum(tot), 6) AS rep_ratio
+      FROM d GROUP BY lang ORDER BY lang"""
+
+  /** q61: exact length quantiles per language (p50/p90 of n_chars,
+    * linearly interpolated at rank p·(n−1) — the definition both
+    * engines implement). Exact percentile holds each group's values in
+    * the aggregation buffer — right for a bounded group count like
+    * languages; an unbounded group key at 100 TB switches to
+    * approx_percentile (t-digest, fixed memory) and loses the oracle's
+    * bit-exactness, which is why the exact one is the gated surface. */
+  def q61LengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(expr("percentile(n_chars, array(0.5D, 0.9D))").as("q"))
+      .select(col("lang"),
+        round(element_at(col("q"), 1), 4).as("p50"),
+        round(element_at(col("q"), 2), 4).as("p90"))
+      .orderBy("lang")
+
+  val q61Sql: String =
+    """SELECT lang,
+             round(quantile_cont(n_chars, 0.5), 4) AS p50,
+             round(quantile_cont(n_chars, 0.9), 4) AS p90
+      FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** q62: bag-of-words canonical dedup — normalize each doc to its
+    * SORTED token multiset and count distinct bags per source, catching
+    * token-reordered near-duplicates that exact hashing (q20) misses.
+    * Normalization is pure map-side; the distinct is one hash aggregate
+    * on a 32-byte key, the same shape as exact dedup. */
+  def q62BagDedup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("source"),
+        md5(array_join(array_sort(split(col("text"), " ")), " ").cast("binary")).as("bag"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("bag")).as("n_bags"))
+      .orderBy("source")
+
+  val q62Sql: String =
+    """SELECT source, count(*) AS n_docs,
+             count(DISTINCT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')))
+               AS n_bags
+      FROM documents GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_heavy_hitters" -> (q56HeavyHitters _),
     "q57_quantize_embeddings" -> (q57QuantizeEmbeddings _),
-    "q58_contamination" -> (q58Contamination _))
+    "q58_contamination" -> (q58Contamination _),
+    "q59_top_per_group" -> (q59TopPerGroup _),
+    "q60_repetition_ratio" -> (q60RepetitionRatio _),
+    "q61_length_quantiles" -> (q61LengthQuantiles _),
+    "q62_bag_dedup" -> (q62BagDedup _))
 
   val oracles: Map[String, String] = Map(
     "q56_heavy_hitters" -> q56Sql,
     "q57_quantize_embeddings" -> q57Sql,
-    "q58_contamination" -> q58Sql)
+    "q58_contamination" -> q58Sql,
+    "q59_top_per_group" -> q59Sql,
+    "q60_repetition_ratio" -> q60Sql,
+    "q61_length_quantiles" -> q61Sql,
+    "q62_bag_dedup" -> q62Sql)
 }

@@ -180,7 +180,7 @@ object Similarity {
       .withColumn("cos", cosExpr / (col("nr_q") * col("nr_c")))
       .select(col("query_id"), col("neighbor_id"), col("cos"))
       .as[(Long, Long, Double)]
-    val topk = new graft.functions.TopKByScore(5)
+    val topk = new graft.functions.TopKByScore[(Long, Long, Double)](5, t => (t._2, t._3))
     cand.groupByKey(_._1).agg(topk.toColumn.name("top")).toDF("query_id", "top")
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),

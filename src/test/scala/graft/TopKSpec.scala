@@ -22,7 +22,7 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
   test("reduce/merge keep exactly the k best, ordered (score desc, id asc)") {
-    val agg = new TopKByScore(3)
+    val agg = new TopKByScore[(Long, Long, Double)](3, t => (t._2, t._3))
     val fed = Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.1),
       (1L, 13L, 0.9), (1L, 14L, 0.7), (1L, 15L, 0.9))
       .foldLeft(agg.zero)(agg.reduce)
@@ -34,7 +34,7 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("NaN scores rank first, matching Spark's window sort and the SQL oracle") {
-    val agg = new TopKByScore(3)
+    val agg = new TopKByScore[(Long, Long, Double)](3, t => (t._2, t._3))
     val fed = Seq((1L, 10L, 0.9), (1L, 11L, Double.NaN), (1L, 12L, 0.5),
       (1L, 13L, Double.PositiveInfinity), (1L, 14L, Double.NaN))
       .foldLeft(agg.zero)(agg.reduce)
@@ -54,7 +54,7 @@ class TopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val df = rows.toDF("g", "id", "score").repartition(8)
     val viaAgg = df.as[(Long, Long, Double)]
-      .groupByKey(_._1).agg(new TopKByScore(5).toColumn.name("top"))
+      .groupByKey(_._1).agg(new TopKByScore[(Long, Long, Double)](5, t => (t._2, t._3)).toColumn.name("top"))
       .toDF("g", "top")
       .select(col("g"), posexplode(col("top")))
       .select(col("g"), (col("pos") + 1).as("rank"), col("col._1").as("id"))
