@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.util.Tables._
 
@@ -199,6 +200,69 @@ object Corpus {
                AS n_bags
       FROM documents GROUP BY source ORDER BY source"""
 
+  /** q63: unigram corpus-frequency quality score (the integer-exact
+    * stand-in for CCNet-style LM perplexity filtering): each scored
+    * doc's tokens join the corpus unigram table and average their
+    * corpus counts — a low score means rare-token-heavy text. Two hash
+    * aggregates plus one join on `tok`; at 100 TB the unigram table is
+    * vocabulary-sized (millions of rows, not corpus-sized), so AQE
+    * broadcasts it and the scan side never shuffles. Integer counts
+    * end-to-end — the only division happens once, after exact sums. */
+  def q63FreqQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    toks.filter(col("doc_id") < 100)
+      .join(freq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_freq"))
+      .withColumn("freq_score",
+        round(col("sum_freq").cast("double") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
+  val q63Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+         freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+      SELECT t.doc_id, count(*) AS n_tokens, sum(f.cnt)::BIGINT AS sum_freq,
+             round(sum(f.cnt)::DOUBLE / count(*), 4) AS freq_score
+      FROM toks t JOIN freq f USING (tok)
+      WHERE t.doc_id < 100
+      GROUP BY t.doc_id ORDER BY t.doc_id"""
+
+  /** q64: source mixing weights — per-source sampling weights ∝
+    * √tokens (the square-root temperature rule that upweights small
+    * high-quality sources against bulk web text). One aggregate over
+    * the corpus; the normalization joins a 1-row total, so the plan is
+    * agg → tiny broadcast — no full-data second pass. √ is IEEE
+    * correctly-rounded in both engines and the normalizing sum runs in
+    * DECIMAL, so the weights are bit-reproducible. */
+  def q64MixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy("source").agg(sum(col("ntok")).as("tokens"))
+      .withColumn("sq",
+        sqrt(col("tokens").cast("double")).cast(DecimalType(28, 10)))
+    val tot = per.agg(sum(col("sq")).as("tot_sq"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        round(col("sq").cast("double") / col("tot_sq").cast("double"), 6)
+          .as("weight"))
+      .orderBy("source")
+  }
+
+  val q64Sql: String =
+    """WITH per AS (SELECT source,
+                      sum(len(string_split(text, ' ')))::BIGINT AS tokens
+                    FROM documents GROUP BY source),
+         s AS (SELECT source, tokens,
+                 CAST(sqrt(tokens::DOUBLE) AS DECIMAL(28,10)) AS sq FROM per)
+      SELECT source, tokens,
+             round(CAST(sq AS DOUBLE) /
+                   CAST((SELECT sum(sq) FROM s) AS DOUBLE), 6) AS weight
+      FROM s ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_heavy_hitters" -> (q56HeavyHitters _),
     "q57_quantize_embeddings" -> (q57QuantizeEmbeddings _),
@@ -206,7 +270,9 @@ object Corpus {
     "q59_top_per_group" -> (q59TopPerGroup _),
     "q60_repetition_ratio" -> (q60RepetitionRatio _),
     "q61_length_quantiles" -> (q61LengthQuantiles _),
-    "q62_bag_dedup" -> (q62BagDedup _))
+    "q62_bag_dedup" -> (q62BagDedup _),
+    "q63_freq_quality" -> (q63FreqQuality _),
+    "q64_mix_weights" -> (q64MixWeights _))
 
   val oracles: Map[String, String] = Map(
     "q56_heavy_hitters" -> q56Sql,
@@ -215,5 +281,7 @@ object Corpus {
     "q59_top_per_group" -> q59Sql,
     "q60_repetition_ratio" -> q60Sql,
     "q61_length_quantiles" -> q61Sql,
-    "q62_bag_dedup" -> q62Sql)
+    "q62_bag_dedup" -> q62Sql,
+    "q63_freq_quality" -> q63Sql,
+    "q64_mix_weights" -> q64Sql)
 }

@@ -219,11 +219,49 @@ object Streaming {
     spark.table(name).orderBy("user_id", "session_idx")
   }
 
+  /** q65: streaming deduplication — `dropDuplicates` over the event
+    * stream on (user_id, event_type), then distinct-user counts per
+    * type from the deduped append output. The dedup key domain here is
+    * bounded, so plain dropDuplicates state is safe; an unbounded key
+    * (content hashes in an ingest pipeline) switches to
+    * `withWatermark` + `dropDuplicatesWithinWatermark`, which expires
+    * state and keeps the same first-wins semantics inside the
+    * watermark horizon. Output compares key SETS, not which physical
+    * row won the race — arrival order across partitions is
+    * nondeterministic, the key set is not. */
+  def q65StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val deduped = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val name = s"q65mem${memSeq.incrementAndGet()}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+  }
+
+  val q65Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_streaming_hourly" -> (q32StreamingHourly _),
     "q33_sessionize_typed" -> (q33Sessionize _),
     "q35_stream_state" -> (q35StreamState _),
     "q37_stream_sessionize" -> (q37StreamSessionize _),
+    "q65_stream_dedup" -> (q65StreamDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -231,5 +269,6 @@ object Streaming {
     "q33_sessionize_typed" -> q33Sql,
     "q35_stream_state" -> q35Sql,
     "q37_stream_sessionize" -> q33Sql, // same truth as the batch twin
+    "q65_stream_dedup" -> q65Sql,
   )
 }
