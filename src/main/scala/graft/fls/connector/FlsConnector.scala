@@ -423,9 +423,34 @@ class FlsScan(
     topN: Option[FlsTopNSpec] = None,
     preFooters: Seq[graft.fls.FlsFooters.Entry] = null,
     consumedFilters: Array[Filter] = Array.empty)
-  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
+  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
+  with SupportsReportPartitioning {
 
   override def readSchema(): StructType = requiredSchema
+
+  /** Storage-partitioned joins: when the table is hive-partitioned, the
+    * partition keys survive column pruning, and the session opted in
+    * (`spark.sql.sources.v2.bucketing.enabled`), report the layout as
+    * KeyGroupedPartitioning and plan partition-pure splits carrying
+    * their key — a join of two fls tables co-partitioned on the join
+    * key then runs with NO shuffle on either side. At 100 TB this is
+    * the difference between moving both tables and moving neither.
+    * Inactive under limit/TopN pushdown (those pack key-mixed splits). */
+  private def spjActive: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
+      partDisc.keys.nonEmpty && limit < 0 && topN.isEmpty &&
+      partDisc.keys.forall(k => requiredSchema.fieldNames.contains(k))
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (spjActive) {
+      // numPartitions is informational — Spark re-derives the count
+      // from the actual key-grouped splits after pruning
+      val distinctKeys = partDisc.byFile.values.map(_.toSeq).toSet.size
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        partDisc.keys.map(k =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(k)).toArray,
+        math.max(distinctKeys, 1))
+    } else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   /** Runtime (AQE/DPP-style) filters: Spark may inject join-derived
     * In/EqualTo filters after planning — they feed the same zone-map
@@ -571,7 +596,29 @@ class FlsScan(
       }
       return FlsSplitPacking.pack(out.toSeq)
     }
-    FlsSplitPacking.pack(units.toSeq)
+    if (spjActive) {
+      // partition-pure splits: pack WITHIN each partition key so every
+      // split carries exactly one key (HasPartitionKey contract); key
+      // order is stabilized for deterministic planning
+      val grouped = units.toSeq.groupBy(u => partDisc.keys.map(u.pvals))
+      grouped.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+        .flatMap { case (raw, us) =>
+          val keyVals: Array[Any] = partDisc.keys.zip(raw).map { case (k, r) =>
+            toInternal(FlsPartitioning.castRaw(r, partTypes(k)))
+          }.toArray
+          FlsSplitPacking.pack(us).map {
+            case p: FlsInputPartition => p.copy(keyVals = keyVals)
+            case p => p
+          }
+        }.toArray
+    } else FlsSplitPacking.pack(units.toSeq)
+  }
+
+  /** External partition value → Catalyst-internal representation for
+    * the HasPartitionKey row (strings must be UTF8String there). */
+  private def toInternal(v: Any): Any = v match {
+    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case other => other
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -702,7 +749,19 @@ case class FlsFileChunk(
   * 1.45 s vs packed ~0.5 s). Chunks let one split span MANY SMALL FILES
   * too (streaming-ingested tables before compaction), like Spark's
   * `FilePartition`. */
-case class FlsInputPartition(chunks: Array[FlsFileChunk]) extends InputPartition
+case class FlsInputPartition(chunks: Array[FlsFileChunk],
+    /** Catalyst-internal partition-key values (UTF8String/Int/Long/…)
+      * in `partDisc.keys` order; non-null ONLY when the scan reports
+      * KeyGroupedPartitioning, in which case every row in this split is
+      * guaranteed to carry exactly this key (storage-partitioned-join
+      * contract). Spark consults [[partitionKey]] only when grouping. */
+    keyVals: Array[Any] = null)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keyVals)
+}
 
 object FlsInputPartition {
   def single(file: String, rg: RowGroupDesc, cols: Array[ColumnDesc],

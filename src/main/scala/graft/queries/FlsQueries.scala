@@ -518,6 +518,54 @@ object FlsQueries {
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
   }
 
+  /** q66: storage-partitioned join — documents and a per-language
+    * stats table both written fls-partitioned by `lang`, joined on
+    * `lang` with `spark.sql.sources.v2.bucketing.enabled`. The scan
+    * reports KeyGroupedPartitioning and plans partition-pure splits, so
+    * the join moves NEITHER side (FlsSpjSpec asserts the zero-shuffle
+    * plan); at 100 TB that deletes the two largest exchanges a
+    * co-partitioned layout otherwise pays for every join. */
+  def q66SpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docsOut = flsTablePath(dir, "documents_bylang")
+    val statsOut = flsTablePath(dir, "langstats_bylang")
+    synchronized {
+      val marker = new java.io.File(s"$statsOut/_done")
+      if (!done.contains(statsOut) && !marker.exists()) {
+        val d = t(spark, dir, "documents")
+        d.write.format("fls").option("partition_by", "lang")
+          .mode("overwrite").save(docsOut)
+        d.groupBy("lang")
+          .agg(count(lit(1)).as("lang_docs"), sum("n_chars").as("lang_chars"))
+          .write.format("fls").option("partition_by", "lang")
+          .mode("overwrite").save(statsOut)
+        new java.io.File(s"$docsOut/_done").createNewFile()
+        marker.createNewFile()
+      }
+      done += statsOut
+    }
+    // left ON for the session: SQLConf is read at physical-planning
+    // time (a try/finally around this lazy DataFrame would restore it
+    // before any action plans the join). Correctness under the flag is
+    // independently proven both ways by FlsSpjSpec; for non-SPJ-shaped
+    // plans the flag is a no-op.
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.read.format("fls").load(docsOut)
+      .join(spark.read.format("fls").load(statsOut), Seq("lang"))
+      .filter(col("n_chars") * 4 > col("lang_chars") / col("lang_docs") * 5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_long"), max("lang_docs").as("lang_docs"))
+      .orderBy("lang")
+  }
+
+  val q66Sql: String =
+    """WITH s AS (SELECT lang, count(*) AS lang_docs,
+                    sum(n_chars)::BIGINT AS lang_chars
+                  FROM documents GROUP BY lang)
+      SELECT d.lang, count(*) AS n_long, max(s.lang_docs)::BIGINT AS lang_docs
+      FROM documents d JOIN s ON d.lang = s.lang
+      WHERE d.n_chars * 4 > s.lang_chars / s.lang_docs * 5
+      GROUP BY d.lang ORDER BY d.lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_fls_topk" -> (q38FlsTopK _),
     "q15_fls_tpch_q1" -> (q15FlsTpchQ1 _),
@@ -536,6 +584,7 @@ object FlsQueries {
     "q49_fls_array_size" -> (q49FlsArraySize _),
     "q53_fls_struct_meta" -> (q53FlsStructMeta _),
     "q54_fls_map_props" -> (q54FlsMapProps _),
+    "q66_spj_join" -> (q66SpjJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -556,5 +605,6 @@ object FlsQueries {
     "q49_fls_array_size" -> q49Sql,
     "q53_fls_struct_meta" -> q53Sql,
     "q54_fls_map_props" -> q54Sql,
+    "q66_spj_join" -> q66Sql,
   )
 }
