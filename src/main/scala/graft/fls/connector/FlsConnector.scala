@@ -413,6 +413,11 @@ class FlsRowsMetric
   override def name(): String = "flsRowsRead"
   override def description(): String = "rows read"
 }
+class FlsRowsFilteredMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "flsRowsFiltered"
+  override def description(): String = "rows dropped by scan-side filters"
+}
 
 class FlsScan(
     tableSchema: StructType,
@@ -601,7 +606,7 @@ class FlsScan(
       // split carries exactly one key (HasPartitionKey contract); key
       // order is stabilized for deterministic planning
       val grouped = units.toSeq.groupBy(u => partDisc.keys.map(u.pvals))
-      grouped.toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+      grouped.toSeq.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
         .flatMap { case (raw, us) =>
           val keyVals: Array[Any] = partDisc.keys.zip(raw).map { case (k, r) =>
             toInternal(FlsPartitioning.castRaw(r, partTypes(k)))
@@ -636,7 +641,7 @@ class FlsScan(
     * /root/reference/src/reader/fls_reader.cpp:556-558 — Spark surfaces
     * these in the UI/listener instead of a polled percentage). */
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new FlsRowGroupsMetric, new FlsRowsMetric)
+    Array(new FlsRowGroupsMetric, new FlsRowsMetric, new FlsRowsFilteredMetric)
 
   override def estimateStatistics(): Statistics = new Statistics {
     // explicit_cardinality named option overrides the footer count

@@ -72,6 +72,10 @@ class FlsPartitionReader(
   private var rowPos = 0
   private var rowsReadTotal = 0L
   private var groupsRead = 0L
+  /** Rows dropped by executor-side selection vectors (scan-visible
+    * filter effectiveness; the residual FilterExec's own numOutputRows
+    * can't attribute drops to the scan). */
+  private var rowsFilteredTotal = 0L
   private var in: org.apache.hadoop.fs.FSDataInputStream = _
   private var decoded: Array[ColData] = _ // null slots = virtual/absent columns
   /** File-side type per projected field (None = virtual or absent in
@@ -93,6 +97,11 @@ class FlsPartitionReader(
     * compile can drop different conjuncts per file under
     * union_by_name, so positions don't transfer). */
   private var adaptOrder = new FlsRowFilter.AdaptiveOrder(preds.length)
+  /** Probe knob (A/B timing in AdaptProbe; single-JVM only — a system
+    * property does not ship to real executors, which is fine for a
+    * measurement switch): false pins the pushed conjunct order. */
+  private val adaptEnabled =
+    sys.props.getOrElse("graft.fls.adaptive", "true").toBoolean
   private val vectors: Array[OnHeapColumnVector] =
     readSchema.fields.map(f => new OnHeapColumnVector(BatchSize, f.dataType))
   private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
@@ -285,7 +294,7 @@ class FlsPartitionReader(
       // conjunct only narrows the selection)
       var p = 0
       while (p < preds.length && selCount != 0) {
-        val pi = adaptOrder.perm(p)
+        val pi = if (adaptEnabled) adaptOrder.perm(p) else p
         val t0 = System.nanoTime()
         // decode cost charged to the conjunct that triggers it: an
         // early all-false exit skips later filter columns entirely, so
@@ -302,7 +311,7 @@ class FlsPartitionReader(
         }
         p += 1
       }
-      adaptOrder.groupDone()
+      if (adaptEnabled) adaptOrder.groupDone()
     }
     if (selCount < 0) selCount = rgTuples
     var effTuples = rgTuples
@@ -351,6 +360,10 @@ class FlsPartitionReader(
         }
       }
     }
+    // only rows the scan actually withheld count as filtered — under
+    // filter_keep_ratio=0 a non-empty selection is served in full and
+    // the residual FilterExec does the dropping, so nothing is counted
+    rowsFilteredTotal += rgTuples - effTuples
     nTuples = effTuples
     groupRowStart = chunk.rowStarts(g)
     rowPos = 0
@@ -408,6 +421,10 @@ class FlsPartitionReader(
       new org.apache.spark.sql.connector.metric.CustomTaskMetric {
         override def name(): String = "flsRowsRead"
         override def value(): Long = rowsReadTotal
+      },
+      new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = "flsRowsFiltered"
+        override def value(): Long = rowsFilteredTotal
       })
 
   override def close(): Unit = if (in != null) { in.close(); in = null }

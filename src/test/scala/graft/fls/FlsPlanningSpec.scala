@@ -269,18 +269,19 @@ class FlsPlanningSpec extends AnyFunSuite with BeforeAndAfterAll {
     val reader = new FlsPartitionReader(
       FlsInputPartition.single(file.toString, table.rowGroups.head, cols, 0L, 0), schema, conf)
     assert(reader.currentMetricsValues().map(m => (m.name(), m.value())).toSeq ==
-      Seq(("rowGroupsRead", 0L), ("flsRowsRead", 0L)))
+      Seq(("rowGroupsRead", 0L), ("flsRowsRead", 0L), ("flsRowsFiltered", 0L)))
     var rows = 0L
     while (reader.next()) rows += reader.get().numRows()
     assert(rows == 1024)
     val after = reader.currentMetricsValues().map(m => (m.name(), m.value())).toMap
-    assert(after == Map("rowGroupsRead" -> 1L, "flsRowsRead" -> 1024L), after.toString)
+    assert(after == Map("rowGroupsRead" -> 1L, "flsRowsRead" -> 1024L,
+      "flsRowsFiltered" -> 0L), after.toString)
     // scan-level metric declarations match what tasks report
     val scan = new FlsScan(schema, schema, Array.empty,
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("path", dir)))
     assert(scan.supportedCustomMetrics().map(_.name()).toSeq ==
-      Seq("rowGroupsRead", "flsRowsRead"))
+      Seq("rowGroupsRead", "flsRowsRead", "flsRowsFiltered"))
   }
 
   test("string zone maps prune row groups for equality, range, and prefix filters") {

@@ -138,4 +138,23 @@ class FlsRowFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
       .load(dir).filter("id < 50").collect().map(_.getLong(0)).toSet
     assert(got == (0L until 50L).toSet)
   }
+
+  test("flsRowsFiltered metric reports scan-side drops, honestly per mode") {
+    def metricFor(keep: String, cond: String): Long = {
+      val df = spark.read.format("fls").option("filter_keep_ratio", keep)
+        .load(dir).filter(cond)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      scan.metrics("flsRowsFiltered").value
+    }
+    // i32 = id % 97: pushable, present in every row group (zone maps
+    // [0,96] cannot prune), ~1% selective → compaction withholds rows
+    assert(metricFor("0.9", "i32 = 5") > 0)
+    // compaction off: a non-empty selection serves the group IN FULL
+    // (the residual filter drops), so no rows may be claimed — i32=5
+    // hits >0 rows of every 1024-row group
+    assert(metricFor("0.0", "i32 = 5") == 0L)
+  }
 }
