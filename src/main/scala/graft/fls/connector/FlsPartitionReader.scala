@@ -232,12 +232,10 @@ class FlsPartitionReader(
             if (phys == Phys.LONG) {
               val (dict, codes) = Codecs.decodeDictLongRaw(new ByteReader(segBytes))
               colDicts(fi) = new FlsLongDictionary(dict)
-              colDictIds(fi) = toIntIds(codes)
               DictLongs(dict, codes)
             } else {
               val (dict, codes) = Codecs.decodeDictDoubleRaw(new ByteReader(segBytes))
               colDicts(fi) = new FlsDoubleDictionary(dict)
-              colDictIds(fi) = toIntIds(codes)
               DictDoubles(dict, codes)
             }
           } else if (dictableBytes) {
@@ -253,7 +251,6 @@ class FlsPartitionReader(
                   i += 1
                 }
                 colDicts(fi) = new FlsBytesDictionary(values)
-                colDictIds(fi) = toIntIds(codes)
                 DictBytes(values, codes)
               case None =>
                 // non-dictionary encoding: decode the bytes ALREADY read
@@ -343,21 +340,29 @@ class FlsPartitionReader(
               decoded(fj) = LongData(out)
             } else if (decoded(fj) != null) {
               decoded(fj) = FlsRowFilter.compact(decoded(fj), sel, selCount)
-              // the dict-id sidecar must track the compacted codes
-              decoded(fj) match {
-                case DictBytes(_, codes) if colDicts(fj) != null =>
-                  colDictIds(fj) = toIntIds(codes)
-                case DictLongs(_, codes) if colDicts(fj) != null =>
-                  colDictIds(fj) = toIntIds(codes)
-                case DictDoubles(_, codes) if colDicts(fj) != null =>
-                  colDictIds(fj) = toIntIds(codes)
-                case _ => ()
-              }
             }
             fj += 1
           }
           effTuples = selCount
         }
+      }
+    }
+    // dict-id sidecars are built ONCE here, from the FINAL codes —
+    // building them at decode time would waste a full-length alloc+copy
+    // whenever compaction shrinks the codes afterwards
+    if (effTuples > 0) {
+      var fj = 0
+      while (fj < nFields) {
+        decoded(fj) match {
+          case DictBytes(_, codes) if colDicts(fj) != null =>
+            colDictIds(fj) = toIntIds(codes)
+          case DictLongs(_, codes) if colDicts(fj) != null =>
+            colDictIds(fj) = toIntIds(codes)
+          case DictDoubles(_, codes) if colDicts(fj) != null =>
+            colDictIds(fj) = toIntIds(codes)
+          case _ => ()
+        }
+        fj += 1
       }
     }
     // only rows the scan actually withheld count as filtered — under

@@ -391,7 +391,11 @@ object Dedup {
     case "grid" => q43EmbeddingBlocked(spark, dir)
     case "auto" =>
       val base = t(spark, dir, "embeddings")
-      val estBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+      // stats.sizeInBytes is FILE bytes (compressed/encoded), not the
+      // heap cost of the collected vectors — 4× inflation covers the
+      // gap (high-entropy float32 barely compresses, but the JVM-side
+      // rows/arrays carry object headers and boxing over raw payload)
+      val estBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes * 4
       if (estBytes <= BigInt(maxBroadcastBytes)) q24EmbeddingNearDup(spark, dir)
       else q43EmbeddingBlocked(spark, dir)
     case other => throw new IllegalArgumentException(

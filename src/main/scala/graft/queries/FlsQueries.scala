@@ -543,18 +543,24 @@ object FlsQueries {
       }
       done += statsOut
     }
-    // left ON for the session: SQLConf is read at physical-planning
-    // time (a try/finally around this lazy DataFrame would restore it
-    // before any action plans the join). Correctness under the flag is
-    // independently proven both ways by FlsSpjSpec; for non-SPJ-shaped
-    // plans the flag is a no-op.
+    // SQLConf is read at physical-planning time, so the SPJ plan must
+    // be EXECUTED inside the flag scope — collect here (5 rows) and
+    // hand back a local relation, restoring the flag after. Leaving it
+    // on would silently re-plan every later partitioned fls scan in the
+    // session (split grouping per key = collapsed parallelism).
+    val prev = spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.read.format("fls").load(docsOut)
-      .join(spark.read.format("fls").load(statsOut), Seq("lang"))
-      .filter(col("n_chars") * 4 > col("lang_chars") / col("lang_docs") * 5)
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_long"), max("lang_docs").as("lang_docs"))
-      .orderBy("lang")
+    try {
+      val out = spark.read.format("fls").load(docsOut)
+        .join(spark.read.format("fls").load(statsOut), Seq("lang"))
+        .filter(col("n_chars") * 4 > col("lang_chars") / col("lang_docs") * 5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_long"), max("lang_docs").as("lang_docs"))
+        .orderBy("lang")
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        .orderBy("lang")
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
   }
 
   val q66Sql: String =

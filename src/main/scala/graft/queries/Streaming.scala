@@ -18,15 +18,14 @@ object Streaming {
 
   private val memSeq = new AtomicInteger(0)
 
-  /** q32: file-stream → event-time hourly window aggregate → memory
-    * sink, drained with Trigger.AvailableNow. At scale this is the same
-    * plan kafka/files feed continuously; the memory sink stands in for
-    * the serving store. */
-  def q32StreamingHourly(spark: SparkSession, dir: String): DataFrame = {
+  /** File-stream view of the read-only `events.parquet`: stream sources
+    * ingest DIRECTORIES, so the single file is exposed through a
+    * symlinked stream dir; also sets the TIMESTAMP(NANOS) legacy conf
+    * every events read needs. One definition — four stream queries
+    * (q32/q35/q37/q65) must never drift on this setup. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // file-stream sources ingest directories; expose the single events
-    // file through a symlinked stream dir (read-only testdata)
     val streamDir = java.nio.file.Paths.get(
       s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     java.nio.file.Files.createDirectories(streamDir)
@@ -34,7 +33,15 @@ object Streaming {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
+  /** q32: file-stream → event-time hourly window aggregate → memory
+    * sink, drained with Trigger.AvailableNow. At scale this is the same
+    * plan kafka/files feed continuously; the memory sink stands in for
+    * the serving store. */
+  def q32StreamingHourly(spark: SparkSession, dir: String): DataFrame = {
+    val stream = eventsStream(spark, dir)
     val agg = stream
       .withColumn("ts_us", expr("timestamp_micros(ts DIV 1000)"))
       .withWatermark("ts_us", "1 hour")
@@ -122,16 +129,7 @@ object Streaming {
   def q35StreamState(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val streamDir = java.nio.file.Paths.get(
-      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val updates = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val updates = eventsStream(spark, dir)
       .selectExpr("user_id", "CAST(round(value * 1000000) AS BIGINT) AS vmic")
       .as[(Long, Long)]
       .groupByKey(_._1)
@@ -175,17 +173,8 @@ object Streaming {
   def q37StreamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val streamDir = java.nio.file.Paths.get(
-      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
     val gapUs = 30L * 60 * 1000 * 1000
-    val sessions = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val sessions = eventsStream(spark, dir)
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
       .as[Ev]
       .groupByKey(_.user_id)
@@ -230,16 +219,7 @@ object Streaming {
     * row won the race — arrival order across partitions is
     * nondeterministic, the key set is not. */
   def q65StreamDedup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val streamDir = java.nio.file.Paths.get(
-      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val deduped = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val deduped = eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
     val name = s"q65mem${memSeq.incrementAndGet()}"

@@ -56,6 +56,17 @@ class FlsAdaptiveOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(o.perm.toSeq == Seq(1, 0, 2, 3), s"got ${o.perm.toSeq}")
   }
 
+  test("rank ties re-sort to pushed order even after an earlier flip") {
+    val o = new FlsRowFilter.AdaptiveOrder(2)
+    o.record(1, 1000, 1000, 0)
+    o.reorder()
+    assert(o.perm.toSeq == Seq(1, 0))
+    o.record(0, 1000, 1000, 0) // stats now identical → rank tie
+    o.reorder()
+    assert(o.perm.toSeq == Seq(0, 1),
+      "ties must return to pushed order, not freeze the earlier flip")
+  }
+
   test("groupDone reorders only at the cadence boundary") {
     val o = new FlsRowFilter.AdaptiveOrder(2, everyGroups = 4)
     o.record(1, 1000, 1000, 0)

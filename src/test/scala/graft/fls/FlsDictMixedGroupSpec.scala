@@ -160,8 +160,12 @@ class FlsDictMixedGroupSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally r.close()
 
-    val key = (row: org.apache.spark.sql.Row) =>
-      (row.getLong(0), (row.getLong(1), row.getTimestamp(2).getTime, row.getDouble(3)))
+    val key = (row: org.apache.spark.sql.Row) => {
+      // getTime alone is millis — group-1 values are NOT ms-aligned, so
+      // include getNanos or sub-ms dictionary corruption would slip by
+      val ts = row.getTimestamp(2)
+      (row.getLong(0), (row.getLong(1), ts.getTime, ts.getNanos, row.getDouble(3)))
+    }
     val exp = df.collect().map(key).toMap
     for (mode <- Seq("true", "false")) {
       val got = spark.read.format("fls")
