@@ -312,6 +312,61 @@ object FlsRowFilter {
     def filter(data: ColData, sel: Array[Int], m: Int): Int = 0
   }
 
+  /** Union of same-column predicates (`a = 1 OR a = 5`): keep a row iff
+    * ANY branch keeps it. Each branch runs its own optimized loop
+    * (including the per-dict-entry tables) over a scratch COPY of the
+    * current selection; the kept subsets — ascending, since every
+    * branch preserves selection order — merge by sorted union. A branch
+    * that keeps all current rows (which includes the cannot-evaluate
+    * pass-through) short-circuits to pass-through: the scan may only
+    * drop a row it can prove fails EVERY branch. */
+  private final class OrPred(val parts: Array[Pred]) extends Pred(parts(0).colIdx) {
+    private var buf: Array[Int] = null // branch scratch
+    private var acc: Array[Int] = null // union so far
+    private var nxt: Array[Int] = null // merge target
+    def filter(data: ColData, sel: Array[Int], m: Int): Int = {
+      if (buf == null || buf.length < m) {
+        buf = new Array[Int](m); acc = new Array[Int](m); nxt = new Array[Int](m)
+      }
+      var accN = 0
+      var j = 0
+      while (j < parts.length) {
+        System.arraycopy(sel, 0, buf, 0, m)
+        val k = parts(j).filter(data, buf, m)
+        if (k >= m) return m // branch kept everything → the union is `sel`
+        var a = 0; var b = 0; var o = 0
+        while (a < accN && b < k) {
+          val va = acc(a); val vb = buf(b)
+          if (va < vb) { nxt(o) = va; a += 1 }
+          else if (va > vb) { nxt(o) = vb; b += 1 }
+          else { nxt(o) = va; a += 1; b += 1 }
+          o += 1
+        }
+        while (a < accN) { nxt(o) = acc(a); a += 1; o += 1 }
+        while (b < k) { nxt(o) = buf(b); b += 1; o += 1 }
+        val t = acc; acc = nxt; nxt = t; accN = o
+        if (accN == m) return m
+        j += 1
+      }
+      System.arraycopy(acc, 0, sel, 0, accN)
+      accN
+    }
+  }
+
+  /** Conjunction of same-column predicates — an `And` BRANCH inside an
+    * `Or` (top-level Ands split into independent conjuncts in
+    * [[compile]]). Parts apply sequentially; each only narrows, so any
+    * order is exact. A part missing at compile time (unsupported leaf)
+    * is simply not applied — approximation FROM ABOVE, which under the
+    * enclosing Or can only keep extra rows, never drop one. */
+  private final class AndPred(parts: Array[Pred]) extends Pred(parts(0).colIdx) {
+    def filter(data: ColData, sel: Array[Int], m: Int): Int = {
+      var k = m; var j = 0
+      while (j < parts.length && k > 0) { k = parts(j).filter(data, sel, k); j += 1 }
+      k
+    }
+  }
+
   /** Adaptive conjunct ordering (≙ reference AdaptiveFilter wiring,
     * /root/reference/src/reader/filter_executor.cpp:38-55 and
     * fls_reader.cpp:357-380, which permutes conjuncts by runtime
@@ -347,13 +402,18 @@ object FlsRowFilter {
         (sel - 1.0) / costPerRow
       }
 
-    /** Stable insertion sort by rank ascending: ties (unmeasured or
-      * pass-through conjuncts, rank 0) keep their pushed order. */
+    /** Insertion sort by (rank, pushed index) ascending: ties
+      * (unmeasured or pass-through conjuncts, rank 0) land in PUSHED
+      * order — explicitly, not via sort stability, which would only
+      * preserve the previous permutation after the first reorder. */
     def reorder(): Unit = {
       var a = 1
       while (a < perm.length) {
         val v = perm(a); val rv = rank(v); var b = a - 1
-        while (b >= 0 && rank(perm(b)) > rv) { perm(b + 1) = perm(b); b -= 1 }
+        while (b >= 0 &&
+            { val rb = rank(perm(b)); rb > rv || (rb == rv && perm(b) > v) }) {
+          perm(b + 1) = perm(b); b -= 1
+        }
         perm(b + 1) = v
         a += 1
       }
@@ -492,8 +552,45 @@ object FlsRowFilter {
               p.getBytes(java.nio.charset.StandardCharsets.UTF_8), prefix = true))
           else None
         }
-      case _ => None // Or/Not/unsupported: residual FilterExec handles it
+      case o @ Or(_, _) => compileNode(o, schema, fileTypes, sizeVirtuals)
+      case _ => None // Not/unsupported: residual FilterExec handles it
     }
+  }
+
+  /** Compile an And/Or TREE into one same-column predicate. The filter
+    * loop hands a predicate exactly one column's decoded data, so every
+    * reachable leaf must bind the same ordinal; a cross-column Or (or
+    * any branch that compiles to nothing — unsupported shape, or
+    * IsNotNull which is always TRUE on this NULL-free format and makes
+    * the disjunction vacuous) returns None and the whole tree stays
+    * with Catalyst's residual FilterExec. Or-branch semantics flip the
+    * conservative direction: a dropped AND-part keeps extra rows
+    * (safe), but a dropped OR-branch could drop rows that satisfy it —
+    * so Or requires EVERY branch compiled. */
+  private def compileNode(f: Filter, schema: StructType,
+      fileTypes: Array[Option[ColumnType]],
+      sizeVirtuals: Map[String, String]): Option[Pred] = f match {
+    case Or(l, r) =>
+      (compileNode(l, schema, fileTypes, sizeVirtuals),
+        compileNode(r, schema, fileTypes, sizeVirtuals)) match {
+        case (Some(lp), Some(rp)) if lp.colIdx == rp.colIdx =>
+          def fl(p: Pred): Seq[Pred] = p match {
+            case o: OrPred => o.parts.toSeq
+            case x => Seq(x)
+          }
+          Some(new OrPred((fl(lp) ++ fl(rp)).toArray))
+        case _ => None
+      }
+    case And(l, r) =>
+      val ps = Seq(l, r).flatMap(compileNode(_, schema, fileTypes, sizeVirtuals))
+      ps match {
+        case Seq() => None
+        case Seq(one) => Some(one)
+        case many if many.forall(_.colIdx == many.head.colIdx) =>
+          Some(new AndPred(many.toArray))
+        case _ => None // cross-column And under an Or: one column's data isn't enough
+      }
+    case leaf => compileLeaf(leaf, schema, fileTypes, sizeVirtuals)
   }
 
   // ------------------------------------------------------- compaction

@@ -121,6 +121,47 @@ class FlsRowFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("s_high IN ('u1', 'u5000', 'u8191')")
   }
 
+  test("Or of same-column leaves unions exactly — every physical domain") {
+    check("id < 100 OR id > 8000")           // long range union
+    check("i32 = 3 OR i32 = 96")
+    check("id = 4000 OR id = 4000")          // degenerate duplicate branch
+    check("d <= 1.0 OR d >= 2000.0")
+    check("dx = 0.0 OR dx >= cast('NaN' as double)") // -0.0 rows ∪ NaN rows
+    check("s_low = 's007' OR s_low = 's040'")
+    check("s_low LIKE 's00%' OR s_low LIKE 's04%'")
+    check("s_high = 'u1' OR s_high = 'u8191'") // packed-split tails
+    check("ts < TIMESTAMP'1970-01-01 00:02:00' OR ts > TIMESTAMP'1970-01-01 02:15:00'")
+    check("dec = 33.33 OR dec < 1.00")
+    check("s_low = 's007' OR s_low = 's040'", Map("string_dictionary" -> "true"))
+    check("s_low LIKE 's00%' OR s_low IN ('s048', 's049')",
+      Map("string_dictionary" -> "true"))
+  }
+
+  test("Or with nested And / nested Or / IsNull branches stays exact") {
+    check("(id > 100 AND id < 200) OR id = 4000")   // And branch under Or
+    check("id < 10 OR id = 500 OR id > 8100")       // flattened 3-way Or
+    check("id IS NULL OR id = 4000")                // Never-branch ∪ point
+    check("(i32 > 10 AND i32 < 20) OR (i32 > 80 AND i32 < 90)")
+  }
+
+  test("cross-column or always-true Or branches fall back to residual, exactly") {
+    check("id < 100 OR d < 10.0")            // cross-column: not scan-filtered
+    check("i32 = 5 OR s_low = 'zzz'")        // cross-column, one empty side
+    check("id IS NOT NULL OR id = 4000")     // always-true branch → vacuous
+    check("id < 100 OR (id > 8000 AND i32 < 5)") // cross-column And under Or
+  }
+
+  test("Or predicates narrow at the SCAN (metric), not only in the residual") {
+    val df = spark.read.format("fls").option("filter_keep_ratio", "0.9")
+      .load(dir).filter("i32 = 3 OR i32 = 96")
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.metrics("flsRowsFiltered").value > 0,
+      "Or filter did not withhold rows scan-side")
+  }
+
   test("virtual file_row_number survives compaction with original positions") {
     val got = spark.read.format("fls").option("file_row_number", "true")
       .option("filter_keep_ratio", "0.9")
