@@ -332,6 +332,23 @@ object Codecs {
     out
   }
 
+  /** Raw dict decoders feed LAZY dictionary vectors: a bad code would
+    * otherwise surface only when codegen serves that row, as a bare
+    * ArrayIndexOutOfBounds far from the scan — so the range check runs
+    * here, once per decode (~1 ns/row against a multi-ns decode). The
+    * gathered decoders need no check: they index the dict immediately,
+    * inside the reader's fls-labeled corruption wrap. */
+  private def checkCodes(codes: Array[Long], dictSize: Int): Unit = {
+    var i = 0
+    while (i < codes.length) {
+      val c = codes(i)
+      if (c < 0L || c >= dictSize)
+        FlsErrors.corrupt(
+          s"dictionary code $c out of range [0, $dictSize) at row $i")
+      i += 1
+    }
+  }
+
   /** Returns (dictionary, codes) un-gathered — the numeric analog of
     * [[decodeDictBytesRaw]] for the zero-copy dictionary-vector scan. */
   def decodeDictLongRaw(in: ByteReader): (Array[Long], Array[Long]) = {
@@ -340,6 +357,7 @@ object Codecs {
     val dict = in.readLongs(dictSize)
     val codes = decodeFFOR(in)
     require(codes.length == n)
+    checkCodes(codes, dictSize)
     (dict, codes)
   }
 
@@ -352,6 +370,7 @@ object Codecs {
     while (i < dictSize) { dict(i) = in.readDouble(); i += 1 }
     val codes = decodeFFOR(in)
     require(codes.length == n)
+    checkCodes(codes, dictSize)
     (dict, codes)
   }
 
@@ -371,6 +390,7 @@ object Codecs {
     val dict = decodePlainBytes(in)
     val codes = decodeFFOR(in)
     require(codes.length == n)
+    checkCodes(codes, dict.n)
     (dict, codes)
   }
 

@@ -102,45 +102,64 @@ final class FlsFileReader(val path: Path, conf: Configuration) extends AutoClose
   val fileSize: Long = fs.getFileStatus(path).getLen
   private var in: FSDataInputStream = fs.open(path)
 
-  val table: TableDesc = {
+  val table: TableDesc = FlsErrors.wrap(s"opening $path") {
     val tailLen = 12
+    val headerLen = 5 // magic + version
+    if (fileSize < headerLen + tailLen)
+      FlsErrors.corrupt(s"truncated file ($fileSize bytes, " +
+        s"minimum ${headerLen + tailLen}): $path")
     val tail = new Array[Byte](tailLen)
     in.readFully(fileSize - tailLen, tail)
-    require(tail(8) == 'F' && tail(9) == 'L' && tail(10) == 'S' && tail(11) == '1',
-      s"not an fls file: $path")
+    if (!(tail(8) == 'F' && tail(9) == 'L' && tail(10) == 'S' && tail(11) == '1'))
+      FlsErrors.corrupt(s"bad tail magic (not an fls file, or truncated): $path")
     val footerLen = new ByteReader(tail).readLong()
     val footer =
       if (footerLen == -1L) {
         // separate-footer mode: sentinel tail, footer lives in a sidecar
         val side = FlsFile.footerPath(path)
-        val st = fs.getFileStatus(side)
-        val buf = new Array[Byte](st.getLen.toInt)
+        val buf =
+          try {
+            val st = fs.getFileStatus(side)
+            new Array[Byte](st.getLen.toInt)
+          } catch {
+            case _: java.io.FileNotFoundException =>
+              FlsErrors.corrupt(s"missing footer sidecar $side for $path")
+          }
         val sin = fs.open(side)
         try sin.readFully(0, buf) finally sin.close()
         buf
       } else {
+        if (footerLen < 0L || footerLen > fileSize - tailLen - headerLen)
+          FlsErrors.corrupt(s"footer length $footerLen out of bounds " +
+            s"(file $fileSize bytes): $path")
         val buf = new Array[Byte](footerLen.toInt)
         in.readFully(fileSize - tailLen - footerLen, buf)
         buf
       }
-    Format.readFooter(new ByteReader(footer))
+    FlsErrors.wrap(s"footer of $path") {
+      Format.readFooter(new ByteReader(footer))
+    }
   }
 
   def readSegmentBytes(seg: SegmentDesc): Array[Byte] = {
+    if (seg.length < 0L || seg.offset < 0L || seg.offset + seg.length > fileSize)
+      FlsErrors.corrupt(s"segment out of bounds (offset=${seg.offset} " +
+        s"length=${seg.length} file=$fileSize bytes): $path")
     val bytes = new Array[Byte](seg.length.toInt)
     in.readFully(seg.offset, bytes)
     bytes
   }
 
-  def decodeSegment(rgIdx: Int, colIdx: Int): ColData = {
-    val seg = table.rowGroups(rgIdx).segments(colIdx)
-    val bytes = readSegmentBytes(seg)
-    if (seg.encoding == Format.Enc.EQUAL)
-      // MCC: resolve the cross-column reference (one hop by construction)
-      decodeSegment(rgIdx, Codecs.decodeEqualTarget(bytes))
-    else
-      Codecs.decode(bytes, seg.encoding, table.columns(colIdx).colType)
-  }
+  def decodeSegment(rgIdx: Int, colIdx: Int): ColData =
+    FlsErrors.wrap(s"rowGroup=$rgIdx column=$colIdx of $path") {
+      val seg = table.rowGroups(rgIdx).segments(colIdx)
+      val bytes = readSegmentBytes(seg)
+      if (seg.encoding == Format.Enc.EQUAL)
+        // MCC: resolve the cross-column reference (one hop by construction)
+        decodeSegment(rgIdx, Codecs.decodeEqualTarget(bytes))
+      else
+        Codecs.decode(bytes, seg.encoding, table.columns(colIdx).colType)
+    }
 
   override def close(): Unit = if (in != null) { in.close(); in = null }
 }

@@ -128,8 +128,17 @@ class FlsPartitionReader(
   /** Decode row group `g` of the current chunk eagerly. The file handle
     * opens once per CHUNK (not per row group — that per-task open was
     * part of why single-rg tasks were too fine) and closes when the
-    * chunk is exhausted or the reader closes. */
-  private def decodeGroup(g: Int): Unit = {
+    * chunk is exhausted or the reader closes.
+    *
+    * Corruption choke point: any failure inside — short reads, codec
+    * bounds, bad lengths — re-surfaces as one fls-labeled IOException
+    * naming the file and row group (already-labeled errors pass
+    * through), so a corrupt file can never crash a scan with a bare
+    * codec exception. */
+  private def decodeGroup(g: Int): Unit =
+    FlsErrors.wrap(s"row group $g of ${chunk.file}") { decodeGroupBody(g) }
+
+  private def decodeGroupBody(g: Int): Unit = {
     if (in == null) {
       val path = new Path(chunk.file)
       in = path.getFileSystem(conf).open(path)

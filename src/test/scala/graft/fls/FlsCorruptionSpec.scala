@@ -1,0 +1,208 @@
+package graft.fls
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The corrupt-file error contract: a truncated, bit-flipped, or
+  * otherwise malformed .fls file must surface a CLEAR `fls:`-labeled
+  * error naming the file — never a bare codec exception from deep in
+  * the decode stack, and never silent wrong data for structurally
+  * detectable corruption (bounds, magics, lengths, dictionary code
+  * ranges). Matrix per the round-7 verdict: footer truncation, bad
+  * magic, footer-length overflow, segment-length overflow past EOF,
+  * dict-code out-of-range, missing footer sidecar, plus a seeded
+  * byte-flip fuzz over both the footer and the data region. */
+class FlsCorruptionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val tmp = Files.createTempDirectory("fls-corrupt").toString
+  private var seq = 0
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("fls-corruption-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Rows chosen so the file carries dict strings, FFOR longs, and ALP
+    * doubles — the codecs the fuzz must not crash un-labeled. */
+  private def srcDf: DataFrame =
+    spark.range(0, 4096, 1, 1).selectExpr(
+      "id",
+      "concat('k', lpad(CAST(id % 40 AS STRING), 3, '0')) AS s", // dict-able
+      "CAST(id AS DOUBLE) / 8 AS d")
+
+  /** Write a pristine single-file table into a FRESH dir (footer cache
+    * keys on (path, mtime, length) — fresh dirs keep tests honest). */
+  private def writeTable(opts: Map[String, String] = Map.empty): (String, File) = {
+    seq += 1
+    val d = s"$tmp/t$seq"
+    var w = srcDf.write.format("fls").mode("overwrite")
+      .option("row_group_size", 1024)
+    opts.foreach { case (k, v) => w = w.option(k, v) }
+    w.save(d)
+    val f = new File(d).listFiles().filter(_.getName.endsWith(".fls")).head
+    (d, f)
+  }
+
+  /** True when the failure (anywhere in the cause chain — Spark wraps
+    * executor errors in SparkException layers) is fls-labeled. */
+  private def flsLabeled(t: Throwable): Boolean = {
+    var e: Throwable = t
+    var hops = 0
+    while (e != null && hops < 12) {
+      val m = e.getMessage
+      if (m != null && m.contains("fls:")) return true
+      e = e.getCause; hops += 1
+    }
+    false
+  }
+
+  private def expectFlsError(dir: String): Throwable = {
+    val t = intercept[Throwable] {
+      spark.read.format("fls").load(dir).collect()
+    }
+    assert(flsLabeled(t),
+      s"failure was not fls-labeled: ${t.getClass.getName}: ${t.getMessage}")
+    t
+  }
+
+  private def bytesOf(f: File): Array[Byte] = Files.readAllBytes(f.toPath)
+
+  /** Corrupt in place, and drop Hadoop's local-fs `.crc` sidecar: the
+    * contract under test is OUR detection of corruption the filesystem
+    * cannot see (HDFS/object stores verify transport, not bit-rot that
+    * arrives with a matching checksum or none at all). */
+  private def rewrite(f: File, b: Array[Byte]): Unit = {
+    Files.write(f.toPath, b)
+    val crc = new File(f.getParentFile, "." + f.getName + ".crc")
+    if (crc.exists()) assert(crc.delete())
+  }
+
+  test("file truncated below header+tail minimum") {
+    val (d, f) = writeTable()
+    rewrite(f, bytesOf(f).take(9))
+    expectFlsError(d)
+  }
+
+  test("file truncated mid-stream (tail magic gone)") {
+    val (d, f) = writeTable()
+    val b = bytesOf(f)
+    rewrite(f, b.take(b.length / 2))
+    expectFlsError(d)
+  }
+
+  test("bad tail magic") {
+    val (d, f) = writeTable()
+    val b = bytesOf(f)
+    b(b.length - 2) = 'X'.toByte
+    rewrite(f, b)
+    expectFlsError(d)
+  }
+
+  test("footer length out of bounds (positive overflow and negative)") {
+    for (bogus <- Seq(Long.MaxValue / 2, -7L)) {
+      val (d, f) = writeTable()
+      val b = bytesOf(f)
+      val w = new ByteWriter()
+      w.writeLong(bogus)
+      System.arraycopy(w.toArray, 0, b, b.length - 12, 8)
+      rewrite(f, b)
+      expectFlsError(d)
+    }
+  }
+
+  test("segment offsets past EOF (data region cut out, footer kept)") {
+    val (d, f) = writeTable()
+    val b = bytesOf(f)
+    val footerLen = new ByteReader(
+      java.util.Arrays.copyOfRange(b, b.length - 12, b.length - 4)).readLong()
+    assert(footerLen > 0 && footerLen < b.length)
+    val keepHead = 64 // header + a sliver of data; all segments now dangle
+    val spliced = b.take(keepHead) ++
+      java.util.Arrays.copyOfRange(b, (b.length - 12 - footerLen).toInt, b.length)
+    rewrite(f, spliced)
+    expectFlsError(d)
+  }
+
+  test("missing footer sidecar (inline_footer=false)") {
+    val (d, f) = writeTable(Map("inline_footer" -> "false"))
+    val side = new File(f.getParentFile, f.getName + ".footer")
+    assert(side.exists(), "setup: sidecar must exist")
+    assert(side.delete())
+    expectFlsError(d)
+  }
+
+  test("dictionary codes out of range are corruption, not an index crash") {
+    // unit-level: craft a DICT segment whose packed codes point past the
+    // dictionary — the lazy dict-vector path must refuse it at decode
+    val dict = Array(10L, 20L, 30L)
+    val codes = Array(0L, 1L, 2L, 7L) // 7 >= dict size
+    val w = new ByteWriter()
+    Codecs.encodeDictLong(new Array[Long](4), dict, codes, w)
+    val e = intercept[java.io.IOException] {
+      Codecs.decodeDictLongRaw(new ByteReader(w.toArray))
+    }
+    assert(e.getMessage.startsWith("fls:") && e.getMessage.contains("out of range"),
+      e.getMessage)
+
+    val wd = new ByteWriter()
+    Codecs.encodeDictDouble(3, Array(1.5, 2.5), Array(0L, 5L, 1L), wd)
+    assert(intercept[java.io.IOException] {
+      Codecs.decodeDictDoubleRaw(new ByteReader(wd.toArray))
+    }.getMessage.startsWith("fls:"))
+
+    val bd = {
+      val bw = new ByteWriter()
+      val dictBytes = BytesData(Array(0, 1, 2), "ab".getBytes)
+      Codecs.encodeDictBytes(3, dictBytes, Array(1L, 9L, 0L), bw)
+      bw.toArray
+    }
+    assert(intercept[java.io.IOException] {
+      Codecs.decodeDictBytesRaw(new ByteReader(bd))
+    }.getMessage.startsWith("fls:"))
+  }
+
+  test("byte-flip fuzz: every failure is fls-labeled, reads never crash bare") {
+    val (d, f) = writeTable()
+    val pristine = bytesOf(f)
+    val expected = spark.read.format("fls").load(d).collect().length
+    val rnd = new scala.util.Random(0xF15)
+    val dataEnd = pristine.length - 12
+    var flips = 0
+    var failures = 0
+    while (flips < 24) {
+      // positions spread across data AND footer; XOR a random bit
+      val pos = 5 + rnd.nextInt(dataEnd - 5)
+      val b = pristine.clone()
+      b(pos) = (b(pos) ^ (1 << rnd.nextInt(8))).toByte
+      rewrite(f, b)
+      // bump mtime so the footer cache cannot serve the pristine parse
+      f.setLastModified(f.lastModified() + 1000 * (flips + 1))
+      try {
+        val rows = spark.read.format("fls").load(d).collect()
+        // a flip may land in slack bytes or produce valid alternate
+        // values — fine; the CONTRACT is only about how failures look
+        assert(rows.length <= expected * 2)
+      } catch {
+        case t: Throwable =>
+          failures += 1
+          assert(flsLabeled(t),
+            s"flip at $pos escaped un-labeled: ${t.getClass.getName}: ${t.getMessage}")
+      }
+      flips += 1
+    }
+    rewrite(f, pristine)
+    assert(failures > 0, "fuzz never failed — corruption matrix too weak to test the contract")
+  }
+}
