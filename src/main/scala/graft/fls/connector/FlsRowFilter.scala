@@ -48,14 +48,23 @@ object FlsRowFilter {
     }
   }
 
-  /** Comparison / IN / prefix over the long physical domain. */
-  private final class LongPred(ci: Int, op: Int, v: Long) extends Pred(ci) {
-    @inline private def keep(x: Long): Boolean = op match {
-      case EQ => x == v
-      case GT => x > v
-      case GE => x >= v
-      case LT => x < v
-      case LE => x <= v
+  /** Comparison / IN / prefix over the long physical domain.
+    * `flip = Long.MinValue` turns every compare UNSIGNED via the
+    * order-isomorphism `u64compare(a, b) == compare(a^MIN, b^MIN)` —
+    * the UINT64 raw-bits domain — at one XOR per row on the signed
+    * path (flip = 0, measured in the noise of the compare loop). */
+  private final class LongPred(ci: Int, op: Int, v0: Long, flip: Long = 0L)
+      extends Pred(ci) {
+    private val v = v0 ^ flip
+    @inline private def keep(x0: Long): Boolean = {
+      val x = x0 ^ flip
+      op match {
+        case EQ => x == v
+        case GT => x > v
+        case GE => x >= v
+        case LT => x < v
+        case LE => x <= v
+      }
     }
     def filter(data: ColData, sel: Array[Int], m: Int): Int =
       data match {
@@ -104,13 +113,22 @@ object FlsRowFilter {
     }
   }
 
-  private final class LongInPred(ci: Int, sorted: Array[Long]) extends Pred(ci) {
+  /** `raw` holds domain values (raw bits for UINT64); the search array
+    * is built in the FLIPPED space so signed binarySearch realizes the
+    * unsigned order (see [[LongPred]]). */
+  private final class LongInPred(ci: Int, raw: Array[Long], flip: Long = 0L)
+      extends Pred(ci) {
+    private val sorted: Array[Long] = {
+      val a = raw.map(_ ^ flip)
+      java.util.Arrays.sort(a)
+      a
+    }
     def filter(data: ColData, sel: Array[Int], m: Int): Int =
       data match {
         case LongData(vs) =>
           var k = 0; var i = 0
           while (i < m) {
-            if (java.util.Arrays.binarySearch(sorted, vs(sel(i))) >= 0) {
+            if (java.util.Arrays.binarySearch(sorted, vs(sel(i)) ^ flip) >= 0) {
               sel(k) = sel(i); k += 1
             }
             i += 1
@@ -120,7 +138,7 @@ object FlsRowFilter {
           val keep = new Array[Boolean](dict.length)
           var j = 0
           while (j < dict.length) {
-            keep(j) = java.util.Arrays.binarySearch(sorted, dict(j)) >= 0; j += 1
+            keep(j) = java.util.Arrays.binarySearch(sorted, dict(j) ^ flip) >= 0; j += 1
           }
           var k = 0; var i = 0
           while (i < m) {
@@ -459,13 +477,40 @@ object FlsRowFilter {
           Some(d.setScale(ct.scale).unscaledValue().longValueExact())
         case (DECIMAL, d: BigDecimal) =>
           Some(d.setScale(ct.scale).underlying().unscaledValue().longValueExact())
-        case (INT8 | INT16 | INT32 | INT64, n: java.lang.Byte) => Some(n.longValue())
-        case (INT8 | INT16 | INT32 | INT64, n: java.lang.Short) => Some(n.longValue())
-        case (INT8 | INT16 | INT32 | INT64, n: java.lang.Integer) => Some(n.longValue())
-        case (INT8 | INT16 | INT32 | INT64, n: java.lang.Long) => Some(n.longValue())
+        // u8/u16/u32 widen to non-negative longs, where signed order IS
+        // unsigned order — the plain long path is already exact
+        case (INT8 | INT16 | INT32 | INT64 | UINT8 | UINT16 | UINT32,
+            n: java.lang.Byte) => Some(n.longValue())
+        case (INT8 | INT16 | INT32 | INT64 | UINT8 | UINT16 | UINT32,
+            n: java.lang.Short) => Some(n.longValue())
+        case (INT8 | INT16 | INT32 | INT64 | UINT8 | UINT16 | UINT32,
+            n: java.lang.Integer) => Some(n.longValue())
+        case (INT8 | INT16 | INT32 | INT64 | UINT8 | UINT16 | UINT32,
+            n: java.lang.Long) => Some(n.longValue())
         case _ => None
       }
     } catch { case _: ArithmeticException => None } // inexact scale/overflow
+  }
+
+  /** Exact literal → UINT64 raw-bits conversion: the column surfaces as
+    * DECIMAL(20,0), so literals arrive as BigDecimal; an integral value
+    * in [0, 2^64) maps to its low 64 bits (the stored pattern — values
+    * past Long.MaxValue land on negative longs, compared with the
+    * unsigned flip). Out-of-domain literals drop the conjunct. */
+  private val Two64 = java.math.BigInteger.ONE.shiftLeft(64)
+  private def toU64RawExact(value: Any): Option[Long] = {
+    val bi: java.math.BigInteger = value match {
+      case d: java.math.BigDecimal =>
+        try d.toBigIntegerExact catch { case _: ArithmeticException => return None }
+      case d: BigDecimal =>
+        try d.underlying().toBigIntegerExact
+        catch { case _: ArithmeticException => return None }
+      case n: java.lang.Long => java.math.BigInteger.valueOf(n)
+      case n: java.lang.Integer => java.math.BigInteger.valueOf(n.longValue())
+      case _ => return None
+    }
+    if (bi.signum() < 0 || bi.compareTo(Two64) >= 0) None
+    else Some(bi.longValue()) // truncation to low 64 bits = raw pattern
   }
 
   private def toDoubleExact(value: Any, ct: ColumnType): Option[Double] = {
@@ -505,6 +550,8 @@ object FlsRowFilter {
     def cmpPred(name: String, v: Any, op: Int): Option[Pred] =
       typed(name).flatMap { case (ci, ct) =>
         physOf(ct.tag) match {
+          case Phys.LONG if ct.tag == TypeTag.UINT64 =>
+            toU64RawExact(v).map(new LongPred(ci, op, _, flip = Long.MinValue))
           case Phys.LONG => toLongExact(v, ct).map(new LongPred(ci, op, _))
           case Phys.DOUBLE => toDoubleExact(v, ct).map(new DoublePred(ci, op, _))
           case Phys.BYTES => toBytes(v).map(new BytesPred(ci, op, _))
@@ -527,13 +574,15 @@ object FlsRowFilter {
         typed(c).flatMap { case (ci, ct) =>
           if (vs.contains(null)) None // null in set: leave to Catalyst
           else physOf(ct.tag) match {
+            case Phys.LONG if ct.tag == TypeTag.UINT64 =>
+              val conv = vs.map(toU64RawExact)
+              if (conv.exists(_.isEmpty)) None
+              else Some(new LongInPred(ci, conv.map(_.get).distinct,
+                flip = Long.MinValue))
             case Phys.LONG =>
               val conv = vs.map(toLongExact(_, ct))
               if (conv.exists(_.isEmpty)) None
-              else {
-                val arr = conv.map(_.get).distinct.sorted
-                Some(new LongInPred(ci, arr))
-              }
+              else Some(new LongInPred(ci, conv.map(_.get).distinct))
             case Phys.DOUBLE =>
               val conv = vs.map(toDoubleExact(_, ct))
               if (conv.exists(_.isEmpty)) None

@@ -201,6 +201,15 @@ object FlsZoneMap {
             case None => true
             case Some(x) =>
               val (mn, mx) = physOf(ct.tag) match {
+                case Phys.LONG if ct.tag == TypeTag.UINT64 =>
+                  // Stats are SIGNED min/max of the raw bits. Signed and
+                  // unsigned order agree within each half of the domain,
+                  // so same-sign stats ARE the unsigned bounds; a group
+                  // straddling 2^63 has unknowable unsigned bounds from
+                  // signed stats — keep it (conservative, rare when data
+                  // is clustered at 64Ki-row granularity).
+                  if ((seg.minLong < 0L) != (seg.maxLong < 0L)) return true
+                  (u64ToDouble(seg.minLong), u64ToDouble(seg.maxLong))
                 case Phys.LONG => (seg.minLong.toDouble, seg.maxLong.toDouble)
                 case Phys.DOUBLE => (seg.minDouble, seg.maxDouble)
                 case _ => return true
@@ -232,9 +241,37 @@ object FlsZoneMap {
         case (DECIMAL, d: BigDecimal) =>
           Some(d.setScale(ct.scale).underlying().unscaledValue().doubleValue())
         case (FLOAT | DOUBLE, n: Number) => Some(n.doubleValue())
-        case (INT8 | INT16 | INT32 | INT64, n: Number) => Some(n.longValue().toDouble)
+        // u8/u16/u32 widen to non-negative longs: same comparison space
+        case (INT8 | INT16 | INT32 | INT64 | UINT8 | UINT16 | UINT32,
+            n: Number) => Some(n.longValue().toDouble)
+        // UINT64 (surfaced as DECIMAL(20,0)): compare in unsigned-value
+        // double space [0, 2^64) — strict ops already widen by 1 ulp
+        // past 2^52 (inexact guard), so rounding cannot mis-prune
+        case (UINT64, d: java.math.BigDecimal) =>
+          val bi = d.toBigIntegerExact // throws ArithmeticException → None
+          if (bi.signum() < 0 || bi.bitLength() > 64) None
+          else Some(bi.doubleValue())
+        case (UINT64, d: BigDecimal) =>
+          val bi = d.underlying().toBigIntegerExact
+          if (bi.signum() < 0 || bi.bitLength() > 64) None
+          else Some(bi.doubleValue())
+        case (UINT64, n: java.lang.Integer) =>
+          if (n >= 0) Some(n.doubleValue()) else None
+        case (UINT64, n: java.lang.Long) =>
+          if (n >= 0L) Some(n.doubleValue()) else None
         case _ => None
       }
     } catch { case _: ArithmeticException => None }
   }
+
+  /** Raw 64-bit pattern → unsigned numeric value as double, CORRECTLY
+    * rounded (shift + round-to-odd, the classic unsigned-long trick).
+    * Single rounding matters: the literal side converts via
+    * BigInteger.doubleValue (also correctly rounded), so the same u64
+    * value maps to the SAME double on both sides — a double-rounded
+    * `toDouble + 2^64` could land a few ulp away and mis-prune an
+    * equality against a constant group. */
+  @inline def u64ToDouble(raw: Long): Double =
+    if (raw >= 0L) raw.toDouble
+    else ((raw >>> 1) | (raw & 1L)).toDouble * 2.0
 }
