@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Full-suite scale sweep: replicate every sf0.1 table `mult`× (join
+  * keys shifted per replica so join cardinalities stay 1:N, dims left
+  * unscaled like a real warehouse), then run EVERY SparkEntry query on
+  * the base and the scaled copy and report the per-query growth curve —
+  * the cheap way to find the next scale cliff before a cluster does.
+  *
+  * Usage: runMain graft.ScaleSweep [mult] [perQueryCapSeconds]
+  * Writes /tmp/graft_scale_sweep_<mult>.json and prints one line per
+  * query as it lands (the run is long; partial output is the point). */
+object ScaleSweep {
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(128)
+    val capSec = if (args.length > 1) args(1).toInt else 900
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scaledDir = s"/tmp/graft_scale/x$mult"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    generate(spark, baseDir, scaledDir, mult)
+
+    // base pass: warm + two timed, min (same discipline as Bench)
+    println(s"[sweep] base pass over $baseDir")
+    val base = timeAll(spark, baseDir, reps = 2, warm = true, capSec = capSec,
+      label = "base")
+    println(s"[sweep] scaled pass over $scaledDir (${mult}x, cap ${capSec}s/query)")
+    val scaled = timeAll(spark, scaledDir, reps = 1, warm = false, capSec = capSec,
+      label = s"${mult}x")
+
+    val rows = SparkEntry.queries.keys.toSeq.sorted.map { q =>
+      val b = base.getOrElse(q, -1.0)
+      val s = scaled.getOrElse(q, -1.0)
+      val ratio = if (b > 0 && s > 0) s / b else -1.0
+      val perMult = if (ratio > 0) ratio / mult else -1.0
+      f"""{"q":"$q","base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":$ratio%.1f,"ratio_over_mult":$perMult%.3f}"""
+    }
+    val json = rows.mkString("[", ",\n", "]")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"/tmp/graft_scale_sweep_$mult.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[sweep] wrote /tmp/graft_scale_sweep_$mult.json")
+    spark.stop()
+  }
+
+  /** Replica i shifts each listed key by i*stride — unions stay unique
+    * per replica, every parent/child join key shifts in lockstep, and
+    * foreign keys into UNSCALED dims (custkey, partkey, suppkey) are
+    * untouched, so join fan-outs scale like real growth: more facts
+    * over the same dimensions. */
+  private val keyShifts: Map[String, Seq[(String, Long)]] = Map(
+    "lineitem" -> Seq(("l_orderkey", 100000000L)),
+    "orders" -> Seq(("o_orderkey", 100000000L)),
+    "events" -> Seq(("event_id", 1000000000L)),
+    "documents" -> Seq(("doc_id", 100000000L)),
+    "embeddings" -> Seq(("vec_id", 100000000L)))
+  private val dims = Seq("region", "nation", "customer", "supplier", "part")
+
+  private def generate(spark: SparkSession, baseDir: String,
+      scaledDir: String, mult: Int): Unit = {
+    val done = java.nio.file.Paths.get(s"$scaledDir/_DONE")
+    if (java.nio.file.Files.exists(done)) {
+      println(s"[sweep] scaled data exists at $scaledDir")
+      return
+    }
+    val t0 = System.nanoTime()
+    for ((t, shifts) <- keyShifts) {
+      val src = spark.read.parquet(s"$baseDir/$t.parquet")
+      val big = (0 until mult).map { i =>
+        shifts.foldLeft(src) { case (df, (k, stride)) =>
+          df.withColumn(k, col(k) + lit(i * stride))
+        }
+      }.reduce(_ unionAll _)
+      big.repartition(32).write.mode("overwrite")
+        .parquet(s"$scaledDir/$t.parquet")
+      println(f"[sweep] wrote $t ${mult}x (${(System.nanoTime() - t0) / 1e9}%.0f s)")
+    }
+    for (t <- dims)
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$scaledDir/$t.parquet")
+    java.nio.file.Files.createFile(done)
+    println(f"[sweep] datagen done in ${(System.nanoTime() - t0) / 1e9}%.0f s")
+  }
+
+  /** Time every query; a query past `capSec` is cancelled via its job
+    * group and recorded as -2 (TIMEOUT). */
+  private def timeAll(spark: SparkSession, dir: String, reps: Int,
+      warm: Boolean, capSec: Int, label: String): Map[String, Double] = {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    if (warm) names.foreach { q =>
+      try SparkEntry.queries(q)(spark, dir).count()
+      catch { case _: Throwable => () }
+    }
+    names.map { q =>
+      var best = Double.MaxValue
+      var r = 0
+      var timedOut = false
+      while (r < reps && !timedOut) {
+        val t0 = System.nanoTime()
+        var err: Throwable = null
+        val th = new Thread(() =>
+          try {
+            spark.sparkContext.setJobGroup(s"sweep-$q", q, interruptOnCancel = true)
+            SparkEntry.queries(q)(spark, dir).count()
+          } catch { case e: Throwable => err = e }
+          finally spark.sparkContext.clearJobGroup())
+        th.start()
+        th.join(capSec * 1000L)
+        if (th.isAlive) {
+          spark.sparkContext.cancelJobGroup(s"sweep-$q")
+          th.join(60000L)
+          timedOut = true
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (!timedOut && err == null) best = math.min(best, dt)
+        else if (err != null) { best = -1.0; timedOut = true }
+        r += 1
+      }
+      val v = if (timedOut && best == Double.MaxValue) -2.0
+        else if (best == Double.MaxValue) -1.0 else best
+      println(f"[sweep] $label $q%-22s $v%9.2f s")
+      q -> v
+    }.toMap
+  }
+}

@@ -12,7 +12,8 @@ object SparkEntry {
       graft.queries.Dedup.queries ++ graft.queries.Similarity.queries ++
       graft.queries.TextAnalysis.queries ++ graft.queries.Multimodal.queries ++
       graft.queries.Streaming.queries ++ graft.queries.AsofJoin.queries ++
-      graft.queries.Sampling.queries ++ graft.queries.Corpus.queries
+      graft.queries.Sampling.queries ++ graft.queries.Corpus.queries ++
+      graft.queries.Graph.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +22,6 @@ object SparkEntry {
       graft.queries.Dedup.oracles ++ graft.queries.Similarity.oracles ++
       graft.queries.TextAnalysis.oracles ++ graft.queries.Multimodal.oracles ++
       graft.queries.Streaming.oracles ++ graft.queries.AsofJoin.oracles ++
-      graft.queries.Sampling.oracles ++ graft.queries.Corpus.oracles
+      graft.queries.Sampling.oracles ++ graft.queries.Corpus.oracles ++
+      graft.queries.Graph.oracles
 }

@@ -263,6 +263,80 @@ object Corpus {
                    CAST((SELECT sum(sq) FROM s) AS DOUBLE), 6) AS weight
       FROM s ORDER BY source"""
 
+  /** q68: sequence packing — assign every document to its
+    * training-sequence bin by cumulative token count under a stable
+    * doc_id order (the GPT-style contiguous-concatenation packing).
+    * The cumsum is the scale trap: a window `SUM() OVER (ORDER BY …)`
+    * is a single-partition sort. This routes through
+    * [[graft.functions.DistributedPrefixSum]] — range partition +
+    * per-partition sums + driver prefix of the 32 partition sums — so
+    * the packing scales like a shuffle, not like one node. Token count
+    * is the standard chars/4 heuristic (the tokenizer-true count would
+    * come from q29's pipeline); bin = starting offset DIV 4096. */
+  def q68SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), greatest(expr("n_chars DIV 4"), lit(1L)).as("tok"))
+    val c = graft.functions.DistributedPrefixSum.withRunningSum(
+      toks, Seq(col("doc_id")), "tok", "cum")
+    c.select(expr("(cum - tok) DIV 4096").as("bin_id"), col("tok"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"))
+      .orderBy("bin_id")
+  }
+
+  val q68Sql: String =
+    """WITH t AS (
+         SELECT doc_id, GREATEST(n_chars // 4, 1) AS tok FROM documents
+       ), c AS (
+         SELECT doc_id, tok,
+                SUM(tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM t
+       )
+       SELECT ((cum - tok) // 4096)::BIGINT AS bin_id,
+              COUNT(*)::BIGINT AS n_docs, SUM(tok)::BIGINT AS sum_tokens
+       FROM c GROUP BY 1 ORDER BY 1"""
+
+  /** q69: n-gram contamination screen — the word-level sibling of q58's
+    * whole-document hash: a held-out split (doc_id % 97) contributes
+    * its word 3-grams; any training document sharing one is flagged.
+    * Real pipelines run 8–13-grams; the synthetic corpus's vocabulary
+    * is tiny so 3-grams keep the result non-degenerate — the shape is
+    * identical. Scale: the test split's distinct n-grams are small by
+    * construction (held-out sets are) → broadcast semi-join; the
+    * training side is explode + map-side distinct. */
+  def q69NgramContamination(spark: SparkSession, dir: String): DataFrame = {
+    val w = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val g = w.select(col("doc_id"), col("lang"), explode(expr(
+      "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3)))"))
+      .as("ng"))
+    val test = g.filter("doc_id % 97 = 0").select("ng").distinct()
+    g.filter("doc_id % 97 != 0")
+      .join(broadcast(test), Seq("ng"))
+      .select("doc_id", "lang").distinct()
+      .groupBy("lang")
+      .agg(count(lit(1)).as("contaminated_docs"))
+      .orderBy("lang")
+  }
+
+  val q69Sql: String =
+    """WITH w AS (
+         SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+       ), g AS (
+         SELECT doc_id, lang,
+                UNNEST(list_transform(generate_series(1, GREATEST(len(ws)-2, 0)),
+                  i -> array_to_string(list_slice(ws, i, i+2), ' '))) AS ng
+         FROM w
+       ), test_g AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+          contaminated AS (
+         SELECT DISTINCT g.doc_id, g.lang FROM g
+         JOIN test_g USING (ng) WHERE g.doc_id % 97 <> 0
+       )
+       SELECT lang, COUNT(*)::BIGINT AS contaminated_docs
+       FROM contaminated GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_heavy_hitters" -> (q56HeavyHitters _),
     "q57_quantize_embeddings" -> (q57QuantizeEmbeddings _),
@@ -272,7 +346,9 @@ object Corpus {
     "q61_length_quantiles" -> (q61LengthQuantiles _),
     "q62_bag_dedup" -> (q62BagDedup _),
     "q63_freq_quality" -> (q63FreqQuality _),
-    "q64_mix_weights" -> (q64MixWeights _))
+    "q64_mix_weights" -> (q64MixWeights _),
+    "q68_sequence_pack" -> (q68SequencePack _),
+    "q69_ngram_contamination" -> (q69NgramContamination _))
 
   val oracles: Map[String, String] = Map(
     "q56_heavy_hitters" -> q56Sql,
@@ -283,5 +359,7 @@ object Corpus {
     "q61_length_quantiles" -> q61Sql,
     "q62_bag_dedup" -> q62Sql,
     "q63_freq_quality" -> q63Sql,
-    "q64_mix_weights" -> q64Sql)
+    "q64_mix_weights" -> q64Sql,
+    "q68_sequence_pack" -> q68Sql,
+    "q69_ngram_contamination" -> q69Sql)
 }

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** Graph-shaped corpus operators. Near-duplicate detection emits
+  * candidate PAIRS (q21–q24); turning pairs into dedup decisions needs
+  * CONNECTED COMPONENTS — "keep one document per component", the step
+  * that actually shrinks the corpus. */
+object Graph {
+
+  /** q70: connected-components dedup clustering by iterative min-label
+    * propagation. Candidate edges come from two cheap blocking systems
+    * — same (lang, source) and same (lang, 64-char length band) — each
+    * contributing star edges to its block's min doc_id; overlapping
+    * stars chain blocks together, so components genuinely require the
+    * transitive closure (a single groupBy cannot produce them).
+    *
+    * Scale shape: labels start as each node's own id; each round every
+    * node takes the min of its neighbors' labels (one shuffle join +
+    * one aggregate), until a fixpoint — convergence in at most the
+    * graph diameter rounds, checked with a cheap count per round. This
+    * is the primitive behind the large-star/small-star CC algorithm;
+    * on a 100 TB corpus the star-contraction variant cuts the round
+    * count, but each round is THE SAME join+min — nothing here funnels
+    * through the driver except the per-round convergence counter.
+    * The oracle computes the identical closure with a recursive CTE. */
+  def q70DedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    val w1 = Window.partitionBy(col("lang"), col("source"))
+    val w2 = Window.partitionBy(col("lang"), expr("n_chars DIV 64"))
+    val b1 = d.select(col("doc_id").as("a"), min("doc_id").over(w1).as("b"))
+    val b2 = d.select(col("doc_id").as("a"), min("doc_id").over(w2).as("b"))
+    val e0 = b1.union(b2).filter(col("a") =!= col("b")).distinct()
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    // Iterative propagation MUST truncate lineage per round: each round
+    // references the previous labels twice (neighbor join + convergence
+    // diff), so the logical plan doubles per iteration and a 20-round
+    // chain OOMs the driver just printing itself. localCheckpoint
+    // materializes the round and cuts the plan back to a leaf (on a
+    // cluster: checkpoint to reliable storage for executor-loss safety).
+    var labels = d.select(col("doc_id").as("node"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 64) {
+      val nbrMin = edges.as("e")
+        .join(labels.as("l"), col("e.b") === col("l.node"))
+        .select(col("e.a").as("node"), col("l.label").as("nlabel"))
+        .groupBy("node").agg(min("nlabel").as("nmin"))
+      val next = labels.as("l").join(nbrMin.as("n"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("l.label"), coalesce(col("n.nmin"), col("l.label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("x")
+        .join(labels.as("o").withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"q70: label propagation did not converge in $iter rounds")
+    edges.unpersist()
+    labels.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("cluster")
+  }
+
+  val q70Sql: String =
+    """WITH RECURSIVE b1 AS (
+         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, source) AS rep
+         FROM documents
+       ), b2 AS (
+         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, n_chars // 64) AS rep
+         FROM documents
+       ), edges0 AS (
+         SELECT doc_id AS a, rep AS b FROM b1 WHERE doc_id <> rep
+         UNION SELECT doc_id, rep FROM b2 WHERE doc_id <> rep
+       ), edges AS (
+         SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0
+       ), rec AS (
+         SELECT doc_id AS node, doc_id AS label FROM documents
+         UNION
+         SELECT e.a AS node, r.label FROM rec r JOIN edges e ON e.b = r.node
+       ), cc AS (
+         SELECT node, MIN(label) AS cluster FROM rec GROUP BY node
+       )
+       SELECT cluster::BIGINT AS cluster, COUNT(*)::BIGINT AS n_docs
+       FROM cc GROUP BY cluster ORDER BY cluster"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_dedup_components" -> (q70DedupComponents _))
+
+  val oracles: Map[String, String] = Map(
+    "q70_dedup_components" -> q70Sql)
+}

@@ -174,11 +174,38 @@ object TextAnalysis {
         coalesce(list_sum(mins), 0)::BIGINT AS fp_sum
       FROM m ORDER BY doc_id"""
 
+  /** q67: boilerplate/stopword scrubbing — the cleaning pass every
+    * corpus pipeline runs before tokenization (strip filler tokens,
+    * measure how much each language sheds). Pure map-side regex work
+    * feeding one small aggregate: embarrassingly parallel at 100 TB.
+    * Word-boundary regex semantics agree between Java (Spark) and RE2
+    * (DuckDB) for this alternation, so the oracle is exact. */
+  def q67Scrub(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(size(regexp_extract_all(col("text"),
+          lit("\\b(a|the)\\b"), lit(0)))).as("removed_words"),
+        sum(length(col("text")) -
+          length(regexp_replace(col("text"), lit("\\b(a|the)\\b"), lit(""))))
+          .as("chars_removed"))
+      .orderBy("lang")
+
+  val q67Sql: String =
+    """SELECT lang,
+         COUNT(*)::BIGINT AS docs,
+         SUM(len(regexp_extract_all(text, '\b(a|the)\b')))::BIGINT AS removed_words,
+         SUM(length(text) -
+             length(regexp_replace(text, '\b(a|the)\b', '', 'g')))::BIGINT AS chars_removed
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_text_lang_id" -> (q27LangId _),
     "q28_text_quality" -> (q28QualityScore _),
     "q29_text_tokens" -> (q29TokenCount _),
     "q30_text_fingerprint" -> (q30Fingerprint _),
+    "q67_scrub" -> (q67Scrub _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -186,5 +213,6 @@ object TextAnalysis {
     "q28_text_quality" -> q28Sql,
     "q29_text_tokens" -> q29Sql,
     "q30_text_fingerprint" -> q30Sql,
+    "q67_scrub" -> q67Sql,
   )
 }

@@ -1,0 +1,123 @@
+// Lives under org.apache.spark.sql to reach private[sql]/private[spark]
+// helpers (classic.Dataset.ofRows, RDD.mapPartitionsWithIndexInternal) —
+// see GlobalRowNumber.scala.
+package org.apache.spark.sql.graftplans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BoundReference, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** Scale-shaped global running (prefix) sum of a long column under a
+  * total order — the cumulative sum a window
+  * `SUM(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)` computes by
+  * funneling everything through ONE partition's sort. Identical
+  * two-pass discipline as [[GlobalRowNumber]], and the same reason it
+  * must be a single physical operator: both passes have to observe the
+  * one materialized range shuffle, or the two branches sample their own
+  * range bounds and the running sum silently corrupts at partition
+  * boundaries. Pass 1 sums the value per sorted range partition; the
+  * driver prefix-sums those into per-partition starting offsets; pass 2
+  * emits offset-plus-running-within-partition with a codegen'd
+  * projection (no GenericRow round-trip). */
+case class GlobalRunningSum(valueAttr: Attribute, outAttr: AttributeReference,
+    order: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GlobalRunningSum =
+    copy(child = newChild)
+}
+
+object GlobalRunningSumStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case g: GlobalRunningSum =>
+      GlobalRunningSumExec(g.valueAttr, g.outAttr, g.order, planLater(g.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class GlobalRunningSumExec(valueAttr: Attribute, outAttr: AttributeReference,
+    order: Seq[SortOrder], child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val vi = child.output.indexWhere(_.exprId == valueAttr.exprId)
+    require(vi >= 0, s"value attribute $valueAttr not in child output")
+    val rdd = child.execute()
+    // Pass 1: per-partition value sums over the materialized shuffle.
+    // NULL values contribute 0 — the same skip SQL's SUM applies.
+    val sums = rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
+      var s = 0L
+      while (it.hasNext) {
+        val row = it.next()
+        if (!row.isNullAt(vi)) s += row.getLong(vi)
+      }
+      s
+    })
+    // offsets(p) = sum of all values in partitions before p
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val childAttrs = child.output
+    rdd.mapPartitionsWithIndexInternal { (pid, it) =>
+      val proj = UnsafeProjection.create(
+        (childAttrs :+ outAttr).zipWithIndex.map { case (a, i) =>
+          BoundReference(i, a.dataType, a.nullable)
+        })
+      val joined = new JoinedRow
+      val sumRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      var running = offsets(pid)
+      it.map { row =>
+        if (!row.isNullAt(vi)) running += row.getLong(vi)
+        sumRow.setLong(0, running) // INCLUSIVE prefix sum
+        proj(joined(row, sumRow))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GlobalRunningSumExec =
+    copy(child = newChild)
+}
+
+object GlobalRunningSum {
+
+  /** Append `outputCol` = inclusive global running sum of `valueCol`
+    * (a non-null LONG column of `df`) under `orderBy`. */
+  def withRunningSum(df: DataFrame, orderBy: Seq[Column], valueCol: String,
+      outputCol: String, numPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GlobalRunningSumStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GlobalRunningSumStrategy
+    }
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, orderBy: _*).sortWithinPartitions(orderBy: _*)
+    val childPlan = sorted.queryExecution.analyzed
+    val resolvedOrder = childPlan match {
+      case org.apache.spark.sql.catalyst.plans.logical.Sort(ord, false, _, _) => ord
+      case other => throw new IllegalStateException(
+        s"expected a local Sort at the top of the running-sum child, got:\n$other")
+    }
+    val valueAttr = childPlan.output.find(_.name == valueCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"running-sum value column $valueCol not in ${childPlan.output.map(_.name)}"))
+    require(valueAttr.dataType == LongType,
+      s"running-sum value column $valueCol must be LONG, " +
+        s"got ${valueAttr.dataType} (NULLs sum as 0, like SQL SUM)")
+    val outAttr = AttributeReference(outputCol, LongType, nullable = false)()
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession],
+      GlobalRunningSum(valueAttr, outAttr, resolvedOrder, childPlan))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q70's iterative min-label propagation must equal a local union-find
+  * over the same blocking edges — on a topology DESIGNED to need
+  * multi-hop closure (length bands chain sources that share no block
+  * directly). */
+class GraphCcSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val tmp = Files.createTempDirectory("graph-cc").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graph-cc-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** (doc_id, lang, source, n_chars): sources s0..s9 within a lang are
+    * chained pairwise through shared length bands, so the closure needs
+    * several hops; a second lang stays fully separate. */
+  private def docs: Seq[(Long, String, String, Long)] = {
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var id = 0L
+    for (lang <- Seq("en", "de"); s <- 0 until 10; i <- 0 until 5) {
+      // band s*2 and s*2+1 both appear in source s; band s*2+1 also in
+      // source s+1 → chain s0–s1–…–s9 via overlapping bands
+      val band = if (i < 3) s * 2 else s * 2 + 1
+      rows += ((id, lang, s"s$s", band * 64L + (i % 3)))
+      id += 1
+      if (i == 4 && s < 9) { // the chaining doc: next source, same band
+        rows += ((id, lang, s"s${s + 1}", band * 64L + 1))
+        id += 1
+      }
+    }
+    rows.toSeq
+  }
+
+  private def unionFind(rows: Seq[(Long, String, String, Long)]): Map[Long, Int] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for ((_, g) <- rows.groupBy(r => (r._2, r._3)))
+      g.map(_._1).foreach(union(_, g.map(_._1).min))
+    for ((_, g) <- rows.groupBy(r => (r._2, r._4 / 64)))
+      g.map(_._1).foreach(union(_, g.map(_._1).min))
+    rows.map(_._1).groupBy(find).map { case (rep, members) => rep -> members.size }
+  }
+
+  test("components equal a local union-find; closure is genuinely multi-hop") {
+    val sp = spark; import sp.implicits._
+    val d = docs
+    d.toDF("doc_id", "lang", "source", "n_chars")
+      .selectExpr("doc_id", "'x' AS text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val exp = unionFind(d).map { case (k, v) => (k, v.toLong) }
+    val got = graft.queries.Graph.q70DedupComponents(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == exp, s"missing=${(exp.toSet -- got.toSet).take(3)} " +
+      s"extra=${(got.toSet -- exp.toSet).take(3)}")
+    // the design goal: one component per lang spanning all 10 sources —
+    // reachable only through ≥2 propagation hops
+    assert(got.size == 2, s"expected 2 chained components, got ${got.size}")
+  }
+}
