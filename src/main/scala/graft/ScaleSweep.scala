@@ -9,14 +9,19 @@ import org.apache.spark.sql.functions._
   * the base and the scaled copy and report the per-query growth curve —
   * the cheap way to find the next scale cliff before a cluster does.
   *
-  * Usage: runMain graft.ScaleSweep [mult] [perQueryCapSeconds]
+  * Usage: runMain graft.ScaleSweep [mult] [perQueryCapSeconds] [q1,q2,…]
+  * (the optional third arg restricts to a comma-separated query subset —
+  * re-measuring outliers without repaying the full pass).
   * Writes /tmp/graft_scale_sweep_<mult>.json and prints one line per
   * query as it lands (the run is long; partial output is the point). */
 object ScaleSweep {
 
+  private var only: Set[String] = Set.empty
+
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(128)
     val capSec = if (args.length > 1) args(1).toInt else 900
+    only = if (args.length > 2) args(2).split(",").map(_.trim).toSet else Set.empty
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scaledDir = s"/tmp/graft_scale/x$mult"
@@ -38,7 +43,7 @@ object ScaleSweep {
     val scaled = timeAll(spark, scaledDir, reps = 1, warm = false, capSec = capSec,
       label = s"${mult}x")
 
-    val rows = SparkEntry.queries.keys.toSeq.sorted.map { q =>
+    val rows = names.map { q =>
       val b = base.getOrElse(q, -1.0)
       val s = scaled.getOrElse(q, -1.0)
       val ratio = if (b > 0 && s > 0) s / b else -1.0
@@ -46,8 +51,9 @@ object ScaleSweep {
       f"""{"q":"$q","base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":$ratio%.1f,"ratio_over_mult":$perMult%.3f}"""
     }
     val json = rows.mkString("[", ",\n", "]")
+    val suffix = if (only.isEmpty) "" else "_subset"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"/tmp/graft_scale_sweep_$mult.json"),
+      java.nio.file.Paths.get(s"/tmp/graft_scale_sweep_$mult$suffix.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[sweep] wrote /tmp/graft_scale_sweep_$mult.json")
     spark.stop()
@@ -94,9 +100,13 @@ object ScaleSweep {
 
   /** Time every query; a query past `capSec` is cancelled via its job
     * group and recorded as -2 (TIMEOUT). */
+  private def names: Seq[String] = {
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    if (only.isEmpty) all else all.filter(only.contains)
+  }
+
   private def timeAll(spark: SparkSession, dir: String, reps: Int,
       warm: Boolean, capSec: Int, label: String): Map[String, Double] = {
-    val names = SparkEntry.queries.keys.toSeq.sorted
     if (warm) names.foreach { q =>
       try SparkEntry.queries(q)(spark, dir).count()
       catch { case _: Throwable => () }

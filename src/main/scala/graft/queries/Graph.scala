@@ -35,15 +35,29 @@ object Graph {
     val b1 = d.select(col("doc_id").as("a"), min("doc_id").over(w1).as("b"))
     val b2 = d.select(col("doc_id").as("a"), min("doc_id").over(w2).as("b"))
     val e0 = b1.union(b2).filter(col("a") =!= col("b")).distinct()
-    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    val labels = connectedComponents(
+      d.select(col("doc_id").as("node")), e0)
+    labels.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("cluster")
+  }
+
+  /** Connected components by iterative min-label propagation: `nodes`
+    * (col `node`) ∪ undirected `edges` (cols `a`,`b`, symmetrized
+    * here) → (`node`, `label`) with label = the component's min node.
+    *
+    * Iterative propagation MUST truncate lineage per round: each round
+    * references the previous labels twice (neighbor join + convergence
+    * diff), so the logical plan doubles per iteration and a 20-round
+    * chain OOMs the driver just printing itself. localCheckpoint
+    * materializes the round and cuts the plan back to a leaf (on a
+    * cluster: checkpoint to reliable storage for executor-loss
+    * safety). */
+  def connectedComponents(nodes: DataFrame, edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(col("a"), col("b"))
+      .union(edges0.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
-    // Iterative propagation MUST truncate lineage per round: each round
-    // references the previous labels twice (neighbor join + convergence
-    // diff), so the logical plan doubles per iteration and a 20-round
-    // chain OOMs the driver just printing itself. localCheckpoint
-    // materializes the round and cuts the plan back to a leaf (on a
-    // cluster: checkpoint to reliable storage for executor-loss safety).
-    var labels = d.select(col("doc_id").as("node"), col("doc_id").as("label"))
+    var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
@@ -52,21 +66,20 @@ object Graph {
         .join(labels.as("l"), col("e.b") === col("l.node"))
         .select(col("e.a").as("node"), col("l.label").as("nlabel"))
         .groupBy("node").agg(min("nlabel").as("nmin"))
+      // previous label rides ALONG inside the checkpointed round, so
+      // the convergence count is a filter over it — not a second join
       val next = labels.as("l").join(nbrMin.as("n"), Seq("node"), "left")
         .select(col("node"),
-          least(col("l.label"), coalesce(col("n.nmin"), col("l.label"))).as("label"))
+          least(col("l.label"), coalesce(col("n.nmin"), col("l.label"))).as("label"),
+          col("l.label").as("prev"))
         .localCheckpoint(true)
-      changed = next.as("x")
-        .join(labels.as("o").withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select("node", "label")
       iter += 1
     }
-    require(changed == 0, s"q70: label propagation did not converge in $iter rounds")
+    require(changed == 0, s"label propagation did not converge in $iter rounds")
     edges.unpersist()
-    labels.groupBy(col("label").as("cluster"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy("cluster")
+    labels
   }
 
   val q70Sql: String =
@@ -91,9 +104,56 @@ object Graph {
        SELECT cluster::BIGINT AS cluster, COUNT(*)::BIGINT AS n_docs
        FROM cc GROUP BY cluster ORDER BY cluster"""
 
+  /** q71: the end-to-end near-dup PURGE — what the dedup suite exists
+    * to produce. MinHash-LSH candidates → exact-jaccard verified pairs
+    * (q22's plan, sub-quadratic: ratio 4.9 at 128× data in the r8
+    * sweep) → connected components → keep each component's min doc.
+    * Per language: total docs, survivors, removed. The oracle
+    * recomputes the pairs brute-force and closes them with a recursive
+    * CTE — so the WHOLE composition (LSH recall included) is gated,
+    * not just the clustering step. */
+  def q71NearDupPurge(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.q22MinhashLsh(spark, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val docs = t(spark, dir, "documents").select("doc_id", "lang")
+    val labels = connectedComponents(docs.select(col("doc_id").as("node")), pairs)
+    docs.join(labels, docs("doc_id") === labels("node"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("label") === col("node"), 1L).otherwise(0L)).as("survivors"))
+      .withColumn("removed", col("docs") - col("survivors"))
+      .orderBy("lang")
+  }
+
+  val q71Sql: String = {
+    val sh = graft.queries.Dedup.ShinglesDuck
+    s"""WITH RECURSIVE sh AS (SELECT doc_id, $sh AS gr FROM documents),
+       pairs AS (
+         SELECT a.doc_id AS a, b.doc_id AS b
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.gr, b.gr))::DOUBLE
+             / len(list_distinct(list_concat(a.gr, b.gr))) >= 0.8
+       ), edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       rec AS (
+         SELECT doc_id AS node, doc_id AS label FROM documents
+         UNION
+         SELECT e.a AS node, r.label FROM rec r JOIN edges e ON e.b = r.node
+       ), cc AS (SELECT node, MIN(label) AS cluster FROM rec GROUP BY node)
+       SELECT d.lang, COUNT(*)::BIGINT AS docs,
+              SUM(CASE WHEN cc.cluster = d.doc_id THEN 1 ELSE 0 END)::BIGINT
+                AS survivors,
+              (COUNT(*) -
+               SUM(CASE WHEN cc.cluster = d.doc_id THEN 1 ELSE 0 END))::BIGINT
+                AS removed
+       FROM documents d JOIN cc ON cc.node = d.doc_id
+       GROUP BY d.lang ORDER BY d.lang"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q70_dedup_components" -> (q70DedupComponents _))
+    "q70_dedup_components" -> (q70DedupComponents _),
+    "q71_near_dup_purge" -> (q71NearDupPurge _))
 
   val oracles: Map[String, String] = Map(
-    "q70_dedup_components" -> q70Sql)
+    "q70_dedup_components" -> q70Sql,
+    "q71_near_dup_purge" -> q71Sql)
 }

@@ -19,21 +19,30 @@ object Streaming {
   private val memSeq = new AtomicInteger(0)
 
   /** File-stream view of the read-only `events.parquet`: stream sources
-    * ingest DIRECTORIES, so the single file is exposed through a
-    * symlinked stream dir; also sets the TIMESTAMP(NANOS) legacy conf
-    * every events read needs. One definition — four stream queries
-    * (q32/q35/q37/q65) must never drift on this setup. */
+    * ingest DIRECTORIES. The driver's testdata ships events as a single
+    * FILE, exposed through a symlinked stream dir; a directory-shaped
+    * events table (scaled copies, real pipelines) streams directly —
+    * the symlink-a-file trick would otherwise feed the source an
+    * entry it silently skips (a dir named *.parquet), i.e. an empty
+    * stream. Also sets the TIMESTAMP(NANOS) legacy conf every events
+    * read needs. One definition — four stream queries (q32/q35/q37/
+    * q65) must never drift on this setup. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val streamDir = java.nio.file.Paths.get(
-      s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    java.nio.file.Files.createDirectories(streamDir)
-    val link = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-    spark.readStream.schema(schema).parquet(streamDir.toString)
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val streamPath =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val streamDir = java.nio.file.Paths.get(
+          s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+        java.nio.file.Files.createDirectories(streamDir)
+        val link = streamDir.resolve("events.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link, src)
+        streamDir.toString
+      }
+    spark.readStream.schema(schema).parquet(streamPath)
   }
 
   /** q32: file-stream → event-time hourly window aggregate → memory
