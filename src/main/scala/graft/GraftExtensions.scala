@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.graftexprs.{ArrayDotProduct, SortedIntersectCount}
+import org.apache.spark.sql.graftplans.{GlobalRowNumberStrategy, GlobalRunningSumStrategy}
+
+/** Library-grade session wiring:
+  *
+  * {{{
+  * spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * registers, once per session, everything the library otherwise
+  * attaches lazily at first use:
+  *
+  *  - the whole-operator planning strategies (GlobalRowNumber /
+  *    GlobalRunningSum — [[graft.functions.DistributedRank]] and
+  *    [[graft.functions.DistributedPrefixSum]] still self-register via
+  *    `spark.experimental` for extension-less sessions, so both paths
+  *    work);
+  *  - the native codegen expressions as SQL functions —
+  *    `graft_array_dot(a, b)` and `graft_sorted_intersect_count(a, b)`
+  *    — callable from `spark.sql` without touching the Scala API.
+  *
+  * (The fls source needs no registration: DataSource V2 resolves
+  * `format("fls")` through the service loader.) */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => GlobalRowNumberStrategy)
+    ext.injectPlannerStrategy(_ => GlobalRunningSumStrategy)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_array_dot"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "graft_array_dot(a, b) takes two arrays")
+        ArrayDotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "graft_sorted_intersect_count"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2,
+          "graft_sorted_intersect_count(a, b) takes two sorted string arrays")
+        SortedIntersectCount(args(0), args(1))
+      }))
+  }
+}
