@@ -460,6 +460,7 @@ object Dedup {
     * order filter drops the mirrored orientation), so no distinct is
     * needed and the oracle is plain brute force. */
   def q43EmbeddingBlocked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val blocked = blkCache.getOrBuild(spark, dir)({
       val base = t(spark, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -475,26 +476,122 @@ object Dedup {
     val a = blocked.withColumn("cell",
         explode(expr(
           "transform(sequence(blk, nblk - 1), j -> CAST(blk AS BIGINT) * nblk + j)")))
-      .select(col("cell"), col("blk").as("blk_a"),
-        col("vec_id").as("vec_a"), col("v").as("v_a"), col("nr").as("nr_a"))
+      .select(col("cell"), lit(0).as("side"), col("blk"),
+        col("vec_id"), col("v"), col("nr"))
     val b = blocked.withColumn("cell",
         explode(expr(
           "transform(sequence(0, blk), i -> CAST(i AS BIGINT) * nblk + blk)")))
-      .select(col("cell"), col("blk").as("blk_b"),
-        col("vec_id").as("vec_b"), col("v").as("v_b"), col("nr").as("nr_b"))
-    a.join(b.hint("shuffle_hash"), Seq("cell"))
-      // cross-block: one orientation exists (blk_a < blk_b by grid
-      // construction); same-block: both do, keep vec_a < vec_b
-      .filter(col("blk_a") < col("blk_b") ||
-        (col("blk_a") === col("blk_b") && col("vec_a") < col("vec_b")))
-      .withColumn("cos",
-        GraftFunctions.arrayDot(col("v_a"), col("v_b")) / (col("nr_a") * col("nr_b")))
-      .filter(col("cos") >= 0.45)
-      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
-        greatest(col("vec_a"), col("vec_b")).as("vec_b"),
-        round(col("cos"), 6).as("cos_sim"))
+      .select(col("cell"), lit(1).as("side"), col("blk"),
+        col("vec_id"), col("v"), col("nr"))
+    // One shuffle co-locates each grid cell; the pair product runs as a
+    // per-cell PRIMITIVE block nested loop (mapPartitions — the
+    // documented last resort, taken on measurement: the r8 128× sweep
+    // put the ShuffledHashJoin form at 4× the broadcast baseline's
+    // per-pair cost, all of it join-machinery — per-pair hash-bucket
+    // chain hops over 32Ki-duplicate cell keys and per-pair array
+    // re-extraction. Here each row deserializes ONCE into primitive
+    // arrays; the inner loop is pure multiply-add in the exact
+    // accumulation order of GraftFunctions.arrayDot, so results stay
+    // bitwise identical to q24's broadcast plan.)
+    val pairs = a.union(b)
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "side")
+      .as[(Long, Int, Int, Long, Array[Double], Double)]
+      .mapPartitions(cellBlockLoop(0.45))
+    pairs.toDF("vec_a", "vec_b", "cos")
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Streaming per-cell block nested loop over `(cell, side, blk,
+    * vec_id, v, nr)` rows sorted by (cell, side): buffer ONE cell's two
+    * blocks (bounded: two ~64Ki-vector blocks ≈ 64 MiB), emit
+    * thresholded cosine pairs lazily, move on. Cross-block cells pair
+    * everything (one orientation exists by grid construction);
+    * diagonal cells keep `id_a < id_b`. Pairs emit as
+    * (min id, max id, cos) — the same normalization the SQL plan's
+    * least/greatest applied. */
+  private def cellBlockLoop(threshold: Double)(
+      rows: Iterator[(Long, Int, Int, Long, Array[Double], Double)])
+      : Iterator[(Long, Long, Double)] =
+    new scala.collection.AbstractIterator[(Long, Long, Double)] {
+      private val in = rows.buffered
+      private var aIds: Array[Long] = _
+      private var aVecs: Array[Array[Double]] = _
+      private var aNrs: Array[Double] = _
+      private var bIds: Array[Long] = _
+      private var bVecs: Array[Array[Double]] = _
+      private var bNrs: Array[Double] = _
+      private var diag = false
+      private var i = 0
+      private var j = 0
+      private var ready = false
+      private var curA = 0L
+      private var curB = 0L
+      private var curCos = 0.0
+
+      private def loadCell(): Boolean = {
+        if (!in.hasNext) return false
+        val cell = in.head._1
+        val ai = scala.collection.mutable.ArrayBuffer[Long]()
+        val av = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+        val an = scala.collection.mutable.ArrayBuffer[Double]()
+        val bi = scala.collection.mutable.ArrayBuffer[Long]()
+        val bv = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+        val bn = scala.collection.mutable.ArrayBuffer[Double]()
+        var blkA = -1
+        var blkB = -1
+        while (in.hasNext && in.head._1 == cell) {
+          val r = in.next()
+          if (r._2 == 0) { ai += r._4; av += r._5; an += r._6; blkA = r._3 }
+          else { bi += r._4; bv += r._5; bn += r._6; blkB = r._3 }
+        }
+        aIds = ai.toArray; aVecs = av.toArray; aNrs = an.toArray
+        bIds = bi.toArray; bVecs = bv.toArray; bNrs = bn.toArray
+        diag = blkA == blkB
+        i = 0; j = 0
+        true
+      }
+
+      /** Advance (i, j) to the next passing pair; sets cur*. */
+      @annotation.tailrec
+      private def advance(): Boolean = {
+        if (aIds == null || i >= aIds.length) {
+          if (!loadCell()) return false
+          advance()
+        } else if (j >= bIds.length) {
+          j = 0; i += 1
+          if (i >= aIds.length) { aIds = null; advance() } else advance()
+        } else {
+          val ida = aIds(i); val idb = bIds(j)
+          if (diag && ida >= idb) { j += 1; advance() }
+          else {
+            val va = aVecs(i); val vb = bVecs(j)
+            var s = 0.0
+            var k = 0
+            val n = va.length // uniform dim; arrayDot order preserved
+            while (k < n) { s += va(k) * vb(k); k += 1 }
+            val cos = s / (aNrs(i) * bNrs(j))
+            j += 1
+            if (cos >= threshold) {
+              curA = math.min(ida, idb); curB = math.max(ida, idb); curCos = cos
+              true
+            } else advance()
+          }
+        }
+      }
+
+      override def hasNext: Boolean = {
+        if (!ready) ready = advance()
+        ready
+      }
+
+      override def next(): (Long, Long, Double) = {
+        if (!hasNext) throw new NoSuchElementException
+        ready = false
+        (curA, curB, curCos)
+      }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> (q20ExactDedup _),

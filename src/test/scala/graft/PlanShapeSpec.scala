@@ -98,7 +98,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("blocked embedding all-pairs shuffles by grid cell, never broadcasts (q43)") {
     val p = plan("q43_dedup_embedding_blocked")
-    assert(p.contains("ShuffledHashJoin"), s"grid join must be a shuffled hash join:\n$p")
+    // one cell-key exchange feeds the per-cell primitive block loop
+    // (mapPartitions — measured 4× over the ShuffledHashJoin form,
+    // whose per-pair bucket-chain hops dominated at 128×)
+    assert(p.toLowerCase.contains("hashpartitioning(cell"),
+      s"grid must co-locate by cell key:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"grid pair product must run as the primitive block loop:\n$p")
     assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
       s"q43 exists to REMOVE the broadcast ceiling — a broadcast crept back:\n$p")
     // identical results to the broadcast baseline (grid = physical change only)
@@ -118,7 +124,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a 1-byte ceiling forces the grid shape through the same entry point
     val forced = Dedup.embeddingNearDup(spark, dir, maxBroadcastBytes = 1L)
     val pForced = forced.queryExecution.executedPlan.toString
-    assert(pForced.contains("ShuffledHashJoin") && !pForced.contains("BroadcastHashJoin"),
+    assert(pForced.contains("MapPartitions") && !pForced.contains("BroadcastHashJoin"),
       s"auto past the ceiling must take the grid: $pForced")
     // identical results either way — dispatch is physical-only
     assert(auto.collect().toSeq == forced.collect().toSeq,
