@@ -52,10 +52,10 @@ object ScaleSweep {
     }
     val json = rows.mkString("[", ",\n", "]")
     val suffix = if (only.isEmpty) "" else "_subset"
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"/tmp/graft_scale_sweep_$mult$suffix.json"),
+    val outPath = s"/tmp/graft_scale_sweep_$mult$suffix.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"[sweep] wrote /tmp/graft_scale_sweep_$mult.json")
+    println(s"[sweep] wrote $outPath")
     spark.stop()
   }
 
@@ -114,8 +114,9 @@ object ScaleSweep {
     names.map { q =>
       var best = Double.MaxValue
       var r = 0
-      var timedOut = false
-      while (r < reps && !timedOut) {
+      var sawTimeout = false
+      var sawError = false
+      while (r < reps && !sawTimeout && !sawError) {
         val t0 = System.nanoTime()
         var err: Throwable = null
         val th = new Thread(() =>
@@ -129,15 +130,14 @@ object ScaleSweep {
         if (th.isAlive) {
           spark.sparkContext.cancelJobGroup(s"sweep-$q")
           th.join(60000L)
-          timedOut = true
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (!timedOut && err == null) best = math.min(best, dt)
-        else if (err != null) { best = -1.0; timedOut = true }
+          sawTimeout = true
+        } else if (err != null) sawError = true
+        else best = math.min(best, (System.nanoTime() - t0) / 1e9)
         r += 1
       }
-      val v = if (timedOut && best == Double.MaxValue) -2.0
-        else if (best == Double.MaxValue) -1.0 else best
+      // -2 = timed out with no good rep; -1 = errored with no good rep;
+      // a failure on a LATER rep never clobbers a clean measurement
+      val v = if (best < Double.MaxValue) best else if (sawTimeout) -2.0 else -1.0
       println(f"[sweep] $label $q%-22s $v%9.2f s")
       q -> v
     }.toMap

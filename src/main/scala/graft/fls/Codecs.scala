@@ -302,6 +302,7 @@ object Codecs {
     val dictSize = in.readInt()
     val dict = in.readLongs(dictSize)
     val codes = decodeFFORReuse(in, if (bufs == null) null else bufs.fitLongs2(n))
+    checkCodes(codes, dictSize)
     val out = if (bufs == null) new Array[Long](n) else bufs.fitLongs(n)
     var i = 0
     while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }
@@ -326,25 +327,29 @@ object Codecs {
     var i = 0
     while (i < dictSize) { dict(i) = in.readDouble(); i += 1 }
     val codes = decodeFFORReuse(in, if (bufs == null) null else bufs.fitLongs(n))
+    checkCodes(codes, dictSize)
     val out = if (bufs == null) new Array[Double](n) else bufs.fitDoubles(n)
     i = 0
     while (i < n) { out(i) = dict(codes(i).toInt); i += 1 }
     out
   }
 
-  /** Raw dict decoders feed LAZY dictionary vectors: a bad code would
-    * otherwise surface only when codegen serves that row, as a bare
-    * ArrayIndexOutOfBounds far from the scan — so the range check runs
-    * here, once per decode (~1 ns/row against a multi-ns decode). The
-    * gathered decoders need no check: they index the dict immediately,
-    * inside the reader's fls-labeled corruption wrap. */
-  private def checkCodes(codes: Array[Long], dictSize: Int): Unit = {
+  /** Range-check decoded index arrays (dictionary codes, exception
+    * positions) BEFORE any gather indexes through them: the gather's
+    * `.toInt` truncation would map a corrupt value whose low 32 bits
+    * land in range onto a VALID slot — silent wrong data, the one
+    * failure mode the corruption contract forbids (out-of-range after
+    * truncation merely crashes, which the reader-boundary wrap labels).
+    * ~1 ns/row against a multi-ns decode. Throws UNLABELED — file and
+    * row-group context exist only at the reader boundary, whose
+    * FlsErrors.wrap attaches them exactly once. */
+  private def checkCodes(codes: Array[Long], size: Int): Unit = {
     var i = 0
     while (i < codes.length) {
       val c = codes(i)
-      if (c < 0L || c >= dictSize)
-        FlsErrors.corrupt(
-          s"dictionary code $c out of range [0, $dictSize) at row $i")
+      if (c < 0L || c >= size)
+        throw new IllegalStateException(
+          s"index $c out of range [0, $size) at position $i")
       i += 1
     }
   }
@@ -421,6 +426,7 @@ object Codecs {
   /** Gather `source` through `codes` (the EXP_DICT materialization). */
   def gatherExpDict(source: ColData, codes: Array[Long]): ColData = {
     val n = codes.length
+    checkCodes(codes, source.n)
     source match {
       case LongData(vs) =>
         val out = new Array[Long](n)
@@ -514,6 +520,7 @@ object Codecs {
     val dict = decodePlainBytes(in) // small; not worth recycling
     val codes = decodeFFORReuse(in, if (bufs == null) null else bufs.fitLongs(n0))
     require(codes.length == n0)
+    checkCodes(codes, dict.n)
     val n = codes.length
     val offsets = if (bufs == null) new Array[Int](n + 1) else bufs.fitInts(n + 1)
     offsets(0) = 0
@@ -741,6 +748,7 @@ object Codecs {
     val nEx = in.readInt()
     if (nEx > 0) {
       val exPos = decodeFFOR(in)
+      checkCodes(exPos, n)
       var k = 0
       while (k < nEx) { out(exPos(k).toInt) = in.readDouble(); k += 1 }
     }
@@ -804,6 +812,7 @@ object Codecs {
 
   private def gatherDict(dict: BytesData, codes: Array[Long]): BytesData = {
     val n = codes.length
+    checkCodes(codes, dict.n)
     val offsets = new Array[Int](n + 1)
     var total = 0
     var i = 0
@@ -911,6 +920,7 @@ object Codecs {
     val nEx = in.readInt()
     if (nEx > 0) {
       val exPos = decodeFFOR(in)
+      checkCodes(exPos, n)
       val exVal = decodeFFOR(in)
       var k = 0
       while (k < nEx) { out(exPos(k).toInt) = exVal(k); k += 1 }
@@ -987,6 +997,7 @@ object Codecs {
       BytesData(offsets, bytes)
     } else {
       val exPos = decodeFFOR(in)
+      checkCodes(exPos, n)
       val ex = decodePlainBytes(in)
       val exTotal = ex.offsets(ex.n)
       val offsets = new Array[Int](n + 1)
@@ -1061,11 +1072,13 @@ object Codecs {
     val rights = new Array[Long](n)
     unpack(in, n, rightBits, rights, 0)
     val lefts = new Array[Long](n)
+    checkCodes(leftCodes, dict.length)
     var i = 0
     while (i < n) { lefts(i) = dict(leftCodes(i).toInt); i += 1 }
     val nEx = in.readInt()
     if (nEx > 0) {
       val exPos = decodeFFOR(in)
+      checkCodes(exPos, n)
       val exLeft = decodeFFOR(in)
       var k = 0
       while (k < nEx) { lefts(exPos(k).toInt) = exLeft(k); k += 1 }

@@ -154,11 +154,18 @@ final class FlsFileReader(val path: Path, conf: Configuration) extends AutoClose
     FlsErrors.wrap(s"rowGroup=$rgIdx column=$colIdx of $path") {
       val seg = table.rowGroups(rgIdx).segments(colIdx)
       val bytes = readSegmentBytes(seg)
-      if (seg.encoding == Format.Enc.EQUAL)
-        // MCC: resolve the cross-column reference (one hop by construction)
-        decodeSegment(rgIdx, Codecs.decodeEqualTarget(bytes))
-      else
-        Codecs.decode(bytes, seg.encoding, table.columns(colIdx).colType)
+      val d =
+        if (seg.encoding == Format.Enc.EQUAL)
+          // MCC: resolve the cross-column reference (one hop by construction)
+          decodeSegment(rgIdx, Codecs.decodeEqualTarget(bytes))
+        else
+          Codecs.decode(bytes, seg.encoding, table.columns(colIdx).colType)
+      // a segment can be internally consistent yet disagree with the
+      // footer's row count — that's corruption, not a shorter column
+      if (d.n != table.rowGroups(rgIdx).nTuples)
+        throw new IllegalStateException(
+          s"segment decoded ${d.n} rows, footer says ${table.rowGroups(rgIdx).nTuples}")
+      d
     }
 
   override def close(): Unit = if (in != null) { in.close(); in = null }

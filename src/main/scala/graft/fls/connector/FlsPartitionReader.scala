@@ -278,7 +278,18 @@ class FlsPartitionReader(
     val done = new Array[Boolean](nFields)
     def ensure(fi: Int): ColData = {
       if (!done(fi)) {
-        decoded(fi) = decodeCol(readSchema.fields(fi), fi)
+        val d = decodeCol(readSchema.fields(fi), fi)
+        // A segment can be internally consistent yet DISAGREE with the
+        // footer's row count (corrupt length field): without this
+        // cross-check the batch fill crashes later with a bare
+        // out-of-bounds — or, worse, a LONGER segment silently serves
+        // truncated data. Unlabeled throw: decodeGroup's wrap attaches
+        // file + row group.
+        if (d != null && d.n != rgTuples)
+          throw new IllegalStateException(
+            s"column ${readSchema.fields(fi).name} decoded ${d.n} rows, " +
+              s"footer says $rgTuples")
+        decoded(fi) = d
         done(fi) = true
       }
       decoded(fi)

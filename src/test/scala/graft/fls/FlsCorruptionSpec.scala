@@ -7,6 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.fls.Format._
+
 /** The corrupt-file error contract: a truncated, bit-flipped, or
   * otherwise malformed .fls file must surface a CLEAR `fls:`-labeled
   * error naming the file — never a bare codec exception from deep in
@@ -144,23 +146,31 @@ class FlsCorruptionSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("dictionary codes out of range are corruption, not an index crash") {
-    // unit-level: craft a DICT segment whose packed codes point past the
-    // dictionary — the lazy dict-vector path must refuse it at decode
+    // unit-level: every dict/exception-position decode path refuses a
+    // code past its target BEFORE the .toInt gather could truncate a
+    // huge corrupt value onto a VALID slot (silent wrong data). The
+    // throw is unlabeled here — file context attaches at the reader
+    // boundary (covered below).
     val dict = Array(10L, 20L, 30L)
     val codes = Array(0L, 1L, 2L, 7L) // 7 >= dict size
     val w = new ByteWriter()
     Codecs.encodeDictLong(new Array[Long](4), dict, codes, w)
-    val e = intercept[java.io.IOException] {
+    assert(intercept[IllegalStateException] {
       Codecs.decodeDictLongRaw(new ByteReader(w.toArray))
-    }
-    assert(e.getMessage.startsWith("fls:") && e.getMessage.contains("out of range"),
-      e.getMessage)
+    }.getMessage.contains("out of range"))
+    // the GATHERED path must refuse too — before this check its .toInt
+    // could map (2^32 + 1) onto dict(1) silently
+    val wTrunc = new ByteWriter()
+    Codecs.encodeDictLong(new Array[Long](3), dict, Array(0L, (1L << 32) + 1L, 2L), wTrunc)
+    assert(intercept[IllegalStateException] {
+      Codecs.decodeDictLong(new ByteReader(wTrunc.toArray))
+    }.getMessage.contains("out of range"))
 
     val wd = new ByteWriter()
     Codecs.encodeDictDouble(3, Array(1.5, 2.5), Array(0L, 5L, 1L), wd)
-    assert(intercept[java.io.IOException] {
+    assert(intercept[IllegalStateException] {
       Codecs.decodeDictDoubleRaw(new ByteReader(wd.toArray))
-    }.getMessage.startsWith("fls:"))
+    }.getMessage.contains("out of range"))
 
     val bd = {
       val bw = new ByteWriter()
@@ -168,9 +178,55 @@ class FlsCorruptionSpec extends AnyFunSuite with BeforeAndAfterAll {
       Codecs.encodeDictBytes(3, dictBytes, Array(1L, 9L, 0L), bw)
       bw.toArray
     }
-    assert(intercept[java.io.IOException] {
+    assert(intercept[IllegalStateException] {
       Codecs.decodeDictBytesRaw(new ByteReader(bd))
-    }.getMessage.startsWith("fls:"))
+    }.getMessage.contains("out of range"))
+  }
+
+  /** Drive a hand-built single-segment file through the SCAN so the
+    * boundary contract (fls label + file + row group named) is what's
+    * asserted, not codec internals. */
+  private def scanSyntheticSegment(segBytes: Array[Byte], enc: Int,
+      claimedRows: Int): Throwable = {
+    import graft.fls.connector.{FlsInputPartition, FlsPartitionReader}
+    val tmp2 = Files.createTempDirectory("fls-corrupt-seg")
+    val file = new File(tmp2.toFile, "c.fls")
+    Files.write(file.toPath, segBytes)
+    val cols = Array(ColumnDesc("x", ColumnType(TypeTag.INT64)))
+    val rg = RowGroupDesc(claimedRows, Array(
+      SegmentDesc(enc, 0L, segBytes.length.toLong, hasStats = false, 0L, 0L, 0.0, 0.0)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val part = FlsInputPartition.single(file.getAbsolutePath, rg, cols, 0L, 0)
+    val reader = new FlsPartitionReader(part,
+      schema, new org.apache.hadoop.conf.Configuration())
+    val t = intercept[Throwable] {
+      try { while (reader.next()) reader.get() } finally reader.close()
+    }
+    t
+  }
+
+  test("reader boundary labels dict corruption with file and row group") {
+    val w = new ByteWriter()
+    Codecs.encodeDictLong(new Array[Long](4), Array(10L, 20L, 30L),
+      Array(0L, 1L, 2L, 9L), w)
+    val t = scanSyntheticSegment(w.toArray, Enc.DICT, claimedRows = 4)
+    assert(flsLabeled(t), s"${t.getClass.getName}: ${t.getMessage}")
+    assert(t.getMessage.contains("row group 0") && t.getMessage.contains("c.fls"),
+      t.getMessage)
+  }
+
+  test("segment row count disagreeing with the footer is corruption, not a crash") {
+    // internally consistent 768-value segment, footer claims 1024: the
+    // cross-check must label it — without it the batch fill dies later
+    // with a bare ArrayIndexOutOfBounds (or serves truncated data)
+    val w = new ByteWriter()
+    Codecs.encodeFFOR(Array.tabulate(768)(_.toLong), w)
+    val t = scanSyntheticSegment(w.toArray, Enc.FFOR, claimedRows = 1024)
+    assert(flsLabeled(t), s"${t.getClass.getName}: ${t.getMessage}")
+    assert(t.getMessage.contains("768") && t.getMessage.contains("1024"),
+      t.getMessage)
   }
 
   test("byte-flip fuzz: every failure is fls-labeled, reads never crash bare") {
