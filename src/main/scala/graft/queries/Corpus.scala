@@ -337,6 +337,75 @@ object Corpus {
        SELECT lang, COUNT(*)::BIGINT AS contaminated_docs
        FROM contaminated GROUP BY lang ORDER BY lang"""
 
+  /** q72: TF-IDF-style characteristic terms — each document's
+    * top-weighted token (term frequency × corpus rarity), aggregated to
+    * the 3 most-characteristic tokens per language. The weight is
+    * built from EXACT integer ratios (`tf·N / (len·df)`): one IEEE
+    * double division of exact longs is correctly rounded identically
+    * in Spark and DuckDB, and the weight only drives ORDERING — the
+    * output carries integers alone, so the oracle hash cannot drift on
+    * transcendental-library differences (the reason this is a rarity
+    * ratio, not `ln(N/df)`). Scale: two hash aggregates and two narrow
+    * joins; the per-doc top-1 window partitions BY DOCUMENT (never a
+    * global sort); N comes from the table's count (stats-served on
+    * parquet/fls footers). */
+  def q72TfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val n = docs.count()
+    val terms = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) >= 3)
+    val tf = terms.groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("tf"))
+    val doclen = terms.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val dfreq = terms.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = tf.join(doclen, Seq("doc_id")).join(dfreq, Seq("token"))
+      .withColumn("weight",
+        (col("tf") * lit(n)) / (col("len") * col("df")))
+    val top1 = w.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("weight").desc, col("token"))))
+      .filter(col("rn") === 1)
+    val agg = top1.groupBy("lang", "token").agg(count(lit(1)).as("n_docs"))
+    agg.withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n_docs").desc, col("token"))))
+      .filter(col("rn") <= 3)
+      .select("lang", "token", "n_docs")
+      .orderBy(col("lang"), col("n_docs").desc, col("token"))
+  }
+
+  val q72Sql: String =
+    """WITH terms AS (
+         SELECT doc_id, lang,
+                UNNEST(list_filter(string_split(text, ' '), t -> length(t) >= 3)) AS token
+         FROM documents
+       ), tf AS (SELECT doc_id, lang, token, COUNT(*) AS tf
+                 FROM terms GROUP BY doc_id, lang, token),
+       doclen AS (SELECT doc_id, COUNT(*) AS len FROM terms GROUP BY doc_id),
+       df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY token),
+       n AS (SELECT COUNT(*) AS n FROM documents),
+       w AS (
+         SELECT tf.doc_id, tf.lang, tf.token,
+                (tf.tf * n.n) / (doclen.len * df.df) AS weight
+         FROM tf CROSS JOIN n JOIN doclen USING (doc_id) JOIN df USING (token)
+       ),
+       top1 AS (
+         SELECT doc_id, lang, token FROM (
+           SELECT doc_id, lang, token,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY weight DESC, token) AS rn
+           FROM w) t WHERE rn = 1
+       ),
+       agg AS (SELECT lang, token, COUNT(*)::BIGINT AS n_docs
+               FROM top1 GROUP BY lang, token)
+       SELECT lang, token, n_docs FROM (
+         SELECT lang, token, n_docs,
+                ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY n_docs DESC, token) AS rn
+         FROM agg) t WHERE rn <= 3
+       ORDER BY lang, n_docs DESC, token"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_heavy_hitters" -> (q56HeavyHitters _),
     "q57_quantize_embeddings" -> (q57QuantizeEmbeddings _),
@@ -348,7 +417,8 @@ object Corpus {
     "q63_freq_quality" -> (q63FreqQuality _),
     "q64_mix_weights" -> (q64MixWeights _),
     "q68_sequence_pack" -> (q68SequencePack _),
-    "q69_ngram_contamination" -> (q69NgramContamination _))
+    "q69_ngram_contamination" -> (q69NgramContamination _),
+    "q72_tfidf_top_terms" -> (q72TfidfTopTerms _))
 
   val oracles: Map[String, String] = Map(
     "q56_heavy_hitters" -> q56Sql,
@@ -361,5 +431,6 @@ object Corpus {
     "q63_freq_quality" -> q63Sql,
     "q64_mix_weights" -> q64Sql,
     "q68_sequence_pack" -> q68Sql,
-    "q69_ngram_contamination" -> q69Sql)
+    "q69_ngram_contamination" -> q69Sql,
+    "q72_tfidf_top_terms" -> q72Sql)
 }
