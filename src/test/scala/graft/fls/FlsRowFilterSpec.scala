@@ -151,6 +151,50 @@ class FlsRowFilterSpec extends AnyFunSuite with BeforeAndAfterAll {
     check("id < 100 OR (id > 8000 AND i32 < 5)") // cross-column And under Or
   }
 
+  test("seeded random And/Or/Not trees agree with Catalyst on both scan paths") {
+    // Grammar fuzz over every typed column: depth-≤3 boolean trees of
+    // the pushable leaf shapes (plus NOT, which must stay residual).
+    // Catalyst over the in-memory frame is ground truth; empty results
+    // are allowed here (the fixed matrix covers the non-degenerate
+    // shapes). One seed = reproducible forever.
+    val rnd = new scala.util.Random(0x0F5)
+    def leaf(): String = {
+      val ops = Seq("=", "<", "<=", ">", ">=")
+      rnd.nextInt(9) match {
+        case 0 => s"id ${ops(rnd.nextInt(5))} ${rnd.nextInt(9000)}"
+        case 1 => s"i32 ${ops(rnd.nextInt(5))} ${rnd.nextInt(110) - 5}"
+        case 2 => f"d ${ops(rnd.nextInt(5))} ${rnd.nextDouble() * 2200 - 50}%.4f"
+        case 3 => f"dx ${ops(rnd.nextInt(5))} ${rnd.nextDouble() * 2 - 1}%.4f"
+        case 4 => s"s_low ${ops(rnd.nextInt(5))} 's${"%03d".format(rnd.nextInt(55))}'"
+        case 5 => s"s_high = 'u${rnd.nextInt(9000)}'"
+        case 6 => s"i32 IN (${Seq.fill(3)(rnd.nextInt(100)).mkString(", ")})"
+        case 7 => s"s_low LIKE 's0${rnd.nextInt(10)}%'"
+        case 8 => s"dec ${ops(rnd.nextInt(5))} ${rnd.nextInt(900)}.${rnd.nextInt(100)}"
+      }
+    }
+    def tree(depth: Int): String =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else rnd.nextInt(5) match {
+        case 0 => s"(${tree(depth - 1)} AND ${tree(depth - 1)})"
+        case 1 => s"(${tree(depth - 1)} OR ${tree(depth - 1)})"
+        case 2 => s"(NOT ${tree(depth - 1)})"
+        case _ => s"(${tree(depth - 1)} OR ${tree(depth - 1)})"
+      }
+    val exp0 = src.cache()
+    for (_ <- 0 until 40) {
+      val cond = tree(3)
+      val exp = exp0.filter(cond).collect().map(norm).toSet
+      for (keep <- Seq("0.9", "0.0")) {
+        val got = spark.read.format("fls").option("filter_keep_ratio", keep)
+          .load(dir).filter(cond).collect().map(norm).toSet
+        assert(got == exp, s"random filter [$cond] keep=$keep: " +
+          s"got ${got.size}, expected ${exp.size}; " +
+          s"missing=${(exp -- got).take(2)} extra=${(got -- exp).take(2)}")
+      }
+    }
+    exp0.unpersist()
+  }
+
   test("Or predicates narrow at the SCAN (metric), not only in the residual") {
     val df = spark.read.format("fls").option("filter_keep_ratio", "0.9")
       .load(dir).filter("i32 = 3 OR i32 = 96")
