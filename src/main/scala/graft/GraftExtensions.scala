@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graftexprs.{ArrayDotProduct, SortedIntersectCount}
-import org.apache.spark.sql.graftplans.{GlobalRowNumberStrategy, GlobalRunningSumStrategy}
+import org.apache.spark.sql.graftplans.{GlobalRowNumberStrategy, GlobalRunningSumStrategy, RewriteGlobalWindows}
 
 /** Library-grade session wiring:
   *
@@ -20,6 +20,11 @@ import org.apache.spark.sql.graftplans.{GlobalRowNumberStrategy, GlobalRunningSu
   *    [[graft.functions.DistributedPrefixSum]] still self-register via
   *    `spark.experimental` for extension-less sessions, so both paths
   *    work);
+  *  - the [[org.apache.spark.sql.graftplans.RewriteGlobalWindows]]
+  *    optimizer rule, which turns plain SQL partition-less
+  *    `row_number()` / running `sum()` windows into those distributed
+  *    plans — extension sessions get the scale shape without calling
+  *    the Scala entry points;
   *  - the native codegen expressions as SQL functions —
   *    `graft_array_dot(a, b)` and `graft_sorted_intersect_count(a, b)`
   *    — callable from `spark.sql` without touching the Scala API.
@@ -31,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GlobalRowNumberStrategy)
     ext.injectPlannerStrategy(_ => GlobalRunningSumStrategy)
+    // engine-level rewrite: plain SQL partition-less row_number /
+    // running-long-sum windows get the distributed two-pass plans
+    // instead of a single-partition Window (see RewriteGlobalWindows
+    // for the deliberate non-firing cases)
+    ext.injectOptimizerRule(_ => RewriteGlobalWindows)
     ext.injectFunction((
       new FunctionIdentifier("graft_array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_array_dot"),

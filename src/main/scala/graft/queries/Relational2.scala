@@ -62,13 +62,43 @@ object Relational2 {
         SELECT range AS custkey FROM range(1, 6))
       ORDER BY custkey"""
 
+  /** q73: plain SQL partition-less windows — global row_number and a
+    * running ROWS-frame sum with NO PARTITION BY, written exactly the
+    * way a user of the SQL surface would. In stock Spark this is the
+    * single-partition Window anti-shape (every row through one task's
+    * sort); with `spark.sql.extensions=graft.GraftExtensions` the
+    * [[org.apache.spark.sql.graftplans.RewriteGlobalWindows]] rule
+    * plans both expressions as the distributed two-pass operators over
+    * ONE range shuffle — this query gates that the rewrite is
+    * value-exact against the oracle, not just shape-asserted
+    * (GraftExtensionsSpec holds the plan-shape side). doc_id is unique,
+    * so the numbering is deterministic. */
+  def q73GlobalWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .selectExpr(
+        "doc_id",
+        "n_chars",
+        "CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn",
+        "sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING" +
+          " AND CURRENT ROW) AS cum_chars")
+      .orderBy("doc_id")
+
+  val q73Sql: String =
+    """SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY doc_id)::BIGINT AS rn,
+             sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)::BIGINT AS cum_chars
+      FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rollup" -> (q19Rollup _),
     "q34_set_ops" -> (q34SetOps _),
+    "q73_global_windows" -> (q73GlobalWindows _),
   )
 
   val oracles: Map[String, String] = Map(
     "q19_rollup" -> q19Sql,
     "q34_set_ops" -> q34Sql,
+    "q73_global_windows" -> q73Sql,
   )
 }

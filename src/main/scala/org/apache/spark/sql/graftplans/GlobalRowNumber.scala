@@ -106,10 +106,9 @@ object GlobalRowNumber {
   def withRowNumber(df: DataFrame, orderBy: Seq[Column], outputCol: String,
       numPartitions: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GlobalRowNumberStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GlobalRowNumberStrategy
-    }
+    // check-then-append under a lock: two threads racing here on one
+    // session would otherwise lose or duplicate the registration
+    GraftStrategyRegistration.ensure(spark, GlobalRowNumberStrategy)
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(n, orderBy: _*).sortWithinPartitions(orderBy: _*)

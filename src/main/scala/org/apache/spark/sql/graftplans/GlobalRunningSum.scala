@@ -26,7 +26,8 @@ import org.apache.spark.sql.types.LongType
   * emits offset-plus-running-within-partition with a codegen'd
   * projection (no GenericRow round-trip). */
 case class GlobalRunningSum(valueAttr: Attribute, outAttr: AttributeReference,
-    order: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
+    order: Seq[SortOrder], child: LogicalPlan,
+    checked: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
   override def maxRows: Option[Long] = child.maxRows
@@ -37,13 +38,15 @@ case class GlobalRunningSum(valueAttr: Attribute, outAttr: AttributeReference,
 object GlobalRunningSumStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GlobalRunningSum =>
-      GlobalRunningSumExec(g.valueAttr, g.outAttr, g.order, planLater(g.child)) :: Nil
+      GlobalRunningSumExec(g.valueAttr, g.outAttr, g.order, planLater(g.child),
+        g.checked) :: Nil
     case _ => Nil
   }
 }
 
 case class GlobalRunningSumExec(valueAttr: Attribute, outAttr: AttributeReference,
-    order: Seq[SortOrder], child: SparkPlan) extends UnaryExecNode {
+    order: Seq[SortOrder], child: SparkPlan,
+    checked: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
@@ -56,19 +59,39 @@ case class GlobalRunningSumExec(valueAttr: Attribute, outAttr: AttributeReferenc
   override protected def doExecute(): RDD[InternalRow] = {
     val vi = child.output.indexWhere(_.exprId == valueAttr.exprId)
     require(vi >= 0, s"value attribute $valueAttr not in child output")
+    // Two null contracts, selected by the output attribute:
+    //  - non-nullable out (the DistributedPrefixSum API): NULL values
+    //    sum as 0 and every row gets a sum — the documented contract
+    //    q68 builds on;
+    //  - nullable out (the window rewrite): exact SQL semantics — the
+    //    running sum is NULL until the first non-null value, because
+    //    SUM over an all-null frame is NULL.
+    val sqlNulls = outAttr.nullable
+    // `checked` = ANSI long arithmetic: overflow must abort, never
+    // wrap. The two-pass decomposition adds partition-LOCAL partial
+    // sums, so a sign-alternating stream at Long extremes can trip the
+    // check where a strictly sequential evaluation would not — that
+    // pathological edge errs toward an error (ANSI's own direction),
+    // never toward a wrong value. Unchecked (the legacy API contract)
+    // wrapping addition is associative, so the decomposition is exact.
+    val doAdd: (Long, Long) => Long =
+      if (checked) Math.addExact else (a: Long, b: Long) => a + b
     val rdd = child.execute()
-    // Pass 1: per-partition value sums over the materialized shuffle.
-    // NULL values contribute 0 — the same skip SQL's SUM applies.
-    val sums = rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
+    // Pass 1 over the materialized shuffle: per-partition value sums,
+    // plus whether the partition saw any non-null value.
+    val parts = rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
       var s = 0L
+      var saw = false
       while (it.hasNext) {
         val row = it.next()
-        if (!row.isNullAt(vi)) s += row.getLong(vi)
+        if (!row.isNullAt(vi)) { s = doAdd(s, row.getLong(vi)); saw = true }
       }
-      s
+      (s, saw)
     })
-    // offsets(p) = sum of all values in partitions before p
-    val offsets = sums.scanLeft(0L)(_ + _)
+    // offsets(p) = sum of all values in partitions before p;
+    // sawBefore(p) = any non-null value in partitions before p
+    val offsets = parts.map(_._1).scanLeft(0L)(doAdd)
+    val sawBefore = parts.map(_._2).scanLeft(false)(_ || _)
     val childAttrs = child.output
     rdd.mapPartitionsWithIndexInternal { (pid, it) =>
       val proj = UnsafeProjection.create(
@@ -78,9 +101,11 @@ case class GlobalRunningSumExec(valueAttr: Attribute, outAttr: AttributeReferenc
       val joined = new JoinedRow
       val sumRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       var running = offsets(pid)
+      var seen = !sqlNulls || sawBefore(pid)
       it.map { row =>
-        if (!row.isNullAt(vi)) running += row.getLong(vi)
-        sumRow.setLong(0, running) // INCLUSIVE prefix sum
+        if (!row.isNullAt(vi)) { running = doAdd(running, row.getLong(vi)); seen = true }
+        if (seen) sumRow.setLong(0, running) // INCLUSIVE prefix sum
+        else sumRow.setNullAt(0)
         proj(joined(row, sumRow))
       }
     }
@@ -97,10 +122,9 @@ object GlobalRunningSum {
   def withRunningSum(df: DataFrame, orderBy: Seq[Column], valueCol: String,
       outputCol: String, numPartitions: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GlobalRunningSumStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GlobalRunningSumStrategy
-    }
+    // check-then-append under a lock: two threads racing here on one
+    // session would otherwise lose or duplicate the registration
+    GraftStrategyRegistration.ensure(spark, GlobalRunningSumStrategy)
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(n, orderBy: _*).sortWithinPartitions(orderBy: _*)

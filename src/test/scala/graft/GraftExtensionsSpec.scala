@@ -36,6 +36,95 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == 2)
   }
 
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("plain SQL partition-less row_number rewrites to the distributed plan") {
+    val df = spark.range(0, 1000, 1, 4).selectExpr("id AS k", "(id * 7) % 1000 AS v")
+    df.createOrReplaceTempView("rw_t")
+    val q = spark.sql("SELECT k, row_number() OVER (ORDER BY v) AS rn FROM rw_t")
+    val p = planOf(q)
+    assert(p.contains("GlobalRowNumber"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"single-partition Window survived:\n$p")
+    // value-exact: numbering must equal the order rank of v (v is unique)
+    val rows = q.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expected = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._2).zipWithIndex.map { case ((k, _), i) => k -> (i + 1) }.toMap
+    assert(rows == expected)
+  }
+
+  test("plain SQL running long sum rewrites with exact SQL null semantics") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Long, Option[Long])](
+      (1L, None), (2L, None), (3L, Some(5L)), (4L, None), (5L, Some(2L)))
+      .toDF("k", "v").repartition(3)
+    df.createOrReplaceTempView("rs_t")
+    val q = spark.sql(
+      """SELECT k, sum(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+        |AND CURRENT ROW) AS cum FROM rs_t""".stripMargin)
+    val p = planOf(q)
+    assert(p.contains("GlobalRunningSum"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"single-partition Window survived:\n$p")
+    // SQL semantics: NULL until the first non-null value, then skip nulls
+    val got = q.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> Some(5L),
+      4L -> Some(5L), 5L -> Some(7L)), got)
+  }
+
+  test("row_number and running sum in one window spec share one exchange") {
+    val df = spark.range(0, 500, 1, 4).selectExpr("id AS k", "id % 9 AS v")
+    df.createOrReplaceTempView("rw2_t")
+    val q = spark.sql(
+      """SELECT k, row_number() OVER (ORDER BY k) AS rn,
+        |sum(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |CURRENT ROW) AS cum FROM rw2_t""".stripMargin)
+    val p = planOf(q)
+    assert(p.contains("GlobalRowNumber") && p.contains("GlobalRunningSum"), p)
+    val nExchanges = "Exchange".r.findAllIn(p).length
+    assert(nExchanges == 1, s"expected the stacked operators to share one" +
+      s" range shuffle, saw $nExchanges:\n$p")
+    val last = q.orderBy(org.apache.spark.sql.functions.col("k").desc)
+      .limit(1).collect().head
+    assert(last.getInt(1) == 500 && last.getLong(2) ==
+      (0L until 500L).map(_ % 9).sum)
+  }
+
+  test("the window rewrite leaves non-qualifying shapes to Catalyst") {
+    val df = spark.range(0, 100, 1, 4)
+      .selectExpr("id AS k", "id % 5 AS g", "id % 7 AS v")
+    df.createOrReplaceTempView("nf_t")
+    // PARTITION BY: already distributed by the partition keys
+    val partitioned = spark.sql(
+      "SELECT k, row_number() OVER (PARTITION BY g ORDER BY k) rn FROM nf_t")
+    assert(!planOf(partitioned).contains("GlobalRowNumber"))
+    // rank(): ties need neighbor context the two-pass operator lacks
+    val ranked = spark.sql("SELECT k, rank() OVER (ORDER BY v) r FROM nf_t")
+    assert(!planOf(ranked).contains("GlobalRowNumber"))
+    // default frame of a bare ORDER BY aggregate window is RANGE —
+    // peers of the order key must aggregate together; not rewritten
+    val rangeFrame = spark.sql("SELECT k, sum(v) OVER (ORDER BY g) s FROM nf_t")
+    assert(!planOf(rangeFrame).contains("GlobalRunningSum"))
+    // non-long sum: double summation keeps Spark's semantics
+    val dblSum = spark.sql(
+      """SELECT k, sum(CAST(v AS DOUBLE)) OVER (ORDER BY k ROWS BETWEEN
+        |UNBOUNDED PRECEDING AND CURRENT ROW) s FROM nf_t""".stripMargin)
+    assert(!planOf(dblSum).contains("GlobalRunningSum"))
+    // rank-limiting filter above: InferWindowGroupLimit's per-partition
+    // top-k beats a full range shuffle for small k — leave it
+    val topk = spark.sql(
+      """SELECT * FROM (SELECT k, row_number() OVER (ORDER BY v) rn
+        |FROM nf_t) WHERE rn <= 5""".stripMargin)
+    val topkPlan = planOf(topk)
+    assert(!topkPlan.contains("GlobalRowNumber"), topkPlan)
+    // Catalyst picks LimitPushDownThroughWindow (TakeOrderedAndProject
+    // below the window) or InferWindowGroupLimit — either is the
+    // per-partition top-k shape the guard preserves
+    assert(topkPlan.contains("WindowGroupLimit") ||
+      topkPlan.contains("TakeOrderedAndProject"), topkPlan)
+  }
+
   test("whole-operator strategies plan without experimental self-registration") {
     // the injected strategies must already be present: a session built
     // ONLY from config plans the custom nodes
