@@ -142,9 +142,18 @@ final class FlsFileReader(val path: Path, conf: Configuration) extends AutoClose
   }
 
   def readSegmentBytes(seg: SegmentDesc): Array[Byte] = {
-    if (seg.length < 0L || seg.offset < 0L || seg.offset + seg.length > fileSize)
+    // each bound checked on its own BEFORE the sum: an adversarial
+    // footer with offset=length=2^62 wraps the Long sum negative and
+    // would sneak past a combined check (and a length > Int.MaxValue
+    // would silently truncate in toInt below)
+    if (seg.length < 0L || seg.offset < 0L ||
+        seg.length > fileSize || seg.offset > fileSize ||
+        seg.offset > fileSize - seg.length) // subtraction form cannot wrap
       FlsErrors.corrupt(s"segment out of bounds (offset=${seg.offset} " +
         s"length=${seg.length} file=$fileSize bytes): $path")
+    if (seg.length > Int.MaxValue)
+      FlsErrors.corrupt(s"segment length ${seg.length} exceeds the 2 GiB " +
+        s"single-buffer limit: $path")
     val bytes = new Array[Byte](seg.length.toInt)
     in.readFully(seg.offset, bytes)
     bytes

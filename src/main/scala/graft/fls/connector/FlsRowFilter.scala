@@ -423,7 +423,13 @@ object FlsRowFilter {
     /** Insertion sort by (rank, pushed index) ascending: ties
       * (unmeasured or pass-through conjuncts, rank 0) land in PUSHED
       * order — explicitly, not via sort stability, which would only
-      * preserve the previous permutation after the first reorder. */
+      * preserve the previous permutation after the first reorder.
+      * After sorting, the accumulators are HALVED (exponential decay,
+      * window ≈ 2·everyGroups row groups): without decay a long chunk
+      * over clustered data freezes on whatever selectivity the first
+      * row groups showed, and the claimed adaptivity degrades to a
+      * one-shot decision. Halving keeps the counters integral and the
+      * rank ratio unchanged at the instant of decay. */
     def reorder(): Unit = {
       var a = 1
       while (a < perm.length) {
@@ -434,6 +440,11 @@ object FlsRowFilter {
         }
         perm(b + 1) = v
         a += 1
+      }
+      var i = 0
+      while (i < n) {
+        nanos(i) >>= 1; rowsIn(i) >>= 1; rowsOut(i) >>= 1
+        i += 1
       }
     }
   }

@@ -160,11 +160,15 @@ object Corpus {
 
   /** q61: exact length quantiles per language (p50/p90 of n_chars,
     * linearly interpolated at rank p·(n−1) — the definition both
-    * engines implement). Exact percentile holds each group's values in
-    * the aggregation buffer — right for a bounded group count like
-    * languages; an unbounded group key at 100 TB switches to
-    * approx_percentile (t-digest, fixed memory) and loses the oracle's
-    * bit-exactness, which is why the exact one is the gated surface. */
+    * engines implement). Exact percentile's aggregation buffer is a
+    * value→count map, so its memory is bounded by the DISTINCT VALUES
+    * PER GROUP — not the group count, and not the row count. That is
+    * why integer n_chars is safe at any corpus size (document lengths
+    * span a bounded integer domain) while a double-typed or
+    * high-cardinality column would not be: its buffer grows with the
+    * data. For unbounded domains use [[q61ApproxLengthQuantiles]]
+    * (fixed-memory sketch); it loses the oracle's bit-exactness, which
+    * is why the exact one is the gated surface. */
   def q61LengthQuantiles(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .groupBy("lang")
@@ -172,6 +176,21 @@ object Corpus {
       .select(col("lang"),
         round(element_at(col("q"), 1), 4).as("p50"),
         round(element_at(col("q"), 2), 4).as("p90"))
+      .orderBy("lang")
+
+  /** q61's fixed-memory twin for unbounded-domain columns:
+    * approx_percentile (Greenwald-Khanna sketch, accuracy 1/eps
+    * = 10000) keeps a bounded buffer per group no matter how many
+    * distinct values the column has. Not oracle-gated (sketch output
+    * is engine-specific); spec-tested against the exact variant within
+    * the sketch's rank-error tolerance. */
+  def q61ApproxLengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(expr("approx_percentile(n_chars, array(0.5D, 0.9D), 10000)").as("q"))
+      .select(col("lang"),
+        col("q").getItem(0).cast("double").as("p50"),
+        col("q").getItem(1).cast("double").as("p90"))
       .orderBy("lang")
 
   val q61Sql: String =
@@ -303,9 +322,25 @@ object Corpus {
     * Real pipelines run 8–13-grams; the synthetic corpus's vocabulary
     * is tiny so 3-grams keep the result non-degenerate — the shape is
     * identical. Scale: the test split's distinct n-grams are small by
-    * construction (held-out sets are) → broadcast semi-join; the
-    * training side is explode + map-side distinct. */
-  def q69NgramContamination(spark: SparkSession, dir: String): DataFrame = {
+    * construction (held-out sets are) → broadcast semi-join — but the
+    * broadcast is GATED on the optimizer's size estimate, like q24's
+    * dispatch: a forced hint would bypass AQE's size check and OOM the
+    * driver on a fat held-out split instead of degrading to a shuffle
+    * semi-join. Over the ceiling the join carries no hint at all, so
+    * AQE still upgrades it to broadcast at runtime if the ACTUAL
+    * distinct-n-gram set turns out small. The training side is explode
+    * + map-side distinct either way. */
+  def q69NgramContamination(spark: SparkSession, dir: String): DataFrame =
+    ngramContamination(spark, dir, 512L << 20)
+
+  /** q69 with the broadcast ceiling exposed for plan-shape tests.
+    * Estimate = optimizer `stats.sizeInBytes` of the test side × 4
+    * (file-bytes → heap inflation, same factor q24 measured), guarded
+    * against the stats-absent sentinel (`defaultSizeInBytes` =
+    * Long.MaxValue would otherwise silently force the shuffle path for
+    * tiny in-memory corpora). */
+  def ngramContamination(spark: SparkSession, dir: String,
+      maxBroadcastBytes: Long): DataFrame = {
     val w = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -313,8 +348,13 @@ object Corpus {
       "transform(sequence(1, size(ws)-2), i -> concat_ws(' ', slice(ws, i, 3)))"))
       .as("ng"))
     val test = g.filter("doc_id % 97 = 0").select("ng").distinct()
+    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    val est = test.queryExecution.optimizedPlan.stats.sizeInBytes
+    val testSide =
+      if (est < sentinel && est * 4 <= BigInt(maxBroadcastBytes)) broadcast(test)
+      else test
     g.filter("doc_id % 97 != 0")
-      .join(broadcast(test), Seq("ng"))
+      .join(testSide, Seq("ng"), "left_semi")
       .select("doc_id", "lang").distinct()
       .groupBy("lang")
       .agg(count(lit(1)).as("contaminated_docs"))
@@ -352,7 +392,13 @@ object Corpus {
   def q72TfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(spark, dir, "documents")
-    val n = docs.count()
+    // N must be EXACT (it multiplies into the integer-ratio weight the
+    // oracle hash checks). The fls scan reports an exact rowCount from
+    // its footers — a pure Catalyst stats call, no job; the parquet V2
+    // scan reports only sizeInBytes, so the fallback count() remains —
+    // a footer-served metadata aggregate, not a data scan.
+    val n: Long = docs.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(docs.count())
     val terms = docs
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("token"))

@@ -394,8 +394,19 @@ object Dedup {
       // stats.sizeInBytes is FILE bytes (compressed/encoded), not the
       // heap cost of the collected vectors — 4× inflation covers the
       // gap (high-entropy float32 barely compresses, but the JVM-side
-      // rows/arrays carry object headers and boxing over raw payload)
-      val estBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes * 4
+      // rows/arrays carry object headers and boxing over raw payload).
+      // When a source reports NO stats Catalyst substitutes the
+      // defaultSizeInBytes sentinel (Long.MaxValue), which would
+      // silently force the grid path even for a 10-row in-memory view —
+      // in that case fall back to a count-based estimate (256 B/vector,
+      // the measured heap cost). File sources always report
+      // sizeInBytes, so the count job only ever runs for in-memory or
+      // exotic sources where it is cheap.
+      val rawStat = base.queryExecution.optimizedPlan.stats.sizeInBytes
+      val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+      val estBytes =
+        if (rawStat < sentinel) rawStat * 4
+        else BigInt(base.count()) * 256
       if (estBytes <= BigInt(maxBroadcastBytes)) q24EmbeddingNearDup(spark, dir)
       else q43EmbeddingBlocked(spark, dir)
     case other => throw new IllegalArgumentException(

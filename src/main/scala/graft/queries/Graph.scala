@@ -12,22 +12,16 @@ import graft.util.Tables._
   * that actually shrinks the corpus. */
 object Graph {
 
-  /** q70: connected-components dedup clustering by iterative min-label
-    * propagation. Candidate edges come from two cheap blocking systems
-    * — same (lang, source) and same (lang, 64-char length band) — each
-    * contributing star edges to its block's min doc_id; overlapping
-    * stars chain blocks together, so components genuinely require the
-    * transitive closure (a single groupBy cannot produce them).
-    *
-    * Scale shape: labels start as each node's own id; each round every
-    * node takes the min of its neighbors' labels (one shuffle join +
-    * one aggregate), until a fixpoint — convergence in at most the
-    * graph diameter rounds, checked with a cheap count per round. This
-    * is the primitive behind the large-star/small-star CC algorithm;
-    * on a 100 TB corpus the star-contraction variant cuts the round
-    * count, but each round is THE SAME join+min — nothing here funnels
-    * through the driver except the per-round convergence counter.
-    * The oracle computes the identical closure with a recursive CTE. */
+  /** q70: connected-components dedup clustering. Candidate edges come
+    * from two cheap blocking systems — same (lang, source) and same
+    * (lang, 64-char length band) — each contributing star edges to its
+    * block's min doc_id; overlapping stars chain blocks together, so
+    * components genuinely require the transitive closure (a single
+    * groupBy cannot produce them). The closure runs as large-star/
+    * small-star contraction ([[connectedComponents]]): O(log n) rounds
+    * of the join+min primitive, diameter-independent, nothing through
+    * the driver but the per-round convergence accumulators. The oracle
+    * computes the identical closure with a recursive CTE. */
   def q70DedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").select("doc_id", "lang", "source", "n_chars")
     val w1 = Window.partitionBy(col("lang"), col("source"))
@@ -42,18 +36,91 @@ object Graph {
       .orderBy("cluster")
   }
 
-  /** Connected components by iterative min-label propagation: `nodes`
-    * (col `node`) ∪ undirected `edges` (cols `a`,`b`, symmetrized
-    * here) → (`node`, `label`) with label = the component's min node.
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"): `nodes` (col `node`) ∪ undirected `edges` (cols
+    * `a`,`b`) → (`node`, `label`) with label = the component's min
+    * node.
     *
-    * Iterative propagation MUST truncate lineage per round: each round
-    * references the previous labels twice (neighbor join + convergence
-    * diff), so the logical plan doubles per iteration and a 20-round
-    * chain OOMs the driver just printing itself. localCheckpoint
-    * materializes the round and cuts the plan back to a leaf (on a
-    * cluster: checkpoint to reliable storage for executor-loss
-    * safety). */
+    * Why contraction and not plain min-label propagation: propagation
+    * needs O(graph-diameter) rounds, and LSH near-dup graphs contain
+    * PATH components (a≈b≈c≈…) whose diameter grows with the corpus —
+    * at 100 TB an unbounded chain would either iterate for hours or
+    * hit an arbitrary round cap after the expensive candidate
+    * generation already ran. Contraction uses the identical per-round
+    * primitive — one groupBy-min plus one shuffle join — but rewires
+    * every node toward its neighborhood minimum, which provably
+    * converges in O(log n) rounds regardless of diameter, so there is
+    * no round cap at all. Propagation stays in the tree as
+    * [[labelPropagation]], the spec's oracle twin.
+    *
+    * Per round (ONE Spark job): large-star points every node's
+    * larger neighbors at the neighborhood min; small-star re-points
+    * the smaller neighbors; the round's edge set is localCheckpoint'ed
+    * (lineage otherwise doubles per iteration — on a cluster,
+    * checkpoint to reliable storage for executor-loss safety) and the
+    * convergence statistics ride that same materialization as
+    * accumulators (changed-edge marker from a left join against the
+    * previous round + a row counter), so no separate count() job runs.
+    * Accumulators can over-count under task retry — never under-count
+    * — so a retry can only add a (cheap, already-converged) round,
+    * never terminate early. */
   def connectedComponents(nodes: DataFrame, edges0: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import org.apache.spark.sql.{Encoders, Row}
+    // canonical orientation: every edge stored (a, b) with a > b
+    var e = edges0.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint(true)
+    var prevRows = e.count()
+    var converged = prevRows == 0
+    var iter = 0
+    while (!converged) {
+      // large-star: for each node u, point every neighbor v > u at
+      // m = min(N(u) ∪ {u}). Each canonical edge is seen from its
+      // smaller endpoint; output stays canonical (v > u ≥ m).
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val lsMin = sym.groupBy("a").agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("a"), col("mn")).as("m"))
+      val ls = sym.join(lsMin, "a").where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+      // small-star: for each node u (edges now all point down), point
+      // u and its non-min neighbors at m = min(N(u) ∪ {u}) = min(b).
+      val ssMin = ls.groupBy("a").agg(min(col("b")).as("m"))
+      val ss = ls.join(ssMin, "a").where(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(ssMin.select(col("a"), col("m").as("b")))
+        .distinct()
+      // converged iff the edge SET is unchanged: no edge absent from
+      // the previous round (accNew) and the same cardinality (accRows)
+      val accNew = spark.sparkContext.longAccumulator(s"graft-cc-new-$iter")
+      val accRows = spark.sparkContext.longAccumulator(s"graft-cc-rows-$iter")
+      val marked = ss.join(e.withColumn("__old", lit(1)), Seq("a", "b"), "left_outer")
+      val outSchema = org.apache.spark.sql.types.StructType(marked.schema.take(2))
+      val next = marked.mapPartitions { it =>
+        it.map { r =>
+          accRows.add(1)
+          if (r.isNullAt(2)) accNew.add(1)
+          Row(r.get(0), r.get(1))
+        }
+      }(Encoders.row(outSchema)).localCheckpoint(true)
+      converged = accNew.value == 0 && accRows.value == prevRows
+      prevRows = accRows.value
+      e = next
+      iter += 1
+    }
+    // fixpoint is a star forest rooted at each component's min node
+    nodes.join(e, nodes("node") === e("a"), "left")
+      .select(nodes("node"), coalesce(col("b"), nodes("node")).as("label"))
+  }
+
+  /** The plain min-label propagation twin — O(diameter) rounds, kept
+    * as the independently-derived oracle the spec cross-checks
+    * [[connectedComponents]] against (and a readable statement of the
+    * semantics). Not used by any query: path-shaped components make
+    * its round count unbounded, hence the explicit cap here. */
+  def labelPropagation(nodes: DataFrame, edges0: DataFrame): DataFrame = {
     val edges = edges0.select(col("a"), col("b"))
       .union(edges0.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()

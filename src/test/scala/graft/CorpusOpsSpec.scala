@@ -79,6 +79,52 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("p90") == 9.2)
   }
 
+  test("q61 approx twin tracks the exact quantiles within sketch tolerance") {
+    val exact = Corpus.q61LengthQuantiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Corpus.q61ApproxLengthQuantiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    // the sketch's guarantee is RANK error, not value error: it returns
+    // an actual data value whose rank is within ±1 of the target on a
+    // handful of inputs (exact interpolates BETWEEN ranks, so compare
+    // against the bracketing data values, not the interpolated number)
+    val lengths = spark.read.parquet(s"$dir/documents.parquet")
+      .select("lang", "n_chars").collect()
+      .groupBy(_.getString(0)).map { case (l, rs) =>
+        l -> rs.map(_.getLong(1).toDouble).sorted }
+    def admissible(lang: String, p: Double): Set[Double] = {
+      val vs = lengths(lang)
+      val r = p * (vs.length - 1)
+      val lo = math.max(math.floor(r).toInt - 1, 0)
+      val hi = math.min(math.ceil(r).toInt + 1, vs.length - 1)
+      (lo to hi).map(vs).toSet
+    }
+    for ((lang, (a50, a90)) <- approx) {
+      assert(admissible(lang, 0.5).contains(a50),
+        s"$lang p50: approx=$a50 not within rank tolerance of ${lengths(lang).toSeq}")
+      assert(admissible(lang, 0.9).contains(a90),
+        s"$lang p90: approx=$a90 not within rank tolerance of ${lengths(lang).toSeq}")
+    }
+  }
+
+  test("q69 broadcast is gated: hint under the ceiling, AQE's choice above") {
+    def optimized(ceiling: Long): String =
+      Corpus.ngramContamination(spark, dir, ceiling)
+        .queryExecution.optimizedPlan.toString
+    // generous ceiling → the test side carries an explicit broadcast hint
+    assert(optimized(Long.MaxValue >> 3).contains("strategy=broadcast"),
+      "expected a broadcast hint under the ceiling")
+    // zero ceiling → no hint; join strategy left to Catalyst/AQE sizes
+    assert(!optimized(0L).contains("strategy=broadcast"),
+      "expected no forced broadcast above the ceiling")
+    // both sides of the ceiling must agree on the answer
+    val under = Corpus.ngramContamination(spark, dir, Long.MaxValue >> 3)
+      .collect().toSeq
+    val over = Corpus.ngramContamination(spark, dir, 0L).collect().toSeq
+    assert(under == over)
+  }
+
   test("q62 collapses token-reordered duplicates, keeps distinct bags apart") {
     val bySource = Corpus.q62BagDedup(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -79,4 +79,47 @@ class GraphCcSpec extends AnyFunSuite with BeforeAndAfterAll {
     // reachable only through ≥2 propagation hops
     assert(got.size == 2, s"expected 2 chained components, got ${got.size}")
   }
+
+  test("star contraction equals min-label propagation on the chained graph") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val d = docs.toDF("doc_id", "lang", "source", "n_chars")
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), expr("n_chars DIV 64"))
+    val b1 = d.select(col("doc_id").as("a"), min("doc_id").over(w1).as("b"))
+    val b2 = d.select(col("doc_id").as("a"), min("doc_id").over(w2).as("b"))
+    val edges = b1.union(b2).filter(col("a") =!= col("b")).distinct()
+    val nodes = d.select(col("doc_id").as("node"))
+    val contraction = graft.queries.Graph.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val propagation = graft.queries.Graph.labelPropagation(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(contraction == propagation)
+  }
+
+  test("path graph with diameter > 64 converges (propagation's cap territory)") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // a 200-node path 0-1-2-…-199: diameter 199, where plain min-label
+    // propagation would need 199 rounds and trip its 64-round cap;
+    // contraction must close it in O(log n) rounds
+    val n = 200L
+    val nodes = sp.range(0, n).select(col("id").as("node"))
+    val edges = sp.range(0, n - 1)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val labels = graft.queries.Graph.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L),
+      s"path must collapse to one component rooted at 0: " +
+        s"${labels.filter(_._2 != 0L).take(5).mkString(",")}")
+    // isolated node: labels itself
+    val lone = graft.queries.Graph.connectedComponents(
+      sp.range(500, 503).select(col("id").as("node")),
+      sp.emptyDataset[(Long, Long)].toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lone == Set((500L, 500L), (501L, 501L), (502L, 502L)))
+  }
 }
