@@ -27,6 +27,7 @@ object ScaleSweep {
     val scaledDir = s"/tmp/graft_scale/x$mult"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -56,7 +57,60 @@ object ScaleSweep {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[sweep] wrote $outPath")
+
+    val perMult = names.map { q =>
+      val b = base.getOrElse(q, -1.0)
+      val s = scaled.getOrElse(q, -1.0)
+      q -> (if (b > 0 && s > 0) s / b / mult else -1.0)
+    }.toMap
+    compareToPrior(mult, perMult)
     spark.stop()
+  }
+
+  /** Regression gate: diff this run's per-unit ratios against the
+    * newest archived round (`results/scale_sweep_<mult>_r<N>.json`,
+    * committed each round). ratio_over_mult is a WITHIN-session ratio
+    * (scaled/base on the same JVM and load), so it is the one sweep
+    * number comparable across sessions — absolutes on this box swing
+    * ~2× with ambient load. A query whose per-unit ratio grew >1.5×
+    * round-over-round is flagged REGRESSED: that is how the r8 sweep
+    * caught q43's 4× join-machinery tax. Informational (printed table
+    * + summary), the builder/judge reads it per round. */
+  private def compareToPrior(mult: Int, perMult: Map[String, Double]): Unit = {
+    val dir = java.nio.file.Paths.get("results")
+    if (!java.nio.file.Files.isDirectory(dir)) {
+      println("[sweep-diff] no results/ directory — nothing to compare")
+      return
+    }
+    val pat = raw"scale_sweep_${mult}_r(\d+)\.json".r
+    import scala.jdk.CollectionConverters._
+    val prior = java.nio.file.Files.list(dir).iterator().asScala
+      .flatMap { p =>
+        pat.findFirstMatchIn(p.getFileName.toString).map(m => (m.group(1).toInt, p))
+      }.toSeq.sortBy(-_._1).headOption
+    prior match {
+      case None =>
+        println(s"[sweep-diff] no prior results/scale_sweep_${mult}_r*.json")
+      case Some((round, path)) =>
+        val txt = new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val entry =
+          raw""""q":"([^"]+)"[^}]*"ratio_over_mult":(-?[0-9.]+)""".r
+        val prev = entry.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        var regressed = 0
+        names.foreach { q =>
+          (prev.get(q), perMult.get(q)) match {
+            case (Some(p), Some(n)) if p > 0 && n > 0 =>
+              val x = n / p
+              val flag = if (x > 1.5) { regressed += 1; "REGRESSED" } else "ok"
+              println(f"[sweep-diff] $q%-24s r$round=$p%.3f now=$n%.3f x$x%.2f $flag")
+            case _ =>
+              println(f"[sweep-diff] $q%-24s (no comparable measurement)")
+          }
+        }
+        println(s"[sweep-diff] vs r$round: $regressed quer(ies) grew >1.5x per-unit")
+    }
   }
 
   /** Replica i shifts each listed key by i*stride — unions stay unique

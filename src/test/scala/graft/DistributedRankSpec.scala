@@ -68,6 +68,27 @@ class DistributedRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 1, s"expected exactly one range exchange, got $exchanges:\n$plan")
   }
 
+  test("wide rows: a fat text payload rides the range shuffle unchanged") {
+    // documents-shaped frame: rank by a narrow key while a ~2 KB string
+    // column rides along — the two-pass shape must stay correct (and
+    // the payload must arrive intact) when the shuffled rows are wide.
+    // (Rank-then-join-back would only pay if THIS shape regressed.)
+    val df = spark.range(0, 2000, 1, 8)
+      .selectExpr(
+        "pmod(id * 2654435761, 99991) AS k",
+        "repeat(concat('doc-', CAST(id AS STRING), '-'), 400) AS text")
+    val ranked = DistributedRank.withRowNumber(df, Seq(col("k")), "rn")
+    val got = ranked.select("k", "text", "rn").collect()
+    assert(got.length == 2000)
+    // 'doc-<id>-' is ≥6 chars × 400 repeats ⇒ every payload ≥2400 chars
+    assert(got.forall(r => r.getString(1).length >= 2400), "payload truncated?")
+    val expected = df.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((k, t), i) => (k, t, i + 1L) }.toSeq
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._3).toSeq == expected)
+  }
+
   test("multi-column order and custom partition count") {
     val df = spark.range(0, 3000, 1, 6)
       .selectExpr("id % 10 AS a", "pmod(id * 7, 3001) AS b")
