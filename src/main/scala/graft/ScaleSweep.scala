@@ -63,7 +63,7 @@ object ScaleSweep {
       val s = scaled.getOrElse(q, -1.0)
       q -> (if (b > 0 && s > 0) s / b / mult else -1.0)
     }.toMap
-    compareToPrior(mult, perMult)
+    compareToPrior(mult, perMult, scaled)
     spark.stop()
   }
 
@@ -73,10 +73,16 @@ object ScaleSweep {
     * (scaled/base on the same JVM and load), so it is the one sweep
     * number comparable across sessions — absolutes on this box swing
     * ~2× with ambient load. A query whose per-unit ratio grew >1.5×
-    * round-over-round is flagged REGRESSED: that is how the r8 sweep
-    * caught q43's 4× join-machinery tax. Informational (printed table
-    * + summary), the builder/judge reads it per round. */
-  private def compareToPrior(mult: Int, perMult: Map[String, Double]): Unit = {
+    * round-over-round AND costs ≥5 s at scale is flagged REGRESSED:
+    * that is how the r8 sweep caught q43's 4× join-machinery tax.
+    * Sub-5 s scaled queries are fixed-overhead denominated — their
+    * per-unit ratios double on JVM/cache ambient state (measured in
+    * r9: 17 false flags, every one under 5 s; the floor keeps the
+    * r9-confirmed true positives, which were 23–316 s). Informational
+    * (printed table + summary), the builder/judge reads it per
+    * round. */
+  private def compareToPrior(mult: Int, perMult: Map[String, Double],
+      scaledSec: Map[String, Double]): Unit = {
     val dir = java.nio.file.Paths.get("results")
     if (!java.nio.file.Files.isDirectory(dir)) {
       println("[sweep-diff] no results/ directory — nothing to compare")
@@ -103,7 +109,11 @@ object ScaleSweep {
           (prev.get(q), perMult.get(q)) match {
             case (Some(p), Some(n)) if p > 0 && n > 0 =>
               val x = n / p
-              val flag = if (x > 1.5) { regressed += 1; "REGRESSED" } else "ok"
+              val flag =
+                if (x > 1.5 && scaledSec.getOrElse(q, 0.0) >= 5.0) {
+                  regressed += 1; "REGRESSED"
+                } else if (x > 1.5) "grew (sub-5s, noise-class)"
+                else "ok"
               println(f"[sweep-diff] $q%-24s r$round=$p%.3f now=$n%.3f x$x%.2f $flag")
             case _ =>
               println(f"[sweep-diff] $q%-24s (no comparable measurement)")

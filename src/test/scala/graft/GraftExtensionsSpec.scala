@@ -91,6 +91,28 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L until 500L).map(_ % 9).sum)
   }
 
+  test("running count(*) rewrites as a row number; count(nullable) does not") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Long, Option[Long])]((1L, None), (2L, Some(9L)), (3L, None))
+      .toDF("k", "v")
+    df.createOrReplaceTempView("rc_t")
+    val starCount = spark.sql(
+      """SELECT k, count(*) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+        |PRECEDING AND CURRENT ROW) AS c FROM rc_t""".stripMargin)
+    val p = planOf(starCount)
+    assert(p.contains("GlobalRowNumber"), s"count(*) rewrite did not fire:\n$p")
+    assert(starCount.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    // count(v) skips nulls — NOT a row number; must stay a Window
+    val colCount = spark.sql(
+      """SELECT k, count(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+        |PRECEDING AND CURRENT ROW) AS c FROM rc_t""".stripMargin)
+    assert(!planOf(colCount).contains("GlobalRowNumber"))
+    assert(colCount.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 0L), (2L, 1L), (3L, 1L)))
+  }
+
   test("the window rewrite leaves non-qualifying shapes to Catalyst") {
     val df = spark.range(0, 100, 1, 4)
       .selectExpr("id AS k", "id % 5 AS g", "id % 7 AS v")
