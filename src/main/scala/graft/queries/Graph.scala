@@ -65,6 +65,12 @@ object Graph {
     * Accumulators can over-count under task retry — never under-count
     * — so a retry can only add a (cheap, already-converged) round,
     * never terminate early. */
+  /** Rounds the last [[connectedComponents]] call took — observability
+    * for specs and probes (the O(log n) claim is asserted, not
+    * assumed: GraphCcSpec bounds a 200-node path graph, which plain
+    * propagation would need 199 rounds for). Driver-side only. */
+  @volatile var lastRounds: Int = 0
+
   def connectedComponents(nodes: DataFrame, edges0: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     import org.apache.spark.sql.{Encoders, Row}
@@ -110,6 +116,7 @@ object Graph {
       e = next
       iter += 1
     }
+    lastRounds = iter
     // fixpoint is a star forest rooted at each component's min node
     nodes.join(e, nodes("node") === e("a"), "left")
       .select(nodes("node"), coalesce(col("b"), nodes("node")).as("label"))

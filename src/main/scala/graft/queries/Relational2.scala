@@ -62,9 +62,10 @@ object Relational2 {
         SELECT range AS custkey FROM range(1, 6))
       ORDER BY custkey"""
 
-  /** q73: plain SQL partition-less windows — global row_number and a
-    * running ROWS-frame sum with NO PARTITION BY, written exactly the
-    * way a user of the SQL surface would. In stock Spark this is the
+  /** q73: plain SQL partition-less windows — global row_number, a
+    * running ROWS-frame count(*), and a running ROWS-frame sum with NO
+    * PARTITION BY, written exactly the way a user of the SQL surface
+    * would. In stock Spark this is the
     * single-partition Window anti-shape (every row through one task's
     * sort); with `spark.sql.extensions=graft.GraftExtensions` the
     * [[org.apache.spark.sql.graftplans.RewriteGlobalWindows]] rule
@@ -79,6 +80,8 @@ object Relational2 {
         "doc_id",
         "n_chars",
         "CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rn",
+        "count(*) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING" +
+          " AND CURRENT ROW) AS seen",
         "sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING" +
           " AND CURRENT ROW) AS cum_chars")
       .orderBy("doc_id")
@@ -86,6 +89,8 @@ object Relational2 {
   val q73Sql: String =
     """SELECT doc_id, n_chars,
              row_number() OVER (ORDER BY doc_id)::BIGINT AS rn,
+             count(*) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)::BIGINT AS seen,
              sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                AND CURRENT ROW)::BIGINT AS cum_chars
       FROM documents ORDER BY doc_id"""

@@ -113,6 +113,27 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set((1L, 0L), (2L, 1L), (3L, 1L)))
   }
 
+  test("the rewrite fires under both ANSI settings (checked vs wrapping sum)") {
+    // Spark 4 defaults to ANSI on; legacy sessions turn it off. The
+    // rewrite must fire either way — only the running sum's overflow
+    // contract differs (checked abort vs wrap), invisible on sane data.
+    val df = spark.range(0, 100, 1, 4).selectExpr("id AS k", "id % 3 AS v")
+    df.createOrReplaceTempView("ansi_t")
+    val sql = """SELECT k, sum(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+                |PRECEDING AND CURRENT ROW) AS cum FROM ansi_t""".stripMargin
+    val prior = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      for (ansi <- Seq("true", "false")) {
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+        val q = spark.sql(sql)
+        assert(planOf(q).contains("GlobalRunningSum"),
+          s"rewrite did not fire with ansi=$ansi")
+        assert(q.orderBy(org.apache.spark.sql.functions.col("k").desc)
+          .limit(1).collect().head.getLong(1) == (0L until 100L).map(_ % 3).sum)
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", prior)
+  }
+
   test("the window rewrite leaves non-qualifying shapes to Catalyst") {
     val df = spark.range(0, 100, 1, 4)
       .selectExpr("id AS k", "id % 5 AS g", "id % 7 AS v")

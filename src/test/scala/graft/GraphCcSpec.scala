@@ -115,6 +115,11 @@ class GraphCcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels.forall(_._2 == 0L),
       s"path must collapse to one component rooted at 0: " +
         s"${labels.filter(_._2 != 0L).take(5).mkString(",")}")
+    // the O(log n) claim, asserted: diameter 199 must close in far
+    // fewer rounds than propagation's 199 (2·log2(200) ≈ 15)
+    val rounds = graft.queries.Graph.lastRounds
+    assert(rounds <= 16, s"contraction took $rounds rounds on a 200-path " +
+      "— that is propagation-like, not O(log n)")
     // isolated node: labels itself
     val lone = graft.queries.Graph.connectedComponents(
       sp.range(500, 503).select(col("id").as("node")),
