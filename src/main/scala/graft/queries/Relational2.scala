@@ -63,9 +63,10 @@ object Relational2 {
       ORDER BY custkey"""
 
   /** q73: plain SQL partition-less windows — global row_number, a
-    * running ROWS-frame count(*), and a running ROWS-frame sum with NO
-    * PARTITION BY, written exactly the way a user of the SQL surface
-    * would. In stock Spark this is the
+    * running ROWS-frame count(*), a running ROWS-frame sum, and the
+    * tie-aware rank()/dense_rank() (over n_chars, which HAS ties) with
+    * NO PARTITION BY, written exactly the way a user of the SQL
+    * surface would. In stock Spark this is the
     * single-partition Window anti-shape (every row through one task's
     * sort); with `spark.sql.extensions=graft.GraftExtensions` the
     * [[org.apache.spark.sql.graftplans.RewriteGlobalWindows]] rule
@@ -83,7 +84,10 @@ object Relational2 {
         "count(*) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING" +
           " AND CURRENT ROW) AS seen",
         "sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING" +
-          " AND CURRENT ROW) AS cum_chars")
+          " AND CURRENT ROW) AS cum_chars",
+        // n_chars ties ⇒ rank/dense_rank are the tie-aware gates
+        "CAST(rank() OVER (ORDER BY n_chars) AS BIGINT) AS len_rank",
+        "CAST(dense_rank() OVER (ORDER BY n_chars) AS BIGINT) AS len_dense")
       .orderBy("doc_id")
 
   val q73Sql: String =
@@ -92,7 +96,9 @@ object Relational2 {
              count(*) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                AND CURRENT ROW)::BIGINT AS seen,
              sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-               AND CURRENT ROW)::BIGINT AS cum_chars
+               AND CURRENT ROW)::BIGINT AS cum_chars,
+             rank() OVER (ORDER BY n_chars)::BIGINT AS len_rank,
+             dense_rank() OVER (ORDER BY n_chars)::BIGINT AS len_dense
       FROM documents ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -10,10 +10,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule: plain SQL `row_number() OVER (ORDER BY …)`,
-  * `count(*) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)` (≡ the row
-  * number), and `sum(x) OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)` —
-  * no PARTITION BY — plan as a SINGLE-partition Window in stock Spark:
-  * every row
+  * `rank()` / `dense_rank()`, `count(*) OVER (ORDER BY … ROWS
+  * UNBOUNDED PRECEDING)` (≡ the row number), and `sum(x) OVER
+  * (ORDER BY … ROWS UNBOUNDED PRECEDING)` — no PARTITION BY — plan as
+  * a SINGLE-partition Window in stock Spark: every row
   * funnels through one task's sort (the 100 TB anti-shape; the 128×
   * sweep measured the distributed rank 14× faster). [[GlobalRowNumber]]
   * and [[GlobalRunningSum]] already compute both shapes over a range
@@ -26,11 +26,14 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   *
   * Deliberate non-firing cases (each spec-locked):
   *  - PARTITION BY present — already distributed by the partition keys.
-  *  - RANGE frames (the default frame of a bare ORDER BY aggregate
-  *    window) — RANGE includes order-key peers; the running operator is
-  *    ROWS semantics, and rewriting would change results on ties.
-  *  - rank()/dense_rank()/lag/… — ties and offsets need neighbor
-  *    context the two-pass operator does not model.
+  *  - RANGE frames on AGGREGATE windows (the default frame of a bare
+  *    ORDER BY aggregate window) — RANGE includes order-key peers; the
+  *    running-sum operator is ROWS semantics, and rewriting would
+  *    change results on ties. (rank()/dense_rank() also carry a RANGE
+  *    frame, but their value is frame-independent — they DO rewrite,
+  *    via [[GlobalRank]].)
+  *  - lag/lead/ntile/percent_rank/… — offsets and totals need context
+  *    the two-pass operators do not model.
   *  - sums whose result type is not LONG (decimal/double need Spark's
   *    overflow/summation semantics, not a primitive long add).
   *  - a rank-limiting Filter or a Limit directly above: Catalyst's
@@ -78,11 +81,20 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
 
   private def rewritableExpr(we: WindowExpression): Boolean = we.windowSpec match {
     case WindowSpecDefinition(Nil, _,
-        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)) =>
+        SpecifiedWindowFrame(frame, UnboundedPreceding, CurrentRow)) =>
       we.windowFunction match {
-        case _: RowNumber => true
+        case _: RowNumber => frame == RowFrame
+        // rank()/dense_rank(): frame-independent values (the analyzer
+        // assigns them their fixed frame). Exact under the range
+        // shuffle because RangePartitioning sends equal keys to one
+        // partition — tie-runs never straddle.
+        case _: Rank | _: DenseRank => true
         case ae: AggregateExpression =>
-          ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
+          // aggregates only under an explicit ROWS frame: RANGE (the
+          // default of a bare ORDER BY) aggregates order-key peers
+          // together, which the running operator does not model
+          frame == RowFrame &&
+            ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
             (ae.aggregateFunction match {
               case s: Sum => s.dataType == LongType && integral(s.child.dataType)
               // count(*) / count(lit): a ROWS UNBOUNDED PRECEDING
@@ -100,10 +112,13 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
     dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
 
   /** Mirror of InferWindowGroupLimit's supported shapes: a conjunct
-    * comparing a produced rank attribute against something foldable. */
+    * comparing a produced rank-like attribute against something
+    * foldable. */
   private def limitsRank(cond: Expression, w: Window): Boolean = {
     val ranked = AttributeSet(w.windowExpressions.collect {
-      case a @ Alias(WindowExpression(_: RowNumber, _), _) => a.toAttribute
+      case a @ Alias(WindowExpression(f, _), _)
+          if f.isInstanceOf[RowNumber] || f.isInstanceOf[Rank] ||
+            f.isInstanceOf[DenseRank] => a.toAttribute
     })
     ranked.nonEmpty && cond.exists {
       case LessThan(e: Attribute, l) => l.foldable && ranked.contains(e)
@@ -131,6 +146,13 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
               AttributeReference(name + "__graft_rn", LongType, nullable = false)()
             cur = GlobalRowNumber(rank, order, cur)
             // row_number() is IntegerType; the operator numbers in long
+            Alias(Cast(rank, IntegerType), name)(exprId = a.exprId,
+              qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
+          case rf @ (_: Rank | _: DenseRank) =>
+            val rank =
+              AttributeReference(name + "__graft_rk", LongType, nullable = false)()
+            cur = GlobalRank(rank, order, rf.isInstanceOf[DenseRank], cur)
+            // rank()/dense_rank() are IntegerType like row_number()
             Alias(Cast(rank, IntegerType), name)(exprId = a.exprId,
               qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
           case ae: AggregateExpression

@@ -113,6 +113,30 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set((1L, 0L), (2L, 1L), (3L, 1L)))
   }
 
+  test("rank() and dense_rank() rewrite tie-exactly to the distributed plan") {
+    val df = spark.range(0, 3000, 1, 8).selectExpr("id AS k", "id % 7 AS v")
+    df.createOrReplaceTempView("rk_t")
+    val q = spark.sql(
+      """SELECT k, v, rank() OVER (ORDER BY v) AS rnk,
+        |dense_rank() OVER (ORDER BY v) AS drnk FROM rk_t""".stripMargin)
+    val p = planOf(q)
+    assert(p.contains("GlobalRank"), s"rank rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"single-partition Window survived:\n$p")
+    // ties make both ranks deterministic: v has 7 equal-sized runs.
+    // expected rank of value v = 1 + #rows with smaller value;
+    // expected dense_rank = v + 1
+    val counts = (0L until 3000L).map(_ % 7).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val rankOf = (0L until 7L).map { v =>
+      v -> (1L + (0L until v).map(counts).sum)
+    }.toMap
+    q.collect().foreach { r =>
+      val v = r.getLong(1)
+      assert(r.getInt(2).toLong == rankOf(v), s"rank mismatch at v=$v")
+      assert(r.getInt(3).toLong == v + 1, s"dense_rank mismatch at v=$v")
+    }
+  }
+
   test("the rewrite fires under both ANSI settings (checked vs wrapping sum)") {
     // Spark 4 defaults to ANSI on; legacy sessions turn it off. The
     // rewrite must fire either way — only the running sum's overflow
@@ -142,9 +166,9 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val partitioned = spark.sql(
       "SELECT k, row_number() OVER (PARTITION BY g ORDER BY k) rn FROM nf_t")
     assert(!planOf(partitioned).contains("GlobalRowNumber"))
-    // rank(): ties need neighbor context the two-pass operator lacks
-    val ranked = spark.sql("SELECT k, rank() OVER (ORDER BY v) r FROM nf_t")
-    assert(!planOf(ranked).contains("GlobalRowNumber"))
+    // percent_rank(): needs the global total, not modeled two-pass
+    val pranked = spark.sql("SELECT k, percent_rank() OVER (ORDER BY v) r FROM nf_t")
+    assert(!planOf(pranked).contains("GlobalR"), planOf(pranked))
     // default frame of a bare ORDER BY aggregate window is RANGE —
     // peers of the order key must aggregate together; not rewritten
     val rangeFrame = spark.sql("SELECT k, sum(v) OVER (ORDER BY g) s FROM nf_t")
