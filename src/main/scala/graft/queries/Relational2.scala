@@ -101,15 +101,42 @@ object Relational2 {
              dense_rank() OVER (ORDER BY n_chars)::BIGINT AS len_dense
       FROM documents ORDER BY doc_id"""
 
+  /** q74: the rest of the rank family — percent_rank()/cume_dist()
+    * over n_chars (which HAS ties — the tie-aware division gates) and
+    * ntile(16) over the unique doc_id (unique ⇒ bucket assignment is
+    * deterministic), all partition-less plain SQL. With
+    * GraftExtensions these plan as [[org.apache.spark.sql.graftplans.GlobalRank]]
+    * two-pass operators (the global N divisor comes from pass 1);
+    * percent_rank/cume_dist are exact-integer-ratio double divisions,
+    * bitwise identical across engines. */
+  def q74RankFamily(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .selectExpr(
+        "doc_id",
+        "n_chars",
+        "percent_rank() OVER (ORDER BY n_chars) AS len_pct",
+        "cume_dist() OVER (ORDER BY n_chars) AS len_cume",
+        "CAST(ntile(16) OVER (ORDER BY doc_id) AS BIGINT) AS id_bucket")
+      .orderBy("doc_id")
+
+  val q74Sql: String =
+    """SELECT doc_id, n_chars,
+             percent_rank() OVER (ORDER BY n_chars) AS len_pct,
+             cume_dist() OVER (ORDER BY n_chars) AS len_cume,
+             ntile(16) OVER (ORDER BY doc_id)::BIGINT AS id_bucket
+      FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rollup" -> (q19Rollup _),
     "q34_set_ops" -> (q34SetOps _),
     "q73_global_windows" -> (q73GlobalWindows _),
+    "q74_rank_family" -> (q74RankFamily _),
   )
 
   val oracles: Map[String, String] = Map(
     "q19_rollup" -> q19Sql,
     "q34_set_ops" -> q34Sql,
     "q73_global_windows" -> q73Sql,
+    "q74_rank_family" -> q74Sql,
   )
 }

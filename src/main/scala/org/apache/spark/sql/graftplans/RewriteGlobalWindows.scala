@@ -7,10 +7,11 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
-/** Optimizer rule: plain SQL `row_number() OVER (ORDER BY …)`,
-  * `rank()` / `dense_rank()`, `count(*) OVER (ORDER BY … ROWS
+/** Optimizer rule: plain SQL `row_number() OVER (ORDER BY …)`, the
+  * whole rank family (`rank`, `dense_rank`, `percent_rank`,
+  * `cume_dist`, `ntile`), `count(*) OVER (ORDER BY … ROWS
   * UNBOUNDED PRECEDING)` (≡ the row number), and `sum(x) OVER
   * (ORDER BY … ROWS UNBOUNDED PRECEDING)` — no PARTITION BY — plan as
   * a SINGLE-partition Window in stock Spark: every row
@@ -29,11 +30,14 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   *  - RANGE frames on AGGREGATE windows (the default frame of a bare
   *    ORDER BY aggregate window) — RANGE includes order-key peers; the
   *    running-sum operator is ROWS semantics, and rewriting would
-  *    change results on ties. (rank()/dense_rank() also carry a RANGE
-  *    frame, but their value is frame-independent — they DO rewrite,
-  *    via [[GlobalRank]].)
-  *  - lag/lead/ntile/percent_rank/… — offsets and totals need context
-  *    the two-pass operators do not model.
+  *    change results on ties. (The rank family also carries a RANGE
+  *    frame, but its values are frame-independent — it DOES rewrite,
+  *    via [[GlobalRank]]; the global N that percent_rank/cume_dist/
+  *    ntile divide by is known after the operator's pass 1.)
+  *  - lag/lead and other offset functions — neighbor rows can sit in
+  *    an adjacent partition, which the two-pass operators do not
+  *    model. (Their frames also never match the UNBOUNDED
+  *    PRECEDING..CURRENT ROW shape, so they fall out structurally.)
   *  - sums whose result type is not LONG (decimal/double need Spark's
   *    overflow/summation semantics, not a primitive long add).
   *  - a rank-limiting Filter or a Limit directly above: Catalyst's
@@ -84,11 +88,14 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
         SpecifiedWindowFrame(frame, UnboundedPreceding, CurrentRow)) =>
       we.windowFunction match {
         case _: RowNumber => frame == RowFrame
-        // rank()/dense_rank(): frame-independent values (the analyzer
+        // the rank family: frame-independent values (the analyzer
         // assigns them their fixed frame). Exact under the range
         // shuffle because RangePartitioning sends equal keys to one
-        // partition — tie-runs never straddle.
-        case _: Rank | _: DenseRank => true
+        // partition — tie-runs never straddle; percent_rank/cume_dist/
+        // ntile additionally need the global N, which the two-pass
+        // operator knows after pass 1.
+        case _: Rank | _: DenseRank | _: PercentRank | _: CumeDist => true
+        case nt: NTile => nt.buckets.foldable
         case ae: AggregateExpression =>
           // aggregates only under an explicit ROWS frame: RANGE (the
           // default of a bare ORDER BY) aggregates order-key peers
@@ -148,12 +155,25 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
             // row_number() is IntegerType; the operator numbers in long
             Alias(Cast(rank, IntegerType), name)(exprId = a.exprId,
               qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
-          case rf @ (_: Rank | _: DenseRank) =>
+          case rf @ (_: Rank | _: DenseRank | _: PercentRank | _: CumeDist |
+              _: NTile) =>
+            val (mode, dt) = rf match {
+              case _: DenseRank => (RankMode.Dense, LongType)
+              case _: PercentRank => (RankMode.Percent, DoubleType)
+              case _: CumeDist => (RankMode.Cume, DoubleType)
+              case nt: NTile =>
+                (RankMode.Tile(nt.buckets.eval().asInstanceOf[Number].intValue),
+                  LongType)
+              case _ => (RankMode.MinRank, LongType)
+            }
             val rank =
-              AttributeReference(name + "__graft_rk", LongType, nullable = false)()
-            cur = GlobalRank(rank, order, rf.isInstanceOf[DenseRank], cur)
-            // rank()/dense_rank() are IntegerType like row_number()
-            Alias(Cast(rank, IntegerType), name)(exprId = a.exprId,
+              AttributeReference(name + "__graft_rk", dt, nullable = false)()
+            cur = GlobalRank(rank, order, mode, cur)
+            // rank()/dense_rank()/ntile() are IntegerType like
+            // row_number(); percent_rank/cume_dist are already DOUBLE
+            val restoredExpr: Expression =
+              if (dt == LongType) Cast(rank, IntegerType) else rank
+            Alias(restoredExpr, name)(exprId = a.exprId,
               qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
           case ae: AggregateExpression
               if ae.aggregateFunction.isInstanceOf[Count] =>

@@ -113,28 +113,81 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set((1L, 0L), (2L, 1L), (3L, 1L)))
   }
 
-  test("rank() and dense_rank() rewrite tie-exactly to the distributed plan") {
+  test("the rank family rewrites tie-exactly to the distributed plan") {
     val df = spark.range(0, 3000, 1, 8).selectExpr("id AS k", "id % 7 AS v")
     df.createOrReplaceTempView("rk_t")
     val q = spark.sql(
       """SELECT k, v, rank() OVER (ORDER BY v) AS rnk,
-        |dense_rank() OVER (ORDER BY v) AS drnk FROM rk_t""".stripMargin)
+        |dense_rank() OVER (ORDER BY v) AS drnk,
+        |percent_rank() OVER (ORDER BY v) AS prnk,
+        |cume_dist() OVER (ORDER BY v) AS cume,
+        |ntile(8) OVER (ORDER BY k) AS bucket FROM rk_t""".stripMargin)
     val p = planOf(q)
     assert(p.contains("GlobalRank"), s"rank rewrite did not fire:\n$p")
     assert(!p.contains("Window "), s"single-partition Window survived:\n$p")
-    // ties make both ranks deterministic: v has 7 equal-sized runs.
-    // expected rank of value v = 1 + #rows with smaller value;
-    // expected dense_rank = v + 1
+    // ties make the rank family deterministic: v has 7 equal-sized
+    // runs of 429/428 rows (3000 = 7*428 + 4). expected rank of value
+    // v = 1 + #rows with smaller value; dense_rank = v + 1;
+    // percent_rank = (rank-1)/2999; cume_dist = (rank-1+count(v))/3000.
+    // ntile is over the UNIQUE key k (tie-free ⇒ deterministic):
+    // 3000 rows into 8 buckets = 375 each ⇒ bucket = k/375 + 1.
     val counts = (0L until 3000L).map(_ % 7).groupBy(identity).view
       .mapValues(_.size.toLong).toMap
     val rankOf = (0L until 7L).map { v =>
       v -> (1L + (0L until v).map(counts).sum)
     }.toMap
     q.collect().foreach { r =>
+      val k = r.getLong(0)
       val v = r.getLong(1)
       assert(r.getInt(2).toLong == rankOf(v), s"rank mismatch at v=$v")
       assert(r.getInt(3).toLong == v + 1, s"dense_rank mismatch at v=$v")
+      assert(r.getDouble(4) == (rankOf(v) - 1).toDouble / 2999,
+        s"percent_rank mismatch at v=$v")
+      assert(r.getDouble(5) == (rankOf(v) - 1 + counts(v)).toDouble / 3000,
+        s"cume_dist mismatch at v=$v")
+      assert(r.getInt(6).toLong == k / 375 + 1, s"ntile mismatch at k=$k")
     }
+  }
+
+  test("ntile uneven buckets follow SQL NTILE's closed form") {
+    // 1003 rows into 7 buckets: 1003 = 7*143 + 2 ⇒ the first 2 buckets
+    // get 144 rows. Check the rewritten plan row-for-row against SQL
+    // NTILE's closed form on a UNIQUE ordering key (the DuckDB oracle
+    // on q74 holds the cross-engine side).
+    val df = spark.range(0, 1003, 1, 8).selectExpr("id AS k")
+    df.createOrReplaceTempView("nt_t")
+    val q = spark.sql("SELECT k, ntile(7) OVER (ORDER BY k) b FROM nt_t")
+    assert(planOf(q).contains("GlobalRank"))
+    val got = q.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // closed form of SQL NTILE on a unique key: first (n%b) buckets
+    // have ⌈n/b⌉ rows
+    (0L until 1003L).foreach { k =>
+      val expected =
+        if (k < 2 * 144) k / 144 + 1
+        else 2 + (k - 2 * 144) / 143 + 1
+      assert(got(k).toLong == expected, s"ntile mismatch at k=$k")
+    }
+  }
+
+  test("cume_dist tie-run buffering survives the spill path") {
+    // cume_dist buffers one tie-run at a time in an
+    // ExternalAppendOnlyUnsafeRowArray; force the spill branch by
+    // dropping the row threshold below the run length (4000 rows per
+    // tie-run at threshold 16).
+    val prior = spark.conf.get("spark.sql.windowExec.buffer.spill.threshold")
+    try {
+      spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "16")
+      val df = spark.range(0, 12000, 1, 8).selectExpr("id AS k", "id % 3 AS v")
+      df.createOrReplaceTempView("cd_t")
+      val q = spark.sql("SELECT k, v, cume_dist() OVER (ORDER BY v) c FROM cd_t")
+      assert(planOf(q).contains("GlobalRank"))
+      // 3 runs of 4000 ⇒ cume_dist(v) = (v+1)*4000/12000
+      q.collect().foreach { r =>
+        val v = r.getLong(1)
+        assert(r.getDouble(2) == (v + 1) * 4000.0 / 12000.0,
+          s"cume_dist mismatch at v=$v")
+      }
+    } finally spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", prior)
   }
 
   test("the rewrite fires under both ANSI settings (checked vs wrapping sum)") {
@@ -166,9 +219,10 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val partitioned = spark.sql(
       "SELECT k, row_number() OVER (PARTITION BY g ORDER BY k) rn FROM nf_t")
     assert(!planOf(partitioned).contains("GlobalRowNumber"))
-    // percent_rank(): needs the global total, not modeled two-pass
-    val pranked = spark.sql("SELECT k, percent_rank() OVER (ORDER BY v) r FROM nf_t")
-    assert(!planOf(pranked).contains("GlobalR"), planOf(pranked))
+    // lag(): neighbor rows can sit in an adjacent partition; its
+    // (-1,-1) ROWS frame never matches the rewrite's bound shape
+    val lagged = spark.sql("SELECT k, lag(v) OVER (ORDER BY k) r FROM nf_t")
+    assert(!planOf(lagged).contains("GlobalR"), planOf(lagged))
     // default frame of a bare ORDER BY aggregate window is RANGE —
     // peers of the order key must aggregate together; not rewritten
     val rangeFrame = spark.sql("SELECT k, sum(v) OVER (ORDER BY g) s FROM nf_t")
