@@ -63,9 +63,9 @@ object Relational2 {
       ORDER BY custkey"""
 
   /** q73: plain SQL partition-less windows — global row_number, a
-    * running ROWS-frame count(*), a running ROWS-frame sum, and the
-    * tie-aware rank()/dense_rank() (over n_chars, which HAS ties) with
-    * NO PARTITION BY, written exactly the way a user of the SQL
+    * running ROWS-frame count(*), running ROWS-frame sum/min/max, and
+    * the tie-aware rank()/dense_rank() (over n_chars, which HAS ties)
+    * with NO PARTITION BY, written exactly the way a user of the SQL
     * surface would. In stock Spark this is the
     * single-partition Window anti-shape (every row through one task's
     * sort); with `spark.sql.extensions=graft.GraftExtensions` the
@@ -85,6 +85,11 @@ object Relational2 {
           " AND CURRENT ROW) AS seen",
         "sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING" +
           " AND CURRENT ROW) AS cum_chars",
+        // running extremes: same two-pass operator, min/max combine
+        "CAST(min(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED" +
+          " PRECEDING AND CURRENT ROW) AS BIGINT) AS run_min",
+        "CAST(max(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED" +
+          " PRECEDING AND CURRENT ROW) AS BIGINT) AS run_max",
         // n_chars ties ⇒ rank/dense_rank are the tie-aware gates
         "CAST(rank() OVER (ORDER BY n_chars) AS BIGINT) AS len_rank",
         "CAST(dense_rank() OVER (ORDER BY n_chars) AS BIGINT) AS len_dense")
@@ -97,6 +102,10 @@ object Relational2 {
                AND CURRENT ROW)::BIGINT AS seen,
              sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
                AND CURRENT ROW)::BIGINT AS cum_chars,
+             min(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)::BIGINT AS run_min,
+             max(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)::BIGINT AS run_max,
              rank() OVER (ORDER BY n_chars)::BIGINT AS len_rank,
              dense_rank() OVER (ORDER BY n_chars)::BIGINT AS len_dense
       FROM documents ORDER BY doc_id"""

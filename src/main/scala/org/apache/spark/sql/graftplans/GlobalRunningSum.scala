@@ -13,21 +13,34 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => 
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 
-/** Scale-shaped global running (prefix) sum of a long column under a
-  * total order — the cumulative sum a window
+/** Which associative combine the running operator applies. SQL's
+  * running MIN/MAX over a ROWS UNBOUNDED PRECEDING frame share the sum
+  * operator's whole two-pass structure — only the combine and its
+  * identity differ (min: Long.MaxValue, max: Long.MinValue; both are
+  * true identities, so empty partitions combine neutrally). */
+sealed trait RunningLongOp
+object RunningLongOp {
+  case object Add extends RunningLongOp
+  case object Min extends RunningLongOp
+  case object Max extends RunningLongOp
+}
+
+/** Scale-shaped global running (prefix) sum — or min/max — of a long
+  * column under a total order — the cumulative aggregate a window
   * `SUM(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)` computes by
   * funneling everything through ONE partition's sort. Identical
   * two-pass discipline as [[GlobalRowNumber]], and the same reason it
   * must be a single physical operator: both passes have to observe the
   * one materialized range shuffle, or the two branches sample their own
   * range bounds and the running sum silently corrupts at partition
-  * boundaries. Pass 1 sums the value per sorted range partition; the
-  * driver prefix-sums those into per-partition starting offsets; pass 2
-  * emits offset-plus-running-within-partition with a codegen'd
-  * projection (no GenericRow round-trip). */
+  * boundaries. Pass 1 combines the value per sorted range partition;
+  * the driver prefix-combines those into per-partition starting
+  * offsets; pass 2 emits offset-combined-with-running-within-partition
+  * with a codegen'd projection (no GenericRow round-trip). */
 case class GlobalRunningSum(valueAttr: Attribute, outAttr: AttributeReference,
     order: Seq[SortOrder], child: LogicalPlan,
-    checked: Boolean = false) extends UnaryNode {
+    checked: Boolean = false,
+    op: RunningLongOp = RunningLongOp.Add) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
   override def maxRows: Option[Long] = child.maxRows
@@ -39,14 +52,15 @@ object GlobalRunningSumStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GlobalRunningSum =>
       GlobalRunningSumExec(g.valueAttr, g.outAttr, g.order, planLater(g.child),
-        g.checked) :: Nil
+        g.checked, g.op) :: Nil
     case _ => Nil
   }
 }
 
 case class GlobalRunningSumExec(valueAttr: Attribute, outAttr: AttributeReference,
     order: Seq[SortOrder], child: SparkPlan,
-    checked: Boolean = false) extends UnaryExecNode {
+    checked: Boolean = false,
+    op: RunningLongOp = RunningLongOp.Add) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
@@ -67,6 +81,11 @@ case class GlobalRunningSumExec(valueAttr: Attribute, outAttr: AttributeReferenc
     //    running sum is NULL until the first non-null value, because
     //    SUM over an all-null frame is NULL.
     val sqlNulls = outAttr.nullable
+    // The nulls-as-0 non-nullable contract only makes sense for Add
+    // (0 is "no contribution"); Min/Max have no such neutral VALUE, so
+    // they require the SQL-null contract.
+    require(op == RunningLongOp.Add || sqlNulls,
+      s"running $op requires the SQL-null (nullable output) contract")
     // `checked` = ANSI long arithmetic: overflow must abort, never
     // wrap. The two-pass decomposition adds partition-LOCAL partial
     // sums, so a sign-alternating stream at Long extremes can trip the
@@ -74,13 +93,24 @@ case class GlobalRunningSumExec(valueAttr: Attribute, outAttr: AttributeReferenc
     // pathological edge errs toward an error (ANSI's own direction),
     // never toward a wrong value. Unchecked (the legacy API contract)
     // wrapping addition is associative, so the decomposition is exact.
-    val doAdd: (Long, Long) => Long =
-      if (checked) Math.addExact else (a: Long, b: Long) => a + b
+    // Min/Max can't overflow; their identities are true identities, so
+    // empty partitions combine neutrally.
+    val doAdd: (Long, Long) => Long = op match {
+      case RunningLongOp.Add =>
+        if (checked) Math.addExact else (a: Long, b: Long) => a + b
+      case RunningLongOp.Min => math.min
+      case RunningLongOp.Max => math.max
+    }
+    val identity: Long = op match {
+      case RunningLongOp.Add => 0L
+      case RunningLongOp.Min => Long.MaxValue
+      case RunningLongOp.Max => Long.MinValue
+    }
     val rdd = child.execute()
     // Pass 1 over the materialized shuffle: per-partition value sums,
     // plus whether the partition saw any non-null value.
     val parts = rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
-      var s = 0L
+      var s = identity
       var saw = false
       while (it.hasNext) {
         val row = it.next()
@@ -90,7 +120,7 @@ case class GlobalRunningSumExec(valueAttr: Attribute, outAttr: AttributeReferenc
     })
     // offsets(p) = sum of all values in partitions before p;
     // sawBefore(p) = any non-null value in partitions before p
-    val offsets = parts.map(_._1).scanLeft(0L)(doAdd)
+    val offsets = parts.map(_._1).scanLeft(identity)(doAdd)
     val sawBefore = parts.map(_._2).scanLeft(false)(_ || _)
     val childAttrs = child.output
     rdd.mapPartitionsWithIndexInternal { (pid, it) =>

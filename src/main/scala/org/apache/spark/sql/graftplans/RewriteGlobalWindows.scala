@@ -4,7 +4,7 @@
 package org.apache.spark.sql.graftplans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
@@ -12,8 +12,9 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
 /** Optimizer rule: plain SQL `row_number() OVER (ORDER BY …)`, the
   * whole rank family (`rank`, `dense_rank`, `percent_rank`,
   * `cume_dist`, `ntile`), `count(*) OVER (ORDER BY … ROWS
-  * UNBOUNDED PRECEDING)` (≡ the row number), and `sum(x) OVER
-  * (ORDER BY … ROWS UNBOUNDED PRECEDING)` — no PARTITION BY — plan as
+  * UNBOUNDED PRECEDING)` (≡ the row number), and running
+  * `sum(x)`/`min(x)`/`max(x)` ROWS windows over integral columns — no
+  * PARTITION BY — plan as
   * a SINGLE-partition Window in stock Spark: every row
   * funnels through one task's sort (the 100 TB anti-shape; the 128×
   * sweep measured the distributed rank 14× faster). [[GlobalRowNumber]]
@@ -38,8 +39,10 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   *    an adjacent partition, which the two-pass operators do not
   *    model. (Their frames also never match the UNBOUNDED
   *    PRECEDING..CURRENT ROW shape, so they fall out structurally.)
-  *  - sums whose result type is not LONG (decimal/double need Spark's
-  *    overflow/summation semantics, not a primitive long add).
+  *  - sums whose result type is not LONG, and min/max over
+  *    non-integral columns (decimal/double need Spark's
+  *    overflow/summation/comparison semantics, not primitive long
+  *    arithmetic).
   *  - a rank-limiting Filter or a Limit directly above: Catalyst's
   *    InferWindowGroupLimit / LimitPushDownThroughWindow turn those
   *    into per-partition top-k, which beats a full range shuffle for
@@ -104,6 +107,11 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
             ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
             (ae.aggregateFunction match {
               case s: Sum => s.dataType == LongType && integral(s.child.dataType)
+              // running MIN/MAX share the running-sum structure with a
+              // different combine; integral domains run exactly in the
+              // operator's long arithmetic (result cast back)
+              case m: Min => integral(m.child.dataType)
+              case m: Max => integral(m.child.dataType)
               // count(*) / count(lit): a ROWS UNBOUNDED PRECEDING
               // running count IS the row number (count(expr) with a
               // nullable child skips nulls — not the same thing)
@@ -184,8 +192,12 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
             Alias(rank, name)(exprId = a.exprId, qualifier = a.qualifier,
               explicitMetadata = Some(a.metadata))
           case ae: AggregateExpression =>
-            val sumChild = ae.aggregateFunction.asInstanceOf[Sum].child
-            val (valueAttr, base) = sumChild match {
+            val (aggChild, op) = ae.aggregateFunction match {
+              case s: Sum => (s.child, RunningLongOp.Add)
+              case m: Min => (m.child, RunningLongOp.Min)
+              case m: Max => (m.child, RunningLongOp.Max)
+            }
+            val (valueAttr, base) = aggChild match {
               case ar: AttributeReference
                   if ar.dataType == LongType && cur.outputSet.contains(ar) =>
                 (ar: Attribute, cur)
@@ -200,8 +212,13 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
             val out =
               AttributeReference(name + "__graft_sum", LongType, nullable = true)()
             cur = GlobalRunningSum(valueAttr, out, order, base,
-              checked = conf.ansiEnabled)
-            Alias(out, name)(exprId = a.exprId, qualifier = a.qualifier,
+              checked = conf.ansiEnabled && op == RunningLongOp.Add, op)
+            // SUM(integral) is LONG; MIN/MAX return the child type —
+            // cast the operator's long back (values are actual column
+            // values, so the narrowing is lossless)
+            val restoredAgg: Expression =
+              if (ae.dataType == LongType) out else Cast(out, ae.dataType)
+            Alias(restoredAgg, name)(exprId = a.exprId, qualifier = a.qualifier,
               explicitMetadata = Some(a.metadata))
         }
     }

@@ -169,6 +169,39 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("running min/max rewrite with the running-sum structure") {
+    // a non-monotonic value stream: the running extremum actually
+    // moves (id*37 mod 101 cycles), and int results cast back to int
+    val df = spark.range(0, 2000, 1, 8)
+      .selectExpr("id AS k", "CAST(id * 37 % 101 AS INT) AS v")
+    df.createOrReplaceTempView("mm_t")
+    val q = spark.sql(
+      """SELECT k, v,
+        |min(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |CURRENT ROW) AS rmin,
+        |max(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |CURRENT ROW) AS rmax FROM mm_t""".stripMargin)
+    val p = planOf(q)
+    assert(p.contains("GlobalRunningSum"), s"min/max rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"single-partition Window survived:\n$p")
+    // result type must be the child's (INT), not the operator's long
+    assert(q.schema("rmin").dataType == org.apache.spark.sql.types.IntegerType)
+    var expMin = Int.MaxValue
+    var expMax = Int.MinValue
+    q.orderBy("k").collect().foreach { r =>
+      val v = r.getInt(1)
+      expMin = math.min(expMin, v); expMax = math.max(expMax, v)
+      assert(r.getInt(2) == expMin, s"running min mismatch at k=${r.getLong(0)}")
+      assert(r.getInt(3) == expMax, s"running max mismatch at k=${r.getLong(0)}")
+    }
+    // non-integral min keeps Catalyst's Window (double comparison
+    // semantics stay Spark's)
+    val dmin = spark.sql(
+      """SELECT k, min(CAST(v AS DOUBLE)) OVER (ORDER BY k ROWS BETWEEN
+        |UNBOUNDED PRECEDING AND CURRENT ROW) m FROM mm_t""".stripMargin)
+    assert(!planOf(dmin).contains("GlobalRunningSum"), planOf(dmin))
+  }
+
   test("cume_dist tie-run buffering survives the spill path") {
     // cume_dist buffers one tie-run at a time in an
     // ExternalAppendOnlyUnsafeRowArray; force the spill branch by
