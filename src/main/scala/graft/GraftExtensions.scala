@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graftexprs.{ArrayDotProduct, SortedIntersectCount}
-import org.apache.spark.sql.graftplans.{GlobalRankStrategy, GlobalRowNumberStrategy, GlobalRunningSumStrategy, RewriteGlobalWindows}
+import org.apache.spark.sql.graftplans.{GlobalOffsetStrategy, GlobalRankStrategy, GlobalRowNumberStrategy, GlobalRunningSumStrategy, RewriteGlobalWindows}
 
 /** Library-grade session wiring:
   *
@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => GlobalRowNumberStrategy)
     ext.injectPlannerStrategy(_ => GlobalRunningSumStrategy)
     ext.injectPlannerStrategy(_ => GlobalRankStrategy)
+    ext.injectPlannerStrategy(_ => GlobalOffsetStrategy)
     // engine-level rewrite: plain SQL partition-less row_number /
     // running-long-sum windows get the distributed two-pass plans
     // instead of a single-partition Window (see RewriteGlobalWindows

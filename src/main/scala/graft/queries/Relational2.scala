@@ -135,11 +135,35 @@ object Relational2 {
              ntile(16) OVER (ORDER BY doc_id)::BIGINT AS id_bucket
       FROM documents ORDER BY doc_id"""
 
+  /** q75: partition-less lag/lead — the one window family whose value
+    * genuinely crosses partition boundaries. With GraftExtensions
+    * these plan as [[org.apache.spark.sql.graftplans.GlobalOffset]]:
+    * a range shuffle plus a boundary hand-off of k single-field values
+    * per partition (never payload rows), instead of stock Spark's
+    * single-partition sort. Covers a bare lag, a k>1 lead, and a
+    * non-null default. */
+  def q75OffsetWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .selectExpr(
+        "doc_id",
+        "CAST(lag(n_chars, 3) OVER (ORDER BY doc_id) AS BIGINT) AS prev3",
+        "CAST(lead(n_chars, 2) OVER (ORDER BY doc_id) AS BIGINT) AS next2",
+        "CAST(lag(n_chars, 1, -1) OVER (ORDER BY doc_id) AS BIGINT) AS prev_or")
+      .orderBy("doc_id")
+
+  val q75Sql: String =
+    """SELECT doc_id,
+             lag(n_chars, 3) OVER (ORDER BY doc_id)::BIGINT AS prev3,
+             lead(n_chars, 2) OVER (ORDER BY doc_id)::BIGINT AS next2,
+             lag(n_chars, 1, -1) OVER (ORDER BY doc_id)::BIGINT AS prev_or
+      FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rollup" -> (q19Rollup _),
     "q34_set_ops" -> (q34SetOps _),
     "q73_global_windows" -> (q73GlobalWindows _),
     "q74_rank_family" -> (q74RankFamily _),
+    "q75_offset_windows" -> (q75OffsetWindows _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -147,5 +171,6 @@ object Relational2 {
     "q34_set_ops" -> q34Sql,
     "q73_global_windows" -> q73Sql,
     "q74_rank_family" -> q74Sql,
+    "q75_offset_windows" -> q75Sql,
   )
 }

@@ -35,10 +35,10 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   *    frame, but its values are frame-independent — it DOES rewrite,
   *    via [[GlobalRank]]; the global N that percent_rank/cume_dist/
   *    ntile divide by is known after the operator's pass 1.)
-  *  - lag/lead and other offset functions — neighbor rows can sit in
-  *    an adjacent partition, which the two-pass operators do not
-  *    model. (Their frames also never match the UNBOUNDED
-  *    PRECEDING..CURRENT ROW shape, so they fall out structurally.)
+  *  - lag/lead WITH ignoreNulls (unbounded lookback), a non-foldable
+  *    or non-positive offset, or an offset beyond the hand-off cap —
+  *    in-cap lag/lead DO rewrite, via [[GlobalOffset]]'s boundary
+  *    hand-off.
   *  - sums whose result type is not LONG, and min/max over
   *    non-integral columns (decimal/double need Spark's
   *    overflow/summation/comparison semantics, not primitive long
@@ -120,7 +120,33 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
             })
         case _ => false
       }
+    // lag/lead carry their own (offset, offset) ROWS frame — match on
+    // the function. The boundary hand-off operator needs a known,
+    // bounded, positive offset and a foldable default; ignoreNulls
+    // needs unbounded lookback and stays with Catalyst.
+    case WindowSpecDefinition(Nil, _, _) =>
+      we.windowFunction match {
+        case l: Lag =>
+          !l.ignoreNulls && okOffset(l.inputOffset) && l.default.foldable &&
+            l.input.deterministic
+        case l: Lead =>
+          !l.ignoreNulls && okOffset(l.offset) && l.default.foldable &&
+            l.input.deterministic
+        case _ => false
+      }
     case _ => false
+  }
+
+  /** Driver hand-off state is numPartitions × k values — cap k so it
+    * stays trivially small; beyond the cap Catalyst's Window is the
+    * honest plan. */
+  private val MaxOffset = 1024
+
+  private def okOffset(e: Expression): Boolean = e.foldable && {
+    e.eval() match {
+      case i: Integer => i >= 1 && i <= MaxOffset
+      case _ => false
+    }
   }
 
   private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -183,6 +209,18 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
               if (dt == LongType) Cast(rank, IntegerType) else rank
             Alias(restoredExpr, name)(exprId = a.exprId,
               qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
+          case off @ (_: Lag | _: Lead) =>
+            val (inp, kExpr, dflt, isLead) = off match {
+              case l: Lag => (l.input, l.inputOffset, l.default, false)
+              case l: Lead => (l.input, l.offset, l.default, true)
+            }
+            val k = kExpr.eval().asInstanceOf[Integer].intValue
+            val out = AttributeReference(name + "__graft_off",
+              off.asInstanceOf[Expression].dataType,
+              nullable = we.nullable)()
+            cur = GlobalOffset(out, order, inp, k, dflt, isLead, cur)
+            Alias(out, name)(exprId = a.exprId, qualifier = a.qualifier,
+              explicitMetadata = Some(a.metadata))
           case ae: AggregateExpression
               if ae.aggregateFunction.isInstanceOf[Count] =>
             // running count(*) ≡ the 1-based row number, already LONG

@@ -202,6 +202,68 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!planOf(dmin).contains("GlobalRunningSum"), planOf(dmin))
   }
 
+  test("lag/lead rewrite with exact boundary hand-off") {
+    val df = spark.range(0, 2000, 1, 8)
+      .selectExpr("id AS k", "CAST(id * 37 % 101 AS INT) AS v")
+    df.createOrReplaceTempView("off_t")
+    val q = spark.sql(
+      """SELECT k, v,
+        |lag(v, 3) OVER (ORDER BY k) AS prev3,
+        |lead(v, 2) OVER (ORDER BY k) AS next2,
+        |lag(v, 1, -1) OVER (ORDER BY k) AS prev_or FROM off_t""".stripMargin)
+    val p = planOf(q)
+    assert(p.contains("GlobalOffset"), s"offset rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"single-partition Window survived:\n$p")
+    def vOf(id: Long): Int = (id * 37 % 101).toInt
+    q.collect().foreach { r =>
+      val k = r.getLong(0)
+      if (k >= 3) assert(r.getInt(2) == vOf(k - 3), s"lag3 mismatch at k=$k")
+      else assert(r.isNullAt(2), s"lag3 should be null at k=$k")
+      if (k <= 1997) assert(r.getInt(3) == vOf(k + 2), s"lead2 mismatch at k=$k")
+      else assert(r.isNullAt(3), s"lead2 should be null at k=$k")
+      val expPrev = if (k >= 1) vOf(k - 1) else -1
+      assert(r.getInt(4) == expPrev, s"lag-with-default mismatch at k=$k")
+    }
+  }
+
+  test("lag/lead surplus forwarding across partitions shorter than k") {
+    // 100 rows spread over 64 range partitions (~1-2 rows each) with
+    // k=5: a partition's hand-off must forward values from SEVERAL
+    // predecessors, not just the adjacent one.
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      val df = spark.range(0, 100, 1, 16).selectExpr("id AS k", "id * 7 AS v")
+      df.createOrReplaceTempView("sf_t")
+      val q = spark.sql(
+        """SELECT k, lag(v, 5) OVER (ORDER BY k) AS l5,
+          |lead(v, 5) OVER (ORDER BY k) AS n5 FROM sf_t""".stripMargin)
+      assert(planOf(q).contains("GlobalOffset"))
+      q.collect().foreach { r =>
+        val k = r.getLong(0)
+        if (k >= 5) assert(r.getLong(1) == (k - 5) * 7, s"lag5 mismatch at k=$k")
+        else assert(r.isNullAt(1))
+        if (k <= 94) assert(r.getLong(2) == (k + 5) * 7, s"lead5 mismatch at k=$k")
+        else assert(r.isNullAt(2))
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+  }
+
+  test("lag over a string column keeps payload bytes intact") {
+    // non-primitive values ride the hand-off as copied single-field
+    // rows; a reused projection buffer would corrupt them
+    val df = spark.range(0, 500, 1, 8)
+      .selectExpr("id AS k", "concat('s-', CAST(id AS STRING)) AS s")
+    df.createOrReplaceTempView("str_t")
+    val q = spark.sql("SELECT k, lag(s, 4) OVER (ORDER BY k) ls FROM str_t")
+    assert(planOf(q).contains("GlobalOffset"))
+    q.collect().foreach { r =>
+      val k = r.getLong(0)
+      if (k >= 4) assert(r.getString(1) == s"s-${k - 4}", s"mismatch at k=$k")
+      else assert(r.isNullAt(1))
+    }
+  }
+
   test("cume_dist tie-run buffering survives the spill path") {
     // cume_dist buffers one tie-run at a time in an
     // ExternalAppendOnlyUnsafeRowArray; force the spill branch by
@@ -252,10 +314,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val partitioned = spark.sql(
       "SELECT k, row_number() OVER (PARTITION BY g ORDER BY k) rn FROM nf_t")
     assert(!planOf(partitioned).contains("GlobalRowNumber"))
-    // lag(): neighbor rows can sit in an adjacent partition; its
-    // (-1,-1) ROWS frame never matches the rewrite's bound shape
-    val lagged = spark.sql("SELECT k, lag(v) OVER (ORDER BY k) r FROM nf_t")
-    assert(!planOf(lagged).contains("GlobalR"), planOf(lagged))
+    // lag() beyond the hand-off cap: driver state would be
+    // numPartitions × k values — Catalyst's Window is the honest plan
+    val lagged = spark.sql("SELECT k, lag(v, 5000) OVER (ORDER BY k) r FROM nf_t")
+    assert(!planOf(lagged).contains("GlobalOffset"), planOf(lagged))
+    // ignoreNulls needs unbounded lookback — not modeled
+    val lagIgnore = spark.sql(
+      "SELECT k, lag(v) IGNORE NULLS OVER (ORDER BY k) r FROM nf_t")
+    assert(!planOf(lagIgnore).contains("GlobalOffset"), planOf(lagIgnore))
     // default frame of a bare ORDER BY aggregate window is RANGE —
     // peers of the order key must aggregate together; not rewritten
     val rangeFrame = spark.sql("SELECT k, sum(v) OVER (ORDER BY g) s FROM nf_t")
