@@ -100,8 +100,12 @@ object ScaleSweep {
       case Some((round, path)) =>
         val txt = new String(java.nio.file.Files.readAllBytes(path),
           java.nio.charset.StandardCharsets.UTF_8)
+        // tolerate both compact and pretty-printed archives (the r9
+        // archive is pretty-printed; a compact-only regex silently
+        // compared nothing — every query read "no comparable
+        // measurement" and the gate was vacuous)
         val entry =
-          raw""""q":"([^"]+)"[^}]*"ratio_over_mult":(-?[0-9.]+)""".r
+          raw""""q"\s*:\s*"([^"]+)"[^}]*"ratio_over_mult"\s*:\s*(-?[0-9.]+)""".r
         val prev = entry.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         var regressed = 0
