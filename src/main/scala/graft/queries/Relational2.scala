@@ -158,12 +158,47 @@ object Relational2 {
              lag(n_chars, 1, -1) OVER (ORDER BY doc_id)::BIGINT AS prev_or
       FROM documents ORDER BY doc_id"""
 
+  /** q76: partition-less SLIDING windows — rolling sum/min/max/count
+    * over the last 10 rows of a global order, the rolling-stat shape.
+    * With GraftExtensions these plan as
+    * [[org.apache.spark.sql.graftplans.GlobalSliding]] (sum/min/max:
+    * boundary hand-off of the j values before each partition, O(1)
+    * ring / monotonic deque) and `least(row_number, j+1)` for the
+    * count — stock Spark funnels all of them through one partition's
+    * sort. */
+  def q76SlidingWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .selectExpr(
+        "doc_id",
+        "CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN 9 PRECEDING" +
+          " AND CURRENT ROW) AS BIGINT) AS roll_sum",
+        "CAST(min(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN 9 PRECEDING" +
+          " AND CURRENT ROW) AS BIGINT) AS roll_min",
+        "CAST(max(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN 9 PRECEDING" +
+          " AND CURRENT ROW) AS BIGINT) AS roll_max",
+        "count(*) OVER (ORDER BY doc_id ROWS BETWEEN 9 PRECEDING" +
+          " AND CURRENT ROW) AS roll_n")
+      .orderBy("doc_id")
+
+  val q76Sql: String =
+    """SELECT doc_id,
+             sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN 9 PRECEDING
+               AND CURRENT ROW)::BIGINT AS roll_sum,
+             min(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN 9 PRECEDING
+               AND CURRENT ROW)::BIGINT AS roll_min,
+             max(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN 9 PRECEDING
+               AND CURRENT ROW)::BIGINT AS roll_max,
+             count(*) OVER (ORDER BY doc_id ROWS BETWEEN 9 PRECEDING
+               AND CURRENT ROW)::BIGINT AS roll_n
+      FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rollup" -> (q19Rollup _),
     "q34_set_ops" -> (q34SetOps _),
     "q73_global_windows" -> (q73GlobalWindows _),
     "q74_rank_family" -> (q74RankFamily _),
     "q75_offset_windows" -> (q75OffsetWindows _),
+    "q76_sliding_windows" -> (q76SlidingWindows _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -172,5 +207,6 @@ object Relational2 {
     "q73_global_windows" -> q73Sql,
     "q74_rank_family" -> q74Sql,
     "q75_offset_windows" -> q75Sql,
+    "q76_sliding_windows" -> q76Sql,
   )
 }

@@ -120,6 +120,25 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
             })
         case _ => false
       }
+    // sliding ROWS frames (j PRECEDING .. CURRENT ROW): the rolling
+    // aggregate needs only the j values before each partition start —
+    // the same boundary hand-off lag uses. Aggregate checks mirror the
+    // running-frame ones.
+    case WindowSpecDefinition(Nil, _, SpecifiedWindowFrame(RowFrame, lo, CurrentRow))
+        if slidingBound(lo).isDefined =>
+      we.windowFunction match {
+        case ae: AggregateExpression =>
+          ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
+            (ae.aggregateFunction match {
+              case s: Sum => s.dataType == LongType && integral(s.child.dataType)
+              case m: Min => integral(m.child.dataType)
+              case m: Max => integral(m.child.dataType)
+              // sliding count(*) ≡ least(row_number, j+1)
+              case c: Count => c.children.forall(e => e.foldable && !e.nullable)
+              case _ => false
+            })
+        case _ => false
+      }
     // lag/lead carry their own (offset, offset) ROWS frame — match on
     // the function. The boundary hand-off operator needs a known,
     // bounded, positive offset and a foldable default; ignoreNulls
@@ -147,6 +166,24 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
       case i: Integer => i >= 1 && i <= MaxOffset
       case _ => false
     }
+  }
+
+  private def slideOf(we: WindowExpression): Option[Int] =
+    we.windowSpec.frameSpecification match {
+      case SpecifiedWindowFrame(RowFrame, lo, CurrentRow) => slidingBound(lo)
+      case _ => None
+    }
+
+  /** A sliding lower bound `j PRECEDING` in cap: a foldable negative
+    * int (never a SpecialFrameBoundary, which is Unevaluable). Returns
+    * the positive j. */
+  private def slidingBound(e: Expression): Option[Int] = e match {
+    case _: SpecialFrameBoundary => None
+    case _ if e.foldable => e.eval() match {
+      case i: Integer if i <= -1 && i >= -MaxOffset => Some(-i)
+      case _ => None
+    }
+    case _ => None
   }
 
   private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -221,6 +258,36 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
             cur = GlobalOffset(out, order, inp, k, dflt, isLead, cur)
             Alias(out, name)(exprId = a.exprId, qualifier = a.qualifier,
               explicitMetadata = Some(a.metadata))
+          case ae: AggregateExpression if slideOf(we).isDefined =>
+            val j = slideOf(we).get
+            ae.aggregateFunction match {
+              case _: Count =>
+                // sliding count(*) ≡ least(row_number, j+1): the frame
+                // holds j+1 rows once the numbering clears the start
+                val rank = AttributeReference(name + "__graft_rn", LongType,
+                  nullable = false)()
+                cur = GlobalRowNumber(rank, order, cur)
+                Alias(Least(Seq(rank, Literal((j + 1).toLong))), name)(
+                  exprId = a.exprId, qualifier = a.qualifier,
+                  explicitMetadata = Some(a.metadata))
+              case fn =>
+                val (aggChild, op) = fn match {
+                  case s: Sum => (s.child, RunningLongOp.Add)
+                  case m: Min => (m.child, RunningLongOp.Min)
+                  case m: Max => (m.child, RunningLongOp.Max)
+                }
+                val valueExpr =
+                  if (aggChild.dataType == LongType) aggChild
+                  else Cast(aggChild, LongType)
+                val out = AttributeReference(name + "__graft_sw", LongType,
+                  nullable = true)()
+                cur = GlobalSliding(out, order, valueExpr, j, op, cur,
+                  checked = conf.ansiEnabled && op == RunningLongOp.Add)
+                val restoredSw: Expression =
+                  if (ae.dataType == LongType) out else Cast(out, ae.dataType)
+                Alias(restoredSw, name)(exprId = a.exprId,
+                  qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
+            }
           case ae: AggregateExpression
               if ae.aggregateFunction.isInstanceOf[Count] =>
             // running count(*) ≡ the 1-based row number, already LONG

@@ -202,6 +202,45 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!planOf(dmin).contains("GlobalRunningSum"), planOf(dmin))
   }
 
+  test("sliding ROWS windows rewrite to the hand-off operator") {
+    val df = spark.range(0, 3000, 1, 8)
+      .selectExpr("id AS k",
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE CAST(id * 37 % 101 AS INT) END AS v")
+    df.createOrReplaceTempView("sw_t")
+    val q = spark.sql(
+      """SELECT k, v,
+        |sum(v)   OVER w AS wsum,
+        |min(v)   OVER w AS wmin,
+        |max(v)   OVER w AS wmax,
+        |count(*) OVER w AS wn
+        |FROM sw_t
+        |WINDOW w AS (ORDER BY k ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        |""".stripMargin)
+    val p = planOf(q)
+    assert(p.contains("GlobalSliding"), s"sliding rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"single-partition Window survived:\n$p")
+    // brute-force oracle over the value function (nulls every 11th row)
+    def vOf(id: Long): Option[Int] =
+      if (id % 11 == 0) None else Some((id * 37 % 101).toInt)
+    q.collect().foreach { r =>
+      val k = r.getLong(0)
+      val frame = (math.max(0L, k - 7) to k).flatMap(vOf)
+      if (frame.isEmpty) {
+        assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+      } else {
+        assert(r.getLong(2) == frame.map(_.toLong).sum, s"wsum at k=$k")
+        assert(r.getInt(3) == frame.min, s"wmin at k=$k")
+        assert(r.getInt(4) == frame.max, s"wmax at k=$k")
+      }
+      assert(r.getLong(5) == math.min(k + 1, 8L), s"wn at k=$k")
+    }
+    // out-of-cap frame stays with Catalyst
+    val big = spark.sql(
+      """SELECT k, sum(v) OVER (ORDER BY k ROWS BETWEEN 5000 PRECEDING AND
+        |CURRENT ROW) s FROM sw_t""".stripMargin)
+    assert(!planOf(big).contains("GlobalSliding"), planOf(big))
+  }
+
   test("lag/lead rewrite with exact boundary hand-off") {
     val df = spark.range(0, 2000, 1, 8)
       .selectExpr("id AS k", "CAST(id * 37 % 101 AS INT) AS v")
