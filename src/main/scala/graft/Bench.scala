@@ -8,35 +8,19 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up pass at the benched sf: JIT + codegen compile + one-time
-    // format-copy caches, so the timed pass measures steady-state
-    // execution (standard warm-then-measure benchmarking).
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => () }
-    }
-    // two timed passes, min per query: GC/compilation noise on a busy
-    // 32-thread JVM is one-sided, so min is the honest steady-state
-    def timedPass(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    val p1 = timedPass()
-    val p2 = timedPass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Harness.benchAll: warm pass = pre-flight gate (a query that cannot
+    // run on the current runtime is an ERROR in the artifact, never a
+    // fail-fast "time"), then two timed passes, min per query.
+    val (times, errors) = Harness.benchAll(spark, SparkEntry.queries, sfDir)
     // stop Spark BEFORE printing: shutdown stacks (ElementTrackingStore
     // etc.) otherwise interleave with the JSON and break the driver's
     // line parser — the result must be the final, uninterrupted line
     spark.stop()
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = Harness.benchJson(times, errors, sfDir)
     // sbt prefixes stdout with "[info] ", which has broken the driver's
     // JSON-line parser two rounds running — so ALSO write the JSON to a
     // well-known file the driver can read directly.
@@ -45,5 +29,10 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     System.out.flush()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: " +
+        errors.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

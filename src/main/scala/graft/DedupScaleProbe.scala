@@ -47,10 +47,10 @@ object DedupScaleProbe {
     time("q43 embed block-grid")(graft.queries.Dedup.q43EmbeddingBlocked(spark, dir).count())
 
     if (withEvents) {
-      // events.ts is parquet TIMESTAMP(NANOS): read as long (the scaled
-      // copy then stores plain INT64 nanos, which the queries handle)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      // events.ts dtype is runtime-dependent (nanos long on <=4.0 with
+      // the legacy conf, TIMESTAMP_NTZ on 4.1+); the scaled copy stores
+      // whatever loaded, and the queries dispatch via Tables.tsMicros
+      val ev = graft.util.Tables.events(spark, "/root/testdata/sf0.1")
       val bigEv = (0 until mult).map(i =>
         ev.withColumn("user_id", col("user_id") + lit(i * 10000000L))).reduce(_ union _)
       val evDir = s"/tmp/scale_events_x$mult"

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared core of the driver-facing mains (`Verify`, `Bench`), extracted
+  * so the failure contract is spec-testable (HarnessSpec): a query that
+  * throws must surface as a LOUD per-query error — recorded in the
+  * artifact itself and reflected in the process exit code — never as a
+  * silently-missing row or a fail-fast "time". Round 9 shipped five
+  * broken queries as ~0.06 s bench entries because the old mains
+  * swallowed exceptions; this contract makes that class of miss
+  * impossible to hide. */
+object Harness {
+
+  /** Runs every query and dumps its result as parquet under
+    * `outDir/<name>`. Returns name -> error message for every query
+    * that threw (empty map = all green). */
+  def dumpAll(spark: SparkSession,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      sfDir: String, outDir: String): Map[String, String] = {
+    new java.io.File(outDir).mkdirs()
+    queries.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] FAILED $name: ${e.toString.take(400)}")
+        Some(name -> e.toString.take(2000))
+      }
+    }
+  }
+
+  /** Warm pass doubling as a pre-flight gate: every query must RUN on
+    * the current runtime before it is benched (analysis alone is not
+    * enough — the streaming queries execute inside their builder, and
+    * runtime behavior shifts like the 4.0→4.1 TIMESTAMP(NANOS) change
+    * only surface on execution). Queries that fail the warm pass are
+    * excluded from the timed passes and returned as errors; a timed-pass
+    * throw likewise records an error and drops the query's time.
+    * Survivors get two timed passes, min per query (GC/compilation noise
+    * on a busy 32-thread JVM is one-sided, so min is the honest
+    * steady-state). */
+  def benchAll(spark: SparkSession,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      sfDir: String): (Map[String, Double], Map[String, String]) = {
+    val errors = scala.collection.mutable.Map[String, String]()
+    val ok = queries.flatMap { case (name, fn) =>
+      try { fn(spark, sfDir).count(); Some(name -> fn) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] PRE-FLIGHT FAILED $name: ${e.toString.take(400)}")
+        errors(name) = e.toString.take(2000)
+        None
+      }
+    }
+    def timedPass(): Map[String, Double] =
+      ok.flatMap { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some(name -> (System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] FAILED $name: ${e.toString.take(400)}")
+          errors(name) = e.toString.take(2000)
+          None
+        }
+      }
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val times = p1.flatMap { case (k, v) =>
+      p2.get(k).map(v2 => k -> math.min(v, v2))
+    }
+    (times, errors.toMap -- times.keys)
+  }
+
+  /** JSON string escape: backslash, quote, and ALL control chars
+    * (<0x20) — a tab or CR in builder-authored SQL or an exception
+    * message would otherwise make the driver's json.load fail and
+    * silently zero the round. */
+  def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def jObj(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
+      .mkString("{", ",", "}")
+
+  /** The one JSON line Bench prints. Failed queries appear ONLY under
+    * "errors" — never as a time — so the artifact itself shows the
+    * breakage (ADVICE r9: annotate in the artifact, not just VERDICT). */
+  def benchJson(times: Map[String, Double], errors: Map[String, String],
+      sfDir: String): String = {
+    val qs = times.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+    val total = if (times.nonEmpty) times.values.sum else 0.0
+    val errPart = if (errors.isEmpty) "" else s""","errors":${jObj(errors)}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","spark_version":"${org.apache.spark.SPARK_VERSION}"$errPart}"""
+  }
+
+  /** Writes `errors.json` (name -> message) into outDir so a broken
+    * query leaves a visible failure artifact next to the result dumps. */
+  def writeErrors(outDir: String, errors: Map[String, String]): Unit =
+    Files.writeString(Paths.get(s"$outDir/errors.json"), jObj(errors))
+}

@@ -30,6 +30,9 @@ object ScaleSweep {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      // nanos-as-long: effective only on Spark <= 4.0; 4.1+ loads
+      // TIMESTAMP_NTZ and Tables.tsMicros dispatches on the actual dtype
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -51,7 +54,12 @@ object ScaleSweep {
       val perMult = if (ratio > 0) ratio / mult else -1.0
       f"""{"q":"$q","base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":$ratio%.1f,"ratio_over_mult":$perMult%.3f}"""
     }
-    val json = rows.mkString("[", ",\n", "]")
+    // header stamps the runtime: r9's numbers silently straddled a
+    // 4.0→4.1 Spark bump; the archive itself must carry the version so
+    // the gate can refuse cross-version comparison (VERDICT r9 #5)
+    val json =
+      s"""{"spark_version":"${org.apache.spark.SPARK_VERSION}","java_version":"${sys.props("java.version")}","mult":$mult,"rows":""" +
+        rows.mkString("[", ",\n", "]") + "}"
     val suffix = if (only.isEmpty) "" else "_subset"
     val outPath = s"/tmp/graft_scale_sweep_$mult$suffix.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
@@ -100,6 +108,20 @@ object ScaleSweep {
       case Some((round, path)) =>
         val txt = new String(java.nio.file.Files.readAllBytes(path),
           java.nio.charset.StandardCharsets.UTF_8)
+        // Version gate: per-unit ratios are only comparable on the same
+        // runtime (the 4.0→4.1 bump changed scan dtypes and planner
+        // behavior under the gate's feet in r9). An archive from a
+        // different — or unstamped, i.e. pre-gate — Spark version gets
+        // an informational print only, never a REGRESSED flag.
+        val priorVersion = raw""""spark_version"\s*:\s*"([^"]+)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        val sameVersion = priorVersion.contains(org.apache.spark.SPARK_VERSION)
+        if (!sameVersion) {
+          println(s"[sweep-diff] REFUSING cross-version gate: prior archive " +
+            s"r$round is ${priorVersion.getOrElse("UNSTAMPED (pre-4.1 era)")}, " +
+            s"this run is Spark ${org.apache.spark.SPARK_VERSION} — " +
+            "numbers below are informational only, no REGRESSED flags")
+        }
         // tolerate both compact and pretty-printed archives (the r9
         // archive is pretty-printed; a compact-only regex silently
         // compared nothing — every query read "no comparable
@@ -114,7 +136,8 @@ object ScaleSweep {
             case (Some(p), Some(n)) if p > 0 && n > 0 =>
               val x = n / p
               val flag =
-                if (x > 1.5 && scaledSec.getOrElse(q, 0.0) >= 5.0) {
+                if (x > 1.5 && !sameVersion) "grew (CROSS-VERSION, informational)"
+                else if (x > 1.5 && scaledSec.getOrElse(q, 0.0) >= 5.0) {
                   regressed += 1; "REGRESSED"
                 } else if (x > 1.5) "grew (sub-5s, noise-class)"
                 else "ok"

@@ -31,9 +31,9 @@ object AsofJoin {
     * output, so equal-timestamp click ties cannot make the result
     * nondeterministic in either engine. */
   def q50AsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = t(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+    val raw = events(spark, dir)
+    val ev = raw
+      .select(col("user_id"), col("event_id"), tsMicros(raw).as("ts_us"),
         col("event_type"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts_us"),

@@ -404,12 +404,11 @@ object FlsQueries {
     * oracle recomputes from the raw JSON in DuckDB, so the hash match
     * proves map entries survive the format round-trip exactly. */
   def q54FlsMapProps(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val out = flsTablePath(dir, "events_map")
     synchronized {
       val marker = new java.io.File(s"$out/_done")
       if (!done.contains(out) && !marker.exists()) {
-        t(spark, dir, "events")
+        events(spark, dir)
           .select(col("event_id"), col("event_type"),
             from_json(col("props"),
               org.apache.spark.sql.types.MapType(

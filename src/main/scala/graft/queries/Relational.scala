@@ -246,12 +246,12 @@ object Relational {
       GROUP BY n_name ORDER BY n_name"""
 
   /** Time bucketing over the events table (date_trunc + agg). events.ts
-    * is parquet TIMESTAMP(NANOS), which Spark only reads as a long —
-    * convert nanos -> micros explicitly (hour truncation is unaffected). */
+    * is parquet TIMESTAMP(NANOS), whose loaded dtype is runtime-dependent
+    * (nanos long vs TIMESTAMP_NTZ) — `tsMicros` dispatches on the actual
+    * schema (hour truncation is unaffected either way). */
   def q12EventsHourly(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts_us", expr("timestamp_micros(ts DIV 1000)"))
+    val ev = events(spark, dir)
+    ev.withColumn("ts_us", timestamp_micros(tsMicros(ev)))
       .groupBy(date_trunc("hour", col("ts_us")).as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            dbl(sum(d6w(col("value")))).as("sum_value"))

@@ -24,12 +24,14 @@ object Streaming {
     * events table (scaled copies, real pipelines) streams directly —
     * the symlink-a-file trick would otherwise feed the source an
     * entry it silently skips (a dir named *.parquet), i.e. an empty
-    * stream. Also sets the TIMESTAMP(NANOS) legacy conf every events
-    * read needs. One definition — four stream queries (q32/q35/q37/
-    * q65) must never drift on this setup. */
+    * stream. The batch `events` loader supplies the schema, so the
+    * stream's `ts` dtype matches whatever the current runtime produces
+    * (nanos long on <=4.0 with the legacy conf, TIMESTAMP_NTZ on 4.1+)
+    * and `tsMicros` dispatches identically on both paths. One
+    * definition — four stream queries (q32/q35/q37/q65) must never
+    * drift on this setup. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = events(spark, dir).schema
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val streamPath =
       if (java.nio.file.Files.isDirectory(src)) src.toString
@@ -52,7 +54,7 @@ object Streaming {
   def q32StreamingHourly(spark: SparkSession, dir: String): DataFrame = {
     val stream = eventsStream(spark, dir)
     val agg = stream
-      .withColumn("ts_us", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts_us", timestamp_micros(tsMicros(stream)))
       .withWatermark("ts_us", "1 hour")
       .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dbl(sum(d6w(col("value")))).as("sum_value"))
@@ -83,10 +85,9 @@ object Streaming {
     * a session timeout — same grouping, same state shape. */
   def q33Sessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = 30L * 60 * 1000 * 1000
-    t(spark, dir, "events")
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+    val ev = events(spark, dir)
+    ev.select(col("user_id"), col("event_id"), tsMicros(ev).as("ts_us"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroups { (uid, it) =>
@@ -183,8 +184,9 @@ object Streaming {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000
-    val sessions = eventsStream(spark, dir)
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+    val stream = eventsStream(spark, dir)
+    val sessions = stream
+      .select(col("user_id"), col("event_id"), tsMicros(stream).as("ts_us"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {

@@ -1,6 +1,6 @@
 package graft.util
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -20,6 +20,38 @@ import org.apache.spark.sql.types._
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events loader. The table's `ts` is parquet TIMESTAMP(NANOS), whose
+    * loaded dtype depends on the runtime: Spark <= 4.0 honors
+    * `spark.sql.legacy.parquet.nanosAsLong` and yields a nanos LONG;
+    * Spark 4.1+ ignores that conf and yields TIMESTAMP_NTZ (micros,
+    * nanos truncated). Set the conf anyway so BOTH runtimes land on a
+    * dtype [[tsMicros]] understands — never touch `ts` arithmetic
+    * directly, always go through [[tsMicros]]. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+  }
+
+  /** Schema-adaptive micros-since-epoch LONG for an events-style `ts`
+    * column. Dispatches on the dtype the current runtime produced:
+    *  - LONG (nanos, legacy conf on Spark <= 4.0): floor-div to micros —
+    *    identical to the DuckDB oracle's `epoch_ns(ts) // 1000`;
+    *  - TIMESTAMP_NTZ (Spark 4.1+): naive datetime diff from the epoch,
+    *    deliberately session-timezone-INDEPENDENT (a cast through LTZ
+    *    would shift by the session offset), matching DuckDB's naive
+    *    `epoch_us(ts)` on TIMESTAMP_NS exactly (testdata nanos are whole
+    *    micros, so the read-time truncation loses nothing);
+    *  - TIMESTAMP: plain unix_micros. */
+  def tsMicros(df: Dataset[_], tsCol: String = "ts"): Column =
+    df.schema(tsCol).dataType match {
+      case LongType => expr(s"$tsCol DIV 1000")
+      case TimestampNTZType =>
+        expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $tsCol)")
+      case TimestampType => unix_micros(col(tsCol))
+      case dt => throw new IllegalArgumentException(
+        s"unsupported dtype for $tsCol: ${dt.simpleString} (expected nanos LONG, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
 
   /** Exact-rounding decimal view of a double column (6 digits int part headroom handled by p=12). */
   def d6(c: Column): Column = c.cast(DecimalType(12, 6))
