@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graftexprs.{ArrayDotProduct, SortedIntersectCount}
-import org.apache.spark.sql.graftplans.{GlobalOffsetStrategy, GlobalRankStrategy, GlobalRowNumberStrategy, GlobalRunningSumStrategy, GlobalSlidingStrategy, RewriteGlobalWindows}
+import org.apache.spark.sql.graftplans.{GlobalFirstValueStrategy, GlobalOffsetStrategy, GlobalRankStrategy, GlobalRowNumberStrategy, GlobalRunningSumStrategy, GlobalSlidingStrategy, RewriteGlobalWindows}
 
 /** Library-grade session wiring:
   *
@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => GlobalRankStrategy)
     ext.injectPlannerStrategy(_ => GlobalOffsetStrategy)
     ext.injectPlannerStrategy(_ => GlobalSlidingStrategy)
+    ext.injectPlannerStrategy(_ => GlobalFirstValueStrategy)
     // engine-level rewrite: plain SQL partition-less row_number /
     // running-long-sum windows get the distributed two-pass plans
     // instead of a single-partition Window (see RewriteGlobalWindows

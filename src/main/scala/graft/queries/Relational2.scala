@@ -192,6 +192,70 @@ object Relational2 {
                AND CURRENT ROW)::BIGINT AS roll_n
       FROM documents ORDER BY doc_id"""
 
+  /** q77: running avg + the edge-value windows, partition-less plain
+    * SQL. With GraftExtensions the avg plans as an exact long running
+    * sum ÷ running non-null count (two stacked
+    * [[org.apache.spark.sql.graftplans.GlobalRunningSum]] operators over
+    * ONE range shuffle) and first_value/last_value plan as
+    * [[org.apache.spark.sql.graftplans.GlobalFirstValue]] — the
+    * global-scalar constant shapes and the running IGNORE NULLS
+    * recurrence, the latter exercised over a STRING column (the edge
+    * operator is type-generic, unlike the long-domain running
+    * aggregates). nullif(lang,'en') injects real NULLs so the IGNORE
+    * NULLS semantics are actually gated. */
+  def q77AvgEdgeWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .selectExpr(
+        "doc_id",
+        "avg(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING" +
+          " AND CURRENT ROW) AS run_avg",
+        "first_value(n_chars) OVER (ORDER BY doc_id) AS first_chars",
+        "last_value(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED" +
+          " PRECEDING AND UNBOUNDED FOLLOWING) AS last_chars",
+        "first_value(nullif(lang,'en'), true) OVER (ORDER BY doc_id ROWS" +
+          " BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nonen",
+        "last_value(nullif(lang,'en'), true) OVER (ORDER BY doc_id ROWS" +
+          " BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nonen")
+      .orderBy("doc_id")
+
+  val q77Sql: String =
+    """SELECT doc_id,
+             avg(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS run_avg,
+             first_value(n_chars) OVER (ORDER BY doc_id) AS first_chars,
+             last_value(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+               PRECEDING AND UNBOUNDED FOLLOWING) AS last_chars,
+             first_value(nullif(lang,'en') IGNORE NULLS) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nonen,
+             last_value(nullif(lang,'en') IGNORE NULLS) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nonen
+      FROM documents ORDER BY doc_id"""
+
+  /** q78: the WIDE-ROW rank case (r8 stretch): a global row_number over
+    * documents that carries the full `text` payload through the range
+    * shuffle — md5(text) in the output pins the payload into the window
+    * child so column pruning cannot narrow it. This is the shape that
+    * stresses the two-pass operator's shuffle width (fat rows, not
+    * many rows); the 128× sweep reads its per-unit ratio against the
+    * narrow-row q73. The %97 filter keeps oracle output bounded without
+    * matching the rank-limiting guard (a modulo is not a top-k). */
+  def q78WideRank(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .selectExpr("doc_id", "text",
+        "CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)" +
+          " AS len_rank")
+      .filter(col("len_rank") % 97 === 0)
+      .selectExpr("doc_id", "len_rank", "md5(text) AS text_md5")
+      .orderBy("doc_id")
+
+  val q78Sql: String =
+    """WITH ranked AS (
+        SELECT doc_id, text,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS len_rank
+        FROM documents)
+      SELECT doc_id, len_rank, md5(text) AS text_md5
+      FROM ranked WHERE len_rank % 97 = 0 ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rollup" -> (q19Rollup _),
     "q34_set_ops" -> (q34SetOps _),
@@ -199,6 +263,8 @@ object Relational2 {
     "q74_rank_family" -> (q74RankFamily _),
     "q75_offset_windows" -> (q75OffsetWindows _),
     "q76_sliding_windows" -> (q76SlidingWindows _),
+    "q77_avg_edge_windows" -> (q77AvgEdgeWindows _),
+    "q78_wide_rank" -> (q78WideRank _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -208,5 +274,7 @@ object Relational2 {
     "q74_rank_family" -> q74Sql,
     "q75_offset_windows" -> q75Sql,
     "q76_sliding_windows" -> q76Sql,
+    "q77_avg_edge_windows" -> q77Sql,
+    "q78_wide_rank" -> q78Sql,
   )
 }

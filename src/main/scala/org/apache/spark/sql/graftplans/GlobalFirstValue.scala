@@ -1,0 +1,151 @@
+// Lives under org.apache.spark.sql to reach private[sql]/private[spark]
+// helpers — see GlobalRowNumber.scala.
+package org.apache.spark.sql.graftplans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Scale-shaped `first_value` / `last_value` under a total order —
+  * partition-less edge-value windows that stock Spark plans as a
+  * single-partition sort.
+  *
+  * Two shapes, selected by `running`:
+  *
+  *  - CONSTANT (`running = false`): the value is one global scalar —
+  *    the first/last row's value (`skipNulls = false`) or the
+  *    first/last NON-NULL value (`skipNulls = true`) of the whole
+  *    ordered relation. This covers `first_value(x) OVER (ORDER BY …)`
+  *    with any UNBOUNDED PRECEDING frame (the frame's upper bound never
+  *    moves the frame's FIRST row) and both edge functions over the
+  *    full UNBOUNDED..UNBOUNDED frame. Pass 1 extracts one candidate
+  *    value per sorted range partition (a single-field UnsafeRow, never
+  *    a payload row); the driver picks the globally first/last defined
+  *    candidate; pass 2 attaches it as a constant.
+  *
+  *  - RUNNING (`running = true`, implies `skipNulls`): SQL semantics of
+  *    `first_value/last_value(x IGNORE NULLS) OVER (ORDER BY … ROWS
+  *    UNBOUNDED PRECEDING)` — rows before the first non-null see NULL.
+  *    Pass 1 collects each partition's first (or last) non-null value;
+  *    the driver prefix-folds them into a per-partition incoming carry
+  *    (the edge value of everything BEFORE the partition); pass 2 runs
+  *    the trivial in-partition recurrence seeded from the carry
+  *    (first: set-once; last: overwrite-on-non-null).
+  *
+  * Same two-pass discipline as [[GlobalRowNumber]]: both passes must
+  * observe ONE materialized range shuffle, hence one physical operator.
+  * Driver state is one single-field row per partition. Values ride
+  * UnsafeRows, so any data type the hand-off pattern supports in
+  * [[GlobalOffset]] works here too. */
+case class GlobalFirstValue(outAttr: AttributeReference, order: Seq[SortOrder],
+    input: Expression, fromEnd: Boolean, skipNulls: Boolean, running: Boolean,
+    child: LogicalPlan) extends UnaryNode {
+  require(!running || skipNulls,
+    "running edge-value only exists for IGNORE NULLS (RESPECT NULLS is a constant or the row itself)")
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GlobalFirstValue =
+    copy(child = newChild)
+}
+
+object GlobalFirstValueStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case g: GlobalFirstValue =>
+      GlobalFirstValueExec(g.outAttr, g.order, g.input, g.fromEnd, g.skipNulls,
+        g.running, planLater(g.child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class GlobalFirstValueExec(outAttr: AttributeReference, order: Seq[SortOrder],
+    input: Expression, fromEnd: Boolean, skipNulls: Boolean, running: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(order) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(order)
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rdd = child.execute()
+    val childAttrs = child.output
+    val inputExpr = input
+    val fromEnd0 = fromEnd
+    val skip = skipNulls
+    val dt = outAttr.dataType
+    // Pass 1: one candidate single-field value per sorted partition —
+    // the first/last row's value, or the first/last NON-NULL value.
+    // skipNulls=first scans only to the first non-null; skipNulls=last
+    // scans the partition (same cost class as a running sum's pass 1).
+    val candidates: Array[Option[UnsafeRow]] =
+      rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
+        val valProj = UnsafeProjection.create(Seq(inputExpr), childAttrs)
+        var found: Option[UnsafeRow] = None
+        var scan = true
+        while (scan && it.hasNext) {
+          val v = valProj(it.next())
+          if (!skip || !v.isNullAt(0)) {
+            found = Some(v.copy())
+            // first-edge stops at the first hit; last-edge keeps scanning
+            scan = fromEnd0
+          }
+        }
+        found
+      })
+    val nParts = candidates.length
+    // Driver fold: constant mode picks the globally first/last defined
+    // candidate; running mode prefix-folds candidates into each
+    // partition's incoming carry (the edge value of everything before).
+    val globalConst: Option[UnsafeRow] =
+      if (fromEnd0) candidates.reverseIterator.collectFirst { case Some(v) => v }
+      else candidates.iterator.collectFirst { case Some(v) => v }
+    val carry: Array[Option[UnsafeRow]] = new Array(nParts)
+    if (running) {
+      var acc: Option[UnsafeRow] = None
+      for (p <- 0 until nParts) {
+        carry(p) = acc
+        acc = if (fromEnd0) candidates(p).orElse(acc) else acc.orElse(candidates(p))
+      }
+    }
+    val isRunning = running
+    rdd.mapPartitionsWithIndexInternal { (pid, it) =>
+      val valProj = UnsafeProjection.create(Seq(inputExpr), childAttrs)
+      val proj = UnsafeProjection.create(
+        (childAttrs :+ outAttr).zipWithIndex.map { case (a, i) =>
+          BoundReference(i, a.dataType, a.nullable)
+        })
+      val joined = new JoinedRow
+      val valueRow = new GenericInternalRow(1)
+      def set(v: Option[UnsafeRow]): Unit = v match {
+        case Some(r) if !r.isNullAt(0) => valueRow.update(0, r.get(0, dt))
+        case _ => valueRow.setNullAt(0)
+      }
+      if (!isRunning) {
+        set(globalConst)
+        it.map(row => proj(joined(row, valueRow)))
+      } else {
+        var cur: Option[UnsafeRow] = carry(pid)
+        set(cur)
+        it.map { row =>
+          // frame includes the current row: a non-null here is visible
+          // to this row's own output
+          if (fromEnd0 || cur.isEmpty) {
+            val v = valProj(row)
+            if (!v.isNullAt(0)) { cur = Some(v.copy()); set(cur) }
+          }
+          proj(joined(row, valueRow))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GlobalFirstValueExec =
+    copy(child = newChild)
+}

@@ -4,7 +4,7 @@
 package org.apache.spark.sql.graftplans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, First, Last, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
@@ -12,9 +12,11 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
 /** Optimizer rule: plain SQL `row_number() OVER (ORDER BY …)`, the
   * whole rank family (`rank`, `dense_rank`, `percent_rank`,
   * `cume_dist`, `ntile`), `count(*) OVER (ORDER BY … ROWS
-  * UNBOUNDED PRECEDING)` (≡ the row number), and running
-  * `sum(x)`/`min(x)`/`max(x)` ROWS windows over integral columns — no
-  * PARTITION BY — plan as
+  * UNBOUNDED PRECEDING)` (≡ the row number), running
+  * `sum(x)`/`min(x)`/`max(x)`/`avg(x)` ROWS windows over integral
+  * columns, and the edge values `first_value`/`last_value` (constant,
+  * identity, or running IGNORE NULLS shapes — see [[GlobalFirstValue]])
+  * — no PARTITION BY — plan as
   * a SINGLE-partition Window in stock Spark: every row
   * funnels through one task's sort (the 100 TB anti-shape; the 128×
   * sweep measured the distributed rank 14× faster). [[GlobalRowNumber]]
@@ -99,23 +101,62 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
         // operator knows after pass 1.
         case _: Rank | _: DenseRank | _: PercentRank | _: CumeDist => true
         case nt: NTile => nt.buckets.foldable
+        // Catalyst's OptimizeWindowFunctions turns first_value under a
+        // ROWS UNBOUNDED PRECEDING frame into nth_value(x, 1) before
+        // this rule runs — treat offset-1 nth_value as first_value
+        // (offset > 1 is genuinely frame-progress-dependent; leave it)
+        case nv: NthValue =>
+          nv.offset.foldable && nv.offset.eval() == 1 &&
+            nv.input.deterministic && (!nv.ignoreNulls || frame == RowFrame)
         case ae: AggregateExpression =>
-          // aggregates only under an explicit ROWS frame: RANGE (the
-          // default of a bare ORDER BY) aggregates order-key peers
-          // together, which the running operator does not model
-          frame == RowFrame &&
-            ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
+          // running aggregates only under an explicit ROWS frame: RANGE
+          // (the default of a bare ORDER BY) aggregates order-key peers
+          // together, which the running operators do not model. The one
+          // exception is first_value RESPECT NULLS: with an UNBOUNDED
+          // PRECEDING frame start the frame's FIRST row is the same row
+          // whatever the frame end, so it fires under RANGE too.
+          ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
             (ae.aggregateFunction match {
-              case s: Sum => s.dataType == LongType && integral(s.child.dataType)
+              case f: First => (!f.ignoreNulls || frame == RowFrame) &&
+                f.child.deterministic
+              case l: Last => frame == RowFrame && l.child.deterministic
+              case s: Sum => frame == RowFrame &&
+                s.dataType == LongType && integral(s.child.dataType) &&
+                s.evalContext.evalMode != EvalMode.TRY // try_sum nulls on overflow; the long operator can't
               // running MIN/MAX share the running-sum structure with a
               // different combine; integral domains run exactly in the
               // operator's long arithmetic (result cast back)
-              case m: Min => integral(m.child.dataType)
-              case m: Max => integral(m.child.dataType)
+              case m: Min => frame == RowFrame && integral(m.child.dataType)
+              case m: Max => frame == RowFrame && integral(m.child.dataType)
               // count(*) / count(lit): a ROWS UNBOUNDED PRECEDING
               // running count IS the row number (count(expr) with a
               // nullable child skips nulls — not the same thing)
-              case c: Count => c.children.forall(e => e.foldable && !e.nullable)
+              case c: Count => frame == RowFrame &&
+                c.children.forall(e => e.foldable && !e.nullable)
+              // running avg over integral columns: exact long running
+              // sum ÷ running non-null count, both from the existing
+              // two-pass operators (see buildRewrite for the exactness
+              // and overflow argument)
+              case av: Average => frame == RowFrame &&
+                integral(av.child.dataType) && av.dataType == DoubleType &&
+                av.evalMode != EvalMode.TRY
+              case _ => false
+            })
+        case _ => false
+      }
+    // full UNBOUNDED..UNBOUNDED frames (ROWS or RANGE — identical over
+    // the whole partition): only the edge values reduce to one global
+    // scalar; everything else stays with Catalyst
+    case WindowSpecDefinition(Nil, _,
+        SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing)) =>
+      we.windowFunction match {
+        case nv: NthValue =>
+          nv.offset.foldable && nv.offset.eval() == 1 && nv.input.deterministic
+        case ae: AggregateExpression =>
+          ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
+            (ae.aggregateFunction match {
+              case f: First => f.child.deterministic
+              case l: Last => l.child.deterministic
               case _ => false
             })
         case _ => false
@@ -130,7 +171,8 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
         case ae: AggregateExpression =>
           ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
             (ae.aggregateFunction match {
-              case s: Sum => s.dataType == LongType && integral(s.child.dataType)
+              case s: Sum => s.dataType == LongType &&
+                integral(s.child.dataType) && s.evalContext.evalMode != EvalMode.TRY
               case m: Min => integral(m.child.dataType)
               case m: Max => integral(m.child.dataType)
               // sliding count(*) ≡ least(row_number, j+1)
@@ -171,6 +213,27 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
   private def slideOf(we: WindowExpression): Option[Int] =
     we.windowSpec.frameSpecification match {
       case SpecifiedWindowFrame(RowFrame, lo, CurrentRow) => slidingBound(lo)
+      case _ => None
+    }
+
+  private def isFullFrame(we: WindowExpression): Boolean =
+    we.windowSpec.frameSpecification match {
+      case SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing) => true
+      case _ => false
+    }
+
+  /** The edge-value shapes, normalized to (input, fromEnd, skipNulls):
+    * first_value/last_value as aggregates, plus the nth_value(x, 1)
+    * that OptimizeWindowFunctions rewrites first_value into. */
+  private def edgeOf(fn: Expression): Option[(Expression, Boolean, Boolean)] =
+    fn match {
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case f: First => Some((f.child, false, f.ignoreNulls))
+        case l: Last => Some((l.child, true, l.ignoreNulls))
+        case _ => None
+      }
+      case nv: NthValue if nv.offset.foldable && nv.offset.eval() == 1 =>
+        Some((nv.input, false, nv.ignoreNulls))
       case _ => None
     }
 
@@ -288,6 +351,58 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
                 Alias(restoredSw, name)(exprId = a.exprId,
                   qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
             }
+          case fn if edgeOf(fn).isDefined =>
+            val (inp, fromEnd, skip) = edgeOf(fn).get
+            if (fromEnd && !skip && !isFullFrame(we)) {
+              // last_value RESPECT NULLS over ROWS …CURRENT ROW is the
+              // current row's own value — no operator at all
+              Alias(inp, name)(exprId = a.exprId, qualifier = a.qualifier,
+                explicitMetadata = Some(a.metadata))
+            } else {
+              // running recurrence only for IGNORE NULLS under a
+              // …CURRENT ROW frame; every other firing shape reduces to
+              // ONE global scalar (first/last [non-null] value of the
+              // whole ordered relation) attached as a constant
+              val runs = skip && !isFullFrame(we)
+              val out = AttributeReference(name + "__graft_fv", fn.dataType,
+                nullable = true)()
+              cur = GlobalFirstValue(out, order, inp, fromEnd, skip, runs, cur)
+              Alias(out, name)(exprId = a.exprId, qualifier = a.qualifier,
+                explicitMetadata = Some(a.metadata))
+            }
+          case ae: AggregateExpression
+              if ae.aggregateFunction.isInstanceOf[Average] =>
+            // avg = (exact long running sum of x) / (running count of
+            // non-null x) — both from the existing two-pass operators
+            // over the ONE shared range shuffle. Equal to the
+            // double-accumulated result of stock Spark AND the oracle
+            // while prefix sums stay within 2^53 (double accumulation
+            // of in-range integers never rounds); beyond that the
+            // exact-sum quotient is the MORE accurate value. The sum is
+            // always overflow-CHECKED: stock avg cannot overflow (double
+            // accumulator), so past Long range the rewrite aborts loudly
+            // rather than silently wrapping.
+            val x = ae.aggregateFunction.asInstanceOf[Average].child
+            val vAl = Alias(
+              if (x.dataType == LongType) x else Cast(x, LongType),
+              name + "__graft_av")()
+            val cAl = Alias(If(IsNull(x), Literal(0L), Literal(1L)),
+              name + "__graft_ai")()
+            val base = Project(cur.output ++ Seq(vAl, cAl), cur)
+            val sumOut = AttributeReference(name + "__graft_asum", LongType,
+              nullable = true)() // SQL nulls: sum NULL until first non-null
+            val cntOut = AttributeReference(name + "__graft_acnt", LongType,
+              nullable = false)() // indicator is never null; plain count
+            cur = GlobalRunningSum(cAl.toAttribute, cntOut, order,
+              GlobalRunningSum(vAl.toAttribute, sumOut, order, base,
+                checked = true, RunningLongOp.Add),
+              checked = false, RunningLongOp.Add)
+            // cnt ≥ 1 whenever sum is non-null, so LEGACY divide only
+            // sees 0 with a NULL numerator → NULL, the SQL avg of an
+            // all-null prefix
+            Alias(Divide(Cast(sumOut, DoubleType), Cast(cntOut, DoubleType),
+              EvalMode.LEGACY), name)(exprId = a.exprId,
+              qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
           case ae: AggregateExpression
               if ae.aggregateFunction.isInstanceOf[Count] =>
             // running count(*) ≡ the 1-based row number, already LONG

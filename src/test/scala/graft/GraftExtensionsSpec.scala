@@ -384,6 +384,82 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       topkPlan.contains("TakeOrderedAndProject"), topkPlan)
   }
 
+  test("running avg and the edge values rewrite to distributed plans, value-exact") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Long, Option[Long])](
+      (1L, None), (2L, Some(4L)), (3L, None), (4L, Some(10L)), (5L, Some(1L)))
+      .toDF("k", "v").repartition(3)
+    df.createOrReplaceTempView("fv_t")
+    val q = spark.sql(
+      """SELECT k,
+        |  avg(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS ravg,
+        |  first_value(v) OVER (ORDER BY k) AS fv,
+        |  first_value(v, true) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS fvn,
+        |  last_value(v, true) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS lvn,
+        |  last_value(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS lv_id,
+        |  last_value(v, true) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND UNBOUNDED FOLLOWING) AS lv_full
+        |FROM fv_t""".stripMargin)
+    val p = planOf(q)
+    assert(p.contains("GlobalFirstValue"), s"edge rewrite did not fire:\n$p")
+    assert(p.contains("GlobalRunningSum"), s"avg rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"single-partition Window survived:\n$p")
+    def l(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val got = q.collect().map { r =>
+      r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+        l(r, 2), l(r, 3), l(r, 4), l(r, 5), l(r, 6))
+    }.toMap
+    // avg skips nulls (sum of non-null / count of non-null, NULL before
+    // the first non-null); fv = the FIRST ROW's value, which is NULL
+    // here; lv_id = the current row's own value; lv_full = the global
+    // last NON-NULL value
+    assert(got == Map(
+      1L -> (None, None, None, None, None, Some(1L)),
+      2L -> (Some(4.0), None, Some(4L), Some(4L), Some(4L), Some(1L)),
+      3L -> (Some(4.0), None, Some(4L), Some(4L), None, Some(1L)),
+      4L -> (Some(7.0), None, Some(4L), Some(10L), Some(10L), Some(1L)),
+      5L -> (Some(5.0), None, Some(4L), Some(1L), Some(1L), Some(1L))), got)
+  }
+
+  test("edge values over strings; non-qualifying avg/nth/last shapes stay with Catalyst") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Long, Option[String], Double)](
+      (1L, None, 0.5), (2L, Some("b"), 1.5), (3L, None, 2.5), (4L, Some("d"), 3.5))
+      .toDF("k", "sv", "dv").repartition(3)
+    df.createOrReplaceTempView("fv_s")
+    // the edge operator is type-generic: strings ride the hand-off
+    val sq = spark.sql(
+      """SELECT k, first_value(sv, true) OVER (ORDER BY k ROWS BETWEEN
+        |UNBOUNDED PRECEDING AND CURRENT ROW) AS f FROM fv_s""".stripMargin)
+    assert(planOf(sq).contains("GlobalFirstValue"), planOf(sq))
+    val gotS = sq.collect().map(r =>
+      r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(gotS == Map(1L -> None, 2L -> Some("b"), 3L -> Some("b"),
+      4L -> Some("b")), gotS)
+    // avg over DOUBLE: double accumulation keeps Spark's semantics
+    val davg = spark.sql(
+      """SELECT k, avg(dv) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+        |PRECEDING AND CURRENT ROW) a FROM fv_s""".stripMargin)
+    assert(!planOf(davg).contains("GlobalRunningSum"), planOf(davg))
+    // last_value under the default RANGE frame is the LAST PEER's value
+    // (order-key-tie dependent) — not rewritten
+    val lvRange = spark.sql(
+      "SELECT k, last_value(sv) OVER (ORDER BY k) lv FROM fv_s")
+    assert(!planOf(lvRange).contains("GlobalFirstValue"), planOf(lvRange))
+    // nth_value beyond 1 is frame-progress-dependent — not rewritten
+    val nth2 = spark.sql(
+      """SELECT k, nth_value(sv, 2) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+        |PRECEDING AND CURRENT ROW) n2 FROM fv_s""".stripMargin)
+    assert(!planOf(nth2).contains("GlobalFirstValue"), planOf(nth2))
+  }
+
   test("whole-operator strategies plan without experimental self-registration") {
     // the injected strategies must already be present: a session built
     // ONLY from config plans the custom nodes
