@@ -74,12 +74,22 @@ object Graph {
   def connectedComponents(nodes: DataFrame, edges0: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     import org.apache.spark.sql.{Encoders, Row}
-    // canonical orientation: every edge stored (a, b) with a > b
-    var e = edges0.filter(col("a") =!= col("b"))
+    // canonical orientation: every edge stored (a, b) with a > b. The
+    // initial cardinality rides the SAME eager-checkpoint
+    // materialization as each round's stats (accumulator on the first
+    // pass), so round 0 pays no separate count() job; accumulator
+    // over-count under retry only inflates prevRows, which errs toward
+    // one extra (already-converged) round, never early termination.
+    val e0 = edges0.filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint(true)
-    var prevRows = e.count()
+      .distinct()
+    val accInit = spark.sparkContext.longAccumulator("graft-cc-rows-init")
+    var e = e0.mapPartitions { it =>
+      it.map { r => accInit.add(1); r }
+    }(Encoders.row(org.apache.spark.sql.types.StructType(e0.schema)))
+      .localCheckpoint(true)
+    var prevRows = accInit.value
     var converged = prevRows == 0
     var iter = 0
     while (!converged) {

@@ -202,7 +202,9 @@ object Relational2 {
     * recurrence, the latter exercised over a STRING column (the edge
     * operator is type-generic, unlike the long-domain running
     * aggregates). nullif(lang,'en') injects real NULLs so the IGNORE
-    * NULLS semantics are actually gated. */
+    * NULLS semantics are actually gated. roll_avg is the SLIDING avg
+    * twin: two [[org.apache.spark.sql.graftplans.GlobalSliding]]
+    * hand-off operators (sum + non-null count). */
   def q77AvgEdgeWindows(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .selectExpr(
@@ -215,7 +217,9 @@ object Relational2 {
         "first_value(nullif(lang,'en'), true) OVER (ORDER BY doc_id ROWS" +
           " BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nonen",
         "last_value(nullif(lang,'en'), true) OVER (ORDER BY doc_id ROWS" +
-          " BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nonen")
+          " BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nonen",
+        "avg(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN 9 PRECEDING" +
+          " AND CURRENT ROW) AS roll_avg")
       .orderBy("doc_id")
 
   val q77Sql: String =
@@ -228,7 +232,9 @@ object Relational2 {
              first_value(nullif(lang,'en') IGNORE NULLS) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nonen,
              last_value(nullif(lang,'en') IGNORE NULLS) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nonen
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_nonen,
+             avg(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN 9 PRECEDING
+               AND CURRENT ROW) AS roll_avg
       FROM documents ORDER BY doc_id"""
 
   /** q78: the WIDE-ROW rank case (r8 stretch): a global row_number over

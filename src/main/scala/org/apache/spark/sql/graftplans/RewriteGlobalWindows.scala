@@ -177,6 +177,9 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
               case m: Max => integral(m.child.dataType)
               // sliding count(*) ≡ least(row_number, j+1)
               case c: Count => c.children.forall(e => e.foldable && !e.nullable)
+              // sliding avg: sliding exact sum ÷ sliding non-null count
+              case av: Average => integral(av.child.dataType) &&
+                av.dataType == DoubleType && av.evalMode != EvalMode.TRY
               case _ => false
             })
         case _ => false
@@ -333,6 +336,31 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
                 Alias(Least(Seq(rank, Literal((j + 1).toLong))), name)(
                   exprId = a.exprId, qualifier = a.qualifier,
                   explicitMetadata = Some(a.metadata))
+              case av: Average =>
+                // sliding avg = sliding exact long sum ÷ sliding count
+                // of non-null values, two hand-off operators over the
+                // one shuffle. The count rides a null-propagating
+                // indicator (null x → null), so an all-null frame gives
+                // NULL cnt AND NULL sum → NULL avg; otherwise cnt ≥ 1.
+                // Sum always overflow-checked — same argument as the
+                // running avg (stock's per-frame double recompute
+                // cannot overflow); exactness equal to stock while
+                // frame sums stay within 2^53.
+                val x = av.child
+                val vExpr = if (x.dataType == LongType) x else Cast(x, LongType)
+                val iExpr = If(IsNull(x), Literal.create(null, LongType),
+                  Literal(1L))
+                val sumOut = AttributeReference(name + "__graft_ssum", LongType,
+                  nullable = true)()
+                val cntOut = AttributeReference(name + "__graft_scnt", LongType,
+                  nullable = true)()
+                cur = GlobalSliding(cntOut, order, iExpr, j, RunningLongOp.Add,
+                  GlobalSliding(sumOut, order, vExpr, j, RunningLongOp.Add, cur,
+                    checked = true),
+                  checked = false)
+                Alias(Divide(Cast(sumOut, DoubleType), Cast(cntOut, DoubleType),
+                  EvalMode.LEGACY), name)(exprId = a.exprId,
+                  qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
               case fn =>
                 val (aggChild, op) = fn match {
                   case s: Sum => (s.child, RunningLongOp.Add)

@@ -403,28 +403,33 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         |  last_value(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
         |    AND CURRENT ROW) AS lv_id,
         |  last_value(v, true) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
-        |    PRECEDING AND UNBOUNDED FOLLOWING) AS lv_full
+        |    PRECEDING AND UNBOUNDED FOLLOWING) AS lv_full,
+        |  avg(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING AND
+        |    CURRENT ROW) AS savg
         |FROM fv_t""".stripMargin)
     val p = planOf(q)
     assert(p.contains("GlobalFirstValue"), s"edge rewrite did not fire:\n$p")
     assert(p.contains("GlobalRunningSum"), s"avg rewrite did not fire:\n$p")
+    assert(p.contains("GlobalSliding"), s"sliding avg did not fire:\n$p")
     assert(!p.contains("Window "), s"single-partition Window survived:\n$p")
     def l(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
       if (r.isNullAt(i)) None else Some(r.getLong(i))
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
     val got = q.collect().map { r =>
-      r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getDouble(1))),
-        l(r, 2), l(r, 3), l(r, 4), l(r, 5), l(r, 6))
+      r.getLong(0) -> ((d(r, 1), l(r, 2), l(r, 3), l(r, 4), l(r, 5), l(r, 6)),
+        d(r, 7))
     }.toMap
     // avg skips nulls (sum of non-null / count of non-null, NULL before
     // the first non-null); fv = the FIRST ROW's value, which is NULL
     // here; lv_id = the current row's own value; lv_full = the global
-    // last NON-NULL value
+    // last NON-NULL value; savg = 2-row sliding avg over non-nulls
     assert(got == Map(
-      1L -> (None, None, None, None, None, Some(1L)),
-      2L -> (Some(4.0), None, Some(4L), Some(4L), Some(4L), Some(1L)),
-      3L -> (Some(4.0), None, Some(4L), Some(4L), None, Some(1L)),
-      4L -> (Some(7.0), None, Some(4L), Some(10L), Some(10L), Some(1L)),
-      5L -> (Some(5.0), None, Some(4L), Some(1L), Some(1L), Some(1L))), got)
+      1L -> ((None, None, None, None, None, Some(1L)), None),
+      2L -> ((Some(4.0), None, Some(4L), Some(4L), Some(4L), Some(1L)), Some(4.0)),
+      3L -> ((Some(4.0), None, Some(4L), Some(4L), None, Some(1L)), Some(4.0)),
+      4L -> ((Some(7.0), None, Some(4L), Some(10L), Some(10L), Some(1L)), Some(10.0)),
+      5L -> ((Some(5.0), None, Some(4L), Some(1L), Some(1L), Some(1L)), Some(5.5))), got)
   }
 
   test("edge values over strings; non-qualifying avg/nth/last shapes stay with Catalyst") {
