@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Seeded fuzz over the WHOLE RewriteGlobalWindows family at once,
+  * against an INDEPENDENTLY-DERIVED oracle: a sequential Scala
+  * evaluation of every window function over the totally-ordered input.
+  * (A stock-Spark reference via `PARTITION BY <literal>` does not work:
+  * Catalyst eliminates foldable window partition keys, turning the
+  * "reference" partition-less and re-firing the rewrite on it.)
+  *
+  * Per-shape specs lock each operator; this net catches cross-family
+  * interactions — e.g. the OptimizeWindowFunctions first_value →
+  * nth_value rewrite that silently blocked a whole Window node in r10 —
+  * plus nulls, order-key ties, and range partitions shorter than the
+  * hand-off windows. Order-sensitive functions run over the TOTAL
+  * order (g, k); the rank family additionally runs over g alone (real
+  * ties — its values are tie-invariant). Values stay far inside 2^53,
+  * so the avg divisions are exact in both evaluations. */
+class GlobalWindowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("global-window-fuzz-spec")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "7")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val windowCols = Seq(
+    "CAST(row_number() OVER (ORDER BY g, k) AS BIGINT) AS rn",
+    "CAST(rank() OVER (ORDER BY g) AS BIGINT) AS rk",
+    "CAST(dense_rank() OVER (ORDER BY g) AS BIGINT) AS drk",
+    "percent_rank() OVER (ORDER BY g) AS prk",
+    "cume_dist() OVER (ORDER BY g) AS cd",
+    "CAST(ntile(5) OVER (ORDER BY g, k) AS BIGINT) AS nt",
+    "lag(v, 2) OVER (ORDER BY g, k) AS lg",
+    "lead(v, 1, 99) OVER (ORDER BY g, k) AS ld",
+    "sum(v) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum",
+    "min(v) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin",
+    "max(v) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax",
+    "avg(v) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ravg",
+    "count(*) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rcnt",
+    "sum(v) OVER (ORDER BY g, k ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ssum",
+    "min(v) OVER (ORDER BY g, k ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS smin",
+    "max(v) OVER (ORDER BY g, k ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS smax",
+    "avg(v) OVER (ORDER BY g, k ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS savg",
+    "count(*) OVER (ORDER BY g, k ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS scnt",
+    "first_value(v) OVER (ORDER BY g, k) AS fv",
+    "first_value(v, true) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fvn",
+    "last_value(v, true) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lvn",
+    "last_value(v) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv_id",
+    "last_value(v, true) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv_full")
+
+  /** Sequential oracle: one pass over the (g, k)-sorted input. */
+  private def oracle(rows: Vector[(Long, Long, Option[Long])])
+      : Map[Long, Vector[Any]] = {
+    val sorted = rows.sortBy { case (k, g, _) => (g, k) }
+    val n = sorted.length
+    val gs = sorted.map(_._2)
+    // rank family over g alone (same total sort: g ties keep (g,k) order,
+    // and the values only depend on g)
+    val rank = gs.indices.map(i => gs.indexOf(gs(i)).toLong + 1)
+    val dense = gs.indices.map(i => gs.take(i + 1).distinct.length.toLong)
+    val cume = gs.indices.map(i => gs.count(_ <= gs(i)).toDouble / n)
+    // SQL NTILE over n rows, b buckets: first (n % b) buckets get
+    // (n/b + 1) rows
+    def ntile(i: Int, b: Int): Long = {
+      val big = n % b; val base = n / b
+      if (i < big * (base + 1)) i / (base + 1) + 1L
+      else big + (i - big * (base + 1)) / base + 1L
+    }
+    val vs = sorted.map(_._3)
+    sorted.zipWithIndex.map { case ((k, _, v), i) =>
+      val run = vs.take(i + 1).flatten
+      val slide = vs.slice(math.max(0, i - 3), i + 1).flatten
+      val nonNullUpTo = vs.take(i + 1).flatten
+      Vector[Any](
+        (i + 1).toLong, // rn
+        rank(i), dense(i),
+        if (n == 1) 0.0 else (rank(i) - 1).toDouble / (n - 1), // prk
+        cume(i),
+        ntile(i, 5),
+        if (i >= 2) vs(i - 2).orNull else null, // lg
+        // ld: the default fires only past the partition END — a NULL
+        // value inside the partition stays NULL
+        if (i + 1 < n) vs(i + 1).orNull else 99L,
+        if (run.isEmpty) null else run.sum, // rsum
+        if (run.isEmpty) null else run.min,
+        if (run.isEmpty) null else run.max,
+        if (run.isEmpty) null else run.sum.toDouble / run.length, // ravg
+        (i + 1).toLong, // rcnt
+        if (slide.isEmpty) null else slide.sum,
+        if (slide.isEmpty) null else slide.min,
+        if (slide.isEmpty) null else slide.max,
+        if (slide.isEmpty) null else slide.sum.toDouble / slide.length,
+        math.min(i + 1, 4).toLong, // scnt
+        vs.head.orNull, // fv: FIRST ROW's value
+        nonNullUpTo.headOption.orNull, // fvn
+        nonNullUpTo.lastOption.orNull, // lvn
+        v.orNull, // lv_id
+        vs.flatten.lastOption.orNull // lv_full
+      ) -> k
+    }.map { case (vals, k) => k -> vals }.toMap
+  }
+
+  private def check(seed: Int, n: Int): Unit = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val ks = rnd.shuffle((0L until n.toLong).toVector)
+    val rows = ks.map { k =>
+      val g = rnd.nextInt(5).toLong
+      val v = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(101).toLong)
+      (k, g, v)
+    }
+    rows.toDF("k", "g", "v").repartition(6).createOrReplaceTempView(s"fz_$seed")
+    val q = spark.sql(
+      s"SELECT k, ${windowCols.mkString(",\n")} FROM fz_$seed ORDER BY k")
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Window "),
+      s"seed=$seed: some family fell back to a single-partition Window:\n$p")
+    val expected = oracle(rows)
+    val got = q.collect()
+    assert(got.length == n)
+    got.foreach { r =>
+      val k = r.getLong(0)
+      val actual = (1 until r.length).map(r.get).toVector
+      assert(actual == expected(k),
+        s"seed=$seed k=$k:\nrewritten: $actual\noracle:    ${expected(k)}")
+    }
+  }
+
+  test("rewritten window family equals a sequential oracle (3 seeds)") {
+    check(seed = 1, n = 257)
+    check(seed = 2, n = 64)
+    // fewer rows than shuffle partitions: empty/short range partitions
+    // exercise the hand-off surplus-forwarding paths
+    check(seed = 3, n = 5)
+  }
+}
