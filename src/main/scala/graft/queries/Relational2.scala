@@ -262,6 +262,36 @@ object Relational2 {
       SELECT doc_id, len_rank, md5(text) AS text_md5
       FROM ranked WHERE len_rank % 97 = 0 ORDER BY doc_id"""
 
+  /** q79: DEFAULT-frame running aggregates — `sum(x) OVER (ORDER BY k)`
+    * with no frame clause, the most common user spelling. The analyzer
+    * assigns RANGE UNBOUNDED PRECEDING..CURRENT ROW: order-key PEERS
+    * aggregate together. With GraftExtensions this plans peer-aware
+    * [[org.apache.spark.sql.graftplans.GlobalRunningSum]] operators
+    * (exact under the range shuffle: equal keys land in one partition,
+    * tie-runs never straddle; one run buffers spill-safe at a time).
+    * ORDER BY lang gives ~6 giant tie-runs over the corpus — the
+    * adversarial shape for run buffering, and the tie-semantics gate
+    * (every doc in a lang shares one value; a ROWS evaluation would
+    * differ on all of them). */
+  def q79PeerWindows(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .selectExpr("doc_id",
+        "sum(n_chars) OVER (ORDER BY lang) AS cum_chars",
+        "count(*) OVER (ORDER BY lang) AS cum_n",
+        "min(n_chars) OVER (ORDER BY lang) AS cum_min",
+        "max(n_chars) OVER (ORDER BY lang) AS cum_max",
+        "avg(n_chars) OVER (ORDER BY lang) AS cum_avg")
+      .orderBy("doc_id")
+
+  val q79Sql: String =
+    """SELECT doc_id,
+             sum(n_chars) OVER (ORDER BY lang)::BIGINT AS cum_chars,
+             count(*) OVER (ORDER BY lang)::BIGINT AS cum_n,
+             min(n_chars) OVER (ORDER BY lang) AS cum_min,
+             max(n_chars) OVER (ORDER BY lang) AS cum_max,
+             avg(n_chars) OVER (ORDER BY lang) AS cum_avg
+      FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rollup" -> (q19Rollup _),
     "q34_set_ops" -> (q34SetOps _),
@@ -271,6 +301,7 @@ object Relational2 {
     "q76_sliding_windows" -> (q76SlidingWindows _),
     "q77_avg_edge_windows" -> (q77AvgEdgeWindows _),
     "q78_wide_rank" -> (q78WideRank _),
+    "q79_peer_windows" -> (q79PeerWindows _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -282,5 +313,6 @@ object Relational2 {
     "q76_sliding_windows" -> q76Sql,
     "q77_avg_edge_windows" -> q77Sql,
     "q78_wide_rank" -> q78Sql,
+    "q79_peer_windows" -> q79Sql,
   )
 }

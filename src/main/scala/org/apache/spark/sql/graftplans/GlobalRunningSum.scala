@@ -6,11 +6,12 @@ package org.apache.spark.sql.graftplans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BoundReference, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BoundReference, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{ExternalAppendOnlyUnsafeRowArray, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 
 /** Which associative combine the running operator applies. SQL's
@@ -40,7 +41,8 @@ object RunningLongOp {
 case class GlobalRunningSum(valueAttr: Attribute, outAttr: AttributeReference,
     order: Seq[SortOrder], child: LogicalPlan,
     checked: Boolean = false,
-    op: RunningLongOp = RunningLongOp.Add) extends UnaryNode {
+    op: RunningLongOp = RunningLongOp.Add,
+    peerAware: Boolean = false) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
   override def maxRows: Option[Long] = child.maxRows
@@ -52,7 +54,7 @@ object GlobalRunningSumStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GlobalRunningSum =>
       GlobalRunningSumExec(g.valueAttr, g.outAttr, g.order, planLater(g.child),
-        g.checked, g.op) :: Nil
+        g.checked, g.op, g.peerAware) :: Nil
     case _ => Nil
   }
 }
@@ -60,7 +62,8 @@ object GlobalRunningSumStrategy extends SparkStrategy {
 case class GlobalRunningSumExec(valueAttr: Attribute, outAttr: AttributeReference,
     order: Seq[SortOrder], child: SparkPlan,
     checked: Boolean = false,
-    op: RunningLongOp = RunningLongOp.Add) extends UnaryExecNode {
+    op: RunningLongOp = RunningLongOp.Add,
+    peerAware: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
@@ -123,20 +126,102 @@ case class GlobalRunningSumExec(valueAttr: Attribute, outAttr: AttributeReferenc
     val offsets = parts.map(_._1).scanLeft(identity)(doAdd)
     val sawBefore = parts.map(_._2).scanLeft(false)(_ || _)
     val childAttrs = child.output
-    rdd.mapPartitionsWithIndexInternal { (pid, it) =>
-      val proj = UnsafeProjection.create(
-        (childAttrs :+ outAttr).zipWithIndex.map { case (a, i) =>
-          BoundReference(i, a.dataType, a.nullable)
-        })
-      val joined = new JoinedRow
-      val sumRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-      var running = offsets(pid)
-      var seen = !sqlNulls || sawBefore(pid)
-      it.map { row =>
-        if (!row.isNullAt(vi)) { running = doAdd(running, row.getLong(vi)); seen = true }
-        if (seen) sumRow.setLong(0, running) // INCLUSIVE prefix sum
-        else sumRow.setNullAt(0)
-        proj(joined(row, sumRow))
+    if (!peerAware) {
+      rdd.mapPartitionsWithIndexInternal { (pid, it) =>
+        val proj = UnsafeProjection.create(
+          (childAttrs :+ outAttr).zipWithIndex.map { case (a, i) =>
+            BoundReference(i, a.dataType, a.nullable)
+          })
+        val joined = new JoinedRow
+        val sumRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        var running = offsets(pid)
+        var seen = !sqlNulls || sawBefore(pid)
+        it.map { row =>
+          if (!row.isNullAt(vi)) { running = doAdd(running, row.getLong(vi)); seen = true }
+          if (seen) sumRow.setLong(0, running) // INCLUSIVE prefix sum
+          else sumRow.setNullAt(0)
+          proj(joined(row, sumRow))
+        }
+      }
+    } else {
+      // PEER-AWARE (RANGE UNBOUNDED PRECEDING .. CURRENT ROW): every
+      // row's frame includes ALL its order-key peers, so a whole
+      // tie-run shares one value — the running combine through the
+      // run's END. Exact under the range shuffle for the same reason
+      // the rank family is: equal keys land in one partition, so runs
+      // never straddle and pass 1 is unchanged (run totals ARE
+      // partition totals). Pass 2 buffers one tie-run at a time
+      // (spill-safe, same machinery as GlobalRank's cume_dist — an
+      // all-equal-keys input means one run IS the whole dataset) and
+      // emits it after the run closes.
+      val orderExprs = order.map(_.child)
+      val ko = order.zipWithIndex.map { case (s, i) =>
+        s.copy(child = BoundReference(i, s.child.dataType, s.child.nullable))
+      }
+      val inMemThreshold = conf.windowExecBufferInMemoryThreshold
+      val spillThreshold = conf.windowExecBufferSpillThreshold
+      val spillSizeThreshold = conf.windowExecBufferSpillSizeThreshold
+      rdd.mapPartitionsWithIndexInternal { (pid, it0) =>
+        val keyProj = UnsafeProjection.create(orderExprs, childAttrs)
+        val cmp = new LazilyGeneratedOrdering(ko)
+        val toUnsafe = UnsafeProjection.create(childAttrs, childAttrs)
+        val proj = UnsafeProjection.create(
+          (childAttrs :+ outAttr).zipWithIndex.map { case (a, i) =>
+            BoundReference(i, a.dataType, a.nullable)
+          })
+        val joined = new JoinedRow
+        val sumRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        new Iterator[InternalRow] {
+          private val buf = new ExternalAppendOnlyUnsafeRowArray(
+            inMemThreshold, spillSizeThreshold, spillThreshold,
+            spillSizeThreshold)
+          private var pending: UnsafeRow = null
+          private var pendingKey: UnsafeRow = null
+          private var running = offsets(pid)
+          private var seen = !sqlNulls || sawBefore(pid)
+          private var outIter: Iterator[InternalRow] = Iterator.empty
+          override def hasNext: Boolean =
+            outIter.hasNext || pending != null || it0.hasNext
+          override def next(): InternalRow = {
+            if (!outIter.hasNext) fillRun()
+            outIter.next()
+          }
+          private def addToRun(row: UnsafeRow): Unit = {
+            buf.add(row)
+            if (!row.isNullAt(vi)) {
+              running = doAdd(running, row.getLong(vi)); seen = true
+            }
+          }
+          private def fillRun(): Unit = {
+            buf.clear()
+            var runKey: UnsafeRow = null
+            if (pending != null) {
+              runKey = pendingKey
+              addToRun(pending)
+              pending = null
+              pendingKey = null
+            } else {
+              val row = toUnsafe(it0.next())
+              runKey = keyProj(row).copy().asInstanceOf[UnsafeRow]
+              addToRun(row)
+            }
+            var closed = false
+            while (!closed && it0.hasNext) {
+              val row = toUnsafe(it0.next())
+              val key = keyProj(row)
+              if (cmp.compare(runKey, key) == 0) addToRun(row)
+              else {
+                pending = row.copy()
+                pendingKey = key.copy().asInstanceOf[UnsafeRow]
+                closed = true
+              }
+            }
+            // the run is complete: every row in it sees the combine
+            // through the run's end (inclusive peer semantics)
+            if (seen) sumRow.setLong(0, running) else sumRow.setNullAt(0)
+            outIter = buf.generateIterator().map(r => proj(joined(r, sumRow)))
+          }
+        }
       }
     }
   }

@@ -28,15 +28,20 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * output attributes (same exprIds/names/types — row_number stays
   * IntegerType via a cast of the operator's long rank).
   *
+  * RANGE vs ROWS: the UNBOUNDED PRECEDING..CURRENT ROW aggregates fire
+  * under BOTH frame kinds — RANGE (the default of a bare ORDER BY, the
+  * most common user spelling) runs the peer-aware operator path, which
+  * gives every order-key tie-run the combine through the run's end
+  * (exact under the range shuffle because equal keys land in one
+  * partition). The rank family's RANGE frame is frame-independent and
+  * rewrites via [[GlobalRank]].
+  *
   * Deliberate non-firing cases (each spec-locked):
   *  - PARTITION BY present — already distributed by the partition keys.
-  *  - RANGE frames on AGGREGATE windows (the default frame of a bare
-  *    ORDER BY aggregate window) — RANGE includes order-key peers; the
-  *    running-sum operator is ROWS semantics, and rewriting would
-  *    change results on ties. (The rank family also carries a RANGE
-  *    frame, but its values are frame-independent — it DOES rewrite,
-  *    via [[GlobalRank]]; the global N that percent_rank/cume_dist/
-  *    ntile divide by is known after the operator's pass 1.)
+  *  - RANGE-frame last_value (the LAST peer's value — an edge the
+  *    running recurrence cannot see) and RANGE-frame first_value
+  *    IGNORE NULLS (a later peer's non-null enters the frame).
+  *  - RANGE frames with value offsets (`RANGE 5 PRECEDING`).
   *  - lag/lead WITH ignoreNulls (unbounded lookback), a non-foldable
   *    or non-positive offset, or an offset beyond the hand-off cap —
   *    in-cap lag/lead DO rewrite, via [[GlobalOffset]]'s boundary
@@ -109,35 +114,40 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
           nv.offset.foldable && nv.offset.eval() == 1 &&
             nv.input.deterministic && (!nv.ignoreNulls || frame == RowFrame)
         case ae: AggregateExpression =>
-          // running aggregates only under an explicit ROWS frame: RANGE
-          // (the default of a bare ORDER BY) aggregates order-key peers
-          // together, which the running operators do not model. The one
-          // exception is first_value RESPECT NULLS: with an UNBOUNDED
-          // PRECEDING frame start the frame's FIRST row is the same row
-          // whatever the frame end, so it fires under RANGE too.
+          // Running aggregates fire under BOTH frame kinds of an
+          // UNBOUNDED PRECEDING..CURRENT ROW window: ROWS runs the
+          // row-at-a-time operators; RANGE (the default of a bare
+          // ORDER BY — the most common user spelling) aggregates
+          // order-key peers together, which the peer-aware operator
+          // models exactly (equal keys land in one range partition, so
+          // tie-runs never straddle; see GlobalRunningSumExec). Only
+          // last_value stays ROWS-bound (its RANGE value is the LAST
+          // peer's value, an edge the running recurrence cannot see),
+          // and first_value IGNORE NULLS (a later peer's non-null can
+          // enter the frame).
           ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
             (ae.aggregateFunction match {
               case f: First => (!f.ignoreNulls || frame == RowFrame) &&
                 f.child.deterministic
               case l: Last => frame == RowFrame && l.child.deterministic
-              case s: Sum => frame == RowFrame &&
+              case s: Sum =>
                 s.dataType == LongType && integral(s.child.dataType) &&
                 s.evalContext.evalMode != EvalMode.TRY // try_sum nulls on overflow; the long operator can't
               // running MIN/MAX share the running-sum structure with a
               // different combine; integral domains run exactly in the
               // operator's long arithmetic (result cast back)
-              case m: Min => frame == RowFrame && integral(m.child.dataType)
-              case m: Max => frame == RowFrame && integral(m.child.dataType)
-              // count(*) / count(lit): a ROWS UNBOUNDED PRECEDING
-              // running count IS the row number (count(expr) with a
-              // nullable child skips nulls — not the same thing)
-              case c: Count => frame == RowFrame &&
-                c.children.forall(e => e.foldable && !e.nullable)
+              case m: Min => integral(m.child.dataType)
+              case m: Max => integral(m.child.dataType)
+              // count(*) / count(lit): under ROWS the running count IS
+              // the row number; under RANGE it is a peer-aware sum of
+              // ones (count(expr) with a nullable child skips nulls —
+              // not the same thing)
+              case c: Count => c.children.forall(e => e.foldable && !e.nullable)
               // running avg over integral columns: exact long running
               // sum ÷ running non-null count, both from the existing
               // two-pass operators (see buildRewrite for the exactness
               // and overflow argument)
-              case av: Average => frame == RowFrame &&
+              case av: Average =>
                 integral(av.child.dataType) && av.dataType == DoubleType &&
                 av.evalMode != EvalMode.TRY
               case _ => false
@@ -222,6 +232,15 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
   private def isFullFrame(we: WindowExpression): Boolean =
     we.windowSpec.frameSpecification match {
       case SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing) => true
+      case _ => false
+    }
+
+  /** RANGE UNBOUNDED PRECEDING .. CURRENT ROW — the default frame of a
+    * bare ORDER BY aggregate window: peers of the current order key are
+    * IN the frame, so the operators run peer-aware. */
+  private def isRangeRunning(we: WindowExpression): Boolean =
+    we.windowSpec.frameSpecification match {
+      case SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow) => true
       case _ => false
     }
 
@@ -423,8 +442,10 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
               nullable = false)() // indicator is never null; plain count
             cur = GlobalRunningSum(cAl.toAttribute, cntOut, order,
               GlobalRunningSum(vAl.toAttribute, sumOut, order, base,
-                checked = true, RunningLongOp.Add),
-              checked = false, RunningLongOp.Add)
+                checked = true, RunningLongOp.Add,
+                peerAware = isRangeRunning(we)),
+              checked = false, RunningLongOp.Add,
+              peerAware = isRangeRunning(we))
             // cnt ≥ 1 whenever sum is non-null, so LEGACY divide only
             // sees 0 with a NULL numerator → NULL, the SQL avg of an
             // all-null prefix
@@ -432,8 +453,8 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
               EvalMode.LEGACY), name)(exprId = a.exprId,
               qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
           case ae: AggregateExpression
-              if ae.aggregateFunction.isInstanceOf[Count] =>
-            // running count(*) ≡ the 1-based row number, already LONG
+              if ae.aggregateFunction.isInstanceOf[Count] && !isRangeRunning(we) =>
+            // ROWS running count(*) ≡ the 1-based row number, already LONG
             val rank =
               AttributeReference(name + "__graft_rn", LongType, nullable = false)()
             cur = GlobalRowNumber(rank, order, cur)
@@ -444,6 +465,9 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
               case s: Sum => (s.child, RunningLongOp.Add)
               case m: Min => (m.child, RunningLongOp.Min)
               case m: Max => (m.child, RunningLongOp.Max)
+              // RANGE count(*) (reaches here only peer-aware): the
+              // count of rows with key <= current ≡ peer-aware sum of 1s
+              case _: Count => (Literal(1L), RunningLongOp.Add)
             }
             val (valueAttr, base) = aggChild match {
               case ar: AttributeReference
@@ -456,11 +480,15 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
                 (v.toAttribute, Project(cur.output :+ v, cur))
             }
             // nullable output attr selects the exact SQL semantics path
-            // (null until the first non-null value) in the exec
-            val out =
-              AttributeReference(name + "__graft_sum", LongType, nullable = true)()
+            // (null until the first non-null value) in the exec;
+            // count(*) is never NULL, so it keeps the non-nullable
+            // nulls-as-0 contract (its value expr is never null anyway)
+            val isCount = ae.aggregateFunction.isInstanceOf[Count]
+            val out = AttributeReference(name + "__graft_sum", LongType,
+              nullable = !isCount)()
             cur = GlobalRunningSum(valueAttr, out, order, base,
-              checked = conf.ansiEnabled && op == RunningLongOp.Add, op)
+              checked = conf.ansiEnabled && op == RunningLongOp.Add && !isCount,
+              op, peerAware = isRangeRunning(we))
             // SUM(integral) is LONG; MIN/MAX return the child type —
             // cast the operator's long back (values are actual column
             // values, so the narrowing is lossless)

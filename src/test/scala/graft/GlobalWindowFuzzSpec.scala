@@ -59,7 +59,14 @@ class GlobalWindowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     "first_value(v, true) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fvn",
     "last_value(v, true) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lvn",
     "last_value(v) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv_id",
-    "last_value(v, true) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv_full")
+    "last_value(v, true) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv_full",
+    // bare ORDER BY over g (which has ties): the analyzer assigns the
+    // default RANGE frame — the peer-aware operator path
+    "sum(v) OVER (ORDER BY g) AS gsum",
+    "count(*) OVER (ORDER BY g) AS gcnt",
+    "min(v) OVER (ORDER BY g) AS gmin",
+    "max(v) OVER (ORDER BY g) AS gmax",
+    "avg(v) OVER (ORDER BY g) AS gavg")
 
   /** Sequential oracle: one pass over the (g, k)-sorted input. */
   private def oracle(rows: Vector[(Long, Long, Option[Long])])
@@ -80,7 +87,7 @@ class GlobalWindowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       else big + (i - big * (base + 1)) / base + 1L
     }
     val vs = sorted.map(_._3)
-    sorted.zipWithIndex.map { case ((k, _, v), i) =>
+    sorted.zipWithIndex.map { case ((k, g, v), i) =>
       val run = vs.take(i + 1).flatten
       val slide = vs.slice(math.max(0, i - 3), i + 1).flatten
       val nonNullUpTo = vs.take(i + 1).flatten
@@ -108,7 +115,25 @@ class GlobalWindowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         nonNullUpTo.headOption.orNull, // fvn
         nonNullUpTo.lastOption.orNull, // lvn
         v.orNull, // lv_id
-        vs.flatten.lastOption.orNull // lv_full
+        vs.flatten.lastOption.orNull, // lv_full
+        // RANGE (peer) aggregates: over all rows with key <= current g
+        {
+          val pv = sorted.filter(_._2 <= g).flatMap(_._3)
+          if (pv.isEmpty) null else pv.sum
+        }, // gsum
+        sorted.count(_._2 <= g).toLong, // gcnt
+        {
+          val pv = sorted.filter(_._2 <= g).flatMap(_._3)
+          if (pv.isEmpty) null else pv.min
+        }, // gmin
+        {
+          val pv = sorted.filter(_._2 <= g).flatMap(_._3)
+          if (pv.isEmpty) null else pv.max
+        }, // gmax
+        {
+          val pv = sorted.filter(_._2 <= g).flatMap(_._3)
+          if (pv.isEmpty) null else pv.sum.toDouble / pv.length
+        } // gavg
       ) -> k
     }.map { case (vals, k) => k -> vals }.toMap
   }

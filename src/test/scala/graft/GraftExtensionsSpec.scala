@@ -361,10 +361,20 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lagIgnore = spark.sql(
       "SELECT k, lag(v) IGNORE NULLS OVER (ORDER BY k) r FROM nf_t")
     assert(!planOf(lagIgnore).contains("GlobalOffset"), planOf(lagIgnore))
-    // default frame of a bare ORDER BY aggregate window is RANGE —
-    // peers of the order key must aggregate together; not rewritten
-    val rangeFrame = spark.sql("SELECT k, sum(v) OVER (ORDER BY g) s FROM nf_t")
-    assert(!planOf(rangeFrame).contains("GlobalRunningSum"))
+    // RANGE frames with a VALUE offset are not modeled — only the
+    // UNBOUNDED..CURRENT default (which fires peer-aware, see the
+    // dedicated test)
+    val rangeOffset = spark.sql(
+      """SELECT k, sum(v) OVER (ORDER BY g RANGE BETWEEN 2 PRECEDING
+        |AND CURRENT ROW) s FROM nf_t""".stripMargin)
+    assert(!planOf(rangeOffset).contains("GlobalRunningSum"), planOf(rangeOffset))
+    // RANGE-frame last_value = the LAST peer's value; first_value
+    // IGNORE NULLS can see a later peer's non-null — both stay put
+    val lvRange2 = spark.sql("SELECT k, last_value(v) OVER (ORDER BY g) s FROM nf_t")
+    assert(!planOf(lvRange2).contains("GlobalFirstValue"), planOf(lvRange2))
+    val fvnRange = spark.sql(
+      "SELECT k, first_value(v, true) OVER (ORDER BY g) s FROM nf_t")
+    assert(!planOf(fvnRange).contains("GlobalFirstValue"), planOf(fvnRange))
     // non-long sum: double summation keeps Spark's semantics
     val dblSum = spark.sql(
       """SELECT k, sum(CAST(v AS DOUBLE)) OVER (ORDER BY k ROWS BETWEEN
@@ -430,6 +440,41 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       3L -> ((Some(4.0), None, Some(4L), Some(4L), None, Some(1L)), Some(4.0)),
       4L -> ((Some(7.0), None, Some(4L), Some(10L), Some(10L), Some(1L)), Some(10.0)),
       5L -> ((Some(5.0), None, Some(4L), Some(1L), Some(1L), Some(1L)), Some(5.5))), got)
+  }
+
+  test("default-frame (RANGE) running aggregates rewrite peer-aware") {
+    val s = spark
+    import s.implicits._
+    // g=0 run is ALL-NULL (gates null-until-first-non-null at run
+    // granularity); g=1 mixes nulls; g=2's non-null arrives in the
+    // run's SECOND row — peer semantics must surface it to the first
+    val df = Seq[(Long, Long, Option[Long])](
+      (1L, 0L, None), (2L, 0L, None), (3L, 1L, Some(5L)), (4L, 1L, None),
+      (5L, 1L, Some(2L)), (6L, 2L, None), (7L, 2L, Some(4L)))
+      .toDF("k", "g", "v").repartition(3)
+    df.createOrReplaceTempView("pr_t")
+    // bare ORDER BY — the analyzer assigns RANGE UNBOUNDED..CURRENT
+    val q = spark.sql(
+      """SELECT k, sum(v) OVER (ORDER BY g) s, count(*) OVER (ORDER BY g) c,
+        |min(v) OVER (ORDER BY g) mn, avg(v) OVER (ORDER BY g) av
+        |FROM pr_t ORDER BY k""".stripMargin)
+    val p = planOf(q)
+    assert(p.contains("GlobalRunningSum"), s"peer-aware rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"single-partition Window survived:\n$p")
+    def l(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val got = q.collect().map { r =>
+      r.getLong(0) -> ((l(r, 1), r.getLong(2), l(r, 3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    assert(got == Map(
+      1L -> ((None, 2L, None, None)),
+      2L -> ((None, 2L, None, None)),
+      3L -> ((Some(7L), 5L, Some(2L), Some(3.5))),
+      4L -> ((Some(7L), 5L, Some(2L), Some(3.5))),
+      5L -> ((Some(7L), 5L, Some(2L), Some(3.5))),
+      6L -> ((Some(11L), 7L, Some(2L), Some(11.0 / 3))),
+      7L -> ((Some(11L), 7L, Some(2L), Some(11.0 / 3)))), got)
   }
 
   test("edge values over strings; non-qualifying avg/nth/last shapes stay with Catalyst") {
