@@ -280,7 +280,12 @@ object Relational2 {
         "count(*) OVER (ORDER BY lang) AS cum_n",
         "min(n_chars) OVER (ORDER BY lang) AS cum_min",
         "max(n_chars) OVER (ORDER BY lang) AS cum_max",
-        "avg(n_chars) OVER (ORDER BY lang) AS cum_avg")
+        "avg(n_chars) OVER (ORDER BY lang) AS cum_avg",
+        // peer edge values over a KEY-DEPENDENT input (the only shape
+        // where RANGE last_value is deterministic, here as in stock)
+        "last_value(nullif(lang, 'en')) OVER (ORDER BY lang) AS run_last",
+        "first_value(nullif(lang, 'en'), true) OVER (ORDER BY lang)" +
+          " AS first_nonen")
       .orderBy("doc_id")
 
   val q79Sql: String =
@@ -289,7 +294,10 @@ object Relational2 {
              count(*) OVER (ORDER BY lang)::BIGINT AS cum_n,
              min(n_chars) OVER (ORDER BY lang) AS cum_min,
              max(n_chars) OVER (ORDER BY lang) AS cum_max,
-             avg(n_chars) OVER (ORDER BY lang) AS cum_avg
+             avg(n_chars) OVER (ORDER BY lang) AS cum_avg,
+             last_value(nullif(lang, 'en')) OVER (ORDER BY lang) AS run_last,
+             first_value(nullif(lang, 'en') IGNORE NULLS) OVER (ORDER BY lang)
+               AS first_nonen
       FROM documents ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -5,9 +5,10 @@ package org.apache.spark.sql.graftplans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{ExternalAppendOnlyUnsafeRowArray, SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Scale-shaped `first_value` / `last_value` under a total order —
   * partition-less edge-value windows that stock Spark plans as a
@@ -35,6 +36,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *    the trivial in-partition recurrence seeded from the carry
   *    (first: set-once; last: overwrite-on-non-null).
   *
+  * PEER-AWARE running (`peerAware = true`, requires `running`): RANGE
+  * UNBOUNDED..CURRENT frames include the current row's order-key
+  * peers, so the recurrence advances per TIE-RUN, not per row — one
+  * run buffers spill-safe at a time (GlobalRank's cume_dist
+  * machinery) and every row in it sees the state as of the run's END.
+  * This also admits `last_value` RESPECT NULLS (`skipNulls = false`):
+  * its value is the run's last row — each run overwrites the state,
+  * so no carry is consumed. Like stock Spark, the "last" row among
+  * equal keys is partition-sort-arbitrary; callers needing
+  * determinism use inputs functionally dependent on the order key.
+  *
   * Same two-pass discipline as [[GlobalRowNumber]]: both passes must
   * observe ONE materialized range shuffle, hence one physical operator.
   * Driver state is one single-field row per partition. Values ride
@@ -42,9 +54,11 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * [[GlobalOffset]] works here too. */
 case class GlobalFirstValue(outAttr: AttributeReference, order: Seq[SortOrder],
     input: Expression, fromEnd: Boolean, skipNulls: Boolean, running: Boolean,
-    child: LogicalPlan) extends UnaryNode {
-  require(!running || skipNulls,
-    "running edge-value only exists for IGNORE NULLS (RESPECT NULLS is a constant or the row itself)")
+    child: LogicalPlan, peerAware: Boolean = false) extends UnaryNode {
+  require(!running || skipNulls || (peerAware && fromEnd),
+    "running edge-value needs IGNORE NULLS (RESPECT NULLS is a constant or the row itself), " +
+      "except the peer-aware run-last-row mode")
+  require(!peerAware || running, "peerAware only modifies the running recurrence")
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
   override def maxRows: Option[Long] = child.maxRows
@@ -56,14 +70,14 @@ object GlobalFirstValueStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GlobalFirstValue =>
       GlobalFirstValueExec(g.outAttr, g.order, g.input, g.fromEnd, g.skipNulls,
-        g.running, planLater(g.child)) :: Nil
+        g.running, planLater(g.child), g.peerAware) :: Nil
     case _ => Nil
   }
 }
 
 case class GlobalFirstValueExec(outAttr: AttributeReference, order: Seq[SortOrder],
     input: Expression, fromEnd: Boolean, skipNulls: Boolean, running: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan, peerAware: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
@@ -115,6 +129,14 @@ case class GlobalFirstValueExec(outAttr: AttributeReference, order: Seq[SortOrde
       }
     }
     val isRunning = running
+    val peer = peerAware
+    val orderExprs = order.map(_.child)
+    val ko = order.zipWithIndex.map { case (s, i) =>
+      s.copy(child = BoundReference(i, s.child.dataType, s.child.nullable))
+    }
+    val inMemThreshold = conf.windowExecBufferInMemoryThreshold
+    val spillThreshold = conf.windowExecBufferSpillThreshold
+    val spillSizeThreshold = conf.windowExecBufferSpillSizeThreshold
     rdd.mapPartitionsWithIndexInternal { (pid, it) =>
       val valProj = UnsafeProjection.create(Seq(inputExpr), childAttrs)
       val proj = UnsafeProjection.create(
@@ -130,7 +152,7 @@ case class GlobalFirstValueExec(outAttr: AttributeReference, order: Seq[SortOrde
       if (!isRunning) {
         set(globalConst)
         it.map(row => proj(joined(row, valueRow)))
-      } else {
+      } else if (!peer) {
         var cur: Option[UnsafeRow] = carry(pid)
         set(cur)
         it.map { row =>
@@ -141,6 +163,65 @@ case class GlobalFirstValueExec(outAttr: AttributeReference, order: Seq[SortOrde
             if (!v.isNullAt(0)) { cur = Some(v.copy()); set(cur) }
           }
           proj(joined(row, valueRow))
+        }
+      } else {
+        // peer-aware: the state advances per tie-run; every row of a
+        // run sees the state as of the run's END (RANGE frames include
+        // the current row's peers). skipNulls modes carry across runs;
+        // the run-last-row mode (fromEnd && !skipNulls) overwrites the
+        // state with every row, landing on the run's last row.
+        val keyProj = UnsafeProjection.create(orderExprs, childAttrs)
+        val cmp = new LazilyGeneratedOrdering(ko)
+        val toUnsafe = UnsafeProjection.create(childAttrs, childAttrs)
+        new Iterator[InternalRow] {
+          private val buf = new ExternalAppendOnlyUnsafeRowArray(
+            inMemThreshold, spillSizeThreshold, spillThreshold,
+            spillSizeThreshold)
+          private var pending: UnsafeRow = null
+          private var pendingKey: UnsafeRow = null
+          private var cur: Option[UnsafeRow] =
+            if (skip) carry(pid) else None
+          private var outIter: Iterator[InternalRow] = Iterator.empty
+          override def hasNext: Boolean =
+            outIter.hasNext || pending != null || it.hasNext
+          override def next(): InternalRow = {
+            if (!outIter.hasNext) fillRun()
+            outIter.next()
+          }
+          private def addToRun(row: UnsafeRow): Unit = {
+            buf.add(row)
+            val v = valProj(row)
+            if (!skip) cur = Some(v.copy()) // run-last-row mode
+            else if (!v.isNullAt(0) && (fromEnd0 || cur.isEmpty))
+              cur = Some(v.copy())
+          }
+          private def fillRun(): Unit = {
+            buf.clear()
+            var runKey: UnsafeRow = null
+            if (pending != null) {
+              runKey = pendingKey
+              addToRun(pending)
+              pending = null
+              pendingKey = null
+            } else {
+              val row = toUnsafe(it.next())
+              runKey = keyProj(row).copy().asInstanceOf[UnsafeRow]
+              addToRun(row)
+            }
+            var closed = false
+            while (!closed && it.hasNext) {
+              val row = toUnsafe(it.next())
+              val key = keyProj(row)
+              if (cmp.compare(runKey, key) == 0) addToRun(row)
+              else {
+                pending = row.copy()
+                pendingKey = key.copy().asInstanceOf[UnsafeRow]
+                closed = true
+              }
+            }
+            set(cur)
+            outIter = buf.generateIterator().map(r => proj(joined(r, valueRow)))
+          }
         }
       }
     }

@@ -38,9 +38,6 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   *
   * Deliberate non-firing cases (each spec-locked):
   *  - PARTITION BY present — already distributed by the partition keys.
-  *  - RANGE-frame last_value (the LAST peer's value — an edge the
-  *    running recurrence cannot see) and RANGE-frame first_value
-  *    IGNORE NULLS (a later peer's non-null enters the frame).
   *  - RANGE frames with value offsets (`RANGE 5 PRECEDING`).
   *  - lag/lead WITH ignoreNulls (unbounded lookback), a non-foldable
   *    or non-positive offset, or an offset beyond the hand-off cap —
@@ -111,8 +108,7 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
         // this rule runs — treat offset-1 nth_value as first_value
         // (offset > 1 is genuinely frame-progress-dependent; leave it)
         case nv: NthValue =>
-          nv.offset.foldable && nv.offset.eval() == 1 &&
-            nv.input.deterministic && (!nv.ignoreNulls || frame == RowFrame)
+          nv.offset.foldable && nv.offset.eval() == 1 && nv.input.deterministic
         case ae: AggregateExpression =>
           // Running aggregates fire under BOTH frame kinds of an
           // UNBOUNDED PRECEDING..CURRENT ROW window: ROWS runs the
@@ -127,9 +123,10 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
           // enter the frame).
           ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
             (ae.aggregateFunction match {
-              case f: First => (!f.ignoreNulls || frame == RowFrame) &&
-                f.child.deterministic
-              case l: Last => frame == RowFrame && l.child.deterministic
+              // edge values fire under both frames: ROWS runs the
+              // row-recurrence; RANGE runs peer-aware (per tie-run)
+              case f: First => f.child.deterministic
+              case l: Last => l.child.deterministic
               case s: Sum =>
                 s.dataType == LongType && integral(s.child.dataType) &&
                 s.evalContext.evalMode != EvalMode.TRY // try_sum nulls on overflow; the long operator can't
@@ -400,20 +397,24 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
             }
           case fn if edgeOf(fn).isDefined =>
             val (inp, fromEnd, skip) = edgeOf(fn).get
-            if (fromEnd && !skip && !isFullFrame(we)) {
+            if (fromEnd && !skip && !isFullFrame(we) && !isRangeRunning(we)) {
               // last_value RESPECT NULLS over ROWS …CURRENT ROW is the
               // current row's own value — no operator at all
               Alias(inp, name)(exprId = a.exprId, qualifier = a.qualifier,
                 explicitMetadata = Some(a.metadata))
             } else {
-              // running recurrence only for IGNORE NULLS under a
-              // …CURRENT ROW frame; every other firing shape reduces to
-              // ONE global scalar (first/last [non-null] value of the
-              // whole ordered relation) attached as a constant
-              val runs = skip && !isFullFrame(we)
+              // running recurrence for IGNORE NULLS under a …CURRENT
+              // ROW frame (peer-aware when RANGE), plus the peer-aware
+              // run-last-row mode for RANGE last_value RESPECT NULLS;
+              // every other firing shape reduces to ONE global scalar
+              // (first/last [non-null] value of the whole ordered
+              // relation) attached as a constant
+              val runs = !isFullFrame(we) &&
+                (skip || (fromEnd && isRangeRunning(we)))
               val out = AttributeReference(name + "__graft_fv", fn.dataType,
                 nullable = true)()
-              cur = GlobalFirstValue(out, order, inp, fromEnd, skip, runs, cur)
+              cur = GlobalFirstValue(out, order, inp, fromEnd, skip, runs, cur,
+                peerAware = runs && isRangeRunning(we))
               Alias(out, name)(exprId = a.exprId, qualifier = a.qualifier,
                 explicitMetadata = Some(a.metadata))
             }

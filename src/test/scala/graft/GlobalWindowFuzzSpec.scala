@@ -66,7 +66,13 @@ class GlobalWindowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     "count(*) OVER (ORDER BY g) AS gcnt",
     "min(v) OVER (ORDER BY g) AS gmin",
     "max(v) OVER (ORDER BY g) AS gmax",
-    "avg(v) OVER (ORDER BY g) AS gavg")
+    "avg(v) OVER (ORDER BY g) AS gavg",
+    // peer edge values over w (a function of g: NULL on even g, else
+    // g*10+1) — key-dependence keeps the tie-arbitrary "last row of
+    // the run" deterministic, mirroring how the shape is usable at all
+    "last_value(w) OVER (ORDER BY g) AS glv",
+    "first_value(w, true) OVER (ORDER BY g) AS gfvn",
+    "last_value(w, true) OVER (ORDER BY g) AS glvn")
 
   /** Sequential oracle: one pass over the (g, k)-sorted input. */
   private def oracle(rows: Vector[(Long, Long, Option[Long])])
@@ -133,7 +139,14 @@ class GlobalWindowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         {
           val pv = sorted.filter(_._2 <= g).flatMap(_._3)
           if (pv.isEmpty) null else pv.sum.toDouble / pv.length
-        } // gavg
+        }, // gavg
+        if (g % 2 == 0) null else g * 10 + 1, // glv: w of the current run
+        // gfvn / glvn: first / last non-null w over keys <= g — i.e.
+        // the smallest / largest ODD g present in the prefix
+        sorted.map(_._2).filter(x => x <= g && x % 2 == 1).headOption
+          .map(_ * 10 + 1).orNull,
+        sorted.map(_._2).filter(x => x <= g && x % 2 == 1).lastOption
+          .map(_ * 10 + 1).orNull
       ) -> k
     }.map { case (vals, k) => k -> vals }.toMap
   }
@@ -148,7 +161,10 @@ class GlobalWindowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
       val v = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(101).toLong)
       (k, g, v)
     }
-    rows.toDF("k", "g", "v").repartition(6).createOrReplaceTempView(s"fz_$seed")
+    rows.toDF("k", "g", "v").repartition(6)
+      .selectExpr("k", "g", "v",
+        "CASE WHEN g % 2 = 0 THEN NULL ELSE g * 10 + 1 END AS w")
+      .createOrReplaceTempView(s"fz_$seed")
     val q = spark.sql(
       s"SELECT k, ${windowCols.mkString(",\n")} FROM fz_$seed ORDER BY k")
     val p = q.queryExecution.executedPlan.toString

@@ -368,13 +368,6 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT k, sum(v) OVER (ORDER BY g RANGE BETWEEN 2 PRECEDING
         |AND CURRENT ROW) s FROM nf_t""".stripMargin)
     assert(!planOf(rangeOffset).contains("GlobalRunningSum"), planOf(rangeOffset))
-    // RANGE-frame last_value = the LAST peer's value; first_value
-    // IGNORE NULLS can see a later peer's non-null — both stay put
-    val lvRange2 = spark.sql("SELECT k, last_value(v) OVER (ORDER BY g) s FROM nf_t")
-    assert(!planOf(lvRange2).contains("GlobalFirstValue"), planOf(lvRange2))
-    val fvnRange = spark.sql(
-      "SELECT k, first_value(v, true) OVER (ORDER BY g) s FROM nf_t")
-    assert(!planOf(fvnRange).contains("GlobalFirstValue"), planOf(fvnRange))
     // non-long sum: double summation keeps Spark's semantics
     val dblSum = spark.sql(
       """SELECT k, sum(CAST(v AS DOUBLE)) OVER (ORDER BY k ROWS BETWEEN
@@ -453,28 +446,40 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (5L, 1L, Some(2L)), (6L, 2L, None), (7L, 2L, Some(4L)))
       .toDF("k", "g", "v").repartition(3)
     df.createOrReplaceTempView("pr_t")
-    // bare ORDER BY — the analyzer assigns RANGE UNBOUNDED..CURRENT
+    // bare ORDER BY — the analyzer assigns RANGE UNBOUNDED..CURRENT.
+    // The edge values run over w = a FUNCTION of the order key (g=0 →
+    // NULL, else g*10): peer "last row" among equal keys is
+    // sort-arbitrary exactly like stock Spark, so determinism needs a
+    // key-dependent input — the realistic usage.
     val q = spark.sql(
       """SELECT k, sum(v) OVER (ORDER BY g) s, count(*) OVER (ORDER BY g) c,
-        |min(v) OVER (ORDER BY g) mn, avg(v) OVER (ORDER BY g) av
+        |min(v) OVER (ORDER BY g) mn, avg(v) OVER (ORDER BY g) av,
+        |last_value(CASE WHEN g = 0 THEN NULL ELSE g * 10 END)
+        |  OVER (ORDER BY g) lvw,
+        |first_value(CASE WHEN g = 0 THEN NULL ELSE g * 10 END, true)
+        |  OVER (ORDER BY g) fvnw,
+        |last_value(CASE WHEN g = 0 THEN NULL ELSE g * 10 END, true)
+        |  OVER (ORDER BY g) lvnw
         |FROM pr_t ORDER BY k""".stripMargin)
     val p = planOf(q)
     assert(p.contains("GlobalRunningSum"), s"peer-aware rewrite did not fire:\n$p")
+    assert(p.contains("GlobalFirstValue"), s"peer edge values did not fire:\n$p")
     assert(!p.contains("Window "), s"single-partition Window survived:\n$p")
     def l(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
       if (r.isNullAt(i)) None else Some(r.getLong(i))
     val got = q.collect().map { r =>
       r.getLong(0) -> ((l(r, 1), r.getLong(2), l(r, 3),
-        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        l(r, 5), l(r, 6), l(r, 7)))
     }.toMap
     assert(got == Map(
-      1L -> ((None, 2L, None, None)),
-      2L -> ((None, 2L, None, None)),
-      3L -> ((Some(7L), 5L, Some(2L), Some(3.5))),
-      4L -> ((Some(7L), 5L, Some(2L), Some(3.5))),
-      5L -> ((Some(7L), 5L, Some(2L), Some(3.5))),
-      6L -> ((Some(11L), 7L, Some(2L), Some(11.0 / 3))),
-      7L -> ((Some(11L), 7L, Some(2L), Some(11.0 / 3)))), got)
+      1L -> ((None, 2L, None, None, None, None, None)),
+      2L -> ((None, 2L, None, None, None, None, None)),
+      3L -> ((Some(7L), 5L, Some(2L), Some(3.5), Some(10L), Some(10L), Some(10L))),
+      4L -> ((Some(7L), 5L, Some(2L), Some(3.5), Some(10L), Some(10L), Some(10L))),
+      5L -> ((Some(7L), 5L, Some(2L), Some(3.5), Some(10L), Some(10L), Some(10L))),
+      6L -> ((Some(11L), 7L, Some(2L), Some(11.0 / 3), Some(20L), Some(10L), Some(20L))),
+      7L -> ((Some(11L), 7L, Some(2L), Some(11.0 / 3), Some(20L), Some(10L), Some(20L)))), got)
   }
 
   test("edge values over strings; non-qualifying avg/nth/last shapes stay with Catalyst") {
@@ -498,11 +503,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       """SELECT k, avg(dv) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
         |PRECEDING AND CURRENT ROW) a FROM fv_s""".stripMargin)
     assert(!planOf(davg).contains("GlobalRunningSum"), planOf(davg))
-    // last_value under the default RANGE frame is the LAST PEER's value
-    // (order-key-tie dependent) — not rewritten
+    // last_value under the default RANGE frame fires peer-aware: over
+    // the UNIQUE key k each tie-run is one row, so the value is the
+    // row's own (the tied case is value-checked in the peer test)
     val lvRange = spark.sql(
-      "SELECT k, last_value(sv) OVER (ORDER BY k) lv FROM fv_s")
-    assert(!planOf(lvRange).contains("GlobalFirstValue"), planOf(lvRange))
+      "SELECT k, last_value(sv) OVER (ORDER BY k) lv FROM fv_s ORDER BY k")
+    assert(planOf(lvRange).contains("GlobalFirstValue"), planOf(lvRange))
+    val lvGot = lvRange.collect().map(r => Option(r.getString(1))).toSeq
+    assert(lvGot == Seq(None, Some("b"), None, Some("d")), lvGot)
     // nth_value beyond 1 is frame-progress-dependent — not rewritten
     val nth2 = spark.sql(
       """SELECT k, nth_value(sv, 2) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
