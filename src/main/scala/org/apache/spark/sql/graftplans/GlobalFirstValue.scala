@@ -94,12 +94,17 @@ case class GlobalFirstValueExec(outAttr: AttributeReference, order: Seq[SortOrde
     val fromEnd0 = fromEnd
     val skip = skipNulls
     val dt = outAttr.dataType
+    // The peer-aware run-last-row mode (running && !skipNulls) needs no
+    // cross-partition state at all: every tie-run overwrites the state
+    // and a run never straddles partitions, so pass 1 and the carry
+    // would be dead weight — skip the job entirely.
+    val needPass1 = !running || skipNulls
     // Pass 1: one candidate single-field value per sorted partition —
     // the first/last row's value, or the first/last NON-NULL value.
     // skipNulls=first scans only to the first non-null; skipNulls=last
     // scans the partition (same cost class as a running sum's pass 1).
-    val candidates: Array[Option[UnsafeRow]] =
-      rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
+    val candidates: Array[Option[UnsafeRow]] = if (!needPass1) Array.empty
+      else rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
         val valProj = UnsafeProjection.create(Seq(inputExpr), childAttrs)
         var found: Option[UnsafeRow] = None
         var scan = true

@@ -116,11 +116,12 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
           // ORDER BY — the most common user spelling) aggregates
           // order-key peers together, which the peer-aware operator
           // models exactly (equal keys land in one range partition, so
-          // tie-runs never straddle; see GlobalRunningSumExec). Only
-          // last_value stays ROWS-bound (its RANGE value is the LAST
-          // peer's value, an edge the running recurrence cannot see),
-          // and first_value IGNORE NULLS (a later peer's non-null can
-          // enter the frame).
+          // tie-runs never straddle; see GlobalRunningSumExec). The
+          // edge values fire under RANGE too, via GlobalFirstValue's
+          // peer-aware modes: last_value RESPECT NULLS runs in
+          // run-last-row mode (the run's last row, tie-arbitrary
+          // exactly like stock), and the IGNORE NULLS variants advance
+          // their recurrence per tie-run.
           ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
             (ae.aggregateFunction match {
               // edge values fire under both frames: ROWS runs the
