@@ -300,6 +300,45 @@ object Relational2 {
                AS first_nonen
       FROM documents ORDER BY doc_id"""
 
+  /** q80: nth_value beyond offset 1, partition-less plain SQL. With
+    * GraftExtensions the n-th (non-null) value of the ordered relation
+    * is ONE global scalar ([[org.apache.spark.sql.graftplans.GlobalFirstValue]]
+    * pass 1 collects n candidates per partition) revealed per row by a
+    * running (non-null) count — stock Spark funnels all of these
+    * through a single partition's sort. Covers ROWS RESPECT NULLS, a
+    * deep offset (500), IGNORE NULLS over a string with real NULLs,
+    * the full UNBOUNDED..UNBOUNDED frame, and the default RANGE frame
+    * at tie-run granularity (input key-dependent, so the tie-arbitrary
+    * n-th row has a deterministic value — same usability condition as
+    * stock). */
+  def q80NthValue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .selectExpr(
+        "doc_id",
+        "nth_value(n_chars, 5) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED" +
+          " PRECEDING AND CURRENT ROW) AS fifth_chars",
+        "nth_value(n_chars, 500) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED" +
+          " PRECEDING AND CURRENT ROW) AS deep_chars",
+        "nth_value(nullif(lang,'en'), 3, true) OVER (ORDER BY doc_id ROWS" +
+          " BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_nonen",
+        "nth_value(n_chars, 7) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED" +
+          " PRECEDING AND UNBOUNDED FOLLOWING) AS seventh_all",
+        "nth_value(concat(lang, '!'), 2) OVER (ORDER BY lang) AS second_lang")
+      .orderBy("doc_id")
+
+  val q80Sql: String =
+    """SELECT doc_id,
+             nth_value(n_chars, 5) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS fifth_chars,
+             nth_value(n_chars, 500) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS deep_chars,
+             nth_value(nullif(lang,'en'), 3 IGNORE NULLS) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_nonen,
+             nth_value(n_chars, 7) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+               PRECEDING AND UNBOUNDED FOLLOWING) AS seventh_all,
+             nth_value(lang || '!', 2) OVER (ORDER BY lang) AS second_lang
+      FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rollup" -> (q19Rollup _),
     "q34_set_ops" -> (q34SetOps _),
@@ -310,6 +349,7 @@ object Relational2 {
     "q77_avg_edge_windows" -> (q77AvgEdgeWindows _),
     "q78_wide_rank" -> (q78WideRank _),
     "q79_peer_windows" -> (q79PeerWindows _),
+    "q80_nth_value" -> (q80NthValue _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,5 +362,6 @@ object Relational2 {
     "q77_avg_edge_windows" -> q77Sql,
     "q78_wide_rank" -> q78Sql,
     "q79_peer_windows" -> q79Sql,
+    "q80_nth_value" -> q80Sql,
   )
 }

@@ -36,6 +36,17 @@ import org.apache.spark.sql.execution.{ExternalAppendOnlyUnsafeRowArray, SparkPl
   *    the trivial in-partition recurrence seeded from the carry
   *    (first: set-once; last: overwrite-on-non-null).
   *
+  * N-TH VALUE (`n > 1`, constant mode only): `nth_value(x, n)`'s
+  * scalar — the n-th row's value (or n-th NON-NULL value under IGNORE
+  * NULLS) of the whole ordered relation. Pass 1 collects each
+  * partition's FIRST n candidates (it stops scanning once it has n);
+  * the driver concatenates them in partition order and picks the n-th
+  * (None — a NULL output — when the relation is shorter). Running n-th
+  * frames are composed in the REWRITE: this constant plus a running
+  * (non-null) count and `IF(count >= n, scalar, NULL)`. The rewrite
+  * caps n like the offset cap, so driver state stays ≤ nParts × n
+  * single-field values.
+  *
   * PEER-AWARE running (`peerAware = true`, requires `running`): RANGE
   * UNBOUNDED..CURRENT frames include the current row's order-key
   * peers, so the recurrence advances per TIE-RUN, not per row — one
@@ -54,11 +65,15 @@ import org.apache.spark.sql.execution.{ExternalAppendOnlyUnsafeRowArray, SparkPl
   * [[GlobalOffset]] works here too. */
 case class GlobalFirstValue(outAttr: AttributeReference, order: Seq[SortOrder],
     input: Expression, fromEnd: Boolean, skipNulls: Boolean, running: Boolean,
-    child: LogicalPlan, peerAware: Boolean = false) extends UnaryNode {
+    child: LogicalPlan, peerAware: Boolean = false,
+    n: Int = 1) extends UnaryNode {
   require(!running || skipNulls || (peerAware && fromEnd),
     "running edge-value needs IGNORE NULLS (RESPECT NULLS is a constant or the row itself), " +
       "except the peer-aware run-last-row mode")
   require(!peerAware || running, "peerAware only modifies the running recurrence")
+  require(n >= 1, s"nth-value offset must be >= 1, got $n")
+  require(n == 1 || (!fromEnd && !running),
+    "n > 1 is the constant nth_value scalar: first-edge, non-running only")
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
   override def maxRows: Option[Long] = child.maxRows
@@ -70,14 +85,15 @@ object GlobalFirstValueStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case g: GlobalFirstValue =>
       GlobalFirstValueExec(g.outAttr, g.order, g.input, g.fromEnd, g.skipNulls,
-        g.running, planLater(g.child), g.peerAware) :: Nil
+        g.running, planLater(g.child), g.peerAware, g.n) :: Nil
     case _ => Nil
   }
 }
 
 case class GlobalFirstValueExec(outAttr: AttributeReference, order: Seq[SortOrder],
     input: Expression, fromEnd: Boolean, skipNulls: Boolean, running: Boolean,
-    child: SparkPlan, peerAware: Boolean = false) extends UnaryExecNode {
+    child: SparkPlan, peerAware: Boolean = false,
+    n: Int = 1) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
@@ -99,38 +115,51 @@ case class GlobalFirstValueExec(outAttr: AttributeReference, order: Seq[SortOrde
     // and a run never straddles partitions, so pass 1 and the carry
     // would be dead weight — skip the job entirely.
     val needPass1 = !running || skipNulls
-    // Pass 1: one candidate single-field value per sorted partition —
-    // the first/last row's value, or the first/last NON-NULL value.
-    // skipNulls=first scans only to the first non-null; skipNulls=last
-    // scans the partition (same cost class as a running sum's pass 1).
-    val candidates: Array[Option[UnsafeRow]] = if (!needPass1) Array.empty
+    val nth = n
+    // Pass 1: up to n candidate single-field values per sorted
+    // partition — the first n (non-null) values, or the last (non-null)
+    // value for the last-edge (n is 1 there). first-edge stops scanning
+    // once it has its n candidates; last-edge scans the partition (same
+    // cost class as a running sum's pass 1).
+    val candidates: Array[Array[UnsafeRow]] = if (!needPass1) Array.empty
       else rdd.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
         val valProj = UnsafeProjection.create(Seq(inputExpr), childAttrs)
-        var found: Option[UnsafeRow] = None
-        var scan = true
-        while (scan && it.hasNext) {
-          val v = valProj(it.next())
-          if (!skip || !v.isNullAt(0)) {
-            found = Some(v.copy())
-            // first-edge stops at the first hit; last-edge keeps scanning
-            scan = fromEnd0
+        if (fromEnd0) {
+          var found: UnsafeRow = null
+          while (it.hasNext) {
+            val v = valProj(it.next())
+            if (!skip || !v.isNullAt(0)) found = v.copy()
           }
+          if (found == null) Array.empty[UnsafeRow] else Array(found)
+        } else {
+          val buf = new scala.collection.mutable.ArrayBuffer[UnsafeRow](
+            math.min(nth, 16))
+          while (buf.length < nth && it.hasNext) {
+            val v = valProj(it.next())
+            if (!skip || !v.isNullAt(0)) buf += v.copy()
+          }
+          buf.toArray
         }
-        found
       })
     val nParts = candidates.length
-    // Driver fold: constant mode picks the globally first/last defined
+    // Driver fold: constant mode picks the globally n-th / last defined
     // candidate; running mode prefix-folds candidates into each
     // partition's incoming carry (the edge value of everything before).
     val globalConst: Option[UnsafeRow] =
-      if (fromEnd0) candidates.reverseIterator.collectFirst { case Some(v) => v }
-      else candidates.iterator.collectFirst { case Some(v) => v }
+      if (fromEnd0) candidates.reverseIterator.collectFirst {
+        case a if a.nonEmpty => a.last
+      }
+      else {
+        val it = candidates.iterator.flatten.drop(nth - 1)
+        if (it.hasNext) Some(it.next()) else None
+      }
     val carry: Array[Option[UnsafeRow]] = new Array(nParts)
     if (running) {
       var acc: Option[UnsafeRow] = None
       for (p <- 0 until nParts) {
         carry(p) = acc
-        acc = if (fromEnd0) candidates(p).orElse(acc) else acc.orElse(candidates(p))
+        acc = if (fromEnd0) candidates(p).lastOption.orElse(acc)
+          else acc.orElse(candidates(p).headOption)
       }
     }
     val isRunning = running

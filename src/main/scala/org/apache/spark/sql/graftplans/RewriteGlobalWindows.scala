@@ -105,10 +105,11 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
         case nt: NTile => nt.buckets.foldable
         // Catalyst's OptimizeWindowFunctions turns first_value under a
         // ROWS UNBOUNDED PRECEDING frame into nth_value(x, 1) before
-        // this rule runs — treat offset-1 nth_value as first_value
-        // (offset > 1 is genuinely frame-progress-dependent; leave it)
-        case nv: NthValue =>
-          nv.offset.foldable && nv.offset.eval() == 1 && nv.input.deterministic
+        // this rule runs — treat offset-1 nth_value as first_value.
+        // Offsets 2..cap fire too: the n-th (non-null) value of the
+        // relation is one global scalar, revealed per row once the
+        // frame holds n (non-null) rows — a running-count composition.
+        case nv: NthValue => nthOffset(nv).isDefined && nv.input.deterministic
         case ae: AggregateExpression =>
           // Running aggregates fire under BOTH frame kinds of an
           // UNBOUNDED PRECEDING..CURRENT ROW window: ROWS runs the
@@ -158,8 +159,7 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
     case WindowSpecDefinition(Nil, _,
         SpecifiedWindowFrame(_, UnboundedPreceding, UnboundedFollowing)) =>
       we.windowFunction match {
-        case nv: NthValue =>
-          nv.offset.foldable && nv.offset.eval() == 1 && nv.input.deterministic
+        case nv: NthValue => nthOffset(nv).isDefined && nv.input.deterministic
         case ae: AggregateExpression =>
           ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
             (ae.aggregateFunction match {
@@ -220,6 +220,15 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
       case _ => false
     }
   }
+
+  /** nth_value's offset as an in-cap positive Int, if foldable. */
+  private def nthOffset(nv: NthValue): Option[Int] =
+    if (!nv.offset.foldable) None
+    else nv.offset.eval() match {
+      case i: Integer if i >= 1 && i <= MaxOffset => Some(i.intValue)
+      case l: java.lang.Long if l >= 1L && l <= MaxOffset => Some(l.intValue)
+      case _ => None
+    }
 
   private def slideOf(we: WindowExpression): Option[Int] =
     we.windowSpec.frameSpecification match {
@@ -395,6 +404,48 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
                   if (ae.dataType == LongType) out else Cast(out, ae.dataType)
                 Alias(restoredSw, name)(exprId = a.exprId,
                   qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
+            }
+          case nv: NthValue if nthOffset(nv).exists(_ > 1) =>
+            // nth_value(x, n): the n-th (non-null) value of the whole
+            // ordered relation is ONE global scalar (pass 1 of
+            // GlobalFirstValue collects n candidates per partition); a
+            // running frame only reveals it once the frame holds n
+            // (non-null) rows — IF(count >= n, scalar, NULL) over the
+            // existing running-count operators. Full frames attach the
+            // scalar directly.
+            val nOff = nthOffset(nv).get
+            val scalar = AttributeReference(name + "__graft_nth",
+              nv.dataType, nullable = true)()
+            cur = GlobalFirstValue(scalar, order, nv.input, fromEnd = false,
+              skipNulls = nv.ignoreNulls, running = false, cur, n = nOff)
+            if (isFullFrame(we)) {
+              Alias(scalar, name)(exprId = a.exprId, qualifier = a.qualifier,
+                explicitMetadata = Some(a.metadata))
+            } else if (!nv.ignoreNulls && !isRangeRunning(we)) {
+              // ROWS RESPECT NULLS: the frame holds n rows once the
+              // row number reaches n
+              val rn = AttributeReference(name + "__graft_rn", LongType,
+                nullable = false)()
+              cur = GlobalRowNumber(rn, order, cur)
+              Alias(If(GreaterThanOrEqual(rn, Literal(nOff.toLong)), scalar,
+                Literal.create(null, nv.dataType)), name)(exprId = a.exprId,
+                qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
+            } else {
+              // IGNORE NULLS and/or RANGE: running (non-null) count,
+              // peer-aware under RANGE (the frame reaches the current
+              // run's end)
+              val ind = Alias(
+                if (nv.ignoreNulls) If(IsNull(nv.input), Literal(0L), Literal(1L))
+                else Literal(1L), name + "__graft_ni")()
+              val base = Project(cur.output :+ ind, cur)
+              val cnt = AttributeReference(name + "__graft_nc", LongType,
+                nullable = false)()
+              cur = GlobalRunningSum(ind.toAttribute, cnt, order, base,
+                checked = false, RunningLongOp.Add,
+                peerAware = isRangeRunning(we))
+              Alias(If(GreaterThanOrEqual(cnt, Literal(nOff.toLong)), scalar,
+                Literal.create(null, nv.dataType)), name)(exprId = a.exprId,
+                qualifier = a.qualifier, explicitMetadata = Some(a.metadata))
             }
           case fn if edgeOf(fn).isDefined =>
             val (inp, fromEnd, skip) = edgeOf(fn).get

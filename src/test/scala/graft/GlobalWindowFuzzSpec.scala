@@ -72,7 +72,13 @@ class GlobalWindowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the run" deterministic, mirroring how the shape is usable at all
     "last_value(w) OVER (ORDER BY g) AS glv",
     "first_value(w, true) OVER (ORDER BY g) AS gfvn",
-    "last_value(w, true) OVER (ORDER BY g) AS glvn")
+    "last_value(w, true) OVER (ORDER BY g) AS glvn",
+    // nth_value(n>1): global n-th scalar gated by a running count
+    "nth_value(v, 3) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n3",
+    "nth_value(v, 4) IGNORE NULLS OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n4i",
+    // RANGE: revealed at run granularity; w is g-dependent, so the
+    // tie-arbitrary "2nd row" has a deterministic value
+    "nth_value(w, 2) OVER (ORDER BY g) AS gn2")
 
   /** Sequential oracle: one pass over the (g, k)-sorted input. */
   private def oracle(rows: Vector[(Long, Long, Option[Long])])
@@ -146,7 +152,18 @@ class GlobalWindowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
         sorted.map(_._2).filter(x => x <= g && x % 2 == 1).headOption
           .map(_ * 10 + 1).orNull,
         sorted.map(_._2).filter(x => x <= g && x % 2 == 1).lastOption
-          .map(_ * 10 + 1).orNull
+          .map(_ * 10 + 1).orNull,
+        // n3: the 3rd ROW's value, visible once the frame holds 3 rows
+        if (i + 1 >= 3) vs(2).orNull else null,
+        // n4i: the 4th NON-NULL value, visible once 4 are in frame
+        { val nn = vs.take(i + 1).flatten
+          if (nn.length >= 4) nn(3) else null },
+        // gn2: the 2nd total-order row's w, visible once the peer
+        // prefix holds 2 rows
+        if (sorted.count(_._2 <= g) >= 2) {
+          val g2 = sorted(1)._2
+          if (g2 % 2 == 0) null else g2 * 10 + 1
+        } else null
       ) -> k
     }.map { case (vals, k) => k -> vals }.toMap
   }

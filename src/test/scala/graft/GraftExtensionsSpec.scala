@@ -511,11 +511,59 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planOf(lvRange).contains("GlobalFirstValue"), planOf(lvRange))
     val lvGot = lvRange.collect().map(r => Option(r.getString(1))).toSeq
     assert(lvGot == Seq(None, Some("b"), None, Some("d")), lvGot)
-    // nth_value beyond 1 is frame-progress-dependent — not rewritten
+    // nth_value beyond 1 rewrites too (global scalar + running-count
+    // composition); beyond the offset cap it stays with Catalyst
     val nth2 = spark.sql(
       """SELECT k, nth_value(sv, 2) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
         |PRECEDING AND CURRENT ROW) n2 FROM fv_s""".stripMargin)
-    assert(!planOf(nth2).contains("GlobalFirstValue"), planOf(nth2))
+    assert(planOf(nth2).contains("GlobalFirstValue"), planOf(nth2))
+    val nthCap = spark.sql(
+      """SELECT k, nth_value(sv, 2000) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+        |PRECEDING AND CURRENT ROW) n2 FROM fv_s""".stripMargin)
+    assert(!planOf(nthCap).contains("GlobalFirstValue"), planOf(nthCap))
+  }
+
+  test("nth_value(n>1) is the global n-th scalar gated by a running count") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Long, Option[String])](
+      (1L, None), (2L, Some("b")), (3L, None), (4L, Some("d")))
+      .toDF("k", "sv").repartition(3)
+    df.createOrReplaceTempView("nth_t")
+    def vals(q: String): Seq[Option[String]] = {
+      val d = spark.sql(q + " ORDER BY k")
+      assert(planOf(d).contains("GlobalFirstValue"), planOf(d))
+      d.collect().map(r => Option(r.getString(1))).toSeq
+    }
+    // RESPECT NULLS over ROWS: the 2nd row's value appears once the
+    // frame holds 2 rows
+    assert(vals("""SELECT k, nth_value(sv, 2) OVER (ORDER BY k ROWS BETWEEN
+        |UNBOUNDED PRECEDING AND CURRENT ROW) v FROM nth_t""".stripMargin) ==
+      Seq(None, Some("b"), Some("b"), Some("b")))
+    // a NULL-valued n-th row stays NULL even once visible
+    assert(vals("""SELECT k, nth_value(sv, 3) OVER (ORDER BY k ROWS BETWEEN
+        |UNBOUNDED PRECEDING AND CURRENT ROW) v FROM nth_t""".stripMargin) ==
+      Seq(None, None, None, None))
+    // IGNORE NULLS: counts only non-null frame rows
+    assert(vals("""SELECT k, nth_value(sv, 2) IGNORE NULLS OVER (ORDER BY k
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v
+        |FROM nth_t""".stripMargin) ==
+      Seq(None, None, None, Some("d")))
+    // full frame: the scalar everywhere
+    assert(vals("""SELECT k, nth_value(sv, 2) IGNORE NULLS OVER (ORDER BY k
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) v
+        |FROM nth_t""".stripMargin) ==
+      Seq(Some("d"), Some("d"), Some("d"), Some("d")))
+    // RANGE (default frame) with ties: peers reveal the scalar at run
+    // granularity — key-dependent input keeps ties deterministic
+    val tied = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 2L)).toDF("k", "g")
+      .selectExpr("k", "g", "g * 10 AS v").repartition(3)
+    tied.createOrReplaceTempView("nth_tied")
+    val rq = spark.sql(
+      "SELECT k, nth_value(v, 3) OVER (ORDER BY g) nv FROM nth_tied ORDER BY k")
+    assert(planOf(rq).contains("GlobalFirstValue"), planOf(rq))
+    assert(rq.collect().map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq ==
+      Seq(-1L, -1L, 20L, 20L))
   }
 
   test("whole-operator strategies plan without experimental self-registration") {
