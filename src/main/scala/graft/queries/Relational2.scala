@@ -339,6 +339,40 @@ object Relational2 {
              nth_value(lang || '!', 2) OVER (ORDER BY lang) AS second_lang
       FROM documents ORDER BY doc_id"""
 
+  /** q81: bounded ROWS frames with FOLLOWING bounds — the centered
+    * moving average (the classic smoothing window), a leading
+    * lookahead sum, a fully-shifted preceding frame (which can be
+    * EMPTY near the start: SQL NULL), and a leading count (empty at
+    * the tail: SQL 0). With GraftExtensions all four plan as
+    * [[org.apache.spark.sql.graftplans.GlobalSliding]] with a
+    * suffix hand-off of the following-side boundary values — stock
+    * Spark funnels every one through a single partition's sort. */
+  def q81BoundedFrames(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .selectExpr(
+        "doc_id",
+        "avg(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN 5 PRECEDING" +
+          " AND 5 FOLLOWING) AS smooth_chars",
+        "CAST(sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN CURRENT ROW" +
+          " AND 9 FOLLOWING) AS BIGINT) AS next10_sum",
+        "CAST(max(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN 10 PRECEDING" +
+          " AND 2 PRECEDING) AS BIGINT) AS past_max",
+        "count(*) OVER (ORDER BY doc_id ROWS BETWEEN 3 FOLLOWING" +
+          " AND 7 FOLLOWING) AS ahead_n")
+      .orderBy("doc_id")
+
+  val q81Sql: String =
+    """SELECT doc_id,
+             avg(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN 5 PRECEDING
+               AND 5 FOLLOWING) AS smooth_chars,
+             sum(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN CURRENT ROW
+               AND 9 FOLLOWING)::BIGINT AS next10_sum,
+             max(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN 10 PRECEDING
+               AND 2 PRECEDING)::BIGINT AS past_max,
+             count(*) OVER (ORDER BY doc_id ROWS BETWEEN 3 FOLLOWING
+               AND 7 FOLLOWING)::BIGINT AS ahead_n
+      FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rollup" -> (q19Rollup _),
     "q34_set_ops" -> (q34SetOps _),
@@ -350,6 +384,7 @@ object Relational2 {
     "q78_wide_rank" -> (q78WideRank _),
     "q79_peer_windows" -> (q79PeerWindows _),
     "q80_nth_value" -> (q80NthValue _),
+    "q81_bounded_frames" -> (q81BoundedFrames _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -363,5 +398,6 @@ object Relational2 {
     "q78_wide_rank" -> q78Sql,
     "q79_peer_windows" -> q79Sql,
     "q80_nth_value" -> q80Sql,
+    "q81_bounded_frames" -> q81Sql,
   )
 }

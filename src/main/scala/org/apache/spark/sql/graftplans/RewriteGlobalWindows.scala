@@ -169,13 +169,25 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
             })
         case _ => false
       }
-    // sliding ROWS frames (j PRECEDING .. CURRENT ROW): the rolling
-    // aggregate needs only the j values before each partition start —
-    // the same boundary hand-off lag uses. Aggregate checks mirror the
-    // running-frame ones.
-    case WindowSpecDefinition(Nil, _, SpecifiedWindowFrame(RowFrame, lo, CurrentRow))
-        if slidingBound(lo).isDefined =>
+    // bounded sliding ROWS frames (a .. b, any pair of in-cap row
+    // offsets): trailing (j PRECEDING..CURRENT ROW), centered
+    // (j PRECEDING..j FOLLOWING — the moving average), leading
+    // (CURRENT ROW..j FOLLOWING), even fully-shifted windows. The
+    // preceding side needs |a| values before each partition start and
+    // the following side b values after its end — both boundary
+    // hand-offs. Aggregate checks mirror the running-frame ones.
+    case WindowSpecDefinition(Nil, _, f @ SpecifiedWindowFrame(RowFrame, _, _))
+        if rowBounds(f).isDefined =>
       we.windowFunction match {
+        // lag/lead carry their own (±k, ±k) ROWS frame, so they land
+        // in this bounded-frame case — same checks as the frameless
+        // spelling below
+        case l: Lag =>
+          !l.ignoreNulls && okOffset(l.inputOffset) && l.default.foldable &&
+            l.input.deterministic
+        case l: Lead =>
+          !l.ignoreNulls && okOffset(l.offset) && l.default.foldable &&
+            l.input.deterministic
         case ae: AggregateExpression =>
           ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty &&
             (ae.aggregateFunction match {
@@ -230,9 +242,9 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def slideOf(we: WindowExpression): Option[Int] =
+  private def slideOf(we: WindowExpression): Option[(Int, Int)] =
     we.windowSpec.frameSpecification match {
-      case SpecifiedWindowFrame(RowFrame, lo, CurrentRow) => slidingBound(lo)
+      case f: SpecifiedWindowFrame => rowBounds(f)
       case _ => None
     }
 
@@ -266,15 +278,26 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** A sliding lower bound `j PRECEDING` in cap: a foldable negative
-    * int (never a SpecialFrameBoundary, which is Unevaluable). Returns
-    * the positive j. */
-  private def slidingBound(e: Expression): Option[Int] = e match {
+  /** A bounded ROWS frame boundary as a signed row offset: CURRENT ROW
+    * is 0, `j PRECEDING` −j, `j FOLLOWING` +j (never a
+    * SpecialFrameBoundary, which is Unevaluable). */
+  private def rowBound(e: Expression): Option[Int] = e match {
+    case CurrentRow => Some(0)
     case _: SpecialFrameBoundary => None
     case _ if e.foldable => e.eval() match {
-      case i: Integer if i <= -1 && i >= -MaxOffset => Some(-i)
+      case i: Integer if i >= -MaxOffset && i <= MaxOffset => Some(i.intValue)
+      case l: java.lang.Long if l >= -MaxOffset && l <= MaxOffset =>
+        Some(l.intValue)
       case _ => None
     }
+    case _ => None
+  }
+
+  /** Both bounds of a fully-bounded in-cap ROWS frame, as signed row
+    * offsets (lo ≤ hi). */
+  private def rowBounds(f: SpecifiedWindowFrame): Option[(Int, Int)] = f match {
+    case SpecifiedWindowFrame(RowFrame, l, u) =>
+      for { a <- rowBound(l); b <- rowBound(u) if a <= b } yield (a, b)
     case _ => None
   }
 
@@ -351,16 +374,37 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
             Alias(out, name)(exprId = a.exprId, qualifier = a.qualifier,
               explicitMetadata = Some(a.metadata))
           case ae: AggregateExpression if slideOf(we).isDefined =>
-            val j = slideOf(we).get
+            val (frLo, frHi) = slideOf(we).get
             ae.aggregateFunction match {
-              case _: Count =>
-                // sliding count(*) ≡ least(row_number, j+1): the frame
+              case _ if frLo == 0 && frHi == 0 =>
+                // single-row frame: the aggregate of the row itself
+                val self: Expression = ae.aggregateFunction match {
+                  case _: Count => Literal(1L)
+                  case av: Average => Cast(av.child, DoubleType)
+                  case s: Sum => Cast(s.child, LongType)
+                  case m: Min => m.child
+                  case m: Max => m.child
+                }
+                Alias(self, name)(exprId = a.exprId, qualifier = a.qualifier,
+                  explicitMetadata = Some(a.metadata))
+              case _: Count if frLo < 0 && frHi == 0 =>
+                // trailing count(*) ≡ least(row_number, j+1): the frame
                 // holds j+1 rows once the numbering clears the start
                 val rank = AttributeReference(name + "__graft_rn", LongType,
                   nullable = false)()
                 cur = GlobalRowNumber(rank, order, cur)
-                Alias(Least(Seq(rank, Literal((j + 1).toLong))), name)(
+                Alias(Least(Seq(rank, Literal((-frLo + 1).toLong))), name)(
                   exprId = a.exprId, qualifier = a.qualifier,
+                  explicitMetadata = Some(a.metadata))
+              case _: Count =>
+                // general bounded count(*): slide an all-ones indicator
+                // with SQL's empty-frame count, 0 (frames reaching past
+                // the partition end clip against the hand-off)
+                val out = AttributeReference(name + "__graft_scn", LongType,
+                  nullable = false)()
+                cur = GlobalSliding(out, order, Literal(1L), frLo, frHi,
+                  RunningLongOp.Add, cur, checked = false, emptyAsZero = true)
+                Alias(out, name)(exprId = a.exprId, qualifier = a.qualifier,
                   explicitMetadata = Some(a.metadata))
               case av: Average =>
                 // sliding avg = sliding exact long sum ÷ sliding count
@@ -380,9 +424,10 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
                   nullable = true)()
                 val cntOut = AttributeReference(name + "__graft_scnt", LongType,
                   nullable = true)()
-                cur = GlobalSliding(cntOut, order, iExpr, j, RunningLongOp.Add,
-                  GlobalSliding(sumOut, order, vExpr, j, RunningLongOp.Add, cur,
-                    checked = true),
+                cur = GlobalSliding(cntOut, order, iExpr, frLo, frHi,
+                  RunningLongOp.Add,
+                  GlobalSliding(sumOut, order, vExpr, frLo, frHi,
+                    RunningLongOp.Add, cur, checked = true),
                   checked = false)
                 Alias(Divide(Cast(sumOut, DoubleType), Cast(cntOut, DoubleType),
                   EvalMode.LEGACY), name)(exprId = a.exprId,
@@ -398,7 +443,7 @@ object RewriteGlobalWindows extends Rule[LogicalPlan] {
                   else Cast(aggChild, LongType)
                 val out = AttributeReference(name + "__graft_sw", LongType,
                   nullable = true)()
-                cur = GlobalSliding(out, order, valueExpr, j, op, cur,
+                cur = GlobalSliding(out, order, valueExpr, frLo, frHi, op, cur,
                   checked = conf.ansiEnabled && op == RunningLongOp.Add)
                 val restoredSw: Expression =
                   if (ae.dataType == LongType) out else Cast(out, ae.dataType)

@@ -73,6 +73,11 @@ class GlobalWindowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     "last_value(w) OVER (ORDER BY g) AS glv",
     "first_value(w, true) OVER (ORDER BY g) AS gfvn",
     "last_value(w, true) OVER (ORDER BY g) AS glvn",
+    // bounded ROWS frames with FOLLOWING / fully-shifted bounds
+    "sum(v) OVER (ORDER BY g, k ROWS BETWEEN 2 PRECEDING AND 3 FOLLOWING) AS csum",
+    "avg(v) OVER (ORDER BY g, k ROWS BETWEEN 2 PRECEDING AND 3 FOLLOWING) AS cavg",
+    "count(*) OVER (ORDER BY g, k ROWS BETWEEN 2 FOLLOWING AND 4 FOLLOWING) AS fcnt",
+    "max(v) OVER (ORDER BY g, k ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING) AS pmax",
     // nth_value(n>1): global n-th scalar gated by a running count
     "nth_value(v, 3) OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n3",
     "nth_value(v, 4) IGNORE NULLS OVER (ORDER BY g, k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n4i",
@@ -153,6 +158,15 @@ class GlobalWindowFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
           .map(_ * 10 + 1).orNull,
         sorted.map(_._2).filter(x => x <= g && x % 2 == 1).lastOption
           .map(_ * 10 + 1).orNull,
+        // csum/cavg over [i-2, i+3] clipped; fcnt over [i+2, i+4];
+        // pmax over [i-5, i-2] (possibly EMPTY frames)
+        { val w = vs.slice(math.max(0, i - 2), math.min(n, i + 4)).flatten
+          if (w.isEmpty) null else w.sum },
+        { val w = vs.slice(math.max(0, i - 2), math.min(n, i + 4)).flatten
+          if (w.isEmpty) null else w.sum.toDouble / w.length },
+        math.max(0, math.min(n - 1, i + 4) - (i + 2) + 1).toLong,
+        { val w = vs.slice(math.max(0, i - 5), math.max(0, i - 1)).flatten
+          if (w.isEmpty) null else w.max },
         // n3: the 3rd ROW's value, visible once the frame holds 3 rows
         if (i + 1 >= 3) vs(2).orNull else null,
         // n4i: the 4th NON-NULL value, visible once 4 are in frame

@@ -241,6 +241,57 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!planOf(big).contains("GlobalSliding"), planOf(big))
   }
 
+  test("bounded ROWS frames with FOLLOWING rewrite via the suffix hand-off") {
+    val df = spark.range(0, 3000, 1, 8)
+      .selectExpr("id AS k",
+        "CASE WHEN id % 11 = 0 THEN NULL ELSE CAST(id * 37 % 101 AS INT) END AS v")
+    df.createOrReplaceTempView("swf_t")
+    val n = 3000L
+    def vOf(id: Long): Option[Int] =
+      if (id % 11 == 0) None else Some((id * 37 % 101).toInt)
+    // centered moving window, a leading count, and a fully-shifted
+    // (possibly EMPTY) preceding frame
+    val q = spark.sql(
+      """SELECT k,
+        |sum(v)   OVER c AS csum,
+        |avg(v)   OVER c AS cavg,
+        |count(*) OVER (ORDER BY k ROWS BETWEEN 2 FOLLOWING AND 5 FOLLOWING) AS fn,
+        |max(v)   OVER (ORDER BY k ROWS BETWEEN 6 PRECEDING AND 2 PRECEDING) AS pmax
+        |FROM swf_t
+        |WINDOW c AS (ORDER BY k ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |""".stripMargin)
+    val p = planOf(q)
+    assert(p.contains("GlobalSliding"), s"following-frame rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"single-partition Window survived:\n$p")
+    q.collect().foreach { r =>
+      val k = r.getLong(0)
+      val c = (math.max(0L, k - 3) to math.min(n - 1, k + 3)).flatMap(vOf)
+      if (c.isEmpty) assert(r.isNullAt(1) && r.isNullAt(2))
+      else {
+        assert(r.getLong(1) == c.map(_.toLong).sum, s"csum at k=$k")
+        assert(math.abs(r.getDouble(2) - c.map(_.toLong).sum.toDouble / c.length)
+          < 1e-12, s"cavg at k=$k")
+      }
+      // SQL empty-frame count is 0 at the relation's tail
+      assert(r.getLong(3) ==
+        math.max(0L, math.min(n - 1, k + 5) - (k + 2) + 1), s"fn at k=$k")
+      val pm = (math.max(0L, k - 6) to (k - 2)).flatMap(vOf)
+      if (pm.isEmpty) assert(r.isNullAt(4), s"pmax at k=$k")
+      else assert(r.getInt(4) == pm.max, s"pmax at k=$k")
+    }
+    // single-row frame is the row itself — no operator needed
+    val selfQ = spark.sql(
+      """SELECT k, sum(v) OVER (ORDER BY k ROWS BETWEEN CURRENT ROW AND
+        |CURRENT ROW) s FROM swf_t""".stripMargin)
+    val sp = planOf(selfQ)
+    assert(!sp.contains("Window ") && !sp.contains("GlobalSliding"), sp)
+    // out-of-cap FOLLOWING stays with Catalyst
+    val bigF = spark.sql(
+      """SELECT k, sum(v) OVER (ORDER BY k ROWS BETWEEN CURRENT ROW AND
+        |5000 FOLLOWING) s FROM swf_t""".stripMargin)
+    assert(!planOf(bigF).contains("GlobalSliding"), planOf(bigF))
+  }
+
   test("lag/lead rewrite with exact boundary hand-off") {
     val df = spark.range(0, 2000, 1, 8)
       .selectExpr("id AS k", "CAST(id * 37 % 101 AS INT) AS v")
