@@ -12,6 +12,7 @@ object SparkEntry {
       graft.queries.Dedup.queries ++ graft.queries.Similarity.queries ++
       graft.queries.TextAnalysis.queries ++ graft.queries.Multimodal.queries ++
       graft.queries.Streaming.queries ++ graft.queries.AsofJoin.queries ++
+      graft.queries.Joins.queries ++
       graft.queries.Sampling.queries ++ graft.queries.Corpus.queries ++
       graft.queries.Graph.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -22,6 +23,7 @@ object SparkEntry {
       graft.queries.Dedup.oracles ++ graft.queries.Similarity.oracles ++
       graft.queries.TextAnalysis.oracles ++ graft.queries.Multimodal.oracles ++
       graft.queries.Streaming.oracles ++ graft.queries.AsofJoin.oracles ++
+      graft.queries.Joins.oracles ++
       graft.queries.Sampling.oracles ++ graft.queries.Corpus.oracles ++
       graft.queries.Graph.oracles
 }

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.RangeJoin
+import graft.util.Tables._
+
+/** Range/interval joins — beyond-reference join shapes a pipeline needs
+  * that Spark has no first-class operator for (the reference's host
+  * engine ships IEJoin for them; SURVEY.md §2.B policy). The scalable
+  * Spark re-expression lives in [[graft.functions.RangeJoin]]; these
+  * queries oracle-gate it against DuckDB's native inequality join. */
+object Joins {
+
+  private val TenMinUs = 600L * 1000 * 1000
+
+  /** q82: unkeyed point-in-interval join — purchases attributed to ANY
+    * signup whose 10-minute window contains them (no user key on
+    * purpose: with no equi-column this is exactly the shape stock
+    * Spark plans as a BroadcastNestedLoopJoin / CartesianProduct,
+    * O(|signups|·|purchases|)). [[RangeJoin.pointInInterval]] buckets
+    * the time axis at the interval width, so the plan is an ordinary
+    * equi-join on the bucket id with replication factor ~2 — linear in
+    * the data, AQE-broadcastable, skew-splittable. Aggregated per
+    * signup so the output is small and hash-stable. */
+  def q82RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val raw = events(spark, dir)
+    val ev = raw.select(col("event_id"), tsMicros(raw).as("ts_us"),
+      col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts_us").as("p_ts"),
+        col("value").as("p_value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts_us").as("s_lo"),
+        (col("ts_us") + TenMinUs).as("s_hi"))
+    RangeJoin.pointInInterval(
+      purchases, "p_ts", signups, "s_lo", "s_hi", bucketWidth = TenMinUs)
+      .groupBy("signup_id")
+      .agg(count(lit(1)).as("n_purch"), dbl(sum(d6w(col("p_value")))).as("sum_value"))
+      .orderBy("signup_id")
+  }
+
+  val q82Sql: String = {
+    import graft.util.Tables.{sql => S}
+    s"""SELECT s.event_id AS signup_id, count(*) AS n_purch,
+         ${S.sumD6w("p.value", "sum_value")}
+       FROM events s JOIN events p
+         ON epoch_us(p.ts) >= epoch_us(s.ts)
+        AND epoch_us(p.ts) <= epoch_us(s.ts) + $TenMinUs
+       WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+       GROUP BY 1 ORDER BY 1"""
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_range_join" -> (q82RangeJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q82_range_join" -> q82Sql)
+}

@@ -10,6 +10,8 @@ import graft.util.Tables._
   * not re-implement). */
 object Relational2 {
 
+  private val TwoDaysUs = 2L * 24 * 3600 * 1000 * 1000
+
   /** q19: ROLLUP over orders — (status, priority), (status), (): three
     * aggregation levels in one pass (partial aggregation + single
     * shuffle; Spark expands grouping sets map-side). */
@@ -373,6 +375,43 @@ object Relational2 {
                AND 7 FOLLOWING)::BIGINT AS ahead_n
       FROM documents ORDER BY doc_id"""
 
+  /** q83: interval-concurrency sweep line — how many orders are
+    * "active" (within 2 days of placement) at each boundary instant.
+    * The classic overlap-counting rewrite a pipeline needs for
+    * sessions/capacity analysis: each interval explodes into a +1
+    * delta at its start and a -1 at its end, deltas aggregate per
+    * instant, and a GLOBAL running sum over instants is the
+    * concurrency curve. The running sum is a partition-less ORDER BY
+    * window — the single-partition anti-shape in stock Spark — which
+    * GraftExtensions re-plans as the distributed two-pass
+    * [[org.apache.spark.sql.graftplans.GlobalRunningSum]]: the
+    * sweep-line itself is distributed, not just its preprocessing. */
+  def q83IntervalConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val lo = tsMicros(o, "o_orderdate") // NTZ-or-LTZ adaptive, like events.ts
+    val starts = o.select(lo.as("ts_us"), lit(1L).as("delta"))
+    val ends = o.select((lo + TwoDaysUs).as("ts_us"), lit(-1L).as("delta"))
+    starts.unionByName(ends)
+      .groupBy("ts_us").agg(sum("delta").as("d"))
+      .selectExpr("ts_us", "d",
+        "sum(d) OVER (ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING" +
+          " AND CURRENT ROW) AS concurrent")
+      .orderBy("ts_us")
+  }
+
+  val q83Sql: String =
+    s"""WITH deltas AS (
+        SELECT epoch_us(o_orderdate) AS ts_us, 1::BIGINT AS delta FROM orders
+        UNION ALL
+        SELECT epoch_us(o_orderdate) + $TwoDaysUs, -1::BIGINT FROM orders
+      ), agg AS (
+        SELECT ts_us, CAST(sum(delta) AS BIGINT) AS d FROM deltas GROUP BY ts_us
+      )
+      SELECT ts_us, d,
+             CAST(sum(d) OVER (ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS concurrent
+      FROM agg ORDER BY ts_us"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rollup" -> (q19Rollup _),
     "q34_set_ops" -> (q34SetOps _),
@@ -385,6 +424,7 @@ object Relational2 {
     "q79_peer_windows" -> (q79PeerWindows _),
     "q80_nth_value" -> (q80NthValue _),
     "q81_bounded_frames" -> (q81BoundedFrames _),
+    "q83_interval_concurrency" -> (q83IntervalConcurrency _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -399,5 +439,6 @@ object Relational2 {
     "q79_peer_windows" -> q79Sql,
     "q80_nth_value" -> q80Sql,
     "q81_bounded_frames" -> q81Sql,
+    "q83_interval_concurrency" -> q83Sql,
   )
 }

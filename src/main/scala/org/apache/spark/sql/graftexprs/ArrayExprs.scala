@@ -127,4 +127,21 @@ object GraftFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Exact floor division of a LONG column by a positive constant.
+    * `x DIV w` truncates toward zero (mis-buckets negatives) and a
+    * double `floor(x/w)` loses exactness near 2^53; subtracting `pmod`
+    * (non-negative) first lands on the largest multiple of `w` at or
+    * below `x`, making the integral divide remainder-free and so exact
+    * regardless of truncation direction. Needs `IntegralDivide`, which
+    * is sql-private — hence it lives here, not in graft.functions. */
+  def floorDiv(x: Column, w: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, EvalMode}
+    val exact = x - org.apache.spark.sql.functions.pmod(
+      x, org.apache.spark.sql.functions.lit(w))
+    ExpressionUtils.column(IntegralDivide(
+      ExpressionUtils.expression(exact),
+      ExpressionUtils.expression(org.apache.spark.sql.functions.lit(w)),
+      EvalMode.LEGACY))
+  }
 }
