@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.RangeFrames
 import graft.util.Tables._
 
 /** Additional host-engine surface: multi-level aggregation and set
@@ -412,6 +413,38 @@ object Relational2 {
                AND CURRENT ROW) AS BIGINT) AS concurrent
       FROM agg ORDER BY ts_us"""
 
+  /** q84: RANGE value-offset frames — `count(*)/sum(x) OVER (ORDER BY k
+    * RANGE BETWEEN 100 PRECEDING AND 50 FOLLOWING)` plus a fully-shifted
+    * band whose frame is often EMPTY (count 0 / sum NULL — the edge
+    * semantics). This is the one window family the optimizer rule
+    * leaves to stock Spark's single-partition sort; here it runs
+    * through [[graft.functions.RangeFrames]] — per-distinct-key
+    * aggregation, distributed prefix sums, and as-of probe scans, all
+    * partition-less windows the rule DOES distribute — so the value
+    * frame itself scales. n_chars has ties, gating peer-identity. */
+  def q84RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val banded = RangeFrames.sumCountOverRange(
+      d, "n_chars", "n_chars", 100L, 50L, "band_cnt", "band_sum")
+    RangeFrames.sumCountOverRange(
+        banded, "n_chars", "n_chars", 200L, -150L, "low_cnt", "low_sum")
+      .selectExpr("doc_id", "n_chars", "band_cnt",
+        "CAST(band_sum AS BIGINT) AS band_sum", "low_cnt",
+        "CAST(low_sum AS BIGINT) AS low_sum")
+      .orderBy("doc_id")
+  }
+
+  val q84Sql: String =
+    """SELECT doc_id, n_chars,
+             count(*) OVER w::BIGINT AS band_cnt,
+             (sum(n_chars) OVER w)::BIGINT AS band_sum,
+             count(*) OVER lw::BIGINT AS low_cnt,
+             (sum(n_chars) OVER lw)::BIGINT AS low_sum
+      FROM documents
+      WINDOW w AS (ORDER BY n_chars RANGE BETWEEN 100 PRECEDING AND 50 FOLLOWING),
+             lw AS (ORDER BY n_chars RANGE BETWEEN 200 PRECEDING AND 150 PRECEDING)
+      ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rollup" -> (q19Rollup _),
     "q34_set_ops" -> (q34SetOps _),
@@ -425,6 +458,7 @@ object Relational2 {
     "q80_nth_value" -> (q80NthValue _),
     "q81_bounded_frames" -> (q81BoundedFrames _),
     "q83_interval_concurrency" -> (q83IntervalConcurrency _),
+    "q84_range_frame" -> (q84RangeFrame _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -440,5 +474,6 @@ object Relational2 {
     "q80_nth_value" -> q80Sql,
     "q81_bounded_frames" -> q81Sql,
     "q83_interval_concurrency" -> q83Sql,
+    "q84_range_frame" -> q84Sql,
   )
 }
