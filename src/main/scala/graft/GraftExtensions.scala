@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graftexprs.{ArrayDotProduct, SortedIntersectCount}
-import org.apache.spark.sql.graftplans.{GlobalFirstValueStrategy, GlobalOffsetStrategy, GlobalRankStrategy, GlobalRowNumberStrategy, GlobalRunningSumStrategy, GlobalSlidingStrategy, RewriteGlobalWindows}
+import org.apache.spark.sql.graftplans.{GlobalFirstValueStrategy, GlobalOffsetStrategy, GlobalRankStrategy, GlobalRowNumberStrategy, GlobalRunningSumStrategy, GlobalSlidingStrategy, RewriteGlobalWindows, RewriteRangeJoins}
 
 /** Library-grade session wiring:
   *
@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // instead of a single-partition Window (see RewriteGlobalWindows
     // for the deliberate non-firing cases)
     ext.injectOptimizerRule(_ => RewriteGlobalWindows)
+    // inequality-only inner joins (point-in-interval / band) get a
+    // bucketed equi-join instead of BroadcastNestedLoop/Cartesian —
+    // see RewriteRangeJoins for the width subquery and firing rules
+    ext.injectOptimizerRule(_ => RewriteRangeJoins)
     ext.injectFunction((
       new FunctionIdentifier("graft_array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_array_dot"),

@@ -52,9 +52,34 @@ object Joins {
        GROUP BY 1 ORDER BY 1"""
   }
 
+  /** q85: the SAME semantics as q82 spelled the way a SQL user would —
+    * a plain inequality join, no operator call. With GraftExtensions
+    * the [[org.apache.spark.sql.graftplans.RewriteRangeJoins]] rule
+    * manufactures the bucketed equi-join (width measured by its
+    * max-interval subquery); stock Spark would run a nested loop over
+    * every (signup, purchase) pair. Same oracle as q82 — the rewrite
+    * must be output-exact, not just shape-correct. */
+  def q85AutoRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val raw = events(spark, dir)
+    val ev = raw.select(col("event_id"), tsMicros(raw).as("ts_us"),
+      col("event_type"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts_us").as("p_ts"),
+        col("value").as("p_value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts_us").as("s_ts"))
+    purchases.join(signups,
+        col("p_ts") >= col("s_ts") && col("p_ts") <= col("s_ts") + TenMinUs)
+      .groupBy("signup_id")
+      .agg(count(lit(1)).as("n_purch"), dbl(sum(d6w(col("p_value")))).as("sum_value"))
+      .orderBy("signup_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q82_range_join" -> (q82RangeJoin _))
+    "q82_range_join" -> (q82RangeJoin _),
+    "q85_auto_range_join" -> (q85AutoRangeJoin _))
 
   val oracles: Map[String, String] = Map(
-    "q82_range_join" -> q82Sql)
+    "q82_range_join" -> q82Sql,
+    "q85_auto_range_join" -> q82Sql)
 }

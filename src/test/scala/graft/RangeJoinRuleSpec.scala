@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The auto range-join rewrite: fires on inequality-only inner joins
+  * (bucketed equi-join, exact results), stays out of the way of
+  * everything else. Oracle inside each case is the same join computed
+  * with the rule disabled (stock nested-loop semantics). */
+class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def withRule[T](on: Boolean)(f: => T): T = {
+    spark.conf.set("spark.graft.rangeJoin.enabled", on.toString)
+    try f finally spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+  }
+
+  private def data(seed: Long, n: Int): (DataFrame, DataFrame) = {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(seed)
+    val pts = (0 until n).map(i => (i.toLong, rnd.between(-500L, 500L)))
+      .toDF("pid", "p")
+    val ivs = (0 until n / 2).map { i =>
+      val lo = rnd.between(-500L, 500L)
+      (i + 10000L, lo, lo + rnd.between(-5L, 120L)) // some invalid (lo > hi)
+    }.toDF("iid", "lo", "hi")
+    (pts, ivs)
+  }
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("fires on a range-only join: equi-join plan, exact pairs, no dups") {
+    val (pts, ivs) = data(1L, 400)
+    val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("__graft_rj"), s"rule did not fire:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val got = joined.select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "bucketing duplicated pairs")
+    val want = withRule(on = false)(pairs(
+      pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))))
+    assert(got.toSet == want)
+  }
+
+  test("strict bounds and swapped operand order fire and stay exact") {
+    val (pts, ivs) = data(2L, 300)
+    val joined = pts.join(ivs, col("lo") < col("p") && col("hi") > col("p"))
+    assert(joined.queryExecution.executedPlan.toString.contains("__graft_rj"))
+    val want = withRule(on = false)(pairs(
+      pts.join(ivs, col("lo") < col("p") && col("hi") > col("p"))))
+    assert(pairs(joined) == want)
+  }
+
+  test("does not fire when an equi-conjunct exists (hash join already possible)") {
+    val sp = spark
+    import sp.implicits._
+    val l = Seq((1L, 5L, "k")).toDF("pid", "p", "lk")
+    val r = Seq((9L, 0L, 9L, "k")).toDF("iid", "lo", "hi", "rk")
+    val joined = l.join(r, col("lk") === col("rk") &&
+      col("p") >= col("lo") && col("p") <= col("hi"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(!p.contains("__graft_rj"), s"rule fired over an equi-join:\n$p")
+    assert(joined.count() == 1)
+  }
+
+  test("does not fire on non-integral axes or on outer joins") {
+    val sp = spark
+    import sp.implicits._
+    val l = Seq((1L, 5.0)).toDF("pid", "p")
+    val r = Seq((9L, 0.0, 9.0)).toDF("iid", "lo", "hi")
+    val dbl = l.join(r, col("p") >= col("lo") && col("p") <= col("hi"))
+    assert(!dbl.queryExecution.executedPlan.toString.contains("__graft_rj"))
+    val (pts, ivs) = data(3L, 50)
+    val outer = pts.join(ivs,
+      col("p") >= col("lo") && col("p") <= col("hi"), "left")
+    assert(!outer.queryExecution.executedPlan.toString.contains("__graft_rj"))
+  }
+
+  test("kill-switch conf restores stock planning") {
+    val (pts, ivs) = data(4L, 50)
+    withRule(on = false) {
+      val p = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("__graft_rj"))
+    }
+  }
+
+  test("pinned bucket width is honored and stays exact") {
+    val (pts, ivs) = data(5L, 200)
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "7")
+    try {
+      val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_rj") && !p.contains("__graft_rj_maxlen"),
+        s"width subquery planned despite the pinned width:\n$p")
+      val want = withRule(on = false)(pairs(
+        pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))))
+      assert(pairs(joined) == want)
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
+  test("timestamp axes (LTZ and NTZ) fire and stay exact") {
+    val (ptsL, ivsL) = data(6L, 300)
+    for (cast <- Seq("timestamp_micros(%s)", "CAST(timestamp_micros(%s) AS TIMESTAMP_NTZ)")) {
+      val pts = ptsL.selectExpr("pid", s"${cast.format("p")} AS p")
+      val ivs = ivsL.selectExpr("iid", s"${cast.format("lo")} AS lo",
+        s"${cast.format("hi")} AS hi")
+      val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_rj"), s"rule did not fire on $cast:\n$p")
+      val want = withRule(on = false)(pairs(
+        pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))))
+      assert(pairs(joined) == want, s"mismatch on $cast")
+    }
+  }
+
+  test("null points/bounds, one outlier interval, empty interval side") {
+    val sp = spark
+    import sp.implicits._
+    val pts = Seq((1L, Some(5L)), (2L, None), (3L, Some(450L)))
+      .toDF("pid", "p")
+    val ivs = Seq((10L, Some(0L), Some(9L)), (11L, None, Some(9L)),
+      (12L, Some(-1000L), Some(1000L))) // outlier widens every bucket
+      .toDF("iid", "lo", "hi")
+    val joined = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+    assert(joined.queryExecution.executedPlan.toString.contains("__graft_rj"))
+    assert(pairs(joined) == Set((1L, 10L), (1L, 12L), (3L, 12L)))
+    val empty = ivs.filter(col("iid") < 0L)
+    val none = pts.join(empty, col("p") >= col("lo") && col("p") <= col("hi"))
+    assert(none.count() == 0) // width subquery over 0 rows must not crash
+  }
+}
