@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graftexprs.{ArrayDotProduct, SortedIntersectCount}
-import org.apache.spark.sql.graftplans.{GlobalFirstValueStrategy, GlobalOffsetStrategy, GlobalRankStrategy, GlobalRowNumberStrategy, GlobalRunningSumStrategy, GlobalSlidingStrategy, RewriteGlobalWindows, RewriteRangeJoins}
+import org.apache.spark.sql.graftplans.{GlobalFirstValueStrategy, GlobalOffsetStrategy, GlobalRankStrategy, GlobalRowNumberStrategy, GlobalRunningSumStrategy, GlobalSlidingStrategy, RewriteGlobalWindows, RewriteRangeFrames, RewriteRangeJoins}
 
 /** Library-grade session wiring:
   *
@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bucketed equi-join instead of BroadcastNestedLoop/Cartesian —
     // see RewriteRangeJoins for the width subquery and firing rules
     ext.injectOptimizerRule(_ => RewriteRangeJoins)
+    // partition-less RANGE value-offset frames lower to the prefix-
+    // difference composition, whose internal windows the window rule
+    // distributes in the same fixed-point batch
+    ext.injectOptimizerRule(_ => RewriteRangeFrames)
     ext.injectFunction((
       new FunctionIdentifier("graft_array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_array_dot"),

@@ -445,6 +445,37 @@ object Relational2 {
              lw AS (ORDER BY n_chars RANGE BETWEEN 200 PRECEDING AND 150 PRECEDING)
       ORDER BY doc_id"""
 
+  /** q86: the q84 capability spelled as PLAIN SQL — a value-offset
+    * RANGE window over count(*)/count/sum/avg, no operator call. With
+    * GraftExtensions the
+    * [[org.apache.spark.sql.graftplans.RewriteRangeFrames]] rule
+    * lowers the node to the prefix-difference composition whose
+    * internal windows the sibling rule distributes; stock Spark would
+    * funnel every row through one partition's sort. nullif makes lang
+    * NULL for 'en' docs, exercising the non-null-count channel. */
+  def q86SqlRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents").createOrReplaceTempView("graft_q86_docs")
+    spark.sql(
+      """SELECT doc_id, n_chars,
+           count(*) OVER w AS band_n,
+           count(nullif(lang, 'en')) OVER w AS band_nonen,
+           sum(n_chars) OVER w AS band_chars,
+           avg(n_chars) OVER w AS band_avg
+         FROM graft_q86_docs
+         WINDOW w AS (ORDER BY n_chars RANGE BETWEEN 80 PRECEDING AND 40 FOLLOWING)
+         ORDER BY doc_id""")
+  }
+
+  val q86Sql: String =
+    """SELECT doc_id, n_chars,
+             count(*) OVER w::BIGINT AS band_n,
+             count(nullif(lang, 'en')) OVER w::BIGINT AS band_nonen,
+             (sum(n_chars) OVER w)::BIGINT AS band_chars,
+             avg(n_chars) OVER w AS band_avg
+      FROM documents
+      WINDOW w AS (ORDER BY n_chars RANGE BETWEEN 80 PRECEDING AND 40 FOLLOWING)
+      ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rollup" -> (q19Rollup _),
     "q34_set_ops" -> (q34SetOps _),
@@ -459,6 +490,7 @@ object Relational2 {
     "q81_bounded_frames" -> (q81BoundedFrames _),
     "q83_interval_concurrency" -> (q83IntervalConcurrency _),
     "q84_range_frame" -> (q84RangeFrame _),
+    "q86_sql_range_frame" -> (q86SqlRangeFrame _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -475,5 +507,6 @@ object Relational2 {
     "q81_bounded_frames" -> q81Sql,
     "q83_interval_concurrency" -> q83Sql,
     "q84_range_frame" -> q84Sql,
+    "q86_sql_range_frame" -> q86Sql,
   )
 }

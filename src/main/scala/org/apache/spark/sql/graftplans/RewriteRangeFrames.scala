@@ -1,0 +1,329 @@
+// Same package placement rationale as the sibling rules.
+package org.apache.spark.sql.graftplans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: partition-less RANGE VALUE-OFFSET frames —
+  * `sum(v)/count/avg(v) OVER (ORDER BY k RANGE BETWEEN lo PRECEDING
+  * AND hi FOLLOWING)` — were the last window family left to stock
+  * Spark's single-partition sort ([[RewriteGlobalWindows]]'s
+  * row-at-a-time operators cannot scan by value distance). This rule
+  * lowers them into the [[graft.functions.RangeFrames]] composition at
+  * the plan level, built ENTIRELY from shapes the sibling rule already
+  * distributes, so plain SQL gets the scale plan transparently:
+  *
+  *  1. RANGE frames are peer-identical → the answer is a function of
+  *     the DISTINCT key: aggregate per key (`cnt`, and per aggregated
+  *     value `non-null count` + `sum`), then equi-join back.
+  *  2. band aggregates are PREFIX DIFFERENCES `F(≤ k+hi) − F(< k+lo)`
+  *     → running sums over the distinct-key table: partition-less ROWS
+  *     windows the sibling rule re-plans as [[GlobalRunningSum]] in the
+  *     same fixed-point batch.
+  *  3. the two prefix probes per key resolve by the as-of union trick
+  *     (probe rows interleaved at `k+hi` / `k+lo`, `last_value IGNORE
+  *     NULLS` running — again partition-less, distributed as
+  *     [[GlobalFirstValue]]).
+  *
+  * NULL order keys keep exact SQL semantics: SQL gives the null peer
+  * group a frame of exactly its own peers, so the null key's band IS
+  * its per-key aggregate row — routed around the prefix pipeline and
+  * unioned back, with a null-safe equi-join restoring multiplicity.
+  * Empty frames (shifted bounds / no keys in band) give count 0 and
+  * sum NULL via the separate non-null-count channel, exactly as stock.
+  *
+  * Firing conditions (spec-locked): no PARTITION BY; a single
+  * ASCENDING order key of integral type (descending flips the offset
+  * semantics — not modeled; timestamp keys take INTERVAL offsets —
+  * not modeled); every window expression in the node an aggregate of
+  * `sum` (LongType result over an integral child), `count(*)`,
+  * `count(v)`, or `avg` (integral child) over ONE shared RANGE frame
+  * whose bounds are foldable value offsets, CURRENT ROW, or UNBOUNDED
+  * (mixed-frame nodes stay with stock — they were stock before this
+  * rule too); batch child. Divergences, documented: prefix sums can
+  * overflow Long where stock's per-band sums would not (the sibling
+  * rule's checked-arithmetic stance: abort loudly, never wrap
+  * silently), and `avg` is the exact long sum ÷ count, equal to
+  * stock's double accumulation while prefix sums stay within 2^53.
+  *
+  * `spark.graft.rangeFrames.enabled=false` turns the rule off. */
+object RewriteRangeFrames extends Rule[LogicalPlan] {
+
+  val EnabledConf = "spark.graft.rangeFrames.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledConf, "true").toBoolean) plan
+    else plan.transformUp {
+      case w: Window if fires(w) => build(w)
+    }
+
+  private def integral(dt: DataType): Boolean =
+    dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
+
+  /** A RANGE boundary as Some(signed offset) or None for UNBOUNDED. */
+  private def bound(e: Expression): Option[Option[Long]] = e match {
+    case CurrentRow => Some(Some(0L))
+    case UnboundedPreceding | UnboundedFollowing => Some(None)
+    case _: SpecialFrameBoundary => None
+    case _ if e.foldable && integral(e.dataType) => e.eval() match {
+      case n: java.lang.Number => Some(Some(n.longValue))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def frameOf(we: WindowExpression): Option[(Option[Long], Option[Long])] =
+    we.windowSpec.frameSpecification match {
+      case SpecifiedWindowFrame(RangeFrame, lo, hi) =>
+        for { l <- bound(lo); h <- bound(hi) } yield (l, h)
+      case _ => None
+    }
+
+  /** The aggregate's value child, or None for count(*). */
+  private def aggInput(ae: AggregateExpression): Option[Option[Expression]] = {
+    if (ae.mode != Complete || ae.isDistinct || ae.filter.nonEmpty) return None
+    ae.aggregateFunction match {
+      case s: Sum if s.dataType == LongType && integral(s.child.dataType) &&
+        s.evalContext.evalMode != EvalMode.TRY && s.child.deterministic =>
+        Some(Some(s.child))
+      case av: Average if integral(av.child.dataType) &&
+        av.dataType == DoubleType && av.evalMode != EvalMode.TRY &&
+        av.child.deterministic =>
+        Some(Some(av.child))
+      case c: Count if c.children.forall(e => e.foldable && !e.nullable) =>
+        Some(None)
+      case c: Count if c.children.length == 1 && c.children.head.deterministic =>
+        Some(Some(c.children.head))
+      case _ => None
+    }
+  }
+
+  private def fires(w: Window): Boolean = {
+    if (w.partitionSpec.nonEmpty || w.orderSpec.length != 1 ||
+      w.child.isStreaming || w.windowExpressions.isEmpty) return false
+    val so = w.orderSpec.head
+    // Ascending NULLS FIRST only: descending flips the offset
+    // semantics, and the null-group augmentation below assumes the
+    // null peer group leads the ordering
+    if (so.direction != Ascending || so.nullOrdering != NullsFirst ||
+      !so.child.deterministic || !integral(so.child.dataType)) return false
+    val frames = w.windowExpressions.map {
+      case Alias(we: WindowExpression, _) =>
+        we.windowFunction match {
+          case ae: AggregateExpression if aggInput(ae).isDefined => frameOf(we)
+          case _ => None
+        }
+      case _ => None
+    }
+    // one shared, genuinely value-offset frame (UNBOUNDED..CURRENT and
+    // UNBOUNDED..UNBOUNDED belong to the sibling rule's peer-aware path)
+    frames.forall(_.isDefined) && frames.distinct.length == 1 &&
+      (frames.head.get match {
+        case (Some(_), _) | (_, Some(_)) => true
+        case _ => false
+      })
+  }
+
+  private def build(w: Window): LogicalPlan = {
+    val child = w.child
+    val so = w.orderSpec.head
+    val kExpr = so.child
+    def longify(e: Expression): Expression =
+      if (e.dataType == LongType) e else Cast(e, LongType)
+    val kL = longify(kExpr)
+    val (loOpt, hiOpt) = w.windowExpressions.head match {
+      case Alias(we: WindowExpression, _) => frameOf(we).get
+    }
+
+    // the distinct value children the aggregates need, deduplicated
+    val weAggs = w.windowExpressions.map {
+      case a @ Alias(we: WindowExpression, _) =>
+        (a, we.windowFunction.asInstanceOf[AggregateExpression])
+    }
+    def dedup(es: Seq[Expression]): Seq[Expression] =
+      es.foldLeft(Seq.empty[Expression]) { (acc, e) =>
+        if (acc.exists(_.canonicalized == e.canonicalized)) acc else acc :+ e
+      }
+    val inputs: Seq[Expression] =
+      dedup(weAggs.flatMap { case (_, ae) => aggInput(ae).get })
+    // sum channels exist ONLY for Sum/Average inputs (integral by the
+    // firing checks) — a count-only input can be ANY type and must
+    // never be summed (a string would cast-crash under ANSI)
+    val sumInputs: Seq[Expression] = dedup(weAggs.collect {
+      case (_, ae) => ae.aggregateFunction match {
+        case s: Sum => Some(s.child)
+        case av: Average => Some(av.child)
+        case _ => None
+      }
+    }.flatten)
+    def inputIdx(e: Expression): Int =
+      inputs.indexWhere(_.canonicalized == e.canonicalized)
+    def sumIdx(e: Expression): Int =
+      sumInputs.indexWhere(_.canonicalized == e.canonicalized)
+
+    // 1. per-distinct-key aggregates
+    val keyAl = Alias(kL, "__grf_k")()
+    val cntAl = Alias(Count(Literal(1)).toAggregateExpression(), "__grf_cnt")()
+    val nnAls = inputs.zipWithIndex.map { case (e, i) =>
+      Alias(Count(e).toAggregateExpression(), s"__grf_nn$i")()
+    }
+    val sAls = sumInputs.zipWithIndex.map { case (e, i) =>
+      Alias(Sum(longify(e)).toAggregateExpression(), s"__grf_s$i")()
+    }
+    val perKey = Aggregate(Seq(kL), keyAl +: cntAl +: (nnAls ++ sAls), child)
+    val kA = keyAl.toAttribute
+    val cntA = cntAl.toAttribute
+    val nnAs = nnAls.map(_.toAttribute)
+    val sAs = sAls.map(_.toAttribute)
+    val chans: Seq[Attribute] = cntA +: (nnAs ++ sAs)
+
+    val keyNullable = kL.nullable
+    val nonNull = if (keyNullable) Filter(IsNotNull(kA), perKey) else perKey
+
+    // 2. running prefix sums over the distinct keys — partition-less
+    // ROWS windows; the sibling rule re-plans them as GlobalRunningSum
+    val prefOrder = Seq(SortOrder(kA, Ascending))
+    val runFrame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    val prefAls = chans.map { c =>
+      Alias(WindowExpression(Sum(c).toAggregateExpression(),
+        WindowSpecDefinition(Nil, prefOrder, runFrame)), s"__grf_c${c.name}")()
+    }
+    val prefWin = Window(prefAls, Nil, prefOrder, nonNull)
+    val prefAs = prefAls.map(_.toAttribute)
+
+    // 3. as-of union: base rows carry the prefixes at their key; probe
+    // rows sit at k+hi (side +1: inclusive ≤) and k+lo (side −1:
+    // exclusive <). An UNBOUNDED side simply has no probe to subtract
+    // (lower) or probes past every key (upper).
+    val nullLong = Literal.create(null, LongType)
+    def baseProj: LogicalPlan = Project(
+      Alias(kA, "__grf_pos")() +: Alias(Literal(0), "__grf_side")() +:
+        Alias(nullLong, "__grf_probe")() +:
+        prefAs.zipWithIndex.map { case (p, i) => Alias(p, s"__grf_v$i")() },
+      prefWin)
+    def probeProj(side: Int, off: Option[Long]): LogicalPlan = {
+      val pos = off match {
+        case Some(o) if o == 0L => kA
+        case Some(o) => Add(kA, Literal(o))
+        case None => Literal(Long.MaxValue) // upper UNBOUNDED: after every key
+      }
+      Project(
+        Alias(pos, "__grf_pos")() +: Alias(Literal(side), "__grf_side")() +:
+          Alias(kA, "__grf_probe")() +:
+          chans.indices.map(i => Alias(nullLong, s"__grf_v$i")()),
+        nonNull)
+    }
+    val branches = Seq(baseProj, probeProj(1, hiOpt)) ++
+      (if (loOpt.isDefined) Seq(probeProj(-1, loOpt)) else Nil)
+    val union = Union(branches)
+    val posA = union.output(0)
+    val sideA = union.output(1)
+    val probeA = union.output(2)
+    val valAs = union.output.drop(3)
+
+    // 4. as-of scan — last_value IGNORE NULLS running, distributed as
+    // GlobalFirstValue by the sibling rule
+    val scanOrder = Seq(SortOrder(posA, Ascending), SortOrder(sideA, Ascending))
+    val gotAls = valAs.zipWithIndex.map { case (v, i) =>
+      Alias(WindowExpression(
+        Last(v, ignoreNulls = true).toAggregateExpression(),
+        WindowSpecDefinition(Nil, scanOrder, runFrame)), s"__grf_g$i")()
+    }
+    val scan = Window(gotAls, Nil, scanOrder, union)
+    val gotAs = gotAls.map(_.toAttribute)
+    val probes = Filter(Not(EqualTo(sideA, Literal(0))), scan)
+
+    // 5. fold each key's probes into RAW band aggregates (the SQL
+    // empty-frame NULL for sums is applied at the end, after the null-
+    // group augmentation below). Channel layout in gotAs mirrors chans:
+    // 0 = cnt, 1..I = nn_i, I+1..2I = s_i.
+    def sideVal(s: Int, a: Attribute): Expression =
+      Max(CaseWhen(Seq((EqualTo(sideA, Literal(s)), a)), None))
+        .toAggregateExpression()
+    def diff(a: Attribute): Expression = {
+      val up = Coalesce(Seq(sideVal(1, a), Literal(0L)))
+      if (loOpt.isDefined)
+        Subtract(up, Coalesce(Seq(sideVal(-1, a), Literal(0L))))
+      else up
+    }
+    val nIn = inputs.length
+    val nS = sumInputs.length
+    def chanNames: Seq[String] =
+      "__grf_bcnt" +: ((0 until nIn).map(i => s"__grf_bnn$i") ++
+        (0 until nS).map(i => s"__grf_bs$i"))
+    val bandAls = Alias(probeA, "__grf_bk")() +:
+      chanNames.zipWithIndex.map { case (n, i) => Alias(diff(gotAs(i)), n)() }
+    val bands0 = Aggregate(Seq(probeA), bandAls, probes)
+
+    // NULL order keys under Ascending NULLS FIRST (the only ordering
+    // that fires): a null row's frame is its own peer group, EXCEPT
+    // that UNBOUNDED FOLLOWING extends it over every non-null row; and
+    // an UNBOUNDED PRECEDING frame of a NON-null row reaches back over
+    // the leading null group. Both augmentations are one-row global
+    // aggregates attached by a LeftOuter-true join (never duplicating,
+    // never dropping).
+    def addChan(base: Seq[Attribute], extra: Seq[Attribute]): Seq[NamedExpression] =
+      chanNames.zipWithIndex.map { case (n, i) =>
+        Alias(Add(Coalesce(Seq(base(i), Literal(0L))),
+          Coalesce(Seq(extra(i), Literal(0L)))), n)()
+      }
+    val bandsAll: LogicalPlan = if (!keyNullable) bands0 else {
+      val nullRows = Filter(IsNull(kA), perKey)
+      // non-null bands: + the null peer group when lower is UNBOUNDED
+      val bands1 = if (loOpt.isDefined) bands0 else {
+        val ng = Project(chans.zipWithIndex.map { case (c, i) =>
+          Alias(c, s"__grf_ng$i")() }, nullRows)
+        val j = Join(bands0, ng, LeftOuter, Some(Literal(true)), JoinHint.NONE)
+        Project(Alias(bands0.output.head, "__grf_bk")() +:
+          addChan(bands0.output.tail, j.output.takeRight(chans.length)), j)
+      }
+      // the null row's band: its own group, + every non-null row when
+      // upper is UNBOUNDED
+      val nullBand = if (hiOpt.isDefined) {
+        Project(Alias(kA, "__grf_bk")() +:
+          chanNames.zipWithIndex.map { case (n, i) => Alias(chans(i), n)() },
+          nullRows)
+      } else {
+        val tot = Aggregate(Nil, chans.zipWithIndex.map { case (c, i) =>
+          Alias(Sum(c).toAggregateExpression(), s"__grf_t$i")() }, nonNull)
+        val j = Join(nullRows, tot, LeftOuter, Some(Literal(true)), JoinHint.NONE)
+        Project(Alias(kA, "__grf_bk")() +:
+          addChan(chans, j.output.takeRight(chans.length)), j)
+      }
+      Union(Seq(bands1, nullBand))
+    }
+    val bkA = bandsAll.output(0)
+    val bCntA = bandsAll.output(1)
+    val bNnAs = bandsAll.output.slice(2, 2 + nIn)
+    val bSAs = bandsAll.output.slice(2 + nIn, 2 + nIn + nS)
+
+    // 7. join back on the key (null-safe iff nullable) and restore the
+    // Window's exact output attributes
+    val joinCond =
+      if (keyNullable) EqualNullSafe(kL, bkA) else EqualTo(kL, bkA)
+    val joined = Join(child, bandsAll, Inner, Some(joinCond), JoinHint.NONE)
+    val restored = weAggs.map { case (a, ae) =>
+      val value: Expression = ae.aggregateFunction match {
+        case _: Count => aggInput(ae).get match {
+          case None => bCntA
+          case Some(e) => bNnAs(inputIdx(e))
+        }
+        case s: Sum =>
+          If(EqualTo(bNnAs(inputIdx(s.child)), Literal(0L)), nullLong,
+            bSAs(sumIdx(s.child)))
+        case av: Average =>
+          val nn = bNnAs(inputIdx(av.child))
+          If(EqualTo(nn, Literal(0L)),
+            Literal.create(null, DoubleType),
+            Divide(Cast(bSAs(sumIdx(av.child)), DoubleType), Cast(nn, DoubleType)))
+      }
+      Alias(value, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+        explicitMetadata = Some(a.metadata))
+    }
+    Project(child.output ++ restored, joined)
+  }
+}

@@ -412,13 +412,19 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lagIgnore = spark.sql(
       "SELECT k, lag(v) IGNORE NULLS OVER (ORDER BY k) r FROM nf_t")
     assert(!planOf(lagIgnore).contains("GlobalOffset"), planOf(lagIgnore))
-    // RANGE frames with a VALUE offset are not modeled — only the
-    // UNBOUNDED..CURRENT default (which fires peer-aware, see the
-    // dedicated test)
-    val rangeOffset = spark.sql(
+    // RANGE frames with a VALUE offset belong to RewriteRangeFrames
+    // (r11), which lowers them to the prefix-difference composition —
+    // THIS rule still refuses them directly: with the sibling disabled
+    // the node must stay a stock Window
+    val rangeOffsetSql =
       """SELECT k, sum(v) OVER (ORDER BY g RANGE BETWEEN 2 PRECEDING
-        |AND CURRENT ROW) s FROM nf_t""".stripMargin)
-    assert(!planOf(rangeOffset).contains("GlobalRunningSum"), planOf(rangeOffset))
+        |AND CURRENT ROW) s FROM nf_t""".stripMargin
+    assert(planOf(spark.sql(rangeOffsetSql)).contains("__grf_"))
+    spark.conf.set("spark.graft.rangeFrames.enabled", "false")
+    try {
+      val rangeOffset = spark.sql(rangeOffsetSql)
+      assert(!planOf(rangeOffset).contains("GlobalRunningSum"), planOf(rangeOffset))
+    } finally spark.conf.set("spark.graft.rangeFrames.enabled", "true")
     // non-long sum: double summation keeps Spark's semantics
     val dblSum = spark.sql(
       """SELECT k, sum(CAST(v AS DOUBLE)) OVER (ORDER BY k ROWS BETWEEN

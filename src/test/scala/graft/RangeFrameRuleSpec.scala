@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The RANGE value-offset frame rewrite: plain SQL lowers to the
+  * prefix-difference composition (distributed by the sibling window
+  * rule); oracle inside each case is the same SQL with the rule OFF —
+  * stock Spark's own single-partition RANGE window. */
+class RangeFrameRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7L)
+    (0 until 500).map { i =>
+      val k = if (rnd.nextInt(20) == 0) None else Some(rnd.between(-200L, 200L))
+      val v = if (rnd.nextInt(5) == 0) None else Some(rnd.between(-1000L, 1000L))
+      (i.toLong, k, v)
+    }.toDF("id", "k", "v").createOrReplaceTempView("rfr_t")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def withRule[T](on: Boolean)(f: => T): T = {
+    spark.conf.set("spark.graft.rangeFrames.enabled", on.toString)
+    try f finally spark.conf.set("spark.graft.rangeFrames.enabled", "true")
+  }
+
+  private def rows(sql: String): Set[String] =
+    spark.sql(sql).collect().map(_.toString).toSet
+
+  private def planOf(sql: String): String =
+    spark.sql(sql).queryExecution.executedPlan.toString
+
+  private def checkExact(sql: String): Unit = {
+    val got = rows(sql)
+    val want = withRule(on = false)(rows(sql))
+    assert(got == want, s"mismatch for:\n$sql")
+  }
+
+  test("fires: distributed composition, zero stock Window nodes, exact values") {
+    val sql = """SELECT id, k,
+        count(*) OVER w AS c, count(v) OVER w AS cv,
+        sum(v) OVER w AS s, avg(v) OVER w AS a
+      FROM rfr_t WINDOW w AS (ORDER BY k RANGE BETWEEN 50 PRECEDING AND 30 FOLLOWING)"""
+    val p = planOf(sql)
+    assert(p.contains("__grf_"), s"rule did not fire:\n$p")
+    assert(p.contains("GlobalRunningSum") && p.contains("GlobalFirstValue"),
+      s"composition windows not distributed:\n$p")
+    assert(!p.contains("Window "), s"a stock Window survived:\n$p")
+    checkExact(sql)
+  }
+
+  test("every frame shape: current-row bound, unbounded sides, fully shifted") {
+    for (frame <- Seq(
+      "2 PRECEDING AND CURRENT ROW",
+      "CURRENT ROW AND 40 FOLLOWING",
+      "UNBOUNDED PRECEDING AND 25 FOLLOWING",
+      "30 PRECEDING AND UNBOUNDED FOLLOWING",
+      "100 PRECEDING AND 60 PRECEDING",
+      "10 FOLLOWING AND 90 FOLLOWING")) {
+      val sql = s"""SELECT id, count(*) OVER w AS c, sum(v) OVER w AS s
+        FROM rfr_t WINDOW w AS (ORDER BY k RANGE BETWEEN $frame)"""
+      assert(planOf(sql).contains("__grf_"), s"did not fire for: $frame")
+      checkExact(sql)
+    }
+  }
+
+  test("count over a non-numeric input coexists with sums (no sum channel for it)") {
+    val sql = """SELECT id,
+        count(CASE WHEN v > 0 THEN 'pos' END) OVER w AS cs,
+        sum(v) OVER w AS s
+      FROM rfr_t WINDOW w AS (ORDER BY k RANGE BETWEEN 20 PRECEDING AND 20 FOLLOWING)"""
+    assert(planOf(sql).contains("__grf_"))
+    checkExact(sql)
+  }
+
+  test("null order keys keep the null-peer-group frame semantics") {
+    // ~5% null keys in rfr_t; their band must be the null group itself
+    val sql = """SELECT id, k, count(*) OVER w AS c, sum(v) OVER w AS s
+      FROM rfr_t WINDOW w AS (ORDER BY k RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)"""
+    assert(planOf(sql).contains("__grf_"))
+    checkExact(sql)
+  }
+
+  test("does not fire: descending, non-integral key, double sum, mixed frames, PARTITION BY") {
+    for (sql <- Seq(
+      "SELECT sum(v) OVER (ORDER BY k DESC RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t",
+      "SELECT sum(v) OVER (ORDER BY CAST(k AS DOUBLE) RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t",
+      "SELECT sum(CAST(v AS DOUBLE)) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t",
+      """SELECT sum(v) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s,
+         sum(v) OVER (ORDER BY k RANGE BETWEEN 9 PRECEDING AND 1 FOLLOWING) s2 FROM rfr_t""",
+      "SELECT sum(v) OVER (PARTITION BY id % 2 ORDER BY k RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t")) {
+      assert(!planOf(sql).contains("__grf_"), s"fired unexpectedly for:\n$sql")
+    }
+  }
+
+  test("kill-switch conf restores stock planning") {
+    withRule(on = false) {
+      val p = planOf(
+        "SELECT sum(v) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t")
+      assert(!p.contains("__grf_"))
+    }
+  }
+}
