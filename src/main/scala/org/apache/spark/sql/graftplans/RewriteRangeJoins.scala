@@ -5,7 +5,7 @@ package org.apache.spark.sql.graftplans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.Max
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -61,10 +61,27 @@ object RewriteRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(EnabledConf, "true").toBoolean) plan
     else plan.transformUp {
-      case j @ Join(left, right, Inner, Some(_), _)
-          if !left.isStreaming && !right.isStreaming =>
+      case j @ Join(left, right, jt, Some(_), _)
+          if supportedType(jt) && !left.isStreaming && !right.isStreaming =>
         tryRewrite(j).getOrElse(j)
     }
+
+  /** Join types the bucketing can preserve exactly. Non-inner types
+    * additionally require the PRESERVED side to be the point side
+    * (checked in tryRewrite): the interval side is replicated per
+    * bucket, so a preserved-but-unmatched interval row would come out
+    * once per bucket. FullOuter preserves both sides — never safe. */
+  private def supportedType(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti => true
+    case _ => false
+  }
+
+  private def sideOk(jt: JoinType, pointLeft: Boolean): Boolean = jt match {
+    case Inner => true
+    case LeftOuter | LeftSemi | LeftAnti => pointLeft
+    case RightOuter => !pointLeft
+    case _ => false
+  }
 
   /** One side's integral point bounded by the other side's expression.
     * `pointLeft` records which join side the point lives on. */
@@ -128,8 +145,11 @@ object RewriteRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
     val all = conjuncts.flatMap(bounds)
+    // the side filter sits inside the search: a symmetric band (|a−b|
+    // ≤ tol) reads with the point on either side, and an outer join
+    // may only accept the orientation whose point side is preserved
     val pair = (for {
-      lo <- all.iterator if lo.lower
+      lo <- all.iterator if lo.lower && sideOk(j.joinType, lo.pointLeft)
       hi <- all.iterator if !hi.lower && hi.pointLeft == lo.pointLeft &&
         hi.point.canonicalized == lo.point.canonicalized
     } yield (lo, hi)).nextOption()
@@ -190,7 +210,7 @@ object RewriteRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
       val (newLeft, newRight, lb, rb) =
         if (pointLeft) (pointProj, gen, pbAttr, bbAttr)
         else (gen, pointProj, bbAttr, pbAttr)
-      val bucketed = Join(newLeft, newRight, Inner,
+      val bucketed = Join(newLeft, newRight, j.joinType,
         Some(And(EqualTo(lb, rb), cond)), j.hint)
       Project(j.output, bucketed)
     }

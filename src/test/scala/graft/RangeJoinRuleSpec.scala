@@ -79,17 +79,40 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == 1)
   }
 
-  test("does not fire on non-integral axes or on outer joins") {
+  test("does not fire on non-integral axes") {
     val sp = spark
     import sp.implicits._
     val l = Seq((1L, 5.0)).toDF("pid", "p")
     val r = Seq((9L, 0.0, 9.0)).toDF("iid", "lo", "hi")
     val dbl = l.join(r, col("p") >= col("lo") && col("p") <= col("hi"))
     assert(!dbl.queryExecution.executedPlan.toString.contains("__graft_rj"))
-    val (pts, ivs) = data(3L, 50)
-    val outer = pts.join(ivs,
-      col("p") >= col("lo") && col("p") <= col("hi"), "left")
-    assert(!outer.queryExecution.executedPlan.toString.contains("__graft_rj"))
+  }
+
+  test("outer/semi/anti fire ONLY with the preserved side as the point side") {
+    val (pts, ivs) = data(3L, 200)
+    val cond = col("p") >= col("lo") && col("p") <= col("hi")
+    // point side preserved: fires, and unmatched rows null-extend exactly
+    for (jt <- Seq("left", "left_semi", "left_anti")) {
+      val joined = pts.join(ivs, cond, jt)
+      assert(joined.queryExecution.executedPlan.toString.contains("__graft_rj"),
+        s"$jt with point on the preserved side should fire")
+      val got = joined.collect().map(_.toString).toSet
+      val want = withRule(on = false)(
+        pts.join(ivs, cond, jt).collect().map(_.toString).toSet)
+      assert(got == want, s"$jt mismatch")
+    }
+    val ro = ivs.join(pts, cond, "right") // point side (right) preserved
+    assert(ro.queryExecution.executedPlan.toString.contains("__graft_rj"))
+    assert(ro.collect().map(_.toString).toSet ==
+      withRule(on = false)(ivs.join(pts, cond, "right").collect().map(_.toString).toSet))
+    // interval side preserved: replication would duplicate unmatched
+    // intervals — must NOT fire
+    for ((df, jt) <- Seq((ivs.join(pts, cond, "left"), "left-intervals"),
+      (pts.join(ivs, cond, "right"), "right-intervals"),
+      (pts.join(ivs, cond, "full"), "full"))) {
+      assert(!df.queryExecution.executedPlan.toString.contains("__graft_rj"),
+        s"$jt must not fire")
+    }
   }
 
   test("kill-switch conf restores stock planning") {
