@@ -95,7 +95,7 @@ object RewriteRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
     * filter keeps the original comparison semantics. */
   private def bucketable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
-    case TimestampType | TimestampNTZType => true
+    case TimestampType | TimestampNTZType | DateType => true
     case _ => false
   }
 
@@ -166,6 +166,10 @@ object RewriteRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
         // mis-bucket pairs into false negatives; UTC is the exact
         // identity on the stored micros
         case TimestampNTZType => UnixMicros(Cast(e, TimestampType, Some("UTC")))
+        // dates are days-since-epoch ints; datediff from day 0 is the
+        // exact identity on the stored value (a direct date→long cast
+        // is not a thing in ANSI)
+        case DateType => Cast(DateDiff(e, Literal(0, DateType)), LongType)
         case _ => Cast(e, LongType)
       }
       val loL = asLong(loB.bound)

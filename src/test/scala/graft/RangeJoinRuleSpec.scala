@@ -138,9 +138,10 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
   }
 
-  test("timestamp axes (LTZ and NTZ) fire and stay exact") {
+  test("timestamp and date axes (LTZ, NTZ, DATE) fire and stay exact") {
     val (ptsL, ivsL) = data(6L, 300)
-    for (cast <- Seq("timestamp_micros(%s)", "CAST(timestamp_micros(%s) AS TIMESTAMP_NTZ)")) {
+    for (cast <- Seq("timestamp_micros(%s)", "CAST(timestamp_micros(%s) AS TIMESTAMP_NTZ)",
+      "date_add(DATE'1970-01-01', CAST(%s AS INT))")) {
       val pts = ptsL.selectExpr("pid", s"${cast.format("p")} AS p")
       val ivs = ivsL.selectExpr("iid", s"${cast.format("lo")} AS lo",
         s"${cast.format("hi")} AS hi")
