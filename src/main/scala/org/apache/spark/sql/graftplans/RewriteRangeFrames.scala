@@ -41,10 +41,14 @@ import org.apache.spark.sql.types._
   * semantics — not modeled; timestamp keys take INTERVAL offsets —
   * not modeled); every window expression in the node an aggregate of
   * `sum` (LongType result over an integral child), `count(*)`,
-  * `count(v)`, or `avg` (integral child) over ONE shared RANGE frame
-  * whose bounds are foldable value offsets, CURRENT ROW, or UNBOUNDED
-  * (mixed-frame nodes stay with stock — they were stock before this
-  * rule too); batch child. Divergences, documented: prefix sums can
+  * `count(v)`, or `avg` (integral child) over RANGE frames whose
+  * bounds are foldable value offsets, CURRENT ROW, or UNBOUNDED;
+  * batch child. MULTIPLE different frames in one node are fine — each
+  * frame gets its own probe pair over the ONE shared prefix scan — and
+  * a running `RANGE UNBOUNDED..CURRENT` expression mixed in is just
+  * the `(unbounded, 0]` band (a node that is PURELY running stays with
+  * the sibling's cheaper peer-aware path — no join-back). Divergences,
+  * documented: prefix sums can
   * overflow Long where stock's per-band sums would not (the sibling
   * rule's checked-arithmetic stance: abort loudly, never wrap
   * silently), and `avg` is the exact long sum ÷ count, equal to
@@ -119,13 +123,16 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
         }
       case _ => None
     }
-    // one shared, genuinely value-offset frame (UNBOUNDED..CURRENT and
-    // UNBOUNDED..UNBOUNDED belong to the sibling rule's peer-aware path)
-    frames.forall(_.isDefined) && frames.distinct.length == 1 &&
-      (frames.head.get match {
-        case (Some(_), _) | (_, Some(_)) => true
-        case _ => false
-      })
+    // every expression a value-frame aggregate, and at least one frame
+    // the SIBLING rule cannot take: a pure UNBOUNDED..CURRENT (or
+    // ..UNBOUNDED) node belongs to its cheaper peer-aware path — but
+    // mixed in with a genuine value offset, this rule takes the whole
+    // node (the running frame is just the (unbounded, 0] band)
+    def genuine(f: (Option[Long], Option[Long])): Boolean = f match {
+      case (None, Some(0L)) | (None, None) => false
+      case _ => true
+    }
+    frames.forall(_.isDefined) && frames.flatten.exists(genuine)
   }
 
   private def build(w: Window): LogicalPlan = {
@@ -135,26 +142,27 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
     def longify(e: Expression): Expression =
       if (e.dataType == LongType) e else Cast(e, LongType)
     val kL = longify(kExpr)
-    val (loOpt, hiOpt) = w.windowExpressions.head match {
-      case Alias(we: WindowExpression, _) => frameOf(we).get
-    }
 
-    // the distinct value children the aggregates need, deduplicated
+    // the distinct value children the aggregates need, deduplicated,
+    // plus each expression's (lo, hi) frame and the distinct frames
     val weAggs = w.windowExpressions.map {
       case a @ Alias(we: WindowExpression, _) =>
-        (a, we.windowFunction.asInstanceOf[AggregateExpression])
+        (a, we.windowFunction.asInstanceOf[AggregateExpression], frameOf(we).get)
     }
+    val frames: Seq[(Option[Long], Option[Long])] =
+      weAggs.map(_._3).distinct
+    def frameIdx(f: (Option[Long], Option[Long])): Int = frames.indexOf(f)
     def dedup(es: Seq[Expression]): Seq[Expression] =
       es.foldLeft(Seq.empty[Expression]) { (acc, e) =>
         if (acc.exists(_.canonicalized == e.canonicalized)) acc else acc :+ e
       }
     val inputs: Seq[Expression] =
-      dedup(weAggs.flatMap { case (_, ae) => aggInput(ae).get })
+      dedup(weAggs.flatMap { case (_, ae, _) => aggInput(ae).get })
     // sum channels exist ONLY for Sum/Average inputs (integral by the
     // firing checks) — a count-only input can be ANY type and must
     // never be summed (a string would cast-crash under ANSI)
     val sumInputs: Seq[Expression] = dedup(weAggs.collect {
-      case (_, ae) => ae.aggregateFunction match {
+      case (_, ae, _) => ae.aggregateFunction match {
         case s: Sum => Some(s.child)
         case av: Average => Some(av.child)
         case _ => None
@@ -195,10 +203,10 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
     val prefWin = Window(prefAls, Nil, prefOrder, nonNull)
     val prefAs = prefAls.map(_.toAttribute)
 
-    // 3. as-of union: base rows carry the prefixes at their key; probe
-    // rows sit at k+hi (side +1: inclusive ≤) and k+lo (side −1:
-    // exclusive <). An UNBOUNDED side simply has no probe to subtract
-    // (lower) or probes past every key (upper).
+    // 3. as-of union: base rows carry the prefixes at their key; per
+    // FRAME fi, probe rows sit at k+hi (side 2fi+1: inclusive ≤) and
+    // k+lo (side −(2fi+1): exclusive <). An UNBOUNDED side simply has
+    // no probe to subtract (lower) or probes past every key (upper).
     val nullLong = Literal.create(null, LongType)
     def baseProj: LogicalPlan = Project(
       Alias(kA, "__grf_pos")() +: Alias(Literal(0), "__grf_side")() +:
@@ -217,8 +225,11 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
           chans.indices.map(i => Alias(nullLong, s"__grf_v$i")()),
         nonNull)
     }
-    val branches = Seq(baseProj, probeProj(1, hiOpt)) ++
-      (if (loOpt.isDefined) Seq(probeProj(-1, loOpt)) else Nil)
+    val branches = baseProj +: frames.zipWithIndex.flatMap {
+      case ((lo, hi), fi) =>
+        probeProj(2 * fi + 1, hi) +:
+          (if (lo.isDefined) Seq(probeProj(-(2 * fi + 1), lo)) else Nil)
+    }
     val union = Union(branches)
     val posA = union.output(0)
     val sideA = union.output(1)
@@ -239,24 +250,29 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
 
     // 5. fold each key's probes into RAW band aggregates (the SQL
     // empty-frame NULL for sums is applied at the end, after the null-
-    // group augmentation below). Channel layout in gotAs mirrors chans:
-    // 0 = cnt, 1..I = nn_i, I+1..2I = s_i.
+    // group augmentation below). Channel layout: per frame fi, a block
+    // of chans.length columns [cnt, nn_0.., s_0..]; gotAs is one shared
+    // block (the prefixes don't depend on the frame).
     def sideVal(s: Int, a: Attribute): Expression =
       Max(CaseWhen(Seq((EqualTo(sideA, Literal(s)), a)), None))
         .toAggregateExpression()
-    def diff(a: Attribute): Expression = {
-      val up = Coalesce(Seq(sideVal(1, a), Literal(0L)))
-      if (loOpt.isDefined)
-        Subtract(up, Coalesce(Seq(sideVal(-1, a), Literal(0L))))
+    def diff(fi: Int, a: Attribute): Expression = {
+      val up = Coalesce(Seq(sideVal(2 * fi + 1, a), Literal(0L)))
+      if (frames(fi)._1.isDefined)
+        Subtract(up, Coalesce(Seq(sideVal(-(2 * fi + 1), a), Literal(0L))))
       else up
     }
     val nIn = inputs.length
     val nS = sumInputs.length
-    def chanNames: Seq[String] =
-      "__grf_bcnt" +: ((0 until nIn).map(i => s"__grf_bnn$i") ++
-        (0 until nS).map(i => s"__grf_bs$i"))
+    val nChan = chans.length
+    def chanNames: Seq[String] = frames.indices.flatMap { fi =>
+      s"__grf_f${fi}_bcnt" +: ((0 until nIn).map(i => s"__grf_f${fi}_bnn$i") ++
+        (0 until nS).map(i => s"__grf_f${fi}_bs$i"))
+    }
     val bandAls = Alias(probeA, "__grf_bk")() +:
-      chanNames.zipWithIndex.map { case (n, i) => Alias(diff(gotAs(i)), n)() }
+      chanNames.zipWithIndex.map { case (n, i) =>
+        Alias(diff(i / nChan, gotAs(i % nChan)), n)()
+      }
     val bands0 = Aggregate(Seq(probeA), bandAls, probes)
 
     // NULL order keys under Ascending NULLS FIRST (the only ordering
@@ -265,61 +281,71 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
     // an UNBOUNDED PRECEDING frame of a NON-null row reaches back over
     // the leading null group. Both augmentations are one-row global
     // aggregates attached by a LeftOuter-true join (never duplicating,
-    // never dropping).
-    def addChan(base: Seq[Attribute], extra: Seq[Attribute]): Seq[NamedExpression] =
+    // never dropping), applied only to the frames whose bound is
+    // actually UNBOUNDED.
+    def addIf(cond: Int => Boolean, base: Seq[Attribute],
+        extra: Seq[Attribute]): Seq[NamedExpression] =
       chanNames.zipWithIndex.map { case (n, i) =>
-        Alias(Add(Coalesce(Seq(base(i), Literal(0L))),
-          Coalesce(Seq(extra(i), Literal(0L)))), n)()
+        if (cond(i / nChan))
+          Alias(Add(Coalesce(Seq(base(i), Literal(0L))),
+            Coalesce(Seq(extra(i % nChan), Literal(0L)))), n)()
+        else Alias(base(i), n)()
       }
     val bandsAll: LogicalPlan = if (!keyNullable) bands0 else {
       val nullRows = Filter(IsNull(kA), perKey)
-      // non-null bands: + the null peer group when lower is UNBOUNDED
-      val bands1 = if (loOpt.isDefined) bands0 else {
+      // non-null bands: + the null peer group for UNBOUNDED-lower frames
+      val bands1 = if (frames.forall(_._1.isDefined)) bands0 else {
         val ng = Project(chans.zipWithIndex.map { case (c, i) =>
           Alias(c, s"__grf_ng$i")() }, nullRows)
         val j = Join(bands0, ng, LeftOuter, Some(Literal(true)), JoinHint.NONE)
         Project(Alias(bands0.output.head, "__grf_bk")() +:
-          addChan(bands0.output.tail, j.output.takeRight(chans.length)), j)
+          addIf(fi => frames(fi)._1.isEmpty, bands0.output.tail,
+            j.output.takeRight(nChan)), j)
       }
-      // the null row's band: its own group, + every non-null row when
-      // upper is UNBOUNDED
-      val nullBand = if (hiOpt.isDefined) {
+      // the null row's band: its own group per frame, + every non-null
+      // row for UNBOUNDED-upper frames
+      val ownGroup: Seq[Attribute] = frames.indices.flatMap(_ => chans)
+      val nullBand = if (frames.forall(_._2.isDefined)) {
         Project(Alias(kA, "__grf_bk")() +:
-          chanNames.zipWithIndex.map { case (n, i) => Alias(chans(i), n)() },
-          nullRows)
+          chanNames.zipWithIndex.map { case (n, i) =>
+            Alias(ownGroup(i), n)() }, nullRows)
       } else {
         val tot = Aggregate(Nil, chans.zipWithIndex.map { case (c, i) =>
           Alias(Sum(c).toAggregateExpression(), s"__grf_t$i")() }, nonNull)
         val j = Join(nullRows, tot, LeftOuter, Some(Literal(true)), JoinHint.NONE)
         Project(Alias(kA, "__grf_bk")() +:
-          addChan(chans, j.output.takeRight(chans.length)), j)
+          addIf(fi => frames(fi)._2.isEmpty, ownGroup,
+            j.output.takeRight(nChan)), j)
       }
       Union(Seq(bands1, nullBand))
     }
     val bkA = bandsAll.output(0)
-    val bCntA = bandsAll.output(1)
-    val bNnAs = bandsAll.output.slice(2, 2 + nIn)
-    val bSAs = bandsAll.output.slice(2 + nIn, 2 + nIn + nS)
+    def bCntA(fi: Int): Attribute = bandsAll.output(1 + fi * nChan)
+    def bNnA(fi: Int, i: Int): Attribute = bandsAll.output(1 + fi * nChan + 1 + i)
+    def bSA(fi: Int, i: Int): Attribute =
+      bandsAll.output(1 + fi * nChan + 1 + nIn + i)
 
     // 7. join back on the key (null-safe iff nullable) and restore the
     // Window's exact output attributes
     val joinCond =
       if (keyNullable) EqualNullSafe(kL, bkA) else EqualTo(kL, bkA)
     val joined = Join(child, bandsAll, Inner, Some(joinCond), JoinHint.NONE)
-    val restored = weAggs.map { case (a, ae) =>
+    val restored = weAggs.map { case (a, ae, f) =>
+      val fi = frameIdx(f)
       val value: Expression = ae.aggregateFunction match {
         case _: Count => aggInput(ae).get match {
-          case None => bCntA
-          case Some(e) => bNnAs(inputIdx(e))
+          case None => bCntA(fi)
+          case Some(e) => bNnA(fi, inputIdx(e))
         }
         case s: Sum =>
-          If(EqualTo(bNnAs(inputIdx(s.child)), Literal(0L)), nullLong,
-            bSAs(sumIdx(s.child)))
+          If(EqualTo(bNnA(fi, inputIdx(s.child)), Literal(0L)), nullLong,
+            bSA(fi, sumIdx(s.child)))
         case av: Average =>
-          val nn = bNnAs(inputIdx(av.child))
+          val nn = bNnA(fi, inputIdx(av.child))
           If(EqualTo(nn, Literal(0L)),
             Literal.create(null, DoubleType),
-            Divide(Cast(bSAs(sumIdx(av.child)), DoubleType), Cast(nn, DoubleType)))
+            Divide(Cast(bSA(fi, sumIdx(av.child)), DoubleType),
+              Cast(nn, DoubleType)))
       }
       Alias(value, a.name)(exprId = a.exprId, qualifier = a.qualifier,
         explicitMetadata = Some(a.metadata))

@@ -92,16 +92,31 @@ class RangeFrameRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     checkExact(sql)
   }
 
-  test("does not fire: descending, non-integral key, double sum, mixed frames, PARTITION BY") {
+  test("multiple frames in one node share the prefix scan and stay exact") {
+    val sql = """SELECT id,
+        sum(v) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s,
+        count(*) OVER (ORDER BY k RANGE BETWEEN 9 PRECEDING AND 1 FOLLOWING) c2,
+        sum(v) OVER (ORDER BY k RANGE BETWEEN 40 PRECEDING AND 30 PRECEDING) s3,
+        avg(v) OVER (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND 10 FOLLOWING) a4,
+        sum(v) OVER (ORDER BY k) run
+      FROM rfr_t"""
+    val p = planOf(sql)
+    assert(p.contains("__grf_"), s"did not fire:\n$p")
+    assert(!p.contains("Window "), s"a stock Window survived:\n$p")
+    checkExact(sql)
+  }
+
+  test("does not fire: descending, non-integral key, double sum, pure running, PARTITION BY") {
     for (sql <- Seq(
       "SELECT sum(v) OVER (ORDER BY k DESC RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t",
       "SELECT sum(v) OVER (ORDER BY CAST(k AS DOUBLE) RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t",
       "SELECT sum(CAST(v AS DOUBLE)) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t",
-      """SELECT sum(v) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s,
-         sum(v) OVER (ORDER BY k RANGE BETWEEN 9 PRECEDING AND 1 FOLLOWING) s2 FROM rfr_t""",
       "SELECT sum(v) OVER (PARTITION BY id % 2 ORDER BY k RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t")) {
       assert(!planOf(sql).contains("__grf_"), s"fired unexpectedly for:\n$sql")
     }
+    // a PURELY running node belongs to the sibling's peer-aware path
+    val run = planOf("SELECT sum(v) OVER (ORDER BY k) s FROM rfr_t")
+    assert(!run.contains("__grf_") && run.contains("GlobalRunningSum"), run)
   }
 
   test("kill-switch conf restores stock planning") {
