@@ -455,14 +455,22 @@ object Relational2 {
     * NULL for 'en' docs, exercising the non-null-count channel. */
   def q86SqlRangeFrame(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "documents").createOrReplaceTempView("graft_q86_docs")
+    // THREE frames in one window node (same ORDER BY): the analyzer
+    // groups them together, and the rewrite gives each frame its own
+    // probe pair over one shared prefix scan — incl. a fully-shifted
+    // often-EMPTY band and a running cumulative mixed in
     spark.sql(
       """SELECT doc_id, n_chars,
            count(*) OVER w AS band_n,
            count(nullif(lang, 'en')) OVER w AS band_nonen,
            sum(n_chars) OVER w AS band_chars,
-           avg(n_chars) OVER w AS band_avg
+           avg(n_chars) OVER w AS band_avg,
+           sum(n_chars) OVER lw AS low_chars,
+           count(*) OVER lw AS low_n,
+           sum(n_chars) OVER (ORDER BY n_chars) AS cum_chars
          FROM graft_q86_docs
-         WINDOW w AS (ORDER BY n_chars RANGE BETWEEN 80 PRECEDING AND 40 FOLLOWING)
+         WINDOW w AS (ORDER BY n_chars RANGE BETWEEN 80 PRECEDING AND 40 FOLLOWING),
+                lw AS (ORDER BY n_chars RANGE BETWEEN 220 PRECEDING AND 170 PRECEDING)
          ORDER BY doc_id""")
   }
 
@@ -471,9 +479,13 @@ object Relational2 {
              count(*) OVER w::BIGINT AS band_n,
              count(nullif(lang, 'en')) OVER w::BIGINT AS band_nonen,
              (sum(n_chars) OVER w)::BIGINT AS band_chars,
-             avg(n_chars) OVER w AS band_avg
+             avg(n_chars) OVER w AS band_avg,
+             (sum(n_chars) OVER lw)::BIGINT AS low_chars,
+             count(*) OVER lw::BIGINT AS low_n,
+             (sum(n_chars) OVER (ORDER BY n_chars))::BIGINT AS cum_chars
       FROM documents
-      WINDOW w AS (ORDER BY n_chars RANGE BETWEEN 80 PRECEDING AND 40 FOLLOWING)
+      WINDOW w AS (ORDER BY n_chars RANGE BETWEEN 80 PRECEDING AND 40 FOLLOWING),
+             lw AS (ORDER BY n_chars RANGE BETWEEN 220 PRECEDING AND 170 PRECEDING)
       ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
