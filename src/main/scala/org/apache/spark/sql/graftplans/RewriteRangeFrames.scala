@@ -37,9 +37,11 @@ import org.apache.spark.sql.types._
   * sum NULL via the separate non-null-count channel, exactly as stock.
   *
   * Firing conditions (spec-locked): no PARTITION BY; a single
-  * ASCENDING order key of integral type (descending flips the offset
-  * semantics — not modeled; timestamp keys take INTERVAL offsets —
-  * not modeled); every window expression in the node an aggregate of
+  * integral order key with the DEFAULT null placement (ASC NULLS
+  * FIRST or DESC NULLS LAST — a DESC frame is the mirrored ASC band
+  * `(−u, −l)`, identical as a SET, and these aggregates are
+  * order-insensitive; timestamp keys take INTERVAL offsets — not
+  * modeled); every window expression in the node an aggregate of
   * `sum` (LongType result over an integral child), `count(*)`,
   * `count(v)`, or `avg` (integral child) over RANGE frames whose
   * bounds are foldable value offsets, CURRENT ROW, or UNBOUNDED;
@@ -110,11 +112,13 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
     if (w.partitionSpec.nonEmpty || w.orderSpec.length != 1 ||
       w.child.isStreaming || w.windowExpressions.isEmpty) return false
     val so = w.orderSpec.head
-    // Ascending NULLS FIRST only: descending flips the offset
-    // semantics, and the null-group augmentation below assumes the
-    // null peer group leads the ordering
-    if (so.direction != Ascending || so.nullOrdering != NullsFirst ||
-      !so.child.deterministic || !integral(so.child.dataType)) return false
+    // Default null placements only (ASC NULLS FIRST / DESC NULLS
+    // LAST): the null-group augmentation assumes the null peer group
+    // sits at the UNBOUNDED-side end the frame mapping expects
+    val dirOk = (so.direction == Ascending && so.nullOrdering == NullsFirst) ||
+      (so.direction == Descending && so.nullOrdering == NullsLast)
+    if (!dirOk || !so.child.deterministic || !integral(so.child.dataType))
+      return false
     val frames = w.windowExpressions.map {
       case Alias(we: WindowExpression, _) =>
         we.windowFunction match {
@@ -145,9 +149,21 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
 
     // the distinct value children the aggregates need, deduplicated,
     // plus each expression's (lo, hi) frame and the distinct frames
+    // DESC frames are the mirrored ASC band: under DESC, signed bounds
+    // (l, u) select keys in [k−u, k+l], i.e. the ASC band (−u, −l) —
+    // the SET is identical and these aggregates are order-insensitive,
+    // so the whole ASC pipeline applies after crossing the bounds
+    // (UNBOUNDED sides cross over too, which is exactly what the
+    // null-placement check above lines up: DESC NULLS LAST puts the
+    // null group at the UNBOUNDED FOLLOWING end, mapping to the ASC
+    // leading-nulls augmentation)
+    val desc = so.direction == Descending
+    def orient(f: (Option[Long], Option[Long])): (Option[Long], Option[Long]) =
+      if (desc) (f._2.map(-_), f._1.map(-_)) else f
     val weAggs = w.windowExpressions.map {
       case a @ Alias(we: WindowExpression, _) =>
-        (a, we.windowFunction.asInstanceOf[AggregateExpression], frameOf(we).get)
+        (a, we.windowFunction.asInstanceOf[AggregateExpression],
+          orient(frameOf(we).get))
     }
     val frames: Seq[(Option[Long], Option[Long])] =
       weAggs.map(_._3).distinct

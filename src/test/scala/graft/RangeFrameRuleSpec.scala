@@ -106,9 +106,26 @@ class RangeFrameRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     checkExact(sql)
   }
 
-  test("does not fire: descending, non-integral key, double sum, pure running, PARTITION BY") {
+  test("DESC frames fire via the mirrored band, nulls at the LAST end exact") {
+    for (frame <- Seq(
+      "8 PRECEDING AND 3 FOLLOWING",
+      "UNBOUNDED PRECEDING AND 25 FOLLOWING",
+      "30 PRECEDING AND UNBOUNDED FOLLOWING",
+      "40 PRECEDING AND 10 PRECEDING")) {
+      val sql = s"""SELECT id, count(*) OVER w AS c, sum(v) OVER w AS s
+        FROM rfr_t WINDOW w AS (ORDER BY k DESC RANGE BETWEEN $frame)"""
+      assert(planOf(sql).contains("__grf_"), s"did not fire for DESC $frame")
+      checkExact(sql)
+    }
+    // non-default null placement flips the null group to the wrong
+    // end for the mapping — must not fire
+    val odd = planOf("""SELECT sum(v) OVER (ORDER BY k DESC NULLS FIRST
+      RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t""")
+    assert(!odd.contains("__grf_"), odd)
+  }
+
+  test("does not fire: non-integral key, double sum, pure running, PARTITION BY") {
     for (sql <- Seq(
-      "SELECT sum(v) OVER (ORDER BY k DESC RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t",
       "SELECT sum(v) OVER (ORDER BY CAST(k AS DOUBLE) RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t",
       "SELECT sum(CAST(v AS DOUBLE)) OVER (ORDER BY k RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t",
       "SELECT sum(v) OVER (PARTITION BY id % 2 ORDER BY k RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t")) {
