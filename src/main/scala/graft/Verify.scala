@@ -8,7 +8,9 @@ import java.nio.file.{Files, Paths}
   * (see Harness scaladoc for the round-9 incident this encodes). */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: substring filter for a quick single-query gate
+    val only = args.lift(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,11 +20,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val errors = Harness.dumpAll(spark, SparkEntry.queries, sfDir, outDir)
+    val qs = only match {
+      case Some(f) => SparkEntry.queries.filter(_._1.contains(f))
+      case None => SparkEntry.queries
+    }
+    val errors = Harness.dumpAll(spark, qs, sfDir, outDir)
     // release the corpus-derived caches the dedup/similarity queries persisted
     graft.queries.Dedup.unpersistAll()
     graft.queries.Similarity.unpersistAll()
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => qs.contains(k) }
       .map { case (k, v) => s"${Harness.jq(k)}: ${Harness.jq(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -105,4 +105,117 @@ object RangeFrames {
       .withColumn(outSum, col("__rf_band_sum"))
       .drop("__rf_k", "__rf_band_cnt", "__rf_band_sum")
   }
+
+  /** Appends `outMin`/`outMax` = `min(v)/max(v) OVER (ORDER BY keyCol
+    * RANGE BETWEEN lo PRECEDING AND hi FOLLOWING)` to `df`. Min/max are
+    * NOT prefix-invertible, so [[sumCountOverRange]]'s prefix-difference
+    * trick does not apply; this uses the aligned-block sliding-extrema
+    * decomposition instead, built entirely from NATIVE partitioned
+    * windows (hash-distributed by Spark itself, no custom operators):
+    *
+    * Every band `[k-lo, k+hi]` has the same VALUE width `W = lo+hi+1`,
+    * so partition the value axis into blocks of width W aligned at
+    * multiples of W. A band then spans at most TWO blocks — a suffix
+    * of `block(k-lo)` and a prefix of `block(k+hi)` — and per-block
+    * running prefix/suffix extrema (two `PARTITION BY block` window
+    * frames over the per-distinct-key table) answer both halves:
+    *
+    *  - suffix half: the suffix-min of the SMALLEST key `>= k-lo` in
+    *    its block (every such key is inside the band: if the band
+    *    spans two blocks the block's tail ends before `k+hi`; if one
+    *    block, the band IS the block);
+    *  - prefix half: the prefix-min of the LARGEST key `<= k+hi` in
+    *    its block — emitted only when the two blocks differ;
+    *  - band extremum = least/greatest of the halves (null-skipping,
+    *    so an empty band yields NULL — the SQL empty-frame semantics —
+    *    and all-null values propagate NULL through the per-key min).
+    *
+    * The two lookups are per-block as-of scans (union the probe rows
+    * into the block, `last_value IGNORE NULLS` over a DESC scan for
+    * the suffix half, ASC for the prefix half) — again native
+    * partitioned windows. Total cost: one hash-agg over the input +
+    * a handful of shuffles of the per-distinct-key table; no stage
+    * sees more than one block per partition-task unless a single
+    * W-wide slice of the value axis holds a large share of all
+    * distinct keys — and in that regime every band covers most of the
+    * domain, so the OUTPUT itself is near-global. `keyCol` must be
+    * integral and non-null (null-key rows drop from the output — same
+    * contract as [[sumCountOverRange]]); `valCol` may be any orderable
+    * type. `lo`/`hi` are signed magnitudes exactly as in
+    * [[sumCountOverRange]]; a frame with `lo + hi < 0` is empty for
+    * every row and short-circuits to NULL columns. */
+  def minMaxOverRange(df: DataFrame, keyCol: String, valCol: String,
+      lo: Long, hi: Long, outMin: String, outMax: String): DataFrame = {
+    require(!df.columns.exists(_.startsWith("__rmm_")), "__rmm_ columns are reserved")
+    val vt = df.schema(valCol).dataType
+    if (lo + hi < 0) {
+      return df.withColumn(outMin, lit(null).cast(vt))
+        .withColumn(outMax, lit(null).cast(vt))
+    }
+    val w = lo + hi + 1
+    def fd(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftexprs.GraftFunctions.floorDiv(c, w)
+
+    val perKey = df
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("bigint").as("__rmm_k"))
+      .agg(min(col(valCol)).as("__rmm_mn"), max(col(valCol)).as("__rmm_mx"))
+      .withColumn("__rmm_blk", fd(col("__rmm_k")))
+
+    // per-block prefix/suffix extrema — one shuffle+sort, two frames
+    val blkWin = "OVER (PARTITION BY __rmm_blk ORDER BY __rmm_k ROWS BETWEEN"
+    val withPS = perKey.selectExpr("__rmm_k", "__rmm_blk",
+      s"min(__rmm_mn) $blkWin UNBOUNDED PRECEDING AND CURRENT ROW) AS __rmm_pmn",
+      s"max(__rmm_mx) $blkWin UNBOUNDED PRECEDING AND CURRENT ROW) AS __rmm_pmx",
+      s"min(__rmm_mn) $blkWin CURRENT ROW AND UNBOUNDED FOLLOWING) AS __rmm_smn",
+      s"max(__rmm_mx) $blkWin CURRENT ROW AND UNBOUNDED FOLLOWING) AS __rmm_smx")
+
+    def base(v1: String, v2: String) = withPS.selectExpr(
+      "__rmm_blk AS __rmm_b", "__rmm_k AS __rmm_pos", "0 AS __rmm_side",
+      "CAST(NULL AS BIGINT) AS __rmm_probe",
+      s"$v1 AS __rmm_v1", s"$v2 AS __rmm_v2")
+    def probe(off: Long, filterTwoBlocks: Boolean) = {
+      val p0 = perKey.select(col("__rmm_k"),
+        (col("__rmm_k") + lit(off)).as("__rmm_pos"))
+      val p1 = if (filterTwoBlocks)
+        p0.filter(fd(col("__rmm_k") + hi) =!= fd(col("__rmm_k") - lo)) else p0
+      p1.select(fd(col("__rmm_pos")).as("__rmm_b"), col("__rmm_pos"),
+        lit(1).as("__rmm_side"), col("__rmm_k").as("__rmm_probe"),
+        lit(null).cast(vt).as("__rmm_v1"), lit(null).cast(vt).as("__rmm_v2"))
+    }
+    def asof(rows: DataFrame, desc: Boolean): DataFrame = {
+      val dir = if (desc) "DESC" else "ASC"
+      rows.selectExpr("__rmm_probe",
+        s"last_value(__rmm_v1, true) OVER (PARTITION BY __rmm_b ORDER BY" +
+          s" __rmm_pos $dir, __rmm_side ROWS BETWEEN UNBOUNDED PRECEDING" +
+          s" AND CURRENT ROW) AS __rmm_g1",
+        s"last_value(__rmm_v2, true) OVER (PARTITION BY __rmm_b ORDER BY" +
+          s" __rmm_pos $dir, __rmm_side ROWS BETWEEN UNBOUNDED PRECEDING" +
+          s" AND CURRENT ROW) AS __rmm_g2")
+        .filter(col("__rmm_probe").isNotNull)
+    }
+
+    // suffix half at k-lo (DESC scan: the last non-null seen at the
+    // probe is the suffix extremum of the smallest in-block key >= k-lo;
+    // base rows sort before an equal-position probe, so an exact-match
+    // key is visible — inclusive lower bound)
+    val sufHalf = asof(
+      base("__rmm_smn", "__rmm_smx").unionByName(
+        probe(-lo, filterTwoBlocks = false)),
+      desc = true)
+    // prefix half at k+hi (ASC scan; only when the band spans 2 blocks)
+    val prefHalf = asof(
+      base("__rmm_pmn", "__rmm_pmx").unionByName(
+        probe(hi, filterTwoBlocks = true)),
+      desc = false)
+
+    val bands = sufHalf.unionByName(prefHalf)
+      .groupBy(col("__rmm_probe").as("__rmm_k2"))
+      .agg(min("__rmm_g1").as("__rmm_band_mn"), max("__rmm_g2").as("__rmm_band_mx"))
+
+    df.join(bands, col(keyCol).cast("bigint") === col("__rmm_k2"))
+      .withColumn(outMin, col("__rmm_band_mn"))
+      .withColumn(outMax, col("__rmm_band_mx"))
+      .drop("__rmm_k2", "__rmm_band_mn", "__rmm_band_mx")
+  }
 }

@@ -81,6 +81,60 @@ object RangeJoin {
     l.join(r, cond).drop(bkt)
   }
 
+  /** Inner interval-OVERLAP join: pairs whose inclusive intervals
+    * intersect — `l.lo <= r.hi AND r.lo <= l.hi` — the temporal-overlap
+    * shape (sessions × outages, bookings × maintenance windows) that
+    * stock Spark, lacking an equi-key, plans as a nested loop. Both
+    * sides are replicated over the fixed-width buckets their interval
+    * covers, and each qualifying pair is counted in exactly ONE bucket:
+    * the one containing `greatest(l.lo, r.lo)` — the start of the
+    * intersection, which by definition lies inside BOTH intervals, so
+    * both sides carry that bucket and the ownership predicate keeps
+    * only it. Output-exact, no dedup.
+    *
+    * Degenerate rows (`lo > hi`) can still satisfy the raw predicate
+    * pair (e.g. `r.lo <= l.hi < l.lo <= r.hi`), so they are NOT
+    * filtered: each side explodes over the NORMALIZED span
+    * `[least(lo,hi), greatest(lo,hi)]`, which provably covers the
+    * ownership bucket of every qualifying pair (if `greatest(l.lo,
+    * r.lo) = r.lo > l.lo` then the predicate forces `r.lo <= l.hi`, so
+    * `r.lo` sits inside `[l.lo, l.hi]` — and symmetrically). Rows with
+    * a NULL bound never match and are dropped pre-shuffle.
+    *
+    * Cost at 100 TB: replication factor per side is `span / w + 1`, so
+    * size `bucketWidth` near the LONGER side's typical span (factor
+    * ≈ 2 on both sides); after that it is an ordinary equi-join — AQE
+    * broadcast/skew handling applies as-is. */
+  def intervalOverlap(
+      left: DataFrame, lLoCol: String, lHiCol: String,
+      right: DataFrame, rLoCol: String, rHiCol: String,
+      bucketWidth: Long,
+      keys: Seq[(String, String)] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val overlapNames = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlapNames.isEmpty,
+      s"left/right column names must be disjoint, both have: ${overlapNames.mkString(", ")}")
+    val bkt = "__graft_bucket"
+    require(!left.columns.contains(bkt) && !right.columns.contains(bkt),
+      s"$bkt is reserved")
+
+    def exploded(df: DataFrame, loCol: String, hiCol: String): DataFrame =
+      df.filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+        .withColumn(bkt, explode(sequence(
+          floorDiv(least(col(loCol), col(hiCol)), bucketWidth),
+          floorDiv(greatest(col(loCol), col(hiCol)), bucketWidth))))
+
+    val l = exploded(left, lLoCol, lHiCol)
+    val r = exploded(right, rLoCol, rHiCol)
+    val cond = keys.foldLeft(
+      l(bkt) === r(bkt) &&
+        l(lLoCol) <= r(rHiCol) && r(rLoCol) <= l(lHiCol) &&
+        floorDiv(greatest(l(lLoCol), r(rLoCol)), bucketWidth) === l(bkt)) {
+      case (c, (lk, rk)) => c && l(lk) === r(rk)
+    }
+    l.join(r, cond).drop(bkt)
+  }
+
   /** Symmetric band join: pairs where `|l.lCol - r.rCol| <= tol` —
     * near-duplicate blocking on a scalar axis (timestamps within a
     * tolerance, lengths within a delta). Sugar over [[pointInInterval]]

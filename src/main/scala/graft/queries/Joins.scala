@@ -75,11 +75,78 @@ object Joins {
       .orderBy("signup_id")
   }
 
+  private val FiveMinUs = 300L * 1000 * 1000
+
+  /** q87: interval-OVERLAP join — signup windows (10 min) against error
+    * windows (5 min), no user key: which signups had ANY error window
+    * intersecting theirs, and how severe. Both join inputs are
+    * INTERVALS, so even the point-bucketing of q82 doesn't apply and
+    * stock Spark is back to the nested loop.
+    * [[RangeJoin.intervalOverlap]] replicates both sides over
+    * fixed-width buckets and keeps each qualifying pair only in the
+    * bucket of `greatest(lo, lo)` — the intersection start — so the
+    * plan is an ordinary equi-join, exact with no dedup. */
+  def q87IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val raw = events(spark, dir)
+    val ev = raw.select(col("event_id"), tsMicros(raw).as("ts_us"),
+      col("event_type"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts_us").as("s_lo"),
+        (col("ts_us") + TenMinUs).as("s_hi"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts_us").as("e_lo"),
+        (col("ts_us") + FiveMinUs).as("e_hi"), col("value").as("e_value"))
+    RangeJoin.intervalOverlap(
+        signups, "s_lo", "s_hi", errors, "e_lo", "e_hi", bucketWidth = TenMinUs)
+      .groupBy("signup_id")
+      .agg(count(lit(1)).as("n_err"), dbl(sum(d6w(col("e_value")))).as("sum_sev"))
+      .orderBy("signup_id")
+  }
+
+  val q87Sql: String = {
+    import graft.util.Tables.{sql => S}
+    s"""SELECT s.event_id AS signup_id, count(*) AS n_err,
+         ${S.sumD6w("e.value", "sum_sev")}
+       FROM events s JOIN events e
+         ON epoch_us(s.ts) <= epoch_us(e.ts) + $FiveMinUs
+        AND epoch_us(e.ts) <= epoch_us(s.ts) + $TenMinUs
+       WHERE s.event_type = 'signup' AND e.event_type = 'error'
+       GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** q88: the SAME semantics as q87 spelled as a plain SQL inequality
+    * join — two cross-side upper bounds, one on each side's interval
+    * start. No point expression is bounded both below and above, so the
+    * q85 point-in-interval rewrite can NOT fire; the overlap extension
+    * of [[org.apache.spark.sql.graftplans.RewriteRangeJoins]] detects
+    * the two-sided pattern and manufactures the bucketed equi-join with
+    * the intersection-start ownership residual. Same oracle as q87. */
+  def q88AutoIntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val raw = events(spark, dir)
+    val ev = raw.select(col("event_id"), tsMicros(raw).as("ts_us"),
+      col("event_type"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts_us").as("s_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts_us").as("e_ts"),
+        col("value").as("e_value"))
+    signups.join(errors,
+        col("s_ts") <= col("e_ts") + FiveMinUs &&
+          col("e_ts") <= col("s_ts") + TenMinUs)
+      .groupBy("signup_id")
+      .agg(count(lit(1)).as("n_err"), dbl(sum(d6w(col("e_value")))).as("sum_sev"))
+      .orderBy("signup_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_range_join" -> (q82RangeJoin _),
-    "q85_auto_range_join" -> (q85AutoRangeJoin _))
+    "q85_auto_range_join" -> (q85AutoRangeJoin _),
+    "q87_interval_overlap" -> (q87IntervalOverlap _),
+    "q88_auto_interval_overlap" -> (q88AutoIntervalOverlap _))
 
   val oracles: Map[String, String] = Map(
     "q82_range_join" -> q82Sql,
-    "q85_auto_range_join" -> q82Sql)
+    "q85_auto_range_join" -> q82Sql,
+    "q87_interval_overlap" -> q87Sql,
+    "q88_auto_interval_overlap" -> q87Sql)
 }

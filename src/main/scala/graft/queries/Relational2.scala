@@ -488,6 +488,123 @@ object Relational2 {
              lw AS (ORDER BY n_chars RANGE BETWEEN 220 PRECEDING AND 170 PRECEDING)
       ORDER BY doc_id"""
 
+  /** q89: min/max over RANGE value-offset frames — the NON-invertible
+    * aggregates, where q84's prefix-difference trick cannot apply.
+    * [[graft.functions.RangeFrames.minMaxOverRange]] uses the
+    * aligned-block sliding-extrema decomposition instead: per-block
+    * prefix/suffix extrema (native `PARTITION BY block` windows) answer
+    * every band as a two-block least/greatest. Two bands: an ordinary
+    * one and a fully-shifted one whose frame is often EMPTY (min/max
+    * NULL — the SQL edge semantics). n_chars has ties, gating
+    * peer-identity. */
+  def q89MinMaxRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val banded = RangeFrames.minMaxOverRange(
+      d, "n_chars", "doc_id", 90L, 60L, "band_min_id", "band_max_id")
+    RangeFrames.minMaxOverRange(
+        banded, "n_chars", "doc_id", 260L, -200L, "low_min_id", "low_max_id")
+      .select(col("doc_id"), col("n_chars"), col("band_min_id"),
+        col("band_max_id"), col("low_min_id"), col("low_max_id"))
+      .orderBy("doc_id")
+  }
+
+  val q89Sql: String =
+    """SELECT doc_id, n_chars,
+             min(doc_id) OVER w AS band_min_id,
+             max(doc_id) OVER w AS band_max_id,
+             min(doc_id) OVER lw AS low_min_id,
+             max(doc_id) OVER lw AS low_max_id
+      FROM documents
+      WINDOW w AS (ORDER BY n_chars RANGE BETWEEN 90 PRECEDING AND 60 FOLLOWING),
+             lw AS (ORDER BY n_chars RANGE BETWEEN 260 PRECEDING AND 200 PRECEDING)
+      ORDER BY doc_id"""
+
+  private val SessionGapUs = 120L * 1000 * 1000
+
+  /** q90: batch sessionization (gaps-and-islands) over the GLOBAL event
+    * stream — no partition key, so every window in the classic
+    * lag→flag→running-sum composition is partition-less, exactly the
+    * single-partition anti-shape stock Spark plans; with
+    * GraftExtensions the lag distributes as
+    * [[org.apache.spark.sql.graftplans.GlobalOffset]] and the running
+    * session counter as [[org.apache.spark.sql.graftplans.GlobalRunningSum]],
+    * stacked over one range shuffle each. The session aggregate after
+    * is an ordinary hash agg. */
+  def q90BatchSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val raw = events(spark, dir)
+    val ev = raw.select(tsMicros(raw).as("ts_us"), col("event_id"), col("value"))
+    ev.selectExpr("ts_us", "event_id", "value",
+        s"CASE WHEN ts_us - lag(ts_us) OVER (ORDER BY ts_us, event_id)" +
+          s" > ${SessionGapUs}L THEN 1L ELSE 0L END AS new_sess")
+      .selectExpr("ts_us", "event_id", "value",
+        "sum(new_sess) OVER (ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED" +
+          " PRECEDING AND CURRENT ROW) AS session_id")
+      .groupBy("session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+        dbl(sum(d6w(col("value")))).as("sum_value"))
+      .orderBy("session_id")
+  }
+
+  val q90Sql: String = {
+    import graft.util.Tables.{sql => S}
+    s"""WITH flagged AS (
+        SELECT epoch_us(ts) AS ts_us, event_id, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (ORDER BY epoch_us(ts), event_id) > $SessionGapUs
+                 THEN 1 ELSE 0 END AS new_sess
+        FROM events
+      ), sessioned AS (
+        SELECT ts_us, event_id, value,
+               CAST(sum(new_sess) OVER (ORDER BY ts_us, event_id ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM flagged
+      )
+      SELECT session_id, count(*) AS n_events,
+             max(ts_us) - min(ts_us) AS span_us,
+             ${S.sumD6w("value", "sum_value")}
+      FROM sessioned GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** q91: the q89 capability spelled as PLAIN SQL — min/max over a
+    * value-offset RANGE window, MIXED with sum/count in the same node.
+    * With GraftExtensions the
+    * [[org.apache.spark.sql.graftplans.RewriteRangeFrames]] min/max
+    * extension lowers the extrema through the aligned-block pipeline
+    * (per-block prefix/suffix extrema + per-block as-of scans, all
+    * native hash-partitioned windows) while the sum/count channels ride
+    * the prefix-difference path — one shared per-key aggregate, no
+    * single-partition sort anywhere. The second window is min/max-only
+    * over a far-shifted band with many EMPTY frames (NULL semantics). */
+  def q91SqlMinMaxFrame(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents").createOrReplaceTempView("graft_q91_docs")
+    spark.sql(
+      """SELECT doc_id, n_chars,
+           min(doc_id) OVER w AS band_min_id,
+           max(doc_id) OVER w AS band_max_id,
+           count(*) OVER w AS band_n,
+           sum(n_chars) OVER w AS band_chars,
+           min(lang) OVER lw AS low_min_lang,
+           max(lang) OVER lw AS low_max_lang
+         FROM graft_q91_docs
+         WINDOW w AS (ORDER BY n_chars RANGE BETWEEN 90 PRECEDING AND 60 FOLLOWING),
+                lw AS (ORDER BY n_chars RANGE BETWEEN 260 PRECEDING AND 200 PRECEDING)
+         ORDER BY doc_id""")
+  }
+
+  val q91Sql: String =
+    """SELECT doc_id, n_chars,
+             min(doc_id) OVER w AS band_min_id,
+             max(doc_id) OVER w AS band_max_id,
+             count(*) OVER w::BIGINT AS band_n,
+             (sum(n_chars) OVER w)::BIGINT AS band_chars,
+             min(lang) OVER lw AS low_min_lang,
+             max(lang) OVER lw AS low_max_lang
+      FROM documents
+      WINDOW w AS (ORDER BY n_chars RANGE BETWEEN 90 PRECEDING AND 60 FOLLOWING),
+             lw AS (ORDER BY n_chars RANGE BETWEEN 260 PRECEDING AND 200 PRECEDING)
+      ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rollup" -> (q19Rollup _),
     "q34_set_ops" -> (q34SetOps _),
@@ -503,6 +620,9 @@ object Relational2 {
     "q83_interval_concurrency" -> (q83IntervalConcurrency _),
     "q84_range_frame" -> (q84RangeFrame _),
     "q86_sql_range_frame" -> (q86SqlRangeFrame _),
+    "q89_minmax_range_frame" -> (q89MinMaxRangeFrame _),
+    "q90_batch_sessionize" -> (q90BatchSessionize _),
+    "q91_sql_minmax_frame" -> (q91SqlMinMaxFrame _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -520,5 +640,8 @@ object Relational2 {
     "q83_interval_concurrency" -> q83Sql,
     "q84_range_frame" -> q84Sql,
     "q86_sql_range_frame" -> q86Sql,
+    "q89_minmax_range_frame" -> q89Sql,
+    "q90_batch_sessionize" -> q90Sql,
+    "q91_sql_minmax_frame" -> q91Sql,
   )
 }

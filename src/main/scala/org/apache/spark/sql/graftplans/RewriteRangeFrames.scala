@@ -104,9 +104,17 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
         Some(None)
       case c: Count if c.children.length == 1 && c.children.head.deterministic =>
         Some(Some(c.children.head))
+      case m: Min if m.child.deterministic => Some(Some(m.child))
+      case m: Max if m.child.deterministic => Some(Some(m.child))
       case _ => None
     }
   }
+
+  private def isMinMax(ae: AggregateExpression): Boolean =
+    ae.aggregateFunction match {
+      case _: Min | _: Max => true
+      case _ => false
+    }
 
   private def fires(w: Window): Boolean = {
     if (w.partitionSpec.nonEmpty || w.orderSpec.length != 1 ||
@@ -122,7 +130,16 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
     val frames = w.windowExpressions.map {
       case Alias(we: WindowExpression, _) =>
         we.windowFunction match {
-          case ae: AggregateExpression if aggInput(ae).isDefined => frameOf(we)
+          case ae: AggregateExpression if aggInput(ae).isDefined =>
+            frameOf(we) match {
+              // min/max are not prefix-invertible: they lower through
+              // the aligned-block pipeline, which needs both bounds
+              // FINITE (an unbounded side has no block width; pure
+              // running min/max belongs to the sibling's peer-aware
+              // path anyway) — such a node stays with stock
+              case Some((l, h)) if isMinMax(ae) && (l.isEmpty || h.isEmpty) => None
+              case f => f
+            }
           case _ => None
         }
       case _ => None
@@ -188,6 +205,13 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
       inputs.indexWhere(_.canonicalized == e.canonicalized)
     def sumIdx(e: Expression): Int =
       sumInputs.indexWhere(_.canonicalized == e.canonicalized)
+    // min/max channels: NOT prefix-invertible — they lower through the
+    // per-frame aligned-block pipeline below, fed by per-key extrema
+    val mmAggs = weAggs.filter { case (_, ae, _) => isMinMax(ae) }
+    val mmInputs: Seq[Expression] = dedup(mmAggs.map { case (_, ae, _) =>
+      aggInput(ae).get.get })
+    def mmIdx(e: Expression): Int =
+      mmInputs.indexWhere(_.canonicalized == e.canonicalized)
 
     // 1. per-distinct-key aggregates
     val keyAl = Alias(kL, "__grf_k")()
@@ -198,11 +222,20 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
     val sAls = sumInputs.zipWithIndex.map { case (e, i) =>
       Alias(Sum(longify(e)).toAggregateExpression(), s"__grf_s$i")()
     }
-    val perKey = Aggregate(Seq(kL), keyAl +: cntAl +: (nnAls ++ sAls), child)
+    val mnAls = mmInputs.zipWithIndex.map { case (e, i) =>
+      Alias(Min(e).toAggregateExpression(), s"__grf_mn$i")()
+    }
+    val mxAls = mmInputs.zipWithIndex.map { case (e, i) =>
+      Alias(Max(e).toAggregateExpression(), s"__grf_mx$i")()
+    }
+    val perKey = Aggregate(Seq(kL),
+      keyAl +: cntAl +: (nnAls ++ sAls ++ mnAls ++ mxAls), child)
     val kA = keyAl.toAttribute
     val cntA = cntAl.toAttribute
     val nnAs = nnAls.map(_.toAttribute)
     val sAs = sAls.map(_.toAttribute)
+    val mnAs = mnAls.map(_.toAttribute)
+    val mxAs = mxAls.map(_.toAttribute)
     val chans: Seq[Attribute] = cntA +: (nnAs ++ sAs)
 
     val keyNullable = kL.nullable
@@ -341,11 +374,119 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
     def bSA(fi: Int, i: Int): Attribute =
       bandsAll.output(1 + fi * nChan + 1 + nIn + i)
 
+    // 6b. per-frame aligned-block extrema tables for min/max. Every
+    // band of frame (lo, hi) — keys in [k+lo, k+hi] — has the same
+    // VALUE width W = hi−lo+1, so blocks of width W aligned at
+    // multiples of W make every band a suffix of block(k+lo) plus a
+    // prefix of block(k+hi) (at most two blocks): per-block running
+    // prefix/suffix extrema (PARTITION BY block — native hash-
+    // distributed windows) answer both halves through per-block as-of
+    // scans (DESC scan finds the suffix value of the smallest in-block
+    // key ≥ k+lo — every such key is in-band; ASC scan the prefix
+    // value of the largest key ≤ k+hi, emitted only when the blocks
+    // differ). Min/least skip nulls, so an empty band is NULL — the
+    // SQL empty-frame semantics.
+    def fd(x: Expression, wid: Long): Expression = {
+      val wl = Literal(wid)
+      IntegralDivide(Subtract(x, Pmod(x, wl)), wl, EvalMode.LEGACY)
+    }
+    def extrema(fi: Int): LogicalPlan = {
+      val lo = frames(fi)._1.get
+      val hi = frames(fi)._2.get
+      val wWidth = hi - lo + 1
+      val blkAl = Alias(fd(kA, wWidth), "__grf_blk")()
+      val blkProj = Project(Seq(kA) ++ mnAs ++ mxAs :+ blkAl, nonNull)
+      val blkA = blkProj.output.last
+      val blkOrder = Seq(SortOrder(kA, Ascending))
+      val sufFrame = SpecifiedWindowFrame(RowFrame, CurrentRow, UnboundedFollowing)
+      def wexpr(f: SpecifiedWindowFrame, agg: AggregateExpression, n: String) =
+        Alias(WindowExpression(agg,
+          WindowSpecDefinition(Seq(blkA), blkOrder, f)), n)()
+      val psAls = mmInputs.indices.flatMap { i =>
+        Seq(wexpr(runFrame, Min(mnAs(i)).toAggregateExpression(), s"__grf_pmn$i"),
+          wexpr(runFrame, Max(mxAs(i)).toAggregateExpression(), s"__grf_pmx$i"),
+          wexpr(sufFrame, Min(mnAs(i)).toAggregateExpression(), s"__grf_smn$i"),
+          wexpr(sufFrame, Max(mxAs(i)).toAggregateExpression(), s"__grf_smx$i"))
+      }
+      val psWin = Window(psAls, Seq(blkA), blkOrder, blkProj)
+      val psA = psAls.map(_.toAttribute)
+
+      def branch(plan: LogicalPlan, b: Expression, pos: Expression, side: Int,
+          probe: Expression, vals: Seq[Expression]): LogicalPlan =
+        Project(Alias(b, "__grf_eb")() +: Alias(pos, "__grf_epos")() +:
+          Alias(Literal(side), "__grf_eside")() +:
+          Alias(probe, "__grf_eprobe")() +:
+          vals.zipWithIndex.map { case (v, i) => Alias(v, s"__grf_ev$i")() },
+          plan)
+      val nullVals: Seq[Expression] = mmInputs.indices.flatMap(i =>
+        Seq(Literal.create(null, mnAs(i).dataType),
+          Literal.create(null, mxAs(i).dataType)))
+      def scan(u: Union, descPos: Boolean): LogicalPlan = {
+        val eb = u.output(0); val epos = u.output(1); val eside = u.output(2)
+        val eprobe = u.output(3); val evs = u.output.drop(4)
+        val ord = Seq(SortOrder(epos, if (descPos) Descending else Ascending),
+          SortOrder(eside, Ascending))
+        val gAls = evs.zipWithIndex.map { case (v, i) =>
+          Alias(WindowExpression(
+            Last(v, ignoreNulls = true).toAggregateExpression(),
+            WindowSpecDefinition(Seq(eb), ord, runFrame)), s"__grf_eg$i")()
+        }
+        val sw = Window(gAls, Seq(eb), ord, u)
+        Project(eprobe +: gAls.map(_.toAttribute),
+          Filter(Not(EqualTo(eside, Literal(0))), sw))
+      }
+      val sufHalf = scan(Union(Seq(
+        branch(psWin, blkA, kA, 0, nullLong,
+          mmInputs.indices.flatMap(i => Seq(psA(4 * i + 2), psA(4 * i + 3)))),
+        branch(nonNull, fd(Add(kA, Literal(lo)), wWidth),
+          Add(kA, Literal(lo)), 1, kA, nullVals))), descPos = true)
+      val twoBlocks = Not(EqualTo(fd(Add(kA, Literal(hi)), wWidth),
+        fd(Add(kA, Literal(lo)), wWidth)))
+      val prefHalf = scan(Union(Seq(
+        branch(psWin, blkA, kA, 0, nullLong,
+          mmInputs.indices.flatMap(i => Seq(psA(4 * i), psA(4 * i + 1)))),
+        branch(Filter(twoBlocks, nonNull), fd(Add(kA, Literal(hi)), wWidth),
+          Add(kA, Literal(hi)), 1, kA, nullVals))), descPos = false)
+      val both = Union(Seq(sufHalf, prefHalf))
+      val pA = both.output.head
+      val gAs = both.output.tail
+      val eAls = Alias(pA, "__grf_ek")() +: mmInputs.indices.flatMap { i =>
+        Seq(Alias(Min(gAs(2 * i)).toAggregateExpression(),
+          s"__grf_emn${fi}_$i")(),
+          Alias(Max(gAs(2 * i + 1)).toAggregateExpression(),
+            s"__grf_emx${fi}_$i")()): Seq[NamedExpression]
+      }
+      val agg = Aggregate(Seq(pA), eAls, both)
+      // the null peer group's bounded frame is exactly its own peers
+      if (!keyNullable) agg else {
+        val nullRow = Project(Alias(kA, "__grf_ek")() +:
+          mmInputs.indices.flatMap { i =>
+            Seq(Alias(mnAs(i), s"__grf_emn${fi}_$i")(),
+              Alias(mxAs(i), s"__grf_emx${fi}_$i")()): Seq[NamedExpression]
+          }, Filter(IsNull(kA), perKey))
+        Union(Seq(agg, nullRow))
+      }
+    }
+    // frames that carry a min/max and are non-empty (W >= 1; an
+    // always-empty frame restores a NULL literal, no table needed)
+    val mmFrameIdx: Seq[Int] = mmAggs.map(t => frameIdx(t._3)).distinct
+      .filter(fi => frames(fi)._2.get - frames(fi)._1.get >= 0)
+    val mmTables: Map[Int, LogicalPlan] =
+      mmFrameIdx.map(fi => fi -> extrema(fi)).toMap
+    def eMnA(fi: Int, i: Int): Attribute = mmTables(fi).output(1 + 2 * i)
+    def eMxA(fi: Int, i: Int): Attribute = mmTables(fi).output(1 + 2 * i + 1)
+
     // 7. join back on the key (null-safe iff nullable) and restore the
     // Window's exact output attributes
     val joinCond =
       if (keyNullable) EqualNullSafe(kL, bkA) else EqualTo(kL, bkA)
     val joined = Join(child, bandsAll, Inner, Some(joinCond), JoinHint.NONE)
+    val withMm = mmFrameIdx.foldLeft(joined: LogicalPlan) { (acc, fi) =>
+      val e = mmTables(fi)
+      val c = if (keyNullable) EqualNullSafe(kL, e.output.head)
+        else EqualTo(kL, e.output.head)
+      Join(acc, e, Inner, Some(c), JoinHint.NONE)
+    }
     val restored = weAggs.map { case (a, ae, f) =>
       val fi = frameIdx(f)
       val value: Expression = ae.aggregateFunction match {
@@ -362,10 +503,16 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
             Literal.create(null, DoubleType),
             Divide(Cast(bSA(fi, sumIdx(av.child)), DoubleType),
               Cast(nn, DoubleType)))
+        case m: Min =>
+          if (mmTables.contains(fi)) eMnA(fi, mmIdx(m.child))
+          else Literal.create(null, m.dataType)
+        case m: Max =>
+          if (mmTables.contains(fi)) eMxA(fi, mmIdx(m.child))
+          else Literal.create(null, m.dataType)
       }
       Alias(value, a.name)(exprId = a.exprId, qualifier = a.qualifier,
         explicitMetadata = Some(a.metadata))
     }
-    Project(child.output ++ restored, joined)
+    Project(child.output ++ restored, withMm)
   }
 }

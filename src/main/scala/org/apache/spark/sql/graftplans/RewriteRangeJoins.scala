@@ -154,43 +154,63 @@ object RewriteRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
         hi.point.canonicalized == lo.point.canonicalized
     } yield (lo, hi)).nextOption()
 
-    pair.map { case (loB, hiB) =>
+    pair match {
+      case Some((loB, hiB)) => Some(buildPointRewrite(j, loB, hiB, cond))
+      // no point expression is bounded on both sides — try the
+      // two-interval OVERLAP shape (both sides replicated; inner-only,
+      // since a preserved side that explodes would duplicate
+      // preserved-but-unmatched rows)
+      case None if j.joinType == Inner => buildOverlapRewrite(j, all, cond)
+      case None => None
+    }
+  }
+
+  private def asLong(e: Expression): Expression = e.dataType match {
+    case LongType => e
+    case TimestampType => UnixMicros(e)
+    // NTZ stores naive micros in the same long layout; reinterpret
+    // through UTC specifically — a DST zone would make the
+    // naive→instant map non-monotone around transitions and could
+    // mis-bucket pairs into false negatives; UTC is the exact
+    // identity on the stored micros
+    case TimestampNTZType => UnixMicros(Cast(e, TimestampType, Some("UTC")))
+    // dates are days-since-epoch ints; datediff from day 0 is the
+    // exact identity on the stored value (a direct date→long cast
+    // is not a thing in ANSI)
+    case DateType => Cast(DateDiff(e, Literal(0, DateType)), LongType)
+    case _ => Cast(e, LongType)
+  }
+
+  private def floorDiv(x: Expression, w: Expression): Expression =
+    IntegralDivide(Subtract(x, Pmod(x, w)), w, EvalMode.LEGACY)
+
+  /** Pinned conf width, else `max(spanExpr)+1` measured over `plans`
+    * by one uncorrelated scalar subquery each — replication ≤ 2 per
+    * side. Greatest guards empty/all-degenerate sides (max over 0 rows
+    * is null; all-invalid spans go negative) from collapsing the width
+    * to nonsense. */
+  private def measuredWidth(spans: Seq[(Expression, LogicalPlan)]): Expression =
+    conf.getConfString(WidthConf, "") match {
+      case w if w.nonEmpty && w.toLong > 0 => Literal(w.toLong)
+      case _ =>
+        Greatest(Literal(1L) +: spans.map { case (span, plan) =>
+          val len = Alias(new Max(Add(span, Literal(1L)))
+            .toAggregateExpression(), "__graft_rj_maxlen")()
+          ScalarSubquery(Aggregate(Nil, Seq(len), plan)): Expression
+        })
+    }
+
+  private def buildPointRewrite(j: Join, loB: Bound, hiB: Bound,
+      cond: Expression): LogicalPlan = {
+    {
       val pointLeft = loB.pointLeft
       val (pointPlan, boundPlan) = if (pointLeft) (j.left, j.right) else (j.right, j.left)
-      def asLong(e: Expression) = e.dataType match {
-        case LongType => e
-        case TimestampType => UnixMicros(e)
-        // NTZ stores naive micros in the same long layout; reinterpret
-        // through UTC specifically — a DST zone would make the
-        // naive→instant map non-monotone around transitions and could
-        // mis-bucket pairs into false negatives; UTC is the exact
-        // identity on the stored micros
-        case TimestampNTZType => UnixMicros(Cast(e, TimestampType, Some("UTC")))
-        // dates are days-since-epoch ints; datediff from day 0 is the
-        // exact identity on the stored value (a direct date→long cast
-        // is not a thing in ANSI)
-        case DateType => Cast(DateDiff(e, Literal(0, DateType)), LongType)
-        case _ => Cast(e, LongType)
-      }
       val loL = asLong(loB.bound)
       val hiL = asLong(hiB.bound)
       val pL = asLong(loB.point)
 
-      // bucket width: pinned by conf, else measured as max(hi-lo)+1 —
-      // replication ≤ 2. Greatest guards the empty/degenerate interval
-      // side (max over 0 rows is null; all-invalid intervals go
-      // negative) from collapsing the width to nonsense.
-      val width: Expression = conf.getConfString(WidthConf, "") match {
-        case w if w.nonEmpty && w.toLong > 0 => Literal(w.toLong)
-        case _ =>
-          val len = Alias(new Max(Add(Subtract(hiL, loL), Literal(1L)))
-            .toAggregateExpression(), "__graft_rj_maxlen")()
-          Greatest(Seq(Literal(1L),
-            ScalarSubquery(Aggregate(Nil, Seq(len), boundPlan))))
-      }
-
-      def floorDiv(x: Expression, w: Expression): Expression =
-        IntegralDivide(Subtract(x, Pmod(x, w)), w, EvalMode.LEGACY)
+      // bucket width: measured as max(hi-lo)+1 over the interval side
+      val width = measuredWidth(Seq((Subtract(hiL, loL), boundPlan)))
 
       val pointBkt = Alias(floorDiv(pL, width), "__graft_rj_pb")()
       val pointProj = Project(pointPlan.output :+ pointBkt, pointPlan)
@@ -216,6 +236,59 @@ object RewriteRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
         else (gen, pointProj, bbAttr, pbAttr)
       val bucketed = Join(newLeft, newRight, j.joinType,
         Some(And(EqualTo(lb, rb), cond)), j.hint)
+      Project(j.output, bucketed)
+    }
+  }
+
+  /** Two-interval OVERLAP: a pair of conjuncts `l.s <= r.e` and
+    * `r.s <= l.e` — each side contributes an interval, no point is
+    * bounded twice, so [[buildPointRewrite]] cannot fire and stock
+    * Spark nested-loops. Both sides are replicated over the buckets
+    * their NORMALIZED span `[least(s,e), greatest(s,e)]` covers, and
+    * the residual keeps each qualifying pair only in the bucket of
+    * `greatest(l.s, r.s)` — the intersection start. Exactness
+    * (including degenerate `s > e` rows, which can still satisfy the
+    * raw predicates): if `greatest = r.s >= l.s` then the predicate
+    * forces `r.s <= l.e`, so `r.s` lies inside `[l.s, l.e]` ⊆ the
+    * left normalized span, and it is trivially inside the right span;
+    * symmetrically for `greatest = l.s`. Both Bounds come from
+    * DIFFERENT conjuncts by construction (one conjunct yields one
+    * upper-bound reading per side, never two). Inner-only: callers
+    * guarantee it (a replicated preserved side would duplicate
+    * preserved-but-unmatched rows). */
+  private def buildOverlapRewrite(j: Join, all: Seq[Bound],
+      cond: Expression): Option[LogicalPlan] = {
+    for {
+      u1 <- all.find(b => !b.lower && b.pointLeft) // l.s <= r.e
+      u2 <- all.find(b => !b.lower && !b.pointLeft) // r.s <= l.e
+    } yield {
+      val (lsL, reL) = (asLong(u1.point), asLong(u1.bound))
+      val (rsL, leL) = (asLong(u2.point), asLong(u2.bound))
+      val width = measuredWidth(Seq(
+        (Abs(Subtract(leL, lsL)), j.left),
+        (Abs(Subtract(reL, rsL)), j.right)))
+
+      def gen(plan: LogicalPlan, a: Expression, b: Expression,
+          name: String): (Generate, AttributeReference) = {
+        val attr = AttributeReference(name, LongType, nullable = false)()
+        // null bounds cannot satisfy the predicates; Sequence with a
+        // null endpoint is null and Explode(null) emits nothing, but
+        // Least/Greatest SKIP nulls — guard explicitly so a half-null
+        // row explodes away instead of surviving on one endpoint
+        val seq = If(Or(IsNull(a), IsNull(b)),
+          Literal.create(null, ArrayType(LongType, containsNull = false)),
+          new Sequence(floorDiv(Least(Seq(a, b)), width),
+            floorDiv(Greatest(Seq(a, b)), width))
+            .withTimeZone(conf.sessionLocalTimeZone))
+        (Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+          qualifier = None, generatorOutput = Seq(attr), child = plan), attr)
+      }
+      val (lGen, lb) = gen(j.left, lsL, leL, "__graft_rj_lb")
+      val (rGen, rb) = gen(j.right, rsL, reL, "__graft_rj_rb")
+
+      val ownership = EqualTo(floorDiv(Greatest(Seq(lsL, rsL)), width), lb)
+      val bucketed = Join(lGen, rGen, j.joinType,
+        Some(And(EqualTo(lb, rb), And(cond, ownership))), j.hint)
       Project(j.output, bucketed)
     }
   }

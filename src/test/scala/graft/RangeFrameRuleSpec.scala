@@ -124,6 +124,65 @@ class RangeFrameRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!odd.contains("__grf_"), odd)
   }
 
+  test("min/max value frames fire via the aligned-block pipeline, mixed with sums") {
+    val sql = """SELECT id, k,
+        min(v) OVER w AS mn, max(v) OVER w AS mx,
+        sum(v) OVER w AS s, count(*) OVER w AS c
+      FROM rfr_t WINDOW w AS (ORDER BY k RANGE BETWEEN 40 PRECEDING AND 25 FOLLOWING)"""
+    val p = planOf(sql)
+    assert(p.contains("__grf_emn"), s"min/max extrema table not planned:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a single-partition exchange survived:\n$p")
+    checkExact(sql)
+  }
+
+  test("min/max frame shapes: shifted, peers-only, always-empty, two frames") {
+    for (frame <- Seq(
+      "5 PRECEDING AND CURRENT ROW",
+      "CURRENT ROW AND CURRENT ROW",
+      "120 PRECEDING AND 70 PRECEDING",
+      "15 FOLLOWING AND 80 FOLLOWING",
+      // the analyzer rejects lower > upper, so an ALWAYS-empty frame is
+      // unexpressible from SQL (the rule's W<1 null path is defensive);
+      // sparse far-shifted bands still produce many EMPTY frames
+      "450 PRECEDING AND 390 PRECEDING")) {
+      val sql = s"""SELECT id, min(v) OVER w AS mn, max(v) OVER w AS mx
+        FROM rfr_t WINDOW w AS (ORDER BY k RANGE BETWEEN $frame)"""
+      assert(planOf(sql).contains("__grf_"), s"did not fire for $frame")
+      checkExact(sql)
+    }
+    // two DIFFERENT min/max frames in one node: one block pipeline each
+    val two = """SELECT id, min(v) OVER a AS mna, max(v) OVER b AS mxb
+      FROM rfr_t
+      WINDOW a AS (ORDER BY k RANGE BETWEEN 30 PRECEDING AND 10 FOLLOWING),
+             b AS (ORDER BY k RANGE BETWEEN 9 PRECEDING AND 45 FOLLOWING)"""
+    assert(planOf(two).contains("__grf_emn"))
+    checkExact(two)
+  }
+
+  test("min/max with null order keys and DESC direction stays exact") {
+    checkExact("""SELECT id, min(v) OVER w AS mn, max(v) OVER w AS mx
+      FROM rfr_t WINDOW w AS (ORDER BY k RANGE BETWEEN 35 PRECEDING AND 20 FOLLOWING)""")
+    checkExact("""SELECT id, min(v) OVER w AS mn, max(v) OVER w AS mx,
+        count(*) OVER w AS c
+      FROM rfr_t WINDOW w AS (ORDER BY k DESC RANGE BETWEEN 35 PRECEDING AND 20 FOLLOWING)""")
+  }
+
+  test("min/max over a string value column (any orderable type)") {
+    val sql = """SELECT id, min(concat('s', CAST(v AS STRING))) OVER w AS mn,
+        max(concat('s', CAST(v AS STRING))) OVER w AS mx
+      FROM rfr_t WINDOW w AS (ORDER BY k RANGE BETWEEN 25 PRECEDING AND 25 FOLLOWING)"""
+    assert(planOf(sql).contains("__grf_emn"), "string min/max did not fire")
+    checkExact(sql)
+  }
+
+  test("min/max with an UNBOUNDED frame side keeps the whole node with stock") {
+    val sql = """SELECT id, min(v) OVER w AS mn
+      FROM rfr_t WINDOW w AS (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND 5 FOLLOWING)"""
+    assert(!planOf(sql).contains("__grf_"),
+      "min/max with an unbounded bound must not fire")
+  }
+
   test("does not fire: non-integral key, double sum, pure running, PARTITION BY") {
     for (sql <- Seq(
       "SELECT sum(v) OVER (ORDER BY CAST(k AS DOUBLE) RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) s FROM rfr_t",

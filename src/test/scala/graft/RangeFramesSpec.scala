@@ -79,6 +79,82 @@ class RangeFramesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((1L, 2L, null), (2L, 2L, null), (3L, 1L, 7L)))
   }
 
+  private def checkMinMax(df: DataFrame, lo: Long, hi: Long): Unit = {
+    val got = RangeFrames.minMaxOverRange(df, "k", "v", lo, hi, "mn", "mx")
+      .select("id", "mn", "mx").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    val (loB, hiB) =
+      (if (lo >= 0) s"$lo PRECEDING" else s"${-lo} FOLLOWING",
+        if (hi >= 0) s"$hi FOLLOWING" else s"${-hi} PRECEDING")
+    df.createOrReplaceTempView("rf_in")
+    val want = spark.sql(
+      s"""SELECT id, min(v) OVER w AS mn, max(v) OVER w AS mx FROM rf_in
+          WINDOW w AS (ORDER BY k RANGE BETWEEN $loB AND $hiB)""")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    assert(got == want, s"min/max mismatch at frame [$lo, $hi]")
+  }
+
+  test("min/max bands match the built-in RANGE window across frame shapes") {
+    for (seed <- Seq(4L, 5L)) {
+      val df = data(seed, 400)
+      checkMinMax(df, 50L, 30L)    // ordinary band
+      checkMinMax(df, 700L, 700L)  // covers everything
+      checkMinMax(df, 10L, -2L)    // shifted below
+      checkMinMax(df, -2L, 10L)    // shifted above
+      checkMinMax(df, 0L, 0L)      // peers only
+      checkMinMax(df, 2000L, -1500L) // every frame empty: NULL/NULL
+      checkMinMax(df, 1L, 0L)      // W=2: minimal two-block windows
+    }
+  }
+
+  test("min/max: sparse keys, all-null-value bands, block-aligned edges") {
+    val sp = spark
+    import sp.implicits._
+    // keys far apart (empty bands in between), nulls, exact multiples
+    // of the block width W = 11 (lo=7, hi=3) sitting on block edges
+    val df = Seq((1L, 0L, Some(5L)), (2L, 11L, None), (3L, 22L, Some(-9L)),
+      (4L, 1000L, Some(1L)), (5L, -44L, Some(3L)), (6L, 14L, Some(2L)))
+      .toDF("id", "k", "v")
+    checkMinMax(df, 7L, 3L)
+    checkMinMax(df, 0L, 11L)
+    checkMinMax(df, 11L, 0L)
+  }
+
+  test("min/max works on string values (any orderable type)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(6L)
+    val df = (0 until 200).map { i =>
+      val k = rnd.between(-50L, 50L)
+      val v = if (rnd.nextInt(4) == 0) None else Some("s" + rnd.nextInt(100))
+      (i.toLong, k, v)
+    }.toDF("id", "k", "v")
+    val got = RangeFrames.minMaxOverRange(df, "k", "v", 5L, 5L, "mn", "mx")
+      .select("id", "mn", "mx").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    df.createOrReplaceTempView("rf_in")
+    val want = spark.sql(
+      """SELECT id, min(v) OVER w AS mn, max(v) OVER w AS mx FROM rf_in
+         WINDOW w AS (ORDER BY k RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want)
+  }
+
+  test("min/max plan: only hash-partitioned windows, no partition-less Window") {
+    val df = data(7L, 200)
+    val plan = RangeFrames.minMaxOverRange(df, "k", "v", 50L, 30L, "mn", "mx")
+      .queryExecution.executedPlan.toString
+    // every Window node in the composition is PARTITION BY block —
+    // distributed natively by Spark; none is global (single-partition)
+    assert(!plan.contains("SinglePartition"),
+      s"a single-partition exchange survived:\n$plan")
+  }
+
   test("the composition's internal windows distribute — no stock Window node") {
     val df = data(3L, 200)
     val p = RangeFrames.sumCountOverRange(df, "k", "v", 50L, 30L, "cnt", "s")

@@ -154,6 +154,69 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Interval pairs for the overlap shape, degenerate (s > e) rows
+    * included — those can still satisfy the raw predicate pair and the
+    * rewrite must keep them exact. */
+  private def ivPairs(seed: Long, n: Int): (DataFrame, DataFrame) = {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(seed)
+    def mk(base: Long, sC: String, eC: String, idC: String) =
+      (0 until n).map { i =>
+        val s = rnd.between(-500L, 500L)
+        (base + i, s, s + rnd.between(-80L, 120L))
+      }.toDF(idC, sC, eC)
+    (mk(0L, "ls", "le", "lid"), mk(10000L, "rs", "re", "rid"))
+  }
+
+  private def ovPairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("overlap shape fires: equi-join plan, exact pairs incl. degenerate, no dups") {
+    val (l, r) = ivPairs(21L, 300)
+    val cond = col("ls") <= col("re") && col("rs") <= col("le")
+    val joined = l.join(r, cond)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("__graft_rj_lb"), s"overlap rewrite did not fire:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val got = joined.select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.length == got.toSet.size, "overlap bucketing duplicated pairs")
+    val want = withRule(on = false)(ovPairs(l.join(r, cond)))
+    assert(got.toSet == want)
+  }
+
+  test("overlap via strict bounds and swapped operands fires and stays exact") {
+    val (l, r) = ivPairs(22L, 250)
+    val cond = col("re") > col("ls") && col("le") >= col("rs")
+    val joined = l.join(r, cond)
+    assert(joined.queryExecution.executedPlan.toString.contains("__graft_rj_lb"))
+    assert(ovPairs(joined) == withRule(on = false)(ovPairs(l.join(r, cond))))
+  }
+
+  test("overlap never fires for outer/semi/anti joins (both sides replicate)") {
+    val (l, r) = ivPairs(23L, 100)
+    val cond = col("ls") <= col("re") && col("rs") <= col("le")
+    for (jt <- Seq("left", "right", "full", "left_semi", "left_anti")) {
+      val p = l.join(r, cond, jt).queryExecution.executedPlan.toString
+      assert(!p.contains("__graft_rj_lb"), s"overlap fired for $jt:\n$p")
+    }
+  }
+
+  test("overlap on timestamp axes with nulls stays exact") {
+    val sp = spark
+    import sp.implicits._
+    val (lL, rL) = ivPairs(24L, 200)
+    val l = lL.selectExpr("lid", "timestamp_micros(ls) AS ls", "timestamp_micros(le) AS le")
+      .unionByName(Seq((9999L, None: Option[Long], Some(0L))).toDF("lid", "x", "y")
+        .selectExpr("lid", "timestamp_micros(x) AS ls", "timestamp_micros(y) AS le"))
+    val r = rL.selectExpr("rid", "timestamp_micros(rs) AS rs", "timestamp_micros(re) AS re")
+    val cond = col("ls") <= col("re") && col("rs") <= col("le")
+    val joined = l.join(r, cond)
+    assert(joined.queryExecution.executedPlan.toString.contains("__graft_rj_lb"))
+    assert(ovPairs(joined) == withRule(on = false)(ovPairs(l.join(r, cond))))
+  }
+
   test("null points/bounds, one outlier interval, empty interval side") {
     val sp = spark
     import sp.implicits._

@@ -116,6 +116,73 @@ class RangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  /** Seeded random interval pairs for the overlap join — spans from
+    * point-sized to multi-bucket, plus degenerate (lo > hi) rows,
+    * which CAN still satisfy the raw predicate pair. */
+  private def ivData(seed: Long, n: Int): (DataFrame, DataFrame) = {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(seed)
+    def ivs(base: Long, loC: String, hiC: String, idC: String): DataFrame =
+      (0 until n).map { i =>
+        val lo = rnd.between(-500L, 500L)
+        val span = rnd.nextInt(4) match {
+          case 0 => 0L
+          case 1 => rnd.between(1L, 50L)
+          case 2 => rnd.between(50L, 300L)
+          case _ => -rnd.between(1L, 200L) // degenerate: lo > hi
+        }
+        (base + i, lo, lo + span)
+      }.toDF(idC, loC, hiC)
+    (ivs(0L, "llo", "lhi", "lid"), ivs(10000L, "rlo", "rhi", "rid"))
+  }
+
+  private def naiveOverlap(l: DataFrame, r: DataFrame): Set[(Long, Long)] =
+    l.crossJoin(r)
+      .filter(col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+
+  test("intervalOverlap matches cross-filter semantics incl. degenerate rows, no dups") {
+    for (seed <- Seq(11L, 12L); w <- Seq(9L, 64L, 1000L)) {
+      val (l, r) = ivData(seed, 250)
+      val got = RangeJoin.intervalOverlap(l, "llo", "lhi", r, "rlo", "rhi", w)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(got.length == got.toSet.size, s"duplicate pairs at seed=$seed w=$w")
+      assert(got.toSet == naiveOverlap(l, r), s"mismatch at seed=$seed w=$w")
+    }
+  }
+
+  test("intervalOverlap: touching endpoints overlap; disjoint by one do not; nulls never match") {
+    val sp = spark
+    import sp.implicits._
+    val l = Seq((1L, Some(0L), Some(10L)), (2L, Some(20L), Some(30L)),
+      (3L, None, Some(5L))).toDF("lid", "llo", "lhi")
+    val r = Seq((10L, Some(10L), Some(19L)), (11L, Some(31L), Some(40L)),
+      (12L, Some(0L), None)).toDF("rid", "rlo", "rhi")
+    val got = RangeJoin.intervalOverlap(l, "llo", "lhi", r, "rlo", "rhi", 16L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("intervalOverlap honors extra equi-keys and plans an equi-join") {
+    val sp = spark
+    import sp.implicits._
+    val l = Seq((1L, "a", 0L, 10L), (2L, "b", 0L, 10L)).toDF("lid", "lk", "llo", "lhi")
+    val r = Seq((10L, "a", 5L, 15L), (11L, "b", 50L, 60L)).toDF("rid", "rk", "rlo", "rhi")
+    val out = RangeJoin.intervalOverlap(l, "llo", "lhi", r, "rlo", "rhi", 8L,
+      keys = Seq("lk" -> "rk"))
+    val got = out.select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1L, 10L)))
+    val (bl, br) = ivData(13L, 120)
+    val p = RangeJoin.intervalOverlap(bl, "llo", "lhi", br, "rlo", "rhi", 64L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("rejects overlapping column names, bad widths") {
     val sp = spark
     import sp.implicits._
