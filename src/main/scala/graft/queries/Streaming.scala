@@ -247,12 +247,55 @@ object Streaming {
     """SELECT event_type, count(DISTINCT user_id) AS n_users
       FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** q92: STREAM-STREAM interval join — purchases attributed to signup
+    * windows with BOTH sides streaming, the q82 semantics live. Stock
+    * Spark cannot run this at all: a stream-stream join without an
+    * equality predicate has no key for the symmetric-hash state and
+    * the streaming planner refuses. With GraftExtensions and a pinned
+    * `spark.graft.rangeJoin.bucketWidth` (the bucket id must be stable
+    * across micro-batches — a measuring subquery can't scan a stream)
+    * the [[org.apache.spark.sql.graftplans.RewriteRangeJoins]] rewrite
+    * manufactures that key, and the residual time-range condition +
+    * watermarks drive state eviction exactly as in a keyed interval
+    * join. The joined rows append to the memory sink (the serving
+    * store); the per-signup aggregation runs batch over it. Oracle =
+    * the batch q82 SQL — the streaming drain must be COMPLETE, not
+    * just plan-shaped. */
+  def q92StreamStreamRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tenMinUs = 600L * 1000 * 1000
+    val stream = eventsStream(spark, dir)
+    val ev = stream.select(col("event_id"), col("event_type"), col("value"),
+      timestamp_micros(tsMicros(stream)).as("ts_ev"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts_ev").as("p_ts"),
+        col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts_ev").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", (tenMinUs + 1).toString)
+    try {
+      val joined = purchases.join(signups,
+        col("p_ts") >= col("s_ts") &&
+          col("p_ts") <= col("s_ts") + expr("INTERVAL 10 MINUTES"))
+      val name = s"q92mem${memSeq.incrementAndGet()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+        .groupBy("signup_id")
+        .agg(count(lit(1)).as("n_purch"), dbl(sum(d6w(col("p_value")))).as("sum_value"))
+        .orderBy("signup_id")
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_streaming_hourly" -> (q32StreamingHourly _),
     "q33_sessionize_typed" -> (q33Sessionize _),
     "q35_stream_state" -> (q35StreamState _),
     "q37_stream_sessionize" -> (q37StreamSessionize _),
     "q65_stream_dedup" -> (q65StreamDedup _),
+    "q92_stream_range_join" -> (q92StreamStreamRangeJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -261,5 +304,6 @@ object Streaming {
     "q35_stream_state" -> q35Sql,
     "q37_stream_sessionize" -> q33Sql, // same truth as the batch twin
     "q65_stream_dedup" -> q65Sql,
+    "q92_stream_range_join" -> graft.queries.Joins.q82Sql, // batch truth
   )
 }

@@ -52,7 +52,17 @@ import org.apache.spark.sql.types._
   * AQE broadcast demotion, skew-split, and partition coalescing all
   * apply; the subquery is one scan of the (usually far smaller)
   * interval side. The nested loop it replaces is quadratic in rows
-  * per... everything. */
+  * per... everything.
+  *
+  * STREAMING: stock Spark cannot run a stream-stream join WITHOUT an
+  * equality predicate at all (StreamingJoinStrategy refuses — there is
+  * no key for the symmetric hash state). The manufactured bucket id IS
+  * such a key, so with `spark.graft.rangeJoin.bucketWidth` pinned
+  * (measuring subqueries cannot scan a stream, and the state key must
+  * be stable across micro-batches and restarts) the rule makes
+  * stream-stream interval joins EXECUTABLE: bucket equality feeds the
+  * symmetric-hash join, the residual time-range condition + watermarks
+  * drive state eviction exactly as in a keyed interval join. */
 object RewriteRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
 
   val EnabledConf = "spark.graft.rangeJoin.enabled"
@@ -61,8 +71,7 @@ object RewriteRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(EnabledConf, "true").toBoolean) plan
     else plan.transformUp {
-      case j @ Join(left, right, jt, Some(_), _)
-          if supportedType(jt) && !left.isStreaming && !right.isStreaming =>
+      case j @ Join(_, _, jt, Some(_), _) if supportedType(jt) =>
         tryRewrite(j).getOrElse(j)
     }
 
@@ -155,7 +164,7 @@ object RewriteRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
     } yield (lo, hi)).nextOption()
 
     pair match {
-      case Some((loB, hiB)) => Some(buildPointRewrite(j, loB, hiB, cond))
+      case Some((loB, hiB)) => buildPointRewrite(j, loB, hiB, cond)
       // no point expression is bounded on both sides — try the
       // two-interval OVERLAP shape (both sides replicated; inner-only,
       // since a preserved side that explodes would duplicate
@@ -188,30 +197,35 @@ object RewriteRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
     * by one uncorrelated scalar subquery each — replication ≤ 2 per
     * side. Greatest guards empty/all-degenerate sides (max over 0 rows
     * is null; all-invalid spans go negative) from collapsing the width
-    * to nonsense. */
-  private def measuredWidth(spans: Seq[(Expression, LogicalPlan)]): Expression =
+    * to nonsense. STREAMING joins require the PINNED width: a scalar
+    * subquery cannot measure a stream, and the bucket id keys the
+    * symmetric-hash join state — it must be identical across
+    * micro-batches and restarts (keep the conf stable for the life of
+    * a checkpoint). */
+  private def measuredWidth(streaming: Boolean,
+      spans: Seq[(Expression, LogicalPlan)]): Option[Expression] =
     conf.getConfString(WidthConf, "") match {
-      case w if w.nonEmpty && w.toLong > 0 => Literal(w.toLong)
+      case w if w.nonEmpty && w.toLong > 0 => Some(Literal(w.toLong))
+      case _ if streaming => None
       case _ =>
-        Greatest(Literal(1L) +: spans.map { case (span, plan) =>
+        Some(Greatest(Literal(1L) +: spans.map { case (span, plan) =>
           val len = Alias(new Max(Add(span, Literal(1L)))
             .toAggregateExpression(), "__graft_rj_maxlen")()
           ScalarSubquery(Aggregate(Nil, Seq(len), plan)): Expression
-        })
+        }))
     }
 
   private def buildPointRewrite(j: Join, loB: Bound, hiB: Bound,
-      cond: Expression): LogicalPlan = {
-    {
-      val pointLeft = loB.pointLeft
-      val (pointPlan, boundPlan) = if (pointLeft) (j.left, j.right) else (j.right, j.left)
-      val loL = asLong(loB.bound)
-      val hiL = asLong(hiB.bound)
-      val pL = asLong(loB.point)
+      cond: Expression): Option[LogicalPlan] = {
+    val pointLeft = loB.pointLeft
+    val (pointPlan, boundPlan) = if (pointLeft) (j.left, j.right) else (j.right, j.left)
+    val loL = asLong(loB.bound)
+    val hiL = asLong(hiB.bound)
+    val pL = asLong(loB.point)
 
-      // bucket width: measured as max(hi-lo)+1 over the interval side
-      val width = measuredWidth(Seq((Subtract(hiL, loL), boundPlan)))
-
+    // bucket width: measured as max(hi-lo)+1 over the interval side
+    measuredWidth(j.left.isStreaming || j.right.isStreaming,
+      Seq((Subtract(hiL, loL), boundPlan))).map { width =>
       val pointBkt = Alias(floorDiv(pL, width), "__graft_rj_pb")()
       val pointProj = Project(pointPlan.output :+ pointBkt, pointPlan)
       val pbAttr = pointProj.output.last
@@ -261,13 +275,12 @@ object RewriteRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
     for {
       u1 <- all.find(b => !b.lower && b.pointLeft) // l.s <= r.e
       u2 <- all.find(b => !b.lower && !b.pointLeft) // r.s <= l.e
+      lsL = asLong(u1.point); reL = asLong(u1.bound)
+      rsL = asLong(u2.point); leL = asLong(u2.bound)
+      width <- measuredWidth(j.left.isStreaming || j.right.isStreaming,
+        Seq((Abs(Subtract(leL, lsL)), j.left),
+          (Abs(Subtract(reL, rsL)), j.right)))
     } yield {
-      val (lsL, reL) = (asLong(u1.point), asLong(u1.bound))
-      val (rsL, leL) = (asLong(u2.point), asLong(u2.bound))
-      val width = measuredWidth(Seq(
-        (Abs(Subtract(leL, lsL)), j.left),
-        (Abs(Subtract(reL, rsL)), j.right)))
-
       def gen(plan: LogicalPlan, a: Expression, b: Expression,
           name: String): (Generate, AttributeReference) = {
         val attr = AttributeReference(name, LongType, nullable = false)()

@@ -217,6 +217,63 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ovPairs(joined) == withRule(on = false)(ovPairs(l.join(r, cond))))
   }
 
+  test("stream-stream interval join: impossible stock, runs bucketed with pinned width") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+
+    def mkJoin() = {
+      val pts = MemoryStream[(Long, Long)]
+      val ivs = MemoryStream[(Long, Long)]
+      val l = pts.toDF().select(col("_1").as("pid"),
+        timestamp_micros(col("_2")).as("p_ts")).withWatermark("p_ts", "1 hour")
+      val r = ivs.toDF().select(col("_1").as("iid"),
+        timestamp_micros(col("_2")).as("s_ts")).withWatermark("s_ts", "1 hour")
+      val joined = l.join(r, col("p_ts") >= col("s_ts") &&
+        col("p_ts") <= col("s_ts") + expr("INTERVAL 100 SECONDS"))
+      (pts, ivs, joined)
+    }
+    // offset from the epoch: a row whose event time sits exactly ON
+    // the initial watermark (0) is dropped as late — an artifact of
+    // the test data, not the rewrite (real event times are never 1970)
+    val base = 86_400_000_000L
+    val ptData = (0 until 60).map(i => (i.toLong, base + i.toLong * 37_000_000L))
+    val ivData = (0 until 40).map(i => (1000L + i, base + i.toLong * 53_000_000L))
+
+    // stock: no equality predicate — the streaming planner refuses
+    val err = intercept[Exception] {
+      withRule(on = false) {
+        val (pts, ivs, joined) = mkJoin()
+        val q = joined.writeStream.format("memory").queryName("rjs_stock")
+          .outputMode("append").start()
+        pts.addData(ptData: _*); ivs.addData(ivData: _*)
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    assert(err.toString.contains("equality") || err.toString.contains("not supported"),
+      s"expected the stock equality-predicate refusal, got: $err")
+
+    // bucketed: pinned width manufactures the state key; exact result
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "100000001")
+    try {
+      val (pts, ivs, joined) = mkJoin()
+      val q = joined.writeStream.format("memory").queryName("rjs_bkt")
+        .outputMode("append").start()
+      pts.addData(ptData: _*); ivs.addData(ivData: _*)
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("rjs_bkt").select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, "streaming bucketing duplicated pairs")
+      val want = ptData.flatMap { case (pid, p) =>
+        ivData.collect { case (iid, s)
+          if p >= s && p <= s + 100_000_000L => (pid, iid) }
+      }.toSet
+      assert(got.toSet == want)
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
   test("null points/bounds, one outlier interval, empty interval side") {
     val sp = spark
     import sp.implicits._
