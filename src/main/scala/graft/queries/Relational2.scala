@@ -605,6 +605,49 @@ object Relational2 {
              lw AS (ORDER BY n_chars RANGE BETWEEN 260 PRECEDING AND 200 PRECEDING)
       ORDER BY doc_id"""
 
+  /** q93: TIME-axis RANGE frames in plain SQL — `... OVER (ORDER BY ts
+    * RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)`,
+    * the most common real-world value-frame spelling (per-row trailing
+    * windows over event time). Day-time intervals are exact signed
+    * micros, so [[org.apache.spark.sql.graftplans.RewriteRangeFrames]]
+    * runs the whole prefix/extrema composition on the long-micros
+    * axis; stock Spark would sort every event into one partition. The
+    * DuckDB oracle computes the same bands on TIMESTAMP_NS — testdata
+    * nanos are whole micros, so the bands agree exactly. */
+  def q93TimeRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    ev.select(col("event_id"), col("user_id"),
+        timestamp_micros(tsMicros(ev)).as("ts_ev"))
+      .createOrReplaceTempView("graft_q93_events")
+    spark.sql(
+      """SELECT event_id,
+           count(*) OVER w AS n_10m,
+           sum(user_id) OVER w AS uid_sum_10m,
+           min(event_id) OVER w AS min_id_10m,
+           max(event_id) OVER w AS max_id_10m,
+           count(*) OVER lw AS n_band
+         FROM graft_q93_events
+         WINDOW w AS (ORDER BY ts_ev RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                        AND CURRENT ROW),
+                lw AS (ORDER BY ts_ev RANGE BETWEEN INTERVAL 40 MINUTES PRECEDING
+                        AND INTERVAL 25 MINUTES PRECEDING)
+         ORDER BY event_id""")
+  }
+
+  val q93Sql: String =
+    """SELECT event_id,
+             count(*) OVER w::BIGINT AS n_10m,
+             (sum(user_id) OVER w)::BIGINT AS uid_sum_10m,
+             min(event_id) OVER w AS min_id_10m,
+             max(event_id) OVER w AS max_id_10m,
+             count(*) OVER lw::BIGINT AS n_band
+      FROM events
+      WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                     AND CURRENT ROW),
+             lw AS (ORDER BY ts RANGE BETWEEN INTERVAL 40 MINUTES PRECEDING
+                     AND INTERVAL 25 MINUTES PRECEDING)
+      ORDER BY event_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rollup" -> (q19Rollup _),
     "q34_set_ops" -> (q34SetOps _),
@@ -623,6 +666,7 @@ object Relational2 {
     "q89_minmax_range_frame" -> (q89MinMaxRangeFrame _),
     "q90_batch_sessionize" -> (q90BatchSessionize _),
     "q91_sql_minmax_frame" -> (q91SqlMinMaxFrame _),
+    "q93_time_range_frame" -> (q93TimeRangeFrame _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -643,5 +687,6 @@ object Relational2 {
     "q89_minmax_range_frame" -> q89Sql,
     "q90_batch_sessionize" -> q90Sql,
     "q91_sql_minmax_frame" -> q91Sql,
+    "q93_time_range_frame" -> q93Sql,
   )
 }

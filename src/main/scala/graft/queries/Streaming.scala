@@ -274,6 +274,13 @@ object Streaming {
       .select(col("event_id").as("signup_id"), col("ts_ev").as("s_ts"))
       .withWatermark("s_ts", "1 hour")
     spark.conf.set("spark.graft.rangeJoin.bucketWidth", (tenMinUs + 1).toString)
+    // the symmetric-hash join opens FOUR state stores per shuffle
+    // partition; at local bench scale 32 partitions are pure store
+    // overhead — pin a modest stateful parallelism for the stream
+    // segment (a real deployment sizes this to the key cardinality
+    // via the same conf before the FIRST start; it is checkpointed)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val joined = purchases.join(signups,
         col("p_ts") >= col("s_ts") &&
@@ -282,11 +289,15 @@ object Streaming {
       val q = joined.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.table(name)
         .groupBy("signup_id")
         .agg(count(lit(1)).as("n_purch"), dbl(sum(d6w(col("p_value")))).as("sum_value"))
         .orderBy("signup_id")
-    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

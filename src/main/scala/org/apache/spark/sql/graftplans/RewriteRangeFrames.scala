@@ -37,11 +37,16 @@ import org.apache.spark.sql.types._
   * sum NULL via the separate non-null-count channel, exactly as stock.
   *
   * Firing conditions (spec-locked): no PARTITION BY; a single
-  * integral order key with the DEFAULT null placement (ASC NULLS
+  * integral OR timestamp order key (LTZ/NTZ map to the long-micros
+  * axis via UnixMicros; day-time INTERVAL offsets are exact signed
+  * micros on that axis — LTZ keys with a whole-day interval component
+  * additionally need a fixed-offset session zone, since stock
+  * evaluates plusDays in the session zone and DST would bend the
+  * offset; dates would need month arithmetic — not modeled) with the
+  * DEFAULT null placement (ASC NULLS
   * FIRST or DESC NULLS LAST — a DESC frame is the mirrored ASC band
   * `(−u, −l)`, identical as a SET, and these aggregates are
-  * order-insensitive; timestamp keys take INTERVAL offsets — not
-  * modeled); every window expression in the node an aggregate of
+  * order-insensitive); every window expression in the node an aggregate of
   * `sum` (LongType result over an integral child), `count(*)`,
   * `count(v)`, or `avg` (integral child) over RANGE frames whose
   * bounds are foldable value offsets, CURRENT ROW, or UNBOUNDED;
@@ -70,12 +75,17 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
   private def integral(dt: DataType): Boolean =
     dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
 
-  /** A RANGE boundary as Some(signed offset) or None for UNBOUNDED. */
+  /** A RANGE boundary as Some(signed offset) or None for UNBOUNDED.
+    * Day-time INTERVAL offsets (timestamp order keys) are exact signed
+    * micros — the same long axis `UnixMicros` maps the key onto.
+    * Year-month intervals are variable-length and never accepted (the
+    * analyzer pairs them only with date keys, which don't fire). */
   private def bound(e: Expression): Option[Option[Long]] = e match {
     case CurrentRow => Some(Some(0L))
     case UnboundedPreceding | UnboundedFollowing => Some(None)
     case _: SpecialFrameBoundary => None
-    case _ if e.foldable && integral(e.dataType) => e.eval() match {
+    case _ if e.foldable && (integral(e.dataType) ||
+        e.dataType.isInstanceOf[DayTimeIntervalType]) => e.eval() match {
       case n: java.lang.Number => Some(Some(n.longValue))
       case _ => None
     }
@@ -125,7 +135,12 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
     // sits at the UNBOUNDED-side end the frame mapping expects
     val dirOk = (so.direction == Ascending && so.nullOrdering == NullsFirst) ||
       (so.direction == Descending && so.nullOrdering == NullsLast)
-    if (!dirOk || !so.child.deterministic || !integral(so.child.dataType))
+    // integral keys take integral offsets; timestamp keys (LTZ + NTZ —
+    // both long micros underneath) take day-time INTERVAL offsets.
+    // Dates would need month-aware arithmetic — not modeled.
+    val keyOk = integral(so.child.dataType) ||
+      so.child.dataType == TimestampType || so.child.dataType == TimestampNTZType
+    if (!dirOk || !so.child.deterministic || !keyOk)
       return false
     val frames = w.windowExpressions.map {
       case Alias(we: WindowExpression, _) =>
@@ -143,6 +158,19 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
           case _ => None
         }
       case _ => None
+    }
+    // LTZ timestamp keys: stock evaluates `key + interval` with
+    // plusDays IN THE SESSION ZONE, so a whole-day interval component
+    // crossing a DST transition is not a fixed micros offset — fire
+    // only when offsets stay sub-day or the zone has a fixed offset
+    // (NTZ keys are naive: plusDays is always exactly 24h there)
+    if (so.child.dataType == TimestampType) {
+      val dayCrossing = frames.flatten
+        .flatMap { case (l, h) => Seq(l, h).flatten }
+        .exists(o => math.abs(o) >= 86400000000L)
+      lazy val fixedZone = java.time.ZoneId.of(conf.sessionLocalTimeZone)
+        .normalized().getRules.isFixedOffset
+      if (dayCrossing && !fixedZone) return false
     }
     // every expression a value-frame aggregate, and at least one frame
     // the SIBLING rule cannot take: a pure UNBOUNDED..CURRENT (or
@@ -162,7 +190,10 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
     val kExpr = so.child
     def longify(e: Expression): Expression =
       if (e.dataType == LongType) e else Cast(e, LongType)
-    val kL = longify(kExpr)
+    // the key maps to the long axis the offsets live on: identity for
+    // integrals, UnixMicros for timestamps (NTZ through UTC — the
+    // exact identity on the stored micros; see RewriteRangeJoins)
+    val kL = RewriteRangeJoins.asLong(kExpr)
 
     // the distinct value children the aggregates need, deduplicated,
     // plus each expression's (lo, hi) frame and the distinct frames

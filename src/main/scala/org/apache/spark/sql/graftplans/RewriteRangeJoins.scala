@@ -174,7 +174,7 @@ object RewriteRangeJoins extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  private def asLong(e: Expression): Expression = e.dataType match {
+  private[graftplans] def asLong(e: Expression): Expression = e.dataType match {
     case LongType => e
     case TimestampType => UnixMicros(e)
     // NTZ stores naive micros in the same long layout; reinterpret

@@ -176,6 +176,66 @@ class RangeFrameRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     checkExact(sql)
   }
 
+  private def ensureTsView(): Unit = {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(31L)
+    (0 until 400).map { i =>
+      val us = if (rnd.nextInt(20) == 0) None
+        else Some(86_400_000_000L + rnd.between(0L, 7_200_000_000L)) // 2h span
+      val v = if (rnd.nextInt(5) == 0) None else Some(rnd.between(-100L, 100L))
+      (i.toLong, us, v)
+    }.toDF("id", "us", "v")
+      .selectExpr("id", "timestamp_micros(us) AS ts",
+        "CAST(timestamp_micros(us) AS TIMESTAMP_NTZ) AS tsn", "v")
+      .createOrReplaceTempView("rfr_ts")
+  }
+
+  test("timestamp order keys with day-time INTERVAL offsets fire and stay exact") {
+    ensureTsView()
+    for (key <- Seq("ts", "tsn")) {
+      val sql = s"""SELECT id,
+          count(*) OVER w AS c, sum(v) OVER w AS s,
+          min(v) OVER w AS mn, max(v) OVER w AS mx,
+          count(*) OVER lw AS lc
+        FROM rfr_ts
+        WINDOW w AS (ORDER BY $key RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                       AND INTERVAL 3 MINUTES FOLLOWING),
+               lw AS (ORDER BY $key RANGE BETWEEN INTERVAL 40 MINUTES PRECEDING
+                       AND INTERVAL 25 MINUTES PRECEDING)"""
+      val p = planOf(sql)
+      assert(p.contains("__grf_"), s"time-axis frame did not fire for $key:\n$p")
+      val got = rows(sql)
+      val want = withRule(on = false)(rows(sql))
+      assert(got == want, s"time-axis mismatch for $key")
+    }
+  }
+
+  test("LTZ keys with whole-day interval offsets need a fixed-offset zone") {
+    ensureTsView()
+    val dayFrame = """SELECT id, count(*) OVER (ORDER BY ts RANGE BETWEEN
+        INTERVAL 2 DAYS PRECEDING AND CURRENT ROW) AS c FROM rfr_ts"""
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // DST zone + day component: stock's plusDays is zone-bent — stay out
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      assert(!planOf(dayFrame).contains("__grf_"),
+        "day-crossing LTZ frame must not fire in a DST zone")
+      // fixed-offset zone: exact micros — fire
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      assert(planOf(dayFrame).contains("__grf_"),
+        "day-crossing LTZ frame should fire under UTC")
+      // NTZ keys are naive: fire regardless of the session zone
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val ntz = dayFrame.replace("ORDER BY ts", "ORDER BY tsn")
+      assert(planOf(ntz).contains("__grf_"),
+        "day-crossing NTZ frame should fire in any zone")
+      val got = rows(ntz)
+      val want = withRule(on = false)(rows(ntz))
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("min/max with an UNBOUNDED frame side keeps the whole node with stock") {
     val sql = """SELECT id, min(v) OVER w AS mn
       FROM rfr_t WINDOW w AS (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND 5 FOLLOWING)"""
