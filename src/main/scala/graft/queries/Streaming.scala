@@ -274,23 +274,39 @@ object Streaming {
       .select(col("event_id").as("signup_id"), col("ts_ev").as("s_ts"))
       .withWatermark("s_ts", "1 hour")
     spark.conf.set("spark.graft.rangeJoin.bucketWidth", (tenMinUs + 1).toString)
-    // the symmetric-hash join opens FOUR state stores per shuffle
-    // partition; at local bench scale 32 partitions are pure store
-    // overhead — pin a modest stateful parallelism for the stream
-    // segment (a real deployment sizes this to the key cardinality
-    // via the same conf before the FIRST start; it is checkpointed)
+    // Stateful parallelism is a real sizing decision, measured both
+    // ways at 128x: the symmetric-hash join opens FOUR state stores
+    // per shuffle partition, so at toy scale extra partitions are
+    // pure fixed store cost (32 parts: 9.3 s vs 8 parts: 3.4 s at
+    // sf0.1) — but too few serialize the state writes at scale
+    // (8 parts: 630 s vs 32 parts: 220 s at 128x). Size from the
+    // input volume, as a deployment would before the FIRST start
+    // (the value is checkpointed for the life of the query).
+    val srcBytes = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.getContentSummary(p).getLength
+    }
+    val cpus = spark.sparkContext.defaultParallelism
+    val parts = math.max(8L, math.min(cpus.toLong, srcBytes / (8L << 20)))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
       val joined = purchases.join(signups,
         col("p_ts") >= col("s_ts") &&
           col("p_ts") <= col("s_ts") + expr("INTERVAL 10 MINUTES"))
-      val name = s"q92mem${memSeq.incrementAndGet()}"
-      val q = joined.writeStream.format("memory").queryName(name)
+      // parquet sink, NOT memory: the raw joined stream is the big
+      // side (a quadratic pair set under replication) and must land
+      // distributed — a memory sink would collect it into the driver
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_q92_${memSeq.incrementAndGet()}_")
+      val q = joined.writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.table(name)
+      spark.read.parquet(s"$out/data")
         .groupBy("signup_id")
         .agg(count(lit(1)).as("n_purch"), dbl(sum(d6w(col("p_value")))).as("sum_value"))
         .orderBy("signup_id")

@@ -65,7 +65,13 @@ import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, 
   * documented nulls-sum-as-0 contract via a non-nullable output. */
 object RewriteGlobalWindows extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+  /** Kill switch, parity with the sibling rules (stock single-partition
+    * windows return; the library entry points are unaffected). */
+  val EnabledConf = "spark.graft.globalWindows.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledConf, "true").toBoolean) plan
+    else rewrite(plan)
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     // Rank-limiting filter above: leave the Window for

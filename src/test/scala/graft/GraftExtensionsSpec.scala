@@ -53,6 +53,19 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == expected)
   }
 
+  test("the global-window kill switch restores stock planning") {
+    spark.range(0, 500, 1, 4).selectExpr("id AS k", "(id * 3) % 97 AS v")
+      .createOrReplaceTempView("ks_t")
+    val sql = "SELECT k, row_number() OVER (ORDER BY v, k) AS rn FROM ks_t"
+    spark.conf.set("spark.graft.globalWindows.enabled", "false")
+    try {
+      val off = planOf(spark.sql(sql))
+      assert(!off.contains("GlobalRowNumber") && off.contains("Window"),
+        s"kill switch ignored:\n$off")
+    } finally spark.conf.unset("spark.graft.globalWindows.enabled")
+    assert(planOf(spark.sql(sql)).contains("GlobalRowNumber"))
+  }
+
   test("plain SQL running long sum rewrites with exact SQL null semantics") {
     val s = spark
     import s.implicits._

@@ -255,6 +255,46 @@ class RangeFrameRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!run.contains("__grf_") && run.contains("GlobalRunningSum"), run)
   }
 
+  test("seeded frame fuzz: random frames x aggregates x nullable data, exact vs stock") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(97L)
+    for (round <- 0 until 4) {
+      val n = 250 + rnd.nextInt(200)
+      (0 until n).map { i =>
+        val k = if (rnd.nextInt(15) == 0) None else Some(rnd.between(-80L, 80L))
+        val v = if (rnd.nextInt(4) == 0) None else Some(rnd.between(-500L, 500L))
+        (i.toLong, k, v)
+      }.toDF("id", "k", "v").createOrReplaceTempView(s"rfr_fuzz")
+      // 2-3 random frames; random bound mix (finite offsets always
+      // lower <= upper, or an UNBOUNDED side for non-minmax exprs)
+      def finiteFrame(): String = {
+        val a = rnd.between(-60L, 60L)
+        val b = rnd.between(-60L, 60L)
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        def side(o: Long, upper: Boolean): String =
+          if (o == 0) "CURRENT ROW"
+          else if (o < 0) s"${-o} PRECEDING" else s"$o FOLLOWING"
+        s"RANGE BETWEEN ${side(lo, upper = false)} AND ${side(hi, upper = true)}"
+      }
+      val dir = if (rnd.nextBoolean()) "" else " DESC"
+      val frames = (0 until 2 + rnd.nextInt(2)).map(i => s"w$i AS (ORDER BY k$dir ${finiteFrame()})")
+      val aggs = frames.indices.flatMap { i =>
+        val picks = rnd.shuffle(Seq(
+          s"count(*) OVER w$i AS c$i", s"count(v) OVER w$i AS cv$i",
+          s"sum(v) OVER w$i AS s$i", s"avg(v) OVER w$i AS a$i",
+          s"min(v) OVER w$i AS mn$i", s"max(v) OVER w$i AS mx$i"))
+        picks.take(1 + rnd.nextInt(3))
+      }
+      val sql = s"""SELECT id, ${aggs.mkString(", ")} FROM rfr_fuzz
+        WINDOW ${frames.mkString(", ")}"""
+      assert(planOf(sql).contains("__grf_"), s"fuzz round $round did not fire:\n$sql")
+      val got = rows(sql)
+      val want = withRule(on = false)(rows(sql))
+      assert(got == want, s"fuzz round $round mismatch for:\n$sql")
+    }
+  }
+
   test("kill-switch conf restores stock planning") {
     withRule(on = false) {
       val p = planOf(
