@@ -648,6 +648,47 @@ object Relational2 {
                      AND INTERVAL 25 MINUTES PRECEDING)
       ORDER BY event_id"""
 
+  /** q94: DATE-axis RANGE frames in plain SQL — trailing-week order
+    * stats per order plus a shifted lookback band, `ORDER BY a DATE`
+    * with both spellings (whole-day INTERVAL offsets and bare
+    * integral offsets, which on a date key mean days). DATE keys map
+    * to the days axis in [[org.apache.spark.sql.graftplans.RewriteRangeFrames]];
+    * min/max ride the per-frame block pipeline, count/sum the prefix
+    * path. Oracle: DuckDB with interval spellings for both frames
+    * (it rejects bare integers on date keys; whole-day intervals are
+    * the identical band). */
+  def q94DateRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").selectExpr("o_orderkey", "o_custkey",
+        "CAST(o_orderdate AS DATE) AS od")
+      .createOrReplaceTempView("graft_q94_orders")
+    spark.sql(
+      """SELECT o_orderkey,
+           count(*) OVER w AS n_7d,
+           sum(o_custkey) OVER w AS cust_7d,
+           min(o_orderkey) OVER lw AS min_k,
+           max(o_orderkey) OVER lw AS max_k
+         FROM graft_q94_orders
+         WINDOW w AS (ORDER BY od RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                        AND CURRENT ROW),
+                lw AS (ORDER BY od RANGE BETWEEN 30 PRECEDING AND 14 PRECEDING)
+         ORDER BY o_orderkey""")
+  }
+
+  val q94Sql: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+                  FROM orders)
+      SELECT o_orderkey,
+             count(*) OVER w::BIGINT AS n_7d,
+             (sum(o_custkey) OVER w)::BIGINT AS cust_7d,
+             min(o_orderkey) OVER lw AS min_k,
+             max(o_orderkey) OVER lw AS max_k
+      FROM o
+      WINDOW w AS (ORDER BY od RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                     AND CURRENT ROW),
+             lw AS (ORDER BY od RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+                     AND INTERVAL 14 DAYS PRECEDING)
+      ORDER BY o_orderkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_rollup" -> (q19Rollup _),
     "q34_set_ops" -> (q34SetOps _),
@@ -667,6 +708,7 @@ object Relational2 {
     "q90_batch_sessionize" -> (q90BatchSessionize _),
     "q91_sql_minmax_frame" -> (q91SqlMinMaxFrame _),
     "q93_time_range_frame" -> (q93TimeRangeFrame _),
+    "q94_date_range_frame" -> (q94DateRangeFrame _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -688,5 +730,6 @@ object Relational2 {
     "q90_batch_sessionize" -> q90Sql,
     "q91_sql_minmax_frame" -> q91Sql,
     "q93_time_range_frame" -> q93Sql,
+    "q94_date_range_frame" -> q94Sql,
   )
 }

@@ -37,12 +37,13 @@ import org.apache.spark.sql.types._
   * sum NULL via the separate non-null-count channel, exactly as stock.
   *
   * Firing conditions (spec-locked): no PARTITION BY; a single
-  * integral OR timestamp order key (LTZ/NTZ map to the long-micros
-  * axis via UnixMicros; day-time INTERVAL offsets are exact signed
-  * micros on that axis — LTZ keys with a whole-day interval component
-  * additionally need a fixed-offset session zone, since stock
-  * evaluates plusDays in the session zone and DST would bend the
-  * offset; dates would need month arithmetic — not modeled) with the
+  * integral, timestamp, or DATE order key (LTZ/NTZ map to the
+  * long-micros axis via UnixMicros; day-time INTERVAL offsets are
+  * exact signed micros on that axis — LTZ keys with a whole-day
+  * interval component additionally need a fixed-offset session zone,
+  * since stock evaluates plusDays in the session zone and DST would
+  * bend the offset; DATE keys are a days axis — integral offsets are
+  * days, intervals accepted when whole-day) with the
   * DEFAULT null placement (ASC NULLS
   * FIRST or DESC NULLS LAST — a DESC frame is the mirrored ASC band
   * `(−u, −l)`, identical as a SET, and these aggregates are
@@ -75,27 +76,39 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
   private def integral(dt: DataType): Boolean =
     dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
 
-  /** A RANGE boundary as Some(signed offset) or None for UNBOUNDED.
-    * Day-time INTERVAL offsets (timestamp order keys) are exact signed
-    * micros — the same long axis `UnixMicros` maps the key onto.
-    * Year-month intervals are variable-length and never accepted (the
-    * analyzer pairs them only with date keys, which don't fire). */
-  private def bound(e: Expression): Option[Option[Long]] = e match {
+  private val MicrosPerDay = 86400000000L
+
+  /** A RANGE boundary as Some(signed offset IN KEY-AXIS UNITS) or None
+    * for UNBOUNDED. Day-time INTERVAL offsets over timestamp keys are
+    * exact signed micros — the same long axis `UnixMicros` maps the
+    * key onto. Over DATE keys (a days axis) an interval is accepted
+    * only when it is a WHOLE number of days (a sub-day bound compares
+    * at timestamp precision — not a fixed day offset); integral
+    * offsets over date keys are already days. Year-month intervals are
+    * variable-length and never accepted. */
+  private def bound(e: Expression, keyDt: DataType): Option[Option[Long]] = e match {
     case CurrentRow => Some(Some(0L))
     case UnboundedPreceding | UnboundedFollowing => Some(None)
     case _: SpecialFrameBoundary => None
-    case _ if e.foldable && (integral(e.dataType) ||
-        e.dataType.isInstanceOf[DayTimeIntervalType]) => e.eval() match {
-      case n: java.lang.Number => Some(Some(n.longValue))
-      case _ => None
-    }
+    case _ if e.foldable =>
+      val isInterval = e.dataType.isInstanceOf[DayTimeIntervalType]
+      if (!integral(e.dataType) && !isInterval) None
+      else e.eval() match {
+        case n: java.lang.Number =>
+          val v = n.longValue
+          if (keyDt == DateType && isInterval) {
+            if (v % MicrosPerDay == 0) Some(Some(v / MicrosPerDay)) else None
+          } else Some(Some(v))
+        case _ => None
+      }
     case _ => None
   }
 
-  private def frameOf(we: WindowExpression): Option[(Option[Long], Option[Long])] =
+  private def frameOf(we: WindowExpression,
+      keyDt: DataType): Option[(Option[Long], Option[Long])] =
     we.windowSpec.frameSpecification match {
       case SpecifiedWindowFrame(RangeFrame, lo, hi) =>
-        for { l <- bound(lo); h <- bound(hi) } yield (l, h)
+        for { l <- bound(lo, keyDt); h <- bound(hi, keyDt) } yield (l, h)
       case _ => None
     }
 
@@ -136,17 +149,20 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
     val dirOk = (so.direction == Ascending && so.nullOrdering == NullsFirst) ||
       (so.direction == Descending && so.nullOrdering == NullsLast)
     // integral keys take integral offsets; timestamp keys (LTZ + NTZ —
-    // both long micros underneath) take day-time INTERVAL offsets.
-    // Dates would need month-aware arithmetic — not modeled.
+    // both long micros underneath) take day-time INTERVAL offsets;
+    // DATE keys are a days axis (integral offsets = days, intervals
+    // accepted when whole-day — see bound()). Year-month offsets are
+    // variable-length and rejected by bound() everywhere.
     val keyOk = integral(so.child.dataType) ||
-      so.child.dataType == TimestampType || so.child.dataType == TimestampNTZType
+      so.child.dataType == TimestampType ||
+      so.child.dataType == TimestampNTZType || so.child.dataType == DateType
     if (!dirOk || !so.child.deterministic || !keyOk)
       return false
     val frames = w.windowExpressions.map {
       case Alias(we: WindowExpression, _) =>
         we.windowFunction match {
           case ae: AggregateExpression if aggInput(ae).isDefined =>
-            frameOf(we) match {
+            frameOf(we, so.child.dataType) match {
               // min/max are not prefix-invertible: they lower through
               // the aligned-block pipeline, which needs both bounds
               // FINITE (an unbounded side has no block width; pure
@@ -211,7 +227,7 @@ object RewriteRangeFrames extends Rule[LogicalPlan] {
     val weAggs = w.windowExpressions.map {
       case a @ Alias(we: WindowExpression, _) =>
         (a, we.windowFunction.asInstanceOf[AggregateExpression],
-          orient(frameOf(we).get))
+          orient(frameOf(we, so.child.dataType).get))
     }
     val frames: Seq[(Option[Long], Option[Long])] =
       weAggs.map(_._3).distinct

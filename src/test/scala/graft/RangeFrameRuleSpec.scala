@@ -236,6 +236,40 @@ class RangeFrameRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("DATE order keys: integral-day and whole-day-interval frames fire; sub-day stays stock") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(41L)
+    (0 until 300).map { i =>
+      val d = if (rnd.nextInt(20) == 0) None else Some(rnd.between(0, 400))
+      val v = if (rnd.nextInt(5) == 0) None else Some(rnd.between(-100L, 100L))
+      (i.toLong, d, v)
+    }.toDF("id", "days", "v")
+      .selectExpr("id", "date_add(DATE'2020-01-01', days) AS d", "v")
+      .createOrReplaceTempView("rfr_d")
+    for (frame <- Seq(
+      "INTERVAL 14 DAYS PRECEDING AND INTERVAL 3 DAYS FOLLOWING",
+      "30 PRECEDING AND 7 PRECEDING", // integral offsets on a date = days
+      "INTERVAL 21 DAYS PRECEDING AND CURRENT ROW")) {
+      val sql = s"""SELECT id, count(*) OVER w AS c, sum(v) OVER w AS s,
+          min(v) OVER w AS mn, max(v) OVER w AS mx
+        FROM rfr_d WINDOW w AS (ORDER BY d RANGE BETWEEN $frame)"""
+      assert(planOf(sql).contains("__grf_"), s"date frame did not fire: $frame")
+      val got = rows(sql)
+      val want = withRule(on = false)(rows(sql))
+      assert(got == want, s"date-axis mismatch for $frame")
+    }
+    // sub-day intervals over a DATE key are rejected by the ANALYZER
+    // itself (RANGE_FRAME_INVALID_TYPE) — the rule's whole-day guard
+    // is defensive for mixed-unit DAY TO HOUR literals that still
+    // type as day-time intervals
+    val err = intercept[Exception] {
+      spark.sql("""SELECT id, count(*) OVER (ORDER BY d RANGE BETWEEN
+          INTERVAL 36 HOURS PRECEDING AND CURRENT ROW) AS c FROM rfr_d""").collect()
+    }
+    assert(err.toString.contains("RANGE_FRAME_INVALID_TYPE"), err.toString)
+  }
+
   test("min/max with an UNBOUNDED frame side keeps the whole node with stock") {
     val sql = """SELECT id, min(v) OVER w AS mn
       FROM rfr_t WINDOW w AS (ORDER BY k RANGE BETWEEN UNBOUNDED PRECEDING AND 5 FOLLOWING)"""
