@@ -209,7 +209,7 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
 
   private var requiredSchema: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
-  private var aggSpecs: Option[Seq[FlsAggSpec]] = None
+  private var aggSpecs: Option[(Seq[String], Seq[FlsAggSpec])] = None
 
   override def pruneColumns(required: StructType): Unit = { requiredSchema = required }
 
@@ -256,16 +256,23 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
   override def pushedFilters(): Array[Filter] = pushed
 
   /** COUNT(*)/MIN/MAX answered from footer metadata — no data scan.
-    * Only for unfiltered, ungrouped aggregates over long-physical
-    * columns (doubles can drop stats on NaN) and strings with EXACT
-    * byte stats (beyond the reference, which is stats-less on
-    * strings). Complete pushdown: the single emitted row IS the
-    * result. */
-  private def planAgg(agg: Aggregation): Option[Seq[FlsAggSpec]] = {
+    * Only for unfiltered aggregates over long-physical columns
+    * (doubles can drop stats on NaN) and strings with EXACT byte stats
+    * (beyond the reference, which is stats-less on strings). Grouping
+    * is allowed when EVERY group-by expression is a bare partition
+    * column: groups are then partition directories and the group
+    * values decode from the paths, so `SELECT dt, count(*) ... GROUP BY
+    * dt` never touches data. Complete pushdown: the emitted rows ARE
+    * the result (one per group; one total when ungrouped). */
+  private def planAgg(agg: Aggregation): Option[(Seq[String], Seq[FlsAggSpec])] = {
     // fully-consumed partition filters keep metadata aggregates legal:
     // the agg then runs over exactly the decided-true file subset
-    if (!pushed.forall(consumedPartFilters.contains) ||
-      agg.groupByExpressions().nonEmpty) return None
+    if (!pushed.forall(consumedPartFilters.contains)) return None
+    val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
+      case f: NamedReference if f.fieldNames().length == 1 &&
+        builderDisc.keys.contains(f.fieldNames()(0)) => f.fieldNames()(0)
+      case _ => return None
+    }
     val specs = agg.aggregateExpressions().map {
       case _: CountStar => Some(FlsAggSpec(FlsAggSpec.Count, ""))
       case m: Min => m.column() match {
@@ -282,12 +289,14 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     }
     if (!specs.forall(_.isDefined)) return None
     val flat = specs.flatten.toSeq
-    // MIN/MAX over a fully-pruned (or all-empty) file subset must yield
-    // NULL — only the real scan can produce it (readSchema here is
-    // non-nullable); COUNT over the empty subset is a plain 0 and fine
-    if (flat.exists(_.kind != FlsAggSpec.Count) &&
+    // Ungrouped MIN/MAX over a fully-pruned (or all-empty) file subset
+    // must yield NULL — only the real scan can produce it (readSchema
+    // here is non-nullable); COUNT over the empty subset is a plain 0
+    // and fine. Grouped aggregates drop empty groups instead, so zero
+    // rows is exactly the SQL answer.
+    if (groupCols.isEmpty && flat.exists(_.kind != FlsAggSpec.Count) &&
       !aggFooters.exists(_.table.rowGroups.nonEmpty)) return None
-    Some(flat)
+    Some((groupCols, flat))
   }
 
   private lazy val footers: Seq[graft.fls.FlsFooters.Entry] =
@@ -338,7 +347,7 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     planAgg(agg) match {
-      case Some(specs) => aggSpecs = Some(specs); true
+      case Some(gs) => aggSpecs = Some(gs); true
       case None => false
     }
   }
@@ -384,7 +393,14 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     // are exactly the files the aggregate computes over, so a file
     // appearing between pushdown acceptance and execution can't slip
     // incomparable stats into the result
-    case Some(specs) => new FlsAggScan(tableSchema, specs, options, aggFooters)
+    case Some((gCols, specs)) =>
+      val gFields = gCols.map(c => StructField(c, builderPartTypes(c),
+        nullable = builderDisc.nullableKeys.contains(c)))
+      val idxs = gCols.map(builderDisc.keys.indexOf)
+      val rawByFile: Map[String, Seq[String]] =
+        if (gCols.isEmpty) Map.empty
+        else builderDisc.byFile.map { case (f, vals) => f -> idxs.map(vals).toSeq }
+      new FlsAggScan(tableSchema, specs, options, aggFooters, gFields, rawByFile)
     // the builder's footer list rides into the scan too: planning reuses
     // one listing + one partition discovery per query instead of
     // re-walking the table (at 100k files that re-walk is real driver
@@ -882,14 +898,127 @@ class FlsWriteBuilder(info: LogicalWriteInfo,
       }
     }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new FlsBatchWrite(merged, doTruncate)
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      require(!doTruncate,
-        "fls streaming sink supports Append output mode only (complete/update " +
-          "would truncate the table every trigger)")
-      new FlsStreamingWrite(merged)
+  override def build(): Write = new FlsWrite(merged, doTruncate)
+}
+
+/** Physical-layout contract of an fls write, declared to Spark through
+  * [[RequiresDistributionAndOrdering]] so the planner inserts the
+  * exchange/sort BEFORE rows reach the writer tasks:
+  *
+  *   - `partition_by=dt,country` — partition columns become the leading
+  *     distribution + ordering keys. Without this, a W-task write over a
+  *     table with P live partition values produces up to W×P files (every
+  *     task holds every partition open); at cluster scale that is the
+  *     small-files explosion. Distributed+sorted, each partition value
+  *     lands in a handful of tasks and each task streams through its
+  *     values IN ORDER, so the writer holds ~1 partition dir open at a
+  *     time (max_open_partitions pressure gone).
+  *   - `cluster_by=c1,c2:desc` — GLOBAL range clustering: rows are
+  *     range-distributed and sorted on the listed columns, so files
+  *     carry disjoint value ranges and the scan-side zone maps
+  *     (FlsZoneMap) skip whole row groups/files on point/range filters.
+  *   - `sort_by=c1,c2:desc` — per-TASK sort only (no extra shuffle):
+  *     tightens per-row-group zone maps and groups dictionary/RLE runs
+  *     without paying a global exchange.
+  *   - `write_distribution=ordered|clustered|none` — override. `ordered`
+  *     (default) range-partitions on partition+cluster keys, splitting a
+  *     skewed partition value across tasks; `clustered` hash-partitions
+  *     (exact co-location: at most one file set per value per write, but
+  *     a hot value serializes into one task); `none` restores the
+  *     shuffle-free legacy behavior.
+  *   - `target_file_bytes=N` — advisory shuffle-partition size; with AQE
+  *     on, Spark coalesces/splits the write-side shuffle so each task —
+  *     and therefore each rotated file chain — lands near N bytes. The
+  *     knob that replaces "guess the right repartition(n)" at 100 TB.
+  *
+  * Ordering is declared as partition cols ++ cluster cols ++ sort cols;
+  * distribution only exists when partition/cluster keys do, so a plain
+  * unoptioned write keeps its exchange-free plan. Applies to batch AND
+  * streaming epochs (each micro-batch is planned with the same
+  * contract). */
+class FlsWrite(merged: LogicalWriteInfo, doTruncate: Boolean)
+  extends Write with RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution => V2Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+
+  private val opts = merged.options()
+  private val layout = FlsWriteLayout.parse(opts, merged.schema())
+
+  override def requiredDistribution(): V2Distribution = {
+    val keys = layout.distributionKeys
+    if (keys.isEmpty || layout.mode == "none") Distributions.unspecified()
+    else if (layout.mode == "clustered")
+      Distributions.clustered(keys.map(c => Expressions.column(c)).toArray)
+    else Distributions.ordered(keys.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray)
+  }
+
+  override def requiredOrdering(): Array[V2SortOrder] =
+    layout.ordering.map { case (c, desc) =>
+      Expressions.sort(Expressions.column(c),
+        if (desc) SortDirection.DESCENDING else SortDirection.ASCENDING)
+    }.toArray
+
+  override def requiredNumPartitions(): Int = 0
+
+  override def advisoryPartitionSizeInBytes(): Long = layout.targetBytes
+
+  override def toBatch: BatchWrite = new FlsBatchWrite(merged, doTruncate)
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!doTruncate,
+      "fls streaming sink supports Append output mode only (complete/update " +
+        "would truncate the table every trigger)")
+    new FlsStreamingWrite(merged)
+  }
+}
+
+/** Parsed write-layout options (shared by [[FlsWrite]]'s plan-side
+  * declaration and [[FlsBatchWrite]]'s validation). `c:desc` / `c:asc`
+  * suffixes pick the direction; bare names are ascending. */
+case class FlsWriteLayout(partitionBy: Seq[String], clusterBy: Seq[(String, Boolean)],
+    sortBy: Seq[(String, Boolean)], mode: String, targetBytes: Long) {
+  /** partition + cluster columns, in declaration order — the keys rows
+    * are exchanged on when a distribution is requested. */
+  def distributionKeys: Seq[String] = partitionBy ++ clusterBy.map(_._1)
+  /** Full per-task ordering: partition cols first (groups the writer's
+    * open-partition set), then cluster, then sort columns. */
+  def ordering: Seq[(String, Boolean)] =
+    (if (mode == "none") Nil else partitionBy.map(_ -> false)) ++ clusterBy ++ sortBy
+}
+
+object FlsWriteLayout {
+  private def parseCols(spec: String): Seq[(String, Boolean)] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { tok =>
+      tok.split(":").map(_.trim) match {
+        case Array(c) => c -> false
+        case Array(c, d) if d.equalsIgnoreCase("asc") => c -> false
+        case Array(c, d) if d.equalsIgnoreCase("desc") => c -> true
+        case _ => throw new IllegalArgumentException(
+          s"fls: bad sort spec '$tok' — use col, col:asc or col:desc")
+      }
     }
+
+  def parse(options: CaseInsensitiveStringMap, schema: StructType): FlsWriteLayout = {
+    val partitionBy = Option(options.get("partition_by"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val clusterBy = Option(options.get("cluster_by")).map(parseCols).getOrElse(Nil)
+    val sortBy = Option(options.get("sort_by")).map(parseCols).getOrElse(Nil)
+    val mode = Option(options.get("write_distribution")).getOrElse("ordered")
+    require(mode == "ordered" || mode == "clustered" || mode == "none",
+      s"fls: write_distribution must be ordered, clustered or none, got '$mode'")
+    val targetBytes = options.getLong("target_file_bytes", 0L)
+    require(targetBytes >= 0, s"fls: target_file_bytes must be >= 0, got $targetBytes")
+    (clusterBy ++ sortBy).foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"fls: sort/cluster column '$c' not in the written schema")
+      require(!partitionBy.contains(c),
+        s"fls: column '$c' is a partition column — it already leads the write ordering")
+    }
+    val dup = (clusterBy.map(_._1) ++ sortBy.map(_._1)).diff(
+      (clusterBy.map(_._1) ++ sortBy.map(_._1)).distinct)
+    require(dup.isEmpty, s"fls: duplicate sort/cluster column(s): ${dup.distinct.mkString(",")}")
+    FlsWriteLayout(partitionBy, clusterBy, sortBy,
+      if (partitionBy.isEmpty && clusterBy.isEmpty) "none" else mode, targetBytes)
   }
 }
 

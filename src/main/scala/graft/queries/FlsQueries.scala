@@ -178,16 +178,26 @@ object FlsQueries {
     * surfaces path segments as columns). The oracle recomputes the same
     * month bucket from raw o_orderdate, so the hash match proves the
     * path round-trip preserved the values exactly. */
-  def q40FlsPartitioned(spark: SparkSession, dir: String): DataFrame = {
-    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val out = s"/tmp/graft_fls_cache_v4/${key}_orders_by_month"
+  def q40FlsPartitioned(spark: SparkSession, dir: String): DataFrame =
+    ordersByMonth(spark, dir)
+      .filter(col("dt") >= to_date(lit("1997-01-01")))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
+      .orderBy("o_orderpriority")
+
+  /** Orders bucketed by month under `dt=<month>/` — the shared
+    * partitioned-table fixture for q40 (pruned scan) and q99 (grouped
+    * metadata aggregate). The write relies on the writer's OWN layout
+    * contract (FlsWrite's ordered distribution on dt) instead of a
+    * manual repartition — the plan a cluster deployment would get. */
+  private def ordersByMonth(spark: SparkSession, dir: String): DataFrame = {
+    val out = flsTablePath(dir, "orders_by_month")
     synchronized {
       val marker = new java.io.File(s"$out/_done")
       if (!done.contains(out) && !marker.exists()) {
         t(spark, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
             to_date(date_trunc("month", col("o_orderdate"))).as("dt"))
-          .repartition(col("dt")) // one writer bucket per month per task
           .write.format("fls").mode("overwrite")
           .option("partition_by", "dt").save(out)
         marker.createNewFile()
@@ -195,11 +205,24 @@ object FlsQueries {
       done += out
     }
     spark.read.format("fls").load(out)
-      .filter(col("dt") >= to_date(lit("1997-01-01")))
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
-      .orderBy("o_orderpriority")
   }
+
+  /** Grouped metadata-only aggregate: `GROUP BY <partition col>` with
+    * COUNT/MIN/MAX answered entirely from directory names + footer
+    * stats (FlsAggScan's grouped mode) — over a 100 TB corpus this is
+    * the "rows and key span per day" ops query, and it reads zero data
+    * bytes. The oracle recomputes the groups from raw o_orderdate. */
+  def q99FlsGroupedMetaAgg(spark: SparkSession, dir: String): DataFrame =
+    ordersByMonth(spark, dir)
+      .groupBy(col("dt"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("dt")
+
+  val q99Sql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS dt,
+        count(*) AS n, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders GROUP BY 1 ORDER BY dt"""
 
   val q40Sql: String = {
     import graft.util.Tables.{sql => S}
@@ -571,8 +594,82 @@ object FlsQueries {
       WHERE d.n_chars * 4 > s.lang_chars / s.lang_docs * 5
       GROUP BY d.lang ORDER BY d.lang"""
 
+  /** Writer-declared physical layout (FlsWriteLayout): lineitem written
+    * with `cluster_by=l_partkey` — the plan-side
+    * RequiresDistributionAndOrdering contract makes Spark range-exchange
+    * and sort BEFORE the writer tasks, so the produced files carry
+    * DISJOINT l_partkey ranges and a selective range filter prunes whole
+    * row groups/files through the zone maps. The oracle recomputes from
+    * raw parquet: the hash match proves the re-layout is value-exact. */
+  def q97FlsClusteredWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = flsTablePath(dir, "lineitem_clustered")
+    synchronized {
+      val marker = new java.io.File(s"$out/_done")
+      if (!done.contains(out) && !marker.exists()) {
+        t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_extendedprice"))
+          .write.format("fls").mode("overwrite")
+          .option("cluster_by", "l_partkey")
+          .save(out)
+        marker.createNewFile()
+      }
+      done += out
+    }
+    spark.read.format("fls").load(out)
+      .filter(col("l_partkey") >= 100 && col("l_partkey") < 400)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), dbl(sum(col("l_quantity"))).as("qty"),
+        dbl(sum(d6w(col("l_extendedprice")))).as("price"))
+      .orderBy("l_partkey")
+  }
+
+  val q97Sql: String =
+    """SELECT l_partkey, count(*) AS n,
+        CAST(sum(l_quantity) AS DOUBLE) AS qty,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS price
+      FROM lineitem
+      WHERE l_partkey >= 100 AND l_partkey < 400
+      GROUP BY l_partkey ORDER BY l_partkey"""
+
+  /** Z-order layout: lineitem Morton-clustered over (l_partkey,
+    * l_suppkey), written with NO writer layout options (the write must
+    * preserve what ZOrder.cluster laid out), then filtered on the
+    * SECOND dimension only — the filter a single-column sort cannot
+    * serve, and the one that proves multi-dimensional zone-map skipping
+    * works. Oracle recomputes from raw parquet. */
+  def q98FlsZorder(spark: SparkSession, dir: String): DataFrame = {
+    val out = flsTablePath(dir, "lineitem_zorder")
+    synchronized {
+      val marker = new java.io.File(s"$out/_done")
+      if (!done.contains(out) && !marker.exists()) {
+        val src = t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"), col("l_extendedprice"))
+        graft.functions.ZOrder.cluster(src, Seq("l_partkey", "l_suppkey"))
+          .write.format("fls").mode("overwrite").save(out)
+        marker.createNewFile()
+      }
+      done += out
+    }
+    spark.read.format("fls").load(out)
+      .filter(col("l_suppkey") >= 10 && col("l_suppkey") < 25)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"), dbl(sum(col("l_quantity"))).as("qty"))
+      .orderBy("l_suppkey")
+  }
+
+  val q98Sql: String =
+    """SELECT l_suppkey, count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_suppkey >= 10 AND l_suppkey < 25
+      GROUP BY l_suppkey ORDER BY l_suppkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_fls_topk" -> (q38FlsTopK _),
+    "q97_fls_clustered_write" -> (q97FlsClusteredWrite _),
+    "q98_fls_zorder" -> (q98FlsZorder _),
+    "q99_fls_grouped_meta_agg" -> (q99FlsGroupedMetaAgg _),
     "q15_fls_tpch_q1" -> (q15FlsTpchQ1 _),
     "q16_fls_filter_prune" -> (q16FlsFilterPrune _),
     "q17_fls_interop_join" -> (q17FlsInteropJoin _),
@@ -594,6 +691,9 @@ object FlsQueries {
 
   val oracles: Map[String, String] = Map(
     "q38_fls_topk" -> q38Sql,
+    "q97_fls_clustered_write" -> q97Sql,
+    "q98_fls_zorder" -> q98Sql,
+    "q99_fls_grouped_meta_agg" -> q99Sql,
     "q15_fls_tpch_q1" -> Relational.q01Sql,
     "q16_fls_filter_prune" -> Relational.q02Sql,
     "q17_fls_interop_join" -> q17Sql,

@@ -212,6 +212,50 @@ class FlsPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
       sample().filter($"country" === "us" && $"id" > 100).count())
   }
 
+  test("GROUP BY partition columns answers from metadata (one row per live dir)") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/two_level"
+    def load = spark.read.format("fls").load(dir)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+
+    // single partition group column, count + min/max of a data column
+    val g1 = load.groupBy($"country")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .orderBy("country")
+    assert(planOf(g1).contains("metadata-aggregate") && planOf(g1).contains("group by"),
+      planOf(g1))
+    val exp1 = sample().groupBy($"country")
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      .orderBy("country").collect().toSeq
+    assert(g1.collect().toSeq == exp1)
+
+    // both partition columns (typed date group value decoded from paths)
+    val g2 = load.groupBy($"dt", $"country").agg(count(lit(1)).as("n"))
+      .orderBy("dt", "country")
+    assert(planOf(g2).contains("metadata-aggregate"), planOf(g2))
+    assert(g2.collect().toSeq ==
+      sample().groupBy($"dt", $"country").agg(count(lit(1)).as("n"))
+        .orderBy("dt", "country").collect().toSeq)
+
+    // a decided partition filter composes: agg over the pruned subset
+    val g3 = load.filter($"country" === "us").groupBy($"dt").agg(count(lit(1)).as("n"))
+      .orderBy("dt")
+    assert(planOf(g3).contains("metadata-aggregate"), planOf(g3))
+    assert(g3.collect().toSeq ==
+      sample().filter($"country" === "us").groupBy($"dt").agg(count(lit(1)).as("n"))
+        .orderBy("dt").collect().toSeq)
+
+    // no-match filter + grouping: EMPTY result (not a zero row)
+    val g5 = load.filter($"country" === "jp").groupBy($"dt").agg(min("id"))
+    assert(planOf(g5).contains("metadata-aggregate"), planOf(g5))
+    assert(g5.collect().isEmpty)
+
+    // grouping by a DATA column cannot come from metadata
+    val g4 = load.groupBy($"body").agg(count(lit(1)))
+    assert(!planOf(g4).contains("metadata-aggregate"), planOf(g4))
+  }
+
   test("three-valued logic: Not over null partition values stays excluded") {
     import org.apache.spark.sql.sources._
     import org.apache.spark.sql.types._
