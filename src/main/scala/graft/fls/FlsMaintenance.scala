@@ -53,17 +53,22 @@ object FlsMaintenance {
       targetRowsPerFile: Long = Format.DefaultRowGroupSize.toLong * 16,
       extraOptions: Map[String, String] = Map.empty,
       sortBy: Seq[String] = Nil,
-      eagerDeleteInputs: Boolean = false): CompactStats = {
+      eagerDeleteInputs: Boolean = false,
+      zorderBy: Seq[String] = Nil): CompactStats = {
     require(targetRowsPerFile > 0, "fls compact: targetRowsPerFile must be positive")
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "fls compact: sortBy and zorderBy are alternative clustering modes — pick one")
+    require(zorderBy.isEmpty || zorderBy.size >= 2,
+      "fls compact: zorderBy needs >= 2 columns (use sortBy for one)")
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     FlsManifest.readVersioned(fs, root) match {
       case Some(frozen) =>
         compactManifest(spark, dir, frozen, targetRowsPerFile, extraOptions,
-          sortBy, eagerDeleteInputs)
+          sortBy, eagerDeleteInputs, zorderBy)
       case None =>
-        compactListing(spark, dir, targetRowsPerFile, extraOptions, sortBy)
+        compactListing(spark, dir, targetRowsPerFile, extraOptions, sortBy, zorderBy)
     }
   }
 
@@ -76,7 +81,7 @@ object FlsMaintenance {
     * tables don't have this caveat — their swap is conflict-checked). */
   private def compactListing(spark: SparkSession, dir: String,
       targetRowsPerFile: Long, extraOptions: Map[String, String],
-      sortBy: Seq[String]): CompactStats = {
+      sortBy: Seq[String], zorderBy: Seq[String]): CompactStats = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
@@ -106,8 +111,11 @@ object FlsMaintenance {
     val df = spark.read.format("fls").load(dir)
     val rows = df.count() // footer-served via the metadata-aggregate scan
     val keys = discovery.keys
-    var w = clustered(df, rows, keys, sortBy, targetRowsPerFile)
+    var w = clustered(df, rows, keys, sortBy, zorderBy, targetRowsPerFile)
       .write.format("fls").mode("overwrite")
+      // this rewrite IS the layout: the writer contract must not add a
+      // second exchange on top of the compaction's own repartitioning
+      .option("write_distribution", "none")
     if (keys.nonEmpty) w = w.option("partition_by", keys.mkString(","))
     w = rotation(w, targetRowsPerFile, extraOptions)
     w.save(dir)
@@ -136,7 +144,7 @@ object FlsMaintenance {
   private def compactManifest(spark: SparkSession, dir: String,
       frozen: (Long, Seq[FlsManifest.Entry]), targetRowsPerFile: Long,
       extraOptions: Map[String, String], sortBy: Seq[String],
-      eagerDeleteInputs: Boolean): CompactStats = {
+      eagerDeleteInputs: Boolean, zorderBy: Seq[String] = Nil): CompactStats = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
@@ -166,8 +174,9 @@ object FlsMaintenance {
     val rows = df.count()
     val compactId = java.util.UUID.randomUUID().toString
     val tmpDir = new Path(root, s"_compact_$compactId") // _-prefixed: invisible
-    var w = clustered(df, rows, keys, sortBy, targetRowsPerFile)
+    var w = clustered(df, rows, keys, sortBy, zorderBy, targetRowsPerFile)
       .write.format("fls").mode("overwrite")
+      .option("write_distribution", "none") // same: compaction owns the layout
     if (keys.nonEmpty) w = w.option("partition_by", keys.mkString(","))
     w = rotation(w, targetRowsPerFile, extraOptions)
     val moved = scala.collection.mutable.ArrayBuffer[(String, Long)]()
@@ -270,16 +279,40 @@ object FlsMaintenance {
     * flat tables range-cluster on sortBy, or round-robin into exactly
     * nOut writer tasks. */
   private def clustered(df: DataFrame, rows: Long, keys: Seq[String],
-      sortBy: Seq[String], targetRowsPerFile: Long): DataFrame = {
+      sortBy: Seq[String], zorderBy: Seq[String], targetRowsPerFile: Long): DataFrame = {
     val nOut = math.max(1L, (rows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    // zorderBy = the multi-dimensional form of sortBy clustering
+    // (OPTIMIZE...ZORDER): rows sort by the Morton code of the listed
+    // columns, so zone maps stay narrow in EVERY listed dimension. On a
+    // partitioned table the curve applies WITHIN each partition dir
+    // (cuts are still global — one quantile pass).
+    val zval: Option[org.apache.spark.sql.Column] =
+      if (zorderBy.isEmpty) None
+      else {
+        val buckets = 1024
+        val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+        val castNames = zorderBy.map(c => s"__zq_$c")
+        val cuts = df.select(zorderBy.zip(castNames).map { case (c, n) =>
+            col(c).cast("double").as(n) }: _*)
+          .stat.approxQuantile(castNames.toArray, probs, 0.001)
+          .map(a => a.filter(d => !d.isNaN).distinct.sorted)
+        Some(org.apache.spark.sql.graftexprs.ZValue.column(zorderBy.map(col), cuts.toSeq))
+      }
     if (keys.nonEmpty) {
       val base = df.repartition(nOut, keys.map(col): _*)
-      if (sortBy.nonEmpty) base.sortWithinPartitions((keys ++ sortBy).map(col): _*)
-      else base
-    } else if (sortBy.nonEmpty)
-      df.repartitionByRange(nOut, sortBy.map(col): _*)
-        .sortWithinPartitions(sortBy.map(col): _*)
-    else df.repartition(nOut)
+      zval match {
+        case Some(z) => base.sortWithinPartitions(keys.map(col) :+ z: _*)
+        case None if sortBy.nonEmpty =>
+          base.sortWithinPartitions((keys ++ sortBy).map(col): _*)
+        case None => base
+      }
+    } else zval match {
+      case Some(z) => df.repartitionByRange(nOut, z).sortWithinPartitions(z)
+      case None if sortBy.nonEmpty =>
+        df.repartitionByRange(nOut, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      case None => df.repartition(nOut)
+    }
   }
 
   /** Rotate files at ~targetRowsPerFile INSIDE each writer task too: a

@@ -184,6 +184,52 @@ class FlsMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLongs(dir) == (0L until 4000L))
   }
 
+  test("zorderBy compaction prunes range filters on BOTH clustered dimensions") {
+    val dir = Files.createTempDirectory("fls-compact-zorder").toString
+    val sp = spark; import sp.implicits._
+    // every append spans both value domains — zone maps start useless
+    (0 until 8).foreach { k =>
+      (0 until 2000).map { i =>
+        val id = i * 8 + k
+        (((id * 2654435761L) % 1000 + 1000) % 1000,
+          ((id * 40503L + 7) % 1000 + 1000) % 1000, id.toLong)
+      }.toDF("a", "b", "id").coalesce(1)
+        .write.format("fls").mode("append").save(dir)
+    }
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import graft.fls.connector.{FlsDataSource, FlsScanBuilder}
+    def planned(filter: org.apache.spark.sql.sources.Filter): Int = {
+      val opts = new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+      val schema = new FlsDataSource().inferSchema(opts)
+      val builder = new FlsScanBuilder(schema, opts)
+      builder.pushFilters(Array(filter))
+      spark.conf.set("spark.sql.files.openCostInBytes", "134217728")
+      try builder.build().toBatch.planInputPartitions().length
+      finally spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual, LessThan}
+    val fa = And(GreaterThanOrEqual("a", 0L), LessThan("a", 50L))
+    val fb = And(GreaterThanOrEqual("b", 0L), LessThan("b", 50L))
+    val before = spark.read.format("fls").load(dir)
+      .orderBy("id").collect().map(_.getLong(2)).toSeq
+    assert(planned(fa) == 8 && planned(fb) == 8,
+      "before clustering, every file spans both domains")
+    FlsMaintenance.compact(spark, dir,
+      targetRowsPerFile = 1024, zorderBy = Seq("a", "b"))
+    val total = planned(GreaterThanOrEqual("id", 0L))
+    // a 5% band on EITHER dimension must skip most row groups — the
+    // property a single-column sortBy cannot deliver
+    assert(planned(fa) * 2 < total, s"dim a: ${planned(fa)} of $total")
+    assert(planned(fb) * 2 < total, s"dim b: ${planned(fb)} of $total")
+    // rows survive the rewrite exactly
+    assert(spark.read.format("fls").load(dir)
+      .orderBy("id").collect().map(_.getLong(2)).toSeq == before)
+    // sortBy and zorderBy cannot combine
+    intercept[IllegalArgumentException] {
+      FlsMaintenance.compact(spark, dir, sortBy = Seq("a"), zorderBy = Seq("a", "b"))
+    }
+  }
+
   test("compaction refuses while a write job is in flight") {
     val dir = Files.createTempDirectory("fls-compact-inflight").toString
     val sp = spark; import sp.implicits._

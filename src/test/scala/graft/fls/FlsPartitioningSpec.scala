@@ -254,6 +254,12 @@ class FlsPartitioningSpec extends AnyFunSuite with BeforeAndAfterAll {
     // grouping by a DATA column cannot come from metadata
     val g4 = load.groupBy($"body").agg(count(lit(1)))
     assert(!planOf(g4).contains("metadata-aggregate"), planOf(g4))
+
+    // SELECT DISTINCT <partition col> = grouping with zero aggregates:
+    // the live partition values, straight from the directory names
+    val g6 = load.select("country").distinct().orderBy("country")
+    assert(planOf(g6).contains("metadata-aggregate"), planOf(g6))
+    assert(g6.collect().map(_.getString(0)).toSeq == Seq("de", "nl", "us"))
   }
 
   test("three-valued logic: Not over null partition values stays excluded") {
