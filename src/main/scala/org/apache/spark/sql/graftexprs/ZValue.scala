@@ -33,11 +33,15 @@ case class ZValue(children: Seq[Expression], cuts: Seq[Array[Double]])
     "zvalue: one cut array per input column required")
 
   /** Bit width per dimension: buckets run [0, cuts.length + 1] (0 is
-    * the null bucket, i+1 for insertion point i). */
-  private val bits: Int = {
-    val maxBucket = cuts.map(_.length + 1).max
+    * the null bucket, i+1 for insertion point i). All dimensions share
+    * the widest width; narrower dimensions are MSB-ALIGNED into it
+    * (bucket << shift) rather than zero-padded — a low-cardinality
+    * dimension must vary the HIGH interleave bits, or it would only
+    * wiggle inside row groups and never cluster across them. */
+  private def widthOf(maxBucket: Int): Int =
     64 - java.lang.Long.numberOfLeadingZeros(maxBucket.toLong).max(1)
-  }
+  private val bits: Int = cuts.map(c => widthOf(c.length + 1)).max
+  private val shifts: Seq[Int] = cuts.map(c => bits - widthOf(c.length + 1))
   require(children.size * bits <= 63,
     s"zvalue: ${children.size} dims x $bits bits exceeds a Long (reduce buckets or columns)")
 
@@ -58,16 +62,16 @@ case class ZValue(children: Seq[Expression], cuts: Seq[Array[Double]])
     * generated code calls it per dimension. */
   def dimBits(i: Int, isNull: Boolean, v: Double): Long = {
     val bucket =
-      if (isNull) 0
+      if (isNull) 0L
       else {
         val idx = java.util.Arrays.binarySearch(cuts(i), v)
-        (if (idx >= 0) idx else -idx - 1) + 1
+        ((if (idx >= 0) idx else -idx - 1) + 1).toLong << shifts(i)
       }
     var out = 0L
     var j = 0
     val k = children.size
     while (j < bits) {
-      out |= ((bucket.toLong >> j) & 1L) << (j * k + i)
+      out |= ((bucket >> j) & 1L) << (j * k + i)
       j += 1
     }
     out

@@ -162,6 +162,65 @@ class FlsWriteLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     bad("cluster_by" -> "v", "sort_by" -> "v") // duplicate
   }
 
+  test("runtime join filters prune row groups of a clustered table") {
+    import graft.fls.connector._
+    import org.apache.spark.sql.sources.In
+    val dir = s"$tmp/clustered" // written by the cluster_by test above
+    assert(new java.io.File(dir).exists())
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir))
+    val schema = new FlsDataSource().inferSchema(opts)
+    val b = new FlsScanBuilder(schema, opts)
+    spark.conf.set("spark.sql.files.openCostInBytes", "134217728")
+    try {
+      val scan = b.build().asInstanceOf[FlsScan]
+      val total = scan.toBatch.planInputPartitions().length
+      // a broadcast-side key set arriving AFTER planning (DPP-style)
+      // must hit the same zone maps the static path uses — on the
+      // clustered layout a 3-key set touches a couple of row groups
+      assert(scan.filterAttributes().map(_.describe()).contains("v"))
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](
+        In("v", Array[Any](100L, 101L, 40000L))))
+      val pruned = scan.toBatch.planInputPartitions().length
+      assert(pruned * 4 < total, s"runtime In-filter: $pruned of $total")
+    } finally spark.conf.unset("spark.sql.files.openCostInBytes")
+  }
+
+  test("the layout contract applies to streaming micro-batch epochs") {
+    val src = s"$tmp/stream_src"
+    spark.range(0, 16 * 1024).selectExpr("id AS v", "hash(id) AS noise")
+      .repartition(4).write.format("fls").mode("overwrite").save(src)
+    val out = s"$tmp/stream_clustered"
+    val schema = spark.read.format("fls").load(src).schema
+    val q = spark.readStream.format("fls").schema(schema).load(src)
+      .writeStream.format("fls")
+      .option("path", out)
+      .option("cluster_by", "v")
+      .option("row_group_size", "1024")
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val stats = fileStats(out, "v")
+    assert(stats.nonEmpty)
+    // each epoch range-exchanges + sorts: every file's row groups are
+    // internally ordered, and this epoch's files are pairwise disjoint
+    stats.foreach { case (p, rgs) =>
+      rgs.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi <= lo2, s"unsorted epoch file $p: $rgs")
+        case _ => ()
+      }
+    }
+    val spans = stats.map { case (_, rgs) => (rgs.map(_._1).min, rgs.map(_._2).max) }
+      .sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"epoch files overlap: $spans")
+      case _ => ()
+    }
+    // rows survive exactly
+    assert(spark.read.format("fls").load(out).agg(sum("v")).collect()(0).getLong(0) ==
+      (16L * 1024 - 1) * (16L * 1024) / 2)
+  }
+
   test("zvalue interleaves quantile buckets and isolates nulls at zero") {
     import org.apache.spark.sql.graftexprs.ZValue
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -185,6 +244,28 @@ class FlsWriteLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       ZValue(Seq(Literal(r.getDouble(0)), Literal(r.getDouble(1))),
         Seq(cuts, cuts)).eval(null).asInstanceOf[Long]).sum
     assert(viaCodegen == viaRows)
+  }
+
+  test("zorder with a categorical (string) dimension skips on equality via string zone maps") {
+    import org.apache.spark.sql.sources.EqualTo
+    val dir = s"$tmp/zorder_str"
+    val langs = Seq("en", "de", "fr", "nl", "pt", "it", "es", "pl")
+    val df = spark.range(0, 64 * 1024)
+      .selectExpr(s"element_at(array(${langs.map(l => s"'$l'").mkString(",")}), " +
+        "CAST(pmod(hash(id), 8) + 1 AS INT)) AS lang",
+        "CAST(pmod(hash(id + 3), 5000) AS LONG) AS n_chars", "id AS payload")
+    graft.functions.ZOrder.cluster(df, Seq("lang", "n_chars"), buckets = 256,
+      numPartitions = 4)
+      .write.format("fls").mode("overwrite").option("row_group_size", "1024").save(dir)
+    val total = plannedPartitions(dir)
+    // equality on the hashed categorical dim: rows of one lang occupy
+    // one curve region, so the byte-prefix string zone maps prune
+    val prunedLang = plannedPartitions(dir, EqualTo("lang", "de"))
+    assert(prunedLang * 2 < total, s"lang: $prunedLang of $total")
+    // the numeric dim still range-skips
+    val prunedChars = plannedPartitions(dir,
+      And(GreaterThanOrEqual("n_chars", 0L), LessThan("n_chars", 100L)))
+    assert(prunedChars * 2 < total, s"n_chars: $prunedChars of $total")
   }
 
   test("zorder layout narrows zone maps on BOTH dimensions") {
