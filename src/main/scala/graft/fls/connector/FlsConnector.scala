@@ -164,7 +164,8 @@ object FlsDataSource {
 }
 
 class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"fls:${FlsDataSource.parsePaths(options).mkString(",")}"
   override def schema(): StructType = schema
@@ -172,6 +173,25 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
+
+  /** Metadata-only `DELETE FROM t WHERE ...` (+ `TRUNCATE TABLE` via
+    * the SupportsDelete bridge): legal exactly when the partition
+    * values DECIDE the predicate for EVERY live file — each file is
+    * then dropped whole or kept whole, no data is read or rewritten.
+    * `DELETE FROM corpus WHERE dt < '2020-01-01'` — retention
+    * enforcement, THE lifecycle operation on a 100 TB table — is a
+    * listing plus file removals (listing mode) or one CAS manifest
+    * republish (manifest mode, concurrent-append-safe: files are
+    * re-classified inside the merge and an undecidable newcomer aborts
+    * loudly; removed files stay on disk for `vacuum`, so pinned
+    * snapshot readers survive). Predicates partition values cannot
+    * decide make `canDeleteWhere` return false — Spark reports the
+    * delete unsupported rather than silently rewriting data. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    FlsDelete.canDelete(schema, options, filters)
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    FlsDelete.delete(schema, options, filters)
 
   /** SQL reads of a catalog table (`SELECT ... FROM t` after
     * `CREATE TABLE t USING fls LOCATION ...`) arrive with EMPTY read

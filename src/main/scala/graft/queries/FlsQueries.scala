@@ -665,8 +665,54 @@ object FlsQueries {
       WHERE l_suppkey >= 10 AND l_suppkey < 25
       GROUP BY l_suppkey ORDER BY l_suppkey"""
 
+  /** Retention enforcement as a METADATA operation: orders partitioned
+    * by month, then `DELETE FROM t WHERE dt < cutoff` — partition
+    * values decide the predicate for every file, so the delete drops
+    * whole directories without reading a row (FlsDelete /
+    * SupportsDelete; at 100 TB this is how a corpus ages out). The
+    * oracle recomputes the surviving months from raw o_orderdate, so
+    * the hash match proves the delete removed exactly the right rows
+    * and nothing else. */
+  def q100FlsRetentionDelete(spark: SparkSession, dir: String): DataFrame = {
+    val out = flsTablePath(dir, "orders_retention")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    synchronized {
+      val marker = new java.io.File(s"$out/_done_del")
+      if (!done.contains(out + "@del") && !marker.exists()) {
+        t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+            to_date(date_trunc("month", col("o_orderdate"))).as("dt"))
+          .write.format("fls").mode("overwrite")
+          .option("partition_by", "dt").save(out)
+        val tbl = s"fls_retention_$key"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+          s"o_orderpriority STRING, dt DATE) USING fls LOCATION '$out'")
+        try spark.sql(s"DELETE FROM $tbl WHERE dt < DATE'1995-01-01'")
+        finally spark.sql(s"DROP TABLE $tbl")
+        marker.createNewFile()
+      }
+      done += out + "@del"
+    }
+    spark.read.format("fls").load(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"),
+        min(col("dt")).as("first_month"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q100Sql: String = {
+    import graft.util.Tables.{sql => S}
+    s"""SELECT o_orderpriority, count(*) AS n, ${S.sumD6w("o_totalprice", "total")},
+        min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS first_month
+      FROM orders
+      WHERE CAST(date_trunc('month', o_orderdate) AS DATE) >= DATE '1995-01-01'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_fls_topk" -> (q38FlsTopK _),
+    "q100_fls_retention_delete" -> (q100FlsRetentionDelete _),
     "q97_fls_clustered_write" -> (q97FlsClusteredWrite _),
     "q98_fls_zorder" -> (q98FlsZorder _),
     "q99_fls_grouped_meta_agg" -> (q99FlsGroupedMetaAgg _),
@@ -691,6 +737,7 @@ object FlsQueries {
 
   val oracles: Map[String, String] = Map(
     "q38_fls_topk" -> q38Sql,
+    "q100_fls_retention_delete" -> q100Sql,
     "q97_fls_clustered_write" -> q97Sql,
     "q98_fls_zorder" -> q98Sql,
     "q99_fls_grouped_meta_agg" -> q99Sql,
