@@ -174,19 +174,16 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
 
-  /** Metadata-only `DELETE FROM t WHERE ...` (+ `TRUNCATE TABLE` via
-    * the SupportsDelete bridge): legal exactly when the partition
-    * values DECIDE the predicate for EVERY live file — each file is
-    * then dropped whole or kept whole, no data is read or rewritten.
-    * `DELETE FROM corpus WHERE dt < '2020-01-01'` — retention
-    * enforcement, THE lifecycle operation on a 100 TB table — is a
-    * listing plus file removals (listing mode) or one CAS manifest
-    * republish (manifest mode, concurrent-append-safe: files are
-    * re-classified inside the merge and an undecidable newcomer aborts
-    * loudly; removed files stay on disk for `vacuum`, so pinned
-    * snapshot readers survive). Predicates partition values cannot
-    * decide make `canDeleteWhere` return false — Spark reports the
-    * delete unsupported rather than silently rewriting data. */
+  /** `DELETE FROM t WHERE ...` (+ `TRUNCATE TABLE` via the
+    * SupportsDelete bridge): files the predicate decides — by partition
+    * values or by zone maps — drop or stay whole with zero rows read;
+    * only straddling files are surgically rewritten (copy-on-write,
+    * flat tables; see [[FlsDelete]] for the classification, the
+    * manifest one-version CAS publish, and the partitioned-table
+    * contract). `DELETE FROM corpus WHERE dt < '2020-01-01'` —
+    * retention, THE lifecycle operation at 100 TB — reads nothing;
+    * `DELETE ... WHERE ts < cutoff` on a `cluster_by=ts` table reads
+    * one file. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     FlsDelete.canDelete(schema, options, filters)
 

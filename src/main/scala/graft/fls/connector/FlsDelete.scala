@@ -4,31 +4,46 @@ import java.util.UUID
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, Filter}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.fls.{FlsFile, FlsFileWriter, FlsManifest, Format}
+import graft.fls.{FlsFile, FlsFileWriter, FlsFooters, FlsManifest, Format}
 
-/** Metadata-only DELETE for fls tables (see [[FlsTable.canDeleteWhere]]).
+/** DELETE for fls tables (see [[FlsTable.canDeleteWhere]]) — metadata
+  * decisions first, surgical copy-on-write second.
   *
-  * A file is dropped iff its (constant) partition values make the
-  * predicate conjunction TRUE for every row; kept iff FALSE/NULL for
-  * every row; any file the values cannot decide makes the whole delete
-  * illegal — this is the Iceberg-style metadata-delete contract, and it
-  * keeps DELETE O(metadata) at any table size.
+  * Every live file is classified against the predicate conjunction:
+  *   - `Drop`: every row matches — partition values decide it, or the
+  *     file's zone maps prove it (negated-predicate pruning: all rows
+  *     match `f` iff no row can match `¬f`). The file is removed whole;
+  *     zero rows read. On a `cluster_by` table a retention predicate
+  *     decides every file except the one straddling the cutoff.
+  *   - `Keep`: no row matches (partition values, or plain zone-map
+  *     pruning). Untouched.
+  *   - `Rewrite`: the file straddles the predicate. Only these files —
+  *     typically one per clustered axis — are read and rewritten
+  *     without the matching rows. O(straddling files), not O(table).
   *
-  * Listing mode writes the replacement state in a crash-safe order
-  * (schema-only file first when the delete empties the table, then the
-  * removals) but is, like listing-mode compaction, an operation for
-  * sealed tables: a reader that planned before the removals can hit
-  * deleted files mid-scan. Manifest mode has neither caveat: the CAS
-  * republish re-classifies the current entry set inside the merge (a
-  * concurrent append whose new file the predicate cannot decide aborts
-  * the delete loudly), readers keep planning from whatever manifest
-  * version they pinned, and the dropped files remain on disk for
-  * `FlsMaintenance.vacuum`. */
+  * Rewrites are supported on FLAT tables (no hive partition columns:
+  * reading a bare file list loses path-encoded values, so partitioned
+  * tables accept only fully-decided predicates — the partition-retention
+  * shape they exist for). Listing mode appends replacements before
+  * removing originals (a reader planning in that window can see a
+  * transient duplicate — the sealed-table caveat shared with
+  * listing-mode compaction). Manifest mode stages replacements
+  * invisibly and publishes ONE CAS version: concurrent appends are
+  * re-classified inside the merge, an undecidable newcomer aborts with
+  * nothing changed, and dropped/rewritten files stay on disk for
+  * `vacuum` (pinned snapshot readers survive). */
 object FlsDelete {
+
+  private sealed trait D
+  private case object Drop extends D
+  private case object Keep extends D
+  private case object Rewrite extends D
 
   private def tablePath(options: CaseInsensitiveStringMap): String =
     FlsDataSource.parsePaths(options).headOption.getOrElse(
@@ -37,49 +52,129 @@ object FlsDelete {
   private def hconf(): Configuration =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
-  /** Some(file → delete?) when the conjunction is decided for EVERY
-    * file; None when any file cannot decide. */
-  private def classify(schema: StructType, path: String,
-      filters: Array[Filter], files: Seq[Path],
-      conf: Configuration): Option[Map[String, Boolean]] = {
+  /** Filter negation over the shapes zone maps understand. Sound on
+    * this format because stored columns hold no NULLs (two-valued
+    * logic per row). */
+  private def neg(f: Filter): Option[Filter] = f match {
+    case EqualTo(c, v) => Some(Or(LessThan(c, v), GreaterThan(c, v)))
+    case EqualNullSafe(c, v) => neg(EqualTo(c, v))
+    case GreaterThan(c, v) => Some(LessThanOrEqual(c, v))
+    case GreaterThanOrEqual(c, v) => Some(LessThan(c, v))
+    case LessThan(c, v) => Some(GreaterThanOrEqual(c, v))
+    case LessThanOrEqual(c, v) => Some(GreaterThan(c, v))
+    case In(c, vs) =>
+      vs.foldLeft(Option(AlwaysTrue().asInstanceOf[Filter])) { (acc, v) =>
+        acc.map(a => And(a, Or(LessThan(c, v), GreaterThan(c, v))))
+      }
+    case IsNull(c) => Some(IsNotNull(c))
+    case IsNotNull(c) => Some(IsNull(c))
+    case And(l, r) => for { a <- neg(l); b <- neg(r) } yield Or(a, b)
+    case Or(l, r) => for { a <- neg(l); b <- neg(r) } yield And(a, b)
+    case Not(x) => Some(x)
+    case _ => None
+  }
+
+  /** Whole-file zone-map verdict for ONE conjunct: Some(true) = every
+    * row matches, Some(false) = none does, None = straddles/unknown. */
+  private def zoneVerdict(t: Format.TableDesc, f: Filter): Option[Boolean] = {
+    if (t.rowGroups.isEmpty) return Some(false) // zero rows: nothing matches
+    val cols = t.columns
+    val idx = cols.zipWithIndex.map { case (c, i) => c.name -> i }.toMap
+    if (t.rowGroups.forall(rg => !FlsZoneMap.mayMatch(rg, idx, cols, Array(f), 0L)))
+      return Some(false)
+    neg(f) match {
+      case Some(nf) if t.rowGroups.forall(rg =>
+        !FlsZoneMap.mayMatch(rg, idx, cols, Array(nf), 0L)) => Some(true)
+      case _ => None
+    }
+  }
+
+  /** Classify every file. `footers` must cover all of `files`. */
+  private def classify(schema: StructType, path: String, filters: Array[Filter],
+      files: Seq[Path], footers: Map[String, Format.TableDesc],
+      conf: Configuration): Map[String, D] = {
     val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
     if (real.exists(_.isInstanceOf[AlwaysFalse]))
-      return Some(files.map(_.toString -> false).toMap)
-    if (real.isEmpty) return Some(files.map(_.toString -> true).toMap)
-    if (files.isEmpty) return Some(Map.empty)
+      return files.map(_.toString -> (Keep: D)).toMap
+    if (real.isEmpty) return files.map(_.toString -> (Drop: D)).toMap
+    if (files.isEmpty) return Map.empty
     val disc = FlsPartitioning.discover(Seq(path), files, conf)
-    if (disc.keys.isEmpty) return None
     val types = disc.partTypes(schema)
-    val out = files.map { f =>
-      disc.byFile.get(f.toString) match {
-        case Some(raw) =>
-          val per = real.map(fl => FlsPartitioning.evaluates(fl, types, disc.keys, raw))
-          // conjunction: delete iff every conjunct is definitely TRUE
-          // for every row; one definitely-FALSE conjunct keeps the file
-          // outright (NULL verdicts keep rows too — SQL semantics) even
-          // if a sibling conjunct is undecidable
-          f.toString -> {
-            if (per.exists(_.contains(false))) false
-            else if (per.forall(_.contains(true))) true
-            else return None
-          }
-        case None => return None
+    files.map { f =>
+      val key = f.toString
+      val verdicts = real.map { fl =>
+        disc.byFile.get(key)
+          .flatMap(raw => FlsPartitioning.evaluates(fl, types, disc.keys, raw))
+          .orElse(footers.get(key).flatMap(t => zoneVerdict(t, fl)))
       }
-    }
-    Some(out.toMap)
+      key -> {
+        if (verdicts.exists(_.contains(false))) Keep: D
+        else if (verdicts.forall(_.contains(true))) Drop: D
+        else Rewrite: D
+      }
+    }.toMap
+  }
+
+  /** v1 Filter → Column, for the copy-on-write residual. */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+    case IsNull(c) => Some(col(c).isNull)
+    case IsNotNull(c) => Some(col(c).isNotNull)
+    case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+    case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+    case StringContains(c, v) => Some(col(c).contains(v))
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case Not(x) => toColumn(x).map(!_)
+    case _ => None
+  }
+
+  private case class Plan(cls: Map[String, D], partitioned: Boolean,
+      survivors: Column)
+
+  private def plan(schema: StructType, options: CaseInsensitiveStringMap,
+      filters: Array[Filter], files: Seq[Path],
+      conf: Configuration): Option[Plan] = {
+    val path = tablePath(options)
+    val footers = FlsFooters.list(Seq(path), conf,
+      FlsDataSource.manifestVersion(options))
+      .map(e => e.file.toString -> e.table).toMap
+    val cls = classify(schema, path, filters, files, footers, conf)
+    val partitioned =
+      FlsPartitioning.discover(Seq(path), files, conf).keys.nonEmpty
+    val needRewrite = cls.valuesIterator.contains(Rewrite)
+    if (needRewrite && partitioned) return None // path values would be lost
+    val survivors: Column =
+      if (!needRewrite) lit(true)
+      else {
+        val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+        val pred = real.flatMap(toColumn).reduceOption(_ && _)
+        real.foreach { f =>
+          if (toColumn(f).isEmpty) return None // cannot express the residual
+        }
+        not(coalesce(pred.getOrElse(lit(true)), lit(false)))
+      }
+    Some(Plan(cls, partitioned, survivors))
   }
 
   def canDelete(schema: StructType, options: CaseInsensitiveStringMap,
       filters: Array[Filter]): Boolean = {
     val conf = hconf()
-    val path = tablePath(options)
-    val root = new Path(path)
+    val root = new Path(tablePath(options))
     val fs = root.getFileSystem(conf)
     val files = FlsManifest.readVersioned(fs, root) match {
       case Some((_, entries)) => entries.map(e => new Path(root, e.rel))
       case None => FlsFile.listDataFiles(root, conf)
     }
-    classify(schema, path, filters, files, conf).isDefined
+    plan(schema, options, filters, files, conf).isDefined
   }
 
   def delete(schema: StructType, options: CaseInsensitiveStringMap,
@@ -88,60 +183,126 @@ object FlsDelete {
     val path = tablePath(options)
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
+    val spark = SparkSession.active
 
-    // partition columns live in paths; the data-file schema is the rest
-    def dataFields(disc: FlsPartitioning.Discovery) =
+    def dataFields(files: Seq[Path]) = {
+      val disc = FlsPartitioning.discover(Seq(path), files, conf)
       schema.fields.filterNot(f => disc.keys.contains(f.name)).toSeq
+    }
 
-    /** Write a schema-only (zero-row-group) file so an emptied table
-      * still reads with its data schema — same contract as an empty
-      * write (FlsBatchWrite.commit). */
-    def writeSchemaOnly(fields: Seq[org.apache.spark.sql.types.StructField]): Path = {
+    /** Schema-only file so an emptied table still reads (same contract
+      * as an empty write). */
+    def writeSchemaOnly(files: Seq[Path]): Path = {
       val p = new Path(root, f"part-${0}%05d-${UUID.randomUUID()}-${0}%04d.fls")
-      val w = new FlsFileWriter(p, conf, Format.physicalColumns(fields), inlineFooter = true)
+      val w = new FlsFileWriter(p, conf, Format.physicalColumns(dataFields(files)),
+        inlineFooter = true)
       w.close()
       p
     }
 
+    /** Rewrite `targets` without the matching rows into `outDir`
+      * (listing-mode fls dir), preserving writer-visible schema. */
+    def rewriteTo(targets: Seq[Path], survivors: Column, outDir: Path): Unit = {
+      spark.read.format("fls").load(targets.map(_.toString): _*)
+        .filter(survivors)
+        .write.format("fls").mode("overwrite")
+        .option("write_distribution", "none")
+        .save(outDir.toString)
+    }
+
     FlsManifest.readVersioned(fs, root) match {
-      case Some(_) =>
-        FlsManifest.commit(fs, root, UUID.randomUUID().toString, conf) { (_, cur) =>
-          val entries = cur.getOrElse(Seq.empty)
-          val files = entries.map(e => new Path(root, e.rel))
-          val cls = classify(schema, path, filters, files, conf).getOrElse(
-            throw new IllegalStateException(
-              "fls delete: a concurrently-added file is not decided by the " +
-                "predicate — aborting with nothing removed"))
-          val disc = FlsPartitioning.discover(Seq(path), files, conf)
-          val kept = entries.filterNot(e => cls(new Path(root, e.rel).toString))
-          if (kept.nonEmpty) kept
-          else {
-            val p = writeSchemaOnly(dataFields(disc))
-            val st = fs.getFileStatus(p)
-            Seq(FlsManifest.Entry(p.getName, st.getLen, st.getModificationTime))
+      case Some((frozenV, frozenEntries)) =>
+        val frozenFiles = frozenEntries.map(e => new Path(root, e.rel))
+        val p0 = plan(schema, options, filters, frozenFiles, conf).getOrElse(
+          throw new IllegalStateException(
+            "fls delete: predicate not decidable per file (and the table is " +
+              "partitioned, so a row-level rewrite would lose path values)"))
+        // stage replacement files invisibly, then publish ONE version
+        val rewriteTargets = frozenFiles.filter(f => p0.cls(f.toString) == Rewrite)
+        val staged = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+        val stageDir = new Path(root, s"_delete_${UUID.randomUUID()}")
+        if (rewriteTargets.nonEmpty) {
+          rewriteTo(rewriteTargets, p0.survivors, stageDir)
+          FlsFile.listDataStatuses(stageDir, conf).foreach { st =>
+            val dst = new Path(root, st.getPath.getName)
+            if (!fs.rename(st.getPath, dst))
+              throw new java.io.IOException(s"fls delete: rename ${st.getPath} -> $dst failed")
+            val s2 = fs.getFileStatus(dst)
+            staged += ((dst.getName, s2.getLen, s2.getModificationTime))
           }
-          // dropped files stay on disk for vacuum (pinned readers)
+          try fs.delete(stageDir, true) catch { case _: Throwable => () }
+        }
+        try {
+          FlsManifest.commit(fs, root, UUID.randomUUID().toString, conf) { (_, cur) =>
+            val entries = cur.getOrElse(Seq.empty)
+            val files = entries.map(e => new Path(root, e.rel))
+            // re-classify the CURRENT set: a concurrent append since the
+            // freeze must also be decided, or nothing changes
+            val pNow = plan(schema, options, filters, files, conf).getOrElse(
+              throw new IllegalStateException(
+                "fls delete: a concurrently-added file is not decided by the " +
+                  "predicate — aborting with nothing removed"))
+            val newcomersNeedRewrite = files.exists(f =>
+              pNow.cls(f.toString) == Rewrite &&
+                !rewriteTargets.exists(_.toString == f.toString))
+            if (newcomersNeedRewrite)
+              throw new IllegalStateException(
+                "fls delete: a concurrently-added file straddles the predicate " +
+                  "— rerun the delete")
+            val kept = entries.filter { e =>
+              pNow.cls(new Path(root, e.rel).toString) == Keep
+            }
+            val merged = kept ++ staged.map { case (rel, len, mtime) =>
+              FlsManifest.Entry(rel, len, mtime)
+            }
+            if (merged.nonEmpty) merged
+            else {
+              val p = writeSchemaOnly(files)
+              val st = fs.getFileStatus(p)
+              Seq(FlsManifest.Entry(p.getName, st.getLen, st.getModificationTime))
+            }
+            // dropped/rewritten inputs stay on disk for vacuum
+          }
+        } catch {
+          case e: Throwable =>
+            // unpublished replacements are junk; vacuum or best-effort now
+            staged.foreach { case (rel, _, _) =>
+              try fs.delete(new Path(root, rel), false) catch { case _: Throwable => () }
+            }
+            throw e
         }
 
       case None =>
         val files = FlsFile.listDataFiles(root, conf)
-        val cls = classify(schema, path, filters, files, conf).getOrElse(
+        val p0 = plan(schema, options, filters, files, conf).getOrElse(
           throw new IllegalStateException(
-            "fls delete: the predicate is not decided by every file's " +
-              "partition values — metadata delete would be wrong"))
-        val disc = FlsPartitioning.discover(Seq(path), files, conf)
-        val doomed = files.filter(f => cls(f.toString))
-        // replacement state first: an emptied table must never be
-        // observable as "no fls files"
-        if (doomed.size == files.size) writeSchemaOnly(dataFields(disc))
-        doomed.foreach { f =>
+            "fls delete: predicate not decidable per file (and the table is " +
+              "partitioned, so a row-level rewrite would lose path values)"))
+        val doomed = files.filter(f => p0.cls(f.toString) == Drop)
+        val rewriteTargets = files.filter(f => p0.cls(f.toString) == Rewrite)
+        // replacements land (as a normal append) BEFORE originals go
+        if (rewriteTargets.nonEmpty) {
+          val stageDir = new Path(root, s"_delete_${UUID.randomUUID()}")
+          rewriteTo(rewriteTargets, p0.survivors, stageDir)
+          FlsFile.listDataStatuses(stageDir, conf).foreach { st =>
+            val dst = new Path(root, st.getPath.getName)
+            if (!fs.rename(st.getPath, dst))
+              throw new java.io.IOException(s"fls delete: rename ${st.getPath} -> $dst failed")
+          }
+          try fs.delete(stageDir, true) catch { case _: Throwable => () }
+        }
+        val removals = doomed ++ rewriteTargets
+        if (removals.size == files.size &&
+            FlsFile.listDataFiles(root, conf).size == removals.size)
+          writeSchemaOnly(files)
+        removals.foreach { f =>
           fs.delete(f, false)
           val sidecar = FlsFile.footerPath(f)
           try { if (fs.exists(sidecar)) fs.delete(sidecar, false) }
           catch { case _: Throwable => () }
         }
         // sweep now-empty partition directories bottom-up (best effort)
-        doomed.map(_.getParent).distinct.foreach { d =>
+        removals.map(_.getParent).distinct.foreach { d =>
           var p = d
           var hops = 0
           while (p != null && p != root && hops < 16 &&

@@ -20,6 +20,9 @@ class FlsDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .appName("fls-delete-spec")
       .config("spark.sql.shuffle.partitions", "4")
+      // keep cluster_by writes at the configured parallelism: the
+      // multi-file drop/keep/rewrite assertions need >1 file
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -120,16 +123,74 @@ class FlsDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE fls_del_m")
   }
 
-  test("delete on an unpartitioned table: truncate-shaped predicates only") {
+  test("clustered table: retention delete drops zone-map-decided files, rewrites ONLY the straddler") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/clustered_del"
+    // 8 files with disjoint v-ranges via the writer's own cluster_by
+    spark.range(0, 8000).selectExpr("id AS v", "hash(id) AS payload")
+      .repartition(8)
+      .write.format("fls").mode("overwrite")
+      .option("cluster_by", "v").save(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    def files() = FlsFile.listDataFiles(root, conf).map(_.getName).toSet
+    val before = files()
+    assert(before.size >= 4, s"want multiple clustered files, got $before")
+    spark.sql("DROP TABLE IF EXISTS fls_del_c")
+    spark.sql(s"CREATE TABLE fls_del_c (v BIGINT, payload INT) USING fls LOCATION '$dir'")
+    // cutoff in the middle of one file's range: files wholly below DROP
+    // (no read), files wholly above KEEP, exactly one file rewrites
+    spark.sql("DELETE FROM fls_del_c WHERE v < 3100")
+    assert(spark.table("fls_del_c").count() == 8000 - 3100)
+    assert(spark.table("fls_del_c").agg(min("v")).collect()(0).getLong(0) == 3100L)
+    val after = files()
+    val survivors = before.intersect(after)
+    // whole files above the cutoff survived IN PLACE (not rewritten)
+    assert(survivors.nonEmpty, "keep-classified files must not be touched")
+    assert((after -- before).size <= 2,
+      s"only the straddling file should be rewritten, new files: ${after -- before}")
+    // payload integrity through the rewrite
+    assert(spark.table("fls_del_c").filter(col("payload") =!= hash(col("v"))).count() == 0)
+    spark.sql("DROP TABLE fls_del_c")
+  }
+
+  test("delete on an unpartitioned unclustered table falls back to full copy-on-write") {
     val sp = spark; import sp.implicits._
     val dir = s"$tmp/flat"
     (1L to 50L).toDF("v").coalesce(1).write.format("fls").mode("overwrite").save(dir)
     spark.sql("DROP TABLE IF EXISTS fls_del_f")
     spark.sql(s"CREATE TABLE fls_del_f (v BIGINT) USING fls LOCATION '$dir'")
-    intercept[Exception] { spark.sql("DELETE FROM fls_del_f WHERE v > 10") }
-    assert(spark.table("fls_del_f").count() == 50)
+    spark.sql("DELETE FROM fls_del_f WHERE v > 10") // straddles the only file
+    assert(spark.table("fls_del_f").count() == 10)
+    assert(spark.table("fls_del_f").agg(max("v")).collect()(0).getLong(0) == 10L)
     spark.sql("DELETE FROM fls_del_f") // no predicate = whole table
     assert(spark.table("fls_del_f").count() == 0)
     spark.sql("DROP TABLE fls_del_f")
+  }
+
+  test("manifest clustered table: straddler rewrite publishes ONE CAS version") {
+    val sp = spark; import sp.implicits._
+    val dir = s"$tmp/manifest_cow"
+    spark.range(0, 4000).selectExpr("id AS v")
+      .repartition(4)
+      .write.format("fls").mode("overwrite")
+      .option("cluster_by", "v").option("commit_mode", "manifest").save(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val (v0, entries0) = FlsManifest.readVersioned(fs, root).get
+    spark.sql("DROP TABLE IF EXISTS fls_del_mc")
+    spark.sql(s"CREATE TABLE fls_del_mc (v BIGINT) USING fls LOCATION '$dir'")
+    spark.sql("DELETE FROM fls_del_mc WHERE v < 1500")
+    val (v1, entries1) = FlsManifest.readVersioned(fs, root).get
+    assert(v1 == v0 + 1, "rewrite + removals must be ONE published version")
+    assert(spark.table("fls_del_mc").count() == 2500)
+    assert(spark.table("fls_del_mc").agg(min("v")).collect()(0).getLong(0) == 1500L)
+    // replaced inputs remain on disk for vacuum / pinned readers
+    assert(entries0.map(_.rel).forall(r =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, r))))
+    assert(spark.read.format("fls").option("manifest_version", v0.toString)
+      .load(dir).count() == 4000)
+    spark.sql("DROP TABLE fls_del_mc")
   }
 }
