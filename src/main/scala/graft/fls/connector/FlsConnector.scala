@@ -118,8 +118,28 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new FlsTable(schema, new CaseInsensitiveStringMap(properties))
+      properties: java.util.Map[String, String]): Table = {
+    // `CREATE TABLE ... PARTITIONED BY (k) USING fls` arrives as
+    // identity transforms: translate them to the writer's partition_by
+    // so SQL INSERTs (which carry no write options) route rows into the
+    // hive layout, and remember them for FlsTable.partitioning()
+    val declared = partitioning.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+        t.references()(0).fieldNames.length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new IllegalArgumentException(
+        s"fls: unsupported partition transform '$other' — only plain column " +
+          "(identity) partitioning is supported")
+    }
+    val opts =
+      if (declared.isEmpty) new CaseInsensitiveStringMap(properties)
+      else {
+        val m = new java.util.HashMap[String, String](properties)
+        m.put("partition_by", declared.mkString(","))
+        new CaseInsensitiveStringMap(m)
+      }
+    new FlsTable(schema, opts)
+  }
 }
 
 object FlsDataSource {
@@ -169,10 +189,32 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
 
   override def name(): String = s"fls:${FlsDataSource.parsePaths(options).mkString(",")}"
   override def schema(): StructType = schema
+
+  /** Partition columns, reported to the analyzer so
+    * `INSERT OVERWRITE ... PARTITION (k=...)` resolves: the declared
+    * `partition_by` (CREATE TABLE PARTITIONED BY arrives translated
+    * into it), falling back to one lazy discovery of the on-disk hive
+    * layout for tables created over an existing directory. */
+  override lazy val partitioning: Array[Transform] = {
+    val declared = Option(options.get("partition_by"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val keys =
+      if (declared.nonEmpty) declared
+      else scala.util.Try {
+        val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+        val paths = FlsDataSource.parsePaths(options)
+        val files = graft.fls.FlsFooters.list(paths, conf,
+          FlsDataSource.manifestVersion(options))
+        FlsPartitioning.discover(paths, files.map(_.file), conf).keys
+      }.getOrElse(Nil)
+    keys.map(k =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(k)).toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
 
   /** `DELETE FROM t WHERE ...` (+ `TRUNCATE TABLE` via the
     * SupportsDelete bridge): files the predicate decides — by partition
@@ -207,6 +249,12 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
     new FlsScanBuilder(schema, merged)
   }
 
+  // DECLARED partitioning (CREATE TABLE PARTITIONED BY) already rides in
+  // as the partition_by option (getTable translates the transforms); a
+  // merely-DISCOVERED layout is reported by `partitioning` but not
+  // silently adopted by writes — an append that doesn't declare the
+  // table's layout still fails loudly (FlsBatchWrite's layout check)
+  // instead of guessing.
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new FlsWriteBuilder(info, options)
 }
@@ -897,10 +945,33 @@ class FlsWriteBuilder(info: LogicalWriteInfo,
       * `CREATE TABLE ... USING fls OPTIONS (...) LOCATION ...` declared.
       * Write-time options (DataFrame API `.option(...)`) still win. */
     tableOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsOverwrite
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var doTruncate = false
+  private var overwriteFilters: Option[Array[Filter]] = None
+  private var dynamicOverwrite = false
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  /** `INSERT OVERWRITE ... PARTITION (k=v)` / static-mode overwrite:
+    * replace exactly the rows the filter matches. A trivial filter is
+    * a truncate; otherwise every existing file must be DECIDED by the
+    * filter (partition values or zone maps, FlsDelete.verdicts) —
+    * checked fail-fast before tasks run AND re-checked at commit. */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      doTruncate = true
+    else overwriteFilters = Some(filters)
+    this
+  }
+
+  /** `INSERT OVERWRITE` in dynamic partition-overwrite mode: replace
+    * exactly the partitions the new rows land in. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicOverwrite = true
+    this
+  }
 
   private val merged: LogicalWriteInfo =
     if (tableOptions == null || tableOptions.isEmpty) info
@@ -915,7 +986,8 @@ class FlsWriteBuilder(info: LogicalWriteInfo,
       }
     }
 
-  override def build(): Write = new FlsWrite(merged, doTruncate)
+  override def build(): Write =
+    new FlsWrite(merged, doTruncate, overwriteFilters, dynamicOverwrite)
 }
 
 /** Physical-layout contract of an fls write, declared to Spark through
@@ -953,7 +1025,9 @@ class FlsWriteBuilder(info: LogicalWriteInfo,
   * unoptioned write keeps its exchange-free plan. Applies to batch AND
   * streaming epochs (each micro-batch is planned with the same
   * contract). */
-class FlsWrite(merged: LogicalWriteInfo, doTruncate: Boolean)
+class FlsWrite(merged: LogicalWriteInfo, doTruncate: Boolean,
+    overwriteFilters: Option[Array[Filter]] = None,
+    dynamicOverwrite: Boolean = false)
   extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution => V2Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
@@ -980,9 +1054,11 @@ class FlsWrite(merged: LogicalWriteInfo, doTruncate: Boolean)
 
   override def advisoryPartitionSizeInBytes(): Long = layout.targetBytes
 
-  override def toBatch: BatchWrite = new FlsBatchWrite(merged, doTruncate)
+  override def toBatch: BatchWrite =
+    new FlsBatchWrite(merged, doTruncate,
+      overwriteFilters = overwriteFilters, dynamicOverwrite = dynamicOverwrite)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-    require(!doTruncate,
+    require(!doTruncate && overwriteFilters.isEmpty && !dynamicOverwrite,
       "fls streaming sink supports Append output mode only (complete/update " +
         "would truncate the table every trigger)")
     new FlsStreamingWrite(merged)
@@ -1102,7 +1178,13 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
     writeIdOverride: Option[String] = None,
     /** Streaming epochs with zero rows must not add a schema-only file
       * per trigger to an already-populated table. */
-    skipEmptyCommit: Boolean = false) extends BatchWrite {
+    skipEmptyCommit: Boolean = false,
+    /** `INSERT OVERWRITE` by filter: existing files the filter decides
+      * TRUE are replaced at commit; a file it cannot decide aborts. */
+    overwriteFilters: Option[Array[Filter]] = None,
+    /** Dynamic partition overwrite: existing files in every partition
+      * directory the committed files touch are replaced at commit. */
+    dynamicOverwrite: Boolean = false) extends BatchWrite {
   private val options = info.options()
   private val path = FlsDataSource.parsePaths(options).headOption
     .getOrElse(throw new IllegalArgumentException("fls write: no path"))
@@ -1146,10 +1228,30 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
   private def hadoopConf: Configuration =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
+  /** "" for root files, the dir-relative partition path otherwise. */
+  private def parentRel(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
   override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
     val conf = hadoopConf
     val dir = new Path(path)
     dir.getFileSystem(conf).mkdirs(dir)
+    overwriteFilters.foreach { fls =>
+      // fail BEFORE tasks run when the filter cannot decide a file;
+      // commit re-checks (concurrent appends) with the same contract
+      val existing = graft.fls.FlsFile.listDataFiles(dir, conf)
+      val cls = FlsDelete.verdicts(info.schema(), path, None, fls, existing, conf)
+      val straddler = existing.find(f => cls(f.toString) == FileVerdict.Straddle)
+      straddler.foreach { f =>
+        throw new IllegalArgumentException(
+          s"fls: INSERT OVERWRITE filter does not decide file $f whole — " +
+            "overwrite by filter replaces whole files (partition values or " +
+            "zone maps must decide every file); use DELETE + append, or a " +
+            "partition-aligned filter")
+      }
+    }
     if (!doTruncate) {
       // appending with a partition layout different from the table's
       // would silently produce a mixed layout (discovery turns off and
@@ -1208,7 +1310,13 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       FlsCommit.removeStaging(fs, dir, writeId)
       return
     }
-    if (committedLen.isEmpty) {
+    if (committedLen.isEmpty && dynamicOverwrite) {
+      // dynamic overwrite with zero rows touches zero partitions —
+      // classic Hive semantics: a no-op, never a truncate
+      FlsCommit.removeStaging(fs, dir, writeId)
+      return
+    }
+    if (committedLen.isEmpty && overwriteFilters.isEmpty) {
       // empty result set: write one schema-only (zero row group) file so
       // a later read sees the schema instead of "no .fls files" — the
       // DSv2 analog of parquet's empty-write behavior. Staged and
@@ -1237,6 +1345,37 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       }.toMap
     }
     val committed = committedLen.keySet
+
+    /** `INSERT OVERWRITE` replacement set: existing data-file rels the
+      * overwrite filter decides TRUE (whole-file replacement, verdicts
+      * from partition values or zone maps — FlsDelete), or, in dynamic
+      * mode, every file in a partition directory the new files touch.
+      * A file the filter cannot decide aborts the job — the table is
+      * rolled back untouched. */
+    def doomedAmong(rels: Seq[String]): Set[String] = {
+      if (overwriteFilters.isEmpty && !dynamicOverwrite) return Set.empty
+      val dataRels = rels.filter(_.endsWith(".fls")).filterNot(committed.contains)
+        .filterNot(_.contains(s"-$writeId-"))
+      if (dynamicOverwrite) {
+        val touched = committed.filter(_.endsWith(".fls")).map(parentRel)
+        dataRels.filter(r => touched.contains(parentRel(r))).toSet
+      } else {
+        val files = dataRels.map(r => new Path(dir, r))
+        val cls = FlsDelete.verdicts(info.schema(), path, None,
+          overwriteFilters.get, files, conf)
+        dataRels.zip(files).foreach { case (r, f) =>
+          if (cls(f.toString) == FileVerdict.Straddle)
+            throw new IllegalStateException(
+              s"fls: INSERT OVERWRITE filter does not decide file $r whole " +
+                "(a file added since planning straddles it) — aborting; " +
+                "nothing replaced")
+        }
+        dataRels.zip(files).collect {
+          case (r, f) if cls(f.toString) == FileVerdict.Drop => r
+        }.toSet
+      }
+    }
+
     if (manifestMode) {
       // publish the manifest FIRST: from this point readers see exactly
       // the new table; physical cleanup below is invisible to them.
@@ -1250,31 +1389,58 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       graft.fls.FlsManifest.commit(fs, dir, writeId, conf) { (_, current) =>
         val keptOld =
           if (doTruncate) Nil
-          else current match {
-            // drop prior-attempt entries of THIS writeId too: a retried
-            // streaming epoch re-publishes its own files (attempt-unique
-            // names differ), and keeping the crashed attempt's entries
-            // would double the epoch's rows
-            case Some(old) => old.filterNot(e =>
-              committed.contains(e.rel) || e.rel.contains(s"-$writeId-"))
-            case None =>
-              // appending onto a pre-manifest (listing-mode) table: seed
-              // the manifest from one last recursive listing
-              val seeded = scala.collection.mutable.ArrayBuffer[graft.fls.FlsManifest.Entry]()
-              walkManaged(fs, dir) { (s, rel) =>
-                if (rel.endsWith(".fls") && !committed.contains(rel))
-                  seeded += graft.fls.FlsManifest.Entry(rel, s.getLen, s.getModificationTime)
-              }
-              seeded.toSeq
+          else {
+            val base = current match {
+              // drop prior-attempt entries of THIS writeId too: a retried
+              // streaming epoch re-publishes its own files (attempt-unique
+              // names differ), and keeping the crashed attempt's entries
+              // would double the epoch's rows
+              case Some(old) => old.filterNot(e =>
+                committed.contains(e.rel) || e.rel.contains(s"-$writeId-"))
+              case None =>
+                // appending onto a pre-manifest (listing-mode) table: seed
+                // the manifest from one last recursive listing
+                val seeded = scala.collection.mutable.ArrayBuffer[graft.fls.FlsManifest.Entry]()
+                walkManaged(fs, dir) { (s, rel) =>
+                  if (rel.endsWith(".fls") && !committed.contains(rel))
+                    seeded += graft.fls.FlsManifest.Entry(rel, s.getLen, s.getModificationTime)
+                }
+                seeded.toSeq
+            }
+            // INSERT OVERWRITE: re-classified per CAS attempt, so the
+            // replacement set tracks the entry set actually merged onto;
+            // replaced files stay on disk for vacuum (pinned readers)
+            val doomed = doomedAmong(base.map(_.rel))
+            base.filterNot(e => doomed.contains(e.rel))
           }
         keptOld ++ newEntries
       }
     }
+    val doomedNow: Set[String] =
+      if (manifestMode) Set.empty
+      else {
+        val rels = scala.collection.mutable.ArrayBuffer[String]()
+        walkManaged(fs, dir) { (_, rel) => if (rel.endsWith(".fls")) rels += rel }
+        doomedAmong(rels.toSeq)
+      }
     walkManaged(fs, dir) { (s, rel) =>
       if (!committed.contains(rel)) {
         val thisJobs = s.getPath.getName.contains(s"-$writeId-")
-        if (thisJobs || doTruncate) fs.delete(s.getPath, false)
+        val doomed = doomedNow.contains(rel) ||
+          (rel.endsWith(".footer") && doomedNow.contains(rel.stripSuffix(".footer")))
+        if (thisJobs || doTruncate || doomed) fs.delete(s.getPath, false)
       }
+    }
+    if (!manifestMode && doomedNow.nonEmpty &&
+        graft.fls.FlsFile.listDataStatuses(dir, conf).isEmpty) {
+      // a filter overwrite with zero new rows can empty the table —
+      // leave it readable, like every other emptying path
+      val p = new Path(dir, f"part-${0}%05d-$writeId-${9999}%04d.fls")
+      val w = new FlsFileWriter(p, conf,
+        Format.physicalColumns(
+          info.schema().fields.filterNot(f => partitionBy.contains(f.name)).toSeq),
+        inlineFooter = true)
+      w.close()
     }
     if (!manifestMode)
       // a rename-mode write over a former manifest table reverts it to

@@ -38,12 +38,19 @@ import graft.fls.{FlsFile, FlsFileWriter, FlsFooters, FlsManifest, Format}
   * re-classified inside the merge, an undecidable newcomer aborts with
   * nothing changed, and dropped/rewritten files stay on disk for
   * `vacuum` (pinned snapshot readers survive). */
-object FlsDelete {
+/** Whole-file verdict of a predicate conjunction (shared by DELETE and
+  * INSERT OVERWRITE): Drop = every row matches, Keep = none does,
+  * Straddle = mixed/unknown. */
+private[connector] sealed trait FileVerdict
+private[connector] object FileVerdict {
+  case object Drop extends FileVerdict
+  case object Keep extends FileVerdict
+  case object Straddle extends FileVerdict
+}
 
-  private sealed trait D
-  private case object Drop extends D
-  private case object Keep extends D
-  private case object Rewrite extends D
+object FlsDelete {
+  import FileVerdict.{Drop, Keep, Straddle}
+  private type D = FileVerdict
 
   private def tablePath(options: CaseInsensitiveStringMap): String =
     FlsDataSource.parsePaths(options).headOption.getOrElse(
@@ -89,6 +96,16 @@ object FlsDelete {
     }
   }
 
+  /** Classify every file against the conjunction, loading footers via
+    * the session cache. Shared with INSERT OVERWRITE. */
+  private[connector] def verdicts(schema: StructType, path: String,
+      manifestVersion: Option[Long], filters: Array[Filter], files: Seq[Path],
+      conf: Configuration): Map[String, FileVerdict] = {
+    val footers = FlsFooters.list(Seq(path), conf, manifestVersion)
+      .map(e => e.file.toString -> e.table).toMap
+    classify(schema, path, filters, files, footers, conf)
+  }
+
   /** Classify every file. `footers` must cover all of `files`. */
   private def classify(schema: StructType, path: String, filters: Array[Filter],
       files: Seq[Path], footers: Map[String, Format.TableDesc],
@@ -110,7 +127,7 @@ object FlsDelete {
       key -> {
         if (verdicts.exists(_.contains(false))) Keep: D
         else if (verdicts.forall(_.contains(true))) Drop: D
-        else Rewrite: D
+        else Straddle: D
       }
     }.toMap
   }
@@ -144,13 +161,11 @@ object FlsDelete {
       filters: Array[Filter], files: Seq[Path],
       conf: Configuration): Option[Plan] = {
     val path = tablePath(options)
-    val footers = FlsFooters.list(Seq(path), conf,
-      FlsDataSource.manifestVersion(options))
-      .map(e => e.file.toString -> e.table).toMap
-    val cls = classify(schema, path, filters, files, footers, conf)
+    val cls = verdicts(schema, path, FlsDataSource.manifestVersion(options),
+      filters, files, conf)
     val partitioned =
       FlsPartitioning.discover(Seq(path), files, conf).keys.nonEmpty
-    val needRewrite = cls.valuesIterator.contains(Rewrite)
+    val needRewrite = cls.valuesIterator.contains(Straddle)
     if (needRewrite && partitioned) return None // path values would be lost
     val survivors: Column =
       if (!needRewrite) lit(true)
@@ -218,7 +233,7 @@ object FlsDelete {
             "fls delete: predicate not decidable per file (and the table is " +
               "partitioned, so a row-level rewrite would lose path values)"))
         // stage replacement files invisibly, then publish ONE version
-        val rewriteTargets = frozenFiles.filter(f => p0.cls(f.toString) == Rewrite)
+        val rewriteTargets = frozenFiles.filter(f => p0.cls(f.toString) == Straddle)
         val staged = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
         val stageDir = new Path(root, s"_delete_${UUID.randomUUID()}")
         if (rewriteTargets.nonEmpty) {
@@ -243,7 +258,7 @@ object FlsDelete {
                 "fls delete: a concurrently-added file is not decided by the " +
                   "predicate — aborting with nothing removed"))
             val newcomersNeedRewrite = files.exists(f =>
-              pNow.cls(f.toString) == Rewrite &&
+              pNow.cls(f.toString) == Straddle &&
                 !rewriteTargets.exists(_.toString == f.toString))
             if (newcomersNeedRewrite)
               throw new IllegalStateException(
@@ -279,7 +294,7 @@ object FlsDelete {
             "fls delete: predicate not decidable per file (and the table is " +
               "partitioned, so a row-level rewrite would lose path values)"))
         val doomed = files.filter(f => p0.cls(f.toString) == Drop)
-        val rewriteTargets = files.filter(f => p0.cls(f.toString) == Rewrite)
+        val rewriteTargets = files.filter(f => p0.cls(f.toString) == Straddle)
         // replacements land (as a normal append) BEFORE originals go
         if (rewriteTargets.nonEmpty) {
           val stageDir = new Path(root, s"_delete_${UUID.randomUUID()}")

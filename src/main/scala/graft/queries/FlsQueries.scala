@@ -710,9 +710,57 @@ object FlsQueries {
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   }
 
+  /** Partition-level restatement: orders bucketed by month, then
+    * `INSERT OVERWRITE ... PARTITION (dt='1995-03-01')` republishes
+    * that one month with corrected prices (+10) — the other months'
+    * files are untouched (SupportsOverwrite: whole-file replacement
+    * decided by partition values; at 100 TB this is how a bad day of a
+    * corpus is restated without rewriting the table). The oracle
+    * recomputes the correction from raw orders, so the hash match
+    * proves exactly one partition changed and changed correctly. */
+  def q101FlsPartitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = flsTablePath(dir, "orders_restate")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    synchronized {
+      val marker = new java.io.File(s"$out/_done_ow")
+      if (!done.contains(out + "@ow") && !marker.exists()) {
+        t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+            to_date(date_trunc("month", col("o_orderdate"))).as("dt"))
+          .write.format("fls").mode("overwrite")
+          .option("partition_by", "dt").save(out)
+        val tbl = s"fls_restate_$key"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+          s"o_orderpriority STRING, dt DATE) USING fls PARTITIONED BY (dt) " +
+          s"LOCATION '$out'")
+        try spark.sql(
+          s"""INSERT OVERWRITE $tbl PARTITION (dt = DATE'1995-03-01')
+              SELECT o_orderkey, o_totalprice + 10, o_orderpriority
+              FROM $tbl WHERE dt = DATE'1995-03-01'""")
+        finally spark.sql(s"DROP TABLE $tbl")
+        marker.createNewFile()
+      }
+      done += out + "@ow"
+    }
+    spark.read.format("fls").load(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q101Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice +
+          CASE WHEN CAST(date_trunc('month', o_orderdate) AS DATE) = DATE '1995-03-01'
+               THEN 10 ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_fls_topk" -> (q38FlsTopK _),
     "q100_fls_retention_delete" -> (q100FlsRetentionDelete _),
+    "q101_fls_partition_overwrite" -> (q101FlsPartitionOverwrite _),
     "q97_fls_clustered_write" -> (q97FlsClusteredWrite _),
     "q98_fls_zorder" -> (q98FlsZorder _),
     "q99_fls_grouped_meta_agg" -> (q99FlsGroupedMetaAgg _),
@@ -738,6 +786,7 @@ object FlsQueries {
   val oracles: Map[String, String] = Map(
     "q38_fls_topk" -> q38Sql,
     "q100_fls_retention_delete" -> q100Sql,
+    "q101_fls_partition_overwrite" -> q101Sql,
     "q97_fls_clustered_write" -> q97Sql,
     "q98_fls_zorder" -> q98Sql,
     "q99_fls_grouped_meta_agg" -> q99Sql,
