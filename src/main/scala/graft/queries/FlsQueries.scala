@@ -757,10 +757,49 @@ object FlsQueries {
       FROM orders
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** OPTIMIZE…ZORDER as maintenance: lineitem written as many
+    * arrival-order files (zone maps useless), then
+    * `FlsMaintenance.compact(zorderBy = partkey, suppkey)` re-lays the
+    * table on the Morton curve in place — after which the same
+    * two-dimension band filters that scanned everything skip most row
+    * groups (FlsMaintenanceSpec asserts the skip; this query gates the
+    * VALUES through the DuckDB oracle: the rewrite must be row-exact). */
+  def q102FlsZorderCompact(spark: SparkSession, dir: String): DataFrame = {
+    val out = flsTablePath(dir, "lineitem_zcompact")
+    synchronized {
+      val marker = new java.io.File(s"$out/_done_z")
+      if (!done.contains(out + "@z") && !marker.exists()) {
+        t(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity"))
+          .repartition(8) // arrival-order spray: the pre-OPTIMIZE state
+          .write.format("fls").mode("overwrite").save(out)
+        graft.fls.FlsMaintenance.compact(spark, out,
+          targetRowsPerFile = 65536, zorderBy = Seq("l_partkey", "l_suppkey"))
+        marker.createNewFile()
+      }
+      done += out + "@z"
+    }
+    spark.read.format("fls").load(out)
+      .filter((col("l_partkey") >= 500 && col("l_partkey") < 800) ||
+        (col("l_suppkey") >= 40 && col("l_suppkey") < 50))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"), dbl(sum(col("l_quantity"))).as("qty"))
+      .orderBy("l_suppkey")
+  }
+
+  val q102Sql: String =
+    """SELECT l_suppkey, count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE (l_partkey >= 500 AND l_partkey < 800)
+         OR (l_suppkey >= 40 AND l_suppkey < 50)
+      GROUP BY l_suppkey ORDER BY l_suppkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_fls_topk" -> (q38FlsTopK _),
     "q100_fls_retention_delete" -> (q100FlsRetentionDelete _),
     "q101_fls_partition_overwrite" -> (q101FlsPartitionOverwrite _),
+    "q102_fls_zorder_compact" -> (q102FlsZorderCompact _),
     "q97_fls_clustered_write" -> (q97FlsClusteredWrite _),
     "q98_fls_zorder" -> (q98FlsZorder _),
     "q99_fls_grouped_meta_agg" -> (q99FlsGroupedMetaAgg _),
@@ -787,6 +826,7 @@ object FlsQueries {
     "q38_fls_topk" -> q38Sql,
     "q100_fls_retention_delete" -> q100Sql,
     "q101_fls_partition_overwrite" -> q101Sql,
+    "q102_fls_zorder_compact" -> q102Sql,
     "q97_fls_clustered_write" -> q97Sql,
     "q98_fls_zorder" -> q98Sql,
     "q99_fls_grouped_meta_agg" -> q99Sql,
