@@ -185,7 +185,17 @@ object FlsDataSource {
 
 class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** UPDATE / MERGE INTO / copy-on-write DELETE — see
+    * [[FlsRowLevelOperation]]. Decidable DELETEs still take the
+    * zero-read metadata path (Spark's metadata-only-delete optimization
+    * consults [[canDeleteWhere]] first). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+    : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new FlsRowLevelOperationBuilder(info, schema, options)
 
   override def name(): String = s"fls:${FlsDataSource.parsePaths(options).mkString(",")}"
   override def schema(): StructType = schema
@@ -525,6 +535,9 @@ class FlsScan(
   private def spjActive: Boolean =
     org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
       partDisc.keys.nonEmpty && limit < 0 && topN.isEmpty &&
+      // a row-level group scan packs whole files without key-pure
+      // splits — it must not claim key-grouped partitioning
+      !groupGranularity &&
       partDisc.keys.forall(k => requiredSchema.fieldNames.contains(k))
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -604,7 +617,52 @@ class FlsScan(
     * the planner-side equivalent of the reference's lazily-built skip
     * list (/root/reference/src/reader/row_group_filter.cpp:62-73;
     * SURVEY.md §3.1 step 4). */
+  /** Row-level-operation mode (set by FlsRowLevelScanBuilder): every
+    * pruning decision collapses to FILE granularity — a file whose ANY
+    * row group may match is read WHOLE (no row-group pruning, no
+    * scan-side row filters), because a group-based REPLACE writes back
+    * exactly what this scan returns: dropping an innocent row here
+    * would delete it from the table. `onPlanned` receives the kept file
+    * list (last call wins) — the write's commit replaces exactly it. */
+  private[connector] var groupGranularity: Boolean = false
+  private[connector] var onPlanned: Option[Seq[String] => Unit] = None
+
   override def planInputPartitions(): Array[InputPartition] = {
+    if (groupGranularity) {
+      val allFilters = filters ++ runtimeFilters
+      val survivors = pruneFiles(allFilters).map(_._1.toString).toSet
+      val units = mutable.ArrayBuffer[FlsRgUnit]()
+      val keptFiles = mutable.ArrayBuffer[String]()
+      files.zipWithIndex.foreach { case ((file, table, _), fileIdx) =>
+        if (survivors.contains(file.toString)) {
+          val nameToIdx = table.columns.map(_.name).zipWithIndex.toMap
+          var rowStart = 0L
+          val anyMayMatch = {
+            var rs = 0L
+            table.rowGroups.exists { rg =>
+              val m = FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, allFilters,
+                rs, FlsVirtual.sizeVirtuals(options))
+              rs += rg.nTuples
+              m
+            }
+          }
+          if (anyMayMatch) {
+            keptFiles += file.toString
+            val pvals: Map[String, String] =
+              partDisc.byFile.get(file.toString) match {
+                case Some(raw) => partDisc.keys.zip(raw).toMap
+                case None => Map.empty
+              }
+            table.rowGroups.foreach { rg =>
+              units += FlsRgUnit(file.toString, rg, rowStart, fileIdx, pvals, table.columns)
+              rowStart += rg.nTuples
+            }
+          }
+        }
+      }
+      onPlanned.foreach(_(keptFiles.toSeq))
+      return FlsSplitPacking.pack(units.toSeq)
+    }
     val units = mutable.ArrayBuffer[FlsRgUnit]()
     val allFilters = filters ++ runtimeFilters
     val survivors = pruneFiles(allFilters).map(_._1.toString).toSet
@@ -714,7 +772,9 @@ class FlsScan(
         Some(options.getBoolean("string_dictionary", false)) else None,
       FlsVirtual.sizeVirtuals(options),
       // executor-side selection vectors: static + runtime (DPP) conjuncts
-      filters ++ runtimeFilters,
+      // (OFF in group-granularity mode — the replace write needs every
+      // row of the kept files back)
+      if (groupGranularity) Array.empty[Filter] else filters ++ runtimeFilters,
       options.getDouble("filter_keep_ratio", 0.0),
       options.getLong("string_dictionary_auto_rows", 512L * 1024))
 
@@ -973,7 +1033,7 @@ class FlsWriteBuilder(info: LogicalWriteInfo,
     this
   }
 
-  private val merged: LogicalWriteInfo =
+  protected val merged: LogicalWriteInfo =
     if (tableOptions == null || tableOptions.isEmpty) info
     else {
       val m = new java.util.HashMap[String, String](tableOptions)
@@ -1027,7 +1087,8 @@ class FlsWriteBuilder(info: LogicalWriteInfo,
   * contract). */
 class FlsWrite(merged: LogicalWriteInfo, doTruncate: Boolean,
     overwriteFilters: Option[Array[Filter]] = None,
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false,
+    replaceFilesThunk: Option[() => Seq[String]] = None)
   extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution => V2Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
@@ -1056,7 +1117,8 @@ class FlsWrite(merged: LogicalWriteInfo, doTruncate: Boolean,
 
   override def toBatch: BatchWrite =
     new FlsBatchWrite(merged, doTruncate,
-      overwriteFilters = overwriteFilters, dynamicOverwrite = dynamicOverwrite)
+      overwriteFilters = overwriteFilters, dynamicOverwrite = dynamicOverwrite,
+      replaceFilesThunk = replaceFilesThunk)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!doTruncate && overwriteFilters.isEmpty && !dynamicOverwrite,
       "fls streaming sink supports Append output mode only (complete/update " +
@@ -1184,7 +1246,11 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
     overwriteFilters: Option[Array[Filter]] = None,
     /** Dynamic partition overwrite: existing files in every partition
       * directory the committed files touch are replaced at commit. */
-    dynamicOverwrite: Boolean = false) extends BatchWrite {
+    dynamicOverwrite: Boolean = false,
+    /** Row-level operation (UPDATE/MERGE/copy-on-write DELETE): the
+      * commit replaces exactly the files the operation's group scan
+      * read (absolute paths, supplied after the scan planned). */
+    replaceFilesThunk: Option[() => Seq[String]] = None) extends BatchWrite {
   private val options = info.options()
   private val path = FlsDataSource.parsePaths(options).headOption
     .getOrElse(throw new IllegalArgumentException("fls write: no path"))
@@ -1316,7 +1382,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       FlsCommit.removeStaging(fs, dir, writeId)
       return
     }
-    if (committedLen.isEmpty && overwriteFilters.isEmpty) {
+    if (committedLen.isEmpty && overwriteFilters.isEmpty && replaceFilesThunk.isEmpty) {
       // empty result set: write one schema-only (zero row group) file so
       // a later read sees the schema instead of "no .fls files" — the
       // DSv2 analog of parquet's empty-write behavior. Staged and
@@ -1346,6 +1412,18 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
     }
     val committed = committedLen.keySet
 
+    /** Row-level replace set as dir-relative paths. */
+    lazy val replacedRels: Set[String] = replaceFilesThunk match {
+      case None => Set.empty
+      case Some(thunk) =>
+        val qdir = fs.makeQualified(dir).toString.stripSuffix("/") + "/"
+        thunk().map { abs =>
+          require(abs.startsWith(qdir),
+            s"fls replace: scanned file $abs is outside the table root $qdir")
+          abs.stripPrefix(qdir)
+        }.toSet
+    }
+
     /** `INSERT OVERWRITE` replacement set: existing data-file rels the
       * overwrite filter decides TRUE (whole-file replacement, verdicts
       * from partition values or zone maps — FlsDelete), or, in dynamic
@@ -1353,6 +1431,8 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       * A file the filter cannot decide aborts the job — the table is
       * rolled back untouched. */
     def doomedAmong(rels: Seq[String]): Set[String] = {
+      if (replaceFilesThunk.isDefined)
+        return rels.filter(replacedRels.contains).toSet
       if (overwriteFilters.isEmpty && !dynamicOverwrite) return Set.empty
       val dataRels = rels.filter(_.endsWith(".fls")).filterNot(committed.contains)
         .filterNot(_.contains(s"-$writeId-"))

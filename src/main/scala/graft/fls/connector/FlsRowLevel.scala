@@ -1,0 +1,179 @@
+package graft.fls.connector
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Group-based (copy-on-write) row-level operations: `UPDATE`,
+  * `MERGE INTO`, and the copy-on-write leg of `DELETE` on shapes the
+  * metadata path rejects (e.g. data-column predicates on partitioned
+  * tables — `FlsDelete` still serves every decidable predicate
+  * zero-read via Spark's metadata-only-delete optimization).
+  *
+  * The contract that makes this exact:
+  *   - the operation's SCAN works at FILE granularity
+  *     ([[FlsScan.groupGranularity]]): condition and runtime-group
+  *     filters prune whole files only, and kept files are read WHOLE
+  *     with scan-side row filters off — the rewritten data Spark hands
+  *     the write is "all rows of the affected files, changes applied",
+  *     so nothing can be silently lost;
+  *   - the scan reports the kept file list into [[replacedFiles]]
+  *     (last planning wins — AQE may re-plan after runtime filters
+  *     narrow), and the WRITE's commit replaces exactly that list:
+  *     listing mode lands the new files then removes the replaced ones;
+  *     manifest mode publishes remove+add as ONE CAS version with the
+  *     replaced inputs left for `vacuum` (pinned snapshots survive).
+  *
+  * Spark narrows the scan to affected groups via
+  * RowLevelOperationRuntimeGroupFiltering over the scan's
+  * `filterAttributes` (partition + stats-bearing columns), so an
+  * UPDATE touching one partition/cluster range rewrites those files,
+  * not the table. The replacement write goes through the normal layout
+  * contract (FlsWrite) — partition routing and clustering survive. */
+class FlsRowLevelOperation(
+    cmd: Command,
+    tableSchema: StructType,
+    tableOptions: CaseInsensitiveStringMap) extends RowLevelOperation {
+
+  /** Files the group scan last planned (absolute paths). */
+  private val replacedFiles = new AtomicReference[Seq[String]](null)
+
+  override def command(): Command = cmd
+
+  override def description(): String = s"fls row-level $cmd (copy-on-write)"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged =
+      if (options == null || options.isEmpty) tableOptions
+      else {
+        val m = new java.util.HashMap[String, String](tableOptions)
+        m.putAll(options)
+        new CaseInsensitiveStringMap(m)
+      }
+    new FlsScanBuilder(tableSchema, merged) {
+      override def build(): Scan = super.build() match {
+        case f: FlsScan =>
+          f.groupGranularity = true
+          f.onPlanned = Some(files => replacedFiles.set(files))
+          f
+        case other => other // aggregate pushdown never fires here
+      }
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // Spark's group-based ReplaceData plan prepends the __row_operation
+    // column (RowDeltaUtils.OPERATION_COLUMN) to the replacement rows,
+    // but declares the write with the TABLE schema — and its
+    // row-stripping projection is only applied when the operation
+    // declares metadata attributes (ReplaceDataExec.writingTask falls
+    // back to the plain DataWritingSparkTask otherwise). So rows reach
+    // the writer one field WIDER than the declared schema; unstripped,
+    // the operation value would land as a physical column and shift
+    // the partition-routing ordinals (observed: k=<body value>
+    // directories). OpStrippingBatchWrite drops the leading field per
+    // row, numFields-guarded so a future Spark that projects upstream
+    // passes through untouched.
+    val dataSchema = info.schema()
+    // the replacement rows carry the partition columns; the write must
+    // route them back into the hive layout whether the table declared
+    // partition_by or it was discovered from the directory
+    val keys = discoveredKeys()
+    val opts =
+      if (keys.isEmpty || tableOptions.containsKey("partition_by")) tableOptions
+      else {
+        val m = new java.util.HashMap[String, String](tableOptions)
+        m.put("partition_by", keys.mkString(","))
+        new CaseInsensitiveStringMap(m)
+      }
+    val thunk: () => Seq[String] = () => {
+      val files = replacedFiles.get()
+      if (files == null) throw new IllegalStateException(
+        "fls row-level write committed before its group scan planned — " +
+          "cannot determine the replaced file set")
+      files
+    }
+    new FlsWriteBuilder(info, opts) {
+      override def build(): Write = {
+        val underlying = new FlsWrite(merged, doTruncate = false,
+          replaceFilesThunk = Some(thunk))
+        new org.apache.spark.sql.connector.write.Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          override def requiredDistribution() = underlying.requiredDistribution()
+          override def requiredOrdering() = underlying.requiredOrdering()
+          override def requiredNumPartitions() = underlying.requiredNumPartitions()
+          override def advisoryPartitionSizeInBytes() =
+            underlying.advisoryPartitionSizeInBytes()
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new OpStrippingBatchWrite(underlying.toBatch, dataSchema)
+        }
+      }
+    }
+  }
+
+  private def discoveredKeys(): Seq[String] = {
+    val declared = Option(tableOptions.get("partition_by"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (declared.nonEmpty) declared
+    else scala.util.Try {
+      val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+      val paths = FlsDataSource.parsePaths(tableOptions)
+      val files = graft.fls.FlsFooters.list(paths, conf,
+        FlsDataSource.manifestVersion(tableOptions))
+      FlsPartitioning.discover(paths, files.map(_.file), conf).keys
+    }.getOrElse(Nil)
+  }
+}
+
+/** Drops the leading __row_operation metadata column from every row
+  * before it reaches the real fls writers. */
+private[connector] class OpStrippingBatchWrite(
+    inner: org.apache.spark.sql.connector.write.BatchWrite,
+    dataSchema: StructType)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    OpStrippingFactory(inner.createBatchWriterFactory(info), dataSchema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = inner.commit(messages)
+  override def abort(messages: Array[WriterCommitMessage]): Unit = inner.abort(messages)
+  override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+}
+
+private[connector] case class OpStrippingFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    dataSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def createWriter(partitionId: Int, taskId: Long)
+    : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    val w = inner.createWriter(partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        dataSchema, (1 to dataSchema.length).toIndexedSeq)
+      override def write(row: InternalRow): Unit =
+        if (row.numFields == dataSchema.length) w.write(row) // already projected
+        else {
+          proj.project(row)
+          w.write(proj)
+        }
+      override def commit() = w.commit()
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = w.close()
+    }
+  }
+}
+
+class FlsRowLevelOperationBuilder(
+    info: RowLevelOperationInfo,
+    tableSchema: StructType,
+    tableOptions: CaseInsensitiveStringMap) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new FlsRowLevelOperation(info.command(), tableSchema, tableOptions)
+}

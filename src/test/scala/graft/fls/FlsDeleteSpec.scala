@@ -65,21 +65,22 @@ class FlsDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("DROP TABLE fls_del_t")
   }
 
-  test("a predicate partition values cannot decide is rejected, nothing deleted") {
+  test("a predicate partition values cannot decide falls to copy-on-write, not rejection") {
     val dir = s"$tmp/undecided"
     mkPartitioned(dir)
     spark.sql("DROP TABLE IF EXISTS fls_del_u")
     spark.sql(s"CREATE TABLE fls_del_u (id BIGINT, body STRING, dt DATE) " +
       s"USING fls LOCATION '$dir'")
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM fls_del_u WHERE id < 100") // data column
-    }
-    assert(e.getMessage != null)
-    assert(spark.table("fls_del_u").count() == 300, "failed delete must not remove rows")
-    // mixed conjunction: the decided-false conjunct keeps files even
-    // though the data-column conjunct is undecidable
-    spark.sql("DELETE FROM fls_del_u WHERE dt = DATE'1999-01-01' AND id < 100")
-    assert(spark.table("fls_del_u").count() == 300)
+    // canDeleteWhere is false here (a data column on a partitioned
+    // table) — since r11 the row-level path (FlsRowLevelOperation)
+    // takes over and rewrites the affected groups instead of rejecting
+    spark.sql("DELETE FROM fls_del_u WHERE id < 100")
+    assert(spark.table("fls_del_u").count() == 201)
+    assert(spark.table("fls_del_u").agg(min("id")).collect()(0).getLong(0) == 100L)
+    // mixed conjunction: the decided-false conjunct keeps every file —
+    // still the zero-read metadata path, nothing touched
+    spark.sql("DELETE FROM fls_del_u WHERE dt = DATE'1999-01-01' AND id < 1000")
+    assert(spark.table("fls_del_u").count() == 201)
     spark.sql("DROP TABLE fls_del_u")
   }
 
