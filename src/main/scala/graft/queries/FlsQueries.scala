@@ -795,11 +795,79 @@ object FlsQueries {
          OR (l_suppkey >= 40 AND l_suppkey < 50)
       GROUP BY l_suppkey ORDER BY l_suppkey"""
 
+  /** Corpus correction as MERGE INTO (FlsRowLevelOperation, the
+    * group-based copy-on-write engine): a corrections feed updates the
+    * priority of every 97th order and backfills a shifted twin of
+    * every 997th — matched rows rewrite IN their files (runtime group
+    * filtering narrows the rewrite), not-matched rows append. The
+    * oracle recomputes both legs from raw orders, so the hash match
+    * proves the merge changed exactly the right rows, inserted exactly
+    * the right rows, and disturbed nothing else. */
+  def q103FlsMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val out = flsTablePath(dir, "orders_merge")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    synchronized {
+      val marker = new java.io.File(s"$out/_done_merge")
+      if (!done.contains(out + "@merge") && !marker.exists()) {
+        t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
+            to_date(date_trunc("month", col("o_orderdate"))).as("dt"))
+          .write.format("fls").mode("overwrite")
+          .option("partition_by", "dt").save(out)
+        val tbl = s"fls_merge_$key"
+        t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            to_date(date_trunc("month", col("o_orderdate"))).as("dt"))
+          .createOrReplaceTempView(s"${tbl}_src")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+          s"o_orderpriority STRING, dt DATE) USING fls PARTITIONED BY (dt) " +
+          s"LOCATION '$out'")
+        try spark.sql(
+          s"""MERGE INTO $tbl t USING (
+                SELECT o_orderkey AS k, o_totalprice, dt FROM ${tbl}_src
+                WHERE o_orderkey % 97 = 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_totalprice, dt FROM ${tbl}_src
+                WHERE o_orderkey % 997 = 0
+              ) s ON t.o_orderkey = s.k
+              WHEN MATCHED THEN UPDATE SET t.o_orderpriority = 'CORRECTED'
+              WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice,
+                o_orderpriority, dt) VALUES (s.k, s.o_totalprice, 'BACKFILL', s.dt)""")
+        finally spark.sql(s"DROP TABLE $tbl")
+        marker.createNewFile()
+      }
+      done += out + "@merge"
+    }
+    spark.read.format("fls").load(out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"),
+        count_distinct(col("dt")).as("months"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q103Sql: String =
+    """WITH base AS (
+        SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'CORRECTED'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_totalprice,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS dt
+        FROM orders
+        UNION ALL
+        SELECT 'BACKFILL', o_totalprice,
+               CAST(date_trunc('month', o_orderdate) AS DATE)
+        FROM orders WHERE o_orderkey % 997 = 0)
+      SELECT o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        count(DISTINCT dt) AS months
+      FROM base GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_fls_topk" -> (q38FlsTopK _),
     "q100_fls_retention_delete" -> (q100FlsRetentionDelete _),
     "q101_fls_partition_overwrite" -> (q101FlsPartitionOverwrite _),
     "q102_fls_zorder_compact" -> (q102FlsZorderCompact _),
+    "q103_fls_merge_upsert" -> (q103FlsMergeUpsert _),
     "q97_fls_clustered_write" -> (q97FlsClusteredWrite _),
     "q98_fls_zorder" -> (q98FlsZorder _),
     "q99_fls_grouped_meta_agg" -> (q99FlsGroupedMetaAgg _),
@@ -827,6 +895,7 @@ object FlsQueries {
     "q100_fls_retention_delete" -> q100Sql,
     "q101_fls_partition_overwrite" -> q101Sql,
     "q102_fls_zorder_compact" -> q102Sql,
+    "q103_fls_merge_upsert" -> q103Sql,
     "q97_fls_clustered_write" -> q97Sql,
     "q98_fls_zorder" -> q98Sql,
     "q99_fls_grouped_meta_agg" -> q99Sql,
