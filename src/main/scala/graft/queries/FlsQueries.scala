@@ -797,7 +797,7 @@ object FlsQueries {
 
   /** Corpus correction as MERGE INTO (FlsRowLevelOperation, the
     * group-based copy-on-write engine): a corrections feed updates the
-    * priority of every 97th order and backfills a shifted twin of
+    * priority of every 97th order and backfills a negated-key twin of
     * every 997th — matched rows rewrite IN their files (runtime group
     * filtering narrows the rewrite), not-matched rows append. The
     * oracle recomputes both legs from raw orders, so the hash match
@@ -828,7 +828,7 @@ object FlsQueries {
                 SELECT o_orderkey AS k, o_totalprice, dt FROM ${tbl}_src
                 WHERE o_orderkey % 97 = 0
                 UNION ALL
-                SELECT o_orderkey + 100000000, o_totalprice, dt FROM ${tbl}_src
+                SELECT -o_orderkey - 1, o_totalprice, dt FROM ${tbl}_src
                 WHERE o_orderkey % 997 = 0
               ) s ON t.o_orderkey = s.k
               WHEN MATCHED THEN UPDATE SET t.o_orderpriority = 'CORRECTED'
