@@ -12,6 +12,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.fls.{FlsFile, FlsFileWriter, FlsFooters, FlsManifest, Format}
 
+/** Whole-file verdict of a predicate conjunction (shared by DELETE,
+  * INSERT OVERWRITE, and the row-level operations): Drop = every row
+  * matches, Keep = none does, Straddle = mixed/unknown. */
+private[connector] sealed trait FileVerdict
+private[connector] object FileVerdict {
+  case object Drop extends FileVerdict
+  case object Keep extends FileVerdict
+  case object Straddle extends FileVerdict
+}
+
 /** DELETE for fls tables (see [[FlsTable.canDeleteWhere]]) — metadata
   * decisions first, surgical copy-on-write second.
   *
@@ -23,31 +33,22 @@ import graft.fls.{FlsFile, FlsFileWriter, FlsFooters, FlsManifest, Format}
   *     decides every file except the one straddling the cutoff.
   *   - `Keep`: no row matches (partition values, or plain zone-map
   *     pruning). Untouched.
-  *   - `Rewrite`: the file straddles the predicate. Only these files —
+  *   - `Straddle`: the file straddles the predicate. Only these files —
   *     typically one per clustered axis — are read and rewritten
   *     without the matching rows. O(straddling files), not O(table).
   *
-  * Rewrites are supported on FLAT tables (no hive partition columns:
-  * reading a bare file list loses path-encoded values, so partitioned
-  * tables accept only fully-decided predicates — the partition-retention
-  * shape they exist for). Listing mode appends replacements before
-  * removing originals (a reader planning in that window can see a
-  * transient duplicate — the sealed-table caveat shared with
-  * listing-mode compaction). Manifest mode stages replacements
-  * invisibly and publishes ONE CAS version: concurrent appends are
-  * re-classified inside the merge, an undecidable newcomer aborts with
-  * nothing changed, and dropped/rewritten files stay on disk for
-  * `vacuum` (pinned snapshot readers survive). */
-/** Whole-file verdict of a predicate conjunction (shared by DELETE and
-  * INSERT OVERWRITE): Drop = every row matches, Keep = none does,
-  * Straddle = mixed/unknown. */
-private[connector] sealed trait FileVerdict
-private[connector] object FileVerdict {
-  case object Drop extends FileVerdict
-  case object Keep extends FileVerdict
-  case object Straddle extends FileVerdict
-}
-
+  * Straddler rewrites run here for FLAT tables (no hive partition
+  * columns: reading a bare file list loses path-encoded values);
+  * partitioned tables route undecidable predicates to the row-level
+  * operation path instead ([[FlsRowLevelOperation]] — canDeleteWhere
+  * returns false and Spark plans a group-based rewrite). Listing mode
+  * appends replacements before removing originals (a reader planning
+  * in that window can see a transient duplicate — the sealed-table
+  * caveat shared with listing-mode compaction). Manifest mode stages
+  * replacements invisibly and publishes ONE CAS version: concurrent
+  * appends are re-classified inside the merge, an undecidable newcomer
+  * aborts with nothing changed, and dropped/rewritten files stay on
+  * disk for `vacuum` (pinned snapshot readers survive). */
 object FlsDelete {
   import FileVerdict.{Drop, Keep, Straddle}
   private type D = FileVerdict
