@@ -688,7 +688,7 @@ object FlsQueries {
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
         spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice DOUBLE, " +
           s"o_orderpriority STRING, dt DATE) USING fls LOCATION '$out'")
-        try spark.sql(s"DELETE FROM $tbl WHERE dt < DATE'1995-01-01'")
+        try spark.sql(s"DELETE FROM $tbl WHERE dt < DATE'1996-01-01'")
         finally spark.sql(s"DROP TABLE $tbl")
         marker.createNewFile()
       }
@@ -706,7 +706,7 @@ object FlsQueries {
     s"""SELECT o_orderpriority, count(*) AS n, ${S.sumD6w("o_totalprice", "total")},
         min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS first_month
       FROM orders
-      WHERE CAST(date_trunc('month', o_orderdate) AS DATE) >= DATE '1995-01-01'
+      WHERE CAST(date_trunc('month', o_orderdate) AS DATE) >= DATE '1996-01-01'
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   }
 
