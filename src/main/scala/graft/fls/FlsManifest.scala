@@ -2,7 +2,7 @@ package graft.fls
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.{FileStatus, FileSystem, Path, UnsupportedFileSystemException}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** Versioned manifest commit for object stores. Rename-based task commit
   * is atomic on HDFS/local but copy+delete on S3-like stores — a visible
@@ -103,9 +103,7 @@ object FlsManifest {
     else readFile(fs, versionPath(dir, v))
 
   private def parseVersionName(name: String): Option[Long] =
-    if (name.startsWith("v") && name.length > 1 && name.drop(1).forall(_.isDigit))
-      scala.util.Try(name.drop(1).toLong).toOption
-    else None
+    FlsCas.parseVersionName(name)
 
   private def readFile(fs: FileSystem, p: Path): Seq[Entry] = {
     val st = fs.getFileStatus(p)
@@ -171,51 +169,14 @@ object FlsManifest {
     } finally out.close()
   }
 
-  /** Atomically expose fully-written `tmp` at `dst` iff `dst` does not
-    * exist yet. Local filesystems use a hard link (the one local
-    * primitive that is both create-exclusive and atomic — a plain
-    * create-exclusive open would expose a partially-written newest
-    * version to readers); HDFS-likes use no-overwrite rename (atomic
-    * server-side, fails on an existing destination). Returns false on a
-    * lost race. */
+  /** Atomic create-exclusive version publish — see [[FlsCas]]. */
   private def publishExclusive(fs: FileSystem, tmp: Path, dst: Path,
-      conf: org.apache.hadoop.conf.Configuration): Boolean = {
-    val qTmp = fs.makeQualified(tmp)
-    val qDst = fs.makeQualified(dst)
-    if ("file" == Option(qDst.toUri.getScheme).getOrElse("file")) {
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(qDst.toUri.getPath),
-          java.nio.file.Paths.get(qTmp.toUri.getPath))
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else {
-      try {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(qDst.toUri, conf)
-        fc.rename(qTmp, qDst) // Rename.NONE: atomic, fails if dst exists
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException | _: UnsupportedFileSystemException =>
-          // stores without FileContext: exists-check + rename — the
-          // strongest primitive available there (same caveat as every
-          // catalogless format on such stores)
-          if (fs.exists(qDst)) false else fs.rename(qTmp, qDst)
-      }
-    }
-  }
+      conf: org.apache.hadoop.conf.Configuration): Boolean =
+    FlsCas.publishExclusive(fs, tmp, dst, conf)
 
   /** Best-effort retention: keep the newest [[KeepVersions]] versions. */
-  private def gcOldVersions(fs: FileSystem, dir: Path, newest: Long): Unit = {
-    val cutoff = newest - KeepVersions + 1
-    if (cutoff <= 0) return
-    try fs.listStatus(logDir(dir)).foreach { s =>
-      parseVersionName(s.getPath.getName).foreach { v =>
-        if (v < cutoff)
-          try fs.delete(s.getPath, false) catch { case _: Throwable => () }
-      }
-    } catch { case _: Throwable => () }
-  }
+  private def gcOldVersions(fs: FileSystem, dir: Path, newest: Long): Unit =
+    FlsCas.gcOldVersions(fs, logDir(dir), newest, KeepVersions)
 
   /** The FileStatus view of the manifest — what listing would have
     * produced, without any listStatus RPC. */

@@ -331,6 +331,56 @@ object Format {
 
   final case class ColumnDesc(name: String, colType: ColumnType)
 
+  /** StructField metadata key carrying a RENAMED column's full name
+    * history (oldest first) — written by `ALTER TABLE RENAME COLUMN`
+    * ([[graft.fls.connector.FlsCatalog]]), consumed by [[applyRenames]]
+    * so files written under any earlier name still bind. */
+  val PreviousNamesKey = "fls.previous_names"
+
+  /** The name history a field accumulated through renames ([]= never
+    * renamed). */
+  def previousNames(f: StructField): Seq[String] =
+    if (f.metadata.contains(PreviousNamesKey))
+      f.metadata.getStringArray(PreviousNamesKey).toSeq
+    else Nil
+
+  /** Schema-evolution rename reconciliation, applied ONCE per footer at
+    * planning: a file that stores a column under an EARLIER name (the
+    * table renamed it since the file was written) has its descriptor
+    * renamed to the current name — every downstream consumer (zone maps,
+    * decode binding, stats, row filters) then sees the file as if it had
+    * been written under the current schema. Struct children follow their
+    * parent's rename (`old.child` → `new.child`). No-op (same array)
+    * when the schema carries no rename history or the file already uses
+    * current names. */
+  def applyRenames(desc: TableDesc, schema: StructType): TableDesc = {
+    val renamed = schema.fields.filter(f => previousNames(f).nonEmpty)
+    if (renamed.isEmpty) return desc
+    val fileNames = desc.columns.map(_.name).toSet
+    // map old-name → current-name, only for fields the file does NOT
+    // already store under the current name (a rebuilt/compacted file
+    // uses current names; nothing to do)
+    val mapping = scala.collection.mutable.HashMap[String, String]()
+    renamed.foreach { f =>
+      if (!fileNames.contains(f.name))
+        previousNames(f).reverseIterator.find(fileNames.contains)
+          .foreach(oldName => mapping(oldName) = f.name)
+    }
+    if (mapping.isEmpty) return desc
+    val cols = desc.columns.map { c =>
+      mapping.get(c.name) match {
+        case Some(cur) => c.copy(name = cur)
+        case None =>
+          val dot = c.name.indexOf('.')
+          if (dot > 0) mapping.get(c.name.substring(0, dot)) match {
+            case Some(cur) => c.copy(name = cur + c.name.substring(dot))
+            case None => c
+          } else c
+      }
+    }
+    desc.copy(columns = cols)
+  }
+
   /** The single ColumnType `name` carries across ALL tables, or None
     * when absent somewhere or stored at differing types/scales — the
     * shared soundness predicate for every shortcut that compares

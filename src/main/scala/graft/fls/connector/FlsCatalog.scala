@@ -1,0 +1,345 @@
+package graft.fls.connector
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.fls.{Format, FlsTableMeta}
+import graft.fls.Format.ColumnType
+
+/** Directory-backed [[TableCatalog]] for fls tables — the user surface
+  * for the full table lifecycle including SCHEMA EVOLUTION, which the
+  * reference engine lacks entirely (its schema is frozen at write,
+  * /root/reference/src/writer/fls_writer.cpp; the closest analog is the
+  * read-time promotion lattice at
+  * /root/reference/src/reader/schema_builder.cpp:132-172, reused here as
+  * the widening rule).
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.fls", classOf[FlsCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.fls.path", "/data/warehouse")
+  *   spark.sql("CREATE TABLE fls.db.events (id BIGINT, v INT) USING fls")
+  *   spark.sql("INSERT INTO fls.db.events SELECT ...")
+  *   spark.sql("ALTER TABLE fls.db.events ADD COLUMN tag STRING")
+  *   spark.sql("ALTER TABLE fls.db.events ALTER COLUMN v TYPE BIGINT")
+  * }}}
+  *
+  * Layout: one directory per namespace under the warehouse root, one
+  * directory per table under its namespace. Table metadata (declared
+  * schema, partition columns, properties) lives in the table's own
+  * versioned [[FlsTableMeta]] log, so EVERY metadata operation is an
+  * O(1) CAS commit against that table — no central metastore, no lock
+  * wider than one table, which is what lets 1000 concurrent writers on a
+  * 100 TB warehouse alter disjoint tables without coordination.
+  *
+  * Evolution semantics (scan-side reconciliation is per file, by name —
+  * the same machinery `union_by_name` reads use):
+  *  - ADD COLUMN: appended, always nullable (old files have no values to
+  *    serve — they read as NULL). Re-adding a previously dropped name is
+  *    rejected: old files still store the dropped column's bytes, and a
+  *    name-bound scan would resurrect them into the new column.
+  *  - ALTER COLUMN TYPE: only WIDENINGS on the promotion lattice
+  *    ([[Format.promote]] — e.g. INT→BIGINT, FLOAT→DOUBLE, decimal scale
+  *    growth). Old files keep the narrow physical type; the reader
+  *    widens at decode, zone maps compare in each file's own physical
+  *    domain.
+  *  - DROP COLUMN: metadata-only (the column vanishes from the declared
+  *    schema; file bytes are reclaimed by the next compaction rewrite).
+  *    The name is tombstoned in `fls.dropped` against re-adding.
+  *  - RENAME COLUMN: metadata-only; the old name is recorded in the
+  *    field's `fls.previous_names` metadata and the scan binds old files
+  *    through it. */
+class FlsCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+  private var conf: org.apache.hadoop.conf.Configuration = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val p = Option(options.get("path")).orElse(Option(options.get("warehouse")))
+      .getOrElse(throw new IllegalArgumentException(
+        s"fls catalog '$name': set spark.sql.catalog.$name.path to the warehouse root"))
+    conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    root = new Path(p)
+    fs.mkdirs(root)
+  }
+
+  override def name(): String = catalogName
+  private def fs: FileSystem = root.getFileSystem(conf)
+
+  private def nsDir(namespace: Array[String]): Path =
+    namespace.foldLeft(root)((d, n) => new Path(d, n))
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsDir(ident.namespace), ident.name)
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory)
+      .filter(s => fs.exists(new Path(s.getPath, FlsTableMeta.LogDirName)))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    FlsTableMeta.read(fs, dir) match {
+      case Some((_, meta)) =>
+        val opts = new java.util.HashMap[String, String]()
+        // table properties become default reader/writer options
+        // (row_group_size etc. declared once at CREATE apply to every
+        // INSERT); path/partition_by are derived, not user-settable
+        meta.properties.foreach { case (k, v) => opts.put(k, v) }
+        opts.put("path", dir.toString)
+        if (meta.partitionBy.nonEmpty)
+          opts.put("partition_by", meta.partitionBy.mkString(","))
+        new FlsTable(meta.schema, new CaseInsensitiveStringMap(opts))
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (fs.exists(new Path(dir, FlsTableMeta.LogDirName)))
+      throw new TableAlreadyExistsException(ident)
+    val partitionBy = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+        t.references()(0).fieldNames.length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new IllegalArgumentException(
+        s"fls: unsupported partition transform '$other' — only plain column " +
+          "(identity) partitioning is supported")
+    }
+    partitionBy.foreach(k => require(schema.fieldNames.contains(k),
+      s"fls: partition column '$k' is not in the table schema"))
+    // validate every data column maps to an fls ColumnType NOW — a
+    // CREATE that cannot ever be written should fail here, not at the
+    // first INSERT
+    schema.fields.filterNot(f => partitionBy.contains(f.name))
+      .foreach(f => ColumnType.fromSpark(f.dataType))
+    val keep = properties.asScala.filterNot { case (k, _) =>
+      k == TableCatalog.PROP_LOCATION || k == TableCatalog.PROP_PROVIDER ||
+        k == TableCatalog.PROP_OWNER || k == TableCatalog.PROP_EXTERNAL ||
+        k == TableCatalog.PROP_TABLE_TYPE || k == TableCatalog.PROP_IS_MANAGED_LOCATION
+    }.toMap
+    require(!properties.containsKey(TableCatalog.PROP_LOCATION),
+      s"fls catalog: LOCATION is not supported — tables live under the " +
+        s"warehouse root (${root}); read external directories with " +
+        "spark.read.format(\"fls\").load(dir) instead")
+    fs.mkdirs(dir)
+    FlsTableMeta.commit(fs, dir, java.util.UUID.randomUUID().toString, conf) {
+      case Some(_) => throw new TableAlreadyExistsException(ident)
+      case None => FlsTableMeta.Meta(schema, partitionBy, keep)
+    }
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (FlsTableMeta.read(fs, dir).isEmpty) throw new NoSuchTableException(ident)
+    FlsTableMeta.commit(fs, dir, java.util.UUID.randomUUID().toString, conf) {
+      case None => throw new NoSuchTableException(ident)
+      case Some(cur) => changes.foldLeft(cur)(applyChange(ident, _, _))
+    }
+    loadTable(ident)
+  }
+
+  /** Dropped-name tombstones live in table properties under one key —
+    * a comma-joined sorted set (names are validated identifier-ish). */
+  private val DroppedKey = "fls.dropped"
+  private def dropped(m: FlsTableMeta.Meta): Set[String] =
+    m.properties.get(DroppedKey).map(_.split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  private def applyChange(ident: Identifier, m: FlsTableMeta.Meta,
+      change: TableChange): FlsTableMeta.Meta = change match {
+
+    case add: TableChange.AddColumn =>
+      require(add.fieldNames.length == 1,
+        "fls: ADD COLUMN supports top-level columns only")
+      val name = add.fieldNames()(0)
+      require(!m.schema.fieldNames.contains(name),
+        s"fls: column '$name' already exists in ${ident}")
+      require(!dropped(m).exists(_.equalsIgnoreCase(name)),
+        s"fls: column name '$name' was previously dropped from ${ident} — " +
+          "old files still store it and a name-bound scan would resurrect " +
+          "their values; pick a new name or compact the table first")
+      require(add.isNullable,
+        s"fls: added column '$name' must be nullable — rows written before " +
+          "the ALTER have no value for it and read as NULL")
+      require(add.position() == null,
+        "fls: ADD COLUMN ... FIRST/AFTER is not supported — columns append")
+      ColumnType.fromSpark(add.dataType) // must be representable
+      val field = StructField(name, add.dataType, nullable = true,
+        metadata = Option(add.comment())
+          .map(c => new MetadataBuilder().putString("comment", c).build())
+          .getOrElse(Metadata.empty))
+      // appended AFTER data columns but BEFORE partition columns, so the
+      // schema keeps Spark's data-then-partition convention
+      val (dataF, partF) = m.schema.fields.partition(f => !m.partitionBy.contains(f.name))
+      m.copy(schema = StructType((dataF :+ field) ++ partF))
+
+    case upd: TableChange.UpdateColumnType =>
+      require(upd.fieldNames.length == 1,
+        "fls: ALTER COLUMN TYPE supports top-level columns only")
+      val name = upd.fieldNames()(0)
+      val idx = m.schema.fieldNames.indexOf(name)
+      require(idx >= 0, s"fls: no column '$name' in ${ident}")
+      require(!m.partitionBy.contains(name),
+        s"fls: cannot change the type of partition column '$name'")
+      val oldT = ColumnType.fromSpark(m.schema.fields(idx).dataType)
+      val newT = ColumnType.fromSpark(upd.newDataType())
+      // legal iff the new type is reachable by promotion from the old —
+      // exactly the lattice multi-file reads already widen along, so old
+      // files decode into the new declared type with zero rewrites
+      val promoted = scala.util.Try(Format.promote(oldT, newT)).toOption
+      require(promoted.contains(newT),
+        s"fls: cannot change '$name' from ${m.schema.fields(idx).dataType.simpleString} " +
+          s"to ${upd.newDataType().simpleString} — only widenings on the promotion " +
+          "lattice (e.g. INT→BIGINT, FLOAT→DOUBLE, decimal scale growth) are " +
+          "metadata-only; anything else would require rewriting every file")
+      val fields = m.schema.fields.clone()
+      fields(idx) = fields(idx).copy(dataType = upd.newDataType())
+      m.copy(schema = StructType(fields))
+
+    case upd: TableChange.UpdateColumnNullability =>
+      val name = upd.fieldNames()(0)
+      val idx = m.schema.fieldNames.indexOf(name)
+      require(idx >= 0, s"fls: no column '$name' in ${ident}")
+      require(upd.nullable(),
+        s"fls: cannot mark '$name' NOT NULL retroactively — existing files " +
+          "are not re-validated")
+      val fields = m.schema.fields.clone()
+      fields(idx) = fields(idx).copy(nullable = true)
+      m.copy(schema = StructType(fields))
+
+    case ren: TableChange.RenameColumn =>
+      require(ren.fieldNames.length == 1,
+        "fls: RENAME COLUMN supports top-level columns only")
+      val from = ren.fieldNames()(0)
+      val to = ren.newName()
+      val idx = m.schema.fieldNames.indexOf(from)
+      require(idx >= 0, s"fls: no column '$from' in ${ident}")
+      require(!m.schema.fieldNames.contains(to),
+        s"fls: column '$to' already exists in ${ident}")
+      require(!dropped(m).exists(_.equalsIgnoreCase(to)),
+        s"fls: column name '$to' was previously dropped from ${ident} — " +
+          "old files still store it; pick a new name or compact first")
+      val fields = m.schema.fields.clone()
+      val old = fields(idx)
+      // carry the FULL name history so files written under ANY earlier
+      // name still bind (a→b→c: files storing 'a' or 'b' serve 'c')
+      val prev = Format.previousNames(old) :+ from
+      fields(idx) = old.copy(name = to,
+        metadata = new MetadataBuilder().withMetadata(old.metadata)
+          .putStringArray(Format.PreviousNamesKey, prev.toArray).build())
+      m.copy(schema = StructType(fields),
+        partitionBy = m.partitionBy.map(k => if (k == from) to else k))
+
+    case del: TableChange.DeleteColumn =>
+      require(del.fieldNames.length == 1,
+        "fls: DROP COLUMN supports top-level columns only")
+      val name = del.fieldNames()(0)
+      val idx = m.schema.fieldNames.indexOf(name)
+      if (idx < 0) {
+        if (del.ifExists()) m
+        else throw new IllegalArgumentException(s"fls: no column '$name' in ${ident}")
+      } else {
+        require(!m.partitionBy.contains(name),
+          s"fls: cannot drop partition column '$name'")
+        require(m.schema.fields.length > 1,
+          s"fls: cannot drop the only column of ${ident}")
+        // tombstone every name this column ever bound (current + renames):
+        // old files may store any of them
+        val gone = (Format.previousNames(m.schema.fields(idx)) :+ name).toSet
+        val tomb = (dropped(m) ++ gone).toSeq.sorted.mkString(",")
+        m.copy(schema = StructType(m.schema.fields.patch(idx, Nil, 1)),
+          properties = m.properties + (DroppedKey -> tomb))
+      }
+
+    case set: TableChange.SetProperty =>
+      m.copy(properties = m.properties + (set.property() -> set.value()))
+    case rm: TableChange.RemoveProperty =>
+      m.copy(properties = m.properties - rm.property())
+    case other => throw new UnsupportedOperationException(
+      s"fls: unsupported table change $other")
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (FlsTableMeta.read(fs, dir).isEmpty) false
+    else fs.delete(dir, true)
+  }
+
+  /** `RENAME TO` targets may arrive with the catalog name still leading
+    * the namespace (Spark passes the user's multipart name through) —
+    * strip it so `RENAME TO flscat.db.t2` and `RENAME TO db.t2` mean
+    * the same table. A namespace literally named like the catalog is
+    * ambiguous and unsupported. */
+  private def normalize(i: Identifier): Identifier =
+    if (i.namespace.nonEmpty && i.namespace()(0).equalsIgnoreCase(catalogName))
+      Identifier.of(i.namespace.drop(1), i.name)
+    else i
+
+  override def renameTable(from: Identifier, to0: Identifier): Unit = {
+    val to = normalize(to0)
+    val src = tableDir(from)
+    if (FlsTableMeta.read(fs, src).isEmpty) throw new NoSuchTableException(from)
+    val dst = tableDir(to)
+    if (fs.exists(dst)) throw new TableAlreadyExistsException(to)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"fls: rename $src -> $dst failed")
+  }
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    fs.listStatus(root).filter(_.isDirectory)
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(s => Array(s.getPath.getName))
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(dir).filter(_.isDirectory)
+      .filterNot(s => fs.exists(new Path(s.getPath, FlsTableMeta.LogDirName)))
+      .map(s => namespace :+ s.getPath.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!fs.exists(nsDir(namespace))) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val dir = nsDir(namespace)
+    if (fs.exists(dir)) throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("fls: namespace properties are not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!fs.exists(dir)) false
+    else {
+      if (!cascade && fs.listStatus(dir).nonEmpty)
+        throw new IllegalStateException(
+          s"fls: namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(dir, true)
+    }
+  }
+}

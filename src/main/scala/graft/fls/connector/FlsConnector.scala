@@ -52,6 +52,17 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
     val paths = FlsDataSource.parsePaths(options)
     require(paths.nonEmpty, "fls: no path specified")
     val conf = hadoopConf
+    // A table-metadata log ([[FlsTableMeta]], written by FlsCatalog
+    // CREATE/ALTER) is AUTHORITATIVE when present: a path read of an
+    // evolved table must see the declared schema (added columns, widened
+    // types, renames), not whatever one footer happens to store —
+    // inference cannot know about a column every existing file predates.
+    if (paths.length == 1) {
+      val p = new Path(paths.head)
+      val metaOpt = scala.util.Try(
+        FlsTableMeta.read(p.getFileSystem(conf), p)).toOption.flatten
+      metaOpt.foreach { case (_, meta) => return withVirtuals(meta.schema, options) }
+    }
     val files = FlsFooters.list(paths, conf, FlsDataSource.manifestVersion(options))
     require(files.nonEmpty, s"fls: no .fls files under ${paths.mkString(",")}")
     val base =
@@ -93,8 +104,15 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
         StructType(base.fields ++ disc.keys.map(k =>
           StructField(k, disc.inferredTypes(k), nullable = disc.nullableKeys.contains(k))))
       }
-    // Virtual columns opt in via reader options, like the reference's
-    // read_fls named parameters (/root/reference/src/read_fls.cpp:32-46).
+    withVirtuals(withParts, options)
+  }
+
+  /** Virtual columns opt in via reader options, like the reference's
+    * read_fls named parameters (/root/reference/src/read_fls.cpp:32-46).
+    * Appended after data+partition columns, for inferred AND declared
+    * ([[FlsTableMeta]]) schemas alike. */
+  private def withVirtuals(withParts: StructType,
+      options: CaseInsensitiveStringMap): StructType = {
     var s = withParts
     FlsVirtual.sizeVirtuals(options).toSeq.sortBy(_._1).foreach { case (virt, baseName) =>
       val baseField = withParts.fields.find(_.name == baseName).getOrElse(
@@ -378,6 +396,9 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     FlsFooters.list(FlsDataSource.parsePaths(options),
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
       FlsDataSource.manifestVersion(options))
+      // rename reconciliation (schema evolution): files written under an
+      // earlier column name serve the current one from here on down
+      .map(e => e.copy(table = Format.applyRenames(e.table, tableSchema)))
 
   /** Footer subset a metadata aggregate runs over: the files every
     * consumed partition filter decided TRUE for. */
@@ -590,9 +611,10 @@ class FlsScan(
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
   private lazy val files: Seq[(Path, TableDesc, Long)] =
-    (if (preFooters != null) preFooters
+    (if (preFooters != null) preFooters // builder already rename-reconciled
      else FlsFooters.list(FlsDataSource.parsePaths(options), hadoopConf,
-       FlsDataSource.manifestVersion(options)))
+       FlsDataSource.manifestVersion(options))
+       .map(e => e.copy(table = Format.applyRenames(e.table, tableSchema))))
       .map(e => (e.file, e.table, e.fileSize))
 
   /** Hive-partition layout of the listed files (empty keys = flat dir).

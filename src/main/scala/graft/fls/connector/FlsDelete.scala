@@ -103,7 +103,7 @@ object FlsDelete {
       manifestVersion: Option[Long], filters: Array[Filter], files: Seq[Path],
       conf: Configuration): Map[String, FileVerdict] = {
     val footers = FlsFooters.list(Seq(path), conf, manifestVersion)
-      .map(e => e.file.toString -> e.table).toMap
+      .map(e => e.file.toString -> Format.applyRenames(e.table, schema)).toMap
     classify(schema, path, filters, files, footers, conf)
   }
 

@@ -206,6 +206,7 @@ class FlsMicroBatchStream(
     val conf = hadoopConf
     val files = ((s + 1) to e).flatMap(readLog)
     val footers = FlsFooters.list(files, conf)
+      .map(f => f.copy(table = graft.fls.Format.applyRenames(f.table, tableSchema)))
     if (footers.length != files.length) {
       // a logged file vanished: its writing job rolled back after we
       // listed it (rename-mode window) — its data was never committed,

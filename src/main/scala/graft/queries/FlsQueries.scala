@@ -862,7 +862,77 @@ object FlsQueries {
         count(DISTINCT dt) AS months
       FROM base GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Full schema-evolution lifecycle through the FlsCatalog, oracle-
+    * gated: CREATE → INSERT (narrow schema) → ALTER ADD COLUMN + ALTER
+    * COLUMN TYPE (INT→BIGINT widening) + RENAME COLUMN → INSERT (wide
+    * schema) → read the whole table. Rows written before the ALTERs
+    * serve NULL for the added column and decode the narrow physical int
+    * into the widened type; the renamed column binds old files through
+    * its name history. The oracle rebuilds the same two-generation union
+    * from raw parquet, so the hash match proves the evolved table reads
+    * exactly as if every file had been written under the final schema.
+    * Every metadata step is an O(1) CAS commit ([[graft.fls.FlsTableMeta]])
+    * — nothing rewrites data, which is the only acceptable cost for an
+    * ALTER on a 100 TB table. */
+  def q104FlsSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "evo_warehouse")
+    val cat = s"fls_evo_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_evo"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_evo")
+      if (!done.contains(warehouse + "@evo") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, " +
+          "o_totalprice DOUBLE, prio_code INT)")
+        // generation 1: narrow three-column schema (prio_code derived,
+        // bounded so the INT holds at any scale multiplier)
+        spark.sql(s"""INSERT INTO $tbl
+          SELECT o_orderkey, o_totalprice, CAST(o_orderkey % 97 AS INT)
+          FROM orders_src_$key WHERE o_orderkey % 3 = 0""")
+        // evolve: add a column, widen a type, rename a column —
+        // three metadata-only commits, zero data files touched
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMN o_prio STRING")
+        spark.sql(s"ALTER TABLE $tbl ALTER COLUMN prio_code TYPE BIGINT")
+        spark.sql(s"ALTER TABLE $tbl RENAME COLUMN o_totalprice TO price")
+        // generation 2: full four-column schema
+        spark.sql(s"""INSERT INTO $tbl
+          SELECT o_orderkey, o_totalprice, o_orderkey % 97, o_orderpriority
+          FROM orders_src_$key WHERE o_orderkey % 3 = 1""")
+        marker.createNewFile()
+      }
+      done += warehouse + "@evo"
+    }
+    spark.table(tbl)
+      .groupBy(col("o_prio").isNotNull.as("has_prio"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(d6w(col("price")))).as("total"),
+        sum(col("prio_code")).as("sprio"),
+        min(col("o_prio")).as("first_prio"))
+      .orderBy("has_prio")
+  }
+
+  val q104Sql: String =
+    """SELECT has_prio, count(*) AS n,
+        CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        CAST(sum(prio_code) AS BIGINT) AS sprio, min(o_prio) AS first_prio
+      FROM (
+        SELECT FALSE AS has_prio, o_totalprice AS price,
+               o_orderkey % 97 AS prio_code, CAST(NULL AS VARCHAR) AS o_prio
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT TRUE, o_totalprice, o_orderkey % 97, o_orderpriority
+        FROM orders WHERE o_orderkey % 3 = 1
+      ) GROUP BY has_prio ORDER BY has_prio"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_fls_schema_evolution" -> (q104FlsSchemaEvolution _),
     "q38_fls_topk" -> (q38FlsTopK _),
     "q100_fls_retention_delete" -> (q100FlsRetentionDelete _),
     "q101_fls_partition_overwrite" -> (q101FlsPartitionOverwrite _),
@@ -891,6 +961,7 @@ object FlsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q104_fls_schema_evolution" -> q104Sql,
     "q38_fls_topk" -> q38Sql,
     "q100_fls_retention_delete" -> q100Sql,
     "q101_fls_partition_overwrite" -> q101Sql,
