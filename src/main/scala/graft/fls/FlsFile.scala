@@ -65,6 +65,11 @@ final class FlsFileWriter(path: Path, conf: Configuration, schema: Array[ColumnD
     * manifest commit record lengths without a getFileStatus round-trip. */
   def fileLength: Long = pos
 
+  /** Per-file min/max stats of what was written (valid after the last
+    * writeRowGroup) — rides the commit message into the manifest so cold
+    * planning prunes without this footer ([[FlsFileStats]]). */
+  def fileStats: String = FlsFileStats.fromTable(TableDesc(schema, rowGroups.toArray))
+
   def close(): Unit = {
     val fw = new ByteWriter()
     Format.writeFooter(fw, TableDesc(schema, rowGroups.toArray))
@@ -203,7 +208,16 @@ object FlsFile {
     * regardless of concurrent commits (the `manifest_version` reader
     * option; compaction pins its frozen input set this way). */
   def listDataStatuses(path: Path, conf: Configuration,
-      pinnedManifestVersion: Option[Long]): Seq[org.apache.hadoop.fs.FileStatus] = {
+      pinnedManifestVersion: Option[Long]): Seq[org.apache.hadoop.fs.FileStatus] =
+    listDataWithStats(path, conf, pinnedManifestVersion).map(_._1)
+
+  /** Same listing with each file's manifest-carried stats JSON alongside
+    * (None on listing-mode tables and stats-less entries) — one RPC
+    * serves the file list, the footer-cache key, AND manifest-level file
+    * pruning ([[FlsFileStats]]). */
+  def listDataWithStats(path: Path, conf: Configuration,
+      pinnedManifestVersion: Option[Long])
+    : Seq[(org.apache.hadoop.fs.FileStatus, Option[String])] = {
     val fs = path.getFileSystem(conf)
     // a not-yet-created table lists as empty (a tailing stream started
     // before its writer is the normal pipeline order); batch reads
@@ -211,21 +225,21 @@ object FlsFile {
     val st =
       try fs.getFileStatus(path)
       catch { case _: java.io.FileNotFoundException => return Nil }
-    if (st.isFile) Seq(st)
+    if (st.isFile) Seq((st, None))
     else pinnedManifestVersion match {
       case Some(v) =>
-        FlsManifest.statuses(fs, path, FlsManifest.readVersion(fs, path, v))
-          .sortBy(_.getPath.toString)
+        FlsManifest.statusesWithStats(fs, path, FlsManifest.readVersion(fs, path, v))
+          .sortBy(_._1.getPath.toString)
       case None => FlsManifest.read(fs, path) match {
         // manifest table: the manifest IS the file list — no recursive
         // listing RPC, and on-disk files outside it (losing speculative
         // attempts, crashed jobs, junk) are invisible by design
         case Some(entries) =>
-          FlsManifest.statuses(fs, path, entries).sortBy(_.getPath.toString)
+          FlsManifest.statusesWithStats(fs, path, entries).sortBy(_._1.getPath.toString)
         case None =>
           val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
           walkFiles(fs, path, Seq(".fls"))((s, _) => out += s)
-          out.sortBy(_.getPath.toString).toSeq
+          out.sortBy(_.getPath.toString).toSeq.map((_, None))
       }
     }
   }

@@ -1,0 +1,147 @@
+package graft.fls
+
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.fls.Format._
+
+/** Per-FILE column statistics carried in the manifest
+  * ([[FlsManifest.Entry.stats]]): row count + min/max per numeric
+  * column, merged across the file's row groups at WRITE time — so a
+  * cold driver planning a filtered scan over a million-file table can
+  * drop files from the manifest alone, opening footers only for
+  * survivors. Zone maps then re-prune at row-group granularity from the
+  * footer as before; the manifest level only ever SKIPS whole files
+  * (conservative: a column without stats, a stats-less entry, or any
+  * parse doubt keeps the file).
+  *
+  * Compact JSON, one line, no tabs (manifest field constraint):
+  * {{{ {"r":<rows>,"c":{"<col>":{"t":[tag,prec,scale],"l":[min,max]}
+  *                     |{"t":[...],"d":[min,max]}, ...}} }}}
+  * `l` = long (physical) bounds, `d` = double bounds. Strings and list
+  * element counts are footer-only (v1 scope).
+  *
+  * Evaluation builds a synthetic one-row-group [[Format.TableDesc]] and
+  * reuses [[graft.fls.connector.FlsZoneMap]] verbatim — one pruning
+  * semantics at both granularities, not two evaluators to keep in sync. */
+object FlsFileStats {
+
+  /** Writer side: merge row-group stats into one per-file JSON, or null
+    * when the file carries nothing prunable (no row groups, or no column
+    * with complete stats). */
+  def fromTable(t: TableDesc): String = {
+    if (t.rowGroups.isEmpty) return null
+    val cols = scala.collection.mutable.ArrayBuffer[(String, JValue)]()
+    var i = 0
+    while (i < t.columns.length) {
+      val c = t.columns(i)
+      val phys = physOf(c.colType.tag)
+      if ((phys == Phys.LONG || phys == Phys.DOUBLE) &&
+          t.rowGroups.forall(_.segments(i).hasStats)) {
+        val segs = t.rowGroups.map(_.segments(i))
+        val tArr = JArray(List(JInt(c.colType.tag), JInt(c.colType.precision),
+          JInt(c.colType.scale)))
+        if (phys == Phys.LONG) {
+          cols += c.name -> JObject(List("t" -> tArr,
+            "l" -> JArray(List(JLong(segs.map(_.minLong).min),
+              JLong(segs.map(_.maxLong).max)))))
+        } else {
+          val mn = segs.map(_.minDouble).min
+          val mx = segs.map(_.maxDouble).max
+          // non-finite bounds do not serialize portably in JSON; such a
+          // column is simply footer-only
+          if (!mn.isNaN && !mx.isNaN && !mn.isInfinite && !mx.isInfinite)
+            cols += c.name -> JObject(List("t" -> tArr,
+              "d" -> JArray(List(JDouble(mn), JDouble(mx)))))
+        }
+      }
+      i += 1
+    }
+    if (cols.isEmpty && t.numRows == 0) return null
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "r" -> JLong(t.numRows),
+      "c" -> JObject(cols.toList)))))
+  }
+
+  /** Parsed stats as a synthetic single-row-group TableDesc (segments
+    * carry the file-level bounds; offsets/lengths are meaningless and
+    * zero). None on any parse doubt — the caller keeps the file. */
+  def toDesc(json: String): Option[TableDesc] = {
+    if (json == null) return None
+    try {
+      val j = JsonMethods.parse(json)
+      val rows = j \ "r" match {
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+        case _ => return None
+      }
+      val cols = scala.collection.mutable.ArrayBuffer[ColumnDesc]()
+      val segs = scala.collection.mutable.ArrayBuffer[SegmentDesc]()
+      j \ "c" match {
+        case JObject(fields) => fields.foreach { case (name, v) =>
+          val t = v \ "t" match {
+            case JArray(List(a, b, c)) =>
+              ColumnType(num(a).toInt, num(b).toInt, num(c).toInt)
+            case _ => return None
+          }
+          v \ "l" match {
+            case JArray(List(mn, mx)) =>
+              cols += ColumnDesc(name, t)
+              segs += SegmentDesc(0, 0L, 0L, hasStats = true,
+                minLong = num(mn), maxLong = num(mx),
+                minDouble = 0.0, maxDouble = 0.0)
+            case _ => v \ "d" match {
+              case JArray(List(mn, mx)) =>
+                cols += ColumnDesc(name, t)
+                segs += SegmentDesc(0, 0L, 0L, hasStats = true,
+                  minLong = 0L, maxLong = 0L,
+                  minDouble = dbl(mn), maxDouble = dbl(mx))
+              case _ => return None
+            }
+          }
+        }
+        case _ => return None
+      }
+      val n = math.min(rows, Int.MaxValue.toLong).toInt
+      Some(TableDesc(cols.toArray, Array(RowGroupDesc(n, segs.toArray))))
+    } catch { case _: Exception => None }
+  }
+
+  private def num(v: JValue): Long = v match {
+    case JInt(n) => n.toLong
+    case JLong(n) => n
+    case JDouble(d) => d.toLong
+    case JDecimal(d) => d.toLong
+    case other => throw new IllegalArgumentException(s"not a number: $other")
+  }
+  private def dbl(v: JValue): Double = v match {
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case JInt(n) => n.toDouble
+    case JLong(n) => n.toDouble
+    case other => throw new IllegalArgumentException(s"not a number: $other")
+  }
+
+  /** File-level keep/skip against the pushed filters. Conservative-keep
+    * on: null/garbled stats, filters over virtual columns (their bounds
+    * are positional, not file-local — `file_row_number` numbering spans
+    * files), or anything the zone-map evaluator cannot decide. `schema`
+    * supplies rename history so files written under an earlier column
+    * name still prune ([[Format.applyRenames]]). */
+  def mayMatch(statsJson: String, filters: Array[Filter], schema: StructType,
+      virtualNames: Set[String]): Boolean = {
+    if (filters.isEmpty || statsJson == null) return true
+    val evaluable = filters.filter(_.references.forall(r => !virtualNames.contains(r)))
+    if (evaluable.isEmpty) return true
+    toDesc(statsJson) match {
+      case None => true
+      case Some(desc0) =>
+        val desc = Format.applyRenames(desc0, schema)
+        val nameToIdx = desc.columns.map(_.name).zipWithIndex.toMap
+        graft.fls.connector.FlsZoneMap.mayMatch(
+          desc.rowGroups(0), nameToIdx, desc.columns, evaluable, 0L)
+    }
+  }
+}

@@ -55,14 +55,32 @@ object FlsFooters {
     * `pinnedManifestVersion` plans from exactly that manifest version
     * (see [[FlsFile.listDataStatuses]]). */
   def list(paths: Seq[String], conf: Configuration,
-      pinnedManifestVersion: Option[Long] = None): Seq[Entry] = {
-    val seen = scala.collection.mutable.LinkedHashMap[String, org.apache.hadoop.fs.FileStatus]()
+      pinnedManifestVersion: Option[Long] = None): Seq[Entry] =
+    fetch(listStatuses(paths, conf, pinnedManifestVersion).map(_._1), conf)
+
+  /** Phase 1 of planning — the file LIST with manifest-carried stats,
+    * NO footer IO. Callers prune this (partition values from paths,
+    * file-level min/max from stats — [[FlsFileStats]]) and [[fetch]]
+    * footers only for survivors: on a cold driver over a large filtered
+    * table this is the difference between O(files) and O(survivors)
+    * footer reads. */
+  def listStatuses(paths: Seq[String], conf: Configuration,
+      pinnedManifestVersion: Option[Long] = None)
+    : Seq[(org.apache.hadoop.fs.FileStatus, Option[String])] = {
+    val seen = scala.collection.mutable.LinkedHashMap[
+      String, (org.apache.hadoop.fs.FileStatus, Option[String])]()
     paths.foreach { p =>
-      FlsFile.listDataStatuses(new Path(p), conf, pinnedManifestVersion).foreach { st =>
-        seen.getOrElseUpdate(st.getPath.toString, st)
+      FlsFile.listDataWithStats(new Path(p), conf, pinnedManifestVersion).foreach { e =>
+        seen.getOrElseUpdate(e._1.getPath.toString, e)
       }
     }
-    val statuses = seen.values.toSeq
+    seen.values.toSeq
+  }
+
+  /** Phase 2 — footer reads (parallel, session-cached) for exactly the
+    * given files. */
+  def fetch(statuses: Seq[org.apache.hadoop.fs.FileStatus],
+      conf: Configuration): Seq[Entry] = {
     val useCache = cacheEnabled
     val need = statuses.filter { st =>
       val c = if (useCache) cache.get(st.getPath.toString) else null
@@ -70,6 +88,7 @@ object FlsFooters {
     }
     val fetched = new java.util.concurrent.ConcurrentHashMap[String, TableDesc]()
     if (need.nonEmpty) {
+      footerReads.addAndGet(need.length)
       val pool = Executors.newFixedThreadPool(math.min(need.length, IoThreads))
       try {
         val futures = need.map { st =>
@@ -109,6 +128,11 @@ object FlsFooters {
       Entry(st.getPath, table, st.getLen)
     }
   }
+
+  /** Observability + test hook: cumulative count of actual (uncached)
+    * footer reads — the number manifest-stats pruning exists to shrink. */
+  private val footerReads = new java.util.concurrent.atomic.AtomicLong(0)
+  def footerReadCount: Long = footerReads.get()
 
   /** Test hook: observe/clear cache state. */
   def cachedCount: Int = cache.size()

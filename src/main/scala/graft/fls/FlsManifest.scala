@@ -51,7 +51,18 @@ object FlsManifest {
   private val KeepVersions = 8
   private val MaxCasAttempts = 100
 
-  final case class Entry(rel: String, length: Long, mtime: Long)
+  /** `stats`: optional per-file statistics (compact JSON, see
+    * [[FlsFileStats]]) carried IN the manifest line so a cold driver can
+    * prune files against pushed filters without opening a single footer
+    * — the Iceberg-style manifest min/max, absent from the reference
+    * (which re-opens every footer at bind,
+    * /root/reference/src/reader/fls_multi_file_info.cpp:99-110). Null =
+    * stats unknown (legacy entries, compaction seeds): the file is
+    * always planned and its footer read as before. Footers stay
+    * authoritative — manifest stats only ever SKIP files, row-group
+    * pruning re-decides from the footer. */
+  final case class Entry(rel: String, length: Long, mtime: Long,
+      stats: String = null)
 
   def manifestPath(dir: Path): Path = new Path(dir, FileName)
   def logDir(dir: Path): Path = new Path(dir, LogDirName)
@@ -114,8 +125,8 @@ object FlsManifest {
     require(lines.nonEmpty && lines(0) == Header, s"fls: corrupt manifest at $p")
     lines.drop(1).toSeq.map { l =>
       val a = l.split('\t')
-      require(a.length == 3, s"fls: corrupt manifest line '$l' in $p")
-      Entry(a(2), a(0).toLong, a(1).toLong)
+      require(a.length == 3 || a.length == 4, s"fls: corrupt manifest line '$l' in $p")
+      Entry(a(2), a(0).toLong, a(1).toLong, if (a.length == 4) a(3) else null)
     }
   }
 
@@ -163,7 +174,13 @@ object FlsManifest {
       entries.sortBy(_.rel).foreach { e =>
         require(!e.rel.contains('\n') && !e.rel.contains('\t'),
           s"fls: unsupported character in file name '${e.rel}'")
-        sb.append(e.length).append('\t').append(e.mtime).append('\t').append(e.rel).append('\n')
+        sb.append(e.length).append('\t').append(e.mtime).append('\t').append(e.rel)
+        if (e.stats != null) {
+          require(!e.stats.contains('\n') && !e.stats.contains('\t'),
+            s"fls: stats JSON must be compact (no tabs/newlines) for '${e.rel}'")
+          sb.append('\t').append(e.stats)
+        }
+        sb.append('\n')
       }
       out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
@@ -180,11 +197,18 @@ object FlsManifest {
 
   /** The FileStatus view of the manifest — what listing would have
     * produced, without any listStatus RPC. */
-  def statuses(fs: FileSystem, dir: Path, entries: Seq[Entry]): Seq[FileStatus] = {
+  def statuses(fs: FileSystem, dir: Path, entries: Seq[Entry]): Seq[FileStatus] =
+    statusesWithStats(fs, dir, entries).map(_._1)
+
+  /** Same view with each entry's carried stats JSON alongside (None =
+    * entry predates stats or the writer had none) — the input to
+    * manifest-level file pruning ([[FlsFileStats]]). */
+  def statusesWithStats(fs: FileSystem, dir: Path,
+      entries: Seq[Entry]): Seq[(FileStatus, Option[String])] = {
     val qualified = fs.makeQualified(dir)
     entries.map { e =>
-      new FileStatus(e.length, false, 1, 128L * 1024 * 1024, e.mtime,
-        new Path(qualified, e.rel))
+      (new FileStatus(e.length, false, 1, 128L * 1024 * 1024, e.mtime,
+        new Path(qualified, e.rel)), Option(e.stats))
     }
   }
 

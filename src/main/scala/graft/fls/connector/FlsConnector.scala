@@ -63,16 +63,23 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
         FlsTableMeta.read(p.getFileSystem(conf), p)).toOption.flatten
       metaOpt.foreach { case (_, meta) => return withVirtuals(meta.schema, options) }
     }
-    val files = FlsFooters.list(paths, conf, FlsDataSource.manifestVersion(options))
-    require(files.nonEmpty, s"fls: no .fls files under ${paths.mkString(",")}")
+    val listed = FlsFooters.listStatuses(paths, conf,
+      FlsDataSource.manifestVersion(options))
+    require(listed.nonEmpty, s"fls: no .fls files under ${paths.mkString(",")}")
     val base =
       if (!options.getBoolean("union_by_name", false)) {
-        files.head.table.sparkSchema
+        // single-schema bind: ONE footer read decides the schema — on a
+        // cold driver over a million-file table this is the difference
+        // between instant and O(files) planning (footers for the files a
+        // filtered scan actually touches are read later, post-pruning)
+        FlsFooters.fetch(Seq(listed.head._1), conf).head.table.sparkSchema
       } else {
         // ≙ reference union_by_name multi-file bind (BindUnionReader,
         // /root/reference/src/reader/fls_multi_file_info.cpp:75-81):
         // union columns by name in first-seen order, promote types,
-        // mark columns absent from some file nullable.
+        // mark columns absent from some file nullable. Necessarily reads
+        // every footer — union semantics need every file's columns.
+        val files = FlsFooters.fetch(listed.map(_._1), conf)
         val perFile = files.map(_.table.columns.toSeq)
         require(perFile.forall(_.forall(_.colType.tag != TypeTag.STRUCT)),
           "fls: union_by_name does not support STRUCT columns — read the " +
@@ -93,7 +100,7 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
     // partition columns after the data columns, exactly like Spark's
     // parquet source (the reference has no partitioned-read support;
     // see FlsPartitioning).
-    val disc = FlsPartitioning.discover(paths, files.map(_.file), conf)
+    val disc = FlsPartitioning.discover(paths, listed.map(_._1.getPath), conf)
     val withParts =
       if (disc.keys.isEmpty) base
       else {
@@ -327,10 +334,12 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     pushed = filters.filter(f => FlsZoneMap.usable(f) ||
       (f.references.nonEmpty && f.references.forall(partKeys.contains)))
     val types = builderPartTypes
+    // decided-check runs on the footer-LESS listing (only path values
+    // matter) so accepting filters costs zero footer IO
     consumedPartFilters = filters.filter { f =>
       f.references.nonEmpty && f.references.forall(partKeys.contains) &&
-        footers.forall { e =>
-          builderDisc.byFile.get(e.file.toString).exists { raw =>
+        listed.forall { case (st, _) =>
+          builderDisc.byFile.get(st.getPath.toString).exists { raw =>
             FlsPartitioning.decides(f, types, builderDisc.keys, raw)
           }
         }
@@ -340,8 +349,17 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
 
   private var consumedPartFilters: Set[Filter] = Set.empty
 
+  /** Planning phase 1: the file list + manifest-carried stats, no footer
+    * IO ([[FlsFooters.listStatuses]]). Everything pushFilters needs
+    * (paths, partition values) lives here. */
+  private lazy val listed: Seq[(org.apache.hadoop.fs.FileStatus, Option[String])] =
+    FlsFooters.listStatuses(FlsDataSource.parsePaths(options),
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
+      FlsDataSource.manifestVersion(options))
+
   private lazy val builderDisc: FlsPartitioning.Discovery =
-    FlsPartitioning.discover(FlsDataSource.parsePaths(options), footers.map(_.file),
+    FlsPartitioning.discover(FlsDataSource.parsePaths(options),
+      listed.map(_._1.getPath),
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
   private lazy val builderPartTypes: Map[String, DataType] =
     builderDisc.partTypes(tableSchema)
@@ -392,13 +410,30 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     Some((groupCols, flat))
   }
 
-  private lazy val footers: Seq[graft.fls.FlsFooters.Entry] =
-    FlsFooters.list(FlsDataSource.parsePaths(options),
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
-      FlsDataSource.manifestVersion(options))
+  /** Planning phase 2: footer reads for the files that SURVIVE
+    * path-level partition pruning and manifest-stats pruning under the
+    * pushed filters. Forced only at build()/aggregate time — after
+    * pushFilters — so a cold filtered scan of a large table opens
+    * O(survivors) footers, not O(files). Dropping a file here is sound
+    * for every downstream consumer: the pushed filters prove it
+    * contributes no rows (both prunings are conservative, same rules as
+    * pruneFiles/zone maps), and Catalyst re-applies the filters
+    * row-level regardless. */
+  private lazy val footers: Seq[graft.fls.FlsFooters.Entry] = {
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val virtNames: Set[String] = FlsVirtual.sizeVirtuals(options).keySet +
+      FlsVirtual.RowNumber + FlsVirtual.FileIndex
+    val kept = listed.filter { case (st, stats) =>
+      (pushed.isEmpty || builderDisc.keys.isEmpty ||
+        builderDisc.byFile.get(st.getPath.toString).forall(raw =>
+          FlsPartitioning.mayMatch(pushed, builderPartTypes, builderDisc.keys, raw))) &&
+        FlsFileStats.mayMatch(stats.orNull, pushed, tableSchema, virtNames)
+    }
+    FlsFooters.fetch(kept.map(_._1), conf)
       // rename reconciliation (schema evolution): files written under an
       // earlier column name serve the current one from here on down
       .map(e => e.copy(table = Format.applyRenames(e.table, tableSchema)))
+  }
 
   /** Footer subset a metadata aggregate runs over: the files every
     * consumed partition filter decided TRUE for. */
@@ -424,20 +459,26 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     tableSchema.fields.find(_.name == name).exists { f =>
       scala.util.Try(ColumnType.fromSpark(f.dataType)).toOption
         .exists(ct => physOf(ct.tag) == Phys.LONG || ct.tag == TypeTag.STRING)
-    } && footers.nonEmpty &&
-      // an all-empty table has no stats to answer from: MIN/MAX over
-      // zero rows must fall back to the scan (which yields NULL)
-      footers.exists(_.table.rowGroups.nonEmpty) &&
-      Format.uniformColType(footers.map(_.table), name).exists { ct =>
-        val isStr = ct.tag == TypeTag.STRING
-        footers.forall { e =>
-          val idx = e.table.columns.indexWhere(_.name == name)
-          e.table.rowGroups.forall { rg =>
-            val s = rg.segments(idx)
-            if (isStr) s.hasByteStats && s.byteStatsExact else s.hasStats
+    } && {
+      // validate stats over the DECIDED-TRUE subset the aggregate will
+      // actually run on (footers is already partition-pruned, so a
+      // no-match filter legitimately leaves it empty — grouped
+      // aggregates then answer with zero rows, which IS the SQL result;
+      // the ungrouped MIN/MAX-over-zero-rows NULL case falls back to
+      // the scan via planAgg's aggFooters row-group check)
+      val subset = aggFooters
+      subset.isEmpty ||
+        Format.uniformColType(subset.map(_.table), name).exists { ct =>
+          val isStr = ct.tag == TypeTag.STRING
+          subset.forall { e =>
+            val idx = e.table.columns.indexWhere(_.name == name)
+            e.table.rowGroups.forall { rg =>
+              val s = rg.segments(idx)
+              if (isStr) s.hasByteStats && s.byteStatsExact else s.hasStats
+            }
           }
         }
-      }
+    }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = planAgg(agg).isDefined
 
@@ -1384,8 +1425,15 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     var committedLen = messages.flatMap {
-      case FlsCommitMessage(files, lengths) => files.zip(lengths) // dir-relative paths
+      case FlsCommitMessage(files, lengths, _) => files.zip(lengths) // dir-relative paths
       case _ => Array.empty[(String, Long)]
+    }.toMap
+    // per-file stats JSON by rel path (manifest-level pruning); absent
+    // for the driver-side empty-write and legacy messages
+    val committedStats: Map[String, String] = messages.flatMap {
+      case FlsCommitMessage(files, _, stats) if stats.length == files.length =>
+        files.zip(stats).filter(_._2 != null)
+      case _ => Array.empty[(String, String)]
     }.toMap
     if (committedLen.isEmpty && skipEmptyCommit &&
         graft.fls.FlsFile.listDataStatuses(dir, conf).nonEmpty) {
@@ -1486,7 +1534,8 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       // concurrent appenders both land — the loser re-merges and
       // retries, metadata-only (data files are attempt-unique).
       val newEntries = committedLen.collect {
-        case (rel, len) if rel.endsWith(".fls") => graft.fls.FlsManifest.Entry(rel, len, 0L)
+        case (rel, len) if rel.endsWith(".fls") =>
+          graft.fls.FlsManifest.Entry(rel, len, 0L, committedStats.getOrElse(rel, null))
       }.toSeq
       graft.fls.FlsManifest.commit(fs, dir, writeId, conf) { (_, current) =>
         val keptOld =
@@ -1607,7 +1656,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       return
     }
     messages.foreach {
-      case FlsCommitMessage(files, _) =>
+      case FlsCommitMessage(files, _, _) =>
         files.foreach(f =>
           try fs.delete(new Path(dir, f), false) catch { case _: Throwable => () })
       case _ => ()

@@ -386,6 +386,9 @@ class FlsDataWriter(
   private val written = scala.collection.mutable.ArrayBuffer[(Path, String)]()
   /** Closed data-file lengths by rel path (for the manifest). */
   private val lengths = scala.collection.mutable.HashMap[String, Long]()
+  /** Closed data-file stats JSON by rel path (for the manifest; may be
+    * null for files with nothing prunable). */
+  private val fileStats = scala.collection.mutable.HashMap[String, String]()
 
   /** All writer state for one partition-value combination ("" = flat). */
   private final class Bucket(relDir: String) {
@@ -423,6 +426,7 @@ class FlsDataWriter(
       if (writer != null) {
         writer.close()
         lengths(currentRel) = writer.fileLength
+        fileStats(currentRel) = writer.fileStats
         writer = null
       }
 
@@ -542,7 +546,8 @@ class FlsDataWriter(
         try fs.delete(tempDir, true) catch { case _: Throwable => () }
         out
       }
-    FlsCommitMessage(finals.toArray, finals.map(lengths.getOrElse(_, -1L)).toArray)
+    FlsCommitMessage(finals.toArray, finals.map(lengths.getOrElse(_, -1L)).toArray,
+      finals.map(fileStats.getOrElse(_, null)).toArray)
   }
 
   /** Delete EVERY file this attempt wrote (rotated ones included), then
@@ -618,5 +623,8 @@ object FlsCommit {
 /** `files` are dir-RELATIVE final paths (partition subdirs included);
   * `lengths` align with `files` (data-file byte sizes for the manifest;
   * -1 for sidecar footer entries). */
-case class FlsCommitMessage(files: Array[String], lengths: Array[Long])
+/** `stats(i)` is the per-file stats JSON for `files(i)` (null when the
+  * writer had nothing prunable; always null at sidecar-footer slots). */
+case class FlsCommitMessage(files: Array[String], lengths: Array[Long],
+    stats: Array[String] = Array.empty)
   extends WriterCommitMessage
