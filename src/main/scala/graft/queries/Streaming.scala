@@ -75,6 +75,10 @@ object Streaming {
   }
 
   case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  /** Ev + the watermarked timestamp column (must be present in the
+    * stateful operator's input for event-time timeouts to resolve). */
+  case class EvW(user_id: Long, event_id: Long, ts_us: Long,
+      ts_wm: java.sql.Timestamp)
   case class Session(user_id: Long, session_idx: Long, n_events: Long,
       start_us: Long, end_us: Long)
 
@@ -175,42 +179,121 @@ object Streaming {
         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micros
       FROM events GROUP BY user_id ORDER BY user_id"""
 
-  /** q37: streaming sessionization via flatMapGroupsWithState — the
-    * stateful-stream twin of q33. The single-file AvailableNow source
-    * delivers each user's full history in one micro-batch, so sessions
-    * close deterministically at batch end (in production the same code
-    * closes them on GroupStateTimeout instead). */
+  /** One open session per user held across micro-batches — the WHOLE
+    * per-user state of streaming sessionization. Bounded by the live
+    * user count, never by stream length; closed sessions leave state
+    * the moment they emit. */
+  case class OpenSession(start_us: Long, end_us: Long, n_events: Long,
+      session_idx: Long)
+
+  /** The q37 state-transition function, shared with the timeout spec:
+    * on DATA, fold the batch's (sorted) events into the open session —
+    * sessions the batch itself closes emit immediately; the tail stays
+    * open in state with an event-time timeout at `end + gap`, so the
+    * WATERMARK closes it (emits + evicts) once no in-gap event can
+    * still arrive. On TIMEOUT, emit the held session and REMOVE the
+    * state — this eviction is what keeps state bounded on an unbounded
+    * stream (the r11 NoTimeout version held nothing, but only because
+    * it assumed a draining single batch). Sentinel/negative user ids
+    * carry no state and emit nothing. */
+  def sessionizeFn(gapUs: Long)(
+      uid: Long, it: Iterator[Ev],
+      state: org.apache.spark.sql.streaming.GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val o = state.get
+      state.remove()
+      Iterator.single(Session(uid, o.session_idx, o.n_events, o.start_us, o.end_us))
+    } else if (uid < 0) Iterator.empty // watermark-advancing sentinel
+    else {
+      val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer[Session]()
+        var (idx, start, last, n) = state.getOption match {
+          case Some(o) => (o.session_idx, o.start_us, o.end_us, o.n_events)
+          case None => (0L, 0L, Long.MinValue, 0L)
+        }
+        def flush(): Unit = if (n > 0) out += Session(uid, idx, n, start, last)
+        evs.foreach { e =>
+          if (n == 0 || e.ts_us - last > gapUs) {
+            flush(); idx += 1; start = e.ts_us; n = 0
+          }
+          last = e.ts_us; n += 1
+        }
+        state.update(OpenSession(start, last, n, idx))
+        // strictly past end+gap (ceil to ms): fires only when the
+        // watermark proves no event can extend this session
+        state.setTimeoutTimestamp((last + gapUs) / 1000 + 1)
+        out.iterator
+      }
+    }
+  }
+
+  /** Watermark-advancing sentinel: a one-row stream whose single event
+    * sits `aheadUs` past the events table's max timestamp, under a
+    * negative user id. Unioned into a 0-delay-watermark stream it pushes
+    * the final watermark beyond every session's `end + gap`, so
+    * AvailableNow's trailing batch fires every EventTimeTimeout and the
+    * held sessions drain — the finite-stream stand-in for "the stream
+    * keeps running". */
+  private def sentinelStream(spark: SparkSession, dir: String,
+      aheadUs: Long): DataFrame = {
+    val ev = events(spark, dir)
+    val out = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_sentinel"
+    synchronized {
+      if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+        val mx = ev.agg(max(tsMicros(ev))).collect()(0).getLong(0)
+        val tsCol = ev.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => lit((mx + aheadUs) * 1000L)
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            expr(s"timestampadd(MICROSECOND, ${mx + aheadUs}, " +
+              "TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+          case _ => timestamp_micros(lit(mx + aheadUs))
+        }
+        ev.limit(1)
+          .withColumn("user_id", lit(-1L).cast(ev.schema("user_id").dataType))
+          .withColumn("event_id", lit(-1L).cast(ev.schema("event_id").dataType))
+          .withColumn("ts", tsCol)
+          .coalesce(1).write.mode("overwrite").parquet(out)
+      }
+    }
+    spark.readStream.schema(ev.schema).parquet(out)
+  }
+
+  /** q37: streaming sessionization via flatMapGroupsWithState with
+    * EVENT-TIME TIMEOUT — the stateful-stream twin of q33, production-
+    * shaped: the open session per user lives in state until the
+    * watermark passes `end + gap`, then emits and is EVICTED
+    * ([[sessionizeFn]]). State is bounded by live users, not stream
+    * length — on a true unbounded stream the r11 NoTimeout version
+    * would have held session state forever. The oracle stays exact
+    * because the sentinel stream ([[sentinelStream]]) drives the final
+    * watermark past every session, draining held state before the
+    * query terminates. Caveat (documented, inherent to watermarks): an
+    * event arriving LATER than the watermark's bound on its session
+    * would start a new session instead of extending — delay is 0 here
+    * because AvailableNow delivers in order; size the watermark delay
+    * to the source's real disorder in production. */
   def q37StreamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spark.implicits._
     val gapUs = 30L * 60 * 1000 * 1000
     val stream = eventsStream(spark, dir)
-    val sessions = stream
-      .select(col("user_id"), col("event_id"), tsMicros(stream).as("ts_us"))
-      .as[Ev]
+    val unioned = stream.unionByName(sentinelStream(spark, dir, 2 * gapUs))
+    val fn = sessionizeFn(gapUs) _
+    val sessions = unioned
+      .select(col("user_id"), col("event_id"), tsMicros(unioned).as("ts_us"),
+        timestamp_micros(tsMicros(unioned)).as("ts_wm"))
+      .withWatermark("ts_wm", "0 seconds")
+      // the watermarked column must reach the stateful operator — it
+      // rides in the typed row and is simply ignored by the fold
+      .as[EvW]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[Ev],
-         state: org.apache.spark.sql.streaming.GroupState[List[Ev]]) =>
-          // state would carry the open session across micro-batches; the
-          // AvailableNow single batch closes everything immediately
-          val evs = (state.getOption.getOrElse(Nil) ++ it.toList)
-            .sortBy(e => (e.ts_us, e.event_id))
-          state.remove()
-          val out = scala.collection.mutable.ArrayBuffer[Session]()
-          var idx = 0L
-          var start = 0L
-          var last = Long.MinValue
-          var n = 0L
-          def flush(): Unit = if (n > 0) out += Session(uid, idx, n, start, last)
-          evs.foreach { e =>
-            if (n == 0 || e.ts_us - last > gapUs) {
-              flush(); idx += 1; start = e.ts_us; n = 0
-            }
-            last = e.ts_us; n += 1
-          }
-          flush()
-          out.iterator
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[EvW],
+         state: org.apache.spark.sql.streaming.GroupState[OpenSession]) =>
+          fn(uid, it.map(e => Ev(e.user_id, e.event_id, e.ts_us)), state)
       }
     val name = s"q37mem${memSeq.incrementAndGet()}"
     val q = sessions.writeStream.format("memory").queryName(name)
