@@ -49,6 +49,17 @@ object IvfRecallProbe {
     measure("nprobe=1 raw centroids", 1, lloyd = false) // round-2 shape
     measure("nprobe=1 +lloyd", 1, lloyd = true)
     measure("nprobe=2 +lloyd (q26)", 2, lloyd = true)
+    // CAPPED quantizer (r12): force the centroid cap far below ⌈√n⌉ so
+    // cells grow as n/cap — the shape a 10^11-vector corpus hits with
+    // the default 64Ki cap. Recall must HOLD (cell membership changes,
+    // but query routing still picks the nearest cells); only per-probe
+    // scan cost grows.
+    val sqrtN = math.ceil(math.sqrt(
+      spark.read.parquet(s"$dir/embeddings.parquet").count().toDouble)).toLong
+    val forced = math.max(4L, sqrtN / 4)
+    sys.props("graft.ivf.maxCentroids") = forced.toString
+    try measure(s"nprobe=2 +lloyd cap=$forced", 2, lloyd = true)
+    finally sys.props.remove("graft.ivf.maxCentroids")
     spark.stop()
   }
 }

@@ -163,7 +163,13 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
         m.put("partition_by", declared.mkString(","))
         new CaseInsensitiveStringMap(m)
       }
-    new FlsTable(schema, opts)
+    // the session is captured HERE, on the resolving query's thread,
+    // and threaded through the table/scan/write graph — the connector
+    // never consults the SparkSession.active global from a lazily-run
+    // code path again (multi-session drivers: a table resolved by
+    // session A must keep using A's hadoop/SQL conf even when its scan
+    // is planned while session B is active on the thread)
+    new FlsTable(schema, opts, org.apache.spark.sql.SparkSession.active)
   }
 }
 
@@ -208,7 +214,13 @@ object FlsDataSource {
   }
 }
 
-class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
+class FlsTable(schema: StructType, options: CaseInsensitiveStringMap,
+    /** Captured at CONSTRUCTION (the default evaluates then, on the
+      * resolving thread) and threaded to every scan/write/DML path —
+      * no lazy SparkSession.active lookups that would bind a table to
+      * whatever session happens to be active later. */
+    session: org.apache.spark.sql.SparkSession =
+      org.apache.spark.sql.SparkSession.active)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -220,7 +232,7 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
     : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new FlsRowLevelOperationBuilder(info, schema, options)
+    new FlsRowLevelOperationBuilder(info, schema, options, session)
 
   override def name(): String = s"fls:${FlsDataSource.parsePaths(options).mkString(",")}"
   override def schema(): StructType = schema
@@ -236,7 +248,7 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
     val keys =
       if (declared.nonEmpty) declared
       else scala.util.Try {
-        val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+        val conf = session.sessionState.newHadoopConf()
         val paths = FlsDataSource.parsePaths(options)
         val files = graft.fls.FlsFooters.list(paths, conf,
           FlsDataSource.manifestVersion(options))
@@ -262,10 +274,10 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
     * `DELETE ... WHERE ts < cutoff` on a `cluster_by=ts` table reads
     * one file. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    FlsDelete.canDelete(schema, options, filters)
+    FlsDelete.canDelete(schema, options, filters, session)
 
   override def deleteWhere(filters: Array[Filter]): Unit =
-    FlsDelete.delete(schema, options, filters)
+    FlsDelete.delete(schema, options, filters, session)
 
   /** SQL reads of a catalog table (`SELECT ... FROM t` after
     * `CREATE TABLE t USING fls LOCATION ...`) arrive with EMPTY read
@@ -281,7 +293,7 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
         m.putAll(readOptions)
         new CaseInsensitiveStringMap(m)
       }
-    new FlsScanBuilder(schema, merged)
+    new FlsScanBuilder(schema, merged, session)
   }
 
   // DECLARED partitioning (CREATE TABLE PARTITIONED BY) already rides in
@@ -291,12 +303,15 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap)
   // table's layout still fails loudly (FlsBatchWrite's layout check)
   // instead of guessing.
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new FlsWriteBuilder(info, options)
+    new FlsWriteBuilder(info, options, session)
 }
 
 // ---------------------------------------------------------------- read
 
-class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
+class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap,
+    /** Captured at construction — see [[FlsTable]]'s session note. */
+    session: org.apache.spark.sql.SparkSession =
+      org.apache.spark.sql.SparkSession.active)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
@@ -354,13 +369,13 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     * (paths, partition values) lives here. */
   private lazy val listed: Seq[(org.apache.hadoop.fs.FileStatus, Option[String])] =
     FlsFooters.listStatuses(FlsDataSource.parsePaths(options),
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf(),
+      session.sessionState.newHadoopConf(),
       FlsDataSource.manifestVersion(options))
 
   private lazy val builderDisc: FlsPartitioning.Discovery =
     FlsPartitioning.discover(FlsDataSource.parsePaths(options),
       listed.map(_._1.getPath),
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+      session.sessionState.newHadoopConf())
   private lazy val builderPartTypes: Map[String, DataType] =
     builderDisc.partTypes(tableSchema)
 
@@ -420,7 +435,7 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     * pruneFiles/zone maps), and Catalyst re-applies the filters
     * row-level regardless. */
   private lazy val footers: Seq[graft.fls.FlsFooters.Entry] = {
-    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val conf = session.sessionState.newHadoopConf()
     val virtNames: Set[String] = FlsVirtual.sizeVirtuals(options).keySet +
       FlsVirtual.RowNumber + FlsVirtual.FileIndex
     val kept = listed.filter { case (st, stats) =>
@@ -543,7 +558,7 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap)
     // re-walking the table (at 100k files that re-walk is real driver
     // time), and pushdown decisions and execution see the same file set
     case None => new FlsScan(tableSchema, requiredSchema, pushed, options, limit, topN,
-      footers, consumedPartFilters.toArray)
+      footers, consumedPartFilters.toArray, session)
   }
 }
 
@@ -580,7 +595,10 @@ class FlsScan(
     limit: Int = -1,
     topN: Option[FlsTopNSpec] = None,
     preFooters: Seq[graft.fls.FlsFooters.Entry] = null,
-    consumedFilters: Array[Filter] = Array.empty)
+    consumedFilters: Array[Filter] = Array.empty,
+    /** Captured at construction — see [[FlsTable]]'s session note. */
+    session: org.apache.spark.sql.SparkSession =
+      org.apache.spark.sql.SparkSession.active)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering
   with SupportsReportPartitioning {
 
@@ -641,7 +659,7 @@ class FlsScan(
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new FlsMicroBatchStream(tableSchema, requiredSchema, filters, consumedFilters,
-      options, checkpointLocation)
+      options, checkpointLocation, session)
 
   override def description(): String =
     s"fls scan, pushed=[${filters.mkString(", ")}], cols=[${requiredSchema.fieldNames.mkString(",")}]" +
@@ -649,7 +667,7 @@ class FlsScan(
       topN.map(t => s", topN=(${t.col},${if (t.desc) "DESC" else "ASC"},${t.n})").getOrElse("")
 
   private def hadoopConf: Configuration =
-    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    session.sessionState.newHadoopConf()
 
   private lazy val files: Seq[(Path, TableDesc, Long)] =
     (if (preFooters != null) preFooters // builder already rename-reconciled
@@ -724,7 +742,7 @@ class FlsScan(
         }
       }
       onPlanned.foreach(_(keptFiles.toSeq))
-      return FlsSplitPacking.pack(units.toSeq)
+      return FlsSplitPacking.pack(units.toSeq, session)
     }
     val units = mutable.ArrayBuffer[FlsRgUnit]()
     val allFilters = filters ++ runtimeFilters
@@ -786,7 +804,7 @@ class FlsScan(
               case (u, _, mx) if desc && mx >= bound => u
               case (u, mn, _) if !desc && mn <= bound => u
             }
-            return FlsSplitPacking.pack(kept)
+            return FlsSplitPacking.pack(kept, session)
           }
         }
       case _ => ()
@@ -801,7 +819,7 @@ class FlsScan(
         out += u
         covered += u.rg.nTuples
       }
-      return FlsSplitPacking.pack(out.toSeq)
+      return FlsSplitPacking.pack(out.toSeq, session)
     }
     if (spjActive) {
       // partition-pure splits: pack WITHIN each partition key so every
@@ -813,12 +831,12 @@ class FlsScan(
           val keyVals: Array[Any] = partDisc.keys.zip(raw).map { case (k, r) =>
             toInternal(FlsPartitioning.castRaw(r, partTypes(k)))
           }.toArray
-          FlsSplitPacking.pack(us).map {
+          FlsSplitPacking.pack(us, session).map {
             case p: FlsInputPartition => p.copy(keyVals = keyVals)
             case p => p
           }
         }.toArray
-    } else FlsSplitPacking.pack(units.toSeq)
+    } else FlsSplitPacking.pack(units.toSeq, session)
   }
 
   /** External partition value → Catalyst-internal representation for
@@ -999,9 +1017,10 @@ case class FlsRgUnit(
   * thousands of 64Ki-row tasks, and many-small-files tables scan with
   * sane task counts (splits span files via chunks). */
 object FlsSplitPacking {
-  def pack(units: Seq[FlsRgUnit]): Array[InputPartition] = {
+  def pack(units: Seq[FlsRgUnit],
+      session: org.apache.spark.sql.SparkSession =
+        org.apache.spark.sql.SparkSession.active): Array[InputPartition] = {
     if (units.isEmpty) return Array.empty
-    val session = org.apache.spark.sql.SparkSession.active
     val conf = session.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
     def cost(u: FlsRgUnit): Long = u.rg.segments.map(_.length).sum + openCost
@@ -1067,7 +1086,10 @@ class FlsWriteBuilder(info: LogicalWriteInfo,
       * write options, so path/commit_mode/etc. must fall back to what
       * `CREATE TABLE ... USING fls OPTIONS (...) LOCATION ...` declared.
       * Write-time options (DataFrame API `.option(...)`) still win. */
-    tableOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    tableOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    /** Captured at construction — see [[FlsTable]]'s session note. */
+    session: org.apache.spark.sql.SparkSession =
+      org.apache.spark.sql.SparkSession.active)
   extends WriteBuilder with SupportsTruncate
   with org.apache.spark.sql.connector.write.SupportsOverwrite
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -1110,7 +1132,8 @@ class FlsWriteBuilder(info: LogicalWriteInfo,
     }
 
   override def build(): Write =
-    new FlsWrite(merged, doTruncate, overwriteFilters, dynamicOverwrite)
+    new FlsWrite(merged, doTruncate, overwriteFilters, dynamicOverwrite,
+      session = session)
 }
 
 /** Physical-layout contract of an fls write, declared to Spark through
@@ -1151,7 +1174,10 @@ class FlsWriteBuilder(info: LogicalWriteInfo,
 class FlsWrite(merged: LogicalWriteInfo, doTruncate: Boolean,
     overwriteFilters: Option[Array[Filter]] = None,
     dynamicOverwrite: Boolean = false,
-    replaceFilesThunk: Option[() => Seq[String]] = None)
+    replaceFilesThunk: Option[() => Seq[String]] = None,
+    /** Captured at construction — see [[FlsTable]]'s session note. */
+    session: org.apache.spark.sql.SparkSession =
+      org.apache.spark.sql.SparkSession.active)
   extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution => V2Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
@@ -1181,12 +1207,12 @@ class FlsWrite(merged: LogicalWriteInfo, doTruncate: Boolean,
   override def toBatch: BatchWrite =
     new FlsBatchWrite(merged, doTruncate,
       overwriteFilters = overwriteFilters, dynamicOverwrite = dynamicOverwrite,
-      replaceFilesThunk = replaceFilesThunk)
+      replaceFilesThunk = replaceFilesThunk, session = session)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!doTruncate && overwriteFilters.isEmpty && !dynamicOverwrite,
       "fls streaming sink supports Append output mode only (complete/update " +
         "would truncate the table every trigger)")
-    new FlsStreamingWrite(merged)
+    new FlsStreamingWrite(merged, session)
   }
 }
 
@@ -1253,14 +1279,17 @@ object FlsWriteLayout {
   * commit nothing (no schema-only file per empty epoch). Composes with
   * `partition_by`, `commit_mode=manifest`, and the fls STREAMING READ —
   * an fls-to-fls pipeline is readStream → transform → writeStream. */
-class FlsStreamingWrite(info: LogicalWriteInfo)
+class FlsStreamingWrite(info: LogicalWriteInfo,
+    session: org.apache.spark.sql.SparkSession =
+      org.apache.spark.sql.SparkSession.active)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private def epochWriteId(epochId: Long): String = s"${info.queryId()}-e$epochId"
 
   private def forEpoch(epochId: Long): FlsBatchWrite =
     new FlsBatchWrite(info, doTruncate = false,
-      writeIdOverride = Some(epochWriteId(epochId)), skipEmptyCommit = true)
+      writeIdOverride = Some(epochWriteId(epochId)), skipEmptyCommit = true,
+      session = session)
 
   override def createStreamingWriterFactory(
       pInfo: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
@@ -1313,7 +1342,10 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
     /** Row-level operation (UPDATE/MERGE/copy-on-write DELETE): the
       * commit replaces exactly the files the operation's group scan
       * read (absolute paths, supplied after the scan planned). */
-    replaceFilesThunk: Option[() => Seq[String]] = None) extends BatchWrite {
+    replaceFilesThunk: Option[() => Seq[String]] = None,
+    /** Captured at construction — see [[FlsTable]]'s session note. */
+    session: org.apache.spark.sql.SparkSession =
+      org.apache.spark.sql.SparkSession.active) extends BatchWrite {
   private val options = info.options()
   private val path = FlsDataSource.parsePaths(options).headOption
     .getOrElse(throw new IllegalArgumentException("fls write: no path"))
@@ -1355,7 +1387,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
     s"fls: row_group_size must be a positive multiple of $VecSize, got $rowGroupSize")
 
   private def hadoopConf: Configuration =
-    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    session.sessionState.newHadoopConf()
 
   /** "" for root files, the dir-relative partition path otherwise. */
   private def parentRel(rel: String): String = {

@@ -57,8 +57,8 @@ object FlsDelete {
     FlsDataSource.parsePaths(options).headOption.getOrElse(
       throw new IllegalArgumentException("fls delete: no path"))
 
-  private def hconf(): Configuration =
-    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+  private def hconf(session: org.apache.spark.sql.SparkSession): Configuration =
+    session.sessionState.newHadoopConf()
 
   /** Filter negation over the shapes zone maps understand. Sound on
     * this format because stored columns hold no NULLs (two-valued
@@ -182,8 +182,10 @@ object FlsDelete {
   }
 
   def canDelete(schema: StructType, options: CaseInsensitiveStringMap,
-      filters: Array[Filter]): Boolean = {
-    val conf = hconf()
+      filters: Array[Filter],
+      session: org.apache.spark.sql.SparkSession =
+        org.apache.spark.sql.SparkSession.active): Boolean = {
+    val conf = hconf(session)
     val root = new Path(tablePath(options))
     val fs = root.getFileSystem(conf)
     val files = FlsManifest.readVersioned(fs, root) match {
@@ -194,12 +196,14 @@ object FlsDelete {
   }
 
   def delete(schema: StructType, options: CaseInsensitiveStringMap,
-      filters: Array[Filter]): Unit = {
-    val conf = hconf()
+      filters: Array[Filter],
+      session: org.apache.spark.sql.SparkSession =
+        org.apache.spark.sql.SparkSession.active): Unit = {
+    val conf = hconf(session)
     val path = tablePath(options)
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val spark = SparkSession.active
+    val spark = session
 
     def dataFields(files: Seq[Path]) = {
       val disc = FlsPartitioning.discover(Seq(path), files, conf)

@@ -45,7 +45,12 @@ class FlsMicroBatchStream(
     filters: Array[Filter],
     consumedFilters: Array[Filter],
     options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
-    checkpointLocation: String)
+    checkpointLocation: String,
+    /** Captured at construction (driver, planning thread) — the stream's
+      * micro-batch thread must keep using the OWNING session's conf,
+      * not whatever session is active on that thread. */
+    session: org.apache.spark.sql.SparkSession =
+      org.apache.spark.sql.SparkSession.active)
   extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   /** Admission control: cap files per micro-batch so a 100k-file
@@ -57,7 +62,7 @@ class FlsMicroBatchStream(
   private var availableNowTarget: Set[String] = null
 
   private def hadoopConf: Configuration =
-    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    session.sessionState.newHadoopConf()
 
   private val paths = FlsDataSource.parsePaths(options)
   private val logDir = new Path(checkpointLocation, "fls-batches")

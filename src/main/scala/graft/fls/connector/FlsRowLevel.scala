@@ -37,7 +37,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class FlsRowLevelOperation(
     cmd: Command,
     tableSchema: StructType,
-    tableOptions: CaseInsensitiveStringMap) extends RowLevelOperation {
+    tableOptions: CaseInsensitiveStringMap,
+    /** Captured at construction — see [[FlsTable]]'s session note. */
+    session: org.apache.spark.sql.SparkSession =
+      org.apache.spark.sql.SparkSession.active) extends RowLevelOperation {
 
   /** Files the group scan last planned (absolute paths). */
   private val replacedFiles = new AtomicReference[Seq[String]](null)
@@ -54,7 +57,7 @@ class FlsRowLevelOperation(
         m.putAll(options)
         new CaseInsensitiveStringMap(m)
       }
-    new FlsScanBuilder(tableSchema, merged) {
+    new FlsScanBuilder(tableSchema, merged, session) {
       override def build(): Scan = super.build() match {
         case f: FlsScan =>
           f.groupGranularity = true
@@ -97,10 +100,10 @@ class FlsRowLevelOperation(
           "cannot determine the replaced file set")
       files
     }
-    new FlsWriteBuilder(info, opts) {
+    new FlsWriteBuilder(info, opts, session) {
       override def build(): Write = {
         val underlying = new FlsWrite(merged, doTruncate = false,
-          replaceFilesThunk = Some(thunk))
+          replaceFilesThunk = Some(thunk), session = session)
         new org.apache.spark.sql.connector.write.Write
           with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
           override def requiredDistribution() = underlying.requiredDistribution()
@@ -120,7 +123,7 @@ class FlsRowLevelOperation(
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     if (declared.nonEmpty) declared
     else scala.util.Try {
-      val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+      val conf = session.sessionState.newHadoopConf()
       val paths = FlsDataSource.parsePaths(tableOptions)
       val files = graft.fls.FlsFooters.list(paths, conf,
         FlsDataSource.manifestVersion(tableOptions))
@@ -173,7 +176,9 @@ private[connector] case class OpStrippingFactory(
 class FlsRowLevelOperationBuilder(
     info: RowLevelOperationInfo,
     tableSchema: StructType,
-    tableOptions: CaseInsensitiveStringMap) extends RowLevelOperationBuilder {
+    tableOptions: CaseInsensitiveStringMap,
+    session: org.apache.spark.sql.SparkSession =
+      org.apache.spark.sql.SparkSession.active) extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new FlsRowLevelOperation(info.command(), tableSchema, tableOptions)
+    new FlsRowLevelOperation(info.command(), tableSchema, tableOptions, session)
 }

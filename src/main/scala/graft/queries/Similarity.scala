@@ -121,8 +121,23 @@ object Similarity {
     val e = vecs(spark, dir)
     // count the raw table (parquet answers from metadata) — counting
     // `e` would run the whole vector-transform pipeline just to size
-    // the centroid set
-    val nCent = math.ceil(math.sqrt(t(spark, dir, "embeddings").count().toDouble)).toLong
+    // the centroid set.
+    //
+    // CAPPED quantizer: centroids = min(⌈√n⌉, cap). Uncapped, the
+    // centroid broadcast grows as √n (~160 MB at 10^11 vectors — r11
+    // verdict's flagged cliff); the cap bounds it at cap × vecBytes
+    // (~36 MB at 64Ki × 550 B) forever. Below cap² vectors (~4.3 G at
+    // the default) nothing changes; past it, cells grow linearly
+    // (n/cap) instead of √n — per-probe scan cost rises but RECALL
+    // holds, because recall is set by picking the right cells
+    // (quantizer geometry + nprobe), not by cell size
+    // (IvfRecallProbe's forced-low-cap run measures exactly this).
+    // The next rung past the cap is a two-level quantizer; the nprobe
+    // knob already trades scan cost for recall.
+    val centroidCap =
+      sys.props.get("graft.ivf.maxCentroids").map(_.toLong).getOrElse(65536L)
+    val nCent = math.min(centroidCap,
+      math.ceil(math.sqrt(t(spark, dir, "embeddings").count().toDouble)).toLong)
     val cents0 = e.filter(col("vec_id") < nCent)
       .select(col("vec_id").as("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"))
 
@@ -160,7 +175,7 @@ object Similarity {
           .select(col("cell").as("cent_id"), col("v_q"), col("nr_q"))
       }
 
-    val r = rankCache.getOrBuild(spark, s"$dir#$nprobe#$lloyd")(
+    val r = rankCache.getOrBuild(spark, s"$dir#$nprobe#$lloyd#$nCent")(
       ranked(cents, math.max(nprobe, 1))
         .persist(org.apache.spark.storage.StorageLevel.fromString(
           sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
