@@ -331,6 +331,36 @@ object Format {
 
   final case class ColumnDesc(name: String, colType: ColumnType)
 
+  /** Recursive by-name schema union for multi-file binds
+    * (`union_by_name`): columns union in first-seen order, scalar types
+    * promote along [[promote]]'s lattice, STRUCT columns union their
+    * fields recursively (a field absent from some file's struct reads
+    * as NULL there — the reader's per-file child binding serves it), a
+    * column absent from some file entirely is nullable. Struct-vs-scalar
+    * for one name is incompatible and throws, like any other
+    * unpromotable pair. Extends the reference's flat union bind
+    * (/root/reference/src/reader/fls_multi_file_info.cpp:75-81), which
+    * has no struct support to extend. */
+  def unionByName(schemas: Seq[StructType]): StructType = {
+    val order = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayBuffer[DataType]]()
+    schemas.foreach(_.fields.foreach { f =>
+      order.getOrElseUpdate(f.name,
+        scala.collection.mutable.ArrayBuffer[DataType]()) += f.dataType
+    })
+    StructType(order.map { case (name, types) =>
+      val structs = types.collect { case s: StructType => s }
+      val merged: DataType =
+        if (structs.nonEmpty) {
+          require(structs.length == types.length,
+            s"fls: column '$name' is a STRUCT in some files and " +
+              s"${types.find(!_.isInstanceOf[StructType]).get.simpleString} in others")
+          unionByName(structs.toSeq)
+        } else types.map(ColumnType.fromSpark).reduce(promote).toSpark
+      StructField(name, merged, nullable = types.length != schemas.length)
+    }.toArray)
+  }
+
   /** StructField metadata key carrying a RENAMED column's full name
     * history (oldest first) — written by `ALTER TABLE RENAME COLUMN`
     * ([[graft.fls.connector.FlsCatalog]]), consumed by [[applyRenames]]

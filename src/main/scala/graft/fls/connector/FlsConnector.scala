@@ -77,24 +77,12 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
         // ≙ reference union_by_name multi-file bind (BindUnionReader,
         // /root/reference/src/reader/fls_multi_file_info.cpp:75-81):
         // union columns by name in first-seen order, promote types,
-        // mark columns absent from some file nullable. Necessarily reads
-        // every footer — union semantics need every file's columns.
+        // mark columns absent from some file nullable; STRUCT columns
+        // union their fields recursively (beyond the reference).
+        // Necessarily reads every footer — union semantics need every
+        // file's columns.
         val files = FlsFooters.fetch(listed.map(_._1), conf)
-        val perFile = files.map(_.table.columns.toSeq)
-        require(perFile.forall(_.forall(_.colType.tag != TypeTag.STRUCT)),
-          "fls: union_by_name does not support STRUCT columns — read the " +
-            "tables separately or align their schemas")
-        val order = scala.collection.mutable.LinkedHashMap[String, ColumnType]()
-        perFile.foreach(_.foreach { c =>
-          order.get(c.name) match {
-            case None => order(c.name) = c.colType
-            case Some(t) => order(c.name) = Format.promote(t, c.colType)
-          }
-        })
-        StructType(order.map { case (name, t) =>
-          val everywhere = perFile.forall(_.exists(_.name == name))
-          StructField(name, t.toSpark, nullable = !everywhere)
-        }.toArray)
+        Format.unionByName(files.map(_.table.sparkSchema))
       }
     // Hive-partitioned layout: surface `k=v` path segments as typed
     // partition columns after the data columns, exactly like Spark's

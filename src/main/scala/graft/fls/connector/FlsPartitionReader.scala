@@ -210,9 +210,13 @@ class FlsPartitionReader(
           }
           val children = st.fields.map { ch =>
             val chIdx = chunk.fileColumns.indexWhere(_.name == s"${f.name}.${ch.name}")
-            if (chIdx < 0) throw new IllegalArgumentException(
-              s"fls: struct field ${f.name}.${ch.name} not present in ${chunk.file}")
-            decodeAt(chIdx)
+            if (chIdx < 0) {
+              // drifted struct schema (union_by_name): a field this file
+              // predates reads as NULL, like a missing top-level column
+              if (ch.nullable) null
+              else throw new IllegalArgumentException(
+                s"fls: struct field ${f.name}.${ch.name} not present in ${chunk.file}")
+            } else decodeAt(chIdx)
           }
           StructData(children, rowGroup.nTuples)
         } else {

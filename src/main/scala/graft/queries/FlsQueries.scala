@@ -76,6 +76,11 @@ object FlsQueries {
     synchronized {
       val marker = new java.io.File(s"$out/_done")
       if (!done.contains(out) && !marker.exists()) {
+        // coalesce(1) is a TEST FIXTURE device: it pins one global row
+        // order so file_row_number has a deterministic oracle. Never
+        // copy this into a real pipeline — a single task writing the
+        // whole table is the definition of a straggler at scale; use
+        // the sort_by/cluster_by write options for ordered layout.
         t(spark, dir, "part").orderBy("p_partkey").coalesce(1)
           .write.format("fls").mode("overwrite").save(out)
         marker.createNewFile()
@@ -102,6 +107,9 @@ object FlsQueries {
     synchronized {
       val marker = new java.io.File(s"$out/_done")
       if (!done.contains(out) && !marker.exists()) {
+        // coalesce(1): fixture-only (5-row region table, single CSV for
+        // a deterministic interop oracle) — see the USAGE "shapes that
+        // don't scale" note before copying.
         t(spark, dir, "region").coalesce(1)
           .write.mode("overwrite").option("header", "true").csv(out)
         marker.createNewFile()

@@ -205,4 +205,37 @@ class FlsStructSpec extends AnyFunSuite with BeforeAndAfterAll {
     val back = spark.read.format("fls").load(dir)
     assert(back.agg(sum(col("s.b"))).collect()(0).getLong(0) == 2047L * 2048 / 2)
   }
+
+  test("union_by_name merges DRIFTED struct fields; missing children read NULL") {
+    // file 1: meta = {a INT, b STRING}; file 2: meta = {a BIGINT, c DOUBLE}
+    // merged: meta = {a BIGINT, b STRING (nullable), c DOUBLE (nullable)}
+    val d1 = s"$tmp/drift1"
+    val d2 = s"$tmp/drift2"
+    spark.range(0, 4).selectExpr("id",
+      "named_struct('a', CAST(id AS INT), 'b', concat('s', id)) AS meta")
+      .write.format("fls").mode("overwrite").save(d1)
+    spark.range(4, 8).selectExpr("id",
+      "named_struct('a', CAST(id * 10 AS BIGINT), 'c', CAST(id AS DOUBLE)) AS meta")
+      .write.format("fls").mode("overwrite").save(d2)
+    val df = spark.read.format("fls").option("union_by_name", "true").load(d1, d2)
+    val meta = df.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(meta("a").dataType == org.apache.spark.sql.types.LongType, "a promotes INT->BIGINT")
+    assert(meta("b").nullable && meta("c").nullable, "drifted children are nullable")
+    val rows = df.selectExpr("id", "meta.a", "meta.b", "meta.c").orderBy("id").collect()
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L, 40L, 50L, 60L, 70L))
+    assert(rows.take(4).map(_.getString(2)).toSeq == Seq("s0", "s1", "s2", "s3"))
+    assert(rows.drop(4).forall(_.isNullAt(2)), "file-2 rows read NULL for b")
+    assert(rows.take(4).forall(_.isNullAt(3)), "file-1 rows read NULL for c")
+    assert(rows.drop(4).map(_.getDouble(3)).toSeq == Seq(4.0, 5.0, 6.0, 7.0))
+    // aggregate over the merged struct field across both generations
+    assert(df.agg(sum(col("meta.a"))).collect()(0).getLong(0) == 6L + 220L)
+    // struct-vs-scalar drift for one name stays a loud error
+    val d3 = s"$tmp/drift3"
+    spark.range(0, 2).selectExpr("id", "CAST(id AS STRING) AS meta")
+      .write.format("fls").mode("overwrite").save(d3)
+    val e = intercept[Exception](
+      spark.read.format("fls").option("union_by_name", "true").load(d1, d3).count())
+    assert(e.getMessage.contains("STRUCT"))
+  }
 }
