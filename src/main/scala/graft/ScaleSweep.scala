@@ -44,8 +44,16 @@ object ScaleSweep {
     val base = timeAll(spark, baseDir, reps = 2, warm = true, capSec = capSec,
       label = "base")
     println(s"[sweep] scaled pass over $scaledDir (${mult}x, cap ${capSec}s/query)")
-    val scaled = timeAll(spark, scaledDir, reps = 1, warm = false, capSec = capSec,
-      label = s"${mult}x")
+    // Subset mode exists to re-measure outliers against the FULL-sweep
+    // archive, but the dedup family shares persisted frames (shingle
+    // groups, minhash signatures) that a full sweep's earlier siblings
+    // already built — q22 timed alone also pays q21's group build and
+    // false-flags 5-8× (hit identically in r11s2 and r12). Warm the
+    // scaled pass in subset mode so the timed run measures the same
+    // steady state the archive recorded; full sweeps stay cold-first
+    // like always so the archive's own attribution doesn't shift.
+    val scaled = timeAll(spark, scaledDir, reps = 1, warm = only.nonEmpty,
+      capSec = capSec, label = s"${mult}x")
 
     val rows = names.map { q =>
       val b = base.getOrElse(q, -1.0)
