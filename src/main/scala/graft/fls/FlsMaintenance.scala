@@ -253,11 +253,20 @@ object FlsMaintenance {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val entries = FlsManifest.read(fs, root).getOrElse(
+    if (FlsManifest.read(fs, root).isEmpty)
       throw new IllegalArgumentException(
         s"fls vacuum: $dir is a listing-mode table — every file on disk is " +
-          "live; vacuum applies to manifest tables only"))
-    val vouched = entries.map(_.rel).toSet
+          "live; vacuum applies to manifest tables only")
+    // Vouch for EVERY retained version's files, not just the newest:
+    // retained versions are readable (VERSION AS OF / TIMESTAMP AS OF /
+    // manifest_version pinned readers), so a vacuum that only honored
+    // the head would tear historical snapshots out from under them.
+    // Files fall to vacuum only once every version naming them has been
+    // GC'd past the retention window.
+    val vouched = FlsManifest.versionsWithTimes(fs, root).flatMap { case (v, _) =>
+      try FlsManifest.readVersion(fs, root, v)
+      catch { case _: java.io.FileNotFoundException => Nil } // GC race
+    }.map(_.rel).toSet
     val cutoff = System.currentTimeMillis() - olderThanHours * 3600L * 1000L
     var deleted = 0
     var bytes = 0L

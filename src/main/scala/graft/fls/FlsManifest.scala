@@ -113,6 +113,75 @@ object FlsManifest {
     if (v == 0L) readFile(fs, manifestPath(dir))
     else readFile(fs, versionPath(dir, v))
 
+  /** Retained `(version, commitTimeMillis)` pairs, oldest first — the
+    * time-travel index (`VERSION AS OF` validation, `TIMESTAMP AS OF`
+    * resolution, the `.history` metadata table). Commit time is the
+    * manifest file's own mtime: the manifest IS the commit, published
+    * atomically, so its mtime is the instant the version became
+    * visible. One tiny-directory listing, O([[KeepVersions]]) results —
+    * never O(data files). Empty when the table has no manifest. */
+  def versionsWithTimes(fs: FileSystem, dir: Path): Seq[(Long, Long)] = {
+    val logged =
+      try fs.listStatus(logDir(dir)).toSeq
+        .flatMap(s => parseVersionName(s.getPath.getName)
+          .map(v => (v, s.getModificationTime)))
+      catch { case _: java.io.FileNotFoundException => Nil }
+    val legacy =
+      if (logged.exists(_._1 == 0L)) Nil
+      else try Seq((0L, fs.getFileStatus(manifestPath(dir)).getModificationTime))
+      catch { case _: java.io.FileNotFoundException => Nil }
+    (legacy ++ logged).sortBy(_._1)
+  }
+
+  /** Files ADDED in the commit range `(fromV, toV]` — the incremental
+    * read set (`changes_from_version` / `changes_to_version` reader
+    * options): process only what landed since the last run's cursor,
+    * the pattern that turns a 100 TB daily pipeline into a
+    * new-data-sized one. `fromV = 0` means "since table creation";
+    * `toV = None` means the newest version. APPEND-ONLY by contract:
+    * if any file of `fromV` is gone by `toV`, a commit in the range
+    * rewrote history (DELETE/UPDATE/OVERWRITE/compaction), the added
+    * files re-serve pre-existing rows, and "rows since" would be a lie
+    * — fail loudly instead (same stance as Iceberg's incremental
+    * append scan). */
+  def changedEntries(fs: FileSystem, dir: Path, fromV: Long,
+      toV: Option[Long]): Seq[Entry] = {
+    require(fromV >= 0, s"fls: changes_from_version must be >= 0, got $fromV")
+    val (newestV, newestEntries) = readVersioned(fs, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"fls: $dir has no manifest log — incremental reads need a " +
+          "commit_mode=manifest table"))
+    val to = toV.getOrElse(newestV)
+    require(fromV <= to,
+      s"fls: changes_from_version=$fromV is newer than the target " +
+        s"version $to")
+    def versionAt(v: Long, role: String): Seq[Entry] =
+      try readVersion(fs, dir, v)
+      catch {
+        case _: java.io.FileNotFoundException => throw new IllegalArgumentException(
+          s"fls: $role version $v of $dir is not retained — incremental " +
+            "reads can only span the retention window; restart the cursor " +
+            "from a full snapshot")
+      }
+    if (fromV == to) return Nil
+    val toEntries = if (to == newestV) newestEntries else versionAt(to, "changes_to")
+    val fromEntries =
+      if (fromV == 0L)
+        try readVersion(fs, dir, 0L) // legacy pre-versioned manifest
+        catch { case _: java.io.FileNotFoundException => Nil } // creation
+      else versionAt(fromV, "changes_from")
+    val toRels = toEntries.map(_.rel).toSet
+    val rewritten = fromEntries.filterNot(e => toRels.contains(e.rel))
+    require(rewritten.isEmpty,
+      s"fls: the commit range ($fromV, $to] is not append-only — " +
+        s"${rewritten.length} file(s) of v$fromV were replaced or deleted " +
+        "in the range (DELETE/UPDATE/OVERWRITE or a compaction rewrite), " +
+        "so the files added in the range re-serve pre-existing rows. " +
+        s"Process a full snapshot instead, or restart the cursor at v$to")
+    val fromRels = fromEntries.map(_.rel).toSet
+    toEntries.filterNot(e => fromRels.contains(e.rel))
+  }
+
   private def parseVersionName(name: String): Option[Long] =
     FlsCas.parseVersionName(name)
 

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.fls.{Format, FlsTableMeta}
+import graft.fls.{FlsManifest, FlsTableMeta, Format}
 import graft.fls.Format.ColumnType
 
 /** Directory-backed [[TableCatalog]] for fls tables — the user surface
@@ -91,18 +91,88 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     FlsTableMeta.read(fs, dir) match {
-      case Some((_, meta)) =>
-        val opts = new java.util.HashMap[String, String]()
-        // table properties become default reader/writer options
-        // (row_group_size etc. declared once at CREATE apply to every
-        // INSERT); path/partition_by are derived, not user-settable
-        meta.properties.foreach { case (k, v) => opts.put(k, v) }
-        opts.put("path", dir.toString)
-        if (meta.partitionBy.nonEmpty)
-          opts.put("partition_by", meta.partitionBy.mkString(","))
-        new FlsTable(meta.schema, new CaseInsensitiveStringMap(opts))
-      case None => throw new NoSuchTableException(ident)
+      case Some((_, meta)) => tableFor(dir, meta, pinned = None)
+      case None =>
+        // `SELECT * FROM cat.ns.t.history` parses as ident(ns :+ t,
+        // "history") — serve the metadata table when ns :+ t IS a table
+        historyFor(ident).getOrElse(throw new NoSuchTableException(ident))
     }
+  }
+
+  private def tableFor(dir: Path, meta: FlsTableMeta.Meta,
+      pinned: Option[Long]): Table = {
+    val opts = new java.util.HashMap[String, String]()
+    // table properties become default reader/writer options
+    // (row_group_size etc. declared once at CREATE apply to every
+    // INSERT); path/partition_by are derived, not user-settable
+    meta.properties.foreach { case (k, v) => opts.put(k, v) }
+    opts.put("path", dir.toString)
+    if (meta.partitionBy.nonEmpty)
+      opts.put("partition_by", meta.partitionBy.mkString(","))
+    pinned.foreach(v => opts.put("manifest_version", v.toString))
+    new FlsTable(meta.schema, new CaseInsensitiveStringMap(opts))
+  }
+
+  private def historyFor(ident: Identifier): Option[Table] =
+    if (ident.name != "history" || ident.namespace.isEmpty) None
+    else {
+      val parent = Identifier.of(ident.namespace.dropRight(1),
+        ident.namespace.last)
+      val dir = tableDir(parent)
+      if (FlsTableMeta.read(fs, dir).isEmpty) None
+      else Some(new FlsHistoryTable(s"$catalogName.${parent}", dir, conf))
+    }
+
+  /** `SELECT ... FROM t VERSION AS OF <v>` — a pinned read of manifest
+    * version `v`, immutable under concurrent commits. Data travels,
+    * SCHEMA does not: historical rows are served through the table's
+    * CURRENT schema (columns added since read as NULL in old files,
+    * renames bind through the name history, type widenings decode old
+    * physical types) — same contract as reading old data files after an
+    * ALTER, and documented divergence from Iceberg's snapshot-schema
+    * reads. Retention bounds travel: only versions still in the
+    * manifest log resolve (see `t.history`); older ones were GC'd. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    val meta = FlsTableMeta.read(fs, dir)
+      .getOrElse(throw new NoSuchTableException(ident))._2
+    val v =
+      try java.lang.Long.parseLong(version)
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"fls: VERSION AS OF takes a numeric manifest version, got " +
+            s"'$version' — list ${ident}.history for valid versions")
+      }
+    val have = FlsManifest.versionsWithTimes(fs, dir)
+    require(have.exists(_._1 == v),
+      if (have.isEmpty)
+        s"fls: $ident has no manifest log — only commit_mode=manifest " +
+          "tables keep version history"
+      else
+        s"fls: version $v of $ident is not retained (have: " +
+          s"${have.map(_._1).mkString(", ")}) — older versions are GC'd " +
+          "past the retention window")
+    tableFor(dir, meta, pinned = Some(v))
+  }
+
+  /** `SELECT ... FROM t TIMESTAMP AS OF <ts>` — resolves to the newest
+    * version committed at or before `ts` (Spark hands micros; manifest
+    * commit times are the manifest files' own mtimes, millis). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    val meta = FlsTableMeta.read(fs, dir)
+      .getOrElse(throw new NoSuchTableException(ident))._2
+    val have = FlsManifest.versionsWithTimes(fs, dir)
+    require(have.nonEmpty,
+      s"fls: $ident has no manifest log — only commit_mode=manifest " +
+        "tables keep version history")
+    val atOrBefore = have.filter(_._2 * 1000L <= timestampMicros)
+    require(atOrBefore.nonEmpty,
+      s"fls: TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(timestampMicros / 1000L)} " +
+        s"predates the oldest retained version of $ident " +
+        s"(${java.time.Instant.ofEpochMilli(have.head._2)}) — earlier " +
+        "history was GC'd past the retention window")
+    tableFor(dir, meta, pinned = Some(atOrBefore.maxBy(_._1)._1))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -169,6 +169,48 @@ object FlsDataSource {
   def manifestVersion(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("manifest_version")).map(_.toLong)
 
+  /** Incremental read range: `changes_from_version=N` (exclusive; 0 =
+    * table creation) with optional `changes_to_version=M` (inclusive;
+    * default newest) — plan ONLY the files commits in `(N, M]` added.
+    * See [[graft.fls.FlsManifest.changedEntries]] for the append-only
+    * contract. */
+  def changesRange(options: CaseInsensitiveStringMap): Option[(Long, Option[Long])] = {
+    val from = Option(options.get("changes_from_version")).map(_.toLong)
+    val to = Option(options.get("changes_to_version")).map(_.toLong)
+    require(from.isDefined || to.isEmpty,
+      "fls: changes_to_version without changes_from_version — set the " +
+        "range's start (0 = since table creation)")
+    from.map { f =>
+      require(manifestVersion(options).isEmpty,
+        "fls: manifest_version and changes_from_version are mutually " +
+          "exclusive — pin a snapshot OR read a commit range")
+      (f, to)
+    }
+  }
+
+  /** The read-time file listing every batch-scan path shares: the
+    * newest manifest (or directory listing), a pinned snapshot, or an
+    * incremental commit-range diff — one switch, so a new snapshot
+    * addressing mode lands everywhere at once. */
+  def listForRead(options: CaseInsensitiveStringMap,
+      conf: org.apache.hadoop.conf.Configuration)
+    : Seq[(org.apache.hadoop.fs.FileStatus, Option[String])] =
+    changesRange(options) match {
+      case None =>
+        graft.fls.FlsFooters.listStatuses(parsePaths(options), conf,
+          manifestVersion(options))
+      case Some((from, to)) =>
+        val paths = parsePaths(options)
+        require(paths.length == 1,
+          s"fls: incremental reads address ONE table directory, got " +
+            s"${paths.length} paths")
+        val dir = new Path(paths.head)
+        val fs = dir.getFileSystem(conf)
+        graft.fls.FlsManifest.statusesWithStats(fs, dir,
+            graft.fls.FlsManifest.changedEntries(fs, dir, from, to))
+          .sortBy(_._1.getPath.toString)
+    }
+
   /** Spark passes one path as "path", several as a JSON array "paths";
     * session-catalog tables (`CREATE TABLE ... USING fls LOCATION ...`)
     * carry the table root as "location" instead. */
@@ -213,14 +255,26 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap,
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
+  /** Historical snapshots (`VERSION AS OF` / `TIMESTAMP AS OF` /
+    * `manifest_version=N`) are immutable by contract — a write routed
+    * at one would publish a NEW newest version derived from stale
+    * state, silently undoing every commit in between. */
+  private def requireUnpinned(op: String): Unit =
+    require(FlsDataSource.manifestVersion(options).isEmpty,
+      s"fls: cannot $op a pinned snapshot (manifest_version=" +
+        s"${options.get("manifest_version")}) — historical versions are " +
+        "read-only; run the write against the table itself")
+
   /** UPDATE / MERGE INTO / copy-on-write DELETE — see
     * [[FlsRowLevelOperation]]. Decidable DELETEs still take the
     * zero-read metadata path (Spark's metadata-only-delete optimization
     * consults [[canDeleteWhere]] first). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-    : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    requireUnpinned("UPDATE/MERGE/DELETE")
     new FlsRowLevelOperationBuilder(info, schema, options, session)
+  }
 
   override def name(): String = s"fls:${FlsDataSource.parsePaths(options).mkString(",")}"
   override def schema(): StructType = schema
@@ -264,8 +318,10 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap,
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     FlsDelete.canDelete(schema, options, filters, session)
 
-  override def deleteWhere(filters: Array[Filter]): Unit =
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireUnpinned("DELETE FROM")
     FlsDelete.delete(schema, options, filters, session)
+  }
 
   /** SQL reads of a catalog table (`SELECT ... FROM t` after
     * `CREATE TABLE t USING fls LOCATION ...`) arrive with EMPTY read
@@ -290,8 +346,10 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap,
   // silently adopted by writes — an append that doesn't declare the
   // table's layout still fails loudly (FlsBatchWrite's layout check)
   // instead of guessing.
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireUnpinned("write to")
     new FlsWriteBuilder(info, options, session)
+  }
 }
 
 // ---------------------------------------------------------------- read
@@ -356,9 +414,7 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap,
     * IO ([[FlsFooters.listStatuses]]). Everything pushFilters needs
     * (paths, partition values) lives here. */
   private lazy val listed: Seq[(org.apache.hadoop.fs.FileStatus, Option[String])] =
-    FlsFooters.listStatuses(FlsDataSource.parsePaths(options),
-      session.sessionState.newHadoopConf(),
-      FlsDataSource.manifestVersion(options))
+    FlsDataSource.listForRead(options, session.sessionState.newHadoopConf())
 
   private lazy val builderDisc: FlsPartitioning.Discovery =
     FlsPartitioning.discover(FlsDataSource.parsePaths(options),
@@ -659,8 +715,8 @@ class FlsScan(
 
   private lazy val files: Seq[(Path, TableDesc, Long)] =
     (if (preFooters != null) preFooters // builder already rename-reconciled
-     else FlsFooters.list(FlsDataSource.parsePaths(options), hadoopConf,
-       FlsDataSource.manifestVersion(options))
+     else FlsFooters.fetch(
+       FlsDataSource.listForRead(options, hadoopConf).map(_._1), hadoopConf)
        .map(e => e.copy(table = Format.applyRenames(e.table, tableSchema))))
       .map(e => (e.file, e.table, e.fileSize))
 
@@ -1599,7 +1655,14 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
         val thisJobs = s.getPath.getName.contains(s"-$writeId-")
         val doomed = doomedNow.contains(rel) ||
           (rel.endsWith(".footer") && doomedNow.contains(rel.stripSuffix(".footer")))
-        if (thisJobs || doTruncate || doomed) fs.delete(s.getPath, false)
+        // manifest-mode truncate keeps the replaced files on disk like
+        // every other manifest-mode replacement: the new manifest no
+        // longer names them (invisible to current readers), pinned
+        // VERSION AS OF readers still resolve them, vacuum reclaims
+        // them past the retention horizon. Listing-mode truncate must
+        // delete eagerly — the directory IS the table there.
+        if (thisJobs || (doTruncate && !manifestMode) || doomed)
+          fs.delete(s.getPath, false)
       }
     }
     if (!manifestMode && doomedNow.nonEmpty &&

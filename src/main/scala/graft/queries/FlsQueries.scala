@@ -870,6 +870,122 @@ object FlsQueries {
         count(DISTINCT dt) AS months
       FROM base GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Builds the shared time-travel fixture once per sf dir and returns
+    * the catalog-qualified table name: a `commit_mode=manifest` orders
+    * table taken through three commits — INSERT (v1), INSERT (v2),
+    * copy-on-write DELETE (v3) — with distinct commit mtimes so
+    * `TIMESTAMP AS OF` resolution has unambiguous boundaries. The
+    * DELETE predicate (`o_orderkey % 2 = 0`) is deliberately NOT
+    * file-decidable, forcing the group-based rewrite path: v3's files
+    * physically replace v1/v2's, so reading v1 afterwards proves
+    * replaced files really are retained for pinned readers. */
+  private def timeTravelTable(spark: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "tt_warehouse")
+    val cat = s"fls_tt_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_tt"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_tt")
+      if (!done.contains(warehouse + "@tt") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_tt_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, price DOUBLE) " +
+          "TBLPROPERTIES ('commit_mode'='manifest')")
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice " +
+          s"FROM orders_tt_src_$key WHERE o_orderkey % 3 = 0")
+        Thread.sleep(30) // commit mtimes must order strictly (millis)
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice " +
+          s"FROM orders_tt_src_$key WHERE o_orderkey % 3 = 1")
+        Thread.sleep(30)
+        spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 2 = 0")
+        marker.createNewFile()
+      }
+      done += warehouse + "@tt"
+    }
+    tbl
+  }
+
+  /** Time travel over the DML'd manifest table, oracle-gated: one
+    * aggregate per retained version via `VERSION AS OF` — v1 must still
+    * show rows that v3's copy-on-write DELETE physically rewrote away,
+    * proving replaced files stay resolvable for the whole retention
+    * window (the vacuum horizon honors every retained version, not just
+    * the head). The reference engine has no version story at all
+    * (single-process writer, /root/reference/src/writer/fls_writer.cpp);
+    * this is table-format surface the Spark host earns on top. */
+  def q95FlsTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = timeTravelTable(spark, dir)
+    Seq(1L, 2L, 3L).map { v =>
+      spark.sql(
+        s"""SELECT 'v$v' AS snap, count(*) AS n,
+              CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS total
+            FROM $tbl VERSION AS OF $v""")
+    }.reduce(_ unionAll _).orderBy("snap")
+  }
+
+  val q95Sql: String =
+    """SELECT snap, n, total FROM (
+        SELECT 'v1' AS snap, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'v2', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        UNION ALL
+        SELECT 'v3', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 2 = 1
+      ) ORDER BY snap"""
+
+  /** `TIMESTAMP AS OF` + the `.history` metadata table, oracle-gated:
+    * reads v2's commit instant OUT OF `t.history` at query time (wall
+    * clock differs per fixture build; the RESOLVED content does not),
+    * then proves `TIMESTAMP AS OF that-instant` serves exactly v2 and
+    * that history lists exactly the three commits. */
+  def q96FlsHistoryAsof(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = timeTravelTable(spark, dir)
+    val v2Micros = spark.sql(
+      s"SELECT unix_micros(committed_at) FROM $tbl.history WHERE version = 2")
+      .collect()(0).getLong(0)
+    spark.sql(
+      s"""SELECT h.n_versions, a.n, a.total
+          FROM (SELECT count(*) AS n,
+                  CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS total
+                FROM $tbl TIMESTAMP AS OF timestamp_micros($v2Micros)) a
+          CROSS JOIN (SELECT count(*) AS n_versions FROM $tbl.history) h""")
+  }
+
+  val q96Sql: String =
+    """SELECT CAST(3 AS BIGINT) AS n_versions, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 3 IN (0, 1)"""
+
+  /** Incremental (commit-range) read, oracle-gated: plan ONLY the files
+    * the commits in `(1, 2]` added — exactly INSERT #2's rows, however
+    * large the table has grown since. This is the cursor pattern that
+    * keeps a daily 100 TB pipeline new-data-sized; ranges that cross a
+    * rewrite (here, v3's DELETE) refuse loudly instead of re-serving
+    * old rows (spec-locked in FlsTimeTravelSpec). */
+  def q105FlsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = timeTravelTable(spark, dir)
+    spark.read
+      .option("changes_from_version", "1")
+      .option("changes_to_version", "2")
+      .table(tbl)
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"))
+  }
+
+  val q105Sql: String =
+    """SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 3 = 1"""
+
   /** Full schema-evolution lifecycle through the FlsCatalog, oracle-
     * gated: CREATE → INSERT (narrow schema) → ALTER ADD COLUMN + ALTER
     * COLUMN TYPE (INT→BIGINT widening) + RENAME COLUMN → INSERT (wide
@@ -940,6 +1056,9 @@ object FlsQueries {
       ) GROUP BY has_prio ORDER BY has_prio"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_fls_time_travel" -> (q95FlsTimeTravel _),
+    "q96_fls_history_asof" -> (q96FlsHistoryAsof _),
+    "q105_fls_incremental" -> (q105FlsIncremental _),
     "q104_fls_schema_evolution" -> (q104FlsSchemaEvolution _),
     "q38_fls_topk" -> (q38FlsTopK _),
     "q100_fls_retention_delete" -> (q100FlsRetentionDelete _),
@@ -969,6 +1088,9 @@ object FlsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q95_fls_time_travel" -> q95Sql,
+    "q96_fls_history_asof" -> q96Sql,
+    "q105_fls_incremental" -> q105Sql,
     "q104_fls_schema_evolution" -> q104Sql,
     "q38_fls_topk" -> q38Sql,
     "q100_fls_retention_delete" -> q100Sql,

@@ -128,12 +128,25 @@ class FlsMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("v").collect().map(_.getLong(0)).toSeq.sorted
     assert(pinned == (1L to 40L))
     assert(readLongs(dir) == (1L to 40L)) // current version identical
-    // vacuum with a zero horizon reclaims the replaced inputs
+    // vacuum honors RETENTION, not just the head (r12 time-travel
+    // contract): version preV still names the inputs, so even a
+    // zero-horizon vacuum must keep them readable
+    FlsMaintenance.vacuum(spark, dir, olderThanHours = 0)
+    preEntries.foreach(e => assert(fs.exists(new Path(p, e.rel)),
+      s"vacuum must not reclaim ${e.rel} while v$preV is retained"))
+    assert(spark.read.format("fls")
+      .option("manifest_version", preV.toString).load(dir).count() == 40)
+    // age the pre-compaction versions past the retention window
+    // (KeepVersions = 8), after which vacuum CAN reclaim the inputs
+    (0 until 8).foreach { i =>
+      Seq(1000L + i).toDF("v").coalesce(1)
+        .write.format("fls").mode("append").option("commit_mode", "manifest").save(dir)
+    }
     val vs = FlsMaintenance.vacuum(spark, dir, olderThanHours = 0)
     assert(vs.deleted >= preEntries.length,
       s"vacuum should reclaim the ${preEntries.length} replaced inputs, deleted ${vs.deleted}")
     preEntries.foreach(e => assert(!fs.exists(new Path(p, e.rel))))
-    assert(readLongs(dir) == (1L to 40L)) // table intact after vacuum
+    assert(readLongs(dir) == (1L to 40L) ++ (1000L to 1007L)) // intact
   }
 
   test("eagerDeleteInputs=true restores immediate cleanup") {

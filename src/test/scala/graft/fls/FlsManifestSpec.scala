@@ -126,12 +126,23 @@ class FlsManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     (11L to 20L).toDF("v").write.format("fls")
       .mode("append").option("commit_mode", "manifest").save(dir)
     assert(readLongs(dir) == (1L to 20L))
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val (preV, _) = FlsManifest.readVersioned(fs, p).get
     (50L to 55L).toDF("v").write.format("fls")
       .mode("overwrite").option("commit_mode", "manifest").save(dir)
     assert(readLongs(dir) == (50L to 55L))
-    // overwrite also physically removed the old files
+    // the truncated files stay ON DISK (un-vouched by the new manifest,
+    // invisible to current readers) so pinned VERSION AS OF readers
+    // survive the overwrite — vacuum reclaims them past retention
+    // (r12 time-travel contract; before r12 overwrite deleted eagerly)
     val files = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".fls"))
-    assert(files.length == manifestEntries(dir).length)
+    assert(files.length > manifestEntries(dir).length,
+      "replaced files must remain for pinned readers")
+    val pinned = spark.read.format("fls")
+      .option("manifest_version", preV.toString).load(dir)
+      .select("v").collect().map(_.getLong(0)).toSeq.sorted
+    assert(pinned == (1L to 20L), "pre-overwrite snapshot still reads whole")
   }
 
   test("manifest append onto a listing-mode table seeds the old files") {

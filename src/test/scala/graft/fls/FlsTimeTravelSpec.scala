@@ -1,0 +1,212 @@
+package graft.fls
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Time travel over the manifest log: `VERSION AS OF` / `TIMESTAMP AS
+  * OF` through [[graft.fls.connector.FlsCatalog]], the `.history`
+  * metadata table, pinned-snapshot immutability, and the retention
+  * contract (vacuum honors EVERY retained version; GC'd versions fail
+  * loudly). The reference engine is single-version by construction
+  * (one writer, one footer — /root/reference/src/writer/fls_writer.cpp);
+  * versioned reads are host-side table-format surface. */
+class FlsTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val tmp = Files.createTempDirectory("fls-tt-spec").toString
+  private val cat = "fls_tt_spec"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("fls-tt-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+      .config(s"spark.sql.catalog.$cat.path", s"$tmp/warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** CREATE + three commits (INSERT, INSERT, copy-on-write DELETE) with
+    * strictly ordered commit mtimes. */
+  private def buildTable(name: String): String = {
+    val tbl = s"$cat.db.$name"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('commit_mode'='manifest')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(0, 100)")
+    Thread.sleep(30)
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(100, 200)")
+    Thread.sleep(30)
+    spark.sql(s"DELETE FROM $tbl WHERE id % 2 = 0") // not file-decidable
+    tbl
+  }
+
+  test("VERSION AS OF reads each retained commit, incl. pre-rewrite files") {
+    val tbl = buildTable("versions")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 100)
+    // v3's DELETE physically rewrote v1/v2's files; v1 must still read
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1")
+      .collect()(0).getLong(0) == 100)
+    assert(spark.sql(s"SELECT sum(id) FROM $tbl VERSION AS OF 1")
+      .collect()(0).getLong(0) == 99L * 100 / 2)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2")
+      .collect()(0).getLong(0) == 200)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 3")
+      .collect()(0).getLong(0) == 100)
+    // unknown / non-numeric versions fail loudly, naming the remedy
+    val e1 = intercept[Exception](
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 99").collect())
+    assert(e1.getMessage.contains("not retained"))
+    val e2 = intercept[Exception](
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 'abc'").collect())
+    assert(e2.getMessage.contains("numeric"))
+  }
+
+  test("history lists retained commits newest-first; TIMESTAMP AS OF resolves by it") {
+    val tbl = buildTable("asof")
+    val hist = spark.sql(
+      s"SELECT version, unix_micros(committed_at) AS us, n_files, " +
+        s"total_bytes, n_rows FROM $tbl.history").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L), "newest first")
+    val us = hist.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(us(1) < us(2) && us(2) < us(3), "commit times strictly ordered")
+    assert(hist.forall(_.getLong(2) > 0), "every version has files")
+    assert(hist.forall(_.getLong(3) > 0), "every version has bytes")
+    // writers carry manifest stats, so history can report exact rows
+    val rows = hist.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(rows == Map(1L -> 100L, 2L -> 200L, 3L -> 100L))
+
+    def countAsOf(micros: Long): Long =
+      spark.sql(s"SELECT count(*) FROM $tbl TIMESTAMP AS OF " +
+        s"timestamp_micros($micros)").collect()(0).getLong(0)
+    assert(countAsOf(us(1)) == 100, "at v1's own instant -> v1")
+    assert(countAsOf((us(1) + us(2)) / 2) == 100, "between v1 and v2 -> v1")
+    assert(countAsOf(us(2)) == 200)
+    assert(countAsOf(us(3) + 60L * 1000000) == 100, "future -> newest")
+    val e = intercept[Exception](countAsOf(us(1) - 60L * 1000000))
+    assert(e.getMessage.contains("predates"))
+  }
+
+  test("pinned snapshots are read-only") {
+    val tbl = buildTable("readonly")
+    val dir = s"$tmp/warehouse/db/readonly"
+    val e = intercept[Exception] {
+      spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .write.format("fls").option("manifest_version", "1")
+        .mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("read-only"))
+    // and the failed attempt changed nothing
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1")
+      .collect()(0).getLong(0) == 100)
+  }
+
+  test("manifest-mode truncate retains replaced files for pinned readers") {
+    val tbl = buildTable("truncated")
+    val dir = s"$tmp/warehouse/db/truncated"
+    spark.range(7).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .write.format("fls").option("commit_mode", "manifest")
+      .mode("overwrite").save(dir)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 7)
+    // versions 1-3 still resolve across the truncating overwrite (v4)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2")
+      .collect()(0).getLong(0) == 200)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 4")
+      .collect()(0).getLong(0) == 7)
+  }
+
+  test("vacuum vouches every retained version; files die with their last version") {
+    val tbl = buildTable("vacuumed")
+    val dir = s"$tmp/warehouse/db/vacuumed"
+
+    // an aggressive vacuum (0h horizon) must NOT break retained history
+    FlsMaintenance.vacuum(spark, dir, olderThanHours = 0)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1")
+      .collect()(0).getLong(0) == 100)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 3")
+      .collect()(0).getLong(0) == 100)
+
+    // push v1 (and its replaced files) past the retention window:
+    // KeepVersions = 8, so eight more commits GC versions 1-2
+    (0 until 8).foreach { i =>
+      spark.sql(s"INSERT INTO $tbl VALUES (${1000 + i}, 0.0)")
+    }
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1").collect())
+    assert(e.getMessage.contains("not retained"))
+    // now vacuum CAN reclaim the files only GC'd versions named.
+    // Count PHYSICAL .fls files (listDataFiles on a manifest table
+    // reports the manifest view, which vacuum never changes)
+    def onDisk(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".fls")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    val before = onDisk()
+    val stats = FlsMaintenance.vacuum(spark, dir, olderThanHours = 0)
+    assert(stats.deleted > 0, "unreferenced pre-rewrite files reclaimed")
+    assert(onDisk() < before)
+    // every retained version still reads whole
+    val hist = spark.sql(s"SELECT version FROM $tbl.history").collect()
+      .map(_.getLong(0))
+    hist.foreach { v =>
+      spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF $v").collect()
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 108)
+  }
+
+  test("incremental read plans exactly the files a commit range added") {
+    val tbl = buildTable("incr")
+    // (1, 2]: INSERT #2's rows only
+    val r12 = spark.read.option("changes_from_version", "1")
+      .option("changes_to_version", "2").table(tbl)
+    assert(r12.count() == 100)
+    assert(r12.agg(org.apache.spark.sql.functions.min("id"))
+      .collect()(0).getLong(0) == 100)
+    // (0, 1]: since creation
+    assert(spark.read.option("changes_from_version", "0")
+      .option("changes_to_version", "1").table(tbl).count() == 100)
+    // empty range reads zero rows, not an error
+    assert(spark.read.option("changes_from_version", "2")
+      .option("changes_to_version", "2").table(tbl).count() == 0)
+    // default to-version = newest... but (2, 3] crosses v3's rewrite:
+    // the added files re-serve surviving v1/v2 rows — must refuse
+    val e = intercept[Exception](
+      spark.read.option("changes_from_version", "2").table(tbl).count())
+    assert(e.getMessage.contains("not append-only"))
+    // a pinned snapshot and a commit range are different questions
+    val e2 = intercept[Exception](
+      spark.read.option("changes_from_version", "1")
+        .option("manifest_version", "2").table(tbl).count())
+    assert(e2.getMessage.contains("mutually exclusive"))
+  }
+
+  test("incremental read composes with pushdown on the path surface") {
+    val tbl = buildTable("incrpath")
+    val dir = s"$tmp/warehouse/db/incrpath"
+    val df = spark.read.format("fls")
+      .option("changes_from_version", "1")
+      .option("changes_to_version", "2")
+      .load(dir)
+      .filter(org.apache.spark.sql.functions.col("id") >= 150)
+      .select("id")
+    assert(df.count() == 50)
+    assert(tbl.nonEmpty)
+  }
+
+  test("history on a non-table name still errors as NoSuchTable") {
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.db.no_such_table.history").collect())
+    assert(e.getMessage.toLowerCase.contains("table"))
+  }
+}
