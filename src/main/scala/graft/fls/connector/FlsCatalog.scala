@@ -54,20 +54,43 @@ import graft.fls.Format.ColumnType
   *  - RENAME COLUMN: metadata-only; the old name is recorded in the
   *    field's `fls.previous_names` metadata and the scan binds old files
   *    through it. */
-class FlsCatalog extends TableCatalog with SupportsNamespaces {
+class FlsCatalog extends TableCatalog with SupportsNamespaces
+  with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
   private var conf: org.apache.hadoop.conf.Configuration = _
+  private var session: org.apache.spark.sql.SparkSession = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     val p = Option(options.get("path")).orElse(Option(options.get("warehouse")))
       .getOrElse(throw new IllegalArgumentException(
         s"fls catalog '$name': set spark.sql.catalog.$name.path to the warehouse root"))
-    conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    // `.active` at INITIALIZE only — the one DSv2 entry point with no
+    // session handle; everything downstream threads this capture
+    session = org.apache.spark.sql.SparkSession.active
+    conf = session.sessionState.newHadoopConf()
     root = new Path(p)
     fs.mkdirs(root)
+  }
+
+  // ---------------------------------------------------- SQL procedures
+
+  override def loadProcedure(ident: Identifier)
+    : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    FlsProcedures.load(ident, resolveTableDir, session)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    FlsProcedures.list(namespace)
+
+  /** Procedure-side table resolution: same layout rule as tableDir,
+    * and the table must exist (a typo'd CALL should not mkdir). */
+  private def resolveTableDir(parts: Seq[String]): Path = {
+    val ident = Identifier.of(parts.dropRight(1).toArray, parts.last)
+    val dir = tableDir(ident)
+    if (FlsTableMeta.read(fs, dir).isEmpty) throw new NoSuchTableException(ident)
+    dir
   }
 
   override def name(): String = catalogName
