@@ -83,6 +83,17 @@ class FlsProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 18)
   }
 
+  test("SHOW PROCEDURES and DESCRIBE PROCEDURE surface the catalog") {
+    val res = spark.sql(s"SHOW PROCEDURES IN $cat.system")
+    val nameCol = res.schema.fieldNames
+      .find(_.toLowerCase.contains("procedure")).getOrElse(res.schema.fieldNames.last)
+    val shown = res.select(nameCol).collect().map(_.getString(0)).toSet
+    assert(shown == Set("compact", "vacuum"), s"got $shown")
+    val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.vacuum").collect()
+      .map(_.toString).mkString("\n")
+    assert(desc.contains("vacuum"))
+  }
+
   test("unknown procedure and missing table fail loudly") {
     val e1 = intercept[Exception](
       spark.sql(s"CALL $cat.system.frobnicate()").collect())

@@ -204,6 +204,32 @@ class FlsTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.nonEmpty)
   }
 
+  test("time travel reads historical data through the CURRENT schema") {
+    // the documented divergence from Iceberg: data travels, schema
+    // does not — old versions serve today's columns
+    val tbl = s"$cat.db.evolved_tt"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, amt INT) " +
+      "TBLPROPERTIES ('commit_mode'='manifest')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS INT) FROM range(0, 10)")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN tag STRING")
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN amt TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN amt TO amount")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id * 10, concat('t', id) " +
+      "FROM range(10, 15)")
+    val v1 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+    // current column names and widened types, even for v1's files
+    assert(v1.schema.fieldNames.toSeq == Seq("id", "amount", "tag"))
+    assert(v1.schema("amount").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val rows = v1.orderBy("id").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(1)).toSeq == (0L until 10L),
+      "renamed+widened column binds v1's files through the name history")
+    assert(rows.forall(_.isNullAt(2)), "column added later reads NULL at v1")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2")
+      .collect()(0).getLong(0) == 15)
+  }
+
   test("history on a non-table name still errors as NoSuchTable") {
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM $cat.db.no_such_table.history").collect())
