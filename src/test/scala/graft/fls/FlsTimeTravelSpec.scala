@@ -204,6 +204,25 @@ class FlsTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tbl.nonEmpty)
   }
 
+  test("incremental read on a PARTITIONED table composes with partition pruning") {
+    val tbl = s"$cat.db.incr_part"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, dt STRING) " +
+      "PARTITIONED BY (dt) TBLPROPERTIES ('commit_mode'='manifest')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $tbl SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(100, 300)")
+    val dir = s"$tmp/warehouse/db/incr_part"
+    val delta = spark.read.format("fls")
+      .option("changes_from_version", "1").load(dir)
+    assert(delta.count() == 200, "only commit 2's rows")
+    // partition filter on the delta: half the added files prune away
+    assert(delta.filter(org.apache.spark.sql.functions.col("dt") === "a")
+      .count() == 100)
+    assert(delta.agg(org.apache.spark.sql.functions.min("id"))
+      .collect()(0).getLong(0) == 100)
+  }
+
   test("time travel reads historical data through the CURRENT schema") {
     // the documented divergence from Iceberg: data travels, schema
     // does not — old versions serve today's columns
