@@ -28,6 +28,37 @@ import graft.fls.Format._
   * semantics at both granularities, not two evaluators to keep in sync. */
 object FlsFileStats {
 
+  /** The per-file metadata JSON also carries the file's current
+    * DELETE-VECTOR pointer under key `"dv"`
+    * ([[FlsDeleteVectors]]) — same field, same plumbing, one place
+    * every planner-side consumer already reads. Stats semantics stay
+    * sound with a DV attached: stats describe a SUPERSET of the live
+    * rows, so file pruning / zone maps / drop-keep DELETE verdicts
+    * (all "can any row match?" questions) remain conservative; only
+    * value-PRODUCING metadata shortcuts (footer COUNT/MIN/MAX
+    * aggregates, TopN bound pruning) must refuse DV'd files — they
+    * do, see FlsScanBuilder. */
+  def dvOf(json: String): Option[String] =
+    if (json == null) None
+    else try JsonMethods.parse(json) \ "dv" match {
+      case JString(rel) => Some(rel)
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** Attach (or replace) the DV pointer in an entry's metadata JSON —
+    * `null` base JSON becomes a dv-only object (stats stay absent:
+    * [[toDesc]] needs `"r"`, so the file still always plans). */
+  def withDv(json: String, dvRel: String): String = {
+    val base = if (json == null) JObject(Nil)
+      else try JsonMethods.parse(json) match {
+        case o: JObject => o
+        case _ => JObject(Nil)
+      } catch { case _: Exception => JObject(Nil) }
+    val kept = base.obj.filterNot(_._1 == "dv")
+    JsonMethods.compact(JsonMethods.render(
+      JObject(kept :+ ("dv" -> JString(dvRel)))))
+  }
+
   /** Writer side: merge row-group stats into one per-file JSON, or null
     * when the file carries nothing prunable (no row groups, or no column
     * with complete stats). */

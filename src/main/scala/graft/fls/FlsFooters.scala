@@ -32,7 +32,12 @@ import graft.fls.Format._
   * `graft.fls.footerCache=false` to bypass the cache entirely. */
 object FlsFooters {
 
-  final case class Entry(file: Path, table: TableDesc, fileSize: Long)
+  /** `dv`: ABSOLUTE path of the file's current delete-vector sidecar
+    * (None = no deletes) — resolved from the manifest metadata at
+    * planning so executors can open it directly
+    * ([[FlsDeleteVectors]]). */
+  final case class Entry(file: Path, table: TableDesc, fileSize: Long,
+      dv: Option[String] = None)
 
   private final case class Cached(mtime: Long, len: Long, table: TableDesc)
 
@@ -56,7 +61,20 @@ object FlsFooters {
     * (see [[FlsFile.listDataStatuses]]). */
   def list(paths: Seq[String], conf: Configuration,
       pinnedManifestVersion: Option[Long] = None): Seq[Entry] =
-    fetch(listStatuses(paths, conf, pinnedManifestVersion).map(_._1), conf)
+    fetchMeta(listStatuses(paths, conf, pinnedManifestVersion), conf)
+
+  /** [[fetch]] plus per-file manifest metadata: resolves each entry's
+    * delete-vector pointer (rel in the metadata JSON → absolute next to
+    * the data file) so the scan can apply it at decode. */
+  def fetchMeta(listed: Seq[(org.apache.hadoop.fs.FileStatus, Option[String])],
+      conf: Configuration): Seq[Entry] =
+    fetch(listed.map(_._1), conf).zip(listed).map { case (e, (st, meta)) =>
+      meta.flatMap(FlsFileStats.dvOf) match {
+        case Some(rel) =>
+          e.copy(dv = Some(new Path(st.getPath.getParent, rel).toString))
+        case None => e
+      }
+    }
 
   /** Phase 1 of planning — the file LIST with manifest-carried stats,
     * NO footer IO. Callers prune this (partition values from paths,

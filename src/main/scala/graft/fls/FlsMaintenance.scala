@@ -209,6 +209,18 @@ object FlsMaintenance {
             s"fls compact: a concurrent commit removed ${gone.size} compaction input " +
               s"file(s) under $dir (another compact or an overwrite) — aborting; " +
               "re-run compact on the new table state")
+        // a DV change is a rewrite-in-place: a concurrent merge-on-read
+        // DELETE attached a delete vector to a frozen input, whose rows
+        // our outputs were built WITHOUT knowing — swapping would
+        // silently undo that delete
+        val frozenDv = frozenEntries.map(e => e.rel -> FlsFileStats.dvOf(e.stats)).toMap
+        val dvChanged = cur.filter(e => frozenRels(e.rel) &&
+          FlsFileStats.dvOf(e.stats) != frozenDv(e.rel))
+        if (dvChanged.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"fls compact: a concurrent merge-on-read DELETE re-vectored " +
+              s"${dvChanged.size} compaction input file(s) under $dir — " +
+              "aborting; re-run compact on the new table state")
         // entries since V (concurrent appends) survive; V's are replaced
         cur.filterNot(e => frozenRels(e.rel)) ++ outEntries
       }
@@ -266,11 +278,17 @@ object FlsMaintenance {
     val vouched = FlsManifest.versionsWithTimes(fs, root).flatMap { case (v, _) =>
       try FlsManifest.readVersion(fs, root, v)
       catch { case _: java.io.FileNotFoundException => Nil } // GC race
-    }.map(_.rel).toSet
+    }.flatMap(e => // a version vouches its data file AND that file's DV
+      e.rel +: FlsFileStats.dvOf(e.stats)
+        .map(b => FlsDeleteVectors.relFor(e.rel, b)).toSeq
+    ).toSet
     val cutoff = System.currentTimeMillis() - olderThanHours * 3600L * 1000L
     var deleted = 0
     var bytes = 0L
-    FlsFile.walkFiles(fs, root, Seq(".fls", ".fls.footer")) { (s, rel) =>
+    FlsFile.walkFiles(fs, root, Seq(".fls", ".fls.footer",
+        FlsDeleteVectors.Suffix)) { (s, rel) =>
+      // a data file vouches its sidecar footer; DVs are vouched by
+      // their own rel (attached per retained version above)
       val dataRel = if (rel.endsWith(".footer")) rel.stripSuffix(".footer") else rel
       if (!vouched.contains(dataRel) && s.getModificationTime < cutoff) {
         try {

@@ -170,14 +170,18 @@ object FlsManifest {
         try readVersion(fs, dir, 0L) // legacy pre-versioned manifest
         catch { case _: java.io.FileNotFoundException => Nil } // creation
       else versionAt(fromV, "changes_from")
-    val toRels = toEntries.map(_.rel).toSet
-    val rewritten = fromEntries.filterNot(e => toRels.contains(e.rel))
+    // a surviving file whose DELETE-VECTOR pointer changed in the range
+    // is a rewrite in place: its rows changed without its rel changing
+    val toDv = toEntries.map(e => e.rel -> FlsFileStats.dvOf(e.stats)).toMap
+    val rewritten = fromEntries.filter(e =>
+      !toDv.contains(e.rel) || toDv(e.rel) != FlsFileStats.dvOf(e.stats))
     require(rewritten.isEmpty,
       s"fls: the commit range ($fromV, $to] is not append-only — " +
-        s"${rewritten.length} file(s) of v$fromV were replaced or deleted " +
-        "in the range (DELETE/UPDATE/OVERWRITE or a compaction rewrite), " +
-        "so the files added in the range re-serve pre-existing rows. " +
-        s"Process a full snapshot instead, or restart the cursor at v$to")
+        s"${rewritten.length} file(s) of v$fromV were replaced, deleted, or " +
+        "delete-vectored in the range (DELETE/UPDATE/OVERWRITE or a " +
+        "compaction rewrite), so 'files added in the range' no longer means " +
+        "'rows added in the range'. Process a full snapshot instead, or " +
+        s"restart the cursor at v$to")
     val fromRels = fromEntries.map(_.rel).toSet
     toEntries.filterNot(e => fromRels.contains(e.rel))
   }

@@ -213,11 +213,13 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
     }
     partitionBy.foreach(k => require(schema.fieldNames.contains(k),
       s"fls: partition column '$k' is not in the table schema"))
-    // validate every data column maps to an fls ColumnType NOW — a
-    // CREATE that cannot ever be written should fail here, not at the
-    // first INSERT
-    schema.fields.filterNot(f => partitionBy.contains(f.name))
-      .foreach(f => ColumnType.fromSpark(f.dataType))
+    // validate every data column is WRITABLE now — a CREATE that cannot
+    // ever be written should fail here, not at the first INSERT. The
+    // writer's own rule (physicalColumns): scalars, arrays/maps of
+    // scalars, and structs of scalars (flattened to dotted columns);
+    // deeper nesting rejected.
+    Format.physicalColumns(
+      schema.fields.filterNot(f => partitionBy.contains(f.name)).toSeq)
     val keep = properties.asScala.filterNot { case (k, _) =>
       k == TableCatalog.PROP_LOCATION || k == TableCatalog.PROP_PROVIDER ||
         k == TableCatalog.PROP_OWNER || k == TableCatalog.PROP_EXTERNAL ||

@@ -438,6 +438,10 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap,
     // fully-consumed partition filters keep metadata aggregates legal:
     // the agg then runs over exactly the decided-true file subset
     if (!pushed.forall(consumedPartFilters.contains)) return None
+    // a delete-vector'd file's footer counts/extremes include DELETED
+    // rows — a metadata answer would resurrect them; fall back to the
+    // real scan (which applies the DV at decode)
+    if (footers.exists(_.dv.isDefined)) return None
     val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
       case f: NamedReference if f.fieldNames().length == 1 &&
         builderDisc.keys.contains(f.fieldNames()(0)) => f.fieldNames()(0)
@@ -488,7 +492,7 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap,
           FlsPartitioning.mayMatch(pushed, builderPartTypes, builderDisc.keys, raw))) &&
         FlsFileStats.mayMatch(stats.orNull, pushed, tableSchema, virtNames)
     }
-    FlsFooters.fetch(kept.map(_._1), conf)
+    FlsFooters.fetchMeta(kept, conf)
       // rename reconciliation (schema evolution): files written under an
       // earlier column name serve the current one from here on down
       .map(e => e.copy(table = Format.applyRenames(e.table, tableSchema)))
@@ -713,12 +717,24 @@ class FlsScan(
   private def hadoopConf: Configuration =
     session.sessionState.newHadoopConf()
 
+  private lazy val scanEntries: Seq[graft.fls.FlsFooters.Entry] =
+    if (preFooters != null) preFooters // builder already rename-reconciled
+    else FlsFooters.fetchMeta(
+      FlsDataSource.listForRead(options, hadoopConf), hadoopConf)
+      .map(e => e.copy(table = Format.applyRenames(e.table, tableSchema)))
+
   private lazy val files: Seq[(Path, TableDesc, Long)] =
-    (if (preFooters != null) preFooters // builder already rename-reconciled
-     else FlsFooters.fetch(
-       FlsDataSource.listForRead(options, hadoopConf).map(_._1), hadoopConf)
-       .map(e => e.copy(table = Format.applyRenames(e.table, tableSchema))))
-      .map(e => (e.file, e.table, e.fileSize))
+    scanEntries.map(e => (e.file, e.table, e.fileSize))
+
+  /** file → absolute delete-vector path, for every planned file that
+    * has deletes. Applied at decode ([[FlsPartitionReader]]); its mere
+    * presence also disables the value-PRODUCING metadata shortcuts
+    * (TopN bound pruning, limit row-counting) whose footer numbers
+    * would include deleted rows — see the planning gates below.
+    * "Can any row match?" pruning (partition, zone-map) stays on:
+    * stats over a SUPERSET of live rows are conservative. */
+  private lazy val dvByFile: Map[String, String] =
+    scanEntries.flatMap(e => e.dv.map(d => e.file.toString -> d)).toMap
 
   /** Hive-partition layout of the listed files (empty keys = flat dir).
     * Partition column types resolve against the TABLE schema (which
@@ -751,6 +767,11 @@ class FlsScan(
     * list (last call wins) — the write's commit replaces exactly it. */
   private[connector] var groupGranularity: Boolean = false
   private[connector] var onPlanned: Option[Seq[String] => Unit] = None
+  /** Companion to `onPlanned`: the SCAN-TIME delete-vector pointer of
+    * each kept file (absolute paths) — the replace commit verifies
+    * these are still current, or a concurrent merge-on-read DELETE's
+    * positions would be silently undone by the rewrite. */
+  private[connector] var onPlannedDv: Option[Map[String, String] => Unit] = None
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (groupGranularity) {
@@ -779,13 +800,15 @@ class FlsScan(
                 case None => Map.empty
               }
             table.rowGroups.foreach { rg =>
-              units += FlsRgUnit(file.toString, rg, rowStart, fileIdx, pvals, table.columns)
+              units += FlsRgUnit(file.toString, rg, rowStart, fileIdx, pvals,
+                table.columns, dvByFile.get(file.toString))
               rowStart += rg.nTuples
             }
           }
         }
       }
       onPlanned.foreach(_(keptFiles.toSeq))
+      onPlannedDv.foreach(_(dvByFile.filter(kv => keptFiles.contains(kv._1))))
       return FlsSplitPacking.pack(units.toSeq, session)
     }
     val units = mutable.ArrayBuffer[FlsRgUnit]()
@@ -803,7 +826,8 @@ class FlsScan(
         table.rowGroups.foreach { rg =>
           if (FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, allFilters, rowStart,
               FlsVirtual.sizeVirtuals(options))) {
-            units += FlsRgUnit(file.toString, rg, rowStart, fileIdx, pvals, table.columns)
+            units += FlsRgUnit(file.toString, rg, rowStart, fileIdx, pvals,
+              table.columns, dvByFile.get(file.toString))
           }
           rowStart += rg.nTuples
         }
@@ -813,7 +837,10 @@ class FlsScan(
     // boundary stat, drop groups that cannot reach the bound
     topN match {
       case Some(FlsTopNSpec(colName, desc, n))
-          if filters.isEmpty && runtimeFilters.isEmpty =>
+          if filters.isEmpty && runtimeFilters.isEmpty && dvByFile.isEmpty =>
+        // dvByFile gate: boundary stats include DELETED rows — a
+        // deleted fake extreme could tighten the bound and wrongly
+        // drop groups holding real top rows
         // Stats are PHYSICAL (unscaled) values — only comparable across
         // files when every file stores the column with one ColumnType
         // (union_by_name may mix decimal scales); otherwise skip pruning.
@@ -854,7 +881,9 @@ class FlsScan(
       case _ => ()
     }
     // limit pushdown (no filters): keep just enough row groups
-    if (limit >= 0 && filters.isEmpty && runtimeFilters.isEmpty) {
+    if (limit >= 0 && filters.isEmpty && runtimeFilters.isEmpty &&
+        dvByFile.isEmpty) { // nTuples counts deleted rows: kept groups
+                            // could cover fewer LIVE rows than `limit`
       val out = mutable.ArrayBuffer[FlsRgUnit]()
       var covered = 0L
       val it = units.iterator
@@ -1007,7 +1036,12 @@ case class FlsFileChunk(
     rowStarts: Array[Long],
     fileColumns: Array[ColumnDesc],
     fileIndex: Int,
-    partitionValues: Map[String, String] = Map.empty)
+    partitionValues: Map[String, String] = Map.empty,
+    /** Absolute path of the file's delete-vector sidecar (None = no
+      * deletes): the reader drops these row positions at decode —
+      * UNCONDITIONALLY, in every scan mode including the row-level
+      * group scans, because no Catalyst residual re-checks deletes. */
+    dv: Option[String] = None)
 
 /** Fully self-contained scan unit: one or more file chunks. Row groups
   * PACK into splits parquet-style (see [[FlsSplitPacking]]): the row
@@ -1049,7 +1083,8 @@ case class FlsRgUnit(
     rowStart: Long,
     fileIdx: Int,
     pvals: Map[String, String],
-    cols: Array[ColumnDesc])
+    cols: Array[ColumnDesc],
+    dv: Option[String] = None)
 
 /** Parquet-style split packing (mirrors Spark's
   * `FilePartition.maxSplitBytes` + packing loop): row groups cost
@@ -1081,7 +1116,7 @@ object FlsSplitPacking {
     var curCost = 0L
     def sealChunk(): Unit = if (rgs.nonEmpty) {
       chunks += FlsFileChunk(cur.file, rgs.toArray, starts.toArray,
-        cur.cols, cur.fileIdx, cur.pvals)
+        cur.cols, cur.fileIdx, cur.pvals, cur.dv)
       rgs.clear(); starts.clear()
     }
     def flush(): Unit = {
@@ -1219,6 +1254,7 @@ class FlsWrite(merged: LogicalWriteInfo, doTruncate: Boolean,
     overwriteFilters: Option[Array[Filter]] = None,
     dynamicOverwrite: Boolean = false,
     replaceFilesThunk: Option[() => Seq[String]] = None,
+    replacedDvThunk: Option[() => Map[String, String]] = None,
     /** Captured at construction — see [[FlsTable]]'s session note. */
     session: org.apache.spark.sql.SparkSession =
       org.apache.spark.sql.SparkSession.active)
@@ -1251,7 +1287,8 @@ class FlsWrite(merged: LogicalWriteInfo, doTruncate: Boolean,
   override def toBatch: BatchWrite =
     new FlsBatchWrite(merged, doTruncate,
       overwriteFilters = overwriteFilters, dynamicOverwrite = dynamicOverwrite,
-      replaceFilesThunk = replaceFilesThunk, session = session)
+      replaceFilesThunk = replaceFilesThunk, replacedDvThunk = replacedDvThunk,
+      session = session)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!doTruncate && overwriteFilters.isEmpty && !dynamicOverwrite,
       "fls streaming sink supports Append output mode only (complete/update " +
@@ -1387,6 +1424,11 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       * commit replaces exactly the files the operation's group scan
       * read (absolute paths, supplied after the scan planned). */
     replaceFilesThunk: Option[() => Seq[String]] = None,
+    /** Scan-time delete-vector pointers of the replaced files (abs
+      * file path -> abs DV path): the commit aborts if a concurrent
+      * merge-on-read DELETE re-vectored one of them after the scan —
+      * the replacement rows were built WITHOUT those deletions. */
+    replacedDvThunk: Option[() => Map[String, String]] = None,
     /** Captured at construction — see [[FlsTable]]'s session note. */
     session: org.apache.spark.sql.SparkSession =
       org.apache.spark.sql.SparkSession.active) extends BatchWrite {
@@ -1494,7 +1536,8 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
     * convention) the read-side listing uses. */
   private def walkManaged(fs: org.apache.hadoop.fs.FileSystem, dir: Path)(
       visit: (org.apache.hadoop.fs.FileStatus, String) => Unit): Unit =
-    graft.fls.FlsFile.walkFiles(fs, dir, Seq(".fls", ".fls.footer"))(visit)
+    graft.fls.FlsFile.walkFiles(fs, dir,
+      Seq(".fls", ".fls.footer", graft.fls.FlsDeleteVectors.Suffix))(visit)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = hadoopConf
@@ -1634,6 +1677,23 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
                 }
                 seeded.toSeq
             }
+            // Row-level replace: the replacement rows were built from
+            // the group scan's view — if a concurrent merge-on-read
+            // DELETE re-vectored one of the replaced files since, the
+            // swap would silently undo those deletions. Abort instead.
+            replacedDvThunk.foreach { t =>
+              val qdir = fs.makeQualified(dir).toString.stripSuffix("/") + "/"
+              val scanDvByRel = t().map { case (f, d) =>
+                f.stripPrefix(qdir) -> new Path(d).getName
+              }
+              base.foreach { e =>
+                if (replacedRels.contains(e.rel) &&
+                    graft.fls.FlsFileStats.dvOf(e.stats) != scanDvByRel.get(e.rel))
+                  throw new java.util.ConcurrentModificationException(
+                    s"fls replace: a concurrent DELETE re-vectored ${e.rel} " +
+                      "after the operation's scan — rerun the operation")
+              }
+            }
             // INSERT OVERWRITE: re-classified per CAS attempt, so the
             // replacement set tracks the entry set actually merged onto;
             // replaced files stay on disk for vacuum (pinned readers)
@@ -1688,6 +1748,15 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       // for by their data file (the manifest names only `.fls`).
       scala.util.Try(graft.fls.FlsManifest.read(fs, dir)) match {
         case scala.util.Success(Some(old)) =>
+          // APPEND over a DV'd manifest table must not revert to
+          // listing mode: listing cannot serve delete vectors, so the
+          // kept old files would RESURRECT their deleted rows. (A
+          // truncating overwrite is fine — nothing old survives.)
+          require(doTruncate || !old.exists(e =>
+              graft.fls.FlsFileStats.dvOf(e.stats).isDefined),
+            "fls: a rename-mode append over a merge-on-read table would " +
+              "resurrect delete-vectored rows — write with " +
+              "commit_mode=manifest, or compact the table first")
           val named = old.map(_.rel).toSet
           // a concurrent rename-mode job's task-committed files are not
           // vouched by the old manifest either — files of any writeId

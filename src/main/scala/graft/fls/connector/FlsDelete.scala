@@ -156,29 +156,47 @@ object FlsDelete {
   }
 
   private case class Plan(cls: Map[String, D], partitioned: Boolean,
-      survivors: Column)
+      survivors: Column, matches: Column)
+
+  /** `delete_mode` table property / write option: `merge-on-read`
+    * turns straddling-file deletes into delete-vector commits
+    * ([[graft.fls.FlsDeleteVectors]]) instead of copy-on-write
+    * rewrites — O(deleted rows) new bytes, the right trade for
+    * GDPR-style point deletes scattered across a huge table. Requires
+    * a manifest table (the DV pointer lives in the manifest's
+    * per-file metadata). Decided files still take the zero-read
+    * metadata path in both modes. */
+  private[connector] def morEnabled(options: CaseInsensitiveStringMap): Boolean = {
+    val m = Option(options.get("delete_mode")).getOrElse("copy-on-write")
+    require(m == "copy-on-write" || m == "merge-on-read",
+      s"fls: delete_mode must be 'copy-on-write' or 'merge-on-read', got '$m'")
+    m == "merge-on-read"
+  }
 
   private def plan(schema: StructType, options: CaseInsensitiveStringMap,
       filters: Array[Filter], files: Seq[Path],
-      conf: Configuration): Option[Plan] = {
+      conf: Configuration, mor: Boolean = false): Option[Plan] = {
     val path = tablePath(options)
     val cls = verdicts(schema, path, FlsDataSource.manifestVersion(options),
       filters, files, conf)
     val partitioned =
       FlsPartitioning.discover(Seq(path), files, conf).keys.nonEmpty
     val needRewrite = cls.valuesIterator.contains(Straddle)
-    if (needRewrite && partitioned) return None // path values would be lost
-    val survivors: Column =
-      if (!needRewrite) lit(true)
+    // a DV commit never rewrites, so path-encoded values are safe —
+    // partitioned tables take MOR deletes stock Spark's row-level path
+    // would otherwise serve
+    if (needRewrite && partitioned && !mor) return None
+    val matches: Column =
+      if (!needRewrite) lit(false)
       else {
         val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
         val pred = real.flatMap(toColumn).reduceOption(_ && _)
         real.foreach { f =>
           if (toColumn(f).isEmpty) return None // cannot express the residual
         }
-        not(coalesce(pred.getOrElse(lit(true)), lit(false)))
+        coalesce(pred.getOrElse(lit(true)), lit(false))
       }
-    Some(Plan(cls, partitioned, survivors))
+    Some(Plan(cls, partitioned, not(matches), matches))
   }
 
   def canDelete(schema: StructType, options: CaseInsensitiveStringMap,
@@ -188,11 +206,13 @@ object FlsDelete {
     val conf = hconf(session)
     val root = new Path(tablePath(options))
     val fs = root.getFileSystem(conf)
-    val files = FlsManifest.readVersioned(fs, root) match {
+    val manifest = FlsManifest.readVersioned(fs, root)
+    val files = manifest match {
       case Some((_, entries)) => entries.map(e => new Path(root, e.rel))
       case None => FlsFile.listDataFiles(root, conf)
     }
-    plan(schema, options, filters, files, conf).isDefined
+    plan(schema, options, filters, files, conf,
+      mor = morEnabled(options) && manifest.isDefined).isDefined
   }
 
   def delete(schema: StructType, options: CaseInsensitiveStringMap,
@@ -220,29 +240,159 @@ object FlsDelete {
       p
     }
 
-    /** Rewrite `targets` without the matching rows into `outDir`
-      * (listing-mode fls dir), preserving writer-visible schema. */
-    def rewriteTo(targets: Seq[Path], survivors: Column, outDir: Path): Unit = {
-      spark.read.format("fls").load(targets.map(_.toString): _*)
-        .filter(survivors)
-        .write.format("fls").mode("overwrite")
+    /** Rewrite `targets` without the matching rows into `outDir`,
+      * preserving writer-visible schema. `dvOf` maps an input file's
+      * absolute path to its delete-vector's absolute path: a direct
+      * file-path read bypasses the manifest metadata, so an already-
+      * DV'd straddler must have its dead positions anti-joined out
+      * here or the rewrite would RESURRECT them. */
+    def rewriteTo(targets: Seq[Path], survivors: Column, outDir: Path,
+        dvOf: Map[String, String] = Map.empty): Unit = {
+      val live =
+        if (!targets.exists(t => dvOf.contains(t.toString)))
+          spark.read.format("fls").load(targets.map(_.toString): _*)
+            .filter(survivors)
+        else {
+          val df = spark.read.format("fls")
+            .option("file_row_number", "true").option("file_index", "true")
+            .load(targets.map(_.toString): _*)
+          val deadRows = targets.zipWithIndex.flatMap { case (t, i) =>
+            dvOf.get(t.toString).toSeq.flatMap(dv =>
+              graft.fls.FlsDeleteVectors.readAbsolute(dv, conf)
+                .map(pos => (i.toLong, pos)))
+          }
+          val dead = spark.createDataFrame(deadRows).toDF("__fi", "__fp")
+          df.join(org.apache.spark.sql.functions.broadcast(dead),
+              df("file_index") === dead("__fi") &&
+                df("file_row_number") === dead("__fp"), "left_anti")
+            .drop("file_index", "file_row_number")
+            .filter(survivors)
+        }
+      live.write.format("fls").mode("overwrite")
         .option("write_distribution", "none")
         .save(outDir.toString)
     }
 
+    /** Absolute DV path of a manifest entry, if it carries one. */
+    def dvAbs(e: FlsManifest.Entry): Option[String] =
+      graft.fls.FlsFileStats.dvOf(e.stats).map(b =>
+        new Path(root, graft.fls.FlsDeleteVectors.relFor(e.rel, b)).toString)
+
     FlsManifest.readVersioned(fs, root) match {
       case Some((frozenV, frozenEntries)) =>
+        val mor = morEnabled(options)
         val frozenFiles = frozenEntries.map(e => new Path(root, e.rel))
-        val p0 = plan(schema, options, filters, frozenFiles, conf).getOrElse(
+        val p0 = plan(schema, options, filters, frozenFiles, conf, mor).getOrElse(
           throw new IllegalStateException(
             "fls delete: predicate not decidable per file (and the table is " +
               "partitioned, so a row-level rewrite would lose path values)"))
-        // stage replacement files invisibly, then publish ONE version
         val rewriteTargets = frozenFiles.filter(f => p0.cls(f.toString) == Straddle)
+
+        if (mor && rewriteTargets.nonEmpty) {
+          // ---- merge-on-read: straddlers take DELETE VECTORS, no
+          // rewrites. Decided files still drop/keep whole (below, in
+          // the same CAS). O(deleted rows) new bytes — the GDPR shape.
+          val writeId = UUID.randomUUID().toString
+          val matched = spark.read.format("fls")
+            .option("file_row_number", "true").option("file_index", "true")
+            .load(rewriteTargets.map(_.toString): _*)
+            .filter(p0.matches)
+            .select(col(FlsVirtual.FileIndex), col(FlsVirtual.RowNumber))
+            .collect()
+          // positions land on the driver (sidecars are driver-written,
+          // like every manifest artifact): cap the haul so a BULK
+          // delete mistakenly routed at MOR fails with the remedy, not
+          // an OOM. 4M positions = 32 MB of sidecar.
+          val cap = options.getLong("merge_on_read_max_rows", 4L * 1000 * 1000)
+          require(matched.length <= cap,
+            s"fls delete: merge-on-read would record ${matched.length} deleted " +
+              s"positions (> merge_on_read_max_rows=$cap) — a delete this wide " +
+              "should run in copy-on-write mode (the default), or raise the " +
+              "option and schedule compaction")
+          val posByIdx: Map[Int, Array[Long]] = matched
+            .groupBy(_.getLong(0).toInt)
+            .map { case (i, rows) => i -> rows.map(_.getLong(1)) }
+          val written = scala.collection.mutable.ArrayBuffer[String]()
+          val dvBaseByRel: Map[String, String] =
+            rewriteTargets.zipWithIndex.flatMap { case (t, i) =>
+              val e = frozenEntries.find(en =>
+                new Path(root, en.rel).toString == t.toString).get
+              val fresh = posByIdx.getOrElse(i, Array.empty[Long])
+              val old = dvAbs(e)
+                .map(a => graft.fls.FlsDeleteVectors.readAbsolute(a, conf))
+                .getOrElse(Array.empty[Long])
+              val all = old ++ fresh
+              if (all.isEmpty) None // zone maps straddled, zero rows match
+              else {
+                val rel = graft.fls.FlsDeleteVectors.write(fs, root, e.rel,
+                  writeId, all)
+                written += rel
+                Some(e.rel -> new Path(rel).getName)
+              }
+            }.toMap
+          try {
+            FlsManifest.commit(fs, root, writeId, conf) { (_, cur) =>
+              val entries = cur.getOrElse(Seq.empty)
+              val files = entries.map(e => new Path(root, e.rel))
+              val pNow = plan(schema, options, filters, files, conf,
+                mor = true).getOrElse(
+                throw new IllegalStateException(
+                  "fls delete: a concurrently-added file is not decided by " +
+                    "the predicate — aborting with nothing removed"))
+              if (files.exists(f => pNow.cls(f.toString) == Straddle &&
+                  !rewriteTargets.exists(_.toString == f.toString)))
+                throw new IllegalStateException(
+                  "fls delete: a concurrently-added file straddles the " +
+                    "predicate — rerun the delete")
+              // our merged DVs were built from the FROZEN pointers: a
+              // concurrent delete that re-vectored a target in between
+              // would have its positions silently dropped by ours
+              val frozenDvByRel = frozenEntries.map(e =>
+                e.rel -> graft.fls.FlsFileStats.dvOf(e.stats)).toMap
+              entries.foreach { e =>
+                if (dvBaseByRel.contains(e.rel) &&
+                    frozenDvByRel.get(e.rel).exists(
+                      _ != graft.fls.FlsFileStats.dvOf(e.stats)))
+                  throw new IllegalStateException(
+                    "fls delete: a concurrent DELETE re-vectored " +
+                      s"${e.rel} — rerun the delete")
+              }
+              val merged = entries.flatMap { e =>
+                pNow.cls(new Path(root, e.rel).toString) match {
+                  case Drop => None // file stays on disk for vacuum
+                  case Keep => Some(e)
+                  case Straddle => Some(dvBaseByRel.get(e.rel) match {
+                    case Some(base) =>
+                      e.copy(stats = graft.fls.FlsFileStats.withDv(e.stats, base))
+                    case None => e // straddler with zero matching rows
+                  })
+                }
+              }
+              if (merged.nonEmpty) merged
+              else {
+                val pth = writeSchemaOnly(files)
+                val st2 = fs.getFileStatus(pth)
+                Seq(FlsManifest.Entry(pth.getName, st2.getLen,
+                  st2.getModificationTime))
+              }
+            }
+          } catch {
+            case e: Throwable =>
+              written.foreach(r =>
+                try fs.delete(new Path(root, r), false)
+                catch { case _: Throwable => () })
+              throw e
+          }
+          return
+        }
+        // ---- copy-on-write: stage replacement files invisibly, then
+        // publish ONE version
         val staged = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
         val stageDir = new Path(root, s"_delete_${UUID.randomUUID()}")
         if (rewriteTargets.nonEmpty) {
-          rewriteTo(rewriteTargets, p0.survivors, stageDir)
+          val dvOf = frozenEntries.flatMap(e =>
+            dvAbs(e).map(a => new Path(root, e.rel).toString -> a)).toMap
+          rewriteTo(rewriteTargets, p0.survivors, stageDir, dvOf)
           FlsFile.listDataStatuses(stageDir, conf).foreach { st =>
             val dst = new Path(root, st.getPath.getName)
             if (!fs.rename(st.getPath, dst))
@@ -269,6 +419,19 @@ object FlsDelete {
               throw new IllegalStateException(
                 "fls delete: a concurrently-added file straddles the predicate " +
                   "— rerun the delete")
+            // replacements were built from the FROZEN delete vectors:
+            // a concurrent merge-on-read DELETE that re-vectored a
+            // rewrite target in between would be silently undone
+            val frozenDvByRel = frozenEntries.map(e =>
+              e.rel -> graft.fls.FlsFileStats.dvOf(e.stats)).toMap
+            entries.foreach { e =>
+              if (rewriteTargets.exists(_.toString == new Path(root, e.rel).toString) &&
+                  frozenDvByRel.get(e.rel).exists(
+                    _ != graft.fls.FlsFileStats.dvOf(e.stats)))
+                throw new IllegalStateException(
+                  "fls delete: a concurrent DELETE re-vectored " +
+                    s"${e.rel} mid-rewrite — rerun the delete")
+            }
             val kept = entries.filter { e =>
               pNow.cls(new Path(root, e.rel).toString) == Keep
             }

@@ -114,6 +114,17 @@ class FlsPartitionReader(
     * group seen) — a fresh 64Ki-int array per group is pure churn. */
   private var selScratch: Array[Int] = _
 
+  /** Current chunk's delete-vector positions (sorted, file-absolute;
+    * null = none) — one tiny sidecar read per chunk, applied to every
+    * row group as the FIRST selection conjunct. Independent of
+    * `rowFilters`: deletes have no Catalyst residual to re-check them,
+    * so they apply in every scan mode, including the row-level group
+    * scans that turn scan-side filters off. */
+  private var dvPositions: Array[Long] =
+    if (chunk == null) null else loadDv(chunk)
+  private def loadDv(c: FlsFileChunk): Array[Long] =
+    c.dv.map(p => graft.fls.FlsDeleteVectors.readAbsolute(p, conf)).orNull
+
   /** Per-SEGMENT recycled decode buffers (see Codecs.decodeReuse): a
     * row group's numeric output arrays get reused by the next group of
     * the same column instead of re-allocating+zeroing 512 KB each time.
@@ -306,6 +317,32 @@ class FlsPartitionReader(
     // avoiding the identity-array init and its indirection.
     var selCount = -1
     var sel: Array[Int] = null
+    // Delete vector first: the alive rows ARE the base selection the
+    // pushed conjuncts then narrow. Binary-search the group's slice of
+    // the sorted file-absolute positions.
+    var dvApplied = false
+    if (dvPositions != null && dvPositions.length > 0) {
+      val start = chunk.rowStarts(g)
+      var lo = java.util.Arrays.binarySearch(dvPositions, start)
+      if (lo < 0) lo = -lo - 1
+      var hi = java.util.Arrays.binarySearch(dvPositions, start + rgTuples)
+      if (hi < 0) hi = -hi - 1
+      if (hi > lo) {
+        if (selScratch == null || selScratch.length < rgTuples)
+          selScratch = new Array[Int](rgTuples)
+        sel = selScratch
+        var k = 0
+        var i = 0
+        var d = lo
+        while (i < rgTuples) {
+          if (d < hi && dvPositions(d) == start + i) d += 1
+          else { sel(k) = i; k += 1 }
+          i += 1
+        }
+        selCount = k
+        dvApplied = true
+      }
+    }
     if (preds.nonEmpty) {
       if (selScratch == null || selScratch.length < rgTuples)
         selScratch = new Array[Int](rgTuples)
@@ -341,34 +378,30 @@ class FlsPartitionReader(
     } else {
       var fi = 0
       while (fi < nFields) { ensure(fi); fi += 1 }
-      if (selCount < rgTuples && selCount <= rgTuples * filterKeepRatio) {
-        // compact the decoded arrays to the survivors so every batch
-        // fill (and everything downstream) touches only kept rows;
-        // nested shapes have no gather path yet — serve those full
-        val compactable = decoded.forall {
-          case null | _: LongData | _: DoubleData | _: BytesData |
-               _: DictBytes | _: DictLongs | _: DictDoubles => true
-          case _ => false
-        }
-        if (compactable) {
-          var fj = 0
-          while (fj < nFields) {
-            val f = readSchema.fields(fj)
-            if (decoded(fj) == null && f.name == FlsVirtual.RowNumber) {
-              // virtual row numbers must carry ORIGINAL positions; the
-              // batch-time synthesis assumes dense rows, so materialize
-              val base = chunk.rowStarts(g)
-              val out = new Array[Long](selCount)
-              var i = 0
-              while (i < selCount) { out(i) = base + sel(i); i += 1 }
-              decoded(fj) = LongData(out)
-            } else if (decoded(fj) != null) {
-              decoded(fj) = FlsRowFilter.compact(decoded(fj), sel, selCount)
-            }
-            fj += 1
+      // Compact to the survivors when the filters were selective
+      // enough — or UNCONDITIONALLY when a delete vector removed rows:
+      // deleted rows have no residual FilterExec to drop them later,
+      // so serving the group full would resurrect them. compact()
+      // gathers every shape, nested included.
+      if (selCount < rgTuples &&
+          (dvApplied || selCount <= rgTuples * filterKeepRatio)) {
+        var fj = 0
+        while (fj < nFields) {
+          val f = readSchema.fields(fj)
+          if (decoded(fj) == null && f.name == FlsVirtual.RowNumber) {
+            // virtual row numbers must carry ORIGINAL positions; the
+            // batch-time synthesis assumes dense rows, so materialize
+            val base = chunk.rowStarts(g)
+            val out = new Array[Long](selCount)
+            var i = 0
+            while (i < selCount) { out(i) = base + sel(i); i += 1 }
+            decoded(fj) = LongData(out)
+          } else if (decoded(fj) != null) {
+            decoded(fj) = FlsRowFilter.compact(decoded(fj), sel, selCount)
           }
-          effTuples = selCount
+          fj += 1
         }
+        effTuples = selCount
       }
     }
     // dict-id sidecars are built ONCE here, from the FINAL codes —
@@ -408,6 +441,7 @@ class FlsPartitionReader(
         cIdx += 1
         if (cIdx >= part.chunks.length) { chunk = null; return false }
         chunk = part.chunks(cIdx)
+        dvPositions = loadDv(chunk)
         fileTypes = mkFileTypes(chunk)
         preds = FlsRowFilter.compile(rowFilters, readSchema, fileTypes, sizeBase)
         adaptOrder = new FlsRowFilter.AdaptiveOrder(preds.length)

@@ -655,8 +655,36 @@ object FlsRowFilter {
 
   // ------------------------------------------------------- compaction
 
-  /** Gather `data` down to the selected rows. Only scalar shapes — the
-    * caller skips compaction when any projected column is nested. */
+  /** Element-level gather for offset-shaped data (arrays/maps): kept
+    * rows' element RANGES become a dense element selection plus the
+    * rebased offsets. */
+  private def gatherOffsets(offsets: Array[Int], sel: Array[Int],
+      m: Int): (Array[Int], Array[Int]) = {
+    val outOff = new Array[Int](m + 1)
+    var total = 0
+    var i = 0
+    while (i < m) {
+      val r = sel(i)
+      total += offsets(r + 1) - offsets(r)
+      outOff(i + 1) = total
+      i += 1
+    }
+    val elemSel = new Array[Int](total)
+    var k = 0
+    i = 0
+    while (i < m) {
+      val r = sel(i)
+      var j = offsets(r)
+      while (j < offsets(r + 1)) { elemSel(k) = j; k += 1; j += 1 }
+      i += 1
+    }
+    (outOff, elemSel)
+  }
+
+  /** Gather `data` down to the selected rows — every shape, nested
+    * included (delete-vector compaction has no residual re-check, so
+    * a shape this cannot gather would be a correctness hole, not a
+    * missed optimization). */
   def compact(data: ColData, sel: Array[Int], m: Int): ColData = data match {
     case LongData(vs) =>
       val out = new Array[Long](m)
@@ -702,6 +730,17 @@ object FlsRowFilter {
       var i = 0
       while (i < m) { out(i) = codes(sel(i)); i += 1 }
       DictDoubles(dict, out)
+    case ArrayColData(offsets, values) =>
+      val (outOff, elemSel) = gatherOffsets(offsets, sel, m)
+      ArrayColData(outOff, compact(values, elemSel, elemSel.length))
+    case MapColData(offsets, keys, values) =>
+      val (outOff, elemSel) = gatherOffsets(offsets, sel, m)
+      MapColData(outOff, compact(keys, elemSel, elemSel.length),
+        compact(values, elemSel, elemSel.length))
+    case StructData(children, _) =>
+      StructData(children.map(c =>
+        if (c == null) null else compact(c, sel, m)), m)
+    case StructMarker(_) => StructMarker(m)
     case other => other
   }
 }

@@ -44,6 +44,11 @@ class FlsRowLevelOperation(
 
   /** Files the group scan last planned (absolute paths). */
   private val replacedFiles = new AtomicReference[Seq[String]](null)
+  /** Scan-time DV pointer per kept file — the commit verifies these
+    * are still current (a concurrent merge-on-read DELETE would
+    * otherwise be silently undone by the rewrite). */
+  private val replacedDvs =
+    new AtomicReference[Map[String, String]](Map.empty)
 
   override def command(): Command = cmd
 
@@ -62,6 +67,7 @@ class FlsRowLevelOperation(
         case f: FlsScan =>
           f.groupGranularity = true
           f.onPlanned = Some(files => replacedFiles.set(files))
+          f.onPlannedDv = Some(dvs => replacedDvs.set(dvs))
           f
         case other => other // aggregate pushdown never fires here
       }
@@ -103,7 +109,8 @@ class FlsRowLevelOperation(
     new FlsWriteBuilder(info, opts, session) {
       override def build(): Write = {
         val underlying = new FlsWrite(merged, doTruncate = false,
-          replaceFilesThunk = Some(thunk), session = session)
+          replaceFilesThunk = Some(thunk),
+          replacedDvThunk = Some(() => replacedDvs.get()), session = session)
         new org.apache.spark.sql.connector.write.Write
           with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
           override def requiredDistribution() = underlying.requiredDistribution()

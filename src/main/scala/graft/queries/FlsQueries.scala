@@ -986,6 +986,51 @@ object FlsQueries {
         CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
       FROM orders WHERE o_orderkey % 3 = 1"""
 
+  /** Merge-on-read DELETE, oracle-gated: a scattered point delete on a
+    * `delete_mode=merge-on-read` manifest table commits DELETE VECTORS
+    * (O(deleted rows) sidecar bytes) instead of rewriting straddled
+    * files; the full-table aggregate afterwards must hash-match DuckDB
+    * computing the same NOT-IN from raw parquet — proving the DV is
+    * applied at decode on every surviving row, with the metadata
+    * aggregate shortcut correctly refusing DV'd files. The GDPR shape:
+    * at 100 TB, deleting one user's rows costs kilobytes, not a
+    * file-rewrite per straddled file. */
+  def q106FlsMorDelete(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "mor_warehouse")
+    val cat = s"fls_mor_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_mor"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_mor")
+      if (!done.contains(warehouse + "@mor") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_mor_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, price DOUBLE) " +
+          "TBLPROPERTIES ('commit_mode'='manifest'," +
+          "'delete_mode'='merge-on-read')")
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice " +
+          s"FROM orders_mor_src_$key")
+        spark.sql(s"DELETE FROM $tbl " +
+          "WHERE o_orderkey IN (1, 2, 3, 32, 33, 998, 999)")
+        marker.createNewFile()
+      }
+      done += warehouse + "@mor"
+    }
+    spark.table(tbl)
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"),
+        max(col("o_orderkey")).as("maxk"))
+  }
+
+  val q106Sql: String =
+    """SELECT count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        max(o_orderkey) AS maxk
+      FROM orders WHERE o_orderkey NOT IN (1, 2, 3, 32, 33, 998, 999)"""
+
   /** Full schema-evolution lifecycle through the FlsCatalog, oracle-
     * gated: CREATE → INSERT (narrow schema) → ALTER ADD COLUMN + ALTER
     * COLUMN TYPE (INT→BIGINT widening) + RENAME COLUMN → INSERT (wide
@@ -1059,6 +1104,7 @@ object FlsQueries {
     "q95_fls_time_travel" -> (q95FlsTimeTravel _),
     "q96_fls_history_asof" -> (q96FlsHistoryAsof _),
     "q105_fls_incremental" -> (q105FlsIncremental _),
+    "q106_fls_mor_delete" -> (q106FlsMorDelete _),
     "q104_fls_schema_evolution" -> (q104FlsSchemaEvolution _),
     "q38_fls_topk" -> (q38FlsTopK _),
     "q100_fls_retention_delete" -> (q100FlsRetentionDelete _),
@@ -1091,6 +1137,7 @@ object FlsQueries {
     "q95_fls_time_travel" -> q95Sql,
     "q96_fls_history_asof" -> q96Sql,
     "q105_fls_incremental" -> q105Sql,
+    "q106_fls_mor_delete" -> q106Sql,
     "q104_fls_schema_evolution" -> q104Sql,
     "q38_fls_topk" -> q38Sql,
     "q100_fls_retention_delete" -> q100Sql,
