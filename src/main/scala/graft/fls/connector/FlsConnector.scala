@@ -253,7 +253,28 @@ class FlsTable(schema: StructType, options: CaseInsensitiveStringMap,
       org.apache.spark.sql.SparkSession.active)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
-  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_fls_file` + `_fls_pos` — the file-position row identity. Served
+    * by the scan for free (path constant + row counter); the delta
+    * (merge-on-read) row-level operations key deletes by them, and
+    * they are queryable like any metadata column
+    * (`SELECT _fls_file, count(*) FROM t GROUP BY 1`). */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = FlsVirtual.MetaFile
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "absolute path of the row's data file"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = FlsVirtual.MetaPos
+        override def dataType(): org.apache.spark.sql.types.DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "file-absolute row position"
+      })
 
   /** Historical snapshots (`VERSION AS OF` / `TIMESTAMP AS OF` /
     * `manifest_version=N`) are immutable by contract — a write routed
@@ -833,6 +854,11 @@ class FlsScan(
         }
       }
     }
+    // delta (merge-on-read) row-level ops capture the scan-time DV
+    // pointers of every planned file for the commit's conflict check
+    onPlannedDv.foreach(_(dvByFile.filter { case (f, _) =>
+      units.exists(_.file == f)
+    }))
     // TopN pruning (no filters): greedily cover n rows by best
     // boundary stat, drop groups that cannot reach the bound
     topN match {

@@ -205,6 +205,7 @@ class FlsPartitionReader(
               }
             case _ =>
               if (f.name == FlsVirtual.RowNumber || f.name == FlsVirtual.FileIndex ||
+                f.name == FlsVirtual.MetaFile || f.name == FlsVirtual.MetaPos ||
                 chunk.partitionValues.contains(f.name) || // constant from the path
                 f.nullable) null // nullable+absent: union_by_name missing column
               else throw new IllegalArgumentException(
@@ -388,7 +389,8 @@ class FlsPartitionReader(
         var fj = 0
         while (fj < nFields) {
           val f = readSchema.fields(fj)
-          if (decoded(fj) == null && f.name == FlsVirtual.RowNumber) {
+          if (decoded(fj) == null &&
+              (f.name == FlsVirtual.RowNumber || f.name == FlsVirtual.MetaPos)) {
             // virtual row numbers must carry ORIGINAL positions; the
             // batch-time synthesis assumes dense rows, so materialize
             val base = chunk.rowStarts(g)
@@ -621,10 +623,15 @@ class FlsPartitionReader(
       case (null, LongType) if field.name == FlsVirtual.FileIndex =>
         var i = 0
         while (i < len) { vec.putLong(i, chunk.fileIndex.toLong); i += 1 }
-      case (null, LongType) if field.name == FlsVirtual.RowNumber =>
+      case (null, LongType) if field.name == FlsVirtual.RowNumber ||
+          field.name == FlsVirtual.MetaPos =>
         val base = groupRowStart + start
         var i = 0
         while (i < len) { vec.putLong(i, base + i); i += 1 }
+      case (null, StringType) if field.name == FlsVirtual.MetaFile =>
+        val b = chunk.file.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < len) { vec.putByteArray(i, b, 0, b.length); i += 1 }
       case (null, _) =>
         // column absent from this file (union_by_name) → NULLs
         vec.putNulls(0, len)
@@ -834,6 +841,12 @@ object FlsVirtual {
     * options of the same name. */
   val RowNumber = "file_row_number"
   val FileIndex = "file_index"
+  /** METADATA columns (SupportsMetadataColumns — always available, no
+    * option needed): the file's absolute path and the file-absolute
+    * row position. Together they are the ROW ID the delta (merge-on-
+    * read) row-level operations key deletes/updates by. */
+  val MetaFile = "_fls_file"
+  val MetaPos = "_fls_pos"
 
   /** `array_size=v,w` surfaces virtual `v_size`/`w_size` BIGINT columns
     * carrying each row's element count. Spark cannot push `size(col)`

@@ -186,6 +186,24 @@ class FlsRowLevelOperationBuilder(
     tableOptions: CaseInsensitiveStringMap,
     session: org.apache.spark.sql.SparkSession =
       org.apache.spark.sql.SparkSession.active) extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
-    new FlsRowLevelOperation(info.command(), tableSchema, tableOptions, session)
+  /** Per-command mode knobs (Iceberg's write.<op>.mode shape):
+    * `delete_mode` / `update_mode` / `merge_mode`, each
+    * 'copy-on-write' (default — the group-based rewrite above) or
+    * 'merge-on-read' (the delta operation: delete vectors + appended
+    * rows, [[FlsDeltaOperation]]). `delete_mode` is shared with the
+    * SupportsDelete path, so one knob governs BOTH delete legs. */
+  override def build(): RowLevelOperation = {
+    val knob = info.command() match {
+      case Command.DELETE => "delete_mode"
+      case Command.UPDATE => "update_mode"
+      case Command.MERGE => "merge_mode"
+    }
+    val mode = Option(tableOptions.get(knob)).getOrElse("copy-on-write")
+    require(mode == "copy-on-write" || mode == "merge-on-read",
+      s"fls: $knob must be 'copy-on-write' or 'merge-on-read', got '$mode'")
+    if (mode == "merge-on-read")
+      new FlsDeltaOperation(info.command(), tableSchema, tableOptions, session)
+    else
+      new FlsRowLevelOperation(info.command(), tableSchema, tableOptions, session)
+  }
 }

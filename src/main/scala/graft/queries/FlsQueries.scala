@@ -1031,6 +1031,115 @@ object FlsQueries {
         max(o_orderkey) AS maxk
       FROM orders WHERE o_orderkey NOT IN (1, 2, 3, 32, 33, 998, 999)"""
 
+  /** Merge-on-read UPDATE (delta row-level op), oracle-gated: with
+    * `update_mode=merge-on-read`, updating a scattered subset commits a
+    * delete vector + a tiny appended file per touched source file — no
+    * rewrites (the SupportsDelta path, keyed by the `_fls_file`/
+    * `_fls_pos` metadata-column row identity). The post-update
+    * aggregate must hash-match DuckDB computing the equivalent CASE
+    * from raw parquet. At 100 TB: a one-row correction costs kilobytes
+    * instead of a file rewrite. */
+  def q107FlsMorUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "morupd_warehouse")
+    val cat = s"fls_morupd_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_morupd"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_morupd")
+      if (!done.contains(warehouse + "@morupd") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_morupd_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, price DOUBLE) " +
+          "TBLPROPERTIES ('commit_mode'='manifest'," +
+          "'update_mode'='merge-on-read')")
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice " +
+          s"FROM orders_morupd_src_$key")
+        spark.sql(s"UPDATE $tbl SET price = price + 1000 " +
+          "WHERE o_orderkey % 1000 = 1")
+        marker.createNewFile()
+      }
+      done += warehouse + "@morupd"
+    }
+    spark.table(tbl)
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"),
+        sum(col("o_orderkey")).as("sumk"))
+  }
+
+  val q107Sql: String =
+    """SELECT count(*) AS n,
+        CAST(sum(CAST(CASE WHEN o_orderkey % 1000 = 1
+                           THEN o_totalprice + 1000
+                           ELSE o_totalprice END AS DECIMAL(25,6)))
+             AS DOUBLE) AS total,
+        CAST(sum(o_orderkey) AS BIGINT) AS sumk
+      FROM orders"""
+
+  /** Merge-on-read MERGE (delta row-level op), oracle-gated: with
+    * `merge_mode=merge-on-read`, an upsert MERGE commits delete
+    * vectors for the matched rows plus appended files carrying the
+    * updated + inserted rows — the corrected rows land as deltas, the
+    * untouched 99% of the table is never rewritten. Mirrors q103 (the
+    * copy-on-write MERGE gate) so the two modes are proven equivalent
+    * against the same DuckDB CASE/UNION oracle shape. */
+  def q108FlsMorMerge(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "mormrg_warehouse")
+    val cat = s"fls_mormrg_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_mormrg"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_mormrg")
+      if (!done.contains(warehouse + "@mormrg") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_mormrg_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, price DOUBLE, " +
+          "prio STRING) TBLPROPERTIES ('commit_mode'='manifest'," +
+          "'merge_mode'='merge-on-read')")
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, " +
+          s"o_orderpriority FROM orders_mormrg_src_$key")
+        spark.sql(
+          s"""MERGE INTO $tbl t USING (
+                SELECT o_orderkey AS k, o_totalprice
+                FROM orders_mormrg_src_$key WHERE o_orderkey % 97 = 0
+                UNION ALL
+                SELECT -o_orderkey - 1, o_totalprice
+                FROM orders_mormrg_src_$key WHERE o_orderkey % 997 = 0
+              ) s ON t.o_orderkey = s.k
+              WHEN MATCHED THEN UPDATE SET t.prio = 'CORRECTED'
+              WHEN NOT MATCHED THEN INSERT (o_orderkey, price, prio)
+                VALUES (s.k, s.o_totalprice, 'BACKFILL')""")
+        marker.createNewFile()
+      }
+      done += warehouse + "@mormrg"
+    }
+    spark.table(tbl)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"),
+        sum(col("o_orderkey")).as("sumk"))
+      .orderBy("prio")
+  }
+
+  val q108Sql: String =
+    """WITH base AS (
+        SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'CORRECTED'
+                    ELSE o_orderpriority END AS prio,
+               o_totalprice AS price, o_orderkey
+        FROM orders
+        UNION ALL
+        SELECT 'BACKFILL', o_totalprice, -o_orderkey - 1
+        FROM orders WHERE o_orderkey % 997 = 0)
+      SELECT prio, count(*) AS n,
+        CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        CAST(sum(o_orderkey) AS BIGINT) AS sumk
+      FROM base GROUP BY prio ORDER BY prio"""
+
   /** Full schema-evolution lifecycle through the FlsCatalog, oracle-
     * gated: CREATE → INSERT (narrow schema) → ALTER ADD COLUMN + ALTER
     * COLUMN TYPE (INT→BIGINT widening) + RENAME COLUMN → INSERT (wide
@@ -1105,6 +1214,8 @@ object FlsQueries {
     "q96_fls_history_asof" -> (q96FlsHistoryAsof _),
     "q105_fls_incremental" -> (q105FlsIncremental _),
     "q106_fls_mor_delete" -> (q106FlsMorDelete _),
+    "q107_fls_mor_update" -> (q107FlsMorUpdate _),
+    "q108_fls_mor_merge" -> (q108FlsMorMerge _),
     "q104_fls_schema_evolution" -> (q104FlsSchemaEvolution _),
     "q38_fls_topk" -> (q38FlsTopK _),
     "q100_fls_retention_delete" -> (q100FlsRetentionDelete _),
@@ -1138,6 +1249,8 @@ object FlsQueries {
     "q96_fls_history_asof" -> q96Sql,
     "q105_fls_incremental" -> q105Sql,
     "q106_fls_mor_delete" -> q106Sql,
+    "q107_fls_mor_update" -> q107Sql,
+    "q108_fls_mor_merge" -> q108Sql,
     "q104_fls_schema_evolution" -> q104Sql,
     "q38_fls_topk" -> q38Sql,
     "q100_fls_retention_delete" -> q100Sql,
