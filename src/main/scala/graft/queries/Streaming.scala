@@ -134,44 +134,91 @@ object Streaming {
       ORDER BY user_id, session_idx"""
 
   case class UserAgg(user_id: Long, n_events: Long, sum_value_micros: Long)
+  /** q35 per-user accumulator held in stream state: running totals plus
+    * the latest event time seen, which anchors the inactivity TTL. */
+  case class UserAggState(n_events: Long, sum_value_micros: Long,
+      last_ts_us: Long)
+  /** q35 stream row: key, exact-micros value, event time, and the
+    * watermarked timestamp (must reach the stateful operator for
+    * event-time timeouts to resolve). */
+  case class EvV(user_id: Long, vmic: Long, ts_us: Long,
+      ts_wm: java.sql.Timestamp)
 
-  /** q35: stateful streaming with mapGroupsWithState — per-user running
-    * totals. With Trigger.AvailableNow the stream drains and each
-    * group's final state is emitted once (update mode), so the batch
-    * GROUP BY oracle is exact. `value` sums as exact micros (×1e6
-    * round) to stay order-independent. */
+  /** The q35 state-transition function, shared with the timeout spec:
+    * on DATA, fold the batch into the user's running totals and re-arm
+    * an event-time timeout at `last_seen + horizon` — the inactivity
+    * TTL. On TIMEOUT, emit the finalized totals and REMOVE the state:
+    * a user quiet for `horizon` of event time is closed out and their
+    * state evicted, so state is bounded by ACTIVE users, never by the
+    * key domain (the r12 NoTimeout version held every user id ever
+    * seen, forever). Sentinel/negative user ids carry no state and emit
+    * nothing. A user who speaks again after finalizing starts a fresh
+    * accumulator — the TTL contract, sized by the caller. */
+  def userAggFn(horizonUs: Long)(
+      uid: Long, it: Iterator[EvV],
+      state: org.apache.spark.sql.streaming.GroupState[UserAggState]): Iterator[UserAgg] = {
+    if (state.hasTimedOut) {
+      val fin = state.get
+      state.remove()
+      Iterator.single(UserAgg(uid, fin.n_events, fin.sum_value_micros))
+    } else if (uid < 0) Iterator.empty // watermark-advancing sentinel
+    else {
+      var (n, s, last) = state.getOption match {
+        case Some(p) => (p.n_events, p.sum_value_micros, p.last_ts_us)
+        case None => (0L, 0L, Long.MinValue)
+      }
+      it.foreach { e => n += 1; s += e.vmic; if (e.ts_us > last) last = e.ts_us }
+      state.update(UserAggState(n, s, last))
+      // strictly past last+horizon (ceil to ms): fires only when the
+      // watermark proves the user has been quiet a full horizon
+      state.setTimeoutTimestamp((last + horizonUs) / 1000 + 1)
+      Iterator.empty
+    }
+  }
+
+  /** q35: stateful streaming per-user running totals via
+    * flatMapGroupsWithState with EVENT-TIME TIMEOUT ([[userAggFn]]) —
+    * each user's totals finalize (emit once, state evicted) after a
+    * `horizon` of event-time inactivity, so state stays bounded on an
+    * unbounded key stream. For the exact batch-GROUP-BY oracle the
+    * horizon is sized past the table's full event-time span (no user
+    * can finalize early → totals are complete), and the sentinel stream
+    * ([[sentinelStream]]) drives the final watermark past every
+    * timeout so AvailableNow's trailing batch drains all held state.
+    * In production the horizon is the business TTL (e.g. 30 days) and
+    * re-appearing users simply open a new accumulator. `value` sums as
+    * exact micros (×1e6 round) to stay order-independent. */
   def q35StreamState(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val updates = eventsStream(spark, dir)
-      .selectExpr("user_id", "CAST(round(value * 1000000) AS BIGINT) AS vmic")
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[(Long, Long)],
-         state: org.apache.spark.sql.streaming.GroupState[UserAgg]) =>
-          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0L))
-          var n = prev.n_events
-          var s = prev.sum_value_micros
-          it.foreach { case (_, v) => n += 1; s += v }
-          val cur = UserAgg(uid, n, s)
-          state.update(cur)
-          cur
+    val ev = events(spark, dir)
+    // bounded fixture scan: the span sizes the TTL for oracle exactness
+    val row = ev.agg(min(tsMicros(ev)), max(tsMicros(ev))).collect()(0)
+    val hourUs = 3600L * 1000 * 1000
+    val horizonUs = (row.getLong(1) - row.getLong(0)) + hourUs
+    val stream = eventsStream(spark, dir)
+    val unioned = stream.unionByName(
+      sentinelStream(spark, dir, horizonUs + hourUs))
+    val fn = userAggFn(horizonUs) _
+    val finals = unioned
+      .select(col("user_id"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("vmic"),
+        tsMicros(unioned).as("ts_us"),
+        timestamp_micros(tsMicros(unioned)).as("ts_wm"))
+      .withWatermark("ts_wm", "0 seconds")
+      .as[EvV]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[EvV],
+         state: org.apache.spark.sql.streaming.GroupState[UserAggState]) =>
+          fn(uid, it, state)
       }
     val name = s"q35mem${memSeq.incrementAndGet()}"
-    val q = updates.writeStream.format("memory").queryName(name)
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    val q = finals.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // AvailableNow may run several micro-batches; the LAST update per
-    // user is the final state
-    // n_events strictly grows per update → lexicographic struct max
-    // selects the final state even if sums could decrease
-    spark.table(name)
-      .groupBy("user_id")
-      .agg(max(struct(col("n_events"), col("sum_value_micros"))).as("fin"))
-      .select(col("user_id"), col("fin.n_events").as("n_events"),
-        col("fin.sum_value_micros").as("sum_value_micros"))
-      .orderBy("user_id")
+    spark.table(name).orderBy("user_id")
   }
 
   val q35Sql: String =
@@ -239,7 +286,9 @@ object Streaming {
   private def sentinelStream(spark: SparkSession, dir: String,
       aheadUs: Long): DataFrame = {
     val ev = events(spark, dir)
-    val out = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_sentinel"
+    // keyed by aheadUs: callers need different horizons (q35's TTL spans
+    // the table; q37's is one session gap) and the fixture is cached
+    val out = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_sentinel_$aheadUs"
     synchronized {
       if (!new java.io.File(s"$out/_SUCCESS").exists()) {
         val mx = ev.agg(max(tsMicros(ev))).collect()(0).getLong(0)

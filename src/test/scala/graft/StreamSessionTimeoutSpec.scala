@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.queries.Streaming.{Ev, EvW, OpenSession, sessionizeFn}
+import graft.queries.Streaming.{Ev, EvV, EvW, OpenSession, UserAgg, UserAggState, sessionizeFn, userAggFn}
 
 /** Streaming-session STATE HYGIENE: q37's `sessionizeFn` under
   * EventTimeTimeout must EVICT a user's open-session state once the
@@ -94,6 +94,61 @@ class StreamSessionTimeoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       // the open tail never double-emits a closed session
       assert(spark.table("sess_timeout")
         .filter("user_id = 2").count() == 1)
+    } finally q.stop()
+  }
+
+  test("q35 inactivity TTL finalizes totals once and evicts user state") {
+    val s0 = spark
+    import s0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val horizon = gapUs // 30-min inactivity TTL for the test
+    val fn = userAggFn(horizon) _
+    val totals = input.toDS()
+      // value = event_id micros: deterministic, distinct per event
+      .select(col("user_id"), (col("event_id") * 1000000L).as("vmic"),
+        col("ts_us"), timestamp_micros(col("ts_us")).as("ts_wm"))
+      .as[EvV]
+      .withWatermark("ts_wm", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[EvV],
+         state: org.apache.spark.sql.streaming.GroupState[UserAggState]) =>
+          fn(uid, it, state)
+      }
+    val q = totals.writeStream.format("memory").queryName("agg_timeout")
+      .outputMode("append").start()
+    try {
+      def stateRows: Long =
+        q.lastProgress.stateOperators.apply(0).numRowsTotal
+
+      // batch 1: two users accumulate — nothing emits, both hold state
+      input.addData(Ev(1, 1, us(0)), Ev(1, 2, us(5)), Ev(2, 7, us(3)))
+      q.processAllAvailable()
+      assert(spark.table("agg_timeout").count() == 0,
+        "totals must not emit before the TTL")
+      assert(stateRows == 2, s"both users hold state, got $stateRows")
+
+      // batch 2 advances user 1 and the watermark far past user 2's
+      // TTL (3min + 30min < 65min); the nudge batch fires the timer
+      input.addData(Ev(1, 3, us(65)))
+      q.processAllAvailable()
+      input.addData(Ev(1, 4, us(66)))
+      q.processAllAvailable()
+
+      val emitted = spark.table("agg_timeout")
+        .select("user_id", "n_events", "sum_value_micros").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(emitted.contains((2L, 1L, 7000000L)),
+        s"user 2's totals must finalize on timeout, got $emitted")
+      // EVICTION: user 2 is gone; only user 1's live accumulator remains
+      assert(stateRows == 1,
+        s"state must drop to the single active user, got $stateRows")
+      assert(spark.table("agg_timeout").filter("user_id = 2").count() == 1,
+        "finalized totals emit exactly once")
+      // user 1 never finalized: their TTL keeps re-arming while active
+      assert(spark.table("agg_timeout").filter("user_id = 1").count() == 0)
     } finally q.stop()
   }
 }
