@@ -19,9 +19,16 @@ import graft.fls.Format._
   *
   * Compact JSON, one line, no tabs (manifest field constraint):
   * {{{ {"r":<rows>,"c":{"<col>":{"t":[tag,prec,scale],"l":[min,max]}
-  *                     |{"t":[...],"d":[min,max]}, ...}} }}}
-  * `l` = long (physical) bounds, `d` = double bounds. Strings and list
-  * element counts are footer-only (v1 scope).
+  *                     |{"t":[...],"d":[min,max]}
+  *                     |{"t":[...],"b":[b64min,b64max]}, ...}} }}}
+  * `l` = long (physical) bounds, `d` = double bounds, `b` = base64
+  * byte-PREFIX bounds for STRING columns (the footers' truncated
+  * Iceberg/parquet-style bounds — truncated maxima already increment
+  * their last byte at encode time, so lex-min of mins / lex-max of
+  * maxes stays a valid file-level bound). String keys are the most
+  * common `cluster_by` choice in LLM corpora (lang, id prefix); without
+  * `b` a cold driver cannot skip a single file on them. List element
+  * counts remain footer-only (v1 scope).
   *
   * Evaluation builds a synthetic one-row-group [[Format.TableDesc]] and
   * reuses [[graft.fls.connector.FlsZoneMap]] verbatim — one pruning
@@ -87,6 +94,20 @@ object FlsFileStats {
             cols += c.name -> JObject(List("t" -> tArr,
               "d" -> JArray(List(JDouble(mn), JDouble(mx)))))
         }
+      } else if (c.colType.tag == TypeTag.STRING &&
+          t.rowGroups.forall(_.segments(i).hasByteStats)) {
+        // byte-prefix bounds (already ≤16B truncated, upper-incremented
+        // at encode time): selecting among valid row-group bounds keeps
+        // a valid file bound, no re-truncation needed
+        val segs = t.rowGroups.map(_.segments(i))
+        val tArr = JArray(List(JInt(c.colType.tag), JInt(c.colType.precision),
+          JInt(c.colType.scale)))
+        val mn = segs.map(_.minBytes).reduce((a, b) => if (cmpBytes(a, b) <= 0) a else b)
+        val mx = segs.map(_.maxBytes).reduce((a, b) => if (cmpBytes(a, b) >= 0) a else b)
+        val b64 = java.util.Base64.getEncoder
+        cols += c.name -> JObject(List("t" -> tArr,
+          "b" -> JArray(List(JString(b64.encodeToString(mn)),
+            JString(b64.encodeToString(mx))))))
       }
       i += 1
     }
@@ -129,7 +150,19 @@ object FlsFileStats {
                 segs += SegmentDesc(0, 0L, 0L, hasStats = true,
                   minLong = 0L, maxLong = 0L,
                   minDouble = dbl(mn), maxDouble = dbl(mx))
-              case _ => return None
+              case _ => v \ "b" match {
+                case JArray(List(JString(mn), JString(mx))) =>
+                  val b64 = java.util.Base64.getDecoder
+                  // hasStats=false: `b` bounds serve ONLY the zone-map
+                  // pruning path; the CBO/metadata-agg paths key off
+                  // hasStats and must never read these as value stats
+                  cols += ColumnDesc(name, t)
+                  segs += SegmentDesc(0, 0L, 0L, hasStats = false,
+                    minLong = 0L, maxLong = 0L,
+                    minDouble = 0.0, maxDouble = 0.0,
+                    minBytes = b64.decode(mn), maxBytes = b64.decode(mx))
+                case _ => return None
+              }
             }
           }
         }
@@ -138,6 +171,18 @@ object FlsFileStats {
       val n = math.min(rows, Int.MaxValue.toLong).toInt
       Some(TableDesc(cols.toArray, Array(RowGroupDesc(n, segs.toArray))))
     } catch { case _: Exception => None }
+  }
+
+  /** Unsigned-lexicographic compare (UTF8String / DuckDB string order). */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xFF) - (b(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
   }
 
   private def num(v: JValue): Long = v match {

@@ -105,6 +105,65 @@ class FlsManifestStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       == (0L until 800L).sum)
   }
 
+  test("string bounds prune files cold — cluster_by-style string key") {
+    val dir = Files.createTempDirectory("fls-mstats-s").toString
+    val s0 = spark
+    import s0.implicits._
+    // 8 single-file appends with DISJOINT string-key ranges — the shape
+    // a string cluster_by (lang, id prefix) produces
+    (0 until 8).foreach { i =>
+      (0 until 100).map(j => (f"k$i%02d_$j%03d", j.toLong)).toDF("k", "v")
+        .coalesce(1).write.format("fls")
+        .mode(if (i == 0) "overwrite" else "append")
+        .option("commit_mode", "manifest").save(dir)
+    }
+    // manifests carry `b` bounds for the string column
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val entries = FlsManifest.read(p.getFileSystem(conf), p)
+      .getOrElse(fail("no manifest"))
+    entries.foreach { e =>
+      val d = FlsFileStats.toDesc(e.stats).getOrElse(fail(s"garbled: ${e.stats}"))
+      assert(d.columns.exists(_.name == "k"), "string column must carry bounds")
+      val seg = d.rowGroups(0).segments(d.columns.indexWhere(_.name == "k"))
+      assert(seg.hasByteStats && !seg.hasStats,
+        "string bounds are pruning-only: never numeric stats")
+    }
+    // COLD range scan on the string key: one survivor + schema inference
+    FlsFooters.clear()
+    val before = FlsFooters.footerReadCount
+    val rows = spark.read.format("fls").load(dir)
+      .filter("k >= 'k03_' AND k < 'k04_'").collect()
+    assert(rows.length == 100, "pruning must never drop matching rows")
+    val opened = FlsFooters.footerReadCount - before
+    assert(opened <= 2, s"expected <=2 footer reads (schema + survivor), got $opened")
+    // cold string equality prunes the same way
+    FlsFooters.clear()
+    val b2 = FlsFooters.footerReadCount
+    val one = spark.read.format("fls").load(dir).filter("k = 'k05_007'").collect()
+    assert(one.length == 1 && one(0).getString(0) == "k05_007")
+    assert(FlsFooters.footerReadCount - b2 <= 2,
+      s"equality must prune cold, got ${FlsFooters.footerReadCount - b2}")
+  }
+
+  test("truncated string bounds stay conservative at the file level") {
+    // 17+-byte strings truncate to 16-byte prefixes (upper increments):
+    // pruning must keep the file whenever a match is possible
+    val dir = Files.createTempDirectory("fls-mstats-t").toString
+    val s0 = spark
+    import s0.implicits._
+    Seq(("aaaaaaaaaaaaaaaaZZ", 1L), ("aaaaaaaaaaaaaaaa__tail", 2L))
+      .toDF("k", "v").coalesce(1).write.format("fls")
+      .mode("overwrite").option("commit_mode", "manifest").save(dir)
+    // both rows share the 16-byte prefix; bounds are [prefix, prefix+1)
+    val hit = spark.read.format("fls").load(dir)
+      .filter("k = 'aaaaaaaaaaaaaaaaZZ'").collect()
+    assert(hit.length == 1 && hit(0).getLong(1) == 1L)
+    val miss = spark.read.format("fls").load(dir)
+      .filter("k = 'zzzzzzzzzzzzzzzzzz'").collect()
+    assert(miss.isEmpty)
+  }
+
   test("double stats prune too; non-finite bounds are footer-only") {
     val dir = Files.createTempDirectory("fls-mstats-d").toString
     val s0 = spark
