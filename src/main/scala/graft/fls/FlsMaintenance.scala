@@ -246,6 +246,54 @@ object FlsMaintenance {
       FlsManifest.read(fs, root).map(_.length).getOrElse(0), rows)
   }
 
+  final case class RollbackStats(fromVersion: Long, restoredVersion: Long,
+      newVersion: Long, files: Int)
+
+  /** Restore the table head to a RETAINED historical version's entry
+    * set — the recovery move after a bad commit (wrong overwrite, buggy
+    * MERGE). One metadata-only CAS republish: the target version's
+    * entries become a NEW head version, so history is preserved (the
+    * bad commit stays visible to `.history` / `VERSION AS OF` forensics)
+    * and vacuum semantics are untouched — within the retention window
+    * every retained version's data files AND delete-vector sidecars are
+    * still vouched on disk ([[vacuum]] honors all retained versions), so
+    * no data moves or rewrites happen. Past the window the target
+    * manifest is gone and this refuses loudly: recovering then means a
+    * rewrite from a backup, not a pointer flip. Refuses if the head
+    * advanced mid-rollback (a racing commit would be silently undone). */
+  def rollback(spark: SparkSession, dir: String, toVersion: Long): RollbackStats = {
+    require(toVersion >= 0, s"fls rollback: version must be >= 0, got $toVersion")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val (headV, headEntries) = FlsManifest.readVersioned(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"fls rollback: $dir has no manifest — rollback needs a " +
+          "commit_mode=manifest table"))
+    require(toVersion <= headV,
+      s"fls rollback: target version $toVersion is newer than the head v$headV")
+    if (toVersion == headV)
+      return RollbackStats(headV, toVersion, headV, headEntries.length)
+    val target =
+      try FlsManifest.readVersion(fs, root, toVersion)
+      catch {
+        case _: java.io.FileNotFoundException => throw new IllegalArgumentException(
+          s"fls rollback: version $toVersion of $dir is not retained — " +
+            "rollback can only target the retention window (older state " +
+            "needs a restore from backup / a rewrite, its files may be " +
+            "vacuumed)")
+      }
+    val newV = FlsManifest.commit(fs, root,
+      java.util.UUID.randomUUID().toString, conf) { (curV, _) =>
+      if (curV != headV) throw new java.util.ConcurrentModificationException(
+        s"fls rollback: the table advanced to v$curV while rolling back to " +
+          s"v$toVersion (decision was made against head v$headV) — " +
+          "re-inspect the new head and retry")
+      target
+    }
+    RollbackStats(headV, toVersion, newV, target.length)
+  }
+
   final case class VacuumStats(deleted: Int, bytes: Long)
 
   /** Physically remove files a MANIFEST table does not vouch for —

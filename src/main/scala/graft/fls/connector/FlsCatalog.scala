@@ -96,6 +96,13 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
   override def name(): String = catalogName
   private def fs: FileSystem = root.getFileSystem(conf)
 
+  /** Column DEFAULTs are supported: stored in field metadata
+    * (CURRENT_DEFAULT for new INSERTs — Spark materializes it at write
+    * analysis; EXISTS_DEFAULT for rows predating the column — the scan
+    * serves it at decode, [[FlsPartitionReader]]). */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def nsDir(namespace: Array[String]): Path =
     namespace.foldLeft(root)((d, n) => new Path(d, n))
   private def tableDir(ident: Identifier): Path =
@@ -118,7 +125,7 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
       case None =>
         // `SELECT * FROM cat.ns.t.history` parses as ident(ns :+ t,
         // "history") — serve the metadata table when ns :+ t IS a table
-        historyFor(ident).getOrElse(throw new NoSuchTableException(ident))
+        metadataFor(ident).getOrElse(throw new NoSuchTableException(ident))
     }
   }
 
@@ -136,14 +143,19 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
     new FlsTable(meta.schema, new CaseInsensitiveStringMap(opts))
   }
 
-  private def historyFor(ident: Identifier): Option[Table] =
-    if (ident.name != "history" || ident.namespace.isEmpty) None
+  /** Metadata tables: `t.history` (one row per retained version) and
+    * `t.files` (one row per live file — the DV-era operational view). */
+  private def metadataFor(ident: Identifier): Option[Table] =
+    if ((ident.name != "history" && ident.name != "files") ||
+        ident.namespace.isEmpty) None
     else {
       val parent = Identifier.of(ident.namespace.dropRight(1),
         ident.namespace.last)
       val dir = tableDir(parent)
       if (FlsTableMeta.read(fs, dir).isEmpty) None
-      else Some(new FlsHistoryTable(s"$catalogName.${parent}", dir, conf))
+      else if (ident.name == "history")
+        Some(new FlsHistoryTable(s"$catalogName.${parent}", dir, conf))
+      else Some(new FlsFilesTable(s"$catalogName.${parent}", dir, conf))
     }
 
   /** `SELECT ... FROM t VERSION AS OF <v>` — a pinned read of manifest
@@ -267,16 +279,30 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
         s"fls: column name '$name' was previously dropped from ${ident} — " +
           "old files still store it and a name-bound scan would resurrect " +
           "their values; pick a new name or compact the table first")
-      require(add.isNullable,
-        s"fls: added column '$name' must be nullable — rows written before " +
-          "the ALTER have no value for it and read as NULL")
+      require(add.isNullable || add.defaultValue() != null,
+        s"fls: added column '$name' must be nullable or carry a DEFAULT — " +
+          "rows written before the ALTER have no value for it")
       require(add.position() == null,
         "fls: ADD COLUMN ... FIRST/AFTER is not supported — columns append")
       ColumnType.fromSpark(add.dataType) // must be representable
-      val field = StructField(name, add.dataType, nullable = true,
-        metadata = Option(add.comment())
-          .map(c => new MetadataBuilder().putString("comment", c).build())
-          .getOrElse(Metadata.empty))
+      val mb = new MetadataBuilder()
+      Option(add.comment()).foreach(c => mb.putString("comment", c))
+      Option(add.defaultValue()).foreach { dv =>
+        // the analyzed constant (already cast to the column type by
+        // Spark) is FROZEN as the backfill value: rows predating the
+        // column serve it at decode forever, even if the CURRENT
+        // default later changes (standard exists-vs-current contract)
+        require(FlsDefaults.fillable(add.dataType),
+          s"fls: DEFAULT on '$name' needs a scalar type the scan can " +
+            s"serve constantly, got ${add.dataType.simpleString}")
+        val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+          dv.getValue.value, dv.getValue.dataType)
+        mb.putString(graft.fls.connector.FlsDefaults.ExistsKey, lit.sql)
+        mb.putString(graft.fls.connector.FlsDefaults.CurrentKey,
+          Option(dv.getSql).getOrElse(lit.sql))
+      }
+      val field = StructField(name, add.dataType,
+        nullable = add.isNullable, metadata = mb.build())
       // appended AFTER data columns but BEFORE partition columns, so the
       // schema keeps Spark's data-then-partition convention
       val (dataF, partF) = m.schema.fields.partition(f => !m.partitionBy.contains(f.name))
@@ -359,6 +385,27 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
         m.copy(schema = StructType(m.schema.fields.patch(idx, Nil, 1)),
           properties = m.properties + (DroppedKey -> tomb))
       }
+
+    case upd: TableChange.UpdateColumnDefaultValue =>
+      // SET/DROP DEFAULT changes only the CURRENT default (what future
+      // INSERTs fill in) — the frozen EXISTS default keeps serving rows
+      // that predate the column, the standard exists-vs-current split
+      require(upd.fieldNames.length == 1,
+        "fls: ALTER COLUMN SET DEFAULT supports top-level columns only")
+      val name = upd.fieldNames()(0)
+      val idx = m.schema.fieldNames.indexOf(name)
+      require(idx >= 0, s"fls: no column '$name' in ${ident}")
+      val fields = m.schema.fields.clone()
+      val old = fields(idx)
+      val newDefault = Option(upd.newCurrentDefault()).map(_.getSql)
+        .filter(s => s != null && s.nonEmpty)
+      val mb = new MetadataBuilder().withMetadata(old.metadata)
+      newDefault match {
+        case Some(sql) => mb.putString(FlsDefaults.CurrentKey, sql)
+        case None => mb.remove(FlsDefaults.CurrentKey)
+      }
+      fields(idx) = old.copy(metadata = mb.build())
+      m.copy(schema = StructType(fields))
 
     case set: TableChange.SetProperty =>
       m.copy(properties = m.properties + (set.property() -> set.value()))

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit, not}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.fls.{FlsFile, FlsFileWriter, FlsFooters, FlsManifest, Format}
@@ -230,6 +230,22 @@ object FlsDelete {
       schema.fields.filterNot(f => disc.keys.contains(f.name)).toSeq
     }
 
+    /** The rewrite scans must read raw file paths under the TABLE's
+      * declared data schema, not the files' own union bind: a predicate
+      * on a column ADDED after a target file was written (nullable →
+      * NULL, or DEFAULT → the frozen exists-default) would otherwise
+      * fail to resolve against the file-derived schema. `withVirtuals`
+      * appends the row-identity columns the DV paths project (explicit
+      * schemas bypass inferSchema, where options normally add them). */
+    def readSchema(files: Seq[Path], withVirtuals: Boolean): StructType = {
+      val base = dataFields(files)
+      StructType(
+        if (!withVirtuals) base
+        else base :+
+          StructField(FlsVirtual.RowNumber, LongType, nullable = false) :+
+          StructField(FlsVirtual.FileIndex, LongType, nullable = false))
+    }
+
     /** Schema-only file so an emptied table still reads (same contract
       * as an empty write). */
     def writeSchemaOnly(files: Seq[Path]): Path = {
@@ -250,11 +266,14 @@ object FlsDelete {
         dvOf: Map[String, String] = Map.empty): Unit = {
       val live =
         if (!targets.exists(t => dvOf.contains(t.toString)))
-          spark.read.format("fls").load(targets.map(_.toString): _*)
+          spark.read.format("fls")
+            .schema(readSchema(targets, withVirtuals = false))
+            .load(targets.map(_.toString): _*)
             .filter(survivors)
         else {
           val df = spark.read.format("fls")
             .option("file_row_number", "true").option("file_index", "true")
+            .schema(readSchema(targets, withVirtuals = true))
             .load(targets.map(_.toString): _*)
           val deadRows = targets.zipWithIndex.flatMap { case (t, i) =>
             dvOf.get(t.toString).toSeq.flatMap(dv =>
@@ -295,6 +314,7 @@ object FlsDelete {
           val writeId = UUID.randomUUID().toString
           val matched = spark.read.format("fls")
             .option("file_row_number", "true").option("file_index", "true")
+            .schema(readSchema(rewriteTargets, withVirtuals = true))
             .load(rewriteTargets.map(_.toString): _*)
             .filter(p0.matches)
             .select(col(FlsVirtual.FileIndex), col(FlsVirtual.RowNumber))

@@ -1,0 +1,95 @@
+package graft.fls.connector
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.fls.{FlsFileStats, FlsManifest}
+
+/** `SELECT * FROM <catalog>.<ns>.<table>.files` — one row per LIVE data
+  * file of the newest manifest version: the operational questions a
+  * DV-era table raises ("which files carry delete vectors?", "how big
+  * are my partitions?", "what did the last compaction leave behind?")
+  * answered from SQL. Modeled on Iceberg's `.files` metadata table;
+  * sibling of [[FlsHistoryTable]].
+  *
+  * Served as a [[LocalScan]] like `.history`: the manifest already
+  * carries every column here (rel, length, stats JSON), so the result
+  * is O(live files) driver-side rows from ONE manifest read — no
+  * executor jobs, no footer opens. At a million files that is a ~100 MB
+  * driver materialization, the same order as planning the table at all;
+  * tables beyond that operate partition-subsetted anyway.
+  *
+  * `n_rows` is null for entries predating manifest stats. `partition`
+  * is the hive-style subdirectory of the file (null for flat tables) —
+  * `GROUP BY partition` is the partition-size report. `version_added`
+  * is the earliest RETAINED version naming the file (files older than
+  * the retention window report the oldest retained version that still
+  * vouches them — manifests before it are GC'd). */
+class FlsFilesTable(tableName: String, dir: Path, conf: Configuration)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"$tableName.files"
+  override def schema(): StructType = FlsFilesTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = FlsFilesTable.Schema
+        override def rows(): Array[InternalRow] =
+          FlsManifest.readVersioned(dir.getFileSystem(conf), dir) match {
+            case None => Array.empty
+            case Some((headV, entries)) => build(headV, entries)
+          }
+        private def build(headV: Long,
+            entries: Seq[FlsManifest.Entry]): Array[InternalRow] = {
+          val fs = dir.getFileSystem(conf)
+          // earliest retained version naming each live rel — O(retained
+          // versions) small manifest reads, oldest first so the first
+          // sighting wins
+          val firstSeen = scala.collection.mutable.HashMap[String, Long]()
+          FlsManifest.versionsWithTimes(fs, dir).foreach { case (v, _) =>
+            val es =
+              if (v == headV) entries
+              else try FlsManifest.readVersion(fs, dir, v)
+              catch { case _: java.io.FileNotFoundException => Nil } // GC race
+            es.foreach(e => firstSeen.getOrElseUpdate(e.rel, v))
+          }
+          entries.sortBy(_.rel).map { e =>
+            val dv = FlsFileStats.dvOf(e.stats)
+            val nRows: Any = Option(e.stats).flatMap(FlsFileStats.toDesc)
+              .map(_.numRows).orNull
+            val slash = e.rel.lastIndexOf('/')
+            val partition: Any =
+              if (slash < 0) null else UTF8String.fromString(e.rel.substring(0, slash))
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(e.rel), e.length, nRows, partition,
+              dv.isDefined, dv.map(UTF8String.fromString).orNull,
+              firstSeen.getOrElse(e.rel, headV)))
+          }.toArray
+        }
+        override def description(): String = s"FlsFiles ${dir}"
+      }
+    }
+}
+
+object FlsFilesTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("partition", StringType, nullable = true),
+    StructField("has_dv", BooleanType, nullable = false),
+    StructField("dv_file", StringType, nullable = true),
+    StructField("version_added", LongType, nullable = false)))
+}

@@ -106,6 +106,15 @@ class FlsPartitionReader(
     readSchema.fields.map(f => new OnHeapColumnVector(BatchSize, f.dataType))
   private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
 
+  /** Frozen exists-DEFAULT per projected field (resolved once per
+    * reader from the field metadata; None = no default → absent columns
+    * read as NULL). Served for files predating an
+    * `ALTER ... ADD COLUMN ... DEFAULT` ([[FlsDefaults]]). */
+  private val existsDefaultCache =
+    scala.collection.mutable.HashMap.empty[String, Option[Any]]
+  private def existsDefault(f: StructField): Option[Any] =
+    existsDefaultCache.getOrElseUpdate(f.name, FlsDefaults.existenceDefault(f))
+
   /** Per-column dictionary (zero-copy string path); parallel to
     * `decoded`, non-null only for DictBytes columns. */
   private var colDicts: Array[org.apache.spark.sql.execution.vectorized.Dictionary] = _
@@ -207,7 +216,9 @@ class FlsPartitionReader(
               if (f.name == FlsVirtual.RowNumber || f.name == FlsVirtual.FileIndex ||
                 f.name == FlsVirtual.MetaFile || f.name == FlsVirtual.MetaPos ||
                 chunk.partitionValues.contains(f.name) || // constant from the path
-                f.nullable) null // nullable+absent: union_by_name missing column
+                f.nullable || // nullable+absent: union_by_name missing column
+                // NOT NULL + DEFAULT: the fill serves the exists-default
+                f.metadata.contains(FlsDefaults.ExistsKey)) null
               else throw new IllegalArgumentException(
                 s"fls: column ${f.name} not present in ${chunk.file}")
           }
@@ -633,8 +644,13 @@ class FlsPartitionReader(
         var i = 0
         while (i < len) { vec.putByteArray(i, b, 0, b.length); i += 1 }
       case (null, _) =>
-        // column absent from this file (union_by_name) → NULLs
-        vec.putNulls(0, len)
+        // column absent from this file: a frozen exists-DEFAULT (added
+        // via ALTER ... ADD COLUMN d T DEFAULT x) serves as a constant
+        // vector; otherwise union_by_name semantics → NULLs
+        existsDefault(field) match {
+          case Some(v) => FlsDefaults.fill(vec, field.dataType, v, len)
+          case None => vec.putNulls(0, len)
+        }
       case (LongData(vs), d: DecimalType)
           if fileTypes(fieldIdx(field)).exists(_.tag == TypeTag.UINT64) =>
         // u64 read fallback: the stored long is the RAW 64-bit pattern;

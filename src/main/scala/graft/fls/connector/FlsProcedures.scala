@@ -34,7 +34,7 @@ object FlsProcedures {
 
   def list(namespace: Array[String]): Array[Identifier] =
     if (!namespace.sameElements(Namespace)) Array.empty
-    else Array("compact", "vacuum").map(Identifier.of(Namespace, _))
+    else Array("compact", "vacuum", "rollback").map(Identifier.of(Namespace, _))
 
   def load(ident: Identifier, resolveDir: Seq[String] => Path,
       session: SparkSession): UnboundProcedure = {
@@ -44,8 +44,9 @@ object FlsProcedures {
     ident.name match {
       case "compact" => new CompactProcedure(resolveDir, session)
       case "vacuum" => new VacuumProcedure(resolveDir, session)
+      case "rollback" => new RollbackProcedure(resolveDir, session)
       case other => throw new IllegalArgumentException(
-        s"fls: unknown procedure system.$other — have: compact, vacuum")
+        s"fls: unknown procedure system.$other — have: compact, vacuum, rollback")
     }
   }
 
@@ -136,6 +137,40 @@ object FlsProcedures {
         olderThanHours = input.getLong(1))
       single(resultScan(schema, new GenericInternalRow(
         Array[Any](stats.deleted, stats.bytes))))
+    }
+  }
+
+  /** `system.rollback(table, version)` — [[FlsMaintenance.rollback]]:
+    * restore the head to a retained version's entry set as a NEW
+    * version (history preserved, metadata-only, no data moves). The
+    * bad-commit recovery that previously required manual pinned reads
+    * plus a rewrite. */
+  final class RollbackProcedure(resolveDir: Seq[String] => Path,
+      session: SparkSession) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "Restore the table head to a retained manifest version (published " +
+        "as a new version; metadata-only)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name relative to the catalog, e.g. 'db.events'").build(),
+      ProcedureParameter.in("version", LongType)
+        .comment("retained manifest version to restore").build())
+
+    private val schema = StructType(Seq(
+      StructField("previous_version", LongType, nullable = false),
+      StructField("restored_version", LongType, nullable = false),
+      StructField("new_version", LongType, nullable = false),
+      StructField("files", IntegerType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(resolveDir, str(input, 0))
+      val stats = FlsMaintenance.rollback(session, dir.toString, input.getLong(1))
+      single(resultScan(schema, new GenericInternalRow(
+        Array[Any](stats.fromVersion, stats.restoredVersion,
+          stats.newVersion, stats.files))))
     }
   }
 }

@@ -1209,7 +1209,128 @@ object FlsQueries {
         FROM orders WHERE o_orderkey % 3 = 1
       ) GROUP BY has_prio ORDER BY has_prio"""
 
+  /** Bad-commit recovery via `CALL system.rollback`, oracle-gated: v1
+    * inserts the good rows, v2 is a "bad" OVERWRITE, and the rollback
+    * republishes v1's entry set as a NEW head version v3 — one
+    * metadata-only CAS, no data file moves (within retention every
+    * version's files stay vouched on disk, [[graft.fls.FlsMaintenance
+    * .rollback]]). The gate reads the head AND `VERSION AS OF 1` after
+    * the rollback: both must hash-match DuckDB computing v1's content
+    * from raw parquet — the restored head is the target snapshot bit
+    * for bit, while the bad v2 stays visible to `.history` forensics. */
+  def q109FlsRollback(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "rb_warehouse")
+    val cat = s"fls_rb_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_rb"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_rb")
+      if (!done.contains(warehouse + "@rb") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_rb_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, price DOUBLE) " +
+          "TBLPROPERTIES ('commit_mode'='manifest')")
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice " +
+          s"FROM orders_rb_src_$key WHERE o_orderkey % 5 != 0") // v1: good
+        spark.sql(s"INSERT OVERWRITE $tbl SELECT o_orderkey, o_totalprice " +
+          s"FROM orders_rb_src_$key WHERE o_orderkey % 5 = 0") // v2: the bad commit
+        spark.sql(s"CALL $cat.system.rollback(`table` => 'db.orders_rb', " +
+          "version => 1)") // v3 = v1's entries, republished
+        marker.createNewFile()
+      }
+      done += warehouse + "@rb"
+    }
+    Seq("head" -> spark.table(tbl),
+        "v1" -> spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1"))
+      .map { case (snap, df) =>
+        df.agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"))
+          .select(lit(snap).as("snap"), col("n"), col("total"))
+      }.reduce(_ unionAll _).orderBy("snap")
+  }
+
+  val q109Sql: String =
+    """SELECT snap, n, total FROM (
+        SELECT 'head' AS snap, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        FROM orders WHERE o_orderkey % 5 != 0
+        UNION ALL
+        SELECT 'v1', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 5 != 0
+      ) ORDER BY snap"""
+
+  /** ADD COLUMN ... DEFAULT, oracle-gated: generation 1 is written
+    * under the narrow schema; two ALTERs add a STRING and a BIGINT
+    * column WITH DEFAULTS (one O(1) metadata commit each — never a
+    * rewrite, the only acceptable cost at 100 TB); generation 2 inserts
+    * real values and generation 3 omits the columns entirely (Spark
+    * materializes the CURRENT default at write analysis). The grouped
+    * aggregate must hash-match DuckDB rebuilding the same three
+    * generations from raw parquet — proving pre-ALTER rows serve the
+    * frozen exists-default at decode ([[graft.fls.connector
+    * .FlsDefaults]]) exactly as if every file had been backfilled. */
+  def q110FlsAddColumnDefault(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "def_warehouse")
+    val cat = s"fls_def_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_def"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_def")
+      if (!done.contains(warehouse + "@def") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_def_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, price DOUBLE) " +
+          "TBLPROPERTIES ('commit_mode'='manifest')")
+        // generation 1: narrow schema, predates the defaults
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice " +
+          s"FROM orders_def_src_$key WHERE o_orderkey % 3 = 0")
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMN prio STRING DEFAULT 'unknown'")
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMN bonus BIGINT DEFAULT 7")
+        // generation 2: real values for the new columns
+        spark.sql(s"""INSERT INTO $tbl
+          SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderkey % 5
+          FROM orders_def_src_$key WHERE o_orderkey % 3 = 1""")
+        // generation 3: columns omitted → CURRENT defaults materialize
+        spark.sql(s"""INSERT INTO $tbl (o_orderkey, price)
+          SELECT o_orderkey, o_totalprice
+          FROM orders_def_src_$key WHERE o_orderkey % 3 = 2""")
+        marker.createNewFile()
+      }
+      done += warehouse + "@def"
+    }
+    spark.table(tbl)
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"),
+        sum(col("bonus")).as("sbonus"))
+      .orderBy("prio")
+  }
+
+  val q110Sql: String =
+    """SELECT prio, count(*) AS n,
+        CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        CAST(sum(bonus) AS BIGINT) AS sbonus
+      FROM (
+        SELECT 'unknown' AS prio, o_totalprice AS price, 7 AS bonus
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice, o_orderkey % 5
+        FROM orders WHERE o_orderkey % 3 = 1
+        UNION ALL
+        SELECT 'unknown', o_totalprice, 7
+        FROM orders WHERE o_orderkey % 3 = 2
+      ) GROUP BY prio ORDER BY prio"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_fls_rollback" -> (q109FlsRollback _),
+    "q110_fls_add_column_default" -> (q110FlsAddColumnDefault _),
     "q95_fls_time_travel" -> (q95FlsTimeTravel _),
     "q96_fls_history_asof" -> (q96FlsHistoryAsof _),
     "q105_fls_incremental" -> (q105FlsIncremental _),
@@ -1245,6 +1366,8 @@ object FlsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q109_fls_rollback" -> q109Sql,
+    "q110_fls_add_column_default" -> q110Sql,
     "q95_fls_time_travel" -> q95Sql,
     "q96_fls_history_asof" -> q96Sql,
     "q105_fls_incremental" -> q105Sql,

@@ -83,12 +83,57 @@ class FlsProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 18)
   }
 
+  test("CALL system.rollback restores a retained version as a new head") {
+    val tbl = s"$cat.db.rb"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT) " +
+      "TBLPROPERTIES ('commit_mode'='manifest')")
+    spark.sql(s"INSERT INTO $tbl SELECT id FROM range(0, 100)") // v1: good
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT id FROM range(0, 5)") // v2: bad
+    val r = spark.sql(
+      s"CALL $cat.system.rollback(`table` => 'db.rb', version => 1)").collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 2L, "previous_version is the bad head")
+    assert(r(0).getLong(1) == 1L, "restored_version is the target")
+    assert(r(0).getLong(2) == 3L, "rollback publishes a NEW version")
+    // head serves v1's content again, bit for bit
+    val now = spark.sql(s"SELECT count(*), sum(id) FROM $tbl").collect()(0)
+    val asOf = spark.sql(
+      s"SELECT count(*), sum(id) FROM $tbl VERSION AS OF 1").collect()(0)
+    assert(now.toSeq == asOf.toSeq && now.toSeq == Seq(100L, 4950L))
+    // history preserved: the bad v2 stays readable for forensics
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2")
+      .collect()(0).getLong(0) == 5L)
+    // vacuum semantics unchanged: everything retained keeps its files
+    val v = spark.sql(
+      s"CALL $cat.system.vacuum(`table` => 'db.rb', older_than_hours => 0)")
+      .collect()
+    assert(v(0).getInt(0) == 0, "rollback must not strand vouched files")
+    // rolling back to the current head is a no-op, not a new version
+    val same = spark.sql(
+      s"CALL $cat.system.rollback(`table` => 'db.rb', version => 3)").collect()
+    assert(same(0).getLong(2) == 3L, "head rollback publishes nothing")
+  }
+
+  test("rollback refuses future and unretained versions") {
+    val tbl = s"$cat.db.rb2"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT) " +
+      "TBLPROPERTIES ('commit_mode'='manifest')")
+    (0 until 10).foreach(i => spark.sql(s"INSERT INTO $tbl VALUES ($i)"))
+    val eFuture = intercept[Exception](spark.sql(
+      s"CALL $cat.system.rollback(`table` => 'db.rb2', version => 99)").collect())
+    assert(eFuture.getMessage.contains("newer than"), eFuture.getMessage)
+    // v1 aged past KeepVersions=8 — its manifest is GC'd
+    val eGone = intercept[Exception](spark.sql(
+      s"CALL $cat.system.rollback(`table` => 'db.rb2', version => 1)").collect())
+    assert(eGone.getMessage.contains("not retained"), eGone.getMessage)
+  }
+
   test("SHOW PROCEDURES and DESCRIBE PROCEDURE surface the catalog") {
     val res = spark.sql(s"SHOW PROCEDURES IN $cat.system")
     val nameCol = res.schema.fieldNames
       .find(_.toLowerCase.contains("procedure")).getOrElse(res.schema.fieldNames.last)
     val shown = res.select(nameCol).collect().map(_.getString(0)).toSet
-    assert(shown == Set("compact", "vacuum"), s"got $shown")
+    assert(shown == Set("compact", "vacuum", "rollback"), s"got $shown")
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.vacuum").collect()
       .map(_.toString).mkString("\n")
     assert(desc.contains("vacuum"))
@@ -97,7 +142,7 @@ class FlsProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("unknown procedure and missing table fail loudly") {
     val e1 = intercept[Exception](
       spark.sql(s"CALL $cat.system.frobnicate()").collect())
-    assert(e1.getMessage.contains("compact, vacuum") ||
+    assert(e1.getMessage.contains("compact, vacuum, rollback") ||
       e1.getMessage.toLowerCase.contains("frobnicate"))
     val e2 = intercept[Exception](
       spark.sql(s"CALL $cat.system.vacuum(`table` => 'db.nope')").collect())

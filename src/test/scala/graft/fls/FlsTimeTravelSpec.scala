@@ -249,6 +249,44 @@ class FlsTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 15)
   }
 
+  test(".files lists live files with DV, partition, and version provenance") {
+    val tbl = s"$cat.db.filesmeta"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('commit_mode'='manifest','delete_mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) FROM range(100, 200)")
+    spark.sql(s"DELETE FROM $tbl WHERE id = 5") // v3: a DV, no rewrite
+    val files = spark.sql(s"SELECT file, bytes, n_rows, has_dv, dv_file, " +
+      s"version_added FROM $tbl.files").collect()
+    assert(files.nonEmpty)
+    assert(files.forall(_.getLong(1) > 0), "bytes from the manifest")
+    // stats describe the physical superset: the DV'd row still counts
+    assert(files.map(_.getLong(2)).sum == 200, "n_rows from manifest stats")
+    val dvd = files.filter(_.getBoolean(3))
+    assert(dvd.length == 1, s"exactly one file carries the DV, got ${dvd.length}")
+    assert(dvd(0).getString(4) != null && dvd(0).getString(4).endsWith(".dv"))
+    assert(files.filterNot(_.getBoolean(3)).forall(_.isNullAt(4)))
+    // provenance: both commits' files attribute to their version; the
+    // DV'd file keeps its original rel, so it stays version 1
+    assert(files.map(_.getLong(5)).toSet == Set(1L, 2L))
+    assert(dvd(0).getLong(5) == 1L)
+    // flat table: no partition component
+    val parts0 = spark.sql(s"SELECT partition FROM $tbl.files").collect()
+    assert(parts0.forall(_.isNullAt(0)), "flat tables have null partition")
+
+    // partitioned table: partition = the hive subdir; GROUP BY is the
+    // partition-size report
+    val ptbl = s"$cat.db.filesmeta_part"
+    spark.sql(s"CREATE TABLE $ptbl (id BIGINT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('commit_mode'='manifest')")
+    spark.sql(s"INSERT INTO $ptbl SELECT id, CASE WHEN id < 50 THEN 'a' " +
+      "ELSE 'b' END FROM range(0, 100)")
+    val parts = spark.sql(s"SELECT partition, sum(bytes), sum(n_rows) " +
+      s"FROM $ptbl.files GROUP BY partition ORDER BY partition").collect()
+    assert(parts.map(_.getString(0)).toSeq == Seq("p=a", "p=b"), "hive dirs")
+    assert(parts.forall(r => r.getLong(1) > 0 && r.getLong(2) == 50L))
+  }
+
   test("history on a non-table name still errors as NoSuchTable") {
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM $cat.db.no_such_table.history").collect())
