@@ -27,7 +27,11 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(json)
+    // stdout gets the COMPACT line: the driver keeps only a ~2000-char
+    // stdout tail, and the full 110-query map overflows it (r12's BENCH
+    // artifact parsed as null) — total + slowest-30 fits, the full map
+    // lives at `queries_full`
+    println(Harness.benchJsonCompact(times, errors, sfDir, out))
     System.out.flush()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: " +

@@ -104,6 +104,26 @@ object Harness {
       s""","spark_version":"${org.apache.spark.SPARK_VERSION}"$errPart}"""
   }
 
+  /** STDOUT variant of [[benchJson]] sized for the driver's bounded
+    * tail capture (~2000 chars): the full 110-query map at double
+    * precision is ~4.5 KB, so every round's BENCH artifact since the
+    * suite passed ~60 queries parsed as null. Keeps total + the `keep`
+    * slowest queries at 3 decimals and points at the full-precision
+    * file. */
+  def benchJsonCompact(times: Map[String, Double], errors: Map[String, String],
+      sfDir: String, fullPath: String, keep: Int = 30): String = {
+    val top = times.toSeq.sortBy(-_._2).take(keep).sortBy(_._1)
+      .map { case (k, v) => f"${jq(k)}:$v%.3f" }.mkString("{", ",", "}")
+    val total = if (times.nonEmpty) times.values.sum else 0.0
+    val errPart =
+      if (errors.isEmpty) ""
+      else s""","errors":${jObj(errors.map { case (k, v) => k -> v.take(60) })}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${times.size},"queries":$top,""" +
+      s""""queries_full":"$fullPath"""" +
+      s""","spark_version":"${org.apache.spark.SPARK_VERSION}"$errPart}"""
+  }
+
   /** Writes `errors.json` (name -> message) into outDir so a broken
     * query leaves a visible failure artifact next to the result dumps. */
   def writeErrors(outDir: String, errors: Map[String, String]): Unit =

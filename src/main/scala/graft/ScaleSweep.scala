@@ -60,7 +60,8 @@ object ScaleSweep {
       val s = scaled.getOrElse(q, -1.0)
       val ratio = if (b > 0 && s > 0) s / b else -1.0
       val perMult = if (ratio > 0) ratio / mult else -1.0
-      f"""{"q":"$q","base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":$ratio%.1f,"ratio_over_mult":$perMult%.3f}"""
+      val (gq, gd, heap) = telemetry.getOrElse(q, (-1.0, -1.0, -1L))
+      f"""{"q":"$q","base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":$ratio%.1f,"ratio_over_mult":$perMult%.3f,"gc_in_query_s":$gq%.2f,"gc_drain_s":$gd%.2f,"heap_after_mb":$heap%d}"""
     }
     // header stamps the runtime: r9's numbers silently straddled a
     // 4.0→4.1 Spark bump; the archive itself must carry the version so
@@ -204,19 +205,98 @@ object ScaleSweep {
     if (only.isEmpty) all else all.filter(only.contains)
   }
 
+  /** Scaled-pass telemetry per query: (gcSecondsDuringQuery,
+    * gcSecondsDuringDrain, heapUsedMbAfterDrain). Confirms or refutes
+    * the r11/r12 marathon-transient hypothesis (driver GC/cleaner
+    * debris from ~150 prior queries poisoning one cold heavy join). */
+  private val telemetry =
+    scala.collection.mutable.Map.empty[String, (Double, Double, Long)]
+
+  /** Task-metric totals for the CURRENT query (reset per query): the
+    * r13 sweep found the q88 transient has near-zero driver GC and a
+    * small heap, refuting the debris hypothesis — these pin down where
+    * the time actually goes (executor cpu vs gc vs spill vs idle). */
+  private object stageAgg extends org.apache.spark.scheduler.SparkListener {
+    @volatile var runMs, cpuMs, gcMs, spillB, shufWB = 0L
+    def reset(): Unit = { runMs = 0; cpuMs = 0; gcMs = 0; spillB = 0; shufWB = 0 }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        runMs += m.executorRunTime
+        cpuMs += m.executorCpuTime / 1000000L
+        gcMs += m.jvmGCTime
+        spillB += m.memoryBytesSpilled + m.diskBytesSpilled
+        shufWB += m.shuffleWriteMetrics.bytesWritten
+      }
+    }
+  }
+
+  /** Physical-join fingerprint of a freshly planned run of `q`
+    * (planning only — nothing executes): the suspected mechanism of
+    * the marathon transient is the bucketed-equi-join rewrite
+    * silently not firing, which leaves a BroadcastNestedLoopJoin —
+    * 300 s of all-pairs at 128×. Captured right after each timed run
+    * for the rewrite-family queries, so a slow run and its plan shape
+    * land side by side. Only pure batch queries (no fixtures, no
+    * streams) are safe to re-plan here. */
+  private val planProbeQueries = Set("q82_range_join", "q85_auto_range_join",
+    "q87_interval_overlap", "q88_auto_interval_overlap")
+  private def joinFingerprint(spark: SparkSession, dir: String, q: String): String =
+    try {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      val found = Seq("BroadcastNestedLoopJoin", "CartesianProduct",
+        "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin").filter(plan.contains)
+      if (found.isEmpty) "none" else found.mkString("+")
+    } catch { case t: Throwable => s"?(${t.getClass.getSimpleName})" }
+
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+  private def heapUsedMb: Long =
+    java.lang.management.ManagementFactory.getMemoryMXBean
+      .getHeapMemoryUsage.getUsed / (1024 * 1024)
+
+  /** CLEAN-STATE DISCIPLINE between sweep queries (the r12→r13 fix for
+    * the q87/q88 marathon transient): a ~150-query session accumulates
+    * driver debris — dead shuffle/broadcast references the
+    * ContextCleaner only reclaims after a GC promotes them into its
+    * reference queue, plus old-gen garbage from prior plans. One cold
+    * heavy join then pays the whole backlog (observed: 350 s for a
+    * steady-state-7 s query, while a fresh JVM runs it in ~18 s cold —
+    * OverlapColdProbe). Two explicit GCs push pending references into
+    * the cleaner's queue; the sleeps give its daemon thread time to
+    * drain (shuffle-file deletes, broadcast unpersists are async).
+    * Runs OUTSIDE the per-query timer, so attribution is unchanged. */
+  private def drainDebris(): Double = {
+    val g0 = gcMillis
+    System.gc()
+    Thread.sleep(250)
+    System.gc()
+    Thread.sleep(250)
+    (gcMillis - g0) / 1e3
+  }
+
   private def timeAll(spark: SparkSession, dir: String, reps: Int,
       warm: Boolean, capSec: Int, label: String): Map[String, Double] = {
     if (warm) names.foreach { q =>
       try SparkEntry.queries(q)(spark, dir).count()
       catch { case _: Throwable => () }
     }
+    val isScaledPass = label != "base"
+    if (isScaledPass) spark.sparkContext.addSparkListener(stageAgg)
     names.map { q =>
       var best = Double.MaxValue
       var r = 0
       var sawTimeout = false
       var sawError = false
+      var gcInQuery = -1.0
+      if (isScaledPass) stageAgg.reset()
       while (r < reps && !sawTimeout && !sawError) {
         val t0 = System.nanoTime()
+        val g0 = gcMillis
         var err: Throwable = null
         val th = new Thread(() =>
           try {
@@ -231,13 +311,28 @@ object ScaleSweep {
           th.join(60000L)
           sawTimeout = true
         } else if (err != null) sawError = true
-        else best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        else {
+          val t = (System.nanoTime() - t0) / 1e9
+          if (t < best) { best = t; gcInQuery = (gcMillis - g0) / 1e3 }
+        }
         r += 1
       }
       // -2 = timed out with no good rep; -1 = errored with no good rep;
       // a failure on a LATER rep never clobbers a clean measurement
       val v = if (best < Double.MaxValue) best else if (sawTimeout) -2.0 else -1.0
-      println(f"[sweep] $label $q%-22s $v%9.2f s")
+      // clean state for the NEXT query (scaled pass only — the base
+      // pass is 1000× lighter and is the within-session denominator)
+      val gcDrain = if (isScaledPass) drainDebris() else -1.0
+      if (isScaledPass) telemetry(q) = (gcInQuery, gcDrain, heapUsedMb)
+      println(f"[sweep] $label $q%-22s $v%9.2f s" +
+        (if (isScaledPass) f"  (gc $gcInQuery%5.1f s, drain $gcDrain%4.1f s, heap ${heapUsedMb}%5d MB)"
+         else ""))
+      if (isScaledPass && (v > 60.0 || v == -2.0))
+        println(f"[sweep-stages] $q run=${stageAgg.runMs / 1e3}%.1fs " +
+          f"cpu=${stageAgg.cpuMs / 1e3}%.1fs gc=${stageAgg.gcMs / 1e3}%.1fs " +
+          f"spill=${stageAgg.spillB / 1e6}%.0fMB shufw=${stageAgg.shufWB / 1e6}%.0fMB")
+      if (isScaledPass && planProbeQueries.contains(q))
+        println(s"[sweep-plan] $q joins=${joinFingerprint(spark, dir, q)}")
       q -> v
     }.toMap
   }

@@ -311,45 +311,84 @@ object FlsDelete {
           // ---- merge-on-read: straddlers take DELETE VECTORS, no
           // rewrites. Decided files still drop/keep whole (below, in
           // the same CAS). O(deleted rows) new bytes — the GDPR shape.
+          //
+          // Sidecars are written TASK-SIDE: matched (file, position)
+          // rows repartition by file so each task owns whole files,
+          // merges the file's frozen old DV, and writes the new sidecar
+          // under an attempt-unique name (writeId + task attempt —
+          // speculative twins never collide; a losing attempt's file is
+          // unvouched junk vacuum reclaims). The driver hauls back ONE
+          // row per touched FILE, never per deleted row, so a
+          // million-file-wide delete costs the driver O(files) — the
+          // old design collect()ed every position and needed a 4M cap.
           val writeId = UUID.randomUUID().toString
-          val matched = spark.read.format("fls")
+          val matchedDf = spark.read.format("fls")
             .option("file_row_number", "true").option("file_index", "true")
             .schema(readSchema(rewriteTargets, withVirtuals = true))
             .load(rewriteTargets.map(_.toString): _*)
             .filter(p0.matches)
-            .select(col(FlsVirtual.FileIndex), col(FlsVirtual.RowNumber))
-            .collect()
-          // positions land on the driver (sidecars are driver-written,
-          // like every manifest artifact): cap the haul so a BULK
-          // delete mistakenly routed at MOR fails with the remedy, not
-          // an OOM. 4M positions = 32 MB of sidecar.
-          val cap = options.getLong("merge_on_read_max_rows", 4L * 1000 * 1000)
-          require(matched.length <= cap,
-            s"fls delete: merge-on-read would record ${matched.length} deleted " +
-              s"positions (> merge_on_read_max_rows=$cap) — a delete this wide " +
-              "should run in copy-on-write mode (the default), or raise the " +
-              "option and schedule compaction")
-          val posByIdx: Map[Int, Array[Long]] = matched
-            .groupBy(_.getLong(0).toInt)
-            .map { case (i, rows) => i -> rows.map(_.getLong(1)) }
-          val written = scala.collection.mutable.ArrayBuffer[String]()
-          val dvBaseByRel: Map[String, String] =
-            rewriteTargets.zipWithIndex.flatMap { case (t, i) =>
-              val e = frozenEntries.find(en =>
+            .select(col(FlsVirtual.FileIndex).cast("int").as("fi"),
+              col(FlsVirtual.RowNumber).as("fp"))
+          // optional explicit guard (unlimited by default now that the
+          // haul is distributed): a pipeline can still pin a width past
+          // which a delete must be re-routed at copy-on-write
+          val cap = options.getLong("merge_on_read_max_rows", -1L)
+          if (cap >= 0) {
+            val n = matchedDf.count()
+            require(n <= cap,
+              s"fls delete: merge-on-read would record $n deleted " +
+                s"positions (> merge_on_read_max_rows=$cap) — a delete this " +
+                "wide should run in copy-on-write mode (the default), or " +
+                "raise the option and schedule compaction")
+          }
+          val entryByIdx: Map[Int, FlsManifest.Entry] =
+            rewriteTargets.zipWithIndex.map { case (t, i) =>
+              i -> frozenEntries.find(en =>
                 new Path(root, en.rel).toString == t.toString).get
-              val fresh = posByIdx.getOrElse(i, Array.empty[Long])
-              val old = dvAbs(e)
-                .map(a => graft.fls.FlsDeleteVectors.readAbsolute(a, conf))
-                .getOrElse(Array.empty[Long])
-              val all = old ++ fresh
-              if (all.isEmpty) None // zone maps straddled, zero rows match
-              else {
-                val rel = graft.fls.FlsDeleteVectors.write(fs, root, e.rel,
-                  writeId, all)
-                written += rel
-                Some(e.rel -> new Path(rel).getName)
-              }
             }.toMap
+          val relByIdx: Map[Int, String] = entryByIdx.map { case (i, e) => i -> e.rel }
+          val oldDvByIdx: Map[Int, String] =
+            entryByIdx.flatMap { case (i, e) => dvAbs(e).map(i -> _) }
+          val rootStr = root.toString
+          val hconfSer = new org.apache.spark.util.SerializableConfiguration(conf)
+          val sp = spark
+          import sp.implicits._
+          val dvRows: Array[(Int, String)] = matchedDf
+            .as[(Int, Long)]
+            .repartition(col("fi"))
+            .sortWithinPartitions(col("fi"), col("fp"))
+            .mapPartitions { it =>
+              val tconf = hconfSer.value
+              val rootP = new Path(rootStr)
+              val tfs = rootP.getFileSystem(tconf)
+              val attempt = Option(org.apache.spark.TaskContext.get())
+                .map(_.taskAttemptId()).getOrElse(0L)
+              val out = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+              var curIdx = -1
+              val buf = scala.collection.mutable.ArrayBuffer[Long]()
+              def flush(): Unit = if (curIdx >= 0 && buf.nonEmpty) {
+                val rel = relByIdx(curIdx)
+                val old = oldDvByIdx.get(curIdx)
+                  .map(a => graft.fls.FlsDeleteVectors.readAbsolute(a, tconf))
+                  .getOrElse(Array.empty[Long])
+                val dvRel = graft.fls.FlsDeleteVectors.write(tfs, rootP, rel,
+                  s"$writeId-a$attempt", old ++ buf)
+                out += ((curIdx, new Path(dvRel).getName))
+                buf.clear()
+              }
+              it.foreach { case (fi, fp) =>
+                if (fi != curIdx) { flush(); curIdx = fi }
+                buf += fp
+              }
+              flush()
+              out.iterator
+            }.collect()
+          val written = scala.collection.mutable.ArrayBuffer[String]()
+          val dvBaseByRel: Map[String, String] = dvRows.map { case (i, base) =>
+            val rel = relByIdx(i)
+            written += graft.fls.FlsDeleteVectors.relFor(rel, base)
+            rel -> base
+          }.toMap
           try {
             FlsManifest.commit(fs, root, writeId, conf) { (_, cur) =>
               val entries = cur.getOrElse(Seq.empty)

@@ -87,7 +87,24 @@ class FlsDeltaOperation(
 class FlsDeltaWrite(info: LogicalWriteInfo,
     tableOptions: CaseInsensitiveStringMap, partitionBy: Seq[String],
     scanDvs: () => Map[String, String],
-    session: org.apache.spark.sql.SparkSession) extends DeltaWrite {
+    session: org.apache.spark.sql.SparkSession) extends DeltaWrite
+  with RequiresDistributionAndOrdering {
+
+  /** Cluster the delta rows by TARGET FILE so each task owns whole
+    * files and can write their delete-vector sidecars TASK-SIDE —
+    * positions never serialize to the driver (the r12 design hauled
+    * every position through commit messages behind a 4M cap). Best
+    * effort (`distributionStrictlyRequired=false`): if the planner
+    * declines, multiple tasks may emit fragments for one file and the
+    * driver merges just those at commit — correct either way. */
+  override def requiredDistribution()
+    : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(Expressions.column(FlsVirtual.MetaFile)))
+  override def distributionStrictlyRequired(): Boolean = false
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
   override def toBatch: DeltaBatchWrite =
     new FlsDeltaBatchWrite(info, tableOptions, partitionBy, scanDvs, session)
 }
@@ -108,16 +125,24 @@ class FlsDeltaBatchWrite(info: LogicalWriteInfo,
         "schema — the operation declared (_fls_file, _fls_pos)"))
     val fileIdx = rowIdSchema.fieldIndex(FlsVirtual.MetaFile)
     val posIdx = rowIdSchema.fieldIndex(FlsVirtual.MetaPos)
+    val hconfSer = new SerializableConfiguration(session.sessionState.newHadoopConf())
     val inner = FlsWriterFactory(dir, info.schema(),
       tableOptions.getInt("row_group_size", Format.DefaultRowGroupSize),
       tableOptions.getInt("row_groups_per_file", 0),
-      new SerializableConfiguration(session.sessionState.newHadoopConf()),
+      hconfSer,
       writeId,
       inlineFooter = tableOptions.getBoolean("inline_footer", true),
       transpose = tableOptions.getBoolean("transpose", false),
       partitionBy = partitionBy,
       directWrite = true) // manifest-mode final names, no renames
-    FlsDeltaWriterFactory(inner, fileIdx, posIdx)
+    // the scan planned when the write's input RDD was built (before this
+    // factory), so the DV-pointer snapshot is complete — ship it so
+    // tasks can merge each target's OLD vector into the one they write
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconfSer.value)
+    val qdir = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+    FlsDeltaWriterFactory(inner, fileIdx, posIdx, dir, qdir, hconfSer,
+      writeId, scanDvs())
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -131,12 +156,18 @@ class FlsDeltaBatchWrite(info: LogicalWriteInfo,
       abs.stripPrefix(qdir)
     }
 
-    val delByAbs = mutable.HashMap[String, mutable.ArrayBuffer[Long]]()
+    // tasks already wrote the DV sidecars (one per file they owned,
+    // OLD vector merged in — see FlsDeltaWriter); messages carry only
+    // (file → sidecar name, count): the driver haul is O(touched
+    // files), never O(deleted rows), so no position cap is needed
+    val dvFragsByAbs = mutable.HashMap[String, mutable.ArrayBuffer[String]]()
+    var totalDeletes = 0L
     val insertEntries = mutable.ArrayBuffer[FlsManifest.Entry]()
     messages.foreach {
       case FlsDeltaCommitMessage(ins, dels) =>
-        dels.foreach { case (f, ps) =>
-          delByAbs.getOrElseUpdate(f, mutable.ArrayBuffer[Long]()) ++= ps
+        dels.foreach { case (f, (base, n)) =>
+          dvFragsByAbs.getOrElseUpdate(f, mutable.ArrayBuffer[String]()) += base
+          totalDeletes += n
         }
         ins.files.zip(ins.lengths).zipWithIndex.foreach { case ((rel, len), i) =>
           if (rel.endsWith(".fls"))
@@ -146,9 +177,11 @@ class FlsDeltaBatchWrite(info: LogicalWriteInfo,
       case other => throw new IllegalStateException(
         s"fls delta write: unexpected commit message $other")
     }
-    val totalDeletes = delByAbs.valuesIterator.map(_.length.toLong).sum
-    val cap = tableOptions.getLong("merge_on_read_max_rows", 4L * 1000 * 1000)
-    require(totalDeletes <= cap,
+    // optional explicit guard (unlimited by default now that sidecars
+    // are task-written): a pipeline can still pin a width past which
+    // the operation must be re-routed at copy-on-write
+    val cap = tableOptions.getLong("merge_on_read_max_rows", -1L)
+    require(cap < 0 || totalDeletes <= cap,
       s"fls delta write: $totalDeletes deleted positions " +
         s"(> merge_on_read_max_rows=$cap) — an operation this wide should " +
         "run in copy-on-write mode; raise the option and schedule " +
@@ -158,20 +191,29 @@ class FlsDeltaBatchWrite(info: LogicalWriteInfo,
         "commit_mode=manifest table (the delete-vector pointer lives in " +
         "the manifest) — or use copy-on-write mode")
 
-    // merged DV per target, attempt-unique, written BEFORE the CAS
     val atScan = scanDvs()
     val written = mutable.ArrayBuffer[String]()
-    val dvBaseByRel: Map[String, String] = delByAbs.map { case (abs, fresh) =>
+    val dvBaseByRel: Map[String, String] = dvFragsByAbs.map { case (abs, bases) =>
       val rel = relOf(abs)
-      val old = atScan.get(abs)
-        .map(a => FlsDeleteVectors.readAbsolute(a, conf))
-        .getOrElse(Array.empty[Long])
-      val dvRel = FlsDeleteVectors.write(fs, root, rel, writeId,
-        old ++ fresh.toArray)
-      written += dvRel
-      rel -> new Path(dvRel).getName
+      bases.foreach(b => written += FlsDeleteVectors.relFor(rel, b))
+      val base =
+        if (bases.length == 1) bases.head
+        else {
+          // the clustered distribution was best-effort: several tasks
+          // emitted fragments for this file — merge them here (each
+          // already contains the old vector; write() dedups)
+          val all = bases.toArray.flatMap(b =>
+            FlsDeleteVectors.read(fs, root, FlsDeleteVectors.relFor(rel, b)))
+          val merged = FlsDeleteVectors.write(fs, root, rel, s"$writeId-m", all)
+          written += merged
+          bases.foreach(b =>
+            try fs.delete(new Path(root, FlsDeleteVectors.relFor(rel, b)), false)
+            catch { case _: Throwable => () })
+          new Path(merged).getName
+        }
+      rel -> base
     }.toMap
-    val scanDvBase: Map[String, Option[String]] = delByAbs.keysIterator.map {
+    val scanDvBase: Map[String, Option[String]] = dvFragsByAbs.keysIterator.map {
       abs => relOf(abs) -> atScan.get(abs).map(a => new Path(a).getName)
     }.toMap
 
@@ -206,40 +248,63 @@ class FlsDeltaBatchWrite(info: LogicalWriteInfo,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // nothing published (DVs are written inside commit and rolled back
-    // there): remove the staged insert files
+    // nothing published: remove the staged insert files AND the
+    // task-written DV sidecars of successfully-committed tasks (a
+    // failed task cleaned its own in FlsDeltaWriter.abort)
     val conf = session.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
+    val qdir = fs.makeQualified(root).toString.stripSuffix("/") + "/"
     messages.foreach {
-      case FlsDeltaCommitMessage(ins, _) => ins.files.foreach { rel =>
-        try fs.delete(new Path(root, rel), false) catch { case _: Throwable => () }
-        try fs.delete(new Path(root, rel + ".footer"), false)
-        catch { case _: Throwable => () }
-      }
+      case FlsDeltaCommitMessage(ins, dels) =>
+        ins.files.foreach { rel =>
+          try fs.delete(new Path(root, rel), false) catch { case _: Throwable => () }
+          try fs.delete(new Path(root, rel + ".footer"), false)
+          catch { case _: Throwable => () }
+        }
+        dels.foreach { case (abs, (base, _)) =>
+          if (abs.startsWith(qdir)) {
+            val rel = FlsDeleteVectors.relFor(abs.stripPrefix(qdir), base)
+            try fs.delete(new Path(root, rel), false) catch { case _: Throwable => () }
+          }
+        }
       case _ => ()
     }
   }
 }
 
 case class FlsDeltaWriterFactory(inner: FlsWriterFactory,
-    fileIdx: Int, posIdx: Int) extends DeltaWriterFactory {
+    fileIdx: Int, posIdx: Int, rootStr: String, qdir: String,
+    hconfSer: SerializableConfiguration, writeId: String,
+    scanDvsAbs: Map[String, String]) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     // LAZY inner writer: a pure DELETE delta has an empty write schema
     // (nothing will ever be inserted) that the data writer rightly
     // refuses — instantiate it on the first actual insert
     new FlsDeltaWriter(() => inner.createWriter(partitionId, taskId),
-      fileIdx, posIdx)
+      fileIdx, posIdx, rootStr, qdir, hconfSer, writeId, scanDvsAbs,
+      partitionId)
 }
 
 /** Task side: inserts stream through a normal fls data writer
   * (attempt-unique final names); deletes accumulate as (file →
-  * positions) — tiny by the merge-on-read contract (driver cap). */
+  * positions) and are written as DELETE-VECTOR sidecars AT TASK COMMIT
+  * — the write is clustered by target file ([[FlsDeltaWrite]]), so a
+  * task normally owns every position of the files it touches and the
+  * commit message carries one (sidecar name, count) per file instead
+  * of the positions themselves. Sidecar names carry partition + task
+  * attempt, so speculative twins never collide; a losing attempt's
+  * file is unvouched junk vacuum reclaims. Per-task memory is bounded
+  * by the positions of its own files (≤ rows per file). */
 class FlsDeltaWriter(mkInner: () => DataWriter[InternalRow],
-    fileIdx: Int, posIdx: Int) extends DeltaWriter[InternalRow] {
+    fileIdx: Int, posIdx: Int, rootStr: String, qdir: String,
+    hconfSer: SerializableConfiguration, writeId: String,
+    scanDvsAbs: Map[String, String], partitionId: Int)
+  extends DeltaWriter[InternalRow] {
 
   private val dels = mutable.HashMap[String, mutable.ArrayBuffer[Long]]()
+  private val wrote = mutable.ArrayBuffer[String]() // DV rels, for abort
   private var inner: DataWriter[InternalRow] = null
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
@@ -265,12 +330,39 @@ class FlsDeltaWriter(mkInner: () => DataWriter[InternalRow],
         case other => throw new IllegalStateException(
           s"fls delta writer: unexpected inner commit message $other")
       }
-    FlsDeltaCommitMessage(ins, dels.map { case (f, ps) => f -> ps.toArray }.toMap)
+    val conf = hconfSer.value
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(conf)
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId()).getOrElse(0L)
+    val emitted: Map[String, (String, Long)] = dels.map { case (abs, ps) =>
+      require(abs.startsWith(qdir),
+        s"fls delta write: targeted file $abs is outside the table root $qdir")
+      val rel = abs.stripPrefix(qdir)
+      // merge the target's OLD vector (frozen at the operation's scan;
+      // the driver CAS re-verifies the pointer hasn't moved since)
+      val old = scanDvsAbs.get(abs)
+        .map(a => FlsDeleteVectors.readAbsolute(a, conf))
+        .getOrElse(Array.empty[Long])
+      val dvRel = FlsDeleteVectors.write(fs, root, rel,
+        s"$writeId-p$partitionId-a$attempt", old ++ ps)
+      wrote += dvRel
+      abs -> ((new Path(dvRel).getName, ps.length.toLong))
+    }.toMap
+    FlsDeltaCommitMessage(ins, emitted)
   }
 
-  override def abort(): Unit = if (inner != null) inner.abort()
+  override def abort(): Unit = {
+    if (inner != null) inner.abort()
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(hconfSer.value)
+    wrote.foreach(r =>
+      try fs.delete(new Path(root, r), false) catch { case _: Throwable => () })
+  }
   override def close(): Unit = if (inner != null) inner.close()
 }
 
+/** `deletes`: target file (absolute) → (sidecar basename, fresh
+  * position count) — names and counts only, never positions. */
 case class FlsDeltaCommitMessage(inserts: FlsCommitMessage,
-    deletes: Map[String, Array[Long]]) extends WriterCommitMessage
+    deletes: Map[String, (String, Long)]) extends WriterCommitMessage

@@ -107,7 +107,10 @@ class FlsMicroBatchStream(
       logs.foreach { st =>
         scala.util.Try(st.getPath.getName.toLong).toOption.foreach { id =>
           val ts = st.getModificationTime
-          readLog(id).foreach(p => if (!seen.contains(p)) seen(p) = ts)
+          readLog(id).foreach { l =>
+            val p = parseLogLine(l)._1
+            if (!seen.contains(p)) seen(p) = ts
+          }
           if (id > lastBatch) lastBatch = id
         }
       }
@@ -125,6 +128,12 @@ class FlsMicroBatchStream(
         val tab = l.indexOf('\t')
         (l.substring(tab + 1), l.substring(0, tab).toLong)
       }
+  }
+
+  /** `<path>` (pre-DV logs and DV-less files) or `<path>\t<dvAbs>`. */
+  private def parseLogLine(l: String): (String, Option[String]) = {
+    val tab = l.indexOf('\t')
+    if (tab < 0) (l, None) else (l.substring(0, tab), Some(l.substring(tab + 1)))
   }
 
   private def readLog(id: Long): Seq[String] = {
@@ -159,11 +168,29 @@ class FlsMicroBatchStream(
     * JOB commit (abort rollback, stale-attempt sweep), so it is
     * deferred to a later trigger instead of durably logged while it may
     * yet vanish. (Manifest tables never hit this: only published files
-    * list at all.) */
-  private def stableFiles(): Seq[String] = {
+    * list at all.)
+    *
+    * Each file carries its DELETE-VECTOR pointer AS OF this listing
+    * (absolute sidecar path, None = no deletes): the stream freezes the
+    * DV at DISCOVERY, logs it with the file, and applies it at decode —
+    * a file that lands already-vectored (INSERT then MOR DELETE between
+    * triggers, or a stream starting over a DV'd table) must not
+    * resurrect its deleted rows. The frozen pointer also keeps replays
+    * deterministic across restarts. The inverse case is the documented
+    * append-only limit (spec-locked in FlsStreamingSpec, same stance as
+    * incremental reads' rewrite refusal): a DV attached AFTER a file
+    * was logged never RETRACTS rows already emitted downstream — an
+    * append-only stream has no retraction channel; pipelines needing
+    * delete propagation re-snapshot or consume a change feed. */
+  private def stableFiles(): Seq[(String, Option[String])] = {
     val conf = hadoopConf
-    val current = paths.flatMap(p =>
-      FlsFile.listDataStatuses(new Path(p), conf).map(_.getPath.toString))
+    val current = paths.flatMap { p =>
+      FlsFile.listDataWithStats(new Path(p), conf, None).map { case (st, stats) =>
+        val dv = stats.flatMap(FlsFileStats.dvOf)
+          .map(rel => new Path(st.getPath.getParent, rel).toString)
+        (st.getPath.toString, dv)
+      }
+    }
     val inFlight: Set[String] = paths.flatMap { p =>
       val td = new Path(new Path(p), FlsCommit.TempDirName)
       try {
@@ -171,7 +198,7 @@ class FlsMicroBatchStream(
         fs.listStatus(td).filter(_.isDirectory).map(_.getPath.getName).toSeq
       } catch { case _: java.io.FileNotFoundException => Nil }
     }.toSet
-    current.filterNot(f => inFlight.exists(w => f.contains(s"-$w-")))
+    current.filterNot { case (f, _) => inFlight.exists(w => f.contains(s"-$w-")) }
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -179,7 +206,7 @@ class FlsMicroBatchStream(
     else ReadLimit.allAvailable()
 
   override def prepareForTriggerAvailableNow(): Unit = {
-    availableNowTarget = stableFiles().toSet
+    availableNowTarget = stableFiles().map(_._1).toSet
   }
 
   override def latestOffset(): Offset = latestOffset(null, ReadLimit.allAvailable())
@@ -189,17 +216,23 @@ class FlsMicroBatchStream(
     // AvailableNow drains the file set frozen at prepare time — files
     // landing mid-drain wait for the next query run
     val bounded =
-      if (availableNowTarget != null) current.filter(availableNowTarget) else current
-    var fresh = bounded.filterNot(seen.contains).sorted
+      if (availableNowTarget != null)
+        current.filter(f => availableNowTarget.contains(f._1))
+      else current
+    var fresh = bounded.filterNot(f => seen.contains(f._1)).sortBy(_._1)
     limit match {
       case m: ReadMaxFiles => fresh = fresh.take(m.maxFiles())
       case _ => ()
     }
     if (fresh.nonEmpty) {
       lastBatch += 1
-      writeLog(lastBatch, fresh)
+      // log line: <path> or <path>\t<dvAbsolutePath> — the DV freezes
+      // at discovery so replays stay deterministic
+      writeLog(lastBatch, fresh.map { case (f, dv) =>
+        dv.map(d => s"$f\t$d").getOrElse(f)
+      })
       val now = System.currentTimeMillis()
-      fresh.foreach(f => seen(f) = now)
+      fresh.foreach { case (f, _) => seen(f) = now }
     }
     FlsOffset(lastBatch)
   }
@@ -209,7 +242,11 @@ class FlsMicroBatchStream(
     val e = end.asInstanceOf[FlsOffset].batchId
     if (e <= s) return Array.empty
     val conf = hadoopConf
-    val files = ((s + 1) to e).flatMap(readLog)
+    val logged = ((s + 1) to e).flatMap(readLog).map(parseLogLine)
+    val files = logged.map(_._1)
+    // discovery-frozen DV per file (absolute sidecar path)
+    val dvByFile: Map[String, String] =
+      logged.collect { case (f, Some(dv)) => f -> dv }.toMap
     val footers = FlsFooters.list(files, conf)
       .map(f => f.copy(table = graft.fls.Format.applyRenames(f.table, tableSchema)))
     if (footers.length != files.length) {
@@ -255,7 +292,7 @@ class FlsMicroBatchStream(
         table.rowGroups.foreach { rg =>
           if (FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, filters, rowStart)) {
             parts += FlsRgUnit(entry.file.toString, rg, rowStart, fileIdx, pvals,
-              table.columns)
+              table.columns, dv = dvByFile.get(entry.file.toString))
           }
           rowStart += rg.nTuples
         }

@@ -206,6 +206,25 @@ class FlsMorDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 0)
   }
 
+  test("wide MOR delete (past the old 4M driver cap) writes DVs task-side") {
+    // the r12 design collect()ed every matched position to the driver
+    // behind a 4M cap; sidecars are now written task-side (repartition
+    // by file), so a wider-than-cap delete just works — the driver only
+    // hauls one row per touched file
+    val tbl = s"$cat.db.wide"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT) TBLPROPERTIES " +
+      "('commit_mode'='manifest','delete_mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $tbl SELECT id FROM range(0, 5000000)")
+    spark.sql(s"DELETE FROM $tbl WHERE id % 10 != 0") // 4.5M positions
+    assert(spark.sql(s"SELECT count(*), sum(id) FROM $tbl").collect()(0).toSeq
+      == Seq(500000L, (0L until 5000000L by 10).sum),
+      "exactly the surviving decile remains")
+    // every straddled file carries a DV; nothing was rewritten
+    val dvd = spark.sql(s"SELECT count(*) FROM $tbl.files WHERE has_dv")
+      .collect()(0).getLong(0)
+    assert(dvd > 0, "wide delete must land as delete vectors")
+  }
+
   test("guard rails: mode validation, bulk cap, listing-mode refusal") {
     val e1 = intercept[Exception] {
       val t = s"$cat.db.badmode"

@@ -187,6 +187,61 @@ class FlsStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     checkBounded()
   }
 
+  test("a file already delete-vectored at discovery streams only live rows") {
+    // the stream freezes each file's DV pointer AT DISCOVERY: a table
+    // whose files carry DVs before the stream first lists them must not
+    // resurrect deleted rows
+    spark.conf.set("spark.sql.catalog.flsdvs", "graft.fls.connector.FlsCatalog")
+    spark.conf.set("spark.sql.catalog.flsdvs.path", s"$tmp/dv_wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS flsdvs.db")
+    spark.sql("CREATE TABLE flsdvs.db.t (id BIGINT) TBLPROPERTIES " +
+      "('commit_mode'='manifest','delete_mode'='merge-on-read')")
+    spark.sql("INSERT INTO flsdvs.db.t SELECT id FROM range(0, 100)")
+    spark.sql("DELETE FROM flsdvs.db.t WHERE id IN (5, 50)") // DVs, no rewrite
+    val dir = s"$tmp/dv_wh/db/t"
+    val schema = spark.read.format("fls").load(dir).schema
+    val got = runAvailableNow(dir, s"$tmp/dv_ckpt", schema)
+    assert(got.map(_.getLong(0)).sorted ==
+      (0L until 100L).filterNot(Set(5L, 50L)),
+      "discovery-frozen DV must be applied at decode")
+  }
+
+  test("a DV attached after a file streamed never retracts — append-only contract") {
+    // SPEC-LOCK of the streaming-vs-DML stance (mirrors incremental
+    // reads' rewrite refusal): an append-only stream has no retraction
+    // channel, so a merge-on-read DELETE against an ALREADY-STREAMED
+    // file changes nothing downstream — the rows were emitted, and the
+    // file is not re-ingested. Pipelines that must propagate deletes
+    // re-snapshot or consume the DML boundary explicitly.
+    spark.conf.set("spark.sql.catalog.flsdva", "graft.fls.connector.FlsCatalog")
+    spark.conf.set("spark.sql.catalog.flsdva.path", s"$tmp/dva_wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS flsdva.db")
+    spark.sql("CREATE TABLE flsdva.db.t (id BIGINT) TBLPROPERTIES " +
+      "('commit_mode'='manifest','delete_mode'='merge-on-read')")
+    spark.sql("INSERT INTO flsdva.db.t SELECT id FROM range(0, 100)")
+    val dir = s"$tmp/dva_wh/db/t"
+    val ckpt = s"$tmp/dva_ckpt"
+    val schema = spark.read.format("fls").load(dir).schema
+    val r1 = runAvailableNow(dir, ckpt, schema)
+    assert(r1.map(_.getLong(0)).sorted == (0L until 100L))
+    // DV lands on an already-streamed file: no retraction, no re-emit
+    spark.sql("DELETE FROM flsdva.db.t WHERE id = 7")
+    val r2 = runAvailableNow(dir, ckpt, schema)
+    assert(r2.isEmpty,
+      "append-only: a post-stream DV neither retracts nor re-emits")
+    // batch and stream now legitimately disagree on the deleted row
+    assert(spark.sql("SELECT count(*) FROM flsdva.db.t")
+      .collect()(0).getLong(0) == 99L)
+    // new commits still flow — and their files' DV state freezes at
+    // THEIR discovery (id=105 deleted before the stream saw the file)
+    spark.sql("INSERT INTO flsdva.db.t SELECT id FROM range(100, 120)")
+    spark.sql("DELETE FROM flsdva.db.t WHERE id = 105")
+    val r3 = runAvailableNow(dir, ckpt, schema)
+    assert(r3.map(_.getLong(0)).sorted ==
+      (100L until 120L).filterNot(_ == 105L),
+      "newly discovered files apply their discovery-time DV")
+  }
+
   test("seen entries of deleted files age out at compaction; live files never do") {
     val sp = spark; import sp.implicits._
     val dir = s"$tmp/expire"
