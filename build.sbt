@@ -36,4 +36,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Marathon sessions (100+ distinct queries in one JVM) generate
+  // thousands of codegen classes; at the default 240m the code-cache
+  // sweeper starts flushing warm methods and a single-invocation OSR'd
+  // stage loop can run INTERPRETED for a whole task wave — measured on
+  // this box as the q88 sweep transient: 7 s JIT'd, 317 s marathon,
+  // 1521 s with generated classes force-excluded from JIT
+  // (OverlapJitProbe). Same setting production Spark clusters use for
+  // long-lived executors.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -36,6 +36,16 @@ object ScaleSweep {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // root stays at ERROR, but codegen fallbacks announce themselves at
+    // WARN — a Janino failure or hugeMethodLimit fallback silently
+    // de-compiles a stage (the exact per-row-cost multiplier the q88
+    // transient shows), so those two loggers must reach the sweep log
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.WholeStageCodegenExec",
+      org.apache.logging.log4j.Level.WARN)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
+      org.apache.logging.log4j.Level.WARN)
 
     generate(spark, baseDir, scaledDir, mult)
 
@@ -250,6 +260,28 @@ object ScaleSweep {
       if (found.isEmpty) "none" else found.mkString("+")
     } catch { case t: Throwable => s"?(${t.getClass.getSimpleName})" }
 
+  /** Compiled-code telemetry (the r13 run-2 refinement): the q88
+    * transient is pure executor CPU on an unchanged SortMergeJoin plan
+    * — a per-row evaluation-cost multiplier, i.e. the stage ran
+    * without compiled code. Per scaled query we record which compiler
+    * was busy: Janino recompiles (codegen-cache eviction / fallback
+    * churn) vs HotSpot JIT time vs code-cache occupancy. A slow run
+    * with big `jit_ms` = the JVM was still interpreting while it
+    * measured; big `janino` = plan-level codegen churned; neither =
+    * the multiplier hypothesis is wrong too. */
+  private def janinoCompiles: Long =
+    org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+  private def jitMs: Long =
+    java.lang.management.ManagementFactory.getCompilationMXBean
+      .getTotalCompilationTime
+  private def codeCacheMb: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed).sum / (1024 * 1024)
+  }
+
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -294,6 +326,7 @@ object ScaleSweep {
       var sawError = false
       var gcInQuery = -1.0
       if (isScaledPass) stageAgg.reset()
+      val (jan0, jit0) = (janinoCompiles, jitMs)
       while (r < reps && !sawTimeout && !sawError) {
         val t0 = System.nanoTime()
         val g0 = gcMillis
@@ -330,7 +363,9 @@ object ScaleSweep {
       if (isScaledPass && (v > 60.0 || v == -2.0))
         println(f"[sweep-stages] $q run=${stageAgg.runMs / 1e3}%.1fs " +
           f"cpu=${stageAgg.cpuMs / 1e3}%.1fs gc=${stageAgg.gcMs / 1e3}%.1fs " +
-          f"spill=${stageAgg.spillB / 1e6}%.0fMB shufw=${stageAgg.shufWB / 1e6}%.0fMB")
+          f"spill=${stageAgg.spillB / 1e6}%.0fMB shufw=${stageAgg.shufWB / 1e6}%.0fMB " +
+          f"janino=${janinoCompiles - jan0} jit_ms=${jitMs - jit0} " +
+          f"codecache_mb=$codeCacheMb")
       if (isScaledPass && planProbeQueries.contains(q))
         println(s"[sweep-plan] $q joins=${joinFingerprint(spark, dir, q)}")
       q -> v

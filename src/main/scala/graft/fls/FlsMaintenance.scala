@@ -154,7 +154,8 @@ object FlsMaintenance {
       // that file, so pinning "version 0" could break mid-rewrite if a
       // concurrent append upgrades the table — mint an identical v1
       // (identity merge) and freeze that instead
-      FlsManifest.commit(fs, root, java.util.UUID.randomUUID().toString, conf) {
+      FlsManifest.commit(fs, root, java.util.UUID.randomUUID().toString, conf,
+          op = "upgrade", dataChange = false) {
         (_, cur) => cur.getOrElse(throw new IllegalStateException(
           s"fls compact: manifest at $dir vanished before compaction started"))
       }
@@ -198,7 +199,8 @@ object FlsMaintenance {
       val outEntries = moved.collect {
         case (rel, len) if rel.endsWith(".fls") => FlsManifest.Entry(rel, len, 0L)
       }.toSeq
-      FlsManifest.commit(fs, root, compactId, conf) { (_, current) =>
+      FlsManifest.commit(fs, root, compactId, conf,
+          op = "compact", dataChange = false) { (_, current) =>
         val cur = current.getOrElse(throw new IllegalStateException(
           s"fls compact: $dir lost its manifest mid-compaction (concurrent " +
             "rename-mode overwrite?) — aborting"))
@@ -284,7 +286,7 @@ object FlsMaintenance {
             "vacuumed)")
       }
     val newV = FlsManifest.commit(fs, root,
-      java.util.UUID.randomUUID().toString, conf) { (curV, _) =>
+      java.util.UUID.randomUUID().toString, conf, op = "rollback") { (curV, _) =>
       if (curV != headV) throw new java.util.ConcurrentModificationException(
         s"fls rollback: the table advanced to v$curV while rolling back to " +
           s"v$toVersion (decision was made against head v$headV) — " +

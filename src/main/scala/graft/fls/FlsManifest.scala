@@ -64,6 +64,14 @@ object FlsManifest {
   final case class Entry(rel: String, length: Long, mtime: Long,
       stats: String = null)
 
+  /** What KIND of commit a version was (`#op` header line, v2 of the
+    * manifest format — absent on pre-tag manifests). `dataChange=false`
+    * marks commits that reorganize bytes without changing the table's
+    * ROWS (compaction, the legacy-upgrade identity commit): the
+    * change-data-feed skips their file churn, exactly like Delta's
+    * `dataChange=false` actions. */
+  final case class VersionMeta(op: String, dataChange: Boolean)
+
   def manifestPath(dir: Path): Path = new Path(dir, FileName)
   def logDir(dir: Path): Path = new Path(dir, LogDirName)
   def versionPath(dir: Path, v: Long): Path = new Path(logDir(dir), f"v$v%020d")
@@ -189,19 +197,40 @@ object FlsManifest {
   private def parseVersionName(name: String): Option[Long] =
     FlsCas.parseVersionName(name)
 
-  private def readFile(fs: FileSystem, p: Path): Seq[Entry] = {
+  private def readFile(fs: FileSystem, p: Path): Seq[Entry] =
+    readFileWithMeta(fs, p)._2
+
+  /** `#`-prefixed lines after the header are metadata, not entries —
+    * pre-tag readers of this codebase never shipped to users with `#`
+    * rels (rels never start with `#`: writers generate them), so the
+    * format extension is backward- AND forward-compatible. */
+  private def readFileWithMeta(fs: FileSystem,
+      p: Path): (Option[VersionMeta], Seq[Entry]) = {
     val st = fs.getFileStatus(p)
     val buf = new Array[Byte](st.getLen.toInt)
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()
     val lines = new String(buf, StandardCharsets.UTF_8).split('\n').filter(_.nonEmpty)
     require(lines.nonEmpty && lines(0) == Header, s"fls: corrupt manifest at $p")
-    lines.drop(1).toSeq.map { l =>
+    val meta = lines.drop(1).find(_.startsWith("#op\t")).map { l =>
+      val a = l.split('\t')
+      require(a.length == 3, s"fls: corrupt #op line '$l' in $p")
+      VersionMeta(a(1), a(2) == "1")
+    }
+    val entries = lines.drop(1).filterNot(_.startsWith("#")).toSeq.map { l =>
       val a = l.split('\t')
       require(a.length == 3 || a.length == 4, s"fls: corrupt manifest line '$l' in $p")
       Entry(a(2), a(0).toLong, a(1).toLong, if (a.length == 4) a(3) else null)
     }
+    (meta, entries)
   }
+
+  /** The operation tag of one retained version (None = legacy manifest
+    * or a version written before op tags — CDF treats those as
+    * `dataChange=true` conservatively). */
+  def versionMeta(fs: FileSystem, dir: Path, v: Long): Option[VersionMeta] =
+    readFileWithMeta(fs,
+      if (v == 0L) manifestPath(dir) else versionPath(dir, v))._1
 
   /** Publish a new table version with optimistic concurrency: read the
     * newest version, apply `merge(currentVersion, currentEntries)`, and
@@ -210,9 +239,12 @@ object FlsManifest {
     * metadata-only). `merge` may throw to abort (e.g. compaction
     * detecting its inputs were removed by a concurrent commit) — the
     * exception propagates with nothing published. Returns the published
-    * version. */
+    * version. `op`/`dataChange` stamp the version's `#op` header line —
+    * the change-data-feed skips `dataChange=false` commits (compaction
+    * churn is not row churn). */
   def commit(fs: FileSystem, dir: Path, writeId: String,
-      conf: org.apache.hadoop.conf.Configuration)(
+      conf: org.apache.hadoop.conf.Configuration, op: String = "append",
+      dataChange: Boolean = true)(
       merge: (Long, Option[Seq[Entry]]) => Seq[Entry]): Long = {
     var attempt = 0
     while (attempt < MaxCasAttempts) {
@@ -222,7 +254,7 @@ object FlsManifest {
       val next = curV + 1
       fs.mkdirs(logDir(dir))
       val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId), f"manifest_v$next%020d")
-      writeContent(fs, tmp, merged)
+      writeContent(fs, tmp, merged, Some(VersionMeta(op, dataChange)))
       val won =
         try publishExclusive(fs, tmp, versionPath(dir, next), conf)
         finally { try fs.delete(tmp, false) catch { case _: Throwable => () } }
@@ -240,10 +272,17 @@ object FlsManifest {
       s"fls manifest commit: lost the publish race $MaxCasAttempts times at $dir — giving up")
   }
 
-  private def writeContent(fs: FileSystem, p: Path, entries: Seq[Entry]): Unit = {
+  private def writeContent(fs: FileSystem, p: Path, entries: Seq[Entry],
+      meta: Option[VersionMeta] = None): Unit = {
     val out = fs.create(p, true)
     try {
       val sb = new StringBuilder(Header).append('\n')
+      meta.foreach { m =>
+        require(!m.op.contains('\n') && !m.op.contains('\t'),
+          s"fls: manifest op tag must be a plain word, got '${m.op}'")
+        sb.append("#op\t").append(m.op)
+          .append('\t').append(if (m.dataChange) "1" else "0").append('\n')
+      }
       entries.sortBy(_.rel).foreach { e =>
         require(!e.rel.contains('\n') && !e.rel.contains('\t'),
           s"fls: unsupported character in file name '${e.rel}'")

@@ -194,8 +194,8 @@ object FlsDataSource {
     * addressing mode lands everywhere at once. */
   def listForRead(options: CaseInsensitiveStringMap,
       conf: org.apache.hadoop.conf.Configuration)
-    : Seq[(org.apache.hadoop.fs.FileStatus, Option[String])] =
-    changesRange(options) match {
+    : Seq[(org.apache.hadoop.fs.FileStatus, Option[String])] = {
+    val listed = changesRange(options) match {
       case None =>
         graft.fls.FlsFooters.listStatuses(parsePaths(options), conf,
           manifestVersion(options))
@@ -210,6 +210,39 @@ object FlsDataSource {
             graft.fls.FlsManifest.changedEntries(fs, dir, from, to))
           .sortBy(_._1.getPath.toString)
     }
+    fileSubset(options) match {
+      case None => listed
+      case Some(rels) =>
+        val paths = parsePaths(options)
+        require(paths.length == 1,
+          s"fls: file_subset addresses ONE table directory, got " +
+            s"${paths.length} paths")
+        val dir = new Path(paths.head)
+        val qdir = dir.getFileSystem(conf).makeQualified(dir)
+          .toString.stripSuffix("/") + "/"
+        val kept = listed.filter { case (st, _) =>
+          val p = st.getPath.toString
+          p.startsWith(qdir) && rels.contains(p.stripPrefix(qdir))
+        }
+        require(kept.size == rels.size,
+          s"fls: file_subset names ${rels.size} file(s) but the selected " +
+            s"snapshot holds only ${kept.size} of them — the subset is " +
+            "stale (vacuumed/rewritten files?); re-plan against a current " +
+            "snapshot")
+        kept
+    }
+  }
+
+  /** `file_subset=relA,relB,…` — restrict a scan to the named
+    * table-relative files of whatever snapshot the other options
+    * select. Pruned at LISTING time, before any footer IO, so reading
+    * 3 files of a 100k-file table plans exactly 3 footers. The
+    * change-data-feed ([[FlsCdf]]) builds its per-commit branches from
+    * this. Unknown rels are an error: a subset naming a file the
+    * snapshot lacks is a stale plan, not an empty result. */
+  def fileSubset(options: CaseInsensitiveStringMap): Option[Set[String]] =
+    Option(options.get("file_subset"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
   /** Spark passes one path as "path", several as a JSON array "paths";
     * session-catalog tables (`CREATE TABLE ... USING fls LOCATION ...`)
@@ -1682,7 +1715,8 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
         case (rel, len) if rel.endsWith(".fls") =>
           graft.fls.FlsManifest.Entry(rel, len, 0L, committedStats.getOrElse(rel, null))
       }.toSeq
-      graft.fls.FlsManifest.commit(fs, dir, writeId, conf) { (_, current) =>
+      graft.fls.FlsManifest.commit(fs, dir, writeId, conf,
+          op = if (doTruncate) "overwrite" else "append") { (_, current) =>
         val keptOld =
           if (doTruncate) Nil
           else {

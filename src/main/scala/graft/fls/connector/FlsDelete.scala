@@ -390,7 +390,7 @@ object FlsDelete {
             rel -> base
           }.toMap
           try {
-            FlsManifest.commit(fs, root, writeId, conf) { (_, cur) =>
+            FlsManifest.commit(fs, root, writeId, conf, op = "delete") { (_, cur) =>
               val entries = cur.getOrElse(Seq.empty)
               val files = entries.map(e => new Path(root, e.rel))
               val pNow = plan(schema, options, filters, files, conf,
@@ -462,7 +462,8 @@ object FlsDelete {
           try fs.delete(stageDir, true) catch { case _: Throwable => () }
         }
         try {
-          FlsManifest.commit(fs, root, UUID.randomUUID().toString, conf) { (_, cur) =>
+          FlsManifest.commit(fs, root, UUID.randomUUID().toString, conf,
+              op = "delete") { (_, cur) =>
             val entries = cur.getOrElse(Seq.empty)
             val files = entries.map(e => new Path(root, e.rel))
             // re-classify the CURRENT set: a concurrent append since the

@@ -79,7 +79,8 @@ class FlsDeltaOperation(
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new FlsDeltaWrite(info, tableOptions, declared,
-          () => scanDvs.get(), session)
+          () => scanDvs.get(), session,
+          op = cmd.toString.toLowerCase(java.util.Locale.ROOT))
     }
   }
 }
@@ -87,7 +88,9 @@ class FlsDeltaOperation(
 class FlsDeltaWrite(info: LogicalWriteInfo,
     tableOptions: CaseInsensitiveStringMap, partitionBy: Seq[String],
     scanDvs: () => Map[String, String],
-    session: org.apache.spark.sql.SparkSession) extends DeltaWrite
+    session: org.apache.spark.sql.SparkSession,
+    /** Manifest op tag: "delete" / "update" / "merge". */
+    op: String) extends DeltaWrite
   with RequiresDistributionAndOrdering {
 
   /** Cluster the delta rows by TARGET FILE so each task owns whole
@@ -106,13 +109,14 @@ class FlsDeltaWrite(info: LogicalWriteInfo,
     Array.empty
 
   override def toBatch: DeltaBatchWrite =
-    new FlsDeltaBatchWrite(info, tableOptions, partitionBy, scanDvs, session)
+    new FlsDeltaBatchWrite(info, tableOptions, partitionBy, scanDvs, session, op)
 }
 
 class FlsDeltaBatchWrite(info: LogicalWriteInfo,
     tableOptions: CaseInsensitiveStringMap, partitionBy: Seq[String],
     scanDvs: () => Map[String, String],
-    session: org.apache.spark.sql.SparkSession) extends DeltaBatchWrite {
+    session: org.apache.spark.sql.SparkSession,
+    op: String) extends DeltaBatchWrite {
 
   private val dir = FlsDataSource.parsePaths(tableOptions).headOption
     .getOrElse(throw new IllegalArgumentException("fls delta write: no path"))
@@ -218,7 +222,7 @@ class FlsDeltaBatchWrite(info: LogicalWriteInfo,
     }.toMap
 
     try {
-      FlsManifest.commit(fs, root, writeId, conf) { (_, cur) =>
+      FlsManifest.commit(fs, root, writeId, conf, op = op) { (_, cur) =>
         val entries = cur.getOrElse(Seq.empty)
         val byRel = entries.map(e => e.rel -> e).toMap
         dvBaseByRel.keysIterator.foreach { rel =>

@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.fls.{FlsFileStats, FlsManifest}
 
@@ -45,6 +46,10 @@ class FlsHistoryTable(tableName: String, dir: Path, conf: Configuration)
             val entries =
               try FlsManifest.readVersion(fs, dir, v)
               catch { case _: java.io.FileNotFoundException => Nil } // GC race
+            val op: Any =
+              try FlsManifest.versionMeta(fs, dir, v)
+                .map(m => UTF8String.fromString(m.op)).orNull
+              catch { case _: java.io.FileNotFoundException => null }
             val rowCounts = entries.map(e =>
               Option(e.stats).flatMap(FlsFileStats.toDesc).map(_.numRows))
             val nRows: Any =
@@ -52,7 +57,7 @@ class FlsHistoryTable(tableName: String, dir: Path, conf: Configuration)
                 rowCounts.map(_.get).sum
               else null
             new GenericInternalRow(Array[Any](
-              v, millis * 1000L, entries.length.toLong,
+              v, millis * 1000L, op, entries.length.toLong,
               entries.map(_.length).sum, nRows))
           }.reverse.toArray // newest first, like DESCRIBE HISTORY
         }
@@ -65,6 +70,10 @@ object FlsHistoryTable {
   val Schema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("committed_at", TimestampType, nullable = false),
+    /** Commit kind from the manifest's #op tag (append / overwrite /
+      * delete / update / merge / compact / upgrade / rollback); null
+      * for versions written before op tags existed. */
+    StructField("operation", StringType, nullable = true),
     StructField("n_files", LongType, nullable = false),
     StructField("total_bytes", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = true)))

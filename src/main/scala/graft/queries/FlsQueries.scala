@@ -1328,7 +1328,38 @@ object FlsQueries {
         FROM orders WHERE o_orderkey % 3 = 2
       ) GROUP BY prio ORDER BY prio"""
 
+  /** Change-data-feed, oracle-gated ROW BY ROW: every change the
+    * commits of the q106 merge-on-read fixture produced — v1's INSERT
+    * emits every order as 'insert', v2's DV DELETE emits exactly the
+    * deleted keys as 'delete' (selected by the executor-side sidecar
+    * diff, never a file rewrite) — and the full change set
+    * hash-matches DuckDB constructing the same feed from raw parquet.
+    * This is the incremental-consumer contract q105's append-only
+    * reads refuse to serve: downstream pipelines see row-level deletes
+    * instead of a "restart from snapshot" error
+    * ([[graft.fls.connector.FlsCdf]]). */
+  def q111FlsCdf(spark: SparkSession, dir: String): DataFrame = {
+    q106FlsMorDelete(spark, dir) // build (or reuse) the fixture eagerly
+    val warehouse = flsTablePath(dir, "mor_warehouse")
+    graft.fls.connector.FlsCdf
+      .changes(spark, s"$warehouse/db/orders_mor", 0L, Some(2L))
+      .select(col("_change_type"), col("_commit_version"),
+        col("o_orderkey"), col("price"))
+  }
+
+  val q111Sql: String =
+    """SELECT * FROM (
+        SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+               o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders
+        UNION ALL
+        SELECT 'delete', CAST(2 AS BIGINT), o_orderkey,
+               CAST(o_totalprice AS DOUBLE)
+        FROM orders WHERE o_orderkey IN (1, 2, 3, 32, 33, 998, 999)
+      )"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_fls_cdf" -> (q111FlsCdf _),
     "q109_fls_rollback" -> (q109FlsRollback _),
     "q110_fls_add_column_default" -> (q110FlsAddColumnDefault _),
     "q95_fls_time_travel" -> (q95FlsTimeTravel _),
@@ -1366,6 +1397,7 @@ object FlsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q111_fls_cdf" -> q111Sql,
     "q109_fls_rollback" -> q109Sql,
     "q110_fls_add_column_default" -> q110Sql,
     "q95_fls_time_travel" -> q95Sql,

@@ -1,0 +1,182 @@
+package graft.fls
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fls.connector.FlsCdf
+
+/** Change-data-feed ([[graft.fls.connector.FlsCdf]]): per-commit
+  * row-level inserts/deletes derived from the manifest log — the
+  * incremental-consumer contract for commits the append-only reader
+  * option refuses (DML, overwrites, rollbacks). Locks the four branch
+  * kinds (added files, removed files, DV growth, DV shrink-on-
+  * rollback), the dataChange=false skip for compaction, op tags in
+  * `.history`, and the loud refusals. */
+class FlsCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val tmp = Files.createTempDirectory("fls-cdf-spec").toString
+  private val cat = "fls_cdf_spec"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("fls-cdf-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+      .config(s"spark.sql.catalog.$cat.path", s"$tmp/warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def mkTable(name: String, mor: Boolean): (String, String) = {
+    val tbl = s"$cat.db.$name"
+    val mode = if (mor) ",'delete_mode'='merge-on-read'" else ""
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      s"('commit_mode'='manifest'$mode)")
+    (tbl, s"$tmp/warehouse/db/$name")
+  }
+
+  private def changeSet(df: DataFrame): Set[(String, Long, Long)] =
+    df.select("_change_type", "_commit_version", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("appends emit per-commit inserts; range endpoints select commits") {
+    val (tbl, dir) = mkTable("appends", mor = false)
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0), (2, 2.0)") // v1
+    spark.sql(s"INSERT INTO $tbl VALUES (3, 3.0)")           // v2
+    assert(changeSet(FlsCdf.changes(spark, dir, 0)) ==
+      Set(("insert", 1L, 1L), ("insert", 1L, 2L), ("insert", 2L, 3L)))
+    assert(changeSet(FlsCdf.changes(spark, dir, 1)) ==
+      Set(("insert", 2L, 3L)))
+    assert(changeSet(FlsCdf.changes(spark, dir, 0, Some(1L))) ==
+      Set(("insert", 1L, 1L), ("insert", 1L, 2L)))
+    assert(FlsCdf.changes(spark, dir, 2).count() == 0)
+  }
+
+  test("merge-on-read DELETE emits exactly the DV'd positions as deletes") {
+    val (tbl, dir) = mkTable("mor_del", mor = true)
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) FROM range(0, 100)")
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (7, 42, 99)") // v2: DV growth
+    val v2 = changeSet(FlsCdf.changes(spark, dir, 1))
+    assert(v2 == Set(("delete", 2L, 7L), ("delete", 2L, 42L), ("delete", 2L, 99L)))
+    // a second DV delete merges vectors; CDF still emits ONLY the new ones
+    spark.sql(s"DELETE FROM $tbl WHERE id = 13")
+    assert(changeSet(FlsCdf.changes(spark, dir, 2)) == Set(("delete", 3L, 13L)))
+  }
+
+  test("copy-on-write DELETE emits removed-file churn, like Delta sans DV") {
+    val (tbl, dir) = mkTable("cow_del", mor = false)
+    spark.sql(s"INSERT INTO $tbl SELECT /*+ REPARTITION(1) */ id, " +
+      "CAST(id AS DOUBLE) FROM range(1, 4)") // ONE file — churn is per-file
+    spark.sql(s"DELETE FROM $tbl WHERE id = 2") // rewrites the file
+    val v2 = changeSet(FlsCdf.changes(spark, dir, 1))
+    // the whole file is deleted; survivors re-insert
+    assert(v2 == Set(("delete", 2L, 1L), ("delete", 2L, 2L), ("delete", 2L, 3L),
+      ("insert", 2L, 1L), ("insert", 2L, 3L)))
+  }
+
+  test("INSERT OVERWRITE emits old rows deleted, new rows inserted") {
+    val (tbl, dir) = mkTable("ovw", mor = false)
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)")
+    spark.sql(s"INSERT OVERWRITE $tbl VALUES (9, 9.0)")
+    assert(changeSet(FlsCdf.changes(spark, dir, 1)) ==
+      Set(("delete", 2L, 1L), ("insert", 2L, 9L)))
+  }
+
+  test("compaction is dataChange=false: skipped by CDF, visible in history") {
+    val (tbl, dir) = mkTable("compact", mor = false)
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)")
+    spark.sql(s"INSERT INTO $tbl VALUES (2, 2.0)")
+    spark.sql(s"CALL $cat.system.compact(`table` => 'db.compact')")
+    // three versions; the compact one contributes nothing
+    assert(changeSet(FlsCdf.changes(spark, dir, 0)) ==
+      Set(("insert", 1L, 1L), ("insert", 2L, 2L)))
+    val ops = spark.sql(
+      s"SELECT version, operation FROM $tbl.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(ops == Seq((1L, "append"), (2L, "append"), (3L, "compact")))
+  }
+
+  test("rollback restores DV'd rows as inserts (vector shrink branch)") {
+    val (tbl, dir) = mkTable("rb", mor = true)
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) FROM range(0, 50)")
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (10, 20)") // v2 DVs
+    spark.sql(s"CALL $cat.system.rollback(`table` => 'db.rb', version => 1)") // v3
+    assert(changeSet(FlsCdf.changes(spark, dir, 2)) ==
+      Set(("insert", 3L, 10L), ("insert", 3L, 20L)))
+    // and across the whole range the per-commit story is coherent
+    assert(changeSet(FlsCdf.changes(spark, dir, 1)) ==
+      Set(("delete", 2L, 10L), ("delete", 2L, 20L),
+        ("insert", 3L, 10L), ("insert", 3L, 20L)))
+  }
+
+  test("rollback across an append removes the appended file as deletes") {
+    val (tbl, dir) = mkTable("rb2", mor = false)
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)")
+    spark.sql(s"INSERT INTO $tbl VALUES (2, 2.0)")
+    spark.sql(s"CALL $cat.system.rollback(`table` => 'db.rb2', version => 1)")
+    assert(changeSet(FlsCdf.changes(spark, dir, 2)) ==
+      Set(("delete", 3L, 2L)))
+  }
+
+  test("refusals: no manifest, future version, unretained version") {
+    val plain = s"$tmp/plain_parquet_like"
+    spark.range(5).selectExpr("id", "CAST(id AS DOUBLE) v")
+      .write.format("fls").mode("overwrite").save(plain)
+    val e1 = intercept[IllegalArgumentException] {
+      FlsCdf.changes(spark, plain, 0)
+    }
+    assert(e1.getMessage.contains("no manifest log"))
+    val (tbl, dir) = mkTable("refuse", mor = false)
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)")
+    val e2 = intercept[IllegalArgumentException] {
+      FlsCdf.changes(spark, dir, 0, Some(9L)).count()
+    }
+    assert(e2.getMessage.contains("beyond the newest"))
+    // bury v1 beyond the 8-version retention window
+    (1 to 10).foreach(i => spark.sql(s"INSERT INTO $tbl VALUES ($i, 1.0)"))
+    val e3 = intercept[IllegalArgumentException] {
+      FlsCdf.changes(spark, dir, 1).count()
+    }
+    assert(e3.getMessage.contains("not retained"))
+  }
+
+  test("op tags round-trip the manifest format; legacy lines still parse") {
+    val (_, dir) = mkTable("tags", mor = false)
+    spark.sql(s"INSERT INTO $cat.db.tags VALUES (1, 1.0)")
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    assert(FlsManifest.versionMeta(fs, root, 1L).contains(
+      FlsManifest.VersionMeta("append", dataChange = true)))
+    // hand-write a pre-tag manifest (no #op line): meta is None and
+    // entries still parse — the format extension is backward-compatible
+    val v2 = FlsManifest.commit(fs, root, "spec", hconf) { (_, cur) => cur.get }
+    val p = FlsManifest.versionPath(root, v2)
+    val raw = new String(readAll(fs, p), java.nio.charset.StandardCharsets.UTF_8)
+    val noTag = raw.linesIterator.filterNot(_.startsWith("#op")).mkString("\n") + "\n"
+    fs.delete(p, false)
+    val out = fs.create(p, true)
+    out.write(noTag.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    assert(FlsManifest.versionMeta(fs, root, v2).isEmpty)
+    assert(FlsManifest.readVersion(fs, root, v2).nonEmpty)
+  }
+
+  private def readAll(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    buf
+  }
+}
