@@ -143,19 +143,35 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
     new FlsTable(meta.schema, new CaseInsensitiveStringMap(opts))
   }
 
-  /** Metadata tables: `t.history` (one row per retained version) and
-    * `t.files` (one row per live file — the DV-era operational view). */
+  /** Metadata tables: `t.history` (one row per retained version),
+    * `t.files` (one row per live file — the DV-era operational view),
+    * and `t.changes` (the change-data-feed over the full retained
+    * range — rows inserted/deleted per commit, [[FlsCdf]]; filter on
+    * `_commit_version` for a narrower window). */
   private def metadataFor(ident: Identifier): Option[Table] =
-    if ((ident.name != "history" && ident.name != "files") ||
-        ident.namespace.isEmpty) None
+    if ((ident.name != "history" && ident.name != "files" &&
+        ident.name != "changes") || ident.namespace.isEmpty) None
     else {
       val parent = Identifier.of(ident.namespace.dropRight(1),
         ident.namespace.last)
       val dir = tableDir(parent)
-      if (FlsTableMeta.read(fs, dir).isEmpty) None
-      else if (ident.name == "history")
-        Some(new FlsHistoryTable(s"$catalogName.${parent}", dir, conf))
-      else Some(new FlsFilesTable(s"$catalogName.${parent}", dir, conf))
+      FlsTableMeta.read(fs, dir) match {
+        case None => None
+        case Some((_, meta)) =>
+          if (ident.name == "history")
+            Some(new FlsHistoryTable(s"$catalogName.${parent}", dir, conf))
+          else if (ident.name == "files")
+            Some(new FlsFilesTable(s"$catalogName.${parent}", dir, conf))
+          else {
+            val opts = new java.util.HashMap[String, String]()
+            meta.properties.foreach { case (k, v) => opts.put(k, v) }
+            opts.put("path", dir.toString)
+            opts.put(FlsCdf.FromOption, FlsCdf.Earliest)
+            Some(new FlsCdfTable(s"$catalogName.${parent}.changes",
+              StructType(meta.schema.fields ++ FlsCdf.cdfSchemaFields),
+              new CaseInsensitiveStringMap(opts), session))
+          }
+      }
     }
 
   /** `SELECT ... FROM t VERSION AS OF <v>` — a pinned read of manifest

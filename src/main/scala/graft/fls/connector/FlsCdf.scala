@@ -1,11 +1,17 @@
 package graft.fls.connector
 
-import org.apache.hadoop.fs.Path
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.fls.{FlsDeleteVectors, FlsFileStats, FlsManifest}
+import graft.fls.{FlsDeleteVectors, FlsFileStats, FlsFooters, FlsManifest, Format}
 
 /** Change-data-feed over a manifest table: every row INSERTED or
   * DELETED by the commits in `(fromVersion, toVersion]`, tagged with
@@ -23,20 +29,26 @@ import graft.fls.{FlsDeleteVectors, FlsFileStats, FlsManifest}
   * row churn. Pre-tag versions (no `#op` line) are treated as data
   * changes conservatively.
   *
-  * Each commit contributes up to four branches, all ordinary fls scans
-  * pruned at LISTING time (`file_subset`) — no footer is opened for an
-  * untouched file, and nothing row-sized ever passes through the
-  * driver:
+  * The feed is a NATIVE connector scan ([[FlsCdfTable]]) — one scan
+  * node, no unions, no joins. Each commit contributes up to four
+  * branch kinds, each a set of per-file chunks planned from manifest
+  * metadata (no footer is opened for an untouched file, and nothing
+  * row-sized ever passes through the driver):
   *   - files ADDED at v → their rows live at v ('insert');
   *   - files REMOVED at v → their rows live at v-1 ('delete') —
   *     copy-on-write DELETE/UPDATE/OVERWRITE emit churn for rewritten
   *     survivors too, exactly like Delta without DVs;
   *   - files whose DELETE VECTOR grew at v → the newly-deleted
-  *     positions ('delete'), selected by joining the v-1 scan against
-  *     a position set diffed EXECUTOR-SIDE (one task per file reads
-  *     the two sidecars — the driver never holds positions);
+  *     positions ('delete'), selected AT DECODE: the task reads the two
+  *     sidecars and the sorted-set difference becomes the row group's
+  *     base selection vector ([[FlsPartitionReader]] emit mode);
   *   - files whose delete vector SHRANK at v (rollback restoring rows)
-  *     → the restored positions at v ('insert').
+  *     → the restored positions at v ('insert'), same emit-mode decode.
+  *
+  * Reachable three ways, all the same plan: this object's
+  * [[FlsCdf.changes]], reader options
+  * `spark.read.format("fls").option("cdf_from_version", v)`, and SQL
+  * `SELECT * FROM cat.db.t.changes` (full retained range).
   *
   * The whole range must sit inside the manifest retention window
   * (8 versions) — older diffs refuse loudly, same stance as pinned and
@@ -46,23 +58,75 @@ import graft.fls.{FlsDeleteVectors, FlsFileStats, FlsManifest}
 object FlsCdf {
   val ChangeType = "_change_type"
   val CommitVersion = "_commit_version"
+  val FromOption = "cdf_from_version"
+  val ToOption = "cdf_to_version"
+  /** `cdf_from_version=earliest` → the oldest retained transition. */
+  val Earliest = "earliest"
+
+  def cdfSchemaFields: Seq[StructField] = Seq(
+    StructField(ChangeType, StringType, nullable = false),
+    StructField(CommitVersion, LongType, nullable = false))
 
   def changes(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Option[Long] = None): DataFrame = {
+    // eager validation so misuse fails AT THE CALL, not at first action
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val (headV, _) = FlsManifest.readVersioned(fs, root).getOrElse(
+    val (headV, _) = headOf(fs, root, dir)
+    val to = toVersion.getOrElse(headV)
+    validateRange(dir, fromVersion, to, headV)
+    // retention check up front too: the diff's base version must still
+    // be readable (planning would throw the same, but lazily)
+    try FlsManifest.readVersion(fs, root, fromVersion)
+    catch {
+      case _: java.io.FileNotFoundException if fromVersion != 0L =>
+        throw new IllegalArgumentException(
+          s"fls cdf: version $fromVersion of $dir is not retained — the " +
+            "change-data-feed can only span the retention window; " +
+            "restart the consumer from a full snapshot")
+      case _: java.io.FileNotFoundException => ()
+    }
+    val r = spark.read.format("fls")
+      .option(FromOption, fromVersion.toString)
+      .option(ToOption, to.toString)
+    r.load(dir)
+  }
+
+  private def headOf(fs: FileSystem, root: Path, dir: String): (Long, Seq[FlsManifest.Entry]) =
+    FlsManifest.readVersioned(fs, root).getOrElse(
       throw new IllegalArgumentException(
         s"fls cdf: $dir has no manifest log — the change-data-feed needs " +
           "a commit_mode=manifest table"))
-    val to = toVersion.getOrElse(headV)
-    require(fromVersion >= 0, s"fls cdf: from_version must be >= 0, got $fromVersion")
-    require(fromVersion <= to,
-      s"fls cdf: from_version=$fromVersion is newer than the target version $to")
+
+  private def validateRange(dir: String, from: Long, to: Long, headV: Long): Unit = {
+    require(from >= 0, s"fls cdf: from_version must be >= 0, got $from")
+    require(from <= to,
+      s"fls cdf: from_version=$from is newer than the target version $to")
     require(to <= headV,
       s"fls cdf: to_version=$to is beyond the newest version $headV")
+  }
 
+  /** One file of one CDF branch. `emitDiff=Some((a, b))` switches the
+    * reader to emit-mode: serve ONLY positions in sidecar a and not in
+    * sidecar b (absolute paths; None = empty set). `emitDiff=None` =
+    * serve the file's live rows (normal delete-vector exclusion). */
+  private[connector] final case class CdfFileSpec(rel: String,
+      emitDiff: Option[(Option[String], Option[String])])
+
+  /** All files one commit changed in one direction: scan their bytes
+    * as of `scanVersion`, tag rows `changeType` @ `commitVersion`. */
+  private[connector] final case class CdfBranch(commitVersion: Long,
+      scanVersion: Long, changeType: String, files: Seq[CdfFileSpec])
+
+  /** The per-commit file-level diff — manifest reads only, O(range ×
+    * changed files); sidecar LENGTHS (not contents) classify DV-change
+    * direction. Our writers only ever merge vectors (monotonic growth)
+    * or revert pointers wholesale (rollback, a subset), so one side is
+    * always empty — but the decode-time diff is exact either way, the
+    * counts only choose which branches to build. */
+  private[connector] def planBranches(fs: FileSystem, root: Path, dir: String,
+      from: Long, to: Long): Seq[CdfBranch] = {
     def entriesAt(v: Long): Seq[FlsManifest.Entry] =
       try FlsManifest.readVersion(fs, root, v)
       catch {
@@ -73,58 +137,9 @@ object FlsCdf {
               "change-data-feed can only span the retention window; " +
               "restart the consumer from a full snapshot")
       }
-
-    val qdir = fs.makeQualified(root).toString.stripSuffix("/") + "/"
-    val branches = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val hconfSer = new SerializableConfiguration(conf)
-    import spark.implicits._
-
-    def scanSubset(v: Long, rels: Seq[String]): DataFrame = {
-      rels.foreach(r => require(!r.contains(','),
-        s"fls cdf: file name '$r' contains a comma — unsupported by " +
-          "file_subset"))
-      spark.read.format("fls")
-        .option("manifest_version", v.toString)
-        .option("file_subset", rels.sorted.mkString(","))
-        .load(dir)
-    }
-    def tag(df: DataFrame, ct: String, v: Long): DataFrame =
-      df.withColumn(ChangeType, lit(ct)).withColumn(CommitVersion, lit(v))
-
-    /** (absolute file, old DV rel or null, new DV rel or null) →
-      * positions present in exactly one vector, diffed where the DVs
-      * live. `restored=false` rows are new deletions (in new only). */
-    def positionsDiff(files: Seq[(String, String, String)], restored: Boolean) = {
-      val rootStr = root.toString
-      spark.createDataset(files).flatMap { case (abs, oldRel, newRel) =>
-        val h = hconfSer.value
-        val r = new Path(rootStr)
-        val f = r.getFileSystem(h)
-        def posOf(rel: String): Array[Long] =
-          if (rel == null) Array.empty[Long] else FlsDeleteVectors.read(f, r, rel)
-        val (base, minus) =
-          if (restored) (posOf(oldRel), posOf(newRel))
-          else (posOf(newRel), posOf(oldRel))
-        val drop = minus.toSet
-        base.iterator.filterNot(drop).map(p => (abs, p))
-      }.toDF("__cdf_file", "__cdf_pos")
-    }
-    /** Rows of `rels` at version `v` whose position is in the diffed
-      * set — the join key is the scan's own row identity, so this stays
-      * a distributed hash join however many positions changed. */
-    def positionBranch(v: Long, scanV: Long, rels: Seq[(String, String, String)],
-        ct: String): DataFrame = {
-      val df = scanSubset(scanV, rels.map(_._1.stripPrefix(qdir)))
-        .withColumn("__cdf_f", col(FlsVirtual.MetaFile))
-        .withColumn("__cdf_p", col(FlsVirtual.MetaPos))
-      val pos = positionsDiff(rels, restored = ct == "insert")
-      tag(df.join(pos,
-          df("__cdf_f") === pos("__cdf_file") && df("__cdf_p") === pos("__cdf_pos"))
-        .drop("__cdf_f", "__cdf_p", "__cdf_file", "__cdf_pos"), ct, v)
-    }
-
-    var prev = entriesAt(fromVersion)
-    ((fromVersion + 1) to to).foreach { v =>
+    val branches = scala.collection.mutable.ArrayBuffer[CdfBranch]()
+    var prev = entriesAt(from)
+    ((from + 1) to to).foreach { v =>
       val cur = entriesAt(v)
       val skip = FlsManifest.versionMeta(fs, root, v).exists(!_.dataChange)
       if (!skip) {
@@ -132,15 +147,8 @@ object FlsCdf {
         val curByRel = cur.map(e => e.rel -> e).toMap
         val added = cur.filterNot(e => prevByRel.contains(e.rel))
         val removed = prev.filterNot(e => curByRel.contains(e.rel))
-        // a DV-pointer change on a surviving file is the merge-on-read
-        // rewrite-in-place; classify its direction from the sidecars'
-        // position COUNTS (in their lengths — no content read): our
-        // writers only ever merge vectors (monotonic growth) or revert
-        // pointers wholesale (rollback, a subset), so one side is
-        // always empty — but the executor-side diff below is exact
-        // either way, the counts only choose which scans to build.
-        val deleteSide = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
-        val insertSide = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+        val deleteSide = scala.collection.mutable.ArrayBuffer[CdfFileSpec]()
+        val insertSide = scala.collection.mutable.ArrayBuffer[CdfFileSpec]()
         prev.foreach { pe =>
           curByRel.get(pe.rel).foreach { ce =>
             require(pe.length == ce.length,
@@ -150,37 +158,174 @@ object FlsCdf {
             val oldDv = FlsFileStats.dvOf(pe.stats)
             val newDv = FlsFileStats.dvOf(ce.stats)
             if (oldDv != newDv) {
-              def dvRel(base: Option[String]): String =
-                base.map(b => FlsDeleteVectors.relFor(pe.rel, b)).orNull
-              def count(rel: String): Long =
-                if (rel == null) 0L
-                else FlsDeleteVectors.countFromLength(
-                  fs.getFileStatus(new Path(root, rel)).getLen)
-              val (o, n) = (dvRel(oldDv), dvRel(newDv))
+              def dvAbs(base: Option[String]): Option[String] =
+                base.map(b => fs.makeQualified(new Path(root,
+                  FlsDeleteVectors.relFor(pe.rel, b))).toString)
+              def count(abs: Option[String]): Long = abs match {
+                case None => 0L
+                case Some(p) => FlsDeleteVectors.countFromLength(
+                  fs.getFileStatus(new Path(p)).getLen)
+              }
+              val (o, n) = (dvAbs(oldDv), dvAbs(newDv))
               val (co, cn) = (count(o), count(n))
-              val abs = qdir + pe.rel
-              if (cn >= co) deleteSide += ((abs, o, n))
-              if (co >= cn) insertSide += ((abs, o, n))
+              if (cn >= co) deleteSide += CdfFileSpec(pe.rel, Some((n, o)))
+              if (co >= cn) insertSide += CdfFileSpec(pe.rel, Some((o, n)))
             }
           }
         }
         if (added.nonEmpty)
-          branches += tag(scanSubset(v, added.map(_.rel)), "insert", v)
+          branches += CdfBranch(v, v, "insert",
+            added.map(e => CdfFileSpec(e.rel, None)))
         if (removed.nonEmpty)
-          branches += tag(scanSubset(v - 1, removed.map(_.rel)), "delete", v)
+          branches += CdfBranch(v, v - 1, "delete",
+            removed.map(e => CdfFileSpec(e.rel, None)))
         if (deleteSide.nonEmpty)
-          branches += positionBranch(v, v - 1, deleteSide.toSeq, "delete")
+          branches += CdfBranch(v, v - 1, "delete", deleteSide.toSeq)
         if (insertSide.nonEmpty)
-          branches += positionBranch(v, v, insertSide.toSeq, "insert")
+          branches += CdfBranch(v, v, "insert", insertSide.toSeq)
       }
       prev = cur
     }
-
-    if (branches.isEmpty)
-      tag(spark.read.format("fls")
-          .option("manifest_version", to.toString).load(dir).limit(0),
-        "insert", to).limit(0)
-    else
-      branches.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    branches.toSeq
   }
+}
+
+/** Per-chunk CDF context, serialized into the input partition:
+  * constants for the `_change_type`/`_commit_version` virtual columns,
+  * plus the optional emit-mode sidecar pair (see [[FlsCdf.CdfFileSpec]]).
+  */
+final case class FlsCdfChunkSpec(changeType: String, commitVersion: Long,
+    emitDiff: Option[(Option[String], Option[String])] = None)
+
+/** The change-data-feed as a DSv2 table: schema = the table's data
+  * (+partition) columns plus `_change_type`/`_commit_version`; the scan
+  * plans every branch of every commit in the range as ordinary fls
+  * chunks (same packing, same reader) with per-chunk CDF context.
+  * Column pruning pushes down like any fls scan; filters evaluate
+  * above the scan (the feed is change-sized, not table-sized). */
+class FlsCdfTable(tableName: String, schemaWithCdf: StructType,
+    options: CaseInsensitiveStringMap,
+    session: SparkSession) extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = schemaWithCdf
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(readOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // merge table-level options (path, cdf range from the catalog) with
+    // read-time ones; read-time wins, same precedence as FlsTable
+    val merged = new util.HashMap[String, String]()
+    options.entrySet().forEach(e => merged.put(e.getKey, e.getValue))
+    readOptions.entrySet().forEach(e => merged.put(e.getKey, e.getValue))
+    new FlsCdfScanBuilder(schemaWithCdf,
+      new CaseInsensitiveStringMap(merged), session)
+  }
+}
+
+class FlsCdfScanBuilder(fullSchema: StructType,
+    options: CaseInsensitiveStringMap, session: SparkSession)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new FlsCdfScan(fullSchema, required, options, session)
+}
+
+class FlsCdfScan(fullSchema: StructType, requiredSchema: StructType,
+    options: CaseInsensitiveStringMap, session: SparkSession)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val from = options.get(FlsCdf.FromOption)
+    s"fls cdf scan, range=($from, ${Option(options.get(FlsCdf.ToOption)).getOrElse("head")}]" +
+      s", cols=[${requiredSchema.fieldNames.mkString(",")}]"
+  }
+
+  private def hadoopConf: Configuration = session.sessionState.newHadoopConf()
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = hadoopConf
+    val paths = FlsDataSource.parsePaths(options)
+    require(paths.length == 1,
+      s"fls cdf: the change-data-feed addresses ONE table directory, got ${paths.length}")
+    val dir = paths.head
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val (headV, _) = FlsManifest.readVersioned(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"fls cdf: $dir has no manifest log — the change-data-feed needs " +
+          "a commit_mode=manifest table"))
+    val from = options.get(FlsCdf.FromOption) match {
+      case FlsCdf.Earliest =>
+        // oldest computable transition: diffing v needs v-1 readable —
+        // v0 is the implicit empty table, so v1's diff is always
+        // computable while v1 itself is retained
+        val mn = FlsManifest.versionsWithTimes(fs, root).map(_._1)
+          .minOption.getOrElse(headV)
+        if (mn == 1L) 0L else mn
+      case s => s.toLong
+    }
+    val to = Option(options.get(FlsCdf.ToOption)).map(_.toLong).getOrElse(headV)
+    require(from >= 0, s"fls cdf: from_version must be >= 0, got $from")
+    require(from <= to,
+      s"fls cdf: from_version=$from is newer than the target version $to")
+    require(to <= headV,
+      s"fls cdf: to_version=$to is beyond the newest version $headV")
+
+    // schema the file columns bind against (renames, widenings) —
+    // everything but the two feed columns
+    val dataSchema = StructType(fullSchema.fields.filterNot(f =>
+      f.name == FlsCdf.ChangeType || f.name == FlsCdf.CommitVersion))
+    val qdir = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+    val units = scala.collection.mutable.ArrayBuffer[FlsRgUnit]()
+    var fileIdx = 0
+    FlsCdf.planBranches(fs, root, dir, from, to).foreach { br =>
+      val listed = FlsFooters.listStatuses(Seq(dir), conf, Some(br.scanVersion))
+      val byRel = listed.map { case (st, meta) =>
+        st.getPath.toString.stripPrefix(qdir) -> (st, meta)
+      }.toMap
+      val specs = br.files.sortBy(_.rel)
+      val missing = specs.filterNot(s => byRel.contains(s.rel))
+      require(missing.isEmpty,
+        s"fls cdf: commit ${br.commitVersion}'s file(s) " +
+          s"${missing.map(_.rel).mkString(", ")} are absent from retained " +
+          s"version ${br.scanVersion} — the log is inconsistent (manual " +
+          "file deletion?)")
+      val entries = FlsFooters.fetchMeta(specs.map(s => byRel(s.rel)), conf)
+        .map(e => e.copy(table = Format.applyRenames(e.table, dataSchema)))
+      val disc = FlsPartitioning.discover(Seq(dir), entries.map(_.file), conf)
+      specs.zip(entries).foreach { case (spec, e) =>
+        val pvals: Map[String, String] =
+          disc.byFile.get(e.file.toString) match {
+            case Some(raw) => disc.keys.zip(raw).toMap
+            case None => Map.empty
+          }
+        val cdf = FlsCdfChunkSpec(br.changeType, br.commitVersion, spec.emitDiff)
+        // emit-mode chunks must NOT also exclude the live DV: the diff
+        // IS the (exact) selection; live-row chunks keep their version's
+        // DV so already-deleted rows never resurrect in the feed
+        val dv = if (spec.emitDiff.isDefined) None else e.dv
+        var rowStart = 0L
+        e.table.rowGroups.foreach { rg =>
+          units += FlsRgUnit(e.file.toString, rg, rowStart, fileIdx, pvals,
+            e.table.columns, dv, Some(cdf))
+          rowStart += rg.nTuples
+        }
+        fileIdx += 1
+      }
+    }
+    FlsSplitPacking.pack(units.toSeq, session)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FlsReaderFactory(requiredSchema,
+      new SerializableConfiguration(hadoopConf))
 }

@@ -125,6 +125,10 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
       s = StructType(s.fields :+ StructField(FlsVirtual.RowNumber, LongType, nullable = false))
     if (options.getBoolean(FlsVirtual.FileIndex, false))
       s = StructType(s.fields :+ StructField(FlsVirtual.FileIndex, LongType, nullable = false))
+    // change-data-feed read: the feed's two tag columns ride after
+    // everything else ([[FlsCdf]]); getTable routes to FlsCdfTable
+    if (options.containsKey(FlsCdf.FromOption))
+      s = StructType(s.fields ++ FlsCdf.cdfSchemaFields)
     s
   }
 
@@ -157,7 +161,11 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
     // code path again (multi-session drivers: a table resolved by
     // session A must keep using A's hadoop/SQL conf even when its scan
     // is planned while session B is active on the thread)
-    new FlsTable(schema, opts, org.apache.spark.sql.SparkSession.active)
+    if (opts.containsKey(FlsCdf.FromOption))
+      new FlsCdfTable(s"fls cdf ${FlsDataSource.parsePaths(opts).mkString(",")}",
+        schema, opts, org.apache.spark.sql.SparkSession.active)
+    else
+      new FlsTable(schema, opts, org.apache.spark.sql.SparkSession.active)
   }
 }
 
@@ -236,10 +244,10 @@ object FlsDataSource {
   /** `file_subset=relA,relB,…` — restrict a scan to the named
     * table-relative files of whatever snapshot the other options
     * select. Pruned at LISTING time, before any footer IO, so reading
-    * 3 files of a 100k-file table plans exactly 3 footers. The
-    * change-data-feed ([[FlsCdf]]) builds its per-commit branches from
-    * this. Unknown rels are an error: a subset naming a file the
-    * snapshot lacks is a stale plan, not an empty result. */
+    * 3 files of a 100k-file table plans exactly 3 footers (the
+    * change-data-feed plans its branches the same listing-time way,
+    * via [[FlsCdfScan]]). Unknown rels are an error: a subset naming a
+    * file the snapshot lacks is a stale plan, not an empty result. */
   def fileSubset(options: CaseInsensitiveStringMap): Option[Set[String]] =
     Option(options.get("file_subset"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -1100,7 +1108,12 @@ case class FlsFileChunk(
       * deletes): the reader drops these row positions at decode —
       * UNCONDITIONALLY, in every scan mode including the row-level
       * group scans, because no Catalyst residual re-checks deletes. */
-    dv: Option[String] = None)
+    dv: Option[String] = None,
+    /** Change-data-feed context (None = ordinary snapshot scan): the
+      * `_change_type`/`_commit_version` constants for this chunk's
+      * rows, plus the optional emit-mode sidecar diff that REPLACES the
+      * base selection (see [[FlsCdfChunkSpec]]). */
+    cdf: Option[FlsCdfChunkSpec] = None)
 
 /** Fully self-contained scan unit: one or more file chunks. Row groups
   * PACK into splits parquet-style (see [[FlsSplitPacking]]): the row
@@ -1143,7 +1156,8 @@ case class FlsRgUnit(
     fileIdx: Int,
     pvals: Map[String, String],
     cols: Array[ColumnDesc],
-    dv: Option[String] = None)
+    dv: Option[String] = None,
+    cdf: Option[FlsCdfChunkSpec] = None)
 
 /** Parquet-style split packing (mirrors Spark's
   * `FilePartition.maxSplitBytes` + packing loop): row groups cost
@@ -1175,7 +1189,7 @@ object FlsSplitPacking {
     var curCost = 0L
     def sealChunk(): Unit = if (rgs.nonEmpty) {
       chunks += FlsFileChunk(cur.file, rgs.toArray, starts.toArray,
-        cur.cols, cur.fileIdx, cur.pvals, cur.dv)
+        cur.cols, cur.fileIdx, cur.pvals, cur.dv, cur.cdf)
       rgs.clear(); starts.clear()
     }
     def flush(): Unit = {
@@ -1187,7 +1201,9 @@ object FlsSplitPacking {
     }
     units.foreach { u =>
       if (cur != null && curCost + cost(u) > target) flush()
-      else if (cur != null && u.file != cur.file) sealChunk()
+      // a CDF feed can scan the SAME file under two branch contexts
+      // (e.g. rows deleted then restored) — never merge across them
+      else if (cur != null && (u.file != cur.file || u.cdf != cur.cdf)) sealChunk()
       cur = u
       rgs += u.rg
       starts += u.rowStart

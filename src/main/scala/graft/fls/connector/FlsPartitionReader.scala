@@ -134,6 +134,37 @@ class FlsPartitionReader(
   private def loadDv(c: FlsFileChunk): Array[Long] =
     c.dv.map(p => graft.fls.FlsDeleteVectors.readAbsolute(p, conf)).orNull
 
+  /** Change-data-feed emit mode: serve ONLY these file-absolute
+    * positions (sorted; the set difference of the chunk's two sidecars,
+    * computed here where the sidecars live — one task-side read each,
+    * no position ever crosses the driver). Replaces the DV exclusion as
+    * the base selection (the planner guarantees `dv` is unset on
+    * emit-mode chunks). Null = ordinary scan. */
+  private var emitPositions: Array[Long] =
+    if (chunk == null) null else loadEmit(chunk)
+  private def loadEmit(c: FlsFileChunk): Array[Long] =
+    c.cdf.flatMap(_.emitDiff) match {
+      case None => null
+      case Some((a, b)) =>
+        def posOf(p: Option[String]): Array[Long] = p match {
+          case None => Array.empty[Long]
+          case Some(abs) => graft.fls.FlsDeleteVectors.readAbsolute(abs, conf)
+        }
+        val ap = posOf(a)
+        val bp = posOf(b)
+        // sorted-merge difference ap \ bp
+        val out = new Array[Long](ap.length)
+        var k = 0
+        var i = 0
+        var j = 0
+        while (i < ap.length) {
+          while (j < bp.length && bp(j) < ap(i)) j += 1
+          if (j >= bp.length || bp(j) != ap(i)) { out(k) = ap(i); k += 1 }
+          i += 1
+        }
+        java.util.Arrays.copyOf(out, k)
+    }
+
   /** Per-SEGMENT recycled decode buffers (see Codecs.decodeReuse): a
     * row group's numeric output arrays get reused by the next group of
     * the same column instead of re-allocating+zeroing 512 KB each time.
@@ -215,6 +246,8 @@ class FlsPartitionReader(
             case _ =>
               if (f.name == FlsVirtual.RowNumber || f.name == FlsVirtual.FileIndex ||
                 f.name == FlsVirtual.MetaFile || f.name == FlsVirtual.MetaPos ||
+                (chunk.cdf.isDefined && (f.name == FlsCdf.ChangeType ||
+                  f.name == FlsCdf.CommitVersion)) || // feed tag constants
                 chunk.partitionValues.contains(f.name) || // constant from the path
                 f.nullable || // nullable+absent: union_by_name missing column
                 // NOT NULL + DEFAULT: the fill serves the exists-default
@@ -333,7 +366,24 @@ class FlsPartitionReader(
     // pushed conjuncts then narrow. Binary-search the group's slice of
     // the sorted file-absolute positions.
     var dvApplied = false
-    if (dvPositions != null && dvPositions.length > 0) {
+    if (emitPositions != null) {
+      // CDF emit mode: the diffed position set IS the base selection
+      // (possibly empty for this group). dvApplied forces compaction —
+      // like deletes, no residual FilterExec re-checks the emit set.
+      val start = chunk.rowStarts(g)
+      var lo = java.util.Arrays.binarySearch(emitPositions, start)
+      if (lo < 0) lo = -lo - 1
+      var hi = java.util.Arrays.binarySearch(emitPositions, start + rgTuples)
+      if (hi < 0) hi = -hi - 1
+      if (selScratch == null || selScratch.length < rgTuples)
+        selScratch = new Array[Int](rgTuples)
+      sel = selScratch
+      var k = 0
+      var d = lo
+      while (d < hi) { sel(k) = (emitPositions(d) - start).toInt; k += 1; d += 1 }
+      selCount = k
+      dvApplied = true
+    } else if (dvPositions != null && dvPositions.length > 0) {
       val start = chunk.rowStarts(g)
       var lo = java.util.Arrays.binarySearch(dvPositions, start)
       if (lo < 0) lo = -lo - 1
@@ -455,6 +505,7 @@ class FlsPartitionReader(
         if (cIdx >= part.chunks.length) { chunk = null; return false }
         chunk = part.chunks(cIdx)
         dvPositions = loadDv(chunk)
+        emitPositions = loadEmit(chunk)
         fileTypes = mkFileTypes(chunk)
         preds = FlsRowFilter.compile(rowFilters, readSchema, fileTypes, sizeBase)
         adaptOrder = new FlsRowFilter.AdaptiveOrder(preds.length)
@@ -631,6 +682,19 @@ class FlsPartitionReader(
           case other =>
             throw new IllegalStateException(s"fls: partition column type $other")
         }
+      case (null, StringType) if chunk.cdf.isDefined &&
+          field.name == FlsCdf.ChangeType =>
+        // change-data-feed tag: one constant per chunk, like a
+        // partition value ('insert' | 'delete')
+        val b = chunk.cdf.get.changeType
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < len) { vec.putByteArray(i, b, 0, b.length); i += 1 }
+      case (null, LongType) if chunk.cdf.isDefined &&
+          field.name == FlsCdf.CommitVersion =>
+        val v = chunk.cdf.get.commitVersion
+        var i = 0
+        while (i < len) { vec.putLong(i, v); i += 1 }
       case (null, LongType) if field.name == FlsVirtual.FileIndex =>
         var i = 0
         while (i < len) { vec.putLong(i, chunk.fileIndex.toLong); i += 1 }

@@ -149,6 +149,37 @@ class FlsCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e3.getMessage.contains("not retained"))
   }
 
+  test("the feed is ONE native scan: no joins, no unions in the plan") {
+    val (tbl, dir) = mkTable("planshape", mor = true)
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) FROM range(0, 50)")
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (3, 4)") // DV branch
+    spark.sql(s"INSERT INTO $tbl VALUES (100, 1.0)")  // add branch
+    val df = FlsCdf.changes(spark, dir, 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), plan)
+    assert(!plan.contains("Join") && !plan.contains("Union"), plan)
+    // and it still answers correctly across both branch kinds
+    assert(df.count() == 53) // 50 + 2 deletes + 1 insert
+  }
+
+  test("SQL surface: SELECT FROM t.changes serves the retained range") {
+    val (tbl, dir) = mkTable("sqlsurface", mor = true)
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0), (2, 2.0)")
+    spark.sql(s"DELETE FROM $tbl WHERE id = 2")
+    val viaSql = spark.sql(
+      s"SELECT _change_type, _commit_version, id FROM $tbl.changes")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaSql == Set(("insert", 1L, 1L), ("insert", 1L, 2L),
+      ("delete", 2L, 2L)))
+    assert(viaSql == changeSet(FlsCdf.changes(spark, dir, 0)))
+    // column pruning reaches the feed scan: the leaf's output is
+    // exactly the selected column, not the whole table
+    val pruned = spark.sql(s"SELECT _change_type FROM $tbl.changes")
+    val leafOut = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.output.map(_.name)
+    assert(leafOut == Seq("_change_type"), leafOut.mkString(","))
+  }
+
   test("op tags round-trip the manifest format; legacy lines still parse") {
     val (_, dir) = mkTable("tags", mor = false)
     spark.sql(s"INSERT INTO $cat.db.tags VALUES (1, 1.0)")
