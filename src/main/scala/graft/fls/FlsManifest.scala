@@ -69,8 +69,18 @@ object FlsManifest {
     * marks commits that reorganize bytes without changing the table's
     * ROWS (compaction, the legacy-upgrade identity commit): the
     * change-data-feed skips their file churn, exactly like Delta's
-    * `dataChange=false` actions. */
-  final case class VersionMeta(op: String, dataChange: Boolean)
+    * `dataChange=false` actions.
+    *
+    * `schemaVersion` (`#schema` header line) is the [[FlsTableMeta]]
+    * version that was CURRENT when this data version committed — the
+    * Iceberg snapshot/schema-id correspondence: `VERSION AS OF v` binds
+    * to the schema as of v, not the schema of today
+    * ([[graft.fls.connector.FlsCatalog]]). None for path-based tables
+    * (no metadata log — schema inferred from footers) and for versions
+    * committed before the stamp existed (those read through the current
+    * schema, the documented legacy stance). */
+  final case class VersionMeta(op: String, dataChange: Boolean,
+      schemaVersion: Option[Long] = None)
 
   def manifestPath(dir: Path): Path = new Path(dir, FileName)
   def logDir(dir: Path): Path = new Path(dir, LogDirName)
@@ -212,10 +222,15 @@ object FlsManifest {
     try in.readFully(0, buf) finally in.close()
     val lines = new String(buf, StandardCharsets.UTF_8).split('\n').filter(_.nonEmpty)
     require(lines.nonEmpty && lines(0) == Header, s"fls: corrupt manifest at $p")
+    val schemaV = lines.drop(1).find(_.startsWith("#schema\t")).map { l =>
+      val a = l.split('\t')
+      require(a.length == 2, s"fls: corrupt #schema line '$l' in $p")
+      a(1).toLong
+    }
     val meta = lines.drop(1).find(_.startsWith("#op\t")).map { l =>
       val a = l.split('\t')
       require(a.length == 3, s"fls: corrupt #op line '$l' in $p")
-      VersionMeta(a(1), a(2) == "1")
+      VersionMeta(a(1), a(2) == "1", schemaV)
     }
     val entries = lines.drop(1).filterNot(_.startsWith("#")).toSeq.map { l =>
       val a = l.split('\t')
@@ -253,8 +268,11 @@ object FlsManifest {
       val merged = merge(curV, cur.map(_._2))
       val next = curV + 1
       fs.mkdirs(logDir(dir))
+      // stamp the table-meta version in force at THIS commit (if the
+      // table keeps a metadata log) — snapshot reads bind to it
+      val schemaV = FlsTableMeta.newestVersion(fs, dir)
       val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId), f"manifest_v$next%020d")
-      writeContent(fs, tmp, merged, Some(VersionMeta(op, dataChange)))
+      writeContent(fs, tmp, merged, Some(VersionMeta(op, dataChange, schemaV)))
       val won =
         try publishExclusive(fs, tmp, versionPath(dir, next), conf)
         finally { try fs.delete(tmp, false) catch { case _: Throwable => () } }
@@ -282,6 +300,7 @@ object FlsManifest {
           s"fls: manifest op tag must be a plain word, got '${m.op}'")
         sb.append("#op\t").append(m.op)
           .append('\t').append(if (m.dataChange) "1" else "0").append('\n')
+        m.schemaVersion.foreach(v => sb.append("#schema\t").append(v).append('\n'))
       }
       entries.sortBy(_.rel).foreach { e =>
         require(!e.rel.contains('\n') && !e.rel.contains('\t'),

@@ -67,6 +67,25 @@ object FlsTableMeta {
     }
   }
 
+  /** Newest metadata version NUMBER only — one tiny-directory listing,
+    * no file read. What manifest commits stamp as their `#schema`
+    * header ([[FlsManifest.VersionMeta.schemaVersion]]). */
+  def newestVersion(fs: FileSystem, dir: Path): Option[Long] = {
+    val versions =
+      try fs.listStatus(logDir(dir)).iterator
+        .flatMap(s => FlsCas.parseVersionName(s.getPath.getName))
+        .toSeq
+      catch { case _: java.io.FileNotFoundException => Nil }
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  /** One PINNED metadata version — immutable, so a consistent snapshot
+    * schema regardless of concurrent ALTERs (snapshot-schema time
+    * travel). Throws FileNotFoundException when `v` was GC'd past the
+    * retention window — callers fall back to the current schema. */
+  def readVersion(fs: FileSystem, dir: Path, v: Long): Meta =
+    readFile(fs, versionPath(dir, v))
+
   /** Publish a new metadata version with optimistic concurrency: read
     * the newest, apply `merge`, claim `v<N+1>` exclusively; on a lost
     * race re-read and retry. `merge` may throw to abort (e.g. an ALTER

@@ -174,14 +174,32 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
       }
     }
 
+  /** The declared metadata AS OF manifest version `v`: each manifest
+    * commit stamps the [[FlsTableMeta]] version current at commit time
+    * (`#schema` header), and snapshot reads bind to THAT schema — the
+    * Iceberg snapshot/schema-id contract. `VERSION AS OF` a version
+    * before a RENAME serves the old name; before an ADD COLUMN, the
+    * column is absent; before a DROP, the dropped column comes back
+    * with its values (old files still store it and the snapshot schema
+    * still declares it). Falls back to the CURRENT schema for versions
+    * committed before the stamp existed and for stamped metadata
+    * versions GC'd past the retention window — the documented legacy
+    * stance (historical data through today's schema). */
+  private def metaAsOf(dir: Path, v: Long,
+      current: FlsTableMeta.Meta): FlsTableMeta.Meta =
+    FlsManifest.versionMeta(fs, dir, v).flatMap(_.schemaVersion) match {
+      case Some(mv) =>
+        try FlsTableMeta.readVersion(fs, dir, mv)
+        catch { case _: java.io.FileNotFoundException => current }
+      case None => current
+    }
+
   /** `SELECT ... FROM t VERSION AS OF <v>` — a pinned read of manifest
-    * version `v`, immutable under concurrent commits. Data travels,
-    * SCHEMA does not: historical rows are served through the table's
-    * CURRENT schema (columns added since read as NULL in old files,
-    * renames bind through the name history, type widenings decode old
-    * physical types) — same contract as reading old data files after an
-    * ALTER, and documented divergence from Iceberg's snapshot-schema
-    * reads. Retention bounds travel: only versions still in the
+    * version `v`, immutable under concurrent commits. Both data AND
+    * schema travel: rows are served through the schema stamped at `v`
+    * ([[metaAsOf]] — Iceberg's snapshot-schema reads), with the
+    * documented fall-back to the current schema for pre-stamp commits.
+    * Retention bounds travel: only versions still in the
     * manifest log resolve (see `t.history`); older ones were GC'd. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
@@ -203,7 +221,7 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
         s"fls: version $v of $ident is not retained (have: " +
           s"${have.map(_._1).mkString(", ")}) — older versions are GC'd " +
           "past the retention window")
-    tableFor(dir, meta, pinned = Some(v))
+    tableFor(dir, metaAsOf(dir, v, meta), pinned = Some(v))
   }
 
   /** `SELECT ... FROM t TIMESTAMP AS OF <ts>` — resolves to the newest
@@ -223,7 +241,8 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
         s"predates the oldest retained version of $ident " +
         s"(${java.time.Instant.ofEpochMilli(have.head._2)}) — earlier " +
         "history was GC'd past the retention window")
-    tableFor(dir, meta, pinned = Some(atOrBefore.maxBy(_._1)._1))
+    val v = atOrBefore.maxBy(_._1)._1
+    tableFor(dir, metaAsOf(dir, v, meta), pinned = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

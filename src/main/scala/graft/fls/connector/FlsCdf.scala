@@ -60,8 +60,26 @@ object FlsCdf {
   val CommitVersion = "_commit_version"
   val FromOption = "cdf_from_version"
   val ToOption = "cdf_to_version"
+  /** `read_change_feed=true` — route to the CDF table without naming a
+    * version: batch reads serve the full retained range (earliest),
+    * stream reads tail NEW changes from the head at stream start. */
+  val ReadChangeFeed = "read_change_feed"
   /** `cdf_from_version=earliest` → the oldest retained transition. */
   val Earliest = "earliest"
+
+  /** True when the read options ask for the change feed (either an
+    * explicit range or the flag). */
+  def requested(options: CaseInsensitiveStringMap): Boolean =
+    options.containsKey(FromOption) || options.getBoolean(ReadChangeFeed, false)
+
+  /** The oldest computable transition base: diffing v needs v-1
+    * readable — v0 is the implicit empty table, so v1's diff is always
+    * computable while v1 itself is retained. */
+  def earliestFrom(fs: FileSystem, root: Path, headV: Long): Long = {
+    val mn = FlsManifest.versionsWithTimes(fs, root).map(_._1)
+      .minOption.getOrElse(headV)
+    if (mn == 1L) 0L else mn
+  }
 
   def cdfSchemaFields: Seq[StructField] = Seq(
     StructField(ChangeType, StringType, nullable = false),
@@ -188,6 +206,58 @@ object FlsCdf {
     }
     branches.toSeq
   }
+
+  /** Plan the feed's scan units for the range `(from, to]` — manifest
+    * reads plus touched-file footers only; nothing row-sized on the
+    * driver. Shared by the batch scan ([[FlsCdfScan]]) and the
+    * streaming source ([[FlsCdfMicroBatchStream]]): a micro-batch is
+    * just a narrower version range, and because manifest versions are
+    * immutable the same range replans IDENTICALLY on restart (the
+    * manifest log is the stream's write-ahead log). */
+  private[connector] def planUnits(conf: Configuration, dir: String,
+      from: Long, to: Long, dataSchema: StructType): Seq[FlsRgUnit] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val qdir = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+    val units = scala.collection.mutable.ArrayBuffer[FlsRgUnit]()
+    var fileIdx = 0
+    planBranches(fs, root, dir, from, to).foreach { br =>
+      val listed = FlsFooters.listStatuses(Seq(dir), conf, Some(br.scanVersion))
+      val byRel = listed.map { case (st, meta) =>
+        st.getPath.toString.stripPrefix(qdir) -> (st, meta)
+      }.toMap
+      val specs = br.files.sortBy(_.rel)
+      val missing = specs.filterNot(s => byRel.contains(s.rel))
+      require(missing.isEmpty,
+        s"fls cdf: commit ${br.commitVersion}'s file(s) " +
+          s"${missing.map(_.rel).mkString(", ")} are absent from retained " +
+          s"version ${br.scanVersion} — the log is inconsistent (manual " +
+          "file deletion?)")
+      val entries = FlsFooters.fetchMeta(specs.map(s => byRel(s.rel)), conf)
+        .map(e => e.copy(table = Format.applyRenames(e.table, dataSchema)))
+      val disc = FlsPartitioning.discover(Seq(dir), entries.map(_.file), conf)
+      specs.zip(entries).foreach { case (spec, e) =>
+        val pvals: Map[String, String] =
+          disc.byFile.get(e.file.toString) match {
+            case Some(raw) => disc.keys.zip(raw).toMap
+            case None => Map.empty
+          }
+        val cdf = FlsCdfChunkSpec(br.changeType, br.commitVersion, spec.emitDiff)
+        // emit-mode chunks must NOT also exclude the live DV: the diff
+        // IS the (exact) selection; live-row chunks keep their version's
+        // DV so already-deleted rows never resurrect in the feed
+        val dv = if (spec.emitDiff.isDefined) None else e.dv
+        var rowStart = 0L
+        e.table.rowGroups.foreach { rg =>
+          units += FlsRgUnit(e.file.toString, rg, rowStart, fileIdx, pvals,
+            e.table.columns, dv, Some(cdf))
+          rowStart += rg.nTuples
+        }
+        fileIdx += 1
+      }
+    }
+    units.toSeq
+  }
 }
 
 /** Per-chunk CDF context, serialized into the input partition:
@@ -210,7 +280,8 @@ class FlsCdfTable(tableName: String, schemaWithCdf: StructType,
   override def name(): String = tableName
   override def schema(): StructType = schemaWithCdf
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(readOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // merge table-level options (path, cdf range from the catalog) with
@@ -264,13 +335,7 @@ class FlsCdfScan(fullSchema: StructType, requiredSchema: StructType,
         s"fls cdf: $dir has no manifest log — the change-data-feed needs " +
           "a commit_mode=manifest table"))
     val from = options.get(FlsCdf.FromOption) match {
-      case FlsCdf.Earliest =>
-        // oldest computable transition: diffing v needs v-1 readable —
-        // v0 is the implicit empty table, so v1's diff is always
-        // computable while v1 itself is retained
-        val mn = FlsManifest.versionsWithTimes(fs, root).map(_._1)
-          .minOption.getOrElse(headV)
-        if (mn == 1L) 0L else mn
+      case null | FlsCdf.Earliest => FlsCdf.earliestFrom(fs, root, headV)
       case s => s.toLong
     }
     val to = Option(options.get(FlsCdf.ToOption)).map(_.toLong).getOrElse(headV)
@@ -284,46 +349,15 @@ class FlsCdfScan(fullSchema: StructType, requiredSchema: StructType,
     // everything but the two feed columns
     val dataSchema = StructType(fullSchema.fields.filterNot(f =>
       f.name == FlsCdf.ChangeType || f.name == FlsCdf.CommitVersion))
-    val qdir = fs.makeQualified(root).toString.stripSuffix("/") + "/"
-    val units = scala.collection.mutable.ArrayBuffer[FlsRgUnit]()
-    var fileIdx = 0
-    FlsCdf.planBranches(fs, root, dir, from, to).foreach { br =>
-      val listed = FlsFooters.listStatuses(Seq(dir), conf, Some(br.scanVersion))
-      val byRel = listed.map { case (st, meta) =>
-        st.getPath.toString.stripPrefix(qdir) -> (st, meta)
-      }.toMap
-      val specs = br.files.sortBy(_.rel)
-      val missing = specs.filterNot(s => byRel.contains(s.rel))
-      require(missing.isEmpty,
-        s"fls cdf: commit ${br.commitVersion}'s file(s) " +
-          s"${missing.map(_.rel).mkString(", ")} are absent from retained " +
-          s"version ${br.scanVersion} — the log is inconsistent (manual " +
-          "file deletion?)")
-      val entries = FlsFooters.fetchMeta(specs.map(s => byRel(s.rel)), conf)
-        .map(e => e.copy(table = Format.applyRenames(e.table, dataSchema)))
-      val disc = FlsPartitioning.discover(Seq(dir), entries.map(_.file), conf)
-      specs.zip(entries).foreach { case (spec, e) =>
-        val pvals: Map[String, String] =
-          disc.byFile.get(e.file.toString) match {
-            case Some(raw) => disc.keys.zip(raw).toMap
-            case None => Map.empty
-          }
-        val cdf = FlsCdfChunkSpec(br.changeType, br.commitVersion, spec.emitDiff)
-        // emit-mode chunks must NOT also exclude the live DV: the diff
-        // IS the (exact) selection; live-row chunks keep their version's
-        // DV so already-deleted rows never resurrect in the feed
-        val dv = if (spec.emitDiff.isDefined) None else e.dv
-        var rowStart = 0L
-        e.table.rowGroups.foreach { rg =>
-          units += FlsRgUnit(e.file.toString, rg, rowStart, fileIdx, pvals,
-            e.table.columns, dv, Some(cdf))
-          rowStart += rg.nTuples
-        }
-        fileIdx += 1
-      }
-    }
-    FlsSplitPacking.pack(units.toSeq, session)
+    FlsSplitPacking.pack(
+      FlsCdf.planUnits(conf, dir, from, to, dataSchema), session)
   }
+
+  /** Streaming read of the feed: the manifest VERSION is the offset —
+    * see [[FlsCdfMicroBatchStream]]. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FlsCdfMicroBatchStream(fullSchema, requiredSchema, options, session)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FlsReaderFactory(requiredSchema,

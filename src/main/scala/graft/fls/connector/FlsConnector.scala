@@ -127,7 +127,7 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
       s = StructType(s.fields :+ StructField(FlsVirtual.FileIndex, LongType, nullable = false))
     // change-data-feed read: the feed's two tag columns ride after
     // everything else ([[FlsCdf]]); getTable routes to FlsCdfTable
-    if (options.containsKey(FlsCdf.FromOption))
+    if (FlsCdf.requested(options))
       s = StructType(s.fields ++ FlsCdf.cdfSchemaFields)
     s
   }
@@ -161,7 +161,7 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
     // code path again (multi-session drivers: a table resolved by
     // session A must keep using A's hadoop/SQL conf even when its scan
     // is planned while session B is active on the thread)
-    if (opts.containsKey(FlsCdf.FromOption))
+    if (FlsCdf.requested(opts))
       new FlsCdfTable(s"fls cdf ${FlsDataSource.parsePaths(opts).mkString(",")}",
         schema, opts, org.apache.spark.sql.SparkSession.active)
     else

@@ -1358,7 +1358,156 @@ object FlsQueries {
         FROM orders WHERE o_orderkey IN (1, 2, 3, 32, 33, 998, 999)
       )"""
 
+  /** Snapshot-schema time travel, oracle-gated: each manifest commit
+    * stamps the table-meta version in force, and `VERSION AS OF` binds
+    * to THAT schema — Iceberg's snapshot/schema-id contract
+    * ([[graft.fls.connector.FlsCatalog]] metaAsOf). Three generations
+    * straddle an ADD COLUMN DEFAULT and a RENAME; the gate reads v1
+    * (pre-everything: old name `price`, no `prio`), v2 (post-ADD:
+    * `prio` serves the frozen default for gen-1 rows), and the head
+    * (post-RENAME: `amount`). Each snapshot's SERVED column list is
+    * pinned into the hash as a literal — DuckDB reconstructs the same
+    * three schema epochs from raw parquet. */
+  def q112FlsSnapshotSchema(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "snap_warehouse")
+    val cat = s"fls_snap_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_snap"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_snap")
+      if (!done.contains(warehouse + "@snap") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_snap_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, price DOUBLE) " +
+          "TBLPROPERTIES ('commit_mode'='manifest')")
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice " +
+          s"FROM orders_snap_src_$key WHERE o_orderkey % 3 = 0") // v1
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMN prio STRING DEFAULT 'unk'")
+        spark.sql(s"""INSERT INTO $tbl
+          SELECT o_orderkey, o_totalprice, o_orderpriority
+          FROM orders_snap_src_$key WHERE o_orderkey % 3 = 1""") // v2
+        spark.sql(s"ALTER TABLE $tbl RENAME COLUMN price TO amount")
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, 'g3' " +
+          s"FROM orders_snap_src_$key WHERE o_orderkey % 3 = 2") // v3
+        marker.createNewFile()
+      }
+      done += warehouse + "@snap"
+    }
+    def epoch(snap: String, df: DataFrame, money: String): DataFrame = {
+      // the SERVED schema, pinned into the hash
+      val cols = df.columns.mkString(",")
+      val unk =
+        if (df.columns.contains("prio"))
+          sum(when(col("prio") === "unk", 1L).otherwise(0L)).as("n_unk")
+        else sum(lit(0L)).as("n_unk")
+      df.agg(count(lit(1)).as("n"), dbl(sum(d6w(col(money)))).as("total"), unk)
+        .select(lit(snap).as("snap"), lit(cols).as("cols"),
+          col("n"), col("total"), col("n_unk"))
+    }
+    Seq(
+      epoch("head", spark.table(tbl), "amount"),
+      epoch("v1", spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1"), "price"),
+      epoch("v2", spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2"), "price"))
+      .reduce(_ unionAll _).orderBy("snap")
+  }
+
+  val q112Sql: String =
+    """SELECT * FROM (
+        SELECT 'head' AS snap, 'o_orderkey,amount,prio' AS cols, count(*) AS n,
+               CAST(sum(CAST(amount AS DECIMAL(25,6))) AS DOUBLE) AS total,
+               CAST(sum(CASE WHEN prio = 'unk' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+        FROM (SELECT o_orderkey, o_totalprice AS amount, 'unk' AS prio
+              FROM orders WHERE o_orderkey % 3 = 0
+              UNION ALL SELECT o_orderkey, o_totalprice, o_orderpriority
+              FROM orders WHERE o_orderkey % 3 = 1
+              UNION ALL SELECT o_orderkey, o_totalprice, 'g3'
+              FROM orders WHERE o_orderkey % 3 = 2)
+        UNION ALL
+        SELECT 'v1', 'o_orderkey,price', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE),
+               CAST(0 AS BIGINT)
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'v2', 'o_orderkey,price,prio', count(*),
+               CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE),
+               CAST(sum(CASE WHEN prio = 'unk' THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT o_orderkey, o_totalprice AS price, 'unk' AS prio
+              FROM orders WHERE o_orderkey % 3 = 0
+              UNION ALL SELECT o_orderkey, o_totalprice, o_orderpriority
+              FROM orders WHERE o_orderkey % 3 = 1)
+      ) ORDER BY snap"""
+
+  /** STREAMING change-data-feed, oracle-gated: the same row-level feed
+    * q111 gates in batch, delivered through
+    * [[graft.fls.connector.FlsCdfMicroBatchStream]] — the manifest
+    * version is the offset, `Trigger.AvailableNow` drains to the head,
+    * and the parquet sink's cumulative output is aggregated per
+    * (change, commit). Proves the retraction channel works end-to-end
+    * under Spark's streaming engine (offset log, replay, sink commit),
+    * not just as a batch scan: v1's INSERT arrives as per-commit
+    * 'insert' rows and v2's merge-on-read DELETE arrives as 'delete'
+    * retractions with exact keys and totals. */
+  def q113FlsCdfStream(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "cdfs_warehouse")
+    val cat = s"fls_cdfs_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_cdfs"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_cdfs")
+      if (!done.contains(warehouse + "@cdfs") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_cdfs_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, price DOUBLE) " +
+          "TBLPROPERTIES ('commit_mode'='manifest'," +
+          "'delete_mode'='merge-on-read')")
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice " +
+          s"FROM orders_cdfs_src_$key") // v1
+        spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 101 = 0") // v2: DVs
+        marker.createNewFile()
+      }
+      done += warehouse + "@cdfs"
+    }
+    val out = s"$warehouse/_stream_out"
+    val q = spark.readStream.format("fls")
+      .option("cdf_from_version", "earliest")
+      .load(s"$warehouse/db/orders_cdfs")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$warehouse/_stream_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // idempotent: a re-run drains zero new versions
+    spark.read.parquet(out)
+      .groupBy(col(graft.fls.connector.FlsCdf.ChangeType),
+        col(graft.fls.connector.FlsCdf.CommitVersion))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("skey"),
+        dbl(sum(d6w(col("price")))).as("total"))
+      .orderBy("_change_type", "_commit_version")
+  }
+
+  val q113Sql: String =
+    """SELECT * FROM (
+        SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+               count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS skey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        FROM orders
+        UNION ALL
+        SELECT 'delete', CAST(2 AS BIGINT), count(*),
+               CAST(sum(o_orderkey) AS BIGINT),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+        FROM orders WHERE o_orderkey % 101 = 0
+      ) ORDER BY _change_type, _commit_version"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_fls_cdf_stream" -> (q113FlsCdfStream _),
+    "q112_fls_snapshot_schema" -> (q112FlsSnapshotSchema _),
     "q111_fls_cdf" -> (q111FlsCdf _),
     "q109_fls_rollback" -> (q109FlsRollback _),
     "q110_fls_add_column_default" -> (q110FlsAddColumnDefault _),
@@ -1397,6 +1546,8 @@ object FlsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q113_fls_cdf_stream" -> q113Sql,
+    "q112_fls_snapshot_schema" -> q112Sql,
     "q111_fls_cdf" -> q111Sql,
     "q109_fls_rollback" -> q109Sql,
     "q110_fls_add_column_default" -> q110Sql,

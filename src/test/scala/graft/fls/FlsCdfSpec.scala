@@ -186,8 +186,11 @@ class FlsCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(hconf)
+    // catalog tables carry a metadata log, so the commit also stamps
+    // the table-meta version in force (snapshot-schema time travel)
     assert(FlsManifest.versionMeta(fs, root, 1L).contains(
-      FlsManifest.VersionMeta("append", dataChange = true)))
+      FlsManifest.VersionMeta("append", dataChange = true,
+        schemaVersion = Some(1L))))
     // hand-write a pre-tag manifest (no #op line): meta is None and
     // entries still parse — the format extension is backward-compatible
     val v2 = FlsManifest.commit(fs, root, "spec", hconf) { (_, cur) => cur.get }

@@ -95,12 +95,13 @@ class FlsDefaultsSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"ALTER TABLE $tbl ADD COLUMN w BIGINT DEFAULT 5")
     spark.sql(s"INSERT INTO $tbl VALUES (100, 9)") // v2
     assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
-      .schema.fieldNames.toSeq == Seq("id", "w"),
-      "pinned reads expose the CURRENT schema incl. the defaulted column")
-    // time travel serves historical data through the CURRENT schema —
-    // v1's rows get the default there too (documented contract)
-    assert(spark.sql(s"SELECT sum(w) FROM $tbl VERSION AS OF 1")
-      .collect()(0).getLong(0) == 100L)
+      .schema.fieldNames.toSeq == Seq("id"),
+      "snapshot schema: v1 predates the ALTER, so the defaulted column " +
+        "is absent there (Iceberg snapshot/schema-id contract)")
+    // v2 committed AFTER the ALTER: its snapshot schema has the column
+    // and v1's rows serve the frozen exists-default through it
+    assert(spark.sql(s"SELECT sum(w) FROM $tbl VERSION AS OF 2")
+      .collect()(0).getLong(0) == 100L + 9)
     // DML reads the default: DELETE predicated on it touches old rows
     spark.sql(s"DELETE FROM $tbl WHERE w = 5 AND id < 10")
     assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 11L)

@@ -223,9 +223,11 @@ class FlsTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 100)
   }
 
-  test("time travel reads historical data through the CURRENT schema") {
-    // the documented divergence from Iceberg: data travels, schema
-    // does not — old versions serve today's columns
+  test("time travel binds to the SNAPSHOT schema stamped at each commit") {
+    // the Iceberg snapshot/schema-id contract: each manifest commit
+    // stamps the table-meta version in force (#schema header), and
+    // VERSION AS OF serves data through THAT schema — pre-ALTER
+    // versions show the old names, old types, and no later columns
     val tbl = s"$cat.db.evolved_tt"
     spark.sql(s"CREATE TABLE $tbl (id BIGINT, amt INT) " +
       "TBLPROPERTIES ('commit_mode'='manifest')")
@@ -236,17 +238,60 @@ class FlsTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"INSERT INTO $tbl SELECT id, id * 10, concat('t', id) " +
       "FROM range(10, 15)")
     val v1 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
-    // current column names and widened types, even for v1's files
-    assert(v1.schema.fieldNames.toSeq == Seq("id", "amount", "tag"))
-    assert(v1.schema("amount").dataType ==
-      org.apache.spark.sql.types.LongType)
+    // v1 predates every ALTER: original name, original narrow type,
+    // no tag column
+    assert(v1.schema.fieldNames.toSeq == Seq("id", "amt"))
+    assert(v1.schema("amt").dataType ==
+      org.apache.spark.sql.types.IntegerType)
     val rows = v1.orderBy("id").collect()
     assert(rows.length == 10)
-    assert(rows.map(_.getLong(1)).toSeq == (0L until 10L),
-      "renamed+widened column binds v1's files through the name history")
-    assert(rows.forall(_.isNullAt(2)), "column added later reads NULL at v1")
-    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2")
-      .collect()(0).getLong(0) == 15)
+    assert(rows.map(_.getInt(1)).toSeq == (0 until 10))
+    // v2 commits AFTER the three ALTERs: current names/types travel
+    val v2 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2")
+    assert(v2.schema.fieldNames.toSeq == Seq("id", "amount", "tag"))
+    assert(v2.schema("amount").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(v2.count() == 15)
+    // the head keeps serving the current schema as always
+    assert(spark.table(tbl).schema.fieldNames.toSeq ==
+      Seq("id", "amount", "tag"))
+  }
+
+  test("snapshot schema resurrects a column dropped AFTER the snapshot") {
+    val tbl = s"$cat.db.dropped_tt"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, secret STRING) " +
+      "TBLPROPERTIES ('commit_mode'='manifest')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, concat('s', id) FROM range(0, 5)")
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN secret")
+    spark.sql(s"INSERT INTO $tbl SELECT id FROM range(5, 8)")
+    // head: the column is gone
+    assert(spark.table(tbl).schema.fieldNames.toSeq == Seq("id"))
+    // v1: the snapshot schema still declares it, old files still store
+    // it — values come back, not NULLs
+    val v1 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1").orderBy("id")
+    assert(v1.schema.fieldNames.toSeq == Seq("id", "secret"))
+    assert(v1.collect().map(_.getString(1)).toSeq ==
+      (0 until 5).map(i => s"s$i"))
+  }
+
+  test("pre-stamp manifests fall back to the current schema (legacy stance)") {
+    val tbl = s"$cat.db.prestamp_tt"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, amt INT) " +
+      "TBLPROPERTIES ('commit_mode'='manifest')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS INT) FROM range(0, 10)")
+    // simulate a manifest committed before the #schema stamp existed:
+    // strip the header line from v1 in place
+    val p = new java.io.File(
+      s"$tmp/warehouse/db/prestamp_tt/_fls_manifest_log")
+      .listFiles().minBy(_.getName)
+    val kept = scala.io.Source.fromFile(p).getLines()
+      .filterNot(_.startsWith("#schema")).mkString("\n") + "\n"
+    val w = new java.io.FileWriter(p); w.write(kept); w.close()
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN tag STRING")
+    val v1 = spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+    assert(v1.schema.fieldNames.toSeq == Seq("id", "amt", "tag"),
+      "unstamped version serves the current schema")
+    assert(v1.count() == 10)
   }
 
   test(".files lists live files with DV, partition, and version provenance") {
