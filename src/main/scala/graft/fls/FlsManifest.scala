@@ -45,11 +45,39 @@ object FlsManifest {
   /** Directory of immutable versioned manifests, `v<20-digit-N>`. */
   val LogDirName = "_fls_manifest_log"
   private val Header = "#fls-manifest v1"
-  /** Versions retained behind the newest — headroom for pinned
+  /** Default versions retained behind the newest — headroom for pinned
     * (`manifest_version`) readers planned just before a burst of
-    * commits; older versions are GC'd best-effort at each commit. */
-  private val KeepVersions = 8
+    * commits; older versions are GC'd best-effort at each commit.
+    * Override per table with the [[RetentionProperty]] table property:
+    * retention is the budget for EVERY versioned surface (time travel,
+    * rollback, incremental reads, the batch and streaming change-data-
+    * feed), so tables with slow downstream consumers or deep-history
+    * requirements raise it, high-churn staging tables lower it. */
+  val DefaultKeepVersions = 8
+  /** `TBLPROPERTIES ('retention_versions'='N')` — how many versions to
+    * retain behind the newest (catalog tables; the table-metadata log
+    * follows the same budget). */
+  val RetentionProperty = "retention_versions"
   private val MaxCasAttempts = 100
+
+  /** Parse + bound a retention override; throws on junk so a typo'd
+    * property is refused at DDL, never silently defaulted at GC. */
+  def validateRetention(s: String): Int = {
+    val k =
+      try s.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"fls: $RetentionProperty must be an integer, got '$s'")
+      }
+    require(k >= 1 && k <= 100000,
+      s"fls: $RetentionProperty must be in [1, 100000], got $k")
+    k
+  }
+
+  /** The retention in force for a table's logs. */
+  private[fls] def keepOf(meta: Option[FlsTableMeta.Meta]): Int =
+    meta.flatMap(_.properties.get(RetentionProperty))
+      .map(validateRetention).getOrElse(DefaultKeepVersions)
 
   /** `stats`: optional per-file statistics (compact JSON, see
     * [[FlsFileStats]]) carried IN the manifest line so a cold driver can
@@ -126,7 +154,7 @@ object FlsManifest {
   /** Entries of one PINNED version — versions are immutable, so this is
     * a consistent snapshot regardless of concurrent commits (used by
     * the `manifest_version` reader option and compaction). Fails loudly
-    * if the version was GC'd (more than [[KeepVersions]] commits behind). */
+    * if the version was GC'd (more than [[DefaultKeepVersions]] commits behind). */
   def readVersion(fs: FileSystem, dir: Path, v: Long): Seq[Entry] =
     if (v == 0L) readFile(fs, manifestPath(dir))
     else readFile(fs, versionPath(dir, v))
@@ -136,7 +164,7 @@ object FlsManifest {
     * resolution, the `.history` metadata table). Commit time is the
     * manifest file's own mtime: the manifest IS the commit, published
     * atomically, so its mtime is the instant the version became
-    * visible. One tiny-directory listing, O([[KeepVersions]]) results —
+    * visible. One tiny-directory listing, O([[DefaultKeepVersions]]) results —
     * never O(data files). Empty when the table has no manifest. */
   def versionsWithTimes(fs: FileSystem, dir: Path): Seq[(Long, Long)] = {
     val logged =
@@ -269,8 +297,12 @@ object FlsManifest {
       val next = curV + 1
       fs.mkdirs(logDir(dir))
       // stamp the table-meta version in force at THIS commit (if the
-      // table keeps a metadata log) — snapshot reads bind to it
-      val schemaV = FlsTableMeta.newestVersion(fs, dir)
+      // table keeps a metadata log) — snapshot reads bind to it; its
+      // properties also carry the retention override (validated HERE,
+      // before anything publishes)
+      val tableMeta = FlsTableMeta.read(fs, dir)
+      val schemaV = tableMeta.map(_._1)
+      val keep = keepOf(tableMeta.map(_._2))
       val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId), f"manifest_v$next%020d")
       writeContent(fs, tmp, merged, Some(VersionMeta(op, dataChange, schemaV)))
       val won =
@@ -281,7 +313,7 @@ object FlsManifest {
         // crashes, versioned entries outrank it on every future read)
         if (curV == 0L && cur.isDefined)
           try fs.delete(manifestPath(dir), false) catch { case _: Throwable => () }
-        gcOldVersions(fs, dir, next)
+        gcOldVersions(fs, dir, next, keep)
         return next
       }
       attempt += 1
@@ -322,9 +354,10 @@ object FlsManifest {
       conf: org.apache.hadoop.conf.Configuration): Boolean =
     FlsCas.publishExclusive(fs, tmp, dst, conf)
 
-  /** Best-effort retention: keep the newest [[KeepVersions]] versions. */
-  private def gcOldVersions(fs: FileSystem, dir: Path, newest: Long): Unit =
-    FlsCas.gcOldVersions(fs, logDir(dir), newest, KeepVersions)
+  /** Best-effort retention: keep the newest `keep` versions. */
+  private def gcOldVersions(fs: FileSystem, dir: Path, newest: Long,
+      keep: Int): Unit =
+    FlsCas.gcOldVersions(fs, logDir(dir), newest, keep)
 
   /** The FileStatus view of the manifest — what listing would have
     * produced, without any listStatus RPC. */

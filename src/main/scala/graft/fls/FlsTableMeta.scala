@@ -107,7 +107,10 @@ object FlsTableMeta {
         try FlsCas.publishExclusive(fs, tmp, versionPath(dir, next), conf)
         finally { try fs.delete(tmp, false) catch { case _: Throwable => () } }
       if (won) {
-        FlsCas.gcOldVersions(fs, logDir(dir), next, KeepVersions)
+        // metadata versions follow the same per-table retention budget
+        // as manifest versions (manifests stamp them — see #schema)
+        FlsCas.gcOldVersions(fs, logDir(dir), next,
+          math.max(KeepVersions, FlsManifest.keepOf(Some(merged))))
         return next
       }
       attempt += 1

@@ -260,6 +260,9 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
     }
     partitionBy.foreach(k => require(schema.fieldNames.contains(k),
       s"fls: partition column '$k' is not in the table schema"))
+    // a typo'd retention budget is refused at CREATE, not at first GC
+    Option(properties.get(FlsManifest.RetentionProperty))
+      .foreach(FlsManifest.validateRetention)
     // validate every data column is WRITABLE now — a CREATE that cannot
     // ever be written should fail here, not at the first INSERT. The
     // writer's own rule (physicalColumns): scalars, arrays/maps of
@@ -443,6 +446,8 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
       m.copy(schema = StructType(fields))
 
     case set: TableChange.SetProperty =>
+      if (set.property() == FlsManifest.RetentionProperty)
+        FlsManifest.validateRetention(set.value()) // refuse junk at ALTER
       m.copy(properties = m.properties + (set.property() -> set.value()))
     case rm: TableChange.RemoveProperty =>
       m.copy(properties = m.properties - rm.property())

@@ -35,7 +35,7 @@ case class FlsCdfOffset(version: Long) extends Offset {
   *     under the checkpoint.
   *
   * Retention is the contract's bound: versions live
-  * ~[[FlsManifest.KeepVersions]] commits back, so a consumer that falls
+  * ~[[FlsManifest.DefaultKeepVersions]] commits back, so a consumer that falls
   * further behind than the table's commit cadence × retention cannot
   * resume — planning fails loudly with the restart-from-snapshot
   * remedy (same stance as batch CDF and incremental reads). Cap burst

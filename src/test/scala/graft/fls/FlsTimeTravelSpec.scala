@@ -332,6 +332,44 @@ class FlsTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts.forall(r => r.getLong(1) > 0 && r.getLong(2) == 50L))
   }
 
+  test("retention_versions overrides the per-table version budget") {
+    // DEEP retention: v1 survives 10 extra commits (default 8 would GC)
+    val deep = s"$cat.db.deep_ret"
+    spark.sql(s"CREATE TABLE $deep (id BIGINT) TBLPROPERTIES " +
+      "('commit_mode'='manifest','retention_versions'='20')")
+    spark.sql(s"INSERT INTO $deep SELECT id FROM range(0, 10)")
+    (0 until 10).foreach(i => spark.sql(s"INSERT INTO $deep VALUES (${100 + i})"))
+    assert(spark.sql(s"SELECT count(*) FROM $deep VERSION AS OF 1")
+      .collect()(0).getLong(0) == 10)
+
+    // SHALLOW retention: only the newest 2 versions stay readable
+    val shallow = s"$cat.db.shallow_ret"
+    spark.sql(s"CREATE TABLE $shallow (id BIGINT) TBLPROPERTIES " +
+      "('commit_mode'='manifest','retention_versions'='2')")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO $shallow VALUES ($i)"))
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $shallow VERSION AS OF 1").collect())
+    assert(e.getMessage.contains("not retained"))
+    assert(spark.sql(s"SELECT count(*) FROM $shallow VERSION AS OF 2")
+      .collect()(0).getLong(0) == 2)
+
+    // junk budgets refuse at DDL, never silently default at GC
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.db.bad_ret (id BIGINT) TBLPROPERTIES " +
+        "('commit_mode'='manifest','retention_versions'='lots')"))
+    assert(e2.getMessage.contains("retention_versions"))
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $shallow SET TBLPROPERTIES ('retention_versions'='0')"))
+    assert(e3.getMessage.contains("retention_versions"))
+
+    // raising retention via ALTER protects FUTURE commits' history
+    spark.sql(s"ALTER TABLE $shallow SET TBLPROPERTIES " +
+      "('retention_versions'='10')")
+    spark.sql(s"INSERT INTO $shallow VALUES (4)")
+    assert(spark.sql(s"SELECT count(*) FROM $shallow VERSION AS OF 2")
+      .collect()(0).getLong(0) == 2, "v2 survives under the raised budget")
+  }
+
   test("history on a non-table name still errors as NoSuchTable") {
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM $cat.db.no_such_table.history").collect())
