@@ -159,7 +159,16 @@ object FlsCdf {
     var prev = entriesAt(from)
     ((from + 1) to to).foreach { v =>
       val cur = entriesAt(v)
-      val skip = FlsManifest.versionMeta(fs, root, v).exists(!_.dataChange)
+      val meta = FlsManifest.versionMeta(fs, root, v)
+      val skip = meta.exists(!_.dataChange)
+      // UPDATE commits tag their churn Delta-style: the old rows are
+      // 'update_preimage', the new rows 'update_postimage' — downstream
+      // can tell an update from a delete+insert pair. (MERGE stays
+      // insert/delete: one merge commit mixes matched updates with
+      // unmatched inserts, indistinguishable at file level.)
+      val isUpdate = meta.exists(_.op == "update")
+      val delType = if (isUpdate) "update_preimage" else "delete"
+      val insType = if (isUpdate) "update_postimage" else "insert"
       if (!skip) {
         val prevByRel = prev.map(e => e.rel -> e).toMap
         val curByRel = cur.map(e => e.rel -> e).toMap
@@ -192,15 +201,15 @@ object FlsCdf {
           }
         }
         if (added.nonEmpty)
-          branches += CdfBranch(v, v, "insert",
+          branches += CdfBranch(v, v, insType,
             added.map(e => CdfFileSpec(e.rel, None)))
         if (removed.nonEmpty)
-          branches += CdfBranch(v, v - 1, "delete",
+          branches += CdfBranch(v, v - 1, delType,
             removed.map(e => CdfFileSpec(e.rel, None)))
         if (deleteSide.nonEmpty)
-          branches += CdfBranch(v, v - 1, "delete", deleteSide.toSeq)
+          branches += CdfBranch(v, v - 1, delType, deleteSide.toSeq)
         if (insertSide.nonEmpty)
-          branches += CdfBranch(v, v, "insert", insertSide.toSeq)
+          branches += CdfBranch(v, v, insType, insertSide.toSeq)
       }
       prev = cur
     }

@@ -1330,6 +1330,12 @@ class FlsWrite(merged: LogicalWriteInfo, doTruncate: Boolean,
     dynamicOverwrite: Boolean = false,
     replaceFilesThunk: Option[() => Seq[String]] = None,
     replacedDvThunk: Option[() => Map[String, String]] = None,
+    /** The manifest `#op` tag to stamp instead of the default
+      * append/overwrite — copy-on-write row-level operations pass their
+      * real command (delete/update/merge) so `.history` and the
+      * change-data-feed see what the commit WAS, not how it was
+      * physically executed. */
+    opOverride: Option[String] = None,
     /** Captured at construction — see [[FlsTable]]'s session note. */
     session: org.apache.spark.sql.SparkSession =
       org.apache.spark.sql.SparkSession.active)
@@ -1363,7 +1369,7 @@ class FlsWrite(merged: LogicalWriteInfo, doTruncate: Boolean,
     new FlsBatchWrite(merged, doTruncate,
       overwriteFilters = overwriteFilters, dynamicOverwrite = dynamicOverwrite,
       replaceFilesThunk = replaceFilesThunk, replacedDvThunk = replacedDvThunk,
-      session = session)
+      opOverride = opOverride, session = session)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!doTruncate && overwriteFilters.isEmpty && !dynamicOverwrite,
       "fls streaming sink supports Append output mode only (complete/update " +
@@ -1504,6 +1510,9 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       * merge-on-read DELETE re-vectored one of them after the scan —
       * the replacement rows were built WITHOUT those deletions. */
     replacedDvThunk: Option[() => Map[String, String]] = None,
+    /** Manifest `#op` tag override (copy-on-write row-level ops pass
+      * their real command — delete/update/merge). */
+    opOverride: Option[String] = None,
     /** Captured at construction — see [[FlsTable]]'s session note. */
     session: org.apache.spark.sql.SparkSession =
       org.apache.spark.sql.SparkSession.active) extends BatchWrite {
@@ -1732,7 +1741,8 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
           graft.fls.FlsManifest.Entry(rel, len, 0L, committedStats.getOrElse(rel, null))
       }.toSeq
       graft.fls.FlsManifest.commit(fs, dir, writeId, conf,
-          op = if (doTruncate) "overwrite" else "append") { (_, current) =>
+          op = opOverride.getOrElse(
+            if (doTruncate) "overwrite" else "append")) { (_, current) =>
         val keptOld =
           if (doTruncate) Nil
           else {

@@ -110,7 +110,12 @@ class FlsRowLevelOperation(
       override def build(): Write = {
         val underlying = new FlsWrite(merged, doTruncate = false,
           replaceFilesThunk = Some(thunk),
-          replacedDvThunk = Some(() => replacedDvs.get()), session = session)
+          replacedDvThunk = Some(() => replacedDvs.get()),
+          // history + the change-data-feed see the COMMAND (delete/
+          // update/merge), not the physical append-of-replacements
+          opOverride =
+            Some(cmd.toString.toLowerCase(java.util.Locale.ROOT)),
+          session = session)
         new org.apache.spark.sql.connector.write.Write
           with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
           override def requiredDistribution() = underlying.requiredDistribution()

@@ -180,6 +180,38 @@ class FlsCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leafOut == Seq("_change_type"), leafOut.mkString(","))
   }
 
+  test("UPDATE commits emit update_preimage/update_postimage, Delta-style") {
+    // merge-on-read: the DV'd old row is the preimage, the appended new
+    // row the postimage
+    val tbl = s"$cat.db.upd_cdf"
+    val dir = s"$tmp/warehouse/db/upd_cdf"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest','update_mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) FROM range(0, 10)")
+    spark.sql(s"UPDATE $tbl SET v = -1.0 WHERE id = 4") // v2, op=update
+    val v2 = FlsCdf.changes(spark, dir, 1)
+      .select("_change_type", "_commit_version", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(v2 == Set(("update_preimage", 2L, 4L, 4.0),
+      ("update_postimage", 2L, 4L, -1.0)))
+
+    // copy-on-write: the rewritten file churns whole (like Delta sans
+    // CDC files), but the churn is still TAGGED as an update
+    val (ctbl, cdir) = mkTable("upd_cdf_cow", mor = false)
+    spark.sql(s"INSERT INTO $ctbl VALUES (2, 2.0)")
+    spark.sql(s"UPDATE $ctbl SET v = 9.0 WHERE id = 2") // v2 rewrites the file
+    val cow = FlsCdf.changes(spark, cdir, 1)
+      .select("_change_type", "_commit_version", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(cow == Set(("update_preimage", 2L, 2L, 2.0),
+      ("update_postimage", 2L, 2L, 9.0)))
+    // .history reports the command, not the physical append
+    assert(spark.sql(s"SELECT operation FROM $ctbl.history WHERE version = 2")
+      .collect()(0).getString(0) == "update")
+  }
+
   test("op tags round-trip the manifest format; legacy lines still parse") {
     val (_, dir) = mkTable("tags", mor = false)
     spark.sql(s"INSERT INTO $cat.db.tags VALUES (1, 1.0)")
