@@ -37,6 +37,23 @@ JOPTS=(
   -Dspark.sql.session.timeZone=UTC
   -Xmx8g
   -XX:ReservedCodeCacheSize=512m
+  # r13 run-4 refinement: the marathon transient reproduced (q87,
+  # 229 s) with the code cache at 141 MB of 512 MB and jit_ms ~4 s —
+  # NOT capacity pressure and NOT compile churn; the stage burned pure
+  # CPU with no JIT activity at all, i.e. HotSpot had STOPPED compiling
+  # the method. Spark's codegen cache reuses one compiled class across
+  # every same-source query (the q82-q88 range-join family), so its
+  # deopt/recompile count accumulates across the whole ~150-query
+  # marathon; past PerMethodRecompilationCutoff (default 400) the JVM
+  # marks the method not-compilable and it runs INTERPRETED forever —
+  # matching "exactly one family member, varying by run, ~30x pure
+  # CPU". Disable the give-up (recompiles are cheap; permanent
+  # interpretation of a scan loop is not), and print compile events so
+  # the log carries direct evidence either way ("made not compilable"
+  # lines with defaults; per-method recompile counts with -1).
+  -XX:PerMethodRecompilationCutoff=-1
+  -XX:PerBytecodeRecompilationCutoff=-1
+  -XX:+PrintCompilation
 )
 exec java "${JOPTS[@]}" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \

@@ -67,18 +67,6 @@ object FlsTableMeta {
     }
   }
 
-  /** Newest metadata version NUMBER only — one tiny-directory listing,
-    * no file read. What manifest commits stamp as their `#schema`
-    * header ([[FlsManifest.VersionMeta.schemaVersion]]). */
-  def newestVersion(fs: FileSystem, dir: Path): Option[Long] = {
-    val versions =
-      try fs.listStatus(logDir(dir)).iterator
-        .flatMap(s => FlsCas.parseVersionName(s.getPath.getName))
-        .toSeq
-      catch { case _: java.io.FileNotFoundException => Nil }
-    if (versions.isEmpty) None else Some(versions.max)
-  }
-
   /** One PINNED metadata version — immutable, so a consistent snapshot
     * schema regardless of concurrent ALTERs (snapshot-schema time
     * travel). Throws FileNotFoundException when `v` was GC'd past the

@@ -15,7 +15,8 @@ import graft.fls.{FlsDeleteVectors, FlsFileStats, FlsFooters, FlsManifest, Forma
 
 /** Change-data-feed over a manifest table: every row INSERTED or
   * DELETED by the commits in `(fromVersion, toVersion]`, tagged with
-  * `_change_type` ('insert' | 'delete') and `_commit_version` — the
+  * `_change_type` ('insert' | 'delete', or 'update_preimage' |
+  * 'update_postimage' for UPDATE commits) and `_commit_version` — the
   * Delta `table_changes` / Iceberg `changelog` shape, derived entirely
   * from the manifest log (the reference is single-snapshot,
   * /root/reference/src/writer/fls_writer.cpp:332-347; the multi-version
@@ -324,7 +325,7 @@ class FlsCdfScan(fullSchema: StructType, requiredSchema: StructType,
   override def toBatch: Batch = this
 
   override def description(): String = {
-    val from = options.get(FlsCdf.FromOption)
+    val from = Option(options.get(FlsCdf.FromOption)).getOrElse(FlsCdf.Earliest)
     s"fls cdf scan, range=($from, ${Option(options.get(FlsCdf.ToOption)).getOrElse("head")}]" +
       s", cols=[${requiredSchema.fieldNames.mkString(",")}]"
   }

@@ -370,6 +370,26 @@ class FlsTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 2, "v2 survives under the raised budget")
   }
 
+  test("tight retention_versions lets vacuum reclaim replaced files sooner") {
+    val tbl = s"$cat.db.tight_vacuum"
+    val dir = s"$tmp/warehouse/db/tight_vacuum"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT) TBLPROPERTIES " +
+      "('commit_mode'='manifest','retention_versions'='2')")
+    spark.sql(s"INSERT INTO $tbl SELECT id FROM range(0, 100)") // v1
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT id FROM range(0, 5)") // v2
+    // under the default 8-version budget v1 would stay vouched for six
+    // more commits; with a 2-version budget ONE more commit retires it
+    spark.sql(s"INSERT INTO $tbl VALUES (999)") // v3 — GCs v1
+    val stats = FlsMaintenance.vacuum(spark, dir, olderThanHours = 0)
+    assert(stats.deleted > 0,
+      "v1's replaced files fall to vacuum as soon as the tight budget " +
+        "retires the version")
+    // every still-retained version reads whole
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 6)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2")
+      .collect()(0).getLong(0) == 5)
+  }
+
   test("history on a non-table name still errors as NoSuchTable") {
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM $cat.db.no_such_table.history").collect())
