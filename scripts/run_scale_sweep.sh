@@ -53,7 +53,10 @@ JOPTS=(
   # lines with defaults; per-method recompile counts with -1).
   -XX:PerMethodRecompilationCutoff=-1
   -XX:PerBytecodeRecompilationCutoff=-1
-  -XX:+PrintCompilation
+  # (-XX:+PrintCompilation captured the run-5 evidence — 5,484
+  # not-entrant events on GeneratedClass methods, the busiest single
+  # method name 335 times — and is dropped again for measurement runs:
+  # a production executor would not carry its logging cost either.)
 )
 exec java "${JOPTS[@]}" \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \

@@ -18,6 +18,11 @@ object Streaming {
 
   private val memSeq = new AtomicInteger(0)
 
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+    f.delete(): Unit
+  }
+
   /** File-stream view of the read-only `events.parquet`: stream sources
     * ingest DIRECTORIES. The driver's testdata ships events as a single
     * FILE, exposed through a symlinked stream dir; a directory-shaped
@@ -429,9 +434,15 @@ object Streaming {
           col("p_ts") <= col("s_ts") + expr("INTERVAL 10 MINUTES"))
       // parquet sink, NOT memory: the raw joined stream is the big
       // side (a quadratic pair set under replication) and must land
-      // distributed — a memory sink would collect it into the driver
-      val out = java.nio.file.Files
-        .createTempDirectory(s"graft_q92_${memSeq.incrementAndGet()}_")
+      // distributed — a memory sink would collect it into the driver.
+      // DETERMINISTIC per-dataset path, wiped up front: nanotime temp
+      // dirs accumulated 9.2 GB per invocation across a sweep session
+      // until the disk filled (observed at 97%); now each run replaces
+      // the last, and the bulk join output is deleted the moment the
+      // (small) aggregate is materialized — only the aggregate stays.
+      val out = new java.io.File(
+        s"/tmp/graft_q92_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      rmrf(out); out.mkdirs()
       val q = joined.writeStream.format("parquet")
         .option("path", s"$out/data")
         .option("checkpointLocation", s"$out/ckpt")
@@ -441,7 +452,10 @@ object Streaming {
       spark.read.parquet(s"$out/data")
         .groupBy("signup_id")
         .agg(count(lit(1)).as("n_purch"), dbl(sum(d6w(col("p_value")))).as("sum_value"))
-        .orderBy("signup_id")
+        .write.mode("overwrite").parquet(s"$out/agg")
+      rmrf(new java.io.File(s"$out/data"))
+      rmrf(new java.io.File(s"$out/ckpt"))
+      spark.read.parquet(s"$out/agg").orderBy("signup_id")
     } finally {
       spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
