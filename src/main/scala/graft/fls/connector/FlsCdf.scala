@@ -67,11 +67,56 @@ object FlsCdf {
   val ReadChangeFeed = "read_change_feed"
   /** `cdf_from_version=earliest` → the oldest retained transition. */
   val Earliest = "earliest"
+  /** `cdf_from_timestamp=<epoch-millis | 'yyyy-MM-dd HH:mm:ss[.f]' |
+    * ISO-8601 instant>` — the feed starts with the FIRST commit at or
+    * after the instant (Delta's startingTimestamp contract). Takes
+    * precedence over `cdf_from_version` (the catalog's `.changes`
+    * table carries an `earliest` default that a read-time timestamp
+    * must be able to override). */
+  val FromTimestampOption = "cdf_from_timestamp"
 
-  /** True when the read options ask for the change feed (either an
-    * explicit range or the flag). */
+  private[connector] def parseTimestampMillis(spec: String): Long =
+    scala.util.Try(spec.trim.toLong)
+      .orElse(scala.util.Try(java.sql.Timestamp.valueOf(spec.trim).getTime))
+      .orElse(scala.util.Try(java.time.Instant.parse(spec.trim).toEpochMilli))
+      .getOrElse(throw new IllegalArgumentException(
+        s"fls cdf: cannot parse '$spec' as a timestamp — pass epoch " +
+          "millis, 'yyyy-MM-dd HH:mm:ss[.f]', or an ISO-8601 instant"))
+
+  /** Resolve `cdf_from_timestamp` to the EXCLUSIVE from-version: the
+    * first commit at or after the instant is the first one SERVED.
+    * Refuses loudly when nothing has committed since the instant, and
+    * when the commit before the first served one is already past
+    * retention (its diff base is unreadable — same stance as every
+    * other retention edge: restart from a snapshot). */
+  private[connector] def fromForTimestamp(fs: FileSystem, root: Path,
+      dir: String, spec: String): Long = {
+    val ms = parseTimestampMillis(spec)
+    val versions = FlsManifest.versionsWithTimes(fs, root)
+    require(versions.nonEmpty,
+      s"fls cdf: $dir has no manifest log — the change-data-feed needs " +
+        "a commit_mode=manifest table")
+    val atOrAfter = versions.filter(_._2 >= ms)
+    require(atOrAfter.nonEmpty,
+      s"fls cdf: no commit of $dir at or after " +
+        s"${java.time.Instant.ofEpochMilli(ms)} — the newest commit is " +
+        s"${java.time.Instant.ofEpochMilli(versions.last._2)}; use " +
+        s"$FromOption, or wait for new commits")
+    val first = atOrAfter.minBy(_._1)._1
+    require(first == 1L || versions.exists(_._1 == first - 1),
+      s"fls cdf: the feed from ${java.time.Instant.ofEpochMilli(ms)} " +
+        s"starts at version $first, but version ${first - 1} (its diff " +
+        "base) is already past the retention window — restart the " +
+        "consumer from a full snapshot")
+    if (first == 1L) 0L else first - 1
+  }
+
+  /** True when the read options ask for the change feed (an explicit
+    * version range, a starting timestamp, or the flag). */
   def requested(options: CaseInsensitiveStringMap): Boolean =
-    options.containsKey(FromOption) || options.getBoolean(ReadChangeFeed, false)
+    options.containsKey(FromOption) ||
+      options.containsKey(FromTimestampOption) ||
+      options.getBoolean(ReadChangeFeed, false)
 
   /** The oldest computable transition base: diffing v needs v-1
     * readable — v0 is the implicit empty table, so v1's diff is always
@@ -344,9 +389,12 @@ class FlsCdfScan(fullSchema: StructType, requiredSchema: StructType,
       throw new IllegalArgumentException(
         s"fls cdf: $dir has no manifest log — the change-data-feed needs " +
           "a commit_mode=manifest table"))
-    val from = options.get(FlsCdf.FromOption) match {
-      case null | FlsCdf.Earliest => FlsCdf.earliestFrom(fs, root, headV)
-      case s => s.toLong
+    val from = options.get(FlsCdf.FromTimestampOption) match {
+      case null => options.get(FlsCdf.FromOption) match {
+        case null | FlsCdf.Earliest => FlsCdf.earliestFrom(fs, root, headV)
+        case s => s.toLong
+      }
+      case ts => FlsCdf.fromForTimestamp(fs, root, dir, ts)
     }
     val to = Option(options.get(FlsCdf.ToOption)).map(_.toLong).getOrElse(headV)
     require(from >= 0, s"fls cdf: from_version must be >= 0, got $from")

@@ -87,17 +87,20 @@ class FlsCdfMicroBatchStream(
       throw new IllegalArgumentException(
         s"fls cdf stream: $dir has no manifest log — the change-data-feed " +
           "needs a commit_mode=manifest table"))
-    val from = options.get(FlsCdf.FromOption) match {
-      case null => headV // tail: only changes committed after stream start
-      case FlsCdf.Earliest => FlsCdf.earliestFrom(fs, root, headV)
-      case s =>
-        val v = s.toLong
-        require(v >= 0,
-          s"fls cdf stream: ${FlsCdf.FromOption} must be >= 0, got $v")
-        require(v <= headV,
-          s"fls cdf stream: ${FlsCdf.FromOption}=$v is beyond the newest " +
-            s"version $headV")
-        v
+    val from = options.get(FlsCdf.FromTimestampOption) match {
+      case ts if ts != null => FlsCdf.fromForTimestamp(fs, root, dir, ts)
+      case _ => options.get(FlsCdf.FromOption) match {
+        case null => headV // tail: only changes committed after stream start
+        case FlsCdf.Earliest => FlsCdf.earliestFrom(fs, root, headV)
+        case s =>
+          val v = s.toLong
+          require(v >= 0,
+            s"fls cdf stream: ${FlsCdf.FromOption} must be >= 0, got $v")
+          require(v <= headV,
+            s"fls cdf stream: ${FlsCdf.FromOption}=$v is beyond the newest " +
+              s"version $headV")
+          v
+      }
     }
     FlsCdfOffset(from)
   }

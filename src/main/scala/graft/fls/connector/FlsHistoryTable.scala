@@ -46,10 +46,12 @@ class FlsHistoryTable(tableName: String, dir: Path, conf: Configuration)
             val entries =
               try FlsManifest.readVersion(fs, dir, v)
               catch { case _: java.io.FileNotFoundException => Nil } // GC race
-            val op: Any =
+            val meta =
               try FlsManifest.versionMeta(fs, dir, v)
-                .map(m => UTF8String.fromString(m.op)).orNull
-              catch { case _: java.io.FileNotFoundException => null }
+              catch { case _: java.io.FileNotFoundException => None }
+            val op: Any = meta.map(m => UTF8String.fromString(m.op)).orNull
+            val schemaV: Any = meta.flatMap(_.schemaVersion)
+              .map(Long.box).orNull
             val rowCounts = entries.map(e =>
               Option(e.stats).flatMap(FlsFileStats.toDesc).map(_.numRows))
             val nRows: Any =
@@ -57,7 +59,7 @@ class FlsHistoryTable(tableName: String, dir: Path, conf: Configuration)
                 rowCounts.map(_.get).sum
               else null
             new GenericInternalRow(Array[Any](
-              v, millis * 1000L, op, entries.length.toLong,
+              v, millis * 1000L, op, schemaV, entries.length.toLong,
               entries.map(_.length).sum, nRows))
           }.reverse.toArray // newest first, like DESCRIBE HISTORY
         }
@@ -74,6 +76,11 @@ object FlsHistoryTable {
       * delete / update / merge / compact / upgrade / rollback); null
       * for versions written before op tags existed. */
     StructField("operation", StringType, nullable = true),
+    /** The table-metadata (schema) version this commit was stamped
+      * with (#schema header) — which schema epoch `VERSION AS OF`
+      * serves this version through; null for pre-stamp versions and
+      * path tables (no metadata log). */
+    StructField("schema_version", LongType, nullable = true),
     StructField("n_files", LongType, nullable = false),
     StructField("total_bytes", LongType, nullable = false),
     StructField("n_rows", LongType, nullable = true)))

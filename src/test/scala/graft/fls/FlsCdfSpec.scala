@@ -212,6 +212,38 @@ class FlsCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getString(0) == "update")
   }
 
+  test("cdf_from_timestamp starts the feed at the first commit at/after the instant") {
+    val (tbl, dir) = mkTable("ts_cursor", mor = false)
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)") // v1
+    Thread.sleep(30)
+    spark.sql(s"INSERT INTO $tbl VALUES (2, 2.0)") // v2
+    Thread.sleep(30)
+    spark.sql(s"INSERT INTO $tbl VALUES (3, 3.0)") // v3
+    val times = spark.sql(
+      s"SELECT version, unix_millis(committed_at) FROM $tbl.history")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def feedFrom(ms: Long) = spark.read.format("fls")
+      .option("cdf_from_timestamp", ms.toString).load(dir)
+      .select("_commit_version", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // at v2's instant -> v2 is the first served commit
+    assert(feedFrom(times(2L)) == Set((2L, 2L), (3L, 3L)))
+    // before v1 -> the whole feed
+    assert(feedFrom(times(1L) - 10) ==
+      Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    // future -> loud refusal naming the newest commit
+    val e = intercept[Exception](feedFrom(times(3L) + 3600 * 1000))
+    assert(e.getMessage.contains("no commit of"))
+    // a read-time timestamp overrides the .changes table's earliest
+    assert(spark.read.option("cdf_from_timestamp", times(3L).toString)
+      .table(s"$tbl.changes").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(3L))
+    // non-timestamp junk refuses with the accepted formats
+    val e2 = intercept[Exception](spark.read.format("fls")
+      .option("cdf_from_timestamp", "yesterday-ish").load(dir).collect())
+    assert(e2.getMessage.contains("cannot parse"))
+  }
+
   test("op tags round-trip the manifest format; legacy lines still parse") {
     val (_, dir) = mkTable("tags", mor = false)
     spark.sql(s"INSERT INTO $cat.db.tags VALUES (1, 1.0)")

@@ -140,6 +140,22 @@ class FlsCdfStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dir.nonEmpty)
   }
 
+  test("cdf_from_timestamp seeds the stream cursor") {
+    val (tbl, dir) = mkTable("ts_stream")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)") // v1
+    Thread.sleep(30)
+    spark.sql(s"INSERT INTO $tbl VALUES (2, 2.0)") // v2
+    val t2 = spark.sql(
+      s"SELECT unix_millis(committed_at) FROM $tbl.history WHERE version = 2")
+      .collect()(0).getLong(0)
+    val run = drain(
+      spark.readStream.format("fls")
+        .option("cdf_from_timestamp", t2.toString).load(dir),
+      s"$tmp/ckpt_ts_stream", s"$tmp/out_ts_stream")
+    assert(run.toSet == Set(("insert", 2L, 2L)),
+      "the stream starts at the first commit at/after the instant")
+  }
+
   test("falling behind retention refuses loudly with the snapshot remedy") {
     val (tbl, dir) = mkTable("behind")
     spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)")

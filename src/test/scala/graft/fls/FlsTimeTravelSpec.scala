@@ -255,6 +255,12 @@ class FlsTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the head keeps serving the current schema as always
     assert(spark.table(tbl).schema.fieldNames.toSeq ==
       Seq("id", "amount", "tag"))
+    // .history exposes which schema epoch each commit stamped:
+    // v1 under meta v1 (CREATE), v2 under meta v4 (after three ALTERs)
+    val sv = spark.sql(
+      s"SELECT version, schema_version FROM $tbl.history")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sv == Map(1L -> 1L, 2L -> 4L), sv.toString)
   }
 
   test("snapshot schema resurrects a column dropped AFTER the snapshot") {
