@@ -67,8 +67,10 @@ final class FlsFileWriter(path: Path, conf: Configuration, schema: Array[ColumnD
 
   /** Per-file min/max stats of what was written (valid after the last
     * writeRowGroup) — rides the commit message into the manifest so cold
-    * planning prunes without this footer ([[FlsFileStats]]). */
-  def fileStats: String = FlsFileStats.fromTable(TableDesc(schema, rowGroups.toArray))
+    * planning prunes without this footer ([[FlsFileStats]]). `ndv`
+    * attaches the writer-accumulated HLL sketches ([[Hll]]). */
+  def fileStats(ndv: Map[String, Array[Byte]] = Map.empty): String =
+    FlsFileStats.fromTable(TableDesc(schema, rowGroups.toArray), ndv)
 
   def close(): Unit = {
     val fw = new ByteWriter()

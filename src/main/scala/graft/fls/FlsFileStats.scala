@@ -68,23 +68,31 @@ object FlsFileStats {
 
   /** Writer side: merge row-group stats into one per-file JSON, or null
     * when the file carries nothing prunable (no row groups, or no column
-    * with complete stats). */
-  def fromTable(t: TableDesc): String = {
+    * with complete stats). `ndv` attaches per-column HLL register
+    * arrays ([[Hll]], `ndv_columns` writer option) under key `"n"` —
+    * estimate-only metadata (CBO distinct counts), never pruning. */
+  def fromTable(t: TableDesc,
+      ndv: Map[String, Array[Byte]] = Map.empty): String = {
     if (t.rowGroups.isEmpty) return null
+    val b64e = java.util.Base64.getEncoder
+    def ndvField(name: String): List[(String, JValue)] =
+      ndv.get(name).map(r =>
+        "n" -> (JString(b64e.encodeToString(r)): JValue)).toList
     val cols = scala.collection.mutable.ArrayBuffer[(String, JValue)]()
     var i = 0
     while (i < t.columns.length) {
       val c = t.columns(i)
       val phys = physOf(c.colType.tag)
+      val tArr = JArray(List(JInt(c.colType.tag), JInt(c.colType.precision),
+        JInt(c.colType.scale)))
+      val before = cols.length
       if ((phys == Phys.LONG || phys == Phys.DOUBLE) &&
           t.rowGroups.forall(_.segments(i).hasStats)) {
         val segs = t.rowGroups.map(_.segments(i))
-        val tArr = JArray(List(JInt(c.colType.tag), JInt(c.colType.precision),
-          JInt(c.colType.scale)))
         if (phys == Phys.LONG) {
           cols += c.name -> JObject(List("t" -> tArr,
             "l" -> JArray(List(JLong(segs.map(_.minLong).min),
-              JLong(segs.map(_.maxLong).max)))))
+              JLong(segs.map(_.maxLong).max)))) ++ ndvField(c.name))
         } else {
           val mn = segs.map(_.minDouble).min
           val mx = segs.map(_.maxDouble).max
@@ -92,7 +100,7 @@ object FlsFileStats {
           // column is simply footer-only
           if (!mn.isNaN && !mx.isNaN && !mn.isInfinite && !mx.isInfinite)
             cols += c.name -> JObject(List("t" -> tArr,
-              "d" -> JArray(List(JDouble(mn), JDouble(mx)))))
+              "d" -> JArray(List(JDouble(mn), JDouble(mx)))) ++ ndvField(c.name))
         }
       } else if (c.colType.tag == TypeTag.STRING &&
           t.rowGroups.forall(_.segments(i).hasByteStats)) {
@@ -100,21 +108,41 @@ object FlsFileStats {
         // at encode time): selecting among valid row-group bounds keeps
         // a valid file bound, no re-truncation needed
         val segs = t.rowGroups.map(_.segments(i))
-        val tArr = JArray(List(JInt(c.colType.tag), JInt(c.colType.precision),
-          JInt(c.colType.scale)))
         val mn = segs.map(_.minBytes).reduce((a, b) => if (cmpBytes(a, b) <= 0) a else b)
         val mx = segs.map(_.maxBytes).reduce((a, b) => if (cmpBytes(a, b) >= 0) a else b)
-        val b64 = java.util.Base64.getEncoder
         cols += c.name -> JObject(List("t" -> tArr,
-          "b" -> JArray(List(JString(b64.encodeToString(mn)),
-            JString(b64.encodeToString(mx))))))
+          "b" -> JArray(List(JString(b64e.encodeToString(mn)),
+            JString(b64e.encodeToString(mx))))) ++ ndvField(c.name))
       }
+      // a sketched column whose bounds didn't qualify still carries its
+      // sketch (ndv-only object; readers skip it for pruning)
+      if (cols.length == before && ndv.contains(c.name))
+        cols += c.name -> JObject(List("t" -> tArr) ++ ndvField(c.name))
       i += 1
     }
     if (cols.isEmpty && t.numRows == 0) return null
     JsonMethods.compact(JsonMethods.render(JObject(List(
       "r" -> JLong(t.numRows),
       "c" -> JObject(cols.toList)))))
+  }
+
+  /** Per-column HLL registers carried in the stats JSON (empty map on
+    * null/garbled stats or no sketches — callers degrade to no
+    * distinct-count, exactly the pre-sketch behavior). */
+  def ndvOf(json: String): Map[String, Array[Byte]] = {
+    if (json == null) return Map.empty
+    try {
+      val b64d = java.util.Base64.getDecoder
+      JsonMethods.parse(json) \ "c" match {
+        case JObject(fields) => fields.flatMap { case (name, v) =>
+          v \ "n" match {
+            case JString(s) => Some(name -> b64d.decode(s))
+            case _ => None
+          }
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Exception => Map.empty }
   }
 
   /** Parsed stats as a synthetic single-row-group TableDesc (segments
@@ -161,7 +189,10 @@ object FlsFileStats {
                     minLong = 0L, maxLong = 0L,
                     minDouble = 0.0, maxDouble = 0.0,
                     minBytes = b64.decode(mn), maxBytes = b64.decode(mx))
-                case _ => return None
+                // no bounds at all (e.g. an ndv-only sketch column):
+                // the column just isn't prunable — don't fail the
+                // whole file's stats over it
+                case _ => ()
               }
             }
           }

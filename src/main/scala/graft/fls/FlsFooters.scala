@@ -35,9 +35,12 @@ object FlsFooters {
   /** `dv`: ABSOLUTE path of the file's current delete-vector sidecar
     * (None = no deletes) — resolved from the manifest metadata at
     * planning so executors can open it directly
-    * ([[FlsDeleteVectors]]). */
+    * ([[FlsDeleteVectors]]).
+    * `ndv`: per-column HLL registers from the manifest stats ([[Hll]],
+    * empty = file predates sketches or its writer sketched nothing) —
+    * merged at plan time into CBO distinct counts. */
   final case class Entry(file: Path, table: TableDesc, fileSize: Long,
-      dv: Option[String] = None)
+      dv: Option[String] = None, ndv: Map[String, Array[Byte]] = Map.empty)
 
   private final case class Cached(mtime: Long, len: Long, table: TableDesc)
 
@@ -69,10 +72,14 @@ object FlsFooters {
   def fetchMeta(listed: Seq[(org.apache.hadoop.fs.FileStatus, Option[String])],
       conf: Configuration): Seq[Entry] =
     fetch(listed.map(_._1), conf).zip(listed).map { case (e, (st, meta)) =>
-      meta.flatMap(FlsFileStats.dvOf) match {
+      val withDv = meta.flatMap(FlsFileStats.dvOf) match {
         case Some(rel) =>
           e.copy(dv = Some(new Path(st.getPath.getParent, rel).toString))
         case None => e
+      }
+      meta.map(FlsFileStats.ndvOf).filter(_.nonEmpty) match {
+        case Some(n) => withDv.copy(ndv = n)
+        case None => withDv
       }
     }
 

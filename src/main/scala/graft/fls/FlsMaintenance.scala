@@ -325,13 +325,24 @@ object FlsMaintenance {
     // the head would tear historical snapshots out from under them.
     // Files fall to vacuum only once every version naming them has been
     // GC'd past the retention window.
-    val vouched = FlsManifest.versionsWithTimes(fs, root).flatMap { case (v, _) =>
+    val retained = FlsManifest.versionsWithTimes(fs, root).map(_._1)
+    val vouched = (retained.flatMap { v =>
       try FlsManifest.readVersion(fs, root, v)
       catch { case _: java.io.FileNotFoundException => Nil } // GC race
     }.flatMap(e => // a version vouches its data file AND that file's DV
       e.rel +: FlsFileStats.dvOf(e.stats)
         .map(b => FlsDeleteVectors.relFor(e.rel, b)).toSeq
-    ).toSet
+    ) ++ retained.flatMap { v =>
+      // merge-CDC commits also vouch their split sidecars (the
+      // update-preimage / pure-delete position lists the change-data-
+      // feed serves for that version) for as long as the version lives
+      try FlsManifest.versionCdc(fs, root, v)
+      catch { case _: java.io.FileNotFoundException => Nil }
+    }.flatMap {
+      case FlsManifest.CdcSplit(rel, pre, pure) =>
+        (pre.toSeq ++ pure.toSeq).map(b => FlsDeleteVectors.relFor(rel, b))
+      case _ => Nil
+    }).toSet
     val cutoff = System.currentTimeMillis() - olderThanHours * 3600L * 1000L
     var deleted = 0
     var bytes = 0L

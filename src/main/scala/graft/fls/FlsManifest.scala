@@ -74,10 +74,24 @@ object FlsManifest {
     k
   }
 
-  /** The retention in force for a table's logs. */
+  /** The retention in force for a table's logs. Strict validation runs
+    * at CREATE/ALTER ([[validateRetention]]); HERE — inside every data
+    * commit's GC — a malformed value (written by an external tool or a
+    * path that bypassed DDL validation) falls back to
+    * [[DefaultKeepVersions]] with a warning instead of throwing, so a
+    * bad property can never brick writes to the table. */
   private[fls] def keepOf(meta: Option[FlsTableMeta.Meta]): Int =
-    meta.flatMap(_.properties.get(RetentionProperty))
-      .map(validateRetention).getOrElse(DefaultKeepVersions)
+    meta.flatMap(_.properties.get(RetentionProperty)).map { s =>
+      try validateRetention(s)
+      catch {
+        case e: IllegalArgumentException =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"fls: ignoring malformed $RetentionProperty='$s' at commit-" +
+              s"time GC (${e.getMessage}); using $DefaultKeepVersions — " +
+              "fix the property with ALTER TABLE ... SET TBLPROPERTIES")
+          DefaultKeepVersions
+      }
+    }.getOrElse(DefaultKeepVersions)
 
   /** `stats`: optional per-file statistics (compact JSON, see
     * [[FlsFileStats]]) carried IN the manifest line so a cold driver can
@@ -109,6 +123,31 @@ object FlsManifest {
     * schema, the documented legacy stance). */
   final case class VersionMeta(op: String, dataChange: Boolean,
       schemaVersion: Option[Long] = None)
+
+  /** Per-commit change-data-feed SPLIT metadata (`#cdc` header lines,
+    * v3 of the manifest format — written only by MERGE commits on
+    * tables with `merge_cdc=true`). A merge commit mixes matched
+    * updates with unmatched inserts and matched deletes; file-level
+    * diffs cannot tell them apart, so the row-level operation records
+    * the split AT COMMIT, from inside the write that knows which rows
+    * matched (Delta's CDC-file approach re-expressed as manifest
+    * metadata + position sidecars):
+    *   - [[CdcPost]]: an ADDED file whose rows are all
+    *     `update_postimage` (the delta writer routes matched-update
+    *     rows to their own files);
+    *   - [[CdcSplit]]: a re-vectored surviving file whose DV growth
+    *     splits into `pre` (positions deleted BY UPDATE — served as
+    *     `update_preimage`) and `pure` (positions deleted by a
+    *     matched-DELETE action — served as `delete`), each an
+    *     [[FlsDeleteVectors]]-format sidecar basename, absent when
+    *     that side is empty.
+    * Lines are header metadata: pre-cdc readers skip unknown `#` lines,
+    * so the extension is backward- and forward-compatible. Vacuum
+    * vouches the sidecars of every retained version. */
+  sealed trait CdcLine { def rel: String }
+  final case class CdcPost(rel: String) extends CdcLine
+  final case class CdcSplit(rel: String, pre: Option[String],
+      pure: Option[String]) extends CdcLine
 
   def manifestPath(dir: Path): Path = new Path(dir, FileName)
   def logDir(dir: Path): Path = new Path(dir, LogDirName)
@@ -243,7 +282,7 @@ object FlsManifest {
     * rels (rels never start with `#`: writers generate them), so the
     * format extension is backward- AND forward-compatible. */
   private def readFileWithMeta(fs: FileSystem,
-      p: Path): (Option[VersionMeta], Seq[Entry]) = {
+      p: Path): (Option[VersionMeta], Seq[Entry], Seq[CdcLine]) = {
     val st = fs.getFileStatus(p)
     val buf = new Array[Byte](st.getLen.toInt)
     val in = fs.open(p)
@@ -260,12 +299,22 @@ object FlsManifest {
       require(a.length == 3, s"fls: corrupt #op line '$l' in $p")
       VersionMeta(a(1), a(2) == "1", schemaV)
     }
+    val cdc = lines.drop(1).filter(_.startsWith("#cdc\t")).toSeq.map { l =>
+      val a = l.split('\t')
+      def opt(s: String): Option[String] = if (s == "-") None else Some(s)
+      a(1) match {
+        case "post" if a.length == 3 => CdcPost(a(2))
+        case "split" if a.length == 5 => CdcSplit(a(2), opt(a(3)), opt(a(4)))
+        case _ => throw new IllegalArgumentException(
+          s"fls: corrupt #cdc line '$l' in $p")
+      }
+    }
     val entries = lines.drop(1).filterNot(_.startsWith("#")).toSeq.map { l =>
       val a = l.split('\t')
       require(a.length == 3 || a.length == 4, s"fls: corrupt manifest line '$l' in $p")
       Entry(a(2), a(0).toLong, a(1).toLong, if (a.length == 4) a(3) else null)
     }
-    (meta, entries)
+    (meta, entries, cdc)
   }
 
   /** The operation tag of one retained version (None = legacy manifest
@@ -274,6 +323,14 @@ object FlsManifest {
   def versionMeta(fs: FileSystem, dir: Path, v: Long): Option[VersionMeta] =
     readFileWithMeta(fs,
       if (v == 0L) manifestPath(dir) else versionPath(dir, v))._1
+
+  /** The CDC split lines of one retained version (empty for non-merge
+    * commits, merges on tables without `merge_cdc`, and pre-cdc
+    * versions — the feed then serves merge churn as insert/delete, the
+    * documented legacy contract). */
+  def versionCdc(fs: FileSystem, dir: Path, v: Long): Seq[CdcLine] =
+    readFileWithMeta(fs,
+      if (v == 0L) manifestPath(dir) else versionPath(dir, v))._3
 
   /** Publish a new table version with optimistic concurrency: read the
     * newest version, apply `merge(currentVersion, currentEntries)`, and
@@ -287,7 +344,7 @@ object FlsManifest {
     * churn is not row churn). */
   def commit(fs: FileSystem, dir: Path, writeId: String,
       conf: org.apache.hadoop.conf.Configuration, op: String = "append",
-      dataChange: Boolean = true)(
+      dataChange: Boolean = true, cdc: Seq[CdcLine] = Nil)(
       merge: (Long, Option[Seq[Entry]]) => Seq[Entry]): Long = {
     var attempt = 0
     while (attempt < MaxCasAttempts) {
@@ -304,7 +361,7 @@ object FlsManifest {
       val schemaV = tableMeta.map(_._1)
       val keep = keepOf(tableMeta.map(_._2))
       val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId), f"manifest_v$next%020d")
-      writeContent(fs, tmp, merged, Some(VersionMeta(op, dataChange, schemaV)))
+      writeContent(fs, tmp, merged, Some(VersionMeta(op, dataChange, schemaV)), cdc)
       val won =
         try publishExclusive(fs, tmp, versionPath(dir, next), conf)
         finally { try fs.delete(tmp, false) catch { case _: Throwable => () } }
@@ -323,7 +380,7 @@ object FlsManifest {
   }
 
   private def writeContent(fs: FileSystem, p: Path, entries: Seq[Entry],
-      meta: Option[VersionMeta] = None): Unit = {
+      meta: Option[VersionMeta] = None, cdc: Seq[CdcLine] = Nil): Unit = {
     val out = fs.create(p, true)
     try {
       val sb = new StringBuilder(Header).append('\n')
@@ -333,6 +390,21 @@ object FlsManifest {
         sb.append("#op\t").append(m.op)
           .append('\t').append(if (m.dataChange) "1" else "0").append('\n')
         m.schemaVersion.foreach(v => sb.append("#schema\t").append(v).append('\n'))
+      }
+      cdc.foreach { line =>
+        def chk(s: String): String = {
+          require(!s.contains('\n') && !s.contains('\t') && s != "-",
+            s"fls: unsupported character in cdc metadata '$s'")
+          s
+        }
+        line match {
+          case CdcPost(rel) =>
+            sb.append("#cdc\tpost\t").append(chk(rel)).append('\n')
+          case CdcSplit(rel, pre, pure) =>
+            sb.append("#cdc\tsplit\t").append(chk(rel))
+              .append('\t').append(pre.map(chk).getOrElse("-"))
+              .append('\t').append(pure.map(chk).getOrElse("-")).append('\n')
+        }
       }
       entries.sortBy(_.rel).foreach { e =>
         require(!e.rel.contains('\n') && !e.rel.contains('\t'),

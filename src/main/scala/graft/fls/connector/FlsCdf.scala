@@ -16,9 +16,11 @@ import graft.fls.{FlsDeleteVectors, FlsFileStats, FlsFooters, FlsManifest, Forma
 /** Change-data-feed over a manifest table: every row INSERTED or
   * DELETED by the commits in `(fromVersion, toVersion]`, tagged with
   * `_change_type` ('insert' | 'delete', or 'update_preimage' |
-  * 'update_postimage' for UPDATE commits) and `_commit_version` — the
-  * Delta `table_changes` / Iceberg `changelog` shape, derived entirely
-  * from the manifest log (the reference is single-snapshot,
+  * 'update_postimage' for UPDATE commits and for the matched rows of
+  * MERGE commits on `merge_cdc=true` tables) and `_commit_version` —
+  * the Delta `table_changes` / Iceberg `changelog` shape, derived
+  * from the manifest log plus the per-commit `#cdc` split metadata
+  * merges record at commit (the reference is single-snapshot,
   * /root/reference/src/writer/fls_writer.cpp:332-347; the multi-version
   * layer is this repo's own).
   *
@@ -51,15 +53,30 @@ import graft.fls.{FlsDeleteVectors, FlsFileStats, FlsFooters, FlsManifest, Forma
   * `spark.read.format("fls").option("cdf_from_version", v)`, and SQL
   * `SELECT * FROM cat.db.t.changes` (full retained range).
   *
-  * The whole range must sit inside the manifest retention window
-  * (8 versions) — older diffs refuse loudly, same stance as pinned and
-  * incremental reads. Removed files remain readable within that window
-  * because vacuum only deletes UNVOUCHED files and rollback/pinned
-  * reads keep retained versions' files alive. */
+  * The whole range must sit inside the table's manifest retention
+  * window (the `retention_versions` table property,
+  * [[graft.fls.FlsManifest.DefaultKeepVersions]] = 8 by default —
+  * tables with slow CDF consumers raise it) — older diffs refuse
+  * loudly, same stance as pinned and incremental reads. Removed files
+  * remain readable within that window because vacuum only deletes
+  * UNVOUCHED files and rollback/pinned reads keep retained versions'
+  * files alive. */
 object FlsCdf {
   val ChangeType = "_change_type"
   val CommitVersion = "_commit_version"
+  /** EXCLUSIVE lower bound: the range is `(from, to]`, so
+    * `cdf_from_version=N` serves the changes of versions N+1..to —
+    * N is the consumer's CURSOR (the last version already processed),
+    * which is how [[changes]] and the streaming source checkpoint
+    * compose. NOTE the divergence from Delta, whose `startingVersion`
+    * is INCLUSIVE — Delta users should reach for
+    * [[StartingVersionOption]], the inclusive spelling. */
   val FromOption = "cdf_from_version"
+  /** INCLUSIVE lower bound (Delta's `startingVersion` contract):
+    * `cdf_starting_version=N` serves version N's own changes and
+    * everything after. Internally `from = N - 1`. Takes precedence
+    * over [[FromOption]] when both are set. */
+  val StartingVersionOption = "cdf_starting_version"
   val ToOption = "cdf_to_version"
   /** `read_change_feed=true` — route to the CDF table without naming a
     * version: batch reads serve the full retained range (earliest),
@@ -115,8 +132,33 @@ object FlsCdf {
     * version range, a starting timestamp, or the flag). */
   def requested(options: CaseInsensitiveStringMap): Boolean =
     options.containsKey(FromOption) ||
+      options.containsKey(StartingVersionOption) ||
       options.containsKey(FromTimestampOption) ||
       options.getBoolean(ReadChangeFeed, false)
+
+  /** Resolve the EXCLUSIVE from-version from the read options, with
+    * precedence timestamp > starting_version (inclusive, Delta parity)
+    * > from_version (exclusive cursor) > earliest. Shared by the batch
+    * scan and the streaming source so the two spell the range the same
+    * way. `earliest` = the oldest computable transition. */
+  private[connector] def resolveFrom(options: CaseInsensitiveStringMap,
+      fs: FileSystem, root: Path, dir: String, headV: Long): Long =
+    options.get(FromTimestampOption) match {
+      case null => options.get(StartingVersionOption) match {
+        case null => options.get(FromOption) match {
+          case null | Earliest => earliestFrom(fs, root, headV)
+          case s => s.toLong
+        }
+        case Earliest => earliestFrom(fs, root, headV)
+        case s =>
+          val n = s.toLong
+          require(n >= 1,
+            s"fls cdf: $StartingVersionOption is INCLUSIVE and must be " +
+              s">= 1, got $n (version 0 is the implicit empty table)")
+          n - 1
+      }
+      case ts => fromForTimestamp(fs, root, dir, ts)
+    }
 
   /** The oldest computable transition base: diffing v needs v-1
     * readable — v0 is the implicit empty table, so v1's diff is always
@@ -209,19 +251,48 @@ object FlsCdf {
       val skip = meta.exists(!_.dataChange)
       // UPDATE commits tag their churn Delta-style: the old rows are
       // 'update_preimage', the new rows 'update_postimage' — downstream
-      // can tell an update from a delete+insert pair. (MERGE stays
-      // insert/delete: one merge commit mixes matched updates with
-      // unmatched inserts, indistinguishable at file level.)
+      // can tell an update from a delete+insert pair. MERGE commits are
+      // mixed churn, indistinguishable at file level — they split the
+      // same way ONLY when the merge recorded its #cdc lines at commit
+      // (merge_cdc tables, handled below); otherwise insert/delete.
       val isUpdate = meta.exists(_.op == "update")
       val delType = if (isUpdate) "update_preimage" else "delete"
       val insType = if (isUpdate) "update_postimage" else "insert"
-      if (!skip) {
+      // Legacy-upgrade bootstrap: the first versioned commit retires the
+      // pre-versioned manifest, so once that file is GC'd entriesAt(0)
+      // is Nil and the v1 upgrade identity commit (dataChange=false) is
+      // skipped — a consumer starting from 'earliest'/0 would silently
+      // miss every pre-upgrade row. Emit v1's entry set as 'insert'
+      // instead: the identity commit IS the pre-upgrade table, so the
+      // bootstrap is complete (and exact — no diffs exist before it).
+      if (skip && v == from + 1 && from == 0L && prev.isEmpty &&
+          cur.nonEmpty && meta.exists(_.op == "upgrade")) {
+        branches += CdfBranch(v, v, "insert",
+          cur.map(e => CdfFileSpec(e.rel, None)))
+      } else if (!skip) {
+        // Merge commits on merge_cdc tables recorded their matched/
+        // unmatched split at commit (#cdc lines + position sidecars,
+        // [[graft.fls.FlsManifest.CdcLine]]) — serve update pre/post
+        // images for the matched rows; without the lines, merge churn
+        // stays insert/delete (the documented legacy contract, and the
+        // best file diffs alone can do).
+        val cdcLines =
+          if (meta.exists(_.op == "merge")) FlsManifest.versionCdc(fs, root, v)
+          else Nil
+        val posts = cdcLines.collect {
+          case FlsManifest.CdcPost(r) => r }.toSet
+        val splits = cdcLines.collect {
+          case FlsManifest.CdcSplit(r, pre, pure) => r -> ((pre, pure)) }.toMap
+        def sidecarAbs(rel: String, base: String): String =
+          fs.makeQualified(new Path(root,
+            FlsDeleteVectors.relFor(rel, base))).toString
         val prevByRel = prev.map(e => e.rel -> e).toMap
         val curByRel = cur.map(e => e.rel -> e).toMap
         val added = cur.filterNot(e => prevByRel.contains(e.rel))
         val removed = prev.filterNot(e => curByRel.contains(e.rel))
         val deleteSide = scala.collection.mutable.ArrayBuffer[CdfFileSpec]()
         val insertSide = scala.collection.mutable.ArrayBuffer[CdfFileSpec]()
+        val preimageSide = scala.collection.mutable.ArrayBuffer[CdfFileSpec]()
         prev.foreach { pe =>
           curByRel.get(pe.rel).foreach { ce =>
             require(pe.length == ce.length,
@@ -230,28 +301,41 @@ object FlsCdf {
                 "format's contract")
             val oldDv = FlsFileStats.dvOf(pe.stats)
             val newDv = FlsFileStats.dvOf(ce.stats)
-            if (oldDv != newDv) {
-              def dvAbs(base: Option[String]): Option[String] =
-                base.map(b => fs.makeQualified(new Path(root,
-                  FlsDeleteVectors.relFor(pe.rel, b))).toString)
-              def count(abs: Option[String]): Long = abs match {
-                case None => 0L
-                case Some(p) => FlsDeleteVectors.countFromLength(
-                  fs.getFileStatus(new Path(p)).getLen)
-              }
-              val (o, n) = (dvAbs(oldDv), dvAbs(newDv))
-              val (co, cn) = (count(o), count(n))
-              if (cn >= co) deleteSide += CdfFileSpec(pe.rel, Some((n, o)))
-              if (co >= cn) insertSide += CdfFileSpec(pe.rel, Some((o, n)))
+            if (oldDv != newDv) splits.get(pe.rel) match {
+              case Some((pre, pure)) =>
+                // exact per-kind position lists, task-written at the
+                // merge's commit — each serves whole as an emit set
+                pre.foreach(b => preimageSide +=
+                  CdfFileSpec(pe.rel, Some((Some(sidecarAbs(pe.rel, b)), None))))
+                pure.foreach(b => deleteSide +=
+                  CdfFileSpec(pe.rel, Some((Some(sidecarAbs(pe.rel, b)), None))))
+              case None =>
+                def dvAbs(base: Option[String]): Option[String] =
+                  base.map(b => sidecarAbs(pe.rel, b))
+                def count(abs: Option[String]): Long = abs match {
+                  case None => 0L
+                  case Some(p) => FlsDeleteVectors.countFromLength(
+                    fs.getFileStatus(new Path(p)).getLen)
+                }
+                val (o, n) = (dvAbs(oldDv), dvAbs(newDv))
+                val (co, cn) = (count(o), count(n))
+                if (cn >= co) deleteSide += CdfFileSpec(pe.rel, Some((n, o)))
+                if (co >= cn) insertSide += CdfFileSpec(pe.rel, Some((o, n)))
             }
           }
         }
-        if (added.nonEmpty)
+        val (postAdded, plainAdded) = added.partition(e => posts.contains(e.rel))
+        if (plainAdded.nonEmpty)
           branches += CdfBranch(v, v, insType,
-            added.map(e => CdfFileSpec(e.rel, None)))
+            plainAdded.map(e => CdfFileSpec(e.rel, None)))
+        if (postAdded.nonEmpty)
+          branches += CdfBranch(v, v, "update_postimage",
+            postAdded.map(e => CdfFileSpec(e.rel, None)))
         if (removed.nonEmpty)
           branches += CdfBranch(v, v - 1, delType,
             removed.map(e => CdfFileSpec(e.rel, None)))
+        if (preimageSide.nonEmpty)
+          branches += CdfBranch(v, v - 1, "update_preimage", preimageSide.toSeq)
         if (deleteSide.nonEmpty)
           branches += CdfBranch(v, v - 1, delType, deleteSide.toSeq)
         if (insertSide.nonEmpty)
@@ -292,11 +376,7 @@ object FlsCdf {
         .map(e => e.copy(table = Format.applyRenames(e.table, dataSchema)))
       val disc = FlsPartitioning.discover(Seq(dir), entries.map(_.file), conf)
       specs.zip(entries).foreach { case (spec, e) =>
-        val pvals: Map[String, String] =
-          disc.byFile.get(e.file.toString) match {
-            case Some(raw) => disc.keys.zip(raw).toMap
-            case None => Map.empty
-          }
+        val pvals: Map[String, String] = disc.pvalsOf(e.file.toString)
         val cdf = FlsCdfChunkSpec(br.changeType, br.commitVersion, spec.emitDiff)
         // emit-mode chunks must NOT also exclude the live DV: the diff
         // IS the (exact) selection; live-row chunks keep their version's
@@ -389,13 +469,7 @@ class FlsCdfScan(fullSchema: StructType, requiredSchema: StructType,
       throw new IllegalArgumentException(
         s"fls cdf: $dir has no manifest log — the change-data-feed needs " +
           "a commit_mode=manifest table"))
-    val from = options.get(FlsCdf.FromTimestampOption) match {
-      case null => options.get(FlsCdf.FromOption) match {
-        case null | FlsCdf.Earliest => FlsCdf.earliestFrom(fs, root, headV)
-        case s => s.toLong
-      }
-      case ts => FlsCdf.fromForTimestamp(fs, root, dir, ts)
-    }
+    val from = FlsCdf.resolveFrom(options, fs, root, dir, headV)
     val to = Option(options.get(FlsCdf.ToOption)).map(_.toLong).getOrElse(headV)
     require(from >= 0, s"fls cdf: from_version must be >= 0, got $from")
     require(from <= to,

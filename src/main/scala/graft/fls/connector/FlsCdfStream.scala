@@ -34,19 +34,24 @@ case class FlsCdfOffset(version: Long) extends Offset {
   *     identically on restart: exactly-once replay with zero log files
   *     under the checkpoint.
   *
-  * Retention is the contract's bound: versions live
-  * ~[[FlsManifest.DefaultKeepVersions]] commits back, so a consumer that falls
-  * further behind than the table's commit cadence × retention cannot
-  * resume — planning fails loudly with the restart-from-snapshot
-  * remedy (same stance as batch CDF and incremental reads). Cap burst
-  * catch-up with `max_versions_per_trigger`; `Trigger.AvailableNow`
-  * freezes the head at prepare time and drains to exactly there.
+  * Retention is the contract's bound: versions live as far back as the
+  * table's `retention_versions` property allows
+  * ([[FlsManifest.DefaultKeepVersions]] = 8 when unset — size it to the
+  * consumer's worst-case lag), so a consumer that falls further behind
+  * than the table's commit cadence × retention cannot resume —
+  * planning fails loudly with the restart-from-snapshot remedy (same
+  * stance as batch CDF and incremental reads). Cap burst catch-up with
+  * `max_versions_per_trigger`; `Trigger.AvailableNow` freezes the head
+  * at prepare time and drains to exactly there.
   *
-  * Start cursor: `cdf_from_version=N` streams changes of versions > N;
-  * `earliest` starts at the oldest retained transition; ABSENT (plain
-  * `read_change_feed=true`) tails NEW changes from the head at stream
-  * start — the Kafka-`latest` default, matching "subscribe me to
-  * future changes". */
+  * Start cursor: `cdf_from_version=N` streams changes of versions > N
+  * (EXCLUSIVE — N is the last version already processed);
+  * `cdf_starting_version=N` streams version N's own changes and later
+  * (INCLUSIVE, Delta's startingVersion); `earliest` starts at the
+  * oldest retained transition; ABSENT (plain `read_change_feed=true`)
+  * tails NEW changes from the head at stream start — the
+  * Kafka-`latest` default, matching "subscribe me to future
+  * changes". */
 class FlsCdfMicroBatchStream(
     fullSchema: StructType,
     requiredSchema: StructType,
@@ -89,18 +94,17 @@ class FlsCdfMicroBatchStream(
           "needs a commit_mode=manifest table"))
     val from = options.get(FlsCdf.FromTimestampOption) match {
       case ts if ts != null => FlsCdf.fromForTimestamp(fs, root, dir, ts)
-      case _ => options.get(FlsCdf.FromOption) match {
-        case null => headV // tail: only changes committed after stream start
-        case FlsCdf.Earliest => FlsCdf.earliestFrom(fs, root, headV)
-        case s =>
-          val v = s.toLong
+      case _ =>
+        if (options.containsKey(FlsCdf.StartingVersionOption) ||
+            options.containsKey(FlsCdf.FromOption)) {
+          val v = FlsCdf.resolveFrom(options, fs, root, dir, headV)
           require(v >= 0,
-            s"fls cdf stream: ${FlsCdf.FromOption} must be >= 0, got $v")
+            s"fls cdf stream: the cursor must be >= 0, got $v")
           require(v <= headV,
-            s"fls cdf stream: ${FlsCdf.FromOption}=$v is beyond the newest " +
+            s"fls cdf stream: the start cursor $v is beyond the newest " +
               s"version $headV")
           v
-      }
+        } else headV // tail: only changes committed after stream start
     }
     FlsCdfOffset(from)
   }

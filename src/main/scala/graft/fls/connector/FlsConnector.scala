@@ -92,12 +92,19 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
     val withParts =
       if (disc.keys.isEmpty) base
       else {
+        // a spec-EVOLVED table legitimately has a key that is a DATA
+        // column in the other generation's files (month in path for
+        // gen-1, in data for gen-2) — the union schema already carries
+        // it; only append keys no file stores as data. On uniform
+        // layouts the collision stays a loud error (ambiguous source).
         disc.keys.foreach { k =>
-          require(!base.fieldNames.contains(k),
+          require(disc.uniform == false || !base.fieldNames.contains(k),
             s"fls: partition column '$k' collides with a data column")
         }
-        StructType(base.fields ++ disc.keys.map(k =>
-          StructField(k, disc.inferredTypes(k), nullable = disc.nullableKeys.contains(k))))
+        StructType(base.fields ++
+          disc.keys.filterNot(base.fieldNames.contains).map(k =>
+            StructField(k, disc.inferredTypes(k),
+              nullable = disc.nullableKeys.contains(k))))
       }
     withVirtuals(withParts, options)
   }
@@ -504,6 +511,10 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap,
     // rows — a metadata answer would resurrect them; fall back to the
     // real scan (which applies the DV at decode)
     if (footers.exists(_.dv.isDefined)) return None
+    // grouping decodes group values from partition DIRECTORIES — only
+    // sound when every file stores every key in its path (a
+    // spec-evolved table has generations where a key lives in data)
+    if (agg.groupByExpressions().nonEmpty && !builderDisc.uniform) return None
     val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
       case f: NamedReference if f.fieldNames().length == 1 &&
         builderDisc.keys.contains(f.fieldNames()(0)) => f.fieldNames()(0)
@@ -724,6 +735,9 @@ class FlsScan(
     * Inactive under limit/TopN pushdown (those pack key-mixed splits). */
   private def spjActive: Boolean =
     org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
+      // key-grouped splits need ONE layout: a spec-evolved table has
+      // files whose paths lack some keys — no key purity to report
+      partDisc.uniform &&
       partDisc.keys.nonEmpty && limit < 0 && topN.isEmpty &&
       // a row-level group scan packs whole files without key-pure
       // splits — it must not claim key-grouped partitioning
@@ -857,10 +871,7 @@ class FlsScan(
           if (anyMayMatch) {
             keptFiles += file.toString
             val pvals: Map[String, String] =
-              partDisc.byFile.get(file.toString) match {
-                case Some(raw) => partDisc.keys.zip(raw).toMap
-                case None => Map.empty
-              }
+              partDisc.pvalsOf(file.toString)
             table.rowGroups.foreach { rg =>
               units += FlsRgUnit(file.toString, rg, rowStart, fileIdx, pvals,
                 table.columns, dvByFile.get(file.toString))
@@ -880,10 +891,7 @@ class FlsScan(
       if (survivors.contains(file.toString)) {
         val nameToIdx = table.columns.map(_.name).zipWithIndex.toMap
         val pvals: Map[String, String] =
-          partDisc.byFile.get(file.toString) match {
-            case Some(raw) => partDisc.keys.zip(raw).toMap
-            case None => Map.empty
-          }
+          partDisc.pvalsOf(file.toString)
         var rowStart = 0L
         table.rowGroups.foreach { rg =>
           if (FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, allFilters, rowStart,
@@ -1076,8 +1084,34 @@ class FlsScan(
                   java.lang.Float.valueOf(segs.map(_.maxDouble).max.toFloat)))
               case _ => None
             }
+          // Distinct count from the manifest HLL sketches (ndv_columns
+          // writes, [[graft.fls.Hll]]): register-wise union across the
+          // planned files, defined only when EVERY file carrying the
+          // column carries a sketch — one stats-less legacy file and
+          // the column degrades to no-distinct-count, exactly the
+          // pre-sketch behavior. DV'd files make it a live-rows
+          // SUPERSET estimate (fine for CBO, never for results).
+          val ndvEst: Option[Long] = {
+            val presentPaths = files.zip(perFile).collect {
+              case ((p, _, _), (_, i)) if i >= 0 => p.toString
+            }.toSet
+            val sketches = scanEntries.filter(e =>
+              presentPaths.contains(e.file.toString)).map(_.ndv.get(f.name))
+            if (sketches.isEmpty || sketches.exists(_.isEmpty)) None
+            else {
+              val regs = sketches.map(_.get)
+              if (regs.map(_.length).distinct.length != 1) None
+              else {
+                val merged = java.util.Arrays.copyOf(regs.head, regs.head.length)
+                regs.tail.foreach(graft.fls.Hll.mergeInto(merged, _))
+                Some(graft.fls.Hll.estimate(merged))
+              }
+            }
+          }
           out.put(Expressions.column(f.name), new ColumnStatistics {
             override def nullCount(): OptionalLong = OptionalLong.of(absentRows)
+            override def distinctCount(): OptionalLong =
+              ndvEst.map(OptionalLong.of).getOrElse(OptionalLong.empty())
             override def min(): java.util.Optional[Object] =
               mm.map(p => java.util.Optional.of(p._1: Object))
                 .getOrElse(java.util.Optional.empty[Object]())
@@ -1530,6 +1564,12 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
     Option(options.get("partition_by")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
   private val maxOpenPartitions = options.getInt("max_open_partitions", 1000)
+  /** `ndv_columns=k1,k2`: sketch these columns' distinct counts per
+    * file into the manifest stats ([[graft.fls.Hll]]) — plan-time CBO
+    * distinct counts on a cold driver, zero footer reads. */
+  private val ndvColumns: Seq[String] =
+    Option(options.get("ndv_columns")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
   private val stagingTtlMs =
     options.getLong("staging_ttl_hours", 24L) * 3600L * 1000L
   /** `rename` (default): staged temp files rename on task commit —
@@ -1612,7 +1652,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
     }
     FlsWriterFactory(path, info.schema(), rowGroupSize, rowGroupsPerFile,
       new SerializableConfiguration(conf), writeId, inlineFooter, transpose,
-      partitionBy, maxOpenPartitions, manifestMode)
+      partitionBy, maxOpenPartitions, manifestMode, ndvColumns)
   }
 
   /** Recursively visit managed (.fls/.fls.footer) files under `dir`
@@ -1920,7 +1960,8 @@ case class FlsWriterFactory(
     transpose: Boolean = false,
     partitionBy: Seq[String] = Nil,
     maxOpenPartitions: Int = 1000,
-    directWrite: Boolean = false) extends DataWriterFactory {
+    directWrite: Boolean = false,
+    ndvColumns: Seq[String] = Nil) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // taskId is unique per task ATTEMPT, so speculative twins stage to
@@ -1935,5 +1976,5 @@ case class FlsWriterFactory(
       if (directWrite) f"part-$partitionId%05d-$writeId-$taskId"
       else f"part-$partitionId%05d-$writeId",
       s"$writeId/attempt-$partitionId-$taskId", inlineFooter, transpose,
-      partitionBy, maxOpenPartitions, directWrite)
+      partitionBy, maxOpenPartitions, directWrite, ndvColumns)
 }

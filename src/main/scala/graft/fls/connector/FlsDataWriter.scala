@@ -48,7 +48,13 @@ class FlsDataWriter(
     transpose: Boolean = false,
     partitionBy: Seq[String] = Nil,
     maxOpenPartitions: Int = 1000,
-    directWrite: Boolean = false)
+    directWrite: Boolean = false,
+    /** Columns to NDV-sketch per file (`ndv_columns` writer option):
+      * each closed file's manifest stats carry an [[Hll]] register
+      * array for these, merged at plan time into CBO distinct counts.
+      * Opt-in — hashing every value costs write CPU, so it belongs on
+      * join/group keys, not every column. */
+    ndvColumns: Seq[String] = Nil)
   extends DataWriter[InternalRow] {
 
   private val partIdx: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
@@ -378,6 +384,45 @@ class FlsDataWriter(
       throw new UnsupportedOperationException(s"fls write: unsupported type $other")
   }
 
+  /** (schema ordinal, value-hash accessor) per sketched column —
+    * resolved and type-checked once at construction, refused loudly for
+    * nested types (no canonical value hash). */
+  private val ndvAccessors: Array[(Int, (InternalRow, Int) => Long)] =
+    ndvColumns.toArray.map { name =>
+      val ord =
+        try schema.fieldIndex(name)
+        catch {
+          case _: IllegalArgumentException => throw new IllegalArgumentException(
+            s"fls: ndv_columns names '$name', which is not a column of the " +
+              s"write schema [${schema.fieldNames.mkString(", ")}]")
+        }
+      require(!partitionBy.contains(name),
+        s"fls: ndv_columns names partition column '$name' — partition-key " +
+          "cardinality is already exact from the directory layout; sketch " +
+          "data columns only")
+      val hash: (InternalRow, Int) => Long = schema.fields(ord).dataType match {
+        case BooleanType => (r, i) => Hll.hashLong(if (r.getBoolean(i)) 1L else 0L)
+        case ByteType => (r, i) => Hll.hashLong(r.getByte(i).toLong)
+        case ShortType => (r, i) => Hll.hashLong(r.getShort(i).toLong)
+        case IntegerType | DateType => (r, i) => Hll.hashLong(r.getInt(i).toLong)
+        case LongType | TimestampType | TimestampNTZType =>
+          (r, i) => Hll.hashLong(r.getLong(i))
+        case FloatType => (r, i) => Hll.hashDouble(r.getFloat(i).toDouble)
+        case DoubleType => (r, i) => Hll.hashDouble(r.getDouble(i))
+        case StringType => (r, i) => Hll.hashBytes(r.getUTF8String(i).getBytes)
+        case BinaryType => (r, i) => Hll.hashBytes(r.getBinary(i))
+        case d: DecimalType if d.precision <= 18 =>
+          (r, i) => Hll.hashLong(r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+        case d: DecimalType =>
+          (r, i) => Hll.hashBytes(r.getDecimal(i, d.precision, d.scale)
+            .toJavaBigDecimal.unscaledValue().toByteArray)
+        case other => throw new UnsupportedOperationException(
+          s"fls: ndv_columns cannot sketch '$name' of type $other — NDV " +
+            "sketches are for scalar join/group keys")
+      }
+      (ord, hash)
+    }
+
   private val tempDir = new Path(new Path(dir, FlsCommit.TempDirName), taskUid)
   /** (path written, dir-relative final path). In staged (rename) mode
     * the written path lives under `_temporary/`; in direct (manifest)
@@ -397,12 +442,22 @@ class FlsDataWriter(
     private var fileSeq = 0
     private var writer: FlsFileWriter = _
     private var currentRel: String = _
+    /** Per-FILE NDV sketches, parallel to [[ndvAccessors]] — reset at
+      * every file rotation so each manifest entry's sketch covers
+      * exactly its file. */
+    private val sketches: Array[Hll] = Array.fill(ndvAccessors.length)(new Hll)
 
     def add(row: InternalRow): Unit = {
       var c = 0
       while (c < builders.length) {
         builders(c).add(row, physOrds(c))
         c += 1
+      }
+      var s = 0
+      while (s < ndvAccessors.length) {
+        val (ord, hash) = ndvAccessors(s)
+        sketches(s).addHash(hash(row, ord))
+        s += 1
       }
       rowsInGroup += 1
       if (rowsInGroup == rowGroupSize) flushRowGroup()
@@ -426,7 +481,13 @@ class FlsDataWriter(
       if (writer != null) {
         writer.close()
         lengths(currentRel) = writer.fileLength
-        fileStats(currentRel) = writer.fileStats
+        val ndv = ndvAccessors.indices.collect {
+          case s if !sketches(s).isEmpty =>
+            schema.fields(ndvAccessors(s)._1).name ->
+              java.util.Arrays.copyOf(sketches(s).regs, sketches(s).regs.length)
+        }.toMap
+        fileStats(currentRel) = writer.fileStats(ndv)
+        sketches.foreach(_.clear())
         writer = null
       }
 

@@ -76,11 +76,20 @@ class FlsDeltaOperation(
     // into the hive layout (same contract as the group-based path)
     val declared = Option(tableOptions.get("partition_by"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // merge_cdc=true: the MERGE records its matched/unmatched split at
+    // commit (CDC sidecars + #cdc manifest lines) so the change-data-
+    // feed can serve update_preimage/update_postimage instead of
+    // insert/delete churn — possible HERE because the delta writer
+    // sees each row's operation; the copy-on-write rewrite does not
+    // (Spark hands it "all rows of the affected files, changes
+    // applied" with no matched-row marking), which is why
+    // [[FlsRowLevelOperationBuilder]] refuses that combination.
+    val cdc = cmd == Command.MERGE && tableOptions.getBoolean("merge_cdc", false)
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
         new FlsDeltaWrite(info, tableOptions, declared,
           () => scanDvs.get(), session,
-          op = cmd.toString.toLowerCase(java.util.Locale.ROOT))
+          op = cmd.toString.toLowerCase(java.util.Locale.ROOT), cdc = cdc)
     }
   }
 }
@@ -90,7 +99,9 @@ class FlsDeltaWrite(info: LogicalWriteInfo,
     scanDvs: () => Map[String, String],
     session: org.apache.spark.sql.SparkSession,
     /** Manifest op tag: "delete" / "update" / "merge". */
-    op: String) extends DeltaWrite
+    op: String,
+    /** Record the merge's matched/unmatched split for the CDF. */
+    cdc: Boolean = false) extends DeltaWrite
   with RequiresDistributionAndOrdering {
 
   /** Cluster the delta rows by TARGET FILE so each task owns whole
@@ -109,14 +120,15 @@ class FlsDeltaWrite(info: LogicalWriteInfo,
     Array.empty
 
   override def toBatch: DeltaBatchWrite =
-    new FlsDeltaBatchWrite(info, tableOptions, partitionBy, scanDvs, session, op)
+    new FlsDeltaBatchWrite(info, tableOptions, partitionBy, scanDvs, session,
+      op, cdc)
 }
 
 class FlsDeltaBatchWrite(info: LogicalWriteInfo,
     tableOptions: CaseInsensitiveStringMap, partitionBy: Seq[String],
     scanDvs: () => Map[String, String],
     session: org.apache.spark.sql.SparkSession,
-    op: String) extends DeltaBatchWrite {
+    op: String, cdc: Boolean = false) extends DeltaBatchWrite {
 
   private val dir = FlsDataSource.parsePaths(tableOptions).headOption
     .getOrElse(throw new IllegalArgumentException("fls delta write: no path"))
@@ -138,15 +150,22 @@ class FlsDeltaBatchWrite(info: LogicalWriteInfo,
       inlineFooter = tableOptions.getBoolean("inline_footer", true),
       transpose = tableOptions.getBoolean("transpose", false),
       partitionBy = partitionBy,
-      directWrite = true) // manifest-mode final names, no renames
+      directWrite = true, // manifest-mode final names, no renames
+      ndvColumns = Option(tableOptions.get("ndv_columns"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
     // the scan planned when the write's input RDD was built (before this
     // factory), so the DV-pointer snapshot is complete — ship it so
     // tasks can merge each target's OLD vector into the one they write
     val root = new Path(dir)
     val fs = root.getFileSystem(hconfSer.value)
     val qdir = fs.makeQualified(root).toString.stripSuffix("/") + "/"
+    // CDC mode routes matched-update rows to their OWN files (whole
+    // files tag `update_postimage` in the feed — no per-row position
+    // bookkeeping on the insert side); the "c" writeId suffix keeps the
+    // two writers' attempt-unique final names disjoint
+    val postInner = if (cdc) Some(inner.copy(writeId = writeId + "c")) else None
     FlsDeltaWriterFactory(inner, fileIdx, posIdx, dir, qdir, hconfSer,
-      writeId, scanDvs())
+      writeId, scanDvs(), postInner)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -165,19 +184,32 @@ class FlsDeltaBatchWrite(info: LogicalWriteInfo,
     // (file → sidecar name, count): the driver haul is O(touched
     // files), never O(deleted rows), so no position cap is needed
     val dvFragsByAbs = mutable.HashMap[String, mutable.ArrayBuffer[String]]()
+    // CDC split fragments: file → (pre sidecar, pure sidecar) per task
+    val cdcFragsByAbs =
+      mutable.HashMap[String, mutable.ArrayBuffer[(Option[String], Option[String])]]()
     var totalDeletes = 0L
     val insertEntries = mutable.ArrayBuffer[FlsManifest.Entry]()
+    val postRels = mutable.ArrayBuffer[String]()
+    def entriesOf(m: FlsCommitMessage): Seq[FlsManifest.Entry] =
+      m.files.zip(m.lengths).zipWithIndex.collect {
+        case ((rel, len), i) if rel.endsWith(".fls") =>
+          FlsManifest.Entry(rel, len, 0L,
+            if (i < m.stats.length) m.stats(i) else null)
+      }.toSeq
     messages.foreach {
-      case FlsDeltaCommitMessage(ins, dels) =>
+      case FlsDeltaCommitMessage(ins, dels, post, cdcSplits) =>
         dels.foreach { case (f, (base, n)) =>
           dvFragsByAbs.getOrElseUpdate(f, mutable.ArrayBuffer[String]()) += base
           totalDeletes += n
         }
-        ins.files.zip(ins.lengths).zipWithIndex.foreach { case ((rel, len), i) =>
-          if (rel.endsWith(".fls"))
-            insertEntries += FlsManifest.Entry(rel, len, 0L,
-              if (i < ins.stats.length) ins.stats(i) else null)
+        cdcSplits.foreach { case (f, pair) =>
+          cdcFragsByAbs.getOrElseUpdate(f,
+            mutable.ArrayBuffer[(Option[String], Option[String])]()) += pair
         }
+        insertEntries ++= entriesOf(ins)
+        val pe = entriesOf(post)
+        insertEntries ++= pe
+        postRels ++= pe.map(_.rel)
       case other => throw new IllegalStateException(
         s"fls delta write: unexpected commit message $other")
     }
@@ -221,8 +253,36 @@ class FlsDeltaBatchWrite(info: LogicalWriteInfo,
       abs => relOf(abs) -> atScan.get(abs).map(a => new Path(a).getName)
     }.toMap
 
+    // CDC split sidecars: one (pre, pure) pair per re-vectored file.
+    // Like the DV sidecars, multiple fragments per file only appear
+    // when the best-effort clustering declined — merge just those.
+    def mergeSide(rel: String, frags: Seq[String], tag: String): Option[String] = {
+      frags.foreach(b => written += FlsDeleteVectors.relFor(rel, b))
+      if (frags.isEmpty) None
+      else if (frags.length == 1) Some(frags.head)
+      else {
+        val all = frags.toArray.flatMap(b =>
+          FlsDeleteVectors.read(fs, root, FlsDeleteVectors.relFor(rel, b)))
+        val merged = FlsDeleteVectors.write(fs, root, rel, s"$writeId-$tag", all)
+        written += merged
+        frags.foreach(b =>
+          try fs.delete(new Path(root, FlsDeleteVectors.relFor(rel, b)), false)
+          catch { case _: Throwable => () })
+        Some(new Path(merged).getName)
+      }
+    }
+    val cdcLines: Seq[FlsManifest.CdcLine] =
+      postRels.sorted.map(FlsManifest.CdcPost(_): FlsManifest.CdcLine).toSeq ++
+        cdcFragsByAbs.toSeq.map { case (abs, pairs) =>
+          val rel = relOf(abs)
+          FlsManifest.CdcSplit(rel,
+            mergeSide(rel, pairs.flatMap(_._1).toSeq, "mcpre"),
+            mergeSide(rel, pairs.flatMap(_._2).toSeq, "mcpur"))
+        }.sortBy(_.rel)
+
     try {
-      FlsManifest.commit(fs, root, writeId, conf, op = op) { (_, cur) =>
+      FlsManifest.commit(fs, root, writeId, conf, op = op,
+          cdc = cdcLines) { (_, cur) =>
         val entries = cur.getOrElse(Seq.empty)
         val byRel = entries.map(e => e.rel -> e).toMap
         dvBaseByRel.keysIterator.foreach { rel =>
@@ -260,14 +320,20 @@ class FlsDeltaBatchWrite(info: LogicalWriteInfo,
     val fs = root.getFileSystem(conf)
     val qdir = fs.makeQualified(root).toString.stripSuffix("/") + "/"
     messages.foreach {
-      case FlsDeltaCommitMessage(ins, dels) =>
-        ins.files.foreach { rel =>
+      case FlsDeltaCommitMessage(ins, dels, post, cdcSplits) =>
+        (ins.files ++ post.files).foreach { rel =>
           try fs.delete(new Path(root, rel), false) catch { case _: Throwable => () }
           try fs.delete(new Path(root, rel + ".footer"), false)
           catch { case _: Throwable => () }
         }
         dels.foreach { case (abs, (base, _)) =>
           if (abs.startsWith(qdir)) {
+            val rel = FlsDeleteVectors.relFor(abs.stripPrefix(qdir), base)
+            try fs.delete(new Path(root, rel), false) catch { case _: Throwable => () }
+          }
+        }
+        cdcSplits.foreach { case (abs, (pre, pure)) =>
+          if (abs.startsWith(qdir)) (pre.toSeq ++ pure.toSeq).foreach { base =>
             val rel = FlsDeleteVectors.relFor(abs.stripPrefix(qdir), base)
             try fs.delete(new Path(root, rel), false) catch { case _: Throwable => () }
           }
@@ -280,7 +346,10 @@ class FlsDeltaBatchWrite(info: LogicalWriteInfo,
 case class FlsDeltaWriterFactory(inner: FlsWriterFactory,
     fileIdx: Int, posIdx: Int, rootStr: String, qdir: String,
     hconfSer: SerializableConfiguration, writeId: String,
-    scanDvsAbs: Map[String, String]) extends DeltaWriterFactory {
+    scanDvsAbs: Map[String, String],
+    /** CDC mode: matched-update rows go to this second data writer so
+      * whole files tag `update_postimage` in the feed. */
+    postInner: Option[FlsWriterFactory] = None) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     // LAZY inner writer: a pure DELETE delta has an empty write schema
@@ -288,7 +357,7 @@ case class FlsDeltaWriterFactory(inner: FlsWriterFactory,
     // refuses — instantiate it on the first actual insert
     new FlsDeltaWriter(() => inner.createWriter(partitionId, taskId),
       fileIdx, posIdx, rootStr, qdir, hconfSer, writeId, scanDvsAbs,
-      partitionId)
+      partitionId, postInner.map(f => () => f.createWriter(partitionId, taskId)))
 }
 
 /** Task side: inserts stream through a normal fls data writer
@@ -304,21 +373,36 @@ case class FlsDeltaWriterFactory(inner: FlsWriterFactory,
 class FlsDeltaWriter(mkInner: () => DataWriter[InternalRow],
     fileIdx: Int, posIdx: Int, rootStr: String, qdir: String,
     hconfSer: SerializableConfiguration, writeId: String,
-    scanDvsAbs: Map[String, String], partitionId: Int)
+    scanDvsAbs: Map[String, String], partitionId: Int,
+    /** CDC mode when defined: update() routes its positions/rows to
+      * separate tracking so the commit can record the merge's
+      * matched/unmatched split ([[graft.fls.FlsManifest.CdcLine]]). */
+    mkPost: Option[() => DataWriter[InternalRow]] = None)
   extends DeltaWriter[InternalRow] {
 
+  /** Positions deleted by a DELETE action (or any delete when CDC is
+    * off — update() folds into delete+insert then). */
   private val dels = mutable.HashMap[String, mutable.ArrayBuffer[Long]]()
+  /** CDC only: positions deleted BY UPDATE (the preimages). */
+  private val updDels = mutable.HashMap[String, mutable.ArrayBuffer[Long]]()
   private val wrote = mutable.ArrayBuffer[String]() // DV rels, for abort
   private var inner: DataWriter[InternalRow] = null
+  private var post: DataWriter[InternalRow] = null
 
   override def delete(meta: InternalRow, id: InternalRow): Unit =
     dels.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
       mutable.ArrayBuffer[Long]()) += id.getLong(posIdx)
 
   override def update(meta: InternalRow, id: InternalRow,
-      row: InternalRow): Unit = {
-    delete(meta, id)
-    insert(row)
+      row: InternalRow): Unit = mkPost match {
+    case None =>
+      delete(meta, id)
+      insert(row)
+    case Some(mk) =>
+      updDels.getOrElseUpdate(id.getUTF8String(fileIdx).toString,
+        mutable.ArrayBuffer[Long]()) += id.getLong(posIdx)
+      if (post == null) post = mk()
+      post.write(row)
   }
 
   override def insert(row: InternalRow): Unit = {
@@ -326,47 +410,79 @@ class FlsDeltaWriter(mkInner: () => DataWriter[InternalRow],
     inner.write(row)
   }
 
+  private def commitOf(w: DataWriter[InternalRow]): FlsCommitMessage =
+    if (w == null) FlsCommitMessage(Array.empty, Array.empty)
+    else w.commit() match {
+      case m: FlsCommitMessage => m
+      case other => throw new IllegalStateException(
+        s"fls delta writer: unexpected inner commit message $other")
+    }
+
   override def commit(): WriterCommitMessage = {
-    val ins =
-      if (inner == null) FlsCommitMessage(Array.empty, Array.empty)
-      else inner.commit() match {
-        case m: FlsCommitMessage => m
-        case other => throw new IllegalStateException(
-          s"fls delta writer: unexpected inner commit message $other")
-      }
+    val ins = commitOf(inner)
+    val postIns = commitOf(post)
     val conf = hconfSer.value
     val root = new Path(rootStr)
     val fs = root.getFileSystem(conf)
     val attempt = Option(org.apache.spark.TaskContext.get())
       .map(_.taskAttemptId()).getOrElse(0L)
-    val emitted: Map[String, (String, Long)] = dels.map { case (abs, ps) =>
+    val touched = (dels.keySet ++ updDels.keySet).toSeq
+    val cdcSplits = mutable.HashMap[String, (Option[String], Option[String])]()
+    val emitted: Map[String, (String, Long)] = touched.map { abs =>
       require(abs.startsWith(qdir),
         s"fls delta write: targeted file $abs is outside the table root $qdir")
       val rel = abs.stripPrefix(qdir)
+      val pure = dels.getOrElse(abs, mutable.ArrayBuffer.empty[Long])
+      val upd = updDels.getOrElse(abs, mutable.ArrayBuffer.empty[Long])
       // merge the target's OLD vector (frozen at the operation's scan;
       // the driver CAS re-verifies the pointer hasn't moved since)
       val old = scanDvsAbs.get(abs)
         .map(a => FlsDeleteVectors.readAbsolute(a, conf))
         .getOrElse(Array.empty[Long])
       val dvRel = FlsDeleteVectors.write(fs, root, rel,
-        s"$writeId-p$partitionId-a$attempt", old ++ ps)
+        s"$writeId-p$partitionId-a$attempt", old ++ pure ++ upd)
       wrote += dvRel
-      abs -> ((new Path(dvRel).getName, ps.length.toLong))
+      // CDC: the split sidecars say which of the fresh deletions were
+      // update preimages vs DELETE-action rows — only needed when the
+      // file saw an update (pure-only growth reads correctly as
+      // 'delete' from the generic DV diff)
+      if (upd.nonEmpty) {
+        def side(ps: mutable.ArrayBuffer[Long], tag: String): Option[String] =
+          if (ps.isEmpty) None
+          else {
+            val r = FlsDeleteVectors.write(fs, root, rel,
+              s"$writeId-p$partitionId-a$attempt-$tag", ps.toArray)
+            wrote += r
+            Some(new Path(r).getName)
+          }
+        cdcSplits(abs) = (side(upd, "cpre"), side(pure, "cpur"))
+      }
+      abs -> ((new Path(dvRel).getName, (pure.length + upd.length).toLong))
     }.toMap
-    FlsDeltaCommitMessage(ins, emitted)
+    FlsDeltaCommitMessage(ins, emitted, postIns, cdcSplits.toMap)
   }
 
   override def abort(): Unit = {
     if (inner != null) inner.abort()
+    if (post != null) post.abort()
     val root = new Path(rootStr)
     val fs = root.getFileSystem(hconfSer.value)
     wrote.foreach(r =>
       try fs.delete(new Path(root, r), false) catch { case _: Throwable => () })
   }
-  override def close(): Unit = if (inner != null) inner.close()
+  override def close(): Unit = {
+    if (inner != null) inner.close()
+    if (post != null) post.close()
+  }
 }
 
 /** `deletes`: target file (absolute) → (sidecar basename, fresh
-  * position count) — names and counts only, never positions. */
+  * position count) — names and counts only, never positions.
+  * `postInserts`/`cdcSplits` are the merge-CDC channel: postimage
+  * files and per-file (preimage, pure-delete) split sidecar basenames
+  * (empty unless the table sets `merge_cdc`). */
 case class FlsDeltaCommitMessage(inserts: FlsCommitMessage,
-    deletes: Map[String, (String, Long)]) extends WriterCommitMessage
+    deletes: Map[String, (String, Long)],
+    postInserts: FlsCommitMessage = FlsCommitMessage(Array.empty, Array.empty),
+    cdcSplits: Map[String, (Option[String], Option[String])] = Map.empty)
+  extends WriterCommitMessage

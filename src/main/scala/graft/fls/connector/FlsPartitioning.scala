@@ -77,13 +77,36 @@ object FlsPartitioning {
     Nil
   }
 
+  /** Raw-value sentinel: this file's path does not carry the key at
+    * all (heterogeneous layouts after partition-spec evolution) —
+    * distinct from `null` (the hive default-partition VALUE). Pruning
+    * treats it as "can't tell"; planning omits it from the file's
+    * partition-value map so the column binds to the file's DATA (or
+    * NULL via union_by_name) instead. The NUL prefix cannot appear in
+    * a real directory name on any supported filesystem. */
+  val AbsentRaw: String = "\u0000__fls_spec_absent__"
+
   /** Discovered partition layout: key order + per-file raw values.
-    * Empty `keys` = not partitioned. */
+    * Empty `keys` = not partitioned. `uniform=false` marks a
+    * spec-EVOLVED table (files under different `partition_by`
+    * generations): `keys` is the union, and a file's array holds
+    * [[AbsentRaw]] for keys its own path lacks. Consumers that need
+    * one table-wide layout (storage-partitioned joins, metadata
+    * aggregates grouped by partition dirs) must gate on `uniform`. */
   final case class Discovery(
       keys: Seq[String],
       inferredTypes: Map[String, DataType],
       nullableKeys: Set[String],
-      byFile: Map[String, Array[String]]) {
+      byFile: Map[String, Array[String]],
+      uniform: Boolean = true) {
+    /** One file's key→raw map for the READER: absent keys omitted, so
+      * the column falls through to the file's data columns. */
+    def pvalsOf(file: String): Map[String, String] =
+      byFile.get(file) match {
+        case Some(raw) =>
+          keys.zip(raw).filterNot(_._2 == AbsentRaw).toMap
+        case None => Map.empty
+      }
     /** THE partition-column type resolution (table schema wins — it
       * carries the user/inferred type — falling back to path
       * inference); one definition so builder-side consumption and
@@ -95,11 +118,16 @@ object FlsPartitioning {
       }.toMap
   }
 
-  /** Parse every file's partition values. All files must agree on the
-    * key sequence; any disagreement (or any unpartitioned file) turns
-    * discovery off rather than failing the read — matching Spark's
-    * parquet source leniency for flat dirs while staying strict enough
-    * that pruning is only enabled when it is sound for every file. */
+  /** Parse every file's partition values. Files that all agree on one
+    * key sequence give the classic uniform layout. Files under
+    * DIFFERENT non-empty key sequences are a spec-EVOLVED table
+    * (partition_by changed between write generations —
+    * `CALL system.evolve_partition_spec`): keys union, per-file absent
+    * markers, `uniform=false`. Any unpartitioned file (or a mix of flat
+    * and partitioned) still turns discovery off rather than failing the
+    * read — matching Spark's parquet source leniency for flat dirs
+    * while staying strict enough that pruning is only enabled when it
+    * is sound for every file. */
   def discover(basePaths: Seq[String], files: Seq[Path], conf: Configuration): Discovery = {
     if (files.isEmpty) return Discovery(Nil, Map.empty, Set.empty, Map.empty)
     val bases = basePaths.map { p =>
@@ -108,17 +136,38 @@ object FlsPartitioning {
     }
     val parsed = files.map(f => f -> valuesFor(bases, f))
     val keySeqs = parsed.map(_._2.map(_._1)).distinct
-    if (keySeqs.length != 1 || keySeqs.head.isEmpty)
-      return Discovery(Nil, Map.empty, Set.empty, Map.empty)
-    val keys = keySeqs.head
-    val byFile = parsed.map { case (f, kvs) => f.toString -> kvs.map(_._2).toArray }.toMap
-    val types = keys.zipWithIndex.map { case (k, i) =>
-      k -> inferType(byFile.valuesIterator.map(_(i)).filter(_ != null).toSeq)
-    }.toMap
-    val nullable = keys.zipWithIndex.collect {
-      case (k, i) if byFile.valuesIterator.exists(_(i) == null) => k
-    }.toSet
-    Discovery(keys, types, nullable, byFile)
+    if (keySeqs.length == 1 && keySeqs.head.nonEmpty) {
+      val keys = keySeqs.head
+      val byFile = parsed.map { case (f, kvs) => f.toString -> kvs.map(_._2).toArray }.toMap
+      val types = keys.zipWithIndex.map { case (k, i) =>
+        k -> inferType(byFile.valuesIterator.map(_(i)).filter(_ != null).toSeq)
+      }.toMap
+      val nullable = keys.zipWithIndex.collect {
+        case (k, i) if byFile.valuesIterator.exists(_(i) == null) => k
+      }.toSet
+      Discovery(keys, types, nullable, byFile)
+    } else if (keySeqs.length > 1 && keySeqs.forall(_.nonEmpty)) {
+      // heterogeneous layouts: union the keys (first-appearance order);
+      // a file's array carries AbsentRaw for keys its path lacks —
+      // those columns bind to the file's DATA at decode, pruning on
+      // them keeps the file
+      val keys = keySeqs.flatten.distinct
+      val byFile = parsed.map { case (f, kvs) =>
+        val m = kvs.toMap
+        f.toString -> keys.map(k => m.getOrElse(k, AbsentRaw)).toArray
+      }.toMap
+      val types = keys.zipWithIndex.map { case (k, i) =>
+        k -> inferType(byFile.valuesIterator.map(_(i))
+          .filter(v => v != null && v != AbsentRaw).toSeq)
+      }.toMap
+      // a key some file lacks must be nullable in inferred schemas: the
+      // file may serve it from data or as NULL
+      val nullable = keys.zipWithIndex.collect {
+        case (k, i) if byFile.valuesIterator.exists(v =>
+          v(i) == null || v(i) == AbsentRaw) => k
+      }.toSet
+      Discovery(keys, types, nullable, byFile, uniform = false)
+    } else Discovery(Nil, Map.empty, Set.empty, Map.empty)
   }
 
   private val DateRe = """\d{4}-\d{2}-\d{2}""".r
@@ -236,7 +285,10 @@ object FlsPartitioning {
       types: Map[String, DataType],
       values: Map[String, Any]): Int = {
 
-    def part(col: String): Boolean = types.contains(col)
+    // a partition column is only decidable on THIS file when its path
+    // actually carries it (spec evolution omits absent keys from
+    // `values`) — otherwise fall through to Any3 like a data column
+    def part(col: String): Boolean = types.contains(col) && values.contains(col)
 
     def cmp(col: String, lit: Any)(longTest: (Long, Long) => Boolean): Int = {
       val v = values(col)
@@ -300,10 +352,13 @@ object FlsPartitioning {
       raw: Array[String]): Option[Boolean] = {
     if (keys.isEmpty) return None
     // a raw value that doesn't parse at the (possibly user-supplied)
-    // column type is "can't tell", never a planning failure
+    // column type is "can't tell", never a planning failure; a key the
+    // file's path LACKS (spec evolution) is omitted — the evaluator
+    // then treats the column as undecidable for this file
     val values: Map[String, Any] =
-      try keys.zipWithIndex.map { case (k, i) =>
-        k -> castRaw(raw(i), types.getOrElse(k, StringType))
+      try keys.zipWithIndex.collect {
+        case (k, i) if raw(i) != AbsentRaw =>
+          k -> castRaw(raw(i), types.getOrElse(k, StringType))
       }.toMap
       catch { case _: Exception => return None }
     evalMask(f, types, values) match {

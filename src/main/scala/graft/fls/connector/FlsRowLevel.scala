@@ -206,6 +206,20 @@ class FlsRowLevelOperationBuilder(
     val mode = Option(tableOptions.get(knob)).getOrElse("copy-on-write")
     require(mode == "copy-on-write" || mode == "merge-on-read",
       s"fls: $knob must be 'copy-on-write' or 'merge-on-read', got '$mode'")
+    // merge CDC needs the delta write path: only there does the writer
+    // see each row's operation (matched update vs unmatched insert vs
+    // matched delete). The copy-on-write rewrite receives "all rows of
+    // the affected files, changes applied" with no per-row marking, so
+    // honoring merge_cdc there would silently serve insert/delete churn
+    // — refuse loudly instead (same stance as every silent-degradation
+    // edge in this format).
+    require(!(info.command() == Command.MERGE &&
+        Option(tableOptions.get("merge_cdc")).exists(_.toBoolean) &&
+        mode == "copy-on-write"),
+      "fls: merge_cdc=true requires merge_mode=merge-on-read — the " +
+        "copy-on-write rewrite cannot tell matched updates from carried-" +
+        "over rows, so it cannot emit update pre/post images; set " +
+        "merge_mode=merge-on-read or drop merge_cdc")
     if (mode == "merge-on-read")
       new FlsDeltaOperation(info.command(), tableSchema, tableOptions, session)
     else

@@ -1505,7 +1505,78 @@ object FlsQueries {
         FROM orders WHERE o_orderkey % 101 = 0
       ) ORDER BY _change_type, _commit_version"""
 
+  /** MERGE pre/post images in the change-data-feed, oracle-gated ROW
+    * BY ROW: with `merge_cdc=true` on a merge-on-read table, ONE upsert
+    * MERGE commit's matched updates arrive as
+    * `update_preimage`/`update_postimage` pairs while its unmatched
+    * inserts stay `insert` — closing the gap where merge churn served
+    * only as insert/delete. The split is recorded AT COMMIT from inside
+    * the row-level operation (the only place that knows which rows
+    * matched — Delta's CDC-file approach as `#cdc` manifest lines +
+    * position sidecars, [[graft.fls.connector.FlsDeltaOperation]]), and
+    * the feed serves it with the same emit-mode decode as DV diffs:
+    * O(changed rows), nothing row-sized through the driver. DuckDB
+    * reconstructs the exact same three-legged feed from raw parquet. */
+  def q114FlsCdfMergeImages(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "mcdc_warehouse")
+    val cat = s"fls_mcdc_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_mcdc"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_mcdc")
+      if (!done.contains(warehouse + "@mcdc") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_mcdc_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, price DOUBLE, " +
+          "prio STRING) TBLPROPERTIES ('commit_mode'='manifest'," +
+          "'merge_mode'='merge-on-read','merge_cdc'='true')")
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, " +
+          s"o_orderpriority FROM orders_mcdc_src_$key") // v1
+        spark.sql(
+          s"""MERGE INTO $tbl t USING (
+                SELECT o_orderkey AS k, o_totalprice
+                FROM orders_mcdc_src_$key WHERE o_orderkey % 97 = 0
+                UNION ALL
+                SELECT -o_orderkey - 1, o_totalprice
+                FROM orders_mcdc_src_$key WHERE o_orderkey % 997 = 0
+              ) s ON t.o_orderkey = s.k
+              WHEN MATCHED THEN UPDATE SET t.prio = 'CORRECTED',
+                t.price = t.price + 1000.0
+              WHEN NOT MATCHED THEN INSERT (o_orderkey, price, prio)
+                VALUES (s.k, s.o_totalprice, 'BACKFILL')""") // v2
+        marker.createNewFile()
+      }
+      done += warehouse + "@mcdc"
+    }
+    graft.fls.connector.FlsCdf
+      .changes(spark, s"$warehouse/db/orders_mcdc", 1L, Some(2L))
+      .select(col("_change_type"), col("_commit_version"),
+        col("o_orderkey"), col("price"), col("prio"))
+  }
+
+  val q114Sql: String =
+    """SELECT * FROM (
+        SELECT 'update_preimage' AS _change_type,
+               CAST(2 AS BIGINT) AS _commit_version, o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS price,
+               o_orderpriority AS prio
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT 'update_postimage', CAST(2 AS BIGINT), o_orderkey,
+               CAST(o_totalprice AS DOUBLE) + 1000.0, 'CORRECTED'
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT 'insert', CAST(2 AS BIGINT), -o_orderkey - 1,
+               CAST(o_totalprice AS DOUBLE), 'BACKFILL'
+        FROM orders WHERE o_orderkey % 997 = 0
+      )"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_fls_cdf_merge_images" -> (q114FlsCdfMergeImages _),
     "q113_fls_cdf_stream" -> (q113FlsCdfStream _),
     "q112_fls_snapshot_schema" -> (q112FlsSnapshotSchema _),
     "q111_fls_cdf" -> (q111FlsCdf _),
@@ -1546,6 +1617,7 @@ object FlsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q114_fls_cdf_merge_images" -> q114Sql,
     "q113_fls_cdf_stream" -> q113Sql,
     "q112_fls_snapshot_schema" -> q112Sql,
     "q111_fls_cdf" -> q111Sql,

@@ -435,13 +435,18 @@ object Streaming {
       // parquet sink, NOT memory: the raw joined stream is the big
       // side (a quadratic pair set under replication) and must land
       // distributed — a memory sink would collect it into the driver.
-      // DETERMINISTIC per-dataset path, wiped up front: nanotime temp
-      // dirs accumulated 9.2 GB per invocation across a sweep session
-      // until the disk filled (observed at 97%); now each run replaces
-      // the last, and the bulk join output is deleted the moment the
-      // (small) aggregate is materialized — only the aggregate stays.
+      // DETERMINISTIC per-dataset-and-PROCESS path, wiped up front:
+      // nanotime temp dirs accumulated 9.2 GB per invocation across a
+      // sweep session until the disk filled (observed at 97%); now each
+      // run replaces the last within one JVM, and the bulk join output
+      // is deleted the moment the (small) aggregate is materialized —
+      // only the aggregate stays. The pid component keeps two
+      // concurrent harness JVMs on the same dataset from wiping each
+      // other's in-flight checkpoint (bounded: one dir per live JVM,
+      // reclaimed on the next same-pid reuse or /tmp hygiene).
       val out = new java.io.File(
-        s"/tmp/graft_q92_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+        s"/tmp/graft_q92_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"_pid${ProcessHandle.current().pid()}")
       rmrf(out); out.mkdirs()
       val q = joined.writeStream.format("parquet")
         .option("path", s"$out/data")

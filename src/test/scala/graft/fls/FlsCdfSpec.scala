@@ -212,6 +212,80 @@ class FlsCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getString(0) == "update")
   }
 
+  test("merge CDC: matched updates emit pre/post images; deletes and inserts stay exact") {
+    val tbl = s"$cat.db.mcdc"
+    val dir = s"$tmp/warehouse/db/mcdc"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest','merge_mode'='merge-on-read'," +
+      "'merge_cdc'='true')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) FROM range(0, 20)")
+    // one merge commit mixing all three actions: matched DELETE (id 5),
+    // matched UPDATE (ids 3, 4), unmatched INSERT (id 100)
+    spark.sql(s"""MERGE INTO $tbl t
+      USING (SELECT * FROM VALUES (3L), (4L), (5L), (100L) AS x(id)) s
+      ON t.id = s.id
+      WHEN MATCHED AND t.id = 5 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = t.v * 10
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, -1.0)""")
+    def feed(): Set[(String, Long, Long, Double)] =
+      FlsCdf.changes(spark, dir, 1)
+        .select("_change_type", "_commit_version", "id", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    val expected = Set(
+      ("update_preimage", 2L, 3L, 3.0), ("update_preimage", 2L, 4L, 4.0),
+      ("update_postimage", 2L, 3L, 30.0), ("update_postimage", 2L, 4L, 40.0),
+      ("delete", 2L, 5L, 5.0),
+      ("insert", 2L, 100L, -1.0))
+    assert(feed() == expected)
+    // the table itself reads post-merge correct
+    assert(spark.table(tbl).count() == 20)
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE id = 3").collect()(0)
+      .getDouble(0) == 30.0)
+    // vacuum at a ZERO horizon keeps every sidecar the retained merge
+    // version vouches (data, DV, and the CDC split lists) — the feed
+    // must survive it byte-for-byte
+    FlsMaintenance.vacuum(spark, dir, olderThanHours = 0)
+    assert(feed() == expected)
+    // and the streaming feed serves the same split
+    val out = s"$tmp/mcdc_stream_out"
+    val q = spark.readStream.format("fls")
+      .option("cdf_from_version", "earliest").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$tmp/mcdc_stream_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).where("_commit_version = 2")
+      .select("_change_type", "_commit_version", "id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet == expected)
+  }
+
+  test("without merge_cdc a merge-on-read MERGE stays insert/delete (legacy contract)") {
+    val tbl = s"$cat.db.mlegacy"
+    val dir = s"$tmp/warehouse/db/mlegacy"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest','merge_mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) FROM range(0, 10)")
+    spark.sql(s"""MERGE INTO $tbl t
+      USING (SELECT * FROM VALUES (3L), (100L) AS x(id)) s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = -3.0
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, -1.0)""")
+    assert(changeSet(FlsCdf.changes(spark, dir, 1)) ==
+      Set(("delete", 2L, 3L), ("insert", 2L, 3L), ("insert", 2L, 100L)))
+  }
+
+  test("merge_cdc on a copy-on-write merge refuses loudly") {
+    val tbl = s"$cat.db.mcow"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest','merge_cdc'='true')") // merge_mode default = cow
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $tbl t USING (SELECT 1L AS id) s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET v = 2.0"""))
+    assert(e.getMessage.contains("merge_cdc=true requires merge_mode=merge-on-read"))
+  }
+
   test("cdf_from_timestamp starts the feed at the first commit at/after the instant") {
     val (tbl, dir) = mkTable("ts_cursor", mor = false)
     spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)") // v1
@@ -242,6 +316,86 @@ class FlsCdfSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e2 = intercept[Exception](spark.read.format("fls")
       .option("cdf_from_timestamp", "yesterday-ish").load(dir).collect())
     assert(e2.getMessage.contains("cannot parse"))
+  }
+
+  test("cdf_starting_version is INCLUSIVE (Delta parity); from_version stays the exclusive cursor") {
+    val (tbl, dir) = mkTable("startv", mor = false)
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)") // v1
+    spark.sql(s"INSERT INTO $tbl VALUES (2, 2.0)") // v2
+    spark.sql(s"INSERT INTO $tbl VALUES (3, 3.0)") // v3
+    def byOpt(opt: String, v: String): Set[(Long, Long)] =
+      spark.read.format("fls").option(opt, v).load(dir)
+        .select("_commit_version", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // starting_version=2 serves v2's OWN changes and later...
+    assert(byOpt(FlsCdf.StartingVersionOption, "2") ==
+      Set((2L, 2L), (3L, 3L)))
+    // ...while from_version=2 (the cursor) serves strictly after v2
+    assert(byOpt(FlsCdf.FromOption, "2") == Set((3L, 3L)))
+    // starting_version=1 = the whole feed; 0 refuses (v0 is implicit)
+    assert(byOpt(FlsCdf.StartingVersionOption, "1") ==
+      Set((1L, 1L), (2L, 2L), (3L, 3L)))
+    val e = intercept[Exception](byOpt(FlsCdf.StartingVersionOption, "0"))
+    assert(e.getMessage.contains("INCLUSIVE"))
+    // and the streaming source honors the inclusive spelling too
+    val out = s"$tmp/startv_stream_out"
+    val q = spark.readStream.format("fls")
+      .option(FlsCdf.StartingVersionOption, "2").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$tmp/startv_stream_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).select("_commit_version", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2L, 2L), (3L, 3L)))
+  }
+
+  test("legacy-upgrade bootstrap: earliest serves the pre-upgrade table as v1 inserts") {
+    // build a versioned table, then rewind it into the LEGACY
+    // single-file-manifest state (copy v-head to _fls_manifest, drop
+    // the log) — the shape of a table written by a pre-versioned binary
+    val (tbl, dir) = mkTable("legacyboot", mor = false)
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0), (2, 2.0)")
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val v1 = FlsManifest.versionPath(root, 1L)
+    val legacy = FlsManifest.manifestPath(root)
+    val out = fs.create(legacy, true)
+    out.write(readAll(fs, v1))
+    out.close()
+    fs.delete(FlsManifest.logDir(root), true)
+    // the upgrade identity commit (what compaction mints on a legacy
+    // table) publishes v1 = the legacy entries and RETIRES the legacy
+    // file — after which entriesAt(0) is empty
+    FlsManifest.commit(fs, root, "spec-upgrade", hconf,
+      op = "upgrade", dataChange = false) { (_, cur) => cur.get }
+    assert(!fs.exists(legacy))
+    // a consumer bootstrapping from the beginning must see the
+    // pre-upgrade rows, not an empty feed
+    assert(changeSet(FlsCdf.changes(spark, dir, 0)) ==
+      Set(("insert", 1L, 1L), ("insert", 1L, 2L)))
+    // and a cursor AT the upgrade commit still serves nothing (the
+    // bootstrap only fires for from == 0)
+    assert(FlsCdf.changes(spark, dir, 1).count() == 0)
+  }
+
+  test("malformed retention_versions degrades to the default at commit-time GC") {
+    // strict at DDL: the ALTER refuses junk outright
+    val (tbl, dir) = mkTable("badret", mor = false)
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)")
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $tbl SET TBLPROPERTIES ('retention_versions'='lots')"))
+    assert(e.getMessage.contains("must be an integer"))
+    // lenient at commit: a junk value smuggled past DDL (external tool)
+    // must not brick writes — keepOf falls back to the default
+    assert(FlsManifest.keepOf(Some(FlsTableMeta.Meta(
+      new org.apache.spark.sql.types.StructType(), Nil,
+      Map("retention_versions" -> "lots")))) ==
+      FlsManifest.DefaultKeepVersions)
+    assert(FlsManifest.keepOf(Some(FlsTableMeta.Meta(
+      new org.apache.spark.sql.types.StructType(), Nil,
+      Map("retention_versions" -> "3")))) == 3)
   }
 
   test("op tags round-trip the manifest format; legacy lines still parse") {
