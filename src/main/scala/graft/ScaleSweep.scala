@@ -49,6 +49,12 @@ object ScaleSweep {
 
     generate(spark, baseDir, scaledDir, mult)
 
+    // arm the in-JVM flight recorder BEFORE anything heavy runs: the
+    // stochastic marathon transient fires on ~every other session, so
+    // the FIRST fire must already be inside a continuous profiling
+    // window — the >60 s detector then dumps the buffer retroactively
+    startJfr()
+
     // base pass: warm + two timed, min (same discipline as Bench)
     println(s"[sweep] base pass over $baseDir")
     val base = timeAll(spark, baseDir, reps = 2, warm = true, capSec = capSec,
@@ -282,6 +288,48 @@ object ScaleSweep {
       .map(_.getUsage.getUsed).sum / (1024 * 1024)
   }
 
+  /** Continuous JFR profiling across the whole sweep session (the r13
+    * verdict's #2: the marathon transient needs PROFILER-grade evidence
+    * — which frames run interpreted, what invalidation preceded the
+    * window — not more counter telemetry). The `profile` configuration
+    * samples execution at ~10 ms (~1-2% overhead over a marathon
+    * session); `maxAge` keeps the last quarter-hour in a circular disk
+    * buffer, so when the >60 s detector trips, [[dumpJfr]] captures the
+    * transient RETROACTIVELY — the first fire is enough, no re-run
+    * roulette. Inspect with:
+    * `jfr print --events jdk.ExecutionSample <file> | grep -A20 ...`
+    * (interpreted frames show no compilation level) and
+    * `jfr print --events jdk.Deoptimization,jdk.CompilerStatistics`. */
+  private var jfr: jdk.jfr.Recording = null
+  private def startJfr(): Unit =
+    try {
+      val c = jdk.jfr.Configuration.getConfiguration("profile")
+      jfr = new jdk.jfr.Recording(c)
+      jfr.setMaxAge(java.time.Duration.ofMinutes(15))
+      jfr.setMaxSize(512L * 1024 * 1024)
+      jfr.setToDisk(true)
+      jfr.start()
+      println("[sweep-jfr] continuous 'profile' recording armed " +
+        "(10 ms exec sampling, maxAge 15 m, maxSize 512 MB)")
+    } catch {
+      case t: Throwable =>
+        jfr = null
+        println(s"[sweep-jfr] recording unavailable: $t")
+    }
+  private val jfrDumps = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def dumpJfr(tag: String): Unit =
+    if (jfr != null && jfrDumps.incrementAndGet() <= 4) // bound disk use
+      try {
+        val safe = tag.replaceAll("[^a-zA-Z0-9_-]", "_")
+        val out = java.nio.file.Paths.get(
+          s"results/sweep_jfr_${safe}_${jfrDumps.get()}.jfr")
+        if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+        jfr.dump(out)
+        println(s"[sweep-jfr] dumped $out " +
+          s"(${java.nio.file.Files.size(out) / 1024 / 1024} MB) — " +
+          "jfr print --events jdk.ExecutionSample,jdk.Deoptimization it")
+      } catch { case t: Throwable => println(s"[sweep-jfr] dump failed: $t") }
+
   private def gcMillis: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -384,12 +432,16 @@ object ScaleSweep {
       println(f"[sweep] $label $q%-22s $v%9.2f s" +
         (if (isScaledPass) f"  (gc $gcInQuery%5.1f s, drain $gcDrain%4.1f s, heap ${heapUsedMb}%5d MB)"
          else ""))
-      if (isScaledPass && (v > 60.0 || v == -2.0))
+      if (isScaledPass && (v > 60.0 || v == -2.0)) {
         println(f"[sweep-stages] $q run=${stageAgg.runMs / 1e3}%.1fs " +
           f"cpu=${stageAgg.cpuMs / 1e3}%.1fs gc=${stageAgg.gcMs / 1e3}%.1fs " +
           f"spill=${stageAgg.spillB / 1e6}%.0fMB shufw=${stageAgg.shufWB / 1e6}%.0fMB " +
           f"janino=${janinoCompiles - jan0} jit_ms=${jitMs - jit0} " +
           f"codecache_mb=$codeCacheMb")
+        // first-fire profiler capture: the circular buffer already
+        // holds the slow window — dump it before the retry perturbs it
+        if (TransientRetryFamily.contains(q)) dumpJfr(s"$label-$q")
+      }
       if (isScaledPass && planProbeQueries.contains(q))
         println(s"[sweep-plan] $q joins=${joinFingerprint(spark, dir, q)}")
       // structural transient isolation (see [[TransientRetryFamily]]):

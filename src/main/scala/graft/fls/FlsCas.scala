@@ -51,12 +51,15 @@ private[fls] object FlsCas {
     else None
 
   /** Best-effort retention: keep the newest `keep` versions of a log. */
-  def gcOldVersions(fs: FileSystem, logDir: Path, newest: Long, keep: Int): Unit = {
+  /** `protect`: versions never GC'd regardless of age — TAGGED manifest
+    * versions stay readable for as long as the tag exists. */
+  def gcOldVersions(fs: FileSystem, logDir: Path, newest: Long, keep: Int,
+      protect: Set[Long] = Set.empty): Unit = {
     val cutoff = newest - keep + 1
     if (cutoff <= 0) return
     try fs.listStatus(logDir).foreach { s =>
       parseVersionName(s.getPath.getName).foreach { v =>
-        if (v < cutoff)
+        if (v < cutoff && !protect.contains(v))
           try fs.delete(s.getPath, false) catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }

@@ -213,12 +213,17 @@ object FlsFile {
       pinnedManifestVersion: Option[Long]): Seq[org.apache.hadoop.fs.FileStatus] =
     listDataWithStats(path, conf, pinnedManifestVersion).map(_._1)
 
+  /** `ref`: list the named BRANCH's head (or its pinned version)
+    * instead of main — write-audit-publish reads
+    * ([[FlsManifest.createBranch]]). */
+
   /** Same listing with each file's manifest-carried stats JSON alongside
     * (None on listing-mode tables and stats-less entries) — one RPC
     * serves the file list, the footer-cache key, AND manifest-level file
     * pruning ([[FlsFileStats]]). */
   def listDataWithStats(path: Path, conf: Configuration,
-      pinnedManifestVersion: Option[Long])
+      pinnedManifestVersion: Option[Long],
+      ref: String = FlsManifest.MainRef)
     : Seq[(org.apache.hadoop.fs.FileStatus, Option[String])] = {
     val fs = path.getFileSystem(conf)
     // a not-yet-created table lists as empty (a tailing stream started
@@ -228,6 +233,18 @@ object FlsFile {
       try fs.getFileStatus(path)
       catch { case _: java.io.FileNotFoundException => return Nil }
     if (st.isFile) Seq((st, None))
+    else if (ref != FlsManifest.MainRef) {
+      val (v, entries) = pinnedManifestVersion match {
+        case Some(pv) => (pv, FlsManifest.readVersion(fs, path, pv, ref))
+        case None => FlsManifest.readVersioned(fs, path, ref).getOrElse(
+          throw new IllegalArgumentException(
+            s"fls: branch '$ref' of $path does not exist — " +
+              "CALL system.create_branch first"))
+      }
+      val _ = v
+      FlsManifest.statusesWithStats(fs, path, entries)
+        .sortBy(_._1.getPath.toString)
+    }
     else pinnedManifestVersion match {
       case Some(v) =>
         FlsManifest.statusesWithStats(fs, path, FlsManifest.readVersion(fs, path, v))

@@ -63,8 +63,9 @@ object FlsFooters {
     * `pinnedManifestVersion` plans from exactly that manifest version
     * (see [[FlsFile.listDataStatuses]]). */
   def list(paths: Seq[String], conf: Configuration,
-      pinnedManifestVersion: Option[Long] = None): Seq[Entry] =
-    fetchMeta(listStatuses(paths, conf, pinnedManifestVersion), conf)
+      pinnedManifestVersion: Option[Long] = None,
+      ref: String = FlsManifest.MainRef): Seq[Entry] =
+    fetchMeta(listStatuses(paths, conf, pinnedManifestVersion, ref), conf)
 
   /** [[fetch]] plus per-file manifest metadata: resolves each entry's
     * delete-vector pointer (rel in the metadata JSON → absolute next to
@@ -90,12 +91,13 @@ object FlsFooters {
     * table this is the difference between O(files) and O(survivors)
     * footer reads. */
   def listStatuses(paths: Seq[String], conf: Configuration,
-      pinnedManifestVersion: Option[Long] = None)
+      pinnedManifestVersion: Option[Long] = None,
+      ref: String = FlsManifest.MainRef)
     : Seq[(org.apache.hadoop.fs.FileStatus, Option[String])] = {
     val seen = scala.collection.mutable.LinkedHashMap[
       String, (org.apache.hadoop.fs.FileStatus, Option[String])]()
     paths.foreach { p =>
-      FlsFile.listDataWithStats(new Path(p), conf, pinnedManifestVersion).foreach { e =>
+      FlsFile.listDataWithStats(new Path(p), conf, pinnedManifestVersion, ref).foreach { e =>
         seen.getOrElseUpdate(e._1.getPath.toString, e)
       }
     }

@@ -325,9 +325,17 @@ object FlsMaintenance {
     // the head would tear historical snapshots out from under them.
     // Files fall to vacuum only once every version naming them has been
     // GC'd past the retention window.
+    // every REF's retained versions vouch: tagged versions appear in
+    // the main listing (GC skips them while the tag lives), and each
+    // branch lineage vouches its own entry sets — a branch's
+    // not-yet-published files must survive vacuum until fast_forward
+    // or drop_branch decides their fate
     val retained = FlsManifest.versionsWithTimes(fs, root).map(_._1)
-    val vouched = (retained.flatMap { v =>
-      try FlsManifest.readVersion(fs, root, v)
+    val refRetained: Seq[(String, Long)] =
+      (FlsManifest.MainRef +: FlsManifest.branches(fs, root)).flatMap(r =>
+        FlsManifest.versionsWithTimes(fs, root, r).map(v => r -> v._1))
+    val vouched = (refRetained.flatMap { case (r, v) =>
+      try FlsManifest.readVersion(fs, root, v, r)
       catch { case _: java.io.FileNotFoundException => Nil } // GC race
     }.flatMap(e => // a version vouches its data file AND that file's DV
       e.rel +: FlsFileStats.dvOf(e.stats)

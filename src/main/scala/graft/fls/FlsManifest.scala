@@ -153,16 +153,70 @@ object FlsManifest {
   def logDir(dir: Path): Path = new Path(dir, LogDirName)
   def versionPath(dir: Path, v: Long): Path = new Path(logDir(dir), f"v$v%020d")
 
+  // ---------------------------------------------------------------- refs
+  // Write-audit-publish: a BRANCH is a sibling version lineage under
+  // `_fls_manifest_log/refs/<name>/` sharing the table's data files —
+  // created as a copy of the main head's (immutable) version file,
+  // advanced by the same CAS commit, invisible to main readers until
+  // `fast_forward` republishes its head entry set on main. A TAG is an
+  // immutable named pointer `_fls_manifest_log/tags/<name>` to a main
+  // version; tagged versions are exempt from log GC (and therefore
+  // from vacuum) for as long as the tag exists. Both piggyback on the
+  // log dir: version listing parses only `v<20-digit>` names, so the
+  // `refs/`/`tags/` subdirectories are invisible to pre-refs readers —
+  // backward- and forward-compatible like every other log extension.
+
+  /** The default lineage (the bare `_fls_manifest_log/v*` files). */
+  val MainRef = "main"
+  def refsDir(dir: Path): Path = new Path(logDir(dir), "refs")
+  def tagsDir(dir: Path): Path = new Path(logDir(dir), "tags")
+  /** The version-file directory of one lineage. */
+  def refLog(dir: Path, ref: String): Path =
+    if (ref == MainRef) logDir(dir) else new Path(refsDir(dir), ref)
+  def versionPath(dir: Path, v: Long, ref: String): Path =
+    new Path(refLog(dir, ref), f"v$v%020d")
+
+  def validateRefName(name: String): String = {
+    require(name != null && name.nonEmpty &&
+        name.forall(c => c.isLetterOrDigit || c == '_' || c == '-') &&
+        name != MainRef,
+      s"fls: ref name must be [A-Za-z0-9_-]+ and not '$MainRef', got '$name'")
+    name
+  }
+
+  /** Existing branch names (empty when none). */
+  def branches(fs: FileSystem, dir: Path): Seq[String] =
+    try fs.listStatus(refsDir(dir)).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+    catch { case _: java.io.FileNotFoundException => Nil }
+
+  /** Tag name → pinned main version. */
+  def tags(fs: FileSystem, dir: Path): Map[String, Long] =
+    try fs.listStatus(tagsDir(dir)).toSeq.filter(_.isFile).map { s =>
+      val in = fs.open(s.getPath)
+      val buf = new Array[Byte](s.getLen.toInt)
+      try in.readFully(0, buf) finally in.close()
+      s.getPath.getName -> new String(buf, StandardCharsets.UTF_8).trim.toLong
+    }.toMap
+    catch { case _: java.io.FileNotFoundException => Map.empty }
+
   /** Newest (version, entries), or None when the table has no manifest
     * (listing mode). The legacy single-file manifest reads as version 0;
     * any versioned log entry outranks it. */
-  def readVersioned(fs: FileSystem, dir: Path): Option[(Long, Seq[Entry])] = {
+  def readVersioned(fs: FileSystem, dir: Path,
+      ref: String = MainRef): Option[(Long, Seq[Entry])] = {
     def listLog(): Seq[Long] =
-      try fs.listStatus(logDir(dir)).iterator
+      try fs.listStatus(refLog(dir, ref)).iterator
         .flatMap(s => parseVersionName(s.getPath.getName))
         .toSeq
       catch { case _: java.io.FileNotFoundException => Nil }
     val versions = listLog()
+    if (ref != MainRef) {
+      // branches have no legacy fallback; a missing branch is a loud
+      // error at the CALLER (None here = branch does not exist)
+      return versions.maxOption.map(v =>
+        (v, readFile(fs, versionPath(dir, v, ref))))
+    }
     if (versions.nonEmpty) {
       val v = versions.max
       Some((v, readFile(fs, versionPath(dir, v))))
@@ -194,9 +248,10 @@ object FlsManifest {
     * a consistent snapshot regardless of concurrent commits (used by
     * the `manifest_version` reader option and compaction). Fails loudly
     * if the version was GC'd (more than [[DefaultKeepVersions]] commits behind). */
-  def readVersion(fs: FileSystem, dir: Path, v: Long): Seq[Entry] =
-    if (v == 0L) readFile(fs, manifestPath(dir))
-    else readFile(fs, versionPath(dir, v))
+  def readVersion(fs: FileSystem, dir: Path, v: Long,
+      ref: String = MainRef): Seq[Entry] =
+    if (v == 0L && ref == MainRef) readFile(fs, manifestPath(dir))
+    else readFile(fs, versionPath(dir, v, ref))
 
   /** Retained `(version, commitTimeMillis)` pairs, oldest first — the
     * time-travel index (`VERSION AS OF` validation, `TIMESTAMP AS OF`
@@ -205,14 +260,15 @@ object FlsManifest {
     * atomically, so its mtime is the instant the version became
     * visible. One tiny-directory listing, O([[DefaultKeepVersions]]) results —
     * never O(data files). Empty when the table has no manifest. */
-  def versionsWithTimes(fs: FileSystem, dir: Path): Seq[(Long, Long)] = {
+  def versionsWithTimes(fs: FileSystem, dir: Path,
+      ref: String = MainRef): Seq[(Long, Long)] = {
     val logged =
-      try fs.listStatus(logDir(dir)).toSeq
+      try fs.listStatus(refLog(dir, ref)).toSeq
         .flatMap(s => parseVersionName(s.getPath.getName)
           .map(v => (v, s.getModificationTime)))
       catch { case _: java.io.FileNotFoundException => Nil }
     val legacy =
-      if (logged.exists(_._1 == 0L)) Nil
+      if (ref != MainRef || logged.exists(_._1 == 0L)) Nil
       else try Seq((0L, fs.getFileStatus(manifestPath(dir)).getModificationTime))
       catch { case _: java.io.FileNotFoundException => Nil }
     (legacy ++ logged).sortBy(_._1)
@@ -344,15 +400,19 @@ object FlsManifest {
     * churn is not row churn). */
   def commit(fs: FileSystem, dir: Path, writeId: String,
       conf: org.apache.hadoop.conf.Configuration, op: String = "append",
-      dataChange: Boolean = true, cdc: Seq[CdcLine] = Nil)(
+      dataChange: Boolean = true, cdc: Seq[CdcLine] = Nil,
+      ref: String = MainRef)(
       merge: (Long, Option[Seq[Entry]]) => Seq[Entry]): Long = {
     var attempt = 0
     while (attempt < MaxCasAttempts) {
-      val cur = readVersioned(fs, dir)
+      val cur = readVersioned(fs, dir, ref)
+      if (ref != MainRef) require(cur.isDefined,
+        s"fls: branch '$ref' of $dir does not exist — " +
+          "CALL system.create_branch first")
       val curV = cur.map(_._1).getOrElse(0L)
       val merged = merge(curV, cur.map(_._2))
       val next = curV + 1
-      fs.mkdirs(logDir(dir))
+      fs.mkdirs(refLog(dir, ref))
       // stamp the table-meta version in force at THIS commit (if the
       // table keeps a metadata log) — snapshot reads bind to it; its
       // properties also carry the retention override (validated HERE,
@@ -363,14 +423,18 @@ object FlsManifest {
       val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId), f"manifest_v$next%020d")
       writeContent(fs, tmp, merged, Some(VersionMeta(op, dataChange, schemaV)), cdc)
       val won =
-        try publishExclusive(fs, tmp, versionPath(dir, next), conf)
+        try publishExclusive(fs, tmp, versionPath(dir, next, ref), conf)
         finally { try fs.delete(tmp, false) catch { case _: Throwable => () } }
       if (won) {
         // retire the legacy single-file manifest (best effort — if this
         // crashes, versioned entries outrank it on every future read)
-        if (curV == 0L && cur.isDefined)
+        if (ref == MainRef && curV == 0L && cur.isDefined)
           try fs.delete(manifestPath(dir), false) catch { case _: Throwable => () }
-        gcOldVersions(fs, dir, next, keep)
+        // tagged versions are exempt from main-log GC while the tag
+        // lives (one tags-dir listing per commit, O(tags))
+        val protect = if (ref == MainRef) tags(fs, dir).values.toSet
+          else Set.empty[Long]
+        FlsCas.gcOldVersions(fs, refLog(dir, ref), next, keep, protect)
         return next
       }
       attempt += 1
@@ -426,11 +490,6 @@ object FlsManifest {
       conf: org.apache.hadoop.conf.Configuration): Boolean =
     FlsCas.publishExclusive(fs, tmp, dst, conf)
 
-  /** Best-effort retention: keep the newest `keep` versions. */
-  private def gcOldVersions(fs: FileSystem, dir: Path, newest: Long,
-      keep: Int): Unit =
-    FlsCas.gcOldVersions(fs, logDir(dir), newest, keep)
-
   /** The FileStatus view of the manifest — what listing would have
     * produced, without any listStatus RPC. */
   def statuses(fs: FileSystem, dir: Path, entries: Seq[Entry]): Seq[FileStatus] =
@@ -446,6 +505,113 @@ object FlsManifest {
       (new FileStatus(e.length, false, 1, 128L * 1024 * 1024, e.mtime,
         new Path(qualified, e.rel)), Option(e.stats))
     }
+  }
+
+  /** Create branch `name` at the current main head: its first version
+    * is a byte copy of the head's (immutable) version file, so the
+    * branch starts with the exact same entry set AND version number —
+    * the fork point is the branch's MIN version. Create-exclusive: a
+    * racing create of the same name loses loudly. */
+  def createBranch(fs: FileSystem, dir: Path, name: String,
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    validateRefName(name)
+    val (headV, _) = readVersioned(fs, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"fls: $dir has no manifest log — branches need a " +
+          "commit_mode=manifest table"))
+    require(headV >= 1,
+      s"fls: cannot branch $dir before its first versioned commit")
+    require(readVersioned(fs, dir, name).isEmpty,
+      s"fls: branch '$name' of $dir already exists")
+    val src = versionPath(dir, headV)
+    val tmp = new Path(new Path(new Path(dir, "_temporary"),
+      java.util.UUID.randomUUID().toString), s"branch_$name")
+    fs.mkdirs(refLog(dir, name))
+    val in = fs.open(src)
+    val buf = new Array[Byte](fs.getFileStatus(src).getLen.toInt)
+    try in.readFully(0, buf) finally in.close()
+    val out = fs.create(tmp, true)
+    try out.write(buf) finally out.close()
+    val won =
+      try FlsCas.publishExclusive(fs, tmp, versionPath(dir, headV, name), conf)
+      finally { try fs.delete(tmp, false) catch { case _: Throwable => () } }
+    require(won, s"fls: branch '$name' of $dir already exists (lost the race)")
+    headV
+  }
+
+  def dropBranch(fs: FileSystem, dir: Path, name: String): Unit = {
+    validateRefName(name)
+    require(readVersioned(fs, dir, name).isDefined,
+      s"fls: branch '$name' of $dir does not exist")
+    fs.delete(refLog(dir, name), true)
+  }
+
+  /** Tag `name` → main version `v` (default head). The tagged version's
+    * manifest file is exempt from log GC while the tag exists, so
+    * `VERSION AS OF '<tag>'` keeps answering past the normal retention
+    * window (vacuum vouches every listed version's files, tagged ones
+    * included). */
+  def createTag(fs: FileSystem, dir: Path, name: String,
+      version: Option[Long],
+      conf: org.apache.hadoop.conf.Configuration): Long = {
+    validateRefName(name)
+    val have = versionsWithTimes(fs, dir).map(_._1)
+    require(have.nonEmpty,
+      s"fls: $dir has no manifest log — tags need a commit_mode=manifest table")
+    val v = version.getOrElse(have.max)
+    require(have.contains(v),
+      s"fls: cannot tag version $v of $dir — not retained (have: " +
+        s"${have.mkString(", ")})")
+    require(!tags(fs, dir).contains(name),
+      s"fls: tag '$name' of $dir already exists (tags are immutable — " +
+        "drop_tag first)")
+    val tmp = new Path(new Path(new Path(dir, "_temporary"),
+      java.util.UUID.randomUUID().toString), s"tag_$name")
+    fs.mkdirs(tagsDir(dir))
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val won =
+      try FlsCas.publishExclusive(fs, tmp, new Path(tagsDir(dir), name), conf)
+      finally { try fs.delete(tmp, false) catch { case _: Throwable => () } }
+    require(won, s"fls: tag '$name' of $dir already exists (lost the race)")
+    v
+  }
+
+  def dropTag(fs: FileSystem, dir: Path, name: String): Unit = {
+    require(tags(fs, dir).contains(name),
+      s"fls: tag '$name' of $dir does not exist")
+    fs.delete(new Path(tagsDir(dir), name), false)
+  }
+
+  /** Publish branch `name`'s head entry set as a NEW main version —
+    * the "publish" of write-audit-publish. Requires main NOT to have
+    * advanced past the fork point (the branch's min version): a
+    * concurrent main commit means the branch no longer descends from
+    * the head, and silently merging would drop that commit — refuse
+    * loudly, re-branch to rebase. Metadata-only: the branch's data
+    * files are already on disk (written attempt-unique), main just
+    * starts vouching for them. Returns (previous main head, new main
+    * version). */
+  def fastForward(fs: FileSystem, dir: Path, name: String,
+      conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
+    validateRefName(name)
+    val (branchHead, branchEntries) = readVersioned(fs, dir, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"fls: branch '$name' of $dir does not exist"))
+    val forkV = versionsWithTimes(fs, dir, name).map(_._1).min
+    var prev = 0L
+    val newV = commit(fs, dir, java.util.UUID.randomUUID().toString, conf,
+        op = "fast_forward") { (curV, _) =>
+      if (curV != forkV) throw new java.util.ConcurrentModificationException(
+        s"fls fast_forward: main of $dir advanced to v$curV past the " +
+          s"fork point v$forkV while branch '$name' was being written — " +
+          "the branch no longer descends from the head; re-create the " +
+          "branch from the new head and replay (or merge manually)")
+      prev = curV
+      branchEntries
+    }
+    (prev, newV)
   }
 
   /** Drop every manifest artifact (legacy file + versioned log) —

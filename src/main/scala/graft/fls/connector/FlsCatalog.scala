@@ -130,7 +130,7 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def tableFor(dir: Path, meta: FlsTableMeta.Meta,
-      pinned: Option[Long]): Table = {
+      pinned: Option[Long], branch: Option[String] = None): Table = {
     val opts = new java.util.HashMap[String, String]()
     // table properties become default reader/writer options
     // (row_group_size etc. declared once at CREATE apply to every
@@ -140,6 +140,7 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
     if (meta.partitionBy.nonEmpty)
       opts.put("partition_by", meta.partitionBy.mkString(","))
     pinned.foreach(v => opts.put("manifest_version", v.toString))
+    branch.foreach(b => opts.put("branch", b))
     new FlsTable(meta.schema, new CaseInsensitiveStringMap(opts))
   }
 
@@ -208,9 +209,22 @@ class FlsCatalog extends TableCatalog with SupportsNamespaces
     val v =
       try java.lang.Long.parseLong(version)
       catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"fls: VERSION AS OF takes a numeric manifest version, got " +
-            s"'$version' — list ${ident}.history for valid versions")
+        case _: NumberFormatException =>
+          // named refs: a TAG resolves to its pinned main version; a
+          // BRANCH reads the branch lineage's current head
+          FlsManifest.tags(fs, dir).get(version) match {
+            case Some(tv) =>
+              return tableFor(dir, metaAsOf(dir, tv, meta), pinned = Some(tv))
+            case None =>
+              if (scala.util.Try(FlsManifest.validateRefName(version)).isSuccess &&
+                  FlsManifest.readVersioned(fs, dir, version).isDefined)
+                return tableFor(dir, meta, pinned = None,
+                  branch = Some(version))
+              throw new IllegalArgumentException(
+                s"fls: VERSION AS OF takes a numeric manifest version, a " +
+                  s"tag, or a branch; '$version' is none of those for " +
+                  s"$ident — list ${ident}.history for valid versions")
+          }
       }
     val have = FlsManifest.versionsWithTimes(fs, dir)
     require(have.exists(_._1 == v),

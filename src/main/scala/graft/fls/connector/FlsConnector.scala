@@ -64,7 +64,7 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
       metaOpt.foreach { case (_, meta) => return withVirtuals(meta.schema, options) }
     }
     val listed = FlsFooters.listStatuses(paths, conf,
-      FlsDataSource.manifestVersion(options))
+      FlsDataSource.manifestVersion(options), FlsDataSource.branchRef(options))
     require(listed.nonEmpty, s"fls: no .fls files under ${paths.mkString(",")}")
     val base =
       if (!options.getBoolean("union_by_name", false)) {
@@ -184,6 +184,15 @@ object FlsDataSource {
   def manifestVersion(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("manifest_version")).map(_.toLong)
 
+  /** `branch=<name>`: read (or commit) against the named branch's
+    * lineage instead of main — write-audit-publish
+    * ([[graft.fls.FlsManifest.createBranch]]). */
+  def branchRef(options: CaseInsensitiveStringMap): String =
+    Option(options.get("branch")) match {
+      case Some(n) => graft.fls.FlsManifest.validateRefName(n)
+      case None => graft.fls.FlsManifest.MainRef
+    }
+
   /** Incremental read range: `changes_from_version=N` (exclusive; 0 =
     * table creation) with optional `changes_to_version=M` (inclusive;
     * default newest) — plan ONLY the files commits in `(N, M]` added.
@@ -213,8 +222,11 @@ object FlsDataSource {
     val listed = changesRange(options) match {
       case None =>
         graft.fls.FlsFooters.listStatuses(parsePaths(options), conf,
-          manifestVersion(options))
+          manifestVersion(options), branchRef(options))
       case Some((from, to)) =>
+        require(branchRef(options) == graft.fls.FlsManifest.MainRef,
+          "fls: incremental reads (changes_from_version) are main-only — " +
+            "branches are short-lived audit lineages; fast_forward first")
         val paths = parsePaths(options)
         require(paths.length == 1,
           s"fls: incremental reads address ONE table directory, got " +
@@ -1643,10 +1655,18 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
         val existing = graft.fls.FlsFile.listDataStatuses(dir, conf)
         if (existing.nonEmpty) {
           val disc = FlsPartitioning.discover(Seq(path), existing.map(_.getPath), conf)
-          require(disc.keys == partitionBy,
+          // spec_evolved (set by CALL system.evolve_partition_spec —
+          // the recorded intent) sanctions a DIFFERENT layout for new
+          // files: old generations keep serving under their own spec,
+          // the scan unions per-file layouts. Without it a layout
+          // mismatch stays a loud error (an accidental mixed layout
+          // silently loses partition columns at read time).
+          require(disc.keys == partitionBy ||
+              options.getBoolean("spec_evolved", false),
             s"fls: append with partition_by=[${partitionBy.mkString(",")}] does not match " +
               s"the existing table's partition layout [${disc.keys.mkString(",")}] — " +
-              "use the table's own partition columns or overwrite the table")
+              "use the table's own partition columns, overwrite the table, or " +
+              "evolve the spec first (CALL <cat>.system.evolve_partition_spec)")
         }
       }
     }
@@ -1667,6 +1687,10 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
     val conf = hadoopConf
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
+    require(manifestMode ||
+        FlsDataSource.branchRef(options) == graft.fls.FlsManifest.MainRef,
+      "fls: branch writes need commit_mode=manifest — the branch IS a " +
+        "manifest lineage")
     var committedLen = messages.flatMap {
       case FlsCommitMessage(files, lengths, _) => files.zip(lengths) // dir-relative paths
       case _ => Array.empty[(String, Long)]
@@ -1780,9 +1804,21 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
         case (rel, len) if rel.endsWith(".fls") =>
           graft.fls.FlsManifest.Entry(rel, len, 0L, committedStats.getOrElse(rel, null))
       }.toSeq
+      // write-audit-publish: `branch=<name>` commits this write to the
+      // named branch lineage — data files land in the table directory
+      // as always (attempt-unique), but only the branch's manifest
+      // vouches for them; main readers never see them until
+      // system.fast_forward republishes the branch head
+      val branch = FlsDataSource.branchRef(options)
+      require(branch == graft.fls.FlsManifest.MainRef ||
+          replaceFilesThunk.isEmpty,
+        "fls: row-level operations on a branch are not supported — " +
+          "branch writes are append/overwrite lineages for " +
+          "write-audit-publish; run DML after fast_forward")
       graft.fls.FlsManifest.commit(fs, dir, writeId, conf,
           op = opOverride.getOrElse(
-            if (doTruncate) "overwrite" else "append")) { (_, current) =>
+            if (doTruncate) "overwrite" else "append"),
+          ref = branch) { (_, current) =>
         val keptOld =
           if (doTruncate) Nil
           else {

@@ -43,7 +43,24 @@ class FlsFilesTable(tableName: String, dir: Path, conf: Configuration)
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      import org.apache.spark.sql.sources.Filter
+
+      private var pruning: Array[Filter] = Array.empty
+
+      /** Partition/file-name predicates prune entries BEFORE the rows
+        * (with their stats parse and version back-tracking) materialize
+        * on the driver — the one LocalScan that grows with table size
+        * stays filter-sized. Conservative: only provably-false entries
+        * drop, and EVERY filter is returned as residual so Spark
+        * re-evaluates exactly (three-valued semantics included). */
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pruning = filters
+        filters // all residual — pruning here is best-effort only
+      }
+      override def pushedFilters(): Array[Filter] = Array.empty
+
       override def build(): Scan = new LocalScan {
         override def readSchema(): StructType = FlsFilesTable.Schema
         override def rows(): Array[InternalRow] =
@@ -54,18 +71,23 @@ class FlsFilesTable(tableName: String, dir: Path, conf: Configuration)
         private def build(headV: Long,
             entries: Seq[FlsManifest.Entry]): Array[InternalRow] = {
           val fs = dir.getFileSystem(conf)
-          // earliest retained version naming each live rel — O(retained
-          // versions) small manifest reads, oldest first so the first
-          // sighting wins
+          val kept = entries.filter(e =>
+            pruning.forall(f => FlsFilesTable.mayMatch(f, e.rel)))
+          FlsFilesTable.lastMaterialized.set(kept.length.toLong)
+          // earliest retained version naming each SURVIVING rel —
+          // O(retained versions) small manifest reads, oldest first so
+          // the first sighting wins; only survivors are tracked
+          val keptRels = kept.map(_.rel).toSet
           val firstSeen = scala.collection.mutable.HashMap[String, Long]()
           FlsManifest.versionsWithTimes(fs, dir).foreach { case (v, _) =>
             val es =
               if (v == headV) entries
               else try FlsManifest.readVersion(fs, dir, v)
               catch { case _: java.io.FileNotFoundException => Nil } // GC race
-            es.foreach(e => firstSeen.getOrElseUpdate(e.rel, v))
+            es.foreach(e =>
+              if (keptRels.contains(e.rel)) firstSeen.getOrElseUpdate(e.rel, v))
           }
-          entries.sortBy(_.rel).map { e =>
+          kept.sortBy(_.rel).map { e =>
             val dv = FlsFileStats.dvOf(e.stats)
             val nRows: Any = Option(e.stats).flatMap(FlsFileStats.toDesc)
               .map(_.numRows).orNull
@@ -78,12 +100,51 @@ class FlsFilesTable(tableName: String, dir: Path, conf: Configuration)
               firstSeen.getOrElse(e.rel, headV)))
           }.toArray
         }
-        override def description(): String = s"FlsFiles ${dir}"
+        override def description(): String =
+          s"FlsFiles ${dir}" + (if (pruning.isEmpty) ""
+            else s", pruning=[${pruning.mkString(", ")}]")
       }
     }
 }
 
 object FlsFilesTable {
+  /** Test/observability hook: rows materialized by the last `.files`
+    * scan (post-pruning). */
+  val lastMaterialized = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  /** Can entry `rel` possibly satisfy `f`? Decides only the
+    * string-typed `partition` (the file's parent subdirectory; null
+    * for root files) and `file` columns; anything else keeps the
+    * entry. False ONLY on provable exclusion — Spark re-applies every
+    * filter on the served rows, so this is pruning, not evaluation. */
+  private[connector] def mayMatch(f: org.apache.spark.sql.sources.Filter,
+      rel: String): Boolean = {
+    import org.apache.spark.sql.sources._
+    val slash = rel.lastIndexOf('/')
+    val partition: String = if (slash < 0) null else rel.substring(0, slash)
+    def str(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case s: UTF8String => Some(s.toString)
+      case _ => None
+    }
+    f match {
+      case And(l, r) => mayMatch(l, rel) && mayMatch(r, rel)
+      case Or(l, r) => mayMatch(l, rel) || mayMatch(r, rel)
+      case EqualTo("partition", v) =>
+        str(v).forall(s => partition != null && partition == s)
+      case EqualTo("file", v) => str(v).forall(_ == rel)
+      case In("partition", vs) =>
+        partition != null && vs.flatMap(str(_)).contains(partition)
+      case In("file", vs) => vs.flatMap(str(_)).contains(rel)
+      case StringStartsWith("partition", p) =>
+        partition != null && partition.startsWith(p)
+      case StringStartsWith("file", p) => rel.startsWith(p)
+      case IsNull("partition") => partition == null
+      case IsNotNull("partition") => partition != null
+      case _ => true // undecidable here — Spark's residual decides
+    }
+  }
+
   val Schema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("bytes", LongType, nullable = false),

@@ -1575,7 +1575,155 @@ object FlsQueries {
         FROM orders WHERE o_orderkey % 997 = 0
       )"""
 
+  /** Partition-spec evolution, oracle-gated: a month-partitioned table
+    * takes generation 1, `CALL system.evolve_partition_spec` flips the
+    * spec to day (an O(1) metadata commit — zero data moved, the only
+    * acceptable cost at 100 TB), generation 2 lands under `oday=`
+    * directories while generation 1 keeps serving under `omonth=`. The
+    * day-range scan must prune gen-2 by PATH and gen-1 by the day DATA
+    * column's stats, and the grouped aggregate must hash-match DuckDB
+    * rebuilding both generations from raw parquet — proving the
+    * heterogeneous layout ([[graft.fls.connector.FlsPartitioning]]
+    * union discovery) binds every column to the right source (path vs
+    * data) per file. */
+  def q115FlsSpecEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "spev_warehouse")
+    val cat = s"fls_spev_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_spev"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_spev")
+      if (!done.contains(warehouse + "@spev") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_spev_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, price DOUBLE, " +
+          "omonth STRING, oday STRING) PARTITIONED BY (omonth) " +
+          "TBLPROPERTIES ('commit_mode'='manifest')")
+        // one calendar year: the day spec means ~365 directories — a
+        // deliberate bound so AQE coalescing the tiny-SF shuffle into
+        // one write task stays under the max_open_partitions guard
+        // (production day-partitioned ingest writes one day at a time)
+        val yr = "o_orderdate >= DATE'1995-01-01' AND " +
+          "o_orderdate < DATE'1996-01-01'"
+        spark.sql(s"""INSERT INTO $tbl
+          SELECT o_orderkey, o_totalprice,
+                 date_format(o_orderdate, 'yyyy-MM'),
+                 date_format(o_orderdate, 'yyyy-MM-dd')
+          FROM orders_spev_src_$key
+          WHERE o_orderkey % 2 = 0 AND $yr""") // gen 1
+        spark.sql(s"CALL $cat.system.evolve_partition_spec(" +
+          "`table` => 'db.orders_spev', partition_by => 'oday')")
+        spark.sql(s"""INSERT INTO $tbl
+          SELECT o_orderkey, o_totalprice,
+                 date_format(o_orderdate, 'yyyy-MM'),
+                 date_format(o_orderdate, 'yyyy-MM-dd')
+          FROM orders_spev_src_$key
+          WHERE o_orderkey % 2 = 1 AND $yr""") // gen 2
+        marker.createNewFile()
+      }
+      done += warehouse + "@spev"
+    }
+    spark.table(tbl)
+      .filter(col("oday") >= "1995-03-01" && col("oday") < "1995-07-01")
+      .groupBy(col("omonth"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"),
+        sum(col("o_orderkey")).as("sumk"))
+      .orderBy("omonth")
+  }
+
+  val q115Sql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS omonth, count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        CAST(sum(o_orderkey) AS BIGINT) AS sumk
+      FROM orders
+      WHERE o_orderdate >= DATE'1995-01-01' AND o_orderdate < DATE'1996-01-01'
+        AND strftime(o_orderdate, '%Y-%m-%d') >= '1995-03-01'
+        AND strftime(o_orderdate, '%Y-%m-%d') < '1995-07-01'
+      GROUP BY omonth ORDER BY omonth"""
+
+  /** Write-audit-publish (branch/tag refs on the manifest log),
+    * oracle-gated: the corrections feed lands on a BRANCH (one sibling
+    * lineage under `_fls_manifest_log/refs/`, data files attempt-unique
+    * on disk but vouched only by the branch), main is tagged, the
+    * branch is audited and then `fast_forward`ed — one O(1) metadata
+    * commit, after which main serves the corrections. The gate reads
+    * THREE snapshots — the pre-publish tag, the branch, and the
+    * published head — and every aggregate must hash-match DuckDB
+    * reconstructing the same three states from raw parquet: proving
+    * branch isolation (the tag never sees branch rows) and publish
+    * atomicity (head == branch) ([[graft.fls.FlsManifest]] refs). */
+  def q116FlsWriteAuditPublish(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "wap_warehouse")
+    val cat = s"fls_wap_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_wap"
+    val tdir = s"$warehouse/db/orders_wap"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_wap")
+      if (!done.contains(warehouse + "@wap") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_wap_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, price DOUBLE) " +
+          "TBLPROPERTIES ('commit_mode'='manifest')")
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice " +
+          s"FROM orders_wap_src_$key WHERE o_orderkey % 3 = 0") // main v1
+        spark.sql(s"CALL $cat.system.create_tag(`table` => 'db.orders_wap', " +
+          "name => 'pre_publish')")
+        spark.sql(s"CALL $cat.system.create_branch(" +
+          "`table` => 'db.orders_wap', name => 'audit')")
+        spark.table(s"orders_wap_src_$key")
+          .filter(col("o_orderkey") % 3 === 1)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"))
+          .write.format("fls").mode("append")
+          .option("commit_mode", "manifest").option("branch", "audit")
+          .save(tdir)
+        spark.sql(s"CALL $cat.system.fast_forward(" +
+          "`table` => 'db.orders_wap', name => 'audit')")
+        marker.createNewFile()
+      }
+      done += warehouse + "@wap"
+    }
+    def agg(snap: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"),
+        sum(col("o_orderkey")).as("sumk"))
+        .select(lit(snap).as("snap"), col("n"), col("total"), col("sumk"))
+    Seq(
+      agg("branch", spark.sql(s"SELECT * FROM $tbl VERSION AS OF 'audit'")),
+      agg("head", spark.table(tbl)),
+      agg("tag_pre", spark.sql(
+        s"SELECT * FROM $tbl VERSION AS OF 'pre_publish'")))
+      .reduce(_ unionAll _).orderBy("snap")
+  }
+
+  val q116Sql: String =
+    """SELECT * FROM (
+        SELECT 'branch' AS snap, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+               CAST(sum(o_orderkey) AS BIGINT) AS sumk
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        UNION ALL
+        SELECT 'head', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE),
+               CAST(sum(o_orderkey) AS BIGINT)
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        UNION ALL
+        SELECT 'tag_pre', count(*),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE),
+               CAST(sum(o_orderkey) AS BIGINT)
+        FROM orders WHERE o_orderkey % 3 = 0
+      ) ORDER BY snap"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_fls_write_audit_publish" -> (q116FlsWriteAuditPublish _),
+    "q115_fls_spec_evolution" -> (q115FlsSpecEvolution _),
     "q114_fls_cdf_merge_images" -> (q114FlsCdfMergeImages _),
     "q113_fls_cdf_stream" -> (q113FlsCdfStream _),
     "q112_fls_snapshot_schema" -> (q112FlsSnapshotSchema _),
@@ -1617,6 +1765,8 @@ object FlsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q116_fls_write_audit_publish" -> q116Sql,
+    "q115_fls_spec_evolution" -> q115Sql,
     "q114_fls_cdf_merge_images" -> q114Sql,
     "q113_fls_cdf_stream" -> q113Sql,
     "q112_fls_snapshot_schema" -> q112Sql,

@@ -133,7 +133,9 @@ class FlsProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nameCol = res.schema.fieldNames
       .find(_.toLowerCase.contains("procedure")).getOrElse(res.schema.fieldNames.last)
     val shown = res.select(nameCol).collect().map(_.getString(0)).toSet
-    assert(shown == Set("compact", "vacuum", "rollback"), s"got $shown")
+    assert(shown == Set("compact", "vacuum", "rollback",
+      "evolve_partition_spec", "create_branch", "drop_branch",
+      "create_tag", "drop_tag", "fast_forward"), s"got $shown")
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.vacuum").collect()
       .map(_.toString).mkString("\n")
     assert(desc.contains("vacuum"))

@@ -336,6 +336,23 @@ class FlsTimeTravelSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"FROM $ptbl.files GROUP BY partition ORDER BY partition").collect()
     assert(parts.map(_.getString(0)).toSeq == Seq("p=a", "p=b"), "hive dirs")
     assert(parts.forall(r => r.getLong(1) > 0 && r.getLong(2) == 50L))
+
+    // partition-filter pushdown: a predicate on `partition` caps the
+    // driver materialization to the matching entries (the one LocalScan
+    // that grows with table size stays filter-sized)
+    val total = spark.sql(s"SELECT count(*) FROM $ptbl.files")
+      .collect()(0).getLong(0)
+    graft.fls.connector.FlsFilesTable.lastMaterialized.set(-1L)
+    val aOnly = spark.sql(
+      s"SELECT file FROM $ptbl.files WHERE partition = 'p=a'").collect()
+    assert(aOnly.nonEmpty && aOnly.forall(_.getString(0).startsWith("p=a/")))
+    val materialized = graft.fls.connector.FlsFilesTable.lastMaterialized.get()
+    assert(materialized == aOnly.length && materialized < total,
+      s"materialized=$materialized result=${aOnly.length} total=$total")
+    // and the residual still evaluates exactly (no over-pruning): an
+    // undecidable predicate keeps everything but answers right
+    assert(spark.sql(s"SELECT count(*) FROM $ptbl.files " +
+      "WHERE length(file) > 0").collect()(0).getLong(0) == total)
   }
 
   test("retention_versions overrides the per-table version budget") {
