@@ -55,15 +55,30 @@ object FlsFileStats {
   /** Attach (or replace) the DV pointer in an entry's metadata JSON —
     * `null` base JSON becomes a dv-only object (stats stay absent:
     * [[toDesc]] needs `"r"`, so the file still always plans). */
-  def withDv(json: String, dvRel: String): String = {
+  def withDv(json: String, dvRel: String): String =
+    withKey(json, "dv", dvRel)
+
+  /** The file's BLOOM-sidecar pointer (basename, [[Bloom]]) — same
+    * plumbing as the DV pointer. */
+  def bfOf(json: String): Option[String] =
+    if (json == null) None
+    else try JsonMethods.parse(json) \ "bf" match {
+      case JString(rel) => Some(rel)
+      case _ => None
+    } catch { case _: Exception => None }
+
+  def withBf(json: String, bfRel: String): String =
+    withKey(json, "bf", bfRel)
+
+  private def withKey(json: String, key: String, value: String): String = {
     val base = if (json == null) JObject(Nil)
       else try JsonMethods.parse(json) match {
         case o: JObject => o
         case _ => JObject(Nil)
       } catch { case _: Exception => JObject(Nil) }
-    val kept = base.obj.filterNot(_._1 == "dv")
+    val kept = base.obj.filterNot(_._1 == key)
     JsonMethods.compact(JsonMethods.render(
-      JObject(kept :+ ("dv" -> JString(dvRel)))))
+      JObject(kept :+ (key -> JString(value)))))
   }
 
   /** Writer side: merge row-group stats into one per-file JSON, or null

@@ -337,9 +337,10 @@ object FlsMaintenance {
     val vouched = (refRetained.flatMap { case (r, v) =>
       try FlsManifest.readVersion(fs, root, v, r)
       catch { case _: java.io.FileNotFoundException => Nil } // GC race
-    }.flatMap(e => // a version vouches its data file AND that file's DV
-      e.rel +: FlsFileStats.dvOf(e.stats)
-        .map(b => FlsDeleteVectors.relFor(e.rel, b)).toSeq
+    }.flatMap(e => // a version vouches its data file, its DV, its bloom
+      e.rel +: (FlsFileStats.dvOf(e.stats).toSeq ++
+          FlsFileStats.bfOf(e.stats).toSeq)
+        .map(b => FlsDeleteVectors.relFor(e.rel, b))
     ) ++ retained.flatMap { v =>
       // merge-CDC commits also vouch their split sidecars (the
       // update-preimage / pure-delete position lists the change-data-
@@ -355,7 +356,7 @@ object FlsMaintenance {
     var deleted = 0
     var bytes = 0L
     FlsFile.walkFiles(fs, root, Seq(".fls", ".fls.footer",
-        FlsDeleteVectors.Suffix)) { (s, rel) =>
+        FlsDeleteVectors.Suffix, Bloom.Suffix)) { (s, rel) =>
       // a data file vouches its sidecar footer; DVs are vouched by
       // their own rel (attached per retained version above)
       val dataRel = if (rel.endsWith(".footer")) rel.stripSuffix(".footer") else rel

@@ -575,7 +575,11 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap,
       (pushed.isEmpty || builderDisc.keys.isEmpty ||
         builderDisc.byFile.get(st.getPath.toString).forall(raw =>
           FlsPartitioning.mayMatch(pushed, builderPartTypes, builderDisc.keys, raw))) &&
-        FlsFileStats.mayMatch(stats.orNull, pushed, tableSchema, virtNames)
+        FlsFileStats.mayMatch(stats.orNull, pushed, tableSchema, virtNames) &&
+        // point-lookup bloom pruning: files whose sidecar proves the
+        // needle absent never even open their footer (graft.fls.Bloom)
+        graft.fls.Bloom.mayMatch(stats.orNull, st.getPath, pushed,
+          tableSchema, conf)
     }
     FlsFooters.fetchMeta(kept, conf)
       // rename reconciliation (schema evolution): files written under an
@@ -1582,6 +1586,13 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
   private val ndvColumns: Seq[String] =
     Option(options.get("ndv_columns")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+  /** `bloom_columns=id` (+ `bloom_fpp`): per-file Bloom sidecars for
+    * point-lookup file skipping ([[graft.fls.Bloom]], manifest
+    * tables). */
+  private val bloomColumns: Seq[String] =
+    Option(options.get("bloom_columns")).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+  private val bloomFpp = options.getDouble("bloom_fpp", 0.01)
   private val stagingTtlMs =
     options.getLong("staging_ttl_hours", 24L) * 3600L * 1000L
   /** `rename` (default): staged temp files rename on task commit —
@@ -1672,7 +1683,8 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
     }
     FlsWriterFactory(path, info.schema(), rowGroupSize, rowGroupsPerFile,
       new SerializableConfiguration(conf), writeId, inlineFooter, transpose,
-      partitionBy, maxOpenPartitions, manifestMode, ndvColumns)
+      partitionBy, maxOpenPartitions, manifestMode, ndvColumns,
+      bloomColumns, bloomFpp)
   }
 
   /** Recursively visit managed (.fls/.fls.footer) files under `dir`
@@ -1681,7 +1693,8 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
   private def walkManaged(fs: org.apache.hadoop.fs.FileSystem, dir: Path)(
       visit: (org.apache.hadoop.fs.FileStatus, String) => Unit): Unit =
     graft.fls.FlsFile.walkFiles(fs, dir,
-      Seq(".fls", ".fls.footer", graft.fls.FlsDeleteVectors.Suffix))(visit)
+      Seq(".fls", ".fls.footer", graft.fls.FlsDeleteVectors.Suffix,
+        graft.fls.Bloom.Suffix))(visit)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = hadoopConf
@@ -1997,7 +2010,9 @@ case class FlsWriterFactory(
     partitionBy: Seq[String] = Nil,
     maxOpenPartitions: Int = 1000,
     directWrite: Boolean = false,
-    ndvColumns: Seq[String] = Nil) extends DataWriterFactory {
+    ndvColumns: Seq[String] = Nil,
+    bloomColumns: Seq[String] = Nil,
+    bloomFpp: Double = 0.01) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     // taskId is unique per task ATTEMPT, so speculative twins stage to
@@ -2012,5 +2027,6 @@ case class FlsWriterFactory(
       if (directWrite) f"part-$partitionId%05d-$writeId-$taskId"
       else f"part-$partitionId%05d-$writeId",
       s"$writeId/attempt-$partitionId-$taskId", inlineFooter, transpose,
-      partitionBy, maxOpenPartitions, directWrite, ndvColumns)
+      partitionBy, maxOpenPartitions, directWrite, ndvColumns,
+      bloomColumns, bloomFpp)
 }

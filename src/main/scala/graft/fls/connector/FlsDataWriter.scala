@@ -54,7 +54,14 @@ class FlsDataWriter(
       * array for these, merged at plan time into CBO distinct counts.
       * Opt-in — hashing every value costs write CPU, so it belongs on
       * join/group keys, not every column. */
-    ndvColumns: Seq[String] = Nil)
+    ndvColumns: Seq[String] = Nil,
+    /** Columns to Bloom-sketch per file (`bloom_columns` writer
+      * option, manifest tables): each closed file gets a [[Bloom]]
+      * sidecar so point lookups (`id = ?`) skip whole files — footer
+      * unopened — where zone maps cannot decide (high-cardinality
+      * unclustered keys). */
+    bloomColumns: Seq[String] = Nil,
+    bloomFpp: Double = 0.01)
   extends DataWriter[InternalRow] {
 
   private val partIdx: Array[Int] = partitionBy.map(schema.fieldIndex).toArray
@@ -386,20 +393,21 @@ class FlsDataWriter(
 
   /** (schema ordinal, value-hash accessor) per sketched column —
     * resolved and type-checked once at construction, refused loudly for
-    * nested types (no canonical value hash). */
-  private val ndvAccessors: Array[(Int, (InternalRow, Int) => Long)] =
-    ndvColumns.toArray.map { name =>
+    * nested types (no canonical value hash). Shared by the NDV and
+    * Bloom sketches (one definition of "same SQL value"). */
+  private def mkHashAccessors(names: Seq[String],
+      option: String): Array[(Int, (InternalRow, Int) => Long)] =
+    names.toArray.map { name =>
       val ord =
         try schema.fieldIndex(name)
         catch {
           case _: IllegalArgumentException => throw new IllegalArgumentException(
-            s"fls: ndv_columns names '$name', which is not a column of the " +
+            s"fls: $option names '$name', which is not a column of the " +
               s"write schema [${schema.fieldNames.mkString(", ")}]")
         }
       require(!partitionBy.contains(name),
-        s"fls: ndv_columns names partition column '$name' — partition-key " +
-          "cardinality is already exact from the directory layout; sketch " +
-          "data columns only")
+        s"fls: $option names partition column '$name' — partition values " +
+          "are exact from the directory layout; sketch data columns only")
       val hash: (InternalRow, Int) => Long = schema.fields(ord).dataType match {
         case BooleanType => (r, i) => Hll.hashLong(if (r.getBoolean(i)) 1L else 0L)
         case ByteType => (r, i) => Hll.hashLong(r.getByte(i).toLong)
@@ -417,11 +425,18 @@ class FlsDataWriter(
           (r, i) => Hll.hashBytes(r.getDecimal(i, d.precision, d.scale)
             .toJavaBigDecimal.unscaledValue().toByteArray)
         case other => throw new UnsupportedOperationException(
-          s"fls: ndv_columns cannot sketch '$name' of type $other — NDV " +
-            "sketches are for scalar join/group keys")
+          s"fls: $option cannot sketch '$name' of type $other — " +
+            "sketches are for scalar join/group/lookup keys")
       }
       (ord, hash)
     }
+
+  private val ndvAccessors = mkHashAccessors(ndvColumns, "ndv_columns")
+  private val bloomAccessors = mkHashAccessors(bloomColumns, "bloom_columns")
+  require(bloomAccessors.isEmpty || directWrite,
+    "fls: bloom_columns needs commit_mode=manifest — the sidecar pointer " +
+      "lives in manifest stats (listing-mode tables have nowhere to " +
+      "record it)")
 
   private val tempDir = new Path(new Path(dir, FlsCommit.TempDirName), taskUid)
   /** (path written, dir-relative final path). In staged (rename) mode
@@ -446,6 +461,9 @@ class FlsDataWriter(
       * every file rotation so each manifest entry's sketch covers
       * exactly its file. */
     private val sketches: Array[Hll] = Array.fill(ndvAccessors.length)(new Hll)
+    /** Per-FILE Bloom builders, parallel to [[bloomAccessors]]. */
+    private val blooms: Array[Bloom.Builder] =
+      Array.fill(bloomAccessors.length)(new Bloom.Builder(bloomFpp))
 
     def add(row: InternalRow): Unit = {
       var c = 0
@@ -458,6 +476,12 @@ class FlsDataWriter(
         val (ord, hash) = ndvAccessors(s)
         sketches(s).addHash(hash(row, ord))
         s += 1
+      }
+      var b = 0
+      while (b < bloomAccessors.length) {
+        val (ord, hash) = bloomAccessors(b)
+        blooms(b).add(hash(row, ord))
+        b += 1
       }
       rowsInGroup += 1
       if (rowsInGroup == rowGroupSize) flushRowGroup()
@@ -486,8 +510,22 @@ class FlsDataWriter(
             schema.fields(ndvAccessors(s)._1).name ->
               java.util.Arrays.copyOf(sketches(s).regs, sketches(s).regs.length)
         }.toMap
-        fileStats(currentRel) = writer.fileStats(ndv)
+        var stats = writer.fileStats(ndv)
+        if (bloomAccessors.nonEmpty && blooms.exists(_.size > 0)) {
+          // the sidecar travels like the data file: written at the
+          // final (attempt-unique) name, vouched only once the
+          // manifest entry's "bf" pointer publishes
+          val cols = bloomAccessors.indices.map { b =>
+            schema.fields(bloomAccessors(b)._1).name -> blooms(b).seal()
+          }
+          val bfRel = Bloom.write(new Path(dir).getFileSystem(conf),
+            new Path(dir), currentRel, "bf", cols)
+          written += ((new Path(dir, bfRel), bfRel))
+          stats = FlsFileStats.withBf(stats, new Path(bfRel).getName)
+        }
+        fileStats(currentRel) = stats
         sketches.foreach(_.clear())
+        blooms.foreach(_.clear())
         writer = null
       }
 

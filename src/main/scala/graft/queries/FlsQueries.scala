@@ -1721,7 +1721,52 @@ object FlsQueries {
         FROM orders WHERE o_orderkey % 3 = 0
       ) ORDER BY snap"""
 
+  /** Bloom point-lookup pruning, oracle-gated: orders written with a
+    * per-file Bloom sidecar on the UNCLUSTERED key ([[graft.fls.Bloom]],
+    * `bloom_columns`) — the q58-style contamination-check shape, where
+    * a needle-in-100 TB id lookup hits every file's [min, max] and zone
+    * maps can never skip. The gate mixes present and absent needles in
+    * one IN-list plus an equality miss; DuckDB reconstructs both from
+    * raw parquet, so a single false SKIP (wrong result) or false
+    * NEGATIVE in the filter math breaks the hash. The perf effect
+    * (footers never opened for pruned files) is spec-locked in
+    * FlsBloomSpec. */
+  def q117FlsBloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    val out = flsTablePath(dir, "orders_bloom")
+    synchronized {
+      val marker = new java.io.File(s"$out/_done_bloom")
+      if (!done.contains(out + "@bloom") && !marker.exists()) {
+        t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .repartition(8) // unclustered: every file spans the key domain
+          .write.format("fls").mode("overwrite")
+          .option("commit_mode", "manifest")
+          .option("bloom_columns", "o_orderkey")
+          .save(out)
+        marker.createNewFile()
+      }
+      done += out + "@bloom"
+    }
+    val t0 = spark.read.format("fls").load(out)
+    // present (1, 32, 998…) and absent (-5, 12.. shifted) needles mixed
+    val inList = t0.filter(col("o_orderkey")
+        .isin(1L, 2L, 32L, 998L, -5L, 17L, 100003L))
+      .select(lit("in_list").as("probe"), col("o_orderkey"),
+        col("o_totalprice").as("price"), col("o_orderpriority").as("prio"))
+    val eqMiss = t0.filter(col("o_orderkey") === -424242L)
+      .select(lit("eq_miss").as("probe"), col("o_orderkey"),
+        col("o_totalprice").as("price"), col("o_orderpriority").as("prio"))
+    inList.unionAll(eqMiss)
+  }
+
+  val q117Sql: String =
+    """SELECT 'in_list' AS probe, o_orderkey,
+        CAST(o_totalprice AS DOUBLE) AS price, o_orderpriority AS prio
+      FROM orders
+      WHERE o_orderkey IN (1, 2, 32, 998, -5, 17, 100003)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_fls_bloom_lookup" -> (q117FlsBloomLookup _),
     "q116_fls_write_audit_publish" -> (q116FlsWriteAuditPublish _),
     "q115_fls_spec_evolution" -> (q115FlsSpecEvolution _),
     "q114_fls_cdf_merge_images" -> (q114FlsCdfMergeImages _),
@@ -1765,6 +1810,7 @@ object FlsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q117_fls_bloom_lookup" -> q117Sql,
     "q116_fls_write_audit_publish" -> q116Sql,
     "q115_fls_spec_evolution" -> q115Sql,
     "q114_fls_cdf_merge_images" -> q114Sql,
