@@ -432,16 +432,21 @@ object ScaleSweep {
       println(f"[sweep] $label $q%-22s $v%9.2f s" +
         (if (isScaledPass) f"  (gc $gcInQuery%5.1f s, drain $gcDrain%4.1f s, heap ${heapUsedMb}%5d MB)"
          else ""))
-      if (isScaledPass && (v > 60.0 || v == -2.0)) {
+      if (isScaledPass && (v > 60.0 || v == -2.0))
         println(f"[sweep-stages] $q run=${stageAgg.runMs / 1e3}%.1fs " +
           f"cpu=${stageAgg.cpuMs / 1e3}%.1fs gc=${stageAgg.gcMs / 1e3}%.1fs " +
           f"spill=${stageAgg.spillB / 1e6}%.0fMB shufw=${stageAgg.shufWB / 1e6}%.0fMB " +
           f"janino=${janinoCompiles - jan0} jit_ms=${jitMs - jit0} " +
           f"codecache_mb=$codeCacheMb")
-        // first-fire profiler capture: the circular buffer already
-        // holds the slow window — dump it before the retry perturbs it
-        if (TransientRetryFamily.contains(q)) dumpJfr(s"$label-$q")
-      }
+      // first-fire profiler capture: the circular buffer already holds
+      // the slow window — dump it before anything perturbs it. The
+      // capture threshold sits WELL BELOW the 60 s gate threshold: the
+      // r14 run-1 session showed the transient's milder form (q87
+      // 28 s vs ~8-11 s steady) that the gate rightly ignores but the
+      // profiler hunt must not — any family member past ~2.5x its
+      // steady ceiling is evidence worth keeping.
+      if (isScaledPass && TransientRetryFamily.contains(q) && v > 20.0)
+        dumpJfr(s"$label-$q")
       if (isScaledPass && planProbeQueries.contains(q))
         println(s"[sweep-plan] $q joins=${joinFingerprint(spark, dir, q)}")
       // structural transient isolation (see [[TransientRetryFamily]]):

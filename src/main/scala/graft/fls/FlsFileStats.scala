@@ -146,18 +146,40 @@ object FlsFileStats {
     * distinct-count, exactly the pre-sketch behavior). */
   def ndvOf(json: String): Map[String, Array[Byte]] = {
     if (json == null) return Map.empty
+    try ndvFrom(JsonMethods.parse(json))
+    catch { case _: Exception => Map.empty }
+  }
+
+  private def ndvFrom(j: JValue): Map[String, Array[Byte]] = {
+    val b64d = java.util.Base64.getDecoder
+    j \ "c" match {
+      case JObject(fields) => fields.flatMap { case (name, v) =>
+        v \ "n" match {
+          case JString(s) => Some(name -> b64d.decode(s))
+          case _ => None
+        }
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** The DV pointer and the NDV sketches in ONE parse — fetchMeta runs
+    * per planned file, and at 100 TB the planning path cannot afford
+    * re-parsing the same JSON once per field. The `"n":` substring
+    * guard skips the sketch walk entirely for the (overwhelmingly
+    * common) bounds-only entries. */
+  def dvAndNdvOf(json: String): (Option[String], Map[String, Array[Byte]]) = {
+    if (json == null) return (None, Map.empty)
     try {
-      val b64d = java.util.Base64.getDecoder
-      JsonMethods.parse(json) \ "c" match {
-        case JObject(fields) => fields.flatMap { case (name, v) =>
-          v \ "n" match {
-            case JString(s) => Some(name -> b64d.decode(s))
-            case _ => None
-          }
-        }.toMap
-        case _ => Map.empty
+      val j = JsonMethods.parse(json)
+      val dv = j \ "dv" match {
+        case JString(rel) => Some(rel)
+        case _ => None
       }
-    } catch { case _: Exception => Map.empty }
+      val ndv =
+        if (json.contains("\"n\":")) ndvFrom(j) else Map.empty[String, Array[Byte]]
+      (dv, ndv)
+    } catch { case _: Exception => (None, Map.empty) }
   }
 
   /** Parsed stats as a synthetic single-row-group TableDesc (segments

@@ -73,15 +73,14 @@ object FlsFooters {
   def fetchMeta(listed: Seq[(org.apache.hadoop.fs.FileStatus, Option[String])],
       conf: Configuration): Seq[Entry] =
     fetch(listed.map(_._1), conf).zip(listed).map { case (e, (st, meta)) =>
-      val withDv = meta.flatMap(FlsFileStats.dvOf) match {
+      val (dv, ndv) = meta.map(FlsFileStats.dvAndNdvOf)
+        .getOrElse((None, Map.empty[String, Array[Byte]]))
+      val withDv = dv match {
         case Some(rel) =>
           e.copy(dv = Some(new Path(st.getPath.getParent, rel).toString))
         case None => e
       }
-      meta.map(FlsFileStats.ndvOf).filter(_.nonEmpty) match {
-        case Some(n) => withDv.copy(ndv = n)
-        case None => withDv
-      }
+      if (ndv.nonEmpty) withDv.copy(ndv = ndv) else withDv
     }
 
   /** Phase 1 of planning — the file LIST with manifest-carried stats,

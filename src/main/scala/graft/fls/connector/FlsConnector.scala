@@ -168,10 +168,16 @@ class FlsDataSource extends TableProvider with DataSourceRegister {
     // code path again (multi-session drivers: a table resolved by
     // session A must keep using A's hadoop/SQL conf even when its scan
     // is planned while session B is active on the thread)
-    if (FlsCdf.requested(opts))
+    if (FlsCdf.requested(opts)) {
+      // the feed diffs the MAIN lineage's versions; silently serving
+      // main's changes under a branch option would be a wrong answer
+      require(FlsDataSource.branchRef(opts) == graft.fls.FlsManifest.MainRef,
+        "fls: the change-data-feed reads the main lineage — branches " +
+          "are short-lived audit lineages with no CDF; fast_forward " +
+          "first, then read the feed from main")
       new FlsCdfTable(s"fls cdf ${FlsDataSource.parsePaths(opts).mkString(",")}",
         schema, opts, org.apache.spark.sql.SparkSession.active)
-    else
+    } else
       new FlsTable(schema, opts, org.apache.spark.sql.SparkSession.active)
   }
 }
@@ -797,9 +803,13 @@ class FlsScan(
     * (see [[FlsMicroBatchStream]]); pushed filters ride along for
     * per-batch partition + zone-map pruning. */
   override def toMicroBatchStream(
-      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(FlsDataSource.branchRef(options) == graft.fls.FlsManifest.MainRef,
+      "fls: streaming reads tail the main lineage — branches are " +
+        "short-lived audit lineages; fast_forward first")
     new FlsMicroBatchStream(tableSchema, requiredSchema, filters, consumedFilters,
       options, checkpointLocation, session)
+  }
 
   override def description(): String =
     s"fls scan, pushed=[${filters.mkString(", ")}], cols=[${requiredSchema.fieldNames.mkString(",")}]" +

@@ -167,5 +167,21 @@ class FlsRefsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .save(s"$tmp/warehouse/db/hygiene")
     }
     assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+    // CDF and streaming reads serve the MAIN lineage — a branch option
+    // combined with either refuses instead of silently serving main
+    val dir = s"$tmp/warehouse/db/hygiene"
+    val e3 = intercept[Exception](spark.read.format("fls")
+      .option("branch", "dup").option("read_change_feed", "true")
+      .load(dir).collect())
+    assert(e3.getMessage.contains("main lineage"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.readStream.format("fls").option("branch", "dup")
+        .schema(spark.read.format("fls").load(dir).schema).load(dir)
+        .writeStream.format("memory").queryName("refs_hygiene_stream")
+        .option("checkpointLocation", s"$tmp/hygiene_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(e4.getMessage.contains("main lineage"), e4.getMessage)
   }
 }
