@@ -53,6 +53,19 @@ JOPTS=(
   # lines with defaults; per-method recompile counts with -1).
   -XX:PerMethodRecompilationCutoff=-1
   -XX:PerBytecodeRecompilationCutoff=-1
+  # r14 run-3 JFR capture PINNED the mechanism (results/
+  # jfr_q88_marathon_analysis.md): the sweep's base pass shapes the
+  # shared GeneratedClass MDO profiles on sf0.1 data; at 128x the
+  # stage's speculated branches flip -> 1509 unstable_if traps with
+  # action=reinterpret in four minutes -> the generated SMJ+hashAgg
+  # stage (FastHashMap#findOrInsert topmost) runs INTERPRETED for the
+  # whole task wave (72% interpreted samples, zero compile activity),
+  # ~30x pure CPU. Remedy: drop a failed speculation after its FIRST
+  # trap and stop per-method speculation early — the storm converges
+  # to a conservative stable compile instead of a thousand
+  # invalidations parking the method in the interpreter.
+  -XX:PerBytecodeTrapLimit=1
+  -XX:PerMethodTrapLimit=20
   # (-XX:+PrintCompilation captured the run-5 evidence — 5,484
   # not-entrant events on GeneratedClass methods, the busiest single
   # method name 335 times — and is dropped again for measurement runs:
