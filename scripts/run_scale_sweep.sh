@@ -60,12 +60,19 @@ JOPTS=(
   # action=reinterpret in four minutes -> the generated SMJ+hashAgg
   # stage (FastHashMap#findOrInsert topmost) runs INTERPRETED for the
   # whole task wave (72% interpreted samples, zero compile activity),
-  # ~30x pure CPU. Remedy: drop a failed speculation after its FIRST
-  # trap and stop per-method speculation early — the storm converges
-  # to a conservative stable compile instead of a thousand
-  # invalidations parking the method in the interpreter.
-  -XX:PerBytecodeTrapLimit=1
-  -XX:PerMethodTrapLimit=20
+  # ~30x pure CPU.
+  # r14 run-4 MEASURED AND REVERTED a flag remedy:
+  # -XX:PerBytecodeTrapLimit=1 -XX:PerMethodTrapLimit=20 (drop failed
+  # speculations immediately) drove the session into a driver heap OOM
+  # at q71 (heap_after 6.0-6.8 GB vs 1.7 GB under default limits at
+  # the same point) — joining code-cache size and recompilation
+  # cutoffs as measured dead ends at the JVM layer. The mitigations
+  # that hold are STRUCTURAL: the sweep's >60 s retry isolation
+  # (in-session; the reprofiled MDO recompiles clean — retry 8.31 s),
+  # and on a real cluster spark.speculation re-launching interpreted
+  # stragglers on executors whose profiles never polluted. Avoid
+  # reusing one codegen-warmed JVM across 100x data-distribution
+  # shifts; fresh executors never exhibit the window (OverlapColdProbe).
   # (-XX:+PrintCompilation captured the run-5 evidence — 5,484
   # not-entrant events on GeneratedClass methods, the busiest single
   # method name 335 times — and is dropped again for measurement runs:

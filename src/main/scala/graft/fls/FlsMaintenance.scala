@@ -168,7 +168,14 @@ object FlsMaintenance {
     val frozenRels = frozenEntries.map(_.rel).toSet
     val discovery = connector.FlsPartitioning.discover(
       Seq(dir), FlsManifest.statuses(fs, root, frozenEntries).map(_.getPath), conf)
-    val keys = discovery.keys
+    // Re-layout under the table's CURRENT declared spec when one exists
+    // (after evolve_partition_spec the discovered layout is the UNION
+    // of key generations — compacting under the union would freeze the
+    // mixed layout forever; compacting under the current spec is the
+    // physical re-layout that makes the table uniform again, restoring
+    // storage-partitioned joins and path-grouped metadata aggregates).
+    val keys = FlsTableMeta.read(fs, root).map(_._2.partitionBy)
+      .filter(_.nonEmpty).getOrElse(discovery.keys)
     // the pinned read makes the input set exact even while appends land
     val df = spark.read.format("fls")
       .option("manifest_version", frozenV.toString).load(dir)

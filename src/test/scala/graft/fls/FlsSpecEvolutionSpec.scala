@@ -138,6 +138,41 @@ class FlsSpecEvolutionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(monthFiltered < all, s"$monthFiltered !< $all")
   }
 
+  test("compact after evolution re-layouts the history under the CURRENT spec") {
+    val tbl = s"$cat.db.evo_compact"
+    val dir = s"$tmp/warehouse/db/evo_compact"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, m STRING, d STRING) " +
+      "PARTITIONED BY (m) TBLPROPERTIES ('commit_mode'='manifest')")
+    spark.sql(s"""INSERT INTO $tbl SELECT id,
+      concat('m', CAST(id % 2 AS STRING)),
+      concat('d', CAST(id % 4 AS STRING)) FROM range(0, 100)""")
+    spark.sql(s"CALL $cat.system.evolve_partition_spec(" +
+      s"`table` => 'db.evo_compact', partition_by => 'd')")
+    spark.sql(s"""INSERT INTO $tbl SELECT id,
+      concat('m', CAST(id % 2 AS STRING)),
+      concat('d', CAST(id % 4 AS STRING)) FROM range(100, 200)""")
+    // mixed layout now; compact = the physical re-layout
+    spark.sql(s"CALL $cat.system.compact(`table` => 'db.evo_compact')")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val files = FlsManifest.read(fs, root).get.map(_.rel)
+    // every live file sits under the CURRENT spec's layout (d=...),
+    // none under the old month dirs
+    assert(files.nonEmpty && files.forall(_.startsWith("d=")), files)
+    val disc = connector.FlsPartitioning.discover(Seq(dir),
+      FlsManifest.statuses(fs, root, FlsManifest.read(fs, root).get)
+        .map(_.getPath), conf)
+    assert(disc.uniform && disc.keys == Seq("d"))
+    // and the data survived the re-layout exactly
+    val r = spark.sql(s"SELECT count(*) n, count(DISTINCT m) cm, " +
+      s"count(DISTINCT d) cd, sum(id) s FROM $tbl").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (200L, 2L, 4L, (0L until 200).sum))
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE m = 'm1'")
+      .collect()(0).getLong(0) == 100)
+  }
+
   test("refusals: unknown column, every column, same spec, flat, unsanctioned append") {
     val tbl = s"$cat.db.evo_refuse"
     spark.sql(s"CREATE TABLE $tbl (id BIGINT, dt STRING) " +
