@@ -181,6 +181,11 @@ object FlsManifest {
         name.forall(c => c.isLetterOrDigit || c == '_' || c == '-') &&
         name != MainRef,
       s"fls: ref name must be [A-Za-z0-9_-]+ and not '$MainRef', got '$name'")
+    // an all-digit name would be shadowed forever: VERSION AS OF
+    // resolves numbers as manifest versions FIRST
+    require(!name.forall(_.isDigit),
+      s"fls: ref name '$name' is all digits — VERSION AS OF would read " +
+        "it as a manifest version number; include a letter")
     name
   }
 

@@ -150,6 +150,9 @@ class FlsRefsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e0.getMessage.contains("ref name"))
     intercept[Exception](FlsManifest.validateRefName("a/b"))
     intercept[Exception](FlsManifest.validateRefName(""))
+    // all digits would be shadowed by numeric VERSION AS OF resolution
+    val eNum = intercept[Exception](FlsManifest.validateRefName("42"))
+    assert(eNum.getMessage.contains("all digits"))
     val tbl = s"$cat.db.hygiene"
     spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
       "('commit_mode'='manifest')")
