@@ -195,13 +195,26 @@ object FlsManifest {
       .map(_.getPath.getName).sorted
     catch { case _: java.io.FileNotFoundException => Nil }
 
-  /** Tag name → pinned main version. */
+  /** Tag name → pinned main version. Runs inside every main commit's
+    * GC-protect step, so it follows [[keepOf]]'s degrade-don't-throw
+    * stance: a malformed or foreign file in the tags dir (an editor
+    * backup, a partial external write) is SKIPPED with a warning
+    * instead of bricking every subsequent write to the table. */
   def tags(fs: FileSystem, dir: Path): Map[String, Long] =
-    try fs.listStatus(tagsDir(dir)).toSeq.filter(_.isFile).map { s =>
+    try fs.listStatus(tagsDir(dir)).toSeq.filter(_.isFile).flatMap { s =>
       val in = fs.open(s.getPath)
       val buf = new Array[Byte](s.getLen.toInt)
       try in.readFully(0, buf) finally in.close()
-      s.getPath.getName -> new String(buf, StandardCharsets.UTF_8).trim.toLong
+      val body = new String(buf, StandardCharsets.UTF_8).trim
+      try Some(s.getPath.getName -> body.toLong)
+      catch {
+        case _: NumberFormatException =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"fls: ignoring malformed tag file ${s.getPath} (content " +
+              s"'${body.take(40)}' is not a version number) — remove or " +
+              "re-create the tag")
+          None
+      }
     }.toMap
     catch { case _: java.io.FileNotFoundException => Map.empty }
 
@@ -512,11 +525,42 @@ object FlsManifest {
     }
   }
 
+  /** Durable fork-point marker inside the branch's log dir. The fork
+    * version CANNOT be recovered as min(retained branch versions):
+    * every branch commit GCs the branch log, so after >= retention
+    * branch commits the fork version file is gone and the minimum
+    * drifts upward — [[fastForward]] would then refuse a legitimate
+    * publish forever, or (worse) if main had meanwhile advanced to
+    * exactly that drifted minimum, the `curV == forkV` guard would
+    * falsely pass and silently drop main's concurrent commits. The
+    * marker name never parses as `v<digits>`, so version listing and
+    * log GC ignore it; dropBranch's recursive delete removes it. */
+  private def forkMarkerPath(dir: Path, name: String): Path =
+    new Path(refLog(dir, name), "_fork")
+
+  /** The branch's recorded fork version. Branches created before the
+    * marker existed fall back to min(retained) — correct until the
+    * branch log's first GC, which is all those legacy branches ever
+    * had. */
+  private[fls] def forkVersion(fs: FileSystem, dir: Path, name: String): Long = {
+    val p = forkMarkerPath(dir, name)
+    val marked =
+      try {
+        val st = fs.getFileStatus(p)
+        val buf = new Array[Byte](st.getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        Some(new String(buf, StandardCharsets.UTF_8).trim.toLong)
+      } catch { case _: java.io.FileNotFoundException => None }
+    marked.getOrElse(versionsWithTimes(fs, dir, name).map(_._1).min)
+  }
+
   /** Create branch `name` at the current main head: its first version
     * is a byte copy of the head's (immutable) version file, so the
     * branch starts with the exact same entry set AND version number —
-    * the fork point is the branch's MIN version. Create-exclusive: a
-    * racing create of the same name loses loudly. */
+    * the fork point is recorded durably in the branch's `_fork` marker
+    * (it must survive branch-log GC, see [[forkVersion]]).
+    * Create-exclusive: a racing create of the same name loses loudly. */
   def createBranch(fs: FileSystem, dir: Path, name: String,
       conf: org.apache.hadoop.conf.Configuration): Long = {
     validateRefName(name)
@@ -541,6 +585,12 @@ object FlsManifest {
       try FlsCas.publishExclusive(fs, tmp, versionPath(dir, headV, name), conf)
       finally { try fs.delete(tmp, false) catch { case _: Throwable => () } }
     require(won, s"fls: branch '$name' of $dir already exists (lost the race)")
+    // record the fork point durably AFTER winning: a crash in between
+    // leaves a marker-less branch, which forkVersion serves correctly
+    // (min retained == headV until the branch's first GC)
+    val mOut = fs.create(forkMarkerPath(dir, name), true)
+    try mOut.write(headV.toString.getBytes(StandardCharsets.UTF_8))
+    finally mOut.close()
     headV
   }
 
@@ -591,20 +641,20 @@ object FlsManifest {
 
   /** Publish branch `name`'s head entry set as a NEW main version —
     * the "publish" of write-audit-publish. Requires main NOT to have
-    * advanced past the fork point (the branch's min version): a
-    * concurrent main commit means the branch no longer descends from
-    * the head, and silently merging would drop that commit — refuse
-    * loudly, re-branch to rebase. Metadata-only: the branch's data
-    * files are already on disk (written attempt-unique), main just
-    * starts vouching for them. Returns (previous main head, new main
-    * version). */
+    * advanced past the fork point (the branch's durable `_fork`
+    * marker, [[forkVersion]]): a concurrent main commit means the
+    * branch no longer descends from the head, and silently merging
+    * would drop that commit — refuse loudly, re-branch to rebase.
+    * Metadata-only: the branch's data files are already on disk
+    * (written attempt-unique), main just starts vouching for them.
+    * Returns (previous main head, new main version). */
   def fastForward(fs: FileSystem, dir: Path, name: String,
       conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
     validateRefName(name)
     val (branchHead, branchEntries) = readVersioned(fs, dir, name).getOrElse(
       throw new IllegalArgumentException(
         s"fls: branch '$name' of $dir does not exist"))
-    val forkV = versionsWithTimes(fs, dir, name).map(_._1).min
+    val forkV = forkVersion(fs, dir, name)
     var prev = 0L
     val newV = commit(fs, dir, java.util.UUID.randomUUID().toString, conf,
         op = "fast_forward") { (curV, _) =>

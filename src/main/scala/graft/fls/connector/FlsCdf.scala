@@ -162,10 +162,16 @@ object FlsCdf {
 
   /** The oldest computable transition base: diffing v needs v-1
     * readable — v0 is the implicit empty table, so v1's diff is always
-    * computable while v1 itself is retained. */
+    * computable while v1 itself is retained. Tags punch HOLES in the
+    * retained set (a tagged version is GC-exempt while the versions
+    * between it and the head's retention window are not), so the
+    * global minimum can sit across a GC gap that planning would then
+    * hit with "version N is not retained" — walk back only the
+    * CONTIGUOUS suffix of retained versions ending at the head. */
   def earliestFrom(fs: FileSystem, root: Path, headV: Long): Long = {
-    val mn = FlsManifest.versionsWithTimes(fs, root).map(_._1)
-      .minOption.getOrElse(headV)
+    val have = FlsManifest.versionsWithTimes(fs, root).map(_._1).toSet
+    var mn = if (have.contains(headV)) headV else headV + 1
+    while (mn > 1 && have.contains(mn - 1)) mn -= 1
     if (mn == 1L) 0L else mn
   }
 

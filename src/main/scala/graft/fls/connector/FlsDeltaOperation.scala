@@ -226,6 +226,12 @@ class FlsDeltaBatchWrite(info: LogicalWriteInfo,
       "fls: merge-on-read row-level operations need a " +
         "commit_mode=manifest table (the delete-vector pointer lives in " +
         "the manifest) — or use copy-on-write mode")
+    // backstop to FlsRowLevelOperationBuilder's refusal: this commit
+    // goes to MAIN unconditionally, so a branch-optioned operation that
+    // somehow reached here would break write-audit-publish isolation
+    require(FlsDataSource.branchRef(tableOptions) == FlsManifest.MainRef,
+      "fls: row-level operations on a branch are not supported — " +
+        "run DML after fast_forward")
 
     val atScan = scanDvs()
     val written = mutable.ArrayBuffer[String]()

@@ -198,6 +198,18 @@ class FlsRowLevelOperationBuilder(
     * rows, [[FlsDeltaOperation]]). `delete_mode` is shared with the
     * SupportsDelete path, so one knob governs BOTH delete legs. */
   override def build(): RowLevelOperation = {
+    // branch lineages are append/overwrite-only (write-audit-publish):
+    // the copy-on-write path refuses branch DML at commit
+    // (FlsConnector's replaceFiles guard); refuse HERE, before the mode
+    // dispatch, so the merge-on-read path can never scan a branch's
+    // file list and then commit the DV/append to MAIN — that would
+    // either fail with a misleading concurrent-modification error or,
+    // on a fresh branch whose state still equals main's, silently
+    // publish the DML to main and break the audit isolation.
+    require(FlsDataSource.branchRef(tableOptions) == graft.fls.FlsManifest.MainRef,
+      "fls: row-level operations on a branch are not supported — " +
+        "branch writes are append/overwrite lineages for " +
+        "write-audit-publish; run DML after fast_forward")
     val knob = info.command() match {
       case Command.DELETE => "delete_mode"
       case Command.UPDATE => "update_mode"

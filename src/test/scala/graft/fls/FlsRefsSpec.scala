@@ -144,6 +144,120 @@ class FlsRefsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e3.getMessage.contains("none of those"), e3.getMessage)
   }
 
+  test("fork point survives branch-log GC: fast_forward stays correct " +
+      "past retention_versions branch commits") {
+    val tbl = s"$cat.db.wap_gc"
+    val dir = s"$tmp/warehouse/db/wap_gc"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest', 'retention_versions'='2')")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)") // main v1 = fork point
+    spark.sql(s"CALL $cat.system.create_branch(`table` => 'db.wap_gc', " +
+      "name => 'long')")
+    // three branch commits: branch log GC keeps only the last 2, so
+    // min(retained branch versions) drifts to v3 — past the true fork
+    (10L to 12L).foreach { i =>
+      spark.range(i, i + 1).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .write.format("fls").mode("append")
+        .option("commit_mode", "manifest").option("branch", "long").save(dir)
+    }
+    assert(FlsManifest.forkVersion(
+      new Path(dir).getFileSystem(spark.sessionState.newHadoopConf()),
+      new Path(dir), "long") == 1L)
+    // main has NOT advanced → the publish is legitimate and must land
+    // (pre-marker code compared against the drifted min and refused)
+    spark.sql(s"CALL $cat.system.fast_forward(`table` => 'db.wap_gc', " +
+      "name => 'long')")
+    assert(ids(spark.table(tbl)) == Set(1L, 10L, 11L, 12L))
+  }
+
+  test("fork point survives branch-log GC: the drifted-min false pass " +
+      "(main at exactly the branch's min) is refused, not published") {
+    val tbl = s"$cat.db.wap_lost"
+    val dir = s"$tmp/warehouse/db/wap_lost"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest', 'retention_versions'='2')")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)") // main v1 = fork
+    spark.sql(s"CALL $cat.system.create_branch(`table` => 'db.wap_lost', " +
+      "name => 'b')")
+    (20L to 22L).foreach { i => // branch → v4; its retained min is v3
+      spark.range(i, i + 1).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+        .write.format("fls").mode("append")
+        .option("commit_mode", "manifest").option("branch", "b").save(dir)
+    }
+    // main advances to v3 — equal to the branch log's drifted min, the
+    // exact coincidence that made the pre-marker guard falsely pass and
+    // silently drop main's commits
+    spark.sql(s"INSERT INTO $tbl VALUES (2, 2.0)")
+    spark.sql(s"INSERT INTO $tbl VALUES (3, 3.0)")
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.fast_forward(`table` => 'db.wap_lost', name => 'b')"))
+    assert(e.getMessage.contains("advanced"), e.getMessage)
+    assert(ids(spark.table(tbl)) == Set(1L, 2L, 3L)) // nothing dropped
+  }
+
+  test("a malformed tag file is skipped with a warning, not a bricked table") {
+    val tbl = s"$cat.db.tag_junk"
+    val dir = s"$tmp/warehouse/db/tag_junk"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest')")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)")
+    spark.sql(s"CALL $cat.system.create_tag(`table` => 'db.tag_junk', " +
+      "name => 'good')")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val junk = new Path(FlsManifest.tagsDir(new Path(dir)), "editor-backup")
+    val out = fs.create(junk, true)
+    try out.write("not a version".getBytes("UTF-8")) finally out.close()
+    // every commit runs tags() for GC protection — must keep working
+    spark.sql(s"INSERT INTO $tbl VALUES (2, 2.0)")
+    assert(ids(spark.table(tbl)) == Set(1L, 2L))
+    val tags = FlsManifest.tags(fs, new Path(dir))
+    assert(tags.keySet == Set("good")) // junk skipped, real tag served
+  }
+
+  test("CDF 'earliest' skips the GC hole a pinned tag punches in the " +
+      "retained-version set") {
+    val tbl = s"$cat.db.tag_hole"
+    val dir = s"$tmp/warehouse/db/tag_hole"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest', 'retention_versions'='2')")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)") // v1
+    spark.sql(s"CALL $cat.system.create_tag(`table` => 'db.tag_hole', " +
+      "name => 'pin')") // v1 GC-exempt forever
+    (2 to 8).foreach(i => spark.sql(s"INSERT INTO $tbl VALUES ($i, 1.0)"))
+    // retained now: {1 (tagged), 7, 8} — v2..v6 are a GC hole. A full-
+    // range feed must start at the contiguous suffix (from=7 → serve
+    // v8), not at min=1 (planning v2 would throw 'not retained').
+    val rows = spark.read.format("fls").option("read_change_feed", "true")
+      .load(dir).collect()
+    assert(rows.nonEmpty)
+    val versions = rows.map(_.getAs[Long]("_commit_version")).toSet
+    assert(versions == Set(8L), versions.toString)
+  }
+
+  test("merge-on-read DML on a branch refuses loudly (no silent main commit)") {
+    val tbl = s"$cat.db.wap_mor"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest', 'delete_mode'='merge-on-read', " +
+      "'branch'='audit2')")
+    // the branch property routes APPENDS to the branch once it exists
+    val e0 = intercept[Exception](
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0)"))
+    assert(e0.getMessage.contains("does not exist"), e0.getMessage)
+    // bootstrap: main needs a first commit before branching, so commit
+    // via a branch-less path write, then branch, then write to the branch
+    val dir = s"$tmp/warehouse/db/wap_mor"
+    spark.range(1, 3).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .write.format("fls").mode("append")
+      .option("commit_mode", "manifest").save(dir)
+    spark.sql(s"CALL $cat.system.create_branch(`table` => 'db.wap_mor', " +
+      "name => 'audit2')")
+    spark.sql(s"INSERT INTO $tbl VALUES (10, 10.0)") // lands on the branch
+    // row-level op on the branch-optioned table: must refuse BEFORE
+    // scanning — a silent main commit would break audit isolation
+    val e = intercept[Exception](spark.sql(s"DELETE FROM $tbl WHERE id = 1"))
+    assert(e.getMessage.contains("branch"), e.getMessage)
+  }
+
   test("ref hygiene: bad names, duplicate branch, branch without manifest") {
     val conf = spark.sessionState.newHadoopConf()
     val e0 = intercept[Exception](FlsManifest.validateRefName("main"))
