@@ -375,6 +375,11 @@ object FlsMaintenance {
     }
     connector.FlsCommit.sweepOrphans(fs, root, ownWriteId = "",
       ttlMs = olderThanHours * 3600L * 1000L)
+    // manifest chunk pool: reap chunks no retained version of any ref
+    // points at (crashed commits' leftovers, best-effort-GC misses) —
+    // same horizon gate so in-flight commits' unpublished chunks survive
+    FlsManifest.sweepOrphanChunks(fs, root,
+      ttlMs = olderThanHours * 3600L * 1000L)
     VacuumStats(deleted, bytes)
   }
 

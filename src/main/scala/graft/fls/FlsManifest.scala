@@ -45,6 +45,43 @@ object FlsManifest {
   /** Directory of immutable versioned manifests, `v<20-digit-N>`. */
   val LogDirName = "_fls_manifest_log"
   private val Header = "#fls-manifest v1"
+  /** SEGMENTED manifest header (format v3 of the log, file-format
+    * "v2"): past [[InlineThresholdKey]] entries, a version file stops
+    * carrying one line per data file and instead points at immutable
+    * entry CHUNKS (`#chunk\t<name>\t<count>` lines; chunk files live
+    * under `_fls_manifest_log/chunks/`, [[ChunkHeader]] format). A
+    * commit then writes only the version file plus the chunks it
+    * TOUCHED — O(delta + touched chunks) bytes, not O(table): the
+    * Iceberg manifest-file/manifest-list split. Without this, every
+    * hourly append to a million-file table re-serializes ~1 GB of
+    * entry+stats lines through a driver StringBuilder, forever. The
+    * header is a NEW string on purpose: a pre-segmentation reader of a
+    * chunked manifest must fail loudly on the header check, never
+    * silently read `#chunk` pointers as skippable metadata and serve
+    * an empty table. */
+  private val HeaderV2 = "#fls-manifest v2"
+  private val ChunkHeader = "#fls-chunk v1"
+  /** Subdirectory of [[LogDirName]] holding immutable entry chunks,
+    * shared by every ref (branch version files point into the same
+    * pool; chunk files are content-immutable and name-unique). */
+  val ChunksDirName = "chunks"
+  def chunksDir(dir: Path): Path = new Path(logDir(dir), ChunksDirName)
+  /** Hadoop-conf knob: manifests with at most this many entries stay
+    * INLINE (one line per file in the version file itself — zero extra
+    * reads, the right shape for small tables). Above it, commits
+    * switch to chunked layout. */
+  val InlineThresholdKey = "graft.fls.manifest.inline.threshold"
+  val DefaultInlineThreshold = 1024
+  /** Hadoop-conf knob: target entries per chunk. With 8k entries/chunk
+    * a 1M-file table is ~125 chunk pointers per version file, and a
+    * single-file append writes one pointer file + one 1-entry chunk. */
+  val ChunkTargetKey = "graft.fls.manifest.chunk.target"
+  val DefaultChunkTarget = 8192
+  /** When this many reusable chunks have decayed below half the target
+    * size (single-append commits each add a tiny chunk), fold them into
+    * the delta and rewrite right-sized ones — amortized O(chunkTarget)
+    * per commit, keeping the chunk count O(entries/target + bound). */
+  private val SmallChunkMergeBound = 8
   /** Default versions retained behind the newest — headroom for pinned
     * (`manifest_version`) readers planned just before a burst of
     * commits; older versions are GC'd best-effort at each commit.
@@ -218,11 +255,23 @@ object FlsManifest {
     }.toMap
     catch { case _: java.io.FileNotFoundException => Map.empty }
 
+  /** Everything one version file resolves to: its op metadata, the
+    * full entry set (inline lines plus every referenced chunk's), the
+    * CDC split lines, and the chunk membership itself — the last is
+    * what lets the NEXT commit reuse untouched chunks by pointer. */
+  private[fls] final case class Layout(meta: Option[VersionMeta],
+      entries: Seq[Entry], cdc: Seq[CdcLine],
+      chunks: Seq[(String, Seq[Entry])])
+
   /** Newest (version, entries), or None when the table has no manifest
     * (listing mode). The legacy single-file manifest reads as version 0;
     * any versioned log entry outranks it. */
   def readVersioned(fs: FileSystem, dir: Path,
-      ref: String = MainRef): Option[(Long, Seq[Entry])] = {
+      ref: String = MainRef): Option[(Long, Seq[Entry])] =
+    readLayoutVersioned(fs, dir, ref).map { case (v, l) => (v, l.entries) }
+
+  private[fls] def readLayoutVersioned(fs: FileSystem, dir: Path,
+      ref: String = MainRef): Option[(Long, Layout)] = {
     def listLog(): Seq[Long] =
       try fs.listStatus(refLog(dir, ref)).iterator
         .flatMap(s => parseVersionName(s.getPath.getName))
@@ -233,15 +282,15 @@ object FlsManifest {
       // branches have no legacy fallback; a missing branch is a loud
       // error at the CALLER (None here = branch does not exist)
       return versions.maxOption.map(v =>
-        (v, readFile(fs, versionPath(dir, v, ref))))
+        (v, readFileWithMeta(fs, versionPath(dir, v, ref), dir)))
     }
     if (versions.nonEmpty) {
       val v = versions.max
-      Some((v, readFile(fs, versionPath(dir, v))))
+      Some((v, readFileWithMeta(fs, versionPath(dir, v), dir)))
     } else {
       val legacy = manifestPath(dir)
       val exists = try fs.exists(legacy) catch { case _: java.io.IOException => false }
-      if (exists) Some((0L, readFile(fs, legacy)))
+      if (exists) Some((0L, readFileWithMeta(fs, legacy, dir)))
       else {
         // One-time migration race: the first versioned commit publishes
         // v1 THEN deletes the legacy file. A reader that listed an empty
@@ -252,7 +301,7 @@ object FlsManifest {
         val again = listLog()
         if (again.nonEmpty) {
           val v = again.max
-          Some((v, readFile(fs, versionPath(dir, v))))
+          Some((v, readFileWithMeta(fs, versionPath(dir, v), dir)))
         } else None
       }
     }
@@ -268,8 +317,8 @@ object FlsManifest {
     * if the version was GC'd (more than [[DefaultKeepVersions]] commits behind). */
   def readVersion(fs: FileSystem, dir: Path, v: Long,
       ref: String = MainRef): Seq[Entry] =
-    if (v == 0L && ref == MainRef) readFile(fs, manifestPath(dir))
-    else readFile(fs, versionPath(dir, v, ref))
+    if (v == 0L && ref == MainRef) readFileWithMeta(fs, manifestPath(dir), dir).entries
+    else readFileWithMeta(fs, versionPath(dir, v, ref), dir).entries
 
   /** Retained `(version, commitTimeMillis)` pairs, oldest first — the
     * time-travel index (`VERSION AS OF` validation, `TIMESTAMP AS OF`
@@ -348,21 +397,42 @@ object FlsManifest {
   private def parseVersionName(name: String): Option[Long] =
     FlsCas.parseVersionName(name)
 
-  private def readFile(fs: FileSystem, p: Path): Seq[Entry] =
-    readFileWithMeta(fs, p)._2
-
-  /** `#`-prefixed lines after the header are metadata, not entries —
-    * pre-tag readers of this codebase never shipped to users with `#`
-    * rels (rels never start with `#`: writers generate them), so the
-    * format extension is backward- AND forward-compatible. */
-  private def readFileWithMeta(fs: FileSystem,
-      p: Path): (Option[VersionMeta], Seq[Entry], Seq[CdcLine]) = {
+  private def readAllBytes(fs: FileSystem, p: Path): Array[Byte] = {
     val st = fs.getFileStatus(p)
     val buf = new Array[Byte](st.getLen.toInt)
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()
-    val lines = new String(buf, StandardCharsets.UTF_8).split('\n').filter(_.nonEmpty)
-    require(lines.nonEmpty && lines(0) == Header, s"fls: corrupt manifest at $p")
+    buf
+  }
+
+  private def parseEntryLine(l: String, p: Path): Entry = {
+    val a = l.split('\t')
+    require(a.length == 3 || a.length == 4, s"fls: corrupt manifest line '$l' in $p")
+    Entry(a(2), a(0).toLong, a(1).toLong, if (a.length == 4) a(3) else null)
+  }
+
+  /** One immutable entry chunk ([[ChunkHeader]] + entry lines). */
+  private def readChunk(fs: FileSystem, p: Path): Seq[Entry] = {
+    val lines = new String(readAllBytes(fs, p), StandardCharsets.UTF_8)
+      .split('\n').filter(_.nonEmpty)
+    require(lines.nonEmpty && lines(0) == ChunkHeader,
+      s"fls: corrupt manifest chunk at $p")
+    lines.drop(1).toSeq.map(parseEntryLine(_, p))
+  }
+
+  /** `#`-prefixed lines after the header are metadata, not entries —
+    * pre-tag readers of this codebase never shipped to users with `#`
+    * rels (rels never start with `#`: writers generate them), so the
+    * format extension is backward- AND forward-compatible. The one
+    * deliberate exception is segmentation itself: `#chunk` pointers
+    * ride the NEW [[HeaderV2]] so a pre-segmentation reader fails
+    * loudly instead of serving an empty table ([[HeaderV2]] doc). */
+  private def readFileWithMeta(fs: FileSystem, p: Path, tableDir: Path,
+      resolveChunks: Boolean = true): Layout = {
+    val lines = new String(readAllBytes(fs, p), StandardCharsets.UTF_8)
+      .split('\n').filter(_.nonEmpty)
+    require(lines.nonEmpty && (lines(0) == Header || lines(0) == HeaderV2),
+      s"fls: corrupt manifest at $p")
     val schemaV = lines.drop(1).find(_.startsWith("#schema\t")).map { l =>
       val a = l.split('\t')
       require(a.length == 2, s"fls: corrupt #schema line '$l' in $p")
@@ -383,12 +453,25 @@ object FlsManifest {
           s"fls: corrupt #cdc line '$l' in $p")
       }
     }
-    val entries = lines.drop(1).filterNot(_.startsWith("#")).toSeq.map { l =>
-      val a = l.split('\t')
-      require(a.length == 3 || a.length == 4, s"fls: corrupt manifest line '$l' in $p")
-      Entry(a(2), a(0).toLong, a(1).toLong, if (a.length == 4) a(3) else null)
-    }
-    (meta, entries, cdc)
+    val inline = lines.drop(1).filterNot(_.startsWith("#")).toSeq
+      .map(parseEntryLine(_, p))
+    val chunks: Seq[(String, Seq[Entry])] =
+      if (lines(0) != HeaderV2 || !resolveChunks) Nil
+      else lines.drop(1).filter(_.startsWith("#chunk\t")).toSeq.map { l =>
+        val a = l.split('\t')
+        require(a.length == 3, s"fls: corrupt #chunk line '$l' in $p")
+        val es = readChunk(fs, new Path(chunksDir(tableDir), a(1)))
+        require(es.length == a(2).toLong,
+          s"fls: chunk ${a(1)} of $p holds ${es.length} entries, the " +
+            s"manifest recorded ${a(2)} — chunk pool corrupted")
+        (a(1), es)
+      }
+    // deterministic global order regardless of chunk boundaries (the
+    // inline writer always sorted by rel; keep that contract)
+    val entries =
+      if (chunks.isEmpty) inline
+      else (inline ++ chunks.flatMap(_._2)).sortBy(_.rel)
+    Layout(meta, entries, cdc, chunks)
   }
 
   /** The operation tag of one retained version (None = legacy manifest
@@ -396,7 +479,8 @@ object FlsManifest {
     * `dataChange=true` conservatively). */
   def versionMeta(fs: FileSystem, dir: Path, v: Long): Option[VersionMeta] =
     readFileWithMeta(fs,
-      if (v == 0L) manifestPath(dir) else versionPath(dir, v))._1
+      if (v == 0L) manifestPath(dir) else versionPath(dir, v), dir,
+      resolveChunks = false).meta
 
   /** The CDC split lines of one retained version (empty for non-merge
     * commits, merges on tables without `merge_cdc`, and pre-cdc
@@ -404,7 +488,8 @@ object FlsManifest {
     * documented legacy contract). */
   def versionCdc(fs: FileSystem, dir: Path, v: Long): Seq[CdcLine] =
     readFileWithMeta(fs,
-      if (v == 0L) manifestPath(dir) else versionPath(dir, v))._3
+      if (v == 0L) manifestPath(dir) else versionPath(dir, v), dir,
+      resolveChunks = false).cdc
 
   /** Publish a new table version with optimistic concurrency: read the
     * newest version, apply `merge(currentVersion, currentEntries)`, and
@@ -423,12 +508,12 @@ object FlsManifest {
       merge: (Long, Option[Seq[Entry]]) => Seq[Entry]): Long = {
     var attempt = 0
     while (attempt < MaxCasAttempts) {
-      val cur = readVersioned(fs, dir, ref)
+      val cur = readLayoutVersioned(fs, dir, ref)
       if (ref != MainRef) require(cur.isDefined,
         s"fls: branch '$ref' of $dir does not exist — " +
           "CALL system.create_branch first")
       val curV = cur.map(_._1).getOrElse(0L)
-      val merged = merge(curV, cur.map(_._2))
+      val merged = merge(curV, cur.map(_._2.entries))
       val next = curV + 1
       fs.mkdirs(refLog(dir, ref))
       // stamp the table-meta version in force at THIS commit (if the
@@ -439,9 +524,14 @@ object FlsManifest {
       val schemaV = tableMeta.map(_._1)
       val keep = keepOf(tableMeta.map(_._2))
       val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId), f"manifest_v$next%020d")
-      writeContent(fs, tmp, merged, Some(VersionMeta(op, dataChange, schemaV)), cdc)
+      val newChunks = writeContent(fs, dir, tmp, merged,
+        Some(VersionMeta(op, dataChange, schemaV)), cdc,
+        cur.map(_._2.chunks).getOrElse(Nil), conf)
+      def dropNewChunks(): Unit = newChunks.foreach(p =>
+        try fs.delete(p, false) catch { case _: Throwable => () })
       val won =
         try publishExclusive(fs, tmp, versionPath(dir, next, ref), conf)
+        catch { case t: Throwable => dropNewChunks(); throw t }
         finally { try fs.delete(tmp, false) catch { case _: Throwable => () } }
       if (won) {
         // retire the legacy single-file manifest (best effort — if this
@@ -452,26 +542,97 @@ object FlsManifest {
         // lives (one tags-dir listing per commit, O(tags))
         val protect = if (ref == MainRef) tags(fs, dir).values.toSet
           else Set.empty[Long]
-        FlsCas.gcOldVersions(fs, refLog(dir, ref), next, keep, protect)
+        gcVersionsAndChunks(fs, dir, ref, next, keep, protect)
         return next
       }
+      // lost the race: the pointers to this attempt's chunks were never
+      // published anywhere — reclaim them before the retry re-merges
+      dropNewChunks()
       attempt += 1
     }
     throw new java.io.IOException(
       s"fls manifest commit: lost the publish race $MaxCasAttempts times at $dir — giving up")
   }
 
-  private def writeContent(fs: FileSystem, p: Path, entries: Seq[Entry],
-      meta: Option[VersionMeta] = None, cdc: Seq[CdcLine] = Nil): Unit = {
-    val out = fs.create(p, true)
+  private def validEntry(e: Entry): Entry = {
+    require(!e.rel.contains('\n') && !e.rel.contains('\t'),
+      s"fls: unsupported character in file name '${e.rel}'")
+    require(e.stats == null ||
+        (!e.stats.contains('\n') && !e.stats.contains('\t')),
+      s"fls: stats JSON must be compact (no tabs/newlines) for '${e.rel}'")
+    e
+  }
+
+  private def writeEntryLine(w: java.io.Writer, e: Entry): Unit = {
+    validEntry(e)
+    w.write(e.length.toString); w.write('\t')
+    w.write(e.mtime.toString); w.write('\t')
+    w.write(e.rel)
+    if (e.stats != null) { w.write('\t'); w.write(e.stats) }
+    w.write('\n')
+  }
+
+  private def writerFor(fs: FileSystem, p: Path): java.io.Writer =
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, true), StandardCharsets.UTF_8), 1 << 16)
+
+  /** Write one version file (and, past the inline threshold, the entry
+    * chunks the commit touched). Returns the chunk files CREATED here —
+    * the caller reclaims them if the version never publishes. Streams
+    * through a buffered writer: no full-table StringBuilder at any
+    * size. */
+  private def writeContent(fs: FileSystem, dir: Path, p: Path,
+      entries: Seq[Entry], meta: Option[VersionMeta], cdc: Seq[CdcLine],
+      prevChunks: Seq[(String, Seq[Entry])],
+      conf: org.apache.hadoop.conf.Configuration): Seq[Path] = {
+    val inlineMax = math.max(0, conf.getInt(InlineThresholdKey, DefaultInlineThreshold))
+    val chunked = entries.length > inlineMax
+    // ---- plan the chunk layout (no-op for inline tables) ----
+    var reused: Seq[(String, Seq[Entry])] = Nil
+    var written: Seq[(String, Seq[Entry], Path)] = Nil
+    if (chunked) {
+      val target = math.max(1, conf.getInt(ChunkTargetKey, DefaultChunkTarget))
+      val byRel = new java.util.HashMap[String, Entry](entries.length * 2)
+      entries.foreach(e => byRel.put(e.rel, e))
+      // a chunk survives by pointer iff every entry in it is still in
+      // the table, byte-identical (same rel, length, mtime, stats) —
+      // any deletion, DV re-vector, or stats change rewrites that one
+      // chunk and no other
+      val (intact, touched) = prevChunks.partition { case (_, es) =>
+        es.forall(e => e == byRel.get(e.rel))
+      }
+      // single-file appends each add a tiny chunk; once enough have
+      // piled up, fold them into this commit's delta so chunk count
+      // stays O(entries/target) — amortized O(target) extra bytes
+      val (small, big) = intact.partition(_._2.length < target / 2)
+      reused = if (small.length >= SmallChunkMergeBound) big else intact
+      val covered = new java.util.HashSet[String]()
+      reused.foreach(_._2.foreach(e => covered.add(e.rel)))
+      val leftover = entries.filterNot(e => covered.contains(e.rel))
+      val _ = touched // rewritten below via leftover; chunk files GC later
+      fs.mkdirs(chunksDir(dir))
+      written = leftover.sortBy(_.rel).grouped(target).map { group =>
+        val name = "c" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val cp = new Path(chunksDir(dir), name)
+        val w = writerFor(fs, cp)
+        try {
+          w.write(ChunkHeader); w.write('\n')
+          group.foreach(writeEntryLine(w, _))
+        } finally w.close()
+        (name, group, cp)
+      }.toSeq
+    }
+    // ---- the version file itself ----
+    val out = writerFor(fs, p)
     try {
-      val sb = new StringBuilder(Header).append('\n')
+      out.write(if (chunked) HeaderV2 else Header); out.write('\n')
       meta.foreach { m =>
         require(!m.op.contains('\n') && !m.op.contains('\t'),
           s"fls: manifest op tag must be a plain word, got '${m.op}'")
-        sb.append("#op\t").append(m.op)
-          .append('\t').append(if (m.dataChange) "1" else "0").append('\n')
-        m.schemaVersion.foreach(v => sb.append("#schema\t").append(v).append('\n'))
+        out.write("#op\t"); out.write(m.op)
+        out.write('\t'); out.write(if (m.dataChange) "1" else "0"); out.write('\n')
+        m.schemaVersion.foreach { v =>
+          out.write("#schema\t"); out.write(v.toString); out.write('\n') }
       }
       cdc.foreach { line =>
         def chk(s: String): String = {
@@ -481,26 +642,105 @@ object FlsManifest {
         }
         line match {
           case CdcPost(rel) =>
-            sb.append("#cdc\tpost\t").append(chk(rel)).append('\n')
+            out.write("#cdc\tpost\t"); out.write(chk(rel)); out.write('\n')
           case CdcSplit(rel, pre, pure) =>
-            sb.append("#cdc\tsplit\t").append(chk(rel))
-              .append('\t').append(pre.map(chk).getOrElse("-"))
-              .append('\t').append(pure.map(chk).getOrElse("-")).append('\n')
+            out.write("#cdc\tsplit\t"); out.write(chk(rel))
+            out.write('\t'); out.write(pre.map(chk).getOrElse("-"))
+            out.write('\t'); out.write(pure.map(chk).getOrElse("-"))
+            out.write('\n')
         }
       }
-      entries.sortBy(_.rel).foreach { e =>
-        require(!e.rel.contains('\n') && !e.rel.contains('\t'),
-          s"fls: unsupported character in file name '${e.rel}'")
-        sb.append(e.length).append('\t').append(e.mtime).append('\t').append(e.rel)
-        if (e.stats != null) {
-          require(!e.stats.contains('\n') && !e.stats.contains('\t'),
-            s"fls: stats JSON must be compact (no tabs/newlines) for '${e.rel}'")
-          sb.append('\t').append(e.stats)
-        }
-        sb.append('\n')
+      if (chunked) {
+        // pointer lines, ordered by each chunk's first rel so the file
+        // is deterministic for a given layout
+        (reused ++ written.map(c => (c._1, c._2)))
+          .sortBy { case (_, es) => es.headOption.map(_.rel).getOrElse("") }
+          .foreach { case (name, es) =>
+            out.write("#chunk\t"); out.write(name)
+            out.write('\t'); out.write(es.length.toString); out.write('\n')
+          }
+      } else {
+        entries.sortBy(_.rel).foreach(writeEntryLine(out, _))
       }
-      out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     } finally out.close()
+    written.map(_._3)
+  }
+
+  /** The chunk names a version file points at (empty for inline/legacy
+    * files). Lax on FileNotFound — a concurrent committer's GC may
+    * have deleted the version (its chunks are then that committer's to
+    * reap); every other failure propagates so callers can decide. */
+  private def chunkRefNames(fs: FileSystem, p: Path): Seq[String] =
+    try {
+      val lines = new String(readAllBytes(fs, p), StandardCharsets.UTF_8)
+        .split('\n').filter(_.nonEmpty)
+      if (lines.isEmpty || lines(0) != HeaderV2) Nil
+      else lines.drop(1).filter(_.startsWith("#chunk\t")).toSeq
+        .map(_.split('\t')(1))
+    } catch { case _: java.io.FileNotFoundException => Nil }
+
+  /** Chunk names referenced by ANY retained version of ANY ref — the
+    * live set chunk GC must never touch (branch version files point
+    * into the shared pool; tagged main versions are still listed). */
+  private[fls] def liveChunkRefs(fs: FileSystem, dir: Path): Set[String] = {
+    val logs = refLog(dir, MainRef) +:
+      branches(fs, dir).map(b => refLog(dir, b))
+    logs.flatMap { log =>
+      val vs = try fs.listStatus(log).toSeq
+        .filter(s => parseVersionName(s.getPath.getName).isDefined)
+      catch { case _: java.io.FileNotFoundException => Nil }
+      vs.flatMap(s => chunkRefNames(fs, s.getPath))
+    }.toSet
+  }
+
+  /** Version GC plus the chunk sweep it implies: capture the chunk
+    * refs of the versions ABOUT to fall (before their files are gone),
+    * let [[FlsCas.gcOldVersions]] delete them, then reap the chunks no
+    * retained version of any ref still points at. Best-effort like the
+    * version GC itself — a failure leaks a chunk for a later commit or
+    * vacuum's [[sweepOrphanChunks]] to reclaim, never breaks the
+    * commit. Inline-mode tables take the fast path (no doomed chunk
+    * refs → zero extra I/O). */
+  private def gcVersionsAndChunks(fs: FileSystem, dir: Path, ref: String,
+      newest: Long, keep: Int, protect: Set[Long]): Unit = {
+    val log = refLog(dir, ref)
+    val cutoff = newest - keep + 1
+    val doomedRefs: Set[String] =
+      if (cutoff <= 0) Set.empty
+      else try fs.listStatus(log).toSeq.flatMap { s =>
+        parseVersionName(s.getPath.getName) match {
+          case Some(v) if v < cutoff && !protect.contains(v) =>
+            chunkRefNames(fs, s.getPath)
+          case _ => Nil
+        }
+      }.toSet catch { case _: Throwable => Set.empty }
+    FlsCas.gcOldVersions(fs, log, newest, keep, protect)
+    if (doomedRefs.nonEmpty) try {
+      val orphaned = doomedRefs -- liveChunkRefs(fs, dir)
+      orphaned.foreach { n =>
+        try fs.delete(new Path(chunksDir(dir), n), false)
+        catch { case _: Throwable => () }
+      }
+    } catch { case _: Throwable => () }
+  }
+
+  /** Reap chunk files no retained version of any ref references and
+    * older than `ttlMs` — the leftovers of commits that crashed between
+    * chunk write and version publish (and of best-effort GC failures).
+    * Called by vacuum with its horizon; the age gate keeps in-flight
+    * commits' not-yet-published chunks safe. Returns files deleted. */
+  def sweepOrphanChunks(fs: FileSystem, dir: Path, ttlMs: Long): Int = {
+    val cdir = chunksDir(dir)
+    val listed =
+      try fs.listStatus(cdir).toSeq.filter(_.isFile)
+      catch { case _: java.io.FileNotFoundException => return 0 }
+    if (listed.isEmpty) return 0
+    val live = liveChunkRefs(fs, dir)
+    val cutoff = System.currentTimeMillis() - ttlMs
+    listed.count { s =>
+      s.getModificationTime < cutoff && !live.contains(s.getPath.getName) &&
+        (try fs.delete(s.getPath, false) catch { case _: Throwable => false })
+    }
   }
 
   /** Atomic create-exclusive version publish — see [[FlsCas]]. */
@@ -598,7 +838,21 @@ object FlsManifest {
     validateRefName(name)
     require(readVersioned(fs, dir, name).isDefined,
       s"fls: branch '$name' of $dir does not exist")
+    // capture the branch's chunk refs before its version files go, then
+    // reap the ones no surviving ref points at (shared-pool semantics:
+    // a branch fresh off main references main's chunks — those live on)
+    val branchRefs: Set[String] =
+      try fs.listStatus(refLog(dir, name)).toSeq
+        .filter(s => parseVersionName(s.getPath.getName).isDefined)
+        .flatMap(s => chunkRefNames(fs, s.getPath)).toSet
+      catch { case _: Throwable => Set.empty }
     fs.delete(refLog(dir, name), true)
+    if (branchRefs.nonEmpty) try {
+      (branchRefs -- liveChunkRefs(fs, dir)).foreach { n =>
+        try fs.delete(new Path(chunksDir(dir), n), false)
+        catch { case _: Throwable => () }
+      }
+    } catch { case _: Throwable => () }
   }
 
   /** Tag `name` → main version `v` (default head). The tagged version's
