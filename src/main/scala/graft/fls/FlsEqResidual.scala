@@ -1,0 +1,104 @@
+package graft.fls
+
+import java.nio.charset.StandardCharsets
+
+import graft.fls.Format._
+
+/** Decode-time application of equality deletes ([[FlsEqDeletes]]):
+  * like delete-vector positions, the residual has NO Catalyst
+  * FilterExec re-checking it, so it must be exact and unconditional —
+  * applied in every scan mode including the row-level group scans that
+  * switch ordinary scan-side filters off. The evaluator compiles each
+  * chunk's predicate list against THAT FILE's column types (types can
+  * drift across files under union_by_name) and narrows the row-group
+  * selection vector; a file that lacks the column entirely stores only
+  * NULLs for it, which never equal a literal — no-op, skip.
+  *
+  * Exactness stance: any shape this cannot evaluate (physical-domain
+  * drift between the predicate's literal domain and the file's stored
+  * domain, a nested column) THROWS rather than serving resurrected
+  * rows — the same degrade-loudly discipline as the DV decode path. */
+object FlsEqResidual {
+
+  /** One compiled exclusion for one chunk: `colIdx` into the chunk's
+    * fileColumns (-1 = column absent in this file → no-op). */
+  final case class Excl(colIdx: Int, pred: FlsEqDeletes.EqDelete,
+      ct: ColumnType)
+
+  def compile(eq: Seq[String], cols: Array[ColumnDesc]): Array[Excl] =
+    eq.map { json =>
+      val p = FlsEqDeletes.parse(json)
+      val idx = cols.indexWhere(_.name == p.col)
+      val ct = if (idx < 0) null else cols(idx).colType
+      if (idx >= 0) {
+        val phys = physOf(ct.tag)
+        val ok = p.kind match {
+          case FlsEqDeletes.KindLong =>
+            phys == Phys.LONG && ct.tag != TypeTag.UINT64 &&
+              ct.tag != TypeTag.DECIMAL
+          case FlsEqDeletes.KindDouble => phys == Phys.DOUBLE
+          case FlsEqDeletes.KindString =>
+            phys == Phys.BYTES && ct.tag == TypeTag.STRING
+          case _ => false
+        }
+        if (!ok) throw new IllegalStateException(
+          s"fls: equality delete on '${p.col}' cannot apply to a file " +
+            s"storing it as ${ct.tag} — the column's physical domain " +
+            "drifted since the delete committed; compact the table to " +
+            "absorb the predicate, then retry")
+      }
+      Excl(idx, p, ct)
+    }.toArray
+
+  /** Per-row "is deleted" test over one decoded row group. The sorted
+    * literal arrays come straight from the predicate; dictionary
+    * shapes precompute one flag per code (O(dict) once, O(1)/row). */
+  def deletedMask(e: Excl, data: ColData): Int => Boolean = {
+    val p = e.pred
+    def inLongs(v: Long): Boolean =
+      java.util.Arrays.binarySearch(p.longs, v) >= 0
+    def inDoubles(v: Double): Boolean = {
+      val n = if (v == 0.0) 0.0 else v // -0.0 == 0.0 (SQL equality)
+      !n.isNaN && java.util.Arrays.binarySearch(p.doubles, n) >= 0
+    }
+    val strBytes: Array[Array[Byte]] =
+      if (p.kind == FlsEqDeletes.KindString)
+        p.strings.map(_.getBytes(StandardCharsets.UTF_8))
+      else null
+    def inBytes(bytes: Array[Byte], from: Int, until: Int): Boolean = {
+      val len = until - from
+      var i = 0
+      while (i < strBytes.length) {
+        val t = strBytes(i)
+        if (t.length == len) {
+          var j = 0
+          while (j < len && bytes(from + j) == t(j)) j += 1
+          if (j == len) return true
+        }
+        i += 1
+      }
+      false
+    }
+    data match {
+      case LongData(vs) if p.kind == FlsEqDeletes.KindLong =>
+        i => inLongs(vs(i))
+      case DictLongs(dict, codes) if p.kind == FlsEqDeletes.KindLong =>
+        val flags = dict.map(inLongs)
+        i => flags(codes(i).toInt)
+      case DoubleData(vs) if p.kind == FlsEqDeletes.KindDouble =>
+        i => inDoubles(vs(i))
+      case DictDoubles(dict, codes) if p.kind == FlsEqDeletes.KindDouble =>
+        val flags = dict.map(inDoubles)
+        i => flags(codes(i).toInt)
+      case BytesData(offsets, bytes) if p.kind == FlsEqDeletes.KindString =>
+        i => inBytes(bytes, offsets(i), offsets(i + 1))
+      case DictBytes(values, codes) if p.kind == FlsEqDeletes.KindString =>
+        val flags = values.map(v => inBytes(v, 0, v.length))
+        i => flags(codes(i).toInt)
+      case other => throw new IllegalStateException(
+        s"fls: equality delete on '${p.col}' met an unevaluable decoded " +
+          s"shape ${other.getClass.getSimpleName} (kind=${p.kind}) — " +
+          "compact the table to absorb the predicate, then retry")
+    }
+  }
+}

@@ -232,29 +232,44 @@ object FlsFile {
     val st =
       try fs.getFileStatus(path)
       catch { case _: java.io.FileNotFoundException => return Nil }
+    // equality-delete residuals ride the per-file stats JSON from HERE:
+    // the snapshot's `#eqdel` predicates are resolved against each
+    // entry's birth version once at listing, and only the APPLICABLE
+    // ones attach (planning-time `"eq"` field — never written to disk),
+    // so the reader needs no table-level channel ([[FlsEqResidual]]).
+    def withResiduals(entries: Seq[FlsManifest.Entry],
+        eq: Seq[String]): Seq[FlsManifest.Entry] =
+      if (eq.isEmpty) entries
+      else {
+        val byV = eq.map(j => (FlsEqDeletes.versionOf(j), j))
+        entries.map { e =>
+          val applicable = byV.collect {
+            case (pv, j) if FlsFileStats.birthOf(e.stats) <= pv => j
+          }
+          if (applicable.isEmpty) e
+          else e.copy(stats = FlsFileStats.withEq(e.stats, applicable))
+        }
+      }
+    def serve(l: FlsManifest.Layout): Seq[(org.apache.hadoop.fs.FileStatus, Option[String])] =
+      FlsManifest.statusesWithStats(fs, path, withResiduals(l.entries, l.eq))
+        .sortBy(_._1.getPath.toString)
     if (st.isFile) Seq((st, None))
     else if (ref != FlsManifest.MainRef) {
-      val (v, entries) = pinnedManifestVersion match {
-        case Some(pv) => (pv, FlsManifest.readVersion(fs, path, pv, ref))
-        case None => FlsManifest.readVersioned(fs, path, ref).getOrElse(
-          throw new IllegalArgumentException(
+      pinnedManifestVersion match {
+        case Some(pv) => serve(FlsManifest.readLayoutVersion(fs, path, pv, ref))
+        case None => serve(FlsManifest.readLayoutVersioned(fs, path, ref)
+          .getOrElse(throw new IllegalArgumentException(
             s"fls: branch '$ref' of $path does not exist — " +
-              "CALL system.create_branch first"))
+              "CALL system.create_branch first"))._2)
       }
-      val _ = v
-      FlsManifest.statusesWithStats(fs, path, entries)
-        .sortBy(_._1.getPath.toString)
     }
     else pinnedManifestVersion match {
-      case Some(v) =>
-        FlsManifest.statusesWithStats(fs, path, FlsManifest.readVersion(fs, path, v))
-          .sortBy(_._1.getPath.toString)
-      case None => FlsManifest.read(fs, path) match {
+      case Some(v) => serve(FlsManifest.readLayoutVersion(fs, path, v))
+      case None => FlsManifest.readLayoutVersioned(fs, path) match {
         // manifest table: the manifest IS the file list — no recursive
         // listing RPC, and on-disk files outside it (losing speculative
         // attempts, crashed jobs, junk) are invisible by design
-        case Some(entries) =>
-          FlsManifest.statusesWithStats(fs, path, entries).sortBy(_._1.getPath.toString)
+        case Some((_, layout)) => serve(layout)
         case None =>
           val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
           walkFiles(fs, path, Seq(".fls"))((s, _) => out += s)

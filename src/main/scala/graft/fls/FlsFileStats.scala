@@ -169,7 +169,15 @@ object FlsFileStats {
     * guard skips the sketch walk entirely for the (overwhelmingly
     * common) bounds-only entries. */
   def dvAndNdvOf(json: String): (Option[String], Map[String, Array[Byte]]) = {
-    if (json == null) return (None, Map.empty)
+    val (dv, ndv, _) = metaOf(json)
+    (dv, ndv)
+  }
+
+  /** DV pointer + NDV sketches + applicable equality-delete residuals,
+    * still ONE parse per planned file (see [[dvAndNdvOf]]'s note). */
+  def metaOf(json: String)
+    : (Option[String], Map[String, Array[Byte]], Seq[String]) = {
+    if (json == null) return (None, Map.empty, Nil)
     try {
       val j = JsonMethods.parse(json)
       val dv = j \ "dv" match {
@@ -178,8 +186,55 @@ object FlsFileStats {
       }
       val ndv =
         if (json.contains("\"n\":")) ndvFrom(j) else Map.empty[String, Array[Byte]]
-      (dv, ndv)
-    } catch { case _: Exception => (None, Map.empty) }
+      val eq =
+        if (!json.contains("\"eq\":")) Nil
+        else j \ "eq" match {
+          case JArray(a) => a.collect { case JString(s) => s }
+          case _ => Nil
+        }
+      (dv, ndv, eq)
+    } catch { case _: Exception => (None, Map.empty, Nil) }
+  }
+
+  /** The entry's BIRTH VERSION — the manifest version that first added
+    * it, stamped centrally by [[FlsManifest.commit]]. 0 for legacy
+    * entries (pre-stamp), which makes them subject to EVERY equality
+    * delete — the conservative-correct direction ([[FlsEqDeletes]]). */
+  def birthOf(json: String): Long = {
+    if (json == null) return 0L
+    try JsonMethods.parse(json) \ "bv" match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case _ => 0L
+    } catch { case _: Exception => 0L }
+  }
+
+  def withBirth(json: String, v: Long): String = {
+    val base = if (json == null) JObject(Nil)
+      else try JsonMethods.parse(json) match {
+        case o: JObject => o
+        case _ => JObject(Nil)
+      } catch { case _: Exception => JObject(Nil) }
+    val kept = base.obj.filterNot(_._1 == "bv")
+    JsonMethods.compact(JsonMethods.render(
+      JObject(kept :+ ("bv" -> (JLong(v): JValue)))))
+  }
+
+  /** PLANNING-TIME-ONLY injection: the equality-delete predicates that
+    * apply to this entry, attached under `"eq"` so the residual rides
+    * the same per-file stats plumbing as the DV pointer all the way to
+    * the reader. Never written to disk — the on-disk predicate lives
+    * once per version file (`#eqdel`), applicability is derived from
+    * `bv` at listing ([[FlsFile.listDataWithStats]]). */
+  def withEq(json: String, preds: Seq[String]): String = {
+    val base = if (json == null) JObject(Nil)
+      else try JsonMethods.parse(json) match {
+        case o: JObject => o
+        case _ => JObject(Nil)
+      } catch { case _: Exception => JObject(Nil) }
+    val kept = base.obj.filterNot(_._1 == "eq")
+    JsonMethods.compact(JsonMethods.render(
+      JObject(kept :+ ("eq" -> (JArray(preds.toList.map(JString(_))): JValue)))))
   }
 
   /** Parsed stats as a synthetic single-row-group TableDesc (segments

@@ -40,7 +40,11 @@ object FlsFooters {
     * empty = file predates sketches or its writer sketched nothing) —
     * merged at plan time into CBO distinct counts. */
   final case class Entry(file: Path, table: TableDesc, fileSize: Long,
-      dv: Option[String] = None, ndv: Map[String, Array[Byte]] = Map.empty)
+      dv: Option[String] = None, ndv: Map[String, Array[Byte]] = Map.empty,
+      /** Applicable equality-delete predicates ([[FlsEqDeletes]] JSON,
+        * planning-injected at listing) — applied at decode like the DV;
+        * their presence disables value-producing metadata shortcuts. */
+      eq: Seq[String] = Nil)
 
   private final case class Cached(mtime: Long, len: Long, table: TableDesc)
 
@@ -73,14 +77,15 @@ object FlsFooters {
   def fetchMeta(listed: Seq[(org.apache.hadoop.fs.FileStatus, Option[String])],
       conf: Configuration): Seq[Entry] =
     fetch(listed.map(_._1), conf).zip(listed).map { case (e, (st, meta)) =>
-      val (dv, ndv) = meta.map(FlsFileStats.dvAndNdvOf)
-        .getOrElse((None, Map.empty[String, Array[Byte]]))
+      val (dv, ndv, eq) = meta.map(FlsFileStats.metaOf)
+        .getOrElse((None, Map.empty[String, Array[Byte]], Nil))
       val withDv = dv match {
         case Some(rel) =>
           e.copy(dv = Some(new Path(st.getPath.getParent, rel).toString))
         case None => e
       }
-      if (ndv.nonEmpty) withDv.copy(ndv = ndv) else withDv
+      val withNdv = if (ndv.nonEmpty) withDv.copy(ndv = ndv) else withDv
+      if (eq.nonEmpty) withNdv.copy(eq = eq) else withNdv
     }
 
   /** Phase 1 of planning — the file LIST with manifest-carried stats,

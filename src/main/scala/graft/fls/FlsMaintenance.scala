@@ -207,10 +207,22 @@ object FlsMaintenance {
         case (rel, len) if rel.endsWith(".fls") => FlsManifest.Entry(rel, len, 0L)
       }.toSeq
       FlsManifest.commit(fs, root, compactId, conf,
-          op = "compact", dataChange = false) { (_, current) =>
+          op = "compact", dataChange = false) { (curV, current) =>
         val cur = current.getOrElse(throw new IllegalStateException(
           s"fls compact: $dir lost its manifest mid-compaction (concurrent " +
             "rename-mode overwrite?) — aborting"))
+        // an equality delete that committed AFTER the frozen read is a
+        // rewrite-in-place of every input: the outputs were built
+        // without its residual, and their fresh birth version would
+        // put them OUT of the predicate's scope — swapping would
+        // resurrect the deleted rows (same class as the DV check below)
+        val eqNew = FlsManifest.versionEq(fs, root, curV)
+          .map(FlsEqDeletes.versionOf).filter(_ > frozenV)
+        if (eqNew.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"fls compact: ${eqNew.length} equality delete(s) committed " +
+              s"under $dir after the compaction froze its inputs — " +
+              "aborting; re-run compact on the new table state")
         val curRels = cur.map(_.rel).toSet
         val gone = frozenRels.diff(curRels)
         if (gone.nonEmpty)
@@ -293,7 +305,11 @@ object FlsMaintenance {
             "vacuumed)")
       }
     val newV = FlsManifest.commit(fs, root,
-      java.util.UUID.randomUUID().toString, conf, op = "rollback") { (curV, _) =>
+      java.util.UUID.randomUUID().toString, conf, op = "rollback",
+      // restore the equality-delete predicate set AS OF the target too:
+      // rolling back past an eqdelete commit must resurrect its rows,
+      // exactly like rolling back past a DV commit restores positions
+      eqBase = Some(toVersion)) { (curV, _) =>
       if (curV != headV) throw new java.util.ConcurrentModificationException(
         s"fls rollback: the table advanced to v$curV while rolling back to " +
           s"v$toVersion (decision was made against head v$headV) — " +

@@ -261,7 +261,11 @@ object FlsManifest {
     * what lets the NEXT commit reuse untouched chunks by pointer. */
   private[fls] final case class Layout(meta: Option[VersionMeta],
       entries: Seq[Entry], cdc: Seq[CdcLine],
-      chunks: Seq[(String, Seq[Entry])])
+      chunks: Seq[(String, Seq[Entry])],
+      /** Active equality-delete predicates (`#eqdel` lines, raw JSON —
+        * [[FlsEqDeletes]]): carried forward by every commit until
+        * absorbed (no retained entry predates the predicate). */
+      eq: Seq[String] = Nil)
 
   /** Newest (version, entries), or None when the table has no manifest
     * (listing mode). The legacy single-file manifest reads as version 0;
@@ -317,8 +321,20 @@ object FlsManifest {
     * if the version was GC'd (more than [[DefaultKeepVersions]] commits behind). */
   def readVersion(fs: FileSystem, dir: Path, v: Long,
       ref: String = MainRef): Seq[Entry] =
-    if (v == 0L && ref == MainRef) readFileWithMeta(fs, manifestPath(dir), dir).entries
-    else readFileWithMeta(fs, versionPath(dir, v, ref), dir).entries
+    readLayoutVersion(fs, dir, v, ref).entries
+
+  private[fls] def readLayoutVersion(fs: FileSystem, dir: Path, v: Long,
+      ref: String = MainRef): Layout =
+    if (v == 0L && ref == MainRef) readFileWithMeta(fs, manifestPath(dir), dir)
+    else readFileWithMeta(fs, versionPath(dir, v, ref), dir)
+
+  /** The equality-delete predicates active AT version `v` (cheap:
+    * header-only read, chunks unresolved). */
+  def versionEq(fs: FileSystem, dir: Path, v: Long,
+      ref: String = MainRef): Seq[String] =
+    readFileWithMeta(fs,
+      if (v == 0L && ref == MainRef) manifestPath(dir)
+      else versionPath(dir, v, ref), dir, resolveChunks = false).eq
 
   /** Retained `(version, commitTimeMillis)` pairs, oldest first — the
     * time-travel index (`VERSION AS OF` validation, `TIMESTAMP AS OF`
@@ -389,6 +405,19 @@ object FlsManifest {
         "delete-vectored in the range (DELETE/UPDATE/OVERWRITE or a " +
         "compaction rewrite), so 'files added in the range' no longer means " +
         "'rows added in the range'. Process a full snapshot instead, or " +
+        s"restart the cursor at v$to")
+    // equality deletes are row churn with NO file churn: a predicate
+    // committed inside the range deletes rows from files the cursor
+    // already served (and from files added earlier in the range), so
+    // "files added in the range" stops meaning "rows added" — same
+    // loud refusal as the rewrite check above
+    val eqInRange = versionEq(fs, dir, to)
+      .map(FlsEqDeletes.versionOf).filter(pv => pv > fromV && pv <= to)
+    require(eqInRange.isEmpty,
+      s"fls: the commit range ($fromV, $to] is not append-only — " +
+        s"${eqInRange.length} equality delete(s) committed in the range " +
+        s"(at version(s) ${eqInRange.mkString(", ")}) delete rows without " +
+        "touching the file list. Process a full snapshot instead, or " +
         s"restart the cursor at v$to")
     val fromRels = fromEntries.map(_.rel).toSet
     toEntries.filterNot(e => fromRels.contains(e.rel))
@@ -471,7 +500,9 @@ object FlsManifest {
     val entries =
       if (chunks.isEmpty) inline
       else (inline ++ chunks.flatMap(_._2)).sortBy(_.rel)
-    Layout(meta, entries, cdc, chunks)
+    val eq = lines.drop(1).filter(_.startsWith("#eqdel\t")).toSeq
+      .map(_.substring("#eqdel\t".length))
+    Layout(meta, entries, cdc, chunks, eq)
   }
 
   /** The operation tag of one retained version (None = legacy manifest
@@ -504,7 +535,14 @@ object FlsManifest {
   def commit(fs: FileSystem, dir: Path, writeId: String,
       conf: org.apache.hadoop.conf.Configuration, op: String = "append",
       dataChange: Boolean = true, cdc: Seq[CdcLine] = Nil,
-      ref: String = MainRef)(
+      ref: String = MainRef,
+      /** Equality-delete predicates this commit ADDS ([[FlsEqDeletes]]
+        * JSON, version unstamped — stamped per attempt). */
+      eqAdd: Seq[String] = Nil,
+      /** Carry the active-predicate set from THIS version instead of
+        * the current head — rollback restores eq-deleted rows by
+        * restoring the predicate set as-of the target. */
+      eqBase: Option[Long] = None)(
       merge: (Long, Option[Seq[Entry]]) => Seq[Entry]): Long = {
     var attempt = 0
     while (attempt < MaxCasAttempts) {
@@ -513,8 +551,38 @@ object FlsManifest {
         s"fls: branch '$ref' of $dir does not exist — " +
           "CALL system.create_branch first")
       val curV = cur.map(_._1).getOrElse(0L)
-      val merged = merge(curV, cur.map(_._2.entries))
+      val merged0 = merge(curV, cur.map(_._2.entries))
       val next = curV + 1
+      // stamp each NEW entry's birth version (first commit that added
+      // its rel) — the applicability cursor for equality deletes: a
+      // predicate committed at V applies to entries with bv <= V only,
+      // which is what lets rewrites/compaction ABSORB predicates and
+      // appends stay out of their scope, all without per-file delete
+      // metadata. Per-attempt (a lost race restamps with the new next).
+      val prevRels: java.util.HashSet[String] = {
+        val s = new java.util.HashSet[String]()
+        cur.foreach(_._2.entries.foreach(e => s.add(e.rel)))
+        s
+      }
+      val merged = merged0.map { e =>
+        if (prevRels.contains(e.rel)) e
+        else e.copy(stats = FlsFileStats.withBirth(e.stats, next))
+      }
+      // active equality deletes: carry (from head, or eqBase's version
+      // for rollback) + this commit's additions, then drop ABSORBED
+      // predicates — ones no retained entry predates anymore
+      val carried = eqBase match {
+        case None => cur.map(_._2.eq).getOrElse(Nil)
+        // v0 = the legacy / implicit-empty manifest, which predates
+        // equality deletes by construction
+        case Some(bv) => if (bv == 0L) Nil
+          else readLayoutVersion(fs, dir, bv, ref).eq
+      }
+      val eqAll = (carried ++ eqAdd.map(FlsEqDeletes.stamp(_, next)))
+        .filter { j =>
+          val pv = FlsEqDeletes.versionOf(j)
+          merged.exists(e => FlsFileStats.birthOf(e.stats) <= pv)
+        }
       fs.mkdirs(refLog(dir, ref))
       // stamp the table-meta version in force at THIS commit (if the
       // table keeps a metadata log) — snapshot reads bind to it; its
@@ -526,7 +594,7 @@ object FlsManifest {
       val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId), f"manifest_v$next%020d")
       val newChunks = writeContent(fs, dir, tmp, merged,
         Some(VersionMeta(op, dataChange, schemaV)), cdc,
-        cur.map(_._2.chunks).getOrElse(Nil), conf)
+        cur.map(_._2.chunks).getOrElse(Nil), conf, eqAll)
       def dropNewChunks(): Unit = newChunks.foreach(p =>
         try fs.delete(p, false) catch { case _: Throwable => () })
       val won =
@@ -584,7 +652,8 @@ object FlsManifest {
   private def writeContent(fs: FileSystem, dir: Path, p: Path,
       entries: Seq[Entry], meta: Option[VersionMeta], cdc: Seq[CdcLine],
       prevChunks: Seq[(String, Seq[Entry])],
-      conf: org.apache.hadoop.conf.Configuration): Seq[Path] = {
+      conf: org.apache.hadoop.conf.Configuration,
+      eqDeletes: Seq[String] = Nil): Seq[Path] = {
     val inlineMax = math.max(0, conf.getInt(InlineThresholdKey, DefaultInlineThreshold))
     val chunked = entries.length > inlineMax
     // ---- plan the chunk layout (no-op for inline tables) ----
@@ -623,9 +692,13 @@ object FlsManifest {
       }.toSeq
     }
     // ---- the version file itself ----
+    // eqdel-carrying files take the v2 header even inline: a reader
+    // that skipped `#eqdel` as unknown metadata would silently
+    // resurrect deleted rows — same loud-failure argument as chunks
+    val v2 = chunked || eqDeletes.nonEmpty
     val out = writerFor(fs, p)
     try {
-      out.write(if (chunked) HeaderV2 else Header); out.write('\n')
+      out.write(if (v2) HeaderV2 else Header); out.write('\n')
       meta.foreach { m =>
         require(!m.op.contains('\n') && !m.op.contains('\t'),
           s"fls: manifest op tag must be a plain word, got '${m.op}'")
@@ -649,6 +722,11 @@ object FlsManifest {
             out.write('\t'); out.write(pure.map(chk).getOrElse("-"))
             out.write('\n')
         }
+      }
+      eqDeletes.foreach { j =>
+        require(!j.contains('\n') && !j.contains('\t'),
+          s"fls: eqdel JSON must be compact (no tabs/newlines): '$j'")
+        out.write("#eqdel\t"); out.write(j); out.write('\n')
       }
       if (chunked) {
         // pointer lines, ordered by each chunk's first rel so the file

@@ -255,6 +255,17 @@ object FlsCdf {
       val cur = entriesAt(v)
       val meta = FlsManifest.versionMeta(fs, root, v)
       val skip = meta.exists(!_.dataChange)
+      // an EQUALITY delete is row churn with no file churn: serving its
+      // deleted rows would need a predicate scan of every subject file,
+      // which is not the O(range) feed this connector promises — refuse
+      // loudly (Iceberg's changelog takes the same stance on equality
+      // deletes); consumers restart from a snapshot past the commit
+      if (meta.exists(_.op == "eqdelete"))
+        throw new UnsupportedOperationException(
+          s"fls cdf: version $v of $dir is an equality-delete commit — " +
+            "its row-level churn is predicate-scoped, not file-scoped, " +
+            "so the change feed cannot serve it; start the feed after " +
+            s"v$v (cdf_from_version=$v) or process a full snapshot")
       // UPDATE commits tag their churn Delta-style: the old rows are
       // 'update_preimage', the new rows 'update_postimage' — downstream
       // can tell an update from a delete+insert pair. MERGE commits are

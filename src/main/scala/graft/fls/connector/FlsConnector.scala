@@ -525,10 +525,10 @@ class FlsScanBuilder(tableSchema: StructType, options: CaseInsensitiveStringMap,
     // fully-consumed partition filters keep metadata aggregates legal:
     // the agg then runs over exactly the decided-true file subset
     if (!pushed.forall(consumedPartFilters.contains)) return None
-    // a delete-vector'd file's footer counts/extremes include DELETED
-    // rows — a metadata answer would resurrect them; fall back to the
-    // real scan (which applies the DV at decode)
-    if (footers.exists(_.dv.isDefined)) return None
+    // a delete-vector'd (or equality-deleted) file's footer counts/
+    // extremes include DELETED rows — a metadata answer would resurrect
+    // them; fall back to the real scan (which applies both at decode)
+    if (footers.exists(e => e.dv.isDefined || e.eq.nonEmpty)) return None
     // grouping decodes group values from partition DIRECTORIES — only
     // sound when every file stores every key in its path (a
     // spec-evolved table has generations where a key lives in data)
@@ -838,6 +838,13 @@ class FlsScan(
   private lazy val dvByFile: Map[String, String] =
     scanEntries.flatMap(e => e.dv.map(d => e.file.toString -> d)).toMap
 
+  /** file → applicable equality-delete predicates (planning-injected
+    * at listing, [[graft.fls.FlsEqDeletes]]) — applied at decode like
+    * the DV, and gating the same value-producing shortcuts. */
+  private lazy val eqByFile: Map[String, Seq[String]] =
+    scanEntries.flatMap(e =>
+      if (e.eq.nonEmpty) Some(e.file.toString -> e.eq) else None).toMap
+
   /** Hive-partition layout of the listed files (empty keys = flat dir).
     * Partition column types resolve against the TABLE schema (which
     * carries the user/inferred type), falling back to path inference. */
@@ -874,6 +881,12 @@ class FlsScan(
     * these are still current, or a concurrent merge-on-read DELETE's
     * positions would be silently undone by the rewrite. */
   private[connector] var onPlannedDv: Option[Map[String, String] => Unit] = None
+  /** Scan-time equality-delete residuals of the planned files (the
+    * predicate JSONs) — row-level commits abort when a NEW predicate
+    * appears on their targets after the scan ([[graft.fls.FlsEqDeletes]]):
+    * the replacement/update rows were built without it, and their
+    * fresh birth version would carry them OUT of its scope. */
+  private[connector] var onPlannedEq: Option[Set[String] => Unit] = None
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (groupGranularity) {
@@ -900,7 +913,8 @@ class FlsScan(
               partDisc.pvalsOf(file.toString)
             table.rowGroups.foreach { rg =>
               units += FlsRgUnit(file.toString, rg, rowStart, fileIdx, pvals,
-                table.columns, dvByFile.get(file.toString))
+                table.columns, dvByFile.get(file.toString),
+                eq = eqByFile.getOrElse(file.toString, Nil))
               rowStart += rg.nTuples
             }
           }
@@ -908,6 +922,8 @@ class FlsScan(
       }
       onPlanned.foreach(_(keptFiles.toSeq))
       onPlannedDv.foreach(_(dvByFile.filter(kv => keptFiles.contains(kv._1))))
+      onPlannedEq.foreach(_(eqByFile.filter(kv => keptFiles.contains(kv._1))
+        .values.flatten.toSet))
       return FlsSplitPacking.pack(units.toSeq, session)
     }
     val units = mutable.ArrayBuffer[FlsRgUnit]()
@@ -923,7 +939,8 @@ class FlsScan(
           if (FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, allFilters, rowStart,
               FlsVirtual.sizeVirtuals(options))) {
             units += FlsRgUnit(file.toString, rg, rowStart, fileIdx, pvals,
-              table.columns, dvByFile.get(file.toString))
+              table.columns, dvByFile.get(file.toString),
+              eq = eqByFile.getOrElse(file.toString, Nil))
           }
           rowStart += rg.nTuples
         }
@@ -934,14 +951,18 @@ class FlsScan(
     onPlannedDv.foreach(_(dvByFile.filter { case (f, _) =>
       units.exists(_.file == f)
     }))
+    onPlannedEq.foreach(_(eqByFile.filter { case (f, _) =>
+      units.exists(_.file == f)
+    }.values.flatten.toSet))
     // TopN pruning (no filters): greedily cover n rows by best
     // boundary stat, drop groups that cannot reach the bound
     topN match {
       case Some(FlsTopNSpec(colName, desc, n))
-          if filters.isEmpty && runtimeFilters.isEmpty && dvByFile.isEmpty =>
-        // dvByFile gate: boundary stats include DELETED rows — a
-        // deleted fake extreme could tighten the bound and wrongly
-        // drop groups holding real top rows
+          if filters.isEmpty && runtimeFilters.isEmpty && dvByFile.isEmpty &&
+            eqByFile.isEmpty =>
+        // dv/eq gate: boundary stats include DELETED rows — a deleted
+        // fake extreme could tighten the bound and wrongly drop groups
+        // holding real top rows
         // Stats are PHYSICAL (unscaled) values — only comparable across
         // files when every file stores the column with one ColumnType
         // (union_by_name may mix decimal scales); otherwise skip pruning.
@@ -983,8 +1004,9 @@ class FlsScan(
     }
     // limit pushdown (no filters): keep just enough row groups
     if (limit >= 0 && filters.isEmpty && runtimeFilters.isEmpty &&
-        dvByFile.isEmpty) { // nTuples counts deleted rows: kept groups
-                            // could cover fewer LIVE rows than `limit`
+        dvByFile.isEmpty && eqByFile.isEmpty) {
+      // nTuples counts deleted rows (DV'd or equality-deleted): kept
+      // groups could cover fewer LIVE rows than `limit`
       val out = mutable.ArrayBuffer[FlsRgUnit]()
       var covered = 0L
       val it = units.iterator
@@ -1173,7 +1195,11 @@ case class FlsFileChunk(
       * `_change_type`/`_commit_version` constants for this chunk's
       * rows, plus the optional emit-mode sidecar diff that REPLACES the
       * base selection (see [[FlsCdfChunkSpec]]). */
-    cdf: Option[FlsCdfChunkSpec] = None)
+    cdf: Option[FlsCdfChunkSpec] = None,
+    /** Equality-delete residuals applicable to this file (predicate
+      * JSON, [[graft.fls.FlsEqDeletes]]) — applied at decode like the
+      * DV, unconditionally, in every scan mode. */
+    eq: Seq[String] = Nil)
 
 /** Fully self-contained scan unit: one or more file chunks. Row groups
   * PACK into splits parquet-style (see [[FlsSplitPacking]]): the row
@@ -1217,7 +1243,8 @@ case class FlsRgUnit(
     pvals: Map[String, String],
     cols: Array[ColumnDesc],
     dv: Option[String] = None,
-    cdf: Option[FlsCdfChunkSpec] = None)
+    cdf: Option[FlsCdfChunkSpec] = None,
+    eq: Seq[String] = Nil)
 
 /** Parquet-style split packing (mirrors Spark's
   * `FilePartition.maxSplitBytes` + packing loop): row groups cost
@@ -1249,7 +1276,7 @@ object FlsSplitPacking {
     var curCost = 0L
     def sealChunk(): Unit = if (rgs.nonEmpty) {
       chunks += FlsFileChunk(cur.file, rgs.toArray, starts.toArray,
-        cur.cols, cur.fileIdx, cur.pvals, cur.dv, cur.cdf)
+        cur.cols, cur.fileIdx, cur.pvals, cur.dv, cur.cdf, cur.eq)
       rgs.clear(); starts.clear()
     }
     def flush(): Unit = {
@@ -1390,6 +1417,7 @@ class FlsWrite(merged: LogicalWriteInfo, doTruncate: Boolean,
     dynamicOverwrite: Boolean = false,
     replaceFilesThunk: Option[() => Seq[String]] = None,
     replacedDvThunk: Option[() => Map[String, String]] = None,
+    replacedEqThunk: Option[() => Set[String]] = None,
     /** The manifest `#op` tag to stamp instead of the default
       * append/overwrite — copy-on-write row-level operations pass their
       * real command (delete/update/merge) so `.history` and the
@@ -1429,6 +1457,7 @@ class FlsWrite(merged: LogicalWriteInfo, doTruncate: Boolean,
     new FlsBatchWrite(merged, doTruncate,
       overwriteFilters = overwriteFilters, dynamicOverwrite = dynamicOverwrite,
       replaceFilesThunk = replaceFilesThunk, replacedDvThunk = replacedDvThunk,
+      replacedEqThunk = replacedEqThunk,
       opOverride = opOverride, session = session)
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!doTruncate && overwriteFilters.isEmpty && !dynamicOverwrite,
@@ -1570,6 +1599,11 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       * merge-on-read DELETE re-vectored one of them after the scan —
       * the replacement rows were built WITHOUT those deletions. */
     replacedDvThunk: Option[() => Map[String, String]] = None,
+    /** Scan-time equality-delete residuals of the replaced files: the
+      * commit aborts if a NEW predicate applies to one of them — the
+      * replacement rows were built without it, and their fresh birth
+      * version would carry them out of its scope. */
+    replacedEqThunk: Option[() => Set[String]] = None,
     /** Manifest `#op` tag override (copy-on-write row-level ops pass
       * their real command — delete/update/merge). */
     opOverride: Option[String] = None,
@@ -1841,7 +1875,7 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       graft.fls.FlsManifest.commit(fs, dir, writeId, conf,
           op = opOverride.getOrElse(
             if (doTruncate) "overwrite" else "append"),
-          ref = branch) { (_, current) =>
+          ref = branch) { (curV, current) =>
         val keptOld =
           if (doTruncate) Nil
           else {
@@ -1878,6 +1912,24 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
                     s"fls replace: a concurrent DELETE re-vectored ${e.rel} " +
                       "after the operation's scan — rerun the operation")
               }
+            }
+            // same class of conflict for EQUALITY deletes: a predicate
+            // committed after the group scan applies to the replaced
+            // files, but the replacement rows were built without it
+            replacedEqThunk.foreach { t =>
+              val scanEq = t()
+              val fresh = graft.fls.FlsManifest.versionEq(fs, dir, curV)
+                .filterNot(scanEq.contains)
+                .filter { j =>
+                  val pv = graft.fls.FlsEqDeletes.versionOf(j)
+                  base.exists(e => replacedRels.contains(e.rel) &&
+                    graft.fls.FlsFileStats.birthOf(e.stats) <= pv)
+                }
+              if (fresh.nonEmpty)
+                throw new java.util.ConcurrentModificationException(
+                  "fls replace: an equality delete committed after the " +
+                    "operation's scan and applies to its targets — rerun " +
+                    "the operation")
             }
             // INSERT OVERWRITE: re-classified per CAS attempt, so the
             // replacement set tracks the entry set actually merged onto;

@@ -166,22 +166,56 @@ object FlsDelete {
     * a manifest table (the DV pointer lives in the manifest's
     * per-file metadata). Decided files still take the zero-read
     * metadata path in both modes. */
-  private[connector] def morEnabled(options: CaseInsensitiveStringMap): Boolean = {
+  private[connector] def deleteMode(options: CaseInsensitiveStringMap): String = {
     val m = Option(options.get("delete_mode")).getOrElse("copy-on-write")
-    require(m == "copy-on-write" || m == "merge-on-read",
-      s"fls: delete_mode must be 'copy-on-write' or 'merge-on-read', got '$m'")
-    m == "merge-on-read"
+    require(m == "copy-on-write" || m == "merge-on-read" || m == "equality",
+      "fls: delete_mode must be 'copy-on-write', 'merge-on-read', or " +
+        s"'equality', got '$m'")
+    m
+  }
+
+  private[connector] def morEnabled(options: CaseInsensitiveStringMap): Boolean =
+    deleteMode(options) == "merge-on-read"
+
+  /** `delete_mode=equality`: a supported-shape DELETE (one `=` / `IN`
+    * conjunct on a non-partition scalar column, [[graft.fls.FlsEqDeletes]])
+    * commits the PREDICATE itself as an `#eqdel` manifest line —
+    * O(1) data reads regardless of how many files the key straddles;
+    * readers apply it as a decode-time residual until rewrites absorb
+    * it. Unsupported shapes fall back to the decide/rewrite ladder
+    * below, exactly as in copy-on-write mode. */
+  private def eqDelete(schema: StructType, options: CaseInsensitiveStringMap,
+      filters: Array[Filter], files: Seq[Path], manifest: Boolean,
+      conf: Configuration): Option[graft.fls.FlsEqDeletes.EqDelete] = {
+    if (deleteMode(options) != "equality" || !manifest) return None
+    if (FlsDataSource.branchRef(options) != FlsManifest.MainRef) return None
+    graft.fls.FlsEqDeletes.fromFilters(filters, schema).filterNot { p =>
+      // a partition column lives in the PATH, not the data — the
+      // residual would decode nothing; the partition-decided metadata
+      // path below handles those with zero reads anyway
+      FlsPartitioning.discover(Seq(tablePath(options)), files, conf)
+        .keys.contains(p.col)
+    }
   }
 
   private def plan(schema: StructType, options: CaseInsensitiveStringMap,
       filters: Array[Filter], files: Seq[Path],
-      conf: Configuration, mor: Boolean = false): Option[Plan] = {
+      conf: Configuration, mor: Boolean = false,
+      activeEq: Boolean = false): Option[Plan] = {
     val path = tablePath(options)
     val cls = verdicts(schema, path, FlsDataSource.manifestVersion(options),
       filters, files, conf)
     val partitioned =
       FlsPartitioning.discover(Seq(path), files, conf).keys.nonEmpty
     val needRewrite = cls.valuesIterator.contains(Straddle)
+    // ACTIVE equality deletes gate every path that touches row data
+    // here: the straddler rewrite and the MOR position scan both read
+    // RAW file paths, which bypasses the manifest's residual injection
+    // — a rewrite would RESURRECT eq-deleted rows, and MOR positions
+    // would re-mark them. Fall back to the row-level operation (it
+    // scans THROUGH the table, residual applied). Decided files
+    // (drop/keep whole) stay metadata-only: supersets are conservative.
+    if (needRewrite && activeEq) return None
     // a DV commit never rewrites, so path-encoded values are safe —
     // partitioned tables take MOR deletes stock Spark's row-level path
     // would otherwise serve
@@ -211,8 +245,12 @@ object FlsDelete {
       case Some((_, entries)) => entries.map(e => new Path(root, e.rel))
       case None => FlsFile.listDataFiles(root, conf)
     }
-    plan(schema, options, filters, files, conf,
-      mor = morEnabled(options) && manifest.isDefined).isDefined
+    val activeEq = manifest.isDefined &&
+      FlsManifest.versionEq(fs, root, manifest.get._1).nonEmpty
+    eqDelete(schema, options, filters, files, manifest.isDefined, conf).isDefined ||
+      plan(schema, options, filters, files, conf,
+        mor = morEnabled(options) && manifest.isDefined,
+        activeEq = activeEq).isDefined
   }
 
   def delete(schema: StructType, options: CaseInsensitiveStringMap,
@@ -299,9 +337,22 @@ object FlsDelete {
 
     FlsManifest.readVersioned(fs, root) match {
       case Some((frozenV, frozenEntries)) =>
-        val mor = morEnabled(options)
         val frozenFiles = frozenEntries.map(e => new Path(root, e.rel))
-        val p0 = plan(schema, options, filters, frozenFiles, conf, mor).getOrElse(
+        // equality mode, supported shape: commit the PREDICATE — one
+        // manifest line, zero data reads, whatever the key straddles
+        eqDelete(schema, options, filters, frozenFiles, manifest = true,
+            conf).foreach { pred =>
+          FlsManifest.commit(fs, root, UUID.randomUUID().toString, conf,
+              op = "eqdelete", eqAdd = Seq(pred.json)) { (_, cur) =>
+            cur.getOrElse(throw new IllegalStateException(
+              s"fls delete: manifest of $root vanished mid-delete")).toSeq
+          }
+          return
+        }
+        val mor = morEnabled(options)
+        val activeEq = FlsManifest.versionEq(fs, root, frozenV).nonEmpty
+        val p0 = plan(schema, options, filters, frozenFiles, conf, mor,
+          activeEq).getOrElse(
           throw new IllegalStateException(
             "fls delete: predicate not decidable per file (and the table is " +
               "partitioned, so a row-level rewrite would lose path values)"))
@@ -390,9 +441,19 @@ object FlsDelete {
             rel -> base
           }.toMap
           try {
-            FlsManifest.commit(fs, root, writeId, conf, op = "delete") { (_, cur) =>
+            FlsManifest.commit(fs, root, writeId, conf, op = "delete") { (curV, cur) =>
               val entries = cur.getOrElse(Seq.empty)
               val files = entries.map(e => new Path(root, e.rel))
+              // positions were computed from a raw read (no residual;
+              // plan() already required zero ACTIVE predicates at the
+              // freeze for this leg): an equality delete that landed
+              // SINCE the freeze would have its rows re-marked by our
+              // DV — refuse, loudly, and rerun against the new state
+              if (FlsManifest.versionEq(fs, root, curV)
+                  .exists(graft.fls.FlsEqDeletes.versionOf(_) > frozenV))
+                throw new java.util.ConcurrentModificationException(
+                  "fls delete: an equality delete committed concurrently — " +
+                    "rerun the delete")
               val pNow = plan(schema, options, filters, files, conf,
                 mor = true).getOrElse(
                 throw new IllegalStateException(
@@ -463,9 +524,21 @@ object FlsDelete {
         }
         try {
           FlsManifest.commit(fs, root, UUID.randomUUID().toString, conf,
-              op = "delete") { (_, cur) =>
+              op = "delete") { (curV, cur) =>
             val entries = cur.getOrElse(Seq.empty)
             val files = entries.map(e => new Path(root, e.rel))
+            // replacements were built from a raw read (no residual;
+            // this leg only rewrites when no predicate was active at
+            // the freeze): a concurrent equality delete would be
+            // silently undone by publishing them — refuse and rerun.
+            // Decided-only deletes (no staged rewrites) stay safe under
+            // any predicate: drop/keep whole are superset-conservative.
+            if (rewriteTargets.nonEmpty &&
+                FlsManifest.versionEq(fs, root, curV)
+                  .exists(graft.fls.FlsEqDeletes.versionOf(_) > frozenV))
+              throw new java.util.ConcurrentModificationException(
+                "fls delete: an equality delete committed concurrently — " +
+                  "rerun the delete")
             // re-classify the CURRENT set: a concurrent append since the
             // freeze must also be decided, or nothing changes
             val pNow = plan(schema, options, filters, files, conf).getOrElse(

@@ -45,6 +45,9 @@ class FlsDeltaOperation(
   /** Scan-time DV pointer per planned file (abs → abs) — the commit
     * verifies targets are still at these vectors. */
   private val scanDvs = new AtomicReference[Map[String, String]](Map.empty)
+  /** Scan-time equality-delete residuals of the planned files — the
+    * commit aborts when a NEW predicate applies to its targets. */
+  private val scanEq = new AtomicReference[Set[String]](Set.empty)
 
   override def command(): Command = cmd
   override def description(): String = s"fls row-level $cmd (merge-on-read)"
@@ -65,6 +68,7 @@ class FlsDeltaOperation(
       override def build(): Scan = super.build() match {
         case f: FlsScan =>
           f.onPlannedDv = Some(dvs => scanDvs.set(dvs))
+          f.onPlannedEq = Some(eq => scanEq.set(eq))
           f
         case other => other
       }
@@ -89,7 +93,8 @@ class FlsDeltaOperation(
       override def build(): DeltaWrite =
         new FlsDeltaWrite(info, tableOptions, declared,
           () => scanDvs.get(), session,
-          op = cmd.toString.toLowerCase(java.util.Locale.ROOT), cdc = cdc)
+          op = cmd.toString.toLowerCase(java.util.Locale.ROOT), cdc = cdc,
+          scanEq = () => scanEq.get())
     }
   }
 }
@@ -101,7 +106,9 @@ class FlsDeltaWrite(info: LogicalWriteInfo,
     /** Manifest op tag: "delete" / "update" / "merge". */
     op: String,
     /** Record the merge's matched/unmatched split for the CDF. */
-    cdc: Boolean = false) extends DeltaWrite
+    cdc: Boolean = false,
+    /** Scan-time equality residuals ([[FlsDeltaOperation]]). */
+    scanEq: () => Set[String] = () => Set.empty) extends DeltaWrite
   with RequiresDistributionAndOrdering {
 
   /** Cluster the delta rows by TARGET FILE so each task owns whole
@@ -121,14 +128,15 @@ class FlsDeltaWrite(info: LogicalWriteInfo,
 
   override def toBatch: DeltaBatchWrite =
     new FlsDeltaBatchWrite(info, tableOptions, partitionBy, scanDvs, session,
-      op, cdc)
+      op, cdc, scanEq)
 }
 
 class FlsDeltaBatchWrite(info: LogicalWriteInfo,
     tableOptions: CaseInsensitiveStringMap, partitionBy: Seq[String],
     scanDvs: () => Map[String, String],
     session: org.apache.spark.sql.SparkSession,
-    op: String, cdc: Boolean = false) extends DeltaBatchWrite {
+    op: String, cdc: Boolean = false,
+    scanEq: () => Set[String] = () => Set.empty) extends DeltaBatchWrite {
 
   private val dir = FlsDataSource.parsePaths(tableOptions).headOption
     .getOrElse(throw new IllegalArgumentException("fls delta write: no path"))
@@ -288,9 +296,29 @@ class FlsDeltaBatchWrite(info: LogicalWriteInfo,
 
     try {
       FlsManifest.commit(fs, root, writeId, conf, op = op,
-          cdc = cdcLines) { (_, cur) =>
+          cdc = cdcLines) { (curV, cur) =>
         val entries = cur.getOrElse(Seq.empty)
         val byRel = entries.map(e => e.rel -> e).toMap
+        // a NEW equality delete that applies to our targets means the
+        // deltas were computed from rows it has since deleted — the
+        // appended update/post-image rows would resurrect them (their
+        // fresh birth version is out of the predicate's scope). Same
+        // conflict class as the DV pointer check below.
+        locally {
+          val atScan = scanEq()
+          val fresh = FlsManifest.versionEq(fs, root, curV)
+            .filterNot(atScan.contains)
+            .filter { j =>
+              val pv = graft.fls.FlsEqDeletes.versionOf(j)
+              dvBaseByRel.keysIterator.exists(rel => byRel.get(rel)
+                .exists(e => FlsFileStats.birthOf(e.stats) <= pv))
+            }
+          if (fresh.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              "fls delta write: an equality delete committed after the " +
+                "operation's scan and applies to its targets — rerun the " +
+                "operation")
+        }
         dvBaseByRel.keysIterator.foreach { rel =>
           val e = byRel.getOrElse(rel,
             throw new java.util.ConcurrentModificationException(

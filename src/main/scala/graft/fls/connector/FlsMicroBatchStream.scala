@@ -130,10 +130,15 @@ class FlsMicroBatchStream(
       }
   }
 
-  /** `<path>` (pre-DV logs and DV-less files) or `<path>\t<dvAbs>`. */
-  private def parseLogLine(l: String): (String, Option[String]) = {
-    val tab = l.indexOf('\t')
-    if (tab < 0) (l, None) else (l.substring(0, tab), Some(l.substring(tab + 1)))
+  /** `<path>` (pre-DV logs and DV-less files), `<path>\t<dvAbs>`, or —
+    * since equality deletes — `<path>\t<dvAbs | '-'>\t<eqJson>...`
+    * (the `-` placeholder keeps field 2 unambiguous; predicate JSON is
+    * tab-free by the manifest's own constraint). All three generations
+    * parse: old logs never contain `-` or a third field. */
+  private def parseLogLine(l: String): (String, Option[String], Seq[String]) = {
+    val fields = l.split('\t')
+    val dv = fields.lift(1).filter(_ != "-")
+    (fields(0), dv, fields.drop(2).toSeq)
   }
 
   private def readLog(id: Long): Seq[String] = {
@@ -182,13 +187,18 @@ class FlsMicroBatchStream(
     * was logged never RETRACTS rows already emitted downstream — an
     * append-only stream has no retraction channel; pipelines needing
     * delete propagation re-snapshot or consume a change feed. */
-  private def stableFiles(): Seq[(String, Option[String])] = {
+  private def stableFiles(): Seq[(String, Option[String], Seq[String])] = {
     val conf = hadoopConf
     val current = paths.flatMap { p =>
       FlsFile.listDataWithStats(new Path(p), conf, None).map { case (st, stats) =>
-        val dv = stats.flatMap(FlsFileStats.dvOf)
-          .map(rel => new Path(st.getPath.getParent, rel).toString)
-        (st.getPath.toString, dv)
+        // one parse: DV pointer + the file's APPLICABLE equality-delete
+        // residuals (planning-injected by the listing) — both freeze at
+        // discovery like the DV, same determinism-and-no-retraction
+        // contract: a predicate committed after a file was logged never
+        // retracts already-emitted rows
+        val (dv0, _, eq) = FlsFileStats.metaOf(stats.orNull)
+        val dv = dv0.map(rel => new Path(st.getPath.getParent, rel).toString)
+        (st.getPath.toString, dv, eq)
       }
     }
     val inFlight: Set[String] = paths.flatMap { p =>
@@ -198,7 +208,7 @@ class FlsMicroBatchStream(
         fs.listStatus(td).filter(_.isDirectory).map(_.getPath.getName).toSeq
       } catch { case _: java.io.FileNotFoundException => Nil }
     }.toSet
-    current.filterNot { case (f, _) => inFlight.exists(w => f.contains(s"-$w-")) }
+    current.filterNot { case (f, _, _) => inFlight.exists(w => f.contains(s"-$w-")) }
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -226,13 +236,14 @@ class FlsMicroBatchStream(
     }
     if (fresh.nonEmpty) {
       lastBatch += 1
-      // log line: <path> or <path>\t<dvAbsolutePath> — the DV freezes
+      // log line: see parseLogLine — DV and equality residuals freeze
       // at discovery so replays stay deterministic
-      writeLog(lastBatch, fresh.map { case (f, dv) =>
-        dv.map(d => s"$f\t$d").getOrElse(f)
+      writeLog(lastBatch, fresh.map { case (f, dv, eq) =>
+        if (eq.isEmpty) dv.map(d => s"$f\t$d").getOrElse(f)
+        else (Seq(f, dv.getOrElse("-")) ++ eq).mkString("\t")
       })
       val now = System.currentTimeMillis()
-      fresh.foreach { case (f, _) => seen(f) = now }
+      fresh.foreach { case (f, _, _) => seen(f) = now }
     }
     FlsOffset(lastBatch)
   }
@@ -246,7 +257,10 @@ class FlsMicroBatchStream(
     val files = logged.map(_._1)
     // discovery-frozen DV per file (absolute sidecar path)
     val dvByFile: Map[String, String] =
-      logged.collect { case (f, Some(dv)) => f -> dv }.toMap
+      logged.collect { case (f, Some(dv), _) => f -> dv }.toMap
+    // discovery-frozen equality residuals per file
+    val eqByFile: Map[String, Seq[String]] =
+      logged.collect { case (f, _, eq) if eq.nonEmpty => f -> eq }.toMap
     val footers = FlsFooters.list(files, conf)
       .map(f => f.copy(table = graft.fls.Format.applyRenames(f.table, tableSchema)))
     if (footers.length != files.length) {
@@ -292,7 +306,8 @@ class FlsMicroBatchStream(
         table.rowGroups.foreach { rg =>
           if (FlsZoneMap.mayMatch(rg, nameToIdx, table.columns, filters, rowStart)) {
             parts += FlsRgUnit(entry.file.toString, rg, rowStart, fileIdx, pvals,
-              table.columns, dv = dvByFile.get(entry.file.toString))
+              table.columns, dv = dvByFile.get(entry.file.toString),
+              eq = eqByFile.getOrElse(entry.file.toString, Nil))
           }
           rowStart += rg.nTuples
         }

@@ -134,6 +134,17 @@ class FlsPartitionReader(
   private def loadDv(c: FlsFileChunk): Array[Long] =
     c.dv.map(p => graft.fls.FlsDeleteVectors.readAbsolute(p, conf)).orNull
 
+  /** Current chunk's equality-delete exclusions, compiled against THIS
+    * file's column types ([[graft.fls.FlsEqResidual]]) — like the DV,
+    * applied unconditionally in every scan mode (no Catalyst residual
+    * re-checks them), by decoding the predicate column (memo-shared
+    * with the projection) and narrowing the selection. */
+  private var eqExcls: Array[graft.fls.FlsEqResidual.Excl] =
+    if (chunk == null) Array.empty else mkEqExcls(chunk)
+  private def mkEqExcls(c: FlsFileChunk): Array[graft.fls.FlsEqResidual.Excl] =
+    if (c.eq.isEmpty) Array.empty
+    else graft.fls.FlsEqResidual.compile(c.eq, c.fileColumns)
+
   /** Change-data-feed emit mode: serve ONLY these file-absolute
     * positions (sorted; the set difference of the chunk's two sidecars,
     * computed here where the sidecars live — one task-side read each,
@@ -405,6 +416,46 @@ class FlsPartitionReader(
         dvApplied = true
       }
     }
+    // Equality-delete residuals: decode each predicate's column (memo-
+    // shared with the projection) and drop matching rows from the
+    // selection — mandatory like the DV (dvApplied forces compaction:
+    // no FilterExec re-checks these). A file lacking the column stores
+    // only NULLs for it — never equal to a literal — so it compiled to
+    // colIdx = -1 and is skipped. Emit mode never coexists (the CDF
+    // refuses ranges containing an equality-delete commit).
+    if (eqExcls.length > 0 && emitPositions == null) {
+      var x = 0
+      while (x < eqExcls.length && selCount != 0) {
+        val ex = eqExcls(x)
+        if (ex.colIdx >= 0) {
+          val del = graft.fls.FlsEqResidual.deletedMask(ex, decodeAt(ex.colIdx))
+          if (selScratch == null || selScratch.length < rgTuples)
+            selScratch = new Array[Int](rgTuples)
+          if (selCount < 0) {
+            sel = selScratch
+            var k = 0
+            var i = 0
+            while (i < rgTuples) {
+              if (!del(i)) { sel(k) = i; k += 1 }
+              i += 1
+            }
+            if (k < rgTuples) { selCount = k; dvApplied = true }
+            else selCount = -1 // nothing deleted in this group
+          } else {
+            var k = 0
+            var i = 0
+            while (i < selCount) {
+              val r = sel(i)
+              if (!del(r)) { sel(k) = r; k += 1 }
+              i += 1
+            }
+            if (k < selCount) dvApplied = true
+            selCount = k
+          }
+        }
+        x += 1
+      }
+    }
     if (preds.nonEmpty) {
       if (selScratch == null || selScratch.length < rgTuples)
         selScratch = new Array[Int](rgTuples)
@@ -506,6 +557,7 @@ class FlsPartitionReader(
         chunk = part.chunks(cIdx)
         dvPositions = loadDv(chunk)
         emitPositions = loadEmit(chunk)
+        eqExcls = mkEqExcls(chunk)
         fileTypes = mkFileTypes(chunk)
         preds = FlsRowFilter.compile(rowFilters, readSchema, fileTypes, sizeBase)
         adaptOrder = new FlsRowFilter.AdaptiveOrder(preds.length)

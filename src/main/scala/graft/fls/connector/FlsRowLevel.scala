@@ -49,6 +49,10 @@ class FlsRowLevelOperation(
     * otherwise be silently undone by the rewrite). */
   private val replacedDvs =
     new AtomicReference[Map[String, String]](Map.empty)
+  /** Scan-time equality-delete residuals of the kept files — the
+    * commit aborts when a NEW predicate applies to them (replacement
+    * rows were built without it). */
+  private val replacedEq = new AtomicReference[Set[String]](Set.empty)
 
   override def command(): Command = cmd
 
@@ -68,6 +72,7 @@ class FlsRowLevelOperation(
           f.groupGranularity = true
           f.onPlanned = Some(files => replacedFiles.set(files))
           f.onPlannedDv = Some(dvs => replacedDvs.set(dvs))
+          f.onPlannedEq = Some(eq => replacedEq.set(eq))
           f
         case other => other // aggregate pushdown never fires here
       }
@@ -111,6 +116,7 @@ class FlsRowLevelOperation(
         val underlying = new FlsWrite(merged, doTruncate = false,
           replaceFilesThunk = Some(thunk),
           replacedDvThunk = Some(() => replacedDvs.get()),
+          replacedEqThunk = Some(() => replacedEq.get()),
           // history + the change-data-feed see the COMMAND (delete/
           // update/merge), not the physical append-of-replacements
           opOverride =
@@ -216,8 +222,15 @@ class FlsRowLevelOperationBuilder(
       case Command.MERGE => "merge_mode"
     }
     val mode = Option(tableOptions.get(knob)).getOrElse("copy-on-write")
-    require(mode == "copy-on-write" || mode == "merge-on-read",
-      s"fls: $knob must be 'copy-on-write' or 'merge-on-read', got '$mode'")
+    // `delete_mode=equality` routes supported-shape DELETEs to the
+    // O(1) predicate commit BEFORE Spark plans a row-level operation
+    // ([[FlsDelete]] via canDeleteWhere); a DELETE that still lands
+    // here has an unsupported shape and takes the copy-on-write leg
+    require(mode == "copy-on-write" || mode == "merge-on-read" ||
+        (mode == "equality" && info.command() == Command.DELETE),
+      s"fls: $knob must be 'copy-on-write' or 'merge-on-read'" +
+        (if (info.command() == Command.DELETE) " or 'equality'" else "") +
+        s", got '$mode'")
     // merge CDC needs the delta write path: only there does the writer
     // see each row's operation (matched update vs unmatched insert vs
     // matched delete). The copy-on-write rewrite receives "all rows of

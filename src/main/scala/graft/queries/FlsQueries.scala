@@ -1765,7 +1765,68 @@ object FlsQueries {
       FROM orders
       WHERE o_orderkey IN (1, 2, 32, 998, -5, 17, 100003)"""
 
+  /** Equality deletes ([[graft.fls.FlsEqDeletes]]), oracle-gated: the
+    * GDPR shape — `DELETE WHERE key = X` on an UNCLUSTERED key commits
+    * the predicate itself as one manifest line (O(1) data reads; the
+    * zero-jobs property is spec-locked in FlsEqDeleteSpec) and every
+    * reader applies it as a decode-time residual. The gate stacks the
+    * moves that make the semantics subtle: a string-key delete, a
+    * REINSERT of a subset of the deleted keys (appends after the
+    * predicate carry a newer birth version → out of scope — the rows
+    * must COME BACK), then a second, long-key IN delete over both
+    * generations. DuckDB reconstructs the final state relationally
+    * from raw parquet, so a residual missing one file, one generation
+    * misscoped, or a resurrect through any scan path breaks the hash. */
+  def q118FlsEqualityDelete(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "eqd_warehouse")
+    val cat = s"fls_eqd_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.cust_eqd"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_eqd")
+      if (!done.contains(warehouse + "@eqd") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "customer").createOrReplaceTempView(s"cust_eqd_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (c_custkey BIGINT, c_mktsegment " +
+          "STRING, c_acctbal DOUBLE) TBLPROPERTIES " +
+          "('commit_mode'='manifest', 'delete_mode'='equality')")
+        // unclustered: every file spans the segment/key domain, so the
+        // delete straddles all of them — the shape CoW/MOR pay for
+        spark.sql(s"INSERT INTO $tbl SELECT /*+ REPARTITION(8) */ " +
+          "c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) " +
+          s"FROM cust_eqd_src_$key")
+        spark.sql(s"DELETE FROM $tbl WHERE c_mktsegment = 'BUILDING'")
+        // appended AFTER the predicate → newer birth version → exempt
+        spark.sql(s"INSERT INTO $tbl SELECT c_custkey, c_mktsegment, " +
+          s"CAST(c_acctbal AS DOUBLE) FROM cust_eqd_src_$key " +
+          "WHERE c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0")
+        // second predicate, long key, applies to BOTH generations
+        spark.sql(s"DELETE FROM $tbl WHERE c_custkey IN (1, 5, 9999)")
+        marker.createNewFile()
+      }
+      done += warehouse + "@eqd"
+    }
+    spark.table(tbl).groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("c_acctbal")))).as("bal"),
+        sum(col("c_custkey")).as("sumk"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q118Sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+        CAST(sum(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS bal,
+        CAST(sum(c_custkey) AS BIGINT) AS sumk
+      FROM customer
+      WHERE (c_mktsegment <> 'BUILDING' OR c_custkey % 7 = 0)
+        AND c_custkey NOT IN (1, 5, 9999)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_fls_equality_delete" -> (q118FlsEqualityDelete _),
     "q117_fls_bloom_lookup" -> (q117FlsBloomLookup _),
     "q116_fls_write_audit_publish" -> (q116FlsWriteAuditPublish _),
     "q115_fls_spec_evolution" -> (q115FlsSpecEvolution _),
@@ -1810,6 +1871,7 @@ object FlsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q118_fls_equality_delete" -> q118Sql,
     "q117_fls_bloom_lookup" -> q117Sql,
     "q116_fls_write_audit_publish" -> q116Sql,
     "q115_fls_spec_evolution" -> q115Sql,

@@ -1,0 +1,220 @@
+package graft.fls
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Equality deletes ([[FlsEqDeletes]] / [[FlsEqResidual]]): the
+  * predicate commits in O(1) data reads (zero Spark jobs — asserted),
+  * readers apply it as an exact decode-time residual in every scan
+  * mode, appends after the predicate are out of scope (birth-version
+  * rule), rewrites absorb it, rollback restores it, and the
+  * feed/incremental/metadata shortcuts that cannot stay exact refuse
+  * loudly. */
+class FlsEqDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val tmp = Files.createTempDirectory("fls-eqdel-spec").toString
+  private val cat = "fls_eqd_spec"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("fls-eqdel-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+      .config(s"spark.sql.catalog.$cat.path", s"$tmp/warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def mkTable(name: String, extraProps: String = ""): (String, String) = {
+    val tbl = s"$cat.db.$name"
+    val dir = s"$tmp/warehouse/db/$name"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, seg STRING, v DOUBLE) " +
+      s"TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='equality'$extraProps)")
+    // unclustered: every file spans the id/seg domain
+    spark.range(0, 100).selectExpr("id",
+      "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS seg",
+      "CAST(id AS DOUBLE) / 4 AS v")
+      .repartition(5).writeTo(tbl).append()
+    (tbl, dir)
+  }
+
+  private def ids(tbl: String): Set[Long] =
+    spark.table(tbl).select("id").collect().map(_.getLong(0)).toSet
+
+  test("point delete by key commits with ZERO Spark jobs and is exact " +
+      "across files, scan modes, and aggregates") {
+    val (tbl, dir) = mkTable("zero_jobs")
+    var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE seg = 'b'") // 33 rows, 5 files
+      Thread.sleep(300) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"equality delete ran $jobs Spark job(s) — not O(1)")
+    // the predicate is IN the manifest, not in rewritten files
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val (headV, _) = FlsManifest.readVersioned(fs, new Path(dir)).get
+    assert(FlsManifest.versionEq(fs, new Path(dir), headV).nonEmpty)
+    // exactness through the ordinary scan...
+    assert(ids(tbl) == (0L until 100L).filter(_ % 3 != 1).toSet)
+    // ...through a filtered scan on ANOTHER column...
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE v < 5")
+      .collect()(0).getLong(0) == (0L until 100L)
+        .count(i => i % 3 != 1 && i / 4.0 < 5))
+    // ...and the footer count(*) shortcut must NOT serve stale counts
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0) == 67)
+  }
+
+  test("IN-list delete on a long key; appends after the predicate are " +
+      "OUT of scope (birth-version rule)") {
+    val (tbl, _) = mkTable("bv_scope")
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (2, 4, 6, 98)")
+    assert(!ids(tbl).exists(Set(2L, 4L, 6L, 98L)))
+    // reinsert two of the deleted keys: fresh birth version → visible
+    spark.sql(s"INSERT INTO $tbl VALUES (2, 'a', 0.5), (6, 'c', 1.5)")
+    assert(ids(tbl).contains(2L) && ids(tbl).contains(6L))
+    assert(!ids(tbl).contains(4L) && !ids(tbl).contains(98L))
+    // a second predicate stacks and applies to both generations
+    spark.sql(s"DELETE FROM $tbl WHERE id = 6")
+    assert(!ids(tbl).contains(6L) && ids(tbl).contains(2L))
+  }
+
+  test("unsupported shapes fall back to the rewrite ladder and stay exact") {
+    val (tbl, _) = mkTable("fallback")
+    spark.sql(s"DELETE FROM $tbl WHERE seg = 'a'") // equality path
+    // range predicate: not equality-expressible → row-level fallback
+    spark.sql(s"DELETE FROM $tbl WHERE id > 90")
+    assert(ids(tbl) == (0L until 91L).filter(_ % 3 != 0).toSet)
+  }
+
+  test("compaction absorbs the predicate: rows stay deleted, the " +
+      "manifest line is dropped, metadata aggregates re-arm") {
+    val (tbl, dir) = mkTable("absorb")
+    spark.sql(s"DELETE FROM $tbl WHERE seg = 'c'")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def activeEq: Seq[String] =
+      FlsManifest.versionEq(fs, p, FlsManifest.readVersioned(fs, p).get._1)
+    assert(activeEq.nonEmpty)
+    FlsMaintenance.compact(spark, dir, targetRowsPerFile = 1000000)
+    assert(activeEq.isEmpty, "compaction did not absorb the predicate")
+    assert(ids(tbl) == (0L until 100L).filter(_ % 3 != 2).toSet)
+    // a post-absorption insert of a deleted key is unaffected history
+    spark.sql(s"INSERT INTO $tbl VALUES (2, 'c', 0.5)")
+    assert(ids(tbl).contains(2L))
+  }
+
+  test("UPDATE after an equality delete does not resurrect its rows " +
+      "(copy-on-write rewrite reads through the residual)") {
+    val (tbl, _) = mkTable("cow_update", extraProps = ", 'update_mode'='copy-on-write'")
+    spark.sql(s"DELETE FROM $tbl WHERE seg = 'b'")
+    spark.sql(s"UPDATE $tbl SET v = v + 100 WHERE id < 50")
+    assert(ids(tbl) == (0L until 100L).filter(_ % 3 != 1).toSet)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE v >= 100")
+      .collect()(0).getLong(0) == (0L until 50L).count(_ % 3 != 1))
+  }
+
+  test("merge-on-read DELETE and an equality delete compose (DV + residual)") {
+    val (tbl, _) = mkTable("dv_mix", extraProps = "")
+    // flip to MOR for a positional delete, then back via a new predicate
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('delete_mode'='merge-on-read')")
+    spark.sql(s"DELETE FROM $tbl WHERE id >= 40 AND id < 45") // DV positions
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('delete_mode'='equality')")
+    spark.sql(s"DELETE FROM $tbl WHERE seg = 'a'") // residual on same files
+    assert(ids(tbl) ==
+      (0L until 100L).filter(i => i % 3 != 0 && !(i >= 40 && i < 45)).toSet)
+  }
+
+  test("time travel and rollback restore eq-deleted rows exactly") {
+    val (tbl, dir) = mkTable("travel") // v1
+    spark.sql(s"DELETE FROM $tbl WHERE seg = 'a'") // v2 (eqdelete)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1")
+      .collect()(0).getLong(0) == 100)
+    assert(spark.table(tbl).count() == 66)
+    FlsMaintenance.rollback(spark, dir, toVersion = 1) // v3 restores
+    assert(spark.table(tbl).count() == 100)
+    // and rolling FORWARD again to v2's state via VERSION AS OF still
+    // applies v2's predicate (snapshot-consistent residuals)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2")
+      .collect()(0).getLong(0) == 66)
+  }
+
+  test("CDF and incremental reads refuse ranges containing an equality " +
+      "delete; ranges after it serve normally") {
+    val (tbl, dir) = mkTable("cdf_refuse") // v1
+    spark.sql(s"DELETE FROM $tbl WHERE id = 7") // v2 eqdelete
+    spark.sql(s"INSERT INTO $tbl VALUES (200, 'a', 2.0)") // v3
+    val e = intercept[Exception](spark.read.format("fls")
+      .option("cdf_from_version", "1").load(dir).collect())
+    assert(e.getMessage.contains("equality-delete"), e.getMessage)
+    // range strictly after the eqdelete commit works
+    val rows = spark.read.format("fls").option("cdf_from_version", "2")
+      .load(dir).collect()
+    assert(rows.map(_.getAs[Long]("id")).toSet == Set(200L))
+    // incremental reads: same refusal stance
+    val e2 = intercept[Exception](spark.read.format("fls")
+      .option("changes_from_version", "1").load(dir).collect())
+    assert(e2.getMessage.contains("equality delete"), e2.getMessage)
+    assert(spark.read.format("fls").option("changes_from_version", "2")
+      .load(dir).count() == 1)
+  }
+
+  test("value-producing metadata shortcuts refuse residual files: " +
+      "ORDER BY ... LIMIT stays exact when the extreme is deleted") {
+    val (tbl, _) = mkTable("topn_gate")
+    spark.sql(s"DELETE FROM $tbl WHERE id = 99") // the max
+    val top = spark.sql(s"SELECT id FROM $tbl ORDER BY id DESC LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(98L, 97L, 96L))
+    val mx = spark.sql(s"SELECT max(id) AS m, min(id) AS n, count(*) AS c FROM $tbl")
+      .collect()(0)
+    assert(mx.getLong(0) == 98L && mx.getLong(1) == 0L && mx.getLong(2) == 99L)
+  }
+
+  test("a streaming read freezes residuals at discovery (initial " +
+      "snapshot never serves eq-deleted rows)") {
+    val (tbl, dir) = mkTable("stream_eq")
+    spark.sql(s"DELETE FROM $tbl WHERE seg = 'c'")
+    val q = spark.readStream.format("fls")
+      .schema(spark.read.format("fls").load(dir).schema)
+      .load(dir)
+      .writeStream.format("memory").queryName("eqd_stream")
+      .option("checkpointLocation", s"$tmp/eqd_stream_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("eqd_stream").select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == (0L until 100L).filter(_ % 3 != 2).toSet)
+  }
+
+  test("branch-optioned equality delete refuses (write-audit-publish " +
+      "isolation), like every other branch DML") {
+    val (tbl, dir) = mkTable("eq_branch")
+    spark.sql(s"CALL $cat.system.create_branch(`table` => 'db.eq_branch', " +
+      "name => 'wip')")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('branch'='wip')")
+      try spark.sql(s"DELETE FROM $tbl WHERE seg = 'a'")
+      finally spark.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES ('branch')")
+    }
+    assert(e.getMessage.toLowerCase.contains("branch"), e.getMessage)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(FlsManifest.versionEq(fs, new Path(dir),
+      FlsManifest.readVersioned(fs, new Path(dir)).get._1).isEmpty)
+  }
+}

@@ -108,9 +108,17 @@ class FlsManifestSegmentSpec extends AnyFunSuite with BeforeAndAfterAll {
     val chunksAfter = chunkNames(fs, dir)
     assert(chunksBefore.subsetOf(chunksAfter))
     assert((chunksAfter -- chunksBefore).size == 1)
-    // and the table still round-trips exactly, stats included
+    // and the table still round-trips exactly: every entry carries its
+    // original stats PLUS the commit-stamped birth version (v1 for the
+    // base, v2 for the append — the equality-delete applicability cursor)
     val got = FlsManifest.readVersion(fs, dir, 2L)
-    assert(got.toSet == (base :+ entry(9000)).toSet)
+    assert(got.map(_.rel).toSet == (base :+ entry(9000)).map(_.rel).toSet)
+    got.foreach { e =>
+      val expectBv = if (e.rel == entry(9000).rel) 2L else 1L
+      assert(FlsFileStats.birthOf(e.stats) == expectBv, e.rel)
+      if (e.rel != entry(9000).rel)
+        assert(e.stats.contains("\"rows\":"), s"stats lost fields: ${e.stats}")
+    }
     assert(got.map(_.rel) == got.map(_.rel).sorted) // deterministic order
   }
 
