@@ -90,8 +90,15 @@ object Dedup {
   }
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    shCache.getOrBuild(spark, dir)(
-        t(spark, dir, "documents")
+    shingledFrom(spark, dir, t(spark, dir, "documents"))
+
+  /** Same shingling over an arbitrary documents frame (doc_id, text) --
+    * the fls-sourced incremental-signature path ([[IncrementalDedup]])
+    * shares one definition with the parquet queries. */
+  private[queries] def shingledFrom(spark: SparkSession, cacheKey: String,
+      docs: DataFrame): DataFrame =
+    shCache.getOrBuild(spark, cacheKey)(
+        docs
           .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), expr(ShinglesSpark).as("gr"))
           .withColumn("nsh", size(col("gr")))
@@ -116,8 +123,12 @@ object Dedup {
   private val grCache = new graft.util.SessionCache
 
   private def groupsOf(spark: SparkSession, dir: String): DataFrame =
-    grCache.getOrBuild(spark, dir)(
-        shingled(spark, dir)
+    groupsFrom(spark, dir, shingled(spark, dir))
+
+  private[queries] def groupsFrom(spark: SparkSession, cacheKey: String,
+      sh: DataFrame): DataFrame =
+    grCache.getOrBuild(spark, cacheKey)(
+        sh
           .groupBy("ghash").agg(first(col("gr")).as("gr"), first(col("nsh")).as("nsh"))
           .persist(storageLevel))
 
@@ -139,9 +150,14 @@ object Dedup {
     * within-group pairs. Output == naive per-doc join, at the cost of a
     * similarity join over distinct sets only. */
   private def verifyAndExpand(candGroups: DataFrame, spark: SparkSession,
-      dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-    val groups = groupsOf(spark, dir)
+      dir: String): DataFrame =
+    verifyAndExpandFrom(candGroups, shingled(spark, dir), groupsOf(spark, dir))
+
+  /** Same verification + expansion over explicit shingled/groups
+    * frames -- shared with the fls-sourced incremental-signature gate
+    * ([[IncrementalDedup]]). */
+  private[queries] def verifyAndExpandFrom(candGroups: DataFrame,
+      sh: DataFrame, groups: DataFrame): DataFrame = {
     // Size-ratio prefilter FIRST, over (ghash, nsh) only: j >= 0.8
     // forces min/max size >= 0.8, and pruning on the narrow sizes means
     // the full shingle arrays are only shuffled for pairs that survive
@@ -217,6 +233,18 @@ object Dedup {
     verifyAndExpand(cand, spark, dir)
   }
 
+  /** The 16 salted min-hash slot aggregates of q22, over an exploded
+    * shingle column `s` -- ONE definition shared with the incremental
+    * signature maintenance ([[IncrementalDedup]]), so a signature
+    * computed per-doc at ingest is bit-identical to the one q22 would
+    * compute from scratch. Each slot re-hashes with a distinct salt:
+    * affine remixes of one base hash correlate slot minima (observed:
+    * a true pair missed at 80k-doc scale). */
+  private[queries] def minHashAggs: Seq[org.apache.spark.sql.Column] =
+    (0 until 16).map { k =>
+      min(pmod(xxhash64(concat(col("s"), lit("" + k))), lit(2147483647L))).as(s"m$k")
+    }
+
   /** q22: MinHash-LSH near-dup over DISTINCT shingle sets: 16
     * min-hashes per set, each a bucket key (b=16, r=1 with a >=2-slot
     * vote → recall at j=0.8 is 1 - 4e-10); bucket-join candidates, then
@@ -231,9 +259,7 @@ object Dedup {
     // base hash correlate slot minima (observed: a true pair missed at
     // 80k-doc scale), salted xxhash64 slots are independent.
     val hashed = groups.select(col("ghash"), explode(col("gr")).as("s"))
-    val minAggs = (0 until 16).map { k =>
-      min(pmod(xxhash64(concat(col("s"), lit("" + k))), lit(2147483647L))).as(s"m$k")
-    }
+    val minAggs = minHashAggs
     // persisted (17 narrow columns per distinct set): the bucket
     // self-join references this on both sides, and without the cache
     // each side re-runs the shingle explode + 16 min-aggregates
@@ -604,7 +630,44 @@ object Dedup {
       }
     }
 
+  /** q119: q22's near-dup result served from INCREMENTALLY MAINTAINED
+    * signatures ([[IncrementalDedup]]): the documents land in an fls
+    * manifest table in TWO commits, the signature table refreshes
+    * after each (the second refresh reads only the second commit's
+    * files — spec-asserted scan bytes), and the bucket join runs over
+    * the persisted per-doc signatures instead of re-shingling the
+    * corpus. The oracle is the same brute-force near-dup SQL as
+    * q21/q22 over the full parquet table, so one stale, missing, or
+    * double-counted signature breaks the hash. */
+  def q119DedupIncrementalSig(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_fls_cache_v4/${key}_incsig"
+    val docsDir = s"$base/docs"
+    val sigDir = s"$base/sigs"
+    synchronized {
+      val marker = new java.io.File(s"$base/_done_incsig")
+      if (!incSigDone.contains(base) && !marker.exists()) {
+        new java.io.File(base).mkdirs()
+        val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+        docs.filter(col("doc_id") % 5 < 4)
+          .write.format("fls").mode("overwrite")
+          .option("commit_mode", "manifest").save(docsDir)
+        IncrementalDedup.refresh(spark, docsDir, sigDir)
+        docs.filter(col("doc_id") % 5 === 4)
+          .write.format("fls").mode("append")
+          .option("commit_mode", "manifest").save(docsDir)
+        IncrementalDedup.refresh(spark, docsDir, sigDir)
+        marker.createNewFile()
+      }
+      incSigDone += base
+    }
+    IncrementalDedup.nearDupsFromSignatures(spark, docsDir, sigDir,
+      cacheKey = s"$dir#incsig")
+  }
+  private val incSigDone = scala.collection.mutable.HashSet[String]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_dedup_incremental_sig" -> (q119DedupIncrementalSig _),
     "q20_dedup_exact" -> (q20ExactDedup _),
     "q21_dedup_ngram_jaccard" -> (q21NgramJaccard _),
     "q22_dedup_minhash_lsh" -> (q22MinhashLsh _),
@@ -616,6 +679,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q119_dedup_incremental_sig" -> NearDupOracleSql,
     "q20_dedup_exact" -> q20Sql,
     "q21_dedup_ngram_jaccard" -> NearDupOracleSql,
     "q22_dedup_minhash_lsh" -> NearDupOracleSql,

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fls.{FlsFileStats, FlsManifest}
+
+/** Incremental MinHash signature maintenance — the r14 verdict's gap
+  * #4: q22's signatures previously recomputed over the WHOLE corpus on
+  * every run, when the fls manifest cursor (the q105 incremental-read
+  * contract) already bounds what changed. [[refresh]] maintains a
+  * per-document signature TABLE (itself an fls manifest table) from
+  * `changes_from_version`: each call reads ONLY the document files
+  * appended since the last processed version, computes their
+  * signatures with q22's exact expressions ([[Dedup.minHashAggs]] —
+  * bit-identical to a from-scratch pass), and appends them in one
+  * manifest commit stamped with the source version processed.
+  *
+  * CRASH CONSISTENCY: the cursor is not a side file — it is
+  * `max(src_version)` over the signature table itself, resolved from
+  * the MANIFEST's per-file column stats (zero data reads), so the
+  * signature append and the cursor advance are one atomic CAS. A
+  * refresh that crashes before its commit changes nothing; rerun.
+  *
+  * APPEND-ONLY by inheritance: a rewrite/DELETE/equality-delete in the
+  * cursor range makes `changes_from_version` itself refuse (the q105
+  * contract), which is exactly right — deleted documents would leave
+  * stale signatures. [[rebuild]] is the recovery: drop and recompute
+  * from the current snapshot.
+  *
+  * At 100 TB: daily dedup ingest becomes O(new data) — signatures for
+  * the day's appends, then q22's bucket join over the accumulated
+  * signature table (narrow 17-column rows, ~140 B/doc), with exact
+  * jaccard verification still reading only candidate groups. */
+object IncrementalDedup {
+
+  final case class RefreshStats(fromVersion: Long, toVersion: Long,
+      docsSigned: Long)
+
+  /** Signatures of one documents frame: (doc_id, ghash, nsh,
+    * m0..m15, src_version) — per DOC (not per distinct set): each doc
+    * signs independently, which is what makes maintenance
+    * embarrassingly incremental. Empty shingle sets sign as no row
+    * (they can never appear in a candidate bucket — q22 semantics). */
+  private def signatures(docs: DataFrame, srcVersion: Long): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), expr(Dedup.ShinglesSpark).as("gr"))
+      .withColumn("nsh", size(col("gr")))
+      .withColumn("ghash",
+        expr("md5(CAST(array_join(array_sort(gr), '') AS BINARY))"))
+    val hashed = sh.select(col("doc_id"), col("ghash"), col("nsh"),
+      explode(col("gr")).as("s"))
+    val aggs = Dedup.minHashAggs
+    hashed.groupBy("doc_id", "ghash", "nsh").agg(aggs.head, aggs.tail: _*)
+      .withColumn("src_version", lit(srcVersion))
+  }
+
+  /** The signature table's cursor: the newest source version whose
+    * appends are signed. Resolved from the sig table's MANIFEST stats
+    * (per-file min/max of `src_version`) — no data read, no Spark job. */
+  def cursorOf(spark: SparkSession, sigDir: String): Long = {
+    val root = new Path(sigDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    FlsManifest.readVersioned(fs, root) match {
+      case None => 0L
+      case Some((_, entries)) =>
+        entries.flatMap { e =>
+          FlsFileStats.toDesc(e.stats).flatMap { t =>
+            val i = t.columns.indexWhere(_.name == "src_version")
+            if (i < 0) None
+            else t.rowGroups.headOption.map(_.segments(i).maxLong)
+          }
+        }.maxOption.getOrElse(0L)
+    }
+  }
+
+  /** Bring the signature table at `sigDir` up to `docsDir`'s head:
+    * reads ONLY the document files appended in (cursor, head]. No-op
+    * (zero jobs) when already current. */
+  def refresh(spark: SparkSession, docsDir: String,
+      sigDir: String): RefreshStats = {
+    val root = new Path(docsDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val (head, _) = FlsManifest.readVersioned(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"fls: $docsDir has no manifest log — incremental signature " +
+          "maintenance needs a commit_mode=manifest documents table"))
+    val cursor = cursorOf(spark, sigDir)
+    if (cursor >= head) return RefreshStats(cursor, head, 0L)
+    // only the files commits in (cursor, head] added — refuses loudly
+    // if the range saw deletes/rewrites/equality deletes (stale
+    // signatures would otherwise survive); rebuild() is the recovery
+    val added = spark.read.format("fls")
+      .option("changes_from_version", cursor.toString)
+      .option("changes_to_version", head.toString)
+      .load(docsDir)
+    val sigs = signatures(added, head)
+    sigs.write.format("fls").mode("append")
+      .option("commit_mode", "manifest").save(sigDir)
+    val n = spark.read.format("fls").load(sigDir)
+      .filter(col("src_version") === head).count()
+    RefreshStats(cursor, head, n)
+  }
+
+  /** Recovery from a non-append-only range (or a lost sig table):
+    * recompute the whole signature table from the current snapshot. */
+  def rebuild(spark: SparkSession, docsDir: String,
+      sigDir: String): RefreshStats = {
+    val root = new Path(docsDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val (head, _) = FlsManifest.readVersioned(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"fls: $docsDir has no manifest log"))
+    val sigs = signatures(spark.read.format("fls").load(docsDir), head)
+    sigs.write.format("fls").mode("overwrite")
+      .option("commit_mode", "manifest").save(sigDir)
+    RefreshStats(0L, head,
+      spark.read.format("fls").load(sigDir).count())
+  }
+
+  /** q22's full near-dup result served FROM the maintained signature
+    * table: bucket candidates from persisted signatures (dedup'd to
+    * distinct sets — identical docs share a ghash and carry identical
+    * signatures by construction), exact-jaccard verification and
+    * member expansion against the documents table. The signature
+    * sweep — the corpus-sized cost center — reads narrow persisted
+    * rows instead of re-shingling the world. */
+  def nearDupsFromSignatures(spark: SparkSession, docsDir: String,
+      sigDir: String, cacheKey: String): DataFrame = {
+    val sig = spark.read.format("fls").load(sigDir)
+      .dropDuplicates("ghash")
+    val buckets = sig.select(col("ghash"),
+      posexplode(array((0 until 16).map(k => col(s"m$k")): _*)).as(Seq("slot", "mh")))
+    val cand = buckets.select(col("ghash").as("gh_a"), col("slot"), col("mh"))
+      .join(buckets.select(col("ghash").as("gh_b"), col("slot"), col("mh")),
+        Seq("slot", "mh"))
+      .filter(col("gh_a") < col("gh_b"))
+      .groupBy("gh_a", "gh_b")
+      .agg(count(lit(1)).as("n_slots"))
+      .filter(col("n_slots") >= 2)
+      .select("gh_a", "gh_b")
+    val docs = spark.read.format("fls").load(docsDir)
+      .select(col("doc_id"), col("text"))
+    val sh = Dedup.shingledFrom(spark, cacheKey, docs)
+    Dedup.verifyAndExpandFrom(cand, sh, Dedup.groupsFrom(spark, cacheKey, sh))
+  }
+}
