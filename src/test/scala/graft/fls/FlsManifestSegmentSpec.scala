@@ -261,5 +261,19 @@ class FlsManifestSegmentSpec extends AnyFunSuite with BeforeAndAfterAll {
     FlsMaintenance.vacuum(spark, dir.toString, olderThanHours = 0)
     assert(spark.table(tbl).count() == 37)
     assert(FlsManifest.liveChunkRefs(fs, dir) == chunkNames(fs, dir))
+    // the metadata tables read through the chunk resolve too: .history
+    // lists every retained version, .files serves the head's entry set
+    // with its pruning pushdown intact
+    val hist = spark.sql(s"SELECT version, operation FROM $tbl.history " +
+      "ORDER BY version").collect()
+    assert(hist.length >= 5, hist.mkString(","))
+    assert(hist.last.getString(1) == "fast_forward")
+    val files = spark.sql(s"SELECT file, n_rows FROM $tbl.files").collect()
+    assert(files.length > InlineMax) // chunked head, all entries served
+    assert(files.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum == 40L)
+    // file-name pushdown still prunes entry rows (filter-sized output)
+    val one = files.head.getString(0)
+    assert(spark.sql(s"SELECT * FROM $tbl.files WHERE file = '$one'")
+      .count() == 1)
   }
 }
