@@ -49,16 +49,18 @@ object IvfRecallProbe {
     measure("nprobe=1 raw centroids", 1, lloyd = false) // round-2 shape
     measure("nprobe=1 +lloyd", 1, lloyd = true)
     measure("nprobe=2 +lloyd (q26)", 2, lloyd = true)
-    // CAPPED quantizer (r12): force the centroid cap far below ⌈√n⌉ so
-    // cells grow as n/cap — the shape a 10^11-vector corpus hits with
-    // the default 64Ki cap. Recall must HOLD (cell membership changes,
-    // but query routing still picks the nearest cells); only per-probe
-    // scan cost grows.
+    // TWO-LEVEL quantizer (r15): force the centroid cap far below ⌈√n⌉
+    // — the shape a 10^11-vector corpus hits with the default 64Ki cap.
+    // Past the cap the quantizer goes two-level (L1 group routing +
+    // per-group L2 scoring, Similarity.rankedTwoLevel): cell count
+    // stays ~⌈√n⌉ with every broadcast bounded. Recall must HOLD —
+    // the top-2 group routing is the knob that keeps boundary vectors
+    // finding their true nearest cells.
     val sqrtN = math.ceil(math.sqrt(
       spark.read.parquet(s"$dir/embeddings.parquet").count().toDouble)).toLong
     val forced = math.max(4L, sqrtN / 4)
     sys.props("graft.ivf.maxCentroids") = forced.toString
-    try measure(s"nprobe=2 +lloyd cap=$forced", 2, lloyd = true)
+    try measure(s"nprobe=2 two-level cap=$forced", 2, lloyd = false)
     finally sys.props.remove("graft.ivf.maxCentroids")
     spark.stop()
   }

@@ -63,6 +63,27 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cents.count() > 0)
   }
 
+  test("past the centroid cap the quantizer goes two-level, persists " +
+      "its index, and refuses a Lloyd request loudly") {
+    Similarity.indexBuilds = 0L
+    val out = Similarity.ivfAnn(spark, sf, nprobe = 2, lloyd = false,
+      maxCentroids = 4).collect()
+    assert(out.nonEmpty)
+    assert(Similarity.indexBuilds == 1L)
+    val idx = new java.io.File(s"$tmp/index").listFiles()
+      .find(_.getName.contains("_ivf2l_"))
+    assert(idx.isDefined, "two-level index artifact missing")
+    // served from the artifact in a cold session, like the flat index
+    Similarity.unpersistAll()
+    val again = Similarity.ivfAnn(spark.newSession(), sf, nprobe = 2,
+      lloyd = false, maxCentroids = 4).collect()
+    assert(Similarity.indexBuilds == 1L)
+    assert(again.toSeq == out.toSeq)
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfAnn(spark, sf, nprobe = 2, lloyd = true, maxCentroids = 4))
+    assert(e.getMessage.contains("two-level"))
+  }
+
   test("a corpus change invalidates the fingerprint and rebuilds") {
     // private corpus copy we can append to
     val dir = s"$tmp/corpus"
