@@ -277,43 +277,6 @@ object Similarity {
       return finishAnn(spark, e, r, nprobe)
     }
     val nCent = ideal
-    val cents0 = e.filter(col("vec_id") < nCent)
-      .select(col("vec_id").as("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"))
-
-    // assign: rank centroids per vector by cosine. The dots are computed
-    // ONCE into a NARROW (vec_id, cent_id, ccos) frame — the rank sort
-    // then moves 24-byte triples, not 550-byte vector rows; the winning
-    // cells join back to the vectors on vec_id, co-partitioned with e's
-    // partitioning. Ties break to the lowest cent_id.
-    def ranked(cents: DataFrame, upTo: Int): DataFrame = {
-      val scored = e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cent_id"),
-          (cosExpr / (col("nr_q") * col("nr_c"))).as("ccos"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cent_id").asc)
-      scored.withColumn("ar", row_number().over(w)).filter(col("ar") <= upTo)
-    }
-
-    val cents =
-      if (!lloyd) cents0
-      else {
-        // one Lloyd refinement: new centroid = per-dimension mean of the
-        // cell's members. Decimal sums are exact (order-independent);
-        // the single double division afterwards is IEEE-deterministic.
-        val cells0 = ranked(cents0, 1).select(col("vec_id"), col("cent_id").as("cell"))
-        val members = e.select(col("vec_id"), col("v")).join(cells0, Seq("vec_id"))
-        val comp = members.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        val means = comp.groupBy(col("cell"), col("pos"))
-          .agg(count(lit(1)).as("cnt"),
-            sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 28))).as("s"))
-          .select(col("cell"), col("pos"), (col("s").cast("double") / col("cnt")).as("m"))
-        means.groupBy(col("cell"))
-          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), z -> z.m)").as("v_q"))
-          .withColumn("nr_q", sqrt(GraftFunctions.arrayDot(col("v_q"), col("v_q"))))
-          .select(col("cell").as("cent_id"), col("v_q"), col("nr_q"))
-      }
-
     // the ranked assignments persist as an fls table artifact keyed by
     // the corpus fingerprint (see [[loadOrBuildIndex]]): a cold session
     // loads narrow triples from disk instead of re-running the corpus
@@ -325,10 +288,69 @@ object Similarity {
     val idxMeta = s"n=$nVecs;cent=$nCent;upTo=$upTo;lloyd=$lloyd"
     val r = rankCache.getOrBuild(spark, s"$dir#$nprobe#$lloyd#$nCent")(
       loadOrBuildIndex(spark, idxPath, idxMeta,
-          build = ranked(cents, upTo), cents = cents)
+          build = rankedSingleLevel(e, nCent, upTo, lloyd),
+          cents = singleLevelCents(e, nCent, lloyd))
         .persist(org.apache.spark.storage.StorageLevel.fromString(
           sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
     finishAnn(spark, e, r, nprobe)
+  }
+
+  // assign: rank centroids per vector by cosine. The dots are computed
+  // ONCE into a NARROW (vec_id, cent_id, ccos) frame — the rank sort
+  // then moves 24-byte triples, not 550-byte vector rows (and runs as
+  // a rank-LIMITED window, WindowGroupLimit: streaming top-k, never a
+  // full per-vector sort); the winning cells join back to the vectors
+  // on vec_id, co-partitioned with e's partitioning. Ties break to the
+  // lowest cent_id.
+  private def rankedAgainst(e: DataFrame, cents: DataFrame,
+      upTo: Int): DataFrame = {
+    val scored = e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (cosExpr / (col("nr_q") * col("nr_c"))).as("ccos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    scored.withColumn("ar", row_number().over(w)).filter(col("ar") <= upTo)
+  }
+
+  private def singleLevelCents(e: DataFrame, nCent: Long,
+      lloyd: Boolean): DataFrame = {
+    val cents0 = e.filter(col("vec_id") < nCent)
+      .select(col("vec_id").as("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"))
+    if (!lloyd) cents0
+    else {
+      // one Lloyd refinement: new centroid = per-dimension mean of the
+      // cell's members. Decimal sums are exact (order-independent);
+      // the single double division afterwards is IEEE-deterministic.
+      val cells0 = rankedAgainst(e, cents0, 1)
+        .select(col("vec_id"), col("cent_id").as("cell"))
+      val members = e.select(col("vec_id"), col("v")).join(cells0, Seq("vec_id"))
+      val comp = members.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      val means = comp.groupBy(col("cell"), col("pos"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 28))).as("s"))
+        .select(col("cell"), col("pos"), (col("s").cast("double") / col("cnt")).as("m"))
+      means.groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), z -> z.m)").as("v_q"))
+        .withColumn("nr_q", sqrt(GraftFunctions.arrayDot(col("v_q"), col("v_q"))))
+        .select(col("cell").as("cent_id"), col("v_q"), col("nr_q"))
+    }
+  }
+
+  private def rankedSingleLevel(e: DataFrame, nCent: Long, upTo: Int,
+      lloyd: Boolean): DataFrame =
+    rankedAgainst(e, singleLevelCents(e, nCent, lloyd), upTo)
+
+  /** Test hook (PlanShapeSpec): the quantizer's BUILD plan — the frame
+    * [[loadOrBuildIndex]] persists. Since the index became a table
+    * artifact, the SERVING plan reads persisted triples; the
+    * rank-limited-window invariant lives here. */
+  private[graft] def rankedBuildForTest(spark: SparkSession, dir: String,
+      nprobe: Int, lloyd: Boolean): DataFrame = {
+    val e = vecs(spark, dir)
+    val nCent = math.ceil(math.sqrt(
+      t(spark, dir, "embeddings").count().toDouble)).toLong
+    rankedSingleLevel(e, nCent, math.max(nprobe, 1), lloyd)
   }
 
   /** Probe + rank from a ranked-assignment frame — shared by the
