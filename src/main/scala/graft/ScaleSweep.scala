@@ -59,6 +59,15 @@ object ScaleSweep {
     println(s"[sweep] base pass over $baseDir")
     val base = timeAll(spark, baseDir, reps = 2, warm = true, capSec = capSec,
       label = "base")
+    // release the BASE pass's persisted pipeline frames before the
+    // scaled pass re-caches everything at mult× — the base-dir copies
+    // are dead weight there, and the r15 additions (q119's second
+    // shingled-corpus cache, the signature frames) pushed the
+    // accumulated storage past what execution memory could reclaim:
+    // observed as a 128× q07 executor OOM (UnsafeRow.copy in the hash
+    // aggregate) with the base caches still resident
+    graft.queries.Dedup.unpersistAll()
+    graft.queries.Similarity.unpersistAll()
     println(s"[sweep] scaled pass over $scaledDir (${mult}x, cap ${capSec}s/query)")
     // Subset mode exists to re-measure outliers against the FULL-sweep
     // archive, but the dedup family shares persisted frames (shingle
