@@ -209,6 +209,22 @@ object FlsFileStats {
     } catch { case _: Exception => 0L }
   }
 
+  /** Remove the birth-version stamp — fastForward strips it from
+    * branch-only entries before publishing, because branch-lineage
+    * version numbers do not map onto main's ([[FlsManifest.commit]]
+    * then restamps with the published MAIN version, which is when
+    * those rows became visible to main readers). */
+  def stripBirth(json: String): String = {
+    if (json == null) return null
+    try JsonMethods.parse(json) match {
+      case o: JObject =>
+        val kept = o.obj.filterNot(_._1 == "bv")
+        if (kept.isEmpty) null
+        else JsonMethods.compact(JsonMethods.render(JObject(kept)))
+      case _ => json
+    } catch { case _: Exception => json }
+  }
+
   def withBirth(json: String, v: Long): String = {
     val base = if (json == null) JObject(Nil)
       else try JsonMethods.parse(json) match {

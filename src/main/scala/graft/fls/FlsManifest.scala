@@ -559,13 +559,19 @@ object FlsManifest {
       // which is what lets rewrites/compaction ABSORB predicates and
       // appends stay out of their scope, all without per-file delete
       // metadata. Per-attempt (a lost race restamps with the new next).
+      // An entry NOT in the previous version that already CARRIES a bv
+      // keeps it: that is a RESTORED entry (rollback republishing a
+      // file a later rewrite had dropped) — restamping would lift its
+      // rows out of the restored predicates' scope and resurrect
+      // eq-deleted rows. Only fastForward deliberately strips bv
+      // (branch-lineage version numbers don't map onto main's).
       val prevRels: java.util.HashSet[String] = {
         val s = new java.util.HashSet[String]()
         cur.foreach(_._2.entries.foreach(e => s.add(e.rel)))
         s
       }
       val merged = merged0.map { e =>
-        if (prevRels.contains(e.rel)) e
+        if (prevRels.contains(e.rel) || FlsFileStats.birthOf(e.stats) > 0L) e
         else e.copy(stats = FlsFileStats.withBirth(e.stats, next))
       }
       // active equality deletes: carry (from head, or eqBase's version
@@ -989,14 +995,23 @@ object FlsManifest {
     val forkV = forkVersion(fs, dir, name)
     var prev = 0L
     val newV = commit(fs, dir, java.util.UUID.randomUUID().toString, conf,
-        op = "fast_forward") { (curV, _) =>
+        op = "fast_forward") { (curV, curEntries) =>
       if (curV != forkV) throw new java.util.ConcurrentModificationException(
         s"fls fast_forward: main of $dir advanced to v$curV past the " +
           s"fork point v$forkV while branch '$name' was being written — " +
           "the branch no longer descends from the head; re-create the " +
           "branch from the new head and replay (or merge manually)")
       prev = curV
-      branchEntries
+      // strip branch-only entries' birth versions: branch commits
+      // numbered them on the BRANCH lineage (forkV+1, forkV+2, …),
+      // which can exceed the main version this publish mints — an
+      // equality delete on main would then wrongly exempt those rows.
+      // commit() restamps them with the published main version, the
+      // moment they became visible to main readers.
+      val mainRels = curEntries.map(_.map(_.rel).toSet).getOrElse(Set.empty)
+      branchEntries.map(e =>
+        if (mainRels.contains(e.rel)) e
+        else e.copy(stats = FlsFileStats.stripBirth(e.stats)))
     }
     (prev, newV)
   }

@@ -202,6 +202,49 @@ class FlsEqDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == (0L until 100L).filter(_ % 3 != 2).toSet)
   }
 
+  test("rollback keeps restored entries' birth versions: a restored " +
+      "file stays subject to the restored predicates") {
+    val (tbl, dir) = mkTable("bv_rollback") // v1: 5 files, bv=1
+    spark.sql(s"DELETE FROM $tbl WHERE seg = 'a'") // v2: eqdelete
+    // v3: a CoW range delete REWRITES straddling files — their
+    // replacements carry bv=3, the originals drop out of the head
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('delete_mode'='copy-on-write')")
+    spark.sql(s"DELETE FROM $tbl WHERE id >= 90")
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('delete_mode'='equality')")
+    assert(ids(tbl) == (0L until 90L).filter(_ % 3 != 0).toSet)
+    // rollback to v2 republishes the ORIGINAL files (absent from the
+    // v3 head) — they must keep bv=1, so v2's predicate still covers
+    // them; a restamp would resurrect every seg='a' row they hold
+    FlsMaintenance.rollback(spark, dir, toVersion = 2)
+    assert(ids(tbl) == (0L until 100L).filter(_ % 3 != 0).toSet)
+  }
+
+  test("fast_forward restamps branch-only entries at the published " +
+      "main version: a later equality delete covers published rows") {
+    val tbl = s"$cat.db.eq_ff"
+    val dir = s"$tmp/warehouse/db/eq_ff"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, seg STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='equality')")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 'a', 1.0)") // main v1 = fork
+    spark.sql(s"CALL $cat.system.create_branch(`table` => 'db.eq_ff', " +
+      "name => 'load')")
+    // three branch commits: branch-lineage bv runs 2, 3, 4 — numbers
+    // main has NOT reached when the publish mints v2
+    (10L to 12L).foreach { i =>
+      spark.range(i, i + 1).selectExpr("id", "'b' AS seg",
+        "CAST(id AS DOUBLE) AS v")
+        .write.format("fls").mode("append")
+        .option("commit_mode", "manifest").option("branch", "load").save(dir)
+    }
+    spark.sql(s"CALL $cat.system.fast_forward(`table` => 'db.eq_ff', " +
+      "name => 'load')") // main v2
+    assert(ids(tbl) == Set(1L, 10L, 11L, 12L))
+    // equality delete at main v3: without the publish-time restamp,
+    // the last branch commit's rows (bv=4 > 3) would escape
+    spark.sql(s"DELETE FROM $tbl WHERE seg = 'b'")
+    assert(ids(tbl) == Set(1L), ids(tbl).toString)
+  }
+
   test("branch-optioned equality delete refuses (write-audit-publish " +
       "isolation), like every other branch DML") {
     val (tbl, dir) = mkTable("eq_branch")
