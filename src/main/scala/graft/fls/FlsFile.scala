@@ -223,7 +223,8 @@ object FlsFile {
     * pruning ([[FlsFileStats]]). */
   def listDataWithStats(path: Path, conf: Configuration,
       pinnedManifestVersion: Option[Long],
-      ref: String = FlsManifest.MainRef)
+      ref: String = FlsManifest.MainRef,
+      relBounds: Option[(String, String)] = None)
     : Seq[(org.apache.hadoop.fs.FileStatus, Option[String])] = {
     val fs = path.getFileSystem(conf)
     // a not-yet-created table lists as empty (a tailing stream started
@@ -256,16 +257,20 @@ object FlsFile {
     if (st.isFile) Seq((st, None))
     else if (ref != FlsManifest.MainRef) {
       pinnedManifestVersion match {
-        case Some(pv) => serve(FlsManifest.readLayoutVersion(fs, path, pv, ref))
-        case None => serve(FlsManifest.readLayoutVersioned(fs, path, ref)
+        case Some(pv) => serve(FlsManifest.readLayoutVersion(fs, path, pv,
+          ref, relBounds))
+        case None => serve(FlsManifest.readLayoutVersioned(fs, path, ref,
+            relBounds)
           .getOrElse(throw new IllegalArgumentException(
             s"fls: branch '$ref' of $path does not exist — " +
               "CALL system.create_branch first"))._2)
       }
     }
     else pinnedManifestVersion match {
-      case Some(v) => serve(FlsManifest.readLayoutVersion(fs, path, v))
-      case None => FlsManifest.readLayoutVersioned(fs, path) match {
+      case Some(v) => serve(FlsManifest.readLayoutVersion(fs, path, v,
+        relBounds = relBounds))
+      case None => FlsManifest.readLayoutVersioned(fs, path,
+          relBounds = relBounds) match {
         // manifest table: the manifest IS the file list — no recursive
         // listing RPC, and on-disk files outside it (losing speculative
         // attempts, crashed jobs, junk) are invisible by design

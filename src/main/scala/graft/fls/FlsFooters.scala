@@ -96,12 +96,19 @@ object FlsFooters {
     * footer reads. */
   def listStatuses(paths: Seq[String], conf: Configuration,
       pinnedManifestVersion: Option[Long] = None,
-      ref: String = FlsManifest.MainRef)
+      ref: String = FlsManifest.MainRef,
+      /** Point-lookup rel range — segmented manifests skip chunks
+        * outside it ([[FlsManifest.readVersionedSubset]] semantics:
+        * the listing is then a SUPERSET of in-range files, a subset
+        * of the table; pass only when the caller filters to an
+        * explicit file set afterwards). */
+      relBounds: Option[(String, String)] = None)
     : Seq[(org.apache.hadoop.fs.FileStatus, Option[String])] = {
     val seen = scala.collection.mutable.LinkedHashMap[
       String, (org.apache.hadoop.fs.FileStatus, Option[String])]()
     paths.foreach { p =>
-      FlsFile.listDataWithStats(new Path(p), conf, pinnedManifestVersion, ref).foreach { e =>
+      FlsFile.listDataWithStats(new Path(p), conf, pinnedManifestVersion,
+          ref, relBounds).foreach { e =>
         seen.getOrElseUpdate(e._1.getPath.toString, e)
       }
     }

@@ -275,7 +275,8 @@ object FlsManifest {
     readLayoutVersioned(fs, dir, ref).map { case (v, l) => (v, l.entries) }
 
   private[fls] def readLayoutVersioned(fs: FileSystem, dir: Path,
-      ref: String = MainRef): Option[(Long, Layout)] = {
+      ref: String = MainRef,
+      relBounds: Option[(String, String)] = None): Option[(Long, Layout)] = {
     def listLog(): Seq[Long] =
       try fs.listStatus(refLog(dir, ref)).iterator
         .flatMap(s => parseVersionName(s.getPath.getName))
@@ -286,15 +287,18 @@ object FlsManifest {
       // branches have no legacy fallback; a missing branch is a loud
       // error at the CALLER (None here = branch does not exist)
       return versions.maxOption.map(v =>
-        (v, readFileWithMeta(fs, versionPath(dir, v, ref), dir)))
+        (v, readFileWithMeta(fs, versionPath(dir, v, ref), dir,
+          relBounds = relBounds)))
     }
     if (versions.nonEmpty) {
       val v = versions.max
-      Some((v, readFileWithMeta(fs, versionPath(dir, v), dir)))
+      Some((v, readFileWithMeta(fs, versionPath(dir, v), dir,
+        relBounds = relBounds)))
     } else {
       val legacy = manifestPath(dir)
       val exists = try fs.exists(legacy) catch { case _: java.io.IOException => false }
-      if (exists) Some((0L, readFileWithMeta(fs, legacy, dir)))
+      if (exists) Some((0L, readFileWithMeta(fs, legacy, dir,
+        relBounds = relBounds)))
       else {
         // One-time migration race: the first versioned commit publishes
         // v1 THEN deletes the legacy file. A reader that listed an empty
@@ -305,7 +309,8 @@ object FlsManifest {
         val again = listLog()
         if (again.nonEmpty) {
           val v = again.max
-          Some((v, readFileWithMeta(fs, versionPath(dir, v), dir)))
+          Some((v, readFileWithMeta(fs, versionPath(dir, v), dir,
+            relBounds = relBounds)))
         } else None
       }
     }
@@ -324,9 +329,29 @@ object FlsManifest {
     readLayoutVersion(fs, dir, v, ref).entries
 
   private[fls] def readLayoutVersion(fs: FileSystem, dir: Path, v: Long,
-      ref: String = MainRef): Layout =
-    if (v == 0L && ref == MainRef) readFileWithMeta(fs, manifestPath(dir), dir)
-    else readFileWithMeta(fs, versionPath(dir, v, ref), dir)
+      ref: String = MainRef,
+      relBounds: Option[(String, String)] = None): Layout =
+    if (v == 0L && ref == MainRef) readFileWithMeta(fs, manifestPath(dir),
+      dir, relBounds = relBounds)
+    else readFileWithMeta(fs, versionPath(dir, v, ref), dir,
+      relBounds = relBounds)
+
+  /** POINT-LOOKUP read of the newest version: entries restricted to
+    * chunks intersecting the inclusive `[loRel, hiRel]` range — a
+    * SUPERSET of the in-range entries, a SUBSET of the table, read in
+    * O(intersecting chunks). For `file_subset` scans and `.files`
+    * equality pushdown; never a substitute for the full entry set
+    * (inline and legacy manifests return whole, as today). */
+  def readVersionedSubset(fs: FileSystem, dir: Path, loRel: String,
+      hiRel: String, ref: String = MainRef): Option[(Long, Seq[Entry])] =
+    readLayoutVersioned(fs, dir, ref, relBounds = Some((loRel, hiRel)))
+      .map { case (v, l) => (v, l.entries) }
+
+  /** Same point-lookup read of one PINNED version. */
+  def readVersionSubset(fs: FileSystem, dir: Path, v: Long, loRel: String,
+      hiRel: String, ref: String = MainRef): Seq[Entry] =
+    readLayoutVersion(fs, dir, v, ref,
+      relBounds = Some((loRel, hiRel))).entries
 
   /** The equality-delete predicates active AT version `v` (cheap:
     * header-only read, chunks unresolved). */
@@ -440,8 +465,14 @@ object FlsManifest {
     Entry(a(2), a(0).toLong, a(1).toLong, if (a.length == 4) a(3) else null)
   }
 
+  /** Chunk files opened since JVM start — the spec's observable for
+    * chunk-granularity pruning (subset reads must NOT touch every
+    * chunk of a million-file table). */
+  private[fls] val chunkReadCount = new java.util.concurrent.atomic.AtomicLong
+
   /** One immutable entry chunk ([[ChunkHeader]] + entry lines). */
   private def readChunk(fs: FileSystem, p: Path): Seq[Entry] = {
+    chunkReadCount.incrementAndGet()
     val lines = new String(readAllBytes(fs, p), StandardCharsets.UTF_8)
       .split('\n').filter(_.nonEmpty)
     require(lines.nonEmpty && lines(0) == ChunkHeader,
@@ -457,7 +488,16 @@ object FlsManifest {
     * ride the NEW [[HeaderV2]] so a pre-segmentation reader fails
     * loudly instead of serving an empty table ([[HeaderV2]] doc). */
   private def readFileWithMeta(fs: FileSystem, p: Path, tableDir: Path,
-      resolveChunks: Boolean = true): Layout = {
+      resolveChunks: Boolean = true,
+      /** Inclusive rel range for POINT-LOOKUP reads: chunks whose
+        * recorded [minRel, maxRel] cannot intersect it are never
+        * OPENED — so `file_subset` scans and `.files` equality
+        * lookups on a million-file table read O(intersecting chunks)
+        * of metadata, not all of it. The result is then a SUPERSET of
+        * the in-range entries but a SUBSET of the table: only the
+        * subset-lookup entry points may pass this. Pointers without a
+        * recorded range (pre-range format) always load. */
+      relBounds: Option[(String, String)] = None): Layout = {
     val lines = new String(readAllBytes(fs, p), StandardCharsets.UTF_8)
       .split('\n').filter(_.nonEmpty)
     require(lines.nonEmpty && (lines(0) == Header || lines(0) == HeaderV2),
@@ -486,14 +526,21 @@ object FlsManifest {
       .map(parseEntryLine(_, p))
     val chunks: Seq[(String, Seq[Entry])] =
       if (lines(0) != HeaderV2 || !resolveChunks) Nil
-      else lines.drop(1).filter(_.startsWith("#chunk\t")).toSeq.map { l =>
+      else lines.drop(1).filter(_.startsWith("#chunk\t")).toSeq.flatMap { l =>
         val a = l.split('\t')
-        require(a.length == 3, s"fls: corrupt #chunk line '$l' in $p")
-        val es = readChunk(fs, new Path(chunksDir(tableDir), a(1)))
-        require(es.length == a(2).toLong,
-          s"fls: chunk ${a(1)} of $p holds ${es.length} entries, the " +
-            s"manifest recorded ${a(2)} — chunk pool corrupted")
-        (a(1), es)
+        require(a.length == 3 || a.length == 5,
+          s"fls: corrupt #chunk line '$l' in $p")
+        val skip = relBounds.exists { case (lo, hi) =>
+          a.length == 5 && (a(4) < lo || a(3) > hi)
+        }
+        if (skip) None
+        else {
+          val es = readChunk(fs, new Path(chunksDir(tableDir), a(1)))
+          require(es.length == a(2).toLong,
+            s"fls: chunk ${a(1)} of $p holds ${es.length} entries, the " +
+              s"manifest recorded ${a(2)} — chunk pool corrupted")
+          Some((a(1), es))
+        }
       }
     // deterministic global order regardless of chunk boundaries (the
     // inline writer always sorted by rel; keep that contract)
@@ -736,12 +783,19 @@ object FlsManifest {
       }
       if (chunked) {
         // pointer lines, ordered by each chunk's first rel so the file
-        // is deterministic for a given layout
+        // is deterministic for a given layout; each carries the chunk's
+        // [minRel, maxRel] (entries are rel-sorted within a chunk) so
+        // point-lookup reads skip non-intersecting chunks unopened
         (reused ++ written.map(c => (c._1, c._2)))
           .sortBy { case (_, es) => es.headOption.map(_.rel).getOrElse("") }
           .foreach { case (name, es) =>
             out.write("#chunk\t"); out.write(name)
-            out.write('\t'); out.write(es.length.toString); out.write('\n')
+            out.write('\t'); out.write(es.length.toString)
+            if (es.nonEmpty) {
+              out.write('\t'); out.write(es.head.rel)
+              out.write('\t'); out.write(es.last.rel)
+            } else { out.write("\t\t") } // empty chunk: degenerate range
+            out.write('\n')
           }
       } else {
         entries.sortBy(_.rel).foreach(writeEntryLine(out, _))

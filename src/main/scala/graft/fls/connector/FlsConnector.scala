@@ -225,10 +225,16 @@ object FlsDataSource {
   def listForRead(options: CaseInsensitiveStringMap,
       conf: org.apache.hadoop.conf.Configuration)
     : Seq[(org.apache.hadoop.fs.FileStatus, Option[String])] = {
+    // a file_subset bounds the LISTING itself: segmented manifests
+    // then open only the entry chunks intersecting [min(rels),
+    // max(rels)] — a 3-file CDF/point plan over a million-file table
+    // reads O(intersecting chunks) of metadata, not all of it
+    val subsetBounds: Option[(String, String)] =
+      fileSubset(options).filter(_.nonEmpty).map(r => (r.min, r.max))
     val listed = changesRange(options) match {
       case None =>
         graft.fls.FlsFooters.listStatuses(parsePaths(options), conf,
-          manifestVersion(options), branchRef(options))
+          manifestVersion(options), branchRef(options), subsetBounds)
       case Some((from, to)) =>
         require(branchRef(options) == graft.fls.FlsManifest.MainRef,
           "fls: incremental reads (changes_from_version) are main-only — " +

@@ -61,28 +61,70 @@ class FlsFilesTable(tableName: String, dir: Path, conf: Configuration)
       }
       override def pushedFilters(): Array[Filter] = Array.empty
 
+      /** Rel range the pushed `file` predicates bound, if any — a
+        * point lookup (`WHERE file = '...'` / IN / prefix) then opens
+        * only the manifest chunks intersecting it
+        * ([[FlsManifest.readVersionedSubset]]), instead of resolving a
+        * million entries to serve one row. Conservative: unsupported
+        * shapes yield None (full read, exact as before). */
+      private def relBounds: Option[(String, String)] = {
+        import org.apache.spark.sql.sources._
+        def boundsOf(f: Filter): Option[(String, String)] = f match {
+          case EqualTo("file", v: String) => Some((v, v))
+          case In("file", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+            val ss = vs.map(_.asInstanceOf[String])
+            Some((ss.min, ss.max))
+          case StringStartsWith("file", p) if p.nonEmpty =>
+            Some((p, p + "￿"))
+          case And(l, r) => (boundsOf(l), boundsOf(r)) match {
+            case (Some((a, b)), Some((c, d))) =>
+              Some((if (a > c) a else c, if (b < d) b else d))
+            case (one, other) => one.orElse(other)
+          }
+          case _ => None
+        }
+        // ONE conjunct bounding the range suffices (others re-check)
+        pruning.flatMap(boundsOf(_)).headOption
+      }
+
       override def build(): Scan = new LocalScan {
         override def readSchema(): StructType = FlsFilesTable.Schema
-        override def rows(): Array[InternalRow] =
-          FlsManifest.readVersioned(dir.getFileSystem(conf), dir) match {
-            case None => Array.empty
-            case Some((headV, entries)) => build(headV, entries)
+        override def rows(): Array[InternalRow] = {
+          val fs = dir.getFileSystem(conf)
+          relBounds match {
+            case Some((lo, hi)) =>
+              FlsManifest.readVersionedSubset(fs, dir, lo, hi) match {
+                case None => Array.empty
+                case Some((headV, entries)) =>
+                  build(headV, entries, Some((lo, hi)))
+              }
+            case None =>
+              FlsManifest.readVersioned(fs, dir) match {
+                case None => Array.empty
+                case Some((headV, entries)) => build(headV, entries, None)
+              }
           }
-        private def build(headV: Long,
-            entries: Seq[FlsManifest.Entry]): Array[InternalRow] = {
+        }
+        private def build(headV: Long, entries: Seq[FlsManifest.Entry],
+            bounds: Option[(String, String)]): Array[InternalRow] = {
           val fs = dir.getFileSystem(conf)
           val kept = entries.filter(e =>
             pruning.forall(f => FlsFilesTable.mayMatch(f, e.rel)))
           FlsFilesTable.lastMaterialized.set(kept.length.toLong)
           // earliest retained version naming each SURVIVING rel —
-          // O(retained versions) small manifest reads, oldest first so
-          // the first sighting wins; only survivors are tracked
+          // O(retained versions) small manifest reads (chunk-bounded
+          // under a point lookup), oldest first so the first sighting
+          // wins; only survivors are tracked
           val keptRels = kept.map(_.rel).toSet
           val firstSeen = scala.collection.mutable.HashMap[String, Long]()
           FlsManifest.versionsWithTimes(fs, dir).foreach { case (v, _) =>
             val es =
               if (v == headV) entries
-              else try FlsManifest.readVersion(fs, dir, v)
+              else try bounds match {
+                case Some((lo, hi)) =>
+                  FlsManifest.readVersionSubset(fs, dir, v, lo, hi)
+                case None => FlsManifest.readVersion(fs, dir, v)
+              }
               catch { case _: java.io.FileNotFoundException => Nil } // GC race
             es.foreach(e =>
               if (keptRels.contains(e.rel)) firstSeen.getOrElseUpdate(e.rel, v))

@@ -100,10 +100,10 @@ class FlsManifestSegmentSpec extends AnyFunSuite with BeforeAndAfterAll {
     // delta commit writes one pointer file + one 1-entry chunk
     val fullBytes = before.values.max // v1's own cost ~ chunks total
     assert(newBytes < 6000, s"append wrote $newBytes bytes: $newFiles")
-    // the v2 version file is pointer-sized: ~51 chunk pointers, no
-    // entry lines — far below one line per table file
+    // the v2 version file is pointer-sized: ~51 chunk pointers (name,
+    // count, rel range), no entry lines — far below one line per file
     val v2 = after.keys.find(_.endsWith(FlsCas.versionName(2L))).get
-    assert(after(v2) < 3000, s"v2 pointer file is ${after(v2)} B")
+    assert(after(v2) < 4500, s"v2 pointer file is ${after(v2)} B")
     // every v1 chunk survived by pointer (names unchanged, plus one new)
     val chunksAfter = chunkNames(fs, dir)
     assert(chunksBefore.subsetOf(chunksAfter))
@@ -120,6 +120,30 @@ class FlsManifestSegmentSpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(e.stats.contains("\"rows\":"), s"stats lost fields: ${e.stats}")
     }
     assert(got.map(_.rel) == got.map(_.rel).sorted) // deterministic order
+  }
+
+  test("point lookups open only intersecting chunks: file_subset scans " +
+      "and subset reads stay O(chunks-touched), not O(table)") {
+    val dir = new Path(s"$tmp/seg_point")
+    val c = conf()
+    val fs = fsOf(dir, c)
+    fs.mkdirs(dir)
+    append(fs, dir, c, (0 until 200).map(i => entry(i, s"""{"rows":$i}""")))
+    // 50 chunks of 4; a single-rel subset read must touch ~1 of them
+    val needle = entry(117).rel
+    val before = FlsManifest.chunkReadCount.get()
+    val (v, got) = FlsManifest.readVersionedSubset(fs, dir, needle, needle).get
+    val opened = FlsManifest.chunkReadCount.get() - before
+    assert(v == 1L)
+    assert(got.exists(_.rel == needle))
+    assert(opened <= 3, s"subset read opened $opened of 50 chunks")
+    // pinned-version variant
+    val before2 = FlsManifest.chunkReadCount.get()
+    assert(FlsManifest.readVersionSubset(fs, dir, 1L, needle, needle)
+      .exists(_.rel == needle))
+    assert(FlsManifest.chunkReadCount.get() - before2 <= 3)
+    // and the FULL read still resolves everything
+    assert(FlsManifest.readVersion(fs, dir, 1L).length == 200)
   }
 
   test("removing one file rewrites ONLY its chunk; the rest reuse") {
@@ -272,8 +296,24 @@ class FlsManifestSegmentSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files.length > InlineMax) // chunked head, all entries served
     assert(files.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum == 40L)
     // file-name pushdown still prunes entry rows (filter-sized output)
+    // AND opens only the chunks intersecting the needle — the .files
+    // point lookup on a chunked table is chunk-bounded end to end
     val one = files.head.getString(0)
+    val before = FlsManifest.chunkReadCount.get()
     assert(spark.sql(s"SELECT * FROM $tbl.files WHERE file = '$one'")
       .count() == 1)
+    val opened = FlsManifest.chunkReadCount.get() - before
+    // head read + per-retained-version back-tracking, each bounded to
+    // the needle's chunk (< ~2 per version; full resolve would be
+    // chunks × versions)
+    assert(opened <= 2L * (FlsManifest.versionsWithTimes(fs, dir).length + 1),
+      s".files point lookup opened $opened chunks")
+    // file_subset scans ride the same bound: one file's rows, O(1) chunks
+    val before2 = FlsManifest.chunkReadCount.get()
+    val rows = spark.read.format("fls").option("file_subset", one)
+      .load(dir.toString).count()
+    assert(rows > 0)
+    assert(FlsManifest.chunkReadCount.get() - before2 <= 3,
+      "file_subset scan resolved more than the intersecting chunks")
   }
 }
