@@ -60,8 +60,18 @@ object IvfRecallProbe {
       spark.read.parquet(s"$dir/embeddings.parquet").count().toDouble)).toLong
     val forced = math.max(4L, sqrtN / 4)
     sys.props("graft.ivf.maxCentroids") = forced.toString
-    try measure(s"nprobe=2 two-level cap=$forced", 2, lloyd = false)
-    finally sys.props.remove("graft.ivf.maxCentroids")
+    try {
+      measure(s"nprobe=2 two-level cap=$forced", 2, lloyd = false)
+      // nprobe widens cells WITHIN routed groups — when it plateaus
+      // (identical recall at 2 and 4), the misses are L1 routing
+      // misses and the second knob is the routing width (l1probe)
+      measure(s"nprobe=4 two-level cap=$forced", 4, lloyd = false)
+      sys.props("graft.ivf.l1probe") = "3"
+      try {
+        measure(s"nprobe=2 two-level l1probe=3", 2, lloyd = false)
+        measure(s"nprobe=4 two-level l1probe=3", 4, lloyd = false)
+      } finally sys.props.remove("graft.ivf.l1probe")
+    } finally sys.props.remove("graft.ivf.maxCentroids")
     spark.stop()
   }
 }

@@ -191,7 +191,7 @@ object Similarity {
     * `ranked` exactly, so persistence, probing, and the top-k
     * aggregation downstream are shared unchanged. */
   private def rankedTwoLevel(e: DataFrame, nCentTotal: Long,
-      l1Count: Long, upTo: Int): DataFrame = {
+      l1Count: Long, upTo: Int, l1Probe: Int): DataFrame = {
     val l2 = e.filter(col("vec_id") < nCentTotal)
       .select(col("vec_id").as("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"))
     val l1 = e.filter(col("vec_id") < l1Count)
@@ -213,7 +213,7 @@ object Similarity {
       .select(col("vec_id"), col("g_id"),
         (vDot / (col("nr_c") * col("nr_g"))).as("gcos"))
       .withColumn("arg", row_number().over(wVec))
-      .filter(col("arg") <= 2)
+      .filter(col("arg") <= l1Probe)
       .select("vec_id", "g_id")
     // score each vector against its routed groups' L2 blocks only —
     // the narrow (vec_id, cent_id, ccos) triple projects out before
@@ -263,12 +263,27 @@ object Similarity {
       val nCentTotal = math.min(ideal, centroidCap * centroidCap)
       val l1Count = math.max(2L, math.ceil(math.sqrt(nCentTotal.toDouble)).toLong)
       val upTo = math.max(nprobe, 1)
+      // routing width (L1 groups per vector, default 2): the SECOND
+      // recall knob — `nprobe` widens cells within routed groups, but
+      // a miss whose true cell lives under an UNROUTED group needs
+      // more groups. Measured (IvfRecallProbe, sf0.1, cap forced 4×
+      // below ⌈√n⌉): l1probe=2 recall@5 0.925 with nprobe 2 and 4
+      // IDENTICAL (pure routing misses); l1probe=3 lifts to 0.950,
+      // where it plateaus — the residue is assignment-side (the
+      // neighbor itself routed past its true nearest cell), the cost
+      // of a quantizer 4× coarser than ideal. At the REAL cap (64Ki)
+      // the two-level path only activates past ~4.3 G vectors, where
+      // cells are at the ideal √n balance and routing is far finer.
+      val l1Probe = math.max(1,
+        sys.props.get("graft.ivf.l1probe").map(_.toInt).getOrElse(2))
       val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val idxPath = s"$indexRoot/${key}_ivf2l_c${nCentTotal}_g${l1Count}_p$upTo"
-      val idxMeta = s"n=$nVecs;cent=$nCentTotal;l1=$l1Count;upTo=$upTo"
-      val r = rankCache.getOrBuild(spark, s"$dir#2l#$nprobe#$nCentTotal")(
+      val idxPath =
+        s"$indexRoot/${key}_ivf2l_c${nCentTotal}_g${l1Count}_p${upTo}_r$l1Probe"
+      val idxMeta =
+        s"n=$nVecs;cent=$nCentTotal;l1=$l1Count;upTo=$upTo;l1p=$l1Probe"
+      val r = rankCache.getOrBuild(spark, s"$dir#2l#$nprobe#$nCentTotal#$l1Probe")(
         loadOrBuildIndex(spark, idxPath, idxMeta,
-            build = rankedTwoLevel(e, nCentTotal, l1Count, upTo),
+            build = rankedTwoLevel(e, nCentTotal, l1Count, upTo, l1Probe),
             cents = e.filter(col("vec_id") < nCentTotal)
               .select(col("vec_id").as("cent_id"), col("v").as("v_q"),
                 col("nr").as("nr_q")))
