@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Head-to-head of the three delete legs on the GDPR shape — a
+  * point/IN delete on an UNCLUSTERED key over a many-file table built
+  * from the ScaleSweep's 128x orders (~19M rows, 64 files, every file
+  * spanning the whole key domain, so nothing decides by metadata):
+  *
+  *   - copy-on-write: rewrites EVERY straddling file (here: all);
+  *   - merge-on-read: reads every candidate file to find positions,
+  *     writes tiny DV sidecars;
+  *   - equality:      commits the predicate — one manifest line, zero
+  *     data reads, zero Spark jobs.
+  *
+  * Also measures the read-side residual tax (full-scan aggregate
+  * before/after the equality delete) and the compaction absorb.
+  * Three fresh copies of the same table, one per mode, so each leg
+  * pays identical I/O conditions.
+  *
+  * Usage: runMain graft.EqDeleteProbe [scaledDir] */
+object EqDeleteProbe {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/tmp/graft_scale/x128")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    val src = spark.read.parquet(s"$srcDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    // the needle set: 37 EXISTING keys scattered across the whole
+    // domain (TPC-H orderkeys are sparse — synthetic strides miss)
+    val keys = src.select("o_orderkey").distinct()
+      .sample(withReplacement = false, 0.00002, seed = 7)
+      .limit(37).collect().map(_.getLong(0)).toSeq.sorted
+    require(keys.nonEmpty, "sample produced no needles")
+    val inList = keys.mkString(", ")
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[eqprobe] $label%-46s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    Seq("copy-on-write", "merge-on-read", "equality").foreach { mode =>
+      val tag = mode.replace("-", "")
+      val dir = s"/tmp/graft_eqdel_probe/$tag"
+      val tbl = s"eqprobe_$tag"
+      // fresh copy every run: the probe DELETES from it
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      src.repartition(64) // unclustered: every file spans the domain
+        .write.format("fls").mode("overwrite")
+        .option("commit_mode", "manifest").save(dir)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice " +
+        s"DOUBLE, o_orderpriority STRING) USING fls LOCATION '$dir' " +
+        s"TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='$mode')")
+      val n0 = spark.table(tbl).count()
+      timed(s"$mode: DELETE 37 scattered keys of $n0")(
+        spark.sql(s"DELETE FROM $tbl WHERE o_orderkey IN ($inList)"))
+      val n1 = timed(s"$mode: full count after")(spark.table(tbl).count())
+      require(n0 - n1 == keys.length, s"$mode deleted ${n0 - n1}")
+      if (mode == "equality") {
+        timed("equality: full-scan agg WITH residual")(
+          spark.table(tbl).agg(sum("o_totalprice")).collect())
+        timed("equality: compact absorbs the predicate")(
+          graft.fls.FlsMaintenance.compact(spark, dir,
+            targetRowsPerFile = 2000000))
+        timed("equality: full-scan agg after absorb")(
+          spark.table(tbl).agg(sum("o_totalprice")).collect())
+      }
+    }
+    spark.stop()
+  }
+}
