@@ -255,6 +255,30 @@ object FlsManifest {
     }.toMap
     catch { case _: java.io.FileNotFoundException => Map.empty }
 
+  /** One `#chunk` pointer line AS WRITTEN — name, recorded entry
+    * count, and (post-r15 format) the chunk's inclusive [minRel,
+    * maxRel]. This is the O(delta) commit currency: a pointer whose
+    * range cannot intersect a commit's touched rels is carried into
+    * the next version VERBATIM, without ever opening the chunk.
+    * `ranged=false` marks pre-range pointers, which must always be
+    * opened (and are thereby upgraded to ranged on the rewrite). */
+  private[fls] final case class Pointer(name: String, count: Long,
+      minRel: String, maxRel: String, ranged: Boolean) {
+    /** Could any rel of `sortedRels` live in this chunk? Rangeless
+      * pointers answer yes (must open). */
+    def mayContainAny(sortedRels: Array[String]): Boolean = {
+      if (!ranged) return true
+      if (sortedRels.isEmpty || count == 0L) return false
+      // first rel >= minRel, then check it is <= maxRel
+      var lo = 0; var hi = sortedRels.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sortedRels(mid) < minRel) lo = mid + 1 else hi = mid
+      }
+      lo < sortedRels.length && sortedRels(lo) <= maxRel
+    }
+  }
+
   /** Everything one version file resolves to: its op metadata, the
     * full entry set (inline lines plus every referenced chunk's), the
     * CDC split lines, and the chunk membership itself — the last is
@@ -265,7 +289,12 @@ object FlsManifest {
       /** Active equality-delete predicates (`#eqdel` lines, raw JSON —
         * [[FlsEqDeletes]]): carried forward by every commit until
         * absorbed (no retained entry predates the predicate). */
-      eq: Seq[String] = Nil)
+      eq: Seq[String] = Nil,
+      /** The raw `#chunk` pointer lines, parsed but UNRESOLVED —
+        * populated for every v2 file regardless of `resolveChunks`,
+        * so [[commitDelta]] can plan which chunks to open without
+        * reading any of them. */
+      pointers: Seq[Pointer] = Nil)
 
   /** Newest (version, entries), or None when the table has no manifest
     * (listing mode). The legacy single-file manifest reads as version 0;
@@ -276,7 +305,8 @@ object FlsManifest {
 
   private[fls] def readLayoutVersioned(fs: FileSystem, dir: Path,
       ref: String = MainRef,
-      relBounds: Option[(String, String)] = None): Option[(Long, Layout)] = {
+      relBounds: Option[(String, String)] = None,
+      resolveChunks: Boolean = true): Option[(Long, Layout)] = {
     def listLog(): Seq[Long] =
       try fs.listStatus(refLog(dir, ref)).iterator
         .flatMap(s => parseVersionName(s.getPath.getName))
@@ -288,12 +318,12 @@ object FlsManifest {
       // error at the CALLER (None here = branch does not exist)
       return versions.maxOption.map(v =>
         (v, readFileWithMeta(fs, versionPath(dir, v, ref), dir,
-          relBounds = relBounds)))
+          relBounds = relBounds, resolveChunks = resolveChunks)))
     }
     if (versions.nonEmpty) {
       val v = versions.max
       Some((v, readFileWithMeta(fs, versionPath(dir, v), dir,
-        relBounds = relBounds)))
+        relBounds = relBounds, resolveChunks = resolveChunks)))
     } else {
       val legacy = manifestPath(dir)
       val exists = try fs.exists(legacy) catch { case _: java.io.IOException => false }
@@ -524,22 +554,28 @@ object FlsManifest {
     }
     val inline = lines.drop(1).filterNot(_.startsWith("#")).toSeq
       .map(parseEntryLine(_, p))
-    val chunks: Seq[(String, Seq[Entry])] =
-      if (lines(0) != HeaderV2 || !resolveChunks) Nil
-      else lines.drop(1).filter(_.startsWith("#chunk\t")).toSeq.flatMap { l =>
+    val pointers: Seq[Pointer] =
+      if (lines(0) != HeaderV2) Nil
+      else lines.drop(1).filter(_.startsWith("#chunk\t")).toSeq.map { l =>
         val a = l.split('\t')
         require(a.length == 3 || a.length == 5,
           s"fls: corrupt #chunk line '$l' in $p")
+        if (a.length == 5) Pointer(a(1), a(2).toLong, a(3), a(4), ranged = true)
+        else Pointer(a(1), a(2).toLong, "", "", ranged = false)
+      }
+    val chunks: Seq[(String, Seq[Entry])] =
+      if (!resolveChunks) Nil
+      else pointers.flatMap { pt =>
         val skip = relBounds.exists { case (lo, hi) =>
-          a.length == 5 && (a(4) < lo || a(3) > hi)
+          pt.ranged && (pt.maxRel < lo || pt.minRel > hi)
         }
         if (skip) None
         else {
-          val es = readChunk(fs, new Path(chunksDir(tableDir), a(1)))
-          require(es.length == a(2).toLong,
-            s"fls: chunk ${a(1)} of $p holds ${es.length} entries, the " +
-              s"manifest recorded ${a(2)} — chunk pool corrupted")
-          Some((a(1), es))
+          val es = readChunk(fs, new Path(chunksDir(tableDir), pt.name))
+          require(es.length == pt.count,
+            s"fls: chunk ${pt.name} of $p holds ${es.length} entries, the " +
+              s"manifest recorded ${pt.count} — chunk pool corrupted")
+          Some((pt.name, es))
         }
       }
     // deterministic global order regardless of chunk boundaries (the
@@ -549,7 +585,7 @@ object FlsManifest {
       else (inline ++ chunks.flatMap(_._2)).sortBy(_.rel)
     val eq = lines.drop(1).filter(_.startsWith("#eqdel\t")).toSeq
       .map(_.substring("#eqdel\t".length))
-    Layout(meta, entries, cdc, chunks, eq)
+    Layout(meta, entries, cdc, chunks, eq, pointers)
   }
 
   /** The operation tag of one retained version (None = legacy manifest
@@ -675,6 +711,195 @@ object FlsManifest {
       s"fls manifest commit: lost the publish race $MaxCasAttempts times at $dir — giving up")
   }
 
+  /** A commit expressed as the CHANGE it makes, not the table it
+    * leaves behind — what lets [[commitDelta]] publish against a
+    * million-file table in O(delta) metadata reads and driver heap.
+    * `add` rels must be new to the table (attempt-unique data-file
+    * names guarantee it for every writer here); `restate` replaces
+    * same-rel entries in place (DV re-vector, stats refresh);
+    * `removeRels` drops entries whole. A removed or restated rel that
+    * is NOT in the current version aborts the commit loudly — that is
+    * the chunk-granularity conflict check: a concurrent commit
+    * rewrote the target out from under this one. */
+  final case class Delta(add: Seq[Entry] = Nil,
+      removeRels: Set[String] = Set.empty,
+      restate: Seq[Entry] = Nil) {
+    def isEmpty: Boolean = add.isEmpty && removeRels.isEmpty && restate.isEmpty
+  }
+
+  /** Spec observable: CAS attempts the last [[commitDelta]] used. */
+  private[fls] val lastDeltaAttempts = new java.util.concurrent.atomic.AtomicInteger
+  /** Test hook: runs after an attempt stages its version file, BEFORE
+    * the publish CAS — the window in which a concurrent committer can
+    * win, so race specs can interleave deterministically. */
+  private[fls] var beforePublishForTest: () => Unit = () => ()
+
+  /** O(delta) commit: like [[commit]], but the change arrives as a
+    * [[Delta]] instead of a full-entry merge, so the commit never
+    * materializes the table. Chunks whose recorded [minRel, maxRel]
+    * cannot contain a removed/restated rel are carried into the new
+    * version as VERBATIM pointer lines — never opened, never parsed,
+    * never on the driver heap. An append to a 1M-file table therefore
+    * reads one version file (~125 pointer lines) and writes one
+    * pointer file + one tiny chunk; the old full path re-parsed ~1M
+    * entry lines per commit (the r15 verdict's headline gap). Falls
+    * back to [[commit]]`(fallback)` when the head is inline, legacy,
+    * or missing, or the result fits inline — all O(inline threshold)
+    * by definition. Retries re-read only the new head's pointers, so
+    * two concurrent appends to disjoint rels both publish without
+    * either reopening the other's chunks.
+    *
+    * Divergence from the full path, by design: the delta path never
+    * ABSORBS equality-delete predicates (dropping one needs proof that
+    * no retained entry predates it — a full-entry scan). Appends and
+    * restates cannot change absorption state anyway; removal-only
+    * deltas may leave a predicate active one commit longer than
+    * strictly needed, which is read-harmless (it applies to no file).
+    * Full-path commits (compaction, `absorb_deletes`) drop them. */
+  def commitDelta(fs: FileSystem, dir: Path, writeId: String,
+      conf: org.apache.hadoop.conf.Configuration, op: String = "append",
+      dataChange: Boolean = true, cdc: Seq[CdcLine] = Nil,
+      ref: String = MainRef, eqAdd: Seq[String] = Nil)(
+      delta: Long => Delta)(
+      fallback: (Long, Option[Seq[Entry]]) => Seq[Entry]): Long = {
+    lastDeltaAttempts.set(0)
+    var attempt = 0
+    while (attempt < MaxCasAttempts) {
+      lastDeltaAttempts.incrementAndGet()
+      val cur = readLayoutVersioned(fs, dir, ref, resolveChunks = false)
+      if (ref != MainRef) require(cur.isDefined,
+        s"fls: branch '$ref' of $dir does not exist — " +
+          "CALL system.create_branch first")
+      val curV = cur.map(_._1).getOrElse(0L)
+      val layout = cur.map(_._2)
+      val pointers = layout.map(_.pointers).getOrElse(Nil)
+      val inlineMax = math.max(0, conf.getInt(InlineThresholdKey, DefaultInlineThreshold))
+      val d = delta(curV)
+      require(d.removeRels.intersect(d.restate.map(_.rel).toSet).isEmpty,
+        "fls commitDelta: a rel cannot be both removed and restated")
+      val curCount = pointers.map(_.count).sum +
+        layout.map(_.entries.length.toLong).getOrElse(0L)
+      val newCount = curCount - d.removeRels.size + d.add.size
+      if (pointers.isEmpty || newCount <= inlineMax)
+        // inline/legacy/missing head, or the result fits inline: the
+        // full path is O(inline threshold) here by definition
+        return commit(fs, dir, writeId, conf, op, dataChange, cdc, ref,
+          eqAdd)(fallback)
+      val next = curV + 1
+      val touched = (d.removeRels ++ d.restate.map(_.rel)).toArray.sorted
+      val target = math.max(1, conf.getInt(ChunkTargetKey, DefaultChunkTarget))
+      val (mustOpen0, keep0) = pointers.partition(_.mayContainAny(touched))
+      // fold decayed small chunks into this commit's delta once enough
+      // have piled up — the same amortization as the full path, decided
+      // here from pointer COUNTS alone
+      val small = keep0.filter(_.count < target / 2)
+      val (mustOpen, kept) =
+        if (small.length >= SmallChunkMergeBound) {
+          val sm = small.map(_.name).toSet
+          (mustOpen0 ++ small, keep0.filterNot(pt => sm.contains(pt.name)))
+        } else (mustOpen0, keep0)
+      val openedEntries: Seq[Entry] = layout.map(_.entries).getOrElse(Nil) ++
+        mustOpen.flatMap { pt =>
+          val es = readChunk(fs, new Path(chunksDir(dir), pt.name))
+          require(es.length == pt.count,
+            s"fls: chunk ${pt.name} of v$curV holds ${es.length} entries, " +
+              s"the manifest recorded ${pt.count} — chunk pool corrupted")
+          es
+        }
+      // chunk-granularity conflict check: every targeted rel must still
+      // be present (ranges are exact, so absence in the opened set is
+      // absence from the table)
+      val openedRels = new java.util.HashSet[String](openedEntries.length * 2)
+      openedEntries.foreach(e => openedRels.add(e.rel))
+      touched.foreach { r =>
+        if (!openedRels.contains(r))
+          throw new java.util.ConcurrentModificationException(
+            s"fls commitDelta: '$r' is not in version $curV of $dir — a " +
+              "concurrent commit removed or rewrote it; rerun the operation")
+      }
+      val restateByRel = d.restate.map(e => (e.rel, validEntry(e))).toMap
+      val survivors = openedEntries.flatMap { e =>
+        if (d.removeRels.contains(e.rel)) None
+        else restateByRel.get(e.rel) match {
+          case Some(n) =>
+            // a restated entry inherits the old birth version unless
+            // the caller stamped one — restating must never widen an
+            // equality predicate's scope onto post-predicate rows
+            val oldBv = FlsFileStats.birthOf(e.stats)
+            Some(if (FlsFileStats.birthOf(n.stats) > 0L || oldBv == 0L) n
+              else n.copy(stats = FlsFileStats.withBirth(n.stats, oldBv)))
+          case None => Some(e)
+        }
+      }
+      val added = d.add.map { e0 =>
+        val e = validEntry(e0)
+        if (FlsFileStats.birthOf(e.stats) > 0L) e
+        else e.copy(stats = FlsFileStats.withBirth(e.stats, next))
+      }
+      val leftover = survivors ++ added
+      val eqAll = layout.map(_.eq).getOrElse(Nil) ++
+        eqAdd.map(FlsEqDeletes.stamp(_, next))
+      fs.mkdirs(refLog(dir, ref))
+      val tableMeta = FlsTableMeta.read(fs, dir)
+      val schemaV = tableMeta.map(_._1)
+      val keep = keepOf(tableMeta.map(_._2))
+      val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId),
+        f"manifest_v$next%020d")
+      val newChunks = writeContentDelta(fs, dir, tmp, kept, leftover,
+        Some(VersionMeta(op, dataChange, schemaV)), cdc, conf, eqAll)
+      def dropNewChunks(): Unit = newChunks.foreach(p =>
+        try fs.delete(p, false) catch { case _: Throwable => () })
+      beforePublishForTest()
+      val won =
+        try publishExclusive(fs, tmp, versionPath(dir, next, ref), conf)
+        catch { case t: Throwable => dropNewChunks(); throw t }
+        finally { try fs.delete(tmp, false) catch { case _: Throwable => () } }
+      if (won) {
+        val protect = if (ref == MainRef) tags(fs, dir).values.toSet
+          else Set.empty[Long]
+        gcVersionsAndChunks(fs, dir, ref, next, keep, protect)
+        return next
+      }
+      dropNewChunks()
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"fls manifest commit: lost the publish race $MaxCasAttempts times at $dir — giving up")
+  }
+
+  /** [[writeContent]] for the delta path: `kept` pointers are written
+    * back VERBATIM (their chunks were never opened); only `leftover`
+    * entries — the delta plus the contents of the few chunks the
+    * commit had to open — are grouped into new chunk files. Returns
+    * the chunk files created. */
+  private def writeContentDelta(fs: FileSystem, dir: Path, p: Path,
+      kept: Seq[Pointer], leftover: Seq[Entry], meta: Option[VersionMeta],
+      cdc: Seq[CdcLine], conf: org.apache.hadoop.conf.Configuration,
+      eqDeletes: Seq[String]): Seq[Path] = {
+    val target = math.max(1, conf.getInt(ChunkTargetKey, DefaultChunkTarget))
+    fs.mkdirs(chunksDir(dir))
+    val written: Seq[(Pointer, Path)] =
+      leftover.sortBy(_.rel).grouped(target).map { group =>
+        val name = "c" + java.util.UUID.randomUUID().toString.replace("-", "")
+        val cp = new Path(chunksDir(dir), name)
+        val w = writerFor(fs, cp)
+        try {
+          w.write(ChunkHeader); w.write('\n')
+          group.foreach(writeEntryLine(w, _))
+        } finally w.close()
+        (Pointer(name, group.length, group.head.rel, group.last.rel,
+          ranged = true), cp)
+      }.toSeq
+    val out = writerFor(fs, p)
+    try {
+      out.write(HeaderV2); out.write('\n')
+      writeMetaLines(out, meta, cdc, eqDeletes)
+      (kept ++ written.map(_._1)).sortBy(_.minRel)
+        .foreach(writePointerLine(out, _))
+    } finally out.close()
+    written.map(_._2)
+  }
+
   private def validEntry(e: Entry): Entry = {
     require(!e.rel.contains('\n') && !e.rel.contains('\t'),
       s"fls: unsupported character in file name '${e.rel}'")
@@ -752,56 +977,66 @@ object FlsManifest {
     val out = writerFor(fs, p)
     try {
       out.write(if (v2) HeaderV2 else Header); out.write('\n')
-      meta.foreach { m =>
-        require(!m.op.contains('\n') && !m.op.contains('\t'),
-          s"fls: manifest op tag must be a plain word, got '${m.op}'")
-        out.write("#op\t"); out.write(m.op)
-        out.write('\t'); out.write(if (m.dataChange) "1" else "0"); out.write('\n')
-        m.schemaVersion.foreach { v =>
-          out.write("#schema\t"); out.write(v.toString); out.write('\n') }
-      }
-      cdc.foreach { line =>
-        def chk(s: String): String = {
-          require(!s.contains('\n') && !s.contains('\t') && s != "-",
-            s"fls: unsupported character in cdc metadata '$s'")
-          s
-        }
-        line match {
-          case CdcPost(rel) =>
-            out.write("#cdc\tpost\t"); out.write(chk(rel)); out.write('\n')
-          case CdcSplit(rel, pre, pure) =>
-            out.write("#cdc\tsplit\t"); out.write(chk(rel))
-            out.write('\t'); out.write(pre.map(chk).getOrElse("-"))
-            out.write('\t'); out.write(pure.map(chk).getOrElse("-"))
-            out.write('\n')
-        }
-      }
-      eqDeletes.foreach { j =>
-        require(!j.contains('\n') && !j.contains('\t'),
-          s"fls: eqdel JSON must be compact (no tabs/newlines): '$j'")
-        out.write("#eqdel\t"); out.write(j); out.write('\n')
-      }
+      writeMetaLines(out, meta, cdc, eqDeletes)
       if (chunked) {
         // pointer lines, ordered by each chunk's first rel so the file
         // is deterministic for a given layout; each carries the chunk's
         // [minRel, maxRel] (entries are rel-sorted within a chunk) so
         // point-lookup reads skip non-intersecting chunks unopened
         (reused ++ written.map(c => (c._1, c._2)))
-          .sortBy { case (_, es) => es.headOption.map(_.rel).getOrElse("") }
-          .foreach { case (name, es) =>
-            out.write("#chunk\t"); out.write(name)
-            out.write('\t'); out.write(es.length.toString)
-            if (es.nonEmpty) {
-              out.write('\t'); out.write(es.head.rel)
-              out.write('\t'); out.write(es.last.rel)
-            } else { out.write("\t\t") } // empty chunk: degenerate range
-            out.write('\n')
-          }
+          .map { case (name, es) => Pointer(name, es.length,
+            es.headOption.map(_.rel).getOrElse(""),
+            es.lastOption.map(_.rel).getOrElse(""), ranged = true) }
+          .sortBy(_.minRel)
+          .foreach(writePointerLine(out, _))
       } else {
         entries.sortBy(_.rel).foreach(writeEntryLine(out, _))
       }
     } finally out.close()
     written.map(_._3)
+  }
+
+  private def writeMetaLines(out: java.io.Writer, meta: Option[VersionMeta],
+      cdc: Seq[CdcLine], eqDeletes: Seq[String]): Unit = {
+    meta.foreach { m =>
+      require(!m.op.contains('\n') && !m.op.contains('\t'),
+        s"fls: manifest op tag must be a plain word, got '${m.op}'")
+      out.write("#op\t"); out.write(m.op)
+      out.write('\t'); out.write(if (m.dataChange) "1" else "0"); out.write('\n')
+      m.schemaVersion.foreach { v =>
+        out.write("#schema\t"); out.write(v.toString); out.write('\n') }
+    }
+    cdc.foreach { line =>
+      def chk(s: String): String = {
+        require(!s.contains('\n') && !s.contains('\t') && s != "-",
+          s"fls: unsupported character in cdc metadata '$s'")
+        s
+      }
+      line match {
+        case CdcPost(rel) =>
+          out.write("#cdc\tpost\t"); out.write(chk(rel)); out.write('\n')
+        case CdcSplit(rel, pre, pure) =>
+          out.write("#cdc\tsplit\t"); out.write(chk(rel))
+          out.write('\t'); out.write(pre.map(chk).getOrElse("-"))
+          out.write('\t'); out.write(pure.map(chk).getOrElse("-"))
+          out.write('\n')
+      }
+    }
+    eqDeletes.foreach { j =>
+      require(!j.contains('\n') && !j.contains('\t'),
+        s"fls: eqdel JSON must be compact (no tabs/newlines): '$j'")
+      out.write("#eqdel\t"); out.write(j); out.write('\n')
+    }
+  }
+
+  private def writePointerLine(out: java.io.Writer, pt: Pointer): Unit = {
+    out.write("#chunk\t"); out.write(pt.name)
+    out.write('\t'); out.write(pt.count.toString)
+    if (pt.ranged) {
+      out.write('\t'); out.write(pt.minRel)
+      out.write('\t'); out.write(pt.maxRel)
+    }
+    out.write('\n')
   }
 
   /** The chunk names a version file points at (empty for inline/legacy

@@ -1878,10 +1878,10 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
         "fls: row-level operations on a branch are not supported — " +
           "branch writes are append/overwrite lineages for " +
           "write-audit-publish; run DML after fast_forward")
-      graft.fls.FlsManifest.commit(fs, dir, writeId, conf,
-          op = opOverride.getOrElse(
-            if (doTruncate) "overwrite" else "append"),
-          ref = branch) { (curV, current) =>
+      val manifestOp = opOverride.getOrElse(
+        if (doTruncate) "overwrite" else "append")
+      val fullMerge: (Long, Option[Seq[graft.fls.FlsManifest.Entry]]) =>
+          Seq[graft.fls.FlsManifest.Entry] = { (curV, current) =>
         val keptOld =
           if (doTruncate) Nil
           else {
@@ -1945,6 +1945,26 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
           }
         keptOld ++ newEntries
       }
+      // A pure BATCH append touches no existing entry: commit it as a
+      // delta so the publish is O(new files) in metadata reads and
+      // driver heap — on a chunked manifest the existing #chunk
+      // pointers are carried verbatim, never opened (FlsManifest
+      // .commitDelta). Streaming epochs keep the full path: a retried
+      // epoch must scan for prior-attempt entries of its deterministic
+      // writeId, which no rel range can locate. Every other shape
+      // (truncate, filter/dynamic overwrite, row-level replace) edits
+      // existing entries and reclassifies the current set, so it needs
+      // the full merge anyway.
+      val pureAppend = !doTruncate && replaceFilesThunk.isEmpty &&
+        replacedDvThunk.isEmpty && replacedEqThunk.isEmpty &&
+        overwriteFilters.isEmpty && !dynamicOverwrite && writeIdOverride.isEmpty
+      if (pureAppend)
+        graft.fls.FlsManifest.commitDelta(fs, dir, writeId, conf,
+            op = manifestOp, ref = branch)(
+          _ => graft.fls.FlsManifest.Delta(add = newEntries))(fullMerge)
+      else
+        graft.fls.FlsManifest.commit(fs, dir, writeId, conf,
+          op = manifestOp, ref = branch)(fullMerge)
     }
     val doomedNow: Set[String] =
       if (manifestMode) Set.empty

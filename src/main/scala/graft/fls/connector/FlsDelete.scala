@@ -342,8 +342,12 @@ object FlsDelete {
         // manifest line, zero data reads, whatever the key straddles
         eqDelete(schema, options, filters, frozenFiles, manifest = true,
             conf).foreach { pred =>
-          FlsManifest.commit(fs, root, UUID.randomUUID().toString, conf,
-              op = "eqdelete", eqAdd = Seq(pred.json)) { (_, cur) =>
+          // metadata-only commit: an EMPTY delta — on a chunked table
+          // this opens ZERO chunks (pointer lines carried verbatim),
+          // so the GDPR-shape delete is O(1) in both data AND metadata
+          FlsManifest.commitDelta(fs, root, UUID.randomUUID().toString,
+              conf, op = "eqdelete", eqAdd = Seq(pred.json))(
+            _ => FlsManifest.Delta()) { (_, cur) =>
             cur.getOrElse(throw new IllegalStateException(
               s"fls delete: manifest of $root vanished mid-delete")).toSeq
           }
