@@ -20,41 +20,70 @@ import graft.fls.Format._
   * rows — the same degrade-loudly discipline as the DV decode path. */
 object FlsEqResidual {
 
-  /** One compiled exclusion for one chunk: `colIdx` into the chunk's
-    * fileColumns (-1 = column absent in this file → no-op). */
-  final case class Excl(colIdx: Int, pred: FlsEqDeletes.EqDelete,
+  /** One compiled conjunct of one predicate for one chunk: `colIdx`
+    * into the chunk's fileColumns (-1 = column absent in this file —
+    * all-NULL storage never equals a literal, so the WHOLE predicate
+    * is a no-op for the file). */
+  final case class LegExcl(colIdx: Int, leg: FlsEqDeletes.Leg,
       ct: ColumnType)
+
+  /** One compiled exclusion (a conjunction of legs — the composite-key
+    * shape commits as one predicate, applied as the AND of per-column
+    * masks). */
+  final case class Excl(legs: Array[LegExcl]) {
+    /** False when any leg's column is absent in this file — the
+      * conjunction can never hold, skip the predicate whole. */
+    def applicable: Boolean = legs.forall(_.colIdx >= 0)
+  }
 
   def compile(eq: Seq[String], cols: Array[ColumnDesc]): Array[Excl] =
     eq.map { json =>
       val p = FlsEqDeletes.parse(json)
-      val idx = cols.indexWhere(_.name == p.col)
-      val ct = if (idx < 0) null else cols(idx).colType
-      if (idx >= 0) {
-        val phys = physOf(ct.tag)
-        val ok = p.kind match {
-          case FlsEqDeletes.KindLong =>
-            phys == Phys.LONG && ct.tag != TypeTag.UINT64 &&
-              ct.tag != TypeTag.DECIMAL
-          case FlsEqDeletes.KindDouble => phys == Phys.DOUBLE
-          case FlsEqDeletes.KindString =>
-            phys == Phys.BYTES && ct.tag == TypeTag.STRING
-          case _ => false
+      val legs = p.legs.map { l =>
+        val idx = cols.indexWhere(_.name == l.col)
+        val ct = if (idx < 0) null else cols(idx).colType
+        if (idx >= 0) {
+          val phys = physOf(ct.tag)
+          val ok = l.kind match {
+            case FlsEqDeletes.KindLong =>
+              phys == Phys.LONG && ct.tag != TypeTag.UINT64 &&
+                ct.tag != TypeTag.DECIMAL
+            case FlsEqDeletes.KindDouble => phys == Phys.DOUBLE
+            case FlsEqDeletes.KindString =>
+              phys == Phys.BYTES && ct.tag == TypeTag.STRING
+            case _ => false
+          }
+          if (!ok) throw new IllegalStateException(
+            s"fls: equality delete on '${l.col}' cannot apply to a file " +
+              s"storing it as ${ct.tag} — the column's physical domain " +
+              "drifted since the delete committed; compact the table to " +
+              "absorb the predicate, then retry")
         }
-        if (!ok) throw new IllegalStateException(
-          s"fls: equality delete on '${p.col}' cannot apply to a file " +
-            s"storing it as ${ct.tag} — the column's physical domain " +
-            "drifted since the delete committed; compact the table to " +
-            "absorb the predicate, then retry")
-      }
-      Excl(idx, p, ct)
+        LegExcl(idx, l, ct)
+      }.toArray
+      Excl(legs)
     }.toArray
 
-  /** Per-row "is deleted" test over one decoded row group. The sorted
-    * literal arrays come straight from the predicate; dictionary
-    * shapes precompute one flag per code (O(dict) once, O(1)/row). */
-  def deletedMask(e: Excl, data: ColData): Int => Boolean = {
-    val p = e.pred
+  /** Per-row "is deleted" test for one predicate over one decoded row
+    * group: the AND of its legs' masks (each leg's column decoded once
+    * via the caller's memoized `decodeAt`). Call only when
+    * [[Excl.applicable]]. */
+  def deletedMask(e: Excl, decodeAt: Int => ColData): Int => Boolean = {
+    val masks = e.legs.map(l => legMask(l, decodeAt(l.colIdx)))
+    if (masks.length == 1) masks(0)
+    else { i =>
+      var k = 0
+      var all = true
+      while (all && k < masks.length) { all = masks(k)(i); k += 1 }
+      all
+    }
+  }
+
+  /** One leg's per-row match test. The sorted literal arrays come
+    * straight from the predicate; dictionary shapes precompute one
+    * flag per code (O(dict) once, O(1)/row). */
+  private def legMask(e: LegExcl, data: ColData): Int => Boolean = {
+    val p = e.leg
     def inLongs(v: Long): Boolean =
       java.util.Arrays.binarySearch(p.longs, v) >= 0
     def inDoubles(v: Double): Boolean = {

@@ -177,8 +177,9 @@ object FlsDelete {
   private[connector] def morEnabled(options: CaseInsensitiveStringMap): Boolean =
     deleteMode(options) == "merge-on-read"
 
-  /** `delete_mode=equality`: a supported-shape DELETE (one `=` / `IN`
-    * conjunct on a non-partition scalar column, [[graft.fls.FlsEqDeletes]])
+  /** `delete_mode=equality`: a supported-shape DELETE (a conjunction
+    * of `=` / `IN` conjuncts over distinct non-partition scalar
+    * columns — single or composite key, [[graft.fls.FlsEqDeletes]])
     * commits the PREDICATE itself as an `#eqdel` manifest line —
     * O(1) data reads regardless of how many files the key straddles;
     * readers apply it as a decode-time residual until rewrites absorb
@@ -193,8 +194,9 @@ object FlsDelete {
       // a partition column lives in the PATH, not the data — the
       // residual would decode nothing; the partition-decided metadata
       // path below handles those with zero reads anyway
-      FlsPartitioning.discover(Seq(tablePath(options)), files, conf)
-        .keys.contains(p.col)
+      val partCols = FlsPartitioning
+        .discover(Seq(tablePath(options)), files, conf).keys
+      p.legs.exists(l => partCols.contains(l.col))
     }
   }
 

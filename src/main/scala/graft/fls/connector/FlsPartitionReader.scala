@@ -416,19 +416,21 @@ class FlsPartitionReader(
         dvApplied = true
       }
     }
-    // Equality-delete residuals: decode each predicate's column (memo-
-    // shared with the projection) and drop matching rows from the
+    // Equality-delete residuals: decode each predicate's column(s)
+    // (memo-shared with the projection) and drop matching rows from the
     // selection — mandatory like the DV (dvApplied forces compaction:
-    // no FilterExec re-checks these). A file lacking the column stores
-    // only NULLs for it — never equal to a literal — so it compiled to
-    // colIdx = -1 and is skipped. Emit mode never coexists (the CDF
-    // refuses ranges containing an equality-delete commit).
+    // no FilterExec re-checks these). A composite-key predicate is the
+    // AND of its legs' masks. A file lacking any leg's column stores
+    // only NULLs for it — never equal to a literal — so the predicate
+    // compiled non-applicable and is skipped whole. Emit mode never
+    // coexists (the CDF refuses ranges containing an equality-delete
+    // commit).
     if (eqExcls.length > 0 && emitPositions == null) {
       var x = 0
       while (x < eqExcls.length && selCount != 0) {
         val ex = eqExcls(x)
-        if (ex.colIdx >= 0) {
-          val del = graft.fls.FlsEqResidual.deletedMask(ex, decodeAt(ex.colIdx))
+        if (ex.applicable) {
+          val del = graft.fls.FlsEqResidual.deletedMask(ex, decodeAt)
           if (selScratch == null || selScratch.length < rgTuples)
             selScratch = new Array[Int](rgTuples)
           if (selCount < 0) {

@@ -1825,7 +1825,86 @@ object FlsQueries {
         AND c_custkey NOT IN (1, 5, 9999)
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** COMPOSITE-KEY equality deletes (r16): `DELETE WHERE seg = X AND
+    * nation = Y` — the common GDPR shape (`user_id` AND `tenant_id`) —
+    * commits as ONE multi-leg `#eqdel` line with zero data reads
+    * (spec-locked in FlsEqDeleteSpec); the decode-time residual is the
+    * AND of per-column masks. The gate stacks: a 2-leg string+long
+    * delete, a REINSERT of part of the deleted tuple-space (newer
+    * birth version → exempt, must come back), a second 2-leg delete on
+    * a different column pair that crosses BOTH generations, and a
+    * 2-leg delete whose long leg is an IN list. DuckDB reconstructs
+    * the final state from raw parquet — a residual that ORs instead of
+    * ANDs, misses one leg, or misscopes a generation breaks the hash. */
+  def q121FlsEqDeleteMulticol(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "eqm_warehouse")
+    val cat = s"fls_eqm_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.cust_eqm"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_eqm")
+      if (!done.contains(warehouse + "@eqm") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "customer").createOrReplaceTempView(s"cust_eqm_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (c_custkey BIGINT, c_nationkey " +
+          "BIGINT, c_mktsegment STRING, c_acctbal DOUBLE) TBLPROPERTIES " +
+          "('commit_mode'='manifest', 'delete_mode'='equality')")
+        spark.sql(s"INSERT INTO $tbl SELECT /*+ REPARTITION(8) */ " +
+          "c_custkey, c_nationkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) " +
+          s"FROM cust_eqm_src_$key")
+        // composite key: string leg AND long leg, one #eqdel line
+        spark.sql(s"DELETE FROM $tbl WHERE c_mktsegment = 'AUTOMOBILE' " +
+          "AND c_nationkey = 5")
+        // reinsert part of the deleted tuple-space AFTER the predicate
+        // → newer birth version → exempt
+        spark.sql(s"INSERT INTO $tbl SELECT c_custkey, c_nationkey, " +
+          "c_mktsegment, CAST(c_acctbal AS DOUBLE) " +
+          s"FROM cust_eqm_src_$key WHERE c_mktsegment = 'AUTOMOBILE' " +
+          "AND c_nationkey = 5 AND c_custkey % 3 = 0")
+        // different column pair, crosses generation 1 only by value
+        spark.sql(s"DELETE FROM $tbl WHERE c_mktsegment = 'BUILDING' " +
+          "AND c_nationkey IN (1, 2, 3)")
+        // long+long composite with an IN leg: applies to BOTH
+        // generations (nation 5 spans them)
+        spark.sql(s"DELETE FROM $tbl WHERE c_nationkey = 5 AND " +
+          "c_custkey IN (3, 6, 9, 12, 15, 18, 21, 24, 27, 30, 33, 36, " +
+          "39, 42, 45, 48, 51, 54, 57, 60, 63, 66, 69, 72, 75, 78, 81, " +
+          "84, 87, 90, 93, 96, 99, 102, 105, 108, 111, 114, 117, 120)")
+        marker.createNewFile()
+      }
+      done += warehouse + "@eqm"
+    }
+    spark.table(tbl).groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("c_acctbal")))).as("bal"),
+        sum(col("c_custkey")).as("sumk"), sum(col("c_nationkey")).as("sumn"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q121Sql: String =
+    """WITH live AS (
+        SELECT * FROM customer
+        WHERE (NOT (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 5)
+               AND NOT (c_mktsegment = 'BUILDING' AND c_nationkey IN (1, 2, 3)))
+           OR (c_mktsegment = 'AUTOMOBILE' AND c_nationkey = 5
+               AND c_custkey % 3 = 0)
+      )
+      SELECT c_mktsegment, count(*) AS n,
+        CAST(sum(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS bal,
+        CAST(sum(c_custkey) AS BIGINT) AS sumk,
+        CAST(sum(c_nationkey) AS BIGINT) AS sumn
+      FROM live
+      WHERE NOT (c_nationkey = 5 AND c_custkey IN (3, 6, 9, 12, 15, 18,
+        21, 24, 27, 30, 33, 36, 39, 42, 45, 48, 51, 54, 57, 60, 63, 66,
+        69, 72, 75, 78, 81, 84, 87, 90, 93, 96, 99, 102, 105, 108, 111,
+        114, 117, 120))
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_fls_eqdelete_multicol" -> (q121FlsEqDeleteMulticol _),
     "q118_fls_equality_delete" -> (q118FlsEqualityDelete _),
     "q117_fls_bloom_lookup" -> (q117FlsBloomLookup _),
     "q116_fls_write_audit_publish" -> (q116FlsWriteAuditPublish _),
@@ -1871,6 +1950,7 @@ object FlsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q121_fls_eqdelete_multicol" -> q121Sql,
     "q118_fls_equality_delete" -> q118Sql,
     "q117_fls_bloom_lookup" -> q117Sql,
     "q116_fls_write_audit_publish" -> q116Sql,

@@ -260,4 +260,52 @@ class FlsEqDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FlsManifest.versionEq(fs, new Path(dir),
       FlsManifest.readVersioned(fs, new Path(dir)).get._1).isEmpty)
   }
+
+  test("composite-key delete commits ONE multi-leg line with ZERO jobs; " +
+      "the residual is the AND of its legs") {
+    val (tbl, dir) = mkTable("multicol")
+    var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // id 4 is seg 'b': one leg matches, the other doesn't — survives
+      spark.sql(s"DELETE FROM $tbl WHERE seg = 'a' AND id IN (0, 3, 4, 6)")
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"composite equality delete ran $jobs job(s)")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val (headV, _) = FlsManifest.readVersioned(fs, new Path(dir)).get
+    val eq = FlsManifest.versionEq(fs, new Path(dir), headV)
+    assert(eq.length == 1 && FlsEqDeletes.parse(eq.head).legs.length == 2,
+      eq.mkString("; "))
+    assert(ids(tbl) == (0L until 100L).toSet -- Set(0L, 3L, 6L),
+      "AND semantics: only rows matching EVERY leg die")
+    assert(ids(tbl).contains(4L), "a one-leg match must survive")
+  }
+
+  test("composite-key reinserts are exempt (birth-version rule); a " +
+      "3-leg long+string+double conjunction stacks on top") {
+    val (tbl, _) = mkTable("multicol_bv")
+    spark.sql(s"DELETE FROM $tbl WHERE seg = 'a' AND id IN (0, 3, 9)")
+    assert(!ids(tbl).exists(Set(0L, 3L, 9L)))
+    spark.sql(s"INSERT INTO $tbl VALUES (3, 'a', 0.75), (9, 'a', 2.25)")
+    assert(ids(tbl).contains(3L) && ids(tbl).contains(9L) &&
+      !ids(tbl).contains(0L))
+    // v = id/4: matches id=9 in BOTH generations; id=5 only via gen1
+    spark.sql(s"DELETE FROM $tbl WHERE seg IN ('a', 'c') AND " +
+      "id IN (5, 8, 9) AND v IN (1.25, 2.25)")
+    assert(!ids(tbl).contains(9L) && !ids(tbl).contains(5L))
+    assert(ids(tbl).contains(8L), "v=2.0 fails the double leg")
+    assert(ids(tbl).contains(3L), "the other reinsert survives")
+  }
+
+  test("duplicate-column conjunctions fall back to the ladder and stay " +
+      "exact") {
+    val (tbl, dir) = mkTable("multicol_dup")
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (30, 31) AND id IN (31, 32)")
+    assert(!ids(tbl).contains(31L))
+    assert(ids(tbl).contains(30L) && ids(tbl).contains(32L))
+  }
 }
