@@ -67,13 +67,28 @@ object EqDeleteProbe {
       val n1 = timed(s"$mode: full count after")(spark.table(tbl).count())
       require(n0 - n1 == keys.length, s"$mode deleted ${n0 - n1}")
       if (mode == "equality") {
-        timed("equality: full-scan agg WITH residual")(
+        // a second generation appended AFTER the predicate (newer birth
+        // version): exempt from the residual AND from absorption — the
+        // targeted-absorb claim is rewriting 64 of 128 files, not all
+        timed("equality: append exempt generation (64 files)")(
+          src.repartition(64).write.format("fls").mode("append")
+            .option("commit_mode", "manifest").save(dir))
+        timed("equality: full-scan agg WITH residual (128 files)")(
           spark.table(tbl).agg(sum("o_totalprice")).collect())
-        timed("equality: compact absorbs the predicate")(
+        val st = timed("equality: TARGETED absorb (subject files only)")(
+          graft.fls.FlsMaintenance.absorbDeletes(spark, dir,
+            targetRowsPerFile = 2000000))
+        println(s"[eqprobe] absorb rewrote ${st.subjectFiles} subject " +
+          s"file(s) of 128, dropped ${st.predicates} predicate(s)")
+        require(st.subjectFiles == 64, s"expected 64 subject, got ${st.subjectFiles}")
+        timed("equality: full-scan agg after absorb (128 files)")(
+          spark.table(tbl).agg(sum("o_totalprice")).collect())
+        val n2 = spark.table(tbl).count()
+        require(n2 == 2 * n0 - keys.length,
+          s"post-absorb count $n2, expected ${2 * n0 - keys.length}")
+        timed("equality: full compact (reference)")(
           graft.fls.FlsMaintenance.compact(spark, dir,
             targetRowsPerFile = 2000000))
-        timed("equality: full-scan agg after absorb")(
-          spark.table(tbl).agg(sum("o_totalprice")).collect())
       }
     }
     spark.stop()

@@ -267,6 +267,140 @@ object FlsMaintenance {
       FlsManifest.read(fs, root).map(_.length).getOrElse(0), rows)
   }
 
+  final case class AbsorbStats(predicates: Int, subjectFiles: Int,
+      filesAfter: Int, rows: Long)
+
+  /** TARGETED equality-delete absorption: rewrite ONLY the files the
+    * active predicates can still apply to (birth version <= the newest
+    * predicate's commit version — the same subject set the read-time
+    * residual rule derives), then drop the absorbed predicates and
+    * re-arm the value-producing metadata shortcuts those files were
+    * refusing. A full `compact` absorbs too, but at O(table): on a
+    * 100 TB table where one GDPR delete touches a few old files,
+    * absorption must cost O(subject), not O(everything). Non-subject
+    * files are never read, never rewritten, and keep their manifest
+    * entries (and zone-map stats) byte-identical.
+    *
+    * The rewrite reads the subject files THROUGH the manifest
+    * (pinned `manifest_version` + `file_subset`), so delete vectors
+    * and the residuals themselves apply — outputs hold exactly the
+    * live rows. The swap is the same conflict-checked CAS as
+    * compaction: a concurrent equality delete, a removed input, or a
+    * re-vectored input aborts with nothing published. With zero
+    * subject files (predicates already absorbed-in-effect — e.g.
+    * carried conservatively by the O(delta) commit path, which never
+    * absorbs), one metadata-only identity commit re-runs the
+    * absorption filter and drops them. */
+  def absorbDeletes(spark: SparkSession, dir: String,
+      targetRowsPerFile: Long = Format.DefaultRowGroupSize.toLong * 16,
+      extraOptions: Map[String, String] = Map.empty): AbsorbStats = {
+    require(targetRowsPerFile > 0,
+      "fls absorb_deletes: targetRowsPerFile must be positive")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val (frozenV, layout) = FlsManifest.readLayoutVersioned(fs, root)
+      .getOrElse(throw new IllegalArgumentException(
+        s"fls absorb_deletes: $dir has no manifest — equality deletes " +
+          "need a commit_mode=manifest table"))
+    val eq = layout.eq
+    if (eq.isEmpty) return AbsorbStats(0, 0, layout.entries.length, 0L)
+    val maxPv = eq.map(FlsEqDeletes.versionOf).max
+    val frozenEntries = layout.entries
+    val subject = frozenEntries.filter(e =>
+      FlsFileStats.birthOf(e.stats) <= maxPv)
+    val absorbId = java.util.UUID.randomUUID().toString
+    if (subject.isEmpty) {
+      FlsManifest.commit(fs, root, absorbId, conf, op = "absorb",
+          dataChange = false) { (_, cur) =>
+        cur.getOrElse(throw new IllegalStateException(
+          s"fls absorb_deletes: manifest of $dir vanished mid-absorb"))
+      }
+      return AbsorbStats(eq.length, 0,
+        FlsManifest.read(fs, root).map(_.length).getOrElse(0), 0L)
+    }
+    val subjectRels = subject.map(_.rel).toSet
+    val discovery = connector.FlsPartitioning.discover(
+      Seq(dir), FlsManifest.statuses(fs, root, subject).map(_.getPath), conf)
+    val keys = FlsTableMeta.read(fs, root).map(_._2.partitionBy)
+      .filter(_.nonEmpty).getOrElse(discovery.keys)
+    // pinned + subset: the residuals and DVs apply during this read,
+    // so the outputs hold exactly the subject files' LIVE rows
+    val df = spark.read.format("fls")
+      .option("manifest_version", frozenV.toString)
+      .option("file_subset", subjectRels.mkString(","))
+      .load(dir)
+    val rows = df.count()
+    val tmpDir = new Path(root, s"_absorb_$absorbId") // _-prefixed: invisible
+    var w = clustered(df, rows, keys, Nil, Nil, targetRowsPerFile)
+      .write.format("fls").mode("overwrite")
+      .option("write_distribution", "none")
+    if (keys.nonEmpty) w = w.option("partition_by", keys.mkString(","))
+    w = rotation(w, targetRowsPerFile, extraOptions)
+    val moved = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    try {
+      // rows == 0 still writes (a schema-only file): the swap must
+      // leave the table readable even if every subject row was deleted
+      w.save(tmpDir.toString)
+      val outputs = scala.collection.mutable.ArrayBuffer[(Path, String, Long)]()
+      FlsFile.walkFiles(fs, tmpDir, Seq(".fls", ".fls.footer")) { (s, rel) =>
+        outputs += ((s.getPath, rel, s.getLen))
+      }
+      outputs.foreach { case (src, rel, len) =>
+        val dst = new Path(root, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"fls absorb_deletes: rename $src -> $dst failed")
+        moved += ((rel, len))
+      }
+      val outEntries = moved.collect {
+        case (rel, len) if rel.endsWith(".fls") =>
+          FlsManifest.Entry(rel, len, 0L)
+      }.toSeq
+      FlsManifest.commit(fs, root, absorbId, conf,
+          op = "absorb", dataChange = false) { (curV, current) =>
+        val cur = current.getOrElse(throw new IllegalStateException(
+          s"fls absorb_deletes: $dir lost its manifest mid-absorb — aborting"))
+        // a predicate committed AFTER the freeze applies to our outputs'
+        // input rows, but the outputs were built without it and their
+        // fresh birth version would carry them out of its scope
+        if (FlsManifest.versionEq(fs, root, curV)
+            .exists(FlsEqDeletes.versionOf(_) > frozenV))
+          throw new java.util.ConcurrentModificationException(
+            s"fls absorb_deletes: an equality delete committed under $dir " +
+              "after the absorb froze its inputs — aborting; rerun")
+        val curRels = cur.map(_.rel).toSet
+        val gone = subjectRels.diff(curRels)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"fls absorb_deletes: a concurrent commit removed ${gone.size} " +
+              s"input file(s) under $dir — aborting; rerun")
+        val frozenDv = subject.map(e => e.rel -> FlsFileStats.dvOf(e.stats)).toMap
+        if (cur.exists(e => subjectRels(e.rel) &&
+            FlsFileStats.dvOf(e.stats) != frozenDv(e.rel)))
+          throw new java.util.ConcurrentModificationException(
+            s"fls absorb_deletes: a concurrent DELETE re-vectored an input " +
+              s"file under $dir — aborting; rerun")
+        // non-subject entries and concurrent appends survive untouched;
+        // the commit's absorption filter then drops every predicate (no
+        // retained entry predates maxPv anymore)
+        cur.filterNot(e => subjectRels(e.rel)) ++ outEntries
+      }
+    } catch {
+      case t: Throwable =>
+        moved.foreach { case (rel, _) =>
+          try fs.delete(new Path(root, rel), false) catch { case _: Throwable => () }
+        }
+        try fs.delete(tmpDir, true) catch { case _: Throwable => () }
+        throw t
+    }
+    // replaced inputs stay for vacuum, like compaction (pinned readers)
+    try fs.delete(tmpDir, true) catch { case _: Throwable => () }
+    AbsorbStats(eq.length, subject.length,
+      FlsManifest.read(fs, root).map(_.length).getOrElse(0), rows)
+  }
+
   final case class RollbackStats(fromVersion: Long, restoredVersion: Long,
       newVersion: Long, files: Int)
 

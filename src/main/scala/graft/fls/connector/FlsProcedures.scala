@@ -36,7 +36,7 @@ object FlsProcedures {
     if (!namespace.sameElements(Namespace)) Array.empty
     else Array("compact", "vacuum", "rollback", "evolve_partition_spec",
       "create_branch", "drop_branch", "create_tag", "drop_tag",
-      "fast_forward").map(Identifier.of(Namespace, _))
+      "fast_forward", "absorb_deletes").map(Identifier.of(Namespace, _))
 
   def load(ident: Identifier, resolveDir: Seq[String] => Path,
       session: SparkSession): UnboundProcedure = {
@@ -49,13 +49,14 @@ object FlsProcedures {
       case "rollback" => new RollbackProcedure(resolveDir, session)
       case "evolve_partition_spec" =>
         new EvolvePartitionSpecProcedure(resolveDir, session)
+      case "absorb_deletes" => new AbsorbDeletesProcedure(resolveDir, session)
       case "create_branch" | "drop_branch" | "create_tag" | "drop_tag" |
            "fast_forward" =>
         new RefProcedure(ident.name, resolveDir, session)
       case other => throw new IllegalArgumentException(
         s"fls: unknown procedure system.$other — have: compact, vacuum, " +
           "rollback, evolve_partition_spec, create_branch, drop_branch, " +
-          "create_tag, drop_tag, fast_forward")
+          "create_tag, drop_tag, fast_forward, absorb_deletes")
     }
   }
 
@@ -115,6 +116,43 @@ object FlsProcedures {
         targetRowsPerFile = target, sortBy = cols(2), zorderBy = cols(3))
       single(resultScan(schema, new GenericInternalRow(
         Array[Any](stats.filesBefore, stats.filesAfter, stats.rows))))
+    }
+  }
+
+  /** `system.absorb_deletes(table, target_rows_per_file)` —
+    * [[FlsMaintenance.absorbDeletes]]: rewrite ONLY the files the
+    * active equality-delete predicates apply to (birth version <= the
+    * newest predicate's), drop the absorbed predicates, re-arm the
+    * metadata shortcuts. O(subject files), never O(table) — the
+    * targeted alternative to a full compact after a GDPR delete. */
+  final class AbsorbDeletesProcedure(resolveDir: Seq[String] => Path,
+      session: SparkSession) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "absorb_deletes"
+    override def description(): String =
+      "Rewrite only the files subject to active equality-delete " +
+        "predicates, then drop the predicates"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name relative to the catalog, e.g. 'db.events'").build(),
+      ProcedureParameter.in("target_rows_per_file", LongType)
+        .defaultValue(s"CAST(${graft.fls.Format.DefaultRowGroupSize.toLong * 16} AS BIGINT)")
+        .build())
+
+    private val schema = StructType(Seq(
+      StructField("predicates_absorbed", IntegerType, nullable = false),
+      StructField("files_rewritten", IntegerType, nullable = false),
+      StructField("files_after", IntegerType, nullable = false),
+      StructField("rows", LongType, nullable = false)))
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = tableDir(resolveDir, str(input, 0))
+      val stats = graft.fls.FlsMaintenance.absorbDeletes(session,
+        dir.toString, targetRowsPerFile = input.getLong(1))
+      single(resultScan(schema, new GenericInternalRow(
+        Array[Any](stats.predicates, stats.subjectFiles, stats.filesAfter,
+          stats.rows))))
     }
   }
 

@@ -301,6 +301,44 @@ class FlsEqDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids(tbl).contains(3L), "the other reinsert survives")
   }
 
+  test("absorb_deletes rewrites ONLY the subject files (1 of N), drops " +
+      "the predicates, and leaves non-subject entries byte-identical") {
+    val tbl = s"$cat.db.absorb_t"
+    val dir = s"$tmp/warehouse/db/absorb_t"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, seg STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='equality')")
+    spark.range(0, 100).selectExpr("id",
+      "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS seg",
+      "CAST(id AS DOUBLE) / 4 AS v")
+      .repartition(1).writeTo(tbl).append() // one subject-to-be file
+    spark.sql(s"DELETE FROM $tbl WHERE seg = 'b'") // predicate v2
+    spark.range(100, 200).selectExpr("id", "'d' AS seg",
+      "CAST(id AS DOUBLE) / 4 AS v")
+      .repartition(4).writeTo(tbl).append() // 4 files, bv=3 > 2: exempt
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = FlsManifest.read(fs, root).get
+    val exempt = before.filter(e => FlsFileStats.birthOf(e.stats) > 2L)
+    val subject = before.filterNot(e => FlsFileStats.birthOf(e.stats) > 2L)
+    assert(subject.size == 1 && exempt.size == 4, before.map(_.rel).toString)
+    val r = spark.sql(s"CALL $cat.system.absorb_deletes(" +
+      "`table` => 'db.absorb_t')").collect()(0)
+    assert(r.getInt(0) == 1, "one predicate absorbed")
+    assert(r.getInt(1) == 1, s"exactly the 1 subject file rewritten, got ${r.getInt(1)}")
+    val after = FlsManifest.read(fs, root).get
+    exempt.foreach(e => assert(after.contains(e),
+      s"non-subject entry ${e.rel} must survive byte-identical"))
+    assert(!after.exists(_.rel == subject.head.rel), "subject replaced")
+    val (headV, _) = FlsManifest.readVersioned(fs, root).get
+    assert(FlsManifest.versionEq(fs, root, headV).isEmpty,
+      "predicates dropped from the log")
+    // rows exact, and the count(*) metadata shortcut re-armed
+    assert(ids(tbl) == ((0L until 100L).filterNot(_ % 3 == 1).toSet ++
+      (100L until 200L)))
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0)
+      == 167L)
+  }
+
   test("duplicate-column conjunctions fall back to the ladder and stay " +
       "exact") {
     val (tbl, dir) = mkTable("multicol_dup")

@@ -135,7 +135,8 @@ class FlsProceduresSpec extends AnyFunSuite with BeforeAndAfterAll {
     val shown = res.select(nameCol).collect().map(_.getString(0)).toSet
     assert(shown == Set("compact", "vacuum", "rollback",
       "evolve_partition_spec", "create_branch", "drop_branch",
-      "create_tag", "drop_tag", "fast_forward"), s"got $shown")
+      "create_tag", "drop_tag", "fast_forward", "absorb_deletes"),
+      s"got $shown")
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.vacuum").collect()
       .map(_.toString).mkString("\n")
     assert(desc.contains("vacuum"))
