@@ -45,6 +45,10 @@ object Similarity {
     * persisted index) — the spec's "cold session answers with zero
     * Lloyd work" assertion reads this. */
   @volatile var indexBuilds: Long = 0L
+  /** Test observable: the physical plan of the last index BUILD — the
+    * spec asserts two-level routing stays map-side (no exchange of the
+    * vector×L1 expanded product). */
+  @volatile var lastBuildPlan: String = ""
 
   /** Root of persisted IVF indexes. The r14 verdict's gap #3: the
     * quantizer (centroids + ranked cell assignments) previously lived
@@ -73,7 +77,9 @@ object Similarity {
          catch { case _: Exception => false })
       if (!current) {
         indexBuilds += 1
-        build.write.format("fls").mode("overwrite")
+        val b = build
+        lastBuildPlan = b.queryExecution.executedPlan.toString
+        b.write.format("fls").mode("overwrite")
           .option("commit_mode", "manifest").save(path)
         cents.write.format("fls").mode("overwrite")
           .option("commit_mode", "manifest").save(s"$path/_centroids")
@@ -192,29 +198,32 @@ object Similarity {
     * aggregation downstream are shared unchanged. */
   private def rankedTwoLevel(e: DataFrame, nCentTotal: Long,
       l1Count: Long, upTo: Int, l1Probe: Int): DataFrame = {
+    val spark = e.sparkSession
     val l2 = e.filter(col("vec_id") < nCentTotal)
       .select(col("vec_id").as("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"))
-    val l1 = e.filter(col("vec_id") < l1Count)
-      .select(col("vec_id").as("g_id"), col("v").as("v_g"), col("nr").as("nr_g"))
-    val gDot = GraftFunctions.arrayDot(col("v_q"), col("v_g"))
-    val wCent = Window.partitionBy(col("cent_id"))
-      .orderBy(col("gcos").desc, col("g_id").asc)
-    val l2g = l2.crossJoin(broadcast(l1))
-      .select(col("cent_id"), col("g_id"),
-        (gDot / (col("nr_q") * col("nr_g"))).as("gcos"))
-      .withColumn("rg", row_number().over(wCent))
-      .filter(col("rg") === 1)
-      .select("cent_id", "g_id")
-    val vDot = GraftFunctions.arrayDot(col("v_c"), col("v_g"))
-    val wVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("gcos").desc, col("g_id").asc)
-    val vr = e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
-      .crossJoin(broadcast(l1))
-      .select(col("vec_id"), col("g_id"),
-        (vDot / (col("nr_c") * col("nr_g"))).as("gcos"))
-      .withColumn("arg", row_number().over(wVec))
-      .filter(col("arg") <= l1Probe)
-      .select("vec_id", "g_id")
+    // The L1 set is tiny BY CONSTRUCTION — ⌈√nCent⌉ ≤ ⌈√cap⌉ ≈ 256
+    // rows at the default 64Ki cap — so collect it once and route
+    // MAP-SIDE with [[GraftFunctions.topGroups]]: the r15 shape
+    // cross-joined every vector with the broadcast L1 set and ran
+    // row_number() over Window.partitionBy(vec_id), which exchanged
+    // the n·√nCent expanded product (~2.4×10¹² rows at the activation
+    // scale) just to pick each vector's top groups. Routing now emits
+    // n·l1Probe rows with ZERO extra exchange; the arithmetic and tie
+    // order (cos desc, g_id asc) are identical, so the q120 oracle
+    // hash and the IvfRecallProbe ladder are unchanged.
+    val l1Rows = e.filter(col("vec_id") < l1Count)
+      .select(col("vec_id"), col("v"), col("nr"))
+      .collect().sortBy(_.getLong(0))
+    val l1Bc = spark.sparkContext.broadcast((
+      l1Rows.map(_.getLong(0)),
+      l1Rows.map(_.getSeq[Double](1).toArray),
+      l1Rows.map(_.getDouble(2))))
+    val l2g = l2.select(col("cent_id"),
+      GraftFunctions.topGroups(col("v_q"), col("nr_q"), l1Bc, 1)
+        .getItem(0).as("g_id"))
+    val vr = e.select(col("vec_id"),
+      explode(GraftFunctions.topGroups(col("v"), col("nr"), l1Bc, l1Probe))
+        .as("g_id"))
     // score each vector against its routed groups' L2 blocks only —
     // the narrow (vec_id, cent_id, ccos) triple projects out before
     // anything wide shuffles further

@@ -115,6 +115,77 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Map-side group routing for the two-level IVF quantizer: score one
+  * row's vector against a driver-collected, broadcast L1 centroid set
+  * and return the top-`k` group ids, ordered exactly like the
+  * crossJoin+row_number it replaces (cosine desc, group id asc —
+  * java.lang.Double total order, as Spark's sort uses). The L1 set is
+  * tiny BY CONSTRUCTION (⌈√nCentroids⌉ ≤ ⌈√cap⌉ ≈ 256 rows at the
+  * default 64Ki cap), so the broadcast is a few hundred KB while the
+  * old shape shuffled the n·√nCent expanded vector×group product just
+  * to pick each vector's top groups (the r15 verdict's routing gap:
+  * ~2.4×10¹² rows through an exchange at the activation scale). The
+  * per-row arithmetic is IDENTICAL (same sequential dot product, same
+  * divide), so rankings — and the q120 oracle hash — are unchanged. */
+case class TopGroups(vec: Expression, norm: Expression,
+    groups: org.apache.spark.broadcast.Broadcast[
+      (Array[Long], Array[Array[Double]], Array[Double])],
+    k: Int)
+  extends BinaryExpression with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def left: Expression = vec
+  override def right: Expression = norm
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_top_groups"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val nr = b.asInstanceOf[Double]
+    val (ids, vs, ns) = groups.value
+    val m = ids.length
+    val take = math.min(k, m)
+    // one cosine per group (O(m·dim)), then top-k by repeated max over
+    // the scores (k is 1–8, the l1probe knob — beats a per-row heap)
+    val cos = new Array[Double](m)
+    var g = 0
+    while (g < m) {
+      val gv = vs(g)
+      val n = math.min(x.numElements(), gv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * gv(i); i += 1 }
+      cos(g) = s / (nr * ns(g))
+      g += 1
+    }
+    val bestIds = new Array[Long](take)
+    val used = new Array[Boolean](m)
+    var r = 0
+    while (r < take) {
+      var bi = -1
+      g = 0
+      while (g < m) {
+        // (cos desc, id asc) — ids are ascending, so strict > keeps
+        // the first (smallest) id on ties, like row_number's order
+        if (!used(g) &&
+            (bi < 0 || java.lang.Double.compare(cos(g), cos(bi)) > 0)) bi = g
+        g += 1
+      }
+      used(bi) = true
+      bestIds(r) = ids(bi)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestIds)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, norm = newRight)
+}
+
 /** Column-API entry points for the native kernels. */
 object GraftFunctions {
   import org.apache.spark.sql.classic.ExpressionUtils
@@ -127,6 +198,17 @@ object GraftFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Top-`k` L1 group ids for one vector — map-side IVF routing over a
+    * broadcast (ids, vectors, norms) centroid set; ids must be
+    * ascending. See [[TopGroups]]. */
+  def topGroups(v: Column, nr: Column,
+      groups: org.apache.spark.broadcast.Broadcast[
+        (Array[Long], Array[Array[Double]], Array[Double])],
+      k: Int): Column =
+    ExpressionUtils.column(TopGroups(
+      ExpressionUtils.expression(v), ExpressionUtils.expression(nr),
+      groups, k))
 
   /** Exact floor division of a LONG column by a positive constant.
     * `x DIV w` truncates toward zero (mis-buckets negatives) and a

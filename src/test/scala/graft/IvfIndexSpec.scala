@@ -73,6 +73,14 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val idx = new java.io.File(s"$tmp/index").listFiles()
       .find(_.getName.contains("_ivf2l_"))
     assert(idx.isDefined, "two-level index artifact missing")
+    // routing is MAP-SIDE (r16): the build plan scores the broadcast
+    // L1 set per row and explodes the top group ids — no crossJoin of
+    // the vector×L1 expanded product, no window exchange to pick them
+    assert(Similarity.lastBuildPlan.contains("graft_top_groups"),
+      s"two-level build lost the map-side routing:\n${Similarity.lastBuildPlan}")
+    assert(!Similarity.lastBuildPlan.contains("BroadcastNestedLoopJoin") &&
+      !Similarity.lastBuildPlan.contains("CartesianProduct"),
+      "two-level build re-grew a cross join")
     // served from the artifact in a cold session, like the flat index
     Similarity.unpersistAll()
     val again = Similarity.ivfAnn(spark.newSession(), sf, nprobe = 2,
