@@ -198,30 +198,49 @@ object Similarity {
     * aggregation downstream are shared unchanged. */
   private def rankedTwoLevel(e: DataFrame, nCentTotal: Long,
       l1Count: Long, upTo: Int, l1Probe: Int): DataFrame = {
-    val spark = e.sparkSession
     val l2 = e.filter(col("vec_id") < nCentTotal)
       .select(col("vec_id").as("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"))
-    // The L1 set is tiny BY CONSTRUCTION — ⌈√nCent⌉ ≤ ⌈√cap⌉ ≈ 256
-    // rows at the default 64Ki cap — so collect it once and route
-    // MAP-SIDE with [[GraftFunctions.topGroups]]: the r15 shape
-    // cross-joined every vector with the broadcast L1 set and ran
-    // row_number() over Window.partitionBy(vec_id), which exchanged
-    // the n·√nCent expanded product (~2.4×10¹² rows at the activation
-    // scale) just to pick each vector's top groups. Routing now emits
-    // n·l1Probe rows with ZERO extra exchange; the arithmetic and tie
-    // order (cos desc, g_id asc) are identical, so the q120 oracle
-    // hash and the IvfRecallProbe ladder are unchanged.
-    val l1Rows = e.filter(col("vec_id") < l1Count)
-      .select(col("vec_id"), col("v"), col("nr"))
-      .collect().sortBy(_.getLong(0))
-    val l1Bc = spark.sparkContext.broadcast((
-      l1Rows.map(_.getLong(0)),
-      l1Rows.map(_.getSeq[Double](1).toArray),
-      l1Rows.map(_.getDouble(2))))
+    val l1Bc = broadcastGroups(e.filter(col("vec_id") < l1Count)
+      .select(col("vec_id"), col("v"), col("nr")))
+    rankedTwoLevelAgainst(e, l2, l1Bc, upTo, l1Probe)
+  }
+
+  /** Driver-collect + broadcast one tiny (id, vector, norm) frame —
+    * the L1 group set, ⌈√nCent⌉ ≤ ⌈√cap⌉ ≈ 256 rows BY CONSTRUCTION
+    * (a few hundred KB), the routing currency of
+    * [[GraftFunctions.topGroups]]. */
+  private[queries] def broadcastGroups(df: DataFrame)
+    : org.apache.spark.broadcast.Broadcast[
+        (Array[Long], Array[Array[Double]], Array[Double])] = {
+    val rows = df.collect().sortBy(_.getLong(0))
+    df.sparkSession.sparkContext.broadcast((
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Double](1).toArray),
+      rows.map(_.getDouble(2))))
+  }
+
+  /** Two-level assignment of `eAssign`'s vectors against an EXISTING
+    * L2 centroid frame — shared by the from-scratch build above and
+    * the incremental patch ([[IncrementalIvf]]), which assigns only
+    * appended vectors against the persisted centroids. Routing is
+    * MAP-SIDE: the r15 shape cross-joined every vector with the
+    * broadcast L1 set and ran row_number() over
+    * Window.partitionBy(vec_id), which exchanged the n·√nCent expanded
+    * product (~2.4×10¹² rows at the activation scale) just to pick
+    * each vector's top groups. [[GraftFunctions.topGroups]] scores the
+    * broadcast L1 set per row and explodes the top group ids — routing
+    * emits n·l1Probe rows with ZERO extra exchange; the arithmetic and
+    * tie order (cos desc, g_id asc) are identical, so the q120 oracle
+    * hash and the IvfRecallProbe ladder are unchanged. */
+  private[queries] def rankedTwoLevelAgainst(eAssign: DataFrame,
+      l2: DataFrame,
+      l1Bc: org.apache.spark.broadcast.Broadcast[
+        (Array[Long], Array[Array[Double]], Array[Double])],
+      upTo: Int, l1Probe: Int): DataFrame = {
     val l2g = l2.select(col("cent_id"),
       GraftFunctions.topGroups(col("v_q"), col("nr_q"), l1Bc, 1)
         .getItem(0).as("g_id"))
-    val vr = e.select(col("vec_id"),
+    val vr = eAssign.select(col("vec_id"),
       explode(GraftFunctions.topGroups(col("v"), col("nr"), l1Bc, l1Probe))
         .as("g_id"))
     // score each vector against its routed groups' L2 blocks only —
@@ -230,7 +249,7 @@ object Similarity {
     val l2ByGroup = l2.join(l2g, Seq("cent_id"))
     val wRank = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)
-    e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
+    eAssign.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
       .join(vr, Seq("vec_id"))
       .join(l2ByGroup, Seq("g_id"))
       .select(col("vec_id"), col("cent_id"),
@@ -326,7 +345,7 @@ object Similarity {
   // full per-vector sort); the winning cells join back to the vectors
   // on vec_id, co-partitioned with e's partitioning. Ties break to the
   // lowest cent_id.
-  private def rankedAgainst(e: DataFrame, cents: DataFrame,
+  private[queries] def rankedAgainst(e: DataFrame, cents: DataFrame,
       upTo: Int): DataFrame = {
     val scored = e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
       .crossJoin(broadcast(cents))
@@ -379,7 +398,7 @@ object Similarity {
 
   /** Probe + rank from a ranked-assignment frame — shared by the
     * single- and two-level quantizers (their `r` schemas match). */
-  private def finishAnn(spark: SparkSession, e: DataFrame, r: DataFrame,
+  private[queries] def finishAnn(spark: SparkSession, e: DataFrame, r: DataFrame,
       nprobe: Int): DataFrame = {
     import spark.implicits._
     val cells = r.filter(col("ar") === 1).select(col("vec_id"), col("cent_id").as("cell"))
