@@ -263,7 +263,12 @@ object FlsManifest {
     * `ranged=false` marks pre-range pointers, which must always be
     * opened (and are thereby upgraded to ranged on the rewrite). */
   private[fls] final case class Pointer(name: String, count: Long,
-      minRel: String, maxRel: String, ranged: Boolean) {
+      minRel: String, maxRel: String, ranged: Boolean,
+      /** Optional chunk-level VALUE stats (merged per-file bounds for
+        * the table's `manifest_chunk_stats` columns, [[FlsFileStats]]
+        * JSON) — lets key-range DML planning skip the chunk unopened.
+        * Null = no recorded stats: always open. */
+      stats: String = null) {
     /** Could any rel of `sortedRels` live in this chunk? Rangeless
       * pointers answer yes (must open). */
     def mayContainAny(sortedRels: Array[String]): Boolean = {
@@ -500,6 +505,18 @@ object FlsManifest {
     * chunk of a million-file table). */
   private[fls] val chunkReadCount = new java.util.concurrent.atomic.AtomicLong
 
+  /** Entries of ONE named chunk, count-checked against its pointer —
+    * for planners doing their own chunk-granularity pruning
+    * (value-pruned DML, [[graft.fls.connector.FlsDelete]]). */
+  private[fls] def readChunkEntries(fs: FileSystem, tableDir: Path,
+      pt: Pointer): Seq[Entry] = {
+    val es = readChunk(fs, new Path(chunksDir(tableDir), pt.name))
+    require(es.length == pt.count,
+      s"fls: chunk ${pt.name} holds ${es.length} entries, the manifest " +
+        s"recorded ${pt.count} — chunk pool corrupted")
+    es
+  }
+
   /** One immutable entry chunk ([[ChunkHeader]] + entry lines). */
   private def readChunk(fs: FileSystem, p: Path): Seq[Entry] = {
     chunkReadCount.incrementAndGet()
@@ -558,9 +575,10 @@ object FlsManifest {
       if (lines(0) != HeaderV2) Nil
       else lines.drop(1).filter(_.startsWith("#chunk\t")).toSeq.map { l =>
         val a = l.split('\t')
-        require(a.length == 3 || a.length == 5,
+        require(a.length == 3 || a.length == 5 || a.length == 6,
           s"fls: corrupt #chunk line '$l' in $p")
-        if (a.length == 5) Pointer(a(1), a(2).toLong, a(3), a(4), ranged = true)
+        if (a.length >= 5) Pointer(a(1), a(2).toLong, a(3), a(4),
+          ranged = true, stats = if (a.length == 6) a(5) else null)
         else Pointer(a(1), a(2).toLong, "", "", ranged = false)
       }
     val chunks: Seq[(String, Seq[Entry])] =
@@ -683,7 +701,8 @@ object FlsManifest {
       val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId), f"manifest_v$next%020d")
       val newChunks = writeContent(fs, dir, tmp, merged,
         Some(VersionMeta(op, dataChange, schemaV)), cdc,
-        cur.map(_._2.chunks).getOrElse(Nil), conf, eqAll)
+        cur.map(_._2.chunks).getOrElse(Nil), conf, eqAll,
+        chunkStatCols(tableMeta.map(_._2)))
       def dropNewChunks(): Unit = newChunks.foreach(p =>
         try fs.delete(p, false) catch { case _: Throwable => () })
       val won =
@@ -846,7 +865,8 @@ object FlsManifest {
       val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId),
         f"manifest_v$next%020d")
       val newChunks = writeContentDelta(fs, dir, tmp, kept, leftover,
-        Some(VersionMeta(op, dataChange, schemaV)), cdc, conf, eqAll)
+        Some(VersionMeta(op, dataChange, schemaV)), cdc, conf, eqAll,
+        chunkStatCols(tableMeta.map(_._2)))
       def dropNewChunks(): Unit = newChunks.foreach(p =>
         try fs.delete(p, false) catch { case _: Throwable => () })
       beforePublishForTest()
@@ -875,7 +895,7 @@ object FlsManifest {
   private def writeContentDelta(fs: FileSystem, dir: Path, p: Path,
       kept: Seq[Pointer], leftover: Seq[Entry], meta: Option[VersionMeta],
       cdc: Seq[CdcLine], conf: org.apache.hadoop.conf.Configuration,
-      eqDeletes: Seq[String]): Seq[Path] = {
+      eqDeletes: Seq[String], statCols: Seq[String] = Nil): Seq[Path] = {
     val target = math.max(1, conf.getInt(ChunkTargetKey, DefaultChunkTarget))
     fs.mkdirs(chunksDir(dir))
     val written: Seq[(Pointer, Path)] =
@@ -888,7 +908,7 @@ object FlsManifest {
           group.foreach(writeEntryLine(w, _))
         } finally w.close()
         (Pointer(name, group.length, group.head.rel, group.last.rel,
-          ranged = true), cp)
+          ranged = true, stats = chunkStatsFor(group, statCols)), cp)
       }.toSeq
     val out = writerFor(fs, p)
     try {
@@ -931,7 +951,8 @@ object FlsManifest {
       entries: Seq[Entry], meta: Option[VersionMeta], cdc: Seq[CdcLine],
       prevChunks: Seq[(String, Seq[Entry])],
       conf: org.apache.hadoop.conf.Configuration,
-      eqDeletes: Seq[String] = Nil): Seq[Path] = {
+      eqDeletes: Seq[String] = Nil,
+      statCols: Seq[String] = Nil): Seq[Path] = {
     val inlineMax = math.max(0, conf.getInt(InlineThresholdKey, DefaultInlineThreshold))
     val chunked = entries.length > inlineMax
     // ---- plan the chunk layout (no-op for inline tables) ----
@@ -986,7 +1007,8 @@ object FlsManifest {
         (reused ++ written.map(c => (c._1, c._2)))
           .map { case (name, es) => Pointer(name, es.length,
             es.headOption.map(_.rel).getOrElse(""),
-            es.lastOption.map(_.rel).getOrElse(""), ranged = true) }
+            es.lastOption.map(_.rel).getOrElse(""), ranged = true,
+            stats = chunkStatsFor(es, statCols)) }
           .sortBy(_.minRel)
           .foreach(writePointerLine(out, _))
       } else {
@@ -1035,9 +1057,29 @@ object FlsManifest {
     if (pt.ranged) {
       out.write('\t'); out.write(pt.minRel)
       out.write('\t'); out.write(pt.maxRel)
+      if (pt.stats != null) {
+        require(!pt.stats.contains('\n') && !pt.stats.contains('\t'),
+          s"fls: chunk stats JSON must be compact: '${pt.stats}'")
+        out.write('\t'); out.write(pt.stats)
+      }
     }
     out.write('\n')
   }
+
+  /** Table property naming the columns whose merged VALUE bounds ride
+    * each `#chunk` pointer line — normally the table's cluster key.
+    * Key-range DML planning then skips non-intersecting chunks
+    * UNOPENED ([[graft.fls.connector.FlsDelete]]), the value analog of
+    * the rel-range point lookup. */
+  val ChunkStatsProperty = "manifest_chunk_stats"
+
+  private def chunkStatCols(meta: Option[FlsTableMeta.Meta]): Seq[String] =
+    meta.flatMap(_.properties.get(ChunkStatsProperty))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  private def chunkStatsFor(es: Seq[Entry], statCols: Seq[String]): String =
+    if (statCols.isEmpty) null
+    else FlsFileStats.mergeStats(es.map(_.stats), statCols).orNull
 
   /** The chunk names a version file points at (empty for inline/legacy
     * files). Lax on FileNotFound — a concurrent committer's GC may

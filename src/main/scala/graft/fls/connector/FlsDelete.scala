@@ -242,6 +242,11 @@ object FlsDelete {
     val conf = hconf(session)
     val root = new Path(tablePath(options))
     val fs = root.getFileSystem(conf)
+    // the chunk-pruned leg decides from pointer-line value stats plus
+    // the intersecting chunks only — when it applies, answer WITHOUT
+    // resolving the full manifest (the whole point of the leg)
+    if (valuePrunedPlan(schema, options, filters, root, fs, conf).isDefined)
+      return true
     val manifest = FlsManifest.readVersioned(fs, root)
     val files = manifest match {
       case Some((_, entries)) => entries.map(e => new Path(root, e.rel))
@@ -253,6 +258,76 @@ object FlsDelete {
       plan(schema, options, filters, files, conf,
         mor = morEnabled(options) && manifest.isDefined,
         activeEq = activeEq).isDefined
+  }
+
+  /** Plan the chunk-pruned decided-whole-file DELETE: None = not
+    * applicable (caller runs the normal ladder); Some((frozenV,
+    * dropRels)) = applies, possibly with zero drops (the predicate
+    * provably matches nothing). Reads the head's POINTER LINES plus
+    * only the chunks whose recorded value range intersects the
+    * predicate — never the whole manifest, never a footer. Sound
+    * under delete vectors and active equality predicates: manifest
+    * stats describe a SUPERSET of a file's live rows, so "every row
+    * in range matches" still implies every LIVE row matches. */
+  private def valuePrunedPlan(schema: StructType,
+      options: CaseInsensitiveStringMap, filters: Array[Filter],
+      root: Path, fs: org.apache.hadoop.fs.FileSystem,
+      conf: Configuration): Option[(Long, Set[String])] = {
+    if (FlsDataSource.branchRef(options) != FlsManifest.MainRef) return None
+    val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    if (real.isEmpty) return None // truncate: normal path
+    val cur = FlsManifest.readLayoutVersioned(fs, root, resolveChunks = false)
+    if (cur.isEmpty) return None
+    val (frozenV, layout) = cur.get
+    val pointers = layout.pointers
+    if (pointers.isEmpty || pointers.exists(pt => !pt.ranged || pt.stats == null))
+      return None // inline/legacy, or no recorded chunk value stats
+    val (open, skip) = pointers.partition(pt =>
+      graft.fls.FlsFileStats.mayMatch(pt.stats, real, schema, Set.empty))
+    if (skip.isEmpty) return None // nothing prunable — same cost as the ladder
+    val cand = layout.entries ++
+      open.flatMap(pt => FlsManifest.readChunkEntries(fs, root, pt))
+    if (cand.isEmpty) return Some((frozenV, Set.empty)) // matches nothing
+    val files = cand.map(e => new Path(root, e.rel))
+    // classify candidates from their MANIFEST stats alone (synthetic
+    // one-row-group descs through the same zone evaluator) — zero
+    // footer reads; a file without stats classifies Straddle and
+    // sends the whole delete to the ladder
+    val footers: Map[String, Format.TableDesc] = cand.flatMap { e =>
+      graft.fls.FlsFileStats.toDesc(e.stats).map(t =>
+        new Path(root, e.rel).toString -> Format.applyRenames(t, schema))
+    }.toMap
+    val cls = classify(schema, root.toString, filters, files, footers, conf)
+    if (cls.valuesIterator.contains(Straddle)) return None
+    Some((frozenV, cand.collect {
+      case e if cls(new Path(root, e.rel).toString) == Drop => e.rel
+    }.toSet))
+  }
+
+  /** Execute [[valuePrunedPlan]]: True = handled (a version committed,
+    * or a provable no-op). False = not applicable. */
+  private def valuePrunedDelete(schema: StructType,
+      options: CaseInsensitiveStringMap, filters: Array[Filter],
+      root: Path, fs: org.apache.hadoop.fs.FileSystem,
+      conf: Configuration): Boolean = {
+    val planned = valuePrunedPlan(schema, options, filters, root, fs, conf)
+    if (planned.isEmpty) return false
+    val (frozenV, dropRels) = planned.get
+    if (dropRels.isEmpty) return true // decided whole: nothing matches
+    def freshCheck(curV: Long): Unit =
+      if (curV != frozenV)
+        throw new java.util.ConcurrentModificationException(
+          "fls delete: the table advanced during a chunk-pruned delete " +
+            s"(planned against v$frozenV, head is v$curV) — rerun the delete")
+    FlsManifest.commitDelta(fs, root, UUID.randomUUID().toString, conf,
+        op = "delete") { curV =>
+      freshCheck(curV)
+      FlsManifest.Delta(removeRels = dropRels)
+    } { (curV, curEntries) =>
+      freshCheck(curV)
+      curEntries.getOrElse(Nil).filterNot(e => dropRels.contains(e.rel))
+    }
+    true
   }
 
   def delete(schema: StructType, options: CaseInsensitiveStringMap,
@@ -336,6 +411,24 @@ object FlsDelete {
     def dvAbs(e: FlsManifest.Entry): Option[String] =
       graft.fls.FlsFileStats.dvOf(e.stats).map(b =>
         new Path(root, graft.fls.FlsDeleteVectors.relFor(e.rel, b)).toString)
+
+    // ---- value-pruned decided-whole-file leg (r16): on a CHUNKED
+    // manifest whose pointer lines carry cluster-key value ranges
+    // (TBLPROPERTIES manifest_chunk_stats), a key-range DELETE plans
+    // from the intersecting chunks ONLY — non-intersecting chunks stay
+    // unopened through planning AND the commit (commitDelta carries
+    // their pointers verbatim), so `DELETE WHERE ts < cutoff` on a
+    // million-file clustered table reads O(matching chunks) of
+    // metadata, not the whole manifest. Applies when every candidate
+    // decides whole from its manifest stats / partition values; a
+    // straddler or a missing-stats file falls back to the ladder below
+    // (its rewrite reads data — O(metadata) stops mattering).
+    // Equality-shaped deletes on delete_mode=equality tables keep
+    // their own O(1) leg (one #eqdel line beats even this).
+    val eqShape = deleteMode(options) == "equality" &&
+      graft.fls.FlsEqDeletes.fromFilters(filters, schema).isDefined
+    if (!eqShape && valuePrunedDelete(schema, options, filters, root, fs, conf))
+      return
 
     FlsManifest.readVersioned(fs, root) match {
       case Some((frozenV, frozenEntries)) =>

@@ -1903,7 +1903,76 @@ object FlsQueries {
         114, 117, 120))
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** q122 (r16 stretch): a STREAMING read over a table with an ACTIVE
+    * equality-delete predicate. The offset-log residual freeze (r15,
+    * spec-locked in FlsEqDeleteSpec) says the initial snapshot applies
+    * the predicates as-of discovery and never serves deleted rows —
+    * this gate gives those semantics an ORACLE: the stream's grouped
+    * aggregate must hash-match DuckDB's relational reconstruction of
+    * the final state, including the reinsert-exemption generation (a
+    * post-predicate append whose rows the stream MUST serve while the
+    * same keys from the pre-predicate generation stay deleted). */
+  def q122FlsEqDeleteStream(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "eqs_warehouse")
+    val cat = s"fls_eqs_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.cust_eqs"
+    val path = s"$warehouse/db/cust_eqs"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_eqs")
+      if (!done.contains(warehouse + "@eqs") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "customer").createOrReplaceTempView(s"cust_eqs_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (c_custkey BIGINT, c_mktsegment " +
+          "STRING, c_acctbal DOUBLE) TBLPROPERTIES " +
+          "('commit_mode'='manifest', 'delete_mode'='equality')")
+        spark.sql(s"INSERT INTO $tbl SELECT /*+ REPARTITION(8) */ " +
+          "c_custkey, c_mktsegment, CAST(c_acctbal AS DOUBLE) " +
+          s"FROM cust_eqs_src_$key")
+        // the predicate stays ACTIVE — never absorbed — so the stream
+        // itself must apply the residual
+        spark.sql(s"DELETE FROM $tbl WHERE c_mktsegment = 'MACHINERY'")
+        // exempt generation: appended after the predicate, served whole
+        spark.sql(s"INSERT INTO $tbl SELECT c_custkey, c_mktsegment, " +
+          s"CAST(c_acctbal AS DOUBLE) FROM cust_eqs_src_$key " +
+          "WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 5 = 0")
+        marker.createNewFile()
+      }
+      done += warehouse + "@eqs"
+    }
+    val schema = spark.read.format("fls").load(path).schema
+    val agg = spark.readStream.format("fls").schema(schema).load(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("c_acctbal")))).as("bal"),
+        sum(col("c_custkey")).as("sumk"))
+    val name = s"q122mem${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val res = spark.table(name).orderBy("c_mktsegment")
+    // bounded driver copy: per-segment grouped rows (5 at any sf),
+    // detached from the memory-sink view before it drops
+    val rows = res.collect()
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      .orderBy("c_mktsegment")
+  }
+
+  val q122Sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+        CAST(sum(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS bal,
+        CAST(sum(c_custkey) AS BIGINT) AS sumk
+      FROM customer
+      WHERE c_mktsegment <> 'MACHINERY' OR c_custkey % 5 = 0
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_fls_eqdelete_stream" -> (q122FlsEqDeleteStream _),
     "q121_fls_eqdelete_multicol" -> (q121FlsEqDeleteMulticol _),
     "q118_fls_equality_delete" -> (q118FlsEqualityDelete _),
     "q117_fls_bloom_lookup" -> (q117FlsBloomLookup _),
@@ -1950,6 +2019,7 @@ object FlsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q122_fls_eqdelete_stream" -> q122Sql,
     "q121_fls_eqdelete_multicol" -> q121Sql,
     "q118_fls_equality_delete" -> q118Sql,
     "q117_fls_bloom_lookup" -> q117Sql,

@@ -1,0 +1,118 @@
+package graft.fls
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-chunk VALUE ranges on manifest pointer lines (r16 stretch):
+  * with `TBLPROPERTIES ('manifest_chunk_stats'='<cluster key>')`,
+  * every `#chunk` pointer carries the merged min/max of its entries'
+  * per-file bounds for that key, and a key-range DELETE on a
+  * clustered chunked table plans AND commits by opening only the
+  * chunks whose value range intersects the predicate — the value
+  * analog of the rel-range point lookup. */
+class FlsChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val tmp = Files.createTempDirectory("fls-chunkstats-spec").toString
+  private val cat = "fls_cks_spec"
+
+  private val InlineMax = 8
+  private val Target = 4
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("fls-chunkstats-spec")
+      .config("spark.sql.shuffle.partitions", "20")
+      // keep the clustered write at exactly 20 range files — AQE
+      // coalescing would merge them and starve the chunk count
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config(s"spark.hadoop.${FlsManifest.InlineThresholdKey}", InlineMax.toString)
+      .config(s"spark.hadoop.${FlsManifest.ChunkTargetKey}", Target.toString)
+      .config(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+      .config(s"spark.sql.catalog.$cat.path", s"$tmp/warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def chunkReads[A](body: => A): (A, Long) = {
+    val before = FlsManifest.chunkReadCount.get()
+    val r = body
+    (r, FlsManifest.chunkReadCount.get() - before)
+  }
+
+  /** The recorded [min,max] of column `c` from one pointer's stats. */
+  private def boundsOf(pt: FlsManifest.Pointer, c: String): (Long, Long) = {
+    val desc = FlsFileStats.toDesc(pt.stats).get
+    val i = desc.columns.indexWhere(_.name == c)
+    assert(i >= 0, s"chunk stats lack column $c: ${pt.stats}")
+    val seg = desc.rowGroups(0).segments(i)
+    (seg.minLong, seg.maxLong)
+  }
+
+  test("key-range DELETE on a clustered chunked table opens only the " +
+      "intersecting chunk (planning AND commit)") {
+    val tbl = s"$cat.db.clustered"
+    val dir = s"$tmp/warehouse/db/clustered"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest', 'cluster_by'='id', " +
+      "'manifest_chunk_stats'='id')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(0, 2000)")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pointers = FlsManifest
+      .readLayoutVersioned(fs, root, resolveChunks = false).get._2.pointers
+    assert(pointers.length >= 4, s"expected a chunked layout, got $pointers")
+    assert(pointers.forall(pt => pt.ranged && pt.stats != null),
+      s"pointer lines must carry chunk value stats: $pointers")
+    // clustered write + rel-ordered chunking => disjoint id ranges per
+    // chunk; cut at the top chunk's min so exactly one chunk intersects
+    val ranges = pointers.map(boundsOf(_, "id"))
+    val m = ranges.maxBy(_._2)._1
+    assert(ranges.count(_._2 >= m) == 1,
+      s"expected exactly one chunk past $m, ranges=$ranges")
+    val before = pointers.map(_.name).toSet
+    val (_, opened) = chunkReads {
+      spark.sql(s"DELETE FROM $tbl WHERE id >= $m")
+    }
+    // the intersecting chunk opens at most three times — canDeleteWhere
+    // plan, deleteWhere plan, and the commitDelta rebuild; every other
+    // chunk is pruned by VALUE and never opened
+    assert(opened <= 3,
+      s"key-range delete opened $opened chunks of ${pointers.length}")
+    assert(spark.table(tbl).count() == m)
+    assert(spark.sql(s"SELECT max(id) FROM $tbl").collect()(0).getLong(0) == m - 1)
+    // the untouched chunks' pointers survived by name
+    val after = FlsManifest
+      .readLayoutVersioned(fs, root, resolveChunks = false).get._2.pointers
+    val afterNames = after.map(_.name).toSet
+    val doomed = pointers.filter(r => boundsOf(r, "id")._2 >= m).map(_.name).toSet
+    assert((before -- doomed).subsetOf(afterNames),
+      "non-intersecting chunk pointers must carry over verbatim")
+  }
+
+  test("a delete the chunk stats cannot decide falls back to the " +
+      "ladder and stays exact") {
+    val tbl = s"$cat.db.clustered2"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest', 'cluster_by'='id', " +
+      "'manifest_chunk_stats'='id')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(0, 2000)")
+    // an odd-values predicate: every file straddles it — the pruned
+    // leg must bail and the rewrite ladder must stay exact
+    spark.sql(s"DELETE FROM $tbl WHERE id % 2 = 1")
+    assert(spark.table(tbl).count() == 1000)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE id % 2 = 1")
+      .collect()(0).getLong(0) == 0)
+  }
+}
