@@ -1,16 +1,20 @@
 package graft.fls
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** EQUALITY deletes — Iceberg-v2-style predicate deletes re-expressed
-  * as manifest metadata. A `DELETE FROM t WHERE key = X` on an
+import graft.fls.Format.{ColumnType, SegmentDesc, physOf, Phys, TypeTag}
+
+/** PREDICATE deletes — Iceberg-v2-style metadata deletes re-expressed
+  * as manifest lines. A `DELETE FROM t WHERE key = X` on an
   * unclustered key is the worst shape for both existing delete legs:
   * copy-on-write rewrites (or at best DV-scans) every straddling file,
   * and merge-on-read still READS every candidate file at commit time
-  * to find positions. An equality delete instead commits the PREDICATE
+  * to find positions. A predicate delete instead commits the PREDICATE
   * itself — one `#eqdel` header line in the next manifest version,
   * O(1) data reads — and every reader applies it as an unconditional
   * residual at decode ([[FlsEqResidual]]), exactly like delete-vector
@@ -26,23 +30,27 @@ import org.json4s.jackson.JsonMethods
   * conservatively subject until rewritten). This is what makes the
   * commit O(1): nothing per-file is written, applicability is derived.
   *
-  * SCOPE: a conjunction of `=` / `IN` conjuncts over non-null
-  * literals, each on a DISTINCT integral / boolean / date / timestamp
-  * / string / float / double column — one column (the r15 shape) or a
-  * composite key (`user_id = X AND tenant_id = Y`, the Iceberg
-  * equality_ids shape; the residual is the AND of per-column masks).
+  * SCOPE: a conjunction of conjuncts over DISTINCT scalar columns,
+  * each either an equality (`=` / `IN` over non-null literals — one
+  * column, the r15 shape, or a composite key `user_id = X AND
+  * tenant_id = Y`, the Iceberg equality_ids shape) or a RANGE
+  * (`</<=/>/>=`, any combination of bounds — the retention shape
+  * `DELETE WHERE ts < cutoff`, r16; multiple range conjuncts on one
+  * column intersect into one leg). Supported domains: integral /
+  * boolean (eq only) / date / timestamp / string / float / double.
   * Anything else falls back to the copy-on-write or merge-on-read leg
   * (decimals: per-file scales make cross-file literal comparison
-  * ambiguous; NaN: Spark's NaN-equality semantics diverge from the
-  * storage comparison). Value-producing metadata shortcuts (footer
-  * aggregates, TopN/limit bound pruning) refuse files carrying a
-  * residual, the same discipline as delete vectors; "can any row
-  * match?" pruning (zone maps, Bloom, partition values) stays on —
-  * stats over a superset of live rows are conservative.
+  * ambiguous; NaN / ±Inf literals: Spark's NaN-equality and JSON
+  * round-tripping diverge from the storage comparison). Value-producing
+  * metadata shortcuts (footer aggregates, TopN/limit bound pruning)
+  * refuse files carrying a residual, the same discipline as delete
+  * vectors; "can any row match?" pruning (zone maps, Bloom, partition
+  * values) stays on — stats over a superset of live rows are
+  * conservative.
   *
   * The reference format is scan-only with no DML at all
   * (/root/reference/src/read_fls.cpp:32-46); the delete ladder
-  * (CoW → DVs → equality predicates) is this repo's own. */
+  * (CoW → DVs → equality/range predicates) is this repo's own. */
 object FlsEqDeletes {
 
   /** Kind tags: the literal domain values are serialized in.
@@ -52,25 +60,73 @@ object FlsEqDeletes {
   val KindDouble = "d"
   val KindString = "s"
 
-  /** One conjunct of a committed predicate: `col IN vals` (a single
-    * `=` is a one-element IN). Values live in the storage-semantic
-    * domain of `kind`, sorted for the decode-time binary search. */
-  final case class Leg(col: String, kind: String, longs: Array[Long],
-      doubles: Array[Double], strings: Array[String]) {
+  /** One conjunct of a committed predicate: an IN set or a range over
+    * one column. Values live in the storage-semantic domain of
+    * `kind`. */
+  sealed trait Leg {
+    def col: String
+    def kind: String
+    private[fls] def bodyJson: List[(String, JValue)]
+  }
+
+  /** `col IN vals` (a single `=` is a one-element IN); values sorted
+    * for the decode-time binary search. */
+  final case class InLeg(col: String, kind: String, longs: Array[Long],
+      doubles: Array[Double], strings: Array[String]) extends Leg {
     private[fls] def valsJson: JArray = kind match {
       case KindLong => JArray(longs.toList.map(JLong(_)))
       case KindDouble => JArray(doubles.toList.map(JDouble(_)))
       case KindString => JArray(strings.toList.map(JString(_)))
+    }
+    private[fls] def bodyJson: List[(String, JValue)] =
+      List("c" -> JString(col), "k" -> JString(kind), "x" -> valsJson)
+  }
+
+  /** One bound of a [[RangeLeg]], in the semantic domain of the leg's
+    * kind (only the matching slot is meaningful). `inc` = inclusive.
+    * Long-domain bounds are ALWAYS inclusive ([[RangeLeg]] normalizes
+    * `> v` to `>= v+1` at construction — integers are discrete). */
+  final case class Bound(l: Long, d: Double, s: String, inc: Boolean)
+
+  object Bound {
+    def ofLong(v: Long): Bound = Bound(v, 0.0, null, inc = true)
+    def ofDouble(v: Double, inc: Boolean): Bound = Bound(0L, v, null, inc)
+    def ofString(v: String, inc: Boolean): Bound = Bound(0L, 0.0, v, inc)
+  }
+
+  /** `lo <(=) col <(=) hi` — either side may be absent (the retention
+    * shape `ts < cutoff` has only `hi`). Matches only stored values
+    * (SQL: NULL never satisfies a comparison); string order is
+    * unsigned UTF-8 byte order (= code-point order — what both Spark's
+    * UTF8String and the storage comparison use). */
+  final case class RangeLeg(col: String, kind: String,
+      lo: Option[Bound], hi: Option[Bound]) extends Leg {
+    require(lo.nonEmpty || hi.nonEmpty,
+      s"fls eqdel: unbounded range on '$col'")
+    private def boundJson(b: Bound): JValue = kind match {
+      case KindLong => JLong(b.l)
+      case KindDouble => JDouble(b.d)
+      case KindString => JString(b.s)
+    }
+    private[fls] def bodyJson: List[(String, JValue)] = {
+      val base = List("c" -> JString(col), "k" -> JString(kind))
+      val loJ = lo.toList.flatMap(b =>
+        List("lo" -> boundJson(b)) ++
+          (if (b.inc) Nil else List("lx" -> JBool(true))))
+      val hiJ = hi.toList.flatMap(b =>
+        List("hi" -> boundJson(b)) ++
+          (if (b.inc) Nil else List("hx" -> JBool(true))))
+      base ++ loJ ++ hiJ
     }
   }
 
   /** One committed predicate: delete rows matching EVERY leg — the
     * Iceberg equality_ids shape (a composite GDPR key `user_id = X
     * AND tenant_id = Y` commits as ONE line; each leg may carry an IN
-    * set, so the tuple set is the legs' cross product, exactly the
-    * rows the DELETE's WHERE matched). `v` = the manifest version the
-    * delete committed at (0 = not yet stamped — [[stamp]] fills it
-    * inside the commit attempt). */
+    * set or a range, so the matched set is the legs' cross product,
+    * exactly the rows the DELETE's WHERE matched). `v` = the manifest
+    * version the delete committed at (0 = not yet stamped — [[stamp]]
+    * fills it inside the commit attempt). */
   final case class EqDelete(v: Long, legs: Seq[Leg]) {
     require(legs.nonEmpty, "fls eqdel: a predicate needs at least one leg")
     def json: String = {
@@ -78,17 +134,30 @@ object FlsEqDeletes {
       // #eqdel line written before multi-column support parses the
       // same bytes it always did
       val body: List[(String, JValue)] =
-        if (legs.length == 1) {
-          val l = legs.head
-          List("v" -> JLong(v), "c" -> JString(l.col),
-            "k" -> JString(l.kind), "x" -> l.valsJson)
-        } else {
-          List("v" -> JLong(v), "a" -> JArray(legs.toList.map(l =>
-            JObject(List("c" -> JString(l.col), "k" -> JString(l.kind),
-              "x" -> l.valsJson)))))
-        }
+        if (legs.length == 1) ("v" -> JLong(v): (String, JValue)) ::
+          legs.head.bodyJson
+        else List("v" -> JLong(v), "a" -> JArray(legs.toList.map(l =>
+          JObject(l.bodyJson))))
       JsonMethods.compact(JsonMethods.render(JObject(body)))
     }
+  }
+
+  private def parseLong(v: JValue, json: String): Long = v match {
+    case JInt(n) => n.toLong
+    case JLong(n) => n
+    case other => sys.error(s"fls eqdel: bad long $other in '$json'")
+  }
+
+  private def parseDouble(v: JValue, json: String): Double = v match {
+    case JDouble(d) => d
+    case JInt(n) => n.toDouble
+    case JLong(n) => n.toDouble
+    case other => sys.error(s"fls eqdel: bad double $other in '$json'")
+  }
+
+  private def parseString(v: JValue, json: String): String = v match {
+    case JString(s) => s
+    case other => sys.error(s"fls eqdel: bad string $other in '$json'")
   }
 
   private def parseLeg(o: JValue, json: String): Leg = {
@@ -96,22 +165,35 @@ object FlsEqDeletes {
       case _ => sys.error(s"fls eqdel: missing column in '$json'") }
     val kind = o \ "k" match { case JString(s) => s
       case _ => sys.error(s"fls eqdel: missing kind in '$json'") }
-    val xs = o \ "x" match { case JArray(a) => a
-      case _ => sys.error(s"fls eqdel: missing values in '$json'") }
-    kind match {
-      case KindLong => Leg(col, kind,
-        xs.map { case JInt(n) => n.toLong; case JLong(n) => n
-          case other => sys.error(s"fls eqdel: bad long $other") }.toArray,
-        Array.empty, Array.empty)
-      case KindDouble => Leg(col, kind, Array.empty,
-        xs.map { case JDouble(d) => d; case JInt(n) => n.toDouble
-          case JLong(n) => n.toDouble
-          case other => sys.error(s"fls eqdel: bad double $other") }.toArray,
-        Array.empty)
-      case KindString => Leg(col, kind, Array.empty, Array.empty,
-        xs.map { case JString(s) => s
-          case other => sys.error(s"fls eqdel: bad string $other") }.toArray)
-      case other => sys.error(s"fls eqdel: unknown kind '$other' in '$json'")
+    if (kind != KindLong && kind != KindDouble && kind != KindString)
+      sys.error(s"fls eqdel: unknown kind '$kind' in '$json'")
+    o \ "x" match {
+      case JArray(xs) => kind match {
+        case KindLong => InLeg(col, kind,
+          xs.map(parseLong(_, json)).toArray, Array.empty, Array.empty)
+        case KindDouble => InLeg(col, kind, Array.empty,
+          xs.map(parseDouble(_, json)).toArray, Array.empty)
+        case KindString => InLeg(col, kind, Array.empty, Array.empty,
+          xs.map(parseString(_, json)).toArray)
+      }
+      case JNothing =>
+        def bound(at: String, exAt: String): Option[Bound] =
+          o \ at match {
+            case JNothing => None
+            case v =>
+              val inc = o \ exAt match {
+                case JBool(b) => !b
+                case JNothing => true
+                case other => sys.error(s"fls eqdel: bad $exAt $other")
+              }
+              Some(kind match {
+                case KindLong => Bound(parseLong(v, json), 0.0, null, inc)
+                case KindDouble => Bound(0L, parseDouble(v, json), null, inc)
+                case KindString => Bound(0L, 0.0, parseString(v, json), inc)
+              })
+          }
+        RangeLeg(col, kind, bound("lo", "lx"), bound("hi", "hx"))
+      case other => sys.error(s"fls eqdel: bad values $other in '$json'")
     }
   }
 
@@ -140,27 +222,199 @@ object FlsEqDeletes {
   def applies(predV: Long, statsJson: String): Boolean =
     FlsFileStats.birthOf(statsJson) <= predV
 
+  /** Can `leg` match ANY value inside the recorded bounds of `seg` —
+    * the zone-map test for delete predicates. False ONLY when the
+    * stats PROVE no stored value matches (so dropping the residual for
+    * this file / row group serves bit-identical results); every doubt
+    * — missing stats (NaN-poisoned double segments drop theirs),
+    * domain drift (decode-time residual THROWS there by contract, and
+    * pruning must not mask that), prefix-truncated string bounds —
+    * keeps the leg. Stats-present double segments are NaN-free
+    * (Encoder.statsOf), so pure interval logic is exact there. */
+  def legMayMatch(leg: Leg, ct: ColumnType, seg: SegmentDesc): Boolean = {
+    val phys = physOf(ct.tag)
+    leg.kind match {
+      case KindLong if phys == Phys.LONG && ct.tag != TypeTag.UINT64 &&
+          ct.tag != TypeTag.DECIMAL =>
+        if (!seg.hasStats) true
+        else leg match {
+          case in: InLeg =>
+            in.longs.exists(v => v >= seg.minLong && v <= seg.maxLong)
+          case r: RangeLeg => // long bounds are closed-normalized
+            val lo = r.lo.map(_.l).getOrElse(Long.MinValue)
+            val hi = r.hi.map(_.l).getOrElse(Long.MaxValue)
+            seg.maxLong >= lo && seg.minLong <= hi
+        }
+      case KindDouble if phys == Phys.DOUBLE =>
+        if (!seg.hasStats) true
+        else leg match {
+          case in: InLeg => in.doubles.exists(v =>
+            v >= seg.minDouble && v <= seg.maxDouble)
+          case r: RangeLeg =>
+            r.lo.forall(b => if (b.inc) seg.maxDouble >= b.d
+              else seg.maxDouble > b.d) &&
+            r.hi.forall(b => if (b.inc) seg.minDouble <= b.d
+              else seg.minDouble < b.d)
+        }
+      case KindString if phys == Phys.BYTES && ct.tag == TypeTag.STRING =>
+        if (!seg.hasByteStats) true
+        else {
+          // minBytes ≤ true min and maxBytes ≥ true max (bounds may be
+          // prefix-truncated) — outside [minBytes, maxBytes] is proof
+          def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+            var i = 0
+            val n = math.min(a.length, b.length)
+            while (i < n) {
+              val c = (a(i) & 0xff) - (b(i) & 0xff)
+              if (c != 0) return c
+              i += 1
+            }
+            a.length - b.length
+          }
+          leg match {
+            case in: InLeg => in.strings.exists { s =>
+              val b = s.getBytes(StandardCharsets.UTF_8)
+              cmp(b, seg.minBytes) >= 0 && cmp(b, seg.maxBytes) <= 0
+            }
+            case r: RangeLeg =>
+              r.lo.forall { bd =>
+                val c = cmp(seg.maxBytes, bd.s.getBytes(StandardCharsets.UTF_8))
+                if (bd.inc) c >= 0 else c > 0
+              } &&
+              r.hi.forall { bd =>
+                val c = cmp(seg.minBytes, bd.s.getBytes(StandardCharsets.UTF_8))
+                if (bd.inc) c <= 0 else c < 0
+              }
+          }
+        }
+      case _ => true // u64/decimal or drifted domain: decode-time contract
+    }
+  }
+
+  /** Does the file described by `desc` (a manifest-stats synthetic
+    * descriptor or a real footer's table desc) possibly contain a row
+    * the predicate matches? False = PROVEN no-match (conjunction
+    * semantics: one impossible leg kills the whole predicate) — the
+    * residual can be dropped for this file with bit-identical results.
+    * Conservative on every doubt, including columns the stats don't
+    * describe. */
+  def mayMatchDesc(p: EqDelete, desc: Format.TableDesc): Boolean = {
+    if (desc.rowGroups.isEmpty) return true
+    p.legs.forall { l =>
+      val idx = desc.columns.indexWhere(_.name == l.col)
+      idx < 0 || desc.rowGroups.exists(rg =>
+        legMayMatch(l, desc.columns(idx).colType, rg.segments(idx)))
+    }
+  }
+
+  /** Unsigned UTF-8 byte comparison — the storage (and UTF8String)
+    * string order. Java String.compareTo is UTF-16 code-unit order,
+    * which DIVERGES above U+FFFF; compare the encoded bytes. */
+  private[fls] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Driver-side shape check + literal conversion: the DELETE filter
-    * conjunction as ONE supported equality predicate — each conjunct
-    * an `=` / `IN` over a distinct supported scalar column (the
-    * composite-key GDPR shape) — or None (caller falls back to the
-    * copy-on-write / merge-on-read leg). Values are converted to the
-    * storage-semantic domain HERE, with the same rules as the
-    * scan-side literal conversion, so executors compare raw decoded
-    * values with zero per-row conversion. */
+    * conjunction as ONE supported predicate — each column carrying
+    * either one `=` / `IN` conjunct or any number of range conjuncts
+    * (intersected) — or None (caller falls back to the copy-on-write /
+    * merge-on-read leg). Values are converted to the storage-semantic
+    * domain HERE, with the same rules as the scan-side literal
+    * conversion, so executors compare raw decoded values with zero
+    * per-row conversion. `IsNotNull` conjuncts implied by another
+    * conjunct on the same column are absorbed (Spark's pushdown adds
+    * them; a comparison never matches NULL anyway). An intersection
+    * that is provably EMPTY returns None — the ladder proves the
+    * no-op cheaply instead of committing a dead predicate line. */
   def fromFilters(filters: Array[Filter], schema: StructType): Option[EqDelete] = {
     val real = filters.filterNot(_.isInstanceOf[AlwaysTrue])
     if (real.isEmpty) return None
-    val legs = real.map(legFromFilter(_, schema))
-    if (legs.exists(_.isEmpty)) return None
-    val ls = legs.map(_.get).toSeq
-    // two conjuncts on one column (c = 1 AND c = 2) could intersect,
-    // but the shape is degenerate — ladder fallback keeps it exact
-    if (ls.map(_.col).distinct.length != ls.length) return None
-    Some(EqDelete(0L, ls))
+    // split IsNotNull markers from substantive conjuncts
+    val (notNulls, subst) = real.partition(_.isInstanceOf[IsNotNull])
+    if (subst.isEmpty) return None
+    val byCol = subst.map(f => (colOf(f).getOrElse(return None), f))
+    val legs = byCol.groupBy(_._1).toSeq.map { case (col, fs) =>
+      legForColumn(col, fs.map(_._2), schema).getOrElse(return None)
+    }
+    // every IsNotNull must be implied by a substantive conjunct on the
+    // same column, else the shape is not expressible here
+    val covered = legs.map(_.col).toSet
+    if (notNulls.exists { case IsNotNull(c) => !covered.contains(c)
+        case _ => true }) return None
+    // deterministic leg order (groupBy order is hash order)
+    Some(EqDelete(0L, legs.sortBy(_.col)))
   }
 
-  private def legFromFilter(f: Filter, schema: StructType): Option[Leg] = {
+  /** True when the filter conjunction PROVABLY matches no row: some
+    * column's range conjuncts (over a supported domain) intersect
+    * empty — `id > 50 AND id < 51`, `v > 5.0 AND v < 5.0`. One empty
+    * conjunct empties the whole conjunction regardless of any other
+    * (even inexpressible) conjunct, so the DELETE is a sound no-op in
+    * EVERY delete mode — callers skip the commit entirely instead of
+    * rewriting the table to remove zero rows. */
+  def provablyEmpty(filters: Array[Filter], schema: StructType): Boolean = {
+    val subst = filters.filterNot(f =>
+      f.isInstanceOf[AlwaysTrue] || f.isInstanceOf[IsNotNull])
+    val ranged = subst.flatMap(f => colOf(f).map((_, f))).filter {
+      case (_, f) => f.isInstanceOf[GreaterThan] ||
+        f.isInstanceOf[GreaterThanOrEqual] || f.isInstanceOf[LessThan] ||
+        f.isInstanceOf[LessThanOrEqual]
+    }
+    ranged.groupBy(_._1).exists { case (col, fs) =>
+      legFromRanges(col, fs.map(_._2).toSeq, schema) == RangeEmpty
+    }
+  }
+
+  private def colOf(f: Filter): Option[String] = f match {
+    case EqualTo(c, _) => Some(c)
+    case EqualNullSafe(c, _) => Some(c)
+    case In(c, _) => Some(c)
+    case GreaterThan(c, _) => Some(c)
+    case GreaterThanOrEqual(c, _) => Some(c)
+    case LessThan(c, _) => Some(c)
+    case LessThanOrEqual(c, _) => Some(c)
+    case _ => None
+  }
+
+  /** All of one column's conjuncts as one leg: one equality conjunct
+    * (the original shape), or 1+ range conjuncts intersected. A mix of
+    * equality and range on one column, or two equality conjuncts,
+    * is degenerate — ladder fallback keeps it exact. A provably-empty
+    * range intersection also returns None here (no dead predicate
+    * line); [[provablyEmpty]] lets callers skip the DELETE whole. */
+  private def legForColumn(col: String, fs: Seq[Filter],
+      schema: StructType): Option[Leg] = {
+    val isRange = fs.forall {
+      case _: GreaterThan | _: GreaterThanOrEqual |
+           _: LessThan | _: LessThanOrEqual => true
+      case _ => false
+    }
+    if (fs.length == 1 && !isRange) legFromEquality(fs.head, schema)
+    else if (isRange) legFromRanges(col, fs, schema) match {
+      case RangeOk(leg) => Some(leg)
+      case _ => None
+    }
+    else None
+  }
+
+  /** Outcome of intersecting one column's range conjuncts. */
+  private sealed trait RangeResult
+  private final case class RangeOk(leg: Leg) extends RangeResult
+  /** Provably matches no value (contradictory bounds). */
+  private case object RangeEmpty extends RangeResult
+  /** Unsupported domain / literal — ladder fallback. */
+  private case object RangeUnsupported extends RangeResult
+
+  private def legFromEquality(f: Filter, schema: StructType): Option[Leg] = {
     val (col, raw) = f match {
       case EqualTo(c, v) if v != null => (c, Seq(v))
       case EqualNullSafe(c, v) if v != null => (c, Seq(v))
@@ -173,25 +427,122 @@ object FlsEqDeletes {
            DateType | TimestampType | TimestampNTZType =>
         val conv = raw.map(toSemanticLong)
         if (conv.exists(_.isEmpty)) None
-        else Some(Leg(col, KindLong,
+        else Some(InLeg(col, KindLong,
           conv.map(_.get).distinct.sorted.toArray, Array.empty, Array.empty))
       case DoubleType | FloatType =>
         val conv = raw.map(toSemanticDouble)
-        // refuse NaN: Spark's NaN = NaN is TRUE while the storage
-        // comparison is IEEE — diverging semantics, use the CoW leg
-        if (conv.exists(c => c.isEmpty || c.get.isNaN)) None
-        else Some(Leg(col, KindDouble, Array.empty,
+        // refuse NaN (Spark's NaN = NaN is TRUE while the storage
+        // comparison is IEEE) and ±Inf (JSON round-trip) — CoW leg
+        if (conv.exists(c => c.isEmpty || c.get.isNaN || c.get.isInfinite))
+          None
+        else Some(InLeg(col, KindDouble, Array.empty,
           conv.map(c => if (c.get == 0.0) 0.0 else c.get) // -0.0 == 0.0
             .distinct.sorted.toArray, Array.empty))
       case StringType =>
-        val conv = raw.map { case s: String => Some(s)
-          case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
-          case _ => None }
+        val conv = raw.map(toSemanticString)
         if (conv.exists(_.isEmpty)) None
-        else Some(Leg(col, KindString, Array.empty, Array.empty,
+        else Some(InLeg(col, KindString, Array.empty, Array.empty,
           conv.map(_.get).distinct.sorted.toArray))
       case _ => None // decimal/binary/nested: CoW or MOR leg
     }
+  }
+
+  /** Intersect one column's range conjuncts into one [[RangeLeg]].
+    * Long-domain bounds normalize to CLOSED (`> v` → `>= v+1` —
+    * integers are discrete); double/string keep inclusivity flags,
+    * with exclusive winning ties (it is strictly tighter). */
+  private def legFromRanges(col: String, fs: Seq[Filter],
+      schema: StructType): RangeResult = {
+    val field = schema.fields.find(_.name == col)
+      .getOrElse(return RangeUnsupported)
+    field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | TimestampType | TimestampNTZType =>
+        // closed-normalize in the discrete long domain; saturating
+        // edges (`> MaxValue` / `< MinValue`) are provably empty
+        var lo = Long.MinValue
+        var hi = Long.MaxValue
+        var hasLo = false
+        var hasHi = false
+        fs.foreach { f =>
+          val (raw, isLo, inc) = f match {
+            case GreaterThan(_, v) => (v, true, false)
+            case GreaterThanOrEqual(_, v) => (v, true, true)
+            case LessThan(_, v) => (v, false, false)
+            case LessThanOrEqual(_, v) => (v, false, true)
+            case _ => return RangeUnsupported
+          }
+          val sem = toSemanticLong(raw).getOrElse(return RangeUnsupported)
+          if (isLo) {
+            if (!inc && sem == Long.MaxValue) return RangeEmpty
+            val b = if (inc) sem else sem + 1
+            if (!hasLo || b > lo) lo = b
+            hasLo = true
+          } else {
+            if (!inc && sem == Long.MinValue) return RangeEmpty
+            val b = if (inc) sem else sem - 1
+            if (!hasHi || b < hi) hi = b
+            hasHi = true
+          }
+        }
+        if (hasLo && hasHi && lo > hi) return RangeEmpty
+        RangeOk(RangeLeg(col, KindLong,
+          if (hasLo) Some(Bound.ofLong(lo)) else None,
+          if (hasHi) Some(Bound.ofLong(hi)) else None))
+      case DoubleType | FloatType =>
+        mergeBounds(fs, col, KindDouble) { v =>
+          toSemanticDouble(v).filterNot(d => d.isNaN || d.isInfinite)
+            .map(d => if (d == 0.0) 0.0 else d) // -0.0 == 0.0
+        } ((a, b) => java.lang.Double.compare(a.asInstanceOf[Double],
+          b.asInstanceOf[Double]),
+          (v, inc) => Bound.ofDouble(v.asInstanceOf[Double], inc))
+      case StringType =>
+        mergeBounds(fs, col, KindString)(toSemanticString)(
+          (a, b) => utf8Compare(a.asInstanceOf[String], b.asInstanceOf[String]),
+          (v, inc) => Bound.ofString(v.asInstanceOf[String], inc))
+      case _ =>
+        RangeUnsupported // boolean range is degenerate; decimal: ladder
+    }
+  }
+
+  /** Continuous-domain (double/string) bound intersection: tightest lo
+    * and hi with exclusivity; empty when lo > hi, or lo == hi with
+    * either side open. */
+  private def mergeBounds(fs: Seq[Filter], col: String, kind: String)(
+      conv: Any => Option[Any])(cmp: (Any, Any) => Int,
+      mk: (Any, Boolean) => Bound): RangeResult = {
+    var lo: Option[(Any, Boolean)] = None
+    var hi: Option[(Any, Boolean)] = None
+    fs.foreach { f =>
+      val (raw, isLo, inc) = f match {
+        case GreaterThan(_, v) => (v, true, false)
+        case GreaterThanOrEqual(_, v) => (v, true, true)
+        case LessThan(_, v) => (v, false, false)
+        case LessThanOrEqual(_, v) => (v, false, true)
+        case _ => return RangeUnsupported
+      }
+      val sem = conv(raw).getOrElse(return RangeUnsupported)
+      if (isLo) lo match {
+        case Some((cur, curInc)) =>
+          val c = cmp(sem, cur)
+          if (c > 0 || (c == 0 && curInc && !inc)) lo = Some((sem, inc))
+        case None => lo = Some((sem, inc))
+      } else hi match {
+        case Some((cur, curInc)) =>
+          val c = cmp(sem, cur)
+          if (c < 0 || (c == 0 && curInc && !inc)) hi = Some((sem, inc))
+        case None => hi = Some((sem, inc))
+      }
+    }
+    (lo, hi) match {
+      case (Some((l, li)), Some((h, hi2))) =>
+        val c = cmp(l, h)
+        if (c > 0 || (c == 0 && !(li && hi2))) return RangeEmpty
+      case _ =>
+    }
+    RangeOk(RangeLeg(col, kind,
+      lo.map { case (v, inc) => mk(v, inc) },
+      hi.map { case (v, inc) => mk(v, inc) }))
   }
 
   private def toSemanticLong(v: Any): Option[Long] = v match {
@@ -215,6 +566,12 @@ object FlsEqDeletes {
   private def toSemanticDouble(v: Any): Option[Double] = v match {
     case d: java.lang.Double => Some(d.doubleValue())
     case f: java.lang.Float => Some(f.doubleValue())
+    case _ => None
+  }
+
+  private def toSemanticString(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
     case _ => None
   }
 }

@@ -64,6 +64,18 @@ object FlsEqResidual {
       Excl(legs)
     }.toArray
 
+  /** Zone-map skip for one ROW GROUP (r16): true when the group's
+    * footer stats prove the predicate matches nothing here — the mask
+    * (and the decode of its leg columns) is skipped wholesale, so a
+    * retention predicate on a clustered table taxes only the row
+    * groups it actually touches. Exactness: [[FlsEqDeletes.legMayMatch]]
+    * returns false only on proof (NaN-poisoned segments carry no stats
+    * and are kept; drifted domains are kept so the compile-time THROW
+    * contract still fires). */
+  def groupNoMatch(e: Excl, rg: RowGroupDesc): Boolean =
+    e.legs.exists(l => l.colIdx >= 0 &&
+      !FlsEqDeletes.legMayMatch(l.leg, l.ct, rg.segments(l.colIdx)))
+
   /** Per-row "is deleted" test for one predicate over one decoded row
     * group: the AND of its legs' masks (each leg's column decoded once
     * via the caller's memoized `decodeAt`). Call only when
@@ -79,35 +91,13 @@ object FlsEqResidual {
     }
   }
 
-  /** One leg's per-row match test. The sorted literal arrays come
-    * straight from the predicate; dictionary shapes precompute one
-    * flag per code (O(dict) once, O(1)/row). */
+  /** One leg's per-row match test: point-in-value for a match function
+    * compiled from the leg's shape (IN: binary search over the sorted
+    * literals; RANGE: two bound compares). Dictionary shapes precompute
+    * one flag per code (O(dict) once, O(1)/row). */
   private def legMask(e: LegExcl, data: ColData): Int => Boolean = {
     val p = e.leg
-    def inLongs(v: Long): Boolean =
-      java.util.Arrays.binarySearch(p.longs, v) >= 0
-    def inDoubles(v: Double): Boolean = {
-      val n = if (v == 0.0) 0.0 else v // -0.0 == 0.0 (SQL equality)
-      !n.isNaN && java.util.Arrays.binarySearch(p.doubles, n) >= 0
-    }
-    val strBytes: Array[Array[Byte]] =
-      if (p.kind == FlsEqDeletes.KindString)
-        p.strings.map(_.getBytes(StandardCharsets.UTF_8))
-      else null
-    def inBytes(bytes: Array[Byte], from: Int, until: Int): Boolean = {
-      val len = until - from
-      var i = 0
-      while (i < strBytes.length) {
-        val t = strBytes(i)
-        if (t.length == len) {
-          var j = 0
-          while (j < len && bytes(from + j) == t(j)) j += 1
-          if (j == len) return true
-        }
-        i += 1
-      }
-      false
-    }
+    val (inLongs, inDoubles, inBytes) = matchFns(p)
     data match {
       case LongData(vs) if p.kind == FlsEqDeletes.KindLong =>
         i => inLongs(vs(i))
@@ -129,5 +119,78 @@ object FlsEqResidual {
           s"shape ${other.getClass.getSimpleName} (kind=${p.kind}) — " +
           "compact the table to absorb the predicate, then retry")
     }
+  }
+
+  /** The leg's semantic-domain match functions (only the leg's own
+    * kind is ever invoked). */
+  private def matchFns(p: FlsEqDeletes.Leg):
+      (Long => Boolean, Double => Boolean,
+       (Array[Byte], Int, Int) => Boolean) = p match {
+    case in: FlsEqDeletes.InLeg =>
+      val strBytes: Array[Array[Byte]] =
+        if (in.kind == FlsEqDeletes.KindString)
+          in.strings.map(_.getBytes(StandardCharsets.UTF_8))
+        else null
+      (v => java.util.Arrays.binarySearch(in.longs, v) >= 0,
+       v => {
+         val n = if (v == 0.0) 0.0 else v // -0.0 == 0.0 (SQL equality)
+         !n.isNaN && java.util.Arrays.binarySearch(in.doubles, n) >= 0
+       },
+       (bytes, from, until) => {
+         val len = until - from
+         var i = 0
+         var hit = false
+         while (!hit && i < strBytes.length) {
+           val t = strBytes(i)
+           if (t.length == len) {
+             var j = 0
+             while (j < len && bytes(from + j) == t(j)) j += 1
+             hit = j == len
+           }
+           i += 1
+         }
+         hit
+       })
+    case r: FlsEqDeletes.RangeLeg =>
+      // long bounds are closed-normalized at construction
+      val loL = r.lo.map(_.l).getOrElse(Long.MinValue)
+      val hiL = r.hi.map(_.l).getOrElse(Long.MaxValue)
+      val hasLoD = r.lo.nonEmpty
+      val hasHiD = r.hi.nonEmpty
+      val loD = r.lo.map(_.d).getOrElse(0.0)
+      val hiD = r.hi.map(_.d).getOrElse(0.0)
+      val loInc = r.lo.forall(_.inc)
+      val hiInc = r.hi.forall(_.inc)
+      val loB = r.lo.map(_.s).filter(_ != null)
+        .map(_.getBytes(StandardCharsets.UTF_8)).orNull
+      val hiB = r.hi.map(_.s).filter(_ != null)
+        .map(_.getBytes(StandardCharsets.UTF_8)).orNull
+      def cmpBytes(bytes: Array[Byte], from: Int, until: Int,
+          t: Array[Byte]): Int = {
+        var i = 0
+        val n = math.min(until - from, t.length)
+        while (i < n) {
+          val c = (bytes(from + i) & 0xff) - (t(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        (until - from) - t.length
+      }
+      (v => v >= loL && v <= hiL,
+       v =>
+         // NaN sorts ABOVE every value in both Spark's nan-safe compare
+         // and the oracle's total order: it clears any lower bound and
+         // fails any upper bound
+         if (java.lang.Double.isNaN(v)) !hasHiD
+         else (!hasLoD || (if (loInc) v >= loD else v > loD)) &&
+           (!hasHiD || (if (hiInc) v <= hiD else v < hiD)),
+       (bytes, from, until) => {
+         val cLo = if (loB == null) 1
+           else cmpBytes(bytes, from, until, loB)
+         val cHi = if (hiB == null) -1
+           else cmpBytes(bytes, from, until, hiB)
+         (if (loInc) cLo >= 0 else cLo > 0) &&
+           (if (hiInc) cHi <= 0 else cHi < 0)
+       })
   }
 }

@@ -242,10 +242,20 @@ object FlsFile {
         eq: Seq[String]): Seq[FlsManifest.Entry] =
       if (eq.isEmpty) entries
       else {
-        val byV = eq.map(j => (FlsEqDeletes.versionOf(j), j))
+        val byV = eq.map(j => (FlsEqDeletes.parse(j), j))
         entries.map { e =>
+          // zone-map prune (r16): a predicate the file's manifest stats
+          // PROVE cannot match any stored row is dropped HERE — the file
+          // then carries no residual at all, so metadata shortcuts
+          // (footer count(*)/aggregates, TopN bounds) re-arm and the
+          // decode loop never compiles it. On a clustered table a
+          // retention predicate taxes only the files it actually
+          // touches. Conservative: missing/NaN-dropped/drifted stats
+          // keep the residual (and keep the decode-time drift THROW).
+          lazy val desc = FlsFileStats.toDesc(e.stats)
           val applicable = byV.collect {
-            case (pv, j) if FlsFileStats.birthOf(e.stats) <= pv => j
+            case (p, j) if FlsFileStats.birthOf(e.stats) <= p.v &&
+              desc.forall(FlsEqDeletes.mayMatchDesc(p, _)) => j
           }
           if (applicable.isEmpty) e
           else e.copy(stats = FlsFileStats.withEq(e.stats, applicable))

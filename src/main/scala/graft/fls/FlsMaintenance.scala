@@ -306,15 +306,39 @@ object FlsMaintenance {
     val eq = layout.eq
     if (eq.isEmpty) return AbsorbStats(0, 0, layout.entries.length, 0L)
     val maxPv = eq.map(FlsEqDeletes.versionOf).max
+    val parsedEq = eq.map(FlsEqDeletes.parse)
     val frozenEntries = layout.entries
-    val subject = frozenEntries.filter(e =>
+    val subjectAll = frozenEntries.filter(e =>
       FlsFileStats.birthOf(e.stats) <= maxPv)
+    // zone-map subject pruning (r16): a subject file whose manifest
+    // stats PROVE no applicable predicate matches any of its rows needs
+    // no rewrite — its residual was a no-op. It still pins the
+    // predicates in the log (bv <= pv), so the commit RESTAMPS its
+    // birth version metadata-only: rows identical, predicate scope
+    // exits, zero bytes moved. A retention delete that touched 1% of a
+    // clustered table absorbs by rewriting the 1% and restamping the
+    // 99% — O(affected), not O(subject).
+    val (subject, exempt) = subjectAll.partition { e =>
+      val bv = FlsFileStats.birthOf(e.stats)
+      FlsFileStats.toDesc(e.stats) match {
+        case Some(d) => parsedEq.exists(p =>
+          bv <= p.v && FlsEqDeletes.mayMatchDesc(p, d))
+        case None => true // no stats: conservative rewrite
+      }
+    }
+    val exemptRels = exempt.map(_.rel).toSet
+    def restamped(curV: Long, cur: Seq[FlsManifest.Entry]): Seq[FlsManifest.Entry] =
+      cur.map(e =>
+        if (exemptRels(e.rel) &&
+            FlsFileStats.birthOf(e.stats) <= maxPv) // idempotent on retry
+          e.copy(stats = FlsFileStats.withBirth(e.stats, curV + 1))
+        else e)
     val absorbId = java.util.UUID.randomUUID().toString
     if (subject.isEmpty) {
       FlsManifest.commit(fs, root, absorbId, conf, op = "absorb",
-          dataChange = false) { (_, cur) =>
-        cur.getOrElse(throw new IllegalStateException(
-          s"fls absorb_deletes: manifest of $dir vanished mid-absorb"))
+          dataChange = false) { (curV, cur) =>
+        restamped(curV, cur.getOrElse(throw new IllegalStateException(
+          s"fls absorb_deletes: manifest of $dir vanished mid-absorb")))
       }
       return AbsorbStats(eq.length, 0,
         FlsManifest.read(fs, root).map(_.length).getOrElse(0), 0L)
@@ -382,10 +406,12 @@ object FlsMaintenance {
           throw new java.util.ConcurrentModificationException(
             s"fls absorb_deletes: a concurrent DELETE re-vectored an input " +
               s"file under $dir — aborting; rerun")
-        // non-subject entries and concurrent appends survive untouched;
-        // the commit's absorption filter then drops every predicate (no
+        // non-subject entries and concurrent appends survive untouched
+        // (stats-exempt subject files get their birth version restamped
+        // metadata-only — rows identical, predicate scope exits); the
+        // commit's absorption filter then drops every predicate (no
         // retained entry predates maxPv anymore)
-        cur.filterNot(e => subjectRels(e.rel)) ++ outEntries
+        restamped(curV, cur.filterNot(e => subjectRels(e.rel))) ++ outEntries
       }
     } catch {
       case t: Throwable =>

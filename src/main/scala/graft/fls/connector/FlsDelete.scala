@@ -178,8 +178,9 @@ object FlsDelete {
     deleteMode(options) == "merge-on-read"
 
   /** `delete_mode=equality`: a supported-shape DELETE (a conjunction
-    * of `=` / `IN` conjuncts over distinct non-partition scalar
-    * columns — single or composite key, [[graft.fls.FlsEqDeletes]])
+    * of `=` / `IN` / range conjuncts over distinct non-partition scalar
+    * columns — the composite GDPR key AND the retention shape
+    * `ts < cutoff`, [[graft.fls.FlsEqDeletes]])
     * commits the PREDICATE itself as an `#eqdel` manifest line —
     * O(1) data reads regardless of how many files the key straddles;
     * readers apply it as a decode-time residual until rewrites absorb
@@ -242,6 +243,8 @@ object FlsDelete {
     val conf = hconf(session)
     val root = new Path(tablePath(options))
     val fs = root.getFileSystem(conf)
+    // contradictory range bounds: the DELETE provably matches no row
+    if (graft.fls.FlsEqDeletes.provablyEmpty(filters, schema)) return true
     // the chunk-pruned leg decides from pointer-line value stats plus
     // the intersecting chunks only — when it applies, answer WITHOUT
     // resolving the full manifest (the whole point of the leg)
@@ -423,11 +426,25 @@ object FlsDelete {
     // decides whole from its manifest stats / partition values; a
     // straddler or a missing-stats file falls back to the ladder below
     // (its rewrite reads data — O(metadata) stops mattering).
-    // Equality-shaped deletes on delete_mode=equality tables keep
-    // their own O(1) leg (one #eqdel line beats even this).
-    val eqShape = deleteMode(options) == "equality" &&
-      graft.fls.FlsEqDeletes.fromFilters(filters, schema).isDefined
-    if (!eqShape && valuePrunedDelete(schema, options, filters, root, fs, conf))
+    // A contradictory range conjunction (`id > 50 AND id < 51`)
+    // matches no row in ANY mode: constant-fold the DELETE to a no-op
+    // — no commit, no rewrite, no version advance.
+    if (graft.fls.FlsEqDeletes.provablyEmpty(filters, schema)) return
+
+    // Routing vs the predicate leg: PURE-equality shapes on
+    // delete_mode=equality tables keep their own O(1) leg (point keys
+    // almost never decide whole files; one #eqdel line beats even
+    // this). Range-carrying shapes (the retention cutoff) try the
+    // value-pruned leg FIRST — on a clustered table it physically
+    // drops the decided files (space reclaimed, no residual read tax)
+    // while still reading only the intersecting chunks; only when the
+    // cutoff straddles (or the table has no chunk stats) does the
+    // predicate line take over below.
+    val pureEqShape = deleteMode(options) == "equality" &&
+      graft.fls.FlsEqDeletes.fromFilters(filters, schema)
+        .exists(_.legs.forall(_.isInstanceOf[graft.fls.FlsEqDeletes.InLeg]))
+    if (!pureEqShape &&
+        valuePrunedDelete(schema, options, filters, root, fs, conf))
       return
 
     FlsManifest.readVersioned(fs, root) match {

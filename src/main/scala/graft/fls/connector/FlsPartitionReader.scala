@@ -429,7 +429,10 @@ class FlsPartitionReader(
       var x = 0
       while (x < eqExcls.length && selCount != 0) {
         val ex = eqExcls(x)
-        if (ex.applicable) {
+        // zone-map fast path: a group whose footer stats prove the
+        // predicate can't match skips the mask AND its column decodes
+        if (ex.applicable &&
+            !graft.fls.FlsEqResidual.groupNoMatch(ex, rowGroup)) {
           val del = graft.fls.FlsEqResidual.deletedMask(ex, decodeAt)
           if (selScratch == null || selScratch.length < rgTuples)
             selScratch = new Array[Int](rgTuples)

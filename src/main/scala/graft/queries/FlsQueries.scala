@@ -1971,7 +1971,78 @@ object FlsQueries {
       WHERE c_mktsegment <> 'MACHINERY' OR c_custkey % 5 = 0
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** RANGE-predicate metadata deletes (r16): `DELETE WHERE ts <
+    * cutoff` — the RETENTION shape, the single most common 100 TB
+    * delete — commits as ONE `#eqdel` range line with zero data reads
+    * (spec-locked in FlsEqDeleteSpec), exactly like the GDPR equality
+    * shape; the decode-time residual is two bound compares per row.
+    * The gate stacks: a timestamp retention cutoff, a REINSERT of part
+    * of the purged range (newer birth version → exempt, must come
+    * back), and a mixed composite delete (equality leg AND a
+    * two-conjunct double range intersected into one leg) that crosses
+    * both generations. DuckDB reconstructs the final state from raw
+    * parquet — a residual that flips a bound's inclusivity, misses the
+    * birth-version scope, or ORs the legs breaks the hash. */
+  def q123FlsEqDeleteRange(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "eqr_warehouse")
+    val cat = s"fls_eqr_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_eqr"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_eqr")
+      if (!done.contains(warehouse + "@eqr") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_eqr_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_orderstatus " +
+          "STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP) " +
+          "TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='equality')")
+        spark.sql(s"INSERT INTO $tbl SELECT /*+ REPARTITION(8) */ " +
+          "o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE), " +
+          s"o_orderdate FROM orders_eqr_src_$key")
+        // retention cutoff: one range line, zero data reads
+        spark.sql(s"DELETE FROM $tbl WHERE o_orderdate < " +
+          "TIMESTAMP '1994-01-01 00:00:00'")
+        // reinsert part of the purged range AFTER the predicate
+        // → newer birth version → exempt
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, " +
+          "CAST(o_totalprice AS DOUBLE), o_orderdate " +
+          s"FROM orders_eqr_src_$key WHERE o_orderdate < " +
+          "TIMESTAMP '1994-01-01 00:00:00' AND o_orderkey % 7 = 0")
+        // mixed composite crossing both generations: equality leg AND
+        // a two-conjunct double range (intersected into ONE leg)
+        spark.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'F' AND " +
+          "o_totalprice >= 150000.0 AND o_totalprice < 300000.0")
+        marker.createNewFile()
+      }
+      done += warehouse + "@eqr"
+    }
+    spark.table(tbl).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"),
+        sum(col("o_orderkey")).as("sumk"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q123Sql: String =
+    """WITH live AS (
+        SELECT * FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+           OR (o_orderdate < TIMESTAMP '1994-01-01 00:00:00'
+               AND o_orderkey % 7 = 0)
+      )
+      SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        CAST(sum(o_orderkey) AS BIGINT) AS sumk
+      FROM live
+      WHERE NOT (o_orderstatus = 'F' AND o_totalprice >= 150000.0
+        AND o_totalprice < 300000.0)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_fls_eqdelete_range" -> (q123FlsEqDeleteRange _),
     "q122_fls_eqdelete_stream" -> (q122FlsEqDeleteStream _),
     "q121_fls_eqdelete_multicol" -> (q121FlsEqDeleteMulticol _),
     "q118_fls_equality_delete" -> (q118FlsEqualityDelete _),
@@ -2019,6 +2090,7 @@ object FlsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q123_fls_eqdelete_range" -> q123Sql,
     "q122_fls_eqdelete_stream" -> q122Sql,
     "q121_fls_eqdelete_multicol" -> q121Sql,
     "q118_fls_equality_delete" -> q118Sql,

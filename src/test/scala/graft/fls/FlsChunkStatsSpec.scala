@@ -100,6 +100,42 @@ class FlsChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "non-intersecting chunk pointers must carry over verbatim")
   }
 
+  test("equality mode + chunk stats: a decidable range DELETE prefers " +
+      "the value-pruned DROP (files reclaimed, no residual line); a " +
+      "straddling cutoff takes the predicate line") {
+    val tbl = s"$cat.db.clustered_eq"
+    val dir = s"$tmp/warehouse/db/clustered_eq"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest', 'cluster_by'='id', " +
+      "'manifest_chunk_stats'='id', 'delete_mode'='equality')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(0, 2000)")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pointers = FlsManifest
+      .readLayoutVersioned(fs, root, resolveChunks = false).get._2.pointers
+    val ranges = pointers.map(boundsOf(_, "id"))
+    val m = ranges.maxBy(_._2)._1 // top chunk's min: decides whole files
+    val filesBefore = FlsManifest.read(fs, root).get.size
+    spark.sql(s"DELETE FROM $tbl WHERE id >= $m")
+    def headEq: Seq[String] = {
+      val (headV, _) = FlsManifest.readVersioned(fs, root).get
+      FlsManifest.versionEq(fs, root, headV)
+    }
+    assert(headEq.isEmpty,
+      "a whole-file-decidable range delete must DROP files, not park a " +
+        "residual predicate")
+    assert(FlsManifest.read(fs, root).get.size < filesBefore,
+      "decided files must leave the manifest")
+    assert(spark.table(tbl).count() == m)
+    // a cutoff INSIDE one file straddles → the predicate line takes over
+    spark.sql(s"DELETE FROM $tbl WHERE id >= ${m - 7}")
+    assert(headEq.nonEmpty, "a straddling cutoff must commit the predicate")
+    assert(spark.table(tbl).count() == m - 7)
+    assert(spark.sql(s"SELECT max(id) FROM $tbl").collect()(0).getLong(0)
+      == m - 8)
+  }
+
   test("a delete the chunk stats cannot decide falls back to the " +
       "ladder and stays exact") {
     val tbl = s"$cat.db.clustered2"

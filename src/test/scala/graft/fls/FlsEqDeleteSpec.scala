@@ -3,7 +3,7 @@ package graft.fls
 import java.nio.file.Files
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -96,9 +96,10 @@ class FlsEqDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("unsupported shapes fall back to the rewrite ladder and stay exact") {
     val (tbl, _) = mkTable("fallback")
     spark.sql(s"DELETE FROM $tbl WHERE seg = 'a'") // equality path
-    // range predicate: not equality-expressible → row-level fallback
-    spark.sql(s"DELETE FROM $tbl WHERE id > 90")
-    assert(ids(tbl) == (0L until 91L).filter(_ % 3 != 0).toSet)
+    // arithmetic predicate: not predicate-expressible (no simple
+    // column-vs-literal conjunct shape) → row-level fallback
+    spark.sql(s"DELETE FROM $tbl WHERE id % 10 = 1")
+    assert(ids(tbl) == (0L until 100L).filter(i => i % 3 != 0 && i % 10 != 1).toSet)
   }
 
   test("compaction absorbs the predicate: rows stay deleted, the " +
@@ -345,5 +346,246 @@ class FlsEqDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql(s"DELETE FROM $tbl WHERE id IN (30, 31) AND id IN (31, 32)")
     assert(!ids(tbl).contains(31L))
     assert(ids(tbl).contains(30L) && ids(tbl).contains(32L))
+  }
+
+  // ---- range predicates (r16): the retention shape ----
+
+  test("retention-shape range delete (id < cutoff) commits with ZERO " +
+      "jobs; reinserts into the range are exempt; predicates stack") {
+    val (tbl, dir) = mkTable("range_retention")
+    var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE id < 40")
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"range delete ran $jobs Spark job(s) — not O(1)")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val (headV, _) = FlsManifest.readVersioned(fs, new Path(dir)).get
+    val eq = FlsManifest.versionEq(fs, new Path(dir), headV)
+    assert(eq.length == 1, eq.mkString("; "))
+    assert(FlsEqDeletes.parse(eq.head).legs.head
+      .isInstanceOf[FlsEqDeletes.RangeLeg], eq.head)
+    assert(ids(tbl) == (40L until 100L).toSet)
+    // reinsert into the deleted range: newer birth version → visible
+    spark.sql(s"INSERT INTO $tbl VALUES (7, 'a', 1.75), (12, 'a', 3.0)")
+    assert(ids(tbl).contains(7L) && ids(tbl).contains(12L))
+    // a second range predicate stacks and spans both generations
+    spark.sql(s"DELETE FROM $tbl WHERE id >= 98")
+    assert(ids(tbl) == ((40L until 98L).toSet + 7L + 12L))
+    // and the footer count(*) shortcut must not serve stale counts
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0)
+      == 60L)
+  }
+
+  test("two range conjuncts on one column intersect into ONE leg with " +
+      "exact boundary semantics (closed long normalization)") {
+    val (tbl, dir) = mkTable("range_interval")
+    // 10 < id <= 20 → closed longs [11, 20]
+    spark.sql(s"DELETE FROM $tbl WHERE id > 10 AND id <= 20")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val (headV, _) = FlsManifest.readVersioned(fs, new Path(dir)).get
+    val eq = FlsManifest.versionEq(fs, new Path(dir), headV)
+    val p = FlsEqDeletes.parse(eq.head)
+    assert(p.legs.length == 1, s"conjuncts on one column must merge: ${eq.head}")
+    val r = p.legs.head.asInstanceOf[FlsEqDeletes.RangeLeg]
+    assert(r.lo.get.l == 11L && r.hi.get.l == 20L && r.lo.get.inc &&
+      r.hi.get.inc, eq.head)
+    assert(ids(tbl) == (0L until 100L).filterNot(i => i > 10 && i <= 20).toSet)
+  }
+
+  test("double range respects open/closed bounds, -0.0 = 0.0, and " +
+      "dictionary-coded columns") {
+    val (tbl, _) = mkTable("range_double")
+    // v = id/4.0: delete 2.5 <= v < 5.0 → ids 10..19
+    spark.sql(s"DELETE FROM $tbl WHERE v >= 2.5 AND v < 5.0")
+    assert(ids(tbl) == (0L until 100L).filterNot(i => i >= 10 && i < 20).toSet)
+    // id 20 (v = 5.0 exactly) survives the open upper bound
+    assert(ids(tbl).contains(20L))
+    // -0.0 bound: `v > -0.0` must not delete the stored 0.0 row? No —
+    // SQL: 0.0 > -0.0 is FALSE (they are equal); ids 1.. all have v>0
+    spark.sql(s"DELETE FROM $tbl WHERE v > -0.0 AND v < 0.5")
+    assert(!ids(tbl).contains(1L), "v=0.25 > -0.0 must die")
+    assert(ids(tbl).contains(0L), "v=0.0 equals -0.0 — strict > spares it")
+  }
+
+  test("NaN sorts above every bound: a lower-bound-only range deletes " +
+      "stored NaN; an upper-bounded one spares it") {
+    val tbl = s"$cat.db.range_nan"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='equality')")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1.0), (2, CAST('NaN' AS " +
+      "DOUBLE)), (3, 100.0)")
+    // upper-bounded: NaN > 50 fails nothing... NaN fails v < 50; only 1.0 dies
+    spark.sql(s"DELETE FROM $tbl WHERE v < 50.0")
+    assert(ids(tbl) == Set(2L, 3L), "NaN and 100.0 must survive v < 50")
+    // lower-bound-only: NaN sorts above 99 in Spark/DuckDB total order
+    spark.sql(s"DELETE FROM $tbl WHERE v > 99.0")
+    assert(ids(tbl) == Set.empty[Long], "NaN and 100.0 must die under v > 99")
+  }
+
+  test("string range deletes by unsigned UTF-8 byte order") {
+    val (tbl, _) = mkTable("range_string")
+    // seg in {a, b, c}: delete 'a' <= seg < 'c' → a and b
+    spark.sql(s"DELETE FROM $tbl WHERE seg >= 'a' AND seg < 'c'")
+    assert(ids(tbl) == (0L until 100L).filter(_ % 3 == 2).toSet)
+  }
+
+  test("a provably EMPTY range intersection commits nothing and " +
+      "deletes nothing") {
+    val (tbl, dir) = mkTable("range_empty")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val v0 = FlsManifest.readVersioned(fs, new Path(dir)).get._1
+    spark.sql(s"DELETE FROM $tbl WHERE id > 50 AND id < 51") // empty (discrete)
+    spark.sql(s"DELETE FROM $tbl WHERE v > 5.0 AND v < 5.0") // empty (continuous)
+    assert(ids(tbl) == (0L until 100L).toSet, "nothing may die")
+    val (headV, _) = FlsManifest.readVersioned(fs, new Path(dir)).get
+    assert(FlsManifest.versionEq(fs, new Path(dir), headV).isEmpty,
+      "no dead predicate line may commit")
+    assert(headV == v0, s"a provable no-op must not advance the table " +
+      s"(v0=$v0, head=$headV)")
+  }
+
+  test("mixed composite: equality leg AND range leg in ONE line; the " +
+      "residual is their AND") {
+    val (tbl, dir) = mkTable("range_mixed")
+    spark.sql(s"DELETE FROM $tbl WHERE seg = 'a' AND id >= 50")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val (headV, _) = FlsManifest.readVersioned(fs, new Path(dir)).get
+    val eq = FlsManifest.versionEq(fs, new Path(dir), headV)
+    assert(eq.length == 1 && FlsEqDeletes.parse(eq.head).legs.length == 2,
+      eq.mkString("; "))
+    assert(ids(tbl) ==
+      (0L until 100L).filterNot(i => i % 3 == 0 && i >= 50).toSet)
+  }
+
+  // ---- zone-map residual pruning (r16): predicates tax only the
+  // files/groups their value range can touch ----
+
+  private def mkClustered(name: String): (String, String) = {
+    val tbl = s"$cat.db.$name"
+    val dir = s"$tmp/warehouse/db/$name"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest', 'delete_mode'='equality', " +
+      "'cluster_by'='id')")
+    // 5 disjoint-range files via 5 sequential single-file appends
+    (0 until 5).foreach { i =>
+      spark.range(i * 400L, (i + 1) * 400L).selectExpr("id",
+        "CAST(id AS DOUBLE) / 4 AS v")
+        .repartition(1).writeTo(tbl).append()
+    }
+    (tbl, dir)
+  }
+
+  test("a predicate no file's stats can match attaches NO residual: " +
+      "count(*) stays metadata-only (zero data bytes) with the line " +
+      "active; a may-match predicate forces the scan") {
+    val (tbl, dir) = mkClustered("prune_none")
+    spark.sql(s"DELETE FROM $tbl WHERE id >= 10000") // matches nothing
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def headEq: Seq[String] = {
+      val (headV, _) = FlsManifest.readVersioned(fs, new Path(dir)).get
+      FlsManifest.versionEq(fs, new Path(dir), headV)
+    }
+    assert(headEq.nonEmpty,
+      "the predicate line must be active (committed blind, zero reads)")
+    def bytesFor(expect: Long): Long = {
+      @volatile var bytes = 0L
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytes += t.taskMetrics.inputMetrics.bytesRead
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0)
+          .getLong(0) == expect)
+        Thread.sleep(400)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      bytes
+    }
+    assert(bytesFor(2000L) == 0L, "count(*) read data — the zone-map " +
+      "prune must re-arm the metadata shortcut on proven-unaffected files")
+    // contrast: a predicate that MAY match re-attaches the residual and
+    // the same count must scan (proves the probe detects the difference)
+    spark.sql(s"DELETE FROM $tbl WHERE id >= 1995")
+    assert(headEq.size == 2)
+    assert(bytesFor(1995L) > 0L,
+      "a may-match predicate must force the count off the metadata path")
+  }
+
+  test("absorb_deletes with zone pruning rewrites ONLY stats-affected " +
+      "files; proven-unaffected subject files are restamped metadata-only") {
+    val (tbl, dir) = mkClustered("prune_absorb")
+    // only the top file (ids 1600..1999) intersects
+    spark.sql(s"DELETE FROM $tbl WHERE id >= 1900")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = FlsManifest.read(fs, root).get
+    val untouched = before.filter(e =>
+      FlsFileStats.toDesc(e.stats).exists(d =>
+        d.rowGroups(0).segments(d.columns.indexWhere(_.name == "id"))
+          .maxLong < 1900L)).map(_.rel).toSet
+    assert(untouched.size == 4, s"fixture: want 4 clean files, " +
+      s"got ${untouched.size} of ${before.size}")
+    val r = spark.sql(s"CALL $cat.system.absorb_deletes(" +
+      "`table` => 'db.prune_absorb')").collect()(0)
+    assert(r.getInt(0) == 1, "one predicate absorbed")
+    assert(r.getInt(1) == 1,
+      s"exactly the 1 intersecting file rewritten, got ${r.getInt(1)}")
+    val after = FlsManifest.read(fs, root).get
+    assert(untouched.subsetOf(after.map(_.rel).toSet),
+      "stats-proven-unaffected files must survive by name (no rewrite)")
+    val (headV, _) = FlsManifest.readVersioned(fs, root).get
+    assert(FlsManifest.versionEq(fs, root, headV).isEmpty,
+      "restamped birth versions must let the predicate drop")
+    assert(spark.table(tbl).count() == 1900L)
+    assert(spark.sql(s"SELECT max(id) FROM $tbl").collect()(0).getLong(0)
+      == 1899L)
+  }
+
+  test("absorb of a nothing-matches predicate is PURE metadata: zero " +
+      "Spark jobs, predicate dropped, rows intact") {
+    val (tbl, dir) = mkClustered("prune_absorb_meta")
+    spark.sql(s"DELETE FROM $tbl WHERE id >= 10000")
+    var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = spark.sql(s"CALL $cat.system.absorb_deletes(" +
+        "`table` => 'db.prune_absorb_meta')").collect()(0)
+      assert(r.getInt(0) == 1 && r.getInt(1) == 0,
+        s"want 1 predicate absorbed / 0 files rewritten, got $r")
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"metadata-only absorb ran $jobs Spark job(s)")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val (headV, _) = FlsManifest.readVersioned(fs, root).get
+    assert(FlsManifest.versionEq(fs, root, headV).isEmpty)
+    assert(spark.table(tbl).count() == 2000L)
+  }
+
+  test("absorb_deletes absorbs a range predicate: rows stay deleted, " +
+      "the line drops, shortcuts re-arm") {
+    val (tbl, dir) = mkTable("range_absorb")
+    spark.sql(s"DELETE FROM $tbl WHERE id >= 90")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def activeEq: Seq[String] =
+      FlsManifest.versionEq(fs, p, FlsManifest.readVersioned(fs, p).get._1)
+    assert(activeEq.nonEmpty)
+    val r = spark.sql(s"CALL $cat.system.absorb_deletes(" +
+      "`table` => 'db.range_absorb')").collect()(0)
+    assert(r.getInt(0) == 1, "one predicate absorbed")
+    assert(activeEq.isEmpty, "absorb did not drop the range predicate")
+    assert(ids(tbl) == (0L until 90L).toSet)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0)
+      == 90L)
   }
 }

@@ -131,7 +131,7 @@ class FlsManifestDeltaSpec extends AnyFunSuite {
       "carries the predicate") {
     val c = conf(); val dir = newDir(); val fs = dir.getFileSystem(c)
     fullAppend(fs, dir, c, (0 until 40).map(entry(_)))
-    val json = FlsEqDeletes.EqDelete(0L, Seq(FlsEqDeletes.Leg("k",
+    val json = FlsEqDeletes.EqDelete(0L, Seq(FlsEqDeletes.InLeg("k",
       FlsEqDeletes.KindLong, Array(7L), Array.empty, Array.empty))).json
     val ((v), opened) = chunkReads {
       deltaCommit(fs, dir, c, FlsManifest.Delta(), op = "eqdelete",
