@@ -91,6 +91,51 @@ object EqDeleteProbe {
             targetRowsPerFile = 2000000))
       }
     }
+
+    // ---- RETENTION shape (r16): `o_orderkey < cutoff` as a range
+    // predicate on a CLUSTERED table (64 disjoint-range files). The
+    // zone-map prune means the residual taxes only the files the
+    // cutoff actually touches, and targeted absorb rewrites only the
+    // files whose stats intersect the range — the rest restamp
+    // metadata-only. ----
+    locally {
+      val dir = "/tmp/graft_eqdel_probe/retention"
+      val tbl = "eqprobe_retention"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      src.repartitionByRange(64, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.format("fls").mode("overwrite")
+        .option("commit_mode", "manifest")
+        .option("write_distribution", "none").save(dir)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice " +
+        s"DOUBLE, o_orderpriority STRING) USING fls LOCATION '$dir' " +
+        "TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='equality')")
+      val n0 = spark.table(tbl).count()
+      val cutoff = src.stat.approxQuantile("o_orderkey", Array(0.25), 0.001)(0).toLong
+      timed("retention: baseline full-scan agg (64 files, no predicate)")(
+        spark.table(tbl).agg(sum("o_totalprice")).collect())
+      timed(s"retention: DELETE o_orderkey < $cutoff (range line)")(
+        spark.sql(s"DELETE FROM $tbl WHERE o_orderkey < $cutoff"))
+      timed("retention: full-scan agg WITH residual (zone-pruned)")(
+        spark.table(tbl).agg(sum("o_totalprice")).collect())
+      val n1 = timed("retention: count after (untouched files metadata)")(
+        spark.table(tbl).count())
+      val st = timed("retention: TARGETED absorb (intersecting files only)")(
+        graft.fls.FlsMaintenance.absorbDeletes(spark, dir,
+          targetRowsPerFile = 2000000))
+      println(s"[eqprobe] retention absorb rewrote ${st.subjectFiles} " +
+        s"file(s) of 64 (stats-exempt rest restamped), dropped " +
+        s"${st.predicates} predicate(s)")
+      require(st.subjectFiles <= 20,
+        s"zone pruning must confine the rewrite to the ~17 intersecting " +
+          s"files, rewrote ${st.subjectFiles}")
+      val n2 = spark.table(tbl).count()
+      require(n1 == n2, s"absorb changed visible rows: $n1 -> $n2")
+      timed("retention: full-scan agg after absorb")(
+        spark.table(tbl).agg(sum("o_totalprice")).collect())
+      println(s"[eqprobe] retention rows $n0 -> $n1 (cutoff $cutoff)")
+    }
     spark.stop()
   }
 }

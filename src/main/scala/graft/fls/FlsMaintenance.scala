@@ -311,13 +311,15 @@ object FlsMaintenance {
     val subjectAll = frozenEntries.filter(e =>
       FlsFileStats.birthOf(e.stats) <= maxPv)
     // zone-map subject pruning (r16): a subject file whose manifest
-    // stats PROVE no applicable predicate matches any of its rows needs
-    // no rewrite — its residual was a no-op. It still pins the
-    // predicates in the log (bv <= pv), so the commit RESTAMPS its
-    // birth version metadata-only: rows identical, predicate scope
-    // exits, zero bytes moved. A retention delete that touched 1% of a
-    // clustered table absorbs by rewriting the 1% and restamping the
-    // 99% — O(affected), not O(subject).
+    // stats PROVE no applicable predicate matches any of its rows
+    // needs no rewrite — its residual was a no-op. With every
+    // may-match file rewritten and the rest stats-proven, the commit
+    // drops the predicates EXPLICITLY (`eqDropUpTo`) instead of
+    // relying on the no-retained-entry absorption filter: exempt
+    // entries are never touched, never restated, never re-chunked. A
+    // retention delete that touched 1% of a clustered table absorbs
+    // by rewriting the 1% — O(affected) in data AND metadata, not
+    // O(subject).
     val (subject, exempt) = subjectAll.partition { e =>
       val bv = FlsFileStats.birthOf(e.stats)
       FlsFileStats.toDesc(e.stats) match {
@@ -327,18 +329,34 @@ object FlsMaintenance {
       }
     }
     val exemptRels = exempt.map(_.rel).toSet
-    def restamped(curV: Long, cur: Seq[FlsManifest.Entry]): Seq[FlsManifest.Entry] =
-      cur.map(e =>
-        if (exemptRels(e.rel) &&
-            FlsFileStats.birthOf(e.stats) <= maxPv) // idempotent on retry
-          e.copy(stats = FlsFileStats.withBirth(e.stats, curV + 1))
-        else e)
+    // the drop-proof guard for the tolerant full-merge path: every
+    // retained old-bv entry must be one this absorb proved (exempt) —
+    // a concurrent ROLLBACK could restore an entry the freeze never
+    // classified, and dropping the predicates over it would resurrect
+    // rows. (Concurrent appends/rewrites are safe: fresh birth
+    // versions > maxPv put them out of scope.)
+    def guardProven(cur: Seq[FlsManifest.Entry], rewrittenRels: Set[String]): Unit =
+      cur.foreach { e =>
+        if (FlsFileStats.birthOf(e.stats) <= maxPv &&
+            !exemptRels(e.rel) && !rewrittenRels(e.rel))
+          throw new java.util.ConcurrentModificationException(
+            s"fls absorb_deletes: a concurrent commit (re)introduced " +
+              s"'${e.rel}' inside the absorbed predicates' scope under " +
+              s"$dir — aborting; rerun")
+      }
     val absorbId = java.util.UUID.randomUUID().toString
     if (subject.isEmpty) {
       FlsManifest.commit(fs, root, absorbId, conf, op = "absorb",
-          dataChange = false) { (curV, cur) =>
-        restamped(curV, cur.getOrElse(throw new IllegalStateException(
-          s"fls absorb_deletes: manifest of $dir vanished mid-absorb")))
+          dataChange = false, eqDropUpTo = maxPv) { (curV, cur) =>
+        if (FlsManifest.versionEq(fs, root, curV)
+            .exists(FlsEqDeletes.versionOf(_) > frozenV))
+          throw new java.util.ConcurrentModificationException(
+            s"fls absorb_deletes: an equality delete committed under $dir " +
+              "after the absorb froze its inputs — aborting; rerun")
+        val entries = cur.getOrElse(throw new IllegalStateException(
+          s"fls absorb_deletes: manifest of $dir vanished mid-absorb"))
+        guardProven(entries, Set.empty)
+        entries
       }
       return AbsorbStats(eq.length, 0,
         FlsManifest.read(fs, root).map(_.length).getOrElse(0), 0L)
@@ -382,8 +400,10 @@ object FlsMaintenance {
         case (rel, len) if rel.endsWith(".fls") =>
           FlsManifest.Entry(rel, len, 0L)
       }.toSeq
-      FlsManifest.commit(fs, root, absorbId, conf,
-          op = "absorb", dataChange = false) { (curV, current) =>
+      // tolerant full-merge closure: runs when anything committed since
+      // the freeze (and as commitDelta's inline fallback)
+      val fullMerge: (Long, Option[Seq[FlsManifest.Entry]]) => Seq[FlsManifest.Entry] =
+        (curV, current) => {
         val cur = current.getOrElse(throw new IllegalStateException(
           s"fls absorb_deletes: $dir lost its manifest mid-absorb — aborting"))
         // a predicate committed AFTER the freeze applies to our outputs'
@@ -406,12 +426,29 @@ object FlsMaintenance {
           throw new java.util.ConcurrentModificationException(
             s"fls absorb_deletes: a concurrent DELETE re-vectored an input " +
               s"file under $dir — aborting; rerun")
-        // non-subject entries and concurrent appends survive untouched
-        // (stats-exempt subject files get their birth version restamped
-        // metadata-only — rows identical, predicate scope exits); the
-        // commit's absorption filter then drops every predicate (no
-        // retained entry predates maxPv anymore)
-        restamped(curV, cur.filterNot(e => subjectRels(e.rel))) ++ outEntries
+        // non-subject entries and concurrent appends survive untouched;
+        // the explicit eqDropUpTo then drops every frozen predicate —
+        // each remaining old-bv entry is one this absorb stats-proved
+        val kept = cur.filterNot(e => subjectRels(e.rel))
+        guardProven(kept, Set.empty)
+        kept ++ outEntries
+      }
+      // O(delta) fast path: with NOTHING committed since the freeze,
+      // the classification and drop-proof hold verbatim — publish as a
+      // pure delta (remove rewritten subjects, add outputs; untouched
+      // chunks carry as verbatim pointers, never opened). Any version
+      // advance falls back to the tolerant full merge.
+      class StaleAbsorb extends RuntimeException
+      try {
+        FlsManifest.commitDelta(fs, root, absorbId, conf, op = "absorb",
+            dataChange = false, eqDropUpTo = maxPv) { curV =>
+          if (curV != frozenV) throw new StaleAbsorb
+          FlsManifest.Delta(add = outEntries, removeRels = subjectRels)
+        } (fullMerge)
+      } catch {
+        case _: StaleAbsorb =>
+          FlsManifest.commit(fs, root, absorbId, conf, op = "absorb",
+            dataChange = false, eqDropUpTo = maxPv)(fullMerge)
       }
     } catch {
       case t: Throwable =>

@@ -643,7 +643,15 @@ object FlsManifest {
       /** Carry the active-predicate set from THIS version instead of
         * the current head — rollback restores eq-deleted rows by
         * restoring the predicate set as-of the target. */
-      eqBase: Option[Long] = None)(
+      eqBase: Option[Long] = None,
+      /** Drop carried predicates with commit version <= this, beyond
+        * the no-retained-entry absorption filter. ONLY for callers who
+        * PROVED the drop exact — absorb_deletes, which rewrote every
+        * file a predicate may match and stats-proved the rest
+        * ([[FlsEqDeletes.mayMatchDesc]]); its merge closure must guard
+        * against concurrent commits introducing unproven old-bv
+        * entries. -1 = off. */
+      eqDropUpTo: Long = -1L)(
       merge: (Long, Option[Seq[Entry]]) => Seq[Entry]): Long = {
     var attempt = 0
     while (attempt < MaxCasAttempts) {
@@ -688,7 +696,8 @@ object FlsManifest {
       val eqAll = (carried ++ eqAdd.map(FlsEqDeletes.stamp(_, next)))
         .filter { j =>
           val pv = FlsEqDeletes.versionOf(j)
-          merged.exists(e => FlsFileStats.birthOf(e.stats) <= pv)
+          pv > eqDropUpTo &&
+            merged.exists(e => FlsFileStats.birthOf(e.stats) <= pv)
         }
       fs.mkdirs(refLog(dir, ref))
       // stamp the table-meta version in force at THIS commit (if the
@@ -778,7 +787,9 @@ object FlsManifest {
   def commitDelta(fs: FileSystem, dir: Path, writeId: String,
       conf: org.apache.hadoop.conf.Configuration, op: String = "append",
       dataChange: Boolean = true, cdc: Seq[CdcLine] = Nil,
-      ref: String = MainRef, eqAdd: Seq[String] = Nil)(
+      ref: String = MainRef, eqAdd: Seq[String] = Nil,
+      /** See [[commit]]: proven-exact predicate drop (absorb). */
+      eqDropUpTo: Long = -1L)(
       delta: Long => Delta)(
       fallback: (Long, Option[Seq[Entry]]) => Seq[Entry]): Long = {
     lastDeltaAttempts.set(0)
@@ -803,7 +814,7 @@ object FlsManifest {
         // inline/legacy/missing head, or the result fits inline: the
         // full path is O(inline threshold) here by definition
         return commit(fs, dir, writeId, conf, op, dataChange, cdc, ref,
-          eqAdd)(fallback)
+          eqAdd, eqDropUpTo = eqDropUpTo)(fallback)
       val next = curV + 1
       val touched = (d.removeRels ++ d.restate.map(_.rel)).toArray.sorted
       val target = math.max(1, conf.getInt(ChunkTargetKey, DefaultChunkTarget))
@@ -856,8 +867,9 @@ object FlsManifest {
         else e.copy(stats = FlsFileStats.withBirth(e.stats, next))
       }
       val leftover = survivors ++ added
-      val eqAll = layout.map(_.eq).getOrElse(Nil) ++
-        eqAdd.map(FlsEqDeletes.stamp(_, next))
+      val eqAll = (layout.map(_.eq).getOrElse(Nil) ++
+        eqAdd.map(FlsEqDeletes.stamp(_, next)))
+        .filter(FlsEqDeletes.versionOf(_) > eqDropUpTo)
       fs.mkdirs(refLog(dir, ref))
       val tableMeta = FlsTableMeta.read(fs, dir)
       val schemaV = tableMeta.map(_._1)

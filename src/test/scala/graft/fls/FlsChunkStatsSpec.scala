@@ -136,6 +136,46 @@ class FlsChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       == m - 8)
   }
 
+  test("absorb of a chunk-confined range predicate commits O(delta): " +
+      "untouched chunk pointers carry verbatim, predicates drop " +
+      "without touching exempt entries") {
+    val tbl = s"$cat.db.clustered_absorb"
+    val dir = s"$tmp/warehouse/db/clustered_absorb"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest', 'cluster_by'='id', " +
+      "'manifest_chunk_stats'='id', 'delete_mode'='equality')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(0, 2000)")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pointers = FlsManifest
+      .readLayoutVersioned(fs, root, resolveChunks = false).get._2.pointers
+    val ranges = pointers.map(boundsOf(_, "id"))
+    val m = ranges.maxBy(_._2)._1
+    // cutoff INSIDE the top file -> straddles -> predicate line commits
+    spark.sql(s"DELETE FROM $tbl WHERE id >= ${m + 3}")
+    def headEq: Seq[String] = {
+      val (headV, _) = FlsManifest.readVersioned(fs, root).get
+      FlsManifest.versionEq(fs, root, headV)
+    }
+    assert(headEq.nonEmpty, "fixture: the cutoff must park a predicate")
+    val before = FlsManifest
+      .readLayoutVersioned(fs, root, resolveChunks = false).get._2.pointers
+    val untouchedNames = before.filter(pt => boundsOf(pt, "id")._2 < m + 3)
+      .map(_.name).toSet
+    assert(untouchedNames.nonEmpty, "fixture: want untouched chunks")
+    val st = FlsMaintenance.absorbDeletes(spark, dir,
+      targetRowsPerFile = 1000000)
+    assert(st.predicates == 1)
+    assert(headEq.isEmpty, "absorb must drop the predicate")
+    val after = FlsManifest
+      .readLayoutVersioned(fs, root, resolveChunks = false).get._2.pointers
+    assert(untouchedNames.subsetOf(after.map(_.name).toSet),
+      "the O(delta) absorb commit must carry untouched chunk pointers " +
+        "verbatim (exempt entries never re-chunked)")
+    assert(spark.table(tbl).count() == m + 3)
+  }
+
   test("a delete the chunk stats cannot decide falls back to the " +
       "ladder and stays exact") {
     val tbl = s"$cat.db.clustered2"

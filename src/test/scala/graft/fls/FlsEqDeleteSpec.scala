@@ -518,7 +518,8 @@ class FlsEqDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("absorb_deletes with zone pruning rewrites ONLY stats-affected " +
-      "files; proven-unaffected subject files are restamped metadata-only") {
+      "files; proven-unaffected subject files are left untouched and " +
+      "the predicates drop explicitly") {
     val (tbl, dir) = mkClustered("prune_absorb")
     // only the top file (ids 1600..1999) intersects
     spark.sql(s"DELETE FROM $tbl WHERE id >= 1900")
@@ -541,7 +542,8 @@ class FlsEqDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "stats-proven-unaffected files must survive by name (no rewrite)")
     val (headV, _) = FlsManifest.readVersioned(fs, root).get
     assert(FlsManifest.versionEq(fs, root, headV).isEmpty,
-      "restamped birth versions must let the predicate drop")
+      "the proven drop must remove the predicate despite untouched " +
+        "old-birth-version entries")
     assert(spark.table(tbl).count() == 1900L)
     assert(spark.sql(s"SELECT max(id) FROM $tbl").collect()(0).getLong(0)
       == 1899L)
