@@ -136,6 +136,47 @@ object EqDeleteProbe {
         spark.table(tbl).agg(sum("o_totalprice")).collect())
       println(s"[eqprobe] retention rows $n0 -> $n1 (cutoff $cutoff)")
     }
+
+    // ---- GDPR + bloom (r16): scattered point keys on an UNCLUSTERED
+    // table, with a bloom sketch on the key. Zone maps prove nothing
+    // here (every file spans the domain); the bloom's definite NO
+    // confines both the residual tax and the absorb rewrite to the
+    // files that actually contain the keys. ----
+    locally {
+      val dir = "/tmp/graft_eqdel_probe/bloomeq"
+      val tbl = "eqprobe_bloomeq"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      src.repartition(64)
+        .write.format("fls").mode("overwrite")
+        .option("commit_mode", "manifest")
+        .option("bloom_columns", "o_orderkey").save(dir)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_totalprice " +
+        s"DOUBLE, o_orderpriority STRING) USING fls LOCATION '$dir' " +
+        "TBLPROPERTIES ('commit_mode'='manifest', " +
+        "'delete_mode'='equality', 'bloom_columns'='o_orderkey')")
+      val needles = keys.take(5)
+      val n0 = spark.table(tbl).count()
+      timed("bloom: baseline full-scan agg (64 files)")(
+        spark.table(tbl).agg(sum("o_totalprice")).collect())
+      timed(s"bloom: DELETE ${needles.length} scattered keys (one line)")(
+        spark.sql(s"DELETE FROM $tbl WHERE o_orderkey IN " +
+          s"(${needles.mkString(", ")})"))
+      timed("bloom: full-scan agg WITH residual (bloom-pruned)")(
+        spark.table(tbl).agg(sum("o_totalprice")).collect())
+      val n1 = spark.table(tbl).count()
+      require(n0 - n1 == needles.length, s"bloom leg deleted ${n0 - n1}")
+      val st = timed("bloom: TARGETED absorb (key-bearing files only)")(
+        graft.fls.FlsMaintenance.absorbDeletes(spark, dir,
+          targetRowsPerFile = 2000000))
+      println(s"[eqprobe] bloom absorb rewrote ${st.subjectFiles} " +
+        s"file(s) of 64, dropped ${st.predicates} predicate(s)")
+      require(st.subjectFiles <= needles.length + 2,
+        s"bloom proof must confine the rewrite to ~${needles.length} " +
+          s"key-bearing files, rewrote ${st.subjectFiles}")
+      timed("bloom: full-scan agg after absorb")(
+        spark.table(tbl).agg(sum("o_totalprice")).collect())
+    }
     spark.stop()
   }
 }

@@ -256,4 +256,41 @@ object Bloom {
     }
     filters.forall(ok)
   }
+
+  /** Can the file at `dataPath` possibly contain a row the committed
+    * delete predicate matches, per its bloom sidecar? The zone-map
+    * complement for SCATTERED keys: on an unclustered table a GDPR
+    * point delete's value sits inside every file's [min, max], but a
+    * definite bloom NO proves absence exactly — the residual can be
+    * dropped / absorb can skip the rewrite. Consulted only for IN
+    * legs whose stored domain matches the leg kind (`desc` carries
+    * the file's column tags — [[FlsEqDeletes.domainOk]], the same
+    * guard the residual compile enforces); legs hash in the semantic
+    * domain, which is exactly what the write-side sketch hashed
+    * (FlsDataWriter mkHashAccessors). Conservative on every doubt:
+    * no sidecar, unsketched column, range legs → true. */
+  def mayMatchEq(p: FlsEqDeletes.EqDelete, desc: Format.TableDesc,
+      statsJson: String, dataPath: Path, conf: Configuration): Boolean = {
+    if (statsJson == null || !statsJson.contains("\"bf\"")) return true
+    val bfBase = FlsFileStats.bfOf(statsJson).getOrElse(return true)
+    lazy val blooms: Option[Map[String, Bloom.Filter]] =
+      readCached(new Path(dataPath.getParent, bfBase).toString, conf)
+    p.legs.forall {
+      case in: FlsEqDeletes.InLeg =>
+        val idx = desc.columns.indexWhere(_.name == in.col)
+        if (idx < 0 || !FlsEqDeletes.domainOk(in.kind, desc.columns(idx).colType))
+          true
+        else (for { bs <- blooms; bf <- bs.get(in.col) } yield {
+          val hashes: Array[Long] = in.kind match {
+            case FlsEqDeletes.KindLong => in.longs.map(Hll.hashLong)
+            case FlsEqDeletes.KindDouble => in.doubles.map(Hll.hashDouble)
+            case FlsEqDeletes.KindString =>
+              in.strings.map(s => Hll.hashBytes(
+                s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
+          hashes.exists(bf.mightContain)
+        }).getOrElse(true)
+      case _ => true // range legs: zone maps are the right tool
+    }
+  }
 }

@@ -231,6 +231,21 @@ object FlsEqDeletes {
     * pruning must not mask that), prefix-truncated string bounds —
     * keeps the leg. Stats-present double segments are NaN-free
     * (Encoder.statsOf), so pure interval logic is exact there. */
+  /** Does the file's stored domain line up with the leg's semantic
+    * kind — the SAME guard the decode-time residual compile enforces
+    * (so any stats/bloom proof talks about the values the residual
+    * would actually compare)? */
+  def domainOk(kind: String, ct: ColumnType): Boolean = {
+    val phys = physOf(ct.tag)
+    kind match {
+      case KindLong => phys == Phys.LONG && ct.tag != TypeTag.UINT64 &&
+        ct.tag != TypeTag.DECIMAL
+      case KindDouble => phys == Phys.DOUBLE
+      case KindString => phys == Phys.BYTES && ct.tag == TypeTag.STRING
+      case _ => false
+    }
+  }
+
   def legMayMatch(leg: Leg, ct: ColumnType, seg: SegmentDesc): Boolean = {
     val phys = physOf(ct.tag)
     leg.kind match {

@@ -244,18 +244,24 @@ object FlsFile {
       else {
         val byV = eq.map(j => (FlsEqDeletes.parse(j), j))
         entries.map { e =>
-          // zone-map prune (r16): a predicate the file's manifest stats
-          // PROVE cannot match any stored row is dropped HERE — the file
-          // then carries no residual at all, so metadata shortcuts
-          // (footer count(*)/aggregates, TopN bounds) re-arm and the
-          // decode loop never compiles it. On a clustered table a
-          // retention predicate taxes only the files it actually
-          // touches. Conservative: missing/NaN-dropped/drifted stats
-          // keep the residual (and keep the decode-time drift THROW).
+          // zone-map + bloom prune (r16): a predicate the file's
+          // manifest stats (or its bloom sidecar, for scattered point
+          // keys zone maps can't bound) PROVE cannot match any stored
+          // row is dropped HERE — the file then carries no residual at
+          // all, so metadata shortcuts (footer count(*)/aggregates,
+          // TopN bounds) re-arm and the decode loop never compiles it.
+          // A retention predicate taxes only the files it touches on a
+          // clustered table; a GDPR point delete taxes only the files
+          // that bloom-contain the key. Sidecar reads ride the same
+          // LRU cache as the scan-filter bloom path. Conservative:
+          // missing/NaN-dropped/drifted stats keep the residual (and
+          // keep the decode-time drift THROW).
           lazy val desc = FlsFileStats.toDesc(e.stats)
           val applicable = byV.collect {
             case (p, j) if FlsFileStats.birthOf(e.stats) <= p.v &&
-              desc.forall(FlsEqDeletes.mayMatchDesc(p, _)) => j
+              desc.forall(d => FlsEqDeletes.mayMatchDesc(p, d) &&
+                Bloom.mayMatchEq(p, d, e.stats, new Path(path, e.rel),
+                  conf)) => j
           }
           if (applicable.isEmpty) e
           else e.copy(stats = FlsFileStats.withEq(e.stats, applicable))

@@ -324,7 +324,8 @@ object FlsMaintenance {
       val bv = FlsFileStats.birthOf(e.stats)
       FlsFileStats.toDesc(e.stats) match {
         case Some(d) => parsedEq.exists(p =>
-          bv <= p.v && FlsEqDeletes.mayMatchDesc(p, d))
+          bv <= p.v && FlsEqDeletes.mayMatchDesc(p, d) &&
+            Bloom.mayMatchEq(p, d, e.stats, new Path(root, e.rel), conf))
         case None => true // no stats: conservative rewrite
       }
     }

@@ -549,6 +549,37 @@ class FlsEqDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       == 1899L)
   }
 
+  test("bloom sidecars prove point-key ABSENCE where zone maps can't " +
+      "(unclustered files): absorb rewrites only the key-bearing files") {
+    val tbl = s"$cat.db.prune_bloom"
+    val dir = s"$tmp/warehouse/db/prune_bloom"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest', 'delete_mode'='equality', " +
+      "'bloom_columns'='id')")
+    // 5 files, ids striped mod 5: every file SPANS the whole domain
+    // (zone maps prove nothing) but each id lives in exactly one file
+    (0 until 5).foreach { i =>
+      spark.range(0, 2000).filter(s"id % 5 = $i")
+        .selectExpr("id", "CAST(id AS DOUBLE) / 4 AS v")
+        .repartition(1).writeTo(tbl).append()
+    }
+    // ids 7 (file of stripe 2) and 13 (stripe 3): two bearing files
+    spark.sql(s"DELETE FROM $tbl WHERE id IN (7, 13)")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = FlsManifest.read(fs, root).get.map(_.rel).toSet
+    assert(before.size == 5)
+    val r = spark.sql(s"CALL $cat.system.absorb_deletes(" +
+      "`table` => 'db.prune_bloom')").collect()(0)
+    assert(r.getInt(0) == 1, "one predicate absorbed")
+    assert(r.getInt(1) == 2,
+      s"bloom proof must confine the rewrite to the 2 key-bearing " +
+        s"files, rewrote ${r.getInt(1)}")
+    val after = FlsManifest.read(fs, root).get.map(_.rel).toSet
+    assert((before -- after).size == 2, "exactly 2 inputs replaced")
+    assert(ids(tbl) == (0L until 2000L).toSet -- Set(7L, 13L))
+  }
+
   test("absorb of a nothing-matches predicate is PURE metadata: zero " +
       "Spark jobs, predicate dropped, rows intact") {
     val (tbl, dir) = mkClustered("prune_absorb_meta")
