@@ -513,7 +513,177 @@ object Similarity {
       SELECT query_id, rank::BIGINT AS rank, neighbor_id
       FROM s WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** q124: IVF-PQ — product quantization over the IVF cells, the
+    * standard big-corpus ANN memory move (FAISS's IVFADC): each
+    * NORMALIZED vector splits into M=8 subspaces of 8 dims; each
+    * subspace gets a K=16-entry codebook (seeds = the first K
+    * vectors' subvectors, one Lloyd pass with EXACT decimal means —
+    * the house determinism discipline); a vector stores M 4-bit codes
+    * instead of 64 doubles (8 codes ≈ 64× smaller than the raw
+    * vectors — at 100 TB of embeddings the probed cells' codes fit in
+    * memory where the vectors never could; codebooks are M·K·8
+    * doubles, always broadcastable). Candidate scoring is
+    * reconstruction-ADC: adc = <q, recon(codes)> computed as ONE
+    * 64-dim dot product — the exact primitive q25/q26 already prove
+    * bit-identical between [[GraftFunctions.arrayDot]] and DuckDB's
+    * list_dot_product (a per-subspace LUT kernel computes the same
+    * quantity faster in production; the dot keeps the oracle exact).
+    * The ADC top-20 per query then RERANKS with exact cosines (the
+    * standard recall repair for PQ's lossy scores) into the final
+    * top-5. DuckDB reconstructs everything relationally — seeds,
+    * Lloyd means, code assignment, reconstruction, ADC ranking,
+    * rerank — so one flipped code or mis-ordered subspace breaks the
+    * hash. */
+  private val PqM = 8
+  private val PqK = 16
+  private val PqDsub = 8
+
+  def q124IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val nVecs = t(spark, dir, "embeddings").count()
+    val nCent = math.ceil(math.sqrt(nVecs.toDouble)).toLong
+    // IVF cells + probes: the flat no-Lloyd quantizer (q26's geometry
+    // minus the refinement keeps the oracle reconstruction focused on
+    // the PQ machinery)
+    val r = rankedSingleLevel(e, nCent, upTo = 2, lloyd = false)
+    val cells = r.filter(col("ar") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    // normalized vectors: PQ codes quantize directions, ADC ≈ cosine
+    val u = e.select(col("vec_id"), col("v"), col("nr"),
+      expr("transform(v, x -> x / nr)").as("uv"))
+    val ms = spark.range(0, PqM).select(col("id").cast("int").as("m"))
+    // per-(vector, subspace) subvector
+    val subs = u.select(col("vec_id"), col("uv")).crossJoin(ms)
+      .select(col("vec_id"), col("m"),
+        slice(col("uv"), col("m") * PqDsub + 1, lit(PqDsub)).as("x"))
+    // seeds: the first K vectors' subvectors, code id = vec_id
+    val seeds = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("x").as("c"))
+    def l2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      GraftFunctions.arrayDot(x, x) - lit(2.0) * GraftFunctions.arrayDot(x, c) +
+        GraftFunctions.arrayDot(c, c)
+    def assign(cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("m"))
+        .orderBy(col("d2").asc, col("code").asc)
+      subs.join(cb, Seq("m"))
+        .select(col("vec_id"), col("m"), col("code"), l2(col("x"), col("c")).as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "m", "code")
+    }
+    // one Lloyd pass per subspace: exact decimal per-dim means
+    val a0 = assign(seeds)
+    val comp = subs.join(a0, Seq("vec_id", "m"))
+      .select(col("m"), col("code"), posexplode(col("x")).as(Seq("pos", "xe")))
+    val cb = comp.groupBy(col("m"), col("code"), col("pos"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("xe").cast(org.apache.spark.sql.types.DecimalType(38, 28))).as("s"))
+      .select(col("m"), col("code"), col("pos"),
+        (col("s").cast("double") / col("cnt")).as("ce"))
+      .groupBy(col("m"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, ce))), z -> z.ce)").as("c"))
+    // final codes vs the refined codebooks, then per-vector
+    // reconstruction: the M codebook entries concatenated in m order
+    val codes = assign(cb)
+    val recon = codes.join(cb, Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(flatten(expr(
+        "transform(array_sort(collect_list(struct(m, c))), z -> z.c)")).as("rv"))
+    // probe top-2 cells; candidates scored by ADC over the codes'
+    // reconstruction, top-20 kept, exact-cosine rerank to top-5
+    val probeCells = r.filter(col("vec_id") < 8 && col("ar") <= 2)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    val probes = u.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("uv").as("uq"),
+        col("v").as("v_q"), col("nr").as("nr_q"))
+      .join(probeCells, Seq("query_id"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"),
+        col("nr").as("nr_c"))
+      .join(cells.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(recon.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", GraftFunctions.arrayDot(col("uq"), col("rv")))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("ra", row_number().over(wAdc)).filter(col("ra") <= 20)
+      .withColumn("cos", cosExpr / (col("nr_q") * col("nr_c")))
+      .withColumn("rank", row_number().over(wCos)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val q124Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nr FROM e),
+        u AS (SELECT vec_id, v, nr, list_transform(v, x -> x / nr) AS uv FROM n),
+        cent0 AS (SELECT vec_id AS cent_id, v AS vq, nr AS nrq FROM n
+                  WHERE vec_id < CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)),
+        r0 AS (SELECT vec_id, cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY list_dot_product(vq, v) / (nrq * nr) DESC, cent_id) AS ar
+               FROM n CROSS JOIN cent0),
+        cells AS (SELECT vec_id, cent_id AS cell FROM r0 WHERE ar = 1),
+        ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        subs AS (SELECT vec_id, m, list_slice(uv, m*8 + 1, m*8 + 8) AS x
+                 FROM u CROSS JOIN ms),
+        seeds AS (SELECT m, CAST(vec_id AS INT) AS code, x AS c FROM subs
+                  WHERE vec_id < 16),
+        a0r AS (SELECT s.vec_id, s.m, sd.code,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                    list_dot_product(s.x, s.x) - 2 * list_dot_product(s.x, sd.c)
+                      + list_dot_product(sd.c, sd.c) ASC, sd.code ASC) AS rn
+                FROM subs s JOIN seeds sd ON s.m = sd.m),
+        a0 AS (SELECT vec_id, m, code FROM a0r WHERE rn = 1),
+        comp AS (SELECT a0.m, a0.code,
+                   unnest(list_zip(s.x, generate_series(1, len(s.x)))) AS z
+                 FROM subs s JOIN a0 ON s.vec_id = a0.vec_id AND s.m = a0.m),
+        sums AS (SELECT m, code, z[2] AS pos, count(*) AS cnt,
+                        sum(CAST(z[1] AS DECIMAL(38,28))) AS s
+                 FROM comp GROUP BY m, code, pos),
+        cb AS (SELECT m, code,
+                 list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c
+               FROM sums GROUP BY m, code),
+        cdr AS (SELECT s.vec_id, s.m, cb.code,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                    list_dot_product(s.x, s.x) - 2 * list_dot_product(s.x, cb.c)
+                      + list_dot_product(cb.c, cb.c) ASC, cb.code ASC) AS rn
+                FROM subs s JOIN cb ON s.m = cb.m),
+        codes AS (SELECT vec_id, m, code FROM cdr WHERE rn = 1),
+        recon AS (SELECT codes.vec_id,
+                    flatten(list(cb.c ORDER BY codes.m)) AS rv
+                  FROM codes JOIN cb ON codes.m = cb.m AND codes.code = cb.code
+                  GROUP BY codes.vec_id),
+        probes AS (SELECT r0.vec_id AS query_id, r0.cent_id AS cell,
+                          u.uv AS uq, u.v AS vq2, u.nr AS nrq2
+                   FROM r0 JOIN u ON r0.vec_id = u.vec_id
+                   WHERE r0.vec_id < 8 AND r0.ar <= 2),
+        cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                        list_dot_product(p.uq, rc.rv) AS adc,
+                        p.vq2, p.nrq2, m.v AS vc, m.nr AS nrc
+                 FROM probes p
+                   JOIN cells c ON p.cell = c.cell
+                   JOIN recon rc ON c.vec_id = rc.vec_id
+                   JOIN n m ON c.vec_id = m.vec_id
+                 WHERE p.query_id <> c.vec_id),
+        shortlist AS (SELECT *,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY adc DESC, neighbor_id ASC) AS ra
+                      FROM cand),
+        rer AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY list_dot_product(vq2, vc) / (nrq2 * nrc) DESC,
+                      neighbor_id ASC) AS rank
+                FROM shortlist WHERE ra <= 20)
+      SELECT query_id, rank::BIGINT AS rank, neighbor_id
+      FROM rer WHERE rank <= 5 ORDER BY query_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_sim_ivf_pq" -> (q124IvfPq _),
     "q25_sim_brute_topk" -> (q25BruteTopK _),
     "q26_sim_ivf_ann" -> (q26IvfAnn _),
     "q46_fls_embeddings_topk" -> (q46FlsBruteTopK _),
@@ -521,6 +691,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q124_sim_ivf_pq" -> q124Sql,
     "q25_sim_brute_topk" -> q25Sql,
     "q26_sim_ivf_ann" -> q26Sql,
     // same SQL as q25: the fls round-trip must be invisible to results
