@@ -72,6 +72,24 @@ object IvfRecallProbe {
         measure(s"nprobe=4 two-level l1probe=3", 4, lloyd = false)
       } finally sys.props.remove("graft.ivf.l1probe")
     } finally sys.props.remove("graft.ivf.maxCentroids")
+
+    // IVF-PQ (r16, q124): candidates scored from 8-code PQ sketches
+    // (reconstruction-ADC) instead of 512-byte raw vectors, ADC top-50
+    // reranked exactly. Recall must hold against the same brute truth
+    // — the lossy scores only need the true top-5 inside the ADC
+    // shortlist for the rerank to repair them. Measured ladder: K=16
+    // codes/subspace + top-20 shortlist = 0.750 (too coarse); K=64 +
+    // top-50 = 0.950, the q124 geometry (bounded above by its
+    // no-Lloyd nprobe=2 cells).
+    locally {
+      val t0 = System.nanoTime()
+      val got = graft.queries.Similarity.q124IvfPq(spark, dir)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val secs = (System.nanoTime() - t0) / 1e9
+      val recall = got.count(exact.contains).toDouble / exact.size
+      println(f"[ivf-recall] ivf-pq adc50+rerank (q124)    recall@5=$recall%.3f  ${secs}%.2f s")
+    }
     spark.stop()
   }
 }

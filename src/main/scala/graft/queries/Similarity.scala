@@ -516,7 +516,7 @@ object Similarity {
   /** q124: IVF-PQ — product quantization over the IVF cells, the
     * standard big-corpus ANN memory move (FAISS's IVFADC): each
     * NORMALIZED vector splits into M=8 subspaces of 8 dims; each
-    * subspace gets a K=16-entry codebook (seeds = the first K
+    * subspace gets a K=64-entry codebook (seeds = the first K
     * vectors' subvectors, one Lloyd pass with EXACT decimal means —
     * the house determinism discipline); a vector stores M 4-bit codes
     * instead of 64 doubles (8 codes ≈ 64× smaller than the raw
@@ -528,14 +528,14 @@ object Similarity {
     * bit-identical between [[GraftFunctions.arrayDot]] and DuckDB's
     * list_dot_product (a per-subspace LUT kernel computes the same
     * quantity faster in production; the dot keeps the oracle exact).
-    * The ADC top-20 per query then RERANKS with exact cosines (the
+    * The ADC top-50 per query then RERANKS with exact cosines (the
     * standard recall repair for PQ's lossy scores) into the final
     * top-5. DuckDB reconstructs everything relationally — seeds,
     * Lloyd means, code assignment, reconstruction, ADC ranking,
     * rerank — so one flipped code or mis-ordered subspace breaks the
     * hash. */
   private val PqM = 8
-  private val PqK = 16
+  private val PqK = 64
   private val PqDsub = 8
 
   def q124IvfPq(spark: SparkSession, dir: String): DataFrame = {
@@ -608,7 +608,7 @@ object Similarity {
       .orderBy(col("adc").desc, col("neighbor_id").asc)
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.withColumn("ra", row_number().over(wAdc)).filter(col("ra") <= 20)
+    cand.withColumn("ra", row_number().over(wAdc)).filter(col("ra") <= 50)
       .withColumn("cos", cosExpr / (col("nr_q") * col("nr_c")))
       .withColumn("rank", row_number().over(wCos)).filter(col("rank") <= 5)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -632,7 +632,7 @@ object Similarity {
         subs AS (SELECT vec_id, m, list_slice(uv, m*8 + 1, m*8 + 8) AS x
                  FROM u CROSS JOIN ms),
         seeds AS (SELECT m, CAST(vec_id AS INT) AS code, x AS c FROM subs
-                  WHERE vec_id < 16),
+                  WHERE vec_id < 64),
         a0r AS (SELECT s.vec_id, s.m, sd.code,
                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
                     list_dot_product(s.x, s.x) - 2 * list_dot_product(s.x, sd.c)
@@ -678,7 +678,7 @@ object Similarity {
                   ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY list_dot_product(vq2, vc) / (nrq2 * nrc) DESC,
                       neighbor_id ASC) AS rank
-                FROM shortlist WHERE ra <= 20)
+                FROM shortlist WHERE ra <= 50)
       SELECT query_id, rank::BIGINT AS rank, neighbor_id
       FROM rer WHERE rank <= 5 ORDER BY query_id, rank"""
 
