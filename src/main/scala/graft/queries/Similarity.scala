@@ -538,57 +538,97 @@ object Similarity {
   private val PqK = 64
   private val PqDsub = 8
 
-  def q124IvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
-    val nVecs = t(spark, dir, "embeddings").count()
-    val nCent = math.ceil(math.sqrt(nVecs.toDouble)).toLong
-    // IVF cells + probes: the flat no-Lloyd quantizer (q26's geometry
-    // minus the refinement keeps the oracle reconstruction focused on
-    // the PQ machinery)
-    val r = rankedSingleLevel(e, nCent, upTo = 2, lloyd = false)
-    val cells = r.filter(col("ar") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
-    // normalized vectors: PQ codes quantize directions, ADC ≈ cosine
-    val u = e.select(col("vec_id"), col("v"), col("nr"),
-      expr("transform(v, x -> x / nr)").as("uv"))
+  /** Per-(vector, subspace) subvectors of the normalized corpus. */
+  private def pqSubs(spark: SparkSession, u: DataFrame): DataFrame = {
     val ms = spark.range(0, PqM).select(col("id").cast("int").as("m"))
-    // per-(vector, subspace) subvector
-    val subs = u.select(col("vec_id"), col("uv")).crossJoin(ms)
+    u.select(col("vec_id"), col("uv")).crossJoin(ms)
       .select(col("vec_id"), col("m"),
         slice(col("uv"), col("m") * PqDsub + 1, lit(PqDsub)).as("x"))
-    // seeds: the first K vectors' subvectors, code id = vec_id
-    val seeds = subs.filter(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").cast("int").as("code"), col("x").as("c"))
+  }
+
+  /** Nearest-codebook-entry assignment per (vector, subspace): L2 over
+    * the subvectors, ties to the lowest code. */
+  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
     def l2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
       GraftFunctions.arrayDot(x, x) - lit(2.0) * GraftFunctions.arrayDot(x, c) +
         GraftFunctions.arrayDot(c, c)
-    def assign(cb: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"), col("m"))
-        .orderBy(col("d2").asc, col("code").asc)
-      subs.join(cb, Seq("m"))
-        .select(col("vec_id"), col("m"), col("code"), l2(col("x"), col("c")).as("d2"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "m", "code")
-    }
-    // one Lloyd pass per subspace: exact decimal per-dim means
-    val a0 = assign(seeds)
-    val comp = subs.join(a0, Seq("vec_id", "m"))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("code").asc)
+    subs.join(cb, Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"), l2(col("x"), col("c")).as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "m", "code")
+  }
+
+  /** The refined per-subspace codebooks (m, code, c): seeds = the
+    * first K vectors' subvectors, one Lloyd pass with exact decimal
+    * means. This is the broadcastable artifact a service encodes
+    * future vectors against. */
+  private def pqCodebook(spark: SparkSession, u: DataFrame): DataFrame = {
+    val subs = pqSubs(spark, u)
+    val seeds = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("x").as("c"))
+    val a0 = pqAssign(subs, seeds)
+    subs.join(a0, Seq("vec_id", "m"))
       .select(col("m"), col("code"), posexplode(col("x")).as(Seq("pos", "xe")))
-    val cb = comp.groupBy(col("m"), col("code"), col("pos"))
+      .groupBy(col("m"), col("code"), col("pos"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("xe").cast(org.apache.spark.sql.types.DecimalType(38, 28))).as("s"))
       .select(col("m"), col("code"), col("pos"),
         (col("s").cast("double") / col("cnt")).as("ce"))
       .groupBy(col("m"), col("code"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, ce))), z -> z.ce)").as("c"))
-    // final codes vs the refined codebooks, then per-vector
-    // reconstruction: the M codebook entries concatenated in m order
-    val codes = assign(cb)
-    val recon = codes.join(cb, Seq("m", "code"))
+  }
+
+  /** Per-vector PQ reconstruction (vec_id, rv): the M assigned
+    * codebook entries concatenated in m order — ADC scores candidates
+    * by <query, rv>, one 64-dim dot. (A deployment stores the M codes
+    * — 8 bytes/vector — and reconstructs/LUTs at query time; the
+    * materialized rv keeps the gate's scoring on the bit-exact dot
+    * primitive.) */
+  private def pqRecon(spark: SparkSession, u: DataFrame): DataFrame = {
+    val cb = pqCodebook(spark, u)
+    val codes = pqAssign(pqSubs(spark, u), cb)
+    codes.join(cb, Seq("m", "code"))
       .groupBy(col("vec_id"))
       .agg(flatten(expr(
         "transform(array_sort(collect_list(struct(m, c))), z -> z.c)")).as("rv"))
+  }
+
+  def q124IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val nVecs = t(spark, dir, "embeddings").count()
+    val nCent = math.ceil(math.sqrt(nVecs.toDouble)).toLong
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // IVF cells + probes: the flat no-Lloyd quantizer (q26's geometry
+    // minus the refinement keeps the oracle reconstruction focused on
+    // the PQ machinery) — same persisted-artifact discipline as
+    // [[ivfAnn]] (a cold session loads the ranked triples from disk)
+    val r = rankCache.getOrBuild(spark, s"$dir#pqcells#$nCent")(
+      loadOrBuildIndex(spark,
+          s"$indexRoot/${key}_ivf_l0_c${nCent}_p2",
+          s"n=$nVecs;cent=$nCent;upTo=2;lloyd=false",
+          build = rankedSingleLevel(e, nCent, upTo = 2, lloyd = false),
+          cents = singleLevelCents(e, nCent, lloyd = false))
+        .persist(org.apache.spark.storage.StorageLevel.fromString(
+          sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
+    val cells = r.filter(col("ar") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    // normalized vectors: PQ codes quantize directions, ADC ≈ cosine
+    val u = e.select(col("vec_id"), col("v"), col("nr"),
+      expr("transform(v, x -> x / nr)").as("uv"))
+    // the PQ index (per-vector reconstructions; the codebooks persist
+    // alongside as the artifact future out-of-corpus encodes broadcast)
+    // is a table artifact exactly like the IVF index
+    val recon = rankCache.getOrBuild(spark, s"$dir#pqrecon#$PqM#$PqK")(
+      loadOrBuildIndex(spark,
+          s"$indexRoot/${key}_pq_m${PqM}_k$PqK",
+          s"n=$nVecs;m=$PqM;k=$PqK",
+          build = pqRecon(spark, u),
+          cents = pqCodebook(spark, u))
+        .persist(org.apache.spark.storage.StorageLevel.fromString(
+          sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
     // probe top-2 cells; candidates scored by ADC over the codes'
     // reconstruction, top-20 kept, exact-cosine rerank to top-5
     val probeCells = r.filter(col("vec_id") < 8 && col("ar") <= 2)
