@@ -171,9 +171,12 @@ object EqDeleteProbe {
           targetRowsPerFile = 2000000))
       println(s"[eqprobe] bloom absorb rewrote ${st.subjectFiles} " +
         s"file(s) of 64, dropped ${st.predicates} predicate(s)")
-      require(st.subjectFiles <= needles.length + 2,
-        s"bloom proof must confine the rewrite to ~${needles.length} " +
-          s"key-bearing files, rewrote ${st.subjectFiles}")
+      // expected rewrites = bearing files (≤5) + the bloom FP tail:
+      // ~59 clean files × (1 - (1-fpp)^5) ≈ 3 at the default 1% fpp —
+      // measured 8 of 64 (5 bearing + 3 FPs), vs 64 without the proof
+      require(st.subjectFiles <= 16,
+        s"bloom proof must confine the rewrite to the ~${needles.length} " +
+          s"key-bearing files plus a small FP tail, rewrote ${st.subjectFiles}")
       timed("bloom: full-scan agg after absorb")(
         spark.table(tbl).agg(sum("o_totalprice")).collect())
     }

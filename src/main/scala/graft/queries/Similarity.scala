@@ -534,12 +534,12 @@ object Similarity {
     * Lloyd means, code assignment, reconstruction, ADC ranking,
     * rerank — so one flipped code or mis-ordered subspace breaks the
     * hash. */
-  private val PqM = 8
-  private val PqK = 64
+  private[queries] val PqM = 8
+  private[queries] val PqK = 64
   private val PqDsub = 8
 
   /** Per-(vector, subspace) subvectors of the normalized corpus. */
-  private def pqSubs(spark: SparkSession, u: DataFrame): DataFrame = {
+  private[queries] def pqSubs(spark: SparkSession, u: DataFrame): DataFrame = {
     val ms = spark.range(0, PqM).select(col("id").cast("int").as("m"))
     u.select(col("vec_id"), col("uv")).crossJoin(ms)
       .select(col("vec_id"), col("m"),
@@ -548,7 +548,7 @@ object Similarity {
 
   /** Nearest-codebook-entry assignment per (vector, subspace): L2 over
     * the subvectors, ties to the lowest code. */
-  private def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
+  private[queries] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame = {
     def l2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
       GraftFunctions.arrayDot(x, x) - lit(2.0) * GraftFunctions.arrayDot(x, c) +
         GraftFunctions.arrayDot(c, c)
@@ -565,7 +565,7 @@ object Similarity {
     * first K vectors' subvectors, one Lloyd pass with exact decimal
     * means. This is the broadcastable artifact a service encodes
     * future vectors against. */
-  private def pqCodebook(spark: SparkSession, u: DataFrame): DataFrame = {
+  private[queries] def pqCodebook(spark: SparkSession, u: DataFrame): DataFrame = {
     val subs = pqSubs(spark, u)
     val seeds = subs.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("code"), col("x").as("c"))
@@ -587,8 +587,14 @@ object Similarity {
     * — 8 bytes/vector — and reconstructs/LUTs at query time; the
     * materialized rv keeps the gate's scoring on the bit-exact dot
     * primitive.) */
-  private def pqRecon(spark: SparkSession, u: DataFrame): DataFrame = {
-    val cb = pqCodebook(spark, u)
+  private[queries] def pqRecon(spark: SparkSession, u: DataFrame): DataFrame =
+    pqReconAgainst(spark, u, pqCodebook(spark, u))
+
+  /** Encode `u`'s vectors against an EXISTING (frozen) codebook — the
+    * incremental-maintenance primitive ([[IncrementalPq]]): appended
+    * vectors encode without retraining, the FAISS operational shape. */
+  private[queries] def pqReconAgainst(spark: SparkSession, u: DataFrame,
+      cb: DataFrame): DataFrame = {
     val codes = pqAssign(pqSubs(spark, u), cb)
     codes.join(cb, Seq("m", "code"))
       .groupBy(col("vec_id"))

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.IncrementalPq
+
+/** Incremental PQ maintenance ([[IncrementalPq]]): codebooks train
+  * once and freeze; a refresh after an append reads ONLY the appended
+  * corpus files (scan-bytes asserted) and encodes only their vectors;
+  * the patched reconstructions are BIT-IDENTICAL to re-encoding the
+  * whole corpus against the same frozen codebooks; an up-to-date
+  * refresh is a zero-job no-op; a non-append range refuses and
+  * rebuild() (which retrains) recovers. */
+class PqIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val tmp = Files.createTempDirectory("pq-inc-spec").toString
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("pq-inc-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def emb() = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  // 9 shifted copies (4500 vectors) seed the corpus; copy 10 appends —
+  // big enough that the constant-size codebook reads (~40 KB × a few
+  // joins) stay far below the corpus-fraction assertion
+  private def copyAt(i: Int) =
+    emb().withColumn("vec_id", col("vec_id") + lit(i * 1000L))
+
+  private def seed(dir: String): Unit =
+    (0 until 9).map(copyAt).reduce(_ union _).repartition(5)
+      .write.format("fls").mode("overwrite")
+      .option("commit_mode", "manifest").save(dir)
+
+  private def append(dir: String): Unit =
+    copyAt(9).repartition(2)
+      .write.format("fls").mode("append")
+      .option("commit_mode", "manifest").save(dir)
+
+  private def recons(idx: String): Map[Long, Seq[Double]] =
+    spark.read.format("fls").load(idx)
+      .select("vec_id", "rv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+
+  private class Metrics extends SparkListener {
+    @volatile var jobs = 0
+    @volatile var bytesRead = 0L
+    override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null)
+        bytesRead += t.taskMetrics.inputMetrics.bytesRead
+  }
+
+  private def measured[A](body: => A): (A, Metrics) = {
+    val m = new Metrics
+    spark.sparkContext.addSparkListener(m)
+    try {
+      val r = body
+      Thread.sleep(400)
+      (r, m)
+    } finally spark.sparkContext.removeSparkListener(m)
+  }
+
+  test("refresh after an append is O(new data); the patch equals a " +
+      "frozen-codebook re-encode of the whole corpus; no-op refresh " +
+      "runs zero jobs") {
+    val corpus = s"$tmp/corpus"
+    val idx = s"$tmp/idx"
+    seed(corpus)
+    val s1 = IncrementalPq.refresh(spark, corpus, idx)
+    assert(s1.rebuilt && s1.toVersion == 1L && s1.vecsEncoded == 4500L)
+    val fullBytes = new java.io.File(corpus).listFiles()
+      .filter(_.getName.endsWith(".fls")).map(_.length()).sum
+    append(corpus)
+    val (s2, m2) = measured(IncrementalPq.refresh(spark, corpus, idx))
+    assert(!s2.rebuilt && s2.fromVersion == 1L && s2.toVersion == 2L &&
+      s2.vecsEncoded == 500L)
+    assert(m2.bytesRead < (fullBytes * 0.6).toLong,
+      s"refresh read ${m2.bytesRead} B of a $fullBytes B corpus — not incremental")
+    // the patch is bit-identical to encoding the WHOLE corpus against
+    // the same frozen codebooks (codebooks train once — the operational
+    // PQ contract; rebuild() would retrain and is a different index)
+    val cb = spark.read.format("fls").load(s"$idx/_codebook")
+    val u = spark.read.format("fls").load(corpus)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nr", org.apache.spark.sql.functions.sqrt(
+        org.apache.spark.sql.graftexprs.GraftFunctions.arrayDot(col("v"), col("v"))))
+      .select(col("vec_id"), expr("transform(v, x -> x / nr)").as("uv"))
+    val scratch = IncrementalPq.encodeAgainst(spark, u, cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(recons(idx) == scratch)
+    // already current: zero jobs
+    val (s3, m3) = measured(IncrementalPq.refresh(spark, corpus, idx))
+    assert(s3.vecsEncoded == 0L && !s3.rebuilt)
+    assert(m3.jobs == 0, s"no-op refresh launched ${m3.jobs} job(s)")
+  }
+
+  test("a non-append range refuses loudly and rebuild() retrains; " +
+      "outgrowing the drift threshold retrains automatically") {
+    val corpus = s"$tmp/corpus_ow"
+    val idx = s"$tmp/idx_ow"
+    seed(corpus)
+    IncrementalPq.refresh(spark, corpus, idx)
+    // an overwrite rewrites history: stale reconstructions would keep
+    // serving vectors that no longer exist
+    emb().filter(col("vec_id") < 100).repartition(2)
+      .write.format("fls").mode("overwrite")
+      .option("commit_mode", "manifest").save(corpus)
+    val e = intercept[Exception](IncrementalPq.refresh(spark, corpus, idx))
+    assert(e.getMessage.contains("not append-only"), e.getMessage)
+    val st = IncrementalPq.rebuild(spark, corpus, idx)
+    assert(st.rebuilt && st.vecsEncoded == 100L)
+    assert(recons(idx).size == 100)
+    // drift: past the threshold a refresh RETRAINS instead of patching
+    append(corpus) // corpus is 100 → +500 = 6×, past any threshold
+    sys.props("graft.pq.drift") = "1.05"
+    try {
+      val st2 = IncrementalPq.refresh(spark, corpus, idx)
+      assert(st2.rebuilt, "outgrowing the drift threshold must retrain")
+      assert(st2.vecsEncoded == 600L)
+    } finally sys.props.remove("graft.pq.drift")
+  }
+}
