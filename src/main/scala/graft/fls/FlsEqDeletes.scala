@@ -222,15 +222,6 @@ object FlsEqDeletes {
   def applies(predV: Long, statsJson: String): Boolean =
     FlsFileStats.birthOf(statsJson) <= predV
 
-  /** Can `leg` match ANY value inside the recorded bounds of `seg` —
-    * the zone-map test for delete predicates. False ONLY when the
-    * stats PROVE no stored value matches (so dropping the residual for
-    * this file / row group serves bit-identical results); every doubt
-    * — missing stats (NaN-poisoned double segments drop theirs),
-    * domain drift (decode-time residual THROWS there by contract, and
-    * pruning must not mask that), prefix-truncated string bounds —
-    * keeps the leg. Stats-present double segments are NaN-free
-    * (Encoder.statsOf), so pure interval logic is exact there. */
   /** Does the file's stored domain line up with the leg's semantic
     * kind — the SAME guard the decode-time residual compile enforces
     * (so any stats/bloom proof talks about the values the residual
@@ -246,6 +237,15 @@ object FlsEqDeletes {
     }
   }
 
+  /** Can `leg` match ANY value inside the recorded bounds of `seg` —
+    * the zone-map test for delete predicates. False ONLY when the
+    * stats PROVE no stored value matches (so dropping the residual for
+    * this file / row group serves bit-identical results); every doubt
+    * — missing stats (NaN-poisoned double segments drop theirs),
+    * domain drift (decode-time residual THROWS there by contract, and
+    * pruning must not mask that), prefix-truncated string bounds —
+    * keeps the leg. Stats-present double segments are NaN-free
+    * (Encoder.statsOf), so pure interval logic is exact there. */
   def legMayMatch(leg: Leg, ct: ColumnType, seg: SegmentDesc): Boolean = {
     val phys = physOf(ct.tag)
     leg.kind match {
@@ -276,16 +276,7 @@ object FlsEqDeletes {
         else {
           // minBytes ≤ true min and maxBytes ≥ true max (bounds may be
           // prefix-truncated) — outside [minBytes, maxBytes] is proof
-          def cmp(a: Array[Byte], b: Array[Byte]): Int = {
-            var i = 0
-            val n = math.min(a.length, b.length)
-            while (i < n) {
-              val c = (a(i) & 0xff) - (b(i) & 0xff)
-              if (c != 0) return c
-              i += 1
-            }
-            a.length - b.length
-          }
+          val cmp = FlsFileStats.cmpBytes _
           leg match {
             case in: InLeg => in.strings.exists { s =>
               val b = s.getBytes(StandardCharsets.UTF_8)
@@ -325,18 +316,9 @@ object FlsEqDeletes {
   /** Unsigned UTF-8 byte comparison — the storage (and UTF8String)
     * string order. Java String.compareTo is UTF-16 code-unit order,
     * which DIVERGES above U+FFFF; compare the encoded bytes. */
-  private[fls] def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(StandardCharsets.UTF_8)
-    val y = b.getBytes(StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  private[fls] def utf8Compare(a: String, b: String): Int =
+    FlsFileStats.cmpBytes(a.getBytes(StandardCharsets.UTF_8),
+      b.getBytes(StandardCharsets.UTF_8))
 
   /** Driver-side shape check + literal conversion: the DELETE filter
     * conjunction as ONE supported predicate — each column carrying

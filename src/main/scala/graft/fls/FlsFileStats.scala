@@ -372,8 +372,10 @@ object FlsFileStats {
     } catch { case _: Exception => None }
   }
 
-  /** Unsigned-lexicographic compare (UTF8String / DuckDB string order). */
-  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+  /** Unsigned-lexicographic compare (UTF8String / DuckDB string order)
+    * — THE byte-order definition for the format; zone maps, delete
+    * predicates, and residuals all compare through here. */
+  private[fls] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
     var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) {

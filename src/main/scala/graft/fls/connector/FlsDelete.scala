@@ -188,10 +188,16 @@ object FlsDelete {
     * below, exactly as in copy-on-write mode. */
   private def eqDelete(schema: StructType, options: CaseInsensitiveStringMap,
       filters: Array[Filter], files: Seq[Path], manifest: Boolean,
-      conf: Configuration): Option[graft.fls.FlsEqDeletes.EqDelete] = {
+      conf: Configuration,
+      /** the already-derived predicate shape, when the caller computed
+        * it for routing — fromFilters re-parses/converts/intersects
+        * the whole conjunction, once per DELETE is enough */
+      shape: Option[Option[graft.fls.FlsEqDeletes.EqDelete]] = None)
+      : Option[graft.fls.FlsEqDeletes.EqDelete] = {
     if (deleteMode(options) != "equality" || !manifest) return None
     if (FlsDataSource.branchRef(options) != FlsManifest.MainRef) return None
-    graft.fls.FlsEqDeletes.fromFilters(filters, schema).filterNot { p =>
+    shape.getOrElse(graft.fls.FlsEqDeletes.fromFilters(filters, schema))
+      .filterNot { p =>
       // a partition column lives in the PATH, not the data — the
       // residual would decode nothing; the partition-decided metadata
       // path below handles those with zero reads anyway
@@ -440,9 +446,10 @@ object FlsDelete {
     // while still reading only the intersecting chunks; only when the
     // cutoff straddles (or the table has no chunk stats) does the
     // predicate line take over below.
+    val predShape = graft.fls.FlsEqDeletes.fromFilters(filters, schema)
     val pureEqShape = deleteMode(options) == "equality" &&
-      graft.fls.FlsEqDeletes.fromFilters(filters, schema)
-        .exists(_.legs.forall(_.isInstanceOf[graft.fls.FlsEqDeletes.InLeg]))
+      predShape.exists(_.legs.forall(
+        _.isInstanceOf[graft.fls.FlsEqDeletes.InLeg]))
     if (!pureEqShape &&
         valuePrunedDelete(schema, options, filters, root, fs, conf))
       return
@@ -453,7 +460,7 @@ object FlsDelete {
         // equality mode, supported shape: commit the PREDICATE — one
         // manifest line, zero data reads, whatever the key straddles
         eqDelete(schema, options, filters, frozenFiles, manifest = true,
-            conf).foreach { pred =>
+            conf, shape = Some(predShape)).foreach { pred =>
           // metadata-only commit: an EMPTY delta — on a chunked table
           // this opens ZERO chunks (pointer lines carried verbatim),
           // so the GDPR-shape delete is O(1) in both data AND metadata

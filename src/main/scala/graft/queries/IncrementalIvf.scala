@@ -81,7 +81,10 @@ object IncrementalIvf {
     def corpus() = spark.read.format("fls").load(corpusDir)
     if (!marker.exists())
       return buildAll(spark, corpus(), idxDir, head, nprobe, maxCentroids)
-    val meta = parseMeta(scala.io.Source.fromFile(marker).mkString)
+    val meta = parseMeta {
+      val src = scala.io.Source.fromFile(marker)
+      try src.mkString finally src.close()
+    }
     val cursor = IncrementalDedup.cursorOf(spark, idxDir)
     if (cursor >= head) return RefreshStats(cursor, head, 0L, rebuilt = false)
     // geometry drift: ⌈√n⌉ wants to grow with the corpus — past the

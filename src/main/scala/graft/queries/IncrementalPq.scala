@@ -42,6 +42,11 @@ object IncrementalPq {
   private def markerOf(idxDir: String) =
     new java.io.File(s"$idxDir/_pq_inc_done")
 
+  private def readMarker(f: java.io.File): String = {
+    val src = scala.io.Source.fromFile(f)
+    try src.mkString finally src.close()
+  }
+
   private def corpusHead(spark: SparkSession, corpusDir: String): Long = {
     val root = new Path(corpusDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -61,7 +66,7 @@ object IncrementalPq {
     val marker = markerOf(idxDir)
     def corpus() = spark.read.format("fls").load(corpusDir)
     if (!marker.exists()) return buildAll(spark, corpus(), idxDir, head)
-    val builtN = scala.io.Source.fromFile(marker).mkString
+    val builtN = readMarker(marker)
       .split(';').map(_.split('=')).map(a => a(0) -> a(1)).toMap
       .apply("n").toLong
     val cursor = IncrementalDedup.cursorOf(spark, idxDir)

@@ -73,8 +73,10 @@ object Similarity {
     synchronized {
       val marker = new java.io.File(s"$path/_ivf_done")
       val current = marker.exists() &&
-        (try scala.io.Source.fromFile(marker).mkString == meta
-         catch { case _: Exception => false })
+        (try {
+          val src = scala.io.Source.fromFile(marker)
+          try src.mkString == meta finally src.close()
+        } catch { case _: Exception => false })
       if (!current) {
         indexBuilds += 1
         val b = build
@@ -561,14 +563,24 @@ object Similarity {
       .select("vec_id", "m", "code")
   }
 
-  /** The refined per-subspace codebooks (m, code, c): seeds = the
-    * first K vectors' subvectors, one Lloyd pass with exact decimal
-    * means. This is the broadcastable artifact a service encodes
-    * future vectors against. */
+  /** The refined per-subspace codebooks (m, code, c): seeds = the K
+    * SMALLEST vec_ids present (by rank, not an id threshold — an
+    * id-space that starts at 10000 must not yield an empty codebook),
+    * one Lloyd pass with exact decimal means. The K seed ids are a
+    * bounded driver copy (K = 64); code ids are their dense rank, so
+    * codes stay 0..K-1 for any id space. This is the broadcastable
+    * artifact a service encodes future vectors against. */
   private[queries] def pqCodebook(spark: SparkSession, u: DataFrame): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
     val subs = pqSubs(spark, u)
-    val seeds = subs.filter(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").cast("int").as("code"), col("x").as("c"))
+    val seedIds = u.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(PqK).collect().map(_.getLong(0))
+    require(seedIds.nonEmpty, "fls pq: empty corpus — no codebook seeds")
+    val codeOf = seedIds.sorted.zipWithIndex
+      .map { case (v, i) => (v, i) }.toSeq.toDF("vec_id", "code")
+    val seeds = subs.join(broadcast(codeOf), Seq("vec_id"))
+      .select(col("m"), col("code"), col("x").as("c"))
     val a0 = pqAssign(subs, seeds)
     subs.join(a0, Seq("vec_id", "m"))
       .select(col("m"), col("code"), posexplode(col("x")).as(Seq("pos", "xe")))
@@ -636,7 +648,7 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.fromString(
           sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
     // probe top-2 cells; candidates scored by ADC over the codes'
-    // reconstruction, top-20 kept, exact-cosine rerank to top-5
+    // reconstruction, the ADC top-50 kept, exact-cosine rerank to top-5
     val probeCells = r.filter(col("vec_id") < 8 && col("ar") <= 2)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val probes = u.filter(col("vec_id") < 8)
@@ -677,8 +689,11 @@ object Similarity {
         ms AS (SELECT unnest(generate_series(0, 7)) AS m),
         subs AS (SELECT vec_id, m, list_slice(uv, m*8 + 1, m*8 + 8) AS x
                  FROM u CROSS JOIN ms),
-        seeds AS (SELECT m, CAST(vec_id AS INT) AS code, x AS c FROM subs
-                  WHERE vec_id < 64),
+        sids AS (SELECT vec_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+                 FROM u ORDER BY vec_id LIMIT 64),
+        seeds AS (SELECT s.m, sids.code, s.x AS c
+                  FROM subs s JOIN sids ON s.vec_id = sids.vec_id),
         a0r AS (SELECT s.vec_id, s.m, sd.code,
                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
                     list_dot_product(s.x, s.x) - 2 * list_dot_product(s.x, sd.c)
