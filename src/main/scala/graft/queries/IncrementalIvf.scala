@@ -154,6 +154,10 @@ object IncrementalIvf {
             col("v").as("v_q"), col("nr").as("nr_q")))
       }
     markerOf(idxDir).delete() // invalidate BEFORE the overwrite
+    require(cents.limit(1).count() > 0,
+      s"graft ivf: the centroid seed range [0, ${meta.cent}) selected " +
+        "no vectors — the corpus id space is not dense from 0 " +
+        "(the quantizer's documented contract)")
     val ranked =
       if (meta.mode == "2l") {
         val l1Bc = Similarity.broadcastGroups(

@@ -200,8 +200,9 @@ object Similarity {
     * aggregation downstream are shared unchanged. */
   private def rankedTwoLevel(e: DataFrame, nCentTotal: Long,
       l1Count: Long, upTo: Int, l1Probe: Int): DataFrame = {
-    val l2 = e.filter(col("vec_id") < nCentTotal)
-      .select(col("vec_id").as("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"))
+    val l2 = requireSeeds(e.filter(col("vec_id") < nCentTotal)
+      .select(col("vec_id").as("cent_id"), col("v").as("v_q"),
+        col("nr").as("nr_q")), nCentTotal)
     val l1Bc = broadcastGroups(e.filter(col("vec_id") < l1Count)
       .select(col("vec_id"), col("v"), col("nr")))
     rankedTwoLevelAgainst(e, l2, l1Bc, upTo, l1Probe)
@@ -215,6 +216,9 @@ object Similarity {
     : org.apache.spark.broadcast.Broadcast[
         (Array[Long], Array[Array[Double]], Array[Double])] = {
     val rows = df.collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty,
+      "graft ivf: empty L1 group set — the corpus id space is not " +
+        "dense from 0 (the quantizer's documented contract)")
     df.sparkSession.sparkContext.broadcast((
       rows.map(_.getLong(0)),
       rows.map(_.getSeq[Double](1).toArray),
@@ -358,10 +362,27 @@ object Similarity {
     scored.withColumn("ar", row_number().over(w)).filter(col("ar") <= upTo)
   }
 
+  /** IVF centroid convention: the quantizer seeds from `vec_id <
+    * ⌈√n⌉` — a DENSE-FROM-0 id contract (the corpus schema's own:
+    * embeddings carry consecutive ids). An id space violating it
+    * would select an empty/short centroid set, so the build GUARDS
+    * loudly here instead of silently serving an empty index (the PQ
+    * codebook takes the rank-based selection instead — its K is a
+    * constant 64, cheap to rank; ⌈√n⌉ at 64Ki is not). */
+  private def requireSeeds(cents: DataFrame, want: Long): DataFrame = {
+    val got = cents.limit(1).count()
+    require(got > 0,
+      s"graft ivf: the centroid seed range [0, $want) selected no " +
+        "vectors — the corpus id space is not dense from 0; reassign " +
+        "consecutive vec_ids (the quantizer's documented contract)")
+    cents
+  }
+
   private def singleLevelCents(e: DataFrame, nCent: Long,
       lloyd: Boolean): DataFrame = {
-    val cents0 = e.filter(col("vec_id") < nCent)
-      .select(col("vec_id").as("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"))
+    val cents0 = requireSeeds(e.filter(col("vec_id") < nCent)
+      .select(col("vec_id").as("cent_id"), col("v").as("v_q"),
+        col("nr").as("nr_q")), nCent)
     if (!lloyd) cents0
     else {
       // one Lloyd refinement: new centroid = per-dimension mean of the
