@@ -462,6 +462,26 @@ class FlsEqDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L until 100L).filterNot(i => i % 3 == 0 && i >= 50).toSet)
   }
 
+  test("a predicate on a RENAMED column stays exact: the residual " +
+      "resolves through the name history; stats prunes stay " +
+      "conservative on old-name files") {
+    val (tbl, dir) = mkTable("renamed")
+    // files store 'seg'; the predicate commits against the NEW name
+    spark.sql(s"ALTER TABLE $tbl RENAME COLUMN seg TO segment")
+    spark.sql(s"DELETE FROM $tbl WHERE segment = 'b'")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val (headV, _) = FlsManifest.readVersioned(fs, new Path(dir)).get
+    assert(FlsManifest.versionEq(fs, new Path(dir), headV).nonEmpty,
+      "the rename must not push the delete off the predicate leg")
+    // pre-rename files must still apply the residual (rename-reconciled
+    // file columns), and a range predicate composes the same way
+    assert(ids(tbl) == (0L until 100L).filter(_ % 3 != 1).toSet)
+    spark.sql(s"DELETE FROM $tbl WHERE segment >= 'c'")
+    assert(ids(tbl) == (0L until 100L).filter(_ % 3 == 0).toSet)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0)
+      == 34L)
+  }
+
   // ---- zone-map residual pruning (r16): predicates tax only the
   // files/groups their value range can touch ----
 
