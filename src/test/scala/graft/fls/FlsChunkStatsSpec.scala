@@ -176,6 +176,51 @@ class FlsChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(tbl).count() == m + 3)
   }
 
+  test("absorb survives a concurrent append landing mid-commit: the " +
+      "O(delta) fast path defers to the tolerant full merge") {
+    val tbl = s"$cat.db.clustered_race"
+    val dir = s"$tmp/warehouse/db/clustered_race"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest', 'cluster_by'='id', " +
+      "'manifest_chunk_stats'='id', 'delete_mode'='equality')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(0, 2000)")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val pointers = FlsManifest
+      .readLayoutVersioned(fs, root, resolveChunks = false).get._2.pointers
+    val m = pointers.map(boundsOf(_, "id")).maxBy(_._2)._1
+    spark.sql(s"DELETE FROM $tbl WHERE id >= ${m + 3}") // straddles → #eqdel
+    // interleave: an append commits in the window between the absorb's
+    // staged delta and its publish CAS — the absorb must lose the race,
+    // detect staleness in the retried delta closure, and fall back to
+    // the tolerant full merge (self-disarming hook: the append's own
+    // delta commit must not recurse)
+    @volatile var fired = false
+    FlsManifest.beforePublishForTest = () => {
+      if (!fired) {
+        fired = true
+        FlsManifest.beforePublishForTest = () => ()
+        spark.sql(s"INSERT INTO $tbl VALUES (999999, 42.0)")
+      }
+    }
+    try {
+      val st = FlsMaintenance.absorbDeletes(spark, dir,
+        targetRowsPerFile = 1000000)
+      assert(st.predicates == 1)
+    } finally FlsManifest.beforePublishForTest = () => ()
+    assert(fired, "the race hook must have fired")
+    val (headV, _) = FlsManifest.readVersioned(fs, root).get
+    assert(FlsManifest.versionEq(fs, root, headV).isEmpty,
+      "the fallback full merge must still drop the predicate")
+    // deleted rows stay dead, the concurrently appended row survives
+    assert(spark.table(tbl).count() == m + 3 + 1)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE id = 999999")
+      .collect()(0).getLong(0) == 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE id >= ${m + 3} " +
+      "AND id < 2000").collect()(0).getLong(0) == 0L)
+  }
+
   test("a delete the chunk stats cannot decide falls back to the " +
       "ladder and stays exact") {
     val tbl = s"$cat.db.clustered2"
