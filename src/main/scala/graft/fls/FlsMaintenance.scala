@@ -211,18 +211,19 @@ object FlsMaintenance {
         val cur = current.getOrElse(throw new IllegalStateException(
           s"fls compact: $dir lost its manifest mid-compaction (concurrent " +
             "rename-mode overwrite?) — aborting"))
-        // an equality delete that committed AFTER the frozen read is a
-        // rewrite-in-place of every input: the outputs were built
-        // without its residual, and their fresh birth version would
-        // put them OUT of the predicate's scope — swapping would
-        // resurrect the deleted rows (same class as the DV check below)
-        val eqNew = FlsManifest.versionEq(fs, root, curV)
-          .map(FlsEqDeletes.versionOf).filter(_ > frozenV)
-        if (eqNew.nonEmpty)
+        // the predicate SET in force must be exactly the frozen one:
+        // a predicate ADDED since the freeze would be silently undone
+        // (outputs built without its residual, fresh birth versions
+        // exempt them), and a predicate REMOVED since — a concurrent
+        // ROLLBACK undoing the delete — would be silently RE-APPLIED
+        // (outputs built WITH its residual). Either direction aborts.
+        val frozenEqSet = FlsManifest.versionEq(fs, root, frozenV).toSet
+        if (FlsManifest.versionEq(fs, root, curV).toSet != frozenEqSet)
           throw new java.util.ConcurrentModificationException(
-            s"fls compact: ${eqNew.length} equality delete(s) committed " +
-              s"under $dir after the compaction froze its inputs — " +
-              "aborting; re-run compact on the new table state")
+            s"fls compact: the active equality-delete set changed under " +
+              s"$dir after the compaction froze its inputs (concurrent " +
+              "delete or rollback) — aborting; re-run compact on the " +
+              "new table state")
         val curRels = cur.map(_.rel).toSet
         val gone = frozenRels.diff(curRels)
         if (gone.nonEmpty)
@@ -349,11 +350,14 @@ object FlsMaintenance {
     if (subject.isEmpty) {
       FlsManifest.commit(fs, root, absorbId, conf, op = "absorb",
           dataChange = false, eqDropUpTo = maxPv) { (curV, cur) =>
-        if (FlsManifest.versionEq(fs, root, curV)
-            .exists(FlsEqDeletes.versionOf(_) > frozenV))
+        // set-equality, not just no-new: a concurrent ROLLBACK that
+        // removed a frozen predicate means the proven drop no longer
+        // describes the head — aborting keeps rollback semantics
+        if (FlsManifest.versionEq(fs, root, curV).toSet != eq.toSet)
           throw new java.util.ConcurrentModificationException(
-            s"fls absorb_deletes: an equality delete committed under $dir " +
-              "after the absorb froze its inputs — aborting; rerun")
+            s"fls absorb_deletes: the active predicate set changed under " +
+              s"$dir after the absorb froze its inputs (concurrent " +
+              "delete or rollback) — aborting; rerun")
         val entries = cur.getOrElse(throw new IllegalStateException(
           s"fls absorb_deletes: manifest of $dir vanished mid-absorb"))
         guardProven(entries, Set.empty)
@@ -407,14 +411,17 @@ object FlsMaintenance {
         (curV, current) => {
         val cur = current.getOrElse(throw new IllegalStateException(
           s"fls absorb_deletes: $dir lost its manifest mid-absorb — aborting"))
-        // a predicate committed AFTER the freeze applies to our outputs'
-        // input rows, but the outputs were built without it and their
-        // fresh birth version would carry them out of its scope
-        if (FlsManifest.versionEq(fs, root, curV)
-            .exists(FlsEqDeletes.versionOf(_) > frozenV))
+        // the predicate SET in force must be exactly the frozen one: a
+        // predicate ADDED since the freeze applies to our outputs'
+        // input rows (built without it, fresh bv exempts them); a
+        // predicate REMOVED since — a concurrent ROLLBACK undoing the
+        // delete — would be silently RE-APPLIED by our outputs (built
+        // WITH its residual). Either direction aborts.
+        if (FlsManifest.versionEq(fs, root, curV).toSet != eq.toSet)
           throw new java.util.ConcurrentModificationException(
-            s"fls absorb_deletes: an equality delete committed under $dir " +
-              "after the absorb froze its inputs — aborting; rerun")
+            s"fls absorb_deletes: the active predicate set changed under " +
+              s"$dir after the absorb froze its inputs (concurrent " +
+              "delete or rollback) — aborting; rerun")
         val curRels = cur.map(_.rel).toSet
         val gone = subjectRels.diff(curRels)
         if (gone.nonEmpty)

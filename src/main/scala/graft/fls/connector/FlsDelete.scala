@@ -652,13 +652,15 @@ object FlsDelete {
             val files = entries.map(e => new Path(root, e.rel))
             // replacements were built from a raw read (no residual;
             // this leg only rewrites when no predicate was active at
-            // the freeze): a concurrent equality delete would be
-            // silently undone by publishing them — refuse and rerun.
-            // Decided-only deletes (no staged rewrites) stay safe under
-            // any predicate: drop/keep whole are superset-conservative.
+            // the freeze): ANY predicate active at publish — committed
+            // since the freeze, OR restored by a concurrent rollback
+            // with an old commit version — would be silently undone by
+            // publishing them (fresh birth versions exempt the
+            // outputs). Refuse and rerun. Decided-only deletes (no
+            // staged rewrites) stay safe under any predicate:
+            // drop/keep whole are superset-conservative.
             if (rewriteTargets.nonEmpty &&
-                FlsManifest.versionEq(fs, root, curV)
-                  .exists(graft.fls.FlsEqDeletes.versionOf(_) > frozenV))
+                FlsManifest.versionEq(fs, root, curV).nonEmpty)
               throw new java.util.ConcurrentModificationException(
                 "fls delete: an equality delete committed concurrently — " +
                   "rerun the delete")

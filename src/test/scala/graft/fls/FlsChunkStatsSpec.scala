@@ -221,6 +221,49 @@ class FlsChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "AND id < 2000").collect()(0).getLong(0) == 0L)
   }
 
+  test("a concurrent ROLLBACK undoing the delete mid-absorb ABORTS the " +
+      "absorb: rolled-back rows must not be re-killed by outputs built " +
+      "with the residual") {
+    val tbl = s"$cat.db.clustered_rb"
+    val dir = s"$tmp/warehouse/db/clustered_rb"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest', 'cluster_by'='id', " +
+      "'manifest_chunk_stats'='id', 'delete_mode'='equality')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(0, 2000)")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = FlsManifest.readVersioned(fs, root).get._1
+    val pointers = FlsManifest
+      .readLayoutVersioned(fs, root, resolveChunks = false).get._2.pointers
+    val m = pointers.map(boundsOf(_, "id")).maxBy(_._2)._1
+    spark.sql(s"DELETE FROM $tbl WHERE id >= ${m + 3}") // straddles → #eqdel
+    assert(spark.table(tbl).count() == m + 3)
+    // interleave: the user ROLLS BACK the delete in the absorb's
+    // stage-to-publish window — the absorb's outputs were built WITH
+    // the residual, so publishing them would re-apply the rolled-back
+    // delete; the set-equality guard must abort instead
+    @volatile var fired = false
+    FlsManifest.beforePublishForTest = () => {
+      if (!fired) {
+        fired = true
+        FlsManifest.beforePublishForTest = () => ()
+        FlsMaintenance.rollback(spark, dir, v1)
+      }
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException](
+        FlsMaintenance.absorbDeletes(spark, dir,
+          targetRowsPerFile = 1000000))
+    } finally FlsManifest.beforePublishForTest = () => ()
+    assert(fired, "the rollback hook must have fired")
+    // the rollback's state survives whole: every row back, no predicate
+    assert(spark.table(tbl).count() == 2000L,
+      "rolled-back rows must survive the aborted absorb")
+    val (headV, _) = FlsManifest.readVersioned(fs, root).get
+    assert(FlsManifest.versionEq(fs, root, headV).isEmpty)
+  }
+
   test("a delete the chunk stats cannot decide falls back to the " +
       "ladder and stays exact") {
     val tbl = s"$cat.db.clustered2"
