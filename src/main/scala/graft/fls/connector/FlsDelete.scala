@@ -571,7 +571,12 @@ object FlsDelete {
               // plan() already required zero ACTIVE predicates at the
               // freeze for this leg): an equality delete that landed
               // SINCE the freeze would have its rows re-marked by our
-              // DV — refuse, loudly, and rerun against the new state
+              // DV — refuse, loudly, and rerun against the new state.
+              // (A predicate RESTORED by a concurrent rollback needs no
+              // abort here, unlike the rewrite legs: DVs only ADD dead
+              // positions for rows this DELETE matched — the restored
+              // predicate applies independently and the union is the
+              // correct combined state.)
               if (FlsManifest.versionEq(fs, root, curV)
                   .exists(graft.fls.FlsEqDeletes.versionOf(_) > frozenV))
                 throw new java.util.ConcurrentModificationException(

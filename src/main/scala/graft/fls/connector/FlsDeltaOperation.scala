@@ -318,6 +318,13 @@ class FlsDeltaBatchWrite(info: LogicalWriteInfo,
               "fls delta write: an equality delete committed after the " +
                 "operation's scan and applies to its targets — rerun the " +
                 "operation")
+          // a predicate REMOVED since the scan (concurrent rollback)
+          // needs no abort, unlike the rewrite legs: this commit only
+          // ADDS positions for rows the operation matched (which the
+          // residual-applied scan never saw eq-deleted rows among) and
+          // appends postimage files — rows the rolled-back predicate
+          // had hidden stay in their ORIGINAL files, untouched, and
+          // resurrect exactly as the rollback intends.
         }
         dvBaseByRel.keysIterator.foreach { rel =>
           val e = byRel.getOrElse(rel,
