@@ -273,9 +273,21 @@ object Bloom {
       statsJson: String, dataPath: Path, conf: Configuration): Boolean = {
     if (statsJson == null || !statsJson.contains("\"bf\"")) return true
     val bfBase = FlsFileStats.bfOf(statsJson).getOrElse(return true)
+    // Memoized per (sidecar path, stamped predicate): this runs per
+    // (manifest entry × IN-leg predicate) on EVERY planning pass while
+    // a point-delete predicate is active — including scans that never
+    // touch the key column — and a cold pass would otherwise pay
+    // O(files) sidecar reads before the byte-level LRU warms. The
+    // verdict is immutable for the key: a rewrite gives the file (and
+    // its sidecar) a new attempt-unique name, and re-stamping gives
+    // the predicate a new version, so stale hits are impossible.
+    val bfPath = new Path(dataPath.getParent, bfBase).toString
+    val memoKey = bfPath + " " + p.v + " " + p.json
+    val hit = eqVerdictCache.get(memoKey)
+    if (hit != null) return hit.booleanValue()
     lazy val blooms: Option[Map[String, Bloom.Filter]] =
-      readCached(new Path(dataPath.getParent, bfBase).toString, conf)
-    p.legs.forall {
+      readCached(bfPath, conf)
+    val verdict = p.legs.forall {
       case in: FlsEqDeletes.InLeg =>
         val idx = desc.columns.indexWhere(_.name == in.col)
         if (idx < 0 || !FlsEqDeletes.domainOk(in.kind, desc.columns(idx).colType))
@@ -292,5 +304,21 @@ object Bloom {
         }).getOrElse(true)
       case _ => true // range legs: zone maps are the right tool
     }
+    eqVerdictCache.put(memoKey, java.lang.Boolean.valueOf(verdict))
+    verdict
   }
+
+  /** LRU verdict memo for [[mayMatchEq]] — entries are a short string
+    * key + a boxed boolean, so 64k of them is a few MB of driver heap
+    * bounding what would otherwise be per-planning-pass sidecar I/O. */
+  private val eqVerdictCache: java.util.Map[String, java.lang.Boolean] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Boolean](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size() > 65536
+      })
+
+  /** Test hook. */
+  private[fls] def clearEqVerdictCache(): Unit = eqVerdictCache.clear()
 }

@@ -187,7 +187,29 @@ object FlsEqDeletes {
                 case other => sys.error(s"fls eqdel: bad $exAt $other")
               }
               Some(kind match {
-                case KindLong => Bound(parseLong(v, json), 0.0, null, inc)
+                case KindLong =>
+                  // The writer always emits CLOSED long bounds
+                  // (legFromRanges normalizes `> v` → `>= v+1`), and
+                  // the long residual + zone-map test rely on that
+                  // invariant. Enforce it at the format boundary: a
+                  // foreign/hand-edited exclusive long bound is
+                  // closed-normalized here (integers are discrete), so
+                  // it can never be silently applied as inclusive.
+                  val raw = parseLong(v, json)
+                  if (inc) Bound(raw, 0.0, null, inc = true)
+                  else {
+                    val closed =
+                      if (at == "lo") {
+                        if (raw == Long.MaxValue) sys.error(
+                          s"fls eqdel: empty exclusive lo bound in '$json'")
+                        raw + 1
+                      } else {
+                        if (raw == Long.MinValue) sys.error(
+                          s"fls eqdel: empty exclusive hi bound in '$json'")
+                        raw - 1
+                      }
+                    Bound(closed, 0.0, null, inc = true)
+                  }
                 case KindDouble => Bound(0L, parseDouble(v, json), null, inc)
                 case KindString => Bound(0L, 0.0, parseString(v, json), inc)
               })

@@ -243,6 +243,15 @@ object FlsFile {
       if (eq.isEmpty) entries
       else {
         val byV = eq.map(j => (FlsEqDeletes.parse(j), j))
+        // rename reconciliation for the prune (mirrors
+        // FlsFileStats.mayMatch): files written before an `ALTER TABLE
+        // RENAME COLUMN` carry the OLD name in their stats desc, and a
+        // raw-name match would keep their residual forever — exactly
+        // the old-generation files the prune exists to exempt. One
+        // lazy metadata read, only on tables with active predicates
+        // AND recorded rename history.
+        lazy val renameSchema = FlsTableMeta.read(fs, path).map(_._2.schema)
+          .filter(_.fields.exists(f => Format.previousNames(f).nonEmpty))
         entries.map { e =>
           // zone-map + bloom prune (r16): a predicate the file's
           // manifest stats (or its bloom sidecar, for scattered point
@@ -257,6 +266,7 @@ object FlsFile {
           // missing/NaN-dropped/drifted stats keep the residual (and
           // keep the decode-time drift THROW).
           lazy val desc = FlsFileStats.toDesc(e.stats)
+            .map(d => renameSchema.fold(d)(s => Format.applyRenames(d, s)))
           val applicable = byV.collect {
             case (p, j) if FlsFileStats.birthOf(e.stats) <= p.v &&
               desc.forall(d => FlsEqDeletes.mayMatchDesc(p, d) &&

@@ -166,6 +166,13 @@ object FlsMaintenance {
     }
     require(frozenEntries.nonEmpty, s"fls compact: no data files under $dir")
     val frozenRels = frozenEntries.map(_.rel).toSet
+    // Capture the frozen predicate set NOW, not inside the merge
+    // closure: frozenV's version file can be retention-pruned during a
+    // long compaction, and re-reading it per CAS attempt would surface
+    // as FileNotFoundException instead of the intended
+    // ConcurrentModificationException (and cost a redundant log read
+    // per retry). absorbDeletes already freezes its `eq` the same way.
+    val frozenEqSet = FlsManifest.versionEq(fs, root, frozenV).toSet
     val discovery = connector.FlsPartitioning.discover(
       Seq(dir), FlsManifest.statuses(fs, root, frozenEntries).map(_.getPath), conf)
     // Re-layout under the table's CURRENT declared spec when one exists
@@ -217,7 +224,6 @@ object FlsMaintenance {
         // exempt them), and a predicate REMOVED since — a concurrent
         // ROLLBACK undoing the delete — would be silently RE-APPLIED
         // (outputs built WITH its residual). Either direction aborts.
-        val frozenEqSet = FlsManifest.versionEq(fs, root, frozenV).toSet
         if (FlsManifest.versionEq(fs, root, curV).toSet != frozenEqSet)
           throw new java.util.ConcurrentModificationException(
             s"fls compact: the active equality-delete set changed under " +
@@ -321,9 +327,17 @@ object FlsMaintenance {
     // retention delete that touched 1% of a clustered table absorbs
     // by rewriting the 1% — O(affected) in data AND metadata, not
     // O(subject).
+    // rename reconciliation for the subject classification (mirrors
+    // FlsFileStats.mayMatch / the listing-time residual prune): files
+    // written before a RENAME COLUMN carry the old name in their stats
+    // desc — without the mapping they'd be classified subject (and
+    // rewritten) even when their zone maps prove exemption.
+    val renameSchema = FlsTableMeta.read(fs, root).map(_._2.schema)
+      .filter(_.fields.exists(f => Format.previousNames(f).nonEmpty))
     val (subject, exempt) = subjectAll.partition { e =>
       val bv = FlsFileStats.birthOf(e.stats)
-      FlsFileStats.toDesc(e.stats) match {
+      FlsFileStats.toDesc(e.stats)
+          .map(d => renameSchema.fold(d)(s => Format.applyRenames(d, s))) match {
         case Some(d) => parsedEq.exists(p =>
           bv <= p.v && FlsEqDeletes.mayMatchDesc(p, d) &&
             Bloom.mayMatchEq(p, d, e.stats, new Path(root, e.rel), conf))

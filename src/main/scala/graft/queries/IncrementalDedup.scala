@@ -38,6 +38,40 @@ object IncrementalDedup {
   final case class RefreshStats(fromVersion: Long, toVersion: Long,
       docsSigned: Long)
 
+  /** Advisory single-writer guard shared by every incremental-index
+    * refresh (signatures, IVF, PQ): two concurrent refreshes of the
+    * same index would both read cursor=c, both encode (c, head], and
+    * both APPEND — manifest CAS resolves each append fine, but the
+    * index ends up with duplicate rows. The guard is a create-exclusive
+    * lock file around the cursor-read → encode → append window; the
+    * loser gets a loud ConcurrentModificationException instead of a
+    * silent duplicate. A crashed refresh leaves a stale lock, taken
+    * over past `ttlMs` (the delete+recreate takeover has a benign
+    * race window — two takeover racers can both proceed — but it
+    * needs a crash AND two simultaneous takeovers; the advisory
+    * guard targets the everyday double-schedule, not byzantine
+    * recovery). */
+  private[queries] def withRefreshLock[T](idxDir: String,
+      ttlMs: Long = 30L * 60 * 1000)(body: => T): T = {
+    val lock = new java.io.File(s"$idxDir/_refresh_lock")
+    Option(lock.getParentFile).foreach(_.mkdirs())
+    def acquire(): Boolean =
+      try lock.createNewFile() catch { case _: java.io.IOException => false }
+    if (!acquire()) {
+      val age = System.currentTimeMillis() - lock.lastModified()
+      if (age < ttlMs)
+        throw new java.util.ConcurrentModificationException(
+          s"fls: another refresh of $idxDir is in flight " +
+            s"(lock age ${age / 1000}s) — rerun after it finishes, or " +
+            s"remove ${lock.getPath} if it crashed")
+      lock.delete() // stale lock from a crashed refresh: take over
+      if (!acquire())
+        throw new java.util.ConcurrentModificationException(
+          s"fls: lost the refresh-lock takeover race for $idxDir — rerun")
+    }
+    try body finally { lock.delete(); () }
+  }
+
   /** Signatures of one documents frame: (doc_id, ghash, nsh,
     * m0..m15, src_version) — per DOC (not per distinct set): each doc
     * signs independently, which is what makes maintenance
@@ -79,7 +113,7 @@ object IncrementalDedup {
     * reads ONLY the document files appended in (cursor, head]. No-op
     * (zero jobs) when already current. */
   def refresh(spark: SparkSession, docsDir: String,
-      sigDir: String): RefreshStats = {
+      sigDir: String): RefreshStats = withRefreshLock(sigDir) {
     val root = new Path(docsDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val (head, _) = FlsManifest.readVersioned(fs, root).getOrElse(
@@ -106,7 +140,7 @@ object IncrementalDedup {
   /** Recovery from a non-append-only range (or a lost sig table):
     * recompute the whole signature table from the current snapshot. */
   def rebuild(spark: SparkSession, docsDir: String,
-      sigDir: String): RefreshStats = {
+      sigDir: String): RefreshStats = withRefreshLock(sigDir) {
     val root = new Path(docsDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val (head, _) = FlsManifest.readVersioned(fs, root).getOrElse(

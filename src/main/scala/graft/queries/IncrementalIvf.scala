@@ -75,7 +75,9 @@ object IncrementalIvf {
     * read, only their vectors are assigned. No-op (zero jobs) when
     * already current. */
   def refresh(spark: SparkSession, corpusDir: String, idxDir: String,
-      nprobe: Int = 2, maxCentroids: Long = -1L): RefreshStats = {
+      nprobe: Int = 2,
+      maxCentroids: Long = -1L): RefreshStats =
+      IncrementalDedup.withRefreshLock(idxDir) {
     val head = corpusHead(spark, corpusDir)
     val marker = markerOf(idxDir)
     def corpus() = spark.read.format("fls").load(corpusDir)

@@ -61,7 +61,8 @@ object IncrementalPq {
     * the drift threshold), otherwise an O(new data) encode against
     * the frozen codebooks. No-op (zero jobs) when already current. */
   def refresh(spark: SparkSession, corpusDir: String,
-      idxDir: String): RefreshStats = {
+      idxDir: String): RefreshStats =
+      IncrementalDedup.withRefreshLock(idxDir) {
     val head = corpusHead(spark, corpusDir)
     val marker = markerOf(idxDir)
     def corpus() = spark.read.format("fls").load(corpusDir)

@@ -116,4 +116,36 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.format("fls").load(gDir)
       .select("doc_id").distinct().count() <= 30)
   }
+
+  test("concurrent refreshes of one index are single-writer: the loser " +
+      "refuses loudly instead of appending duplicate rows; a stale " +
+      "crashed-refresh lock is taken over") {
+    val dDir = s"$tmp/docs3"
+    val gDir = s"$tmp/sigs3"
+    // disjoint, deterministic splits: overlapping appends would
+    // legitimately sign a doc twice and mask the duplicate check
+    val docIds = docs().select("doc_id").distinct().orderBy("doc_id")
+      .limit(60).collect().map(_.get(0))
+    docs().filter(col("doc_id").isin(docIds.take(20): _*))
+      .write.format("fls").mode("overwrite")
+      .option("commit_mode", "manifest").save(dDir)
+    IncrementalDedup.refresh(spark, dDir, gDir)
+    docs().filter(col("doc_id").isin(docIds.drop(20): _*))
+      .write.format("fls").mode("append")
+      .option("commit_mode", "manifest").save(dDir)
+    // simulate an in-flight refresh: a FRESH lock refuses the second
+    val lock = new java.io.File(s"$gDir/_refresh_lock")
+    assert(lock.createNewFile(), "spec setup: lock must not pre-exist")
+    val e = intercept[java.util.ConcurrentModificationException](
+      IncrementalDedup.refresh(spark, dDir, gDir))
+    assert(e.getMessage.contains("another refresh"), e.getMessage)
+    // a STALE lock (crashed refresh) is taken over, refresh proceeds
+    assert(lock.setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    val st = IncrementalDedup.refresh(spark, dDir, gDir)
+    assert(st.toVersion > st.fromVersion)
+    assert(!lock.exists(), "the lock must release after the refresh")
+    // and no duplicates: one signature row per doc
+    val sig = spark.read.format("fls").load(gDir)
+    assert(sig.count() == sig.select("doc_id").distinct().count())
+  }
 }

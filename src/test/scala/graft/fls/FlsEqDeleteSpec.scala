@@ -449,6 +449,29 @@ class FlsEqDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"(v0=$v0, head=$headV)")
   }
 
+  test("foreign exclusive long bounds closed-normalize at the parse " +
+      "boundary (the writer never emits them; a hand-edited line must " +
+      "not silently apply as inclusive)") {
+    // `lo:5, lx:true` means `> 5` — must parse as the closed `>= 6`
+    val p = FlsEqDeletes.parse("""{"v":3,"c":"id","k":"l","lo":5,"lx":true,"hi":9,"hx":true}""")
+    val r = p.legs.head.asInstanceOf[FlsEqDeletes.RangeLeg]
+    assert(r.lo.get.l == 6L && r.lo.get.inc, p.json)
+    assert(r.hi.get.l == 8L && r.hi.get.inc, p.json)
+    // degenerate exclusive edges (empty by construction) refuse loudly
+    intercept[RuntimeException] {
+      FlsEqDeletes.parse(
+        s"""{"v":1,"c":"id","k":"l","lo":${Long.MaxValue},"lx":true}""")
+    }
+    intercept[RuntimeException] {
+      FlsEqDeletes.parse(
+        s"""{"v":1,"c":"id","k":"l","hi":${Long.MinValue},"hx":true}""")
+    }
+    // double/string bounds keep their exclusivity flags untouched
+    val d = FlsEqDeletes.parse("""{"v":1,"c":"v","k":"d","lo":1.5,"lx":true}""")
+      .legs.head.asInstanceOf[FlsEqDeletes.RangeLeg]
+    assert(d.lo.get.d == 1.5 && !d.lo.get.inc)
+  }
+
   test("mixed composite: equality leg AND range leg in ONE line; the " +
       "residual is their AND") {
     val (tbl, dir) = mkTable("range_mixed")
