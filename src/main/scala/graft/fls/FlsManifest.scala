@@ -268,7 +268,24 @@ object FlsManifest {
         * the table's `manifest_chunk_stats` columns, [[FlsFileStats]]
         * JSON) — lets key-range DML planning skip the chunk unopened.
         * Null = no recorded stats: always open. */
-      stats: String = null) {
+      stats: String = null,
+      /** Streaming-epoch writeIds (`<queryId>-e<epoch>`) whose entries
+        * MAY live in this chunk (`w:` field, r17) — what lets a
+        * RETRIED epoch locate its crashed attempt's entries in O(1)
+        * chunk opens instead of parsing the whole manifest: the retry
+        * opens only chunks stamped with its own writeId. Conservative
+        * (folds/rewrites union markers), superseded markers (an older
+        * epoch of a query whose newer epoch is stamped anywhere in the
+        * commit) are pruned at each rewrite. */
+      epochs: Seq[String] = Nil,
+      /** Minimum birth version over this chunk's entries (`b:` field,
+        * r17; -1 = written before the field — prove nothing). The
+        * equality-delete absorption proof for the O(delta) commit
+        * path: a carried predicate of version pv is DEAD — applies to
+        * no retained entry — iff every kept pointer's minBv > pv and
+        * every entry the commit materialized has bv > pv, all
+        * computable without opening a single kept chunk. */
+      minBv: Long = -1L) {
     /** Could any rel of `sortedRels` live in this chunk? Rangeless
       * pointers answer yes (must open). */
     def mayContainAny(sortedRels: Array[String]): Boolean = {
@@ -575,11 +592,24 @@ object FlsManifest {
       if (lines(0) != HeaderV2) Nil
       else lines.drop(1).filter(_.startsWith("#chunk\t")).toSeq.map { l =>
         val a = l.split('\t')
-        require(a.length == 3 || a.length == 5 || a.length == 6,
+        require(a.length >= 3 && a.length <= 8 && a.length != 4,
           s"fls: corrupt #chunk line '$l' in $p")
-        if (a.length >= 5) Pointer(a(1), a(2).toLong, a(3), a(4),
-          ranged = true, stats = if (a.length == 6) a(5) else null)
-        else Pointer(a(1), a(2).toLong, "", "", ranged = false)
+        if (a.length >= 5) {
+          // trailing fields are shape-tagged: `{...}` = chunk value
+          // stats, `w:<id>,<id>` = epoch markers, `b:<n>` = min birth
+          // version — any subset may follow the range
+          val tail = a.drop(5)
+          val stats = tail.find(_.startsWith("{")).orNull
+          val epochs = tail.find(_.startsWith("w:")).toSeq
+            .flatMap(_.substring(2).split(',').filter(_.nonEmpty))
+          val minBv = tail.find(_.startsWith("b:"))
+            .map(_.substring(2).toLong).getOrElse(-1L)
+          require(tail.forall(t => t.startsWith("{") || t.startsWith("w:") ||
+              t.startsWith("b:")),
+            s"fls: corrupt #chunk line '$l' in $p")
+          Pointer(a(1), a(2).toLong, a(3), a(4),
+            ranged = true, stats = stats, epochs = epochs, minBv = minBv)
+        } else Pointer(a(1), a(2).toLong, "", "", ranged = false)
       }
     val chunks: Seq[(String, Seq[Entry])] =
       if (!resolveChunks) Nil
@@ -651,7 +681,12 @@ object FlsManifest {
         * ([[FlsEqDeletes.mayMatchDesc]]); its merge closure must guard
         * against concurrent commits introducing unproven old-bv
         * entries. -1 = off. */
-      eqDropUpTo: Long = -1L)(
+      eqDropUpTo: Long = -1L,
+      /** Streaming-epoch writeId to STAMP on every chunk this commit
+        * writes (the retry-location markers, [[Pointer.epochs]]) —
+        * set by epoch commits so the NEXT attempt/epoch can ride the
+        * O(delta) path. */
+      epochAdd: Option[String] = None)(
       merge: (Long, Option[Seq[Entry]]) => Seq[Entry]): Long = {
     var attempt = 0
     while (attempt < MaxCasAttempts) {
@@ -711,7 +746,8 @@ object FlsManifest {
       val newChunks = writeContent(fs, dir, tmp, merged,
         Some(VersionMeta(op, dataChange, schemaV)), cdc,
         cur.map(_._2.chunks).getOrElse(Nil), conf, eqAll,
-        chunkStatCols(tableMeta.map(_._2)))
+        chunkStatCols(tableMeta.map(_._2)),
+        cur.map(_._2.pointers).getOrElse(Nil), epochAdd)
       def dropNewChunks(): Unit = newChunks.foreach(p =>
         try fs.delete(p, false) catch { case _: Throwable => () })
       val won =
@@ -777,19 +813,35 @@ object FlsManifest {
     * two concurrent appends to disjoint rels both publish without
     * either reopening the other's chunks.
     *
-    * Divergence from the full path, by design: the delta path never
-    * ABSORBS equality-delete predicates (dropping one needs proof that
-    * no retained entry predates it — a full-entry scan). Appends and
-    * restates cannot change absorption state anyway; removal-only
-    * deltas may leave a predicate active one commit longer than
-    * strictly needed, which is read-harmless (it applies to no file).
-    * Full-path commits (compaction, `absorb_deletes`) drop them. */
+    * ABSORPTION (r17): the delta path drops a carried equality-delete
+    * predicate when the pointer lines PROVE it dead — every kept
+    * pointer records its chunk's min birth version (`b:` field), so
+    * "no retained entry predates the predicate" is decidable without
+    * opening a chunk. Pointers written before the field (minBv = -1)
+    * make the proof unavailable; the predicate is then carried
+    * conservatively (read-harmless — it applies to no file) until a
+    * full-path commit (compaction, `absorb_deletes`) drops it. */
   def commitDelta(fs: FileSystem, dir: Path, writeId: String,
       conf: org.apache.hadoop.conf.Configuration, op: String = "append",
       dataChange: Boolean = true, cdc: Seq[CdcLine] = Nil,
       ref: String = MainRef, eqAdd: Seq[String] = Nil,
       /** See [[commit]]: proven-exact predicate drop (absorb). */
-      eqDropUpTo: Long = -1L)(
+      eqDropUpTo: Long = -1L,
+      /** STREAMING-EPOCH append (r17): reconcile a possible prior
+        * attempt of this deterministic writeId before adding — chunks
+        * whose pointer carries the writeId's epoch marker are opened
+        * (≤ a handful, usually 0 on first attempts / 1 on retries) and
+        * their `-<writeId>-` entries dropped; every chunk written here
+        * is stamped with the marker so the NEXT attempt/epoch can do
+        * the same. This is what puts per-minute epochs on the O(delta)
+        * path: without markers a retry must scan ALL entries for its
+        * writeId (no rel range can locate an infix), which forced
+        * epochs through the full O(table) merge. */
+      epochWriteId: Option[String] = None,
+      /** Out-collector for the prior-attempt entries an epoch commit
+        * dropped (the caller deletes their files + sidecars) — cleared
+        * per CAS attempt so only the published attempt's survive. */
+      epochRemovedOut: scala.collection.mutable.Buffer[Entry] = null)(
       delta: Long => Delta)(
       fallback: (Long, Option[Seq[Entry]]) => Seq[Entry]): Long = {
     lastDeltaAttempts.set(0)
@@ -814,11 +866,20 @@ object FlsManifest {
         // inline/legacy/missing head, or the result fits inline: the
         // full path is O(inline threshold) here by definition
         return commit(fs, dir, writeId, conf, op, dataChange, cdc, ref,
-          eqAdd, eqDropUpTo = eqDropUpTo)(fallback)
+          eqAdd, eqDropUpTo = eqDropUpTo, epochAdd = epochWriteId)(fallback)
       val next = curV + 1
       val touched = (d.removeRels ++ d.restate.map(_.rel)).toArray.sorted
       val target = math.max(1, conf.getInt(ChunkTargetKey, DefaultChunkTarget))
-      val (mustOpen0, keep0) = pointers.partition(_.mayContainAny(touched))
+      val (mustOpen1, keep1) = pointers.partition(_.mayContainAny(touched))
+      // an epoch commit additionally opens the chunks stamped with ITS
+      // writeId — where a crashed prior attempt's entries live (0
+      // chunks on first attempts, ~1 on retries)
+      val (mustOpen0, keep0) = epochWriteId match {
+        case Some(w) =>
+          val (mine, rest) = keep1.partition(_.epochs.contains(w))
+          (mustOpen1 ++ mine, rest)
+        case None => (mustOpen1, keep1)
+      }
       // fold decayed small chunks into this commit's delta once enough
       // have piled up — the same amortization as the full path, decided
       // here from pointer COUNTS alone
@@ -847,9 +908,25 @@ object FlsManifest {
             s"fls commitDelta: '$r' is not in version $curV of $dir — a " +
               "concurrent commit removed or rewrote it; rerun the operation")
       }
+      // retried-epoch reconciliation: the prior attempt's entries (same
+      // deterministic writeId infix, attempt-unique names) are REPLACED
+      // by this attempt's — the same convergence the full path gets
+      // from its substring filter, at O(marker chunks) instead of
+      // O(table)
+      val epochDrop: Set[String] = epochWriteId match {
+        case Some(w) =>
+          val marker = s"-$w-"
+          openedEntries.iterator.map(_.rel).filter(_.contains(marker)).toSet
+        case None => Set.empty
+      }
+      if (epochRemovedOut != null) {
+        epochRemovedOut.clear() // per-attempt: only the published one counts
+        openedEntries.foreach(e =>
+          if (epochDrop.contains(e.rel)) epochRemovedOut += e)
+      }
       val restateByRel = d.restate.map(e => (e.rel, validEntry(e))).toMap
       val survivors = openedEntries.flatMap { e =>
-        if (d.removeRels.contains(e.rel)) None
+        if (d.removeRels.contains(e.rel) || epochDrop.contains(e.rel)) None
         else restateByRel.get(e.rel) match {
           case Some(n) =>
             // a restated entry inherits the old birth version unless
@@ -867,9 +944,25 @@ object FlsManifest {
         else e.copy(stats = FlsFileStats.withBirth(e.stats, next))
       }
       val leftover = survivors ++ added
+      // ABSORPTION on the delta path (r17): the full path drops a
+      // carried predicate once no retained entry predates it; here the
+      // same proof comes from the pointer lines alone — a predicate of
+      // version pv is dead iff min(birth version) over the whole table
+      // exceeds pv, and that min is min(kept pointers' recorded minBv,
+      // materialized entries' bv). Any pointer WITHOUT a recorded
+      // minBv (pre-r17) makes the table min unknowable: prove nothing,
+      // carry everything (the documented conservative carry).
+      val tableMinBv: Long =
+        if (kept.exists(_.minBv < 0L)) -1L
+        else math.min(
+          kept.foldLeft(Long.MaxValue)((m, pt) => math.min(m, pt.minBv)),
+          leftover.foldLeft(Long.MaxValue)((m, e) =>
+            math.min(m, FlsFileStats.birthOf(e.stats))))
       val eqAll = (layout.map(_.eq).getOrElse(Nil) ++
         eqAdd.map(FlsEqDeletes.stamp(_, next)))
         .filter(FlsEqDeletes.versionOf(_) > eqDropUpTo)
+        .filter(j => tableMinBv < 0L ||
+          FlsEqDeletes.versionOf(j) >= tableMinBv)
       fs.mkdirs(refLog(dir, ref))
       val tableMeta = FlsTableMeta.read(fs, dir)
       val schemaV = tableMeta.map(_._1)
@@ -878,7 +971,8 @@ object FlsManifest {
         f"manifest_v$next%020d")
       val newChunks = writeContentDelta(fs, dir, tmp, kept, leftover,
         Some(VersionMeta(op, dataChange, schemaV)), cdc, conf, eqAll,
-        chunkStatCols(tableMeta.map(_._2)))
+        chunkStatCols(tableMeta.map(_._2)),
+        pruneEpochMarkers(mustOpen.flatMap(_.epochs), epochWriteId))
       def dropNewChunks(): Unit = newChunks.foreach(p =>
         try fs.delete(p, false) catch { case _: Throwable => () })
       beforePublishForTest()
@@ -907,7 +1001,11 @@ object FlsManifest {
   private def writeContentDelta(fs: FileSystem, dir: Path, p: Path,
       kept: Seq[Pointer], leftover: Seq[Entry], meta: Option[VersionMeta],
       cdc: Seq[CdcLine], conf: org.apache.hadoop.conf.Configuration,
-      eqDeletes: Seq[String], statCols: Seq[String] = Nil): Seq[Path] = {
+      eqDeletes: Seq[String], statCols: Seq[String] = Nil,
+      /** Epoch markers for every chunk WRITTEN here: the (pruned)
+        * union of the opened chunks' markers plus the committing
+        * epoch's own stamp. Kept pointers carry theirs verbatim. */
+      newEpochs: Seq[String] = Nil): Seq[Path] = {
     val target = math.max(1, conf.getInt(ChunkTargetKey, DefaultChunkTarget))
     fs.mkdirs(chunksDir(dir))
     val written: Seq[(Pointer, Path)] =
@@ -920,7 +1018,8 @@ object FlsManifest {
           group.foreach(writeEntryLine(w, _))
         } finally w.close()
         (Pointer(name, group.length, group.head.rel, group.last.rel,
-          ranged = true, stats = chunkStatsFor(group, statCols)), cp)
+          ranged = true, stats = chunkStatsFor(group, statCols),
+          epochs = newEpochs, minBv = minBvFor(group)), cp)
       }.toSeq
     val out = writerFor(fs, p)
     try {
@@ -964,7 +1063,14 @@ object FlsManifest {
       prevChunks: Seq[(String, Seq[Entry])],
       conf: org.apache.hadoop.conf.Configuration,
       eqDeletes: Seq[String] = Nil,
-      statCols: Seq[String] = Nil): Seq[Path] = {
+      statCols: Seq[String] = Nil,
+      /** Prior version's pointer lines — the epoch-marker carry
+        * source: reused chunks keep their markers by name; chunks this
+        * commit rewrites smear their markers (pruned of superseded
+        * epochs) onto the new chunks, so a marker survives every
+        * rewrite until its epoch is provably complete. */
+      prevPointers: Seq[Pointer] = Nil,
+      epochAdd: Option[String] = None): Seq[Path] = {
     val inlineMax = math.max(0, conf.getInt(InlineThresholdKey, DefaultInlineThreshold))
     val chunked = entries.length > inlineMax
     // ---- plan the chunk layout (no-op for inline tables) ----
@@ -1012,15 +1118,29 @@ object FlsManifest {
       out.write(if (v2) HeaderV2 else Header); out.write('\n')
       writeMetaLines(out, meta, cdc, eqDeletes)
       if (chunked) {
+        // epoch-marker carry: reused chunks keep their markers by
+        // name; every chunk WRITTEN here takes the (superseded-pruned)
+        // union of the non-reused prior chunks' markers plus this
+        // commit's own epoch stamp — conservative (a retry may open a
+        // couple of chunks instead of exactly one) but never loses a
+        // live marker through a rewrite
+        val markersByName = prevPointers.map(pt => pt.name -> pt.epochs).toMap
+        val reusedNames = reused.map(_._1).toSet
+        val newMarkers = pruneEpochMarkers(
+          prevPointers.filterNot(pt => reusedNames.contains(pt.name))
+            .flatMap(_.epochs), epochAdd)
         // pointer lines, ordered by each chunk's first rel so the file
         // is deterministic for a given layout; each carries the chunk's
         // [minRel, maxRel] (entries are rel-sorted within a chunk) so
         // point-lookup reads skip non-intersecting chunks unopened
-        (reused ++ written.map(c => (c._1, c._2)))
-          .map { case (name, es) => Pointer(name, es.length,
+        (reused.map { case (name, es) =>
+            (name, es, markersByName.getOrElse(name, Nil)) } ++
+          written.map(c => (c._1, c._2, newMarkers)))
+          .map { case (name, es, marks) => Pointer(name, es.length,
             es.headOption.map(_.rel).getOrElse(""),
             es.lastOption.map(_.rel).getOrElse(""), ranged = true,
-            stats = chunkStatsFor(es, statCols)) }
+            stats = chunkStatsFor(es, statCols), epochs = marks,
+            minBv = minBvFor(es)) }
           .sortBy(_.minRel)
           .foreach(writePointerLine(out, _))
       } else {
@@ -1074,8 +1194,56 @@ object FlsManifest {
           s"fls: chunk stats JSON must be compact: '${pt.stats}'")
         out.write('\t'); out.write(pt.stats)
       }
+      if (pt.epochs.nonEmpty) {
+        pt.epochs.foreach(w => require(!w.contains('\n') && !w.contains('\t')
+            && !w.contains(','),
+          s"fls: epoch marker must be a plain writeId, got '$w'"))
+        out.write("\tw:"); out.write(pt.epochs.mkString(","))
+      }
+      if (pt.minBv >= 0L) {
+        out.write("\tb:"); out.write(pt.minBv.toString)
+      }
     }
     out.write('\n')
+  }
+
+  /** Min birth version over a chunk's entries (legacy unstamped
+    * entries read as 0 — subject to every predicate, which keeps the
+    * absorption proof conservative exactly where it must be). */
+  private def minBvFor(es: Seq[Entry]): Long =
+    es.foldLeft(Long.MaxValue)((m, e) =>
+      math.min(m, FlsFileStats.birthOf(e.stats)))
+
+  /** `(queryId, epoch)` of a streaming-epoch writeId
+    * (`<queryId>-e<digits>`), or None for any other shape. The epoch
+    * suffix is appended LAST by the sink, so `lastIndexOf` is exact
+    * even when the queryId itself contains `-e`. */
+  private[fls] def epochQid(writeId: String): Option[(String, Long)] = {
+    val i = writeId.lastIndexOf("-e")
+    if (i <= 0) None
+    else {
+      val s = writeId.substring(i + 2)
+      if (s.nonEmpty && s.length <= 18 && s.forall(_.isDigit))
+        Some((writeId.substring(0, i), s.toLong))
+      else None
+    }
+  }
+
+  /** Union + dedup epoch markers, dropping SUPERSEDED ones: epochs of
+    * one query commit in order, so the presence of `q-e7` anywhere in
+    * the merged set proves `q-e5` completed (Spark logs epoch N before
+    * starting N+1) and can never be retried. Unparseable markers are
+    * kept verbatim (never written by this codebase, but never silently
+    * dropped either). */
+  private[fls] def pruneEpochMarkers(ms: Seq[String],
+      adding: Option[String]): Seq[String] = {
+    val all = (ms ++ adding).distinct
+    val maxByQid = all.flatMap(epochQid).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).max }
+    all.filter(w => epochQid(w) match {
+      case Some((q, e)) => e == maxByQid(q)
+      case None => true
+    })
   }
 
   /** Table property naming the columns whose merged VALUE bounds ride

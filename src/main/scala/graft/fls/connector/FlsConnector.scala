@@ -1768,11 +1768,15 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
     if (committedLen.isEmpty && skipEmptyCommit &&
         graft.fls.FlsFile.listDataStatuses(dir, conf).nonEmpty) {
       // an idle trigger on a populated table: clean our staging (a prior
-      // attempt of this epoch may have staged files) and do nothing
-      walkManaged(fs, dir) { (s, _) =>
-        if (s.getPath.getName.contains(s"-$writeId-"))
-          try fs.delete(s.getPath, false) catch { case _: Throwable => () }
-      }
+      // attempt of this epoch may have staged files) and do nothing. In
+      // manifest mode uncommitted final-named junk is invisible anyway
+      // (vacuum reclaims it) — a recursive walk per idle trigger would
+      // be an O(table) listing tax on an otherwise O(1) no-op.
+      if (!manifestMode)
+        walkManaged(fs, dir) { (s, _) =>
+          if (s.getPath.getName.contains(s"-$writeId-"))
+            try fs.delete(s.getPath, false) catch { case _: Throwable => () }
+        }
       FlsCommit.removeStaging(fs, dir, writeId)
       return
     }
@@ -1856,6 +1860,10 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
       }
     }
 
+    // Set when a streaming epoch committed via the O(delta) marker
+    // path: the prior attempt's entries it dropped (the caller deletes
+    // exactly those files below instead of walking the table).
+    var epochDeltaRemoved: Option[Seq[graft.fls.FlsManifest.Entry]] = None
     if (manifestMode) {
       // publish the manifest FIRST: from this point readers see exactly
       // the new table; physical cleanup below is invisible to them.
@@ -1945,59 +1953,104 @@ class FlsBatchWrite(info: LogicalWriteInfo, doTruncate: Boolean,
           }
         keptOld ++ newEntries
       }
-      // A pure BATCH append touches no existing entry: commit it as a
-      // delta so the publish is O(new files) in metadata reads and
-      // driver heap — on a chunked manifest the existing #chunk
-      // pointers are carried verbatim, never opened (FlsManifest
-      // .commitDelta). Streaming epochs keep the full path: a retried
-      // epoch must scan for prior-attempt entries of its deterministic
-      // writeId, which no rel range can locate. Every other shape
-      // (truncate, filter/dynamic overwrite, row-level replace) edits
-      // existing entries and reclassifies the current set, so it needs
-      // the full merge anyway.
-      val pureAppend = !doTruncate && replaceFilesThunk.isEmpty &&
+      // A pure append touches no existing entry: commit it as a delta
+      // so the publish is O(new files) in metadata reads and driver
+      // heap — on a chunked manifest the existing #chunk pointers are
+      // carried verbatim, never opened (FlsManifest.commitDelta).
+      // STREAMING EPOCHS (r17) ride the same path via epoch markers:
+      // each epoch commit stamps its writeId on the chunk(s) it
+      // writes, so a RETRIED epoch (driver crash between sink commit
+      // and Spark's commit log) locates its crashed attempt's entries
+      // by opening only marker-stamped chunks — no rel range can find
+      // a writeId INFIX, which previously forced every per-minute
+      // epoch through the full O(table) merge. The delta path engages
+      // only once a marker of this QUERY exists in the head (proof
+      // prior epochs stamped markers); the query's very first epoch —
+      // and the first after an upgrade from a marker-less binary —
+      // pays one full merge that bootstraps the markers. Every other
+      // shape (truncate, filter/dynamic overwrite, row-level replace)
+      // edits existing entries and reclassifies the current set, so it
+      // needs the full merge anyway.
+      val appendShape = !doTruncate && replaceFilesThunk.isEmpty &&
         replacedDvThunk.isEmpty && replacedEqThunk.isEmpty &&
-        overwriteFilters.isEmpty && !dynamicOverwrite && writeIdOverride.isEmpty
-      if (pureAppend)
+        overwriteFilters.isEmpty && !dynamicOverwrite
+      if (appendShape && writeIdOverride.isEmpty)
         graft.fls.FlsManifest.commitDelta(fs, dir, writeId, conf,
             op = manifestOp, ref = branch)(
           _ => graft.fls.FlsManifest.Delta(add = newEntries))(fullMerge)
-      else
+      else if (appendShape) {
+        val qid = graft.fls.FlsManifest.epochQid(writeId).map(_._1)
+        val headHasQid = qid.exists { q =>
+          graft.fls.FlsManifest.readLayoutVersioned(fs, dir, branch,
+              resolveChunks = false)
+            .exists(_._2.pointers.exists(_.epochs.exists(m =>
+              graft.fls.FlsManifest.epochQid(m).exists(_._1 == q))))
+        }
+        if (headHasQid) {
+          val removed =
+            scala.collection.mutable.ArrayBuffer[graft.fls.FlsManifest.Entry]()
+          graft.fls.FlsManifest.commitDelta(fs, dir, writeId, conf,
+              op = manifestOp, ref = branch,
+              epochWriteId = Some(writeId), epochRemovedOut = removed)(
+            _ => graft.fls.FlsManifest.Delta(add = newEntries))(fullMerge)
+          epochDeltaRemoved = Some(removed.toSeq)
+        } else
+          graft.fls.FlsManifest.commit(fs, dir, writeId, conf,
+            op = manifestOp, ref = branch, epochAdd = Some(writeId))(fullMerge)
+      } else
         graft.fls.FlsManifest.commit(fs, dir, writeId, conf,
           op = manifestOp, ref = branch)(fullMerge)
     }
-    val doomedNow: Set[String] =
-      if (manifestMode) Set.empty
-      else {
-        val rels = scala.collection.mutable.ArrayBuffer[String]()
-        walkManaged(fs, dir) { (_, rel) => if (rel.endsWith(".fls")) rels += rel }
-        doomedAmong(rels.toSeq)
+    if (epochDeltaRemoved.isDefined) {
+      // O(delta) epoch cleanup: delete exactly the crashed prior
+      // attempt's published files + their sidecars (the entries the
+      // marker-path commit dropped) — a recursive table walk per
+      // per-minute epoch would reintroduce the O(table) listing the
+      // delta path exists to avoid. Task-failure junk of this epoch
+      // (final-named, never committed) stays invisible in manifest
+      // mode and is reclaimed by CALL system.vacuum.
+      epochDeltaRemoved.get.foreach { e =>
+        val sidecars = e.rel +: ((e.rel + ".footer") +:
+          (graft.fls.FlsFileStats.dvOf(e.stats).toSeq ++
+            graft.fls.FlsFileStats.bfOf(e.stats).toSeq)
+            .map(b => graft.fls.FlsDeleteVectors.relFor(e.rel, b)))
+        sidecars.foreach(r =>
+          try fs.delete(new Path(dir, r), false) catch { case _: Throwable => () })
       }
-    walkManaged(fs, dir) { (s, rel) =>
-      if (!committed.contains(rel)) {
-        val thisJobs = s.getPath.getName.contains(s"-$writeId-")
-        val doomed = doomedNow.contains(rel) ||
-          (rel.endsWith(".footer") && doomedNow.contains(rel.stripSuffix(".footer")))
-        // manifest-mode truncate keeps the replaced files on disk like
-        // every other manifest-mode replacement: the new manifest no
-        // longer names them (invisible to current readers), pinned
-        // VERSION AS OF readers still resolve them, vacuum reclaims
-        // them past the retention horizon. Listing-mode truncate must
-        // delete eagerly — the directory IS the table there.
-        if (thisJobs || (doTruncate && !manifestMode) || doomed)
-          fs.delete(s.getPath, false)
+    } else {
+      val doomedNow: Set[String] =
+        if (manifestMode) Set.empty
+        else {
+          val rels = scala.collection.mutable.ArrayBuffer[String]()
+          walkManaged(fs, dir) { (_, rel) => if (rel.endsWith(".fls")) rels += rel }
+          doomedAmong(rels.toSeq)
+        }
+      walkManaged(fs, dir) { (s, rel) =>
+        if (!committed.contains(rel)) {
+          val thisJobs = s.getPath.getName.contains(s"-$writeId-")
+          val doomed = doomedNow.contains(rel) ||
+            (rel.endsWith(".footer") && doomedNow.contains(rel.stripSuffix(".footer")))
+          // manifest-mode truncate keeps the replaced files on disk like
+          // every other manifest-mode replacement: the new manifest no
+          // longer names them (invisible to current readers), pinned
+          // VERSION AS OF readers still resolve them, vacuum reclaims
+          // them past the retention horizon. Listing-mode truncate must
+          // delete eagerly — the directory IS the table there.
+          if (thisJobs || (doTruncate && !manifestMode) || doomed)
+            fs.delete(s.getPath, false)
+        }
       }
-    }
-    if (!manifestMode && doomedNow.nonEmpty &&
-        graft.fls.FlsFile.listDataStatuses(dir, conf).isEmpty) {
-      // a filter overwrite with zero new rows can empty the table —
-      // leave it readable, like every other emptying path
-      val p = new Path(dir, f"part-${0}%05d-$writeId-${9999}%04d.fls")
-      val w = new FlsFileWriter(p, conf,
-        Format.physicalColumns(
-          info.schema().fields.filterNot(f => partitionBy.contains(f.name)).toSeq),
-        inlineFooter = true)
-      w.close()
+      if (!manifestMode && doomedNow.nonEmpty &&
+          graft.fls.FlsFile.listDataStatuses(dir, conf).isEmpty) {
+        // a filter overwrite with zero new rows can empty the table —
+        // leave it readable, like every other emptying path
+        val p = new Path(dir, f"part-${0}%05d-$writeId-${9999}%04d.fls")
+        val w = new FlsFileWriter(p, conf,
+          Format.physicalColumns(
+            info.schema().fields.filterNot(f => partitionBy.contains(f.name)).toSeq),
+          inlineFooter = true)
+        w.close()
+      }
     }
     if (!manifestMode)
       // a rename-mode write over a former manifest table reverts it to

@@ -279,4 +279,71 @@ class FlsChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE id % 2 = 1")
       .collect()(0).getLong(0) == 0)
   }
+
+  test("streaming epochs fold chunk VALUE stats into their delta " +
+      "pointer lines without opening other chunks; a key-range DELETE " +
+      "then opens only the epoch's chunk (r17 — the streaming shape " +
+      "of the r16 stretch)") {
+    val tbl = s"$cat.db.stream_stats"
+    val dir = s"$tmp/warehouse/db/stream_stats"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, v DOUBLE) TBLPROPERTIES " +
+      "('commit_mode'='manifest', 'cluster_by'='id', " +
+      "'manifest_chunk_stats'='id')")
+    spark.sql(s"INSERT INTO $tbl SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(0, 2000)")
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // drive the sink directly (the epoch harness): epoch 0 bootstraps
+    // markers via the full merge, epochs 1..2 must be pure O(delta)
+    val streamSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def options() = {
+        val m = new java.util.HashMap[String, String]()
+        m.put("path", dir)
+        m.put("commit_mode", "manifest")
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)
+      }
+      override def queryId(): String = "q-stats"
+      override def schema() = streamSchema
+    }
+    def row(i: Long) = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](i, i.toDouble))
+    import graft.fls.connector._
+    val sw = new FlsStreamingWrite(info, spark)
+    val factory = sw.createStreamingWriterFactory(null)
+    def epoch(e: Long, lo: Long, hi: Long): Long = {
+      val w = factory.createWriter(0, 10L + e, e)
+      (lo to hi).foreach(i => w.write(row(i)))
+      val (_, n) = chunkReads(sw.commit(e, Array(w.commit())))
+      n
+    }
+    epoch(0L, 2000L, 2099L) // bootstrap (full merge, stamps markers)
+    val n1 = epoch(1L, 2100L, 2199L)
+    assert(n1 == 0L, s"steady-state epoch opened $n1 chunks")
+    // the epoch's new chunk carries the id VALUE range in its pointer
+    // stats — computed from the delta alone, no chunk was opened
+    val pointers = FlsManifest
+      .readLayoutVersioned(fs, root, resolveChunks = false).get._2.pointers
+    val epochChunks = pointers.filter(_.epochs.contains("q-stats-e1"))
+    assert(epochChunks.nonEmpty, "epoch 1's chunk must be marker-stamped")
+    val (lo, hi) = boundsOf(epochChunks.head, "id")
+    assert(lo >= 2100L && hi <= 2199L,
+      s"epoch chunk stats must bound the epoch's ids, got [$lo,$hi]")
+    // key-range DELETE over the streamed range: VALUE stats prune all
+    // batch chunks at PLANNING; the commit additionally opens any chunk
+    // whose REL range contains the dropped file's name (the epoch file
+    // name sorts between batch part files — one O(1) false positive,
+    // not O(chunks)): ≤ 2 plan opens + ≤ 2 commit opens
+    val (_, opened) = chunkReads {
+      spark.sql(s"DELETE FROM $tbl WHERE id >= 2100")
+    }
+    assert(opened <= 4,
+      s"key-range delete over the streamed range opened $opened chunks " +
+        s"of ${pointers.length}")
+    assert(spark.table(tbl).count() == 2100)
+  }
 }

@@ -1,0 +1,230 @@
+package graft.fls
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming epochs on the O(delta) commit path (r17 — the r16
+  * verdict's #1 item): every epoch commit used to route through the
+  * full O(table) metadata merge because a RETRIED epoch must find its
+  * crashed attempt's entries by their deterministic writeId — an INFIX
+  * of the file name that no rel range can locate. Epoch markers fix
+  * that: each epoch commit stamps its writeId on the pointer line of
+  * the chunk(s) it writes (`w:` field), so a retry opens only
+  * marker-stamped chunks. Locks: a steady-state epoch append to a
+  * many-chunk table opens ZERO chunks; a retried epoch opens O(its own
+  * marker chunks), converges to exactly-once (replace semantics, same
+  * as the full path), and physically deletes the crashed attempt's
+  * files; markers survive folds/rewrites conservatively and superseded
+  * ones (an older epoch of a query whose newer epoch is stamped) are
+  * pruned; the query's FIRST epoch bootstraps through one full merge. */
+class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private lazy val tmp = Files.createTempDirectory("fls-epoch-delta").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("fls-epoch-delta-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      // force CHUNKED manifests at spec scale
+      .config(s"spark.hadoop.${FlsManifest.InlineThresholdKey}", "4")
+      .config(s"spark.hadoop.${FlsManifest.ChunkTargetKey}", "4")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val vSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  private def writeInfo(dir: String, qid: String) =
+    new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def options() = {
+        val m = new java.util.HashMap[String, String]()
+        m.put("path", dir)
+        m.put("commit_mode", "manifest")
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)
+      }
+      override def queryId(): String = qid
+      override def schema() = vSchema
+    }
+
+  private def row(v: Long) =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](v))
+
+  private def readLongs(dir: String): Seq[Long] =
+    spark.read.format("fls").load(dir).select("v").collect()
+      .map(_.getLong(0)).toSeq.sorted
+
+  private def headLayout(dir: String): FlsManifest.Layout = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    FlsManifest.readLayoutVersioned(fs, p, resolveChunks = false).get._2
+  }
+
+  private def seed(dir: String, n: Long): Unit = {
+    val sp = spark
+    import sp.implicits._
+    // several single-file commits so the manifest holds several chunks
+    (0L until n by 20).foreach { lo =>
+      (lo until math.min(lo + 20, n)).toDF("v").coalesce(1)
+        .write.format("fls").mode("append")
+        .option("commit_mode", "manifest").save(dir)
+    }
+  }
+
+  private def opened[A](body: => A): (A, Long) = {
+    val before = FlsManifest.chunkReadCount.get()
+    val r = body
+    (r, FlsManifest.chunkReadCount.get() - before)
+  }
+
+  test("steady-state epoch appends open ZERO chunks; the query's first " +
+      "epoch bootstraps markers through one full merge") {
+    val dir = s"$tmp/steady"
+    seed(dir, 100L)
+    assert(headLayout(dir).pointers.nonEmpty, "spec setup: must be chunked")
+    import graft.fls.connector._
+    val sw = new FlsStreamingWrite(writeInfo(dir, "q-steady"), spark)
+    val factory = sw.createStreamingWriterFactory(null)
+    def commitEpoch(e: Long, lo: Long, hi: Long): Long = {
+      val w = factory.createWriter(0, 10L + e, e)
+      (lo to hi).foreach(i => w.write(row(i)))
+      val (_, n) = opened(sw.commit(e, Array(w.commit())))
+      n
+    }
+    // epoch 0: no marker of this query anywhere → the bootstrap full
+    // merge (resolves every chunk) — and stamps the first marker
+    val n0 = commitEpoch(0L, 1000L, 1019L)
+    assert(n0 > 0, "bootstrap must take the full (chunk-resolving) path")
+    val marks0 = headLayout(dir).pointers.flatMap(_.epochs)
+    assert(marks0.contains("q-steady-e0"),
+      s"bootstrap must stamp its marker, got $marks0")
+    // epochs 1..3: marker present → delta path, ZERO chunks opened
+    (1L to 3L).foreach { e =>
+      val n = commitEpoch(e, 1000L + e * 100, 1019L + e * 100)
+      assert(n == 0L, s"steady-state epoch $e opened $n chunks — not O(delta)")
+    }
+    assert(readLongs(dir).size == 100 + 4 * 20)
+    // each epoch's marker rides its own chunk; superseded markers are
+    // pruned only when their chunk is rewritten (folds), so the set
+    // stays small but may briefly hold one marker per recent epoch
+    val marks = headLayout(dir).pointers.flatMap(_.epochs)
+    assert(marks.contains("q-steady-e3"), s"newest epoch must be stamped: $marks")
+  }
+
+  test("a RETRIED epoch on the delta path converges to replace " +
+      "semantics by opening only its own marker chunks, and deletes " +
+      "the crashed attempt's files") {
+    val dir = s"$tmp/retry"
+    seed(dir, 100L)
+    import graft.fls.connector._
+    val sw = new FlsStreamingWrite(writeInfo(dir, "q-retry"), spark)
+    val factory = sw.createStreamingWriterFactory(null)
+    // epoch 0 bootstraps markers
+    val w0 = factory.createWriter(0, 1L, 0L)
+    (500L to 509L).foreach(i => w0.write(row(i)))
+    sw.commit(0L, Array(w0.commit()))
+    // epoch 1, attempt 1 (delta path): publishes, then "the driver
+    // dies before Spark's commit log"
+    val a1 = factory.createWriter(0, 2L, 1L)
+    (600L to 619L).foreach(i => a1.write(row(i)))
+    sw.commit(1L, Array(a1.commit()))
+    assert(readLongs(dir).count(_ >= 600L) == 20)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val attempt1Files = FlsManifest.readVersioned(fs, new Path(dir)).get._2
+      .map(_.rel).filter(_.contains("-q-retry-e1-"))
+    assert(attempt1Files.nonEmpty)
+    // epoch 1 re-executes with different data (the spec's observable
+    // for WHICH attempt won; in production the replayed offsets make
+    // the data identical)
+    val a2 = factory.createWriter(0, 3L, 1L)
+    val (_, n) = opened {
+      (700L to 719L).foreach(i => a2.write(row(i)))
+      sw.commit(1L, Array(a2.commit()))
+    }
+    assert(n <= 2, s"retry opened $n chunks — must open only its marker chunk(s)")
+    val vs = readLongs(dir)
+    assert(vs.count(_ >= 700L) == 20, "retry's rows must be visible")
+    assert(!vs.exists(v => v >= 600L && v < 700L),
+      "crashed attempt's rows must be replaced, not doubled")
+    // physical cleanup matches the full path: the crashed attempt's
+    // files are gone from disk, not just unreferenced
+    attempt1Files.foreach { rel =>
+      assert(!fs.exists(new Path(new Path(dir), rel)),
+        s"crashed attempt file $rel must be deleted")
+    }
+    // and a later epoch appends normally on the delta path
+    val b = factory.createWriter(0, 4L, 2L)
+    val (_, n2) = opened {
+      (800L to 809L).foreach(i => b.write(row(i)))
+      sw.commit(2L, Array(b.commit()))
+    }
+    assert(n2 == 0L, s"post-retry epoch opened $n2 chunks")
+    assert(readLongs(dir).count(_ >= 800L) == 10)
+  }
+
+  test("marker supersession: an older epoch of a query is pruned once " +
+      "a newer epoch is stamped in the same rewrite; foreign markers " +
+      "survive") {
+    val pruned = FlsManifest.pruneEpochMarkers(
+      Seq("q-e1", "q-e3", "other-e5"), Some("q-e7"))
+    assert(pruned.toSet == Set("q-e7", "other-e5"), pruned)
+    // retry of the SAME epoch keeps exactly one marker
+    val retry = FlsManifest.pruneEpochMarkers(Seq("q-e7"), Some("q-e7"))
+    assert(retry == Seq("q-e7"))
+    // unparseable markers are never dropped
+    val odd = FlsManifest.pruneEpochMarkers(Seq("weird"), Some("q-e1"))
+    assert(odd.toSet == Set("weird", "q-e1"))
+    // epochQid parses the LAST -e<digits> suffix (queryIds are UUIDs
+    // and may themselves contain -e<hex>)
+    assert(FlsManifest.epochQid("ab-e123-e7") == Some(("ab-e123", 7L)))
+    assert(FlsManifest.epochQid("plain") == None)
+  }
+
+  test("batch commits between epochs carry markers through fold/rewrite " +
+      "so a late retry still finds its chunk") {
+    val dir = s"$tmp/carry"
+    seed(dir, 100L) // 5 files > inline threshold → chunked from the start
+    import graft.fls.connector._
+    val sw = new FlsStreamingWrite(writeInfo(dir, "q-carry"), spark)
+    val factory = sw.createStreamingWriterFactory(null)
+    val w0 = factory.createWriter(0, 1L, 0L)
+    (500L to 509L).foreach(i => w0.write(row(i)))
+    sw.commit(0L, Array(w0.commit()))
+    // a ONE-row epoch: its entries land in a 1-entry chunk, which the
+    // small-chunk fold will later rewrite — the marker must smear onto
+    // the folded chunk or the late retry loses its attempt
+    val a1 = factory.createWriter(0, 2L, 1L)
+    a1.write(row(600L))
+    sw.commit(1L, Array(a1.commit()))
+    // a burst of tiny BATCH appends triggers the fold (>= 8 decayed
+    // small chunks), rewriting the epoch's chunk
+    val sp = spark
+    import sp.implicits._
+    (0 until 10).foreach { i =>
+      Seq(9000L + i).toDF("v").coalesce(1)
+        .write.format("fls").mode("append")
+        .option("commit_mode", "manifest").save(dir)
+    }
+    val marks = headLayout(dir).pointers.flatMap(_.epochs)
+    assert(marks.contains("q-carry-e1"),
+      s"fold must carry the epoch marker, got $marks")
+    // the late retry still converges
+    val a2 = factory.createWriter(0, 3L, 1L)
+    a2.write(row(700L))
+    sw.commit(1L, Array(a2.commit()))
+    val vs = readLongs(dir)
+    assert(vs.contains(700L), "retry's row must be visible")
+    assert(!vs.contains(600L),
+      "crashed attempt's row must be replaced after a fold")
+  }
+}

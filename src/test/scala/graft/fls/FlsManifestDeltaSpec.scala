@@ -143,6 +143,60 @@ class FlsManifestDeltaSpec extends AnyFunSuite {
     assert(rels(fs, dir).size == 40)
   }
 
+  test("a removal-only delta DROPS a provably-dead predicate from the " +
+      "pointer-recorded min birth versions, opening only the chunks " +
+      "holding the removed rels (r17)") {
+    val c = conf(); val dir = newDir(); val fs = dir.getFileSystem(c)
+    // v1: 12 old entries (bv=1, 3 chunks); v2: the predicate (pv=2);
+    // v3: 12 new entries (bv=3, their chunks record minBv=3)
+    fullAppend(fs, dir, c, (0 until 12).map(entry(_)))
+    val json = FlsEqDeletes.EqDelete(0L, Seq(FlsEqDeletes.InLeg("k",
+      FlsEqDeletes.KindLong, Array(7L), Array.empty, Array.empty))).json
+    val pv = deltaCommit(fs, dir, c, FlsManifest.Delta(), op = "eqdelete",
+      eqAdd = Seq(json))
+    deltaCommit(fs, dir, c,
+      FlsManifest.Delta(add = (100 until 112).map(entry(_))))
+    assert(FlsManifest.versionEq(fs, dir, pv + 1).length == 1,
+      "the predicate must carry until the proof exists")
+    // v4 removes every bv=1 entry: the kept pointers all record
+    // minBv=3 > pv and nothing materialized predates pv — the SAME
+    // commit drops the predicate (the full path needed one more
+    // absorb/compact for this)
+    val removeAll = (0 until 12).map(i => f"part-$i%05d.fls").toSet
+    val ((v4), opened) = chunkReads {
+      deltaCommit(fs, dir, c, FlsManifest.Delta(removeRels = removeAll),
+        op = "delete")
+    }
+    assert(FlsManifest.versionEq(fs, dir, v4).isEmpty,
+      "the provably-dead predicate must drop in the removing commit")
+    assert(opened <= 3, s"removal opened $opened chunks, expected the 3 " +
+      "holding the removed rels")
+    assert(rels(fs, dir) == (100 until 112).map(i => f"part-$i%05d.fls").toSet)
+  }
+
+  test("a removal-only delta KEEPS the predicate while any retained " +
+      "entry predates it, and while any pointer lacks a recorded " +
+      "min birth version") {
+    val c = conf(); val dir = newDir(); val fs = dir.getFileSystem(c)
+    fullAppend(fs, dir, c, (0 until 12).map(entry(_)))
+    val json = FlsEqDeletes.EqDelete(0L, Seq(FlsEqDeletes.InLeg("k",
+      FlsEqDeletes.KindLong, Array(7L), Array.empty, Array.empty))).json
+    deltaCommit(fs, dir, c, FlsManifest.Delta(), op = "eqdelete",
+      eqAdd = Seq(json))
+    deltaCommit(fs, dir, c,
+      FlsManifest.Delta(add = (100 until 112).map(entry(_))))
+    // leave ONE bv=1 entry alive: the predicate still applies to it
+    val removeMost = (1 until 12).map(i => f"part-$i%05d.fls").toSet
+    val v = deltaCommit(fs, dir, c,
+      FlsManifest.Delta(removeRels = removeMost), op = "delete")
+    assert(FlsManifest.versionEq(fs, dir, v).length == 1,
+      "a predicate with a retained old-bv entry must carry")
+    // now remove the last one — proof complete, predicate drops
+    val v2 = deltaCommit(fs, dir, c,
+      FlsManifest.Delta(removeRels = Set("part-00000.fls")), op = "delete")
+    assert(FlsManifest.versionEq(fs, dir, v2).isEmpty)
+  }
+
   test("single-entry delta appends fold once enough small chunks pile " +
       "up — chunk count stays bounded") {
     val c = conf(); val dir = newDir(); val fs = dir.getFileSystem(c)
