@@ -290,7 +290,7 @@ object Bloom {
     val verdict = p.legs.forall {
       case in: FlsEqDeletes.InLeg =>
         val idx = desc.columns.indexWhere(_.name == in.col)
-        if (idx < 0 || !FlsEqDeletes.domainOk(in.kind, desc.columns(idx).colType))
+        if (idx < 0 || !FlsEqDeletes.domainOk(in, desc.columns(idx).colType))
           true
         else (for { bs <- blooms; bf <- bs.get(in.col) } yield {
           val hashes: Array[Long] = in.kind match {

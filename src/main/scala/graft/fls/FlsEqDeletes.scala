@@ -66,20 +66,34 @@ object FlsEqDeletes {
   sealed trait Leg {
     def col: String
     def kind: String
+    /** DECIMAL legs (r17): the table-schema scale the long values are
+      * unscaled at; -1 = plain long domain. */
+    def scale: Int
     private[fls] def bodyJson: List[(String, JValue)]
   }
 
+  /** One conjunct of a committed predicate: an IN set or a range over
+    * one column. Values live in the storage-semantic domain of
+    * `kind`. `scale >= 0` marks a DECIMAL leg (r17): the long values
+    * are UNSCALED decimals at the TABLE schema's scale — literals are
+    * normalized to it at predicate-compile time, and the residual /
+    * zone-map / bloom consumers apply only to files storing the
+    * column at exactly that scale (the delete planner refuses
+    * mixed-scale tables up front; a post-commit drift THROWS at
+    * decode, the standard degrade-loudly contract). */
   /** `col IN vals` (a single `=` is a one-element IN); values sorted
     * for the decode-time binary search. */
   final case class InLeg(col: String, kind: String, longs: Array[Long],
-      doubles: Array[Double], strings: Array[String]) extends Leg {
+      doubles: Array[Double], strings: Array[String],
+      scale: Int = -1) extends Leg {
     private[fls] def valsJson: JArray = kind match {
       case KindLong => JArray(longs.toList.map(JLong(_)))
       case KindDouble => JArray(doubles.toList.map(JDouble(_)))
       case KindString => JArray(strings.toList.map(JString(_)))
     }
     private[fls] def bodyJson: List[(String, JValue)] =
-      List("c" -> JString(col), "k" -> JString(kind), "x" -> valsJson)
+      List("c" -> JString(col), "k" -> JString(kind), "x" -> valsJson) ++
+        (if (scale >= 0) List("sc" -> JInt(scale)) else Nil)
   }
 
   /** One bound of a [[RangeLeg]], in the semantic domain of the leg's
@@ -100,7 +114,7 @@ object FlsEqDeletes {
     * unsigned UTF-8 byte order (= code-point order — what both Spark's
     * UTF8String and the storage comparison use). */
   final case class RangeLeg(col: String, kind: String,
-      lo: Option[Bound], hi: Option[Bound]) extends Leg {
+      lo: Option[Bound], hi: Option[Bound], scale: Int = -1) extends Leg {
     require(lo.nonEmpty || hi.nonEmpty,
       s"fls eqdel: unbounded range on '$col'")
     private def boundJson(b: Bound): JValue = kind match {
@@ -109,7 +123,8 @@ object FlsEqDeletes {
       case KindString => JString(b.s)
     }
     private[fls] def bodyJson: List[(String, JValue)] = {
-      val base = List("c" -> JString(col), "k" -> JString(kind))
+      val base = List("c" -> JString(col), "k" -> JString(kind)) ++
+        (if (scale >= 0) List("sc" -> JInt(scale)) else Nil)
       val loJ = lo.toList.flatMap(b =>
         List("lo" -> boundJson(b)) ++
           (if (b.inc) Nil else List("lx" -> JBool(true))))
@@ -167,10 +182,19 @@ object FlsEqDeletes {
       case _ => sys.error(s"fls eqdel: missing kind in '$json'") }
     if (kind != KindLong && kind != KindDouble && kind != KindString)
       sys.error(s"fls eqdel: unknown kind '$kind' in '$json'")
+    val scale = o \ "sc" match {
+      case JNothing => -1
+      case v =>
+        val s = parseLong(v, json)
+        if (kind != KindLong || s < 0 || s > 38)
+          sys.error(s"fls eqdel: bad scale $s in '$json'")
+        s.toInt
+    }
     o \ "x" match {
       case JArray(xs) => kind match {
         case KindLong => InLeg(col, kind,
-          xs.map(parseLong(_, json)).toArray, Array.empty, Array.empty)
+          xs.map(parseLong(_, json)).toArray, Array.empty, Array.empty,
+          scale)
         case KindDouble => InLeg(col, kind, Array.empty,
           xs.map(parseDouble(_, json)).toArray, Array.empty)
         case KindString => InLeg(col, kind, Array.empty, Array.empty,
@@ -214,7 +238,7 @@ object FlsEqDeletes {
                 case KindString => Bound(0L, 0.0, parseString(v, json), inc)
               })
           }
-        RangeLeg(col, kind, bound("lo", "lx"), bound("hi", "hx"))
+        RangeLeg(col, kind, bound("lo", "lx"), bound("hi", "hx"), scale)
       case other => sys.error(s"fls eqdel: bad values $other in '$json'")
     }
   }
@@ -247,10 +271,15 @@ object FlsEqDeletes {
   /** Does the file's stored domain line up with the leg's semantic
     * kind — the SAME guard the decode-time residual compile enforces
     * (so any stats/bloom proof talks about the values the residual
-    * would actually compare)? */
-  def domainOk(kind: String, ct: ColumnType): Boolean = {
+    * would actually compare)? DECIMAL legs additionally require the
+    * file's stored scale to equal the leg's — unscaled longs at
+    * different scales are incomparable. */
+  def domainOk(leg: Leg, ct: ColumnType): Boolean = {
     val phys = physOf(ct.tag)
-    kind match {
+    leg.kind match {
+      case KindLong if leg.scale >= 0 =>
+        phys == Phys.LONG && ct.tag == TypeTag.DECIMAL &&
+          ct.scale == leg.scale
       case KindLong => phys == Phys.LONG && ct.tag != TypeTag.UINT64 &&
         ct.tag != TypeTag.DECIMAL
       case KindDouble => phys == Phys.DOUBLE
@@ -271,8 +300,11 @@ object FlsEqDeletes {
   def legMayMatch(leg: Leg, ct: ColumnType, seg: SegmentDesc): Boolean = {
     val phys = physOf(ct.tag)
     leg.kind match {
-      case KindLong if phys == Phys.LONG && ct.tag != TypeTag.UINT64 &&
-          ct.tag != TypeTag.DECIMAL =>
+      // plain-long and matched-scale DECIMAL legs share the unscaled
+      // interval logic (domainOk guards both shapes; a scale-drifted
+      // file falls to the conservative default below — pruning must
+      // never mask the decode-time drift THROW)
+      case KindLong if domainOk(leg, ct) =>
         if (!seg.hasStats) true
         else leg match {
           case in: InLeg =>
@@ -462,8 +494,32 @@ object FlsEqDeletes {
         if (conv.exists(_.isEmpty)) None
         else Some(InLeg(col, KindString, Array.empty, Array.empty,
           conv.map(_.get).distinct.sorted.toArray))
-      case _ => None // decimal/binary/nested: CoW or MOR leg
+      case d: DecimalType if d.precision <= 18 =>
+        // unscaled-long domain at the TABLE schema's scale (r17) — a
+        // literal that doesn't round-trip exactly at that scale can
+        // never equal a stored value; the ladder handles it
+        val conv = raw.map(toUnscaledExact(_, d.scale))
+        if (conv.exists(_.isEmpty)) None
+        else Some(InLeg(col, KindLong,
+          conv.map(_.get).distinct.sorted.toArray, Array.empty,
+          Array.empty, scale = d.scale))
+      case _ => None // wide decimal/binary/nested: CoW or MOR leg
     }
+  }
+
+  /** The literal as an unscaled long at scale `s`, or None when it is
+    * not EXACTLY representable there (equality can then never hold
+    * against a stored value) or doesn't fit a long. */
+  private def toUnscaledExact(v: Any, s: Int): Option[Long] = {
+    val bd = v match {
+      case b: java.math.BigDecimal => b
+      case b: BigDecimal => b.bigDecimal
+      case n: java.lang.Long => java.math.BigDecimal.valueOf(n.longValue())
+      case n: java.lang.Integer => java.math.BigDecimal.valueOf(n.longValue())
+      case _ => return None
+    }
+    try Some(bd.setScale(s).unscaledValue().longValueExact())
+    catch { case _: ArithmeticException => None }
   }
 
   /** Intersect one column's range conjuncts into one [[RangeLeg]].
@@ -519,8 +575,72 @@ object FlsEqDeletes {
         mergeBounds(fs, col, KindString)(toSemanticString)(
           (a, b) => utf8Compare(a.asInstanceOf[String], b.asInstanceOf[String]),
           (v, inc) => Bound.ofString(v.asInstanceOf[String], inc))
+      case d: DecimalType if d.precision <= 18 =>
+        // closed-normalize in the DISCRETE unscaled-long domain at the
+        // table scale s: stored values are exact multiples of 10^-s,
+        // so  x >  v ⟺ u(x) ≥ ⌊v·10^s⌋+1,  x ≥ v ⟺ u(x) ≥ ⌈v·10^s⌉,
+        //     x <  v ⟺ u(x) ≤ ⌈v·10^s⌉−1,  x ≤ v ⟺ u(x) ≤ ⌊v·10^s⌋ —
+        // exact for ANY literal, representable at s or not
+        val LongMin = java.math.BigInteger.valueOf(Long.MinValue)
+        val LongMax = java.math.BigInteger.valueOf(Long.MaxValue)
+        var lo = Long.MinValue
+        var hi = Long.MaxValue
+        var hasLo = false
+        var hasHi = false
+        fs.foreach { f =>
+          val (raw, isLo, inc) = f match {
+            case GreaterThan(_, v) => (v, true, false)
+            case GreaterThanOrEqual(_, v) => (v, true, true)
+            case LessThan(_, v) => (v, false, false)
+            case LessThanOrEqual(_, v) => (v, false, true)
+            case _ => return RangeUnsupported
+          }
+          val bd = raw match {
+            case b: java.math.BigDecimal => b
+            case b: BigDecimal => b.bigDecimal
+            case n: java.lang.Long => java.math.BigDecimal.valueOf(n.longValue())
+            case n: java.lang.Integer => java.math.BigDecimal.valueOf(n.longValue())
+            case _ => return RangeUnsupported
+          }
+          import java.math.RoundingMode
+          val b: java.math.BigInteger =
+            if (isLo) {
+              if (inc) bd.setScale(d.scale, RoundingMode.CEILING).unscaledValue()
+              else bd.setScale(d.scale, RoundingMode.FLOOR).unscaledValue()
+                .add(java.math.BigInteger.ONE)
+            } else {
+              if (inc) bd.setScale(d.scale, RoundingMode.FLOOR).unscaledValue()
+              else bd.setScale(d.scale, RoundingMode.CEILING).unscaledValue()
+                .subtract(java.math.BigInteger.ONE)
+            }
+          if (isLo) {
+            if (b.compareTo(LongMax) > 0) return RangeEmpty
+            if (b.compareTo(LongMin) >= 0) { // below-long lo: vacuous
+              val bl = b.longValue()
+              if (!hasLo || bl > lo) lo = bl
+              hasLo = true
+            }
+          } else {
+            if (b.compareTo(LongMin) < 0) return RangeEmpty
+            if (b.compareTo(LongMax) <= 0) { // above-long hi: vacuous
+              val bl = b.longValue()
+              if (!hasHi || bl < hi) hi = bl
+              hasHi = true
+            }
+          }
+        }
+        if (hasLo && hasHi && lo > hi) return RangeEmpty
+        if (!hasLo && !hasHi)
+          // every bound was vacuous over the representable domain: the
+          // leg still matters (NULL never satisfies a comparison) —
+          // keep it as the all-values range rather than dropping it
+          RangeOk(RangeLeg(col, KindLong, Some(Bound.ofLong(Long.MinValue)),
+            None, scale = d.scale))
+        else RangeOk(RangeLeg(col, KindLong,
+          if (hasLo) Some(Bound.ofLong(lo)) else None,
+          if (hasHi) Some(Bound.ofLong(hi)) else None, scale = d.scale))
       case _ =>
-        RangeUnsupported // boolean range is degenerate; decimal: ladder
+        RangeUnsupported // boolean range is degenerate; wide decimal: ladder
     }
   }
 

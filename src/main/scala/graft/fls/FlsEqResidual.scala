@@ -43,21 +43,19 @@ object FlsEqResidual {
         val idx = cols.indexWhere(_.name == l.col)
         val ct = if (idx < 0) null else cols(idx).colType
         if (idx >= 0) {
-          val phys = physOf(ct.tag)
-          val ok = l.kind match {
-            case FlsEqDeletes.KindLong =>
-              phys == Phys.LONG && ct.tag != TypeTag.UINT64 &&
-                ct.tag != TypeTag.DECIMAL
-            case FlsEqDeletes.KindDouble => phys == Phys.DOUBLE
-            case FlsEqDeletes.KindString =>
-              phys == Phys.BYTES && ct.tag == TypeTag.STRING
-            case _ => false
-          }
+          // DECIMAL legs (scale >= 0) compare unscaled longs and
+          // require the file's stored scale to equal the leg's — the
+          // delete planner refuses mixed-scale tables up front, so a
+          // mismatch here is post-commit drift: THROW, never guess
+          val ok = FlsEqDeletes.domainOk(l, ct)
           if (!ok) throw new IllegalStateException(
             s"fls: equality delete on '${l.col}' cannot apply to a file " +
-              s"storing it as ${ct.tag} — the column's physical domain " +
-              "drifted since the delete committed; compact the table to " +
-              "absorb the predicate, then retry")
+              s"storing it as ${ct.tag}" +
+              (if (l.scale >= 0) s" (scale ${ct.scale} vs the predicate's " +
+                s"${l.scale})" else "") +
+              " — the column's physical domain drifted since the delete " +
+              "committed; compact the table to absorb the predicate, " +
+              "then retry")
         }
         LegExcl(idx, l, ct)
       }.toArray

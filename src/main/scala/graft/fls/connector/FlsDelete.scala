@@ -192,7 +192,10 @@ object FlsDelete {
       /** the already-derived predicate shape, when the caller computed
         * it for routing — fromFilters re-parses/converts/intersects
         * the whole conjunction, once per DELETE is enough */
-      shape: Option[Option[graft.fls.FlsEqDeletes.EqDelete]] = None)
+      shape: Option[Option[graft.fls.FlsEqDeletes.EqDelete]] = None,
+      /** the manifest entries' stats JSONs — the DECIMAL-leg scale
+        * check reads per-file stored scales from them (r17) */
+      entryStats: Seq[String] = Nil)
       : Option[graft.fls.FlsEqDeletes.EqDelete] = {
     if (deleteMode(options) != "equality" || !manifest) return None
     if (FlsDataSource.branchRef(options) != FlsManifest.MainRef) return None
@@ -204,6 +207,34 @@ object FlsDelete {
       val partCols = FlsPartitioning
         .discover(Seq(tablePath(options)), files, conf).keys
       p.legs.exists(l => partCols.contains(l.col))
+    }.filter { p =>
+      // DECIMAL legs compare unscaled longs at the TABLE schema's
+      // scale: commit the predicate only when every file VERIFIABLY
+      // stores the column at that scale (manifest stats descs carry
+      // per-file (p,s); rename history applied so pre-RENAME
+      // generations verify too). A stats-less entry or a genuinely
+      // mixed-scale legacy file refuses — the DELETE then takes the
+      // CoW/MOR ladder, exact as ever. Absent columns are fine:
+      // all-NULL storage never matches a literal.
+      val scaled = p.legs.filter(_.scale >= 0)
+      scaled.isEmpty || {
+        val renameSchema =
+          if (schema.fields.exists(f =>
+              graft.fls.Format.previousNames(f).nonEmpty)) Some(schema)
+          else None
+        entryStats.nonEmpty && entryStats.forall { sj =>
+          graft.fls.FlsFileStats.toDesc(sj)
+            .map(d => renameSchema.fold(d)(s =>
+              graft.fls.Format.applyRenames(d, s))) match {
+            case None => false // stats-less entry: cannot verify
+            case Some(d) => scaled.forall { l =>
+              val idx = d.columns.indexWhere(_.name == l.col)
+              idx < 0 || graft.fls.FlsEqDeletes.domainOk(l,
+                d.columns(idx).colType)
+            }
+          }
+        }
+      }
     }
   }
 
@@ -263,7 +294,8 @@ object FlsDelete {
     }
     val activeEq = manifest.isDefined &&
       FlsManifest.versionEq(fs, root, manifest.get._1).nonEmpty
-    eqDelete(schema, options, filters, files, manifest.isDefined, conf).isDefined ||
+    eqDelete(schema, options, filters, files, manifest.isDefined, conf,
+        entryStats = manifest.map(_._2.map(_.stats)).getOrElse(Nil)).isDefined ||
       plan(schema, options, filters, files, conf,
         mor = morEnabled(options) && manifest.isDefined,
         activeEq = activeEq).isDefined
@@ -460,7 +492,8 @@ object FlsDelete {
         // equality mode, supported shape: commit the PREDICATE — one
         // manifest line, zero data reads, whatever the key straddles
         eqDelete(schema, options, filters, frozenFiles, manifest = true,
-            conf, shape = Some(predShape)).foreach { pred =>
+            conf, shape = Some(predShape),
+            entryStats = frozenEntries.map(_.stats)).foreach { pred =>
           // metadata-only commit: an EMPTY delta — on a chunked table
           // this opens ZERO chunks (pointer lines carried verbatim),
           // so the GDPR-shape delete is O(1) in both data AND metadata

@@ -2026,6 +2026,75 @@ object FlsQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** q125 (r17): DECIMAL-domain predicate deletes — the money-typed
+    * retention shape the r16 verdict flagged as silently paying the
+    * CoW/MOR leg. The price column is DECIMAL(12,2); the retention
+    * cutoff and a NON-REPRESENTABLE upper bound (250000.004 — scale 3
+    * against a scale-2 column) both commit as `#eqdel` lines with
+    * literals normalized to unscaled longs at the table scale
+    * ([[graft.fls.FlsEqDeletes]] — FLOOR/CEILING closed normalization,
+    * exact for any literal); a reinsert into the purged range stays
+    * visible (birth-version exemption). Zero data reads per DELETE
+    * (spec-asserted in FlsEqDeleteSpec). */
+  def q125FlsEqDeleteDecimal(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "eqdec_warehouse")
+    val cat = s"fls_eqdec_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_eqdec"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_eqdec")
+      if (!done.contains(warehouse + "@eqdec") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_eqdec_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_orderstatus " +
+          "STRING, price DECIMAL(12,2)) " +
+          "TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='equality')")
+        spark.sql(s"INSERT INTO $tbl SELECT /*+ REPARTITION(8) */ " +
+          "o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) " +
+          s"FROM orders_eqdec_src_$key")
+        // money-typed retention cutoff: one range line, zero data reads
+        spark.sql(s"DELETE FROM $tbl WHERE price < 50000.00")
+        // reinsert part of the purged range AFTER the predicate
+        // → newer birth version → exempt
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, " +
+          "CAST(o_totalprice AS DECIMAL(12,2)) " +
+          s"FROM orders_eqdec_src_$key WHERE " +
+          "CAST(o_totalprice AS DECIMAL(12,2)) < 50000.00 " +
+          "AND o_orderkey % 7 = 0")
+        // non-representable bound: normalizes to unscaled >= 25000001
+        spark.sql(s"DELETE FROM $tbl WHERE price > 250000.004")
+        marker.createNewFile()
+      }
+      done += warehouse + "@eqdec"
+    }
+    spark.table(tbl).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(col("price"))).as("total"),
+        sum(col("o_orderkey")).as("sumk"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q125Sql: String =
+    """WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders
+      ), live AS (
+        SELECT * FROM base
+        WHERE price >= 50000.00
+           OR (price < 50000.00 AND o_orderkey % 7 = 0)
+      )
+      SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(price) AS DOUBLE) AS total,
+        CAST(sum(o_orderkey) AS BIGINT) AS sumk
+      FROM live
+      WHERE NOT (price > 250000.004)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val q123Sql: String =
     """WITH live AS (
         SELECT * FROM orders
@@ -2042,6 +2111,7 @@ object FlsQueries {
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_fls_eqdelete_decimal" -> (q125FlsEqDeleteDecimal _),
     "q123_fls_eqdelete_range" -> (q123FlsEqDeleteRange _),
     "q122_fls_eqdelete_stream" -> (q122FlsEqDeleteStream _),
     "q121_fls_eqdelete_multicol" -> (q121FlsEqDeleteMulticol _),
@@ -2090,6 +2160,7 @@ object FlsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q125_fls_eqdelete_decimal" -> q125Sql,
     "q123_fls_eqdelete_range" -> q123Sql,
     "q122_fls_eqdelete_stream" -> q122Sql,
     "q121_fls_eqdelete_multicol" -> q121Sql,

@@ -449,6 +449,81 @@ class FlsEqDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"(v0=$v0, head=$headV)")
   }
 
+  test("DECIMAL retention + point deletes commit with ZERO Spark jobs " +
+      "(r17): literals normalize to the table scale as unscaled longs, " +
+      "non-representable bounds closed-normalize exactly, reinserts " +
+      "stay visible") {
+    val tbl = s"$cat.db.money"
+    val dir = s"$tmp/warehouse/db/money"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, price DECIMAL(12,2)) " +
+      "TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='equality')")
+    spark.range(0, 100).selectExpr("id",
+      "CAST(CAST(id AS DECIMAL(12,2)) / 4 AS DECIMAL(12,2)) AS price")
+      .repartition(5).writeTo(tbl).append()
+    def prices(): Set[java.math.BigDecimal] = spark.table(tbl)
+      .select("price").collect().map(_.getDecimal(0)).toSet
+    var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // retention cutoff NOT representable at scale 2: price > 9.999
+      // must normalize to unscaled >= 1000 (i.e. >= 10.00)
+      spark.sql(s"DELETE FROM $tbl WHERE price > 9.999 AND price < 20.005")
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"decimal range delete ran $jobs Spark job(s) — not O(1)")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val (headV, _) = FlsManifest.readVersioned(fs, new Path(dir)).get
+    val eq = FlsManifest.versionEq(fs, new Path(dir), headV)
+    assert(eq.length == 1 && eq.head.contains("\"sc\":2"), eq.mkString("; "))
+    val r = FlsEqDeletes.parse(eq.head).legs.head
+      .asInstanceOf[FlsEqDeletes.RangeLeg]
+    assert(r.scale == 2 && r.lo.get.l == 1000L && r.hi.get.l == 2000L,
+      eq.head)
+    // ids with 10.00 <= id/4 <= 20.00 die: ids 40..80
+    assert(ids(tbl) == (0L until 100L).filterNot(i => i >= 40 && i <= 80).toSet)
+    // decimal POINT delete: one more predicate line, still zero reads
+    spark.sql(s"DELETE FROM $tbl WHERE price = 5.25") // id 21
+    assert(ids(tbl) == (0L until 100L)
+      .filterNot(i => (i >= 40 && i <= 80) || i == 21).toSet)
+    // reinsert into the deleted range: newer birth version → visible
+    spark.sql(s"INSERT INTO $tbl VALUES (777, CAST(15.00 AS DECIMAL(12,2)))")
+    assert(ids(tbl).contains(777L))
+    assert(prices().contains(new java.math.BigDecimal("15.00")))
+    // footer count(*) shortcut must not serve stale counts
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0)
+      == 100 - 41 - 1 + 1)
+    // and absorb still works over decimal predicates
+    graft.fls.FlsMaintenance.absorbDeletes(spark, dir)
+    assert(FlsManifest.versionEq(fs, new Path(dir),
+      FlsManifest.readVersioned(fs, new Path(dir)).get._1).isEmpty)
+    assert(ids(tbl) == ((0L until 100L)
+      .filterNot(i => (i >= 40 && i <= 80) || i == 21) :+ 777L).toSet)
+  }
+
+  test("a WIDE decimal (p>18) DELETE falls back to the ladder and " +
+      "stays exact; an equality on a non-representable literal also " +
+      "falls back (can never match) and deletes nothing") {
+    val tbl = s"$cat.db.money_wide"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, amt DECIMAL(24,4)) " +
+      "TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='equality')")
+    spark.range(0, 40).selectExpr("id",
+      "CAST(CAST(id AS DECIMAL(24,4)) * 1.5 AS DECIMAL(24,4)) AS amt")
+      .repartition(2).writeTo(tbl).append()
+    spark.sql(s"DELETE FROM $tbl WHERE amt >= 30.0")
+    assert(ids(tbl) == (0L until 20L).toSet)
+    val tbl2 = s"$cat.db.money_exact"
+    spark.sql(s"CREATE TABLE $tbl2 (id BIGINT, price DECIMAL(12,2)) " +
+      "TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='equality')")
+    spark.range(0, 10).selectExpr("id",
+      "CAST(id AS DECIMAL(12,2)) AS price").writeTo(tbl2).append()
+    // 5.005 is not representable at scale 2 — equality can never hold
+    spark.sql(s"DELETE FROM $tbl2 WHERE price = CAST(5.005 AS DECIMAL(12,3))")
+    assert(spark.table(tbl2).count() == 10)
+  }
+
   test("foreign exclusive long bounds closed-normalize at the parse " +
       "boundary (the writer never emits them; a hand-edited line must " +
       "not silently apply as inclusive)") {
