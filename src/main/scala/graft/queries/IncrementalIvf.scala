@@ -141,6 +141,9 @@ object IncrementalIvf {
     val e = vecsOf(corpus)
     val ideal = math.ceil(math.sqrt(n.toDouble)).toLong
     val upTo = math.max(nprobe, 1)
+    // seeds by RANK (r17 — the dense-from-0 id contract is lifted):
+    // the n-smallest ids become centroids with cent_id = their dense
+    // rank, identical to the raw-id selection on a dense corpus
     val (meta, cents) =
       if (ideal > cap) {
         val nCent = math.min(ideal, cap * cap)
@@ -148,18 +151,12 @@ object IncrementalIvf {
         val l1p = math.max(1,
           sys.props.get("graft.ivf.l1probe").map(_.toInt).getOrElse(2))
         (Meta("2l", n, nCent, upTo, l1, l1p),
-          e.filter(col("vec_id") < nCent).select(col("vec_id").as("cent_id"),
-            col("v").as("v_q"), col("nr").as("nr_q")))
+          Similarity.seedsByRank(e, nCent, broadcastJoin = false))
       } else {
         (Meta("flat", n, ideal, upTo, 0L, 0),
-          e.filter(col("vec_id") < ideal).select(col("vec_id").as("cent_id"),
-            col("v").as("v_q"), col("nr").as("nr_q")))
+          Similarity.seedsByRank(e, ideal, broadcastJoin = true))
       }
     markerOf(idxDir).delete() // invalidate BEFORE the overwrite
-    require(cents.limit(1).count() > 0,
-      s"graft ivf: the centroid seed range [0, ${meta.cent}) selected " +
-        "no vectors — the corpus id space is not dense from 0 " +
-        "(the quantizer's documented contract)")
     val ranked =
       if (meta.mode == "2l") {
         val l1Bc = Similarity.broadcastGroups(

@@ -200,12 +200,38 @@ object Similarity {
     * aggregation downstream are shared unchanged. */
   private def rankedTwoLevel(e: DataFrame, nCentTotal: Long,
       l1Count: Long, upTo: Int, l1Probe: Int): DataFrame = {
-    val l2 = requireSeeds(e.filter(col("vec_id") < nCentTotal)
-      .select(col("vec_id").as("cent_id"), col("v").as("v_q"),
-        col("nr").as("nr_q")), nCentTotal)
-    val l1Bc = broadcastGroups(e.filter(col("vec_id") < l1Count)
-      .select(col("vec_id"), col("v"), col("nr")))
+    val l2 = seedsByRank(e, nCentTotal, broadcastJoin = false)
+    val l1Bc = broadcastGroups(l2.filter(col("cent_id") < l1Count)
+      .select(col("cent_id").as("vec_id"), col("v_q").as("v"),
+        col("nr_q").as("nr")))
     rankedTwoLevelAgainst(e, l2, l1Bc, upTo, l1Probe)
+  }
+
+  /** Seed selection by RANK (r17 — lifts the dense-from-0 id
+    * contract): the quantizer previously seeded from `vec_id < n`,
+    * which REFUSED any hash/UUID-keyed corpus. Seeds are now the `n`
+    * smallest vec_ids, with `cent_id` = the seed's dense 0-based rank
+    * in id order, computed by [[graft.functions.DistributedRank]]
+    * (range-partitioned two-pass numbering over the NARROW id
+    * projection — no single-partition window funnel) and joined back
+    * to the vectors (broadcast-joined when `n` is within the
+    * broadcast budget — the flat path; shuffle-joined on the
+    * two-level path, whose seed set can reach cap²). On a
+    * dense-from-0 corpus rank == vec_id, so every persisted index,
+    * oracle hash (q26/q120/q124), and recall figure is unchanged; on
+    * any other id space the same geometry now just works. The seed's
+    * source id rides along as `src_vec_id` and persists with the
+    * centroid table — the (vec_id → rank) audit artifact. */
+  private[queries] def seedsByRank(e: DataFrame, n: Long,
+      broadcastJoin: Boolean): DataFrame = {
+    val ranked0 = graft.functions.DistributedRank
+      .withRowNumber(e.select(col("vec_id")), Seq(col("vec_id")), "rn")
+      .filter(col("rn") <= n)
+      .select(col("vec_id"), (col("rn") - lit(1L)).cast("long").as("cent_id"))
+    val ranked = if (broadcastJoin) broadcast(ranked0) else ranked0
+    e.join(ranked, Seq("vec_id"))
+      .select(col("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"),
+        col("vec_id").as("src_vec_id"))
   }
 
   /** Driver-collect + broadcast one tiny (id, vector, norm) frame —
@@ -217,8 +243,7 @@ object Similarity {
         (Array[Long], Array[Array[Double]], Array[Double])] = {
     val rows = df.collect().sortBy(_.getLong(0))
     require(rows.nonEmpty,
-      "graft ivf: empty L1 group set — the corpus id space is not " +
-        "dense from 0 (the quantizer's documented contract)")
+      "graft ivf: empty L1 group set — the corpus has no vectors")
     df.sparkSession.sparkContext.broadcast((
       rows.map(_.getLong(0)),
       rows.map(_.getSeq[Double](1).toArray),
@@ -318,9 +343,7 @@ object Similarity {
       val r = rankCache.getOrBuild(spark, s"$dir#2l#$nprobe#$nCentTotal#$l1Probe")(
         loadOrBuildIndex(spark, idxPath, idxMeta,
             build = rankedTwoLevel(e, nCentTotal, l1Count, upTo, l1Probe),
-            cents = e.filter(col("vec_id") < nCentTotal)
-              .select(col("vec_id").as("cent_id"), col("v").as("v_q"),
-                col("nr").as("nr_q")))
+            cents = seedsByRank(e, nCentTotal, broadcastJoin = false))
           .persist(org.apache.spark.storage.StorageLevel.fromString(
             sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
       return finishAnn(spark, e, r, nprobe)
@@ -362,27 +385,9 @@ object Similarity {
     scored.withColumn("ar", row_number().over(w)).filter(col("ar") <= upTo)
   }
 
-  /** IVF centroid convention: the quantizer seeds from `vec_id <
-    * ⌈√n⌉` — a DENSE-FROM-0 id contract (the corpus schema's own:
-    * embeddings carry consecutive ids). An id space violating it
-    * would select an empty/short centroid set, so the build GUARDS
-    * loudly here instead of silently serving an empty index (the PQ
-    * codebook takes the rank-based selection instead — its K is a
-    * constant 64, cheap to rank; ⌈√n⌉ at 64Ki is not). */
-  private def requireSeeds(cents: DataFrame, want: Long): DataFrame = {
-    val got = cents.limit(1).count()
-    require(got > 0,
-      s"graft ivf: the centroid seed range [0, $want) selected no " +
-        "vectors — the corpus id space is not dense from 0; reassign " +
-        "consecutive vec_ids (the quantizer's documented contract)")
-    cents
-  }
-
   private def singleLevelCents(e: DataFrame, nCent: Long,
       lloyd: Boolean): DataFrame = {
-    val cents0 = requireSeeds(e.filter(col("vec_id") < nCent)
-      .select(col("vec_id").as("cent_id"), col("v").as("v_q"),
-        col("nr").as("nr_q")), nCent)
+    val cents0 = seedsByRank(e, nCent, broadcastJoin = true)
     if (!lloyd) cents0
     else {
       // one Lloyd refinement: new centroid = per-dimension mean of the

@@ -112,4 +112,50 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     Similarity.ivfAnn(spark.newSession(), dir, nprobe = 2, lloyd = false).collect()
     assert(Similarity.indexBuilds == 2L, "stale index served after append")
   }
+
+  test("a hash-keyed (non-dense) id space builds the IDENTICAL " +
+      "quantizer as the dense corpus: seeds select by RANK, not raw " +
+      "id (r17 — the dense-from-0 contract is lifted)") {
+    import org.apache.spark.sql.functions._
+    val dir = s"$tmp/hashed"
+    // order-preserving but non-dense remap: id → id·1000 + 7 — the
+    // rank order (and therefore the seed set and every assignment) is
+    // unchanged, only the raw ids move out of [0, n)
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") * 1000 + 7)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dense = Similarity
+      .rankedBuildForTest(spark, sf, nprobe = 2, lloyd = false)
+      .select("vec_id", "cent_id", "ar").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hashed = Similarity
+      .rankedBuildForTest(spark, dir, nprobe = 2, lloyd = false)
+      .select((col("vec_id") - 7) / 1000, col("cent_id"), col("ar"))
+      .collect()
+      .map(r => (r.getDouble(0).toLong, r.getLong(1), r.getInt(2))).toSet
+    assert(dense.nonEmpty && hashed == dense,
+      s"remapped-id quantizer diverged (dense=${dense.size}, hashed=${hashed.size})")
+    // end-to-end: the persisted build over the non-dense corpus works
+    // (previously refused with 'not dense from 0'), assigns every
+    // vector, and seeds cent_ids densely from 0
+    Similarity.indexBuilds = 0L
+    Similarity.ivfAnn(spark, dir, nprobe = 2, lloyd = false).collect()
+    assert(Similarity.indexBuilds == 1L)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val idx = new java.io.File(s"$tmp/index").listFiles()
+      .filter(_.getName.startsWith(dir.replaceAll("[^a-zA-Z0-9]", "_")))
+      .find(_.getName.contains("_ivf_l0_")).get
+    val triples = spark.read.format("fls").load(idx.getPath)
+    assert(triples.filter(col("ar") === 1).count() == n,
+      "every vector must be assigned to exactly one cell")
+    val cents = spark.read.format("fls").load(s"${idx.getPath}/_centroids")
+    val nCent = math.ceil(math.sqrt(n.toDouble)).toLong
+    assert(cents.count() == nCent)
+    assert(cents.agg(min("cent_id"), max("cent_id")).collect()(0) ==
+      org.apache.spark.sql.Row(0L, nCent - 1),
+      "cent_ids must be the dense ranks")
+    // the audit mapping (seed's source id) persists with the centroids
+    assert(cents.columns.contains("src_vec_id"))
+    assert(cents.agg(min("src_vec_id")).collect()(0).getLong(0) == 7L)
+  }
 }
