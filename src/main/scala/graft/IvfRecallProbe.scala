@@ -81,15 +81,25 @@ object IvfRecallProbe {
     // codes/subspace + top-20 shortlist = 0.750 (too coarse); K=64 +
     // top-50 = 0.950, the q124 geometry (bounded above by its
     // no-Lloyd nprobe=2 cells).
-    locally {
+    def measurePq(name: String,
+        f: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val got = graft.queries.Similarity.q124IvfPq(spark, dir)
+      val got = f(spark, dir)
         .select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val secs = (System.nanoTime() - t0) / 1e9
       val recall = got.count(exact.contains).toDouble / exact.size
-      println(f"[ivf-recall] ivf-pq adc50+rerank (q124)    recall@5=$recall%.3f  ${secs}%.2f s")
+      println(f"[ivf-recall] $name%-28s recall@5=$recall%.3f  ${secs}%.2f s")
     }
+    measurePq("ivf-pq adc50+rerank (q124)",
+      graft.queries.Similarity.q124IvfPq)
+    // residual-encoded IVFADC (r17, q126): same (M, K) budget and the
+    // same ADC-50 shortlist, but codebooks train on (vector − cell
+    // centroid) residuals — the FAISS IVFADC shape; the rung past the
+    // plain-PQ plateau when the shortlist (not the cells) is what
+    // loses the true neighbors.
+    measurePq("ivfadc residual (q126)",
+      graft.queries.Similarity.q126IvfAdc)
     spark.stop()
   }
 }

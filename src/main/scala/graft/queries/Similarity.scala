@@ -562,16 +562,49 @@ object Similarity {
     * Lloyd means, code assignment, reconstruction, ADC ranking,
     * rerank — so one flipped code or mis-ordered subspace breaks the
     * hash. */
-  private[queries] val PqM = 8
-  private[queries] val PqK = 64
-  private val PqDsub = 8
+  /** PQ geometry (r17 — no longer hardcoded to 64-dim corpora):
+    * `dsub` = the largest subspace width ≤ 8 dividing the corpus
+    * dimension (FAISS's dim % M == 0 requirement; a large prime dim
+    * degrades to dsub=1 scalar quantization, a small one to a single
+    * whole-vector subspace — heavy but correct), `m` = dim/dsub, `k`
+    * sized
+    * from a per-vector CODE MEMORY BUDGET (`graft.pq.budgetBytes`,
+    * default 6): bits/code = clamp(budget·8 / m, 2..8). The 64-dim
+    * default derives m=8, k=64 — exactly the former constants, so
+    * every persisted artifact and the q124 oracle hash are
+    * unchanged. */
+  private[graft] final case class PqGeom(m: Int, dsub: Int, k: Int)
+
+  private[graft] def pqGeomFor(dim: Int): PqGeom = {
+    require(dim > 0, s"graft pq: vector dimension must be positive, got $dim")
+    val dsub = (math.min(8, dim) to 1 by -1).find(d => dim % d == 0).get
+    val m = dim / dsub
+    val budget = sys.props.get("graft.pq.budgetBytes").map(_.toInt).getOrElse(6)
+    val bits = math.max(2, math.min(8, budget * 8 / m))
+    PqGeom(m, dsub, 1 << bits)
+  }
+
+  /** Geometry derived from the corpus (one head() of the normalized
+    * frame — the dimension probe). */
+  private[queries] def pqGeomOf(u: DataFrame): PqGeom =
+    pqGeomFor(u.select(size(col("uv"))).head().getInt(0))
+
+  /** Geometry recovered from a FROZEN codebook — what the incremental
+    * encode uses, so appended vectors encode against exactly the
+    * persisted artifact's shape regardless of sysprops or corpus
+    * drift. */
+  private[graft] def pqGeomOfCodebook(cb: DataFrame): PqGeom = {
+    val r = cb.agg(max(col("m")), max(size(col("c"))), max(col("code"))).head()
+    PqGeom(r.getInt(0) + 1, r.getInt(1), r.getInt(2) + 1)
+  }
 
   /** Per-(vector, subspace) subvectors of the normalized corpus. */
-  private[queries] def pqSubs(spark: SparkSession, u: DataFrame): DataFrame = {
-    val ms = spark.range(0, PqM).select(col("id").cast("int").as("m"))
+  private[queries] def pqSubs(spark: SparkSession, u: DataFrame,
+      g: PqGeom): DataFrame = {
+    val ms = spark.range(0, g.m).select(col("id").cast("int").as("m"))
     u.select(col("vec_id"), col("uv")).crossJoin(ms)
       .select(col("vec_id"), col("m"),
-        slice(col("uv"), col("m") * PqDsub + 1, lit(PqDsub)).as("x"))
+        slice(col("uv"), col("m") * g.dsub + 1, lit(g.dsub)).as("x"))
   }
 
   /** Nearest-codebook-entry assignment per (vector, subspace): L2 over
@@ -596,12 +629,14 @@ object Similarity {
     * bounded driver copy (K = 64); code ids are their dense rank, so
     * codes stay 0..K-1 for any id space. This is the broadcastable
     * artifact a service encodes future vectors against. */
-  private[queries] def pqCodebook(spark: SparkSession, u: DataFrame): DataFrame = {
+  private[queries] def pqCodebook(spark: SparkSession, u: DataFrame,
+      geom: PqGeom = null): DataFrame = {
     val spark0 = spark
     import spark0.implicits._
-    val subs = pqSubs(spark, u)
+    val g = if (geom != null) geom else pqGeomOf(u)
+    val subs = pqSubs(spark, u, g)
     val seedIds = u.select(col("vec_id")).orderBy(col("vec_id"))
-      .limit(PqK).collect().map(_.getLong(0))
+      .limit(g.k).collect().map(_.getLong(0))
     require(seedIds.nonEmpty, "fls pq: empty corpus — no codebook seeds")
     val codeOf = seedIds.sorted.zipWithIndex
       .map { case (v, i) => (v, i) }.toSeq.toDF("vec_id", "code")
@@ -630,10 +665,12 @@ object Similarity {
 
   /** Encode `u`'s vectors against an EXISTING (frozen) codebook — the
     * incremental-maintenance primitive ([[IncrementalPq]]): appended
-    * vectors encode without retraining, the FAISS operational shape. */
+    * vectors encode without retraining, the FAISS operational shape.
+    * Geometry comes FROM the codebook, never re-derived from the
+    * corpus or sysprops. */
   private[queries] def pqReconAgainst(spark: SparkSession, u: DataFrame,
       cb: DataFrame): DataFrame = {
-    val codes = pqAssign(pqSubs(spark, u), cb)
+    val codes = pqAssign(pqSubs(spark, u, pqGeomOfCodebook(cb)), cb)
     codes.join(cb, Seq("m", "code"))
       .groupBy(col("vec_id"))
       .agg(flatten(expr(
@@ -665,16 +702,96 @@ object Similarity {
     // the PQ index (per-vector reconstructions; the codebooks persist
     // alongside as the artifact future out-of-corpus encodes broadcast)
     // is a table artifact exactly like the IVF index
-    val recon = rankCache.getOrBuild(spark, s"$dir#pqrecon#$PqM#$PqK")(
+    val g = pqGeomOf(u)
+    val recon = rankCache.getOrBuild(spark, s"$dir#pqrecon#${g.m}#${g.k}")(
       loadOrBuildIndex(spark,
-          s"$indexRoot/${key}_pq_m${PqM}_k$PqK",
-          s"n=$nVecs;m=$PqM;k=$PqK",
+          s"$indexRoot/${key}_pq_m${g.m}_k${g.k}",
+          s"n=$nVecs;m=${g.m};k=${g.k}",
           build = pqRecon(spark, u),
-          cents = pqCodebook(spark, u))
+          cents = pqCodebook(spark, u, g))
         .persist(org.apache.spark.storage.StorageLevel.fromString(
           sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
     // probe top-2 cells; candidates scored by ADC over the codes'
     // reconstruction, the ADC top-50 kept, exact-cosine rerank to top-5
+    val probeCells = r.filter(col("vec_id") < 8 && col("ar") <= 2)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    val probes = u.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("uv").as("uq"),
+        col("v").as("v_q"), col("nr").as("nr_q"))
+      .join(probeCells, Seq("query_id"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"),
+        col("nr").as("nr_c"))
+      .join(cells.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(recon.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", GraftFunctions.arrayDot(col("uq"), col("rv")))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("ra", row_number().over(wAdc)).filter(col("ra") <= 50)
+      .withColumn("cos", cosExpr / (col("nr_q") * col("nr_c")))
+      .withColumn("rank", row_number().over(wCos)).filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q126 (r17): residual-encoded IVFADC — FAISS's IVFADC proper, the
+    * recall rung past plain IVF-PQ. Instead of quantizing the
+    * normalized vector directly, each vector encodes its RESIDUAL
+    * against its assigned IVF cell's (normalized) centroid: residuals
+    * concentrate near 0 with far less variance than raw directions,
+    * so the same (M, K) codebook budget spends its entries on the
+    * part ADC actually needs to discriminate — candidates within one
+    * cell. Reconstruction adds the centroid back (rv = cn + recon(r)),
+    * so the downstream ADC/rerank pipeline is q124's unchanged.
+    * Codebooks train on residuals with the same exact-decimal Lloyd
+    * pass; the DuckDB oracle reproduces the whole chain relationally
+    * (residual subtraction, residual codebook, encode, add-back, ADC,
+    * rerank). Artifacts persist beside the q124 index (`_pqres_...`),
+    * sharing its IVF cells. */
+  def q126IvfAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val nVecs = t(spark, dir, "embeddings").count()
+    val nCent = math.ceil(math.sqrt(nVecs.toDouble)).toLong
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ivfPath = s"$indexRoot/${key}_ivf_l0_c${nCent}_p2"
+    val r = rankCache.getOrBuild(spark, s"$dir#pqcells#$nCent")(
+      loadOrBuildIndex(spark, ivfPath,
+          s"n=$nVecs;cent=$nCent;upTo=2;lloyd=false",
+          build = rankedSingleLevel(e, nCent, upTo = 2, lloyd = false),
+          cents = singleLevelCents(e, nCent, lloyd = false))
+        .persist(org.apache.spark.storage.StorageLevel.fromString(
+          sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
+    val cells = r.filter(col("ar") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val u = e.select(col("vec_id"), col("v"), col("nr"),
+      expr("transform(v, x -> x / nr)").as("uv"))
+    // normalized centroids from the PERSISTED routing artifact (built
+    // just above if absent) — the add-back anchor of every
+    // reconstruction
+    val cn = broadcast(spark.read.format("fls").load(s"$ivfPath/_centroids")
+      .select(col("cent_id").as("cell"),
+        expr("transform(v_q, x -> x / nr_q)").as("cn")))
+    val resid = u.select(col("vec_id"), col("uv")).join(cells, Seq("vec_id"))
+      .join(cn, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("uv"), col("cn"), (a, b) => a - b).as("uv"))
+    val g = pqGeomOf(u)
+    val recon = rankCache.getOrBuild(spark, s"$dir#pqres#${g.m}#${g.k}")(
+      loadOrBuildIndex(spark,
+          s"$indexRoot/${key}_pqres_m${g.m}_k${g.k}",
+          s"n=$nVecs;m=${g.m};k=${g.k};res=1",
+          build = pqReconAgainst(spark, resid, pqCodebook(spark, resid, g))
+            .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+            .join(cn, Seq("cell"))
+            .select(col("vec_id"),
+              zip_with(col("rv"), col("cn"), (a, b) => a + b).as("rv")),
+          cents = pqCodebook(spark, resid, g))
+        .persist(org.apache.spark.storage.StorageLevel.fromString(
+          sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
     val probeCells = r.filter(col("vec_id") < 8 && col("ar") <= 2)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val probes = u.filter(col("vec_id") < 8)
@@ -769,7 +886,90 @@ object Similarity {
       SELECT query_id, rank::BIGINT AS rank, neighbor_id
       FROM rer WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  val q126Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                  FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nr FROM e),
+        u AS (SELECT vec_id, v, nr, list_transform(v, x -> x / nr) AS uv FROM n),
+        cent0 AS (SELECT vec_id AS cent_id, v AS vq, nr AS nrq FROM n
+                  WHERE vec_id < CAST(ceil(sqrt((SELECT count(*) FROM embeddings))) AS BIGINT)),
+        r0 AS (SELECT vec_id, cent_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY list_dot_product(vq, v) / (nrq * nr) DESC, cent_id) AS ar
+               FROM n CROSS JOIN cent0),
+        cells AS (SELECT vec_id, cent_id AS cell FROM r0 WHERE ar = 1),
+        cn AS (SELECT cent_id AS cell, list_transform(vq, x -> x / nrq) AS cn
+               FROM cent0),
+        resid AS (SELECT u.vec_id, c.cell,
+                    list_transform(list_zip(u.uv, cn.cn),
+                      z -> z[1] - z[2]) AS ruv
+                  FROM u JOIN cells c ON u.vec_id = c.vec_id
+                    JOIN cn ON c.cell = cn.cell),
+        ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+        subs AS (SELECT vec_id, m, list_slice(ruv, m*8 + 1, m*8 + 8) AS x
+                 FROM resid CROSS JOIN ms),
+        sids AS (SELECT vec_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+                 FROM u ORDER BY vec_id LIMIT 64),
+        seeds AS (SELECT s.m, sids.code, s.x AS c
+                  FROM subs s JOIN sids ON s.vec_id = sids.vec_id),
+        a0r AS (SELECT s.vec_id, s.m, sd.code,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                    list_dot_product(s.x, s.x) - 2 * list_dot_product(s.x, sd.c)
+                      + list_dot_product(sd.c, sd.c) ASC, sd.code ASC) AS rn
+                FROM subs s JOIN seeds sd ON s.m = sd.m),
+        a0 AS (SELECT vec_id, m, code FROM a0r WHERE rn = 1),
+        comp AS (SELECT a0.m, a0.code,
+                   unnest(list_zip(s.x, generate_series(1, len(s.x)))) AS z
+                 FROM subs s JOIN a0 ON s.vec_id = a0.vec_id AND s.m = a0.m),
+        sums AS (SELECT m, code, z[2] AS pos, count(*) AS cnt,
+                        sum(CAST(z[1] AS DECIMAL(38,28))) AS s
+                 FROM comp GROUP BY m, code, pos),
+        cb AS (SELECT m, code,
+                 list(CAST(s AS DOUBLE) / cnt ORDER BY pos) AS c
+               FROM sums GROUP BY m, code),
+        cdr AS (SELECT s.vec_id, s.m, cb.code,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                    list_dot_product(s.x, s.x) - 2 * list_dot_product(s.x, cb.c)
+                      + list_dot_product(cb.c, cb.c) ASC, cb.code ASC) AS rn
+                FROM subs s JOIN cb ON s.m = cb.m),
+        codes AS (SELECT vec_id, m, code FROM cdr WHERE rn = 1),
+        recon0 AS (SELECT codes.vec_id,
+                     flatten(list(cb.c ORDER BY codes.m)) AS rr
+                   FROM codes JOIN cb ON codes.m = cb.m AND codes.code = cb.code
+                   GROUP BY codes.vec_id),
+        recon AS (SELECT r.vec_id,
+                    list_transform(list_zip(r.rr, cn.cn),
+                      z -> z[1] + z[2]) AS rv
+                  FROM recon0 r
+                    JOIN resid ON r.vec_id = resid.vec_id
+                    JOIN cn ON resid.cell = cn.cell),
+        probes AS (SELECT r0.vec_id AS query_id, r0.cent_id AS cell,
+                          u.uv AS uq, u.v AS vq2, u.nr AS nrq2
+                   FROM r0 JOIN u ON r0.vec_id = u.vec_id
+                   WHERE r0.vec_id < 8 AND r0.ar <= 2),
+        cand AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+                        list_dot_product(p.uq, rc.rv) AS adc,
+                        p.vq2, p.nrq2, m.v AS vc, m.nr AS nrc
+                 FROM probes p
+                   JOIN cells c ON p.cell = c.cell
+                   JOIN recon rc ON c.vec_id = rc.vec_id
+                   JOIN n m ON c.vec_id = m.vec_id
+                 WHERE p.query_id <> c.vec_id),
+        shortlist AS (SELECT *,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY adc DESC, neighbor_id ASC) AS ra
+                      FROM cand),
+        rer AS (SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY list_dot_product(vq2, vc) / (nrq2 * nrc) DESC,
+                      neighbor_id ASC) AS rank
+                FROM shortlist WHERE ra <= 50)
+      SELECT query_id, rank::BIGINT AS rank, neighbor_id
+      FROM rer WHERE rank <= 5 ORDER BY query_id, rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_sim_ivfadc" -> (q126IvfAdc _),
     "q124_sim_ivf_pq" -> (q124IvfPq _),
     "q25_sim_brute_topk" -> (q25BruteTopK _),
     "q26_sim_ivf_ann" -> (q26IvfAnn _),
@@ -778,6 +978,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q126_sim_ivfadc" -> q126Sql,
     "q124_sim_ivf_pq" -> q124Sql,
     "q25_sim_brute_topk" -> q25Sql,
     "q26_sim_ivf_ann" -> q26Sql,

@@ -137,4 +137,57 @@ class PqIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(st2.vecsEncoded == 600L)
     } finally sys.props.remove("graft.pq.drift")
   }
+
+  test("a non-64-dim corpus round-trips (r17 — geometry derived from " +
+      "the dimension and a code-memory budget, not hardcoded): dim 48 " +
+      "trains m=6 subspaces; the incremental patch stays bit-identical " +
+      "and encodes against the CODEBOOK's geometry") {
+    import graft.queries.Similarity
+    // geometry derivation itself
+    assert(Similarity.pqGeomFor(64) == Similarity.PqGeom(8, 8, 64),
+      "the 64-dim default must derive the former constants")
+    assert(Similarity.pqGeomFor(48) == Similarity.PqGeom(6, 8, 256),
+      "6-byte budget over 6 subspaces affords 8-bit codes")
+    assert(Similarity.pqGeomFor(10) == Similarity.PqGeom(2, 5, 256))
+    // prime dims: one whole-vector subspace when dim <= 8 (plain VQ),
+    // dsub=1 scalar quantization when a large dim has no divisor <= 8
+    assert(Similarity.pqGeomFor(7) == Similarity.PqGeom(1, 7, 256))
+    assert(Similarity.pqGeomFor(67).m == 67)
+    val corpus = s"$tmp/corpus48"
+    val idx = s"$tmp/idx48"
+    // dim-48 corpus: truncate the 64-dim embeddings
+    def c48(i: Int) = emb()
+      .withColumn("vec_id", col("vec_id") + lit(i * 1000L))
+      .withColumn("embedding", slice(col("embedding"), 1, 48))
+    (0 until 2).map(c48).reduce(_ union _).repartition(3)
+      .write.format("fls").mode("overwrite")
+      .option("commit_mode", "manifest").save(corpus)
+    val st = IncrementalPq.refresh(spark, corpus, idx)
+    assert(st.rebuilt && st.vecsEncoded == 1000L)
+    val cb = spark.read.format("fls").load(s"$idx/_codebook")
+    assert(Similarity.pqGeomOfCodebook(cb) == Similarity.PqGeom(6, 8, 256))
+    val r = recons(idx)
+    assert(r.size == 1000 && r.values.forall(_.length == 48),
+      "reconstructions must be dim-48")
+    // append + patch: bit-identical to a frozen-codebook whole re-encode
+    c48(2).repartition(2).write.format("fls").mode("append")
+      .option("commit_mode", "manifest").save(corpus)
+    val st2 = IncrementalPq.refresh(spark, corpus, idx)
+    assert(!st2.rebuilt && st2.vecsEncoded == 500L)
+    val patched = recons(idx)
+    assert(patched.size == 1500)
+    val whole = IncrementalPq.encodeAgainst(spark,
+        spark.read.format("fls").load(corpus)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("nr", sqrt(
+            org.apache.spark.sql.graftexprs.GraftFunctions
+              .arrayDot(col("v"), col("v"))))
+          .select(col("vec_id"),
+            expr("transform(v, x -> x / nr)").as("uv")), cb)
+      .select("vec_id", "rv").collect()
+      .map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
+    assert(patched == whole,
+      "the dim-48 patch must be bit-identical to a whole re-encode")
+  }
 }
