@@ -654,6 +654,73 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, ce))), z -> z.ce)").as("c"))
   }
 
+  /** Driver-side PQ encoder over a COLLECTED frozen codebook (r17
+    * stretch) — the artifact a serving tier holds so a NOVEL query
+    * vector can be encoded / ADC-scored with pure JVM arithmetic, no
+    * Spark job per query. The assignment math mirrors [[pqAssign]]
+    * exactly: per subspace, d² = <x,x> − 2<x,c> + <c,c> with the same
+    * left-to-right double summation as `graft_array_dot`, ties to the
+    * lowest code — so encoding a corpus vector reproduces its STORED
+    * codes and reconstruction bit-for-bit (spec-asserted). Codebooks
+    * are m·k·dsub doubles (~a few hundred KB) — a broadcast-sized
+    * object by construction. */
+  final case class PqEncoder(geom: PqGeom,
+      entries: Array[Array[Array[Double]]]) {
+    private def dot(a: Array[Double], off: Int, b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { s += a(off + i) * b(i); i += 1 }
+      s
+    }
+    private def selfDot(a: Array[Double], off: Int, n: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(off + i) * a(off + i); i += 1 }
+      s
+    }
+    /** The M code ids of one (normalized) vector. */
+    def codes(uv: Array[Double]): Array[Int] = {
+      require(uv.length == geom.m * geom.dsub,
+        s"pq encode: dim ${uv.length} != ${geom.m}×${geom.dsub}")
+      Array.tabulate(geom.m) { m =>
+        val off = m * geom.dsub
+        val xx = selfDot(uv, off, geom.dsub)
+        var best = -1; var bestD = Double.PositiveInfinity
+        val cbm = entries(m)
+        var code = 0
+        while (code < cbm.length) {
+          val c = cbm(code)
+          val d = xx - 2.0 * dot(uv, off, c) + {
+            var s = 0.0; var i = 0
+            while (i < c.length) { s += c(i) * c(i); i += 1 }
+            s
+          }
+          if (d < bestD) { bestD = d; best = code } // strict <: lowest code wins ties
+          code += 1
+        }
+        best
+      }
+    }
+    /** Reconstruction of the codes — what ADC dots the query against. */
+    def reconstruct(uv: Array[Double]): Array[Double] =
+      codes(uv).zipWithIndex.flatMap { case (c, m) => entries(m)(c) }
+    /** ADC score of a normalized query against a reconstruction. */
+    def adc(uq: Array[Double], rv: Array[Double]): Double = dot(uq, 0, rv)
+  }
+
+  /** Collect a persisted codebook frame into a [[PqEncoder]]. */
+  def pqEncoder(cb: DataFrame): PqEncoder = {
+    val g = pqGeomOfCodebook(cb)
+    val rows = cb.select(col("m"), col("code"), col("c")).collect()
+    val entries = Array.fill(g.m)(Array.empty[Array[Double]])
+    rows.groupBy(_.getInt(0)).foreach { case (m, rs) =>
+      val byCode = rs.map(r => r.getInt(1) -> r.getSeq[Double](2).toArray)
+        .sortBy(_._1)
+      require(byCode.map(_._1).sameElements(byCode.indices),
+        s"pq encoder: subspace $m codes are not dense 0..${byCode.length - 1}")
+      entries(m) = byCode.map(_._2)
+    }
+    PqEncoder(g, entries)
+  }
+
   /** Per-vector PQ reconstruction (vec_id, rv): the M assigned
     * codebook entries concatenated in m order — ADC scores candidates
     * by <query, rv>, one 64-dim dot. (A deployment stores the M codes

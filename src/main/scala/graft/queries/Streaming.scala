@@ -502,11 +502,20 @@ object Streaming {
         s"/tmp/graft_q92_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
           s"_pid${ProcessHandle.current().pid()}")
       rmrf(out); out.mkdirs()
-      val q = joined.writeStream.format("parquet")
-        .option("path", s"$out/data")
-        .option("checkpointLocation", s"$out/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // state observability (r17): the symmetric-hash join's
+      // per-micro-batch state rows/bytes are captured from
+      // StreamingQueryProgress and summarized — the 128× GC band is
+      // now a measured footprint, not an inference from GC drain
+      graft.util.StreamStateMetrics.observe(spark) {
+        val q = joined.writeStream.format("parquet")
+          .option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      graft.util.StreamStateMetrics.lastSummary.foreach(s =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .info(s"q92 stream-stream range join ${s.line}"))
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.read.parquet(s"$out/data")
         .groupBy("signup_id")

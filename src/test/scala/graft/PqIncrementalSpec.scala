@@ -190,4 +190,55 @@ class PqIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(patched == whole,
       "the dim-48 patch must be bit-identical to a whole re-encode")
   }
+
+  test("out-of-corpus query encoding (r17 stretch): a driver-side " +
+      "PqEncoder over the collected frozen codebook reproduces the " +
+      "STORED codes/reconstructions bit-for-bit — a serving tier can " +
+      "ADC-score novel vectors with zero Spark jobs") {
+    import graft.queries.Similarity
+    val corpus = s"$tmp/corpus_enc"
+    val idx = s"$tmp/idx_enc"
+    copyAt(0).repartition(3).write.format("fls").mode("overwrite")
+      .option("commit_mode", "manifest").save(corpus)
+    IncrementalPq.refresh(spark, corpus, idx)
+    val cb = spark.read.format("fls").load(s"$idx/_codebook")
+    val enc = Similarity.pqEncoder(cb)
+    assert(enc.geom == Similarity.PqGeom(8, 8, 64))
+    val stored = recons(idx)
+    // the same normalized vectors the index encoded
+    val uvs = spark.read.format("fls").load(corpus)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nr", sqrt(org.apache.spark.sql.graftexprs.GraftFunctions
+        .arrayDot(col("v"), col("v"))))
+      .select(col("vec_id"), expr("transform(v, x -> x / nr)").as("uv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    assert(uvs.length == 500)
+    var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val mismatches =
+      try uvs.count { case (id, uv) =>
+        enc.reconstruct(uv).toSeq != stored(id)
+      } finally {
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(mismatches == 0,
+      s"$mismatches of ${uvs.length} driver-side encodes diverged from " +
+        "the stored reconstructions")
+    assert(jobs == 0, s"driver-side encoding ran $jobs Spark job(s)")
+    // a genuinely NOVEL vector encodes too (sanity: valid codes, right
+    // shape, ADC is a plain dot)
+    val novel = Array.tabulate(64)(i => math.sin(i + 0.5))
+    val nrm = math.sqrt(novel.map(x => x * x).sum)
+    val unovel = novel.map(_ / nrm)
+    val cds = enc.codes(unovel)
+    assert(cds.length == 8 && cds.forall(c => c >= 0 && c < 64))
+    val rv = enc.reconstruct(unovel)
+    assert(rv.length == 64)
+    assert(enc.adc(unovel, rv) > 0.0)
+  }
 }
