@@ -589,6 +589,19 @@ object Similarity {
   private[queries] def pqGeomOf(u: DataFrame): PqGeom =
     pqGeomFor(u.select(size(col("uv"))).head().getInt(0))
 
+  /** Memoized geometry for a corpus DIRECTORY: the dimension probe is
+    * one limit(1) scan of the raw embeddings (no transform pipeline),
+    * cached per (dir, budget) so warm q124/q126 calls never re-run a
+    * job just to rebuild their cache keys. */
+  private val geomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, PqGeom]()
+  private def pqGeomOfDir(spark: SparkSession, dir: String): PqGeom = {
+    val budget = sys.props.getOrElse("graft.pq.budgetBytes", "6")
+    geomCache.computeIfAbsent(s"$dir#$budget", _ =>
+      pqGeomFor(t(spark, dir, "embeddings")
+        .select(size(col("embedding")).as("d")).limit(1).head().getInt(0)))
+  }
+
   /** Geometry recovered from a FROZEN codebook — what the incremental
     * encode uses, so appended vectors encode against exactly the
     * persisted artifact's shape regardless of sysprops or corpus
@@ -769,7 +782,7 @@ object Similarity {
     // the PQ index (per-vector reconstructions; the codebooks persist
     // alongside as the artifact future out-of-corpus encodes broadcast)
     // is a table artifact exactly like the IVF index
-    val g = pqGeomOf(u)
+    val g = pqGeomOfDir(spark, dir)
     val recon = rankCache.getOrBuild(spark, s"$dir#pqrecon#${g.m}#${g.k}")(
       loadOrBuildIndex(spark,
           s"$indexRoot/${key}_pq_m${g.m}_k${g.k}",
@@ -846,7 +859,7 @@ object Similarity {
       .join(cn, Seq("cell"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("uv"), col("cn"), (a, b) => a - b).as("uv"))
-    val g = pqGeomOf(u)
+    val g = pqGeomOfDir(spark, dir)
     val recon = rankCache.getOrBuild(spark, s"$dir#pqres#${g.m}#${g.k}")(
       loadOrBuildIndex(spark,
           s"$indexRoot/${key}_pqres_m${g.m}_k${g.k}",
