@@ -295,9 +295,10 @@ object FlsMaintenance {
     * compaction: a concurrent equality delete, a removed input, or a
     * re-vectored input aborts with nothing published. With zero
     * subject files (predicates already absorbed-in-effect — e.g.
-    * carried conservatively by the O(delta) commit path, which never
-    * absorbs), one metadata-only identity commit re-runs the
-    * absorption filter and drops them. */
+    * carried conservatively past a pre-r17 pointer without a recorded
+    * min birth version, where the delta path's pointer-proof
+    * absorption cannot fire), one metadata-only identity commit
+    * re-runs the absorption filter and drops them. */
   def absorbDeletes(spark: SparkSession, dir: String,
       targetRowsPerFile: Long = Format.DefaultRowGroupSize.toLong * 16,
       extraOptions: Map[String, String] = Map.empty): AbsorbStats = {

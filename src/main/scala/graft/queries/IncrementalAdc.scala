@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fls.FlsManifest
+
+/** Incremental RESIDUAL-IVFADC maintenance (r17) — the q126 recall
+  * rung (encode vector − cell centroid, recall@5 1.000 vs plain PQ's
+  * 0.950) with the [[IncrementalPq]] cursor discipline. The residual
+  * artifact depends on TWO frozen inputs: the IVF centroids (which
+  * define each vector's cell and the subtraction anchor) and the
+  * residual-trained codebooks. [[refresh]]:
+  *
+  *  1. brings the cell assignments current through
+  *     [[IncrementalIvf.refresh]] (appended vectors assign against the
+  *     FROZEN centroids — no recluster, no drift in the anchors);
+  *  2. encodes ONLY the appended vectors' residuals against the frozen
+  *     residual codebooks and appends `(vec_id, rv, src_version)` in
+  *     one manifest commit (cursor = max(src_version) from the table's
+  *     own manifest stats — the atomic-CAS trick verbatim).
+  *
+  * EXACTNESS: with both inputs frozen, encoding is a pure function of
+  * the vector — a patched table is BIT-IDENTICAL to re-encoding the
+  * whole corpus against the same centroids + codebooks
+  * (spec-asserted). INVALIDATION: if the underlying IVF index
+  * RECLUSTERS (its own drift threshold), the subtraction anchors
+  * change and every stored reconstruction is stale — the refresh
+  * detects the IVF marker change and retrains from scratch; the
+  * `graft.pq.drift` corpus-growth threshold retrains the codebooks
+  * the same way [[IncrementalPq]] does. Non-append corpus ranges make
+  * `changes_from_version` itself refuse; [[rebuild]] recovers. */
+object IncrementalAdc {
+
+  final case class RefreshStats(fromVersion: Long, toVersion: Long,
+      vecsEncoded: Long, rebuilt: Boolean)
+
+  private def markerOf(adcDir: String) =
+    new java.io.File(s"$adcDir/_adc_inc_done")
+
+  private def readText(f: java.io.File): String = {
+    val src = scala.io.Source.fromFile(f)
+    try src.mkString finally src.close()
+  }
+
+  private def ivfMarkerText(ivfDir: String): String = {
+    val f = new java.io.File(s"$ivfDir/_ivf_inc_done")
+    require(f.exists(), s"graft adc: no IVF index marker at $ivfDir")
+    readText(f)
+  }
+
+  private def corpusHead(spark: SparkSession, corpusDir: String): Long = {
+    val root = new Path(corpusDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    FlsManifest.readVersioned(fs, root).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"fls: $corpusDir has no manifest log — incremental ADC " +
+          "maintenance needs a commit_mode=manifest embeddings table"))
+  }
+
+  /** The frozen subtraction anchors: (cell, cn) from the IVF index's
+    * persisted centroid table. */
+  private def anchors(spark: SparkSession, ivfDir: String): DataFrame =
+    broadcast(spark.read.format("fls").load(s"$ivfDir/_centroids")
+      .select(col("cent_id").as("cell"),
+        expr("transform(v_q, x -> x / nr_q)").as("cn")))
+
+  /** Residual frame for `u` (vec_id, uv-normalized): join each vector
+    * to its assigned cell (ar=1 rows of the IVF index) and subtract
+    * the cell's normalized centroid. The residual rides in the `uv`
+    * slot so the PQ train/encode primitives apply unchanged. */
+  private def residualsOf(spark: SparkSession, u: DataFrame,
+      ivfDir: String): DataFrame = {
+    val cells = spark.read.format("fls").load(ivfDir)
+      .filter(col("ar") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    u.select(col("vec_id"), col("uv")).join(cells, Seq("vec_id"))
+      .join(anchors(spark, ivfDir), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("uv"), col("cn"), (a, b) => a - b).as("uv"))
+  }
+
+  /** Residual reconstructions (vec_id, rv = cn + recon(residual)) for
+    * `resid` against a frozen codebook. */
+  private def reconOf(spark: SparkSession, resid: DataFrame,
+      cb: DataFrame, ivfDir: String): DataFrame =
+    Similarity.pqReconAgainst(spark,
+        resid.select(col("vec_id"), col("uv")), cb)
+      .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(anchors(spark, ivfDir), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("rv"), col("cn"), (a, b) => a + b).as("rv"))
+
+  /** Bring the residual reconstructions at `adcDir` up to the corpus
+    * head. The IVF index at `ivfDir` is refreshed first (and owns its
+    * own geometry/drift policy); an IVF RECLUSTER invalidates this
+    * artifact whole. No-op (zero encode jobs) when already current. */
+  def refresh(spark: SparkSession, corpusDir: String, ivfDir: String,
+      adcDir: String, nprobe: Int = 2,
+      maxCentroids: Long = -1L): RefreshStats =
+      IncrementalDedup.withRefreshLock(adcDir) {
+    IncrementalIvf.refresh(spark, corpusDir, ivfDir, nprobe, maxCentroids)
+    val ivfStamp = ivfMarkerText(ivfDir)
+    val head = corpusHead(spark, corpusDir)
+    val marker = markerOf(adcDir)
+    def corpus() = spark.read.format("fls").load(corpusDir)
+    if (!marker.exists())
+      return buildAll(spark, corpus(), ivfDir, adcDir, head, ivfStamp)
+    val saved = readText(marker).split('\n')
+    val builtN = saved.head.stripPrefix("n=").toLong
+    if (saved.drop(1).mkString("\n") != ivfStamp) {
+      // the IVF index reclustered: every subtraction anchor moved —
+      // stored reconstructions are stale as a SET, retrain
+      val st = buildAll(spark, corpus(), ivfDir, adcDir, head, ivfStamp)
+      return st.copy(fromVersion = IncrementalDedup.cursorOf(spark, adcDir))
+    }
+    val cursor = IncrementalDedup.cursorOf(spark, adcDir)
+    if (cursor >= head) return RefreshStats(cursor, head, 0L, rebuilt = false)
+    val drift = sys.props.get("graft.pq.drift").map(_.toDouble).getOrElse(2.0)
+    val nNow = corpus().count() // footer-served metadata count
+    if (nNow > builtN * drift) {
+      val st = buildAll(spark, corpus(), ivfDir, adcDir, head, ivfStamp)
+      return st.copy(fromVersion = cursor)
+    }
+    // refuses loudly on a non-append range (the q105 contract)
+    val added = spark.read.format("fls")
+      .option("changes_from_version", cursor.toString)
+      .option("changes_to_version", head.toString)
+      .load(corpusDir)
+    val cb = spark.read.format("fls").load(s"$adcDir/_codebook")
+    val resid = residualsOf(spark, IncrementalPq.normalized(added)
+      .select(col("vec_id"), col("uv")), ivfDir)
+    reconOf(spark, resid, cb, ivfDir)
+      .withColumn("src_version", lit(head))
+      .write.format("fls").mode("append")
+      .option("commit_mode", "manifest").save(adcDir)
+    val n = added.select("vec_id").distinct().count()
+    RefreshStats(cursor, head, n, rebuilt = false)
+  }
+
+  /** Verification hook: frozen-anchor + frozen-codebook encode of an
+    * arbitrary normalized (vec_id, uv) frame — specs re-encode the
+    * whole corpus through it to assert the patch is bit-identical. */
+  def encodeAgainst(spark: SparkSession, u: DataFrame, ivfDir: String,
+      cb: DataFrame): DataFrame =
+    reconOf(spark, residualsOf(spark, u, ivfDir), cb, ivfDir)
+
+  /** Recovery from a non-append-only range, and the retraining path. */
+  def rebuild(spark: SparkSession, corpusDir: String, ivfDir: String,
+      adcDir: String): RefreshStats = {
+    markerOf(adcDir).delete()
+    refresh(spark, corpusDir, ivfDir, adcDir)
+  }
+
+  private def buildAll(spark: SparkSession, corpus: DataFrame,
+      ivfDir: String, adcDir: String, head: Long,
+      ivfStamp: String): RefreshStats = {
+    val n = corpus.count()
+    require(n > 0, "fls adc: empty corpus")
+    val resid = residualsOf(spark,
+      IncrementalPq.normalized(corpus).select(col("vec_id"), col("uv")),
+      ivfDir)
+    markerOf(adcDir).delete() // invalidate BEFORE the overwrite
+    val g = Similarity.pqGeomOf(resid)
+    val cb = Similarity.pqCodebook(spark, resid, g)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      reconOf(spark, resid, cb, ivfDir)
+        .withColumn("src_version", lit(head))
+        .write.format("fls").mode("overwrite")
+        .option("commit_mode", "manifest").save(adcDir)
+      cb.write.format("fls").mode("overwrite")
+        .option("commit_mode", "manifest").save(s"$adcDir/_codebook")
+    } finally cb.unpersist()
+    val w = new java.io.PrintWriter(markerOf(adcDir))
+    try w.print(s"n=$n\n$ivfStamp") finally w.close()
+    RefreshStats(0L, head, n, rebuilt = true)
+  }
+}

@@ -25,11 +25,13 @@ import graft.fls.FlsManifest
   * assignment append and the cursor advance are one atomic CAS — the
   * [[IncrementalDedup]] trick verbatim.
   *
-  * EXACTNESS OF THE PATCH: centroids are frozen at build (raw corpus
-  * vectors with `vec_id < nCent`; appends only add larger ids), and
-  * every vector ranks against them independently — so a patched index
-  * is BIT-IDENTICAL to a from-scratch rebuild at the same geometry
-  * (spec-asserted). What drifts is the geometry itself: ⌈√n⌉ grows
+  * EXACTNESS OF THE PATCH: centroids are FROZEN at build (the n
+  * smallest ids at build time — seeds by rank since r17, so any id
+  * space works), and every vector ranks against them independently —
+  * a patched index is BIT-IDENTICAL to re-assigning the whole corpus
+  * against the same frozen centroids (spec-asserted; a from-scratch
+  * REBUILD additionally re-derives seeds from the then-current id
+  * space, which coincides for append-increasing ids). What drifts is the geometry itself: ⌈√n⌉ grows
   * with the corpus, so once the corpus outgrows the build size by
   * `graft.ivf.drift` (default 2× — √n ~41% past ideal), refresh
   * RECLUSTERS (full rebuild at the new geometry). Non-append ranges

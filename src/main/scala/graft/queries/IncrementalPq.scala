@@ -32,7 +32,7 @@ object IncrementalPq {
   final case class RefreshStats(fromVersion: Long, toVersion: Long,
       vecsEncoded: Long, rebuilt: Boolean)
 
-  private def normalized(df: DataFrame): DataFrame = df
+  private[graft] def normalized(df: DataFrame): DataFrame = df
     .select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     .withColumn("nr", sqrt(GraftFunctions.arrayDot(col("v"), col("v"))))
