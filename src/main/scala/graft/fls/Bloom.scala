@@ -273,16 +273,29 @@ object Bloom {
       statsJson: String, dataPath: Path, conf: Configuration): Boolean = {
     if (statsJson == null || !statsJson.contains("\"bf\"")) return true
     val bfBase = FlsFileStats.bfOf(statsJson).getOrElse(return true)
-    // Memoized per (sidecar path, stamped predicate): this runs per
-    // (manifest entry × IN-leg predicate) on EVERY planning pass while
-    // a point-delete predicate is active — including scans that never
-    // touch the key column — and a cold pass would otherwise pay
-    // O(files) sidecar reads before the byte-level LRU warms. The
-    // verdict is immutable for the key: a rewrite gives the file (and
-    // its sidecar) a new attempt-unique name, and re-stamping gives
-    // the predicate a new version, so stale hits are impossible.
+    // Memoized per (sidecar path, stamped predicate, leg binding):
+    // this runs per (manifest entry × IN-leg predicate) on EVERY
+    // planning pass while a point-delete predicate is active —
+    // including scans that never touch the key column — and a cold
+    // pass would otherwise pay O(files) sidecar reads before the
+    // byte-level LRU warms. Staleness cover: a rewrite gives the file
+    // (and its sidecar) a new attempt-unique name, re-stamping gives
+    // the predicate a new version, and the BINDING component (each
+    // leg's resolved column position + stored type/scale in `desc`)
+    // changes when a RENAME COLUMN rebinds a name within this JVM —
+    // the verdict is a function of exactly those inputs. The predicate
+    // rides as a fixed-size DIGEST, so a 100k-key IN list does not
+    // retain its JSON per file in the count-bounded LRU.
     val bfPath = new Path(dataPath.getParent, bfBase).toString
-    val memoKey = bfPath + " " + p.v + " " + p.json
+    val binding = p.legs.map { l =>
+      val i = desc.columns.indexWhere(_.name == l.col)
+      if (i < 0) "-"
+      else {
+        val ct = desc.columns(i).colType
+        s"$i:${ct.tag}:${ct.scale}"
+      }
+    }.mkString(",")
+    val memoKey = s"$bfPath ${p.v} ${p.digest} $binding"
     val hit = eqVerdictCache.get(memoKey)
     if (hit != null) return hit.booleanValue()
     lazy val blooms: Option[Map[String, Bloom.Filter]] =

@@ -37,10 +37,13 @@ import graft.fls.Format.{ColumnType, SegmentDesc, physOf, Phys, TypeTag}
   * (`</<=/>/>=`, any combination of bounds — the retention shape
   * `DELETE WHERE ts < cutoff`, r16; multiple range conjuncts on one
   * column intersect into one leg). Supported domains: integral /
-  * boolean (eq only) / date / timestamp / string / float / double.
-  * Anything else falls back to the copy-on-write or merge-on-read leg
-  * (decimals: per-file scales make cross-file literal comparison
-  * ambiguous; NaN / ±Inf literals: Spark's NaN-equality and JSON
+  * boolean (eq only) / date / timestamp / string / float / double /
+  * DECIMAL(p ≤ 18) (r17 — literals normalize to unscaled longs at the
+  * TABLE schema's scale, carried as `sc` on the leg; the planner
+  * commits only when every file verifiably stores the column at that
+  * scale, so cross-file comparison stays unambiguous). Anything else
+  * falls back to the copy-on-write or merge-on-read leg (wide
+  * decimals; NaN / ±Inf literals: Spark's NaN-equality and JSON
   * round-tripping diverge from the storage comparison). Value-producing
   * metadata shortcuts (footer aggregates, TopN/limit bound pruning)
   * refuse files carrying a residual, the same discipline as delete
@@ -144,6 +147,17 @@ object FlsEqDeletes {
     * fills it inside the commit attempt). */
   final case class EqDelete(v: Long, legs: Seq[Leg]) {
     require(legs.nonEmpty, "fls eqdel: a predicate needs at least one leg")
+    /** Fixed-size digest of the serialized predicate — the planner's
+      * memo-key currency. Case-class equality/hashCode are unusable
+      * here (legs hold Arrays — identity semantics), and keying on the
+      * raw JSON would retain megabytes per large IN list in
+      * count-bounded caches. Lazy: computed once per parsed instance,
+      * and listings parse each predicate once, not per file. */
+    lazy val digest: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(json.getBytes(StandardCharsets.UTF_8))
+      md.digest().map(b => f"$b%02x").mkString
+    }
     def json: String = {
       // single-leg predicates keep the original flat form so every
       // #eqdel line written before multi-column support parses the

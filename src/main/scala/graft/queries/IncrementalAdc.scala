@@ -1,10 +1,7 @@
 package graft.queries
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-
-import graft.fls.FlsManifest
 
 /** Incremental RESIDUAL-IVFADC maintenance (r17) — the q126 recall
   * rung (encode vector − cell centroid, recall@5 1.000 vs plain PQ's
@@ -50,47 +47,29 @@ object IncrementalAdc {
     readText(f)
   }
 
-  private def corpusHead(spark: SparkSession, corpusDir: String): Long = {
-    val root = new Path(corpusDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    FlsManifest.readVersioned(fs, root).map(_._1).getOrElse(
-      throw new IllegalArgumentException(
-        s"fls: $corpusDir has no manifest log — incremental ADC " +
-          "maintenance needs a commit_mode=manifest embeddings table"))
-  }
-
   /** The frozen subtraction anchors: (cell, cn) from the IVF index's
-    * persisted centroid table. */
+    * persisted centroid table — the shared [[Similarity.adcAnchors]]
+    * convention, so the gate and this maintainer can never diverge. */
   private def anchors(spark: SparkSession, ivfDir: String): DataFrame =
-    broadcast(spark.read.format("fls").load(s"$ivfDir/_centroids")
-      .select(col("cent_id").as("cell"),
-        expr("transform(v_q, x -> x / nr_q)").as("cn")))
+    Similarity.adcAnchors(
+      spark.read.format("fls").load(s"$ivfDir/_centroids"))
 
   /** Residual frame for `u` (vec_id, uv-normalized): join each vector
     * to its assigned cell (ar=1 rows of the IVF index) and subtract
-    * the cell's normalized centroid. The residual rides in the `uv`
-    * slot so the PQ train/encode primitives apply unchanged. */
+    * the cell's normalized centroid ([[Similarity.adcResiduals]]). */
   private def residualsOf(spark: SparkSession, u: DataFrame,
       ivfDir: String): DataFrame = {
     val cells = spark.read.format("fls").load(ivfDir)
       .filter(col("ar") === 1)
       .select(col("vec_id"), col("cent_id").as("cell"))
-    u.select(col("vec_id"), col("uv")).join(cells, Seq("vec_id"))
-      .join(anchors(spark, ivfDir), Seq("cell"))
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("uv"), col("cn"), (a, b) => a - b).as("uv"))
+    Similarity.adcResiduals(u, cells, anchors(spark, ivfDir))
   }
 
   /** Residual reconstructions (vec_id, rv = cn + recon(residual)) for
-    * `resid` against a frozen codebook. */
+    * `resid` against a frozen codebook ([[Similarity.adcReconOf]]). */
   private def reconOf(spark: SparkSession, resid: DataFrame,
       cb: DataFrame, ivfDir: String): DataFrame =
-    Similarity.pqReconAgainst(spark,
-        resid.select(col("vec_id"), col("uv")), cb)
-      .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .join(anchors(spark, ivfDir), Seq("cell"))
-      .select(col("vec_id"),
-        zip_with(col("rv"), col("cn"), (a, b) => a + b).as("rv"))
+    Similarity.adcReconOf(spark, resid, cb, anchors(spark, ivfDir))
 
   /** Bring the residual reconstructions at `adcDir` up to the corpus
     * head. The IVF index at `ivfDir` is refreshed first (and owns its
@@ -100,11 +79,18 @@ object IncrementalAdc {
       adcDir: String, nprobe: Int = 2,
       maxCentroids: Long = -1L): RefreshStats =
       IncrementalDedup.withRefreshLock(adcDir) {
-    IncrementalIvf.refresh(spark, corpusDir, ivfDir, nprobe, maxCentroids)
+    val ivfSt = IncrementalIvf.refresh(spark, corpusDir, ivfDir, nprobe,
+      maxCentroids)
     val ivfStamp = ivfMarkerText(ivfDir)
-    val head = corpusHead(spark, corpusDir)
+    // head = the version the IVF refresh just covered, NOT a fresh
+    // read: a corpus append landing between the two would leave
+    // vectors with no assignment — residualsOf's inner join would
+    // silently drop them while the cursor advanced past them, losing
+    // them from the artifact forever. Reads below pin to this version.
+    val head = ivfSt.toVersion
     val marker = markerOf(adcDir)
-    def corpus() = spark.read.format("fls").load(corpusDir)
+    def corpus() = spark.read.format("fls")
+      .option("manifest_version", head.toString).load(corpusDir)
     if (!marker.exists())
       return buildAll(spark, corpus(), ivfDir, adcDir, head, ivfStamp)
     val saved = readText(marker).split('\n')

@@ -146,7 +146,11 @@ object IncrementalDedup {
     val (head, _) = FlsManifest.readVersioned(fs, root).getOrElse(
       throw new IllegalArgumentException(
         s"fls: $docsDir has no manifest log"))
-    val sigs = signatures(spark.read.format("fls").load(docsDir), head)
+    // PINNED at `head`: a live read racing a concurrent append would
+    // sign extra docs under head's stamp and the next refresh would
+    // re-sign them (duplicate signature rows)
+    val sigs = signatures(spark.read.format("fls")
+      .option("manifest_version", head.toString).load(docsDir), head)
     sigs.write.format("fls").mode("overwrite")
       .option("commit_mode", "manifest").save(sigDir)
     RefreshStats(0L, head,

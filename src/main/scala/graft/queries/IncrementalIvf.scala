@@ -82,7 +82,12 @@ object IncrementalIvf {
       IncrementalDedup.withRefreshLock(idxDir) {
     val head = corpusHead(spark, corpusDir)
     val marker = markerOf(idxDir)
-    def corpus() = spark.read.format("fls").load(corpusDir)
+    // PINNED at `head`: every read this refresh does must describe the
+    // exact version the cursor will advance to — a live read racing a
+    // concurrent append would assign extra vectors under head's stamp
+    // and the next refresh would re-assign them (duplicates)
+    def corpus() = spark.read.format("fls")
+      .option("manifest_version", head.toString).load(corpusDir)
     if (!marker.exists())
       return buildAll(spark, corpus(), idxDir, head, nprobe, maxCentroids)
     val meta = parseMeta {
@@ -172,6 +177,7 @@ object IncrementalIvf {
       .option("commit_mode", "manifest").save(idxDir)
     cents.write.format("fls").mode("overwrite")
       .option("commit_mode", "manifest").save(s"$idxDir/_centroids")
+    cents.unpersist() // flat seeds persist inside seedsByRank; release
     val w = new java.io.PrintWriter(markerOf(idxDir))
     try w.print(meta.serialized) finally w.close()
     RefreshStats(0L, head, n, rebuilt = true)

@@ -65,7 +65,11 @@ object IncrementalPq {
       IncrementalDedup.withRefreshLock(idxDir) {
     val head = corpusHead(spark, corpusDir)
     val marker = markerOf(idxDir)
-    def corpus() = spark.read.format("fls").load(corpusDir)
+    // PINNED at `head` (see IncrementalIvf.refresh): a live read racing
+    // a concurrent append would encode extra vectors under head's
+    // stamp, and the next refresh would re-encode them (duplicates)
+    def corpus() = spark.read.format("fls")
+      .option("manifest_version", head.toString).load(corpusDir)
     if (!marker.exists()) return buildAll(spark, corpus(), idxDir, head)
     val builtN = readMarker(marker)
       .split(';').map(_.split('=')).map(a => a(0) -> a(1)).toMap

@@ -27,7 +27,9 @@ object Similarity {
     * whole Lloyd subtree (means + two broadcast sweeps) runs twice. */
   private val rankCache = new graft.util.SessionCache
 
-  def unpersistAll(): Unit = { vecCache.clearAll(); rankCache.clearAll() }
+  def unpersistAll(): Unit = {
+    vecCache.clearAll(); rankCache.clearAll(); clearGeomCache()
+  }
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     vecCache.getOrBuild(spark, dir)(
@@ -198,9 +200,8 @@ object Similarity {
     * Output schema and tie-breaking match [[ivfAnn]]'s single-level
     * `ranked` exactly, so persistence, probing, and the top-k
     * aggregation downstream are shared unchanged. */
-  private def rankedTwoLevel(e: DataFrame, nCentTotal: Long,
+  private def rankedTwoLevel(e: DataFrame, l2: DataFrame,
       l1Count: Long, upTo: Int, l1Probe: Int): DataFrame = {
-    val l2 = seedsByRank(e, nCentTotal, broadcastJoin = false)
     val l1Bc = broadcastGroups(l2.filter(col("cent_id") < l1Count)
       .select(col("cent_id").as("vec_id"), col("v_q").as("v"),
         col("nr_q").as("nr")))
@@ -229,9 +230,18 @@ object Similarity {
       .filter(col("rn") <= n)
       .select(col("vec_id"), (col("rn") - lit(1L)).cast("long").as("cent_id"))
     val ranked = if (broadcastJoin) broadcast(ranked0) else ranked0
-    e.join(ranked, Seq("vec_id"))
+    val seeds = e.join(ranked, Seq("vec_id"))
       .select(col("cent_id"), col("v").as("v_q"), col("nr").as("nr_q"),
         col("vec_id").as("src_vec_id"))
+    // flat-path seed sets (≤ the broadcast cap) are consumed by
+    // several ACTIONS per build (the assignment sweep, the centroid
+    // write, Lloyd's cell pass) — persist so the rank pass runs once;
+    // evictable, a few MB. Two-level seed sets can reach cap² rows:
+    // recomputing the narrow rank pass per action is cheaper than
+    // spilling terabytes, and builds at that scale are once-per-corpus.
+    if (broadcastJoin)
+      seeds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else seeds
   }
 
   /** Driver-collect + broadcast one tiny (id, vector, norm) frame —
@@ -340,10 +350,13 @@ object Similarity {
         s"$indexRoot/${key}_ivf2l_c${nCentTotal}_g${l1Count}_p${upTo}_r$l1Probe"
       val idxMeta =
         s"n=$nVecs;cent=$nCentTotal;l1=$l1Count;upTo=$upTo;l1p=$l1Probe"
+      // ONE l2 seed frame shared by the assignment build and the
+      // centroid write — one definition of the seed selection per build
+      lazy val l2 = seedsByRank(e, nCentTotal, broadcastJoin = false)
       val r = rankCache.getOrBuild(spark, s"$dir#2l#$nprobe#$nCentTotal#$l1Probe")(
         loadOrBuildIndex(spark, idxPath, idxMeta,
-            build = rankedTwoLevel(e, nCentTotal, l1Count, upTo, l1Probe),
-            cents = seedsByRank(e, nCentTotal, broadcastJoin = false))
+            build = rankedTwoLevel(e, l2, l1Count, upTo, l1Probe),
+            cents = l2)
           .persist(org.apache.spark.storage.StorageLevel.fromString(
             sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
       return finishAnn(spark, e, r, nprobe)
@@ -358,10 +371,13 @@ object Similarity {
     val idxPath =
       s"$indexRoot/${key}_ivf_${if (lloyd) "l1" else "l0"}_c${nCent}_p$upTo"
     val idxMeta = s"n=$nVecs;cent=$nCent;upTo=$upTo;lloyd=$lloyd"
+    // ONE (persisted) seed/centroid frame shared by the assignment
+    // build and the centroid write — the rank pass runs once per build
+    lazy val sCents = singleLevelCents(e, nCent, lloyd)
     val r = rankCache.getOrBuild(spark, s"$dir#$nprobe#$lloyd#$nCent")(
       loadOrBuildIndex(spark, idxPath, idxMeta,
-          build = rankedSingleLevel(e, nCent, upTo, lloyd),
-          cents = singleLevelCents(e, nCent, lloyd))
+          build = rankedAgainst(e, sCents, upTo),
+          cents = sCents)
         .persist(org.apache.spark.storage.StorageLevel.fromString(
           sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
     finishAnn(spark, e, r, nprobe)
@@ -388,6 +404,11 @@ object Similarity {
   private def singleLevelCents(e: DataFrame, nCent: Long,
       lloyd: Boolean): DataFrame = {
     val cents0 = seedsByRank(e, nCent, broadcastJoin = true)
+    // loud guard (kept from the pre-rank code): an empty corpus must
+    // fail the BUILD, never persist an empty index that silently
+    // serves empty ANN results forever
+    require(cents0.limit(1).count() > 0,
+      "graft ivf: the corpus has no vectors — cannot seed a quantizer")
     if (!lloyd) cents0
     else {
       // one Lloyd refinement: new centroid = per-dimension mean of the
@@ -591,13 +612,18 @@ object Similarity {
 
   /** Memoized geometry for a corpus DIRECTORY: the dimension probe is
     * one limit(1) scan of the raw embeddings (no transform pipeline),
-    * cached per (dir, budget) so warm q124/q126 calls never re-run a
-    * job just to rebuild their cache keys. */
+    * cached per (dir, budget, corpus row count) so warm q124/q126
+    * calls never re-run a job just to rebuild their cache keys — and a
+    * corpus REPLACED at the same path invalidates through the same
+    * row-count fingerprint the index artifacts use.
+    * [[unpersistAll]] clears it with the other session caches. */
   private val geomCache =
     new java.util.concurrent.ConcurrentHashMap[String, PqGeom]()
-  private def pqGeomOfDir(spark: SparkSession, dir: String): PqGeom = {
+  private[queries] def clearGeomCache(): Unit = geomCache.clear()
+  private def pqGeomOfDir(spark: SparkSession, dir: String,
+      nVecs: Long): PqGeom = {
     val budget = sys.props.getOrElse("graft.pq.budgetBytes", "6")
-    geomCache.computeIfAbsent(s"$dir#$budget", _ =>
+    geomCache.computeIfAbsent(s"$dir#$budget#$nVecs", _ =>
       pqGeomFor(t(spark, dir, "embeddings")
         .select(size(col("embedding")).as("d")).limit(1).head().getInt(0)))
   }
@@ -766,12 +792,13 @@ object Similarity {
     // minus the refinement keeps the oracle reconstruction focused on
     // the PQ machinery) — same persisted-artifact discipline as
     // [[ivfAnn]] (a cold session loads the ranked triples from disk)
+    lazy val sCents = singleLevelCents(e, nCent, lloyd = false)
     val r = rankCache.getOrBuild(spark, s"$dir#pqcells#$nCent")(
       loadOrBuildIndex(spark,
           s"$indexRoot/${key}_ivf_l0_c${nCent}_p2",
           s"n=$nVecs;cent=$nCent;upTo=2;lloyd=false",
-          build = rankedSingleLevel(e, nCent, upTo = 2, lloyd = false),
-          cents = singleLevelCents(e, nCent, lloyd = false))
+          build = rankedAgainst(e, sCents, upTo = 2),
+          cents = sCents)
         .persist(org.apache.spark.storage.StorageLevel.fromString(
           sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
     val cells = r.filter(col("ar") === 1)
@@ -782,7 +809,7 @@ object Similarity {
     // the PQ index (per-vector reconstructions; the codebooks persist
     // alongside as the artifact future out-of-corpus encodes broadcast)
     // is a table artifact exactly like the IVF index
-    val g = pqGeomOfDir(spark, dir)
+    val g = pqGeomOfDir(spark, dir, nVecs)
     val recon = rankCache.getOrBuild(spark, s"$dir#pqrecon#${g.m}#${g.k}")(
       loadOrBuildIndex(spark,
           s"$indexRoot/${key}_pq_m${g.m}_k${g.k}",
@@ -818,6 +845,36 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Residual-encoding primitives shared by the q126 gate and the
+    * incremental maintainer ([[IncrementalAdc]]) — ONE definition of
+    * the residual convention, so the query and the incrementally
+    * maintained artifact can never silently diverge. */
+  /** Normalized subtraction anchors (cell, cn) from a centroid frame
+    * (cent_id, v_q, nr_q) — broadcast: ≤ ⌈√n⌉ rows by construction. */
+  private[queries] def adcAnchors(cents: DataFrame): DataFrame =
+    broadcast(cents.select(col("cent_id").as("cell"),
+      expr("transform(v_q, x -> x / nr_q)").as("cn")))
+
+  /** Residual frame (vec_id, cell, uv = unit − cn(cell)): the residual
+    * rides in the `uv` slot so the PQ train/encode primitives apply
+    * unchanged. `cells` = (vec_id, cell) ar=1 assignments. */
+  private[queries] def adcResiduals(u: DataFrame, cells: DataFrame,
+      cn: DataFrame): DataFrame =
+    u.select(col("vec_id"), col("uv")).join(cells, Seq("vec_id"))
+      .join(cn, Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("uv"), col("cn"), (a, b) => a - b).as("uv"))
+
+  /** Reconstructions (vec_id, rv = cn + recon(residual)) against a
+    * frozen residual codebook. */
+  private[queries] def adcReconOf(spark: SparkSession, resid: DataFrame,
+      cb: DataFrame, cn: DataFrame): DataFrame =
+    pqReconAgainst(spark, resid.select(col("vec_id"), col("uv")), cb)
+      .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .join(cn, Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("rv"), col("cn"), (a, b) => a + b).as("rv"))
+
   /** q126 (r17): residual-encoded IVFADC — FAISS's IVFADC proper, the
     * recall rung past plain IVF-PQ. Instead of quantizing the
     * normalized vector directly, each vector encodes its RESIDUAL
@@ -838,11 +895,12 @@ object Similarity {
     val nCent = math.ceil(math.sqrt(nVecs.toDouble)).toLong
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val ivfPath = s"$indexRoot/${key}_ivf_l0_c${nCent}_p2"
+    lazy val sCents = singleLevelCents(e, nCent, lloyd = false)
     val r = rankCache.getOrBuild(spark, s"$dir#pqcells#$nCent")(
       loadOrBuildIndex(spark, ivfPath,
           s"n=$nVecs;cent=$nCent;upTo=2;lloyd=false",
-          build = rankedSingleLevel(e, nCent, upTo = 2, lloyd = false),
-          cents = singleLevelCents(e, nCent, lloyd = false))
+          build = rankedAgainst(e, sCents, upTo = 2),
+          cents = sCents)
         .persist(org.apache.spark.storage.StorageLevel.fromString(
           sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))
     val cells = r.filter(col("ar") === 1)
@@ -852,23 +910,14 @@ object Similarity {
     // normalized centroids from the PERSISTED routing artifact (built
     // just above if absent) — the add-back anchor of every
     // reconstruction
-    val cn = broadcast(spark.read.format("fls").load(s"$ivfPath/_centroids")
-      .select(col("cent_id").as("cell"),
-        expr("transform(v_q, x -> x / nr_q)").as("cn")))
-    val resid = u.select(col("vec_id"), col("uv")).join(cells, Seq("vec_id"))
-      .join(cn, Seq("cell"))
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("uv"), col("cn"), (a, b) => a - b).as("uv"))
-    val g = pqGeomOfDir(spark, dir)
+    val cn = adcAnchors(spark.read.format("fls").load(s"$ivfPath/_centroids"))
+    val resid = adcResiduals(u, cells, cn)
+    val g = pqGeomOfDir(spark, dir, nVecs)
     val recon = rankCache.getOrBuild(spark, s"$dir#pqres#${g.m}#${g.k}")(
       loadOrBuildIndex(spark,
           s"$indexRoot/${key}_pqres_m${g.m}_k${g.k}",
           s"n=$nVecs;m=${g.m};k=${g.k};res=1",
-          build = pqReconAgainst(spark, resid, pqCodebook(spark, resid, g))
-            .join(resid.select(col("vec_id"), col("cell")), Seq("vec_id"))
-            .join(cn, Seq("cell"))
-            .select(col("vec_id"),
-              zip_with(col("rv"), col("cn"), (a, b) => a + b).as("rv")),
+          build = adcReconOf(spark, resid, pqCodebook(spark, resid, g), cn),
           cents = pqCodebook(spark, resid, g))
         .persist(org.apache.spark.storage.StorageLevel.fromString(
           sys.props.getOrElse("graft.dedup.storage", "MEMORY_AND_DISK"))))

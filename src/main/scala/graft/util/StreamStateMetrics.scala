@@ -88,10 +88,16 @@ object StreamStateMetrics {
     spark.streams.addListener(l)
     try {
       val r = body
-      // listener bus drains asynchronously after awaitTermination
+      // the listener bus drains asynchronously after awaitTermination:
+      // wait for QUIESCENCE (sample count stable across consecutive
+      // polls), not merely the first sample — a multi-batch run's later
+      // batches would otherwise be missed and the peak under-reported
       var waited = 0
-      while (l.samples.isEmpty && waited < 2000) {
-        Thread.sleep(100); waited += 100
+      var prev = -1
+      var cur = l.samples.size
+      while ((cur != prev || cur == 0) && waited < 3000) {
+        Thread.sleep(150); waited += 150
+        prev = cur; cur = l.samples.size
       }
       lastSamples = l.samples
       lastSummary = Some(summarize(lastSamples))
