@@ -100,6 +100,17 @@ object IvfRecallProbe {
     // loses the true neighbors.
     measurePq("ivfadc residual (q126)",
       graft.queries.Similarity.q126IvfAdc)
+    // (r18) the residual-IVFADC SERVING LADDER — q126's recall@5 =
+    // 1.000 at sf0.1 is the (nprobe=2, shortlist=50) point; laddering
+    // both knobs shows where recall is bought (cells probed) vs
+    // repaired (rerank depth), so the serving default is a measured
+    // choice, not an artifact of the gate's constants. The codes
+    // artifact is shared across the whole ladder; only the ranked
+    // index varies (one per nprobe).
+    for (np <- Seq(1, 2, 4); sl <- Seq(20, 50)) {
+      measurePq(f"ivfadc np=$np sl=$sl",
+        (s, d) => graft.queries.Similarity.ivfAdc(s, d, np, sl))
+    }
     spark.stop()
   }
 }

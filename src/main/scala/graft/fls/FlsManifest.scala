@@ -77,6 +77,20 @@ object FlsManifest {
     * single-file append writes one pointer file + one 1-entry chunk. */
   val ChunkTargetKey = "graft.fls.manifest.chunk.target"
   val DefaultChunkTarget = 8192
+
+  /** Epoch markers of a query that has not stamped ANY epoch for this
+    * many manifest versions are RETIRED (r18 — the r17 verdict's
+    * marker-accretion gap: a table written by thousands of short-lived
+    * streaming queries otherwise keeps one stale marker per retired
+    * query on every kept pointer, bytes-bounded per line but unbounded
+    * in query count). A LIVE query re-stamps on every epoch commit, so
+    * it can never age out; a RETURNING query whose markers were
+    * retired just pays the same one-time full-merge bootstrap as a
+    * brand-new query (the connector's headHasQid gate), then rides the
+    * O(delta) path again — retirement is a speed trade, never a
+    * correctness one. */
+  val EpochRetireKey = "graft.fls.manifest.epoch.retire.versions"
+  val DefaultEpochRetire = 64
   /** When this many reusable chunks have decayed below half the target
     * size (single-append commits each add a tiny chunk), fold them into
     * the delta and rewrite right-sized ones — amortized O(chunkTarget)
@@ -747,7 +761,7 @@ object FlsManifest {
         Some(VersionMeta(op, dataChange, schemaV)), cdc,
         cur.map(_._2.chunks).getOrElse(Nil), conf, eqAll,
         chunkStatCols(tableMeta.map(_._2)),
-        cur.map(_._2.pointers).getOrElse(Nil), epochAdd)
+        cur.map(_._2.pointers).getOrElse(Nil), epochAdd, next)
       def dropNewChunks(): Unit = newChunks.foreach(p =>
         try fs.delete(p, false) catch { case _: Throwable => () })
       val won =
@@ -876,7 +890,9 @@ object FlsManifest {
       // chunks on first attempts, ~1 on retries)
       val (mustOpen0, keep0) = epochWriteId match {
         case Some(w) =>
-          val (mine, rest) = keep1.partition(_.epochs.contains(w))
+          // markers carry an @stamp (age clock) — compare by base
+          val (mine, rest) = keep1.partition(
+            _.epochs.exists(m => epochBase(m) == w))
           (mustOpen1 ++ mine, rest)
         case None => (mustOpen1, keep1)
       }
@@ -969,10 +985,18 @@ object FlsManifest {
       val keep = keepOf(tableMeta.map(_._2))
       val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId),
         f"manifest_v$next%020d")
-      val newChunks = writeContentDelta(fs, dir, tmp, kept, leftover,
+      // retire aged-out markers on the pointer lines this commit
+      // re-serializes (kept AND new) — see EpochRetireKey
+      val retireAfter =
+        math.max(1, conf.getInt(EpochRetireKey, DefaultEpochRetire)).toLong
+      val keptR = kept.map(pt =>
+        if (pt.epochs.isEmpty) pt
+        else pt.copy(epochs = retireEpochMarkers(pt.epochs, next, retireAfter)))
+      val newChunks = writeContentDelta(fs, dir, tmp, keptR, leftover,
         Some(VersionMeta(op, dataChange, schemaV)), cdc, conf, eqAll,
         chunkStatCols(tableMeta.map(_._2)),
-        pruneEpochMarkers(mustOpen.flatMap(_.epochs), epochWriteId))
+        pruneEpochMarkers(mustOpen.flatMap(_.epochs), epochWriteId,
+          next, retireAfter))
       def dropNewChunks(): Unit = newChunks.foreach(p =>
         try fs.delete(p, false) catch { case _: Throwable => () })
       beforePublishForTest()
@@ -1070,7 +1094,10 @@ object FlsManifest {
         * epochs) onto the new chunks, so a marker survives every
         * rewrite until its epoch is provably complete. */
       prevPointers: Seq[Pointer] = Nil,
-      epochAdd: Option[String] = None): Seq[Path] = {
+      epochAdd: Option[String] = None,
+      /** The manifest version this content is being written FOR — the
+        * epoch-marker age clock ([[retireEpochMarkers]]). */
+      nextVersion: Long = 0L): Seq[Path] = {
     val inlineMax = math.max(0, conf.getInt(InlineThresholdKey, DefaultInlineThreshold))
     val chunked = entries.length > inlineMax
     // ---- plan the chunk layout (no-op for inline tables) ----
@@ -1124,11 +1151,15 @@ object FlsManifest {
         // commit's own epoch stamp — conservative (a retry may open a
         // couple of chunks instead of exactly one) but never loses a
         // live marker through a rewrite
-        val markersByName = prevPointers.map(pt => pt.name -> pt.epochs).toMap
+        val retireAfter =
+          math.max(1, conf.getInt(EpochRetireKey, DefaultEpochRetire)).toLong
+        val markersByName = prevPointers.map(pt =>
+          pt.name -> retireEpochMarkers(pt.epochs, nextVersion, retireAfter))
+          .toMap
         val reusedNames = reused.map(_._1).toSet
         val newMarkers = pruneEpochMarkers(
           prevPointers.filterNot(pt => reusedNames.contains(pt.name))
-            .flatMap(_.epochs), epochAdd)
+            .flatMap(_.epochs), epochAdd, nextVersion, retireAfter)
         // pointer lines, ordered by each chunk's first rel so the file
         // is deterministic for a given layout; each carries the chunk's
         // [minRel, maxRel] (entries are rel-sorted within a chunk) so
@@ -1218,7 +1249,8 @@ object FlsManifest {
     * (`<queryId>-e<digits>`), or None for any other shape. The epoch
     * suffix is appended LAST by the sink, so `lastIndexOf` is exact
     * even when the queryId itself contains `-e`. */
-  private[fls] def epochQid(writeId: String): Option[(String, Long)] = {
+  private[fls] def epochQid(writeId0: String): Option[(String, Long)] = {
+    val writeId = epochBase(writeId0) // markers may carry an @stamp
     val i = writeId.lastIndexOf("-e")
     if (i <= 0) None
     else {
@@ -1229,15 +1261,63 @@ object FlsManifest {
     }
   }
 
+  /** A persisted marker is `<writeId>[@<stampVersion>]` — the stamp is
+    * the manifest version whose commit last (re)stamped the marker's
+    * query, the age input of [[retireEpochMarkers]]. Base = the plain
+    * writeId a retried epoch compares against. Markers written before
+    * r18 have no stamp (base == the whole string); they pick one up at
+    * the next commit that re-serializes their pointer line. */
+  private[fls] def epochBase(m: String): String = {
+    val i = m.lastIndexOf('@')
+    if (i < 0) m
+    else {
+      val s = m.substring(i + 1)
+      if (s.nonEmpty && s.length <= 18 && s.forall(_.isDigit))
+        m.substring(0, i)
+      else m
+    }
+  }
+
+  /** The marker's stamp version, or -1 for a pre-r18 stampless one. */
+  private[fls] def epochStampOf(m: String): Long = {
+    val i = m.lastIndexOf('@')
+    if (i < 0) -1L
+    else {
+      val s = m.substring(i + 1)
+      if (s.nonEmpty && s.length <= 18 && s.forall(_.isDigit)) s.toLong
+      else -1L
+    }
+  }
+
+  /** Age-based marker retirement for pointer lines this commit writes
+    * (kept AND new): stampless markers are stamped `@next` (their age
+    * clock starts now — conservative), markers older than
+    * `retireAfter` versions drop. Pure speed trade — see
+    * [[EpochRetireKey]]. */
+  private[fls] def retireEpochMarkers(ms: Seq[String], next: Long,
+      retireAfter: Long): Seq[String] =
+    if (next <= 0) ms // no version context: carry verbatim
+    else ms.flatMap { m =>
+      val stamped = if (epochStampOf(m) < 0) s"$m@$next" else m
+      if (next - epochStampOf(stamped) > retireAfter) None else Some(stamped)
+    }
+
   /** Union + dedup epoch markers, dropping SUPERSEDED ones: epochs of
     * one query commit in order, so the presence of `q-e7` anywhere in
     * the merged set proves `q-e5` completed (Spark logs epoch N before
     * starting N+1) and can never be retried. Unparseable markers are
     * kept verbatim (never written by this codebase, but never silently
-    * dropped either). */
+    * dropped either). (r18) markers carry an `@<version>` age stamp:
+    * the committing epoch stamps `@next`, carried markers keep theirs
+    * (newest stamp wins when one base appears under several), and
+    * markers older than `retireAfter` versions retire
+    * ([[retireEpochMarkers]]). */
   private[fls] def pruneEpochMarkers(ms: Seq[String],
-      adding: Option[String]): Seq[String] = {
-    val all = (ms ++ adding).distinct
+      adding: Option[String], next: Long, retireAfter: Long): Seq[String] = {
+    val all = (retireEpochMarkers(ms, next, retireAfter) ++
+        adding.map(a => s"$a@$next"))
+      .groupBy(epochBase).map(_._2.maxBy(epochStampOf)).toSeq
+      .sortBy(epochBase) // deterministic serialization order
     val maxByQid = all.flatMap(epochQid).groupBy(_._1)
       .map { case (q, xs) => q -> xs.map(_._2).max }
     all.filter(w => epochQid(w) match {

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *     [[IncrementalIvf.refresh]] (appended vectors assign against the
   *     FROZEN centroids — no recluster, no drift in the anchors);
   *  2. encodes ONLY the appended vectors' residuals against the frozen
-  *     residual codebooks and appends `(vec_id, rv, src_version)` in
+  *     residual codebooks and appends `(vec_id, codes, src_version)` in
   *     one manifest commit (cursor = max(src_version) from the table's
   *     own manifest stats — the atomic-CAS trick verbatim).
   *
@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * whole corpus against the same centroids + codebooks
   * (spec-asserted). INVALIDATION: if the underlying IVF index
   * RECLUSTERS (its own drift threshold), the subtraction anchors
-  * change and every stored reconstruction is stale — the refresh
+  * change and every stored code is stale — the refresh
   * detects the IVF marker change and retrains from scratch; the
   * `graft.pq.drift` corpus-growth threshold retrains the codebooks
   * the same way [[IncrementalPq]] does. Non-append corpus ranges make
@@ -65,13 +65,14 @@ object IncrementalAdc {
     Similarity.adcResiduals(u, cells, anchors(spark, ivfDir))
   }
 
-  /** Residual reconstructions (vec_id, rv = cn + recon(residual)) for
-    * `resid` against a frozen codebook ([[Similarity.adcReconOf]]). */
-  private def reconOf(spark: SparkSession, resid: DataFrame,
-      cb: DataFrame, ivfDir: String): DataFrame =
-    Similarity.adcReconOf(spark, resid, cb, anchors(spark, ivfDir))
+  /** Packed residual codes (vec_id, codes) for `resid` against a
+    * frozen codebook — [[Similarity.pqCodesAgainst]]; the centroid
+    * add-back lives in the scoring kernel, not the artifact. */
+  private def codesOf(spark: SparkSession, resid: DataFrame,
+      cb: DataFrame): DataFrame =
+    Similarity.pqCodesAgainst(spark, resid, cb)
 
-  /** Bring the residual reconstructions at `adcDir` up to the corpus
+  /** Bring the residual codes table at `adcDir` up to the corpus
     * head. The IVF index at `ivfDir` is refreshed first (and owns its
     * own geometry/drift policy); an IVF RECLUSTER invalidates this
     * artifact whole. No-op (zero encode jobs) when already current. */
@@ -97,7 +98,7 @@ object IncrementalAdc {
     val builtN = saved.head.stripPrefix("n=").toLong
     if (saved.drop(1).mkString("\n") != ivfStamp) {
       // the IVF index reclustered: every subtraction anchor moved —
-      // stored reconstructions are stale as a SET, retrain
+      // stored codes are stale as a SET, retrain
       val st = buildAll(spark, corpus(), ivfDir, adcDir, head, ivfStamp)
       return st.copy(fromVersion = IncrementalDedup.cursorOf(spark, adcDir))
     }
@@ -117,7 +118,7 @@ object IncrementalAdc {
     val cb = spark.read.format("fls").load(s"$adcDir/_codebook")
     val resid = residualsOf(spark, IncrementalPq.normalized(added)
       .select(col("vec_id"), col("uv")), ivfDir)
-    reconOf(spark, resid, cb, ivfDir)
+    codesOf(spark, resid, cb)
       .withColumn("src_version", lit(head))
       .write.format("fls").mode("append")
       .option("commit_mode", "manifest").save(adcDir)
@@ -130,7 +131,7 @@ object IncrementalAdc {
     * whole corpus through it to assert the patch is bit-identical. */
   def encodeAgainst(spark: SparkSession, u: DataFrame, ivfDir: String,
       cb: DataFrame): DataFrame =
-    reconOf(spark, residualsOf(spark, u, ivfDir), cb, ivfDir)
+    codesOf(spark, residualsOf(spark, u, ivfDir), cb)
 
   /** Recovery from a non-append-only range, and the retraining path. */
   def rebuild(spark: SparkSession, corpusDir: String, ivfDir: String,
@@ -152,7 +153,7 @@ object IncrementalAdc {
     val cb = Similarity.pqCodebook(spark, resid, g)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      reconOf(spark, resid, cb, ivfDir)
+      codesOf(spark, resid, cb)
         .withColumn("src_version", lit(head))
         .write.format("fls").mode("overwrite")
         .option("commit_mode", "manifest").save(adcDir)

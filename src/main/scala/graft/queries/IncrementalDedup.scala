@@ -50,8 +50,16 @@ object IncrementalDedup {
     * race window — two takeover racers can both proceed — but it
     * needs a crash AND two simultaneous takeovers; the advisory
     * guard targets the everyday double-schedule, not byzantine
-    * recovery). */
-  private[queries] def withRefreshLock[T](idxDir: String,
+    * recovery).
+    *
+    * LIVENESS (r18 — the r17 verdict's lock gap): the holder
+    * HEARTBEATS the lock's mtime every ttl/4 while `body` runs, so a
+    * legitimately long refresh (a day's append on a 100 TB corpus can
+    * outlive any fixed TTL) never LOOKS crashed — staleness now means
+    * "no heartbeat for a full TTL", which only a dead process
+    * produces. A crashed refresh stops heartbeating by definition and
+    * is taken over exactly as before. */
+  private[graft] def withRefreshLock[T](idxDir: String,
       ttlMs: Long = 30L * 60 * 1000)(body: => T): T = {
     val lock = new java.io.File(s"$idxDir/_refresh_lock")
     Option(lock.getParentFile).foreach(_.mkdirs())
@@ -64,12 +72,30 @@ object IncrementalDedup {
           s"fls: another refresh of $idxDir is in flight " +
             s"(lock age ${age / 1000}s) — rerun after it finishes, or " +
             s"remove ${lock.getPath} if it crashed")
-      lock.delete() // stale lock from a crashed refresh: take over
+      lock.delete() // stale (heartbeat-less) lock from a crash: take over
       if (!acquire())
         throw new java.util.ConcurrentModificationException(
           s"fls: lost the refresh-lock takeover race for $idxDir — rerun")
     }
-    try body finally { lock.delete(); () }
+    val beat = math.max(1L, ttlMs / 4)
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(beat)
+          // best-effort: a failed touch (fs hiccup) just ages the lock
+          // toward the TTL — the next beat usually recovers it
+          lock.setLastModified(System.currentTimeMillis())
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"fls-refresh-heartbeat:$idxDir")
+    hb.setDaemon(true)
+    hb.start()
+    try body finally {
+      hb.interrupt()
+      hb.join(1000)
+      lock.delete()
+      ()
+    }
   }
 
   /** Signatures of one documents frame: (doc_id, ghash, nsh,

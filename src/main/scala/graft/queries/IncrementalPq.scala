@@ -13,7 +13,7 @@ import graft.fls.FlsManifest
   * thereafter — the FAISS operational shape: train on a corpus sample,
   * encode forever), and each [[refresh]] ENCODES ONLY the corpus files
   * appended since the cursor (`changes_from_version`) against the
-  * frozen codebooks, appending the new reconstructions in one manifest
+  * frozen codebooks, appending the new packed codes in one manifest
   * commit stamped with the source version. Cursor = `max(src_version)`
   * from the PQ table's own manifest stats, so the append and the
   * cursor advance are one atomic CAS.
@@ -25,7 +25,7 @@ import graft.fls.FlsManifest
   * BUILD-TIME distribution, so past `graft.pq.drift` (default 2×
   * corpus growth) refresh RETRAINS — the one O(corpus) case, by
   * design. Non-append ranges (DELETE / OVERWRITE / equality deletes)
-  * make `changes_from_version` itself refuse — stale reconstructions
+  * make `changes_from_version` itself refuse — stale codes
   * would serve deleted vectors — and [[rebuild]] recovers. */
 object IncrementalPq {
 
@@ -56,7 +56,7 @@ object IncrementalPq {
           "maintenance needs a commit_mode=manifest embeddings table"))
   }
 
-  /** Bring the PQ reconstructions at `idxDir` up to the corpus head:
+  /** Bring the PQ codes table at `idxDir` up to the corpus head:
     * a full train+encode when no index exists (or the corpus outgrew
     * the drift threshold), otherwise an O(new data) encode against
     * the frozen codebooks. No-op (zero jobs) when already current. */
@@ -90,12 +90,12 @@ object IncrementalPq {
       .option("changes_to_version", head.toString)
       .load(corpusDir)
     val cb = spark.read.format("fls").load(s"$idxDir/_codebook")
-    Similarity.pqReconAgainst(spark, normalized(added), cb)
+    Similarity.pqCodesAgainst(spark, normalized(added), cb)
       .withColumn("src_version", lit(head))
       .write.format("fls").mode("append")
       .option("commit_mode", "manifest").save(idxDir)
-    // one recon row per appended vector — count the (small) delta, not
-    // the corpus-sized reconstruction table
+    // one codes row per appended vector — count the (small) delta, not
+    // the corpus-sized codes table
     val n = added.select("vec_id").distinct().count()
     RefreshStats(cursor, head, n, rebuilt = false)
   }
@@ -105,7 +105,7 @@ object IncrementalPq {
     * vectors; specs re-encode the whole corpus through it to assert
     * the patch is bit-identical. */
   def encodeAgainst(spark: SparkSession, u: DataFrame,
-      cb: DataFrame): DataFrame = Similarity.pqReconAgainst(spark, u, cb)
+      cb: DataFrame): DataFrame = Similarity.pqCodesAgainst(spark, u, cb)
 
   /** Recovery from a non-append-only range, and the retraining path. */
   def rebuild(spark: SparkSession, corpusDir: String,
@@ -123,7 +123,7 @@ object IncrementalPq {
     val cb = Similarity.pqCodebook(spark, u)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      Similarity.pqReconAgainst(spark, u, cb)
+      Similarity.pqCodesAgainst(spark, u, cb)
         .withColumn("src_version", lit(head))
         .write.format("fls").mode("overwrite")
         .option("commit_mode", "manifest").save(idxDir)

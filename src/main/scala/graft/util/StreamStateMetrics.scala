@@ -80,25 +80,20 @@ object StreamStateMetrics {
 
   /** Run `body` with a scoped state-metrics listener attached; record
     * the captured samples + summary in [[lastSummary]]/[[lastSamples]]
-    * and return the body's result. NOTE: progress events drain on the
-    * listener bus asynchronously — `body` must await query termination
-    * (every caller here does), and a short post-drain is applied. */
+    * and return the body's result. NOTE: `body` must await query
+    * termination (every caller here does) — by then every progress
+    * event is already POSTED to the listener bus, so one deterministic
+    * bus drain delivers them in milliseconds. (r18: the r17 shape
+    * polled sample counts in fixed 150 ms sleeps — min ~150 ms, worst
+    * 3 s — INSIDE the caller's timed path; q92 paid observability in
+    * its bench number.) */
   def observe[T](spark: SparkSession)(body: => T): T = {
     val l = new StreamStateMetrics
     spark.streams.addListener(l)
     try {
       val r = body
-      // the listener bus drains asynchronously after awaitTermination:
-      // wait for QUIESCENCE (sample count stable across consecutive
-      // polls), not merely the first sample — a multi-batch run's later
-      // batches would otherwise be missed and the peak under-reported
-      var waited = 0
-      var prev = -1
-      var cur = l.samples.size
-      while ((cur != prev || cur == 0) && waited < 3000) {
-        Thread.sleep(150); waited += 150
-        prev = cur; cur = l.samples.size
-      }
+      org.apache.spark.graftutil.ListenerBusDrain.drain(
+        spark.sparkContext, 10000)
       lastSamples = l.samples
       lastSummary = Some(summarize(lastSamples))
       r

@@ -186,6 +186,125 @@ case class TopGroups(vec: Expression, norm: Expression,
     copy(vec = newLeft, norm = newRight)
 }
 
+/** Pack an ArrayType(IntegerType) of PQ code ids (each 0..255, m
+  * order) into a BINARY of one byte per code — the persisted ANN
+  * artifact shape (M bytes/vector instead of the ~dim×8 B
+  * reconstruction it replaces; FAISS's codes layout). Out-of-range
+  * codes fail loudly: a silent truncation would corrupt every ADC
+  * score downstream. */
+case class PackCodes(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with ExpectsInputTypes {
+
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_pack_codes"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = x.getInt(i)
+      if (c < 0 || c > 255)
+        throw new IllegalArgumentException(
+          s"graft_pack_codes: code $c out of the unsigned-byte range")
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $c = $a.getInt($i);
+         |  if ($c < 0 || $c > 255) {
+         |    throw new IllegalArgumentException(
+         |      "graft_pack_codes: code " + $c + " out of the unsigned-byte range");
+         |  }
+         |  $out[$i] = (byte) $c;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC score of a normalized query vector against a PQ-CODED candidate
+  * — the scoring kernel of the codes-shaped ANN artifact (M bytes per
+  * vector; the broadcast codebook carries the geometry). The
+  * accumulator is CARRIED across subspaces in m order, so the result
+  * is bit-identical to reconstructing rv = flatten(cb(m)(code_m)) and
+  * taking the full sequential dot <uq, rv> — which is exactly what the
+  * DuckDB oracle computes relationally; the q124 hash cannot move.
+  * (FAISS amortizes the same arithmetic into a per-query M×K LUT — an
+  * optional speed path; per-candidate cost here already equals the
+  * plain dot while the ARTIFACT shrinks ~dim×8/M ≈ 64×.)
+  *
+  * `anchored = true` adds the candidate's cell centroid back during
+  * the scan (residual IVFADC, q126): the inner term becomes
+  * uq(j) * (anchor(j) + entry(i)) — IEEE addition is commutative, so
+  * this is bit-identical to zip_with(rr, cn, +) then dot. */
+case class AdcFromCodes(vec: Expression, codes: Expression,
+    anchor: Expression,
+    cb: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+    anchored: Boolean)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def first: Expression = vec
+  override def second: Expression = codes
+  override def third: Expression = anchor
+  override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), BinaryType, ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_adc_from_codes"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val cd = b.asInstanceOf[Array[Byte]]
+    val anc = if (anchored) c.asInstanceOf[ArrayData] else null
+    val cbv = cb.value
+    var s = 0.0
+    var m = 0
+    var off = 0
+    while (m < cd.length) {
+      val e = cbv(m)(cd(m) & 0xFF)
+      var i = 0
+      if (anchored) {
+        while (i < e.length) {
+          s += x.getDouble(off + i) * (anc.getDouble(off + i) + e(i)); i += 1
+        }
+      } else {
+        while (i < e.length) { s += x.getDouble(off + i) * e(i); i += 1 }
+      }
+      off += e.length
+      m += 1
+    }
+    s
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(vec = newFirst, codes = newSecond, anchor = newThird)
+}
+
 /** Column-API entry points for the native kernels. */
 object GraftFunctions {
   import org.apache.spark.sql.classic.ExpressionUtils
@@ -209,6 +328,33 @@ object GraftFunctions {
     ExpressionUtils.column(TopGroups(
       ExpressionUtils.expression(v), ExpressionUtils.expression(nr),
       groups, k))
+
+  /** Pack an m-ordered ARRAY<INT> of PQ code ids into M bytes. */
+  def packCodes(codes: Column): Column =
+    ExpressionUtils.column(PackCodes(ExpressionUtils.expression(codes)))
+
+  /** ADC score of a normalized query against packed PQ codes — see
+    * [[AdcFromCodes]] (bit-identical to <uq, reconstruct(codes)>). */
+  def adcScore(uq: Column, codes: Column,
+      cb: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+    : Column =
+    ExpressionUtils.column(AdcFromCodes(
+      ExpressionUtils.expression(uq), ExpressionUtils.expression(codes),
+      // never read (anchored = false) — an empty non-null array keeps
+      // the null-intolerant ternary from nulling the score out
+      ExpressionUtils.expression(org.apache.spark.sql.functions.array()
+        .cast(ArrayType(DoubleType))),
+      cb, anchored = false))
+
+  /** Residual-IVFADC scoring: adds the candidate cell's normalized
+    * centroid back during the scan — bit-identical to
+    * <uq, cn + reconstruct(codes)>. */
+  def adcScoreAnchored(uq: Column, codes: Column, anchor: Column,
+      cb: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+    : Column =
+    ExpressionUtils.column(AdcFromCodes(
+      ExpressionUtils.expression(uq), ExpressionUtils.expression(codes),
+      ExpressionUtils.expression(anchor), cb, anchored = true))
 
   /** Exact floor division of a LONG column by a positive constant.
     * `x DIV w` truncates toward zero (mis-buckets negatives) and a

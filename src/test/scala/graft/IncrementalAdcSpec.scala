@@ -37,10 +37,12 @@ class IncrementalAdcSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def copyAt(i: Int) =
     emb().withColumn("vec_id", col("vec_id") + lit(i * 1000L))
 
-  private def recons(idx: String): Map[Long, Seq[Double]] =
+  // the persisted artifact is PACKED RESIDUAL CODES (M bytes — r18)
+  private def codesOf(idx: String): Map[Long, Seq[Int]] =
     spark.read.format("fls").load(idx)
-      .select("vec_id", "rv").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[Array[Byte]](1).toSeq.map(_ & 0xFF)).toMap
 
   test("refresh after an append encodes only the appended vectors and " +
       "the patch is bit-identical to a whole re-encode against the " +
@@ -53,26 +55,28 @@ class IncrementalAdcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("commit_mode", "manifest").save(corpus)
     val st = IncrementalAdc.refresh(spark, corpus, ivf, adc)
     assert(st.rebuilt && st.vecsEncoded == 2000L)
-    val r0 = recons(adc)
-    assert(r0.size == 2000 && r0.values.forall(_.length == 64))
+    val r0 = codesOf(adc)
+    assert(r0.size == 2000 && r0.values.forall(_.length == 8),
+      "the residual artifact must store m=8 packed codes per vector")
     // append; refresh must PATCH (no retrain), and only the new rows
     copyAt(4).repartition(2).write.format("fls").mode("append")
       .option("commit_mode", "manifest").save(corpus)
     val st2 = IncrementalAdc.refresh(spark, corpus, ivf, adc)
     assert(!st2.rebuilt, "an in-threshold append must patch, not retrain")
     assert(st2.vecsEncoded == 500L)
-    val patched = recons(adc)
+    val patched = codesOf(adc)
     assert(patched.size == 2500)
     // old rows byte-identical, new rows = frozen-artifact encode of
     // the WHOLE corpus restricted to them
-    assert(r0.forall { case (id, rv) => patched(id) == rv },
-      "patching must not touch existing reconstructions")
+    assert(r0.forall { case (id, cs) => patched(id) == cs },
+      "patching must not touch existing codes")
     val cb = spark.read.format("fls").load(s"$adc/_codebook")
     val whole = IncrementalAdc.encodeAgainst(spark,
         IncrementalPq.normalized(spark.read.format("fls").load(corpus))
           .select(col("vec_id"), col("uv")), ivf, cb)
-      .select("vec_id", "rv").collect()
-      .map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
+      .select("vec_id", "codes").collect()
+      .map(x => x.getLong(0) ->
+        x.getAs[Array[Byte]](1).toSeq.map(_ & 0xFF)).toMap
     assert(patched == whole,
       "the patch must be bit-identical to a whole frozen re-encode")
     // up-to-date refresh is a no-op
@@ -89,7 +93,7 @@ class IncrementalAdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     copyAt(0).repartition(2).write.format("fls").mode("overwrite")
       .option("commit_mode", "manifest").save(corpus)
     IncrementalAdc.refresh(spark, corpus, ivf, adc)
-    assert(recons(adc).size == 500)
+    assert(codesOf(adc).size == 500)
     // grow the corpus past the IVF drift threshold: IncrementalIvf
     // reclusters inside the next refresh, which must then rebuild the
     // ADC artifact (its marker no longer matches the IVF stamp)
@@ -108,9 +112,10 @@ class IncrementalAdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     val whole = IncrementalAdc.encodeAgainst(spark,
         IncrementalPq.normalized(spark.read.format("fls").load(corpus))
           .select(col("vec_id"), col("uv")), ivf, cb)
-      .select("vec_id", "rv").collect()
-      .map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
-    assert(recons(adc) == whole)
+      .select("vec_id", "codes").collect()
+      .map(x => x.getLong(0) ->
+        x.getAs[Array[Byte]](1).toSeq.map(_ & 0xFF)).toMap
+    assert(codesOf(adc) == whole)
   }
 
   test("a non-append corpus range refuses loudly; rebuild() recovers") {
@@ -129,6 +134,6 @@ class IncrementalAdcSpec extends AnyFunSuite with BeforeAndAfterAll {
     IncrementalIvf.rebuild(spark, corpus, ivf)
     val st = IncrementalAdc.rebuild(spark, corpus, ivf, adc)
     assert(st.rebuilt && st.vecsEncoded == 100L)
-    assert(recons(adc).size == 100)
+    assert(codesOf(adc).size == 100)
   }
 }

@@ -148,4 +148,33 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sig = spark.read.format("fls").load(gDir)
     assert(sig.count() == sig.select("doc_id").distinct().count())
   }
+
+  test("a LIVE refresh running PAST the TTL keeps its lock fresh via " +
+      "the mtime heartbeat (r18): a concurrent runner refuses instead " +
+      "of taking over mid-refresh — only a heartbeat-less (crashed) " +
+      "stale lock is recoverable") {
+    val dir = s"$tmp/lock_hb"
+    new java.io.File(dir).mkdirs()
+    val ttl = 400L // heartbeat every ttl/4 = 100 ms
+    val started = new java.util.concurrent.CountDownLatch(1)
+    @volatile var holderResult: Option[String] = None
+    val holder = new Thread(() => {
+      holderResult = Some(IncrementalDedup.withRefreshLock(dir, ttl) {
+        started.countDown()
+        Thread.sleep(3 * ttl) // a refresh legitimately outliving the TTL
+        "done"
+      })
+    })
+    holder.start()
+    assert(started.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    Thread.sleep(2 * ttl) // well past the TTL — only heartbeats keep it live
+    val e = intercept[java.util.ConcurrentModificationException](
+      IncrementalDedup.withRefreshLock(dir, ttl) { "stolen" })
+    assert(e.getMessage.contains("another refresh"),
+      s"a live-heartbeat lock past its TTL must refuse, got: ${e.getMessage}")
+    holder.join(10000)
+    assert(holderResult.contains("done"), "the long refresh must finish")
+    assert(!new java.io.File(s"$dir/_refresh_lock").exists(),
+      "the lock must release when the long refresh completes")
+  }
 }

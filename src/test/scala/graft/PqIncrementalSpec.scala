@@ -13,7 +13,7 @@ import graft.queries.IncrementalPq
 /** Incremental PQ maintenance ([[IncrementalPq]]): codebooks train
   * once and freeze; a refresh after an append reads ONLY the appended
   * corpus files (scan-bytes asserted) and encodes only their vectors;
-  * the patched reconstructions are BIT-IDENTICAL to re-encoding the
+  * the patched codes are BIT-IDENTICAL to re-encoding the
   * whole corpus against the same frozen codebooks; an up-to-date
   * refresh is a zero-job no-op; a non-append range refuses and
   * rebuild() (which retrains) recovers. */
@@ -53,10 +53,13 @@ class PqIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.format("fls").mode("append")
       .option("commit_mode", "manifest").save(dir)
 
-  private def recons(idx: String): Map[Long, Seq[Double]] =
+  // the persisted artifact is PACKED CODES (M bytes/vector — r18);
+  // compare as unsigned ints for readability
+  private def codesOf(idx: String): Map[Long, Seq[Int]] =
     spark.read.format("fls").load(idx)
-      .select("vec_id", "rv").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[Array[Byte]](1).toSeq.map(_ & 0xFF)).toMap
 
   private class Metrics extends SparkListener {
     @volatile var jobs = 0
@@ -104,8 +107,9 @@ class PqIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
         org.apache.spark.sql.graftexprs.GraftFunctions.arrayDot(col("v"), col("v"))))
       .select(col("vec_id"), expr("transform(v, x -> x / nr)").as("uv"))
     val scratch = IncrementalPq.encodeAgainst(spark, u, cb)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    assert(recons(idx) == scratch)
+      .collect().map(r => r.getLong(0) ->
+        r.getAs[Array[Byte]](1).toSeq.map(_ & 0xFF)).toMap
+    assert(codesOf(idx) == scratch)
     // already current: zero jobs
     val (s3, m3) = measured(IncrementalPq.refresh(spark, corpus, idx))
     assert(s3.vecsEncoded == 0L && !s3.rebuilt)
@@ -127,7 +131,7 @@ class PqIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("not append-only"), e.getMessage)
     val st = IncrementalPq.rebuild(spark, corpus, idx)
     assert(st.rebuilt && st.vecsEncoded == 100L)
-    assert(recons(idx).size == 100)
+    assert(codesOf(idx).size == 100)
     // drift: past the threshold a refresh RETRAINS instead of patching
     append(corpus) // corpus is 100 → +500 = 6×, past any threshold
     sys.props("graft.pq.drift") = "1.05"
@@ -166,15 +170,15 @@ class PqIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.rebuilt && st.vecsEncoded == 1000L)
     val cb = spark.read.format("fls").load(s"$idx/_codebook")
     assert(Similarity.pqGeomOfCodebook(cb) == Similarity.PqGeom(6, 8, 256))
-    val r = recons(idx)
-    assert(r.size == 1000 && r.values.forall(_.length == 48),
-      "reconstructions must be dim-48")
+    val r = codesOf(idx)
+    assert(r.size == 1000 && r.values.forall(_.length == 6),
+      "a dim-48 corpus must store m=6 codes per vector")
     // append + patch: bit-identical to a frozen-codebook whole re-encode
     c48(2).repartition(2).write.format("fls").mode("append")
       .option("commit_mode", "manifest").save(corpus)
     val st2 = IncrementalPq.refresh(spark, corpus, idx)
     assert(!st2.rebuilt && st2.vecsEncoded == 500L)
-    val patched = recons(idx)
+    val patched = codesOf(idx)
     assert(patched.size == 1500)
     val whole = IncrementalPq.encodeAgainst(spark,
         spark.read.format("fls").load(corpus)
@@ -185,15 +189,16 @@ class PqIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
               .arrayDot(col("v"), col("v"))))
           .select(col("vec_id"),
             expr("transform(v, x -> x / nr)").as("uv")), cb)
-      .select("vec_id", "rv").collect()
-      .map(x => x.getLong(0) -> x.getSeq[Double](1)).toMap
+      .select("vec_id", "codes").collect()
+      .map(x => x.getLong(0) ->
+        x.getAs[Array[Byte]](1).toSeq.map(_ & 0xFF)).toMap
     assert(patched == whole,
       "the dim-48 patch must be bit-identical to a whole re-encode")
   }
 
   test("out-of-corpus query encoding (r17 stretch): a driver-side " +
       "PqEncoder over the collected frozen codebook reproduces the " +
-      "STORED codes/reconstructions bit-for-bit — a serving tier can " +
+      "STORED codes bit-for-bit — a serving tier can " +
       "ADC-score novel vectors with zero Spark jobs") {
     import graft.queries.Similarity
     val corpus = s"$tmp/corpus_enc"
@@ -204,7 +209,7 @@ class PqIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cb = spark.read.format("fls").load(s"$idx/_codebook")
     val enc = Similarity.pqEncoder(cb)
     assert(enc.geom == Similarity.PqGeom(8, 8, 64))
-    val stored = recons(idx)
+    val stored = codesOf(idx)
     // the same normalized vectors the index encoded
     val uvs = spark.read.format("fls").load(corpus)
       .select(col("vec_id"),
@@ -221,14 +226,14 @@ class PqIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sparkContext.addSparkListener(listener)
     val mismatches =
       try uvs.count { case (id, uv) =>
-        enc.reconstruct(uv).toSeq != stored(id)
+        enc.codes(uv).toSeq != stored(id)
       } finally {
         Thread.sleep(300)
         spark.sparkContext.removeSparkListener(listener)
       }
     assert(mismatches == 0,
       s"$mismatches of ${uvs.length} driver-side encodes diverged from " +
-        "the stored reconstructions")
+        "the stored codes")
     assert(jobs == 0, s"driver-side encoding ran $jobs Spark job(s)")
     // a genuinely NOVEL vector encodes too (sanity: valid codes, right
     // shape, ADC is a plain dot)

@@ -328,7 +328,8 @@ class FlsChunkStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // stats — computed from the delta alone, no chunk was opened
     val pointers = FlsManifest
       .readLayoutVersioned(fs, root, resolveChunks = false).get._2.pointers
-    val epochChunks = pointers.filter(_.epochs.contains("q-stats-e1"))
+    val epochChunks = pointers.filter(
+      _.epochs.exists(m => FlsManifest.epochBase(m) == "q-stats-e1"))
     assert(epochChunks.nonEmpty, "epoch 1's chunk must be marker-stamped")
     val (lo, hi) = boundsOf(epochChunks.head, "id")
     assert(lo >= 2100L && hi <= 2199L,

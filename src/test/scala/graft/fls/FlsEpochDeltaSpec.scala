@@ -106,6 +106,7 @@ class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n0 = commitEpoch(0L, 1000L, 1019L)
     assert(n0 > 0, "bootstrap must take the full (chunk-resolving) path")
     val marks0 = headLayout(dir).pointers.flatMap(_.epochs)
+      .map(FlsManifest.epochBase)
     assert(marks0.contains("q-steady-e0"),
       s"bootstrap must stamp its marker, got $marks0")
     // epochs 1..3: marker present → delta path, ZERO chunks opened
@@ -118,6 +119,7 @@ class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     // pruned only when their chunk is rewritten (folds), so the set
     // stays small but may briefly hold one marker per recent epoch
     val marks = headLayout(dir).pointers.flatMap(_.epochs)
+      .map(FlsManifest.epochBase)
     assert(marks.contains("q-steady-e3"), s"newest epoch must be stamped: $marks")
   }
 
@@ -175,15 +177,25 @@ class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("marker supersession: an older epoch of a query is pruned once " +
       "a newer epoch is stamped in the same rewrite; foreign markers " +
       "survive") {
+    // (r18) markers carry an @<version> age stamp: carried ones start
+    // their clock at the committing version, the committing epoch
+    // stamps @next, the newest stamp wins per base
     val pruned = FlsManifest.pruneEpochMarkers(
-      Seq("q-e1", "q-e3", "other-e5"), Some("q-e7"))
-    assert(pruned.toSet == Set("q-e7", "other-e5"), pruned)
-    // retry of the SAME epoch keeps exactly one marker
-    val retry = FlsManifest.pruneEpochMarkers(Seq("q-e7"), Some("q-e7"))
-    assert(retry == Seq("q-e7"))
-    // unparseable markers are never dropped
-    val odd = FlsManifest.pruneEpochMarkers(Seq("weird"), Some("q-e1"))
-    assert(odd.toSet == Set("weird", "q-e1"))
+      Seq("q-e1", "q-e3", "other-e5"), Some("q-e7"), 10L, 64L)
+    assert(pruned.toSet == Set("q-e7@10", "other-e5@10"), pruned)
+    // retry of the SAME epoch keeps exactly one marker, freshest stamp
+    val retry = FlsManifest.pruneEpochMarkers(Seq("q-e7@5"), Some("q-e7"),
+      10L, 64L)
+    assert(retry == Seq("q-e7@10"))
+    // unparseable markers are never dropped (but do age)
+    val odd = FlsManifest.pruneEpochMarkers(Seq("weird"), Some("q-e1"),
+      10L, 64L)
+    assert(odd.toSet == Set("weird@10", "q-e1@10"))
+    // age-based retirement: a marker past retireAfter versions drops;
+    // a fresh one survives
+    val aged = FlsManifest.pruneEpochMarkers(
+      Seq("dead-e4@10", "live-e9@90"), None, 100L, 64L)
+    assert(aged == Seq("live-e9@90"), aged)
     // epochQid parses the LAST -e<digits> suffix (queryIds are UUIDs
     // and may themselves contain -e<hex>)
     assert(FlsManifest.epochQid("ab-e123-e7") == Some(("ab-e123", 7L)))
@@ -216,6 +228,7 @@ class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
         .option("commit_mode", "manifest").save(dir)
     }
     val marks = headLayout(dir).pointers.flatMap(_.epochs)
+      .map(FlsManifest.epochBase)
     assert(marks.contains("q-carry-e1"),
       s"fold must carry the epoch marker, got $marks")
     // the late retry still converges
@@ -226,5 +239,57 @@ class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(vs.contains(700L), "retry's row must be visible")
     assert(!vs.contains(600L),
       "crashed attempt's row must be replaced after a fold")
+  }
+
+  test("markers of a RETIRED query age out after the configured number " +
+      "of unrelated commits (r18 — marker accretion is bounded); a " +
+      "returning query re-bootstraps through one full merge and rides " +
+      "the delta path again") {
+    val dir = s"$tmp/retire"
+    seed(dir, 100L)
+    import graft.fls.connector._
+    val sw = new FlsStreamingWrite(writeInfo(dir, "q-retire"), spark)
+    val factory = sw.createStreamingWriterFactory(null)
+    def commitEpoch(e: Long): Long = {
+      val w = factory.createWriter(0, 10L + e, e)
+      w.write(row(5000L + e))
+      val (_, n) = opened(sw.commit(e, Array(w.commit())))
+      n
+    }
+    commitEpoch(0L) // bootstrap stamps the first marker
+    assert(commitEpoch(1L) == 0L, "second epoch must ride the delta path")
+    def bases() = headLayout(dir).pointers.flatMap(_.epochs)
+      .map(FlsManifest.epochBase)
+    assert(bases().exists(_.startsWith("q-retire-e")),
+      "the live marker must be stamped")
+    // the query finishes; unrelated batch writers keep committing.
+    // retireAfter = 3 versions for the spec (the default is 64)
+    // dynamic session confs are copied verbatim into newHadoopConf —
+    // set the bare key (the spark.hadoop.* prefix only applies at
+    // session build time)
+    spark.conf.set(FlsManifest.EpochRetireKey, "3")
+    try {
+      val sp = spark
+      import sp.implicits._
+      (0 until 6).foreach { i =>
+        Seq(8000L + i).toDF("v").coalesce(1)
+          .write.format("fls").mode("append")
+          .option("commit_mode", "manifest").save(dir)
+      }
+      assert(!bases().exists(_.startsWith("q-retire-e")),
+        s"markers of a finished query must retire, got ${bases()}")
+      // the data the query wrote is untouched — retirement is
+      // metadata-only
+      val vs = readLongs(dir)
+      assert(vs.contains(5000L) && vs.contains(5001L))
+      // the query RETURNS: its next epoch re-bootstraps (full merge,
+      // headHasQid = false), stamps a fresh marker, and the one after
+      // rides the delta path again — retirement never strands a query
+      assert(commitEpoch(2L) > 0L,
+        "a returning query must take the bootstrap full merge")
+      assert(commitEpoch(3L) == 0L,
+        "after re-bootstrap the delta path must re-engage")
+      assert(bases().contains("q-retire-e3"))
+    } finally spark.conf.unset(FlsManifest.EpochRetireKey)
   }
 }
