@@ -158,4 +158,31 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cents.columns.contains("src_vec_id"))
     assert(cents.agg(min("src_vec_id")).collect()(0).getLong(0) == 7L)
   }
+
+  test("the out-of-corpus serving path (q127, r18) answers WARM with " +
+      "ZERO quantizer/codebook builds: routing from the collected " +
+      "centroid artifact, ADC over packed codes, exact rerank — all " +
+      "from persisted state") {
+    val cold = Similarity.q127OutOfCorpusAnn(spark, sf).collect().toSeq
+    assert(cold.size == 5, s"top-5 expected, got ${cold.size}")
+    // a fresh session (caches dropped, artifacts on disk) must serve
+    // without rebuilding anything
+    Similarity.unpersistAll()
+    Similarity.indexBuilds = 0L
+    val spark2 = spark.newSession()
+    val warm = Similarity.q127OutOfCorpusAnn(spark2, sf).collect().toSeq
+    assert(Similarity.indexBuilds == 0L,
+      s"warm serving ran ${Similarity.indexBuilds} index build(s)")
+    assert(warm == cold, "warm serving must reproduce the cold answer")
+    // the artifact the candidates were scored from is the PACKED-CODES
+    // table: M bytes per vector, not a reconstruction
+    val pq = new java.io.File(s"$tmp/index").listFiles()
+      .filter(_.getName.startsWith(sf.replaceAll("[^a-zA-Z0-9]", "_")))
+      .find(_.getName.contains("_pq_m")).get
+    val codes = spark.read.format("fls").load(pq.getPath)
+    assert(codes.columns.toSet == Set("vec_id", "codes"))
+    val g = Similarity.pqGeomOfCodebook(
+      spark.read.format("fls").load(s"${pq.getPath}/_centroids"))
+    assert(codes.select("codes").head().getAs[Array[Byte]](0).length == g.m)
+  }
 }
