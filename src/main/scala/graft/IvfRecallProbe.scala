@@ -111,6 +111,11 @@ object IvfRecallProbe {
       measurePq(f"ivfadc np=$np sl=$sl",
         (s, d) => graft.queries.Similarity.ivfAdc(s, d, np, sl))
     }
+    // deeper probes add candidates that DILUTE a fixed shortlist (the
+    // sf0.1 ladder measures np=4 sl=50 below np=2 sl=50); widening the
+    // shortlist with the probe count restores the headroom
+    measurePq("ivfadc np=4 sl=100",
+      (s, d) => graft.queries.Similarity.ivfAdc(s, d, 4, 100))
     spark.stop()
   }
 }

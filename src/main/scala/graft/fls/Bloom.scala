@@ -312,6 +312,10 @@ object Bloom {
             case FlsEqDeletes.KindString =>
               in.strings.map(s => Hll.hashBytes(
                 s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            // wide decimals hash their unscaled two's-complement bytes
+            // — the writer's sketch convention (FlsDataWriter)
+            case FlsEqDeletes.KindBig =>
+              in.bigs.map(b => Hll.hashBytes(b.toByteArray))
           }
           hashes.exists(bf.mightContain)
         }).getOrElse(true)

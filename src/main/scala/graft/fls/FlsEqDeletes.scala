@@ -41,10 +41,13 @@ import graft.fls.Format.{ColumnType, SegmentDesc, physOf, Phys, TypeTag}
   * DECIMAL(p ≤ 18) (r17 — literals normalize to unscaled longs at the
   * TABLE schema's scale, carried as `sc` on the leg; the planner
   * commits only when every file verifiably stores the column at that
-  * scale, so cross-file comparison stays unambiguous). Anything else
-  * falls back to the copy-on-write or merge-on-read leg (wide
-  * decimals; NaN / ±Inf literals: Spark's NaN-equality and JSON
-  * round-tripping diverge from the storage comparison). Value-producing
+  * scale, so cross-file comparison stays unambiguous) / wide DECIMAL
+  * (p > 18, r18 — same normalization into an unscaled BigInteger
+  * domain, compared numerically against the stored two's-complement
+  * bytes). Anything else falls back to the copy-on-write or
+  * merge-on-read leg (binary/nested; NaN / ±Inf literals: Spark's
+  * NaN-equality and JSON round-tripping diverge from the storage
+  * comparison). Value-producing
   * metadata shortcuts (footer aggregates, TopN/limit bound pruning)
   * refuse files carrying a residual, the same discipline as delete
   * vectors; "can any row match?" pruning (zone maps, Bloom, partition
@@ -58,10 +61,14 @@ object FlsEqDeletes {
 
   /** Kind tags: the literal domain values are serialized in.
     * `l` = long semantic domain (integers, boolean 0/1, date epochDay,
-    * timestamp micros), `d` = double, `s` = UTF-8 string. */
+    * timestamp micros), `d` = double, `s` = UTF-8 string, `B` = wide
+    * DECIMAL (r18): unscaled BigInteger at the TABLE schema's scale,
+    * serialized as decimal strings — the p > 18 domain the storage
+    * keeps as two's-complement bytes. */
   val KindLong = "l"
   val KindDouble = "d"
   val KindString = "s"
+  val KindBig = "B"
 
   /** One conjunct of a committed predicate: an IN set or a range over
     * one column. Values live in the storage-semantic domain of
@@ -88,11 +95,15 @@ object FlsEqDeletes {
     * for the decode-time binary search. */
   final case class InLeg(col: String, kind: String, longs: Array[Long],
       doubles: Array[Double], strings: Array[String],
-      scale: Int = -1) extends Leg {
+      scale: Int = -1,
+      /** wide-DECIMAL values (KindBig): sorted unscaled BigIntegers at
+        * `scale` (r18). */
+      bigs: Array[java.math.BigInteger] = Array.empty) extends Leg {
     private[fls] def valsJson: JArray = kind match {
       case KindLong => JArray(longs.toList.map(JLong(_)))
       case KindDouble => JArray(doubles.toList.map(JDouble(_)))
       case KindString => JArray(strings.toList.map(JString(_)))
+      case KindBig => JArray(bigs.toList.map(b => JString(b.toString)))
     }
     private[fls] def bodyJson: List[(String, JValue)] =
       List("c" -> JString(col), "k" -> JString(kind), "x" -> valsJson) ++
@@ -109,6 +120,11 @@ object FlsEqDeletes {
     def ofLong(v: Long): Bound = Bound(v, 0.0, null, inc = true)
     def ofDouble(v: Double, inc: Boolean): Bound = Bound(0L, v, null, inc)
     def ofString(v: String, inc: Boolean): Bound = Bound(0L, 0.0, v, inc)
+    /** Wide-DECIMAL bounds ride the string slot as the unscaled
+      * BigInteger's decimal text; like long bounds they are ALWAYS
+      * closed (the domain is discrete at the table scale). */
+    def ofBig(v: java.math.BigInteger): Bound =
+      Bound(0L, 0.0, v.toString, inc = true)
   }
 
   /** `lo <(=) col <(=) hi` — either side may be absent (the retention
@@ -123,7 +139,7 @@ object FlsEqDeletes {
     private def boundJson(b: Bound): JValue = kind match {
       case KindLong => JLong(b.l)
       case KindDouble => JDouble(b.d)
-      case KindString => JString(b.s)
+      case KindString | KindBig => JString(b.s)
     }
     private[fls] def bodyJson: List[(String, JValue)] = {
       val base = List("c" -> JString(col), "k" -> JString(kind)) ++
@@ -194,16 +210,24 @@ object FlsEqDeletes {
       case _ => sys.error(s"fls eqdel: missing column in '$json'") }
     val kind = o \ "k" match { case JString(s) => s
       case _ => sys.error(s"fls eqdel: missing kind in '$json'") }
-    if (kind != KindLong && kind != KindDouble && kind != KindString)
+    if (kind != KindLong && kind != KindDouble && kind != KindString &&
+        kind != KindBig)
       sys.error(s"fls eqdel: unknown kind '$kind' in '$json'")
     val scale = o \ "sc" match {
-      case JNothing => -1
+      case JNothing =>
+        if (kind == KindBig)
+          sys.error(s"fls eqdel: wide-decimal leg without a scale in '$json'")
+        -1
       case v =>
         val s = parseLong(v, json)
-        if (kind != KindLong || s < 0 || s > 38)
+        if ((kind != KindLong && kind != KindBig) || s < 0 || s > 38)
           sys.error(s"fls eqdel: bad scale $s in '$json'")
         s.toInt
     }
+    def parseBig(v: JValue): java.math.BigInteger =
+      try new java.math.BigInteger(parseString(v, json))
+      catch { case _: NumberFormatException =>
+        sys.error(s"fls eqdel: bad wide-decimal value in '$json'") }
     o \ "x" match {
       case JArray(xs) => kind match {
         case KindLong => InLeg(col, kind,
@@ -213,6 +237,8 @@ object FlsEqDeletes {
           xs.map(parseDouble(_, json)).toArray, Array.empty)
         case KindString => InLeg(col, kind, Array.empty, Array.empty,
           xs.map(parseString(_, json)).toArray)
+        case KindBig => InLeg(col, kind, Array.empty, Array.empty,
+          Array.empty, scale, xs.map(parseBig).toArray)
       }
       case JNothing =>
         def bound(at: String, exAt: String): Option[Bound] =
@@ -250,6 +276,16 @@ object FlsEqDeletes {
                   }
                 case KindDouble => Bound(0L, parseDouble(v, json), null, inc)
                 case KindString => Bound(0L, 0.0, parseString(v, json), inc)
+                case KindBig =>
+                  // discrete like the long domain: closed-normalize a
+                  // foreign exclusive bound at the format boundary (no
+                  // saturation — BigInteger is unbounded)
+                  val raw = parseBig(v)
+                  val one = java.math.BigInteger.ONE
+                  val closed =
+                    if (inc) raw
+                    else if (at == "lo") raw.add(one) else raw.subtract(one)
+                  Bound(0L, 0.0, closed.toString, inc = true)
               })
           }
         RangeLeg(col, kind, bound("lo", "lx"), bound("hi", "hx"), scale)
@@ -298,6 +334,8 @@ object FlsEqDeletes {
         ct.tag != TypeTag.DECIMAL
       case KindDouble => phys == Phys.DOUBLE
       case KindString => phys == Phys.BYTES && ct.tag == TypeTag.STRING
+      case KindBig => phys == Phys.BYTES && ct.tag == TypeTag.BIG_DECIMAL &&
+        ct.scale == leg.scale
       case _ => false
     }
   }
@@ -517,7 +555,17 @@ object FlsEqDeletes {
         else Some(InLeg(col, KindLong,
           conv.map(_.get).distinct.sorted.toArray, Array.empty,
           Array.empty, scale = d.scale))
-      case _ => None // wide decimal/binary/nested: CoW or MOR leg
+      case d: DecimalType =>
+        // wide-DECIMAL domain (r18): unscaled BigInteger at the table
+        // scale — same exactness stance as the long leg, no magnitude
+        // ceiling
+        val conv = raw.map(toUnscaledBigExact(_, d.scale))
+        if (conv.exists(_.isEmpty)) None
+        else Some(InLeg(col, KindBig, Array.empty, Array.empty,
+          Array.empty, scale = d.scale,
+          bigs = conv.map(_.get).distinct.sortWith(_.compareTo(_) < 0)
+            .toArray))
+      case _ => None // binary/nested: CoW or MOR leg
     }
   }
 
@@ -535,6 +583,26 @@ object FlsEqDeletes {
     try Some(bd.setScale(s).unscaledValue().longValueExact())
     catch { case _: ArithmeticException => None }
   }
+
+  /** The literal as a java BigDecimal, or None for foreign shapes. */
+  private def toBigDecimal(v: Any): Option[java.math.BigDecimal] = v match {
+    case b: java.math.BigDecimal => Some(b)
+    case b: BigDecimal => Some(b.bigDecimal)
+    case n: java.lang.Long => Some(java.math.BigDecimal.valueOf(n.longValue()))
+    case n: java.lang.Integer =>
+      Some(java.math.BigDecimal.valueOf(n.longValue()))
+    case _ => None
+  }
+
+  /** Wide-decimal analog of [[toUnscaledExact]]: the literal as an
+    * unscaled BigInteger at scale `s`, or None when not exactly
+    * representable there. */
+  private def toUnscaledBigExact(v: Any,
+      s: Int): Option[java.math.BigInteger] =
+    toBigDecimal(v).flatMap { bd =>
+      try Some(bd.setScale(s).unscaledValue())
+      catch { case _: ArithmeticException => None }
+    }
 
   /** Intersect one column's range conjuncts into one [[RangeLeg]].
     * Long-domain bounds normalize to CLOSED (`> v` → `>= v+1` —
@@ -653,8 +721,43 @@ object FlsEqDeletes {
         else RangeOk(RangeLeg(col, KindLong,
           if (hasLo) Some(Bound.ofLong(lo)) else None,
           if (hasHi) Some(Bound.ofLong(hi)) else None, scale = d.scale))
+      case d: DecimalType =>
+        // wide-DECIMAL range (r18): the same FLOOR/CEILING closed
+        // normalization in the discrete unscaled domain at the table
+        // scale — BigInteger end to end, so there is no saturation and
+        // no vacuous-bound bookkeeping
+        var lo: java.math.BigInteger = null
+        var hi: java.math.BigInteger = null
+        fs.foreach { f =>
+          val (raw, isLo, inc) = f match {
+            case GreaterThan(_, v) => (v, true, false)
+            case GreaterThanOrEqual(_, v) => (v, true, true)
+            case LessThan(_, v) => (v, false, false)
+            case LessThanOrEqual(_, v) => (v, false, true)
+            case _ => return RangeUnsupported
+          }
+          val bd = toBigDecimal(raw).getOrElse(return RangeUnsupported)
+          import java.math.RoundingMode
+          val b: java.math.BigInteger =
+            if (isLo) {
+              if (inc) bd.setScale(d.scale, RoundingMode.CEILING).unscaledValue()
+              else bd.setScale(d.scale, RoundingMode.FLOOR).unscaledValue()
+                .add(java.math.BigInteger.ONE)
+            } else {
+              if (inc) bd.setScale(d.scale, RoundingMode.FLOOR).unscaledValue()
+              else bd.setScale(d.scale, RoundingMode.CEILING).unscaledValue()
+                .subtract(java.math.BigInteger.ONE)
+            }
+          if (isLo) { if (lo == null || b.compareTo(lo) > 0) lo = b }
+          else { if (hi == null || b.compareTo(hi) < 0) hi = b }
+        }
+        if (lo != null && hi != null && lo.compareTo(hi) > 0)
+          return RangeEmpty
+        RangeOk(RangeLeg(col, KindBig,
+          Option(lo).map(Bound.ofBig),
+          Option(hi).map(Bound.ofBig), scale = d.scale))
       case _ =>
-        RangeUnsupported // boolean range is degenerate; wide decimal: ladder
+        RangeUnsupported // boolean range is degenerate
     }
   }
 

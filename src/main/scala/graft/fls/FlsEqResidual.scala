@@ -112,11 +112,43 @@ object FlsEqResidual {
       case DictBytes(values, codes) if p.kind == FlsEqDeletes.KindString =>
         val flags = values.map(v => inBytes(v, 0, v.length))
         i => flags(codes(i).toInt)
+      // wide-DECIMAL legs (r18): the stored bytes are the unscaled
+      // BigInteger's two's-complement array at the leg's verified scale
+      // — compare numerically, never lexicographically. Zero-length
+      // spans (NULL slots) never match: NULL fails every comparison.
+      case BytesData(offsets, bytes) if p.kind == FlsEqDeletes.KindBig =>
+        val f = bigMatchFn(p)
+        i => {
+          val from = offsets(i); val until = offsets(i + 1)
+          until > from && f(new java.math.BigInteger(
+            java.util.Arrays.copyOfRange(bytes, from, until)))
+        }
+      case DictBytes(values, codes) if p.kind == FlsEqDeletes.KindBig =>
+        val f = bigMatchFn(p)
+        val flags = values.map(v =>
+          v.length > 0 && f(new java.math.BigInteger(v)))
+        i => flags(codes(i).toInt)
       case other => throw new IllegalStateException(
         s"fls: equality delete on '${p.col}' met an unevaluable decoded " +
           s"shape ${other.getClass.getSimpleName} (kind=${p.kind}) — " +
           "compact the table to absorb the predicate, then retry")
     }
+  }
+
+  /** Wide-DECIMAL match function: IN = hash-set membership over the
+    * sorted unscaled BigIntegers; RANGE = two numeric compares against
+    * closed bounds (construction normalizes them — mirrors the long
+    * domain's invariant). */
+  private def bigMatchFn(p: FlsEqDeletes.Leg)
+      : java.math.BigInteger => Boolean = p match {
+    case in: FlsEqDeletes.InLeg =>
+      val set = in.bigs.toSet
+      v => set.contains(v)
+    case r: FlsEqDeletes.RangeLeg =>
+      val lo = r.lo.map(b => new java.math.BigInteger(b.s)).orNull
+      val hi = r.hi.map(b => new java.math.BigInteger(b.s)).orNull
+      v => (lo == null || v.compareTo(lo) >= 0) &&
+        (hi == null || v.compareTo(hi) <= 0)
   }
 
   /** The leg's semantic-domain match functions (only the leg's own

@@ -2078,6 +2078,83 @@ object FlsQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** q128 (r18): WIDE-decimal (p > 18) predicate deletes — the r17
+    * verdict's stretch: DECIMAL(25,4) retention keys previously paid
+    * the CoW/MOR fallback. Every stored value carries a constant
+    * 3×10¹⁶ offset, putting the unscaled domain (~3×10²⁰) past
+    * Long.MaxValue — the literals normalize to unscaled BigIntegers at
+    * the table scale ([[graft.fls.FlsEqDeletes]] KindBig, the same
+    * FLOOR/CEILING closed normalization as the long domain, exact for
+    * any literal including the scale-5 bound below); readers compare
+    * numerically against the stored two's-complement bytes. ZERO data
+    * reads per DELETE (FlsEqDeleteSpec). */
+  def q128FlsEqDeleteWideDecimal(spark: SparkSession,
+      dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val warehouse = flsTablePath(dir, "eqwide_warehouse")
+    val cat = s"fls_eqwide_$key"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.fls.connector.FlsCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.path", warehouse)
+    val tbl = s"$cat.db.orders_eqwide"
+    val off = "CAST('30000000000000000' AS DECIMAL(25,4))"
+    synchronized {
+      val marker = new java.io.File(s"$warehouse/_done_eqwide")
+      if (!done.contains(warehouse + "@eqwide") && !marker.exists()) {
+        new java.io.File(warehouse).mkdirs()
+        t(spark, dir, "orders").createOrReplaceTempView(s"orders_eqwide_src_$key")
+        spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        spark.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_orderstatus " +
+          "STRING, price DECIMAL(25,4)) " +
+          "TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='equality')")
+        spark.sql(s"INSERT INTO $tbl SELECT /*+ REPARTITION(8) */ " +
+          "o_orderkey, o_orderstatus, " +
+          s"CAST(CAST(o_totalprice AS DECIMAL(25,4)) + $off AS DECIMAL(25,4)) " +
+          s"FROM orders_eqwide_src_$key")
+        // retention cutoff in the wide domain: one range line
+        spark.sql(s"DELETE FROM $tbl WHERE price < " +
+          "CAST('30000000000050000' AS DECIMAL(25,4))")
+        // reinsert part of the purged range AFTER the predicate
+        spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, " +
+          s"CAST(CAST(o_totalprice AS DECIMAL(25,4)) + $off AS DECIMAL(25,4)) " +
+          s"FROM orders_eqwide_src_$key WHERE " +
+          "CAST(o_totalprice AS DECIMAL(25,4)) < 50000.0000 " +
+          "AND o_orderkey % 7 = 0")
+        // non-representable bound (scale 5 vs the table's 4):
+        // closed-normalizes exactly in the BigInteger domain
+        spark.sql(s"DELETE FROM $tbl WHERE price > " +
+          "CAST('30000000000250000.00005' AS DECIMAL(26,5))")
+        marker.createNewFile()
+      }
+      done += warehouse + "@eqwide"
+    }
+    spark.table(tbl).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(col("price"))).as("total"),
+        sum(col("o_orderkey")).as("sumk"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q128Sql: String =
+    """WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(CAST(o_totalprice AS DECIMAL(25,4))
+            + CAST('30000000000000000' AS DECIMAL(25,4)) AS DECIMAL(25,4))
+            AS price
+        FROM orders
+      ), live AS (
+        SELECT * FROM base
+        WHERE price >= CAST('30000000000050000' AS DECIMAL(25,4))
+           OR (price < CAST('30000000000050000' AS DECIMAL(25,4))
+               AND o_orderkey % 7 = 0)
+      )
+      SELECT o_orderstatus, count(*) AS n,
+        CAST(sum(price) AS DOUBLE) AS total,
+        CAST(sum(o_orderkey) AS BIGINT) AS sumk
+      FROM live
+      WHERE NOT (price > CAST('30000000000250000.00005' AS DECIMAL(26,5)))
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val q125Sql: String =
     """WITH base AS (
         SELECT o_orderkey, o_orderstatus,
@@ -2112,6 +2189,7 @@ object FlsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_fls_eqdelete_decimal" -> (q125FlsEqDeleteDecimal _),
+    "q128_fls_eqdelete_widedec" -> (q128FlsEqDeleteWideDecimal _),
     "q123_fls_eqdelete_range" -> (q123FlsEqDeleteRange _),
     "q122_fls_eqdelete_stream" -> (q122FlsEqDeleteStream _),
     "q121_fls_eqdelete_multicol" -> (q121FlsEqDeleteMulticol _),
@@ -2161,6 +2239,7 @@ object FlsQueries {
 
   val oracles: Map[String, String] = Map(
     "q125_fls_eqdelete_decimal" -> q125Sql,
+    "q128_fls_eqdelete_widedec" -> q128Sql,
     "q123_fls_eqdelete_range" -> q123Sql,
     "q122_fls_eqdelete_stream" -> q122Sql,
     "q121_fls_eqdelete_multicol" -> q121Sql,

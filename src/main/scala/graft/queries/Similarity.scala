@@ -82,6 +82,10 @@ object Similarity {
         } catch { case _: Exception => false })
       if (!current) {
         indexBuilds += 1
+        // rebuilds invalidate any JVM-cached collect of the old
+        // centroid artifact (the q127 routing cache)
+        cbBcCache.remove(path)
+        centCache.remove(path)
         val b = build
         lastBuildPlan = b.queryExecution.executedPlan.toString
         b.write.format("fls").mode("overwrite")
@@ -115,6 +119,11 @@ object Similarity {
         } catch { case _: Exception => false })
       if (!current) {
         indexBuilds += 1
+        // a REBUILD at an existing path (corpus changed, same geometry)
+        // must drop any JVM-cached collect of the old artifact — a
+        // stale codebook would silently mis-score the new codes
+        cbBcCache.remove(path)
+        centCache.remove(path)
         cents.write.format("fls").mode("overwrite")
           .option("commit_mode", "manifest").save(s"$path/_centroids")
         val cbBack = spark.read.format("fls").load(s"$path/_centroids")

@@ -52,4 +52,65 @@ class ArrayExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("want", expr("size(array_intersect(a, b))"))
     assert(got.filter(col("n") =!= col("want")).count() == 0)
   }
+
+  test("PackCodes round-trips code arrays to M bytes and refuses " +
+      "out-of-range codes loudly") {
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("cs", expr(
+        "transform(sequence(0, 7), i -> CAST((id * 31 + i * 7) % 256 AS INT))"))
+      .withColumn("packed", GraftFunctions.packCodes(col("cs")))
+    val rows = df.select("cs", "packed").collect()
+    assert(rows.forall { r =>
+      val cs = r.getSeq[Int](0)
+      val b = r.getAs[Array[Byte]](1)
+      b.length == 8 && cs.indices.forall(i => (b(i) & 0xFF) == cs(i))
+    })
+    val bad = spark.range(0, 1).toDF("id")
+      .withColumn("cs", expr("array(CAST(256 AS INT))"))
+      .withColumn("packed", GraftFunctions.packCodes(col("cs")))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage != null)
+  }
+
+  test("AdcFromCodes is BIT-IDENTICAL to reconstructing rv from the " +
+      "codebook and taking the full sequential dot (the q124 oracle's " +
+      "arithmetic); the anchored variant matches zip_with add-back") {
+    val m = 8; val dsub = 8; val k = 16
+    // deterministic codebook: entry (mm, code) component i
+    val cb = Array.tabulate(m)(mm => Array.tabulate(k)(code =>
+      Array.tabulate(dsub)(i =>
+        math.sin(mm * 131 + code * 17 + i * 3 + 0.25) / 2)))
+    val bc = spark.sparkContext.broadcast(cb)
+    val df = spark.range(0, 400).toDF("id")
+      .withColumn("uq", expr(
+        "transform(sequence(0, 63), i -> sin(id * 7 + i) / 8)"))
+      .withColumn("cs", expr(
+        s"transform(sequence(0, 7), i -> CAST((id * 13 + i * 5) % $k AS INT))"))
+      .withColumn("codes", GraftFunctions.packCodes(col("cs")))
+      .withColumn("anchor", expr(
+        "transform(sequence(0, 63), i -> cos(id * 3 + i) / 16)"))
+    val rows = df.select(col("uq"), col("cs"), col("anchor"),
+      GraftFunctions.adcScore(col("uq"), col("codes"), bc).as("adc"),
+      GraftFunctions.adcScoreAnchored(col("uq"), col("codes"),
+        col("anchor"), bc).as("adcA")).collect()
+    assert(rows.length == 400)
+    rows.foreach { r =>
+      val uq = r.getSeq[Double](0).toArray
+      val cs = r.getSeq[Int](1)
+      val anc = r.getSeq[Double](2).toArray
+      val rv = cs.zipWithIndex.flatMap { case (c, mm) => cb(mm)(c) }.toArray
+      var want = 0.0
+      var i = 0
+      while (i < 64) { want += uq(i) * rv(i); i += 1 }
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(want),
+        s"adc diverged from the reconstruction dot: ${r.getDouble(3)} vs $want")
+      var wantA = 0.0
+      i = 0
+      while (i < 64) { wantA += uq(i) * (rv(i) + anc(i)); i += 1 }
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+        java.lang.Double.doubleToLongBits(wantA),
+        "anchored adc diverged from the add-back dot")
+    }
+  }
 }

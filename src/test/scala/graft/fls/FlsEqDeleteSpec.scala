@@ -503,24 +503,70 @@ class FlsEqDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filterNot(i => (i >= 40 && i <= 80) || i == 21) :+ 777L).toSet)
   }
 
-  test("a WIDE decimal (p>18) DELETE falls back to the ladder and " +
-      "stays exact; an equality on a non-representable literal also " +
-      "falls back (can never match) and deletes nothing") {
+  test("WIDE decimal (p>18) deletes commit with ZERO Spark jobs (r18): " +
+      "literals normalize to unscaled BigIntegers at the table scale — " +
+      "including values past the long range — compared numerically " +
+      "against the stored two's-complement bytes; reinserts stay " +
+      "visible and absorb recovers") {
     val tbl = s"$cat.db.money_wide"
+    val dir = s"$tmp/warehouse/db/money_wide"
     spark.sql(s"CREATE TABLE $tbl (id BIGINT, amt DECIMAL(24,4)) " +
       "TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='equality')")
+    // every unscaled value ≈ 3e20 — beyond Long.MaxValue by design:
+    // a silent long truncation anywhere would misdelete immediately
     spark.range(0, 40).selectExpr("id",
-      "CAST(CAST(id AS DECIMAL(24,4)) * 1.5 AS DECIMAL(24,4)) AS amt")
+      "CAST(CAST(id AS DECIMAL(24,4)) * 1.5 " +
+        "+ CAST('30000000000000000' AS DECIMAL(24,4)) AS DECIMAL(24,4)) AS amt")
       .repartition(2).writeTo(tbl).append()
-    spark.sql(s"DELETE FROM $tbl WHERE amt >= 30.0")
-    assert(ids(tbl) == (0L until 20L).toSet)
+    var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // cutoff NOT representable at scale 4 (scale 5 literal): must
+      // closed-normalize exactly in the BigInteger domain
+      spark.sql(s"DELETE FROM $tbl WHERE " +
+        "amt >= CAST('30000000000000030.00005' AS DECIMAL(25,5))")
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"wide decimal delete ran $jobs Spark job(s) — not O(1)")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val (headV, _) = FlsManifest.readVersioned(fs, new Path(dir)).get
+    val eq = FlsManifest.versionEq(fs, new Path(dir), headV)
+    assert(eq.length == 1 && eq.head.contains("\"k\":\"B\"") &&
+      eq.head.contains("\"sc\":4"), eq.mkString("; "))
+    val r = FlsEqDeletes.parse(eq.head).legs.head
+      .asInstanceOf[FlsEqDeletes.RangeLeg]
+    // >= 3e16+30.00005 → unscaled >= ceil = 300000000000000300001
+    assert(r.scale == 4 && r.lo.get.s == "300000000000000300001" &&
+      r.hi.isEmpty, eq.head)
+    // amt = 3e16 + 1.5·id ; the cutoff kills 1.5·id > 30.0000 → id > 20
+    assert(ids(tbl) == (0L to 20L).toSet)
+    // point delete on an exactly-representable wide literal: id 10
+    spark.sql(s"DELETE FROM $tbl WHERE " +
+      "amt = CAST('30000000000000015' AS DECIMAL(24,4))")
+    assert(ids(tbl) == ((0L to 20L).toSet - 10L))
+    // reinsert into the purged range: newer birth version → visible
+    spark.sql(s"INSERT INTO $tbl VALUES (777, " +
+      "CAST('30000000000000045' AS DECIMAL(24,4)))")
+    assert(ids(tbl).contains(777L))
+    // footer count(*) shortcut must not serve stale counts
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").collect()(0).getLong(0)
+      == 21 - 1 + 1)
+    // absorb rewrites the survivors and drops the predicate lines
+    graft.fls.FlsMaintenance.absorbDeletes(spark, dir)
+    assert(FlsManifest.versionEq(fs, new Path(dir),
+      FlsManifest.readVersioned(fs, new Path(dir)).get._1).isEmpty)
+    assert(ids(tbl) == ((0L to 20L).toSet - 10L) + 777L)
+    // a non-representable EQUALITY literal still falls back (it can
+    // never match a stored value) and deletes nothing
     val tbl2 = s"$cat.db.money_exact"
-    spark.sql(s"CREATE TABLE $tbl2 (id BIGINT, price DECIMAL(12,2)) " +
+    spark.sql(s"CREATE TABLE $tbl2 (id BIGINT, price DECIMAL(24,4)) " +
       "TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='equality')")
     spark.range(0, 10).selectExpr("id",
-      "CAST(id AS DECIMAL(12,2)) AS price").writeTo(tbl2).append()
-    // 5.005 is not representable at scale 2 — equality can never hold
-    spark.sql(s"DELETE FROM $tbl2 WHERE price = CAST(5.005 AS DECIMAL(12,3))")
+      "CAST(id AS DECIMAL(24,4)) AS price").writeTo(tbl2).append()
+    spark.sql(s"DELETE FROM $tbl2 WHERE price = CAST(5.00005 AS DECIMAL(25,5))")
     assert(spark.table(tbl2).count() == 10)
   }
 
