@@ -79,18 +79,26 @@ object FlsManifest {
   val DefaultChunkTarget = 8192
 
   /** Epoch markers of a query that has not stamped ANY epoch for this
-    * many manifest versions are RETIRED (r18 — the r17 verdict's
-    * marker-accretion gap: a table written by thousands of short-lived
-    * streaming queries otherwise keeps one stale marker per retired
-    * query on every kept pointer, bytes-bounded per line but unbounded
-    * in query count). A LIVE query re-stamps on every epoch commit, so
-    * it can never age out; a RETURNING query whose markers were
-    * retired just pays the same one-time full-merge bootstrap as a
-    * brand-new query (the connector's headHasQid gate), then rides the
-    * O(delta) path again — retirement is a speed trade, never a
+    * many manifest versions AND for [[EpochRetireMsKey]] of wall time
+    * are RETIRED (r18 — the r17 verdict's marker-accretion gap: a
+    * table written by thousands of short-lived streaming queries
+    * otherwise keeps one stale marker per retired query on every kept
+    * pointer, bytes-bounded per line but unbounded in query count).
+    * BOTH clocks must expire: version age alone would demote a live
+    * slow-cadence stream on a busy multi-writer table (a 5-minute
+    * trigger among 10 commits/s passes thousands of versions between
+    * its own stamps) to a full merge on every epoch; wall age alone
+    * would never clear markers on an idle table. A LIVE query
+    * re-stamps on every epoch commit, so it can never age out within
+    * its trigger interval + retention; a RETURNING query whose markers
+    * were retired just pays the same one-time full-merge bootstrap as
+    * a brand-new query (the connector's headHasQid gate), then rides
+    * the O(delta) path again — retirement is a speed trade, never a
     * correctness one. */
   val EpochRetireKey = "graft.fls.manifest.epoch.retire.versions"
   val DefaultEpochRetire = 64
+  val EpochRetireMsKey = "graft.fls.manifest.epoch.retire.ms"
+  val DefaultEpochRetireMs: Long = 7L * 24 * 3600 * 1000 // 7 days
   /** When this many reusable chunks have decayed below half the target
     * size (single-append commits each add a tiny chunk), fold them into
     * the delta and rewrite right-sized ones — amortized O(chunkTarget)
@@ -989,14 +997,17 @@ object FlsManifest {
       // re-serializes (kept AND new) — see EpochRetireKey
       val retireAfter =
         math.max(1, conf.getInt(EpochRetireKey, DefaultEpochRetire)).toLong
+      val retireMs = conf.getLong(EpochRetireMsKey, DefaultEpochRetireMs)
+      val nowMs = System.currentTimeMillis()
       val keptR = kept.map(pt =>
         if (pt.epochs.isEmpty) pt
-        else pt.copy(epochs = retireEpochMarkers(pt.epochs, next, retireAfter)))
+        else pt.copy(epochs =
+          retireEpochMarkers(pt.epochs, next, retireAfter, retireMs, nowMs)))
       val newChunks = writeContentDelta(fs, dir, tmp, keptR, leftover,
         Some(VersionMeta(op, dataChange, schemaV)), cdc, conf, eqAll,
         chunkStatCols(tableMeta.map(_._2)),
         pruneEpochMarkers(mustOpen.flatMap(_.epochs), epochWriteId,
-          next, retireAfter))
+          next, retireAfter, retireMs, nowMs))
       def dropNewChunks(): Unit = newChunks.foreach(p =>
         try fs.delete(p, false) catch { case _: Throwable => () })
       beforePublishForTest()
@@ -1153,13 +1164,17 @@ object FlsManifest {
         // live marker through a rewrite
         val retireAfter =
           math.max(1, conf.getInt(EpochRetireKey, DefaultEpochRetire)).toLong
+        val retireMs = conf.getLong(EpochRetireMsKey, DefaultEpochRetireMs)
+        val nowMs = System.currentTimeMillis()
         val markersByName = prevPointers.map(pt =>
-          pt.name -> retireEpochMarkers(pt.epochs, nextVersion, retireAfter))
+          pt.name -> retireEpochMarkers(pt.epochs, nextVersion, retireAfter,
+            retireMs, nowMs))
           .toMap
         val reusedNames = reused.map(_._1).toSet
         val newMarkers = pruneEpochMarkers(
           prevPointers.filterNot(pt => reusedNames.contains(pt.name))
-            .flatMap(_.epochs), epochAdd, nextVersion, retireAfter)
+            .flatMap(_.epochs), epochAdd, nextVersion, retireAfter,
+          retireMs, nowMs)
         // pointer lines, ordered by each chunk's first rel so the file
         // is deterministic for a given layout; each carries the chunk's
         // [minRel, maxRel] (entries are rel-sorted within a chunk) so
@@ -1261,45 +1276,55 @@ object FlsManifest {
     }
   }
 
-  /** A persisted marker is `<writeId>[@<stampVersion>]` — the stamp is
-    * the manifest version whose commit last (re)stamped the marker's
-    * query, the age input of [[retireEpochMarkers]]. Base = the plain
-    * writeId a retried epoch compares against. Markers written before
-    * r18 have no stamp (base == the whole string); they pick one up at
-    * the next commit that re-serializes their pointer line. */
-  private[fls] def epochBase(m: String): String = {
+  /** A persisted marker is `<writeId>[@<version>[:<epochMillis>]]` —
+    * the stamp records the manifest version (and commit wall time)
+    * that last (re)stamped the marker's query, the two age inputs of
+    * [[retireEpochMarkers]]. Base = the plain writeId a retried epoch
+    * compares against. Markers with a missing component (written
+    * before the stamp existed) pick it up at the next commit that
+    * re-serializes their pointer line — their age clocks start then,
+    * the conservative direction. */
+  private def stampParts(m: String): Option[(String, Long, Long)] = {
     val i = m.lastIndexOf('@')
-    if (i < 0) m
-    else {
-      val s = m.substring(i + 1)
-      if (s.nonEmpty && s.length <= 18 && s.forall(_.isDigit))
-        m.substring(0, i)
-      else m
-    }
+    if (i < 0) return None
+    val s = m.substring(i + 1)
+    val j = s.indexOf(':')
+    val (vs, ts) = if (j < 0) (s, null) else (s.substring(0, j), s.substring(j + 1))
+    def dig(x: String) = x != null && x.nonEmpty && x.length <= 18 &&
+      x.forall(_.isDigit)
+    if (dig(vs) && (ts == null || dig(ts)))
+      Some((m.substring(0, i), vs.toLong, if (ts == null) -1L else ts.toLong))
+    else None
   }
 
-  /** The marker's stamp version, or -1 for a pre-r18 stampless one. */
-  private[fls] def epochStampOf(m: String): Long = {
-    val i = m.lastIndexOf('@')
-    if (i < 0) -1L
-    else {
-      val s = m.substring(i + 1)
-      if (s.nonEmpty && s.length <= 18 && s.forall(_.isDigit)) s.toLong
-      else -1L
-    }
-  }
+  private[fls] def epochBase(m: String): String =
+    stampParts(m).map(_._1).getOrElse(m)
+
+  /** The marker's stamp version, or -1 for a stampless one. */
+  private[fls] def epochStampOf(m: String): Long =
+    stampParts(m).map(_._2).getOrElse(-1L)
+
+  /** The marker's stamp wall time (epoch millis), or -1. */
+  private[fls] def epochStampMsOf(m: String): Long =
+    stampParts(m).map(_._3).getOrElse(-1L)
 
   /** Age-based marker retirement for pointer lines this commit writes
-    * (kept AND new): stampless markers are stamped `@next` (their age
-    * clock starts now — conservative), markers older than
-    * `retireAfter` versions drop. Pure speed trade — see
-    * [[EpochRetireKey]]. */
+    * (kept AND new): markers missing a stamp component gain it at
+    * (`next`, `nowMs`) — their age clocks start now — and a marker
+    * older than `retireAfter` versions AND `retireMs` wall time drops.
+    * Pure speed trade — see [[EpochRetireKey]]. */
   private[fls] def retireEpochMarkers(ms: Seq[String], next: Long,
-      retireAfter: Long): Seq[String] =
+      retireAfter: Long, retireMs: Long, nowMs: Long): Seq[String] =
     if (next <= 0) ms // no version context: carry verbatim
     else ms.flatMap { m =>
-      val stamped = if (epochStampOf(m) < 0) s"$m@$next" else m
-      if (next - epochStampOf(stamped) > retireAfter) None else Some(stamped)
+      val stamped =
+        if (epochStampOf(m) < 0) s"${epochBase(m)}@$next:$nowMs"
+        else if (epochStampMsOf(m) < 0)
+          s"${epochBase(m)}@${epochStampOf(m)}:$nowMs"
+        else m
+      val dead = next - epochStampOf(stamped) > retireAfter &&
+        nowMs - epochStampMsOf(stamped) > retireMs
+      if (dead) None else Some(stamped)
     }
 
   /** Union + dedup epoch markers, dropping SUPERSEDED ones: epochs of
@@ -1313,9 +1338,10 @@ object FlsManifest {
     * markers older than `retireAfter` versions retire
     * ([[retireEpochMarkers]]). */
   private[fls] def pruneEpochMarkers(ms: Seq[String],
-      adding: Option[String], next: Long, retireAfter: Long): Seq[String] = {
-    val all = (retireEpochMarkers(ms, next, retireAfter) ++
-        adding.map(a => s"$a@$next"))
+      adding: Option[String], next: Long, retireAfter: Long,
+      retireMs: Long, nowMs: Long): Seq[String] = {
+    val all = (retireEpochMarkers(ms, next, retireAfter, retireMs, nowMs) ++
+        adding.map(a => s"$a@$next:$nowMs"))
       .groupBy(epochBase).map(_._2.maxBy(epochStampOf)).toSeq
       .sortBy(epochBase) // deterministic serialization order
     val maxByQid = all.flatMap(epochQid).groupBy(_._1)

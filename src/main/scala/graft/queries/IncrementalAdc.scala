@@ -95,7 +95,12 @@ object IncrementalAdc {
     if (!marker.exists())
       return buildAll(spark, corpus(), ivfDir, adcDir, head, ivfStamp)
     val saved = readText(marker).split('\n')
-    val builtN = saved.head.stripPrefix("n=").toLong
+    // head line: n=<count>[;fmt=codes] — a pre-codes artifact (rv
+    // reconstructions) must rebuild whole, never take a codes patch
+    val headParts = saved.head.split(';')
+    if (!headParts.exists(_ == "fmt=codes"))
+      return buildAll(spark, corpus(), ivfDir, adcDir, head, ivfStamp)
+    val builtN = headParts.head.stripPrefix("n=").toLong
     if (saved.drop(1).mkString("\n") != ivfStamp) {
       // the IVF index reclustered: every subtraction anchor moved —
       // stored codes are stale as a SET, retrain
@@ -161,7 +166,7 @@ object IncrementalAdc {
         .option("commit_mode", "manifest").save(s"$adcDir/_codebook")
     } finally cb.unpersist()
     val w = new java.io.PrintWriter(markerOf(adcDir))
-    try w.print(s"n=$n\n$ivfStamp") finally w.close()
+    try w.print(s"n=$n;fmt=codes\n$ivfStamp") finally w.close()
     RefreshStats(0L, head, n, rebuilt = true)
   }
 }

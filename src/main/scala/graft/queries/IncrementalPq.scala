@@ -71,9 +71,14 @@ object IncrementalPq {
     def corpus() = spark.read.format("fls")
       .option("manifest_version", head.toString).load(corpusDir)
     if (!marker.exists()) return buildAll(spark, corpus(), idxDir, head)
-    val builtN = readMarker(marker)
+    val saved = readMarker(marker)
       .split(';').map(_.split('=')).map(a => a(0) -> a(1)).toMap
-      .apply("n").toLong
+    // artifact-format fence (r18): a pre-codes artifact stores rv
+    // reconstructions — PATCHING codes rows into it would mix schemas;
+    // rebuild whole instead
+    if (!saved.get("fmt").contains("codes"))
+      return buildAll(spark, corpus(), idxDir, head)
+    val builtN = saved("n").toLong
     val cursor = IncrementalDedup.cursorOf(spark, idxDir)
     if (cursor >= head) return RefreshStats(cursor, head, 0L, rebuilt = false)
     // codebook drift: the frozen Lloyd means summarize the BUILD
@@ -131,7 +136,7 @@ object IncrementalPq {
         .option("commit_mode", "manifest").save(s"$idxDir/_codebook")
     } finally cb.unpersist()
     val w = new java.io.PrintWriter(markerOf(idxDir))
-    try w.print(s"n=$n") finally w.close()
+    try w.print(s"n=$n;fmt=codes") finally w.close()
     RefreshStats(0L, head, n, rebuilt = true)
   }
 }

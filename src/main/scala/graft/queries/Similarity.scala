@@ -29,6 +29,8 @@ object Similarity {
 
   def unpersistAll(): Unit = {
     vecCache.clearAll(); rankCache.clearAll(); clearGeomCache()
+    // release broadcast blocks, not just the references
+    cbBcCache.values().forEach(_.unpersist(false))
     cbBcCache.clear(); centCache.clear()
   }
 
@@ -66,13 +68,16 @@ object Similarity {
   private def indexRoot: String =
     sys.props.getOrElse("graft.ivf.indexRoot", "/tmp/graft_ivf_index_v1")
 
-  /** Load the ranked-assignment index at `path` when its fingerprint
-    * matches `meta`; otherwise run `build`, persist it (assignments +
-    * centroids, both fls tables), stamp the fingerprint LAST (the
-    * marker is the commit point — a crash mid-write leaves a stale
-    * dir the next build overwrites). */
-  private def loadOrBuildIndex(spark: SparkSession, path: String,
-      meta: String, build: => DataFrame, cents: => DataFrame): DataFrame = {
+  /** Shared skeleton of the two index builders: check the fingerprint
+    * marker, run `body` on a miss (which writes the artifact tables),
+    * stamp the fingerprint LAST (the marker is the commit point — a
+    * crash mid-write leaves a stale dir the next build overwrites),
+    * and serve the persisted table. A REBUILD at an existing path
+    * (corpus changed, same geometry) first drops any JVM-cached
+    * collect of the old artifact — a stale codebook/centroid broadcast
+    * would silently mis-score the new index. */
+  private def buildIfStale(spark: SparkSession, path: String,
+      meta: String)(body: => Unit): DataFrame = {
     synchronized {
       val marker = new java.io.File(s"$path/_ivf_done")
       val current = marker.exists() &&
@@ -82,22 +87,28 @@ object Similarity {
         } catch { case _: Exception => false })
       if (!current) {
         indexBuilds += 1
-        // rebuilds invalidate any JVM-cached collect of the old
-        // centroid artifact (the q127 routing cache)
-        cbBcCache.remove(path)
-        centCache.remove(path)
-        val b = build
-        lastBuildPlan = b.queryExecution.executedPlan.toString
-        b.write.format("fls").mode("overwrite")
-          .option("commit_mode", "manifest").save(path)
-        cents.write.format("fls").mode("overwrite")
-          .option("commit_mode", "manifest").save(s"$path/_centroids")
+        evictArtifactCaches(path)
+        body
         val w = new java.io.PrintWriter(marker)
         try w.print(meta) finally w.close()
       }
     }
     spark.read.format("fls").load(path)
   }
+
+  /** Load the ranked-assignment index at `path` when its fingerprint
+    * matches `meta`; otherwise run `build` and persist it (assignments
+    * + centroids, both fls tables). */
+  private def loadOrBuildIndex(spark: SparkSession, path: String,
+      meta: String, build: => DataFrame, cents: => DataFrame): DataFrame =
+    buildIfStale(spark, path, meta) {
+      val b = build
+      lastBuildPlan = b.queryExecution.executedPlan.toString
+      b.write.format("fls").mode("overwrite")
+        .option("commit_mode", "manifest").save(path)
+      cents.write.format("fls").mode("overwrite")
+        .option("commit_mode", "manifest").save(s"$path/_centroids")
+    }
 
   /** Staged variant of [[loadOrBuildIndex]] for artifacts whose build
     * ENCODES AGAINST its own centroid/codebook table (the PQ family):
@@ -106,36 +117,28 @@ object Similarity {
     * ran twice. Here `cents` trains ONCE, persists FIRST, and `build`
     * encodes against the read-back table (fls round-trips doubles
     * bit-exactly), so the persisted codebook and the codes it produced
-    * can never diverge. Marker stamped last — same crash semantics. */
+    * can never diverge. */
   private def loadOrBuildIndexStaged(spark: SparkSession, path: String,
       meta: String)(cents: => DataFrame)(
-      build: DataFrame => DataFrame): DataFrame = {
-    synchronized {
-      val marker = new java.io.File(s"$path/_ivf_done")
-      val current = marker.exists() &&
-        (try {
-          val src = scala.io.Source.fromFile(marker)
-          try src.mkString == meta finally src.close()
-        } catch { case _: Exception => false })
-      if (!current) {
-        indexBuilds += 1
-        // a REBUILD at an existing path (corpus changed, same geometry)
-        // must drop any JVM-cached collect of the old artifact — a
-        // stale codebook would silently mis-score the new codes
-        cbBcCache.remove(path)
-        centCache.remove(path)
-        cents.write.format("fls").mode("overwrite")
-          .option("commit_mode", "manifest").save(s"$path/_centroids")
-        val cbBack = spark.read.format("fls").load(s"$path/_centroids")
-        val b = build(cbBack)
-        lastBuildPlan = b.queryExecution.executedPlan.toString
-        b.write.format("fls").mode("overwrite")
-          .option("commit_mode", "manifest").save(path)
-        val w = new java.io.PrintWriter(marker)
-        try w.print(meta) finally w.close()
-      }
+      build: DataFrame => DataFrame): DataFrame =
+    buildIfStale(spark, path, meta) {
+      cents.write.format("fls").mode("overwrite")
+        .option("commit_mode", "manifest").save(s"$path/_centroids")
+      val cbBack = spark.read.format("fls").load(s"$path/_centroids")
+      val b = build(cbBack)
+      lastBuildPlan = b.queryExecution.executedPlan.toString
+      b.write.format("fls").mode("overwrite")
+        .option("commit_mode", "manifest").save(path)
     }
-    spark.read.format("fls").load(path)
+
+  /** Drop the JVM-cached collects of one index path, releasing the
+    * evicted broadcast's executor blocks (non-blocking — an in-flight
+    * task holding the old Broadcast object re-fetches from the
+    * driver). */
+  private def evictArtifactCaches(path: String): Unit = {
+    Option(cbBcCache.remove(path)).foreach(_.unpersist(false))
+    centCache.remove(path)
+    ()
   }
 
   /** Driver-collected broadcast of a persisted codebook table — the

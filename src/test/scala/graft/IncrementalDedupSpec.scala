@@ -155,7 +155,11 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       "stale lock is recoverable") {
     val dir = s"$tmp/lock_hb"
     new java.io.File(dir).mkdirs()
-    val ttl = 400L // heartbeat every ttl/4 = 100 ms
+    // generous margins: the contender probes at 2×ttl while the holder
+    // runs to 3×ttl — a heartbeat (every ttl/4 = 400 ms) would have to
+    // stall > ttl (1.6 s) for the lock to look stale, far beyond any
+    // plausible CI scheduler pause
+    val ttl = 1600L
     val started = new java.util.concurrent.CountDownLatch(1)
     @volatile var holderResult: Option[String] = None
     val holder = new Thread(() => {

@@ -177,25 +177,31 @@ class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("marker supersession: an older epoch of a query is pruned once " +
       "a newer epoch is stamped in the same rewrite; foreign markers " +
       "survive") {
-    // (r18) markers carry an @<version> age stamp: carried ones start
-    // their clock at the committing version, the committing epoch
-    // stamps @next, the newest stamp wins per base
+    // (r18) markers carry an @<version>:<millis> age stamp: carried
+    // ones start their clocks at the committing version, the
+    // committing epoch stamps @next:now, the newest stamp wins per base
     val pruned = FlsManifest.pruneEpochMarkers(
-      Seq("q-e1", "q-e3", "other-e5"), Some("q-e7"), 10L, 64L)
-    assert(pruned.toSet == Set("q-e7@10", "other-e5@10"), pruned)
+      Seq("q-e1", "q-e3", "other-e5"), Some("q-e7"), 10L, 64L, 0L, 5000L)
+    assert(pruned.toSet == Set("q-e7@10:5000", "other-e5@10:5000"), pruned)
     // retry of the SAME epoch keeps exactly one marker, freshest stamp
-    val retry = FlsManifest.pruneEpochMarkers(Seq("q-e7@5"), Some("q-e7"),
-      10L, 64L)
-    assert(retry == Seq("q-e7@10"))
+    val retry = FlsManifest.pruneEpochMarkers(Seq("q-e7@5:100"),
+      Some("q-e7"), 10L, 64L, 0L, 5000L)
+    assert(retry == Seq("q-e7@10:5000"))
     // unparseable markers are never dropped (but do age)
     val odd = FlsManifest.pruneEpochMarkers(Seq("weird"), Some("q-e1"),
-      10L, 64L)
-    assert(odd.toSet == Set("weird@10", "q-e1@10"))
-    // age-based retirement: a marker past retireAfter versions drops;
-    // a fresh one survives
+      10L, 64L, 0L, 5000L)
+    assert(odd.toSet == Set("weird@10:5000", "q-e1@10:5000"))
+    // retirement needs BOTH clocks expired: version-aged but wall-fresh
+    // survives (the live slow-cadence stream on a busy table), and so
+    // does wall-aged but version-fresh; only both-aged drops
     val aged = FlsManifest.pruneEpochMarkers(
-      Seq("dead-e4@10", "live-e9@90"), None, 100L, 64L)
-    assert(aged == Seq("live-e9@90"), aged)
+      Seq("dead-e4@10:100", "slow-e9@10:99000", "calm-e2@95:100"),
+      None, 100L, 64L, 60000L, 100000L)
+    assert(aged.toSet == Set("slow-e9@10:99000", "calm-e2@95:100"), aged)
+    // version-only stamps (earlier r18 builds) gain the wall component
+    val up = FlsManifest.pruneEpochMarkers(Seq("q-e7@5"), None,
+      10L, 64L, 60000L, 7777L)
+    assert(up == Seq("q-e7@5:7777"))
     // epochQid parses the LAST -e<digits> suffix (queryIds are UUIDs
     // and may themselves contain -e<hex>)
     assert(FlsManifest.epochQid("ab-e123-e7") == Some(("ab-e123", 7L)))
@@ -241,55 +247,75 @@ class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       "crashed attempt's row must be replaced after a fold")
   }
 
-  test("markers of a RETIRED query age out after the configured number " +
-      "of unrelated commits (r18 — marker accretion is bounded); a " +
-      "returning query re-bootstraps through one full merge and rides " +
-      "the delta path again") {
-    val dir = s"$tmp/retire"
-    seed(dir, 100L)
+  test("markers of a RETIRED query age out once BOTH age clocks " +
+      "expire (r18 — marker accretion is bounded); version age alone " +
+      "never demotes a wall-fresh slow stream; a returning query " +
+      "re-bootstraps through one full merge and rides the delta path " +
+      "again") {
     import graft.fls.connector._
-    val sw = new FlsStreamingWrite(writeInfo(dir, "q-retire"), spark)
-    val factory = sw.createStreamingWriterFactory(null)
-    def commitEpoch(e: Long): Long = {
-      val w = factory.createWriter(0, 10L + e, e)
-      w.write(row(5000L + e))
-      val (_, n) = opened(sw.commit(e, Array(w.commit())))
-      n
+    def epochCommitter(dir: String, qid: String): Long => Long = {
+      val sw = new FlsStreamingWrite(writeInfo(dir, qid), spark)
+      val factory = sw.createStreamingWriterFactory(null)
+      e => {
+        val w = factory.createWriter(0, 10L + e, e)
+        w.write(row(5000L + e))
+        val (_, n) = opened(sw.commit(e, Array(w.commit())))
+        n
+      }
     }
-    commitEpoch(0L) // bootstrap stamps the first marker
-    assert(commitEpoch(1L) == 0L, "second epoch must ride the delta path")
-    def bases() = headLayout(dir).pointers.flatMap(_.epochs)
+    def bases(dir: String) = headLayout(dir).pointers.flatMap(_.epochs)
       .map(FlsManifest.epochBase)
-    assert(bases().exists(_.startsWith("q-retire-e")),
-      "the live marker must be stamped")
-    // the query finishes; unrelated batch writers keep committing.
-    // retireAfter = 3 versions for the spec (the default is 64)
-    // dynamic session confs are copied verbatim into newHadoopConf —
-    // set the bare key (the spark.hadoop.* prefix only applies at
-    // session build time)
-    spark.conf.set(FlsManifest.EpochRetireKey, "3")
-    try {
-      val sp = spark
-      import sp.implicits._
-      (0 until 6).foreach { i =>
+    val sp = spark
+    import sp.implicits._
+    def appendNoise(dir: String, n: Int): Unit =
+      (0 until n).foreach { i =>
         Seq(8000L + i).toDF("v").coalesce(1)
           .write.format("fls").mode("append")
           .option("commit_mode", "manifest").save(dir)
       }
-      assert(!bases().exists(_.startsWith("q-retire-e")),
-        s"markers of a finished query must retire, got ${bases()}")
+    // NOTE: the write path captures its Hadoop conf at the table's
+    // first use, so retire settings must be in force BEFORE any commit
+    // to a table — hence one table per scenario here.
+    // Scenario A: version age alone must NOT retire (the live
+    // slow-cadence stream on a busy table) — wall retention stays at
+    // its 7-day default
+    val dirA = s"$tmp/retire_a"
+    spark.conf.set(FlsManifest.EpochRetireKey, "3")
+    try {
+      seed(dirA, 100L)
+      val commitA = epochCommitter(dirA, "q-slow")
+      commitA(0L); commitA(1L)
+      appendNoise(dirA, 6) // far past retireAfter=3 versions
+      assert(bases(dirA).exists(_.startsWith("q-slow-e")),
+        "a wall-fresh marker must survive version aging alone")
+      // Scenario B: both clocks expire → retire; the returning query
+      // re-bootstraps and re-engages the delta path
+      val dirB = s"$tmp/retire_b"
+      spark.conf.set(FlsManifest.EpochRetireMsKey, "0")
+      seed(dirB, 100L)
+      val commitB = epochCommitter(dirB, "q-retire")
+      commitB(0L) // bootstrap stamps the first marker
+      assert(commitB(1L) == 0L, "second epoch must ride the delta path")
+      assert(bases(dirB).exists(_.startsWith("q-retire-e")),
+        "the live marker must be stamped")
+      appendNoise(dirB, 6)
+      assert(!bases(dirB).exists(_.startsWith("q-retire-e")),
+        s"markers of a finished query must retire, got ${bases(dirB)}")
       // the data the query wrote is untouched — retirement is
       // metadata-only
-      val vs = readLongs(dir)
+      val vs = readLongs(dirB)
       assert(vs.contains(5000L) && vs.contains(5001L))
       // the query RETURNS: its next epoch re-bootstraps (full merge,
       // headHasQid = false), stamps a fresh marker, and the one after
       // rides the delta path again — retirement never strands a query
-      assert(commitEpoch(2L) > 0L,
+      assert(commitB(2L) > 0L,
         "a returning query must take the bootstrap full merge")
-      assert(commitEpoch(3L) == 0L,
+      assert(commitB(3L) == 0L,
         "after re-bootstrap the delta path must re-engage")
-      assert(bases().contains("q-retire-e3"))
-    } finally spark.conf.unset(FlsManifest.EpochRetireKey)
+      assert(bases(dirB).contains("q-retire-e3"))
+    } finally {
+      spark.conf.unset(FlsManifest.EpochRetireKey)
+      spark.conf.unset(FlsManifest.EpochRetireMsKey)
+    }
   }
 }
