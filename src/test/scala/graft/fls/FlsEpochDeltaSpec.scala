@@ -247,6 +247,70 @@ class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       "crashed attempt's row must be replaced after a fold")
   }
 
+  test("seeded marker-algebra invariants: 200 random marker sets " +
+      "through pruneEpochMarkers keep every fresh marker, drop only " +
+      "superseded or both-clocks-dead ones, and are idempotent") {
+    val rnd = new scala.util.Random(42L)
+    val next = 1000L
+    val nowMs = 1000000L
+    val retireAfter = 64L
+    val retireMs = 5000L
+    (0 until 200).foreach { trial =>
+      val qids = Seq("qa", "qb", "qc-e9x") // last one: qid containing -e
+      val ms = (0 until rnd.nextInt(8)).map { _ =>
+        val qid = qids(rnd.nextInt(qids.length))
+        val e = rnd.nextInt(20)
+        val base = s"$qid-e$e"
+        rnd.nextInt(3) match {
+          case 0 => base // stampless (legacy)
+          case 1 => s"$base@${rnd.nextInt(1000)}" // version-only
+          case _ => s"$base@${rnd.nextInt(1000)}:${rnd.nextInt(1000000)}"
+        }
+      }
+      val adding = if (rnd.nextBoolean()) Some(s"qa-e${rnd.nextInt(30)}")
+        else None
+      val out = FlsManifest.pruneEpochMarkers(ms, adding, next,
+        retireAfter, retireMs, nowMs)
+      val inBases = (ms ++ adding).map(FlsManifest.epochBase).toSet
+      // 1. no invented markers
+      assert(out.map(FlsManifest.epochBase).forall(inBases.contains))
+      // 2. every output is fully stamped
+      assert(out.forall(m => FlsManifest.epochStampOf(m) >= 0 &&
+        FlsManifest.epochStampMsOf(m) >= 0), s"trial $trial: $out")
+      // 3. the committing epoch's marker always survives as the
+      //    newest of its qid
+      adding.foreach { a =>
+        val aq = FlsManifest.epochQid(a).get
+        val winners = out.flatMap(FlsManifest.epochQid)
+          .filter(_._1 == aq._1)
+        assert(winners.nonEmpty && winners.head._2 >= aq._2,
+          s"trial $trial: adding $a lost ($out)")
+      }
+      // 4. per qid only one (the max) epoch survives
+      val perQid = out.flatMap(FlsManifest.epochQid).groupBy(_._1)
+      assert(perQid.values.forall(_.length == 1),
+        s"trial $trial: superseded markers survived: $out")
+      // 5. any input marker that is wall-fresh (ms age <= retireMs) and
+      //    the max epoch of its qid must survive
+      val maxEpoch = (ms ++ adding).flatMap(FlsManifest.epochQid)
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).max }
+      ms.foreach { m =>
+        val fresh = FlsManifest.epochStampMsOf(m) >= 0 &&
+          nowMs - FlsManifest.epochStampMsOf(m) <= retireMs
+        val isMax = FlsManifest.epochQid(m)
+          .exists { case (q, e) => maxEpoch(q) == e }
+        if (fresh && isMax)
+          assert(out.map(FlsManifest.epochBase)
+            .contains(FlsManifest.epochBase(m)),
+            s"trial $trial: fresh max marker $m dropped ($out)")
+      }
+      // 6. idempotent at the same clock readings
+      val again = FlsManifest.pruneEpochMarkers(out, None, next,
+        retireAfter, retireMs, nowMs)
+      assert(again.toSet == out.toSet, s"trial $trial: not idempotent")
+    }
+  }
+
   test("markers of a RETIRED query age out once BOTH age clocks " +
       "expire (r18 — marker accretion is bounded); version age alone " +
       "never demotes a wall-fresh slow stream; a returning query " +

@@ -570,6 +570,74 @@ class FlsEqDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table(tbl2).count() == 10)
   }
 
+  test("seeded randomized wide-decimal deletes stay exact: random " +
+      "range/point literals at random scales (representable or not, " +
+      "some beyond the long range) always match a driver-side exact " +
+      "BigDecimal model") {
+    val tbl = s"$cat.db.money_fuzz"
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, amt DECIMAL(24,4)) " +
+      "TBLPROPERTIES ('commit_mode'='manifest', 'delete_mode'='equality')")
+    // negatives, positives, and a beyond-long stripe (every 3rd row
+    // carries a 2e16 offset → unscaled ≈ 2e20 > Long.MaxValue)
+    spark.range(0, 1000).selectExpr("id",
+      "CAST(CAST(id - 500 AS DECIMAL(24,4)) * 7.3 + " +
+        "CASE WHEN id % 3 = 0 THEN CAST('20000000000000000' AS DECIMAL(24,4)) " +
+        "ELSE CAST(0 AS DECIMAL(24,4)) END AS DECIMAL(24,4)) AS amt")
+      .repartition(4).writeTo(tbl).append()
+    var model: Map[Long, java.math.BigDecimal] = spark.table(tbl)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    def liveIds(): Set[Long] =
+      spark.table(tbl).select("id").collect().map(_.getLong(0)).toSet
+    val rnd = new scala.util.Random(20260816L)
+    val ops = Seq((">", 1, false), (">=", 1, true), ("<", -1, false),
+      ("<=", -1, true))
+    (0 until 8).foreach { round =>
+      // literal anchored near the data: a surviving value ± a random
+      // fraction at a random scale (3..6 — 5 and 6 are not
+      // representable at the table's scale 4)
+      val anchor = model.values.toSeq
+        .sortBy(_.toString)(Ordering.String)
+        .apply(rnd.nextInt(model.size))
+      val scale = 3 + rnd.nextInt(4)
+      val fuzz = new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(rnd.nextInt(200001) - 100000L), scale)
+      val lit = anchor.add(fuzz)
+      val (opStr, dir, inc) = ops(rnd.nextInt(4))
+      spark.sql(s"DELETE FROM $tbl WHERE amt $opStr " +
+        s"CAST('${lit.toPlainString}' AS DECIMAL(27,$scale))")
+      model = model.filterNot { case (_, v) =>
+        val c = v.compareTo(lit)
+        if (dir > 0) { if (inc) c >= 0 else c > 0 }
+        else { if (inc) c <= 0 else c < 0 }
+      }
+      assert(liveIds() == model.keySet,
+        s"round $round: $opStr ${lit.toPlainString} diverged " +
+          s"(live=${liveIds().size}, model=${model.size})")
+      // keep the table populated for later rounds
+      if (model.size < 50) {
+        // re-seed fresh ids ABOVE the current max (append-only semantics)
+        val base = 10000L * (round + 1)
+        spark.sql(s"INSERT INTO $tbl SELECT id + $base, " +
+          "CAST(CAST(id - 500 AS DECIMAL(24,4)) * 7.3 AS DECIMAL(24,4)) " +
+          "FROM range(0, 1000)")
+        model = spark.table(tbl).collect()
+          .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      }
+    }
+    // point deletes: one representable (an existing value — kills every
+    // row carrying it), one shifted to scale 5 (can never match)
+    val target = model.values.head
+    spark.sql(s"DELETE FROM $tbl WHERE amt = " +
+      s"CAST('${target.toPlainString}' AS DECIMAL(24,4))")
+    model = model.filterNot(_._2.compareTo(target) == 0)
+    assert(liveIds() == model.keySet, "representable point delete diverged")
+    val miss = target.add(new java.math.BigDecimal("0.00001"))
+    spark.sql(s"DELETE FROM $tbl WHERE amt = " +
+      s"CAST('${miss.toPlainString}' AS DECIMAL(26,5))")
+    assert(liveIds() == model.keySet,
+      "a non-representable equality must delete nothing")
+  }
+
   test("foreign exclusive long bounds closed-normalize at the parse " +
       "boundary (the writer never emits them; a hand-edited line must " +
       "not silently apply as inclusive)") {
