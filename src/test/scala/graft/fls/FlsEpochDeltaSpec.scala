@@ -377,6 +377,24 @@ class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(commitB(3L) == 0L,
         "after re-bootstrap the delta path must re-engage")
       assert(bases(dirB).contains("q-retire-e3"))
+      // and a RETRY of an epoch whose marker retired during the
+      // query's downtime (crash, then > retention of foreign commits)
+      // still converges: the bootstrap full merge replaces the crashed
+      // attempt's rows by the deterministic-writeId substring — no
+      // marker needed for CORRECTNESS, only for the O(delta) locate
+      appendNoise(dirB, 6) // retire q-retire's markers again
+      assert(!bases(dirB).exists(_.startsWith("q-retire-e")),
+        "spec setup: markers must be retired before the late retry")
+      val sw2 = new FlsStreamingWrite(writeInfo(dirB, "q-retire"), spark)
+      val f2 = sw2.createStreamingWriterFactory(null)
+      val retry = f2.createWriter(0, 99L, 3L) // SAME epoch id 3, new data
+      retry.write(row(6003L))
+      sw2.commit(3L, Array(retry.commit()))
+      val after = readLongs(dirB)
+      assert(after.contains(6003L), "the retry's row must be visible")
+      assert(!after.contains(5003L),
+        "the crashed attempt's row must be replaced, not doubled, " +
+          "even with its marker retired")
     } finally {
       spark.conf.unset(FlsManifest.EpochRetireKey)
       spark.conf.unset(FlsManifest.EpochRetireMsKey)
