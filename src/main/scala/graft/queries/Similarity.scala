@@ -514,16 +514,24 @@ object Similarity {
       nprobe: Int): DataFrame = {
     import spark.implicits._
     val cells = r.filter(col("ar") === 1).select(col("vec_id"), col("cent_id").as("cell"))
-    val assigned = e.select(col("vec_id"), col("v").as("v_c"), col("nr").as("nr_c"))
-      .join(cells, Seq("vec_id"))
     // queries probe their nprobe nearest cells
     val probeCells = r.filter(col("vec_id") < 8 && col("ar") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val probes = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("v").as("v_q"), col("nr").as("nr_q"))
       .join(probeCells, Seq("query_id"))
-    val cand = assigned
-      .select(col("vec_id").as("neighbor_id"), col("v_c"), col("nr_c"), col("cell"))
+    // probe-cell filter FIRST on the NARROW assignment table: the
+    // candidate set shrinks to the probed cells' members BEFORE the
+    // wide vector rows join — at 100 TB this is the difference
+    // between a corpus-sized exchange ahead of the probe filter and a
+    // runtime-tiny candidate frame AQE can broadcast into the vector
+    // join. Same rows, same scores — plan shape only.
+    val candAssign = cells
+      .join(broadcast(probeCells.select("cell").distinct()), Seq("cell"))
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val cand = candAssign
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"),
+        col("nr").as("nr_c")), Seq("neighbor_id"))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosExpr / (col("nr_q") * col("nr_c")))
@@ -914,9 +922,14 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("uv").as("uq"),
         col("v").as("v_q"), col("nr").as("nr_q"))
       .join(probeCells, Seq("query_id"))
-    val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"),
-        col("nr").as("nr_c"))
-      .join(cells.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+    // probe-cell filter FIRST on the narrow assignment table (see
+    // finishAnn): the vector and codes tables join a runtime-tiny
+    // candidate frame, never the whole corpus
+    val candAssign = cells.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(probeCells.select("cell").distinct()), Seq("cell"))
+    val cand = candAssign
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"),
+        col("nr").as("nr_c")), Seq("neighbor_id"))
       .join(codes.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -1013,9 +1026,13 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("uv").as("uq"),
         col("v").as("v_q"), col("nr").as("nr_q"))
       .join(probeCells, Seq("query_id"))
-    val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"),
-        col("nr").as("nr_c"))
-      .join(cells.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+    // probe-cell filter FIRST on the narrow assignment table (see
+    // finishAnn): candidates shrink before the wide joins
+    val candAssign = cells.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(probeCells.select("cell").distinct()), Seq("cell"))
+    val cand = candAssign
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("v_c"),
+        col("nr").as("nr_c")), Seq("neighbor_id"))
       .join(codes.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
       .join(broadcast(probes), Seq("cell"))
       // each candidate's cell anchor rides in from the broadcast
