@@ -97,6 +97,10 @@ object FlsManifest {
     * correctness one. */
   val EpochRetireKey = "graft.fls.manifest.epoch.retire.versions"
   val DefaultEpochRetire = 64
+  /** Setting this to 0 (or negative) DELIBERATELY disables the wall
+    * clock — retirement then runs on version age alone, which demotes
+    * any stream whose trigger interval spans more foreign commits than
+    * [[EpochRetireKey]]; an explicit operator trade, never a default. */
   val EpochRetireMsKey = "graft.fls.manifest.epoch.retire.ms"
   val DefaultEpochRetireMs: Long = 7L * 24 * 3600 * 1000 // 7 days
   /** When this many reusable chunks have decayed below half the target
@@ -994,20 +998,24 @@ object FlsManifest {
       val tmp = new Path(new Path(new Path(dir, "_temporary"), writeId),
         f"manifest_v$next%020d")
       // retire aged-out markers on the pointer lines this commit
-      // re-serializes (kept AND new) — see EpochRetireKey
+      // re-serializes (kept AND new) — qid-atomic over the COMMIT-WIDE
+      // marker view, see EpochRetireKey / deadEpochQids
       val retireAfter =
         math.max(1, conf.getInt(EpochRetireKey, DefaultEpochRetire)).toLong
       val retireMs = conf.getLong(EpochRetireMsKey, DefaultEpochRetireMs)
       val nowMs = System.currentTimeMillis()
+      val deadQids = deadEpochQids(
+        kept.flatMap(_.epochs) ++ mustOpen.flatMap(_.epochs),
+        next, retireAfter, retireMs, nowMs)
       val keptR = kept.map(pt =>
         if (pt.epochs.isEmpty) pt
         else pt.copy(epochs =
-          retireEpochMarkers(pt.epochs, next, retireAfter, retireMs, nowMs)))
+          retireEpochMarkers(pt.epochs, next, nowMs, deadQids)))
       val newChunks = writeContentDelta(fs, dir, tmp, keptR, leftover,
         Some(VersionMeta(op, dataChange, schemaV)), cdc, conf, eqAll,
         chunkStatCols(tableMeta.map(_._2)),
         pruneEpochMarkers(mustOpen.flatMap(_.epochs), epochWriteId,
-          next, retireAfter, retireMs, nowMs))
+          next, nowMs, deadQids))
       def dropNewChunks(): Unit = newChunks.foreach(p =>
         try fs.delete(p, false) catch { case _: Throwable => () })
       beforePublishForTest()
@@ -1166,15 +1174,16 @@ object FlsManifest {
           math.max(1, conf.getInt(EpochRetireKey, DefaultEpochRetire)).toLong
         val retireMs = conf.getLong(EpochRetireMsKey, DefaultEpochRetireMs)
         val nowMs = System.currentTimeMillis()
+        val deadQids = deadEpochQids(prevPointers.flatMap(_.epochs),
+          nextVersion, retireAfter, retireMs, nowMs)
         val markersByName = prevPointers.map(pt =>
-          pt.name -> retireEpochMarkers(pt.epochs, nextVersion, retireAfter,
-            retireMs, nowMs))
+          pt.name -> retireEpochMarkers(pt.epochs, nextVersion, nowMs,
+            deadQids))
           .toMap
         val reusedNames = reused.map(_._1).toSet
         val newMarkers = pruneEpochMarkers(
           prevPointers.filterNot(pt => reusedNames.contains(pt.name))
-            .flatMap(_.epochs), epochAdd, nextVersion, retireAfter,
-          retireMs, nowMs)
+            .flatMap(_.epochs), epochAdd, nextVersion, nowMs, deadQids)
         // pointer lines, ordered by each chunk's first rel so the file
         // is deterministic for a given layout; each carries the chunk's
         // [minRel, maxRel] (entries are rel-sorted within a chunk) so
@@ -1308,39 +1317,67 @@ object FlsManifest {
   private[fls] def epochStampMsOf(m: String): Long =
     stampParts(m).map(_._3).getOrElse(-1L)
 
+  /** The retirement grouping key: the marker's query id, or its whole
+    * base for unparseable (foreign) markers. */
+  private def retireKeyOf(m: String): String =
+    epochQid(m).map(_._1).getOrElse(epochBase(m))
+
+  private def markerDead(m: String, next: Long, retireAfter: Long,
+      retireMs: Long, nowMs: Long): Boolean =
+    epochStampOf(m) >= 0 && next - epochStampOf(m) > retireAfter &&
+      epochStampMsOf(m) >= 0 && nowMs - epochStampMsOf(m) > retireMs
+
+  /** The query ids whose EVERY marker in `all` is dead on both age
+    * clocks — retirement is QID-ATOMIC (r18 review): wall-clock stamps
+    * are not monotone per query (an NTP step-back can leave an older
+    * epoch's marker wall-fresher than a newer one's), and retiring the
+    * newest marker while an older survives would leave headHasQid
+    * TRUE with the retry's own marker gone — the delta path would then
+    * miss the crashed attempt's chunks and duplicate rows. Either all
+    * of a query's markers retire in one commit's view, or none do, so
+    * "any marker of qid survives ⇒ its newest survives" holds under
+    * any clock behavior. Stampless markers are never dead (their
+    * clocks start at this commit). */
+  private[fls] def deadEpochQids(all: Seq[String], next: Long,
+      retireAfter: Long, retireMs: Long, nowMs: Long): Set[String] =
+    if (next <= 0) Set.empty
+    else all.groupBy(retireKeyOf).collect {
+      case (q, xs) if xs.forall(markerDead(_, next, retireAfter,
+        retireMs, nowMs)) => q
+    }.toSet
+
   /** Age-based marker retirement for pointer lines this commit writes
     * (kept AND new): markers missing a stamp component gain it at
-    * (`next`, `nowMs`) — their age clocks start now — and a marker
-    * older than `retireAfter` versions AND `retireMs` wall time drops.
-    * Pure speed trade — see [[EpochRetireKey]]. */
+    * (`next`, `nowMs`) — their age clocks start now — and markers of
+    * the commit-wide `deadQids` set drop. Pure speed trade — see
+    * [[EpochRetireKey]] and [[deadEpochQids]]. */
   private[fls] def retireEpochMarkers(ms: Seq[String], next: Long,
-      retireAfter: Long, retireMs: Long, nowMs: Long): Seq[String] =
+      nowMs: Long, deadQids: Set[String]): Seq[String] =
     if (next <= 0) ms // no version context: carry verbatim
     else ms.flatMap { m =>
-      val stamped =
+      if (deadQids.contains(retireKeyOf(m))) None
+      else Some(
         if (epochStampOf(m) < 0) s"${epochBase(m)}@$next:$nowMs"
         else if (epochStampMsOf(m) < 0)
           s"${epochBase(m)}@${epochStampOf(m)}:$nowMs"
-        else m
-      val dead = next - epochStampOf(stamped) > retireAfter &&
-        nowMs - epochStampMsOf(stamped) > retireMs
-      if (dead) None else Some(stamped)
+        else m)
     }
 
   /** Union + dedup epoch markers, dropping SUPERSEDED ones: epochs of
     * one query commit in order, so the presence of `q-e7` anywhere in
     * the merged set proves `q-e5` completed (Spark logs epoch N before
     * starting N+1) and can never be retried. Unparseable markers are
-    * kept verbatim (never written by this codebase, but never silently
-    * dropped either). (r18) markers carry an `@<version>` age stamp:
-    * the committing epoch stamps `@next`, carried markers keep theirs
-    * (newest stamp wins when one base appears under several), and
-    * markers older than `retireAfter` versions retire
-    * ([[retireEpochMarkers]]). */
+    * kept verbatim, though they do age toward qid-atomic retirement
+    * like everything else. (r18) markers carry an
+    * `@<version>:<millis>` age stamp: the committing epoch stamps
+    * `@next:now`, carried markers keep theirs (newest version stamp
+    * wins when one base appears under several), and markers whose
+    * whole QUERY is dead on BOTH age clocks retire
+    * ([[deadEpochQids]] / [[retireEpochMarkers]]). */
   private[fls] def pruneEpochMarkers(ms: Seq[String],
-      adding: Option[String], next: Long, retireAfter: Long,
-      retireMs: Long, nowMs: Long): Seq[String] = {
-    val all = (retireEpochMarkers(ms, next, retireAfter, retireMs, nowMs) ++
+      adding: Option[String], next: Long, nowMs: Long,
+      deadQids: Set[String]): Seq[String] = {
+    val all = (retireEpochMarkers(ms, next, nowMs, deadQids) ++
         adding.map(a => s"$a@$next:$nowMs"))
       .groupBy(epochBase).map(_._2.maxBy(epochStampOf)).toSeq
       .sortBy(epochBase) // deterministic serialization order

@@ -180,27 +180,42 @@ class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (r18) markers carry an @<version>:<millis> age stamp: carried
     // ones start their clocks at the committing version, the
     // committing epoch stamps @next:now, the newest stamp wins per base
+    def dead(ms: Seq[String], next: Long, ra: Long, rm: Long, now: Long) =
+      FlsManifest.deadEpochQids(ms, next, ra, rm, now)
     val pruned = FlsManifest.pruneEpochMarkers(
-      Seq("q-e1", "q-e3", "other-e5"), Some("q-e7"), 10L, 64L, 0L, 5000L)
+      Seq("q-e1", "q-e3", "other-e5"), Some("q-e7"), 10L, 5000L,
+      dead(Seq("q-e1", "q-e3", "other-e5"), 10L, 64L, 0L, 5000L))
     assert(pruned.toSet == Set("q-e7@10:5000", "other-e5@10:5000"), pruned)
     // retry of the SAME epoch keeps exactly one marker, freshest stamp
     val retry = FlsManifest.pruneEpochMarkers(Seq("q-e7@5:100"),
-      Some("q-e7"), 10L, 64L, 0L, 5000L)
+      Some("q-e7"), 10L, 5000L, Set.empty)
     assert(retry == Seq("q-e7@10:5000"))
     // unparseable markers are never dropped (but do age)
     val odd = FlsManifest.pruneEpochMarkers(Seq("weird"), Some("q-e1"),
-      10L, 64L, 0L, 5000L)
+      10L, 5000L, Set.empty)
     assert(odd.toSet == Set("weird@10:5000", "q-e1@10:5000"))
     // retirement needs BOTH clocks expired: version-aged but wall-fresh
     // survives (the live slow-cadence stream on a busy table), and so
     // does wall-aged but version-fresh; only both-aged drops
-    val aged = FlsManifest.pruneEpochMarkers(
-      Seq("dead-e4@10:100", "slow-e9@10:99000", "calm-e2@95:100"),
-      None, 100L, 64L, 60000L, 100000L)
+    val agedIn = Seq("dead-e4@10:100", "slow-e9@10:99000", "calm-e2@95:100")
+    val aged = FlsManifest.pruneEpochMarkers(agedIn, None, 100L, 100000L,
+      dead(agedIn, 100L, 64L, 60000L, 100000L))
     assert(aged.toSet == Set("slow-e9@10:99000", "calm-e2@95:100"), aged)
+    // retirement is QID-ATOMIC (r18 review): a query with one dead and
+    // one wall-fresh marker (NTP step-back shape) keeps BOTH eligible
+    // markers — the newest epoch can never die before an older one
+    val ntp = Seq("q-e9@10:100", "q-e3@10:99000") // newer epoch, older ms!
+    val deadNtp = dead(ntp, 100L, 64L, 60000L, 100000L)
+    assert(deadNtp.isEmpty, s"qid with a fresh marker must not be dead: $deadNtp")
+    val kept = FlsManifest.pruneEpochMarkers(ntp, None, 100L, 100000L, deadNtp)
+    assert(kept.flatMap(FlsManifest.epochQid).map(_._2).max == 9L,
+      s"the newest epoch must survive supersession: $kept")
+    // ...and a qid whose EVERY marker is dead drops whole
+    val allDead = Seq("q-e9@10:100", "q-e3@10:200")
+    assert(dead(allDead, 100L, 64L, 60000L, 100000L) == Set("q"))
     // version-only stamps (earlier r18 builds) gain the wall component
     val up = FlsManifest.pruneEpochMarkers(Seq("q-e7@5"), None,
-      10L, 64L, 60000L, 7777L)
+      10L, 7777L, Set.empty)
     assert(up == Seq("q-e7@5:7777"))
     // epochQid parses the LAST -e<digits> suffix (queryIds are UUIDs
     // and may themselves contain -e<hex>)
@@ -248,8 +263,8 @@ class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("seeded marker-algebra invariants: 200 random marker sets " +
-      "through pruneEpochMarkers keep every fresh marker, drop only " +
-      "superseded or both-clocks-dead ones, and are idempotent") {
+      "through pruneEpochMarkers keep every live-query marker, drop " +
+      "only superseded or whole-qid-dead ones, and are idempotent") {
     val rnd = new scala.util.Random(42L)
     val next = 1000L
     val nowMs = 1000000L
@@ -269,8 +284,12 @@ class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       val adding = if (rnd.nextBoolean()) Some(s"qa-e${rnd.nextInt(30)}")
         else None
-      val out = FlsManifest.pruneEpochMarkers(ms, adding, next,
-        retireAfter, retireMs, nowMs)
+      val deadQids = FlsManifest.deadEpochQids(ms, next, retireAfter,
+        retireMs, nowMs)
+      val out = FlsManifest.pruneEpochMarkers(ms, adding, next, nowMs,
+        deadQids)
+      def qidOf(m: String) = FlsManifest.epochQid(m).map(_._1)
+        .getOrElse(FlsManifest.epochBase(m))
       val inBases = (ms ++ adding).map(FlsManifest.epochBase).toSet
       // 1. no invented markers
       assert(out.map(FlsManifest.epochBase).forall(inBases.contains))
@@ -290,24 +309,43 @@ class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       val perQid = out.flatMap(FlsManifest.epochQid).groupBy(_._1)
       assert(perQid.values.forall(_.length == 1),
         s"trial $trial: superseded markers survived: $out")
-      // 5. any input marker that is wall-fresh (ms age <= retireMs) and
-      //    the max epoch of its qid must survive
+      // 5. QID-ATOMIC retirement: a qid with ANY fresh marker (either
+      //    clock) is not dead, and its max epoch must survive
       val maxEpoch = (ms ++ adding).flatMap(FlsManifest.epochQid)
         .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).max }
       ms.foreach { m =>
-        val fresh = FlsManifest.epochStampMsOf(m) >= 0 &&
+        val vFresh = FlsManifest.epochStampOf(m) < 0 ||
+          next - FlsManifest.epochStampOf(m) <= retireAfter
+        val wFresh = FlsManifest.epochStampMsOf(m) < 0 ||
           nowMs - FlsManifest.epochStampMsOf(m) <= retireMs
-        val isMax = FlsManifest.epochQid(m)
-          .exists { case (q, e) => maxEpoch(q) == e }
-        if (fresh && isMax)
-          assert(out.map(FlsManifest.epochBase)
-            .contains(FlsManifest.epochBase(m)),
-            s"trial $trial: fresh max marker $m dropped ($out)")
+        if (vFresh || wFresh) {
+          assert(!deadQids.contains(qidOf(m)),
+            s"trial $trial: qid of fresh marker $m marked dead")
+          val q = qidOf(m)
+          val survivors = out.filter(o => qidOf(o) == q)
+          assert(survivors.nonEmpty,
+            s"trial $trial: live qid $q lost all markers ($out)")
+          FlsManifest.epochQid(m).foreach { case (qq, _) =>
+            assert(survivors.flatMap(FlsManifest.epochQid)
+              .exists(_._2 == maxEpoch(qq)),
+              s"trial $trial: live qid $qq lost its max epoch ($out)")
+          }
+        }
       }
-      // 6. idempotent at the same clock readings
-      val again = FlsManifest.pruneEpochMarkers(out, None, next,
-        retireAfter, retireMs, nowMs)
-      assert(again.toSet == out.toSet, s"trial $trial: not idempotent")
+      // 6. a second application never grows the set and only removes
+      //    WHOLE qids: supersession in round 1 can expose a dead
+      //    max-epoch marker whose qid an older fresh sibling kept
+      //    alive — it retires atomically on the NEXT commit, which is
+      //    convergence, not a violation (the newest marker was present
+      //    the whole time the qid looked live)
+      val dead2 = FlsManifest.deadEpochQids(out, next, retireAfter,
+        retireMs, nowMs)
+      val again = FlsManifest.pruneEpochMarkers(out, None, next, nowMs,
+        dead2)
+      assert(again.toSet.subsetOf(out.toSet), s"trial $trial: grew")
+      val removed = out.toSet -- again.toSet
+      assert(removed.map(qidOf).forall(q => !again.exists(a => qidOf(a) == q)),
+        s"trial $trial: partial-qid removal on reapplication")
     }
   }
 
