@@ -263,8 +263,7 @@ case class AdcFromCodes(vec: Expression, codes: Expression,
     cb: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
     anchored: Boolean)
   extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
-  with ExpectsInputTypes
-  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  with ExpectsInputTypes {
 
   override def first: Expression = vec
   override def second: Expression = codes
@@ -297,6 +296,44 @@ case class AdcFromCodes(vec: Expression, codes: Expression,
       m += 1
     }
     s
+  }
+
+  /** Codegen keeps the scoring projection inside whole-stage codegen
+    * (the verdicted hot path): the BROADCAST handle rides the
+    * generated class's references (executors resolve `.value()` once
+    * into a mutable-state field at init — the codebook itself is
+    * never serialized into the plan), and the scan loop mirrors
+    * [[nullSafeEval]]'s accumulation order exactly — same IEEE
+    * bit-exactness argument. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("adcCb", cb,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val cbv = ctx.addMutableState("double[][][]", "adcCbv",
+      v => s"$v = (double[][][]) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val acc = ctx.freshName("acc")
+      val off = ctx.freshName("off")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val e = ctx.freshName("e")
+      val inner =
+        if (anchored)
+          s"$acc += $a.getDouble($off + $i) * ($c.getDouble($off + $i) + $e[$i]);"
+        else
+          s"$acc += $a.getDouble($off + $i) * $e[$i];"
+      s"""
+         |double $acc = 0.0;
+         |int $off = 0;
+         |for (int $m = 0; $m < $b.length; $m++) {
+         |  double[] $e = $cbv[$m][$b[$m] & 0xFF];
+         |  for (int $i = 0; $i < $e.length; $i++) {
+         |    $inner
+         |  }
+         |  $off += $e.length;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(

@@ -89,10 +89,15 @@ class ArrayExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("codes", GraftFunctions.packCodes(col("cs")))
       .withColumn("anchor", expr(
         "transform(sequence(0, 63), i -> cos(id * 3 + i) / 16)"))
-    val rows = df.select(col("uq"), col("cs"), col("anchor"),
-      GraftFunctions.adcScore(col("uq"), col("codes"), bc).as("adc"),
-      GraftFunctions.adcScoreAnchored(col("uq"), col("codes"),
-        col("anchor"), bc).as("adcA")).collect()
+    // CODEGEN_ONLY: a Janino failure in the generated kernel must FAIL
+    // here, never silently fall back to the interpreted path
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val rows =
+      try df.select(col("uq"), col("cs"), col("anchor"),
+        GraftFunctions.adcScore(col("uq"), col("codes"), bc).as("adc"),
+        GraftFunctions.adcScoreAnchored(col("uq"), col("codes"),
+          col("anchor"), bc).as("adcA")).collect()
+      finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     assert(rows.length == 400)
     rows.foreach { r =>
       val uq = r.getSeq[Double](0).toArray
