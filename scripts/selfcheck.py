@@ -17,7 +17,12 @@ def type_names(con, rel_sql):
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
-        return f"{v:.10g}"
+        # Bit-exact: repr() round-trips IEEE doubles exactly (shortest
+        # repr), so a 1-ulp Spark-vs-DuckDB divergence FAILS here just
+        # like the driver's type-sensitive hash does. Round 18 shipped
+        # q128 red because the old "%.10g" normalization was blind to
+        # exactly that class (VERDICT r18 "What's missing" #1).
+        return repr(v)
     return str(v)
 
 def canon(rows, cols):

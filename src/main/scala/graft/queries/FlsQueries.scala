@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.util.Tables._
 
@@ -2128,9 +2129,15 @@ object FlsQueries {
       }
       done += warehouse + "@eqwide"
     }
+    // total stays an EXACT decimal: at this query's deliberate 3e16
+    // offset the group sums sit near 6e19 (unscaled ~6e23), where
+    // DuckDB's hugeint->double conversion and the JVM's
+    // BigDecimal->double disagree by 1 ulp (judge-confirmed r18).
+    // Comparing DECIMAL(38,4) integers sidesteps the double regime
+    // entirely; the KindBig delete machinery is exercised unchanged.
     spark.table(tbl).groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        dbl(sum(col("price"))).as("total"),
+        sum(col("price")).cast(DecimalType(38, 4)).as("total"),
         sum(col("o_orderkey")).as("sumk"))
       .orderBy("o_orderstatus")
   }
@@ -2149,7 +2156,7 @@ object FlsQueries {
                AND o_orderkey % 7 = 0)
       )
       SELECT o_orderstatus, count(*) AS n,
-        CAST(sum(price) AS DOUBLE) AS total,
+        CAST(sum(price) AS DECIMAL(38,4)) AS total,
         CAST(sum(o_orderkey) AS BIGINT) AS sumk
       FROM live
       WHERE NOT (price > CAST('30000000000250000.00005' AS DECIMAL(26,5)))
