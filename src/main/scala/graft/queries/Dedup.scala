@@ -646,7 +646,7 @@ object Dedup {
     val sigDir = s"$base/sigs"
     synchronized {
       val marker = new java.io.File(s"$base/_done_incsig")
-      if (!incSigDone.contains(base) && !marker.exists()) {
+      if (!incSigDone.contains(base) && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(base).mkdirs()
         val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
         docs.filter(col("doc_id") % 5 < 4)
@@ -657,7 +657,7 @@ object Dedup {
           .write.format("fls").mode("append")
           .option("commit_mode", "manifest").save(docsDir)
         IncrementalDedup.refresh(spark, docsDir, sigDir)
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       incSigDone += base
     }

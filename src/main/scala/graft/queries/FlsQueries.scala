@@ -16,8 +16,14 @@ import graft.util.Tables._
 object FlsQueries {
 
   /** One fls copy per (sf-dir, table), cached across queries in the
-    * same JVM run (Verify/Bench call queries sequentially). */
+    * same JVM run (Verify/Bench call queries sequentially). On-disk
+    * reuse across runs is gated by CacheStamp markers, so bytes written
+    * by a previous code version are never served (CacheStampSpec). */
   private val done = scala.collection.mutable.HashSet[String]()
+
+  /** Test hook (CacheStampSpec): drop the in-JVM memo so the next call
+    * re-checks the on-disk marker instead of short-circuiting. */
+  private[graft] def forgetMemo(): Unit = synchronized { done.clear() }
 
   /** The one definition of the fls cache path scheme — q42 streams the
     * same directory flsTable materializes. */
@@ -30,9 +36,9 @@ object FlsQueries {
     val out = flsTablePath(dir, table)
     synchronized {
       val marker = new java.io.File(s"$out/_done")
-      if (!done.contains(out) && !marker.exists()) {
+      if (!done.contains(out) && !graft.util.CacheStamp.valid(marker)) {
         t(spark, dir, table).write.format("fls").mode("overwrite").save(out)
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out
     }
@@ -56,7 +62,7 @@ object FlsQueries {
     val c = t(spark, dir, "customer")
     o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
-      .agg(dbl(sum(d6w(col("o_totalprice")))).as("total"), count(lit(1)).as("n"))
+      .agg(dec38(sum(d6w(col("o_totalprice")))).as("total"), count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
   }
 
@@ -76,7 +82,7 @@ object FlsQueries {
     val out = s"/tmp/graft_fls_cache_v4/${key}_part_sorted"
     synchronized {
       val marker = new java.io.File(s"$out/_done")
-      if (!done.contains(out) && !marker.exists()) {
+      if (!done.contains(out) && !graft.util.CacheStamp.valid(marker)) {
         // coalesce(1) is a TEST FIXTURE device: it pins one global row
         // order so file_row_number has a deterministic oracle. Never
         // copy this into a real pipeline — a single task writing the
@@ -84,7 +90,7 @@ object FlsQueries {
         // the sort_by/cluster_by write options for ordered layout.
         t(spark, dir, "part").orderBy("p_partkey").coalesce(1)
           .write.format("fls").mode("overwrite").save(out)
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out
     }
@@ -107,13 +113,13 @@ object FlsQueries {
     val out = s"/tmp/graft_csv_cache/${key}_region"
     synchronized {
       val marker = new java.io.File(s"$out/_done")
-      if (!done.contains(out) && !marker.exists()) {
+      if (!done.contains(out) && !graft.util.CacheStamp.valid(marker)) {
         // coalesce(1): fixture-only (5-row region table, single CSV for
         // a deterministic interop oracle) — see the USAGE "shapes that
         // don't scale" note before copying.
         t(spark, dir, "region").coalesce(1)
           .write.mode("overwrite").option("header", "true").csv(out)
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out
     }
@@ -191,7 +197,7 @@ object FlsQueries {
     ordersByMonth(spark, dir)
       .filter(col("dt") >= to_date(lit("1997-01-01")))
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("o_totalprice")))).as("total"))
       .orderBy("o_orderpriority")
 
   /** Orders bucketed by month under `dt=<month>/` — the shared
@@ -203,13 +209,13 @@ object FlsQueries {
     val out = flsTablePath(dir, "orders_by_month")
     synchronized {
       val marker = new java.io.File(s"$out/_done")
-      if (!done.contains(out) && !marker.exists()) {
+      if (!done.contains(out) && !graft.util.CacheStamp.valid(marker)) {
         t(spark, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
             to_date(date_trunc("month", col("o_orderdate"))).as("dt"))
           .write.format("fls").mode("overwrite")
           .option("partition_by", "dt").save(out)
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out
     }
@@ -252,7 +258,7 @@ object FlsQueries {
       .filter(col("o_orderpriority").startsWith("1") &&
         col("o_orderstatus") === "F")
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("o_totalprice")))).as("total"))
       .orderBy("o_orderpriority")
 
   val q41Sql: String = {
@@ -275,7 +281,7 @@ object FlsQueries {
     val schema = spark.read.format("fls").load(out).schema
     val agg = spark.readStream.format("fls").schema(schema).load(out)
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("o_totalprice")))).as("total"))
     val name = s"q42mem${System.nanoTime()}"
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete")
@@ -308,7 +314,7 @@ object FlsQueries {
     val out = flsTablePath(dir, "customer_compacted")
     synchronized {
       val marker = new java.io.File(s"$out/_done")
-      if (!done.contains(out) && !marker.exists()) {
+      if (!done.contains(out) && !graft.util.CacheStamp.valid(marker)) {
         val c = t(spark, dir, "customer")
         c.withColumn("b", pmod(col("c_custkey"), lit(8)))
           .repartition(col("b")) // 8 separate small appends
@@ -316,13 +322,13 @@ object FlsQueries {
           .write.format("fls").mode("overwrite").save(out)
         graft.fls.FlsMaintenance.compact(spark, out,
           targetRowsPerFile = 1 << 20)
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out
     }
     spark.read.format("fls").load(out)
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("c_acctbal")))).as("total"))
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("c_acctbal")))).as("total"))
       .orderBy("c_mktsegment")
   }
 
@@ -344,7 +350,7 @@ object FlsQueries {
     val out = flsTablePath(dir, "orders_stream_sink")
     synchronized {
       val marker = new java.io.File(s"$out/_done")
-      if (!done.contains(out) && !marker.exists()) {
+      if (!done.contains(out) && !graft.util.CacheStamp.valid(marker)) {
         val schema = spark.read.format("fls").load(src).schema
         val q = spark.readStream.format("fls").schema(schema).load(src)
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -353,13 +359,13 @@ object FlsQueries {
           .option("checkpointLocation", s"$out/_checkpoint")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         q.awaitTermination()
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out
     }
     spark.read.format("fls").load(out)
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("o_totalprice")))).as("total"))
       .orderBy("o_orderstatus")
   }
 
@@ -407,12 +413,12 @@ object FlsQueries {
     val out = flsTablePath(dir, "documents_struct")
     synchronized {
       val marker = new java.io.File(s"$out/_done")
-      if (!done.contains(out) && !marker.exists()) {
+      if (!done.contains(out) && !graft.util.CacheStamp.valid(marker)) {
         t(spark, dir, "documents")
           .select(col("doc_id"),
             struct(col("lang"), col("n_chars").as("len"), col("source")).as("meta"))
           .write.format("fls").mode("overwrite").save(out)
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out
     }
@@ -439,7 +445,7 @@ object FlsQueries {
     val out = flsTablePath(dir, "events_map")
     synchronized {
       val marker = new java.io.File(s"$out/_done")
-      if (!done.contains(out) && !marker.exists()) {
+      if (!done.contains(out) && !graft.util.CacheStamp.valid(marker)) {
         events(spark, dir)
           .select(col("event_id"), col("event_type"),
             from_json(col("props"),
@@ -447,7 +453,7 @@ object FlsQueries {
                 org.apache.spark.sql.types.StringType,
                 org.apache.spark.sql.types.LongType)).as("props"))
           .write.format("fls").mode("overwrite").save(out)
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out
     }
@@ -480,7 +486,7 @@ object FlsQueries {
     val out = flsTablePath(dir, "orders_stream_sink_part")
     synchronized {
       val marker = new java.io.File(s"$out/_done_stream")
-      if (!done.contains(out) && !marker.exists()) {
+      if (!done.contains(out) && !graft.util.CacheStamp.valid(marker)) {
         val schema = spark.read.format("fls").load(src).schema
         val q = spark.readStream.format("fls").schema(schema).load(src)
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
@@ -491,14 +497,14 @@ object FlsQueries {
           .option("checkpointLocation", s"$out/_checkpoint")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
         q.awaitTermination()
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out
     }
     spark.read.format("fls").load(out)
       .filter(col("o_orderstatus") =!= "X") // partition filter in the plan
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("o_totalprice")))).as("total"))
       .orderBy("o_orderstatus")
   }
 
@@ -525,19 +531,19 @@ object FlsQueries {
          USING fls LOCATION '$out'""")
     synchronized {
       val marker = new java.io.File(s"$out/_done")
-      if (!done.contains(out) && !marker.exists()) {
+      if (!done.contains(out) && !graft.util.CacheStamp.valid(marker)) {
         t(spark, dir, "supplier").createOrReplaceTempView("graft_supplier_src")
         spark.sql(
           """INSERT OVERWRITE graft_fls_supplier
              SELECT s_suppkey, s_nationkey, CAST(s_acctbal AS DOUBLE)
              FROM graft_supplier_src""")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out
     }
     spark.sql(
       """SELECT s_nationkey, count(*) AS n,
-           CAST(sum(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total
+           CAST(sum(CAST(s_acctbal AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
          FROM graft_fls_supplier
          GROUP BY s_nationkey ORDER BY s_nationkey""")
   }
@@ -561,7 +567,7 @@ object FlsQueries {
     val statsOut = flsTablePath(dir, "langstats_bylang")
     synchronized {
       val marker = new java.io.File(s"$statsOut/_done")
-      if (!done.contains(statsOut) && !marker.exists()) {
+      if (!done.contains(statsOut) && !graft.util.CacheStamp.valid(marker)) {
         val d = t(spark, dir, "documents")
         d.write.format("fls").option("partition_by", "lang")
           .mode("overwrite").save(docsOut)
@@ -569,8 +575,8 @@ object FlsQueries {
           .agg(count(lit(1)).as("lang_docs"), sum("n_chars").as("lang_chars"))
           .write.format("fls").option("partition_by", "lang")
           .mode("overwrite").save(statsOut)
-        new java.io.File(s"$docsOut/_done").createNewFile()
-        marker.createNewFile()
+        graft.util.CacheStamp.write(new java.io.File(s"$docsOut/_done"))
+        graft.util.CacheStamp.write(marker)
       }
       done += statsOut
     }
@@ -614,14 +620,14 @@ object FlsQueries {
     val out = flsTablePath(dir, "lineitem_clustered")
     synchronized {
       val marker = new java.io.File(s"$out/_done")
-      if (!done.contains(out) && !marker.exists()) {
+      if (!done.contains(out) && !graft.util.CacheStamp.valid(marker)) {
         t(spark, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
             col("l_quantity"), col("l_extendedprice"))
           .write.format("fls").mode("overwrite")
           .option("cluster_by", "l_partkey")
           .save(out)
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out
     }
@@ -629,14 +635,14 @@ object FlsQueries {
       .filter(col("l_partkey") >= 100 && col("l_partkey") < 400)
       .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n"), dbl(sum(col("l_quantity"))).as("qty"),
-        dbl(sum(d6w(col("l_extendedprice")))).as("price"))
+        dec38(sum(d6w(col("l_extendedprice")))).as("price"))
       .orderBy("l_partkey")
   }
 
   val q97Sql: String =
     """SELECT l_partkey, count(*) AS n,
         CAST(sum(l_quantity) AS DOUBLE) AS qty,
-        CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS price
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS price
       FROM lineitem
       WHERE l_partkey >= 100 AND l_partkey < 400
       GROUP BY l_partkey ORDER BY l_partkey"""
@@ -651,13 +657,13 @@ object FlsQueries {
     val out = flsTablePath(dir, "lineitem_zorder")
     synchronized {
       val marker = new java.io.File(s"$out/_done")
-      if (!done.contains(out) && !marker.exists()) {
+      if (!done.contains(out) && !graft.util.CacheStamp.valid(marker)) {
         val src = t(spark, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
             col("l_quantity"), col("l_extendedprice"))
         graft.functions.ZOrder.cluster(src, Seq("l_partkey", "l_suppkey"))
           .write.format("fls").mode("overwrite").save(out)
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out
     }
@@ -687,7 +693,7 @@ object FlsQueries {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     synchronized {
       val marker = new java.io.File(s"$out/_done_del")
-      if (!done.contains(out + "@del") && !marker.exists()) {
+      if (!done.contains(out + "@del") && !graft.util.CacheStamp.valid(marker)) {
         t(spark, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
             to_date(date_trunc("month", col("o_orderdate"))).as("dt"))
@@ -699,13 +705,13 @@ object FlsQueries {
           s"o_orderpriority STRING, dt DATE) USING fls LOCATION '$out'")
         try spark.sql(s"DELETE FROM $tbl WHERE dt < DATE'1996-01-01'")
         finally spark.sql(s"DROP TABLE $tbl")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out + "@del"
     }
     spark.read.format("fls").load(out)
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"),
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("o_totalprice")))).as("total"),
         min(col("dt")).as("first_month"))
       .orderBy("o_orderpriority")
   }
@@ -732,7 +738,7 @@ object FlsQueries {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     synchronized {
       val marker = new java.io.File(s"$out/_done_ow")
-      if (!done.contains(out + "@ow") && !marker.exists()) {
+      if (!done.contains(out + "@ow") && !graft.util.CacheStamp.valid(marker)) {
         t(spark, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
             to_date(date_trunc("month", col("o_orderdate"))).as("dt"))
@@ -748,13 +754,13 @@ object FlsQueries {
               SELECT o_orderkey, o_totalprice + 10, o_orderpriority
               FROM $tbl WHERE dt = DATE'1995-03-01'""")
         finally spark.sql(s"DROP TABLE $tbl")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out + "@ow"
     }
     spark.read.format("fls").load(out)
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("o_totalprice")))).as("total"))
       .orderBy("o_orderpriority")
   }
 
@@ -762,7 +768,7 @@ object FlsQueries {
     """SELECT o_orderpriority, count(*) AS n,
         CAST(sum(CAST(o_totalprice +
           CASE WHEN CAST(date_trunc('month', o_orderdate) AS DATE) = DATE '1995-03-01'
-               THEN 10 ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE) AS total
+               THEN 10 ELSE 0 END AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
       FROM orders
       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
@@ -777,7 +783,7 @@ object FlsQueries {
     val out = flsTablePath(dir, "lineitem_zcompact")
     synchronized {
       val marker = new java.io.File(s"$out/_done_z")
-      if (!done.contains(out + "@z") && !marker.exists()) {
+      if (!done.contains(out + "@z") && !graft.util.CacheStamp.valid(marker)) {
         t(spark, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
             col("l_quantity"))
@@ -785,7 +791,7 @@ object FlsQueries {
           .write.format("fls").mode("overwrite").save(out)
         graft.fls.FlsMaintenance.compact(spark, out,
           targetRowsPerFile = 65536, zorderBy = Seq("l_partkey", "l_suppkey"))
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out + "@z"
     }
@@ -817,7 +823,7 @@ object FlsQueries {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     synchronized {
       val marker = new java.io.File(s"$out/_done_merge")
-      if (!done.contains(out + "@merge") && !marker.exists()) {
+      if (!done.contains(out + "@merge") && !graft.util.CacheStamp.valid(marker)) {
         t(spark, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"),
             to_date(date_trunc("month", col("o_orderdate"))).as("dt"))
@@ -844,13 +850,13 @@ object FlsQueries {
               WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice,
                 o_orderpriority, dt) VALUES (s.k, s.o_totalprice, 'BACKFILL', s.dt)""")
         finally spark.sql(s"DROP TABLE $tbl")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out + "@merge"
     }
     spark.read.format("fls").load(out)
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"),
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("o_totalprice")))).as("total"),
         count_distinct(col("dt")).as("months"))
       .orderBy("o_orderpriority")
   }
@@ -867,7 +873,7 @@ object FlsQueries {
                CAST(date_trunc('month', o_orderdate) AS DATE)
         FROM orders WHERE o_orderkey % 997 = 0)
       SELECT o_orderpriority, count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total,
         count(DISTINCT dt) AS months
       FROM base GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
@@ -890,7 +896,7 @@ object FlsQueries {
     val tbl = s"$cat.db.orders_tt"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_tt")
-      if (!done.contains(warehouse + "@tt") && !marker.exists()) {
+      if (!done.contains(warehouse + "@tt") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_tt_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -904,7 +910,7 @@ object FlsQueries {
           s"FROM orders_tt_src_$key WHERE o_orderkey % 3 = 1")
         Thread.sleep(30)
         spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 2 = 0")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@tt"
     }
@@ -924,7 +930,7 @@ object FlsQueries {
     Seq(1L, 2L, 3L).map { v =>
       spark.sql(
         s"""SELECT 'v$v' AS snap, count(*) AS n,
-              CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS total
+              CAST(sum(CAST(price AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
             FROM $tbl VERSION AS OF $v""")
     }.reduce(_ unionAll _).orderBy("snap")
   }
@@ -932,15 +938,15 @@ object FlsQueries {
   val q95Sql: String =
     """SELECT snap, n, total FROM (
         SELECT 'v1' AS snap, count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
         FROM orders WHERE o_orderkey % 3 = 0
         UNION ALL
         SELECT 'v2', count(*),
-               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6))
         FROM orders WHERE o_orderkey % 3 IN (0, 1)
         UNION ALL
         SELECT 'v3', count(*),
-               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6))
         FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 2 = 1
       ) ORDER BY snap"""
 
@@ -957,14 +963,14 @@ object FlsQueries {
     spark.sql(
       s"""SELECT h.n_versions, a.n, a.total
           FROM (SELECT count(*) AS n,
-                  CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS total
+                  CAST(sum(CAST(price AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
                 FROM $tbl TIMESTAMP AS OF timestamp_micros($v2Micros)) a
           CROSS JOIN (SELECT count(*) AS n_versions FROM $tbl.history) h""")
   }
 
   val q96Sql: String =
     """SELECT CAST(3 AS BIGINT) AS n_versions, count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
       FROM orders WHERE o_orderkey % 3 IN (0, 1)"""
 
   /** Incremental (commit-range) read, oracle-gated: plan ONLY the files
@@ -979,12 +985,12 @@ object FlsQueries {
       .option("changes_from_version", "1")
       .option("changes_to_version", "2")
       .table(tbl)
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"))
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("price")))).as("total"))
   }
 
   val q105Sql: String =
     """SELECT count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
       FROM orders WHERE o_orderkey % 3 = 1"""
 
   /** Merge-on-read DELETE, oracle-gated: a scattered point delete on a
@@ -1005,7 +1011,7 @@ object FlsQueries {
     val tbl = s"$cat.db.orders_mor"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_mor")
-      if (!done.contains(warehouse + "@mor") && !marker.exists()) {
+      if (!done.contains(warehouse + "@mor") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_mor_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -1017,18 +1023,18 @@ object FlsQueries {
           s"FROM orders_mor_src_$key")
         spark.sql(s"DELETE FROM $tbl " +
           "WHERE o_orderkey IN (1, 2, 3, 32, 33, 998, 999)")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@mor"
     }
     spark.table(tbl)
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"),
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("price")))).as("total"),
         max(col("o_orderkey")).as("maxk"))
   }
 
   val q106Sql: String =
     """SELECT count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total,
         max(o_orderkey) AS maxk
       FROM orders WHERE o_orderkey NOT IN (1, 2, 3, 32, 33, 998, 999)"""
 
@@ -1049,7 +1055,7 @@ object FlsQueries {
     val tbl = s"$cat.db.orders_morupd"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_morupd")
-      if (!done.contains(warehouse + "@morupd") && !marker.exists()) {
+      if (!done.contains(warehouse + "@morupd") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_morupd_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -1061,12 +1067,12 @@ object FlsQueries {
           s"FROM orders_morupd_src_$key")
         spark.sql(s"UPDATE $tbl SET price = price + 1000 " +
           "WHERE o_orderkey % 1000 = 1")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@morupd"
     }
     spark.table(tbl)
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"),
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("price")))).as("total"),
         sum(col("o_orderkey")).as("sumk"))
   }
 
@@ -1075,7 +1081,7 @@ object FlsQueries {
         CAST(sum(CAST(CASE WHEN o_orderkey % 1000 = 1
                            THEN o_totalprice + 1000
                            ELSE o_totalprice END AS DECIMAL(25,6)))
-             AS DOUBLE) AS total,
+             AS DECIMAL(38,6)) AS total,
         CAST(sum(o_orderkey) AS BIGINT) AS sumk
       FROM orders"""
 
@@ -1095,7 +1101,7 @@ object FlsQueries {
     val tbl = s"$cat.db.orders_mormrg"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_mormrg")
-      if (!done.contains(warehouse + "@mormrg") && !marker.exists()) {
+      if (!done.contains(warehouse + "@mormrg") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_mormrg_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -1116,13 +1122,13 @@ object FlsQueries {
               WHEN MATCHED THEN UPDATE SET t.prio = 'CORRECTED'
               WHEN NOT MATCHED THEN INSERT (o_orderkey, price, prio)
                 VALUES (s.k, s.o_totalprice, 'BACKFILL')""")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@mormrg"
     }
     spark.table(tbl)
       .groupBy(col("prio"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"),
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("price")))).as("total"),
         sum(col("o_orderkey")).as("sumk"))
       .orderBy("prio")
   }
@@ -1137,7 +1143,7 @@ object FlsQueries {
         SELECT 'BACKFILL', o_totalprice, -o_orderkey - 1
         FROM orders WHERE o_orderkey % 997 = 0)
       SELECT prio, count(*) AS n,
-        CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        CAST(sum(CAST(price AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total,
         CAST(sum(o_orderkey) AS BIGINT) AS sumk
       FROM base GROUP BY prio ORDER BY prio"""
 
@@ -1163,7 +1169,7 @@ object FlsQueries {
     val tbl = s"$cat.db.orders_evo"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_evo")
-      if (!done.contains(warehouse + "@evo") && !marker.exists()) {
+      if (!done.contains(warehouse + "@evo") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -1184,14 +1190,14 @@ object FlsQueries {
         spark.sql(s"""INSERT INTO $tbl
           SELECT o_orderkey, o_totalprice, o_orderkey % 97, o_orderpriority
           FROM orders_src_$key WHERE o_orderkey % 3 = 1""")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@evo"
     }
     spark.table(tbl)
       .groupBy(col("o_prio").isNotNull.as("has_prio"))
       .agg(count(lit(1)).as("n"),
-        dbl(sum(d6w(col("price")))).as("total"),
+        dec38(sum(d6w(col("price")))).as("total"),
         sum(col("prio_code")).as("sprio"),
         min(col("o_prio")).as("first_prio"))
       .orderBy("has_prio")
@@ -1199,7 +1205,7 @@ object FlsQueries {
 
   val q104Sql: String =
     """SELECT has_prio, count(*) AS n,
-        CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        CAST(sum(CAST(price AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total,
         CAST(sum(prio_code) AS BIGINT) AS sprio, min(o_prio) AS first_prio
       FROM (
         SELECT FALSE AS has_prio, o_totalprice AS price,
@@ -1228,7 +1234,7 @@ object FlsQueries {
     val tbl = s"$cat.db.orders_rb"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_rb")
-      if (!done.contains(warehouse + "@rb") && !marker.exists()) {
+      if (!done.contains(warehouse + "@rb") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_rb_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -1241,14 +1247,14 @@ object FlsQueries {
           s"FROM orders_rb_src_$key WHERE o_orderkey % 5 = 0") // v2: the bad commit
         spark.sql(s"CALL $cat.system.rollback(`table` => 'db.orders_rb', " +
           "version => 1)") // v3 = v1's entries, republished
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@rb"
     }
     Seq("head" -> spark.table(tbl),
         "v1" -> spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1"))
       .map { case (snap, df) =>
-        df.agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"))
+        df.agg(count(lit(1)).as("n"), dec38(sum(d6w(col("price")))).as("total"))
           .select(lit(snap).as("snap"), col("n"), col("total"))
       }.reduce(_ unionAll _).orderBy("snap")
   }
@@ -1256,11 +1262,11 @@ object FlsQueries {
   val q109Sql: String =
     """SELECT snap, n, total FROM (
         SELECT 'head' AS snap, count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
         FROM orders WHERE o_orderkey % 5 != 0
         UNION ALL
         SELECT 'v1', count(*),
-               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6))
         FROM orders WHERE o_orderkey % 5 != 0
       ) ORDER BY snap"""
 
@@ -1283,7 +1289,7 @@ object FlsQueries {
     val tbl = s"$cat.db.orders_def"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_def")
-      if (!done.contains(warehouse + "@def") && !marker.exists()) {
+      if (!done.contains(warehouse + "@def") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_def_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -1303,20 +1309,20 @@ object FlsQueries {
         spark.sql(s"""INSERT INTO $tbl (o_orderkey, price)
           SELECT o_orderkey, o_totalprice
           FROM orders_def_src_$key WHERE o_orderkey % 3 = 2""")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@def"
     }
     spark.table(tbl)
       .groupBy(col("prio"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"),
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("price")))).as("total"),
         sum(col("bonus")).as("sbonus"))
       .orderBy("prio")
   }
 
   val q110Sql: String =
     """SELECT prio, count(*) AS n,
-        CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        CAST(sum(CAST(price AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total,
         CAST(sum(bonus) AS BIGINT) AS sbonus
       FROM (
         SELECT 'unknown' AS prio, o_totalprice AS price, 7 AS bonus
@@ -1378,7 +1384,7 @@ object FlsQueries {
     val tbl = s"$cat.db.orders_snap"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_snap")
-      if (!done.contains(warehouse + "@snap") && !marker.exists()) {
+      if (!done.contains(warehouse + "@snap") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_snap_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -1394,7 +1400,7 @@ object FlsQueries {
         spark.sql(s"ALTER TABLE $tbl RENAME COLUMN price TO amount")
         spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice, 'g3' " +
           s"FROM orders_snap_src_$key WHERE o_orderkey % 3 = 2") // v3
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@snap"
     }
@@ -1405,7 +1411,7 @@ object FlsQueries {
         if (df.columns.contains("prio"))
           sum(when(col("prio") === "unk", 1L).otherwise(0L)).as("n_unk")
         else sum(lit(0L)).as("n_unk")
-      df.agg(count(lit(1)).as("n"), dbl(sum(d6w(col(money)))).as("total"), unk)
+      df.agg(count(lit(1)).as("n"), dec38(sum(d6w(col(money)))).as("total"), unk)
         .select(lit(snap).as("snap"), lit(cols).as("cols"),
           col("n"), col("total"), col("n_unk"))
     }
@@ -1419,7 +1425,7 @@ object FlsQueries {
   val q112Sql: String =
     """SELECT * FROM (
         SELECT 'head' AS snap, 'o_orderkey,amount,prio' AS cols, count(*) AS n,
-               CAST(sum(CAST(amount AS DECIMAL(25,6))) AS DOUBLE) AS total,
+               CAST(sum(CAST(amount AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total,
                CAST(sum(CASE WHEN prio = 'unk' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
         FROM (SELECT o_orderkey, o_totalprice AS amount, 'unk' AS prio
               FROM orders WHERE o_orderkey % 3 = 0
@@ -1429,12 +1435,12 @@ object FlsQueries {
               FROM orders WHERE o_orderkey % 3 = 2)
         UNION ALL
         SELECT 'v1', 'o_orderkey,price', count(*),
-               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)),
                CAST(0 AS BIGINT)
         FROM orders WHERE o_orderkey % 3 = 0
         UNION ALL
         SELECT 'v2', 'o_orderkey,price,prio', count(*),
-               CAST(sum(CAST(price AS DECIMAL(25,6))) AS DOUBLE),
+               CAST(sum(CAST(price AS DECIMAL(25,6))) AS DECIMAL(38,6)),
                CAST(sum(CASE WHEN prio = 'unk' THEN 1 ELSE 0 END) AS BIGINT)
         FROM (SELECT o_orderkey, o_totalprice AS price, 'unk' AS prio
               FROM orders WHERE o_orderkey % 3 = 0
@@ -1461,7 +1467,7 @@ object FlsQueries {
     val tbl = s"$cat.db.orders_cdfs"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_cdfs")
-      if (!done.contains(warehouse + "@cdfs") && !marker.exists()) {
+      if (!done.contains(warehouse + "@cdfs") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_cdfs_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -1472,7 +1478,7 @@ object FlsQueries {
         spark.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_totalprice " +
           s"FROM orders_cdfs_src_$key") // v1
         spark.sql(s"DELETE FROM $tbl WHERE o_orderkey % 101 = 0") // v2: DVs
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@cdfs"
     }
@@ -1489,7 +1495,7 @@ object FlsQueries {
       .groupBy(col(graft.fls.connector.FlsCdf.ChangeType),
         col(graft.fls.connector.FlsCdf.CommitVersion))
       .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("skey"),
-        dbl(sum(d6w(col("price")))).as("total"))
+        dec38(sum(d6w(col("price")))).as("total"))
       .orderBy("_change_type", "_commit_version")
   }
 
@@ -1497,12 +1503,12 @@ object FlsQueries {
     """SELECT * FROM (
         SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
                count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS skey,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
         FROM orders
         UNION ALL
         SELECT 'delete', CAST(2 AS BIGINT), count(*),
                CAST(sum(o_orderkey) AS BIGINT),
-               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6))
         FROM orders WHERE o_orderkey % 101 = 0
       ) ORDER BY _change_type, _commit_version"""
 
@@ -1527,7 +1533,7 @@ object FlsQueries {
     val tbl = s"$cat.db.orders_mcdc"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_mcdc")
-      if (!done.contains(warehouse + "@mcdc") && !marker.exists()) {
+      if (!done.contains(warehouse + "@mcdc") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_mcdc_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -1549,7 +1555,7 @@ object FlsQueries {
                 t.price = t.price + 1000.0
               WHEN NOT MATCHED THEN INSERT (o_orderkey, price, prio)
                 VALUES (s.k, s.o_totalprice, 'BACKFILL')""") // v2
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@mcdc"
     }
@@ -1596,7 +1602,7 @@ object FlsQueries {
     val tbl = s"$cat.db.orders_spev"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_spev")
-      if (!done.contains(warehouse + "@spev") && !marker.exists()) {
+      if (!done.contains(warehouse + "@spev") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_spev_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -1624,21 +1630,21 @@ object FlsQueries {
                  date_format(o_orderdate, 'yyyy-MM-dd')
           FROM orders_spev_src_$key
           WHERE o_orderkey % 2 = 1 AND $yr""") // gen 2
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@spev"
     }
     spark.table(tbl)
       .filter(col("oday") >= "1995-03-01" && col("oday") < "1995-07-01")
       .groupBy(col("omonth"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"),
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("price")))).as("total"),
         sum(col("o_orderkey")).as("sumk"))
       .orderBy("omonth")
   }
 
   val q115Sql: String =
     """SELECT strftime(o_orderdate, '%Y-%m') AS omonth, count(*) AS n,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total,
         CAST(sum(o_orderkey) AS BIGINT) AS sumk
       FROM orders
       WHERE o_orderdate >= DATE'1995-01-01' AND o_orderdate < DATE'1996-01-01'
@@ -1667,7 +1673,7 @@ object FlsQueries {
     val tdir = s"$warehouse/db/orders_wap"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_wap")
-      if (!done.contains(warehouse + "@wap") && !marker.exists()) {
+      if (!done.contains(warehouse + "@wap") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_wap_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -1688,12 +1694,12 @@ object FlsQueries {
           .save(tdir)
         spark.sql(s"CALL $cat.system.fast_forward(" +
           "`table` => 'db.orders_wap', name => 'audit')")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@wap"
     }
     def agg(snap: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n"), dbl(sum(d6w(col("price")))).as("total"),
+      df.agg(count(lit(1)).as("n"), dec38(sum(d6w(col("price")))).as("total"),
         sum(col("o_orderkey")).as("sumk"))
         .select(lit(snap).as("snap"), col("n"), col("total"), col("sumk"))
     Seq(
@@ -1707,17 +1713,17 @@ object FlsQueries {
   val q116Sql: String =
     """SELECT * FROM (
         SELECT 'branch' AS snap, count(*) AS n,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total,
                CAST(sum(o_orderkey) AS BIGINT) AS sumk
         FROM orders WHERE o_orderkey % 3 IN (0, 1)
         UNION ALL
         SELECT 'head', count(*),
-               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)),
                CAST(sum(o_orderkey) AS BIGINT)
         FROM orders WHERE o_orderkey % 3 IN (0, 1)
         UNION ALL
         SELECT 'tag_pre', count(*),
-               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE),
+               CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DECIMAL(38,6)),
                CAST(sum(o_orderkey) AS BIGINT)
         FROM orders WHERE o_orderkey % 3 = 0
       ) ORDER BY snap"""
@@ -1736,7 +1742,7 @@ object FlsQueries {
     val out = flsTablePath(dir, "orders_bloom")
     synchronized {
       val marker = new java.io.File(s"$out/_done_bloom")
-      if (!done.contains(out + "@bloom") && !marker.exists()) {
+      if (!done.contains(out + "@bloom") && !graft.util.CacheStamp.valid(marker)) {
         t(spark, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
           .repartition(8) // unclustered: every file spans the key domain
@@ -1744,7 +1750,7 @@ object FlsQueries {
           .option("commit_mode", "manifest")
           .option("bloom_columns", "o_orderkey")
           .save(out)
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += out + "@bloom"
     }
@@ -1787,7 +1793,7 @@ object FlsQueries {
     val tbl = s"$cat.db.cust_eqd"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_eqd")
-      if (!done.contains(warehouse + "@eqd") && !marker.exists()) {
+      if (!done.contains(warehouse + "@eqd") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "customer").createOrReplaceTempView(s"cust_eqd_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -1807,19 +1813,19 @@ object FlsQueries {
           "WHERE c_mktsegment = 'BUILDING' AND c_custkey % 7 = 0")
         // second predicate, long key, applies to BOTH generations
         spark.sql(s"DELETE FROM $tbl WHERE c_custkey IN (1, 5, 9999)")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@eqd"
     }
     spark.table(tbl).groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("c_acctbal")))).as("bal"),
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("c_acctbal")))).as("bal"),
         sum(col("c_custkey")).as("sumk"))
       .orderBy("c_mktsegment")
   }
 
   val q118Sql: String =
     """SELECT c_mktsegment, count(*) AS n,
-        CAST(sum(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS bal,
+        CAST(sum(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS bal,
         CAST(sum(c_custkey) AS BIGINT) AS sumk
       FROM customer
       WHERE (c_mktsegment <> 'BUILDING' OR c_custkey % 7 = 0)
@@ -1846,7 +1852,7 @@ object FlsQueries {
     val tbl = s"$cat.db.cust_eqm"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_eqm")
-      if (!done.contains(warehouse + "@eqm") && !marker.exists()) {
+      if (!done.contains(warehouse + "@eqm") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "customer").createOrReplaceTempView(s"cust_eqm_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -1875,12 +1881,12 @@ object FlsQueries {
           "c_custkey IN (3, 6, 9, 12, 15, 18, 21, 24, 27, 30, 33, 36, " +
           "39, 42, 45, 48, 51, 54, 57, 60, 63, 66, 69, 72, 75, 78, 81, " +
           "84, 87, 90, 93, 96, 99, 102, 105, 108, 111, 114, 117, 120)")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@eqm"
     }
     spark.table(tbl).groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("c_acctbal")))).as("bal"),
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("c_acctbal")))).as("bal"),
         sum(col("c_custkey")).as("sumk"), sum(col("c_nationkey")).as("sumn"))
       .orderBy("c_mktsegment")
   }
@@ -1894,7 +1900,7 @@ object FlsQueries {
                AND c_custkey % 3 = 0)
       )
       SELECT c_mktsegment, count(*) AS n,
-        CAST(sum(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS bal,
+        CAST(sum(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS bal,
         CAST(sum(c_custkey) AS BIGINT) AS sumk,
         CAST(sum(c_nationkey) AS BIGINT) AS sumn
       FROM live
@@ -1923,7 +1929,7 @@ object FlsQueries {
     val path = s"$warehouse/db/cust_eqs"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_eqs")
-      if (!done.contains(warehouse + "@eqs") && !marker.exists()) {
+      if (!done.contains(warehouse + "@eqs") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "customer").createOrReplaceTempView(s"cust_eqs_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -1941,14 +1947,14 @@ object FlsQueries {
         spark.sql(s"INSERT INTO $tbl SELECT c_custkey, c_mktsegment, " +
           s"CAST(c_acctbal AS DOUBLE) FROM cust_eqs_src_$key " +
           "WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 5 = 0")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@eqs"
     }
     val schema = spark.read.format("fls").load(path).schema
     val agg = spark.readStream.format("fls").schema(schema).load(path)
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("c_acctbal")))).as("bal"),
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("c_acctbal")))).as("bal"),
         sum(col("c_custkey")).as("sumk"))
     val name = s"q122mem${System.nanoTime()}"
     val q = agg.writeStream.format("memory").queryName(name)
@@ -1966,7 +1972,7 @@ object FlsQueries {
 
   val q122Sql: String =
     """SELECT c_mktsegment, count(*) AS n,
-        CAST(sum(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS bal,
+        CAST(sum(CAST(CAST(c_acctbal AS DOUBLE) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS bal,
         CAST(sum(c_custkey) AS BIGINT) AS sumk
       FROM customer
       WHERE c_mktsegment <> 'MACHINERY' OR c_custkey % 5 = 0
@@ -1993,7 +1999,7 @@ object FlsQueries {
     val tbl = s"$cat.db.orders_eqr"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_eqr")
-      if (!done.contains(warehouse + "@eqr") && !marker.exists()) {
+      if (!done.contains(warehouse + "@eqr") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_eqr_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -2017,12 +2023,12 @@ object FlsQueries {
         // a two-conjunct double range (intersected into ONE leg)
         spark.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'F' AND " +
           "o_totalprice >= 150000.0 AND o_totalprice < 300000.0")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@eqr"
     }
     spark.table(tbl).groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"),
+      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("o_totalprice")))).as("total"),
         sum(col("o_orderkey")).as("sumk"))
       .orderBy("o_orderstatus")
   }
@@ -2046,7 +2052,7 @@ object FlsQueries {
     val tbl = s"$cat.db.orders_eqdec"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_eqdec")
-      if (!done.contains(warehouse + "@eqdec") && !marker.exists()) {
+      if (!done.contains(warehouse + "@eqdec") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_eqdec_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -2068,13 +2074,13 @@ object FlsQueries {
           "AND o_orderkey % 7 = 0")
         // non-representable bound: normalizes to unscaled >= 25000001
         spark.sql(s"DELETE FROM $tbl WHERE price > 250000.004")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@eqdec"
     }
     spark.table(tbl).groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        dbl(sum(col("price"))).as("total"),
+        dec38(sum(col("price"))).as("total"),
         sum(col("o_orderkey")).as("sumk"))
       .orderBy("o_orderstatus")
   }
@@ -2100,7 +2106,7 @@ object FlsQueries {
     val off = "CAST('30000000000000000' AS DECIMAL(25,4))"
     synchronized {
       val marker = new java.io.File(s"$warehouse/_done_eqwide")
-      if (!done.contains(warehouse + "@eqwide") && !marker.exists()) {
+      if (!done.contains(warehouse + "@eqwide") && !graft.util.CacheStamp.valid(marker)) {
         new java.io.File(warehouse).mkdirs()
         t(spark, dir, "orders").createOrReplaceTempView(s"orders_eqwide_src_$key")
         spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
@@ -2125,7 +2131,7 @@ object FlsQueries {
         // closed-normalizes exactly in the BigInteger domain
         spark.sql(s"DELETE FROM $tbl WHERE price > " +
           "CAST('30000000000250000.00005' AS DECIMAL(26,5))")
-        marker.createNewFile()
+        graft.util.CacheStamp.write(marker)
       }
       done += warehouse + "@eqwide"
     }
@@ -2173,7 +2179,7 @@ object FlsQueries {
            OR (price < 50000.00 AND o_orderkey % 7 = 0)
       )
       SELECT o_orderstatus, count(*) AS n,
-        CAST(sum(price) AS DOUBLE) AS total,
+        CAST(sum(price) AS DECIMAL(38,6)) AS total,
         CAST(sum(o_orderkey) AS BIGINT) AS sumk
       FROM live
       WHERE NOT (price > 250000.004)
@@ -2187,7 +2193,7 @@ object FlsQueries {
                AND o_orderkey % 7 = 0)
       )
       SELECT o_orderstatus, count(*) AS n,
-        CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS total,
+        CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total,
         CAST(sum(o_orderkey) AS BIGINT) AS sumk
       FROM live
       WHERE NOT (o_orderstatus = 'F' AND o_totalprice >= 150000.0

@@ -37,7 +37,7 @@ object Joins {
     RangeJoin.pointInInterval(
       purchases, "p_ts", signups, "s_lo", "s_hi", bucketWidth = TenMinUs)
       .groupBy("signup_id")
-      .agg(count(lit(1)).as("n_purch"), dbl(sum(d6w(col("p_value")))).as("sum_value"))
+      .agg(count(lit(1)).as("n_purch"), dec38(sum(d6w(col("p_value")))).as("sum_value"))
       .orderBy("signup_id")
   }
 
@@ -71,7 +71,7 @@ object Joins {
     purchases.join(signups,
         col("p_ts") >= col("s_ts") && col("p_ts") <= col("s_ts") + TenMinUs)
       .groupBy("signup_id")
-      .agg(count(lit(1)).as("n_purch"), dbl(sum(d6w(col("p_value")))).as("sum_value"))
+      .agg(count(lit(1)).as("n_purch"), dec38(sum(d6w(col("p_value")))).as("sum_value"))
       .orderBy("signup_id")
   }
 
@@ -99,7 +99,7 @@ object Joins {
     RangeJoin.intervalOverlap(
         signups, "s_lo", "s_hi", errors, "e_lo", "e_hi", bucketWidth = TenMinUs)
       .groupBy("signup_id")
-      .agg(count(lit(1)).as("n_err"), dbl(sum(d6w(col("e_value")))).as("sum_sev"))
+      .agg(count(lit(1)).as("n_err"), dec38(sum(d6w(col("e_value")))).as("sum_sev"))
       .orderBy("signup_id")
   }
 
@@ -134,7 +134,7 @@ object Joins {
         col("s_ts") <= col("e_ts") + FiveMinUs &&
           col("e_ts") <= col("s_ts") + TenMinUs)
       .groupBy("signup_id")
-      .agg(count(lit(1)).as("n_err"), dbl(sum(d6w(col("e_value")))).as("sum_sev"))
+      .agg(count(lit(1)).as("n_err"), dec38(sum(d6w(col("e_value")))).as("sum_sev"))
       .orderBy("signup_id")
   }
 

@@ -31,13 +31,16 @@ object Relational {
     li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dbl(sum(d6(col("l_quantity")))).as("sum_qty"),
-        dbl(sum(d6(col("l_extendedprice")))).as("sum_base_price"),
-        dbl(sum(d6(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("sum_disc_price"),
-        dbl(sum(d6(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax")))).as("sum_charge"),
-        (dbl(sum(d6(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
-        (dbl(sum(d6(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
-        (dbl(sum(d6(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+        dec38(sum(d6(col("l_quantity")))).as("sum_qty"),
+        dec38(sum(d6(col("l_extendedprice")))).as("sum_base_price"),
+        dec38(sum(d6(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("sum_disc_price"),
+        dec38(sum(d6(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax")))).as("sum_charge"),
+        // avg stays DOUBLE per TPC-H shape, but the decimal->double hop
+        // goes through the pinned (38,2) intermediate (exact regime at
+        // 128x — see Tables.dec2 scaladoc + scripts/headroom_audit.py)
+        (dbl(dec2(sum(d6(col("l_quantity"))))) / count(lit(1))).as("avg_qty"),
+        (dbl(dec2(sum(d6(col("l_extendedprice"))))) / count(lit(1))).as("avg_price"),
+        (dbl(dec2(sum(d6(col("l_discount"))))) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -47,11 +50,11 @@ object Relational {
     s"""SELECT l_returnflag, l_linestatus,
        ${S.sumD6("l_quantity", "sum_qty")},
        ${S.sumD6("l_extendedprice", "sum_base_price")},
-       CAST(sum(${S.revenueTerm}) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(${S.revenueTerm} * ${S.onePlus("l_tax")}) AS DOUBLE) AS sum_charge,
-       CAST(sum(${S.d6("l_quantity")}) AS DOUBLE) / count(*) AS avg_qty,
-       CAST(sum(${S.d6("l_extendedprice")}) AS DOUBLE) / count(*) AS avg_price,
-       CAST(sum(${S.d6("l_discount")}) AS DOUBLE) / count(*) AS avg_disc,
+       CAST(sum(${S.revenueTerm}) AS DECIMAL(38,6)) AS sum_disc_price,
+       CAST(sum(${S.revenueTerm} * ${S.onePlus("l_tax")}) AS DECIMAL(38,6)) AS sum_charge,
+       CAST(CAST(sum(${S.d6("l_quantity")}) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(CAST(sum(${S.d6("l_extendedprice")}) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS avg_price,
+       CAST(CAST(sum(${S.d6("l_discount")}) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS avg_disc,
        count(*) AS count_order
      FROM lineitem
      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -90,7 +93,7 @@ object Relational {
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
-        dbl(sum(d6(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"),
+        dec38(sum(d6(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("c_mktsegment")
   }
@@ -98,7 +101,7 @@ object Relational {
   val q03Sql: String = {
     import graft.util.Tables.{sql => S}
     s"""SELECT c_mktsegment,
-       CAST(sum(${S.revenueTerm}) AS DOUBLE) AS revenue,
+       CAST(sum(${S.revenueTerm}) AS DECIMAL(38,6)) AS revenue,
        count(*) AS n_items
      FROM lineitem
      JOIN orders ON l_orderkey = o_orderkey
@@ -254,7 +257,7 @@ object Relational {
     ev.withColumn("ts_us", timestamp_micros(tsMicros(ev)))
       .groupBy(date_trunc("hour", col("ts_us")).as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-           dbl(sum(d6w(col("value")))).as("sum_value"))
+           dec38(sum(d6w(col("value")))).as("sum_value"))
       .orderBy("hour_ts", "event_type")
   }
 
@@ -269,7 +272,7 @@ object Relational {
   def q13Having(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_suppkey"))
-      .agg(dbl(sum(d6(col("l_quantity")))).as("total_qty"), count(lit(1)).as("n"))
+      .agg(dec38(sum(d6(col("l_quantity")))).as("total_qty"), count(lit(1)).as("n"))
       .filter(col("n") > 5)
       .select("l_suppkey", "total_qty")
       .orderBy("l_suppkey")

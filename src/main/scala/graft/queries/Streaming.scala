@@ -64,7 +64,7 @@ object Streaming {
       .withColumn("ts_us", timestamp_micros(tsMicros(stream)))
       .withWatermark("ts_us", "1 hour")
       .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), dbl(sum(d6w(col("value")))).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), dec38(sum(d6w(col("value")))).as("sum_value"))
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n_events"), col("sum_value"))
     val name = s"q32mem${memSeq.incrementAndGet()}"
@@ -331,7 +331,7 @@ object Streaming {
     val out = new java.io.File(
       s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}_evsent_$aheadUs")
     synchronized {
-      if (!new java.io.File(out, "_done").exists()) {
+      if (!graft.util.CacheStamp.valid(new java.io.File(out, "_done"))) {
         rmrf(out)
         // the sentinel row (negative user id, max ts + ahead) lands
         // first — its write creates the directory
@@ -363,7 +363,7 @@ object Streaming {
           try java.nio.file.Files.createLink(dst, p)
           catch { case _: Exception => java.nio.file.Files.copy(p, dst) }
         }
-        new java.io.File(out, "_done").createNewFile()
+        graft.util.CacheStamp.write(new java.io.File(out, "_done"))
       }
     }
     spark.readStream.schema(ev.schema).parquet(out.toString)
@@ -519,7 +519,7 @@ object Streaming {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.read.parquet(s"$out/data")
         .groupBy("signup_id")
-        .agg(count(lit(1)).as("n_purch"), dbl(sum(d6w(col("p_value")))).as("sum_value"))
+        .agg(count(lit(1)).as("n_purch"), dec38(sum(d6w(col("p_value")))).as("sum_value"))
         .write.mode("overwrite").parquet(s"$out/agg")
       rmrf(new java.io.File(s"$out/data"))
       rmrf(new java.io.File(s"$out/ckpt"))
