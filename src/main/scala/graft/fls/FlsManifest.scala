@@ -893,6 +893,25 @@ object FlsManifest {
         // full path is O(inline threshold) here by definition
         return commit(fs, dir, writeId, conf, op, dataChange, cdc, ref,
           eqAdd, eqDropUpTo = eqDropUpTo, epochAdd = epochWriteId)(fallback)
+      // TOCTOU guard (r19): the caller chose the delta path from a
+      // PRE-commit snapshot ("some marker of my qid exists"). A
+      // concurrent foreign commit can retire the qid's
+      // (both-clocks-expired) markers inside that window; this attempt
+      // would then find no marker-stamped chunk to open and a crashed
+      // prior attempt's entries would survive as duplicates.
+      // Retirement is qid-atomic (deadEpochQids), so ZERO markers of
+      // the qid in the FRESH snapshot means the marker bootstrap is
+      // gone: take the full-merge path (same as the caller's
+      // first-epoch case), which reconciles by writeId infix over the
+      // whole table.
+      epochWriteId.foreach { w =>
+        val qid = epochQid(w).map(_._1)
+        val qidPresent = qid.exists(q => pointers.exists(
+          _.epochs.exists(m => epochQid(m).exists(_._1 == q))))
+        if (qid.isDefined && !qidPresent)
+          return commit(fs, dir, writeId, conf, op, dataChange, cdc, ref,
+            eqAdd, eqDropUpTo = eqDropUpTo, epochAdd = epochWriteId)(fallback)
+      }
       val next = curV + 1
       val touched = (d.removeRels ++ d.restate.map(_.rel)).toArray.sorted
       val target = math.max(1, conf.getInt(ChunkTargetKey, DefaultChunkTarget))
@@ -1292,7 +1311,19 @@ object FlsManifest {
     * compares against. Markers with a missing component (written
     * before the stamp existed) pick it up at the next commit that
     * re-serializes their pointer line — their age clocks start then,
-    * the conservative direction. */
+    * the conservative direction.
+    *
+    * COMPATIBILITY (r19, ADVICE): the `@stamp` suffix is a one-way
+    * writer feature. A pre-stamp binary reads a stamped marker as
+    * unparseable, which SAFELY degrades its epoch retries to the full
+    * merge — but after a binary DOWNGRADE, that binary's own retry
+    * filter (`epochs.contains(writeId)`) no longer matches the stamped
+    * markers it wrote before the downgrade, silently losing the
+    * O(delta) reconciliation (correctness is preserved by the full
+    * merge's writeId-infix drop; only the delta-path speed is lost
+    * until the query re-bootstraps). Do not downgrade the writer below
+    * r18 while epoch markers are live, or accept the one-time full
+    * merges after the markers retire. */
   private def stampParts(m: String): Option[(String, Long, Long)] = {
     val i = m.lastIndexOf('@')
     if (i < 0) return None

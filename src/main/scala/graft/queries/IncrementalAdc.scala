@@ -94,13 +94,20 @@ object IncrementalAdc {
       .option("manifest_version", head.toString).load(corpusDir)
     if (!marker.exists())
       return buildAll(spark, corpus(), ivfDir, adcDir, head, ivfStamp)
-    val saved = readText(marker).split('\n')
+    // an unparseable (truncated/garbled) marker means "no marker" —
+    // rebuild, never throw from refresh (ADVICE r18)
+    val saved = (try readText(marker) catch { case _: Exception => "" })
+      .split('\n')
     // head line: n=<count>[;fmt=codes] — a pre-codes artifact (rv
     // reconstructions) must rebuild whole, never take a codes patch
     val headParts = saved.head.split(';')
     if (!headParts.exists(_ == "fmt=codes"))
       return buildAll(spark, corpus(), ivfDir, adcDir, head, ivfStamp)
-    val builtN = headParts.head.stripPrefix("n=").toLong
+    val builtNOpt = headParts.headOption.filter(_.startsWith("n="))
+      .flatMap(s => scala.util.Try(s.stripPrefix("n=").toLong).toOption)
+    if (builtNOpt.isEmpty)
+      return buildAll(spark, corpus(), ivfDir, adcDir, head, ivfStamp)
+    val builtN = builtNOpt.get
     if (saved.drop(1).mkString("\n") != ivfStamp) {
       // the IVF index reclustered: every subtraction anchor moved —
       // stored codes are stale as a SET, retrain
@@ -165,8 +172,8 @@ object IncrementalAdc {
       cb.write.format("fls").mode("overwrite")
         .option("commit_mode", "manifest").save(s"$adcDir/_codebook")
     } finally cb.unpersist()
-    val w = new java.io.PrintWriter(markerOf(adcDir))
-    try w.print(s"n=$n;fmt=codes\n$ivfStamp") finally w.close()
+    IncrementalDedup.writeMarkerAtomic(markerOf(adcDir),
+      s"n=$n;fmt=codes\n$ivfStamp")
     RefreshStats(0L, head, n, rebuilt = true)
   }
 }

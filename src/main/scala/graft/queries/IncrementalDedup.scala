@@ -38,6 +38,22 @@ object IncrementalDedup {
   final case class RefreshStats(fromVersion: Long, toVersion: Long,
       docsSigned: Long)
 
+  /** Atomic (temp file + rename) index-marker write, shared by every
+    * incremental maintainer (ADVICE r18): a plain PrintWriter crash
+    * mid-write leaves a TRUNCATED marker, which the strict
+    * `split(';')=`-style parses used to throw on — turning the rebuild
+    * path the fmt fence provides into an unrecoverable refresh error.
+    * Rename is all-or-nothing, so a marker either parses whole or does
+    * not exist; readers additionally treat any unparseable marker as
+    * "no marker" (belt + braces). */
+  private[graft] def writeMarkerAtomic(f: java.io.File, text: String): Unit = {
+    val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, text.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** Advisory single-writer guard shared by every incremental-index
     * refresh (signatures, IVF, PQ): two concurrent refreshes of the
     * same index would both read cursor=c, both encode (c, head], and

@@ -90,10 +90,17 @@ object IncrementalIvf {
       .option("manifest_version", head.toString).load(corpusDir)
     if (!marker.exists())
       return buildAll(spark, corpus(), idxDir, head, nprobe, maxCentroids)
-    val meta = parseMeta {
-      val src = scala.io.Source.fromFile(marker)
-      try src.mkString finally src.close()
-    }
+    // an unparseable (truncated/garbled) marker means "no marker" —
+    // rebuild, never throw from refresh (ADVICE r18)
+    val metaOpt =
+      try Some(parseMeta {
+        val src = scala.io.Source.fromFile(marker)
+        try src.mkString finally src.close()
+      })
+      catch { case _: Exception => None }
+    if (metaOpt.isEmpty)
+      return buildAll(spark, corpus(), idxDir, head, nprobe, maxCentroids)
+    val meta = metaOpt.get
     val cursor = IncrementalDedup.cursorOf(spark, idxDir)
     if (cursor >= head) return RefreshStats(cursor, head, 0L, rebuilt = false)
     // geometry drift: ⌈√n⌉ wants to grow with the corpus — past the
@@ -178,8 +185,7 @@ object IncrementalIvf {
     cents.write.format("fls").mode("overwrite")
       .option("commit_mode", "manifest").save(s"$idxDir/_centroids")
     cents.unpersist() // flat seeds persist inside seedsByRank; release
-    val w = new java.io.PrintWriter(markerOf(idxDir))
-    try w.print(meta.serialized) finally w.close()
+    IncrementalDedup.writeMarkerAtomic(markerOf(idxDir), meta.serialized)
     RefreshStats(0L, head, n, rebuilt = true)
   }
 

@@ -71,14 +71,23 @@ object IncrementalPq {
     def corpus() = spark.read.format("fls")
       .option("manifest_version", head.toString).load(corpusDir)
     if (!marker.exists()) return buildAll(spark, corpus(), idxDir, head)
-    val saved = readMarker(marker)
-      .split(';').map(_.split('=')).map(a => a(0) -> a(1)).toMap
+    // an unparseable (truncated/garbled) marker means "no marker":
+    // fall into the rebuild the fmt fence provides, never throw from
+    // refresh (ADVICE r18; writes are atomic since r19, this guards
+    // markers left by a pre-r19 crash)
+    val saved: Map[String, String] =
+      try readMarker(marker).split(';').iterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      catch { case _: Exception => Map.empty }
     // artifact-format fence (r18): a pre-codes artifact stores rv
     // reconstructions — PATCHING codes rows into it would mix schemas;
     // rebuild whole instead
     if (!saved.get("fmt").contains("codes"))
       return buildAll(spark, corpus(), idxDir, head)
-    val builtN = saved("n").toLong
+    val builtNOpt = saved.get("n")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    if (builtNOpt.isEmpty) return buildAll(spark, corpus(), idxDir, head)
+    val builtN = builtNOpt.get
     val cursor = IncrementalDedup.cursorOf(spark, idxDir)
     if (cursor >= head) return RefreshStats(cursor, head, 0L, rebuilt = false)
     // codebook drift: the frozen Lloyd means summarize the BUILD
@@ -135,8 +144,7 @@ object IncrementalPq {
       cb.write.format("fls").mode("overwrite")
         .option("commit_mode", "manifest").save(s"$idxDir/_codebook")
     } finally cb.unpersist()
-    val w = new java.io.PrintWriter(markerOf(idxDir))
-    try w.print(s"n=$n;fmt=codes") finally w.close()
+    IncrementalDedup.writeMarkerAtomic(markerOf(idxDir), s"n=$n;fmt=codes")
     RefreshStats(0L, head, n, rebuilt = true)
   }
 }

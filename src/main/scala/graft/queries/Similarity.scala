@@ -89,8 +89,7 @@ object Similarity {
         indexBuilds += 1
         evictArtifactCaches(path)
         body
-        val w = new java.io.PrintWriter(marker)
-        try w.print(meta) finally w.close()
+        IncrementalDedup.writeMarkerAtomic(marker, meta)
       }
     }
     spark.read.format("fls").load(path)

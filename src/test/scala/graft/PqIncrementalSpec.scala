@@ -246,4 +246,27 @@ class PqIncrementalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rv.length == 64)
     assert(enc.adc(unovel, rv) > 0.0)
   }
+
+  test("a truncated/garbled index marker means 'no marker' — refresh " +
+      "rebuilds instead of throwing (r19, ADVICE: crash mid-marker-write " +
+      "on a pre-atomic binary)") {
+    val corpus = s"$tmp/corpus_garbled"
+    val idx = s"$tmp/idx_garbled"
+    seed(corpus)
+    IncrementalPq.refresh(spark, corpus, idx)
+    val marker = new java.io.File(s"$idx/_pq_inc_done")
+    assert(marker.exists())
+    // what a crash mid-PrintWriter.print leaves behind
+    java.nio.file.Files.writeString(marker.toPath, "n=45")
+    val st = IncrementalPq.refresh(spark, corpus, idx)
+    assert(st.rebuilt, "a garbled marker must route to the full rebuild")
+    assert(java.nio.file.Files.readString(marker.toPath)
+      .contains("fmt=codes"), "the rebuild must restore a whole marker")
+    // and a marker that is pure garbage (not even k=v shaped)
+    java.nio.file.Files.writeString(marker.toPath, "  ;;==")
+    assert(IncrementalPq.refresh(spark, corpus, idx).rebuilt)
+    // after the rebuild the normal no-op fast path re-engages
+    val st3 = IncrementalPq.refresh(spark, corpus, idx)
+    assert(!st3.rebuilt && st3.vecsEncoded == 0L)
+  }
 }

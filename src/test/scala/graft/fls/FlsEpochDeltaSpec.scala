@@ -438,4 +438,66 @@ class FlsEpochDeltaSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.conf.unset(FlsManifest.EpochRetireMsKey)
     }
   }
+
+  test("TOCTOU (r19): a delta-path retry whose qid markers retired " +
+      "BETWEEN the caller's head check and the delta commit falls back " +
+      "to the full merge inside commitDelta — the crashed attempt's " +
+      "entries are still replaced, never duplicated") {
+    import graft.fls.connector._
+    val dir = s"$tmp/toctou"
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    seed(dir, 100L)
+    val sw = new FlsStreamingWrite(writeInfo(dir, "q-toctou"), spark)
+    val factory = sw.createStreamingWriterFactory(null)
+    val w0 = factory.createWriter(0, 1L, 0L)
+    w0.write(row(500L))
+    sw.commit(0L, Array(w0.commit())) // bootstrap: markers exist
+    val a1 = factory.createWriter(0, 2L, 1L)
+    (600L to 604L).foreach(i => a1.write(row(i)))
+    sw.commit(1L, Array(a1.commit())) // attempt 1 publishes, driver "dies"
+    val crashed = FlsManifest.readVersioned(fs, p).get._2
+      .map(_.rel).filter(_.contains("-q-toctou-e1-"))
+    assert(crashed.nonEmpty, "spec setup: attempt-1 entries must exist")
+    // the foreign commits that retire the qid's markers land HERE — in
+    // the window after the caller (FlsConnector) would have read
+    // headHasQid=true and decided the delta path
+    val conf = spark.sessionState.newHadoopConf()
+    conf.setLong(FlsManifest.EpochRetireKey, 1L)
+    conf.setLong(FlsManifest.EpochRetireMsKey, 1L)
+    def qidMarkers() = headLayout(dir).pointers.flatMap(_.epochs)
+      .map(FlsManifest.epochBase).filter(_.startsWith("q-toctou-e"))
+    var i = 0
+    while (qidMarkers().nonEmpty && i < 8) {
+      Thread.sleep(5L)
+      FlsManifest.commit(fs, p, s"foreign-toctou-$i", conf)(
+        (_, cached) => cached.getOrElse(FlsManifest.readVersioned(fs, p).get._2))
+      i += 1
+    }
+    assert(qidMarkers().isEmpty,
+      "spec setup: the qid's markers must be retired before the retry")
+    // the retry proceeds on the delta path it already chose (this is
+    // exactly what FlsConnector does having read the PRE-commit
+    // snapshot): commitDelta must notice the fresh head carries no
+    // marker of the qid and route to the full-merge fallback
+    val newEntry = FlsManifest.Entry("part-00000-q-toctou-e1-9999.fls", 1L, 1L)
+    var fellBack = false
+    FlsManifest.commitDelta(fs, p, "q-toctou-e1", conf,
+        epochWriteId = Some("q-toctou-e1"))(
+      _ => FlsManifest.Delta(add = Seq(newEntry))) { (_, cached) =>
+      fellBack = true
+      // the connector's fullMerge convergence: drop the crashed
+      // attempt's deterministic-writeId entries, add this attempt's
+      cached.getOrElse(FlsManifest.readVersioned(fs, p).get._2)
+        .filterNot(_.rel.contains("-q-toctou-e1-")) :+ newEntry
+    }
+    assert(fellBack,
+      "commitDelta must take the full-merge fallback when the fresh " +
+        "head carries no marker of the qid (pre-r19 it appended with " +
+        "an empty mustOpen partition and duplicated the crashed attempt)")
+    val after = FlsManifest.readVersioned(fs, p).get._2.map(_.rel)
+    assert(after.contains(newEntry.rel), "the retry's entry must be present")
+    crashed.foreach(rel => assert(!after.contains(rel),
+      s"crashed-attempt entry $rel must be dropped, not duplicated"))
+  }
 }
