@@ -30,9 +30,45 @@ object Similarity {
   def unpersistAll(): Unit = {
     vecCache.clearAll(); rankCache.clearAll(); clearGeomCache()
     // release broadcast blocks, not just the references
-    cbBcCache.values().forEach(_.unpersist(false))
     cbBcCache.clear(); centCache.clear()
   }
+
+  /** Bounded LRU for per-index-path serving artifacts (r19 — VERDICT
+    * #6): each entry is small by construction (≤64Ki centroids × dim ×
+    * 8 B, or an M×K codebook), but a long-lived session serving MANY
+    * distinct index paths would otherwise accrete entries without
+    * bound — the last unbounded driver-memory path. Capacity =
+    * resident index PATHS (`graft.ann.servingCachePaths`, default 8,
+    * read per insert so tests/services can resize live); evicting an
+    * entry releases it via `onEvict` (broadcast unpersist), and a
+    * re-served path just pays its one rebuild collect. */
+  private[queries] final class PathLru[V](onEvict: V => Unit) {
+    private def cap: Int = math.max(1, sys.props
+      .get("graft.ann.servingCachePaths").map(_.toInt).getOrElse(8))
+    private val m = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, V]): Boolean = {
+        val evict = size() > cap
+        if (evict) onEvict(e.getValue)
+        evict
+      }
+    }
+    def getOrBuild(k: String)(build: => V): V = synchronized {
+      val v = m.get(k)
+      if (v != null) v
+      else { val nv = build; m.put(k, nv); nv }
+    }
+    def remove(k: String): Unit =
+      synchronized(Option(m.remove(k)).foreach(onEvict))
+    def clear(): Unit = synchronized {
+      m.values().forEach(v => onEvict(v)); m.clear()
+    }
+    def size: Int = synchronized(m.size())
+  }
+
+  /** Test hooks (AnnServingCacheSpec). */
+  private[queries] def servingCacheSizes: (Int, Int) =
+    (centCache.size, cbBcCache.size)
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     vecCache.getOrBuild(spark, dir)(
@@ -135,9 +171,8 @@ object Similarity {
     * task holding the old Broadcast object re-fetches from the
     * driver). */
   private def evictArtifactCaches(path: String): Unit = {
-    Option(cbBcCache.remove(path)).foreach(_.unpersist(false))
+    cbBcCache.remove(path)
     centCache.remove(path)
-    ()
   }
 
   /** Driver-collected broadcast of a persisted codebook table — the
@@ -145,16 +180,17 @@ object Similarity {
     * path (the codebook is frozen once its marker is stamped): warm
     * ANN calls run zero collect jobs. M×K rows ≈ a few hundred KB by
     * construction. */
-  private val cbBcCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]]()
+  private val cbBcCache = new PathLru[
+    org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]](
+    _.unpersist(false))
 
   private def codebookBcFor(spark: SparkSession, idxPath: String)
     : org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]] =
-    cbBcCache.computeIfAbsent(idxPath, _ => {
+    cbBcCache.getOrBuild(idxPath) {
       val enc = pqEncoder(
         spark.read.format("fls").load(s"$idxPath/_centroids"))
       spark.sparkContext.broadcast(enc.entries)
-    })
+    }
 
   /** The persisted centroid table of an index built by [[ivfAnn]] —
     * the routing artifact a service would broadcast to score NEW
@@ -1057,12 +1093,12 @@ object Similarity {
     * stamped): warm serving calls run zero routing jobs. ≤ ⌈√n⌉ rows
     * by construction (capped at 64Ki — the broadcast routing artifact
     * a serving tier holds). */
-  private val centCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Array[(Long, Array[Double], Double)]]()
+  private val centCache =
+    new PathLru[Array[(Long, Array[Double], Double)]](_ => ())
 
   private def routingCentroids(spark: SparkSession,
       ivfPath: String): Array[(Long, Array[Double], Double)] =
-    centCache.computeIfAbsent(ivfPath, _ =>
+    centCache.getOrBuild(ivfPath)(
       spark.read.format("fls").load(s"$ivfPath/_centroids")
         .select(col("cent_id"), col("v_q"), col("nr_q")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
