@@ -106,6 +106,80 @@ object RangeFrames {
       .drop("__rf_k", "__rf_band_cnt", "__rf_band_sum")
   }
 
+  /** Count/sum of `carriers.valCol` over the CLOSED value band
+    * `[p - lo, p + hi]` around each `probes.probeKey` value p — the
+    * interval-overlap JOIN + AGGREGATE shape computed as a sweep line,
+    * WITHOUT materializing the pair stream.
+    *
+    * Fixed-width interval overlap reduces to exactly this: intervals
+    * `[s, s+ds]` vs `[e, e+de]` overlap iff `e ∈ [s - de, s + ds]`, so
+    * "count/sum the errors overlapping each signup window" is a band
+    * aggregate of error START points around each signup start. A
+    * bucketed overlap JOIN (q87/q88) must materialize every qualifying
+    * pair before the aggregate — and REPLICATED scale fixtures grow
+    * pairs ~density², which the r19 sweep's JFR pinned as the entire
+    * q87 marathon. This plan's cost is O(n log n) in the inputs
+    * (per-key aggregate → global prefix sums → two probes per distinct
+    * probe key → equi-join back): pair count never appears.
+    *
+    * Same prefix-difference construction as [[sumCountOverRange]]
+    * (closed band via probe sides; empty band = count 0 / sum NULL);
+    * decimal `valCol` sums stay EXACT, so prefix differences are
+    * bit-identical to a direct per-pair sum. Keys must be integral
+    * (LONG-compatible) and non-null. */
+  def bandAggregateAgainst(probes: DataFrame, probeKey: String,
+      carriers: DataFrame, carrierKey: String, valCol: String,
+      lo: Long, hi: Long, outCnt: String, outSum: String): DataFrame = {
+    require(!probes.columns.exists(_.startsWith("__rf_")),
+      "__rf_ columns are reserved")
+    val run = "OVER (ORDER BY __rf_pos, __rf_side ROWS BETWEEN UNBOUNDED" +
+      " PRECEDING AND CURRENT ROW)"
+
+    val perKey = carriers.groupBy(col(carrierKey).as("__rf_k")).agg(
+      count(lit(1)).as("__rf_cnt"),
+      count(col(valCol)).as("__rf_nn"),
+      sum(col(valCol)).as("__rf_s"))
+    val perProbe = probes.select(col(probeKey).as("__rf_p")).distinct()
+
+    val prefix = perKey.selectExpr("__rf_k",
+      "CAST(sum(__rf_cnt) OVER (ORDER BY __rf_k ROWS BETWEEN UNBOUNDED" +
+        " PRECEDING AND CURRENT ROW) AS BIGINT) AS __rf_cc",
+      "CAST(sum(__rf_nn) OVER (ORDER BY __rf_k ROWS BETWEEN UNBOUNDED" +
+        " PRECEDING AND CURRENT ROW) AS BIGINT) AS __rf_cn",
+      "sum(__rf_s) OVER (ORDER BY __rf_k ROWS BETWEEN UNBOUNDED" +
+        " PRECEDING AND CURRENT ROW) AS __rf_cs")
+    val sType = prefix.schema("__rf_cs").dataType.sql
+
+    val base = prefix.selectExpr("__rf_k AS __rf_pos", "0 AS __rf_side",
+      "CAST(NULL AS BIGINT) AS __rf_probe", "__rf_cc", "__rf_cn", "__rf_cs")
+    def probe(side: Int, off: Long) = perProbe.selectExpr(
+      s"__rf_p + ${off}L AS __rf_pos", s"$side AS __rf_side",
+      "__rf_p AS __rf_probe", "CAST(NULL AS BIGINT) AS __rf_cc",
+      "CAST(NULL AS BIGINT) AS __rf_cn", s"CAST(NULL AS $sType) AS __rf_cs")
+
+    val scanned = base
+      .unionByName(probe(1, hi)).unionByName(probe(-1, -lo))
+      .selectExpr("__rf_probe", "__rf_side",
+        s"last_value(__rf_cc, true) $run AS __rf_got_cc",
+        s"last_value(__rf_cn, true) $run AS __rf_got_cn",
+        s"last_value(__rf_cs, true) $run AS __rf_got_cs")
+      .filter(col("__rf_side") =!= 0)
+
+    def side(s: Int, c: String) = max(when(col("__rf_side") === s, col(c)))
+    val bands = scanned.groupBy(col("__rf_probe").as("__rf_k")).agg(
+      (coalesce(side(1, "__rf_got_cc"), lit(0L)) -
+        coalesce(side(-1, "__rf_got_cc"), lit(0L))).as("__rf_band_cnt"),
+      when(coalesce(side(1, "__rf_got_cn"), lit(0L)) -
+          coalesce(side(-1, "__rf_got_cn"), lit(0L)) === 0L, lit(null))
+        .otherwise(coalesce(side(1, "__rf_got_cs"), lit(0L)) -
+          coalesce(side(-1, "__rf_got_cs"), lit(0L))).as("__rf_band_sum"))
+
+    probes.join(bands, col(probeKey) === col("__rf_k"))
+      .withColumn(outCnt, col("__rf_band_cnt"))
+      .withColumn(outSum, col("__rf_band_sum"))
+      .drop("__rf_k", "__rf_band_cnt", "__rf_band_sum")
+  }
+
   /** Appends `outMin`/`outMax` = `min(v)/max(v) OVER (ORDER BY keyCol
     * RANGE BETWEEN lo PRECEDING AND hi FOLLOWING)` to `df`. Min/max are
     * NOT prefix-invertible, so [[sumCountOverRange]]'s prefix-difference

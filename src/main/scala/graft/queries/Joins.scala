@@ -138,15 +138,49 @@ object Joins {
       .orderBy("signup_id")
   }
 
+  /** q129 (r19): q87's EXACT semantics — count/sum of overlapping
+    * errors per signup window — computed as a SWEEP LINE instead of a
+    * join. Fixed-width intervals overlap iff the error START falls in
+    * `[s_lo - 5min, s_lo + 10min]`, so the answer is a band aggregate
+    * of error starts around each signup start
+    * ([[RangeFrames.bandAggregateAgainst]]: per-key aggregate → global
+    * prefix sums → two probes per signup → equi-join back). The
+    * overlap JOIN (q87/q88) must materialize every qualifying pair
+    * before its aggregate — the r19 sweep's JFR pinned its entire 128×
+    * marathon inside the pair-consuming hash aggregate, because
+    * replicated fixtures grow pairs ~density². This plan never forms
+    * pairs: cost is O(n log n) in the events, scale-flat per unit.
+    * Decimal prefix differences are exact, so the oracle is q87's
+    * verbatim. Signups with an empty band are dropped (count 0) to
+    * match the join's inner semantics. */
+  def q129IntervalAggSweepline(spark: SparkSession, dir: String): DataFrame = {
+    val raw = events(spark, dir)
+    val ev = raw.select(col("event_id"), tsMicros(raw).as("ts_us"),
+      col("event_type"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts_us").as("s_lo"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("ts_us").as("e_ts"), d6w(col("value")).as("e_val"))
+    graft.functions.RangeFrames.bandAggregateAgainst(
+        signups, "s_lo", errors, "e_ts", "e_val",
+        lo = FiveMinUs, hi = TenMinUs, outCnt = "n_err", outSum = "band_sum")
+      .filter(col("n_err") > 0)
+      .select(col("signup_id"), col("n_err"),
+        dec38(col("band_sum")).as("sum_sev"))
+      .orderBy("signup_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_range_join" -> (q82RangeJoin _),
     "q85_auto_range_join" -> (q85AutoRangeJoin _),
     "q87_interval_overlap" -> (q87IntervalOverlap _),
-    "q88_auto_interval_overlap" -> (q88AutoIntervalOverlap _))
+    "q88_auto_interval_overlap" -> (q88AutoIntervalOverlap _),
+    "q129_interval_agg_sweepline" -> (q129IntervalAggSweepline _))
 
   val oracles: Map[String, String] = Map(
     "q82_range_join" -> q82Sql,
     "q85_auto_range_join" -> q82Sql,
     "q87_interval_overlap" -> q87Sql,
-    "q88_auto_interval_overlap" -> q87Sql)
+    "q88_auto_interval_overlap" -> q87Sql,
+    "q129_interval_agg_sweepline" -> q87Sql)
 }

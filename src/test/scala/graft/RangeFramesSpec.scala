@@ -163,4 +163,49 @@ class RangeFramesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("GlobalFirstValue"), s"as-of scans not distributed:\n$p")
     assert(!p.contains("Window "), s"a stock single-partition Window survived:\n$p")
   }
+
+  test("bandAggregateAgainst (r19): probe-vs-carrier bands match the " +
+      "brute-force pair join, including closed bounds, duplicate keys, " +
+      "nulls, and empty bands") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(41L)
+    val probes = (0 until 120).map { i =>
+      (i.toLong, rnd.between(-200L, 200L))
+    }.toDF("pid", "p")
+    val carriers = (0 until 300).map { i =>
+      val v = if (rnd.nextInt(6) == 0) None else Some(rnd.between(-50L, 50L))
+      (rnd.between(-220L, 220L), v)
+    }.toDF("c", "v")
+    for ((lo, hi) <- Seq((30L, 20L), (0L, 0L), (25L, -10L))) {
+      val got = RangeFrames.bandAggregateAgainst(
+          probes, "p", carriers, "c", "v", lo, hi, "cnt", "s")
+        .select("pid", "cnt", "s").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSet
+      val want = probes.join(carriers,
+          col("c") >= col("p") - lo && col("c") <= col("p") + hi, "left")
+        .groupBy("pid")
+        .agg(count(col("c")).as("cnt"), sum(col("v")).as("s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSet
+      assert(got == want, s"band [$lo,$hi] mismatch")
+    }
+  }
+
+  test("bandAggregateAgainst plan: no pair-producing join — prefix sums " +
+      "distribute and the only join is the 1:1 band join back") {
+    val sp = spark
+    import sp.implicits._
+    val probes = (0L until 100L).map(i => (i, i * 3)).toDF("pid", "p")
+    val carriers = (0L until 300L).map(i => (i % 250, i)).toDF("c", "v")
+    val out = RangeFrames.bandAggregateAgainst(
+      probes, "p", carriers, "c", "v", 10L, 10L, "cnt", "s")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GlobalRunningSum"), s"prefix sums not distributed:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"a pair-materializing join appeared:\n$p")
+  }
 }
