@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.graftexprs.{ArrayDotProduct, SortedIntersectCount}
-import org.apache.spark.sql.graftplans.{GlobalFirstValueStrategy, GlobalOffsetStrategy, GlobalRankStrategy, GlobalRowNumberStrategy, GlobalRunningSumStrategy, GlobalSlidingStrategy, RewriteGlobalWindows, RewriteRangeFrames, RewriteRangeJoins}
+import org.apache.spark.sql.graftplans.{GlobalFirstValueStrategy, GlobalOffsetStrategy, GlobalRankStrategy, GlobalRowNumberStrategy, GlobalRunningSumStrategy, GlobalSlidingStrategy, RewriteGlobalWindows, RewriteIntervalAggJoins, RewriteRangeFrames, RewriteRangeJoins}
 
 /** Library-grade session wiring:
   *
@@ -45,6 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // instead of a single-partition Window (see RewriteGlobalWindows
     // for the deliberate non-firing cases)
     ext.injectOptimizerRule(_ => RewriteGlobalWindows)
+    // count/sum aggregates DIRECTLY over a fixed-offset interval join
+    // lower to the pair-free sweep-line pipeline — injected BEFORE the
+    // join rule so the aggregate shape is matched while the overlap
+    // join is still recognizable (once it fires there is no band join
+    // left for the sibling to bucket)
+    ext.injectOptimizerRule(_ => RewriteIntervalAggJoins)
     // inequality-only inner joins (point-in-interval / band) get a
     // bucketed equi-join instead of BroadcastNestedLoop/Cartesian —
     // see RewriteRangeJoins for the width subquery and firing rules

@@ -170,17 +170,51 @@ object Joins {
       .orderBy("signup_id")
   }
 
+  /** q130 (r19): the q88 join+aggregate written as PLAIN Spark — no
+    * operator call — with count/sum-only aggregates, so
+    * [[org.apache.spark.sql.graftplans.RewriteIntervalAggJoins]] lowers
+    * the whole shape to the q129 sweep line automatically (the rule
+    * fires before the join rule can bucket the overlap). Sums a BIGINT
+    * column (error event ids) so the rule's sum channel is gated too;
+    * exact integer arithmetic end to end. */
+  def q130AutoIntervalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val raw = events(spark, dir)
+    val ev = raw.select(col("event_id"), tsMicros(raw).as("ts_us"),
+      col("event_type"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("ts_us").as("s_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts_us").as("e_ts"))
+    signups.join(errors,
+        col("s_ts") <= col("e_ts") + FiveMinUs &&
+          col("e_ts") <= col("s_ts") + TenMinUs)
+      .groupBy("signup_id")
+      .agg(count(lit(1)).as("n_err"), sum(col("error_id")).as("sum_id"))
+      .orderBy("signup_id")
+  }
+
+  val q130Sql: String =
+    s"""SELECT s.event_id AS signup_id, count(*) AS n_err,
+         CAST(sum(e.event_id) AS BIGINT) AS sum_id
+       FROM events s JOIN events e
+         ON epoch_us(s.ts) <= epoch_us(e.ts) + $FiveMinUs
+        AND epoch_us(e.ts) <= epoch_us(s.ts) + $TenMinUs
+       WHERE s.event_type = 'signup' AND e.event_type = 'error'
+       GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_range_join" -> (q82RangeJoin _),
     "q85_auto_range_join" -> (q85AutoRangeJoin _),
     "q87_interval_overlap" -> (q87IntervalOverlap _),
     "q88_auto_interval_overlap" -> (q88AutoIntervalOverlap _),
-    "q129_interval_agg_sweepline" -> (q129IntervalAggSweepline _))
+    "q129_interval_agg_sweepline" -> (q129IntervalAggSweepline _),
+    "q130_auto_interval_agg" -> (q130AutoIntervalAgg _))
 
   val oracles: Map[String, String] = Map(
     "q82_range_join" -> q82Sql,
     "q85_auto_range_join" -> q82Sql,
     "q87_interval_overlap" -> q87Sql,
     "q88_auto_interval_overlap" -> q87Sql,
-    "q129_interval_agg_sweepline" -> q87Sql)
+    "q129_interval_agg_sweepline" -> q87Sql,
+    "q130_auto_interval_agg" -> q130Sql)
 }
