@@ -54,9 +54,14 @@ import org.apache.spark.sql.types._
   *  - `Aggregate` whose child is an INNER join (or a pruning
   *    attribute-only Project over one), batch, non-empty grouping;
   *  - the join condition is EXACTLY two conjuncts forming a band
-  *    `c ∈ [p + loOff, p + hiOff]` between one deterministic integral
+  *    `c ∈ [p + loOff, p + hiOff]` between one deterministic
   *    expression per side (>=/>/<=/<, any operand order; strict
-  *    bounds fold into the offsets — the axis is integral);
+  *    bounds fold into the offsets — the axis is integral). Axes:
+  *    any integral pair, or the SAME timestamp type (LTZ or NTZ) on
+  *    both sides with foldable DayTimeInterval offsets
+  *    (`ts ± INTERVAL '5' MINUTE` — day-time intervals are fixed
+  *    micros by definition, so the long-micros axis is exact and
+  *    zone-independent; year-month intervals never match);
   *  - every grouping expression references only the probe (band
   *    anchor) side; every aggregate is a non-distinct, unfiltered
   *    `count(*)`, `count(col)` or `sum(col)` (LongType result over an
@@ -86,21 +91,46 @@ object RewriteIntervalAggJoins extends Rule[LogicalPlan] with PredicateHelper {
   private def integral(dt: DataType): Boolean =
     dt == LongType || dt == IntegerType || dt == ShortType || dt == ByteType
 
-  /** `e` as (key, long offset): bare keys, `key + lit`, `lit + key`,
-    * `key - lit` — the shapes a fixed-offset interval predicate takes
-    * on an integral axis. */
+  private def datetime(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
+
+  /** `e` as (key, long offset in axis units): bare keys, `key ± lit`
+    * on an integral axis, and `key ± INTERVAL` (TimestampAddInterval
+    * with a foldable DayTimeInterval — exact signed micros, the same
+    * axis UnixMicros maps the key onto; day-time intervals are fixed
+    * micros by definition, so no session-zone/DST hazard) on a
+    * timestamp axis. Year-month intervals are variable-length and
+    * never matched. */
   private def keyOff(e: Expression): Option[(Expression, Long)] = {
     def litOf(x: Expression): Option[Long] = x match {
       case l: Literal if integral(l.dataType) && l.value != null =>
         Some(l.value.asInstanceOf[Number].longValue)
       case _ => None
     }
-    if (!integral(e.dataType)) None
-    else e match {
-      case Add(a, b, _) =>
-        litOf(b).map(n => (a, n)).orElse(litOf(a).map(n => (b, n)))
-      case Subtract(a, b, _) => litOf(b).map(n => (a, -n))
-      case _ => Some((e, 0L))
+    def microsOf(x: Expression): Option[Long] = x match {
+      case l: Literal if l.dataType.isInstanceOf[DayTimeIntervalType] &&
+          l.value != null =>
+        Some(l.value.asInstanceOf[Long])
+      case UnaryMinus(l: Literal, _)
+          if l.dataType.isInstanceOf[DayTimeIntervalType] && l.value != null =>
+        Some(-l.value.asInstanceOf[Long])
+      case _ => None
+    }
+    e match {
+      case _ if integral(e.dataType) =>
+        e match {
+          case Add(a, b, _) =>
+            litOf(b).map(n => (a, n)).orElse(litOf(a).map(n => (b, n)))
+          case Subtract(a, b, _) => litOf(b).map(n => (a, -n))
+          case _ => Some((e, 0L))
+        }
+      case _ if datetime(e.dataType) =>
+        e match {
+          case ta: TimestampAddInterval =>
+            microsOf(ta.interval).map(m => (ta.start, m))
+          case _ => Some((e, 0L))
+        }
+      case _ => None
     }
   }
 
@@ -155,6 +185,13 @@ object RewriteIntervalAggJoins extends Rule[LogicalPlan] with PredicateHelper {
       (pHi, cHi, hiOff, _) <- upper
       if pLo.canonicalized == pHi.canonicalized
       if cLo.canonicalized == cHi.canonicalized
+      // one shared axis: any integral pair (exact through Cast-to-long),
+      // or the SAME datetime type on both sides (LTZ and NTZ are both
+      // long micros underneath, but mixing them compares through
+      // zone-dependent casts — the analyzer's cast then lands inside
+      // the key expression and matches as an opaque key instead)
+      if (integral(pLo.dataType) && integral(cLo.dataType)) ||
+        (datetime(pLo.dataType) && pLo.dataType == cLo.dataType)
     } yield Band(pLo, cLo, loOff, hiOff)
   }
 
@@ -241,8 +278,11 @@ object RewriteIntervalAggJoins extends Rule[LogicalPlan] with PredicateHelper {
 
     def longify(e: Expression): Expression =
       if (e.dataType == LongType) e else Cast(e, LongType)
-    val pL = longify(band.pKey)
-    val cL = longify(band.cKey)
+    // keys ride the shared long axis (identity for longs, UnixMicros
+    // for timestamps — see RewriteRangeJoins.asLong for the NTZ/UTC
+    // reinterpretation rationale)
+    val pL = RewriteRangeJoins.asLong(band.pKey)
+    val cL = RewriteRangeJoins.asLong(band.cKey)
 
     // 1. per-carrier-key aggregates
     val kA = Alias(cL, "__ia_k")()

@@ -130,6 +130,35 @@ class IntervalAggRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want && got.isEmpty)
   }
 
+  test("timestamp axes: ts ± INTERVAL band conditions fire and match " +
+      "the pair plan (LTZ and NTZ)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(61L)
+    val sBase = (0 until 120).map { i =>
+      (i.toLong, rnd.between(0L, 4000L), i % 3)
+    }.toDF("pid", "sec", "grp")
+    val eBase = (0 until 300).map { _ =>
+      (rnd.between(0L, 4200L), rnd.between(-40L, 40L))
+    }.toDF("sec", "v")
+    for (cast <- Seq("timestamp", "timestamp_ntz")) {
+      val s = sBase.withColumn("ts",
+        col("sec").cast("timestamp").cast(cast)).drop("sec")
+      val e = eBase.withColumn("ts",
+        col("sec").cast("timestamp").cast(cast)).drop("sec")
+      def q = s.join(e,
+          s("ts") <= e("ts") + expr("INTERVAL '3' MINUTE") &&
+            e("ts") <= s("ts") + expr("INTERVAL '5' MINUTE"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("pairs"), sum(e("v")).as("sv"))
+        .orderBy("grp")
+      val (want, got, plan) = offOn(q)
+      assert(got == want, s"$cast mismatch")
+      assert(plan.contains("GlobalRunningSum"),
+        s"$cast band did not lower to the sweep line:\n$plan")
+    }
+  }
+
   test("grouping-only aggregate (DISTINCT probe groups with a match) " +
       "fires too — the shape ColumnPruning leaves of a count() over " +
       "the rule's own output") {
