@@ -31,16 +31,13 @@ object Relational {
     li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dec38(sum(d6(col("l_quantity")))).as("sum_qty"),
-        dec38(sum(d6(col("l_extendedprice")))).as("sum_base_price"),
-        dec38(sum(d6(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("sum_disc_price"),
-        dec38(sum(d6(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax")))).as("sum_charge"),
-        // avg stays DOUBLE per TPC-H shape, but the decimal->double hop
-        // goes through the pinned (38,2) intermediate (exact regime at
-        // 128x — see Tables.dec2 scaladoc + scripts/headroom_audit.py)
-        (dbl(dec2(sum(d6(col("l_quantity"))))) / count(lit(1))).as("avg_qty"),
-        (dbl(dec2(sum(d6(col("l_extendedprice"))))) / count(lit(1))).as("avg_price"),
-        (dbl(dec2(sum(d6(col("l_discount"))))) / count(lit(1))).as("avg_disc"),
+        dbl(sum(d6(col("l_quantity")))).as("sum_qty"),
+        dbl(sum(d6(col("l_extendedprice")))).as("sum_base_price"),
+        dbl(sum(d6(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("sum_disc_price"),
+        dbl(sum(d6(col("l_extendedprice")) * oneMinus(col("l_discount")) * onePlus(col("l_tax")))).as("sum_charge"),
+        (dbl(sum(d6(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        (dbl(sum(d6(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+        (dbl(sum(d6(col("l_discount")))) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -50,11 +47,11 @@ object Relational {
     s"""SELECT l_returnflag, l_linestatus,
        ${S.sumD6("l_quantity", "sum_qty")},
        ${S.sumD6("l_extendedprice", "sum_base_price")},
-       CAST(sum(${S.revenueTerm}) AS DECIMAL(38,6)) AS sum_disc_price,
-       CAST(sum(${S.revenueTerm} * ${S.onePlus("l_tax")}) AS DECIMAL(38,6)) AS sum_charge,
-       CAST(CAST(sum(${S.d6("l_quantity")}) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS avg_qty,
-       CAST(CAST(sum(${S.d6("l_extendedprice")}) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS avg_price,
-       CAST(CAST(sum(${S.d6("l_discount")}) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS avg_disc,
+       CAST(CAST(sum(${S.revenueTerm}) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(sum(${S.revenueTerm} * ${S.onePlus("l_tax")}) AS VARCHAR) AS DOUBLE) AS sum_charge,
+       CAST(CAST(sum(${S.d6("l_quantity")}) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(CAST(sum(${S.d6("l_extendedprice")}) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+       CAST(CAST(sum(${S.d6("l_discount")}) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
        count(*) AS count_order
      FROM lineitem
      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -93,7 +90,7 @@ object Relational {
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
-        dec38(sum(d6(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"),
+        dbl(sum(d6(col("l_extendedprice")) * oneMinus(col("l_discount")))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("c_mktsegment")
   }
@@ -101,7 +98,7 @@ object Relational {
   val q03Sql: String = {
     import graft.util.Tables.{sql => S}
     s"""SELECT c_mktsegment,
-       CAST(sum(${S.revenueTerm}) AS DECIMAL(38,6)) AS revenue,
+       CAST(CAST(sum(${S.revenueTerm}) AS VARCHAR) AS DOUBLE) AS revenue,
        count(*) AS n_items
      FROM lineitem
      JOIN orders ON l_orderkey = o_orderkey
@@ -257,7 +254,7 @@ object Relational {
     ev.withColumn("ts_us", timestamp_micros(tsMicros(ev)))
       .groupBy(date_trunc("hour", col("ts_us")).as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-           dec38(sum(d6w(col("value")))).as("sum_value"))
+           dbl(sum(d6w(col("value")))).as("sum_value"))
       .orderBy("hour_ts", "event_type")
   }
 
@@ -272,7 +269,7 @@ object Relational {
   def q13Having(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_suppkey"))
-      .agg(dec38(sum(d6(col("l_quantity")))).as("total_qty"), count(lit(1)).as("n"))
+      .agg(dbl(sum(d6(col("l_quantity")))).as("total_qty"), count(lit(1)).as("n"))
       .filter(col("n") > 5)
       .select("l_suppkey", "total_qty")
       .orderBy("l_suppkey")

@@ -19,7 +19,7 @@ object Relational2 {
   def q19Rollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), dec38(sum(d6w(col("o_totalprice")))).as("total"))
+      .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -542,7 +542,7 @@ object Relational2 {
       .groupBy("session_id")
       .agg(count(lit(1)).as("n_events"),
         (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
-        dec38(sum(d6w(col("value")))).as("sum_value"))
+        dbl(sum(d6w(col("value")))).as("sum_value"))
       .orderBy("session_id")
   }
 

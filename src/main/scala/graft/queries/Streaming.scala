@@ -64,7 +64,7 @@ object Streaming {
       .withColumn("ts_us", timestamp_micros(tsMicros(stream)))
       .withWatermark("ts_us", "1 hour")
       .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), dec38(sum(d6w(col("value")))).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), dbl(sum(d6w(col("value")))).as("sum_value"))
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n_events"), col("sum_value"))
     val name = s"q32mem${memSeq.incrementAndGet()}"
@@ -519,7 +519,7 @@ object Streaming {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.read.parquet(s"$out/data")
         .groupBy("signup_id")
-        .agg(count(lit(1)).as("n_purch"), dec38(sum(d6w(col("p_value")))).as("sum_value"))
+        .agg(count(lit(1)).as("n_purch"), dbl(sum(d6w(col("p_value")))).as("sum_value"))
         .write.mode("overwrite").parquet(s"$out/agg")
       rmrf(new java.io.File(s"$out/data"))
       rmrf(new java.io.File(s"$out/ckpt"))

@@ -61,25 +61,6 @@ object Tables {
 
   def dbl(c: Column): Column = c.cast(DoubleType)
 
-  /** Exact emit type for decimal-sum gate outputs (round 19): a sum of
-    * d6/d6w values CAST to DOUBLE diverges from DuckDB by 1 ulp once
-    * the unscaled sum passes 2^53 (DuckDB double-rounds
-    * hugeint->double->/10^s; the JVM rounds once) — the class that
-    * shipped q128 red in r18. Emitting the exact DECIMAL(38,6) keeps
-    * the driver's type-sensitive hash comparing integers at ANY scale
-    * factor. DuckDB's sum over DECIMAL(p,6) is DECIMAL(38,6) already,
-    * so the oracle side is a plain CAST to the same type. */
-  def dec38(c: Column): Column = c.cast(DecimalType(38, 6))
-
-  /** Pinned scale-2 intermediate for avg-style outputs: our money/qty
-    * data is exact in 2 fractional digits, so the scale-6 sum down-casts
-    * to (38,2) dropping only zeros (no rounding => DuckDB's truncating
-    * rescale and Spark's HALF_UP agree), and the (38,2) unscaled value
-    * stays under 2^53 with 128x headroom — making the subsequent
-    * decimal->double conversion EXACT on both engines (see
-    * scripts/headroom_audit.py, which asserts both properties). */
-  def dec2(c: Column): Column = c.cast(DecimalType(38, 2))
-
   /** (1 - disc) as DECIMAL(7,6): disc in [0,1) so the result fits exactly.
     * Keeping factor precision tight keeps triple products under the
     * 38-digit cap in BOTH engines => no precision-loss rounding anywhere. */
@@ -94,9 +75,26 @@ object Tables {
     def d6(col: String): String = s"CAST($col AS DECIMAL(12,6))"
     def d6w(col: String): String = s"CAST($col AS DECIMAL(25,6))"
     def sumD6(col: String, as: String): String =
-      s"CAST(sum(${d6(col)}) AS DECIMAL(38,6)) AS $as"
+      s"${dblHop(s"sum(${d6(col)})")} AS $as"
     def sumD6w(col: String, as: String): String =
-      s"CAST(sum(${d6w(col)}) AS DECIMAL(38,6)) AS $as"
+      s"${dblHop(s"sum(${d6w(col)})")} AS $as"
+    /** Correctly-rounded decimal->double for the ORACLE side. DuckDB's
+      * direct `CAST(dec AS DOUBLE)` double-rounds (hugeint->double, then
+      * /10^scale) and diverges from the correctly-rounded result on ~25%
+      * of values once the unscaled magnitude passes 2^53 (measured:
+      * 9965/40000 random values in [2^53, 2^75]); its VARCHAR->DOUBLE
+      * parse is correctly rounded (0/40000). The JVM's
+      * `BigDecimal.doubleValue` — what Spark's decimal->double cast
+      * calls — is parseDouble-equivalent (0/200000 against
+      * `Double.parseDouble(toPlainString)` over the same regime). So
+      * hopping the oracle through VARCHAR makes both engines produce the
+      * bit-identical double at ANY scale factor, with the plain
+      * driver-proven DOUBLE output type. (Round 19 instead emitted exact
+      * DECIMAL(38,6) on both sides: values exact, but the external
+      * driver's type-sensitive hash never matches DECIMAL columns across
+      * its two clients — 45 gates red. Withdrawn in round 20.) */
+    def dblHop(expr: String): String =
+      s"CAST(CAST($expr AS VARCHAR) AS DOUBLE)"
     def oneMinus(col: String): String =
       s"CAST(1 - ${d6(col)} AS DECIMAL(7,6))"
     def onePlus(col: String): String =
