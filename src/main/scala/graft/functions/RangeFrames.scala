@@ -46,6 +46,37 @@ import org.apache.spark.sql.functions._
   */
 object RangeFrames {
 
+  /** Overflow guard on the table-wide prefix sums (`__rf_cs`): a
+    * DECIMAL(38,s) running sum that overflows is NULLed by Spark's
+    * non-ANSI sum, and the downstream `last_value(__rf_cs, true)`
+    * (ignore-nulls) would then silently pick an EARLIER non-null
+    * prefix — a wrong band sum instead of a loud failure. A prefix row
+    * can be legitimately NULL only while its running NON-NULL COUNT
+    * (`__rf_cn`) is zero, so any (NULL sum, positive count) prefix is
+    * overflow by construction → raise. Evaluated inline on each prefix
+    * row during the probe scan: no extra pass, codegen-friendly, and
+    * long-sum channels (which wrap rather than NULL) never trip it. */
+  private def guardedPrefix(sType: String): String =
+    "CASE WHEN __rf_cs IS NULL AND __rf_cn > 0 THEN " +
+      s"CAST(raise_error('RangeFrames: table-wide prefix sum overflowed " +
+      s"its decimal precision; band sums would be silently wrong — " +
+      s"widen the value type or pre-scale the column') AS $sType) " +
+      "ELSE __rf_cs END AS __rf_cs"
+
+  /** Same class one level down: a PER-KEY decimal sum that overflows is
+    * NULLed, and the table-wide prefix sum would then silently SKIP that
+    * key's contribution (sum ignores nulls) — the prefix stays non-null
+    * and [[guardedPrefix]] never sees it. NULL per-key sum with a
+    * positive per-key non-null count is overflow by construction. */
+  private def guardPerKeySum(perKey: DataFrame): DataFrame = {
+    val st = perKey.schema("__rf_s").dataType.sql
+    perKey.withColumn("__rf_s", expr(
+      "CASE WHEN __rf_s IS NULL AND __rf_nn > 0 THEN " +
+        s"CAST(raise_error('RangeFrames: a per-key sum overflowed its " +
+        s"decimal precision; its contribution would be silently dropped " +
+        s"from the prefix sums') AS $st) ELSE __rf_s END"))
+  }
+
   /** Appends `outCnt` = `count(*) OVER (ORDER BY keyCol RANGE BETWEEN
     * lo PRECEDING AND hi FOLLOWING)` and `outSum` = `sum(valCol) OVER
     * (same frame)` to `df`. `keyCol` must be integral (LONG-compatible)
@@ -64,7 +95,7 @@ object RangeFrames {
 
     // global prefix sums over keys — partition-less ROWS windows,
     // distributed (stacked over ONE range shuffle) by the rewrite
-    val prefix = perKey.selectExpr("__rf_k",
+    val prefix = guardPerKeySum(perKey).selectExpr("__rf_k",
       "CAST(sum(__rf_cnt) OVER (ORDER BY __rf_k ROWS BETWEEN UNBOUNDED" +
         " PRECEDING AND CURRENT ROW) AS BIGINT) AS __rf_cc",
       "CAST(sum(__rf_nn) OVER (ORDER BY __rf_k ROWS BETWEEN UNBOUNDED" +
@@ -74,7 +105,8 @@ object RangeFrames {
     val sType = prefix.schema("__rf_cs").dataType.sql
 
     val base = prefix.selectExpr("__rf_k AS __rf_pos", "0 AS __rf_side",
-      "CAST(NULL AS BIGINT) AS __rf_probe", "__rf_cc", "__rf_cn", "__rf_cs")
+      "CAST(NULL AS BIGINT) AS __rf_probe", "__rf_cc", "__rf_cn",
+      guardedPrefix(sType))
     def probe(side: Int, off: Long) = perKey.selectExpr(
       s"__rf_k + ${off}L AS __rf_pos", s"$side AS __rf_side",
       "__rf_k AS __rf_probe", "CAST(NULL AS BIGINT) AS __rf_cc",
@@ -141,7 +173,7 @@ object RangeFrames {
       sum(col(valCol)).as("__rf_s"))
     val perProbe = probes.select(col(probeKey).as("__rf_p")).distinct()
 
-    val prefix = perKey.selectExpr("__rf_k",
+    val prefix = guardPerKeySum(perKey).selectExpr("__rf_k",
       "CAST(sum(__rf_cnt) OVER (ORDER BY __rf_k ROWS BETWEEN UNBOUNDED" +
         " PRECEDING AND CURRENT ROW) AS BIGINT) AS __rf_cc",
       "CAST(sum(__rf_nn) OVER (ORDER BY __rf_k ROWS BETWEEN UNBOUNDED" +
@@ -151,7 +183,8 @@ object RangeFrames {
     val sType = prefix.schema("__rf_cs").dataType.sql
 
     val base = prefix.selectExpr("__rf_k AS __rf_pos", "0 AS __rf_side",
-      "CAST(NULL AS BIGINT) AS __rf_probe", "__rf_cc", "__rf_cn", "__rf_cs")
+      "CAST(NULL AS BIGINT) AS __rf_probe", "__rf_cc", "__rf_cn",
+      guardedPrefix(sType))
     def probe(side: Int, off: Long) = perProbe.selectExpr(
       s"__rf_p + ${off}L AS __rf_pos", s"$side AS __rf_side",
       "__rf_p AS __rf_probe", "CAST(NULL AS BIGINT) AS __rf_cc",

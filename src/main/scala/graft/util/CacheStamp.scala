@@ -68,14 +68,29 @@ object CacheStamp {
     * A marker from any other version (including the pre-r19 empty
     * markers) means every byte in its parent directory is suspect, so
     * the directory is wiped before returning false — the caller's
-    * build path then runs against a cold cache. */
+    * build path then runs against a cold cache.
+    *
+    * Cross-PROCESS safety (ADVICE r19): the wipe/rebuild sequence is
+    * serialized against other gate JVMs sharing the cache root via an
+    * exclusive OS file lock kept OUTSIDE the wiped directory
+    * (`<root>/<dir>.lock`). The fast path (marker already valid) takes
+    * no lock; on a miss the lock is acquired BEFORE wiping — blocking
+    * until any concurrent rebuild of the same fixture finishes — the
+    * marker is re-checked (the peer may have just built it), and on a
+    * confirmed miss the lock is HELD through the caller's build until
+    * [[write]] releases it. Two same-version JVMs (e.g. Bench and
+    * Verify launched together against a stale cache) therefore rebuild
+    * once, sequentially, instead of wiping each other's half-built
+    * fixtures. (Two DIFFERENT code versions sharing a root stay
+    * unserializable at the read level — one's valid() is the other's
+    * stale — and remain out of scope; gate runs are same-version.)
+    * A build that dies before write() leaves the lock to be released
+    * by JVM exit, so no deadlock outlives the crashed process. */
   def valid(marker: File): Boolean = {
-    if (!marker.exists()) false
+    if (stampMatches(marker)) { release(marker); true }
     else {
-      val content =
-        try new String(Files.readAllBytes(marker.toPath), "UTF-8")
-        catch { case _: Exception => "" }
-      if (content == stamp) true
+      acquire(marker)
+      if (stampMatches(marker)) { release(marker); true }
       else {
         rmrf(marker.getParentFile)
         false
@@ -85,7 +100,8 @@ object CacheStamp {
 
   /** Write the marker with the current stamp, via temp file + atomic
     * rename: a crash mid-write can never leave a marker whose content
-    * accidentally equals a real stamp. */
+    * accidentally equals a real stamp. Releases the cross-process
+    * rebuild lock [[valid]] acquired on the miss path. */
   def write(marker: File): Unit = {
     val dir = marker.getParentFile
     if (dir != null) dir.mkdirs()
@@ -93,6 +109,46 @@ object CacheStamp {
     Files.write(tmp.toPath, stamp.getBytes("UTF-8"))
     Files.move(tmp.toPath, marker.toPath,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    release(marker)
+  }
+
+  private def stampMatches(marker: File): Boolean =
+    marker.exists() && {
+      (try new String(Files.readAllBytes(marker.toPath), "UTF-8")
+       catch { case _: Exception => "" }) == stamp
+    }
+
+  /** One lock file per cached directory, OUTSIDE it so the wipe cannot
+    * delete a held lock: `/tmp/cache_root/<dir>.lock` guards
+    * `/tmp/cache_root/<dir>/`. In-JVM reentrancy is tracked in [[held]]
+    * (callers already hold their per-object monitor, but valid() can
+    * legitimately run again on the same marker after a failed build). */
+  private val held = scala.collection.mutable.HashMap[
+    String, (java.io.RandomAccessFile, java.nio.channels.FileLock)]()
+
+  private def lockFile(marker: File): File = {
+    val dir = marker.getParentFile
+    val root = if (dir == null) null else dir.getParentFile
+    if (dir == null) new File(marker.getName + ".lock")
+    else if (root == null) new File(dir.getName + ".lock")
+    else new File(root, dir.getName + ".lock")
+  }
+
+  private def acquire(marker: File): Unit = held.synchronized {
+    val lf = lockFile(marker)
+    val key = lf.getAbsolutePath
+    if (!held.contains(key)) {
+      if (lf.getParentFile != null) lf.getParentFile.mkdirs()
+      val raf = new java.io.RandomAccessFile(lf, "rw")
+      held(key) = (raf, raf.getChannel.lock())
+    }
+  }
+
+  private def release(marker: File): Unit = held.synchronized {
+    held.remove(lockFile(marker).getAbsolutePath).foreach { case (raf, l) =>
+      try l.release() catch { case _: Exception => () }
+      try raf.close() catch { case _: Exception => () }
+    }
   }
 
   private def rmrf(f: File): Unit = {

@@ -67,6 +67,34 @@ class CacheStampSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Files.readString(marker.toPath) == CacheStamp.stamp)
   }
 
+  test("miss path holds the cross-process rebuild lock until write()") {
+    build()
+    Files.writeString(marker.toPath, "stamp-from-a-previous-round")
+    graft.queries.FlsQueries.forgetMemo()
+    assert(!CacheStamp.valid(marker), "stale stamp must miss")
+    val lockFile = new File(cacheDir.getParentFile, cacheDir.getName + ".lock")
+    assert(lockFile.exists(), "miss must create the lock file outside the dir")
+    val raf = new java.io.RandomAccessFile(lockFile, "rw")
+    try {
+      // our own JVM holds it -> an independent channel cannot
+      intercept[java.nio.channels.OverlappingFileLockException] {
+        raf.getChannel.tryLock()
+      }
+    } finally raf.close()
+    CacheStamp.write(marker)
+    val raf2 = new java.io.RandomAccessFile(lockFile, "rw")
+    try {
+      val l = raf2.getChannel.tryLock()
+      assert(l != null, "write() must release the rebuild lock")
+      l.release()
+    } finally raf2.close()
+    // the miss above wiped the fixture dir; drop the blessing marker so
+    // the next build rebuilds from source instead of reusing emptiness
+    marker.delete()
+    graft.queries.FlsQueries.forgetMemo()
+    assert(build().count() == 100)
+  }
+
   test("a pre-r19 empty marker also forces rebuild") {
     build()
     val sentinel = new File(cacheDir, "sentinel_empty")
