@@ -191,7 +191,7 @@ class IntervalAggRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("deliberate non-firing: extra conjunct, distinct agg, avg, " +
-      "decimal sum, grouping spanning both sides") {
+      "double sum, grouping spanning both sides") {
     val s = probes(31L, 60)
     val e = carriers(32L, 100)
     def band = e("c") >= s("p") - 10L && e("c") <= s("p") + 10L
@@ -201,7 +201,7 @@ class IntervalAggRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       s.join(e, band).groupBy("grp").agg(countDistinct(col("v"))),
       s.join(e, band).groupBy("grp").agg(avg(col("v"))),
       s.join(e, band).groupBy("grp")
-        .agg(sum(col("v").cast("decimal(20,2)"))),
+        .agg(sum(col("v").cast("double"))), // not a ring, not a decimal
       s.join(e, band).groupBy(s("grp"), e("v")).agg(count(lit(1))))
     plans.zipWithIndex.foreach { case (df, i) =>
       val p = df.queryExecution.executedPlan.toString
@@ -209,5 +209,78 @@ class IntervalAggRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"guard $i should have kept the join plan:\n$p")
       df.collect() // and the stock/bucketed plan still runs
     }
+  }
+
+  test("decimal sums fire (limb channel) and match the pair plan bit " +
+      "for bit: long-backed scales and a wide declaration") {
+    val s = probes(41L, 160)
+    val e0 = carriers(42L, 400)
+    Seq("decimal(20,2)", "decimal(9,3)", "decimal(25,6)").foreach { t =>
+      val e = e0.withColumn("dv", (col("v") / 8).cast(t))
+      def q = s.join(e, e("c") >= s("p") - 15L && e("c") <= s("p") + 15L)
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum(col("dv")).as("sv"),
+          count(col("dv")).as("nn"))
+      val (want, got, plan) = offOn(q)
+      assert(got == want, s"$t mismatch: got $got want $want")
+      assert(plan.contains("GlobalRunningSum"), s"$t did not fire:\n$plan")
+    }
+  }
+
+  test("mixed long + decimal channels ride one sweep together") {
+    val s = probes(43L, 120)
+    val e = carriers(44L, 300)
+      .withColumn("dv", (col("v") / 4).cast("decimal(22,4)"))
+    def q = s.join(e, e("c") >= s("p") - 12L && e("c") <= s("p") + 12L)
+      .groupBy("grp").agg(sum(col("v")).as("sl"), sum(col("dv")).as("sd"),
+        count(lit(1)).as("n"))
+    val (want, got, plan) = offOn(q)
+    assert(got == want)
+    assert(plan.contains("GlobalRunningSum"), s"did not fire:\n$plan")
+  }
+
+  test("a >18-digit decimal value aborts loudly instead of riding " +
+      "the limbs with dropped bits") {
+    val sp = spark
+    import sp.implicits._
+    val s = Seq((1L, 5L, 0)).toDF("pid", "p", "grp")
+    val e = Seq(("1.5"), ("3000000000000.5")) // 3e12 needs > 18 digits at scale 6
+      .toDF("raw").select(lit(5L).as("c"),
+        col("raw").cast("decimal(25,6)").as("dv"))
+    def q = s.join(e, e("c") >= s("p") - 2L && e("c") <= s("p") + 2L)
+      .groupBy("grp").agg(sum(col("dv")).as("sv"))
+    assert(q.queryExecution.executedPlan.toString.contains("GlobalRunningSum"))
+    val ex = intercept[Exception] { q.collect() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("18 digits"), msgs(ex))
+  }
+
+  test("a per-key unscaled sum past 2^60 aborts loudly") {
+    val sp = spark
+    import sp.implicits._
+    val s = Seq((1L, 5L, 0)).toDF("pid", "p", "grp")
+    val e = Seq("800000000000.5", "800000000000.5") // 2 x 8e17 unscaled at one key
+      .toDF("raw").select(lit(5L).as("c"),
+        col("raw").cast("decimal(25,6)").as("dv"))
+    def q = s.join(e, e("c") >= s("p") - 2L && e("c") <= s("p") + 2L)
+      .groupBy("grp").agg(sum(col("dv")).as("sv"))
+    assert(q.queryExecution.executedPlan.toString.contains("GlobalRunningSum"))
+    val ex = intercept[Exception] { q.collect() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(ex).contains("2^60"), msgs(ex))
+  }
+
+  test("negative decimal values keep the limb split exact (signed l2)") {
+    val sp = spark
+    import sp.implicits._
+    val s = probes(45L, 80)
+    val e = carriers(46L, 200)
+      .withColumn("dv", (col("v") - 50L).cast("decimal(18,6)"))
+    def q = s.join(e, e("c") >= s("p") - 9L && e("c") <= s("p") + 9L)
+      .groupBy("grp").agg(sum(col("dv")).as("sv"), count(col("dv")).as("nn"))
+    val (want, got, plan) = offOn(q)
+    assert(got == want)
+    assert(plan.contains("GlobalRunningSum"), s"did not fire:\n$plan")
   }
 }
