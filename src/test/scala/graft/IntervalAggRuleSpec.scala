@@ -190,6 +190,24 @@ class IntervalAggRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() > 0)
   }
 
+  test("the q88 gate (decimal money sum) now fires the sweep, and the " +
+      "q131 gate (max/min) keeps the bucketed overlap join") {
+    val q88 = graft.queries.Joins.q88AutoIntervalOverlap(
+      spark, "/root/testdata/sf0.001")
+    val p88 = q88.queryExecution.executedPlan.toString
+    assert(p88.contains("GlobalRunningSum"),
+      s"q88's decimal sum should ride the limb sweep:\n${p88.take(4000)}")
+    assert(q88.count() > 0)
+    val q131 = graft.queries.Joins.q131IntervalOverlapJoin(
+      spark, "/root/testdata/sf0.001")
+    val p131 = q131.queryExecution.executedPlan.toString
+    assert(!p131.contains("GlobalRunningSum"),
+      s"q131's max/min must not sweep:\n${p131.take(4000)}")
+    assert(p131.contains("__graft_rj_lb"),
+      s"q131 should plan as the bucketed overlap join:\n${p131.take(4000)}")
+    assert(q131.count() > 0)
+  }
+
   test("deliberate non-firing: extra conjunct, distinct agg, avg, " +
       "double sum, grouping spanning both sides") {
     val s = probes(31L, 60)
