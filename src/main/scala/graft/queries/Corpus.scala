@@ -403,11 +403,21 @@ object Corpus {
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) >= 3)
+    // ONE corpus explode (r20): tf is already distinct on
+    // (doc_id, token), so doclen = Σ tf per doc (total qualifying
+    // tokens — identical to counting `terms` rows per doc) and
+    // df = tf rows per token (distinct docs containing it — identical
+    // to the former distinct+count). The former three independent
+    // explode+aggregate passes over the corpus collapse into one
+    // map-side-combined aggregate; doclen rides the SAME per-doc
+    // window partitioning the top-1 rank needs, so no doclen join
+    // exists at all. Integer arithmetic unchanged → bit-identical
+    // weights and output (oracle-verified).
     val tf = terms.groupBy("doc_id", "lang", "token").agg(count(lit(1)).as("tf"))
-    val doclen = terms.groupBy("doc_id").agg(count(lit(1)).as("len"))
-    val dfreq = terms.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
-    val w = tf.join(doclen, Seq("doc_id")).join(dfreq, Seq("token"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = tf
+      .withColumn("len", sum(col("tf")).over(Window.partitionBy("doc_id")))
+      .join(dfreq, Seq("token"))
       .withColumn("weight",
         (col("tf") * lit(n)) / (col("len") * col("df")))
     val top1 = w.withColumn("rn", row_number().over(

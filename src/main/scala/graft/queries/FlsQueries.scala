@@ -283,10 +283,12 @@ object FlsQueries {
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("o_totalprice")))).as("total"))
     val name = s"q42mem${System.nanoTime()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    Streaming.withStatefulParts(spark, out) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     // detach the result from the memory-sink view so repeated
     // invocations (bench passes) don't accumulate catalog entries
     val res = spark.table(name).orderBy("o_orderstatus")
@@ -1956,10 +1958,12 @@ object FlsQueries {
       .agg(count(lit(1)).as("n"), dbl(sum(d6w(col("c_acctbal")))).as("bal"),
         sum(col("c_custkey")).as("sumk"))
     val name = s"q122mem${System.nanoTime()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    Streaming.withStatefulParts(spark, path) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     val res = spark.table(name).orderBy("c_mktsegment")
     // bounded driver copy: per-segment grouped rows (5 at any sf),
     // detached from the memory-sink view before it drops

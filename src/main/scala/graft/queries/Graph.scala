@@ -23,11 +23,19 @@ object Graph {
     * the driver but the per-round convergence accumulators. The oracle
     * computes the identical closure with a recursive CTE. */
   def q70DedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    // Star edges to each block's min doc_id via groupBy-min + join back
+    // (r20): the former min-over-window pair shuffled AND sorted the
+    // whole docs table twice; the aggregate form computes block minima
+    // with map-side partial min (shuffling one row per block) and the
+    // join back broadcasts the tiny minima table (AQE sizes it at
+    // runtime — no forced hint, so a pathological block count degrades
+    // to a shuffle join instead of an OOM). Same edges, no corpus sort.
     val d = t(spark, dir, "documents").select("doc_id", "lang", "source", "n_chars")
-    val w1 = Window.partitionBy(col("lang"), col("source"))
-    val w2 = Window.partitionBy(col("lang"), expr("n_chars DIV 64"))
-    val b1 = d.select(col("doc_id").as("a"), min("doc_id").over(w1).as("b"))
-    val b2 = d.select(col("doc_id").as("a"), min("doc_id").over(w2).as("b"))
+    val d2 = d.withColumn("band", expr("n_chars DIV 64"))
+    val m1 = d.groupBy("lang", "source").agg(min("doc_id").as("b"))
+    val m2 = d2.groupBy("lang", "band").agg(min("doc_id").as("b"))
+    val b1 = d.join(m1, Seq("lang", "source")).select(col("doc_id").as("a"), col("b"))
+    val b2 = d2.join(m2, Seq("lang", "band")).select(col("doc_id").as("a"), col("b"))
     val e0 = b1.union(b2).filter(col("a") =!= col("b")).distinct()
     val labels = connectedComponents(
       d.select(col("doc_id").as("node")), e0)
@@ -93,18 +101,28 @@ object Graph {
     var converged = prevRows == 0
     var iter = 0
     while (!converged) {
+      // Broadcast dispatch (r20): a checkpointed round carries no
+      // stats, so every in-loop join otherwise plans sort-merge —
+      // shuffle + sort per join per round over what is usually a tiny
+      // contracted edge set. prevRows is the EXACT cardinality of `e`
+      // (accumulator on the round's materialization), and every
+      // build side below is bounded by ~2·|e| rows, so under a 64 MiB
+      // framed ceiling the min-tables and the convergence probe
+      // broadcast; past it the scale-safe shuffle joins stay.
+      val small = prevRows * 48 <= (64L << 20)
+      def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
       // large-star: for each node u, point every neighbor v > u at
       // m = min(N(u) ∪ {u}). Each canonical edge is seen from its
       // smaller endpoint; output stays canonical (v > u ≥ m).
       val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       val lsMin = sym.groupBy("a").agg(min(col("b")).as("mn"))
         .select(col("a"), least(col("a"), col("mn")).as("m"))
-      val ls = sym.join(lsMin, "a").where(col("b") > col("a"))
+      val ls = sym.join(maybeB(lsMin), "a").where(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
       // small-star: for each node u (edges now all point down), point
       // u and its non-min neighbors at m = min(N(u) ∪ {u}) = min(b).
       val ssMin = ls.groupBy("a").agg(min(col("b")).as("m"))
-      val ss = ls.join(ssMin, "a").where(col("b") =!= col("m"))
+      val ss = ls.join(maybeB(ssMin), "a").where(col("b") =!= col("m"))
         .select(col("b").as("a"), col("m").as("b"))
         .union(ssMin.select(col("a"), col("m").as("b")))
         .distinct()
@@ -112,7 +130,8 @@ object Graph {
       // the previous round (accNew) and the same cardinality (accRows)
       val accNew = spark.sparkContext.longAccumulator(s"graft-cc-new-$iter")
       val accRows = spark.sparkContext.longAccumulator(s"graft-cc-rows-$iter")
-      val marked = ss.join(e.withColumn("__old", lit(1)), Seq("a", "b"), "left_outer")
+      val marked = ss.join(maybeB(e.withColumn("__old", lit(1))),
+        Seq("a", "b"), "left_outer")
       val outSchema = org.apache.spark.sql.types.StructType(marked.schema.take(2))
       val next = marked.mapPartitions { it =>
         it.map { r =>
@@ -127,8 +146,16 @@ object Graph {
       iter += 1
     }
     lastRounds = iter
-    // fixpoint is a star forest rooted at each component's min node
-    nodes.join(e, nodes("node") === e("a"), "left")
+    // fixpoint is a star forest rooted at each component's min node.
+    // The star side's cardinality is KNOWN exactly (prevRows, from the
+    // accumulator that rode the final checkpoint) — a localCheckpoint'd
+    // frame otherwise carries no stats and the planner falls back to a
+    // sort-merge join that shuffles and sorts every node (r20: the q70
+    // plan showed exactly that). Below ~64 MiB of framed edges (24 B a
+    // row, conservatively), broadcast the stars; past it, keep the
+    // scale-safe shuffle join.
+    val eSide = if (prevRows * 24 <= (64L << 20)) broadcast(e) else e
+    nodes.join(eSide, nodes("node") === eSide("a"), "left")
       .select(nodes("node"), coalesce(col("b"), nodes("node")).as("label"))
   }
 

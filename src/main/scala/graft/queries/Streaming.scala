@@ -20,6 +20,37 @@ object Streaming {
 
   private val memSeq = new AtomicInteger(0)
 
+  /** Scale-adaptive STATEFUL-shuffle sizing, shared by every stateful
+    * stream here (r20 — generalizing q92's r19 measurement): a stateful
+    * operator opens one state store per shuffle partition, each with
+    * fixed per-micro-batch checkpoint cost, so at small inputs extra
+    * partitions are pure overhead (q92 at sf0.1: 32 parts = 9.3 s vs
+    * 8 parts = 3.4 s) while too few serialize state writes at scale
+    * (q92 at 128×: 8 parts = 630 s vs 32 parts = 220 s). Size from the
+    * SOURCE volume — ~8 MiB of input per partition, floored at 8,
+    * capped at the session's parallelism — the same decision a
+    * deployment makes before the FIRST start (the value is
+    * checkpointed for the life of a streaming query). */
+  private[queries] def statefulParts(spark: SparkSession, srcPath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val srcBytes = fs.getContentSummary(p).getLength
+    val cpus = spark.sparkContext.defaultParallelism
+    math.max(8L, math.min(cpus.toLong, srcBytes / (8L << 20)))
+  }
+
+  /** Runs `body` with `spark.sql.shuffle.partitions` pinned to
+    * [[statefulParts]] of the source, restoring the previous value —
+    * the streaming query must START (plan its stateful shuffle) inside
+    * `body`; the conf is irrelevant once the checkpoint exists. */
+  private[queries] def withStatefulParts[T](spark: SparkSession,
+      srcPath: String)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      statefulParts(spark, srcPath).toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def rmrf(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
     f.delete(): Unit
@@ -68,9 +99,11 @@ object Streaming {
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n_events"), col("sum_value"))
     val name = s"q32mem${memSeq.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatefulParts(spark, s"$dir/events.parquet") {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("hour_ts", "event_type")
   }
 
@@ -249,9 +282,11 @@ object Streaming {
           fn(uid, it, state)
       }
     val name = s"q35mem${memSeq.incrementAndGet()}"
-    val q = finals.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatefulParts(spark, s"$dir/events.parquet") {
+      val q = finals.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("user_id")
   }
 
@@ -404,9 +439,11 @@ object Streaming {
           fn(uid, it.map(e => Ev(e.user_id, e.event_id, e.ts_us)), state)
       }
     val name = s"q37mem${memSeq.incrementAndGet()}"
-    val q = sessions.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatefulParts(spark, s"$dir/events.parquet") {
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("user_id", "session_idx")
   }
 
@@ -425,9 +462,11 @@ object Streaming {
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
     val name = s"q65mem${memSeq.incrementAndGet()}"
-    val q = deduped.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatefulParts(spark, s"$dir/events.parquet") {
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_users"))
