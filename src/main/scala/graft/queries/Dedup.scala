@@ -87,6 +87,7 @@ object Dedup {
     simCache.clearAll()
     sigCache.clearAll()
     blkCache.clearAll()
+    IncrementalDedup.unpersistAll()
   }
 
   private def shingled(spark: SparkSession, dir: String): DataFrame =

@@ -206,10 +206,28 @@ object IncrementalDedup {
     * member expansion against the documents table. The signature
     * sweep — the corpus-sized cost center — reads narrow persisted
     * rows instead of re-shingling the world. */
+  /** Distinct-set signature frame, persisted per (cacheKey, sig-table
+    * version) (r20): the bucket self-join reads it on BOTH sides, and
+    * without the cache each side re-reads the fls table and re-runs
+    * the distinct — the exact double-pay q22 eliminated with its
+    * sigCache. 17 narrow columns per distinct set, cacheable at any
+    * corpus size. The cache key carries [[cursorOf]] (a zero-job
+    * manifest-stats read), so a refresh() that advances the signature
+    * table can NEVER be served stale cached signatures — the new
+    * version simply builds a new entry. */
+  private val sigServeCache = new graft.util.SessionCache
+
+  /** Releases the serving cache — wired into [[Dedup.unpersistAll]] so
+    * the sweep's between-pass release covers this frame too. */
+  def unpersistAll(): Unit = sigServeCache.clearAll()
+
   def nearDupsFromSignatures(spark: SparkSession, docsDir: String,
       sigDir: String, cacheKey: String): DataFrame = {
-    val sig = spark.read.format("fls").load(sigDir)
-      .dropDuplicates("ghash")
+    val sig = sigServeCache.getOrBuild(spark,
+        s"$cacheKey#sig@${cursorOf(spark, sigDir)}")(
+      spark.read.format("fls").load(sigDir)
+        .dropDuplicates("ghash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val buckets = sig.select(col("ghash"),
       posexplode(array((0 until 16).map(k => col(s"m$k")): _*)).as(Seq("slot", "mh")))
     val cand = buckets.select(col("ghash").as("gh_a"), col("slot"), col("mh"))
