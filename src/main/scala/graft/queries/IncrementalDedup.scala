@@ -228,6 +228,16 @@ object IncrementalDedup {
       spark.read.format("fls").load(sigDir)
         .dropDuplicates("ghash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // the doc-side shingle/group caches are version-keyed the same way
+    // (manifest head of the DOCS table, zero-job): a serve after an
+    // append builds fresh frames instead of replaying the old corpus —
+    // same-version serves (bench passes, repeated queries) still hit
+    val docsVer = {
+      val root = new Path(docsDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      FlsManifest.readVersioned(fs, root).map(_._1).getOrElse(0L)
+    }
+    val docCacheKey = s"$cacheKey@$docsVer"
     val buckets = sig.select(col("ghash"),
       posexplode(array((0 until 16).map(k => col(s"m$k")): _*)).as(Seq("slot", "mh")))
     val cand = buckets.select(col("ghash").as("gh_a"), col("slot"), col("mh"))
@@ -240,7 +250,7 @@ object IncrementalDedup {
       .select("gh_a", "gh_b")
     val docs = spark.read.format("fls").load(docsDir)
       .select(col("doc_id"), col("text"))
-    val sh = Dedup.shingledFrom(spark, cacheKey, docs)
-    Dedup.verifyAndExpandFrom(cand, sh, Dedup.groupsFrom(spark, cacheKey, sh))
+    val sh = Dedup.shingledFrom(spark, docCacheKey, docs)
+    Dedup.verifyAndExpandFrom(cand, sh, Dedup.groupsFrom(spark, docCacheKey, sh))
   }
 }

@@ -31,7 +31,7 @@ object Streaming {
     * capped at the session's parallelism — the same decision a
     * deployment makes before the FIRST start (the value is
     * checkpointed for the life of a streaming query). */
-  private[queries] def statefulParts(spark: SparkSession, srcPath: String): Long = {
+  private[graft] def statefulParts(spark: SparkSession, srcPath: String): Long = {
     val p = new org.apache.hadoop.fs.Path(srcPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val srcBytes = fs.getContentSummary(p).getLength
@@ -43,7 +43,7 @@ object Streaming {
     * [[statefulParts]] of the source, restoring the previous value —
     * the streaming query must START (plan its stateful shuffle) inside
     * `body`; the conf is irrelevant once the checkpoint exists. */
-  private[queries] def withStatefulParts[T](spark: SparkSession,
+  private[graft] def withStatefulParts[T](spark: SparkSession,
       srcPath: String)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",

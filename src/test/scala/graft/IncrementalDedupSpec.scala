@@ -100,6 +100,32 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSigs == viaQ22)
   }
 
+  test("the serving cache is version-keyed: a refresh that advances " +
+      "the signature table is never served a stale cached frame") {
+    val dDir = s"$tmp/docs_vk"
+    val gDir = s"$tmp/sigs_vk"
+    docs().filter(col("doc_id") % 5 < 4).write.format("fls")
+      .mode("overwrite").option("commit_mode", "manifest").save(dDir)
+    IncrementalDedup.refresh(spark, dDir, gDir)
+    // first serve fills the r20 per-(key, version) persisted cache
+    val before = IncrementalDedup
+      .nearDupsFromSignatures(spark, dDir, gDir, cacheKey = s"$tmp#stale")
+      .collect().toSeq
+    // append the held-out docs and refresh: the table version advances
+    docs().filter(col("doc_id") % 5 === 4).write.format("fls")
+      .mode("append").option("commit_mode", "manifest").save(dDir)
+    IncrementalDedup.refresh(spark, dDir, gDir)
+    // same cacheKey: a version-blind cache would replay `before`
+    val after = IncrementalDedup
+      .nearDupsFromSignatures(spark, dDir, gDir, cacheKey = s"$tmp#stale")
+      .collect().toSeq
+    val full = Dedup.q22MinhashLsh(spark, sf).collect().toSeq
+    assert(after == full,
+      "post-refresh serve does not match the full-corpus result — " +
+        "stale cached signatures were served")
+    assert(before != after, "test vacuous: the append changed nothing")
+  }
+
   test("a non-append-only range refuses loudly; rebuild() recovers") {
     val dDir = s"$tmp/docs2"
     val gDir = s"$tmp/sigs2"
