@@ -46,6 +46,7 @@ object Harness {
   def benchAll(spark: SparkSession,
       queries: Map[String, (SparkSession, String) => DataFrame],
       sfDir: String): (Map[String, Double], Map[String, String]) = {
+    captureRuntime(spark)
     val errors = scala.collection.mutable.Map[String, String]()
     val ok = queries.flatMap { case (name, fn) =>
       try { fn(spark, sfDir).count(); Some(name -> fn) }
@@ -111,6 +112,22 @@ object Harness {
   /** The one JSON line Bench prints. Failed queries appear ONLY under
     * "errors" — never as a time — so the artifact itself shows the
     * breakage (ADVICE r9: annotate in the artifact, not just VERDICT). */
+  /** The core count and master string the benched session was actually
+    * built with — emitted into both JSON shapes (r21, VERDICT r20 #2:
+    * the driver's scaling check could not VERIFY that the bench honored
+    * `$SPARK_GRAFT_CPUS` because the line never said what it ran with;
+    * `suspect_cpus_ignored` fired on a bench that demonstrably honored
+    * it). Captured from the LIVE SparkContext inside [[benchAll]] — not
+    * from the env var (the field must report ground truth), and not at
+    * emit time (Bench stops the session before printing so shutdown
+    * stacks cannot interleave with the JSON line). */
+  @volatile private var runtimeFields: String =
+    """"cpus":-1,"master":"bench-never-ran""""
+
+  private def captureRuntime(spark: SparkSession): Unit =
+    runtimeFields = s""""cpus":${spark.sparkContext.defaultParallelism},""" +
+      s""""master":${jq(spark.sparkContext.master)}"""
+
   def benchJson(times: Map[String, Double], errors: Map[String, String],
       sfDir: String): String = {
     val qs = times.toSeq.sortBy(_._1)
@@ -120,7 +137,7 @@ object Harness {
     val spreads = benchSpreads.toSeq.sortBy(_._1)
       .map { case (k, v) => f"${jq(k)}:$v%.4f" }.mkString("{", ",", "}")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-      s""","queries_spread":$spreads""" +
+      s""","queries_spread":$spreads,$runtimeFields""" +
       s""","spark_version":"${org.apache.spark.SPARK_VERSION}"$errPart}"""
   }
 
@@ -146,6 +163,7 @@ object Harness {
     f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${times.size},"queries":$top,""" +
       f""""median_spread":$medSpread%.4f,""" +
+      s"""$runtimeFields,""" +
       s""""queries_full":"$fullPath"""" +
       s""","spark_version":"${org.apache.spark.SPARK_VERSION}"$errPart}"""
   }

@@ -81,6 +81,14 @@ object Dedup {
 
   private val sigCache = new graft.util.SessionCache
 
+  /** Keep-latest-only eviction over the doc-side shingle/group caches,
+    * for version-keyed callers ([[IncrementalDedup]] — ADVICE r20). */
+  private[queries] def evictDocCachesExcept(spark: SparkSession,
+      prefix: String, keep: String): Unit = {
+    shCache.evictPrefixExcept(spark, prefix, keep)
+    grCache.evictPrefixExcept(spark, prefix, keep)
+  }
+
   def unpersistAll(): Unit = {
     shCache.clearAll()
     grCache.clearAll()
@@ -409,11 +417,19 @@ object Dedup {
     * 100 TB a `count()` here would be a full scan just to pick a mode)
     * and compares it to the same measured ceiling. An empty or missing
     * corpus estimates ~0 → broadcast path, which degrades gracefully.
-    * The 512 MiB default ceiling = ~2M 64-dim vectors, far inside the
-    * ~5 GiB executor budget the broadcast would die at. */
+    *
+    * Ceiling history: 512 MiB (r8-r20) was a MEMORY bound — where the
+    * broadcast would start to hurt executors. r20's 128× sweep showed
+    * the grid already BEATS broadcast at 256 Ki vectors (281 s vs
+    * 324 s) even with the old row-at-a-time cell loop, and the r21
+    * tiled kernel widens that to ~20×, so the dispatch now switches at
+    * the measured PERFORMANCE crossover instead: 64 MiB estimated
+    * (≈ 32 Ki 64-dim vectors), below which the broadcast's zero-shuffle
+    * constant still wins and above which the cache-tiled grid is
+    * strictly faster AND memory-bounded. */
   def embeddingNearDup(spark: SparkSession, dir: String,
       mode: String = "auto",
-      maxBroadcastBytes: Long = 512L << 20): DataFrame = mode match {
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = mode match {
     case "broadcast" => q24EmbeddingNearDup(spark, dir)
     case "grid" => q43EmbeddingBlocked(spark, dir)
     case "auto" =>
@@ -473,11 +489,21 @@ object Dedup {
     * id only steers DISTRIBUTION; results are block-count-invariant. */
   private val blkCache = new graft.util.SessionCache
 
-  /** Blocks sized ~64 Ki vectors (64-dim doubles ≈ 32 MiB — two blocks
-    * per task stay far inside executor memory); the floor of 8 keeps
-    * small corpora parallel across cores. */
-  private def blockCount(n: Long): Int =
-    math.max(8L, (n + 65535L) / 65536L).toInt
+  /** Blocks sized ~64 Ki vectors max (64-dim doubles ≈ 32 MiB — two
+    * blocks per task stay far inside executor memory), with a floor
+    * that keeps the CELL count well above the shuffle partition count:
+    * `repartition(col("cell"))` hash-partitions the cells, and with
+    * only ~36 cells over 32 partitions the collision skew left 2-3
+    * cells on one task while others idled (guide §2.5 — synthetic
+    * partition keys need 20-100× more distinct values than
+    * partitions). ceil(sqrt(16·parallelism)) blocks ≈ 8·parallelism
+    * cells (B(B+1)/2), enough for the hash to spread evenly; at scale
+    * the memory term dominates and cells are abundant anyway. */
+  private def blockCount(n: Long, parallelism: Int): Int = {
+    val memBlocks = (n + 65535L) / 65536L
+    val balanceBlocks = math.ceil(math.sqrt(16.0 * parallelism)).toLong
+    math.max(math.max(8L, balanceBlocks), memBlocks).toInt
+  }
 
   /** q43: the SCALE form of exact embedding near-dup — identical
     * semantics and oracle as q24, different physical shape. Instead of
@@ -502,7 +528,7 @@ object Dedup {
     val blocked = blkCache.getOrBuild(spark, dir)({
       val base = t(spark, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val b = blockCount(base.count())
+      val b = blockCount(base.count(), spark.sparkContext.defaultParallelism)
       base
         .withColumn("nr", sqrt(GraftFunctions.arrayDot(col("v"), col("v"))))
         .withColumn("blk", pmod(hash(col("vec_id")), lit(b)))
@@ -531,9 +557,17 @@ object Dedup {
     // arrays; the inner loop is pure multiply-add in the exact
     // accumulation order of GraftFunctions.arrayDot, so results stay
     // bitwise identical to q24's broadcast plan.)
+    // 8 × parallelism partitions, NOT the session shuffle default
+    // (r21): blockCount guarantees ≥ ~8·parallelism cells, and hashing
+    // them into only `parallelism` partitions left 2-3 cells on one
+    // task while others idled (guide §2.5 — measured 19/32 cores busy
+    // at 128×). One task ≈ one cell also makes the within-partition
+    // sort near-free (it was spilling 3.4 GB when every partition
+    // held ~9 cells). At corpus scale cells ≫ partitions again and the
+    // streaming loader keeps per-task memory at ONE cell regardless.
     val pairs = a.union(b)
-      .repartition(col("cell"))
-      .sortWithinPartitions("cell", "side")
+      .repartition(8 * spark.sparkContext.defaultParallelism, col("cell"))
+      .sortWithinPartitions("cell")
       .as[(Long, Int, Int, Long, Array[Double], Double)]
       .mapPartitions(cellBlockLoop(0.45))
     pairs.toDF("vec_a", "vec_b", "cos")
@@ -541,35 +575,63 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Streaming per-cell block nested loop over `(cell, side, blk,
-    * vec_id, v, nr)` rows sorted by (cell, side): buffer ONE cell's two
-    * blocks (bounded: two ~64Ki-vector blocks ≈ 64 MiB), emit
-    * thresholded cosine pairs lazily, move on. Cross-block cells pair
-    * everything (one orientation exists by grid construction);
-    * diagonal cells keep `id_a < id_b`. Pairs emit as
-    * (min id, max id, cos) — the same normalization the SQL plan's
-    * least/greatest applied. */
+  /** Per-cell block nested loop over `(cell, side, blk, vec_id, v, nr)`
+    * rows sorted by cell: buffer ONE cell's two blocks (bounded:
+    * two ~64Ki-vector blocks ≈ 64 MiB) into FLAT primitive arrays, run a
+    * cache-tiled dot-product sweep, emit thresholded cosine pairs, move
+    * on. Two per-task-work fixes over the r8 row-at-a-time loop (guide
+    * §1.2 step 2), measured 281 s → tens of s at 128×:
+    *
+    *  - MEMORY: the naive j-inner loop re-streamed the whole b-block
+    *    (~MBs, far past L2) from DRAM for every a-row — at 256 Ki
+    *    vectors that is ~16 TB of traffic, the measured wall. Tiling j
+    *    into [[TileJ]]-row blocks (64-dim doubles ≈ 128 KiB, L2-resident
+    *    across the whole i sweep) cuts DRAM traffic by ~TileJ×.
+    *  - LATENCY: `s += a(k)*b(k)` is one serial FP-add dependency chain
+    *    (~4 cycles/element). Four pairs advance together, each with its
+    *    OWN accumulator, so four independent chains fill the pipeline.
+    *
+    * Results stay bitwise identical to the broadcast plan: each dot
+    * product still accumulates in the exact k = 0..d-1 order of
+    * GraftFunctions.arrayDot (the unroll never reassociates a single
+    * sum — it interleaves independent sums), and element multiplication
+    * commutes bitwise, so diagonal cells may read both operands from
+    * the side-0 buffer. Cross-block cells pair everything (one
+    * orientation exists by grid construction); diagonal cells sweep the
+    * strict upper triangle of the side-0 block (each unordered pair
+    * once — the side-1 copy is ignored). Pairs emit as
+    * (min id, max id, cos), the normalization the SQL plan's
+    * least/greatest applied. Matches are buffered per cell — output is
+    * a thresholded NEAR-DUP set, sparse by definition (and the prior
+    * shape buffered the same blocks, so peak memory is unchanged). */
+  private val TileJ = 256
+
+  private def flatRows(vs: scala.collection.mutable.ArrayBuffer[Array[Double]],
+      d: Int): Array[Double] = {
+    val out = new Array[Double](vs.length * d)
+    var i = 0
+    while (i < vs.length) { System.arraycopy(vs(i), 0, out, i * d, d); i += 1 }
+    out
+  }
+
   private def cellBlockLoop(threshold: Double)(
       rows: Iterator[(Long, Int, Int, Long, Array[Double], Double)])
-      : Iterator[(Long, Long, Double)] =
+      : Iterator[(Long, Long, Double)] = {
+    val in = rows.buffered
     new scala.collection.AbstractIterator[(Long, Long, Double)] {
-      private val in = rows.buffered
-      private var aIds: Array[Long] = _
-      private var aVecs: Array[Array[Double]] = _
-      private var aNrs: Array[Double] = _
-      private var bIds: Array[Long] = _
-      private var bVecs: Array[Array[Double]] = _
-      private var bNrs: Array[Double] = _
-      private var diag = false
-      private var i = 0
-      private var j = 0
-      private var ready = false
-      private var curA = 0L
-      private var curB = 0L
-      private var curCos = 0.0
+      private var out: Iterator[(Long, Long, Double)] = Iterator.empty
 
-      private def loadCell(): Boolean = {
-        if (!in.hasNext) return false
+      override def hasNext: Boolean = {
+        while (!out.hasNext && in.hasNext) out = nextCell()
+        out.hasNext
+      }
+
+      override def next(): (Long, Long, Double) = {
+        if (!hasNext) throw new NoSuchElementException
+        out.next()
+      }
+
+      private def nextCell(): Iterator[(Long, Long, Double)] = {
         val cell = in.head._1
         val ai = scala.collection.mutable.ArrayBuffer[Long]()
         val av = scala.collection.mutable.ArrayBuffer[Array[Double]]()
@@ -584,52 +646,150 @@ object Dedup {
           if (r._2 == 0) { ai += r._4; av += r._5; an += r._6; blkA = r._3 }
           else { bi += r._4; bv += r._5; bn += r._6; blkB = r._3 }
         }
-        aIds = ai.toArray; aVecs = av.toArray; aNrs = an.toArray
-        bIds = bi.toArray; bVecs = bv.toArray; bNrs = bn.toArray
-        diag = blkA == blkB
-        i = 0; j = 0
-        true
+        val diag = blkA == blkB && blkA >= 0
+        if (ai.isEmpty || (bi.isEmpty && !diag)) return Iterator.empty
+        val d = av.head.length // uniform dim; arrayDot order preserved
+        val hits = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        if (diag)
+          diagSweep(flatRows(av, d), ai.toArray, an.toArray, d, hits)
+        else
+          crossSweep(flatRows(av, d), ai.toArray, an.toArray,
+            flatRows(bv, d), bi.toArray, bn.toArray, d, hits)
+        hits.iterator
       }
 
-      /** Advance (i, j) to the next passing pair; sets cur*. */
-      @annotation.tailrec
-      private def advance(): Boolean = {
-        if (aIds == null || i >= aIds.length) {
-          if (!loadCell()) return false
-          advance()
-        } else if (j >= bIds.length) {
-          j = 0; i += 1
-          if (i >= aIds.length) { aIds = null; advance() } else advance()
-        } else {
-          val ida = aIds(i); val idb = bIds(j)
-          if (diag && ida >= idb) { j += 1; advance() }
-          else {
-            val va = aVecs(i); val vb = bVecs(j)
-            var s = 0.0
-            var k = 0
-            val n = va.length // uniform dim; arrayDot order preserved
-            while (k < n) { s += va(k) * vb(k); k += 1 }
-            val cos = s / (aNrs(i) * bNrs(j))
-            j += 1
-            if (cos >= threshold) {
-              curA = math.min(ida, idb); curB = math.max(ida, idb); curCos = cos
-              true
-            } else advance()
+      @inline private def emit(ida: Long, idb: Long, s: Double, nn: Double,
+          hits: scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]): Unit = {
+        val cos = s / nn
+        if (cos >= threshold)
+          hits += ((math.min(ida, idb), math.max(ida, idb), cos))
+      }
+
+      /** All (i, j) pairs across two distinct blocks. Rows advance in
+        * PAIRS (2 a-rows × 4 b-rows = 8 independent accumulators per
+        * pass): the 1×4 form needs 5 loads per 4 multiply-adds and the
+        * load ports stall the FP pipe; 2×4 amortizes the same 4 b-loads
+        * over 8 multiply-adds. Per-dot accumulation order unchanged. */
+      private def crossSweep(av: Array[Double], aIds: Array[Long],
+          aNrs: Array[Double], bv: Array[Double], bIds: Array[Long],
+          bNrs: Array[Double], d: Int,
+          hits: scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]): Unit = {
+        val na = aIds.length; val nb = bIds.length
+        var j0 = 0
+        while (j0 < nb) {
+          val jEnd = math.min(j0 + TileJ, nb)
+          var i = 0
+          while (i + 2 <= na) {
+            sweepRowPair(av, i, aIds, aNrs, bv, bIds, bNrs, d, j0, jEnd, hits)
+            i += 2
           }
+          if (i < na)
+            sweepRow(av, i * d, aIds(i), aNrs(i), bv, bIds, bNrs, d,
+              j0, jEnd, hits)
+          j0 += TileJ
         }
       }
 
-      override def hasNext: Boolean = {
-        if (!ready) ready = advance()
-        ready
+      /** Two a-rows (i, i+1) against b-rows [jStart, jEnd). */
+      private def sweepRowPair(av: Array[Double], i: Int, aIds: Array[Long],
+          aNrs: Array[Double], bv: Array[Double], bIds: Array[Long],
+          bNrs: Array[Double], d: Int, jStart: Int, jEnd: Int,
+          hits: scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]): Unit = {
+        val ao0 = i * d; val ao1 = ao0 + d
+        val id0 = aIds(i); val id1 = aIds(i + 1)
+        val nr0 = aNrs(i); val nr1 = aNrs(i + 1)
+        var j = jStart
+        while (j + 4 <= jEnd) {
+          val b0 = j * d; val b1 = b0 + d; val b2 = b1 + d; val b3 = b2 + d
+          var s00 = 0.0; var s01 = 0.0; var s02 = 0.0; var s03 = 0.0
+          var s10 = 0.0; var s11 = 0.0; var s12 = 0.0; var s13 = 0.0
+          var k = 0
+          while (k < d) {
+            val a0 = av(ao0 + k); val a1 = av(ao1 + k)
+            val x0 = bv(b0 + k); val x1 = bv(b1 + k)
+            val x2 = bv(b2 + k); val x3 = bv(b3 + k)
+            s00 += a0 * x0; s01 += a0 * x1; s02 += a0 * x2; s03 += a0 * x3
+            s10 += a1 * x0; s11 += a1 * x1; s12 += a1 * x2; s13 += a1 * x3
+            k += 1
+          }
+          emit(id0, bIds(j), s00, nr0 * bNrs(j), hits)
+          emit(id0, bIds(j + 1), s01, nr0 * bNrs(j + 1), hits)
+          emit(id0, bIds(j + 2), s02, nr0 * bNrs(j + 2), hits)
+          emit(id0, bIds(j + 3), s03, nr0 * bNrs(j + 3), hits)
+          emit(id1, bIds(j), s10, nr1 * bNrs(j), hits)
+          emit(id1, bIds(j + 1), s11, nr1 * bNrs(j + 1), hits)
+          emit(id1, bIds(j + 2), s12, nr1 * bNrs(j + 2), hits)
+          emit(id1, bIds(j + 3), s13, nr1 * bNrs(j + 3), hits)
+          j += 4
+        }
+        while (j < jEnd) {
+          val bo = j * d
+          var s0 = 0.0; var s1 = 0.0
+          var k = 0
+          while (k < d) {
+            val x = bv(bo + k)
+            s0 += av(ao0 + k) * x; s1 += av(ao1 + k) * x
+            k += 1
+          }
+          emit(id0, bIds(j), s0, nr0 * bNrs(j), hits)
+          emit(id1, bIds(j), s1, nr1 * bNrs(j), hits)
+          j += 1
+        }
       }
 
-      override def next(): (Long, Long, Double) = {
-        if (!hasNext) throw new NoSuchElementException
-        ready = false
-        (curA, curB, curCos)
+      /** Strict upper triangle (i < j) of one block against itself. */
+      private def diagSweep(av: Array[Double], aIds: Array[Long],
+          aNrs: Array[Double], d: Int,
+          hits: scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]): Unit = {
+        val na = aIds.length
+        var j0 = 0
+        while (j0 < na) {
+          val jEnd = math.min(j0 + TileJ, na)
+          var i = 0
+          while (i < jEnd - 1) {
+            val jStart = math.max(j0, i + 1)
+            sweepRow(av, i * d, aIds(i), aNrs(i), av, aIds, aNrs, d,
+              jStart, jEnd, hits)
+            i += 1
+          }
+          j0 += TileJ
+        }
+      }
+
+      /** One a-row against b-rows [jStart, jEnd): 4 pairs per pass, one
+        * accumulator each (independent chains; per-dot k-order exact). */
+      private def sweepRow(av: Array[Double], ao: Int, ida: Long, nra: Double,
+          bv: Array[Double], bIds: Array[Long], bNrs: Array[Double], d: Int,
+          jStart: Int, jEnd: Int,
+          hits: scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]): Unit = {
+        var j = jStart
+        while (j + 4 <= jEnd) {
+          val b0 = j * d; val b1 = b0 + d; val b2 = b1 + d; val b3 = b2 + d
+          var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+          var k = 0
+          while (k < d) {
+            val a = av(ao + k)
+            s0 += a * bv(b0 + k); s1 += a * bv(b1 + k)
+            s2 += a * bv(b2 + k); s3 += a * bv(b3 + k)
+            k += 1
+          }
+          emit(ida, bIds(j), s0, nra * bNrs(j), hits)
+          emit(ida, bIds(j + 1), s1, nra * bNrs(j + 1), hits)
+          emit(ida, bIds(j + 2), s2, nra * bNrs(j + 2), hits)
+          emit(ida, bIds(j + 3), s3, nra * bNrs(j + 3), hits)
+          j += 4
+        }
+        while (j < jEnd) {
+          val bo = j * d
+          var s = 0.0
+          var k = 0
+          while (k < d) { s += av(ao + k) * bv(bo + k); k += 1 }
+          emit(ida, bIds(j), s, nra * bNrs(j), hits)
+          j += 1
+        }
       }
     }
+  }
 
   /** q119: q22's near-dup result served from INCREMENTALLY MAINTAINED
     * signatures ([[IncrementalDedup]]): the documents land in an fls

@@ -30,12 +30,22 @@ object Graph {
     // join back broadcasts the tiny minima table (AQE sizes it at
     // runtime — no forced hint, so a pathological block count degrades
     // to a shuffle join instead of an OOM). Same edges, no corpus sort.
+    // NULL-SAFE join keys (ADVICE r20): the window form this replaced
+    // groups NULL lang/source/band values together, and so does the
+    // oracle's MIN() OVER (PARTITION BY ...) — a plain equi-join would
+    // silently drop NULL-keyed docs' star edges. <=> keys still plan as
+    // hash joins (EqualNullSafe is an equi-join key), so the r20 plan
+    // shape (partial-agg exchange + runtime broadcast) is unchanged.
     val d = t(spark, dir, "documents").select("doc_id", "lang", "source", "n_chars")
     val d2 = d.withColumn("band", expr("n_chars DIV 64"))
     val m1 = d.groupBy("lang", "source").agg(min("doc_id").as("b"))
+      .withColumnRenamed("lang", "lang_m").withColumnRenamed("source", "source_m")
     val m2 = d2.groupBy("lang", "band").agg(min("doc_id").as("b"))
-    val b1 = d.join(m1, Seq("lang", "source")).select(col("doc_id").as("a"), col("b"))
-    val b2 = d2.join(m2, Seq("lang", "band")).select(col("doc_id").as("a"), col("b"))
+      .withColumnRenamed("lang", "lang_m").withColumnRenamed("band", "band_m")
+    val b1 = d.join(m1, col("lang") <=> col("lang_m") && col("source") <=> col("source_m"))
+      .select(col("doc_id").as("a"), col("b"))
+    val b2 = d2.join(m2, col("lang") <=> col("lang_m") && col("band") <=> col("band_m"))
+      .select(col("doc_id").as("a"), col("b"))
     val e0 = b1.union(b2).filter(col("a") =!= col("b")).distinct()
     val labels = connectedComponents(
       d.select(col("doc_id").as("node")), e0)

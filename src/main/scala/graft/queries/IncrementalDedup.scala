@@ -223,21 +223,35 @@ object IncrementalDedup {
 
   def nearDupsFromSignatures(spark: SparkSession, docsDir: String,
       sigDir: String, cacheKey: String): DataFrame = {
-    val sig = sigServeCache.getOrBuild(spark,
-        s"$cacheKey#sig@${cursorOf(spark, sigDir)}")(
+    // keep-latest-only (ADVICE r20): each refresh advances the version
+    // in the cache key, so without eviction a long-lived serving
+    // session accumulates one persisted frame per superseded version —
+    // evict every other version of this prefix before (re)building
+    val sigKey = s"$cacheKey#sig@${cursorOf(spark, sigDir)}"
+    sigServeCache.evictPrefixExcept(spark, s"$cacheKey#sig@", sigKey)
+    val sig = sigServeCache.getOrBuild(spark, sigKey)(
       spark.read.format("fls").load(sigDir)
         .dropDuplicates("ghash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // the doc-side shingle/group caches are version-keyed the same way
     // (manifest head of the DOCS table, zero-job): a serve after an
     // append builds fresh frames instead of replaying the old corpus —
-    // same-version serves (bench passes, repeated queries) still hit
+    // same-version serves (bench passes, repeated queries) still hit.
+    // Fails LOUDLY on a manifest-less docs table (ADVICE r20): the
+    // version key would otherwise freeze at a constant and a rewritten
+    // table would be served stale cached shingle/group frames — the
+    // same contract refresh() already enforces.
     val docsVer = {
       val root = new Path(docsDir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      FlsManifest.readVersioned(fs, root).map(_._1).getOrElse(0L)
+      FlsManifest.readVersioned(fs, root).map(_._1).getOrElse(
+        throw new IllegalArgumentException(
+          s"fls: $docsDir has no manifest log — signature serving needs " +
+            "a commit_mode=manifest documents table (the cache version " +
+            "key has nothing to track otherwise)"))
     }
     val docCacheKey = s"$cacheKey@$docsVer"
+    Dedup.evictDocCachesExcept(spark, s"$cacheKey@", docCacheKey)
     val buckets = sig.select(col("ghash"),
       posexplode(array((0 until 16).map(k => col(s"m$k")): _*)).as(Seq("slot", "mh")))
     val cand = buckets.select(col("ghash").as("gh_a"), col("slot"), col("mh"))

@@ -42,7 +42,16 @@ object Streaming {
   /** Runs `body` with `spark.sql.shuffle.partitions` pinned to
     * [[statefulParts]] of the source, restoring the previous value —
     * the streaming query must START (plan its stateful shuffle) inside
-    * `body`; the conf is irrelevant once the checkpoint exists. */
+    * `body`; the conf is irrelevant once the checkpoint exists.
+    *
+    * SINGLE-THREADED-START contract (ADVICE r20): the conf is
+    * session-global, so two streams (or a stream and a batch query)
+    * STARTED concurrently on the same session race, and the loser
+    * freezes the wrong partition count into its checkpoint for the
+    * query's lifetime. The harness starts queries sequentially; a
+    * concurrent deployment must start each stream on its own
+    * `spark.newSession()` (confs are session-scoped) — running
+    * already-started streams concurrently is fine either way. */
   private[graft] def withStatefulParts[T](spark: SparkSession,
       srcPath: String)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -496,9 +505,12 @@ object Streaming {
     val stream = eventsStream(spark, dir)
     val ev = stream.select(col("event_id"), col("event_type"), col("value"),
       timestamp_micros(tsMicros(stream)).as("ts_ev"))
+    // NO purchase_id (r21): the aggregate only reads (signup_id,
+    // p_value), so the id was dead weight in the symmetric-hash state
+    // AND in every one of the ~n² joined pair rows (guide §2.3 —
+    // project before the exchange; here, before the state store).
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("ts_ev").as("p_ts"),
-        col("value").as("p_value"))
+      .select(col("ts_ev").as("p_ts"), col("value").as("p_value"))
       .withWatermark("p_ts", "1 hour")
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("event_id").as("signup_id"), col("ts_ev").as("s_ts"))
@@ -525,18 +537,26 @@ object Streaming {
       val joined = purchases.join(signups,
         col("p_ts") >= col("s_ts") &&
           col("p_ts") <= col("s_ts") + expr("INTERVAL 10 MINUTES"))
-      // parquet sink, NOT memory: the raw joined stream is the big
-      // side (a quadratic pair set under replication) and must land
-      // distributed — a memory sink would collect it into the driver.
-      // DETERMINISTIC per-dataset-and-PROCESS path, wiped up front:
-      // nanotime temp dirs accumulated 9.2 GB per invocation across a
-      // sweep session until the disk filled (observed at 97%); now each
-      // run replaces the last within one JVM, and the bulk join output
-      // is deleted the moment the (small) aggregate is materialized —
-      // only the aggregate stays. The pid component keeps two
-      // concurrent harness JVMs on the same dataset from wiping each
-      // other's in-flight checkpoint (bounded: one dir per live JVM,
-      // reclaimed on the next same-pid reuse or /tmp hygiene).
+      // PER-MICRO-BATCH PARTIAL AGGREGATION via foreachBatch (r21,
+      // guide §2.3 "aggregate before you shuffle" applied to the sink):
+      // the raw joined stream is the quadratic pair set — measured
+      // 94,193 pairs at sf0.1 ⇒ ~1.54e9 at 128× (timestamps replicate
+      // unshifted, so pairs grow mult²) — and r20 paid a full parquet
+      // write + re-read of ALL of it just to aggregate one row per
+      // signup. Each micro-batch now writes its own per-signup partial
+      // (count + DECIMAL-exact sum), and the final pass re-aggregates
+      // the partials: decimal addition is exact and associative and
+      // count re-sums, so the result is bit-identical to the
+      // single-pass aggregate at any batch count. Batch output lands
+      // under parts/batch=<id> with overwrite — a retried batch
+      // REPLACES its own output (idempotent), never duplicates it.
+      // Still distributed, never through the driver; the sink dir
+      // stays the DETERMINISTIC per-dataset-and-PROCESS path, wiped up
+      // front (the r19 nanotime dirs filled the disk), and the bulk
+      // intermediate — now the small partials — is deleted once the
+      // final aggregate lands. The pid component keeps two concurrent
+      // harness JVMs on the same dataset from wiping each other's
+      // in-flight checkpoint.
       val out = new java.io.File(
         s"/tmp/graft_q92_cache/${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
           s"_pid${ProcessHandle.current().pid()}")
@@ -545,9 +565,19 @@ object Streaming {
       // per-micro-batch state rows/bytes are captured from
       // StreamingQueryProgress and summarized — the 128× GC band is
       // now a measured footprint, not an inference from GC drain
+      // the partial schema is captured from the first batch so the
+      // outer read never depends on parquet schema inference — a batch
+      // whose join produced ZERO rows commits a fileless directory,
+      // which inference would refuse
+      @volatile var partsSchema: org.apache.spark.sql.types.StructType = null
       graft.util.StreamStateMetrics.observe(spark) {
-        val q = joined.writeStream.format("parquet")
-          .option("path", s"$out/data")
+        val q = joined.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val pa = batch.groupBy("signup_id")
+              .agg(count(lit(1)).as("n_purch"), sum(d6w(col("p_value"))).as("sv"))
+            partsSchema = pa.schema
+            pa.write.mode("overwrite").parquet(s"$out/parts/batch=$id")
+          }
           .option("checkpointLocation", s"$out/ckpt")
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -556,11 +586,25 @@ object Streaming {
         org.slf4j.LoggerFactory.getLogger(getClass)
           .info(s"q92 stream-stream range join ${s.line}"))
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.read.parquet(s"$out/data")
+      val partials =
+        if (partsSchema != null) {
+          new java.io.File(s"$out/parts").mkdirs()
+          spark.read.schema(partsSchema).parquet(s"$out/parts")
+        } else {
+          // zero micro-batches ran (empty source): an empty frame with
+          // the partial shape keeps the aggregate below well-typed
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("signup_id", LongType),
+              StructField("n_purch", LongType),
+              StructField("sv", DecimalType(35, 6)))))
+        }
+      partials
         .groupBy("signup_id")
-        .agg(count(lit(1)).as("n_purch"), dbl(sum(d6w(col("p_value")))).as("sum_value"))
+        .agg(sum(col("n_purch")).as("n_purch"), dbl(sum(col("sv"))).as("sum_value"))
         .write.mode("overwrite").parquet(s"$out/agg")
-      rmrf(new java.io.File(s"$out/data"))
+      rmrf(new java.io.File(s"$out/parts"))
       rmrf(new java.io.File(s"$out/ckpt"))
       spark.read.parquet(s"$out/agg").orderBy("signup_id")
     } finally {

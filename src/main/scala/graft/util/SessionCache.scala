@@ -35,6 +35,25 @@ final class SessionCache {
         .getOrElseUpdate(dir, build)
     }
 
+  /** Keep-latest-only eviction for VERSION-KEYED entries (ADVICE r20):
+    * a serving session that interleaves refresh() and serve cycles
+    * builds one persisted frame per table version under keys like
+    * `prefix@version`; without eviction every superseded version's
+    * frame — including corpus-sized shingle frames — stays persisted
+    * until session stop. Callers that version their keys call this on
+    * each lookup with the key they are about to use: every OTHER key
+    * under the same prefix is unpersisted and dropped. */
+  def evictPrefixExcept(spark: SparkSession, prefix: String,
+      keep: String): Unit = synchronized {
+    bySession.get(spark).foreach { frames =>
+      val stale = frames.keys.filter(k => k.startsWith(prefix) && k != keep).toSeq
+      stale.foreach { k =>
+        frames.remove(k).foreach(df =>
+          try df.unpersist() catch { case _: Throwable => () })
+      }
+    }
+  }
+
   def clearAll(): Unit = synchronized {
     bySession.values.foreach(_.values.foreach(df =>
       try df.unpersist() catch { case _: Throwable => () }))

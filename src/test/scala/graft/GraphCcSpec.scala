@@ -127,4 +127,25 @@ class GraphCcSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lone == Set((500L, 500L), (501L, 501L), (502L, 502L)))
   }
+
+  test("NULL lang/source/band group together like the oracle's window (r21)") {
+    val sp = spark; import sp.implicits._
+    // docs 0-2 share (NULL, NULL) via lang/source; docs 3-4 share a NULL
+    // band key only through lang 'en'; doc 5 is a singleton. The old
+    // equi-join dropped every NULL-keyed star edge (ADVICE r20) — the
+    // window semantics (and the DuckDB oracle) group NULLs together.
+    val rows = Seq[(Long, Option[String], Option[String], Option[Long])](
+      (0L, None, None, Some(10L)), (1L, None, None, Some(200L)),
+      (2L, None, None, Some(400L)),
+      (3L, Some("en"), Some("sA"), None), (4L, Some("en"), Some("sB"), None),
+      (5L, Some("de"), Some("sC"), Some(700L)))
+    val dir = Files.createTempDirectory("cc-null").toString
+    rows.toDF("doc_id", "lang", "source", "n_chars")
+      .selectExpr("doc_id", "'x' AS text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Graph.q70DedupComponents(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 3L, 3L -> 2L, 5L -> 1L),
+      s"NULL keys must block together (window semantics), got $got")
+  }
 }

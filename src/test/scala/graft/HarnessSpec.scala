@@ -73,4 +73,14 @@ class HarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     val json = Harness.benchJson(times, errors, dir)
     assert(!json.contains("errors"), json)
   }
+
+  test("both JSON shapes carry the session's real core count and master (r21)") {
+    // benchAll captures from the LIVE context; the emit runs after stop
+    val (times, errors) = Harness.benchAll(spark, Map("good_q" -> good), dir)
+    val expected = s""""cpus":${spark.sparkContext.defaultParallelism},""" +
+      s""""master":"local[4]""""
+    assert(Harness.benchJson(times, errors, dir).contains(expected))
+    assert(Harness.benchJsonCompact(times, errors, dir, "/tmp/x.json")
+      .contains(expected))
+  }
 }
